@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives, faithful to the reference semantics.
+  *
+  * Reference: BookQuery.java:64 tokenizes with Java `split("\\W+")`; shingles
+  * are 3 consecutive tokens joined by one space (BookQuery.java:66-70), and a
+  * `HashSet` dedups them (set semantics). Everything here is built from
+  * codegen'd `org.apache.spark.sql.functions` — no UDFs — so the expressions
+  * stay inside whole-stage codegen and Catalyst can push/prune around them.
+  */
+object TextFunctions {
+
+  /** Java `String.split("\\W+")` parity: leading empty token is KEPT when the
+    * text starts with a non-word char, trailing empty tokens are DROPPED
+    * (Java's default limit=0 semantics). Spark's `split` keeps trailing
+    * empties (limit=-1), so we trim them: find the last non-empty index and
+    * slice. See BookQuery.java:35,64,126.
+    */
+  def tokenize(c: Column): Column = {
+    val raw = split(c, "\\W+")
+    val lastNonEmpty = aggregate(
+      zip_with(raw, sequence(lit(1), size(raw)), (t, i) => when(t =!= "", i).otherwise(lit(0))),
+      lit(0),
+      (acc, x) => greatest(acc, x))
+    when(size(raw) === 0, raw).otherwise(slice(raw, lit(1), lastNonEmpty))
+  }
+
+  /** Sliding k-gram of tokens joined by single spaces; < k tokens → empty
+    * array (BookQuery.java:37-40 loop bound `i <= len-k`). Order-preserving,
+    * duplicates kept (use [[shingleSet]] for the reference's set semantics).
+    */
+  def shingles(tokens: Column, k: Int): Column = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    when(size(tokens) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(tokens, i + j)): _*)))
+  }
+
+  /** The reference's `HashSet<String>` shingle set (BookQuery.java:26,66-70):
+    * distinct k-shingles of the tokenized text.
+    */
+  def shingleSet(text: Column, k: Int = 3): Column = array_distinct(shingles(tokenize(text), k))
+
+  /** Word k-grams over an already-clean token array (no tokenizer quirks). */
+  def ngramSet(tokens: Column, k: Int): Column = array_distinct(shingles(tokens, k))
+
+  /** Character k-gram set ("shingling" in the char sense) — used by SimHash /
+    * fingerprinting surfaces.
+    */
+  def charNgramSet(text: Column, k: Int): Column =
+    when(length(text) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => substr(text, i, lit(k)))))
+
+  /** MinHash signature of a string-set column: `numHashes` independent
+    * permutations h_i(t) = xxhash64(salt_i, t), signature[i] = min over the
+    * set. One projection, no shuffle — the signature is computed map-side
+    * (the Spark analog of the reference's combiner-style per-doc work).
+    */
+  def minhashSignature(set: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(set, t => xxhash64(i, t))))
+
+  /** LSH band keys for a MinHash signature: split into `bands` rows-per-band
+    * groups, hash each band. Docs sharing any band key are near-dup
+    * candidates. Returns array<long> of length `bands`.
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws("_",
+        transform(slice(signature, b * lit(rowsPerBand) + 1, lit(rowsPerBand)), _.cast("string")))))
+
+  /** 64-bit SimHash of a string-set column: per element a 64-bit xxhash64;
+    * each bit votes +1/-1; the sign of the per-bit sum forms the fingerprint.
+    * Pure HOF arithmetic — codegen friendly, no UDF.
+    */
+  def simhash64(set: Column): Column = {
+    val votes = aggregate(
+      set,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, bit) => a + when(call_function("shiftright", h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

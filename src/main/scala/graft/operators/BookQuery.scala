@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** The reference engine's entire query capability: score every corpus
+  * document against one query document by (approximate) Jaccard similarity of
+  * 3-word shingle sets.
+  *
+  * Reference pipeline (BookQuery.java, two chained MR jobs + three HDFS
+  * materializations):
+  *   job 1: per-doc shingle-set ∩ query-set (":77"), emit (term, doc@len)
+  *          (":81-83"), group by term, drop groups of size 1 or n (":105").
+  *   job 2: per surviving (term, doc) emit 1 keyed by (doc,len,|Q|)
+  *          (":143-147"), sum (":154-158"), score = sum/(len+|Q|-sum) with a
+  *          ==-guard returning 1 (":162-166").
+  *
+  * Here it is ONE lazy DataFrame DAG with exactly two exchanges:
+  *   1. hash-partition by `term` for the document-frequency count;
+  *   2. hash-partition by `doc_id` for the final score aggregation.
+  * The query side is a one-row broadcast (the Spark analog of the reference
+  * stuffing the query text into the job `Configuration`, ":205"), and the
+  * per-term df table is broadcast back for the filter join — it is bounded by
+  * |Q| (the query's shingle count), never by corpus size, so this plan holds
+  * at 100 TB: corpus rows stream map-side, shuffle volume is
+  * O(Σ_D |sh(D) ∩ Q|) exactly like the reference's map-side pruning, and no
+  * collect touches the driver.
+  *
+  * IMPORTANT semantic note (SURVEY.md §0.1): the reference's score is NOT
+  * true Jaccard — the denominator uses len_D = |sh(D) ∩ Q| in place of
+  * |sh(D)|, so absent stop-shingle hits it reduces to the query-containment
+  * coefficient |sh(D) ∩ Q| / |Q|. [[referenceScores]] reproduces that formula
+  * bit-for-bit; [[jaccardScores]] is the principled variant the reference
+  * intended (comment at BookQuery.java:165).
+  */
+object BookQuery {
+
+  /** Per-document intermediate: doc_id, its query-intersected shingle set and
+    * size, and the query set size — rows with empty intersection dropped
+    * (they can never score, same as the reference never emitting them).
+    */
+  private def intersected(docs: DataFrame, queryDocId: Long, k: Int): DataFrame = {
+    val query = broadcast(
+      docs.where(col("doc_id") === queryDocId)
+        .select(shingleSet(col("text"), k).as("q_sh"))
+        .withColumn("q_len", size(col("q_sh"))))
+    docs.where(col("doc_id") =!= queryDocId)
+      .select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+      .crossJoin(query) // 1-row broadcast: BroadcastNestedLoopJoin, no shuffle
+      .select(
+        col("doc_id"),
+        array_intersect(col("sh"), col("q_sh")).as("t"), // BookQuery.java:77 retainAll
+        col("q_len"))
+      .withColumn("len", size(col("t")))
+      .where(col("len") > 0)
+  }
+
+  /** Reference-exact scores. `n` (corpus cardinality incl. the query doc,
+    * BookQuery.java:211-214) is taken as a driver scalar — one count() job,
+    * the same metadata-scale operation the reference does with
+    * `ContentSummary`. Output: (doc_id, len, sum_shared, score).
+    */
+  def referenceScores(docs: DataFrame, queryDocId: Long = 0L, k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val ex = intersected(docs, queryDocId, k)
+      .select(col("doc_id"), col("len"), col("q_len"), explode(col("t")).as("term"))
+    // df over NON-query docs; the query trivially holds every surviving term
+    // (t ⊆ Q), so reference df = df_nq + 1. Reference filter (":105") keeps
+    // 2 <= df <= n-1  ⇔  1 <= df_nq <= n-2; the lower bound is implied
+    // (a term only appears here if some non-query doc has it).
+    val df = ex.groupBy("term").agg(count(lit(1)).as("df_nq"))
+      .where(col("df_nq") <= lit(n - 2))
+    ex.join(broadcast(df), "term") // |df| ≤ |Q| ⇒ broadcast, no re-shuffle of ex
+      .groupBy("doc_id", "len", "q_len")
+      .agg(count(lit(1)).as("sum_shared")) // BookQuery.java:154-158
+      .select(
+        col("doc_id"),
+        col("len").cast("long").as("len"), // long: DuckDB len(list) is BIGINT
+        col("sum_shared"),
+        round(referenceScore(col("sum_shared"), col("len"), col("q_len")), 6).as("score"))
+  }
+
+  /** sum/(len+qlen−sum), guard → 1.0 when denominator would be 0
+    * (BookQuery.java:162-166).
+    */
+  def referenceScore(sum: Column, len: Column, qlen: Column): Column =
+    when(sum === len + qlen, lit(1.0))
+      .otherwise(sum.cast("double") / (len + qlen - sum).cast("double"))
+
+  /** True Jaccard |sh(D) ∩ Q| / |sh(D) ∪ Q| of every corpus doc vs the query
+    * — the formula the reference intended (comment BookQuery.java:165). Pure
+    * map-side: one broadcast, zero shuffles (the scan streams and scores).
+    * Output: (doc_id, inter_len, union_len, jaccard).
+    */
+  def jaccardScores(docs: DataFrame, queryDocId: Long = 0L, k: Int = 3): DataFrame = {
+    val query = broadcast(
+      docs.where(col("doc_id") === queryDocId)
+        .select(shingleSet(col("text"), k).as("q_sh")))
+    docs.where(col("doc_id") =!= queryDocId)
+      .select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+      .crossJoin(query)
+      .select(
+        col("doc_id"),
+        size(array_intersect(col("sh"), col("q_sh"))).as("inter_len"),
+        (size(col("sh")) + size(col("q_sh")) - size(array_intersect(col("sh"), col("q_sh")))).as("union_len"))
+      .where(col("inter_len") > 0)
+      .select(
+        col("doc_id"),
+        col("inter_len").cast("long").as("inter_len"),
+        col("union_len").cast("long").as("union_len"),
+        round(col("inter_len").cast("double") / col("union_len").cast("double"), 6).as("jaccard"))
+  }
+
+  /** Ranked top-k — the query shape the reference's users actually wanted
+    * (its output was unranked text lines; SURVEY.md §2.2). Deterministic
+    * tie-break on doc_id.
+    */
+  def topK(scored: DataFrame, scoreCol: String, kTop: Int): DataFrame =
+    scored.orderBy(col(scoreCol).desc, col("doc_id").asc).limit(kTop)
+}

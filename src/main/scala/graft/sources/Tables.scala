@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the engine's table surface.
+  *
+  * The reference engine's only source is "one whole text file = one document
+  * over HDFS" (BookQuery.java:44-61 — a manifest of paths, each opened inside
+  * the mapper). In Spark that side-channel read becomes a real, optimizer-
+  * visible source: either the pre-materialized `documents` parquet (columnar,
+  * predicate-pushdown, split-packed) or a wholetext directory scan.
+  *
+  * All readers take the scale-factor directory so the same code runs at any
+  * SF (and, on a real cluster, any 100 TB prefix — parquet scans scale by
+  * adding executors; there is no driver-side enumeration here).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+
+  /** Parity source with the reference's ingestion (BookQuery.java:44-61):
+    * one row per text file in `dir`, doc_id = basename without extension,
+    * lines joined by a single space (the reference concatenates lines with
+    * " ", BookQuery.java:57-61 — here the whole file arrives as one string
+    * and we just normalize the line breaks).
+    */
+  def wholeTextDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("wholetext", "true").text(dir)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+?)(\\.[^./]*)?$", 1).as("doc_id"),
+        regexp_replace(col("value"), "\\r?\\n", " ").as("text"))
+}
