@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing for the dedup/similarity surface.
+  *
+  * Everything here is plain integer arithmetic over character codes, so the
+  * SAME values are computable in any SQL engine (the DuckDB oracles replicate
+  * them exactly) — unlike e.g. xxhash64, whose implementation is private to
+  * Spark. All functions are built from codegen'd HOFs: per-row work only, no
+  * shuffle, no UDF — they scale linearly with input bytes at 100 TB.
+  *
+  * Hash family: H(t) = fold over chars of (acc*31 + code) mod p, p = 2^31-1
+  * (the classic polynomial rolling hash over a Mersenne prime); the i-th
+  * permutation is the affine map h_i(x) = (x*(2i+1) + b_i) mod p — a standard
+  * universal-family construction for MinHash (Broder 1997; SURVEY.md §7.4).
+  */
+object HashFunctions {
+  val P: Long = 2147483647L // 2^31 - 1
+
+  /** Polynomial rolling hash of a string, in [0, P). */
+  def portableHash31(t: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(t)), i => ascii(substr(t, i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % P)
+
+  /** Pre-hash a string set once: array<long> of H(t). Do this before calling
+    * [[minhashFromHashes]] / [[simhashFromHashes]] so the O(len) char fold
+    * runs once per term, not once per permutation.
+    */
+  def hashSet(set: Column): Column = transform(set, portableHash31 _)
+
+  /** MinHash signature (array<long>, length numHashes) from pre-hashed set. */
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(hashes, h => (h * (i * 2L + 1L) + (lit(12345L) + i * 67891L)) % P)))
+
+  /** LSH band keys: `bands` strings "b:v1_v2_..", each hashing rowsPerBand
+    * consecutive signature slots. Docs sharing any key are candidates; with
+    * b bands of r rows the candidate probability is 1-(1-J^r)^b.
+    */
+  def minhashBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(":", b.cast("string"),
+        concat_ws("_", transform(slice(signature, b * lit(rowsPerBand) + 1, lit(rowsPerBand)), _.cast("string")))))
+
+  /** 48-bit SimHash from pre-hashed set: bit j of the fingerprint is the sign
+    * of Σ_t (2·g_j(t) − 1) where g_j(t) = ((H(t)·(2j+3) + 999 + 7919j) mod P)
+    * mod 2. 48 bits keeps every intermediate positive in an int64 in any
+    * engine. Ties (sum == 0) resolve to bit 0.
+    */
+  def simhash48(hashes: Column): Column = {
+    val votes = aggregate(
+      hashes,
+      transform(sequence(lit(0), lit(47)), _ => lit(0L)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(47)),
+        (a, j) => a + ((h * (j * 2L + 3L) + (lit(999L) + j * 7919L)) % P % 2L) * 2L - 1L))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(47)),
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** The 4 12-bit chunk keys of a 48-bit fingerprint, as
+    * "c:v" strings. By pigeonhole, any pair at Hamming distance ≤ 3 shares at
+    * least one of the 4 chunks exactly — so chunk-join + Hamming verify is a
+    * LOSSLESS index for distance ≤ 3 (Manku et al., WWW'07 §3).
+    */
+  def simhashChunkKeys(fp: Column): Column =
+    transform(
+      sequence(lit(0), lit(3)),
+      c => concat_ws(":", c.cast("string"),
+        call_function("shiftright", fp, c * lit(12)).bitwiseAND(4095L).cast("string")))
+
+  /** Hamming distance between two fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.HashFunctions._
+
+/** Text-analysis surface of the engine: per-document statistics, quality
+  * scoring, language ID, token counting, fingerprinting, TF-IDF. All pure
+  * map-side Column expressions except TF-IDF (one term-df aggregation + one
+  * per-doc window) — at 100 TB everything here streams through the scan with
+  * no driver involvement.
+  */
+object TextAnalysis {
+
+  private val stopwordsEn = Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+  private val stopwordsEs = Seq("el", "la", "de", "y", "o", "en", "es", "un", "una", "que")
+  private val stopwordsFr = Seq("le", "la", "de", "et", "ou", "en", "est", "un", "une", "que")
+
+  /** Per-doc token/char statistics + a heuristic quality score in [0,1]:
+    * mean of (type-token ratio, non-stopword ratio, length adequacy
+    * min(n_tokens,100)/100). Output mirrors what corpus-quality filters
+    * (e.g. C4/Gopher rules) compute, expressed as pure Column arithmetic.
+    */
+  def qualityStats(docs: DataFrame): DataFrame = {
+    val toks = tokenize(col("text"))
+    docs
+      .withColumn("toks", toks)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        size(array_intersect(array_distinct(col("toks")), array(stopwordsEn.map(lit): _*)))
+          .cast("long").as("n_stopword_types"))
+      .withColumn("type_token_ratio",
+        round(col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("avg_token_len",
+        round((col("n_chars_measured") - (col("n_tokens") - 1)).cast("double")
+          / col("n_tokens").cast("double"), 6))
+      .withColumn("quality_score",
+        round((col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double")
+          + (lit(1.0) - col("n_stopword_types").cast("double") / col("n_distinct_tokens").cast("double"))
+          + least(col("n_tokens").cast("double"), lit(100.0)) / lit(100.0)) / 3.0, 6))
+  }
+
+  /** Stopword-profile language ID: score each candidate language by how many
+    * of its top stopword TYPES occur in the doc; argmax with deterministic
+    * tie-break (en > es > fr > und). A doc matching no list is "und".
+    * (An n-gram-profile classifier reduces to the same argmax-over-profiles
+    * shape; stopword profiles are the degenerate 1-gram case.)
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(tokenize(col("text")))
+    val en = size(array_intersect(toks, array(stopwordsEn.map(lit): _*)))
+    val es = size(array_intersect(toks, array(stopwordsEs.map(lit): _*)))
+    val fr = size(array_intersect(toks, array(stopwordsFr.map(lit): _*)))
+    docs.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      en.cast("long").as("en_hits"),
+      es.cast("long").as("es_hits"),
+      fr.cast("long").as("fr_hits"),
+      when(greatest(en, es, fr) === 0, "und")
+        .when(en >= es && en >= fr, "en")
+        .when(es >= fr, "es")
+        .otherwise("fr").as("pred_lang"))
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * (letter runs / digit runs / single other chars — the shape of a GPT-2
+    * pre-tokenizer, minus unicode classes). Plus chars-per-token, the
+    * standard tokens≈chars/4 sanity metric.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokenize(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("bpe_ish_tokens"),
+      round(length(col("text")).cast("double")
+        / greatest(size(tokenize(col("text"))), lit(1)).cast("double"), 6).as("chars_per_ws_token"))
+
+  /** Document fingerprints: the portable 31-bit rolling hash of the full
+    * text (cheap order-sensitive), md5 (cryptographic), and the rolling hash
+    * of the SORTED DISTINCT token list (order-insensitive bag-of-words
+    * fingerprint — survives shuffling words around).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      portableHash31(col("text")).as("rolling_fp"),
+      md5(col("text")).as("md5_fp"),
+      portableHash31(concat_ws(" ", array_sort(array_distinct(tokenize(col("text")))))).as("bow_fp"))
+
+  /** Top-k terms per document by TF-IDF (tf · ln(N/df)), deterministic
+    * tie-break on rounded score then term. One df aggregation (term-keyed
+    * shuffle) + one doc-keyed window. Output:
+    * (doc_id, term, tf, df, tfidf, rank).
+    */
+  def tfidfTopTerms(docs: DataFrame, kTop: Int = 3): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfT), "term")
+      .withColumn("tfidf", round(col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= kTop)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+}
