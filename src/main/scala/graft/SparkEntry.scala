@@ -38,7 +38,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), tau = 0.2, n = 2)),
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), tau = 0.6, n = 2)),
     // — text analysis (SURVEY.md §7.6) —
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityStats(Tables.documents(s, dir))),
@@ -50,6 +50,28 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "text_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), kTop = 3)),
+    // — relational surface (SURVEY.md §2.2 checklist) —
+    "rel_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "rel_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
+    "rel_local_supplier" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
+    "rel_top_orders" -> ((s, dir) => Relational.topOrders(s, dir)),
+    "rel_customer_windows" -> ((s, dir) => Relational.customerOrderWindows(s, dir)),
+    "rel_setops" -> ((s, dir) => Relational.customerSetOps(s, dir)),
+    "rel_rollup" -> ((s, dir) => Relational.returnsRollup(s, dir)),
+    "rel_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
+    "rel_anti_join" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
+    "rel_semi_join" -> ((s, dir) => Relational.partsWithBigShipments(s, dir)),
+    // — events / time-series surface (SURVEY.md §7.7) —
+    "events_hourly" -> ((s, dir) => Events.hourlyRollup(s, dir)),
+    "events_sliding" -> ((s, dir) => Events.slidingCounts(s, dir)),
+    "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
+    "events_json" -> ((s, dir) => Events.jsonStats(s, dir)),
+    // — embedding similarity search (SURVEY.md §7.5) —
+    "embed_knn_brute" -> ((s, dir) => EmbeddingSearch.bruteForceTopK(s, dir)),
+    "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
+    "embed_label_stats" -> ((s, dir) => EmbeddingSearch.labelStats(s, dir)),
+    // — multimodal binary-column plumbing (builder mandate; codec stubbed) —
+    "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -85,9 +107,162 @@ object SparkEntry {
        |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
        |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= $tau""".stripMargin
 
+  /** ext·(1−disc) in exact decimal (mirrors Relational.discPrice). */
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))"
+
+  /** Sequential-fold dot product a·b over 1-based list indexes (mirrors
+    * EmbeddingSearch.dot: fold order identical, so doubles are bit-equal).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), di -> $a[di] * $b[di]), (x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0
+       |  ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($discPriceSql * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE) AS sum_charge,
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+         |GROUP BY 1, 2""".stripMargin,
+    "rel_shipping_priority" ->
+      s"""SELECT l_orderkey, epoch_us(o_orderdate) // 1000000 AS order_epoch, o_orderpriority,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-07-01'
+         |  AND l_shipdate > TIMESTAMP '1996-07-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "rel_local_supplier" ->
+      s"""SELECT n_name, CAST(sum($discPriceSql) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1""".stripMargin,
+    "rel_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  epoch_us(o_orderdate) // 1000000 AS order_epoch
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "rel_customer_windows" ->
+      """SELECT o_custkey, o_orderkey,
+        |  (row_number() OVER w)::BIGINT AS rn,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+        |  date_diff('day', lag(o_orderdate) OVER w, o_orderdate)::BIGINT AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "rel_setops" ->
+      """WITH a95 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |a96 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM a95 INTERSECT SELECT * FROM a96)
+        |UNION ALL
+        |SELECT 'only_1995' AS tag, o_custkey FROM (SELECT * FROM a95 EXCEPT SELECT * FROM a96)
+        |UNION ALL
+        |SELECT 'only_1996' AS tag, o_custkey FROM (SELECT * FROM a96 EXCEPT SELECT * FROM a95)""".stripMargin,
+    "rel_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "rel_distinct_counts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "rel_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "rel_semi_join" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)""".stripMargin,
+    "events_hourly" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      """WITH e AS (SELECT event_type, (epoch_us(ts) // 10800000000) * 10800 AS b3 FROM events)
+        |SELECT b3 - i.i * 10800 AS window_epoch, event_type, count(*) AS n_events
+        |FROM e, (VALUES (0), (1)) i(i) GROUP BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER w AS prev_us FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session FROM l),
+        |s AS (SELECT *, (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS duration_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "events_json" ->
+      """WITH e AS (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+        |FROM e GROUP BY 1""".stripMargin,
+    "embed_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT q.query_id, e.vec_id, round(${cosineSql("e.v", "q.qv")}, 6) AS cosine
+         |      FROM e, q WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT *, (row_number() OVER
+         |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
+         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+    "embed_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v, list_transform(generate_series(0, 15), p ->
+         |  CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
+         |    d -> v[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
+         |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
+         |  THEN 1 ELSE 0 END) AS sig FROM e),
+         |bands AS (SELECT vec_id, v, unnest(list_transform(generate_series(0, 3), b ->
+         |  b::VARCHAR || ':' || array_to_string(list_transform(
+         |    list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))) AS band FROM sig),
+         |qb AS (SELECT vec_id AS query_id, v AS qv, band FROM bands WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT qb.query_id, c.vec_id, c.v, qb.qv
+         |         FROM bands c JOIN qb USING (band) WHERE c.vec_id <> qb.query_id),
+         |s AS (SELECT query_id, vec_id, round(${cosineSql("v", "qv")}, 6) AS cosine FROM cand),
+         |r AS (SELECT *, (row_number() OVER
+         |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
+         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+    "embed_label_stats" ->
+      s"""WITH e AS (SELECT label::BIGINT AS label,
+         |  round(sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+         |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)), 6) AS norm
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_vectors,
+         |  round(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm,
+         |  min(norm) AS min_norm, max(norm) AS max_norm
+         |FROM e GROUP BY 1""".stripMargin,
+    "multimodal_features" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(text)::BIGINT AS byte_len,
+        |  ((len(text) - 1) // 16 + 1)::BIGINT AS n_frames,
+        |  (list_sum(list_transform(generate_series(1, (len(text) - 1) // 16 + 1),
+        |    f -> codes[(f - 1) * 16 + 1])) % 2147483647)::BIGINT AS frame_checksum,
+        |  round(list_sum(codes)::DOUBLE / len(text), 6) AS mean_byte
+        |FROM c""".stripMargin,
     "book_query_ref" ->
       s"""WITH ${shingleCte(3)},
          |q AS (SELECT sh AS q_sh, len(sh) AS q_len FROM sh WHERE doc_id = 0),
@@ -155,7 +330,7 @@ object SparkEntry {
          |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
          |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
-         |${verifyTail(0.2)}""".stripMargin,
+         |${verifyTail(0.6)}""".stripMargin,
     "text_quality" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id,

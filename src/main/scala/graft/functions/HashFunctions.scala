@@ -19,16 +19,18 @@ import org.apache.spark.sql.functions._
 object HashFunctions {
   val P: Long = 2147483647L // 2^31 - 1
 
-  /** Polynomial rolling hash of a string, in [0, P). */
+  import org.apache.spark.sql.GraftShim.{toColumn => toCol, toExpression => toExpr}
+
+  /** Polynomial rolling hash of a string, in [0, P). Backed by the custom
+    * [[graft.functions.expressions.PortableHash31]] expression (the HOF
+    * char-fold was O(len²): one substr allocation per character).
+    */
   def portableHash31(t: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(t)), i => ascii(substr(t, i, lit(1))).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 31L + c) % P)
+    toCol(graft.functions.expressions.PortableHash31(toExpr(t)))
 
   /** Pre-hash a string set once: array<long> of H(t). Do this before calling
-    * [[minhashFromHashes]] / [[simhashFromHashes]] so the O(len) char fold
-    * runs once per term, not once per permutation.
+    * [[minhashFromHashes]] / [[simhashFromHashes]] so the per-term hash runs
+    * once, not once per permutation.
     */
   def hashSet(set: Column): Column = transform(set, portableHash31 _)
 

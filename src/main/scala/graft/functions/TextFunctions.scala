@@ -13,20 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  import org.apache.spark.sql.GraftShim.{toColumn => toCol, toExpression => toExpr}
+
   /** Java `String.split("\\W+")` parity: leading empty token is KEPT when the
     * text starts with a non-word char, trailing empty tokens are DROPPED
-    * (Java's default limit=0 semantics). Spark's `split` keeps trailing
-    * empties (limit=-1), so we trim them: find the last non-empty index and
-    * slice. See BookQuery.java:35,64,126.
+    * (Java's default limit=0 semantics; see BookQuery.java:35,64,126).
+    * Backed by the custom [[graft.functions.expressions.Tokenize]] Catalyst
+    * expression — one regex pass per row, inlined into whole-stage codegen.
     */
-  def tokenize(c: Column): Column = {
-    val raw = split(c, "\\W+")
-    val lastNonEmpty = aggregate(
-      zip_with(raw, sequence(lit(1), size(raw)), (t, i) => when(t =!= "", i).otherwise(lit(0))),
-      lit(0),
-      (acc, x) => greatest(acc, x))
-    when(size(raw) === 0, raw).otherwise(slice(raw, lit(1), lastNonEmpty))
-  }
+  def tokenize(c: Column): Column =
+    toCol(graft.functions.expressions.Tokenize(toExpr(c)))
 
   /** Sliding k-gram of tokens joined by single spaces; < k tokens → empty
     * array (BookQuery.java:37-40 loop bound `i <= len-k`). Order-preserving,
@@ -41,9 +37,13 @@ object TextFunctions {
   }
 
   /** The reference's `HashSet<String>` shingle set (BookQuery.java:26,66-70):
-    * distinct k-shingles of the tokenized text.
+    * distinct k-shingles of the tokenized text. Backed by the custom
+    * [[graft.functions.expressions.ShingleSet]] expression: the HOF
+    * formulation (array_distinct ∘ transform ∘ element_at) re-evaluated the
+    * tokenizer per element — O(tokens²) regex work per row.
     */
-  def shingleSet(text: Column, k: Int = 3): Column = array_distinct(shingles(tokenize(text), k))
+  def shingleSet(text: Column, k: Int = 3): Column =
+    toCol(graft.functions.expressions.ShingleSet(toExpr(text), k))
 
   /** Word k-grams over an already-clean token array (no tokenizer quirks). */
   def ngramSet(tokens: Column, k: Int): Column = array_distinct(shingles(tokens, k))

@@ -1,0 +1,115 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass row kernels behind the custom expressions. Public + on a
+  * plain object so whole-stage codegen can call the static forwarders
+  * directly (`TextPrimitives.shingleSetData(s, k)` appears verbatim in the
+  * generated Java).
+  *
+  * Semantics are EXACTLY the reference's (BookQuery.java:64-70): Java
+  * `split("\\W+")` (leading empty token kept, trailing empties dropped),
+  * k-gram join with single spaces, insertion-ordered set dedup. These
+  * kernels replaced the HOF formulation in TextFunctions, which Catalyst
+  * re-evaluated combinatorially (each element_at(tokens, i+j) re-ran the
+  * regex split — one profiled task spent 300 s in Pattern.split at sf0.1).
+  * Here: one split per row, one pass per shingle.
+  */
+object TextPrimitives {
+  private val wordSplit = java.util.regex.Pattern.compile("\\W+")
+
+  def tokenize(s: UTF8String): Array[String] = {
+    val toks = wordSplit.split(s.toString)
+    // Java split returns [""] for empty/all-delimiter input; normalize to []
+    // (same downstream shingle behavior, saner token counts).
+    if (toks.length == 1 && toks(0).isEmpty) Array.empty[String] else toks
+  }
+
+  def tokenizeData(s: UTF8String): ArrayData = {
+    val toks = tokenize(s)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct k-shingles in first-seen order (HashSet parity — order is
+    * irrelevant downstream, but determinism matters for oracles).
+    */
+  def shingleSetData(s: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(s)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((toks.length - k + 1) * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Portable polynomial rolling hash over UTF-16 chars (== code points for
+    * BMP text; == DuckDB `ascii` per char for the ASCII corpora), mod 2^31-1.
+    * Matches HashFunctions.portableHash31's HOF definition exactly.
+    */
+  def hash31(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) { acc = (acc * 31L + str.charAt(i)) % 2147483647L; i += 1 }
+    acc
+  }
+}
+
+/** Java-split tokenizer as a native expression: `tokenize(text)`. */
+case class Tokenize(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextPrimitives.tokenizeData(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextPrimitives.tokenizeData($c)")
+  override protected def withNewChildInternal(c: Expression): Tokenize = copy(c)
+}
+
+/** Distinct k-shingle set as a native expression: `shingle_set(text, k)`. */
+case class ShingleSet(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextPrimitives.shingleSetData(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextPrimitives.shingleSetData($c, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+}
+
+/** Engine-portable rolling hash as a native expression: `hash31(text)`. */
+case class PortableHash31(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextPrimitives.hash31(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextPrimitives.hash31($c)")
+  override protected def withNewChildInternal(c: Expression): PortableHash31 = copy(c)
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event / time-series surface (batch; the Structured Streaming variant of
+  * the same windowed aggregation lives in graft.streaming). The reference is
+  * strictly batch with no temporal operators (SURVEY.md §2.2) — this is the
+  * extension surface over `events.parquet`.
+  *
+  * The events table carries parquet TIMESTAMP(NANOS), which Spark's scan
+  * rejects by default; [[events]] reads it via the documented
+  * `nanosAsLong` escape hatch and keeps an exact `ts_us` (µs, floor-divided
+  * — identical to what engines that truncate ns→µs on read produce) plus a
+  * real TimestampType column for window functions. All query outputs expose
+  * time as epoch seconds/micros (BIGINT) — exact, timezone-free, portable.
+  */
+object Events {
+
+  /** events with ts_ns (long), ts_us (long), and ts (TimestampType, µs). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Tumbling 1-hour windows per event type: counts, exact value sum,
+    * distinct users. Window key = epoch seconds of the hour bucket.
+    */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        (expr("ts_us div 3600000000") * 3600L).as("hour_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Sliding windows via Spark's native window(): 6-hour windows sliding by
+    * 3 hours — each event lands in 2 windows. Output window start as epoch
+    * seconds.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("window_epoch"),
+        col("event_type"), col("n_events"))
+
+  /** Sessionization: per user, a >30-minute gap starts a new session.
+    * lag → gap flag → running sum = session index (the standard
+    * windowed-gap formulation; Structured Streaming's stateful equivalent is
+    * in graft.streaming). Output: one row per session with bounds + size.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    events(spark, dir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+
+  }
+
+  /** JSON extraction from the props column + grouped stats over the
+    * extracted value — get_json_object stays codegen'd, no UDF.
+    */
+  def jsonStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(sum(col("k")).cast("double") / count(col("k")).cast("double"), 6).as("avg_k"))
+}

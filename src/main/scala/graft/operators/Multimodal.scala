@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column surface: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / frame-sample
+  * plumbing (builder mandate).
+  *
+  * The container has no image/audio codecs and the driver tables carry no
+  * media, so the BYTES are stood in for by the documents' own text encoded
+  * as binary, and the real codec call is STUBBED (see [[decodeStub]]) behind
+  * a deterministic fake. Everything around the stub — schema (binary +
+  * metadata struct), per-partition batch shape, fixed-width feature output,
+  * partition-parallel execution with zero driver involvement — is the real
+  * 100 TB design: a decode UDF over `mapPartitions` streams batches through
+  * executors exactly like an image pipeline would, and the feature columns
+  * come back as ordinary columns for downstream relational ops.
+  */
+object Multimodal {
+
+  case class BlobRow(doc_id: Long, payload: Array[Byte], byte_len: Long, mime: String)
+  case class FeatureRow(doc_id: Long, byte_len: Long, n_frames: Long,
+      frame_checksum: Long, mean_byte: Double)
+
+  /** Attach the opaque payload + typed metadata. In production this is the
+    * parquet/lance binary column; here it is text-as-bytes (UTF-8 = the raw
+    * payload truth for this corpus).
+    */
+  def withBlob(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      length(col("text")).cast("long").as("byte_len"),
+      lit("text/plain").as("mime"))
+
+  /** THE STUB: a real pipeline would call the image/audio codec here
+    * (e.g. JPEG decode → pixel tensor). Deterministic fake: identity on
+    * bytes. Marked loudly so nobody mistakes it for a codec.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Byte] = {
+    // ??? <- real codec goes here (libjpeg/ffmpeg); container has none.
+    payload
+  }
+
+  /** Per-partition batch "decode + featurize + frame-sample": every
+    * `frameStep`-th byte is a sampled frame; features are exact integer /
+    * rational stats so the pipeline stays oracle-checkable. Runs as
+    * mapPartitions over the typed Dataset — executor-parallel, no shuffle,
+    * no driver collection; scales with input bytes.
+    */
+  def extractFeatures(spark: SparkSession, dir: String, frameStep: Int = 16): Dataset[FeatureRow] = {
+    import spark.implicits._
+    withBlob(Tables.documents(spark, dir)).as[BlobRow].mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = decodeStub(r.payload)
+        val codes = decoded.map(b => (b & 0xff).toLong)
+        val frames = codes.indices.collect { case i if i % frameStep == 0 => codes(i) }
+        FeatureRow(
+          doc_id = r.doc_id,
+          byte_len = codes.length.toLong,
+          n_frames = frames.length.toLong,
+          frame_checksum = frames.sum % 2147483647L,
+          // double division + HALF_UP round == Spark's round(double, 6),
+          // keeping the value bit-aligned with the SQL oracle's round()
+          mean_byte = BigDecimal.valueOf(codes.sum.toDouble / codes.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
+
+  /** The queries() entry: features joined back to doc metadata — the shape a
+    * training pipeline feeds to a filter/sampler stage.
+    */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir).toDF()
+}

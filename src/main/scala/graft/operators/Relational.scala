@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** General relational operator surface over the TPC-H-ish star schema:
+  * aggregation, multi-way joins, windows, top-k, set ops, rollup, distinct
+  * aggregates, semi/anti joins. The reference has none of these beyond its
+  * one hard-coded pipeline (SURVEY.md §2.2) — this is the "complete engine"
+  * surface a user would expect, expressed so Catalyst gets full visibility:
+  * filters sit directly on scans (predicate pushdown to parquet), small dims
+  * are broadcast, and every aggregate runs partial map-side.
+  *
+  * Float discipline: every SUM over a money-like double is computed in
+  * DECIMAL (exact, associative — deterministic under any partition order and
+  * bit-identical across engines) and cast back to double at the end.
+  * `dsum`/`davg` encapsulate the pattern.
+  */
+object Relational {
+
+  /** Exact, order-insensitive sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def davg(c: Column): Column =
+    (sum(c.cast("decimal(18,2)")).cast("double") / count(c).cast("double"))
+
+  /** ext·(1−disc) computed exactly in decimal. */
+  private def discPrice(ext: Column, disc: Column): Column =
+    ext.cast("decimal(18,2)") * (lit(1).cast("decimal(5,2)") - disc.cast("decimal(5,2)"))
+
+  /** TPC-H Q1-shaped pricing summary: filter → grouped decimal aggregates.
+    * Shipdate predicate pushes to the parquet scan.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= to_timestamp(lit("1999-12-31")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))
+          * (lit(1).cast("decimal(5,2)") + col("l_tax").cast("decimal(5,2)"))).cast("double").as("sum_charge"),
+        round(davg(col("l_quantity")), 6).as("avg_qty"),
+        round(davg(col("l_extendedprice")), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shaped shipping priority: 3-way join (customer broadcast —
+    * smallest side), grouped revenue, deterministic top 10.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).where(col("o_orderdate") < to_timestamp(lit("1996-07-01")))
+    val li = Tables.lineitem(spark, dir).where(col("l_shipdate") > to_timestamp(lit("1996-07-01")))
+    // li ⋈ ord is fact-to-fact: leave the strategy to Catalyst/AQE (broadcast
+    // at test SF, sort-merge on l_orderkey at cluster scale). customer is the
+    // dim side — broadcast explicitly.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier revenue: 6-way join through the star,
+    * dims broadcast, revenue per nation.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+             col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    // Fact-to-fact joins (li ⋈ ord ⋈ cust) stay strategy-free for AQE;
+    // supplier and nation are true dims → broadcast.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+                             col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Deterministic top-k: 10 highest-value orders (tie-break o_orderkey).
+    * TakeOrderedAndProject — no full sort, no full shuffle of the table.
+    */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Window functions: per-customer order sequence with running spend
+    * (exact decimal running sum) and days since previous order.
+    */
+  def customerOrderWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("days_since_prev",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        col("running_spend"), col("days_since_prev"))
+  }
+
+  /** Relational set ops: customers active in 1995 vs 1996 — INTERSECT /
+    * EXCEPT / union, tagged.
+    */
+  def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def active(year: Int): DataFrame = ord
+      .where(col("o_orderdate") >= to_timestamp(lit(f"$year-01-01")) &&
+             col("o_orderdate") < to_timestamp(lit(f"${year + 1}-01-01")))
+      .select(col("o_custkey"))
+    val both = active(1995).intersect(active(1996)).select(lit("both").as("tag"), col("o_custkey"))
+    val only95 = active(1995).except(active(1996)).select(lit("only_1995").as("tag"), col("o_custkey"))
+    val only96 = active(1996).except(active(1995)).select(lit("only_1996").as("tag"), col("o_custkey"))
+    both.unionAll(only95).unionAll(only96)
+  }
+
+  /** ROLLUP over (returnflag, linestatus): subtotal + grand-total rows. */
+  def returnsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** Exact distinct aggregates per return flag. */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** Anti join: customers that never ordered. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Semi join: parts that ever shipped in quantity > 45. */
+  def partsWithBigShipments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).where(col("l_quantity") > 45).select(col("l_partkey"))
+    Tables.part(spark, dir)
+      .join(li, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+  }
+}

@@ -32,9 +32,11 @@ object SimilarityJoin {
     pairsFromSets(sets, tau)
   }
 
-  /** Same join over word n-gram sets of pre-tokenized text (dedup surface). */
+  /** Same join over word n-gram sets (dedup surface) — word n-grams of the
+    * \W+ tokenizer ARE k=n shingles, so this shares the single-pass kernel.
+    */
   def allPairsNgramJaccard(docs: DataFrame, tau: Double, n: Int): DataFrame = {
-    val sets = docs.select(col("doc_id"), ngramSet(tokenize(col("text")), n).as("sh"))
+    val sets = docs.select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
     pairsFromSets(sets, tau)
   }
@@ -53,9 +55,13 @@ object SimilarityJoin {
     val prefix = withDf
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= col("sz") - floor(lit(tau) * col("sz")) + 1)
-      .select(col("doc_id"), col("term"))
+      .select(col("doc_id"), col("sz"), col("term"))
+    // Length filter (Arasu/Chaudhuri): J ≥ τ forces τ·max(|a|,|b|) ≤
+    // min(|a|,|b|) — prunes size-mismatched candidates inside the join
+    // condition, before the distinct/verify shuffle.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id") &&
+        greatest(col("a.sz"), col("b.sz")) * tau <= least(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, sets, tau)

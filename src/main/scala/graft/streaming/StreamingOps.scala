@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is strictly batch
+  * (SURVEY.md §2.2 — two synchronous MR jobs); these are the streaming
+  * equivalents of the batch Events operators, built the Spark-native way:
+  * readStream → event-time windows + watermarks → writeStream, and
+  * flatMapGroupsWithState for the custom session state the windowed API
+  * can't express.
+  *
+  * At scale: state is partitioned by the grouping key across executors
+  * (RocksDB/HDFS-backed state store on a real cluster), watermarks bound
+  * state size, and late events beyond the watermark are dropped — the
+  * standard unbounded-input design.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windowed counts per event type, 2h watermark. Works on
+    * any streaming DataFrame with (ts: timestamp, event_type: string).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  case class Event(user_id: Long, ts: Timestamp, event_id: Long)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Custom stateful sessionization (30-min gap), the streaming twin of
+    * Events.sessionize: per-user state via flatMapGroupsWithState with a
+    * processing-time timeout closing idle sessions.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+      idleTimeout: Boolean = true): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout() // tests: keeps processAllAvailable finite
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => Session(userId, s.start, s.end, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime * 1000L // µs to match the batch operator
+              cur match {
+                case Some(s) if t - s.end <= gapMs * 1000 =>
+                  cur = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.end, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach(state.update)
+            if (idleTimeout) state.setTimeoutDuration(gapMs)
+            closed.reverseIterator
+          }
+      }
+  }
+}

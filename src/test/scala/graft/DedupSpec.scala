@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, SimilarityJoin}
+
+/** Dedup fixtures (FIXTURES.md §B.5): exact duplicates, near-duplicates with
+  * known Jaccard, and agreement between the exact prefix-join and the
+  * approximate (MinHash/SimHash) detectors on clear-cut cases.
+  */
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat today"),   // near dup of 1/2
+    (4L, "completely different words about spark engines and parquet files"),
+    (5L, "one two")                                              // < 3 tokens: empty shingle set
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups duplicates, keeper = min doc_id") {
+    val groups = Dedup.exactGroups(docs)
+      .select("n_copies", "keeper").as[(Long, Long)].collect().toSet
+    assert(groups.contains((2L, 1L)))          // docs 1,2 collapse, keep 1
+    assert(groups.count(_._1 == 1L) == 3)      // 3 singleton groups
+  }
+
+  test("exact all-pairs Jaccard finds the planted pairs") {
+    // docs 1,2 identical -> J=1. docs 1,3 / 2,3: 8 shingles each; the changed
+    // token (index 8) sits in shingles i=6,7 -> shared = 6, union = 10, J=0.6.
+    val pairs = SimilarityJoin.allPairsJaccard(docs, tau = 0.4)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) == 0.6)
+    assert(pairs((2L, 3L)) == 0.6)
+    assert(pairs.size == 3)
+  }
+
+  test("minhash LSH finds the same high-similarity pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, tau = 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // J=1 pair is guaranteed (identical signatures); the J=0.6 pairs are
+    // probabilistic (p ≈ 0.9 with 16 bands of 4) — assert only the
+    // guaranteed pair + verification correctness (no false positives).
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
+  }
+
+  test("simhash: identical docs at distance 0; unrelated docs not paired") {
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("ngram jaccard pairs on word bigrams") {
+    // bigrams: 9 each for docs 1-3; 1&3 share 9-2=7, union 11 -> 7/11 ≈ .6364
+    val pairs = Dedup.ngramJaccardPairs(docs, tau = 0.5, n = 2)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) == 0.636364)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EmbeddingSearch
+
+/** Embedding fixtures (FIXTURES.md §B.6): unit vectors at known angles and
+  * the zero-vector guard.
+  */
+class EmbeddingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0, 0.0)),
+    (1L, Seq(0.0, 1.0)),     // orthogonal to 0
+    (2L, Seq(-1.0, 0.0)),    // opposite of 0
+    (3L, Seq(0.6, 0.8)),     // cos vs 0 = 0.6
+    (4L, Seq(0.0, 0.0))      // zero vector -> guard
+  ).toDF("vec_id", "v")
+
+  private def cos(a: Long, b: Long): Double = {
+    val l = vecs.where(col("vec_id") === a).select(col("v").as("a"))
+    val r = vecs.where(col("vec_id") === b).select(col("v").as("b"))
+    l.crossJoin(r).select(EmbeddingSearch.cosine(col("a"), col("b"))).as[Double].head()
+  }
+
+  test("cosine at known angles") {
+    assert(cos(0L, 0L) == 1.0)
+    assert(cos(0L, 1L) == 0.0)
+    assert(cos(0L, 2L) == -1.0)
+    assert(math.abs(cos(0L, 3L) - 0.6) < 1e-12)
+  }
+
+  test("zero vector guard returns 0") {
+    assert(cos(0L, 4L) == 0.0)
+    assert(cos(4L, 4L) == 0.0)
+  }
+
+  test("brute-force and LSH top-k agree on the real table at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = EmbeddingSearch.bruteForceTopK(spark, dir, k = 5, nQueries = 3)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val lsh = EmbeddingSearch.lshTopK(spark, dir, k = 5, nQueries = 3)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    // LSH ranks within a candidate SUBSET of the corpus, so for any vector
+    // it returns, its exact (brute-force) rank can only be >= its LSH rank.
+    val bruteRank = brute.map { case (q, v, r) => (q, v) -> r }.toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, v, r) =>
+      bruteRank.get((q, v)).foreach(br => assert(br >= r, s"q=$q v=$v lsh=$r brute=$br"))
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Events
+
+/** Event-time fixtures (FIXTURES.md §B.7): window boundary + session gap on
+  * the real table, with hand-checked invariants.
+  */
+class EventsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hourly buckets partition the events exactly") {
+    val total = Events.events(spark, dir).count()
+    val summed = Events.hourlyRollup(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
+    assert(summed == total)
+  }
+
+  test("sliding 6h/3h windows double-count every event") {
+    val total = Events.events(spark, dir).count()
+    val summed = Events.slidingCounts(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
+    assert(summed == 2 * total)
+  }
+
+  test("sessions partition each user's events; durations within session bounds") {
+    val events = Events.events(spark, dir).count()
+    val sess = Events.sessionize(spark, dir)
+    val nAssigned = sess.agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
+    assert(nAssigned == events)
+    val bad = sess.where($"duration_us" < 0 ||
+      ($"n_events" === 1 && $"duration_us" =!= 0)).count()
+    assert(bad == 0)
+  }
+
+  test("json extraction bounds: k in [0, 99]") {
+    val s = Events.jsonStats(spark, dir)
+      .select("min_k", "max_k").as[(Long, Long)].collect()
+    s.foreach { case (mn, mx) => assert(mn >= 0 && mx <= 99) }
+  }
+}

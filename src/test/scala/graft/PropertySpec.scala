@@ -1,0 +1,113 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{BookQuery, SimilarityJoin}
+import graft.functions.HashFunctions
+
+/** Property-based checks (SURVEY.md §5.2) against an independent plain-Scala
+  * model of the reference semantics: Java split("\\W+") + sliding(3) + set
+  * ops. Uses ScalaCheck generators sampled over fixed seeds (build.sbt has
+  * scalacheck but not the scalatest-plus bridge), so runs are deterministic
+  * and each case is one small Spark job.
+  */
+class PropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vocab = Vector("a", "b", "c", "d", "e", "spark", "row", "scan")
+  private val genText: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  /** The reference model, independent of the engine code. */
+  private def modelShingles(s: String): Set[String] =
+    s.split("\\W+").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+
+  private def modelJaccard(a: String, b: String): Double = {
+    val (sa, sb) = (modelShingles(a), modelShingles(b))
+    if ((sa union sb).isEmpty) 0.0 else (sa intersect sb).size.toDouble / (sa union sb).size
+  }
+
+  // Dense generator (4-word vocab) so random text pairs actually share
+  // shingles often enough to exercise the nonempty-intersection property.
+  private val genTextDense: Gen[String] =
+    Gen.chooseNum(4, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab.take(4))).map(_.mkString(" ")))
+
+  test("engine Jaccard equals the independent Scala model") {
+    var checked = 0
+    var seed = 0L
+    while (checked < 8 && seed < 500) {
+      val q = sample(genTextDense, seed * 2 + 1)
+      val d = sample(genTextDense, seed * 2 + 2)
+      if (modelShingles(q).nonEmpty && (modelShingles(q) intersect modelShingles(d)).nonEmpty) {
+        val docs = Seq((0L, q), (1L, d)).toDF("doc_id", "text")
+        val got = BookQuery.jaccardScores(docs).select("jaccard").as[Double].collect()
+        val expected = BigDecimal(modelJaccard(q, d))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got.toSeq == Seq(expected), s"q=[$q] d=[$d]")
+        checked += 1
+      }
+      seed += 1
+    }
+    assert(checked == 8)
+  }
+
+  test("reference score is within [0, 1] and invariant under doc order") {
+    (0L until 6L).foreach { seed =>
+      val texts = sample(Gen.listOfN(4, genText), seed + 500)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val scores = BookQuery.referenceScores(docs).select("score").as[Double].collect()
+      assert(scores.forall(s => s >= 0.0 && s <= 1.0), s"texts=$texts")
+      val shuffled = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.reverse
+        .toDF("doc_id", "text")
+      val scores2 = BookQuery.referenceScores(shuffled).select("score").as[Double].collect()
+      assert(scores.sorted.toSeq == scores2.sorted.toSeq)
+    }
+  }
+
+  test("all-pairs join: J(a,a)=1 via duplicated docs; pairs emitted once (a<b)") {
+    var checked = 0
+    var seed = 1000L
+    while (checked < 5 && seed < 1100) {
+      val t = sample(genText, seed)
+      if (modelShingles(t).nonEmpty) {
+        val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+        val pairs = SimilarityJoin.allPairsJaccard(docs, tau = 0.99)
+          .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+        assert(pairs.toSeq == Seq((1L, 2L, 1.0)), s"t=[$t]")
+        checked += 1
+      }
+      seed += 1
+    }
+    assert(checked == 5)
+  }
+
+  test("minhash agreement estimates Jaccard within coarse epsilon") {
+    import org.apache.spark.sql.functions._
+    var checked = 0
+    var seed = 2000L
+    while (checked < 5 && seed < 2200) {
+      val a = sample(genText, seed * 2 + 1)
+      val b = sample(genText, seed * 2 + 2)
+      if (modelShingles(a).size >= 3 && modelShingles(b).size >= 3) {
+        val df = Seq((a, b)).toDF("a", "b")
+        val numHashes = 128
+        def sig(c: org.apache.spark.sql.Column) =
+          HashFunctions.minhashFromHashes(
+            HashFunctions.hashSet(graft.functions.TextFunctions.shingleSet(c, 3)), numHashes)
+        val agree = df.select(
+          size(filter(zip_with(sig(col("a")), sig(col("b")), (x, y) => (x === y).cast("int")),
+            v => v === 1)).cast("double") / numHashes).as[Double].head()
+        assert(math.abs(agree - modelJaccard(a, b)) < 0.35, s"a=[$a] b=[$b] agree=$agree")
+        checked += 1
+      }
+      seed += 1
+    }
+    assert(checked == 5)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Structured Streaming specs over MemoryStream — windowed counts across an
+  * hour boundary and stateful sessionization across a gap (FIXTURES.md §B.7).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming hourly window counts match hand-placed events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    input.addData(
+      (ts("2024-01-01 00:10:00"), "click"),
+      (ts("2024-01-01 00:55:00"), "click"),
+      (ts("2024-01-01 01:05:00"), "click"), // crosses the hour boundary
+      (ts("2024-01-01 00:20:00"), "view"))
+    val counts = StreamingOps.hourlyCounts(
+      input.toDF().toDF("ts", "event_type"))
+    val q = counts.writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select(date_format($"window_start", "HH").as("h"), $"event_type", $"n_events")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(("00", "click", 2L), ("01", "click", 1L), ("00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes a session across a >30min gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(7L, ts("2024-01-01 00:00:00"), 1L),
+      Event(7L, ts("2024-01-01 00:10:00"), 2L),
+      Event(7L, ts("2024-01-01 01:00:00"), 3L), // 50-min gap -> new session
+      Event(8L, ts("2024-01-01 00:00:00"), 4L))
+    val sessions = StreamingOps.sessionize(input.toDS(), idleTimeout = false)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // Only sessions CLOSED by a later event are emitted in append mode;
+      // user 7's first session (2 events, 10 min) is the one closed so far.
+      val got = spark.table("sessions")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toSet
+      assert(got == Set((7L, 2L)))
+    } finally q.stop()
+  }
+}
