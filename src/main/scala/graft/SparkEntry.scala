@@ -38,7 +38,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), tau = 0.6, n = 2)),
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), tau = 0.8, n = 2)),
     // — text analysis (SURVEY.md §7.6) —
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityStats(Tables.documents(s, dir))),
@@ -330,7 +330,7 @@ object SparkEntry {
          |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
          |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
-         |${verifyTail(0.6)}""".stripMargin,
+         |${verifyTail(0.8)}""".stripMargin,
     "text_quality" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id,

@@ -34,11 +34,13 @@ object HashFunctions {
     */
   def hashSet(set: Column): Column = transform(set, portableHash31 _)
 
-  /** MinHash signature (array<long>, length numHashes) from pre-hashed set. */
+  /** MinHash signature (array<long>, length numHashes) from pre-hashed set.
+    * Native kernel (graft.functions.expressions.MinHashSignature): the HOF
+    * (transform ∘ array_min ∘ transform) allocated a boxed array per
+    * permutation per row.
+    */
   def minhashFromHashes(hashes: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(hashes, h => (h * (i * 2L + 1L) + (lit(12345L) + i * 67891L)) % P)))
+    toCol(graft.functions.expressions.MinHashSignature(toExpr(hashes), numHashes))
 
   /** LSH band keys: `bands` strings "b:v1_v2_..", each hashing rowsPerBand
     * consecutive signature slots. Docs sharing any key are candidates; with
@@ -55,18 +57,8 @@ object HashFunctions {
     * mod 2. 48 bits keeps every intermediate positive in an int64 in any
     * engine. Ties (sum == 0) resolve to bit 0.
     */
-  def simhash48(hashes: Column): Column = {
-    val votes = aggregate(
-      hashes,
-      transform(sequence(lit(0), lit(47)), _ => lit(0L)),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(47)),
-        (a, j) => a + ((h * (j * 2L + 3L) + (lit(999L) + j * 7919L)) % P % 2L) * 2L - 1L))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(47)),
-        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash48(hashes: Column): Column =
+    toCol(graft.functions.expressions.SimHash48(toExpr(hashes)))
 
   /** The 4 12-bit chunk keys of a 48-bit fingerprint, as
     * "c:v" strings. By pigeonhole, any pair at Hamming distance ≤ 3 shares at

@@ -1,0 +1,122 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Single-pass kernels for the MinHash / SimHash signature math. Semantics
+  * are IDENTICAL to the HOF formulations they replace (HashFunctions —
+  * affine permutations over the portable 31-bit hash; see the DuckDB oracle
+  * SQL which re-implements the same arithmetic) — these exist because the
+  * HOF versions allocate a boxed array per permutation per row.
+  */
+object HashPrimitives {
+  private val P = 2147483647L
+
+  /** sig[i] = min over h of (h·(2i+1) + 12345 + 67891·i) mod P. */
+  def minhash(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = hashes.numElements()
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val a = i * 2L + 1L
+      val b = 12345L + 67891L * i
+      var best = Long.MaxValue
+      var t = 0
+      while (t < n) {
+        val v = (hashes.getLong(t) * a + b) % P
+        if (v < best) best = v
+        t += 1
+      }
+      out(i) = if (n == 0) 0L else best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** sig[p] = 1 iff Σ_d v[d]·w(p,d) > 0, w = ±1 per the parity pattern;
+    * sequential fold in ascending d keeps doubles bit-equal to the oracle.
+    */
+  def hyperplaneSig(v: ArrayData, nPlanes: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Int](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      var acc = 0.0
+      var d = 1
+      while (d <= n) {
+        val sign = if ((p * 2654435761L + d * 40503L) % 65537L % 2L == 1L) 1.0 else -1.0
+        acc = acc + v.getDouble(d - 1) * sign
+        d += 1
+      }
+      out(p) = if (acc > 0.0) 1 else 0
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 48-bit SimHash: bit j set iff Σ_t (2·((h·(2j+3)+999+7919j) mod P mod 2)−1) > 0. */
+  def simhash48(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Long](48)
+    var t = 0
+    while (t < n) {
+      val h = hashes.getLong(t)
+      var j = 0
+      while (j < 48) {
+        votes(j) += ((h * (j * 2L + 3L) + (999L + 7919L * j)) % P % 2L) * 2L - 1L
+        j += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 48) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+}
+
+/** MinHash signature over a pre-hashed set (array<long> → array<long>). */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashPrimitives.minhash(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.HashPrimitives.minhash($c, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+/** Random-hyperplane LSH signature for a double vector (array<double> →
+  * array<int> of 0/1 bits). Plane weights are the deterministic ±1 pattern
+  * sign = [(p·2654435761 + d·40503) mod 65537 is odd], d 1-based — identical
+  * arithmetic and fold order to the DuckDB oracle, so buckets are bit-exact.
+  */
+case class HyperplaneSignature(child: Expression, nPlanes: Int)
+    extends UnaryExpression {
+  require(nPlanes >= 1)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashPrimitives.hyperplaneSig(v.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.HashPrimitives.hyperplaneSig($c, $nPlanes)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneSignature = copy(child = c)
+}
+
+/** 48-bit SimHash over a pre-hashed set (array<long> → long). */
+case class SimHash48(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashPrimitives.simhash48(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.HashPrimitives.simhash48($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash48 = copy(c)
+}

@@ -58,16 +58,14 @@ object EmbeddingSearch {
       .where(col("rank") <= k)
   }
 
-  /** Deterministic ±1 hyperplane weight for (plane p, dim d) — portable. */
-  private def planeSign(p: Column, d: Column): Column =
-    when((p * 2654435761L + d * 40503L) % 65537L % 2L === 1L, lit(1.0)).otherwise(lit(-1.0))
-
-  /** 16-bit hyperplane signature of a double vector. */
-  def lshSignature(v: Column, nPlanes: Int = 16): Column =
-    transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-      when(aggregate(
-        zip_with(v, sequence(lit(1), size(v)), (x, d) => x * planeSign(p, d)),
-        lit(0.0), (acc, x) => acc + x) > 0.0, 1).otherwise(0))
+  /** 16-bit hyperplane signature of a double vector (native kernel —
+    * [[graft.functions.expressions.HyperplaneSignature]]; weights are the
+    * deterministic ±1 parity pattern shared with the DuckDB oracle).
+    */
+  def lshSignature(v: Column, nPlanes: Int = 16): Column = {
+    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+    toColumn(graft.functions.expressions.HyperplaneSignature(toExpression(v), nPlanes))
+  }
 
   /** 4 band keys ("b:bit,bit,bit,bit") over the 16-bit signature. */
   def lshBandKeys(sig: Column): Column =

@@ -55,13 +55,18 @@ object SimilarityJoin {
     val prefix = withDf
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= col("sz") - floor(lit(tau) * col("sz")) + 1)
-      .select(col("doc_id"), col("sz"), col("term"))
-    // Length filter (Arasu/Chaudhuri): J ≥ τ forces τ·max(|a|,|b|) ≤
-    // min(|a|,|b|) — prunes size-mismatched candidates inside the join
-    // condition, before the distinct/verify shuffle.
+      .select(col("doc_id"), col("sz"), col("rnk"), col("term"))
+    // Join-condition pruning, both lossless (float error only loosens them):
+    //  - length filter (Arasu/Chaudhuri): J ≥ τ ⇒ τ·max(|a|,|b|) ≤ min(|a|,|b|)
+    //  - PPJoin positional filter (Xiao/Wang/Lin): matching at positions
+    //    (rnk_a, rnk_b), the remaining-overlap bound
+    //    min(sz_a−rnk_a, sz_b−rnk_b)+1 must reach the τ-implied minimum
+    //    intersection ⌈τ/(1+τ)·(sz_a+sz_b)⌉ (floor used conservatively).
+    val minInter = floor(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id") &&
-        greatest(col("a.sz"), col("b.sz")) * tau <= least(col("a.sz"), col("b.sz")))
+        greatest(col("a.sz"), col("b.sz")) * tau <= least(col("a.sz"), col("b.sz")) &&
+        least(col("a.sz") - col("a.rnk"), col("b.sz") - col("b.rnk")) + 1 >= minInter)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, sets, tau)
