@@ -118,4 +118,13 @@ object BookQuery {
     */
   def topK(scored: DataFrame, scoreCol: String, kTop: Int): DataFrame =
     scored.orderBy(col(scoreCol).desc, col("doc_id").asc).limit(kTop)
+
+  /** Reference text-sink parity: the exact `"<doc> - query\t<score>"` lines
+    * the reference's TextOutputFormat emits (key "doc - query", value score;
+    * BookQuery.java:162-167,255). Write with `.write.text(dir)`.
+    */
+  def referenceOutputLines(scored: DataFrame): DataFrame =
+    scored.select(concat(
+      col("doc_id").cast("string"), lit(" - query"), lit("\t"),
+      col("score").cast("string")).as("value"))
 }

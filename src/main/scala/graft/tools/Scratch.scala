@@ -17,6 +17,25 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "sql") {
+      // Exercise GraftExtensions + the reference text sink end-to-end.
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.GraftExtensions).getOrCreate()
+      s2.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")
+      s2.sql(
+        """SELECT doc_id, graft_hash31(text) AS fp,
+          |       size(graft_shingle_set(text, 3)) AS n_sh
+          |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin).show()
+      val out = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/scores"
+      graft.operators.BookQuery.referenceOutputLines(
+        graft.operators.BookQuery.referenceScores(s2.read.parquet(s"$sfDir/documents.parquet")))
+        .write.mode("overwrite").text(out)
+      println("SINK LINES:")
+      s2.read.text(out).limit(3).collect().foreach(r => println("  " + r.getString(0)))
+      s2.stop(); return
+    }
     if (args.length > 1 && args(1).startsWith("explain:")) {
       val name = args(1).stripPrefix("explain:")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")

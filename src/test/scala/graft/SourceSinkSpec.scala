@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.BookQuery
+import graft.sources.Tables
+
+/** Source/sink parity (SURVEY.md §2.1 rows 1-3, 16): whole-text directory
+  * ingestion and the reference's exact text output format, plus the SQL
+  * extension registration.
+  */
+class SourceSinkSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("wholetext source: one row per file, doc_id from basename, lines joined") {
+    val dir = Files.createTempDirectory("graft_corpus").toFile
+    Files.writeString(new java.io.File(dir, "alpha.txt").toPath, "a b c\nd e f\n")
+    Files.writeString(new java.io.File(dir, "query.txt").toPath, "a b c")
+    val docs = Tables.wholeTextDocuments(spark, dir.getAbsolutePath)
+      .as[(String, String)].collect().toMap
+    assert(docs.keySet == Set("alpha", "query"))
+    assert(docs("alpha") == "a b c d e f ") // trailing newline -> trailing space
+    assert(docs("query") == "a b c")
+  }
+
+  test("reference text sink emits '<doc> - query\\t<score>' lines") {
+    // 4th doc keeps n=4 so "a b c" (df=3) clears the df==n stop filter.
+    val corpus = Seq((0L, "a b c d"), (1L, "a b c x"), (2L, "a b c d e"), (3L, "z z z z"))
+      .toDF("doc_id", "text")
+    val out = Files.createTempDirectory("graft_out").toFile.getAbsolutePath + "/scores"
+    BookQuery.referenceOutputLines(BookQuery.referenceScores(corpus))
+      .write.mode("overwrite").text(out)
+    val lines = spark.read.text(out).as[String].collect().toSet
+    assert(lines == Set("1 - query\t0.5", "2 - query\t1.0"))
+  }
+
+  test("GraftExtensions registers SQL functions") {
+    // getOrCreate would return the shared session; force a fresh one on the
+    // same SparkContext so the extension hook actually runs.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = s2.sql(
+        """SELECT graft_shingle_set('a b c d', 3) AS sh,
+          |       graft_tokenize('x!!y') AS toks,
+          |       graft_hash31('ab') AS h,
+          |       graft_simhash48(array(1L, 2L, 3L)) AS sh48,
+          |       graft_minhash(array(7L, 8L), 4) AS mh,
+          |       graft_hyperplane_sig(array(1.0d, -1.0d), 4) AS hp""".stripMargin).head()
+      assert(row.getSeq[String](0) == Seq("a b c", "b c d"))
+      assert(row.getSeq[String](1) == Seq("x", "y"))
+      assert(row.getLong(2) == ('a'.toInt * 31 + 'b'.toInt) % 2147483647L)
+      assert(row.getSeq[Long](4).length == 4)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
