@@ -61,6 +61,10 @@ object SparkEntry {
     "rel_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
     "rel_anti_join" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "rel_semi_join" -> ((s, dir) => Relational.partsWithBigShipments(s, dir)),
+    "rel_quantiles" -> ((s, dir) => Relational.orderValueQuantiles(s, dir)),
+    "rel_cube" -> ((s, dir) => Relational.returnsCube(s, dir)),
+    "rel_scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(s, dir)),
+    "rel_full_outer" -> ((s, dir) => Relational.customerOrdersFullOuter(s, dir)),
     // — events / time-series surface (SURVEY.md §7.7) —
     "events_hourly" -> ((s, dir) => Events.hourlyRollup(s, dir)),
     "events_sliding" -> ((s, dir) => Events.slidingCounts(s, dir)),
@@ -190,6 +194,35 @@ object SparkEntry {
     "rel_semi_join" ->
       """SELECT p_partkey, p_brand, p_type FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)""".stripMargin,
+    "rel_quantiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "rel_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate)::BIGINT AS order_year,
+        |  month(o_orderdate)::BIGINT AS order_month,
+        |  day(o_orderdate)::BIGINT AS order_day,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  substr(o_orderpriority, 1, 1) AS prio_code,
+        |  length(o_orderstatus)::BIGINT AS status_len,
+        |  round(sqrt(o_totalprice), 6) AS price_sqrt,
+        |  o_orderkey % 7 AS key_mod7,
+        |  greatest(o_totalprice, 100000.0) AS price_floor100k
+        |FROM orders""".stripMargin,
+    "rel_full_outer" ->
+      """SELECT coalesce(c_custkey, o.o_custkey) AS custkey, c_name,
+        |  coalesce(o.n_orders, 0) AS n_orders
+        |FROM customer FULL OUTER JOIN
+        |  (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+        |  ON c_custkey = o.o_custkey""".stripMargin,
     "events_hourly" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, event_type,
         |  count(*) AS n_events,

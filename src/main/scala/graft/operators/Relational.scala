@@ -162,4 +162,53 @@ object Relational {
       .join(li, col("p_partkey") === col("l_partkey"), "left_semi")
       .select(col("p_partkey"), col("p_brand"), col("p_type"))
   }
+
+  /** Exact interpolated quantiles of order value per status (percentile is
+    * the exact aggregate — sorts within group; for sketch-based scale-out
+    * use approx_percentile, which trades the oracle for O(1) memory).
+    */
+  def orderValueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("n"))
+
+  /** CUBE over (returnflag, linestatus): all 2^2 grouping combinations. */
+  def returnsCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** Scalar-function coverage in one projection: date parts, string ops,
+    * math — all codegen'd built-ins (SURVEY.md §2.2 "scalar functions").
+    */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      month(col("o_orderdate")).cast("long").as("order_month"),
+      dayofmonth(col("o_orderdate")).cast("long").as("order_day"),
+      upper(col("o_orderpriority")).as("prio_upper"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+      length(col("o_orderstatus")).cast("long").as("status_len"),
+      round(sqrt(col("o_totalprice")), 6).as("price_sqrt"),
+      (col("o_orderkey") % 7).as("key_mod7"),
+      greatest(col("o_totalprice"), lit(100000.0)).as("price_floor100k"))
+
+  /** Full outer join: every customer and every ordering custkey, with order
+    * counts (0 where a side is missing).
+    */
+  def customerOrdersFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
 }

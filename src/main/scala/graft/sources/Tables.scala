@@ -30,6 +30,18 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
 
+  /** Write `df` as a bucketed+sorted managed table: repeated equi-joins /
+    * aggregations on `bucketCols` then plan with ZERO runtime exchange
+    * (co-located sort-merge join). The 100 TB layout for fact tables that
+    * join on the same key query after query.
+    */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int, bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** Parity source with the reference's ingestion (BookQuery.java:44-61):
     * one row per text file in `dir`, doc_id = basename without extension,
     * lines joined by a single space (the reference concatenates lines with

@@ -15,8 +15,27 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "bucket") {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import graft.sources.Tables
+      Tables.writeBucketed(Tables.orders(spark, sfDir), "orders_b", 8, Seq("o_orderkey"))
+      Tables.writeBucketed(Tables.lineitem(spark, sfDir), "lineitem_b", 8, Seq("l_orderkey"))
+      val j = spark.table("lineitem_b").join(spark.table("orders_b"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      println(s"BUCKET JOIN rows=${j.count()}")
+      println(s"EXCHANGES=${j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.size}")
+      val salted = graft.operators.Scale.saltedJoin(
+        Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir), "l_partkey", "p_partkey", 4)
+      println(s"SALTED JOIN rows=${salted.count()}")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "sql") {
       // Exercise GraftExtensions + the reference text sink end-to-end.
       org.apache.spark.sql.SparkSession.clearActiveSession()

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Scale
+import graft.sources.Tables
+
+/** Scale tooling: result-equivalence of the salted plans and the
+  * zero-exchange property of bucketed co-located joins.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted count equals plain groupBy count") {
+    val li = Tables.lineitem(spark, dir)
+    val plain = li.groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Scale.saltedCount(li, Seq("l_returnflag"), buckets = 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val plain = li.join(part, $"l_partkey" === $"p_partkey")
+      .groupBy("p_brand").count().as[(String, Long)].collect().toMap
+    val salted = Scale.saltedJoin(li, part, "l_partkey", "p_partkey", buckets = 4)
+      .groupBy("p_brand").count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join with zero runtime exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.writeBucketed(Tables.orders(spark, dir), "orders_b", 4, Seq("o_orderkey"))
+      Tables.writeBucketed(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+        "lineitem_b", 4, Seq("l_orderkey"))
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), $"l_orderkey" === $"o_orderkey")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, s"expected no exchange, plan:\n${joined.queryExecution.executedPlan}")
+      // and the join is still correct
+      assert(joined.count() == Tables.lineitem(spark, dir).count())
+
+      // control: the same join over plain parquet DOES shuffle both sides
+      val plain = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      val plainExchanges = plain.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(plainExchanges.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
