@@ -65,6 +65,8 @@ object SparkEntry {
     "rel_cube" -> ((s, dir) => Relational.returnsCube(s, dir)),
     "rel_scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(s, dir)),
     "rel_full_outer" -> ((s, dir) => Relational.customerOrdersFullOuter(s, dir)),
+    // sketch aggregates: engine-specific, intentionally no oracle (rows-only)
+    "rel_approx_stats" -> ((s, dir) => Relational.approxStats(s, dir)),
     // — events / time-series surface (SURVEY.md §7.7) —
     "events_hourly" -> ((s, dir) => Events.hourlyRollup(s, dir)),
     "events_sliding" -> ((s, dir) => Events.slidingCounts(s, dir)),

@@ -40,7 +40,7 @@ object BookQuery {
     * size, and the query set size — rows with empty intersection dropped
     * (they can never score, same as the reference never emitting them).
     */
-  private def intersected(docs: DataFrame, queryDocId: Long, k: Int): DataFrame = {
+  private def intersected(docs: DataFrame, queryDocId: Column, k: Int): DataFrame = {
     val query = broadcast(
       docs.where(col("doc_id") === queryDocId)
         .select(shingleSet(col("text"), k).as("q_sh"))
@@ -61,7 +61,13 @@ object BookQuery {
     * the same metadata-scale operation the reference does with
     * `ContentSummary`. Output: (doc_id, len, sum_shared, score).
     */
-  def referenceScores(docs: DataFrame, queryDocId: Long = 0L, k: Int = 3): DataFrame = {
+  def referenceScores(docs: DataFrame, queryDocId: Long = 0L, k: Int = 3): DataFrame =
+    referenceScoresFor(docs, lit(queryDocId), k)
+
+  /** Generalized over any doc_id type (the CLI/wholetext form keys documents
+    * by basename string, reference `equals("query")` at BookQuery.java:144).
+    */
+  def referenceScoresFor(docs: DataFrame, queryDocId: Column, k: Int = 3): DataFrame = {
     val n = docs.count()
     val ex = intersected(docs, queryDocId, k)
       .select(col("doc_id"), col("len"), col("q_len"), explode(col("t")).as("term"))
@@ -93,7 +99,10 @@ object BookQuery {
     * map-side: one broadcast, zero shuffles (the scan streams and scores).
     * Output: (doc_id, inter_len, union_len, jaccard).
     */
-  def jaccardScores(docs: DataFrame, queryDocId: Long = 0L, k: Int = 3): DataFrame = {
+  def jaccardScores(docs: DataFrame, queryDocId: Long = 0L, k: Int = 3): DataFrame =
+    jaccardScoresFor(docs, lit(queryDocId), k)
+
+  def jaccardScoresFor(docs: DataFrame, queryDocId: Column, k: Int = 3): DataFrame = {
     val query = broadcast(
       docs.where(col("doc_id") === queryDocId)
         .select(shingleSet(col("text"), k).as("q_sh")))

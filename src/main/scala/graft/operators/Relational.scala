@@ -198,6 +198,21 @@ object Relational {
       (col("o_orderkey") % 7).as("key_mod7"),
       greatest(col("o_totalprice"), lit(100000.0)).as("price_floor100k"))
 
+  /** Sketch-based approximate aggregates — the O(1)-memory scale path next
+    * to the exact operators (HLL++ for distincts, KLL-style quantile
+    * sketch). Sketches are engine-specific, so this query carries no DuckDB
+    * oracle (driver records a rows-only check); the exact twins
+    * ([[distinctCounts]], [[orderValueQuantiles]]) are the hash-checked
+    * versions.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("approx_median_price"),
+        count(lit(1)).as("n_rows"))
+
   /** Full outer join: every customer and every ordering custkey, with order
     * counts (0 where a side is missing).
     */

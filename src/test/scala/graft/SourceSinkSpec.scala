@@ -37,6 +37,32 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(lines == Set("1 - query\t0.5", "2 - query\t1.0"))
   }
 
+  test("BookQueryMain: reference CLI shape end-to-end over a text-file corpus") {
+    val dir = Files.createTempDirectory("graft_cli").toFile
+    Files.writeString(new java.io.File(dir, "query.txt").toPath, "a b c d")
+    Files.writeString(new java.io.File(dir, "doc1.txt").toPath, "a b c x")
+    Files.writeString(new java.io.File(dir, "doc2.txt").toPath, "a b c d e")
+    Files.writeString(new java.io.File(dir, "doc3.txt").toPath, "z z z z")
+    val out = Files.createTempDirectory("graft_cli_out").toString + "/scores"
+    BookQueryMain.run(spark, dir.getAbsolutePath, out)
+    val lines = spark.read.text(out).as[String].collect().toSet
+    assert(lines == Set("doc1 - query\t0.5", "doc2 - query\t1.0"))
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val out = Files.createTempDirectory("graft_part").toString + "/orders"
+    val dir = "/root/testdata/sf0.001"
+    Tables.orders(spark, dir)
+      .withColumn("order_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("order_year").parquet(out)
+    val pruned = spark.read.parquet(out).where($"order_year" === 1996)
+    val expected = Tables.orders(spark, dir).where(year($"o_orderdate") === 1996).count()
+    assert(pruned.count() == expected)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("order_year"), s"no partition pruning in:\n$scan")
+  }
+
   test("GraftExtensions registers SQL functions") {
     // getOrCreate would return the shared session; force a fresh one on the
     // same SparkContext so the extension hook actually runs.
