@@ -39,6 +39,10 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), tau = 0.8, n = 2)),
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupClusters(docs, SimilarityJoin.allPairsJaccard(docs, tau = 0.7))
+    }),
     // — text analysis (SURVEY.md §7.6) —
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityStats(Tables.documents(s, dir))),
@@ -50,6 +54,9 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "text_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), kTop = 3)),
+    "text_ngram_freq" -> ((s, dir) =>
+      TextAnalysis.ngramFrequencies(Tables.documents(s, dir), n = 3, kTop = 20)),
+    "events_transitions" -> ((s, dir) => Events.transitions(s, dir)),
     // — relational surface (SURVEY.md §2.2 checklist) —
     "rel_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "rel_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
@@ -366,6 +373,37 @@ object SparkEntry {
          |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
          |${verifyTail(0.8)}""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${shingleCte(3)},
+         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(mn.m, d.doc_id)) AS keeper,
+         |  d.doc_id = least(d.doc_id, coalesce(mn.m, d.doc_id)) AS kept
+         |FROM documents d LEFT JOIN mn ON d.doc_id = mn.src""".stripMargin,
+    "text_ngram_freq" ->
+      s"""WITH ${shingleCte(3)},
+         |g AS (SELECT unnest(sh) AS gram FROM sh),
+         |f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+         |r AS (SELECT gram, df, (row_number() OVER
+         |  (ORDER BY df DESC, gram ASC))::BIGINT AS rank FROM f)
+         |SELECT gram, df, rank FROM r WHERE rank <= 20""".stripMargin,
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT event_type, lag(event_type) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e)
+        |SELECT prev_type, event_type, count(*) AS n
+        |FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "text_quality" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id,

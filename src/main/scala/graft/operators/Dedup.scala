@@ -73,4 +73,60 @@ object Dedup {
   /** Exact n-gram-Jaccard near-dup pairs (delegates to the prefix join). */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 2): DataFrame =
     SimilarityJoin.allPairsNgramJaccard(docs, tau, n)
+
+  /** Collapse near-duplicate PAIRS into CLUSTERS and materialize the
+    * deduplicated corpus decision: every doc_id with the minimum doc_id of
+    * its connected component (`keeper`) and whether it survives keep-first
+    * dedup. Iterative min-label propagation (the standard large-scale
+    * connected-components loop — Kiveris et al.'s "large-star" simplified
+    * for undirected near-dup graphs): each round joins labels across edges
+    * and takes the min; converges in O(log(max component diameter)) rounds.
+    * Near-dup clusters are shallow in practice (dup families), so rounds
+    * stay in single digits; each round is one shuffle join + one aggregate,
+    * nothing driver-side but the convergence counter.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    // Both edge directions from ONE pass over pairs (a unionAll of two
+    // selects would evaluate the upstream similarity join twice).
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache() // reused every iteration; edge set = near-dup pairs (small)
+    // Iterate ONLY over the dup-graph vertices — at corpus scale the dup
+    // graph is a sliver of the corpus; isolated docs are trivially their own
+    // keeper and rejoin at the end.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+    var prevCached: DataFrame = null
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src")
+          .withColumnRenamed("label", "src_label"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("changed"))
+        .cache()
+      val changed = next.where(col("changed")).count()
+      if (prevCached != null) prevCached.unpersist()
+      prevCached = next
+      labels = next.select(col("doc_id"), col("label"))
+      converged = changed == 0
+      it += 1
+      System.err.println(s"[graft] dedupClusters iteration $it: $changed labels changed")
+    }
+    edges.unpersist()
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("keeper"),
+        (col("doc_id") === coalesce(col("label"), col("doc_id"))).as("kept"))
+  }
 }

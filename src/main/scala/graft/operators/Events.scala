@@ -74,6 +74,19 @@ object Events {
 
   }
 
+  /** Event-type transition counts: per user, consecutive event pairs
+    * (ordered by time) → global (prev_type, event_type) matrix. The lag
+    * window is the same per-user shuffle sessionization uses.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** JSON extraction from the props column + grouped stats over the
     * extracted value — get_json_object stays codegen'd, no UDF.
     */

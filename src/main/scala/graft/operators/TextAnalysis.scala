@@ -94,6 +94,22 @@ object TextAnalysis {
       md5(col("text")).as("md5_fp"),
       portableHash31(concat_ws(" ", array_sort(array_distinct(tokenize(col("text")))))).as("bow_fp"))
 
+  /** Global n-gram frequency table: top-k word n-grams by document
+    * frequency, deterministic tie-break on the gram. One explode + one
+    * aggregation; the k cutoff is a bounded TakeOrdered, not a full sort.
+    */
+  def ngramFrequencies(docs: DataFrame, n: Int = 3, kTop: Int = 20): DataFrame = {
+    // orderBy+limit plans as TakeOrderedAndProject (bounded, per-partition
+    // heaps); the row_number window then runs over only kTop rows — never
+    // put a global (partitionBy-less) window over the full table.
+    val top = docs.select(explode(shingleSet(col("text"), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(kTop)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("df").desc, col("gram").asc)).cast("long"))
+  }
+
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)), deterministic
     * tie-break on rounded score then term. One df aggregation (term-keyed
     * shuffle) + one doc-keyed window. Output:

@@ -19,6 +19,21 @@ object Scratch {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "stream") {
+      // readStream over a parquet dir -> watermarked hourly counts -> memory sink
+      import org.apache.spark.sql.functions._
+      val src = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+      val batch = graft.operators.Events.events(spark, sfDir)
+        .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      batch.limit(500).write.mode("overwrite").parquet(src)
+      val q = graft.streaming.StreamingOps.hourlyCounts(
+          spark.readStream.schema(spark.read.parquet(src).schema).parquet(src))
+        .writeStream.format("memory").queryName("s_hourly").outputMode("complete").start()
+      q.processAllAvailable()
+      println(s"STREAM WINDOWS=${spark.table("s_hourly").count()} " +
+        s"EVENTS=${spark.table("s_hourly").agg(sum("n_events")).head().getLong(0)}")
+      q.stop(); spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "bucket") {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

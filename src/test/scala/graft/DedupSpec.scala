@@ -56,6 +56,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("dedup clusters collapse transitive chains (A~B, B~C, A!~C)") {
+    // 12 tokens; B differs from A in the last token, C differs from B in the
+    // first. J(A,B)=J(B,C)=9/11≈0.82 ≥ 0.7 but J(A,C)=8/12≈0.67 < 0.7 —
+    // only label propagation (not pairwise grouping) collapses all three.
+    val base = Seq("t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8", "t9", "t10", "t11", "t12")
+    val a = base.mkString(" ")
+    val b = (base.dropRight(1) :+ "x").mkString(" ")
+    val c = ("y" +: base.drop(1).dropRight(1) :+ "x").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, "unrelated words entirely different here now"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.SimilarityJoin.allPairsJaccard(docs, tau = 0.7)
+    assert(pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 3L)))
+    val clusters = Dedup.dedupClusters(docs, pairs)
+      .select("doc_id", "keeper", "kept").as[(Long, Long, Boolean)].collect().toSet
+    assert(clusters == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 4L, true)))
+  }
+
   test("ngram jaccard pairs on word bigrams") {
     // bigrams: 9 each for docs 1-3; 1&3 share 9-2=7, union 11 -> 7/11 ≈ .6364
     val pairs = Dedup.ngramJaccardPairs(docs, tau = 0.5, n = 2)

@@ -37,6 +37,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming: parquet directory -> windowed counts == batch") {
+    // Real readStream over a parquet dir (the deploy shape), checked against
+    // the batch aggregation of the same files.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val batch = Seq(
+      (ts("2024-01-01 00:10:00"), "click"),
+      (ts("2024-01-01 00:55:00"), "click"),
+      (ts("2024-01-01 01:05:00"), "view"))
+      .toDF("ts", "event_type")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = StreamingOps.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_hourly")
+        .select(date_format($"window_start", "HH"), $"event_type", $"n_events")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(("00", "click", 2L), ("01", "view", 1L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session across a >30min gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
