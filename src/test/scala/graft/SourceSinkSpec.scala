@@ -49,6 +49,22 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(lines == Set("doc1 - query\t0.5", "doc2 - query\t1.0"))
   }
 
+  test("csv and json round-trips preserve the relation") {
+    val dir = "/root/testdata/sf0.001"
+    val nation = Tables.nation(spark, dir)
+    val base = Files.createTempDirectory("graft_fmt").toString
+    nation.write.mode("overwrite").option("header", "true").csv(s"$base/n_csv")
+    nation.write.mode("overwrite").json(s"$base/n_json")
+    val fromCsv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$base/n_csv")
+    val fromJson = spark.read.json(s"$base/n_json")
+    assert(fromCsv.count() == 25 && fromJson.count() == 25)
+    assert(fromCsv.select("n_name").as[String].collect().sorted.toSeq ==
+      nation.select("n_name").as[String].collect().sorted.toSeq)
+    assert(fromJson.select("n_nationkey").as[Long].collect().sorted.toSeq ==
+      nation.select("n_nationkey").as[Int].collect().map(_.toLong).sorted.toSeq)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString + "/orders"
     val dir = "/root/testdata/sf0.001"
