@@ -35,6 +35,28 @@ object HashPrimitives {
     new GenericArrayData(out)
   }
 
+  /** Per-element 62-bit hashes of a string array (see HashSet62). */
+  def hashSet62(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val str = arr.getUTF8String(i).toString
+      var h1 = 0L
+      var h2 = 0L
+      var c = 0
+      while (c < str.length) {
+        val ch = str.charAt(c)
+        h1 = (h1 * 31L + ch) % P
+        h2 = (h2 * 37L + ch) % P
+        c += 1
+      }
+      out(i) = (h1 << 31) | h2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** sig[p] = 1 iff Σ_d v[d]·w(p,d) > 0, w = ±1 per the parity pattern;
     * sequential fold in ascending d keeps doubles bit-equal to the oracle.
     */
@@ -78,6 +100,21 @@ object HashPrimitives {
     }
     fp
   }
+}
+
+/** 62-bit per-element hash of a string array — the compact stand-in for a
+  * shingle set in the similarity-verify prefilter (one long per term instead
+  * of the term bytes). Two independent 31-bit polynomial folds (multipliers
+  * 31 and 37) packed as (h1<<31)|h2; pairwise collision ≈ 2^-62.
+  */
+case class HashSet62(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashPrimitives.hashSet62(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.HashPrimitives.hashSet62($c)")
+  override protected def withNewChildInternal(c: Expression): HashSet62 = copy(c)
 }
 
 /** MinHash signature over a pre-hashed set (array<long> → array<long>). */

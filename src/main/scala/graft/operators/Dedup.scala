@@ -95,6 +95,10 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache() // reused every iteration; edge set = near-dup pairs (small)
+    // Materialize the cache in ONE action before the loop: the first round
+    // references edges several times, and racing consumers of a cold cache
+    // each recompute the full upstream similarity join.
+    edges.count()
     // Iterate ONLY over the dup-graph vertices — at corpus scale the dup
     // graph is a sliver of the corpus; isolated docs are trivially their own
     // keeper and rejoin at the end.

@@ -74,11 +74,33 @@ object SimilarityJoin {
 
   /** Join candidate (doc_a, doc_b) pairs back to their sets and keep exact
     * Jaccard ≥ tau. Output columns shared by every dedup variant.
+    *
+    * Two stages (profiled at sf0.1: attaching the string shingle arrays to
+    * 793k candidates shuffled ~1 KB/row twice and dominated the query):
+    *   1. map-side prefilter on compact 62-bit hash sets, broadcast
+    *      (8 B/term; the whole corpus's hash sets at sf0.1 are ~4 MB —
+    *      when the corpus outgrows broadcast, the same prefilter runs as a
+    *      shuffle join of longs, or LSH candidates replace all-pairs
+    *      entirely). 62-bit collisions (≈2^-62/pair) are the only way a
+    *      true pair could be dropped here.
+    *   2. exact string-set verification, now joining arrays only for the
+    *      handful of surviving pairs — the output values are computed
+    *      exclusively from real shingle strings.
     */
   private[operators] def verifyJaccard(cand: DataFrame, sets: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+    val hsets = sets.select(col("doc_id"),
+      toColumn(graft.functions.expressions.HashSet62(toExpression(col("sh")))).as("hs"))
+    val hInter = size(array_intersect(col("ha"), col("hb")))
+    val hUni = size(col("ha")) + size(col("hb")) - hInter
+    val pre = cand
+      .join(broadcast(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
+      .join(broadcast(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
+      .where(hInter.cast("double") / hUni.cast("double") >= tau)
+      .select(col("doc_a"), col("doc_b"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     val uni = size(col("sa")) + size(col("sb")) - inter
-    cand
+    pre
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),

@@ -19,6 +19,40 @@ object Scratch {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "ngramprof") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions._
+      val tau = 0.8
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val sets = docs.select(col("doc_id"), shingleSet(col("text"), 2).as("sh"))
+        .where(size(col("sh")) > 0).cache()
+      println(s"sets=${sets.count()}")
+      val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("term"))
+      val df = ex.groupBy("term").agg(count(lit(1)).as("df"))
+      println(s"vocab=${df.count()}")
+      val w = Window.partitionBy("doc_id").orderBy("df", "term")
+      val prefix = ex.join(broadcast(df), "term")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= col("sz") - floor(lit(tau) * col("sz")) + 1)
+        .select(col("doc_id"), col("sz"), col("rnk"), col("term")).cache()
+      println(s"prefixRows=${prefix.count()}")
+      var t0 = System.nanoTime()
+      val joined = prefix.as("a").join(prefix.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      println(s"rawJoin=${joined.count()} in ${(System.nanoTime()-t0)/1e9}%.1f s")
+      t0 = System.nanoTime()
+      val minInter = floor(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")))
+      val filtered = prefix.as("a").join(prefix.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id") &&
+        greatest(col("a.sz"), col("b.sz")) * tau <= least(col("a.sz"), col("b.sz")) &&
+        least(col("a.sz") - col("a.rnk"), col("b.sz") - col("b.rnk")) + 1 >= minInter)
+      println(s"filteredJoin=${filtered.count()} in ${(System.nanoTime()-t0)/1e9} s")
+      t0 = System.nanoTime()
+      val cand = filtered.select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      println(s"cand=${cand.count()} in ${(System.nanoTime()-t0)/1e9} s")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "stream") {
       // readStream over a parquet dir -> watermarked hourly counts -> memory sink
       import org.apache.spark.sql.functions._
