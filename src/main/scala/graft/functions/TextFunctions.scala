@@ -45,58 +45,15 @@ object TextFunctions {
   def shingleSet(text: Column, k: Int = 3): Column =
     toCol(graft.functions.expressions.ShingleSet(toExpr(text), k))
 
-  /** Word k-grams over an already-clean token array (no tokenizer quirks). */
+  /** Word k-grams over an already-clean token array (no tokenizer quirks).
+    * Prefer [[shingleSet]] (single-pass kernel) when starting from text.
+    */
   def ngramSet(tokens: Column, k: Int): Column = array_distinct(shingles(tokens, k))
 
-  /** Character k-gram set ("shingling" in the char sense) — used by SimHash /
-    * fingerprinting surfaces.
-    */
+  /** Character k-gram set ("shingling" in the char sense). */
   def charNgramSet(text: Column, k: Int): Column =
     when(length(text) < k, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(1), length(text) - (k - 1)),
         i => substr(text, i, lit(k)))))
-
-  /** MinHash signature of a string-set column: `numHashes` independent
-    * permutations h_i(t) = xxhash64(salt_i, t), signature[i] = min over the
-    * set. One projection, no shuffle — the signature is computed map-side
-    * (the Spark analog of the reference's combiner-style per-doc work).
-    */
-  def minhashSignature(set: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(set, t => xxhash64(i, t))))
-
-  /** LSH band keys for a MinHash signature: split into `bands` rows-per-band
-    * groups, hash each band. Docs sharing any band key are near-dup
-    * candidates. Returns array<long> of length `bands`.
-    */
-  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, concat_ws("_",
-        transform(slice(signature, b * lit(rowsPerBand) + 1, lit(rowsPerBand)), _.cast("string")))))
-
-  /** 64-bit SimHash of a string-set column: per element a 64-bit xxhash64;
-    * each bit votes +1/-1; the sign of the per-bit sum forms the fingerprint.
-    * Pure HOF arithmetic — codegen friendly, no UDF.
-    */
-  def simhash64(set: Column): Column = {
-    val votes = aggregate(
-      set,
-      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, bit) => a + when(call_function("shiftright", h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
-  }
-
-  /** Hamming distance between two 64-bit fingerprints. */
-  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

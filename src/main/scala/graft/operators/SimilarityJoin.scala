@@ -38,11 +38,13 @@ object SimilarityJoin {
   def allPairsNgramJaccard(docs: DataFrame, tau: Double, n: Int): DataFrame = {
     val sets = docs.select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
-    pairsFromSets(sets, tau)
+    // low-order grams on a small vocabulary -> dense candidate sets; the
+    // hashed prefilter earns its broadcast there (793k candidates at sf0.1)
+    pairsFromSets(sets, tau, hashPrefilter = true)
   }
 
   /** Prefix-filtered exact similarity join over (doc_id, sh: array<string>). */
-  def pairsFromSets(sets: DataFrame, tau: Double): DataFrame = {
+  def pairsFromSets(sets: DataFrame, tau: Double, hashPrefilter: Boolean = false): DataFrame = {
     val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("term"))
     // Global document frequency per term — the ordering key for prefixes.
     // |vocab| rows; at corpus scale this is the one aggregation whose result
@@ -69,7 +71,7 @@ object SimilarityJoin {
         least(col("a.sz") - col("a.rnk"), col("b.sz") - col("b.rnk")) + 1 >= minInter)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sets, tau)
+    verifyJaccard(cand, sets, tau, hashPrefilter)
   }
 
   /** Join candidate (doc_a, doc_b) pairs back to their sets and keep exact
@@ -87,13 +89,14 @@ object SimilarityJoin {
     *      handful of surviving pairs — the output values are computed
     *      exclusively from real shingle strings.
     */
-  private[operators] def verifyJaccard(cand: DataFrame, sets: DataFrame, tau: Double): DataFrame = {
+  private[operators] def verifyJaccard(cand: DataFrame, sets: DataFrame, tau: Double,
+      hashPrefilter: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
     val hsets = sets.select(col("doc_id"),
       toColumn(graft.functions.expressions.HashSet62(toExpression(col("sh")))).as("hs"))
     val hInter = size(array_intersect(col("ha"), col("hb")))
     val hUni = size(col("ha")) + size(col("hb")) - hInter
-    val pre = cand
+    val pre = if (!hashPrefilter) cand else cand
       .join(broadcast(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
       .join(broadcast(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
       .where(hInter.cast("double") / hUni.cast("double") >= tau)

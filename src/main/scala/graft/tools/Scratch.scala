@@ -91,11 +91,12 @@ object Scratch {
       org.apache.spark.sql.SparkSession.clearDefaultSession()
       val s2 = SparkSession.builder().master("local[4]")
         .withExtensions(new graft.GraftExtensions).getOrCreate()
-      s2.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")
+      graft.GraftSql.registerTables(s2, sfDir)
       s2.sql(
         """SELECT doc_id, graft_hash31(text) AS fp,
           |       size(graft_shingle_set(text, 3)) AS n_sh
           |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin).show()
+      println(s"SQL FLAGSHIP rows=${s2.sql(graft.GraftSql.flagshipSql(0L)).count()}")
       val out = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/scores"
       graft.operators.BookQuery.referenceOutputLines(
         graft.operators.BookQuery.referenceScores(s2.read.parquet(s"$sfDir/documents.parquet")))

@@ -101,6 +101,16 @@ class SourceSinkSpec extends AnyFunSuite {
       assert(row.getSeq[String](1) == Seq("x", "y"))
       assert(row.getLong(2) == ('a'.toInt * 31 + 'b'.toInt) % 2147483647L)
       assert(row.getSeq[Long](4).length == 4)
+
+      // pure-SQL flagship through the same session: must equal the
+      // DataFrame-API pipeline row for row
+      GraftSql.registerTables(s2, "/root/testdata/sf0.001")
+      val viaSql = s2.sql(GraftSql.flagshipSql(0L))
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+      val viaApi = graft.operators.BookQuery.referenceScores(
+          graft.sources.Tables.documents(s2, "/root/testdata/sf0.001"))
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+      assert(viaSql == viaApi && viaSql.nonEmpty)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
