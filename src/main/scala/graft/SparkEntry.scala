@@ -56,6 +56,8 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), kTop = 3)),
     "text_ngram_freq" -> ((s, dir) =>
       TextAnalysis.ngramFrequencies(Tables.documents(s, dir), n = 3, kTop = 20)),
+    "text_lang_minhash" -> ((s, dir) =>
+      TextAnalysis.langMinhash(Tables.documents(s, dir))),
     "events_transitions" -> ((s, dir) => Events.transitions(s, dir)),
     // — relational surface (SURVEY.md §2.2 checklist) —
     "rel_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -398,6 +400,18 @@ object SparkEntry {
          |r AS (SELECT gram, df, (row_number() OVER
          |  (ORDER BY df DESC, gram ASC))::BIGINT AS rank FROM f)
          |SELECT gram, df, rank FROM r WHERE rank <= 20""".stripMargin,
+    "text_lang_minhash" ->
+      s"""WITH tok AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+         |shl AS (SELECT lang,
+         |  list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM tok),
+         |t AS (SELECT lang, unnest(list_transform(sh, t -> ${duckHash("t")})) AS h
+         |      FROM shl WHERE len(sh) > 0),
+         |s AS (SELECT lang, g.i,
+         |  min((h*(2*g.i+1) + (12345 + 67891*g.i)) % 2147483647) AS sig_val
+         |  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+         |  GROUP BY 1, 2)
+         |SELECT lang, i::BIGINT AS slot, sig_val FROM s""".stripMargin,
     "events_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |l AS (SELECT event_type, lag(event_type) OVER

@@ -110,6 +110,23 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("df").desc, col("gram").asc)).cast("long"))
   }
 
+  /** Per-language MinHash signature of the UNION of all documents' shingle
+    * sets, via the typed [[graft.functions.MinHashAggregator]] UDAF
+    * (elementwise-min distributes over union, so merging per-doc signatures
+    * IS the union signature — verified against an oracle that recomputes the
+    * min over every term). Output: (lang, slot, sig_val), one row per
+    * signature slot.
+    */
+  def langMinhash(docs: DataFrame, numHashes: Int = 64): DataFrame = {
+    val sigs = docs.select(col("lang"),
+      minhashFromHashes(hashSet(shingleSet(col("text"), 3)), numHashes).as("sig"))
+      .where(size(col("sig")) > 0)
+    sigs.groupBy(col("lang"))
+      .agg(graft.functions.MinHashAggregator.minhashUnion(col("sig"), numHashes).as("usig"))
+      .select(col("lang"), posexplode(col("usig")).as(Seq("slot", "sig_val")))
+      .select(col("lang"), col("slot").cast("long").as("slot"), col("sig_val"))
+  }
+
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)), deterministic
     * tie-break on rounded score then term. One df aggregation (term-keyed
     * shuffle) + one doc-keyed window. Output:

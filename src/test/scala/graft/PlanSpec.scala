@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.BookQuery
+import graft.sources.Tables
+
+/** Physical-plan regression guards: the scale properties SCALING.md claims
+  * are asserted, not assumed. AQE is disabled per test to get concrete plans
+  * to inspect (at runtime AQE can only improve on these shapes).
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withStaticPlans[T](f: => T): T = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("flagship plans with exactly 2 shuffles and broadcast query/df sides") {
+    withStaticPlans {
+      val plan = BookQuery.referenceScores(Tables.documents(spark, dir))
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      val broadcasts = plan.collect { case e: BroadcastExchangeExec => e }
+      assert(shuffles.size == 2, s"expected 2 shuffles, got ${shuffles.size}:\n$plan")
+      assert(broadcasts.size >= 2, s"expected >=2 broadcasts:\n$plan")
+    }
+  }
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val plan = graft.operators.Relational.pricingSummary(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"no pushed shipdate filter:\n$plan")
+  }
+
+  test("jaccard scores are a zero-shuffle map-side plan") {
+    withStaticPlans {
+      val plan = BookQuery.jaccardScores(Tables.documents(spark, dir))
+        .queryExecution.executedPlan
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"expected no shuffle:\n$plan")
+    }
+  }
+
+  test("scans prune columns: flagship reads only doc_id and text") {
+    val plan = BookQuery.referenceScores(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("n_chars"), "scan reads unneeded columns")
+  }
+}
