@@ -84,6 +84,7 @@ object SparkEntry {
     // — embedding similarity search (SURVEY.md §7.5) —
     "embed_knn_brute" -> ((s, dir) => EmbeddingSearch.bruteForceTopK(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
+    "embed_knn_ivf" -> ((s, dir) => EmbeddingSearch.ivfTopK(s, dir)),
     "embed_label_stats" -> ((s, dir) => EmbeddingSearch.labelStats(s, dir)),
     // — multimodal binary-column plumbing (builder mandate; codec stubbed) —
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
@@ -286,6 +287,28 @@ object SparkEntry {
          |s AS (SELECT query_id, vec_id, round(${cosineSql("v", "qv")}, 6) AS cosine FROM cand),
          |r AS (SELECT *, (row_number() OVER
          |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
+         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+    "embed_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |ed AS (SELECT label, di.i AS d, v[di.i] AS x
+         |       FROM e, (SELECT unnest(generate_series(1, 64)) AS i) di),
+         |cm AS (SELECT label, d,
+         |  CAST(sum(CAST(round(x, 6) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+         |  FROM ed GROUP BY 1, 2),
+         |cent AS (SELECT label, list(c ORDER BY d) AS cv FROM cm GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |pd AS (SELECT q.query_id, q.qv, cent.label,
+         |  round(${cosineSql("q.qv", "cent.cv")}, 6) AS csim FROM q, cent),
+         |pr AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY csim DESC, label ASC) AS rn FROM pd),
+         |probe AS (SELECT query_id, qv, label FROM pr WHERE rn <= 2),
+         |s AS (SELECT probe.query_id, e.vec_id,
+         |  round(${cosineSql("e.v", "probe.qv")}, 6) AS cosine
+         |  FROM probe JOIN e ON e.label = probe.label
+         |  WHERE e.vec_id <> probe.query_id),
+         |r AS (SELECT *, (row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
          |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
     "embed_label_stats" ->
       s"""WITH e AS (SELECT label::BIGINT AS label,

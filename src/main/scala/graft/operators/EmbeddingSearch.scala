@@ -95,6 +95,45 @@ object EmbeddingSearch {
       .where(col("rank") <= k)
   }
 
+  /** IVF-style ANN: a coarse quantizer (per-label centroid — exact,
+    * order-independent decimal means, so the index is deterministic and
+    * oracle-checkable) routes each query to its `nprobe` closest cells;
+    * only those cells' vectors are re-ranked exactly. At 100 TB: centroids
+    * are one tiny broadcast; the corpus is scanned with a `label IN (...)`
+    * semi-join instead of |Q|·N cosines — the classic inverted-file trade.
+    * Output shape matches [[bruteForceTopK]].
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    // exact centroids: per (label, dim), mean of values rounded@6 summed in
+    // decimal (associative) — bit-reproducible under any partitioning
+    val cm = emb.select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg((sum(round(col("x"), 6).cast("decimal(28,10)")).cast("double")
+        / count(lit(1)).cast("double")).as("c"))
+    val cent = cm.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("label").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("label"),
+        round(cosine(col("qv"), col("cv")), 6).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("label"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    emb.join(broadcast(probes), Seq("label"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Per-label corpus stats: count and exact (decimal-summed, order-
     * independent) mean/min/max of vector L2 norms — the IVF-style partition
     * profile (label plays the coarse-centroid role on this synthetic data).

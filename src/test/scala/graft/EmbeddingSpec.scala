@@ -37,6 +37,20 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(cos(4L, 4L) == 0.0)
   }
 
+  test("IVF top-k ranks candidates consistently with brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = EmbeddingSearch.bruteForceTopK(spark, dir, k = 5, nQueries = 3)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect()
+      .map { case (q, v, r) => (q, v) -> r }.toMap
+    val ivf = EmbeddingSearch.ivfTopK(spark, dir, k = 5, nQueries = 3)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    // IVF searches a subset (nprobe cells) -> its rank can only be <= exact
+    ivf.foreach { case (q, v, r) =>
+      brute.get((q, v)).foreach(br => assert(br >= r, s"q=$q v=$v ivf=$r brute=$br"))
+    }
+  }
+
   test("brute-force and LSH top-k agree on the real table at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val brute = EmbeddingSearch.bruteForceTopK(spark, dir, k = 5, nQueries = 3)
