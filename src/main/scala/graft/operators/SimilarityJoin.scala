@@ -29,7 +29,7 @@ object SimilarityJoin {
   def allPairsJaccard(docs: DataFrame, tau: Double, k: Int = 3): DataFrame = {
     val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
       .where(size(col("sh")) > 0)
-    pairsFromSets(sets, tau)
+    pairsFromSets(sets, tau, hashPrefilter = true)
   }
 
   /** Same join over word n-gram sets (dedup surface) — word n-grams of the
