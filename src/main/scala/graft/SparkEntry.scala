@@ -74,6 +74,9 @@ object SparkEntry {
     "rel_cube" -> ((s, dir) => Relational.returnsCube(s, dir)),
     "rel_scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(s, dir)),
     "rel_full_outer" -> ((s, dir) => Relational.customerOrdersFullOuter(s, dir)),
+    "rel_grouping_sets" -> ((s, dir) => Relational.returnsGroupingSets(s, dir)),
+    "text_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
     // sketch aggregates: engine-specific, intentionally no oracle (rows-only)
     "rel_approx_stats" -> ((s, dir) => Relational.approxStats(s, dir)),
     // — events / time-series surface (SURVEY.md §7.7) —
@@ -229,6 +232,13 @@ object SparkEntry {
         |  o_orderkey % 7 AS key_mod7,
         |  greatest(o_totalprice, 100000.0) AS price_floor100k
         |FROM orders""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "text_sample" ->
+      s"""SELECT doc_id, lang, ${duckHash("text")} % 100 AS bucket
+         |FROM documents WHERE ${duckHash("text")} % 100 < 20""".stripMargin,
     "rel_full_outer" ->
       """SELECT coalesce(c_custkey, o.o_custkey) AS custkey, c_name,
         |  coalesce(o.n_orders, 0) AS n_orders

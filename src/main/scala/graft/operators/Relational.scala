@@ -198,6 +198,16 @@ object Relational {
       (col("o_orderkey") % 7).as("key_mod7"),
       greatest(col("o_totalprice"), lit(100000.0)).as("price_floor100k"))
 
+  /** Explicit GROUPING SETS — independent subtotals by flag and by status
+    * in one pass (Spark 4 Dataset.groupingSets; distinct from rollup/cube).
+    */
+  def returnsGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
   /** Sketch-based approximate aggregates — the O(1)-memory scale path next
     * to the exact operators (HLL++ for distincts, KLL-style quantile
     * sketch). Sketches are engine-specific, so this query carries no DuckDB

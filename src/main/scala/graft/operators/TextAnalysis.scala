@@ -110,6 +110,17 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("df").desc, col("gram").asc)).cast("long"))
   }
 
+  /** Deterministic stratified sample: keep ~`percent`% of documents PER
+    * LANGUAGE by a portable hash of the text (hash mod 100 < percent) —
+    * reproducible across runs, engines, and cluster sizes, unlike
+    * rand()-based sampling. The training-data way to downsample a corpus
+    * while preserving strata. Output: sampled rows + their bucket.
+    */
+  def stratifiedSample(docs: DataFrame, percent: Int = 20): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        (portableHash31(col("text")) % 100L).as("bucket"))
+      .where(col("bucket") < percent)
+
   /** Per-language MinHash signature of the UNION of all documents' shingle
     * sets, via the typed [[graft.functions.MinHashAggregator]] UDAF
     * (elementwise-min distributes over union, so merging per-doc signatures
