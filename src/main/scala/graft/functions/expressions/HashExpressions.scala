@@ -1,6 +1,6 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -35,7 +35,10 @@ object HashPrimitives {
     new GenericArrayData(out)
   }
 
-  /** Per-element 62-bit hashes of a string array (see HashSet62). */
+  /** Per-element 62-bit hashes of a string array, returned SORTED and
+    * DISTINCT (see HashSet62) — the sorted form lets the verify prefilter
+    * intersect two sets with one allocation-free merge scan.
+    */
   def hashSet62(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
@@ -54,7 +57,34 @@ object HashPrimitives {
       out(i) = (h1 << 31) | h2
       i += 1
     }
-    new GenericArrayData(out)
+    java.util.Arrays.sort(out)
+    // drop collision-induced duplicates in place (input is already a set)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == n) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  /** |a ∩ b| for two SORTED DISTINCT long arrays — a single merge scan, no
+    * per-row hash-set allocation (array_intersect builds one per call).
+    */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** sig[p] = 1 iff Σ_d v[d]·w(p,d) > 0, w = ±1 per the parity pattern;
@@ -105,7 +135,8 @@ object HashPrimitives {
 /** 62-bit per-element hash of a string array — the compact stand-in for a
   * shingle set in the similarity-verify prefilter (one long per term instead
   * of the term bytes). Two independent 31-bit polynomial folds (multipliers
-  * 31 and 37) packed as (h1<<31)|h2; pairwise collision ≈ 2^-62.
+  * 31 and 37) packed as (h1<<31)|h2; pairwise collision ≈ 2^-62. Output is
+  * sorted distinct so [[IntersectCountSorted]] can merge-scan it.
   */
 case class HashSet62(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -115,6 +146,23 @@ case class HashSet62(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.HashPrimitives.hashSet62($c)")
   override protected def withNewChildInternal(c: Expression): HashSet62 = copy(c)
+}
+
+/** |a ∩ b| over two sorted-distinct long arrays (array<long> ×
+  * array<long> → long). The hot inner operation of the similarity-verify
+  * prefilter: candidate volume × one merge scan, fully inside whole-stage
+  * codegen, zero allocation per row.
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashPrimitives.intersectCountSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.HashPrimitives.intersectCountSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCountSorted =
+    copy(left = l, right = r)
 }
 
 /** MinHash signature over a pre-hashed set (array<long> → array<long>). */

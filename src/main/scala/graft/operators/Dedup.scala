@@ -86,47 +86,50 @@ object Dedup {
     * nothing driver-side but the convergence counter.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val spark = docs.sparkSession
     // Both edge directions from ONE pass over pairs (a unionAll of two
-    // selects would evaluate the upstream similarity join twice).
+    // selects would evaluate the upstream similarity join twice). The EAGER
+    // localCheckpoint materializes the (small) dup-edge set once and
+    // truncates lineage — a cache() is only a hint, and any cache miss in
+    // the loop or the final join silently re-runs the whole upstream
+    // similarity join. (On a real cluster with executor loss in play, swap
+    // for reliable checkpoint()s to a fault-tolerant dir — same plan shape.)
     val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache() // reused every iteration; edge set = near-dup pairs (small)
-    // Materialize the cache in ONE action before the loop: the first round
-    // references edges several times, and racing consumers of a cold cache
-    // each recompute the full upstream similarity join.
-    edges.count()
+      .localCheckpoint()
     // Iterate ONLY over the dup-graph vertices — at corpus scale the dup
     // graph is a sliver of the corpus; isolated docs are trivially their own
-    // keeper and rejoin at the end.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
-    var prevCached: DataFrame = null
+    // keeper and rejoin at the end. Round 1 is folded into initialization:
+    // against identity labels, the neighbor-min join is just min(src) per
+    // dst, and every vertex appears as a dst (edges are bidirectional).
+    var labels = edges
+      .groupBy(col("dst").as("doc_id"))
+      .agg(min(col("src")).as("nbr_label"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr_label")).as("label"))
+      .localCheckpoint()
     var converged = false
-    var it = 0
+    var it = 1
     while (!converged && it < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "src")
-          .withColumnRenamed("label", "src_label"), "src")
+      // min-label propagation (the standard large-scale connected-components
+      // loop); each checkpointed round starts from stored partitions, so the
+      // per-round plan is one join + one aggregate, never the whole history.
+      val next = edges
+        .join(labels.select(col("doc_id").as("src"), col("label").as("src_label")), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("src_label")).as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .join(labels, "doc_id")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label")).as("changed"))
-        .cache()
+          least(col("label"), col("nbr_label")).as("label"),
+          (col("nbr_label") < col("label")).as("changed"))
+        .localCheckpoint()
       val changed = next.where(col("changed")).count()
-      if (prevCached != null) prevCached.unpersist()
-      prevCached = next
       labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0
       it += 1
-      System.err.println(s"[graft] dedupClusters iteration $it: $changed labels changed")
+      System.err.println(s"[graft] dedupClusters round $it: $changed labels changed")
     }
-    edges.unpersist()
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

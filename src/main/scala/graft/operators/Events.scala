@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** events with ts_ns (long), ts_us (long), and ts (TimestampType, µs). */
+  /** events with ts_ns (long), ts_us (long), and ts (TimestampType, µs).
+    *
+    * REQUIRED SESSION CONF: `spark.sql.legacy.parquet.nanosAsLong=true` must
+    * be set when the session is BUILT (see README / graft.Verify). A query
+    * constructor must not mutate session config — a concurrent query reading
+    * ns-parquet with different expectations would race on the shared value —
+    * so this only checks and fails loudly.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (see README)")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts_us", expr("ts_ns div 1000"))

@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** `broadcast()` hint gated on the optimizer's size estimate. A hint is a
+    * command, not a suggestion — an unconditional hint on a corpus-derived
+    * side forces an executor OOM at 100× scale where the unhinted plan would
+    * simply shuffle. Here the hint is applied only when Catalyst's own
+    * estimate already fits the session's autoBroadcastJoinThreshold; when the
+    * estimate is large (or broadcasting is disabled), the frame is returned
+    * unhinted and AQE still converts the join to broadcast at runtime if the
+    * ACTUAL size turns out small — so small inputs keep the broadcast plan
+    * without large inputs ever being forced into one.
+    */
+  def maybeBroadcast(df: DataFrame): DataFrame = {
+    val threshold = org.apache.spark.sql.GraftShim.broadcastThreshold(df)
+    if (threshold > 0 &&
+        org.apache.spark.sql.GraftShim.estimatedSizeInBytes(df) <= BigInt(threshold))
+      broadcast(df)
+    else df
+  }
+
   /** Two-phase count per key. Salt = row id mod buckets: result-invariant
     * (any salt assignment yields the same final counts).
     */

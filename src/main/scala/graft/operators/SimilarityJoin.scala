@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
 import graft.functions.TextFunctions._
+import graft.functions.expressions.{HashSet62, IntersectCountSorted}
 
 /** Generalized all-pairs set-similarity join — the reference's inverted-index
   * trick (BookQuery.java:81-105) generalized from one-query-vs-corpus to
@@ -13,13 +15,28 @@ import graft.functions.TextFunctions._
   * pruning).
   *
   * Scale design (100 TB): the naive all-pairs join explodes O(n²). Here each
-  * document contributes only its PREFIX tokens (the p = |s| − ⌊τ·|s|⌋ + 1
-  * globally-rarest shingles) to the candidate join — lossless for Jaccard ≥ τ
-  * under a consistent global (df, term) order — so the self-join key space is
-  * dominated by rare tokens and the hot-token skew that would otherwise melt
-  * a shuffle partition never enters the join. Candidate verification joins
-  * back the full sets by doc_id (hash shuffles on doc_id, AQE-coalesced) and
-  * filters on exact Jaccard. No driver-side collect anywhere.
+  * document contributes only its PREFIX tokens (its globally-rarest shingles)
+  * to the candidate join — lossless for Jaccard ≥ τ under a consistent global
+  * (df, term) order — so the self-join key space is dominated by rare tokens
+  * and the hot-token skew that would otherwise melt a shuffle partition never
+  * enters the join. Three further scale decisions:
+  *
+  *   - ALL candidate-side machinery runs on 62-bit hashes (one long per
+  *     term), never on shingle strings: the exploded frame, the df table,
+  *     the self-join keys and the verify prefilter all shuffle longs; full
+  *     strings are joined only for the final survivors.
+  *   - the self-join is ASYMMETRIC (Bayardo's All-Pairs indexing prefix):
+  *     the smaller side of every pair only exposes its
+  *     p = |s| − ⌊2τ/(1+τ)·|s|⌋ + 1 rarest tokens, roughly halving generated
+  *     pairs vs the symmetric probe prefix — still lossless, because the
+  *     minimum overlap α ≥ ⌈2τ/(1+τ)·|small|⌉ forces a match that early.
+  *   - no unconditional broadcast: corpus-derived sides (the df table, the
+  *     hash-set table) go through [[Scale.maybeBroadcast]], so a 100× input
+  *     degrades to a shuffled join instead of an executor OOM, and AQE still
+  *     picks broadcast at runtime whenever the actual size is small.
+  *
+  * Candidate verification joins back by doc id (hash shuffles, AQE-coalesced)
+  * and filters on exact Jaccard. No driver-side collect anywhere.
   */
 object SimilarityJoin {
 
@@ -39,68 +56,90 @@ object SimilarityJoin {
     val sets = docs.select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
     // low-order grams on a small vocabulary -> dense candidate sets; the
-    // hashed prefilter earns its broadcast there (793k candidates at sf0.1)
+    // hashed prefilter earns its keep there (793k candidates at sf0.1)
     pairsFromSets(sets, tau, hashPrefilter = true)
   }
 
+  /** Sorted-distinct 62-bit hash view of (doc_id, sh) — the compact frame the
+    * candidate and prefilter stages run on.
+    */
+  private def hashSets(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), toColumn(HashSet62(toExpression(col("sh")))).as("hs"))
+
   /** Prefix-filtered exact similarity join over (doc_id, sh: array<string>). */
   def pairsFromSets(sets: DataFrame, tau: Double, hashPrefilter: Boolean = false): DataFrame = {
-    val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("term"))
-    // Global document frequency per term — the ordering key for prefixes.
-    // |vocab| rows; at corpus scale this is the one aggregation whose result
-    // is small enough to broadcast back.
-    val df = ex.groupBy("term").agg(count(lit(1)).as("df"))
-    val withDf = ex.join(broadcast(df), "term")
-    // Prefix length p = sz − ⌊τ·sz⌋ + 1: ⌊·⌋ (not ⌈·⌉) so float error can
-    // only lengthen the prefix — more candidates, never a lost pair.
-    val w = Window.partitionBy("doc_id").orderBy("df", "term")
-    val prefix = withDf
-      .withColumn("rnk", row_number().over(w))
+    val ex = hashSets(sets)
+      .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("t"))
+    // Global document frequency per (hashed) term — the ordering key that
+    // makes prefixes the RAREST tokens. |vocab| rows of two longs.
+    val dfT = ex.groupBy("t").agg(count(lit(1)).as("df"))
+    val withDf = ex.join(Scale.maybeBroadcast(dfT), "t")
+    // Rank every token of a doc under the global (df, t) order; prefixes are
+    // rank cutoffs. ⌊·⌋ (not ⌈·⌉) everywhere below so float error can only
+    // LENGTHEN a prefix — more candidates, never a lost pair.
+    val w = Window.partitionBy("doc_id").orderBy("df", "t")
+    val ranked = withDf.withColumn("rnk", row_number().over(w))
+    // Probe prefix p = sz − ⌊τ·sz⌋ + 1 (any pair partner); indexing prefix
+    // p = sz − ⌊2τ/(1+τ)·sz⌋ + 1 (partners at least as large — the minimum
+    // overlap α ≥ ⌈2τ/(1+τ)·sz⌉ then forces a shared token this early).
+    val probe = ranked
       .where(col("rnk") <= col("sz") - floor(lit(tau) * col("sz")) + 1)
-      .select(col("doc_id"), col("sz"), col("rnk"), col("term"))
-    // Join-condition pruning, both lossless (float error only loosens them):
-    //  - length filter (Arasu/Chaudhuri): J ≥ τ ⇒ τ·max(|a|,|b|) ≤ min(|a|,|b|)
-    //  - PPJoin positional filter (Xiao/Wang/Lin): matching at positions
-    //    (rnk_a, rnk_b), the remaining-overlap bound
-    //    min(sz_a−rnk_a, sz_b−rnk_b)+1 must reach the τ-implied minimum
-    //    intersection ⌈τ/(1+τ)·(sz_a+sz_b)⌉ (floor used conservatively).
+      .select(col("doc_id"), col("sz"), col("rnk"), col("t"))
+    val index = ranked
+      .where(col("rnk") <= col("sz") - floor(lit(2 * tau / (1 + tau)) * col("sz")) + 1)
+      .select(col("doc_id"), col("sz"), col("rnk"), col("t"))
+    // Join-condition pruning, all lossless:
+    //  - size order (a the smaller side) — pairs each unordered pair once
+    //  - length filter (Arasu/Chaudhuri): J ≥ τ ⇒ τ·|b| ≤ |a| (ε guards the
+    //    boundary where τ·|b| is an integer and the double product rounds up)
+    //  - PPJoin positional filter (Xiao/Wang/Lin): matching at (rnk_a, rnk_b),
+    //    the remaining-overlap bound min(sz_a−rnk_a, sz_b−rnk_b)+1 must reach
+    //    the τ-implied minimum intersection ⌊τ/(1+τ)·(sz_a+sz_b)⌋.
     val minInter = floor(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id") &&
-        greatest(col("a.sz"), col("b.sz")) * tau <= least(col("a.sz"), col("b.sz")) &&
+    val cand = index.as("a").join(probe.as("b"),
+        col("a.t") === col("b.t") &&
+        (col("a.sz") < col("b.sz") ||
+          (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))) &&
+        col("b.sz") * tau <= col("a.sz") + lit(1e-9) &&
         least(col("a.sz") - col("a.rnk"), col("b.sz") - col("b.rnk")) + 1 >= minInter)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    // NOT distinct here: the prefilter is cheaper per row (one merge scan)
+    // than a full shuffle-dedup of the candidate stream; dedup happens on the
+    // (tiny) survivor set inside verifyJaccard.
     verifyJaccard(cand, sets, tau, hashPrefilter)
   }
 
   /** Join candidate (doc_a, doc_b) pairs back to their sets and keep exact
-    * Jaccard ≥ tau. Output columns shared by every dedup variant.
+    * Jaccard ≥ tau. Output columns shared by every dedup variant; candidate
+    * streams may contain duplicate pairs (dedup happens after the prefilter,
+    * where the stream is smallest).
     *
     * Two stages (profiled at sf0.1: attaching the string shingle arrays to
     * 793k candidates shuffled ~1 KB/row twice and dominated the query):
-    *   1. map-side prefilter on compact 62-bit hash sets, broadcast
-    *      (8 B/term; the whole corpus's hash sets at sf0.1 are ~4 MB —
-    *      when the corpus outgrows broadcast, the same prefilter runs as a
-    *      shuffle join of longs, or LSH candidates replace all-pairs
-    *      entirely). 62-bit collisions (≈2^-62/pair) are the only way a
-    *      true pair could be dropped here.
+    *   1. prefilter on compact sorted 62-bit hash sets (8 B/term) — one
+    *      allocation-free merge scan per candidate, inside whole-stage
+    *      codegen. 62-bit collisions can only MERGE set elements, so the
+    *      hashed Jaccard upper-bounds the true one: filtering it at τ never
+    *      drops a true pair.
     *   2. exact string-set verification, now joining arrays only for the
     *      handful of surviving pairs — the output values are computed
     *      exclusively from real shingle strings.
     */
   private[operators] def verifyJaccard(cand: DataFrame, sets: DataFrame, tau: Double,
       hashPrefilter: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
-    val hsets = sets.select(col("doc_id"),
-      toColumn(graft.functions.expressions.HashSet62(toExpression(col("sh")))).as("hs"))
-    val hInter = size(array_intersect(col("ha"), col("hb")))
-    val hUni = size(col("ha")) + size(col("hb")) - hInter
-    val pre = if (!hashPrefilter) cand else cand
-      .join(broadcast(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
-      .join(broadcast(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
-      .where(hInter.cast("double") / hUni.cast("double") >= tau)
-      .select(col("doc_a"), col("doc_b"))
+    val pre = if (!hashPrefilter) cand.distinct() else {
+      val hsets = hashSets(sets)
+      val hInter = toColumn(IntersectCountSorted(
+        toExpression(col("ha")), toExpression(col("hb"))))
+      val hUni = size(col("ha")).cast("long") + size(col("hb")).cast("long") - hInter
+      cand
+        .join(Scale.maybeBroadcast(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
+        .join(Scale.maybeBroadcast(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
+        .where(hInter.cast("double") / hUni.cast("double") >= tau)
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+    }
     val inter = size(array_intersect(col("sa"), col("sb")))
     val uni = size(col("sa")) + size(col("sb")) - inter
     pre

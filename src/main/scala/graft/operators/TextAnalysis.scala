@@ -149,7 +149,9 @@ object TextAnalysis {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfT), "term")
+    // df table is vocabulary-sized — web-scale vocab is billions of terms,
+    // so the broadcast is size-gated (AQE still broadcasts small actuals).
+    val scored = tf.join(Scale.maybeBroadcast(dfT), "term")
       .withColumn("tfidf", round(col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")), 6))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -45,6 +45,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("similarity surface never force-broadcasts corpus-derived sides") {
+    // With broadcasting disabled a *hint* would still plan a
+    // BroadcastExchange (a hint is a command) — so an empty collect proves
+    // the corpus-sized df/hash-set sides carry no unconditional hint and a
+    // 100× input degrades to shuffled joins instead of an executor OOM.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withStaticPlans {
+      for (df <- Seq(
+          graft.operators.SimilarityJoin.allPairsJaccard(Tables.documents(spark, dir), tau = 0.7),
+          graft.operators.TextAnalysis.tfidfTopTerms(Tables.documents(spark, dir), kTop = 3))) {
+        val plan = df.queryExecution.executedPlan
+        assert(plan.collect { case e: BroadcastExchangeExec => e }.isEmpty,
+          s"corpus-derived side force-broadcast despite disabled threshold:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("scans prune columns: flagship reads only doc_id and text") {
     val plan = BookQuery.referenceScores(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
