@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ShingleSet(es.head, intLit(es(1), "k"))))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_shingle_explode"),
+      info("graft_shingle_explode",
+        "graft_shingle_explode(text, k) - UDTF: one row per distinct k-word shingle"),
+      (es: Seq[Expression]) => ShingleExplode(es.head, intLit(es(1), "k"))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_hash31"),
       info("graft_hash31", "graft_hash31(text) - portable rolling hash mod 2^31-1"),
       (es: Seq[Expression]) => PortableHash31(es.head)))

@@ -27,6 +27,21 @@ object SparkEntry {
       BookQuery.referenceScores(Tables.documents(s, dir))),
     "book_query_jaccard" -> ((s, dir) =>
       BookQuery.jaccardScores(Tables.documents(s, dir))),
+    "book_query_wholetext" -> ((s, dir) => {
+      // The reference's REAL user entry: a directory of one-doc text files
+      // (BookQuery.java:44-61,216-226). The corpus dir is materialized once
+      // per SF from the documents table (fixture export), re-ingested
+      // through the wholetext source, and scored by the same pipeline — so
+      // the ingestion path is oracle-checked end-to-end against the same
+      // SQL as book_query_ref.
+      import org.apache.spark.sql.functions.col
+      val corpus = s"${System.getProperty("java.io.tmpdir")}/graft_wtcorpus_" +
+        new java.io.File(dir).getName
+      Tables.exportTextCorpus(Tables.documents(s, dir), corpus)
+      BookQuery.referenceScores(
+        Tables.wholeTextDocuments(s, corpus)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")))
+    }),
     // — generalized similarity join (SURVEY.md §7.3) —
     "simjoin_allpairs" -> ((s, dir) =>
       SimilarityJoin.allPairsJaccard(Tables.documents(s, dir), tau = 0.7)),
@@ -88,6 +103,7 @@ object SparkEntry {
     "embed_knn_brute" -> ((s, dir) => EmbeddingSearch.bruteForceTopK(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
     "embed_knn_ivf" -> ((s, dir) => EmbeddingSearch.ivfTopK(s, dir)),
+    "embed_knn_kmeans" -> ((s, dir) => EmbeddingSearch.kmeansTopK(s, dir)),
     "embed_label_stats" -> ((s, dir) => EmbeddingSearch.labelStats(s, dir)),
     // — multimodal binary-column plumbing (builder mandate; codec stubbed) —
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
@@ -139,6 +155,27 @@ object SparkEntry {
   private def cosineSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0
        |  ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END""".stripMargin
+
+  /** Reference-pipeline oracle (shared by the parquet and wholetext
+    * ingestion entries — both must produce these exact rows).
+    */
+  private val bookQueryRefSql: String =
+    s"""WITH ${shingleCte(3)},
+       |q AS (SELECT sh AS q_sh, len(sh) AS q_len FROM sh WHERE doc_id = 0),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |inter AS (SELECT d.doc_id, list_intersect(d.sh, q.q_sh) AS t, q.q_len
+       |          FROM sh d, q WHERE d.doc_id <> 0),
+       |ex AS (SELECT doc_id, len(t) AS len, q_len, unnest(t) AS term
+       |       FROM inter WHERE len(t) > 0),
+       |df AS (SELECT term, count(*) AS df_nq FROM ex GROUP BY 1),
+       |surv AS (SELECT ex.doc_id, ex.len, ex.q_len FROM ex
+       |         JOIN df USING (term), nn WHERE df.df_nq <= nn.n - 2),
+       |agg AS (SELECT doc_id, len, q_len, count(*) AS sum_shared
+       |        FROM surv GROUP BY 1, 2, 3)
+       |SELECT doc_id, len, CAST(sum_shared AS BIGINT) AS sum_shared,
+       |  round(CASE WHEN sum_shared = len + q_len THEN 1.0
+       |    ELSE CAST(sum_shared AS DOUBLE) / (len + q_len - sum_shared) END, 6) AS score
+       |FROM agg""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -320,6 +357,44 @@ object SparkEntry {
          |r AS (SELECT *, (row_number() OVER
          |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
          |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+    "embed_knn_kmeans" -> {
+      // Replays the deterministic spherical k-means training (seeds = first
+      // 8 vectors, 2 Lloyd rounds, decimal means, empty cells keep their
+      // centroid), then the nprobe=2 probe + exact re-rank.
+      def assignCte(centCte: String): String =
+        s"""SELECT vec_id, v, cl FROM (
+           |  SELECT e.vec_id, e.v, c.cl, row_number() OVER (PARTITION BY e.vec_id
+           |    ORDER BY round(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cl ASC) AS rn
+           |  FROM e, $centCte c) WHERE rn = 1""".stripMargin
+      def updateCtes(i: Int, aCte: String, prevCte: String): String =
+        s"""m$i AS (SELECT cl, di.i AS d,
+           |  CAST(sum(CAST(round(v[di.i], 6) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+           |  FROM $aCte, (SELECT unnest(generate_series(1, 64)) AS i) di GROUP BY 1, 2),
+           |n$i AS (SELECT cl, list(c ORDER BY d) AS cv FROM m$i GROUP BY 1),
+           |c$i AS (SELECT $prevCte.cl, coalesce(n$i.cv, $prevCte.cv) AS cv
+           |        FROM $prevCte LEFT JOIN n$i USING (cl))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id::INT AS cl, v AS cv FROM e WHERE vec_id < 8),
+         |a1 AS (${assignCte("c0")}),
+         |${updateCtes(1, "a1", "c0")},
+         |a2 AS (${assignCte("c1")}),
+         |${updateCtes(2, "a2", "c1")},
+         |af AS (${assignCte("c2")}),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |pd AS (SELECT q.query_id, q.qv, c.cl,
+         |  round(${cosineSql("q.qv", "c.cv")}, 6) AS csim FROM q, c2 c),
+         |pr AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS rn FROM pd),
+         |probe AS (SELECT query_id, qv, cl FROM pr WHERE rn <= 2),
+         |s AS (SELECT probe.query_id, af.vec_id,
+         |  round(${cosineSql("af.v", "probe.qv")}, 6) AS cosine
+         |  FROM probe JOIN af ON af.cl = probe.cl
+         |  WHERE af.vec_id <> probe.query_id),
+         |r AS (SELECT *, (row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
+         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+    },
     "embed_label_stats" ->
       s"""WITH e AS (SELECT label::BIGINT AS label,
          |  round(sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
@@ -340,23 +415,10 @@ object SparkEntry {
         |    f -> codes[(f - 1) * 16 + 1])) % 2147483647)::BIGINT AS frame_checksum,
         |  round(list_sum(codes)::DOUBLE / len(text), 6) AS mean_byte
         |FROM c""".stripMargin,
-    "book_query_ref" ->
-      s"""WITH ${shingleCte(3)},
-         |q AS (SELECT sh AS q_sh, len(sh) AS q_len FROM sh WHERE doc_id = 0),
-         |nn AS (SELECT count(*) AS n FROM documents),
-         |inter AS (SELECT d.doc_id, list_intersect(d.sh, q.q_sh) AS t, q.q_len
-         |          FROM sh d, q WHERE d.doc_id <> 0),
-         |ex AS (SELECT doc_id, len(t) AS len, q_len, unnest(t) AS term
-         |       FROM inter WHERE len(t) > 0),
-         |df AS (SELECT term, count(*) AS df_nq FROM ex GROUP BY 1),
-         |surv AS (SELECT ex.doc_id, ex.len, ex.q_len FROM ex
-         |         JOIN df USING (term), nn WHERE df.df_nq <= nn.n - 2),
-         |agg AS (SELECT doc_id, len, q_len, count(*) AS sum_shared
-         |        FROM surv GROUP BY 1, 2, 3)
-         |SELECT doc_id, len, CAST(sum_shared AS BIGINT) AS sum_shared,
-         |  round(CASE WHEN sum_shared = len + q_len THEN 1.0
-         |    ELSE CAST(sum_shared AS DOUBLE) / (len + q_len - sum_shared) END, 6) AS score
-         |FROM agg""".stripMargin,
+    "book_query_ref" -> bookQueryRefSql,
+    // identical semantics — the Spark side differs only in INGESTION (text
+    // files through the wholetext source instead of parquet)
+    "book_query_wholetext" -> bookQueryRefSql,
     "book_query_jaccard" ->
       s"""WITH ${shingleCte(3)},
          |q AS (SELECT sh AS q_sh FROM sh WHERE doc_id = 0)

@@ -1,7 +1,8 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -100,6 +101,34 @@ case class ShingleSet(child: Expression, k: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.TextPrimitives.shingleSetData($c, $k)")
   override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+}
+
+/** Generator (UDTF) form of the shingler: one output row per distinct
+  * k-shingle — `SELECT graft_shingle_explode(text, 3) FROM docs` or
+  * `... LATERAL VIEW graft_shingle_explode(text, 3) t AS shingle`.
+  * Completes the extension triple (UDF scalars above, the MinHash UDAF,
+  * this UDTF). Generators run outside whole-stage codegen by design
+  * (CodegenFallback) — the per-row kernel is still the single-pass
+  * [[TextPrimitives.shingleSetData]].
+  */
+case class ShingleExplode(child: Expression, k: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def elementSchema: StructType =
+    new StructType().add("shingle", StringType, nullable = false)
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val arr = TextPrimitives.shingleSetData(v.asInstanceOf[UTF8String], k)
+      val n = arr.numElements()
+      val out = new Array[InternalRow](n)
+      var i = 0
+      while (i < n) { out(i) = InternalRow(arr.getUTF8String(i)); i += 1 }
+      out
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleExplode = copy(child = c)
 }
 
 /** Engine-portable rolling hash as a native expression: `hash31(text)`. */

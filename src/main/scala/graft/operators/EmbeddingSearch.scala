@@ -26,9 +26,15 @@ import graft.sources.Tables
   */
 object EmbeddingSearch {
 
-  /** Sequential-fold dot product of two double arrays. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two double arrays — the native
+    * [[graft.functions.expressions.DotProduct]] kernel (bit-identical to the
+    * HOF `aggregate(zip_with(...))` fold it replaced, minus its per-row
+    * intermediate array).
+    */
+  private def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+    toColumn(graft.functions.expressions.DotProduct(toExpression(a), toExpression(b)))
+  }
 
   private def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
@@ -127,6 +133,83 @@ object EmbeddingSearch {
       .select(col("query_id"), col("qv"), col("label"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     emb.join(broadcast(probes), Seq("label"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF with a TRAINED coarse quantizer: deterministic spherical k-means
+    * (Lloyd iterations with cosine assignment) instead of [[ivfTopK]]'s
+    * label shortcut — works on unlabeled corpora. Everything is fixed so the
+    * DuckDB oracle can replay training bit-for-bit: seeds are the first
+    * `nClusters` vectors by vec_id; exactly `iters` update rounds; argmax
+    * assignment on round(cosine, 6) with lowest-cluster tie-break; centroid
+    * means as exact decimal sums (order-independent under any partitioning).
+    *
+    * Scale shape: ASSIGNMENT IS ZERO-SHUFFLE — the k centroids ride along
+    * as one broadcast 1-row array and the argmax is per-row HOF arithmetic,
+    * so each training round scans the corpus map-side and shuffles only
+    * nClusters×dims mean rows; probe + re-rank are the same inverted-file
+    * trade as [[ivfTopK]]. (At 100 TB one would train on a sample and
+    * reuse the index across queries — the per-round plan here is already
+    * that shape.) Output matches [[bruteForceTopK]].
+    */
+  def kmeansTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+      nClusters: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // Norms hoisted OUT of the k-way argmax: sqrt(v·v) is identical whether
+    // computed once per row or once per (row, centroid) pair — same doubles,
+    // 3× fewer folds in the training hot loop.
+    val embN = emb.withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    // centroids as ONE broadcast row: array<struct<cl,cv,ncv>>, sorted by cl
+    // so the collect_list order can't leak into results
+    def centsArr(cent: DataFrame) = broadcast(
+      cent.agg(array_sort(collect_list(struct(col("cl"), col("cv"),
+        sqrt(dot(col("cv"), col("cv"))).as("ncv")))).as("cents")))
+    // map-side argmax: max of struct(csim, -cl) == highest csim, lowest cl
+    def assign(cent: DataFrame): DataFrame =
+      embN.crossJoin(centsArr(cent))
+        .withColumn("best", array_max(transform(col("cents"), c => {
+          val csim = when(col("nv") === 0.0 || c.getField("ncv") === 0.0, lit(0.0))
+            .otherwise(dot(col("v"), c.getField("cv")) / (col("nv") * c.getField("ncv")))
+          struct(round(csim, 6).as("csim"), (-c.getField("cl")).as("ncl"))
+        })))
+        .select(col("vec_id"), col("v"), (-col("best").getField("ncl")).as("cl"))
+    var cent = emb.where(col("vec_id") < nClusters)
+      .select(col("vec_id").cast("int").as("cl"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val means = assign(cent)
+        .select(col("cl"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cl"), col("d"))
+        .agg((sum(round(col("x"), 6).cast("decimal(28,10)")).cast("double")
+          / count(lit(1)).cast("double")).as("c"))
+        .groupBy(col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          s => s.getField("c")).as("cv"))
+      // a cluster that lost all members keeps its previous centroid; the
+      // eager localCheckpoint materializes the k-row centroid table so each
+      // training pass over the corpus runs exactly ONCE — without it, round
+      // t's lineage nests every earlier round's full assignment scan
+      cent = cent.select(col("cl"), col("cv").as("cv_prev"))
+        .join(means, Seq("cl"), "left")
+        .select(col("cl"), coalesce(col("cv"), col("cv_prev")).as("cv"))
+        .localCheckpoint()
+    }
+    val inverted = assign(cent) // the final inverted file: vectors by cell
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cl").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cl"),
+        round(cosine(col("qv"), col("cv")), 6).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cl"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    inverted.join(broadcast(probes), Seq("cl"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("v"), col("qv")), 6).as("cosine"))

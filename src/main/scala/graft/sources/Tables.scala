@@ -48,6 +48,29 @@ object Tables {
     * " ", BookQuery.java:57-61 — here the whole file arrives as one string
     * and we just normalize the line breaks).
     */
+  /** Export (doc_id, text) as one UTF-8 `<doc_id>.txt` per document — the
+    * fixture generator for exercising the reference's real ingestion shape
+    * (a directory of text files, BookQuery.java:216-226). Writes happen
+    * executor-side to a path all executors share (local mode / shared FS);
+    * this is parity/test tooling, not a production sink. Idempotent via a
+    * `_SUCCESS` marker (which the wholetext reader ignores, like any
+    * underscore-prefixed file).
+    */
+  def exportTextCorpus(docs: DataFrame, dir: String): Unit = {
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (marker.exists()) return
+    new java.io.File(dir).mkdirs()
+    docs.select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, r.getString(0) + ".txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    marker.createNewFile()
+  }
+
   def wholeTextDocuments(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("wholetext", "true").text(dir)
       .select(

@@ -102,6 +102,14 @@ class SourceSinkSpec extends AnyFunSuite {
       assert(row.getLong(2) == ('a'.toInt * 31 + 'b'.toInt) % 2147483647L)
       assert(row.getSeq[Long](4).length == 4)
 
+      // UDTF: generator in the select list and in LATERAL VIEW position
+      assert(s2.sql("SELECT graft_shingle_explode('a b c d', 3) AS shingle")
+        .collect().map(_.getString(0)).toSeq == Seq("a b c", "b c d"))
+      assert(s2.sql(
+        """SELECT doc, shingle FROM VALUES ('a b c d') v(doc)
+          |LATERAL VIEW graft_shingle_explode(doc, 2) t AS shingle""".stripMargin)
+        .count() == 3)
+
       // pure-SQL flagship through the same session: must equal the
       // DataFrame-API pipeline row for row
       GraftSql.registerTables(s2, "/root/testdata/sf0.001")
