@@ -38,9 +38,16 @@ object SparkEntry {
       val corpus = s"${System.getProperty("java.io.tmpdir")}/graft_wtcorpus_" +
         new java.io.File(dir).getName
       Tables.exportTextCorpus(Tables.documents(s, dir), corpus)
+      // ingest ONCE (eager localCheckpoint): the scoring pipeline reads the
+      // corpus from several branches (n-count, query row, corpus side), and
+      // re-opening thousands of small text files per branch is the one cost
+      // a file-per-doc source should pay a single time. Rides the custom
+      // DSv2 source (doc_id in the source schema, pruning to the reader);
+      // the v1 wholetext path is equivalence-tested in SourceSinkSpec.
       BookQuery.referenceScores(
-        Tables.wholeTextDocuments(s, corpus)
-          .select(col("doc_id").cast("long").as("doc_id"), col("text")))
+        Tables.wholeTextDocumentsV2(s, corpus)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .localCheckpoint())
     }),
     // — generalized similarity join (SURVEY.md §7.3) —
     "simjoin_allpairs" -> ((s, dir) =>

@@ -76,4 +76,12 @@ object Tables {
       .select(
         regexp_extract(input_file_name(), "([^/]+?)(\\.[^./]*)?$", 1).as("doc_id"),
         regexp_replace(col("value"), "\\r?\\n", " ").as("text"))
+
+  /** Same document-per-file ingestion through the custom DataSourceV2 source
+    * ([[graft.sources.v2.TextCorpusSource]]): doc_id is IN the source schema
+    * (no filename projection) and column pruning reaches the file reader —
+    * a doc_id-only query never reads file contents.
+    */
+  def wholeTextDocumentsV2(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-text").load(dir)
 }

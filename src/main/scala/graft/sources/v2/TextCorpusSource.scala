@@ -1,0 +1,169 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 "one text file = one document" source — the reference's
+  * ingestion model (manifest + whole-file read inside the mapper,
+  * BookQuery.java:44-61) as a REAL optimizer-visible table:
+  *
+  * {{{ spark.read.format("graft-text").load(corpusDir) }}}
+  *
+  * Schema is (doc_id string, text string) with doc_id = file basename minus
+  * extension — the identity rule the reference applies at BookQuery.java:48-49
+  * — computed INSIDE the source, so plans need no input_file_name()+regexp
+  * projection and column pruning reaches the reader: a doc_id-only query
+  * never materializes file contents (`SupportsPushDownRequiredColumns`).
+  *
+  * Scale shape: the driver sees only file METADATA (one listing, exactly the
+  * manifest the reference driver wrote); files are packed into splits by
+  * cumulative size against `spark.sql.files.maxPartitionBytes` +
+  * `openCostInBytes`, so a 100 TB corpus of small files spreads evenly over
+  * executors and each file's bytes are read once, executor-side.
+  */
+class TextCorpusSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-text"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TextCorpusSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-text requires a path: .load(dir)"))
+    new TextCorpusTable(path)
+  }
+}
+
+object TextCorpusSource {
+  val Schema: StructType = new StructType()
+    .add("doc_id", StringType, nullable = false)
+    .add("text", StringType, nullable = false)
+
+  /** basename minus extension — reference identity rule (BookQuery.java:48-49). */
+  def docId(fileName: String): String = {
+    val base = fileName.substring(fileName.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot > 0) base.substring(0, dot) else base
+  }
+}
+
+private[v2] class TextCorpusTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-text `$path`"
+  override def schema(): StructType = TextCorpusSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TextCorpusScanBuilder(path)
+}
+
+private[v2] class TextCorpusScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = TextCorpusSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new TextCorpusScan(path, required)
+}
+
+private[v2] class TextCorpusScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"TextCorpusScan path=$path, ReadSchema: ${required.simpleString}"
+
+  /** Driver-side METADATA listing only (the reference's manifest, :216-226);
+    * deterministic order, hidden files skipped, splits packed by size like
+    * Spark's own FilePartition planning.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val stats: Array[FileStatus] =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p) else Array(fs.getFileStatus(p)))
+        .filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .sortBy(_.getPath.toString)
+    val conf = SQLConf.get
+    val maxBytes = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
+    val splits = Array.newBuilder[InputPartition]
+    var current = List.empty[FileSlice]
+    var acc = 0L
+    stats.foreach { s =>
+      val cost = s.getLen + openCost
+      if (acc + cost > maxBytes && current.nonEmpty) {
+        splits += TextFilesPartition(current.reverse.toArray)
+        current = Nil
+        acc = 0L
+      }
+      current ::= FileSlice(s.getPath.toString, s.getLen)
+      acc += cost
+    }
+    if (current.nonEmpty) splits += TextFilesPartition(current.reverse.toArray)
+    splits.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TextCorpusReaderFactory(required)
+}
+
+private[v2] case class FileSlice(path: String, len: Long)
+private[v2] case class TextFilesPartition(files: Array[FileSlice]) extends InputPartition
+
+private[v2] class TextCorpusReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TextCorpusReader(partition.asInstanceOf[TextFilesPartition], required)
+}
+
+/** Executor-side reader: one row per file; reads bytes only if `text` is in
+  * the required schema (column pruning all the way down). Line breaks are
+  * normalized to single spaces — the reference concatenates lines with " "
+  * (BookQuery.java:57-61).
+  */
+private[v2] class TextCorpusReader(partition: TextFilesPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val needText = required.fieldNames.contains("text")
+  private val fieldIdx = required.fieldNames.zipWithIndex.toMap
+  private var i = -1
+  private var row: InternalRow = _
+  private lazy val fs =
+    new Path(partition.files.head.path).getFileSystem(new Configuration())
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= partition.files.length) return false
+    val f = partition.files(i)
+    val values = new Array[Any](required.length)
+    fieldIdx.get("doc_id").foreach { idx =>
+      values(idx) = UTF8String.fromString(TextCorpusSource.docId(f.path))
+    }
+    if (needText) {
+      val in = fs.open(new Path(f.path))
+      try {
+        val bytes = new Array[Byte](f.len.toInt)
+        in.readFully(0, bytes)
+        val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .replaceAll("\\r?\\n", " ")
+        values(fieldIdx("text")) = UTF8String.fromString(text)
+      } finally in.close()
+    }
+    row = new GenericInternalRow(values)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}

@@ -54,6 +54,22 @@ object Scratch {
       println(s"cand=${cand.count()} in ${(System.nanoTime()-t0)/1e9} s")
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "wtprof") {
+      val corpus = s"${System.getProperty("java.io.tmpdir")}/graft_wtcorpus_" +
+        new java.io.File(sfDir).getName
+      def time(what: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"WTPROF $what%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  n=$n")
+      }
+      time("list+count lines (plain)")(spark.read.text(corpus).count())
+      time("wholetext count")(spark.read.option("wholetext", "true").text(corpus).count())
+      time("wholetext count again")(spark.read.option("wholetext", "true").text(corpus).count())
+      time("wholetext + docid")(graft.sources.Tables.wholeTextDocuments(spark, corpus).count())
+      time("wholetext partitions")(
+        spark.read.option("wholetext", "true").text(corpus).rdd.getNumPartitions.toLong)
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "stream") {
       // readStream over a parquet dir -> watermarked hourly counts -> memory sink
       import org.apache.spark.sql.functions._

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Bounds for the one deliberately oracle-less query: `rel_approx_stats`
+  * uses engine-specific sketches (HLL++, approx_percentile), so no DuckDB
+  * hash-compare exists — instead the sketches are checked against the EXACT
+  * answers computed by the same engine: HLL distinct counts within the
+  * configured relative error envelope, the approximate median inside the
+  * exact p40–p60 band. Both sketches are deterministic for fixed data, so
+  * this is a stable regression gate, not a flaky tolerance test.
+  */
+class RelationalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("rel_approx_stats sketches stay inside exact-answer bounds") {
+    val approx = Relational.approxStats(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_extendedprice, 0.4)").as("p40"),
+        expr("percentile(l_extendedprice, 0.6)").as("p60"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (flag, a) =>
+      val e = exact(flag)
+      val nParts = e.getLong(1).toDouble
+      assert(math.abs(a.getLong(1) - nParts) / nParts <= 0.15,
+        s"$flag: approx distinct ${a.getLong(1)} vs exact $nParts drifts >15%")
+      val med = a.getDouble(2)
+      assert(med >= e.getDouble(2) - 0.01 && med <= e.getDouble(3) + 0.01,
+        s"$flag: approx median $med outside exact p40..p60 [${e.getDouble(2)}, ${e.getDouble(3)}]")
+      assert(a.getLong(3) == e.getLong(4), s"$flag: row counts disagree")
+    }
+  }
+}

@@ -26,6 +26,31 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(docs("query") == "a b c")
   }
 
+  test("DSv2 graft-text source: parity with v1, pruning reaches the reader") {
+    val dir = Files.createTempDirectory("graft_corpus_v2").toFile
+    Files.writeString(new java.io.File(dir, "alpha.txt").toPath, "a b c\nd e f\n")
+    Files.writeString(new java.io.File(dir, "beta.txt").toPath, "x y\r\nz")
+    Files.writeString(new java.io.File(dir, "_marker").toPath, "ignore me")
+    val v2 = Tables.wholeTextDocumentsV2(spark, dir.getAbsolutePath)
+    val v1 = Tables.wholeTextDocuments(spark, dir.getAbsolutePath)
+    assert(v2.as[(String, String)].collect().toMap ==
+      v1.as[(String, String)].collect().toMap)
+    // column pruning reaches the custom reader: a doc_id-only projection
+    // plans a scan whose ReadSchema carries no `text` field
+    val pruned = v2.select("doc_id")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("TextCorpusScan") || scanDesc.contains("graft-text"),
+      s"v2 scan missing in:\n$scanDesc")
+    assert(!scanDesc.contains("ReadSchema: struct<doc_id:string,text:string>"),
+      s"text not pruned from scan:\n$scanDesc")
+    assert(pruned.as[String].collect().sorted.toSeq == Seq("alpha", "beta"))
+    // the flagship runs unchanged through the v2 source
+    val scored = BookQuery.referenceScoresFor(
+      Tables.wholeTextDocumentsV2(spark, dir.getAbsolutePath), lit("alpha"))
+    assert(scored.columns.toSeq ==
+      Seq("doc_id", "len", "sum_shared", "score"))
+  }
+
   test("reference text sink emits '<doc> - query\\t<score>' lines") {
     // 4th doc keeps n=4 so "a b c" (df=3) clears the df==n stop filter.
     val corpus = Seq((0L, "a b c d"), (1L, "a b c x"), (2L, "a b c d e"), (3L, "z z z z"))
