@@ -61,6 +61,11 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), tau = 0.8, n = 2)),
+    // tau is data-dependent: the synthetic embeddings carry no true
+    // near-dups (max candidate cosine ≈ 0.48), so the entry runs at 0.4 to
+    // exercise the full bucket→verify path with non-trivial output
+    "dedup_embedding" -> ((s, dir) =>
+      EmbeddingSearch.cosineNearDupPairs(s, dir, tau = 0.4)),
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dedupClusters(docs, SimilarityJoin.allPairsJaccard(docs, tau = 0.7))
@@ -364,6 +369,23 @@ object SparkEntry {
          |r AS (SELECT *, (row_number() OVER
          |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
          |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v, list_transform(generate_series(0, 15), p ->
+         |  CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
+         |    d -> v[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
+         |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
+         |  THEN 1 ELSE 0 END) AS sig FROM e),
+         |bands AS (SELECT vec_id, unnest(list_transform(generate_series(0, 3), b ->
+         |  b::VARCHAR || ':' || array_to_string(list_transform(
+         |    list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id),
+         |s AS (SELECT cand.vec_a, cand.vec_b,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cand JOIN e ea ON cand.vec_a = ea.vec_id
+         |            JOIN e eb ON cand.vec_b = eb.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
     "embed_knn_kmeans" -> {
       // Replays the deterministic spherical k-means training (seeds = first
       // 8 vectors, 2 Lloyd rounds, decimal means, empty cells keep their

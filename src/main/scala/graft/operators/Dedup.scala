@@ -16,6 +16,9 @@ import graft.functions.HashFunctions._
   *                     LOSSLESS for d ≤ 3 (pigeonhole over 4 chunks).
   *   4. n-gram       — exact all-pairs word-n-gram Jaccard via the
   *                     prefix-filtered join (SimilarityJoin).
+  *   5. embedding    — cosine near-dup pairs over the vector space
+  *                     ([[EmbeddingSearch.cosineNearDupPairs]]: hyperplane-
+  *                     LSH buckets + exact-cosine verify).
   *
   * Scale notes: signatures/fingerprints are fixed-width per doc (128·8 B,
   * 8 B) regardless of document size, so the shuffle for bucketing is tiny

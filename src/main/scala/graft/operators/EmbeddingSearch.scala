@@ -140,6 +140,36 @@ object EmbeddingSearch {
       .where(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate PAIRS — the vector-space member of the
+    * dedup family (Dedup.scala holds the text-space ones): all unordered
+    * vector pairs with cosine ≥ tau, found via hyperplane-LSH band buckets
+    * (corpus self-join on short band keys, NEVER all-pairs) and verified
+    * with the exact cosine. Near-identical vectors agree on every
+    * hyperplane sign, so true near-dups collide in all 4 bands; at 100 TB
+    * candidate volume is Σ bucket², bounded by true dup-cluster sizes, with
+    * AQE skew-split for pathological buckets. Output:
+    * (vec_a, vec_b, cosine), vec_a < vec_b.
+    */
+  def cosineNearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.9): DataFrame =
+    cosineNearDupPairsFor(Tables.embeddings(spark, dir), tau)
+
+  /** Same over any (vec_id, embedding: array<numeric>) frame. */
+  def cosineNearDupPairsFor(embeddings: DataFrame, tau: Double): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val banded = emb
+      .select(col("vec_id"), explode(lshBandKeys(lshSignature(col("v")))).as("band"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
   /** IVF with a TRAINED coarse quantizer: deterministic spherical k-means
     * (Lloyd iterations with cosine assignment) instead of [[ivfTopK]]'s
     * label shortcut — works on unlabeled corpora. Everything is fixed so the

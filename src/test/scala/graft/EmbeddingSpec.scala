@@ -51,6 +51,20 @@ class EmbeddingSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding near-dup pairs: finds planted near-identical vectors") {
+    // 0↔1 near-identical (cosine ≈ 1: same hyperplane signs, collide in all
+    // bands); 2 orthogonal-ish; 3 far from everything.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.2, 0.1, -0.5)),
+      (1L, Seq(1.001, 0.2002, 0.1001, -0.5005)),
+      (2L, Seq(-0.2, 1.0, 0.0, 0.5)),
+      (3L, Seq(-1.0, -1.0, -1.0, -1.0))
+    ).toDF("vec_id", "embedding")
+    val pairs = EmbeddingSearch.cosineNearDupPairsFor(emb, tau = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"expected only the planted pair, got $pairs")
+  }
+
   test("brute-force and LSH top-k agree on the real table at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val brute = EmbeddingSearch.bruteForceTopK(spark, dir, k = 5, nQueries = 3)
