@@ -20,6 +20,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup on synthetic rows (touches NO benchmark data):
+    // without it the first measured query absorbs ~5 s of JIT + codegen +
+    // shuffle-machinery init and per-query numbers misattribute it.
+    spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
     def jq(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

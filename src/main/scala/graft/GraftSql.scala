@@ -5,8 +5,10 @@ import graft.sources.Tables
 
 /** SQL facade: register every engine table for an SF dir as a temp view and
   * run queries as plain SQL (with the graft_* functions available when the
-  * session carries [[GraftExtensions]]). The "switch from the reference"
-  * story for SQL-first users:
+  * session carries [[GraftExtensions]]). The session must be built with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (the events view reads
+  * TIMESTAMP(NANOS) parquet — see README "Required session conf").
+  * The "switch from the reference" story for SQL-first users:
   *
   * {{{
   *   GraftSql.registerTables(spark, "/root/testdata/sf0.01")

@@ -223,9 +223,12 @@ object EmbeddingSearch {
       // eager localCheckpoint materializes the k-row centroid table so each
       // training pass over the corpus runs exactly ONCE — without it, round
       // t's lineage nests every earlier round's full assignment scan
+      // k rows: collapse to one partition before checkpointing so each
+      // round materializes with 1 task, not shuffle.partitions of them
       cent = cent.select(col("cl"), col("cv").as("cv_prev"))
         .join(means, Seq("cl"), "left")
         .select(col("cl"), coalesce(col("cv"), col("cv_prev")).as("cv"))
+        .coalesce(1)
         .localCheckpoint()
     }
     val inverted = assign(cent) // the final inverted file: vectors by cell
