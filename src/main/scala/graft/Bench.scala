@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   * A failed query is LOUD: its name lands in an "errors" object on the same
-  * line (and on stderr) instead of silently contributing a plausible wall
-  * time to the total.
+  * line (and on stderr), its wall time stays visible in "queries", and it is
+  * EXCLUDED from "value" — a broken query can't contribute a plausible
+  * total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,12 +25,7 @@ object Bench {
     // without it the first measured query absorbs ~5 s of JIT + codegen +
     // shuffle-machinery init and per-query numbers misattribute it.
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jq(s: String): String = JsonOut.q(s)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -45,7 +41,7 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
         .mkString(""","errors":{""", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":${jq(sfDir)}}""")
     spark.stop()
   }

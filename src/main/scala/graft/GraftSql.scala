@@ -22,7 +22,13 @@ object GraftSql {
 
   def registerTables(spark: SparkSession, dir: String): Unit = {
     tableNames.foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
-    Events.eventsView(spark, dir)
+    // the events view needs the nanosAsLong build-time conf; a session
+    // without it still gets every other view instead of a hard failure here
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      Events.eventsView(spark, dir)
+    else
+      System.err.println("[graft] skipping `events` view: build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (see README) to register it")
   }
 
   private object Events {

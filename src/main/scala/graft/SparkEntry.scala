@@ -35,8 +35,11 @@ object SparkEntry {
       // the ingestion path is oracle-checked end-to-end against the same
       // SQL as book_query_ref.
       import org.apache.spark.sql.functions.col
+      // corpus dir keyed on the source table's file fingerprint: regenerated
+      // testdata gets a fresh export instead of a stale _SUCCESS-marked one
       val corpus = s"${System.getProperty("java.io.tmpdir")}/graft_wtcorpus_" +
-        new java.io.File(dir).getName
+        new java.io.File(dir).getName + "_" +
+        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
       Tables.exportTextCorpus(Tables.documents(s, dir), corpus)
       // ingest ONCE (eager localCheckpoint): the scoring pipeline reads the
       // corpus from several branches (n-count, query row, corpus side), and

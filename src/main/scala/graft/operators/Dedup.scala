@@ -128,11 +128,16 @@ object Dedup {
           (col("nbr_label") < col("label")).as("changed"))
         .localCheckpoint()
       val changed = next.where(col("changed")).count()
+      // next is materialized; the previous round's checkpoint blocks are
+      // dead (its lineage was truncated, nothing re-evaluates it) — release
+      // them instead of pinning one labels copy per round
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(labels)
       labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0
       it += 1
       System.err.println(s"[graft] dedupClusters round $it: $changed labels changed")
     }
+    org.apache.spark.sql.GraftShim.unpersistCheckpoint(edges) // final join reads only labels
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

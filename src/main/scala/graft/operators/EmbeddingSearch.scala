@@ -225,11 +225,14 @@ object EmbeddingSearch {
       // t's lineage nests every earlier round's full assignment scan
       // k rows: collapse to one partition before checkpointing so each
       // round materializes with 1 task, not shuffle.partitions of them
+      val prev = cent
       cent = cent.select(col("cl"), col("cv").as("cv_prev"))
         .join(means, Seq("cl"), "left")
         .select(col("cl"), coalesce(col("cv"), col("cv_prev")).as("cv"))
         .coalesce(1)
         .localCheckpoint()
+      // previous round's checkpoint blocks are dead once the new one exists
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(prev)
     }
     val inverted = assign(cent) // the final inverted file: vectors by cell
     val q = emb.where(col("vec_id") < nQueries)

@@ -119,9 +119,12 @@ object SimilarityJoin {
     * 793k candidates shuffled ~1 KB/row twice and dominated the query):
     *   1. prefilter on compact sorted 62-bit hash sets (8 B/term) — one
     *      allocation-free merge scan per candidate, inside whole-stage
-    *      codegen. 62-bit collisions can only MERGE set elements, so the
-    *      hashed Jaccard upper-bounds the true one: filtering it at τ never
-    *      drops a true pair.
+    *      codegen. A collision between terms NOT shared by both docs can
+    *      only merge union elements (hashed Jaccard ≥ true Jaccard — safe);
+    *      the residual risk is a collision between two terms SHARED by both
+    *      docs, which shrinks the hashed intersection and could drop a
+    *      τ-boundary pair — probability ≈ 2^-62 per pair, the accepted
+    *      trade of this prefilter.
     *   2. exact string-set verification, now joining arrays only for the
     *      handful of surviving pairs — the output values are computed
     *      exclusively from real shingle strings.

@@ -56,6 +56,18 @@ object Tables {
     * `_SUCCESS` marker (which the wholetext reader ignores, like any
     * underscore-prefixed file).
     */
+  /** Fingerprint of a parquet table's files (names, sizes, mtimes) — keys
+    * exported fixture dirs so REGENERATED source data can never be served
+    * from a stale export.
+    */
+  def datasetFingerprint(path: String): Long = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk) else Seq(f)
+    walk(new java.io.File(path)).foldLeft(17L) { (acc, f) =>
+      ((acc * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
+    }
+  }
+
   def exportTextCorpus(docs: DataFrame, dir: String): Unit = {
     val marker = new java.io.File(dir, "_SUCCESS")
     if (marker.exists()) return

@@ -2,7 +2,6 @@ package graft.sources.v2
 
 import java.util.{Map => JMap}
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -76,6 +75,13 @@ private[v2] class TextCorpusScanBuilder(path: String)
 
 private[v2] class TextCorpusScan(path: String, required: StructType)
     extends Scan with Batch {
+  // session Hadoop conf captured at plan time (driver) and shipped to
+  // executors — a bare `new Configuration()` would drop spark.hadoop.*
+  // settings (credentials, filesystem tuning)
+  private val confSer: java.io.Serializable =
+    org.apache.spark.sql.GraftShim.serializableHadoopConf(
+      org.apache.spark.sql.GraftShim.sessionHadoopConf())
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -87,7 +93,7 @@ private[v2] class TextCorpusScan(path: String, required: StructType)
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(org.apache.spark.sql.GraftShim.hadoopConfOf(confSer))
     val stats: Array[FileStatus] =
       (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p) else Array(fs.getFileStatus(p)))
         .filter { s =>
@@ -116,16 +122,16 @@ private[v2] class TextCorpusScan(path: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TextCorpusReaderFactory(required)
+    new TextCorpusReaderFactory(required, confSer)
 }
 
 private[v2] case class FileSlice(path: String, len: Long)
 private[v2] case class TextFilesPartition(files: Array[FileSlice]) extends InputPartition
 
-private[v2] class TextCorpusReaderFactory(required: StructType)
+private[v2] class TextCorpusReaderFactory(required: StructType, confSer: java.io.Serializable)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TextCorpusReader(partition.asInstanceOf[TextFilesPartition], required)
+    new TextCorpusReader(partition.asInstanceOf[TextFilesPartition], required, confSer)
 }
 
 /** Executor-side reader: one row per file; reads bytes only if `text` is in
@@ -133,14 +139,15 @@ private[v2] class TextCorpusReaderFactory(required: StructType)
   * normalized to single spaces — the reference concatenates lines with " "
   * (BookQuery.java:57-61).
   */
-private[v2] class TextCorpusReader(partition: TextFilesPartition, required: StructType)
+private[v2] class TextCorpusReader(partition: TextFilesPartition, required: StructType,
+    confSer: java.io.Serializable)
     extends PartitionReader[InternalRow] {
   private val needText = required.fieldNames.contains("text")
   private val fieldIdx = required.fieldNames.zipWithIndex.toMap
   private var i = -1
   private var row: InternalRow = _
-  private lazy val fs =
-    new Path(partition.files.head.path).getFileSystem(new Configuration())
+  private lazy val fs = new Path(partition.files.head.path)
+    .getFileSystem(org.apache.spark.sql.GraftShim.hadoopConfOf(confSer))
 
   override def next(): Boolean = {
     i += 1
@@ -151,6 +158,10 @@ private[v2] class TextCorpusReader(partition: TextFilesPartition, required: Stru
       values(idx) = UTF8String.fromString(TextCorpusSource.docId(f.path))
     }
     if (needText) {
+      // a whole-file-as-one-row source is bounded by the JVM array limit;
+      // fail loudly instead of a negative allocation or silent truncation
+      require(f.len <= Int.MaxValue - 16,
+        s"${f.path} is ${f.len} B — too large for a single whole-text document row")
       val in = fs.open(new Path(f.path))
       try {
         val bytes = new Array[Byte](f.len.toInt)

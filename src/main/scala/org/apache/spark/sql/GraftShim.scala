@@ -20,4 +20,36 @@ object GraftShim {
   /** The session's autoBroadcastJoinThreshold in bytes (-1 = disabled). */
   def broadcastThreshold(df: Dataset[_]): Long =
     df.asInstanceOf[classic.Dataset[_]].sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+
+  /** The active session's Hadoop configuration (spark.hadoop.* applied) —
+    * what a file-based source must use instead of `new Configuration()`,
+    * which would drop credentials/filesystem settings.
+    */
+  def sessionHadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Wrap/unwrap a Hadoop conf for shipping to executors. The concrete type
+    * (SerializableConfiguration) is private[spark], so it crosses graft code
+    * as an opaque Serializable.
+    */
+  def serializableHadoopConf(c: org.apache.hadoop.conf.Configuration): java.io.Serializable =
+    new org.apache.spark.util.SerializableConfiguration(c)
+  def hadoopConfOf(s: java.io.Serializable): org.apache.hadoop.conf.Configuration =
+    s.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
+
+  /** Release the block-manager storage behind an (eagerly) localCheckpoint'ed
+    * frame — Dataset.localCheckpoint has no unpersist counterpart, so
+    * iterative operators that checkpoint per round would otherwise pin one
+    * materialized copy per round for the session lifetime. Caller must
+    * guarantee the frame is never evaluated again (checkpointing truncated
+    * its lineage — there is nothing left to recompute from). No-op for
+    * non-checkpoint plans.
+    */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }
