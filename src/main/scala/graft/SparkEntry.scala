@@ -122,6 +122,7 @@ object SparkEntry {
     "embed_label_stats" -> ((s, dir) => EmbeddingSearch.labelStats(s, dir)),
     // — multimodal binary-column plumbing (builder mandate; codec stubbed) —
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
+    "multimodal_frames" -> ((s, dir) => Multimodal.frames(s, dir)),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -447,6 +448,13 @@ object SparkEntry {
         |    f -> codes[(f - 1) * 16 + 1])) % 2147483647)::BIGINT AS frame_checksum,
         |  round(list_sum(codes)::DOUBLE / len(text), 6) AS mean_byte
         |FROM c""".stripMargin,
+    "multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  unnest(generate_series(1, (len(text) - 1) // 16 + 1)) AS f FROM documents)
+        |SELECT doc_id, (f - 1)::BIGINT AS frame_idx,
+        |  ((f - 1) * 16)::BIGINT AS byte_off,
+        |  ascii(text[(f - 1) * 16 + 1])::BIGINT AS frame_byte
+        |FROM f""".stripMargin,
     "book_query_ref" -> bookQueryRefSql,
     // identical semantics — the Spark side differs only in INGESTION (text
     // files through the wholetext source instead of parquet)

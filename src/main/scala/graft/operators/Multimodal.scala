@@ -75,4 +75,28 @@ object Multimodal {
     */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir).toDF()
+
+  case class FrameRow(doc_id: Long, frame_idx: Long, byte_off: Long, frame_byte: Long)
+
+  /** Frame SAMPLING — the one-to-many decode shape (video → frames, audio →
+    * windows): each blob expands to one row per sampled frame via the same
+    * per-partition batch plumbing as [[extractFeatures]], with the codec
+    * stubbed ([[decodeStub]]) and the frame payload stood in by the sampled
+    * byte. Executor-parallel flatMap, no shuffle; output row count is
+    * Σ⌈bytes/frameStep⌉ — the explosion a real frame extractor produces.
+    */
+  def sampleFrames(spark: SparkSession, dir: String, frameStep: Int = 16): Dataset[FrameRow] = {
+    import spark.implicits._
+    withBlob(Tables.documents(spark, dir)).as[BlobRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val decoded = decodeStub(r.payload)
+        Iterator.range(0, decoded.length, frameStep).zipWithIndex.map { case (off, idx) =>
+          FrameRow(r.doc_id, idx.toLong, off.toLong, (decoded(off) & 0xff).toLong)
+        }
+      }
+    }
+  }
+
+  def frames(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(spark, dir).toDF()
 }

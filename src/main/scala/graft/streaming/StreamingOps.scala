@@ -29,6 +29,17 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Streaming exact dedup — the ingestion-time twin of Dedup.exactGroups:
+    * keep the FIRST document per content hash across micro-batches. State is
+    * one (hash) key per distinct document; with an event-time column, pair
+    * with `withWatermark` + `dropDuplicatesWithinWatermark` to bound state
+    * on unbounded streams (the form a 100 TB ingest pipeline runs); the
+    * unbounded-state form here is the exactness-preserving default.
+    */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.withColumn("text_hash", md5(col("text")))
+      .dropDuplicates("text_hash")
+
   case class Event(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

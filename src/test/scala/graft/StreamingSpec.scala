@@ -37,6 +37,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first doc per content hash across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingOps.dedupExact(input.toDF().toDF("doc_id", "text"))
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      // dups arrive only in LATER batches: which row a within-batch dedup
+      // keeps is partition-order-dependent, across batches it's the state
+      input.addData((0L, "a b c"), (2L, "x y z"))
+      q.processAllAvailable()
+      input.addData((3L, "a b c"), (4L, "new doc"))
+      q.processAllAvailable()
+      val kept = spark.table("sdedup").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 2L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("file-source streaming: parquet directory -> windowed counts == batch") {
     // Real readStream over a parquet dir (the deploy shape), checked against
     // the batch aggregation of the same files.
