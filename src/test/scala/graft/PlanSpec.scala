@@ -63,6 +63,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("pair-emitting queries never plan a cartesian/nested-loop join") {
+    // the all-pairs family must always join on keys (term/band/doc id) — a
+    // CartesianProduct or BroadcastNestedLoopJoin sneaking in means a join
+    // condition degenerated and the query is O(n²) rows at scale
+    withStaticPlans {
+      val docs = Tables.documents(spark, dir)
+      for (df <- Seq(
+          graft.operators.SimilarityJoin.allPairsJaccard(docs, tau = 0.7),
+          graft.operators.Dedup.minhashLshPairs(docs, tau = 0.7),
+          graft.operators.Dedup.simhashPairs(docs),
+          graft.operators.EmbeddingSearch.cosineNearDupPairsFor(
+            Tables.embeddings(spark, dir), tau = 0.4))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+          s"cartesian/nested-loop join in pair-emitting plan:\n$plan")
+      }
+    }
+  }
+
   test("scans prune columns: flagship reads only doc_id and text") {
     val plan = BookQuery.referenceScores(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString

@@ -87,6 +87,57 @@ class PropertySpec extends AnyFunSuite {
     assert(checked == 5)
   }
 
+  test("IntersectCountSorted(HashSet62) == model set-intersection size") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+    import graft.functions.expressions.{HashSet62, IntersectCountSorted}
+    (0L until 8L).foreach { seed =>
+      val a = sample(genTextDense, seed * 2 + 9001)
+      val b = sample(genTextDense, seed * 2 + 9002)
+      val df = Seq((a, b)).toDF("a", "b")
+      def hs(c: org.apache.spark.sql.Column) =
+        toColumn(HashSet62(toExpression(graft.functions.TextFunctions.shingleSet(c, 3))))
+      val got = df.select(
+        toColumn(IntersectCountSorted(toExpression(hs(col("a"))), toExpression(hs(col("b"))))))
+        .as[Long].head()
+      val expected = (modelShingles(a) intersect modelShingles(b)).size.toLong
+      assert(got == expected, s"a=[$a] b=[$b] got=$got expected=$expected")
+    }
+  }
+
+  test("DotProduct kernel == sequential-fold model, bit-exact") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+    import graft.functions.expressions.DotProduct
+    val rnd = new scala.util.Random(7)
+    (0 until 6).foreach { _ =>
+      val a = Vector.fill(64)(rnd.nextDouble() * 2 - 1)
+      val b = Vector.fill(64)(rnd.nextDouble() * 2 - 1)
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(toColumn(DotProduct(toExpression(col("a")), toExpression(col("b")))))
+        .as[Double].head()
+      var acc = 0.0 // same fold order as the kernel and the DuckDB oracle
+      (0 until 64).foreach(i => acc += a(i) * b(i))
+      assert(got == acc, s"got=$got expected=$acc")
+    }
+  }
+
+  test("graft_shingle_explode rows == shingleSet elements, order preserved") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+    import graft.functions.expressions.ShingleExplode
+    (0L until 6L).foreach { seed =>
+      val t = sample(genText, seed + 4242)
+      val df = Seq(Tuple1(t)).toDF("text")
+      val exploded = df.select(
+        toColumn(ShingleExplode(toExpression(col("text")), 3)).as("s"))
+        .as[String].collect().toSeq
+      val asSet = df.select(explode(graft.functions.TextFunctions.shingleSet(col("text"), 3)))
+        .as[String].collect().toSeq
+      assert(exploded == asSet, s"t=[$t]")
+    }
+  }
+
   test("minhash agreement estimates Jaccard within coarse epsilon") {
     import org.apache.spark.sql.functions._
     var checked = 0
