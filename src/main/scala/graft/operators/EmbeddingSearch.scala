@@ -210,6 +210,7 @@ object EmbeddingSearch {
         .select(col("vec_id"), col("v"), (-col("best").getField("ncl")).as("cl"))
     var cent = emb.where(col("vec_id") < nClusters)
       .select(col("vec_id").cast("int").as("cl"), col("v").as("cv"))
+    var tRound = System.nanoTime()
     for (_ <- 1 to iters) {
       val means = assign(cent)
         .select(col("cl"), posexplode(col("v")).as(Seq("d", "x")))
@@ -233,6 +234,8 @@ object EmbeddingSearch {
         .localCheckpoint()
       // previous round's checkpoint blocks are dead once the new one exists
       org.apache.spark.sql.GraftShim.unpersistCheckpoint(prev)
+      System.err.println(f"[graft] kmeans round: ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+      tRound = System.nanoTime()
     }
     val inverted = assign(cent) // the final inverted file: vectors by cell
     val q = emb.where(col("vec_id") < nQueries)
