@@ -88,6 +88,10 @@ object SparkEntry {
       TextAnalysis.ngramFrequencies(Tables.documents(s, dir), n = 3, kTop = 20)),
     "text_lang_minhash" -> ((s, dir) =>
       TextAnalysis.langMinhash(Tables.documents(s, dir))),
+    "text_source_stats" -> ((s, dir) =>
+      TextAnalysis.sourceStats(Tables.documents(s, dir))),
+    "text_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, dir))),
     "events_transitions" -> ((s, dir) => Events.transitions(s, dir)),
     // — relational surface (SURVEY.md §2.2 checklist) —
     "rel_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -593,6 +597,26 @@ object SparkEntry {
          |  md5(text) AS md5_fp,
          |  ${duckHash("array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS bow_fp
          |FROM documents""".stripMargin,
+    "text_source_stats" ->
+      """WITH t AS (SELECT source, lang, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  length(text)::BIGINT AS n_chars FROM documents)
+        |SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  max(n_tokens) AS max_tokens,
+        |  round(CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6) AS avg_chars
+        |FROM t GROUP BY 1""".stripMargin,
+    "text_quality_filter" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens,
+        |  length(text)::BIGINT AS n_chars FROM documents),
+        |s AS (SELECT *,
+        |  round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 6) AS avg_token_len,
+        |  round(n_distinct_tokens::DOUBLE / n_tokens, 6) AS type_token_ratio FROM t)
+        |SELECT doc_id, lang, n_tokens, n_distinct_tokens, n_chars,
+        |  avg_token_len, type_token_ratio
+        |FROM s WHERE n_tokens >= 30 AND avg_token_len >= 2.0
+        |  AND avg_token_len <= 12.0 AND type_token_ratio >= 0.3""".stripMargin,
     "text_tfidf_topk" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),

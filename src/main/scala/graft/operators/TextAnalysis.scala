@@ -138,6 +138,50 @@ object TextAnalysis {
       .select(col("lang"), col("slot").cast("long").as("slot"), col("sig_val"))
   }
 
+  /** Per-source corpus profile — the provenance breakdown a training-data
+    * curation pass starts from: doc/lang counts and exact (decimal-summed)
+    * token/char totals per `source`. One map-side scan + one aggregation.
+    */
+  def sourceStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"),
+        size(tokenize(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        round(sum(col("n_chars").cast("decimal(18,0)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_chars"))
+
+  /** C4/Gopher-style quality FILTER (not just stats): keep documents passing
+    * all rules — minimum length, sane mean token length, lexical diversity.
+    * Pure map-side predicate over the scan: at 100 TB this is the shape of
+    * the first (and largest-volume) pass of a cleaning pipeline, and the
+    * predicate pushes into the scan like any other filter. Output: the
+    * survivors with the stats the rules used.
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 30,
+      minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
+      minTypeTokenRatio: Double = 0.3): DataFrame = {
+    val toks = tokenize(col("text"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("avg_token_len",
+        round((col("n_chars") - (col("n_tokens") - 1)).cast("double")
+          / col("n_tokens").cast("double"), 6))
+      .withColumn("type_token_ratio",
+        round(col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+      .where(col("n_tokens") >= minTokens &&
+        col("avg_token_len") >= minAvgTokLen && col("avg_token_len") <= maxAvgTokLen &&
+        col("type_token_ratio") >= minTypeTokenRatio)
+  }
+
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)), deterministic
     * tie-break on rounded score then term. One df aggregation (term-keyed
     * shuffle) + one doc-keyed window. Output:
