@@ -109,6 +109,9 @@ object SparkEntry {
     "rel_scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(s, dir)),
     "rel_full_outer" -> ((s, dir) => Relational.customerOrdersFullOuter(s, dir)),
     "rel_grouping_sets" -> ((s, dir) => Relational.returnsGroupingSets(s, dir)),
+    "rel_pivot" -> ((s, dir) => Relational.ordersPivot(s, dir)),
+    "corpus_clean" -> ((s, dir) =>
+      TextAnalysis.cleanedCorpus(Tables.documents(s, dir))),
     "text_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
     // sketch aggregates: engine-specific, intentionally no oracle (rows-only)
@@ -293,6 +296,26 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "rel_pivot" ->
+      """SELECT year(o_orderdate)::BIGINT AS order_year,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
+    "corpus_clean" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens,
+        |  length(text)::BIGINT AS n_chars FROM documents),
+        |s AS (SELECT *,
+        |  round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 6) AS avg_token_len,
+        |  round(n_distinct_tokens::DOUBLE / n_tokens, 6) AS type_token_ratio FROM t),
+        |qf AS (SELECT doc_id, lang, n_tokens, md5(text) AS h FROM s
+        |  WHERE n_tokens >= 30 AND avg_token_len >= 2.0
+        |    AND avg_token_len <= 12.0 AND type_token_ratio >= 0.3),
+        |k AS (SELECT h, min(doc_id) AS doc_id FROM qf GROUP BY 1)
+        |SELECT qf.doc_id, qf.lang, qf.n_tokens
+        |FROM qf JOIN k ON qf.doc_id = k.doc_id""".stripMargin,
     "text_sample" ->
       s"""SELECT doc_id, lang, ${duckHash("text")} % 100 AS bucket
          |FROM documents WHERE ${duckHash("text")} % 100 < 20""".stripMargin,

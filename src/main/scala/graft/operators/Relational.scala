@@ -208,6 +208,22 @@ object Relational {
         col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
 
+  /** PIVOT: order counts per year spread across status columns — the
+    * wide-format aggregation surface. Pivot values are declared explicitly
+    * (no value-discovery scan) and absent cells coalesce to 0 so the output
+    * matches the CASE-sum formulation any SQL engine can run.
+    */
+  def ordersPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderstatus"))
+      .groupBy(col("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("order_year"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
   /** Sketch-based approximate aggregates — the O(1)-memory scale path next
     * to the exact operators (HLL++ for distincts, KLL-style quantile
     * sketch). Sketches are engine-specific, so this query carries no DuckDB

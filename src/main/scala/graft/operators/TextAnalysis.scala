@@ -182,6 +182,22 @@ object TextAnalysis {
         col("type_token_ratio") >= minTypeTokenRatio)
   }
 
+  /** The end-to-end cleaning pipeline a training corpus actually runs:
+    * quality FILTER → exact-dedup keep-first → surviving documents. One
+    * composition of the operators above — demonstrating that the pieces
+    * chain as one lazy DAG (filter pushes to the scan, the dedup groupBy is
+    * the only shuffle, survivors never rematerialize text).
+    */
+  def cleanedCorpus(docs: DataFrame): DataFrame = {
+    val qf = qualityFilter(docs)
+    val keepers = docs.select(col("doc_id").as("d2"), md5(col("text")).as("h"))
+      .join(qf.select(col("doc_id").as("d2")), "d2")
+      .groupBy(col("h")).agg(min(col("d2")).as("doc_id"))
+      .select(col("doc_id"))
+    qf.join(keepers, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)), deterministic
     * tie-break on rounded score then term. One df aggregation (term-keyed
     * shuffle) + one doc-keyed window. Output:
