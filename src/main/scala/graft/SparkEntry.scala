@@ -27,6 +27,8 @@ object SparkEntry {
       BookQuery.referenceScores(Tables.documents(s, dir))),
     "book_query_jaccard" -> ((s, dir) =>
       BookQuery.jaccardScores(Tables.documents(s, dir))),
+    "book_query_topk" -> ((s, dir) =>
+      BookQuery.topK(BookQuery.referenceScores(Tables.documents(s, dir)), "score", 10)),
     "book_query_wholetext" -> ((s, dir) => {
       // The reference's REAL user entry: a directory of one-doc text files
       // (BookQuery.java:44-61,216-226). The corpus dir is materialized once
@@ -72,6 +74,13 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dedupClusters(docs, SimilarityJoin.allPairsJaccard(docs, tau = 0.7))
+    }),
+    // same clustering over the SUB-QUADRATIC candidate path (MinHash-LSH
+    // pairs instead of the exact all-pairs join) — the composition a 100 TB
+    // dedup actually runs; oracle replays LSH banding + closure
+    "dedup_clusters_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupClusters(docs, Dedup.minhashLshPairs(docs, tau = 0.7))
     }),
     // — text analysis (SURVEY.md §7.6) —
     "text_quality" -> ((s, dir) =>
@@ -544,6 +553,33 @@ object SparkEntry {
          |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
          |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(mn.m, d.doc_id)) AS keeper,
+         |  d.doc_id = least(d.doc_id, coalesce(mn.m, d.doc_id)) AS kept
+         |FROM documents d LEFT JOIN mn ON d.doc_id = mn.src""".stripMargin,
+    "book_query_topk" ->
+      s"""SELECT * FROM ($bookQueryRefSql) base
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "dedup_clusters_lsh" ->
+      s"""WITH RECURSIVE ${shingleCte(3)},
+         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |hs AS (SELECT doc_id, list_transform(sh, t -> ${duckHash("t")}) AS hset FROM sets),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0, 63),
+         |  i -> list_min(list_transform(hset, h -> (h*(2*i+1) + (12345 + 67891*i)) % 2147483647))) AS sig
+         |  FROM hs),
+         |bands AS (SELECT doc_id, unnest(list_transform(generate_series(0, 15),
+         |  b -> b::VARCHAR || ':' || array_to_string(list_transform(
+         |    list_slice(sig, b*4+1, b*4+4), v -> v::VARCHAR), '_'))) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |pairs AS (${verifyTail(0.7)}),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(src, dst) AS (
