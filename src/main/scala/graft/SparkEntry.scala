@@ -160,6 +160,36 @@ object SparkEntry {
   private def duckHash(s: String): String =
     s"list_reduce(list_transform(generate_series(1, len($s)), ci -> ascii($s[ci])::BIGINT), (a, b) -> (a*31 + b) % 2147483647)"
 
+  /** MinHash-LSH candidate CTEs (hs → sig → bands → cand) over a `sets`
+    * CTE — ONE copy of the banding constants (64 sigs, 16 bands, the
+    * 12345/67891 permutation family) mirrored from HashFunctions, shared by
+    * every oracle that replays LSH candidate generation.
+    */
+  private val minhashCandCtes: String =
+    s"""hs AS (SELECT doc_id, list_transform(sh, t -> ${duckHash("t")}) AS hset FROM sets),
+       |sig AS (SELECT doc_id, list_transform(generate_series(0, 63),
+       |  i -> list_min(list_transform(hset, h -> (h*(2*i+1) + (12345 + 67891*i)) % 2147483647))) AS sig
+       |  FROM hs),
+       |bands AS (SELECT doc_id, unnest(list_transform(generate_series(0, 15),
+       |  b -> b::VARCHAR || ':' || array_to_string(list_transform(
+       |    list_slice(sig, b*4+1, b*4+4), v -> v::VARCHAR), '_'))) AS band FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Quality-rule CTEs (t → s) and the rule predicate — ONE copy of the
+    * C4-style thresholds, shared by text_quality_filter and corpus_clean.
+    */
+  private val qualityCtes: String =
+    """t AS (SELECT doc_id, lang, text,
+      |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens,
+      |  length(text)::BIGINT AS n_chars FROM documents),
+      |s AS (SELECT *,
+      |  round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 6) AS avg_token_len,
+      |  round(n_distinct_tokens::DOUBLE / n_tokens, 6) AS type_token_ratio FROM t)""".stripMargin
+  private val qualityPred: String =
+    "n_tokens >= 30 AND avg_token_len >= 2.0 AND avg_token_len <= 12.0 AND type_token_ratio >= 0.3"
+
   /** Exact-Jaccard pair verification tail shared by the pair-emitting
     * oracles; expects CTEs `sets`(doc_id, sh) and `cand`(doc_a, doc_b).
     */
@@ -312,19 +342,12 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY 1""".stripMargin,
     "corpus_clean" ->
-      """WITH t AS (SELECT doc_id, lang, text,
-        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
-        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens,
-        |  length(text)::BIGINT AS n_chars FROM documents),
-        |s AS (SELECT *,
-        |  round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 6) AS avg_token_len,
-        |  round(n_distinct_tokens::DOUBLE / n_tokens, 6) AS type_token_ratio FROM t),
-        |qf AS (SELECT doc_id, lang, n_tokens, md5(text) AS h FROM s
-        |  WHERE n_tokens >= 30 AND avg_token_len >= 2.0
-        |    AND avg_token_len <= 12.0 AND type_token_ratio >= 0.3),
-        |k AS (SELECT h, min(doc_id) AS doc_id FROM qf GROUP BY 1)
-        |SELECT qf.doc_id, qf.lang, qf.n_tokens
-        |FROM qf JOIN k ON qf.doc_id = k.doc_id""".stripMargin,
+      s"""WITH $qualityCtes,
+         |qf AS (SELECT doc_id, lang, n_tokens, md5(text) AS h FROM s
+         |  WHERE $qualityPred),
+         |k AS (SELECT h, min(doc_id) AS doc_id FROM qf GROUP BY 1)
+         |SELECT qf.doc_id, qf.lang, qf.n_tokens
+         |FROM qf JOIN k ON qf.doc_id = k.doc_id""".stripMargin,
     "text_sample" ->
       s"""SELECT doc_id, lang, ${duckHash("text")} % 100 AS bucket
          |FROM documents WHERE ${duckHash("text")} % 100 < 20""".stripMargin,
@@ -484,9 +507,13 @@ object SparkEntry {
         |    f -> codes[(f - 1) * 16 + 1])) % 2147483647)::BIGINT AS frame_checksum,
         |  round(list_sum(codes)::DOUBLE / len(text), 6) AS mean_byte
         |FROM c""".stripMargin,
+    // length(text) > 0 guard: the (len-1)//16+1 frame count would claim one
+    // frame for an empty doc where the engine (correctly) emits none. Char
+    // indexing == byte indexing holds because the corpus is verified ASCII.
     "multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text,
-        |  unnest(generate_series(1, (len(text) - 1) // 16 + 1)) AS f FROM documents)
+        |  unnest(generate_series(1, (len(text) - 1) // 16 + 1)) AS f
+        |  FROM documents WHERE length(text) > 0)
         |SELECT doc_id, (f - 1)::BIGINT AS frame_idx,
         |  ((f - 1) * 16)::BIGINT AS byte_off,
         |  ascii(text[(f - 1) * 16 + 1])::BIGINT AS frame_byte
@@ -516,15 +543,7 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH ${shingleCte(3)},
          |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-         |hs AS (SELECT doc_id, list_transform(sh, t -> ${duckHash("t")}) AS hset FROM sets),
-         |sig AS (SELECT doc_id, list_transform(generate_series(0, 63),
-         |  i -> list_min(list_transform(hset, h -> (h*(2*i+1) + (12345 + 67891*i)) % 2147483647))) AS sig
-         |  FROM hs),
-         |bands AS (SELECT doc_id, unnest(list_transform(generate_series(0, 15),
-         |  b -> b::VARCHAR || ':' || array_to_string(list_transform(
-         |    list_slice(sig, b*4+1, b*4+4), v -> v::VARCHAR), '_'))) AS band FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |$minhashCandCtes
          |${verifyTail(0.7)}""".stripMargin,
     "dedup_simhash" ->
       s"""WITH ${shingleCte(3)},
@@ -570,15 +589,7 @@ object SparkEntry {
     "dedup_clusters_lsh" ->
       s"""WITH RECURSIVE ${shingleCte(3)},
          |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-         |hs AS (SELECT doc_id, list_transform(sh, t -> ${duckHash("t")}) AS hset FROM sets),
-         |sig AS (SELECT doc_id, list_transform(generate_series(0, 63),
-         |  i -> list_min(list_transform(hset, h -> (h*(2*i+1) + (12345 + 67891*i)) % 2147483647))) AS sig
-         |  FROM hs),
-         |bands AS (SELECT doc_id, unnest(list_transform(generate_series(0, 15),
-         |  b -> b::VARCHAR || ':' || array_to_string(list_transform(
-         |    list_slice(sig, b*4+1, b*4+4), v -> v::VARCHAR), '_'))) AS band FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |$minhashCandCtes,
          |pairs AS (${verifyTail(0.7)}),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -665,17 +676,10 @@ object SparkEntry {
         |  round(CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6) AS avg_chars
         |FROM t GROUP BY 1""".stripMargin,
     "text_quality_filter" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
-        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens,
-        |  length(text)::BIGINT AS n_chars FROM documents),
-        |s AS (SELECT *,
-        |  round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 6) AS avg_token_len,
-        |  round(n_distinct_tokens::DOUBLE / n_tokens, 6) AS type_token_ratio FROM t)
-        |SELECT doc_id, lang, n_tokens, n_distinct_tokens, n_chars,
-        |  avg_token_len, type_token_ratio
-        |FROM s WHERE n_tokens >= 30 AND avg_token_len >= 2.0
-        |  AND avg_token_len <= 12.0 AND type_token_ratio >= 0.3""".stripMargin,
+      s"""WITH $qualityCtes
+         |SELECT doc_id, lang, n_tokens, n_distinct_tokens, n_chars,
+         |  avg_token_len, type_token_ratio
+         |FROM s WHERE $qualityPred""".stripMargin,
     "text_tfidf_topk" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),

@@ -115,17 +115,28 @@ object Dedup {
     var converged = false
     var it = 1
     while (!converged && it < maxIters) {
-      // min-label propagation (the standard large-scale connected-components
-      // loop); each checkpointed round starts from stored partitions, so the
-      // per-round plan is one join + one aggregate, never the whole history.
-      val next = edges
+      // min-label propagation WITH path halving: after the one-hop neighbor
+      // min, each vertex also jumps to its label's label
+      // (label(label(v)) ≤ label(v), since label(v) ≤ v is invariant).
+      // Plain one-hop propagation needs O(component diameter) rounds — a
+      // long near-dup chain would exhaust maxIters; halving makes rounds
+      // O(log diameter), the standard pointer-doubling fix. Each
+      // checkpointed round starts from stored partitions, so the per-round
+      // plan is two tiny joins + one aggregate, never the whole history.
+      val stepped = edges
         .join(labels.select(col("doc_id").as("src"), col("label").as("src_label")), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("src_label")).as("nbr_label"))
         .join(labels, "doc_id")
-        .select(col("doc_id"),
-          least(col("label"), col("nbr_label")).as("label"),
-          (col("nbr_label") < col("label")).as("changed"))
+        .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label"))
+      val halved = stepped
+        .join(stepped.select(col("doc_id").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("label2"), col("label")).as("label"))
+      val next = halved
+        .join(labels.select(col("doc_id"), col("label").as("prev_label")), "doc_id")
+        .select(col("doc_id"), col("label"),
+          (col("label") < col("prev_label")).as("changed"))
         .localCheckpoint()
       val changed = next.where(col("changed")).count()
       // next is materialized; the previous round's checkpoint blocks are
@@ -137,6 +148,11 @@ object Dedup {
       it += 1
       System.err.println(s"[graft] dedupClusters round $it: $changed labels changed")
     }
+    // A silent non-convergence would return intermediate labels as keepers —
+    // wrong answers with no signal. Fail loudly instead; with halving,
+    // maxIters=10 covers component diameters up to ~2^10.
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge within $maxIters rounds — raise maxIters")
     org.apache.spark.sql.GraftShim.unpersistCheckpoint(edges) // final join reads only labels
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")

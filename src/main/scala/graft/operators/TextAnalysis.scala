@@ -165,13 +165,24 @@ object TextAnalysis {
     */
   def qualityFilter(docs: DataFrame, minTokens: Int = 30,
       minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
+      minTypeTokenRatio: Double = 0.3): DataFrame =
+    qualityFilterHashed(docs, minTokens, minAvgTokLen, maxAvgTokLen, minTypeTokenRatio)
+      .drop("h")
+
+  /** [[qualityFilter]] carrying md5(text) as `h` — single definition of the
+    * rules shared with [[cleanedCorpus]], which needs the hash without
+    * re-scanning (and re-hashing) documents the filter already rejected.
+    */
+  private[operators] def qualityFilterHashed(docs: DataFrame, minTokens: Int = 30,
+      minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
       minTypeTokenRatio: Double = 0.3): DataFrame = {
     val toks = tokenize(col("text"))
     docs
       .select(col("doc_id"), col("lang"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-        length(col("text")).cast("long").as("n_chars"))
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("h"))
       .withColumn("avg_token_len",
         round((col("n_chars") - (col("n_tokens") - 1)).cast("double")
           / col("n_tokens").cast("double"), 6))
@@ -183,16 +194,15 @@ object TextAnalysis {
   }
 
   /** The end-to-end cleaning pipeline a training corpus actually runs:
-    * quality FILTER → exact-dedup keep-first → surviving documents. One
-    * composition of the operators above — demonstrating that the pieces
-    * chain as one lazy DAG (filter pushes to the scan, the dedup groupBy is
-    * the only shuffle, survivors never rematerialize text).
+    * quality FILTER → exact-dedup keep-first → surviving documents, as one
+    * lazy DAG. The content hash is computed IN the filtered projection
+    * ([[qualityFilterHashed]]), so rejected documents are never hashed and
+    * the dedup side adds one keeper aggregation + one id join on the
+    * (already filtered) survivor stream.
     */
   def cleanedCorpus(docs: DataFrame): DataFrame = {
-    val qf = qualityFilter(docs)
-    val keepers = docs.select(col("doc_id").as("d2"), md5(col("text")).as("h"))
-      .join(qf.select(col("doc_id").as("d2")), "d2")
-      .groupBy(col("h")).agg(min(col("d2")).as("doc_id"))
+    val qf = qualityFilterHashed(docs)
+    val keepers = qf.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     qf.join(keepers, "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tokens"))

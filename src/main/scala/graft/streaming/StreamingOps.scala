@@ -39,6 +39,7 @@ object StreamingOps {
   def dedupExact(docs: DataFrame): DataFrame =
     docs.withColumn("text_hash", md5(col("text")))
       .dropDuplicates("text_hash")
+      .drop("text_hash") // helper column — output keeps the input doc schema
 
   case class Event(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(start: Long, end: Long, n: Long)

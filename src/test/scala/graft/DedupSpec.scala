@@ -74,6 +74,20 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 4L, true)))
   }
 
+  test("dedup clusters converge on a 30-hop chain within maxIters (path halving)") {
+    // one-hop min propagation needs O(diameter) rounds and would exhaust
+    // maxIters=10 on this chain; path halving converges in O(log diameter)
+    val n = 30
+    val chainDocs = (0L until n.toLong).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chainPairs = (0L until (n - 1).toLong)
+      .map(i => (i, i + 1, 1L, 1L, 1.0))
+      .toDF("doc_a", "doc_b", "inter_len", "union_len", "jaccard")
+    val clusters = Dedup.dedupClusters(chainDocs, chainPairs)
+      .select("doc_id", "keeper").as[(Long, Long)].collect().toMap
+    assert(clusters.size == n && clusters.values.forall(_ == 0L),
+      s"chain not fully collapsed: ${clusters.filter(_._2 != 0L)}")
+  }
+
   test("ngram jaccard pairs on word bigrams") {
     // bigrams: 9 each for docs 1-3; 1&3 share 9-2=7, union 11 -> 7/11 ≈ .6364
     val pairs = Dedup.ngramJaccardPairs(docs, tau = 0.5, n = 2)

@@ -17,6 +17,22 @@ class RelationalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("cleanedCorpus keep-first dedup drops exact duplicates that pass quality") {
+    import spark.implicits._
+    // 35 distinct short tokens: passes every quality rule (n_tokens >= 30,
+    // avg_token_len ~2.7, type_token_ratio 1.0). The sf corpora carry no
+    // exact dups among quality survivors, so this plants them explicitly.
+    val good = (1 to 35).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (5L, good), (2L, good),                       // exact dups -> keep 2
+      (9L, good + " extra tail words here"),        // unique survivor
+      (1L, "short"))                                // fails the filter
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = graft.operators.TextAnalysis.cleanedCorpus(docs)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 35L), (9L, 39L)), s"got $got")
+  }
+
   test("rel_approx_stats sketches stay inside exact-answer bounds") {
     val approx = Relational.approxStats(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap
