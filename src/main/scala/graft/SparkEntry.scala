@@ -130,6 +130,7 @@ object SparkEntry {
     "events_sliding" -> ((s, dir) => Events.slidingCounts(s, dir)),
     "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
     "events_json" -> ((s, dir) => Events.jsonStats(s, dir)),
+    "events_retention" -> ((s, dir) => Events.weeklyRetention(s, dir)),
     // — embedding similarity search (SURVEY.md §7.5) —
     "embed_knn_brute" -> ((s, dir) => EmbeddingSearch.bruteForceTopK(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
@@ -385,6 +386,14 @@ object SparkEntry {
         |  min(k) AS min_k, max(k) AS max_k,
         |  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
         |FROM e GROUP BY 1""".stripMargin,
+    "events_retention" ->
+      """WITH w AS (SELECT DISTINCT epoch_us(ts) // 604800000000 AS wk, user_id FROM events)
+        |SELECT a.wk * 604800 AS week_epoch,
+        |  count(a.user_id) AS n_active,
+        |  count(b.user_id) AS n_retained,
+        |  round(count(b.user_id)::DOUBLE / count(a.user_id), 6) AS retention_rate
+        |FROM w a LEFT JOIN w b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+        |GROUP BY a.wk""".stripMargin,
     "embed_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

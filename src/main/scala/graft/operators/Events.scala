@@ -97,6 +97,31 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Weekly cohort retention: of the distinct users active in week w, how
+    * many are also active in week w+1. The classic period-over-period
+    * self-join, shaped for scale: activity is reduced to DISTINCT
+    * (week, user) pairs first (one agg), so the self-join carries one row
+    * per active user-week — bounded by actives, not by raw event volume.
+    * Output: (week_epoch, n_active, n_retained, retention_rate).
+    */
+  def weeklyRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L // 7 * 24 * 3600 * 1e6
+    val weekly = events(spark, dir)
+      .select(expr(s"ts_us div $weekUs").as("wk"), col("user_id"))
+      .distinct()
+    weekly.as("a")
+      .join(weekly.as("b"),
+        col("a.user_id") === col("b.user_id") && col("b.wk") === col("a.wk") + 1, "left")
+      .groupBy(col("a.wk").as("wk"))
+      .agg(
+        count(col("a.user_id")).as("n_active"),
+        count(col("b.user_id")).as("n_retained"))
+      .select((col("wk") * 604800L).as("week_epoch"),
+        col("n_active"), col("n_retained"),
+        round(col("n_retained").cast("double") / col("n_active").cast("double"), 6)
+          .as("retention_rate"))
+  }
+
   /** JSON extraction from the props column + grouped stats over the
     * extracted value — get_json_object stays codegen'd, no UDF.
     */
