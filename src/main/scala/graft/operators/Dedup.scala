@@ -88,33 +88,44 @@ object Dedup {
     * stay in single digits; each round is one shuffle join + one aggregate,
     * nothing driver-side but the convergence counter.
     */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIters >= 1, "dedupClusters needs at least one propagation round")
+    // Per-round persistence mode: localCheckpoint (default) materializes to
+    // executor block-manager storage — fast, right for local mode, but NOT
+    // fault-tolerant (a lost executor loses the only copy). A real cluster
+    // with executor loss in play passes `checkpointDir`: rounds then go
+    // through RELIABLE checkpoints to that fault-tolerant directory — same
+    // plan shape, the round files survive executor loss.
+    checkpointDir.foreach(d => docs.sparkSession.sparkContext.setCheckpointDir(d))
+    def persistRound(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // Both edge directions from ONE pass over pairs (a unionAll of two
     // selects would evaluate the upstream similarity join twice). The EAGER
-    // localCheckpoint materializes the (small) dup-edge set once and
-    // truncates lineage — a cache() is only a hint, and any cache miss in
-    // the loop or the final join silently re-runs the whole upstream
-    // similarity join. (On a real cluster with executor loss in play, swap
-    // for reliable checkpoint()s to a fault-tolerant dir — same plan shape.)
-    val edges = pairs
+    // checkpoint materializes the (small) dup-edge set once and truncates
+    // lineage — a cache() is only a hint, and any cache miss in the loop or
+    // the final join silently re-runs the whole upstream similarity join.
+    val edges = persistRound(pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     // Iterate ONLY over the dup-graph vertices — at corpus scale the dup
     // graph is a sliver of the corpus; isolated docs are trivially their own
     // keeper and rejoin at the end. Round 1 is folded into initialization:
     // against identity labels, the neighbor-min join is just min(src) per
     // dst, and every vertex appears as a dst (edges are bidirectional).
-    var labels = edges
+    var labels = persistRound(edges
       .groupBy(col("dst").as("doc_id"))
       .agg(min(col("src")).as("nbr_label"))
-      .select(col("doc_id"), least(col("doc_id"), col("nbr_label")).as("label"))
-      .localCheckpoint()
+      .select(col("doc_id"), least(col("doc_id"), col("nbr_label")).as("label")))
     var converged = false
     var it = 1
-    while (!converged && it < maxIters) {
+    // `it` counts the folded init as round 1, so `<=` grants maxIters
+    // halving rounds AFTER it (diameter coverage ~2^maxIters) — and the loop
+    // always runs at least once, so an init that already converged is
+    // detected (changed == 0) instead of falling through to the loud throw.
+    while (!converged && it <= maxIters) {
       // min-label propagation WITH path halving: after the one-hop neighbor
       // min, each vertex also jumps to its label's label
       // (label(label(v)) ≤ label(v), since label(v) ≤ v is invariant).
@@ -133,11 +144,10 @@ object Dedup {
         .join(stepped.select(col("doc_id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
         .select(col("doc_id"), coalesce(col("label2"), col("label")).as("label"))
-      val next = halved
+      val next = persistRound(halved
         .join(labels.select(col("doc_id"), col("label").as("prev_label")), "doc_id")
         .select(col("doc_id"), col("label"),
-          (col("label") < col("prev_label")).as("changed"))
-        .localCheckpoint()
+          (col("label") < col("prev_label")).as("changed")))
       val changed = next.where(col("changed")).count()
       // next is materialized; the previous round's checkpoint blocks are
       // dead (its lineage was truncated, nothing re-evaluates it) — release

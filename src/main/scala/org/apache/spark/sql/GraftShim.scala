@@ -47,9 +47,17 @@ object GraftShim {
     * its lineage — there is nothing left to recompute from). No-op for
     * non-checkpoint plans.
     */
-  def unpersistCheckpoint(df: Dataset[_]): Unit =
-    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
+  def unpersistCheckpoint(df: Dataset[_]): Unit = {
+    val rdds = df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
     }
+    // Checkpoint blocks are the ONLY copy of their data — a plan composing
+    // several checkpointed frames would have every one of them unpersisted,
+    // and any still-needed sibling later fails with 'block not found' rather
+    // than recomputing. Refuse the ambiguous call instead.
+    require(rdds.size <= 1,
+      s"unpersistCheckpoint: plan composes ${rdds.size} checkpointed RDDs — " +
+        "pass the exact checkpointed frame whose blocks are dead, not a plan built over several")
+    rdds.foreach(_.rdd.unpersist(false))
+  }
 }

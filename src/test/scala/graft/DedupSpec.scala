@@ -88,6 +88,36 @@ class DedupSpec extends AnyFunSuite {
       s"chain not fully collapsed: ${clusters.filter(_._2 != 0L)}")
   }
 
+  test("120-hop chain with RELIABLE checkpointing converges in O(log d) rounds") {
+    // the O(log diameter) claim at depth: one-hop propagation would need
+    // ~120 rounds; the halving loop must land within the default budget of
+    // 10. Runs through the reliable-checkpoint path (checkpointDir set) —
+    // the cluster deployment mode where round files survive executor loss.
+    val n = 120
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_spec").toString
+    val chainDocs = (0L until n.toLong).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chainPairs = (0L until (n - 1).toLong)
+      .map(i => (i, i + 1, 1L, 1L, 1.0))
+      .toDF("doc_a", "doc_b", "inter_len", "union_len", "jaccard")
+    val clusters = Dedup.dedupClusters(chainDocs, chainPairs, checkpointDir = Some(ckpt))
+      .select("doc_id", "keeper").as[(Long, Long)].collect().toMap
+    assert(clusters.size == n && clusters.values.forall(_ == 0L),
+      s"deep chain not fully collapsed: ${clusters.filter(_._2 != 0L)}")
+  }
+
+  test("maxIters=1 succeeds when the init round already converged (star graph)") {
+    // every vertex is one hop from the hub, so the folded init assigns the
+    // final labels; the single verification round must detect changed == 0
+    // instead of throwing (r2 ADVICE: the old `it < maxIters` loop threw
+    // unconditionally at maxIters=1)
+    val starDocs = (0L to 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val starPairs = (1L to 4L).map(i => (0L, i, 1L, 1L, 1.0))
+      .toDF("doc_a", "doc_b", "inter_len", "union_len", "jaccard")
+    val clusters = Dedup.dedupClusters(starDocs, starPairs, maxIters = 1)
+      .select("doc_id", "keeper").as[(Long, Long)].collect().toMap
+    assert(clusters.values.forall(_ == 0L))
+  }
+
   test("ngram jaccard pairs on word bigrams") {
     // bigrams: 9 each for docs 1-3; 1&3 share 9-2=7, union 11 -> 7/11 ≈ .6364
     val pairs = Dedup.ngramJaccardPairs(docs, tau = 0.5, n = 2)
