@@ -182,37 +182,62 @@ object EmbeddingSearch {
     * as one broadcast 1-row array and the argmax is per-row HOF arithmetic,
     * so each training round scans the corpus map-side and shuffles only
     * nClusters×dims mean rows; probe + re-rank are the same inverted-file
-    * trade as [[ivfTopK]]. (At 100 TB one would train on a sample and
-    * reuse the index across queries — the per-round plan here is already
-    * that shape.) Output matches [[bruteForceTopK]].
+    * trade as [[ivfTopK]]. This convenience wrapper retrains per call; the
+    * production shape is [[trainKmeansIndex]] → [[saveKmeansIndex]] once,
+    * then [[loadKmeansIndex]] → [[kmeansTopKWithIndex]] per query (row-
+    * identical results — asserted in EmbeddingSpec). Output matches
+    * [[bruteForceTopK]].
     */
   def kmeansTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
       nClusters: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    // Norms hoisted OUT of the k-way argmax: sqrt(v·v) is identical whether
-    // computed once per row or once per (row, centroid) pair — same doubles,
-    // 3× fewer folds in the training hot loop.
-    val embN = emb.withColumn("nv", sqrt(dot(col("v"), col("v"))))
-    // centroids as ONE broadcast row: array<struct<cl,cv,ncv>>, sorted by cl
-    // so the collect_list order can't leak into results
-    def centsArr(cent: DataFrame) = broadcast(
+    kmeansTopKWithIndex(emb, trainKmeansIndex(emb, nClusters, iters), k, nQueries, nprobe)
+  }
+
+  // Norms hoisted OUT of the k-way argmax: sqrt(v·v) is identical whether
+  // computed once per row or once per (row, centroid) pair — same doubles,
+  // 3× fewer folds in the assignment hot loop.
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nv", sqrt(dot(col("v"), col("v"))))
+
+  /** Zero-shuffle cell assignment: the k centroids ride along as ONE
+    * broadcast row (array<struct<cl,cv,ncv>>, sorted by cl so collect_list
+    * order can't leak into results) and the argmax is per-row HOF
+    * arithmetic — max of struct(csim, -cl) == highest csim, lowest cl.
+    */
+  private def kmeansAssign(embN: DataFrame, cent: DataFrame): DataFrame = {
+    val centsArr = broadcast(
       cent.agg(array_sort(collect_list(struct(col("cl"), col("cv"),
         sqrt(dot(col("cv"), col("cv"))).as("ncv")))).as("cents")))
-    // map-side argmax: max of struct(csim, -cl) == highest csim, lowest cl
-    def assign(cent: DataFrame): DataFrame =
-      embN.crossJoin(centsArr(cent))
-        .withColumn("best", array_max(transform(col("cents"), c => {
-          val csim = when(col("nv") === 0.0 || c.getField("ncv") === 0.0, lit(0.0))
-            .otherwise(dot(col("v"), c.getField("cv")) / (col("nv") * c.getField("ncv")))
-          struct(round(csim, 6).as("csim"), (-c.getField("cl")).as("ncl"))
-        })))
-        .select(col("vec_id"), col("v"), (-col("best").getField("ncl")).as("cl"))
+    embN.crossJoin(centsArr)
+      .withColumn("best", array_max(transform(col("cents"), c => {
+        val csim = when(col("nv") === 0.0 || c.getField("ncv") === 0.0, lit(0.0))
+          .otherwise(dot(col("v"), c.getField("cv")) / (col("nv") * c.getField("ncv")))
+        struct(round(csim, 6).as("csim"), (-c.getField("cl")).as("ncl"))
+      })))
+      .select(col("vec_id"), col("v"), (-col("best").getField("ncl")).as("cl"))
+  }
+
+  /** Deterministic spherical k-means TRAINING over (vec_id, v:array<double>):
+    * seeds = first `nClusters` vectors by vec_id; exactly `iters` Lloyd
+    * rounds; assignment by round(cosine, 6) argmax with lowest-cluster
+    * tie-break; centroid means as exact decimal sums — bit-reproducible
+    * under any partitioning and any engine (the DuckDB oracle replays it).
+    * Returns the trained quantizer (cl, cv): k rows, eagerly checkpointed.
+    *
+    * Train ONCE, serve many: persist the result with [[saveKmeansIndex]] and
+    * answer queries via [[loadKmeansIndex]] + [[kmeansTopKWithIndex]] — at
+    * 100 TB, training runs on a sample and every query after the first pays
+    * only the probe + re-rank, never the training passes.
+    */
+  def trainKmeansIndex(emb: DataFrame, nClusters: Int = 8, iters: Int = 2): DataFrame = {
+    val embN = withNorm(emb)
     var cent = emb.where(col("vec_id") < nClusters)
       .select(col("vec_id").cast("int").as("cl"), col("v").as("cv"))
     var tRound = System.nanoTime()
     for (_ <- 1 to iters) {
-      val means = assign(cent)
+      val means = kmeansAssign(embN, cent)
         .select(col("cl"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cl"), col("d"))
         .agg((sum(round(col("x"), 6).cast("decimal(28,10)")).cast("double")
@@ -232,12 +257,39 @@ object EmbeddingSearch {
         .select(col("cl"), coalesce(col("cv"), col("cv_prev")).as("cv"))
         .coalesce(1)
         .localCheckpoint()
-      // previous round's checkpoint blocks are dead once the new one exists
+      // Previous round's checkpoint blocks are dead once the new one exists.
+      // The FINAL round's checkpoint is NOT released here — it feeds the lazy
+      // probe/re-rank plans downstream and stays pinned (k rows × dims, tiny)
+      // for the session's lifetime; a long-lived session that wants it back
+      // should persist the index ([[saveKmeansIndex]]) and query from the
+      // reloaded table instead.
       org.apache.spark.sql.GraftShim.unpersistCheckpoint(prev)
       System.err.println(f"[graft] kmeans round: ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       tRound = System.nanoTime()
     }
-    val inverted = assign(cent) // the final inverted file: vectors by cell
+    cent
+  }
+
+  /** Persist a trained quantizer as parquet. array<double> roundtrips
+    * bit-exactly through parquet, so serving from the reloaded index is
+    * row-identical to serving from fresh training (asserted in
+    * EmbeddingSpec). k rows — coalesced to one file.
+    */
+  def saveKmeansIndex(cent: DataFrame, path: String): Unit =
+    cent.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadKmeansIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The SERVE path of train-once/serve-many: inverted-file probe + exact
+    * re-rank against an already-trained quantizer (cl, cv) — from
+    * [[trainKmeansIndex]] directly or [[loadKmeansIndex]]. No training
+    * passes; the corpus is scanned once for cell assignment and only probed
+    * cells are re-ranked. Output matches [[bruteForceTopK]].
+    */
+  def kmeansTopKWithIndex(emb: DataFrame, cent: DataFrame, k: Int = 5,
+      nQueries: Int = 10, nprobe: Int = 2): DataFrame = {
+    val inverted = kmeansAssign(withNorm(emb), cent) // the inverted file: vectors by cell
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cl").asc)
@@ -254,6 +306,24 @@ object EmbeddingSearch {
         round(cosine(col("v"), col("qv")), 6).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+  }
+
+  /** Train-once/serve-many as one call: if no quantizer exists at
+    * `indexPath`, train and persist it; then serve the query from the
+    * PERSISTED index. The first invocation pays training; every later one
+    * (same session or a new JVM) only loads k rows and runs probe +
+    * re-rank. Existence is checked via the local-FS `_SUCCESS` marker —
+    * fixture-grade like the wholetext export; a cluster deployment would
+    * check through the Hadoop FileSystem API instead.
+    */
+  def kmeansTopKPersisted(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10, nClusters: Int = 8, iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    if (!new java.io.File(indexPath, "_SUCCESS").exists())
+      saveKmeansIndex(trainKmeansIndex(emb, nClusters, iters), indexPath)
+    kmeansTopKWithIndex(emb, loadKmeansIndex(spark, indexPath), k, nQueries, nprobe)
   }
 
   /** Per-label corpus stats: count and exact (decimal-summed, order-

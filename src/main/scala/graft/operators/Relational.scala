@@ -239,6 +239,32 @@ object Relational {
         round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("approx_median_price"),
         count(lit(1)).as("n_rows"))
 
+  /** Driver-checkable sketch-accuracy gate — the companion that closes
+    * [[approxStats]]'s oracle hole (r2 verdict item 7): computes the
+    * sketches AND their exact twins in one pass, then emits only the exact
+    * values plus boolean within-tolerance verdicts. The oracle produces the
+    * same exact values with literal TRUEs, so a sketch drifting out of
+    * tolerance flips a boolean and fails the driver's hash compare — sketch
+    * regressions become driver-visible even though the sketch values
+    * themselves are engine-specific. Tolerances: HLL++ at default 5% rsd
+    * gets a 3σ 15% band; approx_percentile at accuracy 10000 has rank error
+    * ≤ n/10000, far inside the exact p40–p60 band.
+    */
+  def approxBounds(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("amed"),
+        expr("percentile(l_extendedprice, 0.4)").as("p40"),
+        expr("percentile(l_extendedprice, 0.6)").as("p60"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          <= col("exact_parts").cast("double") * 0.15).as("parts_within_15pct"),
+        (col("amed") >= col("p40") && col("amed") <= col("p60")).as("median_within_p40_p60"))
+
   /** Full outer join: every customer and every ordering custkey, with order
     * counts (0 where a side is missing).
     */

@@ -62,10 +62,35 @@ object Tables {
     */
   def datasetFingerprint(path: String): Long = {
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk) else Seq(f)
+      if (f.isDirectory) {
+        // listFiles returns null (not empty) on an IO/permission error — a
+        // silent NPE here would read as a source bug, not a filesystem one
+        val kids = f.listFiles()
+        if (kids == null) throw new java.io.IOException(
+          s"datasetFingerprint: cannot list directory $f (IO or permission error)")
+        kids.toSeq.sortBy(_.getName).flatMap(walk)
+      } else Seq(f)
     walk(new java.io.File(path)).foldLeft(17L) { (acc, f) =>
       ((acc * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
     }
+  }
+
+  /** Delete fixture dirs under `parent` whose name starts with `prefix` but
+    * not with `keepPrefix` — the superseded exports of regenerated testdata.
+    * Each new source fingerprint keys a fresh export dir and nothing else
+    * ever reclaims the old ones, so without this they accumulate in tmpdir
+    * forever. Local-FS tooling, like the export itself.
+    */
+  def cleanStaleExports(parent: String, prefix: String, keepPrefix: String): Unit = {
+    def deleteRec(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRec)
+      f.delete()
+    }
+    val kids = new java.io.File(parent).listFiles()
+    if (kids != null) kids
+      .filter(f => f.getName.startsWith(prefix) && !f.getName.startsWith(keepPrefix))
+      .foreach(deleteRec)
   }
 
   def exportTextCorpus(docs: DataFrame, dir: String): Unit = {

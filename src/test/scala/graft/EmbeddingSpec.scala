@@ -65,6 +65,25 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)), s"expected only the planted pair, got $pairs")
   }
 
+  test("persisted k-means index serves row-identical results to fresh training") {
+    val dir = "/root/testdata/sf0.001"
+    val fresh = EmbeddingSearch.kmeansTopK(spark, dir, k = 5, nQueries = 3)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val idx = java.nio.file.Files.createTempDirectory("graft_kmidx_spec").toString + "/idx"
+    // first call trains AND persists, then serves from the loaded index
+    val first = EmbeddingSearch.kmeansTopKPersisted(spark, dir, idx, k = 5, nQueries = 3)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(new java.io.File(idx, "_SUCCESS").exists(), "index was not persisted")
+    // second call must take the load path (no training) — same rows again
+    val served = EmbeddingSearch.kmeansTopKPersisted(spark, dir, idx, k = 5, nQueries = 3)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(first == fresh, "train-and-persist call diverged from fresh training")
+    assert(served == fresh, "persisted-index serve diverged from fresh training")
+  }
+
   test("brute-force and LSH top-k agree on the real table at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val brute = EmbeddingSearch.bruteForceTopK(spark, dir, k = 5, nQueries = 3)
