@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, EmbeddingSearch, Relational}
+import graft.sources.Tables
+
+/** Partition-count invariance (r2 verdict item 5): SCALING.md claims every
+  * hash-checked result is stable under ANY partitioning — decimal sums are
+  * associative, ratios divide exact operands, every rank has a total order.
+  * This spec turns the claim into a regression guard: representative
+  * decimal-sum / iterative / rank queries run at shuffle.partitions 4 vs 7
+  * and must produce IDENTICAL multisets of rows (bit-exact, not
+  * approximately — a double that drifts with partition count would be a
+  * nondeterministic result on a real cluster, where partition counts change
+  * with every scale-up).
+  */
+class InvarianceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // kmeans runs FRESH training (not the persisted-index entry) so the
+  // invariance of the training shuffles themselves is what's under test
+  private val cases: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "rel_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "embed_label_stats" -> ((s, d) => EmbeddingSearch.labelStats(s, d)),
+    "embed_knn_kmeans_fresh" ->
+      ((s, d) => EmbeddingSearch.kmeansTopK(s, d, k = 5, nQueries = 3)),
+    "dedup_minhash_lsh" ->
+      ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), tau = 0.7)))
+
+  private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try fn(spark, dir).collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  for ((name, fn) <- cases)
+    test(s"$name is bit-identical at shuffle.partitions 4 vs 7") {
+      val at4 = runAt(4, fn)
+      val at7 = runAt(7, fn)
+      assert(at4.nonEmpty)
+      assert(at4 == at7,
+        s"$name drifted with partition count: ${at4.diff(at7).take(3)} vs ${at7.diff(at4).take(3)}")
+    }
+}

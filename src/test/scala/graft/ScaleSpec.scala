@@ -34,6 +34,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("hot LSH bucket (150-way dup family) completes with exact pair set under AQE") {
+    // The 100 TB skew story (SCALING.md): a boilerplate dup family lands ALL
+    // its docs in the same band buckets, so candidate volume inside one
+    // bucket is C(n,2) — the worst shape the band self-join can take. With
+    // AQE skew handling on (session default, asserted), the oversized
+    // partition is split at runtime and the result must still be EXACTLY
+    // every pair of the family, nothing more.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    val hot = (0L until 150L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val cold = Seq(
+      (900L, "totally different words in this one right here"),
+      (901L, "and yet another unrelated document body text"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.minhashLshPairs(docs, tau = 0.9)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.length == 150 * 149 / 2, s"expected C(150,2) pairs, got ${got.length}")
+    assert(got.forall(_._3 == 1.0))
+    assert(got.forall { case (a, b, _) => a < b && b < 150L })
+  }
+
   test("bucketed tables join with zero runtime exchange") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
