@@ -113,6 +113,14 @@ object SparkEntry {
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "text_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(Tables.documents(s, dir))),
+    // — LLM-pipeline hygiene (round-3 widening): repetition rules,
+    //   benchmark decontamination, exact-substring sharing —
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir))),
+    "text_decontaminate" -> ((s, dir) =>
+      TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringShared(Tables.documents(s, dir))),
     "events_transitions" -> ((s, dir) => Events.transitions(s, dir)),
     // — relational surface (SURVEY.md §2.2 checklist) —
     "rel_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -726,6 +734,34 @@ object SparkEntry {
          |SELECT doc_id, lang, n_tokens, n_distinct_tokens, n_chars,
          |  avg_token_len, type_token_ratio
          |FROM s WHERE $qualityPred""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM tok),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+        |  count(*) AS n_distinct_grams,
+        |  CAST(max(n) AS BIGINT) AS max_gram_count,
+        |  round(1.0 - count(*)::DOUBLE / CAST(sum(n) AS BIGINT)::DOUBLE, 6) AS dup_gram_frac
+        |FROM c GROUP BY 1""".stripMargin,
+    "text_decontaminate" ->
+      s"""WITH ${shingleCte(5)},
+         |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id < 5),
+         |ex AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id >= 5),
+         |hits AS (SELECT ex.doc_id, count(*) AS n FROM ex JOIN ev USING (gram) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_overlap_grams,
+         |  coalesce(hits.n, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+         |LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH ${shingleCte(10)},
+         |ex AS (SELECT doc_id, unnest(list_transform(sh, t -> ${duckHash("t")})) AS h
+         |       FROM sh WHERE len(sh) > 0),
+         |dfc AS (SELECT h, count(*) AS df FROM ex GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_windows,
+         |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) > 0 AS has_shared
+         |FROM ex JOIN dfc USING (h) GROUP BY 1""".stripMargin,
     "text_tfidf_topk" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),

@@ -77,6 +77,31 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 2): DataFrame =
     SimilarityJoin.allPairsNgramJaccard(docs, tau, n)
 
+  /** Cross-document exact-substring sharing, window-granular: each doc's
+    * distinct `k`-token windows hashed to portable longs, rolled up to how
+    * many of them also occur in ANOTHER document. This is the aggregate
+    * view of exact-substring dedup (Lee et al. 2022's suffix-array pass)
+    * re-expressed so it scales as hash shuffles instead of a global
+    * suffix sort: a high shared fraction marks the boilerplate/mirrored
+    * spans a training corpus cuts. Scale: windows cross the wire as 8 B
+    * hashes only (never strings); the df count and the per-doc rollup are
+    * both map-side-combinable aggregations. Output:
+    * (doc_id, n_windows, n_shared_windows, has_shared) for every doc with
+    * ≥ k tokens.
+    */
+  def substringShared(docs: DataFrame, k: Int = 10): DataFrame = {
+    val win = docs.select(col("doc_id"),
+      explode(hashSet(shingleSet(col("text"), k))).as("h"))
+    val dfc = win.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    win.join(dfc, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_shared_windows"),
+        (col("n_shared_windows") > 0L).as("has_shared"))
+  }
+
   /** Collapse near-duplicate PAIRS into CLUSTERS and materialize the
     * deduplicated corpus decision: every doc_id with the minimum doc_id of
     * its connected component (`keeper`) and whether it survives keep-first

@@ -208,6 +208,60 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  /** Intra-document repetition statistics — the Gopher/MassiveText
+    * repetition rules' raw signals: over the doc's word 3-gram MULTISET
+    * (with repeats, unlike the shingle-set detectors), the total and
+    * distinct gram counts, the most-repeated gram's count, and the fraction
+    * of gram occurrences that are repeats. A doc looping the same phrase
+    * ("buy now buy now …") scores dup_gram_frac → 1 and gets dropped by a
+    * repetition filter; near-1 docs are the classic boilerplate/SEO junk an
+    * LLM corpus wants gone. Per-doc grouping only (doc_id-keyed shuffle
+    * with map-side partial counts); no cross-doc state, so it scales
+    * linearly with the corpus. Output:
+    * (doc_id, n_grams, n_distinct_grams, max_gram_count, dup_gram_frac).
+    */
+  def repetitionStats(docs: DataFrame, k: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), explode(shingles(tokenize(col("text")), k)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("n")).as("max_gram_count"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"), col("max_gram_count"),
+        round(lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams").cast("double"), 6)
+          .as("dup_gram_frac"))
+
+  /** Benchmark decontamination — flag corpus documents that share word
+    * `k`-grams with an evaluation set (here: doc_id < nEval plays the
+    * held-out benchmark). The canonical pre-training hygiene pass: any
+    * training doc overlapping an eval doc's n-grams leaks test data into
+    * the model. Scale shape: the eval side is SMALL by construction
+    * (benchmarks are thousands of docs, not billions), so its distinct gram
+    * set broadcasts and the corpus side is one linear scan + a map-side
+    * semi-join — the corpus never shuffles its grams; only the per-doc hit
+    * counts (pre-aggregated map-side) move. Output:
+    * (doc_id, n_overlap_grams, contaminated) for every corpus doc.
+    */
+  def decontaminate(docs: DataFrame, k: Int = 5, nEval: Int = 5): DataFrame = {
+    val grams = docs.select(col("doc_id"), shingleSet(col("text"), k).as("grams"))
+    val evalGrams = Scale.maybeBroadcast(
+      grams.where(col("doc_id") < nEval)
+        .select(explode(col("grams")).as("gram")).distinct())
+    val hits = grams.where(col("doc_id") >= nEval)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    docs.where(col("doc_id") >= nEval).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_overlap_grams"),
+        (coalesce(col("n"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)), deterministic
     * tie-break on rounded score then term. One df aggregation (term-keyed
     * shuffle) + one doc-keyed window. Output:

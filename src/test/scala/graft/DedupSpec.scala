@@ -118,6 +118,21 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.values.forall(_ == 0L))
   }
 
+  test("substring sharing: planted 10-token window found across docs") {
+    // docs 1 and 2 share exactly the 10-token run w1..w10 (doc 2 embeds it
+    // after a distinct prefix); doc 3 has no 10-token overlap with anyone
+    val shared = (1 to 10).map("w" + _).mkString(" ")
+    val subDocs = Seq(
+      (1L, shared + " tail1 tail2"),                  // 12 tokens: 3 windows, 1 shared
+      (2L, "p1 p2 " + shared),                        // 12 tokens: 3 windows, 1 shared
+      (3L, (1 to 12).map("z" + _).mkString(" ")))     // 3 windows, 0 shared
+      .toDF("doc_id", "text")
+    val got = Dedup.substringShared(subDocs, k = 10)
+      .select("doc_id", "n_windows", "n_shared_windows", "has_shared")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 3L, 1L, true), (2L, 3L, 1L, true), (3L, 3L, 0L, false)))
+  }
+
   test("ngram jaccard pairs on word bigrams") {
     // bigrams: 9 each for docs 1-3; 1&3 share 9-2=7, union 11 -> 7/11 ≈ .6364
     val pairs = Dedup.ngramJaccardPairs(docs, tau = 0.5, n = 2)

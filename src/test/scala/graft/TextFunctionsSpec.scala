@@ -54,4 +54,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     // \n as a delimiter, so either path yields the same tokens.
     assert(sh3("a b\nc d").sorted == Seq("a b c", "b c d").sorted)
   }
+
+  test("repetition stats: looped phrase scores high dup fraction") {
+    // "buy now again" ×4: 12 tokens → 10 3-grams, only 3 distinct
+    // ("buy now again", "now again buy", "again buy now"); max count 4
+    val docs = Seq(
+      (1L, Seq.fill(4)("buy now again").mkString(" ")),
+      (2L, "all twelve tokens here are fully distinct from one another truly"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetitionStats(docs)
+      .select("doc_id", "n_grams", "n_distinct_grams", "max_gram_count", "dup_gram_frac")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (a, b, c, d, e) => a -> ((b, c, d, e)) }.toMap
+    assert(got(1L) == ((10L, 3L, 4L, 0.7)))
+    assert(got(2L)._1 == got(2L)._2 && got(2L)._4 == 0.0)
+  }
+
+  test("decontaminate flags the doc sharing a 5-gram with the eval set") {
+    // eval = doc_id < 5; doc 10 embeds eval doc 0's exact 5-token run,
+    // doc 11 shares nothing
+    val evalRun = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (0L, evalRun + " zeta"),
+      (10L, "prefix words then " + evalRun + " and a tail"),
+      (11L, "nothing in common with the held out benchmark rows at all"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.decontaminate(docs, k = 5, nEval = 5)
+      .select("doc_id", "n_overlap_grams", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((10L, 1L, true), (11L, 0L, false)))
+  }
 }
