@@ -746,8 +746,9 @@ object SparkEntry {
         |FROM c GROUP BY 1""".stripMargin,
     "text_decontaminate" ->
       s"""WITH ${shingleCte(5)},
-         |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id < 5),
-         |ex AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id >= 5),
+         |hsh AS (SELECT doc_id, list_transform(sh, t -> ${duckHash("t")}) AS hs FROM sh),
+         |ev AS (SELECT DISTINCT unnest(hs) AS gram FROM hsh WHERE doc_id < 5),
+         |ex AS (SELECT doc_id, unnest(hs) AS gram FROM hsh WHERE doc_id >= 5),
          |hits AS (SELECT ex.doc_id, count(*) AS n FROM ex JOIN ev USING (gram) GROUP BY 1)
          |SELECT d.doc_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_overlap_grams,
          |  coalesce(hits.n, 0) > 0 AS contaminated

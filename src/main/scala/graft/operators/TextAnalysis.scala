@@ -240,13 +240,14 @@ object TextAnalysis {
     * training doc overlapping an eval doc's n-grams leaks test data into
     * the model. Scale shape: the eval side is SMALL by construction
     * (benchmarks are thousands of docs, not billions), so its distinct gram
-    * set broadcasts and the corpus side is one linear scan + a map-side
-    * semi-join — the corpus never shuffles its grams; only the per-doc hit
-    * counts (pre-aggregated map-side) move. Output:
+    * set broadcasts — as 8 B portable hashes, not strings, an order of
+    * magnitude smaller in flight — and the corpus side is one linear scan +
+    * a map-side semi-join: the corpus never shuffles its grams; only the
+    * per-doc hit counts (pre-aggregated map-side) move. Output:
     * (doc_id, n_overlap_grams, contaminated) for every corpus doc.
     */
   def decontaminate(docs: DataFrame, k: Int = 5, nEval: Int = 5): DataFrame = {
-    val grams = docs.select(col("doc_id"), shingleSet(col("text"), k).as("grams"))
+    val grams = docs.select(col("doc_id"), hashSet(shingleSet(col("text"), k)).as("grams"))
     val evalGrams = Scale.maybeBroadcast(
       grams.where(col("doc_id") < nEval)
         .select(explode(col("grams")).as("gram")).distinct())

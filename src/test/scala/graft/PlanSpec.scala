@@ -82,6 +82,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hygiene operators join on keys, never cartesian") {
+    withStaticPlans {
+      val docs = Tables.documents(spark, dir)
+      for (df <- Seq(
+          graft.operators.TextAnalysis.decontaminate(docs),
+          graft.operators.Dedup.substringShared(docs))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+          s"cartesian/nested-loop join in hygiene plan:\n$plan")
+      }
+    }
+  }
+
+  test("decontaminate semi-joins the corpus against a broadcast eval set") {
+    // the corpus side must NOT shuffle its grams: the eval gram set (small
+    // by construction) broadcasts and the join is a map-side left-semi
+    withStaticPlans {
+      val plan = graft.operators.TextAnalysis.decontaminate(Tables.documents(spark, dir))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"expected broadcast left-semi join:\n$plan")
+    }
+  }
+
   test("scans prune columns: flagship reads only doc_id and text") {
     val plan = BookQuery.referenceScores(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
