@@ -41,6 +41,24 @@ object StreamingOps {
       .dropDuplicates("text_hash")
       .drop("text_hash") // helper column — output keeps the input doc schema
 
+  /** Streaming NEAR-dup dedup at ingest: keep the first document per 48-bit
+    * SimHash of its shingle set (the same portable fingerprint as the batch
+    * [[graft.operators.Dedup.simhashPairs]]). Docs whose shingle SETS
+    * coincide — the overwhelmingly common boilerplate case, including any
+    * reordering/repetition the set semantics normalize — collapse across
+    * micro-batches with one 8 B fingerprint of state per distinct doc.
+    * Hamming 1–3 near-dups still need the batch simhashPairs sweep: ingest
+    * dedup is the cheap always-on first line, the batch sweep the periodic
+    * deep clean — the standard two-tier design for an unbounded corpus.
+    */
+  def dedupNearSimhash(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.shingleSet
+    import graft.functions.HashFunctions.{hashSet, simhash48}
+    docs.withColumn("__fp", simhash48(hashSet(shingleSet(col("text"), 3))))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -55,6 +55,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup collapses shingle-set-identical docs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingOps.dedupNearSimhash(input.toDF().toDF("doc_id", "text"))
+    val q = deduped.writeStream.format("memory").queryName("sneardedup")
+      .outputMode("append").start()
+    try {
+      // doc 0's shingle set is the 3 rotations {"a b c","b c a","c a b"}
+      input.addData((0L, "a b c a b c"), (1L, "totally different body here"))
+      q.processAllAvailable()
+      // doc 2 loops the phrase once more — DIFFERENT text, IDENTICAL
+      // shingle SET (one more lap adds only repeat shingles) -> same
+      // fingerprint, collapsed by the near-dup state
+      input.addData((2L, "a b c a b c a b c"), (3L, "a brand new document"))
+      q.processAllAvailable()
+      val kept = spark.table("sneardedup").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 1L, 3L), s"got $kept")
+    } finally q.stop()
+  }
+
+  test("streaming quality filter: the batch predicate runs stateless on a stream") {
+    // batch/stream unification: TextAnalysis.qualityFilter is pure
+    // map-side Column arithmetic, so the SAME operator runs on a stream
+    // with zero state — asserted by comparing against its batch run
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "en", (1 to 40).map(i => s"tok$i").mkString(" ")),   // passes (40 distinct tokens)
+      (2L, "en", "too short"),                                  // fails n_tokens >= 30
+      (3L, "en", (1 to 40).map(_ => "x").mkString(" ")))        // fails type-token ratio
+    val input = MemoryStream[(Long, String, String)]
+    val filtered = graft.operators.TextAnalysis.qualityFilter(
+      input.toDF().toDF("doc_id", "lang", "text"))
+    val q = filtered.writeStream.format("memory").queryName("squality")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("squality").select($"doc_id").as[Long].collect().toSet
+      val batch = graft.operators.TextAnalysis.qualityFilter(
+        rows.toDF("doc_id", "lang", "text")).select($"doc_id").as[Long].collect().toSet
+      assert(streamed == batch && streamed == Set(1L), s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("file-source streaming: parquet directory -> windowed counts == batch") {
     // Real readStream over a parquet dir (the deploy shape), checked against
     // the batch aggregation of the same files.
