@@ -45,6 +45,15 @@ object TextFunctions {
   def shingleSet(text: Column, k: Int = 3): Column =
     toCol(graft.functions.expressions.ShingleSet(toExpr(text), k))
 
+  /** ALL k-shingles of the tokenized text, duplicates kept, in order — the
+    * multiset twin of [[shingleSet]] (repetition analysis needs the
+    * repeats). Native single-pass kernel
+    * ([[graft.functions.expressions.ShingleList]]); the HOF [[shingles]]
+    * over [[tokenize]] would re-run the tokenizer per element.
+    */
+  def shingleList(text: Column, k: Int = 3): Column =
+    toCol(graft.functions.expressions.ShingleList(toExpr(text), k))
+
   /** Word k-grams over an already-clean token array (no tokenizer quirks).
     * Prefer [[shingleSet]] (single-pass kernel) when starting from text.
     */

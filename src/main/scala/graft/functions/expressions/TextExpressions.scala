@@ -65,6 +65,30 @@ object TextPrimitives {
     new GenericArrayData(out)
   }
 
+  /** ALL k-shingles in order, duplicates kept — the multiset view the
+    * repetition statistics need (dedup would erase exactly the signal).
+    * Same single-pass discipline as [[shingleSetData]].
+    */
+  def shingleListData(s: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(s)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Portable polynomial rolling hash over UTF-16 chars (== code points for
     * BMP text; == DuckDB `ascii` per char for the ASCII corpora), mod 2^31-1.
     * Matches HashFunctions.portableHash31's HOF definition exactly.
@@ -101,6 +125,24 @@ case class ShingleSet(child: Expression, k: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.TextPrimitives.shingleSetData($c, $k)")
   override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+}
+
+/** Non-distinct k-shingle list as a native expression — the multiset twin
+  * of [[ShingleSet]] for repetition analysis. The HOF formulation
+  * (`transform(sequence(...), i => concat_ws(element_at(tokens, ...)))`)
+  * re-evaluates the tokenizer per element — the same O(tokens²) cliff the
+  * set kernel replaced.
+  */
+case class ShingleList(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextPrimitives.shingleListData(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextPrimitives.shingleListData($c, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleList = copy(child = c)
 }
 
 /** Generator (UDTF) form of the shingler: one output row per distinct

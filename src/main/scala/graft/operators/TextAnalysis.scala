@@ -222,7 +222,7 @@ object TextAnalysis {
     */
   def repetitionStats(docs: DataFrame, k: Int = 3): DataFrame =
     docs
-      .select(col("doc_id"), explode(shingles(tokenize(col("text")), k)).as("gram"))
+      .select(col("doc_id"), explode(shingleList(col("text"), k)).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))

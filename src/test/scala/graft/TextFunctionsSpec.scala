@@ -55,6 +55,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(sh3("a b\nc d").sorted == Seq("a b c", "b c d").sorted)
   }
 
+  test("shingleList kernel matches the HOF formulation (duplicates kept, order kept)") {
+    val samples = Seq("a b c a b c", "x y", "", "one two three four", "a a a a a")
+    for (s <- samples) {
+      val kernel = Seq(s).toDF("t").select(shingleList(col("t"), 3)).as[Seq[String]].head()
+      val hof = Seq(s).toDF("t")
+        .select(shingles(tokenize(col("t")), 3)).as[Seq[String]].head()
+      assert(kernel == hof, s"mismatch on '$s': $kernel vs $hof")
+    }
+  }
+
   test("repetition stats: looped phrase scores high dup fraction") {
     // "buy now again" ×4: 12 tokens → 10 3-grams, only 3 distinct
     // ("buy now again", "now again buy", "again buy now"); max count 4
