@@ -38,6 +38,18 @@ class PropertySpec extends AnyFunSuite {
     Gen.chooseNum(4, 12).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(vocab.take(4))).map(_.mkString(" ")))
 
+  test("ShingleList kernel == independent sliding-window model on random text") {
+    import graft.functions.TextFunctions.shingleList
+    import org.apache.spark.sql.functions.col
+    def modelList(s: String): Seq[String] =
+      s.split("\\W+").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+    for (seed <- 0L until 20L) {
+      val t = sample(genText, seed)
+      val kernel = Seq(t).toDF("t").select(shingleList(col("t"), 3)).as[Seq[String]].head()
+      assert(kernel == modelList(t), s"mismatch on '$t'")
+    }
+  }
+
   test("engine Jaccard equals the independent Scala model") {
     var checked = 0
     var seed = 0L
