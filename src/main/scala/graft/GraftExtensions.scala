@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ShingleSet(es.head, intLit(es(1), "k"))))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_shingle_list"),
+      info("graft_shingle_list",
+        "graft_shingle_list(text, k) - ALL k-word shingles, duplicates kept (repetition analysis)"),
+      (es: Seq[Expression]) => ShingleList(es.head, intLit(es(1), "k"))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_shingle_explode"),
       info("graft_shingle_explode",
         "graft_shingle_explode(text, k) - UDTF: one row per distinct k-word shingle"),

@@ -127,6 +127,10 @@ class SourceSinkSpec extends AnyFunSuite {
       assert(row.getLong(2) == ('a'.toInt * 31 + 'b'.toInt) % 2147483647L)
       assert(row.getSeq[Long](4).length == 4)
 
+      // multiset shingler: duplicates kept (vs the set form above)
+      assert(s2.sql("SELECT graft_shingle_list('a b a b a', 2) AS g")
+        .head().getSeq[String](0) == Seq("a b", "b a", "a b", "b a"))
+
       // UDTF: generator in the select list and in LATERAL VIEW position
       assert(s2.sql("SELECT graft_shingle_explode('a b c d', 3) AS shingle")
         .collect().map(_.getString(0)).toSeq == Seq("a b c", "b c d"))
