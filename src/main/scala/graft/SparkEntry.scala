@@ -155,6 +155,7 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
     "events_json" -> ((s, dir) => Events.jsonStats(s, dir)),
     "events_retention" -> ((s, dir) => Events.weeklyRetention(s, dir)),
+    "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
     // — embedding similarity search (SURVEY.md §7.5) —
     "embed_knn_brute" -> ((s, dir) => EmbeddingSearch.bruteForceTopK(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
@@ -439,6 +440,16 @@ object SparkEntry {
         |  round(count(b.user_id)::DOUBLE / count(a.user_id), 6) AS retention_rate
         |FROM w a LEFT JOIN w b ON a.user_id = b.user_id AND b.wk = a.wk + 1
         |GROUP BY a.wk""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1)
+        |SELECT '1_view' AS step, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
     "embed_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

@@ -312,16 +312,18 @@ object EmbeddingSearch {
     * `indexPath`, train and persist it; then serve the query from the
     * PERSISTED index. The first invocation pays training; every later one
     * (same session or a new JVM) only loads k rows and runs probe +
-    * re-rank. Existence is checked via the local-FS `_SUCCESS` marker —
-    * fixture-grade like the wholetext export; a cluster deployment would
-    * check through the Hadoop FileSystem API instead.
+    * re-rank. Existence goes through the Hadoop FileSystem API with the
+    * session's configuration, so the index path can live on any cluster
+    * filesystem (HDFS/object store), not just local disk.
     */
   def kmeansTopKPersisted(spark: SparkSession, dir: String, indexPath: String,
       k: Int = 5, nQueries: Int = 10, nClusters: Int = 8, iters: Int = 2,
       nprobe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    if (!new java.io.File(indexPath, "_SUCCESS").exists())
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
+    val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(marker))
       saveKmeansIndex(trainKmeansIndex(emb, nClusters, iters), indexPath)
     kmeansTopKWithIndex(emb, loadKmeansIndex(spark, indexPath), k, nQueries, nprobe)
   }

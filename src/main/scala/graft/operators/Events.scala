@@ -104,6 +104,32 @@ object Events {
     * per active user-week — bounded by actives, not by raw event volume.
     * Output: (week_epoch, n_active, n_retained, retention_rate).
     */
+  /** Ordered 3-step funnel (view → click → purchase): a user advances a
+    * step only with an event STRICTLY AFTER their previous step's first
+    * event — the conversion analysis every product-analytics engine ships,
+    * here as three user-keyed min-aggregations chained by time predicates.
+    * After the first aggregation everything is co-partitioned on user_id
+    * (AQE reuses the partitioning; per-step state is one µs timestamp per
+    * user), and each step's frame only shrinks. Output:
+    * (step, n_users) — one row per funnel stage.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts_us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts_us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("step"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("step"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("step"), col("n_users")))
+  }
+
   def weeklyRetention(spark: SparkSession, dir: String): DataFrame = {
     val weekUs = 604800000000L // 7 * 24 * 3600 * 1e6
     val weekly = events(spark, dir)

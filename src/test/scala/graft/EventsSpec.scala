@@ -36,6 +36,16 @@ class EventsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("funnel is monotonically narrowing and strictly ordered") {
+    val steps = Events.funnel(spark, dir)
+      .select("step", "n_users").as[(String, Long)].collect().toMap
+    assert(steps.keySet == Set("1_view", "2_click", "3_purchase"))
+    // each step can only lose users, and on this data some users do convert
+    assert(steps("1_view") >= steps("2_click"))
+    assert(steps("2_click") >= steps("3_purchase"))
+    assert(steps("1_view") > 0)
+  }
+
   test("json extraction bounds: k in [0, 99]") {
     val s = Events.jsonStats(spark, dir)
       .select("min_k", "max_k").as[(Long, Long)].collect()
