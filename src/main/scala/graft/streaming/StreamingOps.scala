@@ -59,6 +59,26 @@ object StreamingOps {
       .drop("__fp")
   }
 
+  /** Streaming decontamination at ingest — the stream-static pattern:
+    * incoming docs are DROPPED when any of their word `k`-grams appears in
+    * the static eval-set gram table (same 8 B portable hashes as the batch
+    * [[graft.operators.TextAnalysis.decontaminate]]). The eval grams ride
+    * as ONE broadcast row (the flagship's `retainAll` shape — structurally
+    * small: benchmarks, not corpora) and the check is a per-row
+    * `array_intersect` — completely STATELESS on the stream, so it chains
+    * with the dedup/quality ingest stages in one pipeline; the static side
+    * is re-resolved per micro-batch, so a refreshed eval table takes
+    * effect on the next batch. Returns the surviving docs, input schema.
+    */
+  def decontaminate(docs: DataFrame, evalGramHashes: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.shingleSet
+    import graft.functions.HashFunctions.hashSet
+    val evalArr = broadcast(evalGramHashes.agg(collect_set(col("gram")).as("__ev")))
+    docs.crossJoin(evalArr)
+      .where(size(array_intersect(hashSet(shingleSet(col("text"), k)), col("__ev"))) === 0)
+      .drop("__ev")
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

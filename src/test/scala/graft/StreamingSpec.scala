@@ -99,6 +99,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops docs sharing grams with the static eval set") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions.shingleSet
+    import graft.functions.HashFunctions.hashSet
+    // static eval side: the 5-grams of one benchmark doc, as portable hashes
+    val evalGrams = Seq("alpha beta gamma delta epsilon zeta")
+      .toDF("text")
+      .select(explode(hashSet(shingleSet(col("text"), 5))).as("gram"))
+    val input = MemoryStream[(Long, String)]
+    val clean = StreamingOps.decontaminate(
+      input.toDF().toDF("doc_id", "text"), evalGrams)
+    val q = clean.writeStream.format("memory").queryName("sdecontam")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (0L, "prefix alpha beta gamma delta epsilon suffix"), // leaks an eval 5-gram
+        (1L, "a completely clean training document body"))
+      q.processAllAvailable()
+      input.addData((2L, "another clean one arriving later on"))
+      q.processAllAvailable()
+      val kept = spark.table("sdecontam").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("file-source streaming: parquet directory -> windowed counts == batch") {
     // Real readStream over a parquet dir (the deploy shape), checked against
     // the batch aggregation of the same files.
