@@ -169,6 +169,27 @@ object TextAnalysis {
     qualityFilterHashed(docs, minTokens, minAvgTokLen, maxAvgTokLen, minTypeTokenRatio)
       .drop("h")
 
+  /** The quality rules as ONE reusable boolean Column over raw text — for
+    * schema-preserving filtering where the caller must keep its own columns
+    * (e.g. the streaming ingest pipeline, whose downstream dedup stages
+    * need `text`). Stats are rounded exactly as [[qualityFilter]] computes
+    * them, so `docs.where(qualityPredicate(col("text")))` keeps precisely
+    * the ids [[qualityFilter]] keeps (spec-asserted).
+    */
+  def qualityPredicate(text: Column, minTokens: Int = 30,
+      minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
+      minTypeTokenRatio: Double = 0.3): Column = {
+    val toks = tokenize(text)
+    val nTokens = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val nChars = length(text).cast("long")
+    val avgTokLen = round((nChars - (nTokens - 1)).cast("double") / nTokens.cast("double"), 6)
+    val ttr = round(nDistinct.cast("double") / nTokens.cast("double"), 6)
+    nTokens >= minTokens &&
+      avgTokLen >= minAvgTokLen && avgTokLen <= maxAvgTokLen &&
+      ttr >= minTypeTokenRatio
+  }
+
   /** [[qualityFilter]] carrying md5(text) as `h` — single definition of the
     * rules shared with [[cleanedCorpus]], which needs the hash without
     * re-scanning (and re-hashing) documents the filter already rejected.

@@ -79,6 +79,19 @@ object StreamingOps {
       .drop("__ev")
   }
 
+  /** The COMPOSED ingest chain a 100 TB training-data stream runs, ordered
+    * cheapest-first so each stage sheds volume before the next pays for it:
+    * stateless quality predicate → stateless decontamination (broadcast
+    * intersect) → exact-dup state (one md5 per distinct doc) → near-dup
+    * state (one 8 B SimHash per distinct doc). One lazy streaming DAG;
+    * state is touched only by documents that survived every stateless
+    * stage. Input/output schema: (doc_id, text, ...) — preserved.
+    */
+  def ingestPipeline(docs: DataFrame, evalGramHashes: DataFrame): DataFrame =
+    dedupNearSimhash(dedupExact(decontaminate(
+      docs.where(graft.operators.TextAnalysis.qualityPredicate(col("text"))),
+      evalGramHashes)))
+
   case class Event(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

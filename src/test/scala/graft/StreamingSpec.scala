@@ -124,6 +124,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composed ingest pipeline: each stage drops its target doc") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions.shingleSet
+    import graft.functions.HashFunctions.hashSet
+    val evalGrams = Seq("alpha beta gamma delta epsilon zeta")
+      .toDF("text")
+      .select(explode(hashSet(shingleSet(col("text"), 5))).as("gram"))
+    // 35 distinct tokens -> passes every quality rule
+    def clean(seed: Int) = (1 to 35).map(i => s"tok${seed}x$i").mkString(" ")
+    val contaminated = clean(7).split(" ").take(20).mkString(" ") +
+      " alpha beta gamma delta epsilon " + clean(8).split(" ").take(20).mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.ingestPipeline(input.toDF().toDF("doc_id", "text"), evalGrams)
+    val q = out.writeStream.format("memory").queryName("singest")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (0L, clean(1)),            // survives
+        (1L, "too short"),         // quality drop
+        (2L, contaminated))        // decontamination drop
+      q.processAllAvailable()
+      input.addData(
+        (3L, clean(1)),            // exact dup of 0 -> dedup drop
+        (4L, clean(2)))            // survives
+      q.processAllAvailable()
+      val kept = spark.table("singest").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("file-source streaming: parquet directory -> windowed counts == batch") {
     // Real readStream over a parquet dir (the deploy shape), checked against
     // the batch aggregation of the same files.

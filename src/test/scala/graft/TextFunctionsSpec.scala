@@ -80,6 +80,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(2L)._1 == got(2L)._2 && got(2L)._4 == 0.0)
   }
 
+  test("qualityPredicate keeps exactly qualityFilter's ids on the real table") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaFilter = graft.operators.TextAnalysis.qualityFilter(docs)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val viaPred = docs.where(graft.operators.TextAnalysis.qualityPredicate(col("text")))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(viaPred.nonEmpty && viaPred == viaFilter,
+      s"predicate/filter drift: ${viaPred.diff(viaFilter)} vs ${viaFilter.diff(viaPred)}")
+  }
+
   test("decontaminate flags the doc sharing a 5-gram with the eval set") {
     // eval = doc_id < 5; doc 10 embeds eval doc 0's exact 5-token run,
     // doc 11 shares nothing
