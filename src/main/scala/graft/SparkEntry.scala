@@ -159,6 +159,7 @@ object SparkEntry {
     // — embedding similarity search (SURVEY.md §7.5) —
     "embed_knn_brute" -> ((s, dir) => EmbeddingSearch.bruteForceTopK(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
+    "embed_lsh_recall" -> ((s, dir) => EmbeddingSearch.lshRecall(s, dir)),
     "embed_knn_ivf" -> ((s, dir) => EmbeddingSearch.ivfTopK(s, dir)),
     // train-once/serve-many (VERDICT r2 item 3): the quantizer is persisted
     // keyed on the embeddings fingerprint — the first invocation trains and
@@ -254,6 +255,36 @@ object SparkEntry {
   private def cosineSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0
        |  ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END""".stripMargin
+
+  /** Brute-force / LSH k-NN oracles as vals: each is also nested (as a
+    * parenthesized WITH subquery) inside the recall-evaluation oracle.
+    */
+  private val bruteKnnSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |s AS (SELECT q.query_id, e.vec_id, round(${cosineSql("e.v", "q.qv")}, 6) AS cosine
+       |      FROM e, q WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT *, (row_number() OVER
+       |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  private val lshKnnSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v, list_transform(generate_series(0, 15), p ->
+       |  CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
+       |    d -> v[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
+       |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
+       |  THEN 1 ELSE 0 END) AS sig FROM e),
+       |bands AS (SELECT vec_id, v, unnest(list_transform(generate_series(0, 3), b ->
+       |  b::VARCHAR || ':' || array_to_string(list_transform(
+       |    list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))) AS band FROM sig),
+       |qb AS (SELECT vec_id AS query_id, v AS qv, band FROM bands WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT qb.query_id, c.vec_id, c.v, qb.qv
+       |         FROM bands c JOIN qb USING (band) WHERE c.vec_id <> qb.query_id),
+       |s AS (SELECT query_id, vec_id, round(${cosineSql("v", "qv")}, 6) AS cosine FROM cand),
+       |r AS (SELECT *, (row_number() OVER
+       |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
   /** Reference-pipeline oracle (shared by the parquet and wholetext
     * ingestion entries — both must produce these exact rows).
@@ -450,31 +481,18 @@ object SparkEntry {
         |SELECT '1_view' AS step, count(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', count(*) FROM c
         |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
-    "embed_knn_brute" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-         |s AS (SELECT q.query_id, e.vec_id, round(${cosineSql("e.v", "q.qv")}, 6) AS cosine
-         |      FROM e, q WHERE e.vec_id <> q.query_id),
-         |r AS (SELECT *, (row_number() OVER
-         |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
-         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
-    "embed_knn_lsh" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |sig AS (SELECT vec_id, v, list_transform(generate_series(0, 15), p ->
-         |  CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
-         |    d -> v[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
-         |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
-         |  THEN 1 ELSE 0 END) AS sig FROM e),
-         |bands AS (SELECT vec_id, v, unnest(list_transform(generate_series(0, 3), b ->
-         |  b::VARCHAR || ':' || array_to_string(list_transform(
-         |    list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))) AS band FROM sig),
-         |qb AS (SELECT vec_id AS query_id, v AS qv, band FROM bands WHERE vec_id < 10),
-         |cand AS (SELECT DISTINCT qb.query_id, c.vec_id, c.v, qb.qv
-         |         FROM bands c JOIN qb USING (band) WHERE c.vec_id <> qb.query_id),
-         |s AS (SELECT query_id, vec_id, round(${cosineSql("v", "qv")}, 6) AS cosine FROM cand),
-         |r AS (SELECT *, (row_number() OVER
-         |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
-         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+    "embed_knn_brute" -> bruteKnnSql,
+    "embed_knn_lsh" -> lshKnnSql,
+    // recall@k of the LSH path vs the exact top-k — both pipelines nested
+    // verbatim, then joined; left join so missed neighbors count as misses
+    "embed_lsh_recall" ->
+      s"""WITH br AS (SELECT query_id, vec_id FROM ($bruteKnnSql)),
+         |ap AS (SELECT query_id, vec_id FROM ($lshKnnSql))
+         |SELECT br.query_id, count(*) AS n_exact,
+         |  count(ap.vec_id) AS n_hit,
+         |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
     "embed_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
          |           FROM embeddings),

@@ -308,6 +308,27 @@ object EmbeddingSearch {
       .where(col("rank") <= k)
   }
 
+  /** ANN quality evaluation — recall@k of the LSH path against the exact
+    * brute-force top-k, per query: the measurement loop an ANN deployment
+    * runs after every index/parameter change, expressed as the same two
+    * pipelines joined. n_hit counts exact-top-k members the LSH candidates
+    * recovered. Scale: both sides are |Q|·k rows after their own top-k
+    * pruning — the join and rollup are negligible next to the searches.
+    * Output: (query_id, n_exact, n_hit, recall).
+    */
+  def lshRecall(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("vec_id"))
+    val approx = lshTopK(spark, dir, k, nQueries)
+      .select(col("query_id").as("q2"), col("vec_id").as("v2"))
+    exact.join(approx,
+        exact("query_id") === approx("q2") && exact("vec_id") === approx("v2"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("v2")).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
   /** Train-once/serve-many as one call: if no quantizer exists at
     * `indexPath`, train and persist it; then serve the query from the
     * PERSISTED index. The first invocation pays training; every later one

@@ -84,6 +84,20 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(served == fresh, "persisted-index serve diverged from fresh training")
   }
 
+  test("LSH recall is in (0, 1] and n_hit counts true top-k recoveries") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = EmbeddingSearch.lshRecall(spark, dir, k = 5, nQueries = 3)
+      .select("query_id", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 3)
+    rows.foreach { case (q, ne, nh, r) =>
+      assert(ne == 5L && nh >= 0L && nh <= ne, s"q=$q n_exact=$ne n_hit=$nh")
+      assert(r == math.rint(nh.toDouble / ne.toDouble * 1e6) / 1e6)
+    }
+    // near-identical vectors collide in all bands, so recall can't be 0 for all
+    assert(rows.map(_._3).sum > 0)
+  }
+
   test("brute-force and LSH top-k agree on the real table at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val brute = EmbeddingSearch.bruteForceTopK(spark, dir, k = 5, nQueries = 3)
