@@ -20,6 +20,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,25 +35,41 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
     def jq(s: String): String = JsonOut.q(s)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val lastError = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // min over SUCCESSFUL passes only — a failed pass's time-to-exception is
+    // not a measurement and must never become the reported minimum
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failTime = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (pass <- 1 to iters; (name, fn) <- named) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch {
-        case e: Throwable =>
-          errors(name) = e.toString.take(300)
-          System.err.println(s"[bench] FAILED $name (pass $pass): ${e.toString.take(500)}")
-      }
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            lastError(name) = e.toString.take(300)
+            System.err.println(s"[bench] FAILED $name (pass $pass): ${e.toString.take(500)}")
+            false
+        }
       val t = (System.nanoTime() - t0) / 1e9
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
-      System.err.println(f"[bench] pass $pass $name: $t%.2f s")
+      if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      else failTime(name) = t
+      System.err.println(f"[bench] pass $pass $name: $t%.2f s${if (ok) "" else " (failed)"}")
     }
-    val qs = named.map { case (k, _) => s"${jq(k)}:${best(k)}" }.mkString("{", ",", "}")
+    // a query is an ERROR only if NO pass succeeded (its JSON time is then
+    // the last failure's wall time, visible but excluded from the total); a
+    // transient single-pass failure keeps its successful min and is only
+    // flagged on stderr
+    val errors = named.collect {
+      case (name, _) if !best.contains(name) => name -> lastError(name)
+    }
+    val errorNames = errors.map(_._1).toSet
+    val qs = named.map { case (k, _) =>
+      s"${jq(k)}:${best.getOrElse(k, failTime(k))}"
+    }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
         .mkString(""","errors":{""", ",", "}")
-    val total = named.collect { case (k, _) if !errors.contains(k) => best(k) }.sum
+    val total = named.collect { case (k, _) if !errorNames.contains(k) => best(k) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson""" +
       s""","iters":$iters,"order":"sorted","sf":${jq(sfDir)}}""")
     spark.stop()

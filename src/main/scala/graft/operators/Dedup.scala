@@ -121,10 +121,26 @@ object Dedup {
     // fault-tolerant (a lost executor loses the only copy). A real cluster
     // with executor loss in play passes `checkpointDir`: rounds then go
     // through RELIABLE checkpoints to that fault-tolerant directory — same
-    // plan shape, the round files survive executor loss.
-    checkpointDir.foreach(d => docs.sparkSession.sparkContext.setCheckpointDir(d))
+    // plan shape, the round files survive executor loss (and are deleted as
+    // each round is superseded — see GraftShim.unpersistCheckpoint).
+    // The session checkpoint dir is only set when the application hasn't
+    // configured one — an existing setting wins (this operator must not
+    // silently redirect every other checkpoint() in the app).
+    checkpointDir.foreach { d =>
+      val sc = docs.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+    }
     def persistRound(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) {
+        // reliable checkpointing writes its files in a SECOND job after the
+        // eager count — persist first so that job reads cached partitions
+        // instead of recomputing the whole round, then drop the cache (the
+        // checkpoint files are now the authoritative copy)
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ck = cached.checkpoint()
+        cached.unpersist(false)
+        ck
+      } else df.localCheckpoint()
     // Both edge directions from ONE pass over pairs (a unionAll of two
     // selects would evaluate the upstream similarity join twice). The EAGER
     // checkpoint materializes the (small) dup-edge set once and truncates

@@ -97,13 +97,6 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Weekly cohort retention: of the distinct users active in week w, how
-    * many are also active in week w+1. The classic period-over-period
-    * self-join, shaped for scale: activity is reduced to DISTINCT
-    * (week, user) pairs first (one agg), so the self-join carries one row
-    * per active user-week — bounded by actives, not by raw event volume.
-    * Output: (week_epoch, n_active, n_retained, retention_rate).
-    */
   /** Ordered 3-step funnel (view → click → purchase): a user advances a
     * step only with an event STRICTLY AFTER their previous step's first
     * event — the conversion analysis every product-analytics engine ships,
@@ -130,6 +123,13 @@ object Events {
         .select(lit("3_purchase").as("step"), col("n_users")))
   }
 
+  /** Weekly cohort retention: of the distinct users active in week w, how
+    * many are also active in week w+1. The classic period-over-period
+    * self-join, shaped for scale: activity is reduced to DISTINCT
+    * (week, user) pairs first (one agg), so the self-join carries one row
+    * per active user-week — bounded by actives, not by raw event volume.
+    * Output: (week_epoch, n_active, n_retained, retention_rate).
+    */
   def weeklyRetention(spark: SparkSession, dir: String): DataFrame = {
     val weekUs = 604800000000L // 7 * 24 * 3600 * 1e6
     val weekly = events(spark, dir)

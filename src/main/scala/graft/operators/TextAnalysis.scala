@@ -169,49 +169,66 @@ object TextAnalysis {
     qualityFilterHashed(docs, minTokens, minAvgTokLen, maxAvgTokLen, minTypeTokenRatio)
       .drop("h")
 
-  /** The quality rules as ONE reusable boolean Column over raw text — for
-    * schema-preserving filtering where the caller must keep its own columns
-    * (e.g. the streaming ingest pipeline, whose downstream dedup stages
-    * need `text`). Stats are rounded exactly as [[qualityFilter]] computes
-    * them, so `docs.where(qualityPredicate(col("text")))` keeps precisely
-    * the ids [[qualityFilter]] keeps (spec-asserted).
+  /** The rule statistics as Columns over raw text — the SINGLE definition
+    * of the quality arithmetic, shared by the projecting filter and the
+    * schema-preserving predicate so the two can never drift. Returns
+    * (n_tokens, n_distinct_tokens, n_chars, avg_token_len,
+    * type_token_ratio), the last two rounded@6 exactly as the oracle
+    * computes them.
     */
-  def qualityPredicate(text: Column, minTokens: Int = 30,
-      minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
-      minTypeTokenRatio: Double = 0.3): Column = {
+  private def qualityStatCols(text: Column): (Column, Column, Column, Column, Column) = {
     val toks = tokenize(text)
     val nTokens = size(toks).cast("long")
     val nDistinct = size(array_distinct(toks)).cast("long")
     val nChars = length(text).cast("long")
     val avgTokLen = round((nChars - (nTokens - 1)).cast("double") / nTokens.cast("double"), 6)
     val ttr = round(nDistinct.cast("double") / nTokens.cast("double"), 6)
+    (nTokens, nDistinct, nChars, avgTokLen, ttr)
+  }
+
+  /** The threshold comparison over already-computed stat Columns — one copy
+    * of the rule set, whatever shape the stats arrive in.
+    */
+  private def qualityRules(nTokens: Column, avgTokLen: Column, ttr: Column,
+      minTokens: Int, minAvgTokLen: Double, maxAvgTokLen: Double,
+      minTypeTokenRatio: Double): Column =
     nTokens >= minTokens &&
       avgTokLen >= minAvgTokLen && avgTokLen <= maxAvgTokLen &&
       ttr >= minTypeTokenRatio
+
+  /** The quality rules as ONE reusable boolean Column over raw text — for
+    * schema-preserving filtering where the caller must keep its own columns
+    * (e.g. the streaming ingest pipeline, whose downstream dedup stages
+    * need `text`). Same stat and rule definitions as [[qualityFilter]], so
+    * `docs.where(qualityPredicate(col("text")))` keeps precisely the ids
+    * [[qualityFilter]] keeps (spec-asserted).
+    */
+  def qualityPredicate(text: Column, minTokens: Int = 30,
+      minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
+      minTypeTokenRatio: Double = 0.3): Column = {
+    val (nTokens, _, _, avgTokLen, ttr) = qualityStatCols(text)
+    qualityRules(nTokens, avgTokLen, ttr,
+      minTokens, minAvgTokLen, maxAvgTokLen, minTypeTokenRatio)
   }
 
-  /** [[qualityFilter]] carrying md5(text) as `h` — single definition of the
-    * rules shared with [[cleanedCorpus]], which needs the hash without
-    * re-scanning (and re-hashing) documents the filter already rejected.
+  /** [[qualityFilter]] carrying md5(text) as `h` — shared with
+    * [[cleanedCorpus]], which needs the hash without re-scanning (and
+    * re-hashing) documents the filter already rejected.
     */
   private[operators] def qualityFilterHashed(docs: DataFrame, minTokens: Int = 30,
       minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
       minTypeTokenRatio: Double = 0.3): DataFrame = {
-    val toks = tokenize(col("text"))
+    val (nTokens, nDistinct, nChars, avgTokLen, ttr) = qualityStatCols(col("text"))
     docs
       .select(col("doc_id"), col("lang"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-        length(col("text")).cast("long").as("n_chars"),
-        md5(col("text")).as("h"))
-      .withColumn("avg_token_len",
-        round((col("n_chars") - (col("n_tokens") - 1)).cast("double")
-          / col("n_tokens").cast("double"), 6))
-      .withColumn("type_token_ratio",
-        round(col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"), 6))
-      .where(col("n_tokens") >= minTokens &&
-        col("avg_token_len") >= minAvgTokLen && col("avg_token_len") <= maxAvgTokLen &&
-        col("type_token_ratio") >= minTypeTokenRatio)
+        nTokens.as("n_tokens"),
+        nDistinct.as("n_distinct_tokens"),
+        nChars.as("n_chars"),
+        md5(col("text")).as("h"),
+        avgTokLen.as("avg_token_len"),
+        ttr.as("type_token_ratio"))
+      .where(qualityRules(col("n_tokens"), col("avg_token_len"), col("type_token_ratio"),
+        minTokens, minAvgTokLen, maxAvgTokLen, minTypeTokenRatio))
   }
 
   /** The end-to-end cleaning pipeline a training corpus actually runs:

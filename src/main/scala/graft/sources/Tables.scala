@@ -75,11 +75,15 @@ object Tables {
     }
   }
 
-  /** Delete fixture dirs under `parent` whose name starts with `prefix` but
-    * not with `keepPrefix` — the superseded exports of regenerated testdata.
-    * Each new source fingerprint keys a fresh export dir and nothing else
-    * ever reclaims the old ones, so without this they accumulate in tmpdir
-    * forever. Local-FS tooling, like the export itself.
+  /** Delete fixture dirs under `parent` whose name is `prefix` + a STALE
+    * fingerprint (hex, optionally the `.ingest.parquet` sibling) — the
+    * superseded exports of regenerated testdata. Each new source
+    * fingerprint keys a fresh export dir and nothing else ever reclaims the
+    * old ones, so without this they accumulate in tmpdir forever. The hex
+    * match (not a bare startsWith) keeps a dataset whose name extends
+    * another's (`sf1` vs `sf1_extra` → prefix `graft_wtcorpus_sf1_` would
+    * otherwise swallow `..._sf1_extra_<fp>`) from having its live fixtures
+    * deleted. Local-FS tooling, like the export itself.
     */
   def cleanStaleExports(parent: String, prefix: String, keepPrefix: String): Unit = {
     def deleteRec(f: java.io.File): Unit = {
@@ -87,9 +91,11 @@ object Tables {
       if (kids != null) kids.foreach(deleteRec)
       f.delete()
     }
+    val staleName = ("^" + java.util.regex.Pattern.quote(prefix) +
+      "[0-9a-f]+(\\.ingest\\.parquet)?$").r
     val kids = new java.io.File(parent).listFiles()
     if (kids != null) kids
-      .filter(f => f.getName.startsWith(prefix) && !f.getName.startsWith(keepPrefix))
+      .filter(f => staleName.matches(f.getName) && !f.getName.startsWith(keepPrefix))
       .foreach(deleteRec)
   }
 

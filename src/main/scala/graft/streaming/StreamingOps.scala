@@ -50,13 +50,23 @@ object StreamingOps {
     * Hamming 1–3 near-dups still need the batch simhashPairs sweep: ingest
     * dedup is the cheap always-on first line, the batch sweep the periodic
     * deep clean — the standard two-tier design for an unbounded corpus.
+    *
+    * Docs too short to shingle (< 3 tokens, empty shingle set — where one
+    * SimHash would wrongly collapse ALL of them; the batch twin guards with
+    * `size(sh) > 0`) fall back to the exact content hash, so distinct short
+    * docs are never discarded as "near-dups" of each other.
     */
   def dedupNearSimhash(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.shingleSet
     import graft.functions.HashFunctions.{hashSet, simhash48}
-    docs.withColumn("__fp", simhash48(hashSet(shingleSet(col("text"), 3))))
+    docs
+      .withColumn("__sh", shingleSet(col("text"), 3))
+      .withColumn("__fp",
+        when(size(col("__sh")) > 0,
+          concat(lit("s"), simhash48(hashSet(col("__sh"))).cast("string")))
+        .otherwise(concat(lit("m"), md5(coalesce(col("text"), lit(""))))))
       .dropDuplicates("__fp")
-      .drop("__fp")
+      .drop("__sh", "__fp")
   }
 
   /** Streaming decontamination at ingest — the stream-static pattern:

@@ -39,25 +39,36 @@ object GraftShim {
   def hadoopConfOf(s: java.io.Serializable): org.apache.hadoop.conf.Configuration =
     s.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
 
-  /** Release the block-manager storage behind an (eagerly) localCheckpoint'ed
-    * frame — Dataset.localCheckpoint has no unpersist counterpart, so
-    * iterative operators that checkpoint per round would otherwise pin one
-    * materialized copy per round for the session lifetime. Caller must
-    * guarantee the frame is never evaluated again (checkpointing truncated
-    * its lineage — there is nothing left to recompute from). No-op for
-    * non-checkpoint plans.
+  /** Release the storage behind an (eagerly) checkpointed frame —
+    * Dataset.{local,}checkpoint has no unpersist counterpart, so iterative
+    * operators that checkpoint per round would otherwise pin one
+    * materialized copy per round for the session lifetime. Handles both
+    * flavors: localCheckpoint blocks are dropped from the block manager;
+    * RELIABLE checkpoint files are deleted from the checkpoint dir (which
+    * Spark itself only reclaims with the opt-in reference-tracking cleaner,
+    * at JVM exit at best). Caller must guarantee the frame is never
+    * evaluated again (checkpointing truncated its lineage — there is
+    * nothing left to recompute from). No-op for non-checkpoint plans.
     */
   def unpersistCheckpoint(df: Dataset[_]): Unit = {
-    val rdds = df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.collect {
+    val classicDf = df.asInstanceOf[classic.Dataset[_]]
+    val rdds = classicDf.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l
     }
-    // Checkpoint blocks are the ONLY copy of their data — a plan composing
-    // several checkpointed frames would have every one of them unpersisted,
-    // and any still-needed sibling later fails with 'block not found' rather
-    // than recomputing. Refuse the ambiguous call instead.
+    // Checkpoint blocks/files are the ONLY copy of their data — a plan
+    // composing several checkpointed frames would have every one of them
+    // released, and any still-needed sibling later fails with 'block not
+    // found' rather than recomputing. Refuse the ambiguous call instead.
     require(rdds.size <= 1,
       s"unpersistCheckpoint: plan composes ${rdds.size} checkpointed RDDs — " +
         "pass the exact checkpointed frame whose blocks are dead, not a plan built over several")
-    rdds.foreach(_.rdd.unpersist(false))
+    rdds.foreach { l =>
+      l.rdd.unpersist(false)
+      l.rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(classicDf.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
   }
 }

@@ -75,6 +75,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: distinct short docs (empty shingle set) all survive") {
+    // regression (r3 review): one fingerprint for every <3-token doc would
+    // silently discard distinct short docs as "near-dups" of each other —
+    // they must fall back to the exact content hash
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingOps.dedupNearSimhash(input.toDF().toDF("doc_id", "text"))
+    val q = deduped.writeStream.format("memory").queryName("sshortdedup")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, "hello world"), (1L, "goodbye"))
+      q.processAllAvailable()
+      input.addData((2L, "hello world"), (3L, "third thing"))  // 2 = exact dup of 0
+      q.processAllAvailable()
+      val kept = spark.table("sshortdedup").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 1L, 3L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("streaming quality filter: the batch predicate runs stateless on a stream") {
     // batch/stream unification: TextAnalysis.qualityFilter is pure
     // map-side Column arithmetic, so the SAME operator runs on a stream
