@@ -166,7 +166,10 @@ object SparkEntry {
     // saves it, every later one (any JVM) loads and serves; results are
     // row-identical either way (EmbeddingSpec asserts it)
     "embed_knn_kmeans" -> ((s, dir) => {
-      val base = "graft_kmidx_" + new java.io.File(dir).getName + "_"
+      // params (nClusters=8, iters=2 — the call's defaults) are part of the
+      // dir prefix: an index trained under different params can never be
+      // served for this entry
+      val base = "graft_kmidx_c8i2_" + new java.io.File(dir).getName + "_"
       val keep = base +
         java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
       val tmp = System.getProperty("java.io.tmpdir")

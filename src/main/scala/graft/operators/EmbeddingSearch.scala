@@ -113,15 +113,14 @@ object EmbeddingSearch {
       nprobe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-    // exact centroids: per (label, dim), mean of values rounded@6 summed in
-    // decimal (associative) — bit-reproducible under any partitioning
-    val cm = emb.select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy(col("label"), col("d"))
-      .agg((sum(round(col("x"), 6).cast("decimal(28,10)")).cast("double")
-        / count(lit(1)).cast("double")).as("c"))
-    val cent = cm.groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
-        s => s.getField("c")).as("cv"))
+    // exact centroids: per-label mean of vectors rounded@6, via the
+    // scaled-long VectorMeanAggregator — ONE fixed-width aggregation
+    // (bit-identical to a per-dim decimal sum, reproducible under any
+    // partitioning; no posexplode row blowup, no reassembly shuffle)
+    val cent = emb
+      .select(col("label"), transform(col("v"), x => round(x, 6)).as("rv"))
+      .groupBy(col("label"))
+      .agg(graft.functions.VectorMeanAggregator.vectorMean(col("rv")).as("cv"))
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("label").asc)
@@ -237,14 +236,11 @@ object EmbeddingSearch {
       .select(col("vec_id").cast("int").as("cl"), col("v").as("cv"))
     var tRound = System.nanoTime()
     for (_ <- 1 to iters) {
+      // one fixed-width aggregation per round (see ivfTopK's centroid note)
       val means = kmeansAssign(embN, cent)
-        .select(col("cl"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("cl"), col("d"))
-        .agg((sum(round(col("x"), 6).cast("decimal(28,10)")).cast("double")
-          / count(lit(1)).cast("double")).as("c"))
+        .select(col("cl"), transform(col("v"), x => round(x, 6)).as("rv"))
         .groupBy(col("cl"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
-          s => s.getField("c")).as("cv"))
+        .agg(graft.functions.VectorMeanAggregator.vectorMean(col("rv")).as("cv"))
       // a cluster that lost all members keeps its previous centroid; the
       // eager localCheckpoint materializes the k-row centroid table so each
       // training pass over the corpus runs exactly ONCE — without it, round

@@ -50,6 +50,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("VectorMeanAggregator == per-dim decimal-sum formulation, bit-exact") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 97).map { i =>
+      (i % 5, Seq.fill(8)(math.rint(rng.nextDouble() * 2e6 - 1e6) / 1e6))
+    }
+    val df = rows.toDF("g", "v")
+      .select(col("g"), transform(col("v"), x => round(x, 6)).as("rv"))
+    val viaUdaf = df.groupBy(col("g"))
+      .agg(graft.functions.VectorMeanAggregator.vectorMean(col("rv")).as("cv"))
+      .as[(Int, Seq[Double])].collect().toMap
+    val viaDecimal = df
+      .select(col("g"), posexplode(col("rv")).as(Seq("d", "x")))
+      .groupBy(col("g"), col("d"))
+      .agg((sum(col("x").cast("decimal(28,10)")).cast("double")
+        / count(lit(1)).cast("double")).as("c"))
+      .groupBy(col("g"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(viaUdaf.keySet == viaDecimal.keySet)
+    viaUdaf.foreach { case (g, v) =>
+      assert(v.zip(viaDecimal(g)).forall { case (a, b) => a == b },
+        s"group $g: $v vs ${viaDecimal(g)}")
+    }
+  }
+
   test("engine Jaccard equals the independent Scala model") {
     var checked = 0
     var seed = 0L
