@@ -102,8 +102,10 @@ object EmbeddingSearch {
   }
 
   /** IVF-style ANN: a coarse quantizer (per-label centroid — exact,
-    * order-independent decimal means, so the index is deterministic and
-    * oracle-checkable) routes each query to its `nprobe` closest cells;
+    * order-independent means via the scaled-long
+    * [[graft.functions.VectorMeanAggregator]], so the index is
+    * deterministic and oracle-checkable) routes each query to its `nprobe`
+    * closest cells;
     * only those cells' vectors are re-ranked exactly. At 100 TB: centroids
     * are one tiny broadcast; the corpus is scanned with a `label IN (...)`
     * semi-join instead of |Q|·N cosines — the classic inverted-file trade.
@@ -221,8 +223,9 @@ object EmbeddingSearch {
   /** Deterministic spherical k-means TRAINING over (vec_id, v:array<double>):
     * seeds = first `nClusters` vectors by vec_id; exactly `iters` Lloyd
     * rounds; assignment by round(cosine, 6) argmax with lowest-cluster
-    * tie-break; centroid means as exact decimal sums — bit-reproducible
-    * under any partitioning and any engine (the DuckDB oracle replays it).
+    * tie-break; centroid means as exact scaled-long sums
+    * ([[graft.functions.VectorMeanAggregator]]) — bit-reproducible under
+    * any partitioning and any engine (the DuckDB oracle replays it).
     * Returns the trained quantizer (cl, cv): k rows, eagerly checkpointed.
     *
     * Train ONCE, serve many: persist the result with [[saveKmeansIndex]] and
