@@ -121,6 +121,12 @@ object SparkEntry {
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringShared(Tables.documents(s, dir))),
+    // — corpus assembly: source mixing + token budgeting —
+    "corpus_mix" -> ((s, dir) =>
+      TextAnalysis.sourceMix(Tables.documents(s, dir),
+        Map("src0" -> 1.0, "src1" -> 0.6, "src2" -> 0.3, "src3" -> 0.1))),
+    "corpus_budget" -> ((s, dir) =>
+      TextAnalysis.tokenBudget(Tables.documents(s, dir), budgetTokens = 800L)),
     "events_transitions" -> ((s, dir) => Events.transitions(s, dir)),
     // — relational surface (SURVEY.md §2.2 checklist) —
     "rel_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -766,6 +772,21 @@ object SparkEntry {
          |SELECT doc_id, lang, n_tokens, n_distinct_tokens, n_chars,
          |  avg_token_len, type_token_ratio
          |FROM s WHERE $qualityPred""".stripMargin,
+    "corpus_mix" ->
+      s"""WITH b AS (SELECT doc_id, lang, source,
+         |  ${duckHash("text")} % 10000 AS bucket FROM documents)
+         |SELECT doc_id, lang, source, bucket FROM b
+         |WHERE (source = 'src0' AND bucket < 10000)
+         |   OR (source = 'src1' AND bucket < 6000)
+         |   OR (source = 'src2' AND bucket < 3000)
+         |   OR (source = 'src3' AND bucket < 1000)""".stripMargin,
+    "corpus_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 800""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),

@@ -301,6 +301,48 @@ object TextAnalysis {
         (coalesce(col("n"), lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** Deterministic source-mixing resample — the data-mixing pass that
+    * rebalances a multi-source corpus toward target proportions (web 10%,
+    * books 100%, …): each source keeps the fraction in `weights` via the
+    * portable content-hash bucket, so the sample is reproducible across
+    * engines, runs, and partitionings (same discipline as
+    * [[stratifiedSample]]). Sources absent from `weights` are dropped.
+    * Pure map-side predicate — the largest-volume pass of corpus assembly
+    * never shuffles. Output: (doc_id, lang, source, bucket).
+    */
+  def sourceMix(docs: DataFrame, weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      "mix weights must be fractions in [0, 1]")
+    // integer thresholds out of 10000 — exact, no float compare in the plan
+    val thresholds = weights.map { case (s, w) => s -> math.round(w * 10000).toInt }
+    val thresholdCol = thresholds.foldLeft(lit(0)) { case (acc, (s, t)) =>
+      when(col("source") === s, lit(t)).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        pmod(portableHash31(col("text")), lit(10000L)).as("bucket"))
+      .where(col("bucket") < thresholdCol)
+  }
+
+  /** Per-source token budgeting — the "take N tokens from each source" pass
+    * of corpus assembly: keep each source's documents in ascending doc_id
+    * order while the source's cumulative token count stays within
+    * `budgetTokens`. One windowed running sum per source. At 100 TB a
+    * single giant source makes one window partition hot — the deployment
+    * shape splits such a source into (source, hash-range) buckets with
+    * per-bucket budgets, same operator; this is the per-source exact form.
+    * Output: (doc_id, source, n_tokens, cum_tokens).
+    */
+  def tokenBudget(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokenize(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)), deterministic
     * tie-break on rounded score then term. One df aggregation (term-keyed
     * shuffle) + one doc-keyed window. Output:

@@ -90,6 +90,34 @@ class TextFunctionsSpec extends AnyFunSuite {
       s"predicate/filter drift: ${viaPred.diff(viaFilter)} vs ${viaFilter.diff(viaPred)}")
   }
 
+  test("sourceMix: weight 1 keeps all, missing source drops all, fraction filters by bucket") {
+    val docs = (0L until 40L).map(i =>
+      (i, "en", s"src${i % 4}", s"some text body number $i with words"))
+      .toDF("doc_id", "lang", "source", "text")
+    val mixed = graft.operators.TextAnalysis.sourceMix(docs,
+      Map("src0" -> 1.0, "src1" -> 0.5))
+      .select("doc_id", "source", "bucket").as[(Long, String, Long)].collect()
+    val bySource = mixed.groupBy(_._2)
+    assert(bySource.getOrElse("src0", Array.empty).length == 10) // all kept
+    assert(!bySource.contains("src2") && !bySource.contains("src3")) // dropped
+    // src1 survivors are exactly those under the 5000 bucket line
+    bySource.getOrElse("src1", Array.empty).foreach { case (_, _, b) =>
+      assert(b < 5000L)
+    }
+  }
+
+  test("tokenBudget keeps docs in id order until the source budget is reached") {
+    val docs = Seq(
+      (1L, "a", "t1 t2 t3"),            // cum 3  <= 8: kept
+      (2L, "a", "t1 t2 t3 t4"),         // cum 7  <= 8: kept
+      (3L, "a", "t1 t2 t3 t4 t5"),      // cum 12 >  8: dropped
+      (10L, "b", (1 to 9).map("x" + _).mkString(" ")))  // cum 9 > 8: dropped
+      .toDF("doc_id", "source", "text")
+    val kept = graft.operators.TextAnalysis.tokenBudget(docs, budgetTokens = 8L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(kept == Map(1L -> 3L, 2L -> 7L))
+  }
+
   test("decontaminate flags the doc sharing a 5-gram with the eval set") {
     // eval = doc_id < 5; doc 10 embeds eval doc 0's exact 5-token run,
     // doc 11 shares nothing
