@@ -172,15 +172,22 @@ object SparkEntry {
     // saves it, every later one (any JVM) loads and serves; results are
     // row-identical either way (EmbeddingSpec asserts it)
     "embed_knn_kmeans" -> ((s, dir) => {
-      // params (nClusters=8, iters=2 — the call's defaults) are part of the
-      // dir prefix: an index trained under different params can never be
-      // served for this entry
-      val base = "graft_kmidx_c8i2_" + new java.io.File(dir).getName + "_"
+      // training params are DERIVED into the dir prefix and passed to the
+      // call from the same values — an index trained under different
+      // params can never be served for this entry
+      val (nClusters, iters) = (8, 2)
+      val sfName = new java.io.File(dir).getName
+      val base = s"graft_kmidx_c${nClusters}i${iters}_${sfName}_"
       val keep = base +
         java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
       val tmp = System.getProperty("java.io.tmpdir")
       Tables.cleanStaleExports(tmp, base, keep)
-      EmbeddingSearch.kmeansTopKPersisted(s, dir, s"$tmp/$keep")
+      // pre-params-in-prefix releases used graft_kmidx_<sf>_<hex> — those
+      // orphans can never be served again; reclaim them too (the keep
+      // marker "-" matches no hex name, so every legacy dir is stale)
+      Tables.cleanStaleExports(tmp, s"graft_kmidx_${sfName}_", s"graft_kmidx_${sfName}_-")
+      EmbeddingSearch.kmeansTopKPersisted(s, dir, s"$tmp/$keep",
+        nClusters = nClusters, iters = iters)
     }),
     "embed_label_stats" -> ((s, dir) => EmbeddingSearch.labelStats(s, dir)),
     // — multimodal binary-column plumbing (builder mandate; codec stubbed) —

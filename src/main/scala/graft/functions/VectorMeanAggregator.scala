@@ -32,13 +32,19 @@ class VectorMeanAggregator
   override def zero: Buf = Buf(Array.emptyLongArray, 0L)
 
   override def reduce(buf: Buf, v: Seq[Double]): Buf = {
+    // fail-loudly discipline: a null array would NPE opaquely mid-task, and
+    // a non-finite component would round to Long.MaxValue and silently
+    // poison the sum — neither is a vector this aggregate can mean
+    require(v != null, "vectorMean: null vector (filter nulls before aggregating)")
     val sums = if (buf.n == 0L) new Array[Long](v.length) else buf.sums
     require(v.length == sums.length,
       s"vectorMean: mixed dimensionality (${v.length} vs ${sums.length})")
     var i = 0
     while (i < sums.length) {
+      val x = v(i)
+      require(java.lang.Double.isFinite(x), s"vectorMean: non-finite component $x at dim $i")
       // input is pre-rounded@6 -> x*1e6 is within half an ulp of an integer
-      sums(i) += math.round(v(i) * 1e6)
+      sums(i) += math.round(x * 1e6)
       i += 1
     }
     Buf(sums, buf.n + 1)

@@ -100,10 +100,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     val bySource = mixed.groupBy(_._2)
     assert(bySource.getOrElse("src0", Array.empty).length == 10) // all kept
     assert(!bySource.contains("src2") && !bySource.contains("src3")) // dropped
-    // src1 survivors are exactly those under the 5000 bucket line
-    bySource.getOrElse("src1", Array.empty).foreach { case (_, _, b) =>
-      assert(b < 5000L)
-    }
+    // src1 survivors are EXACTLY the docs whose bucket (read back via the
+    // weight-1.0 run, which keeps everything) is under the 5000 line — set
+    // equality against a non-empty expectation, so a threshold regression
+    // (e.g. a zeroed weight) cannot pass vacuously
+    val allBuckets = graft.operators.TextAnalysis.sourceMix(docs,
+      Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 1.0, "src3" -> 1.0))
+      .select("doc_id", "source", "bucket").as[(Long, String, Long)].collect()
+    val expectedSrc1 = allBuckets.collect {
+      case (id, "src1", b) if b < 5000L => id
+    }.toSet
+    assert(expectedSrc1.nonEmpty, "fixture produced no src1 doc under the 5000 line — adjust texts")
+    assert(bySource.getOrElse("src1", Array.empty).map(_._1).toSet == expectedSrc1)
   }
 
   test("tokenBudget keeps docs in id order until the source budget is reached") {
