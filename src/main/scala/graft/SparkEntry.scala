@@ -162,6 +162,7 @@ object SparkEntry {
     "events_json" -> ((s, dir) => Events.jsonStats(s, dir)),
     "events_retention" -> ((s, dir) => Events.weeklyRetention(s, dir)),
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
+    "events_bursts" -> ((s, dir) => Events.bursts(s, dir)),
     // — embedding similarity search (SURVEY.md §7.5) —
     "embed_knn_brute" -> ((s, dir) => EmbeddingSearch.bruteForceTopK(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
@@ -487,6 +488,17 @@ object SparkEntry {
         |  round(count(b.user_id)::DOUBLE / count(a.user_id), 6) AS retention_rate
         |FROM w a LEFT JOIN w b ON a.user_id = b.user_id AND b.wk = a.wk + 1
         |GROUP BY a.wk""".stripMargin,
+    // integer-exact burst rule: n·cnt > 2·sum avoids any float mean
+    "events_bursts" ->
+      """WITH h AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+        |  event_type, count(*) AS n_events FROM events GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |  (sum(n_events) OVER w)::BIGINT AS trailing_sum,
+        |  (count(n_events) OVER w)::BIGINT AS trailing_cnt
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT hour_epoch, event_type, n_events, trailing_sum, trailing_cnt
+        |FROM t WHERE trailing_cnt >= 12 AND n_events * trailing_cnt > trailing_sum * 2""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |v AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),

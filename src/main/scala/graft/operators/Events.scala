@@ -123,6 +123,32 @@ object Events {
         .select(lit("3_purchase").as("step"), col("n_users")))
   }
 
+  /** Burst detection: hours where an event type's count exceeds 2× its
+    * trailing baseline (the mean of its previous 24 OBSERVED hourly
+    * buckets, current hour excluded; at least 12 observations required
+    * before flagging). The comparison is pure INTEGER arithmetic —
+    * `n · trailing_cnt > 2 · trailing_sum` instead of a float mean — so
+    * the result is bit-exact across engines and partitionings by
+    * construction. One hourly rollup + one per-type ordered window; at
+    * scale the window state is one row per (type, hour) bucket, bounded by
+    * time, not event volume. Output:
+    * (hour_epoch, event_type, n_events, trailing_sum, trailing_cnt).
+    */
+  def bursts(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(
+        (expr("ts_us div 3600000000") * 3600L).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("hour_epoch")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("trailing_sum", sum(col("n_events")).over(w))
+      .withColumn("trailing_cnt", count(col("n_events")).over(w))
+      .where(col("trailing_cnt") >= 12 &&
+        col("n_events") * col("trailing_cnt") > col("trailing_sum") * 2L)
+  }
+
   /** Weekly cohort retention: of the distinct users active in week w, how
     * many are also active in week w+1. The classic period-over-period
     * self-join, shaped for scale: activity is reduced to DISTINCT

@@ -46,6 +46,16 @@ class EventsSpec extends AnyFunSuite {
     assert(steps("1_view") > 0)
   }
 
+  test("bursts: flagged hours genuinely exceed twice their trailing baseline") {
+    val flagged = Events.bursts(spark, dir)
+      .select("n_events", "trailing_sum", "trailing_cnt")
+      .as[(Long, Long, Long)].collect()
+    // every flagged row satisfies the integer rule and its preconditions
+    flagged.foreach { case (n, s, c) =>
+      assert(c >= 12 && n * c > s * 2, s"bogus flag: n=$n sum=$s cnt=$c")
+    }
+  }
+
   test("json extraction bounds: k in [0, 99]") {
     val s = Events.jsonStats(spark, dir)
       .select("min_k", "max_k").as[(Long, Long)].collect()
