@@ -41,6 +41,21 @@ object StreamingOps {
       .dropDuplicates("text_hash")
       .drop("text_hash") // helper column — output keeps the input doc schema
 
+  /** [[dedupExact]] with BOUNDED state — the form an unbounded 100 TB
+    * ingest actually runs: duplicates are only suppressed within the
+    * event-time watermark (`delay`), and state for hashes older than the
+    * watermark is dropped by the engine instead of growing forever. The
+    * trade is explicit: a duplicate arriving more than `delay` after its
+    * original is re-admitted (downstream periodic batch dedup catches it —
+    * the same two-tier design as the near-dup path). `docs` must carry an
+    * event-time column `tsCol`.
+    */
+  def dedupExactWithinWatermark(docs: DataFrame, tsCol: String, delay: String): DataFrame =
+    docs.withColumn("text_hash", md5(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .drop("text_hash")
+
   /** Streaming NEAR-dup dedup at ingest: keep the first document per 48-bit
     * SimHash of its shingle set (the same portable fingerprint as the batch
     * [[graft.operators.Dedup.simhashPairs]]). Docs whose shingle SETS

@@ -55,6 +55,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked exact dedup suppresses dups within the delay window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamingOps.dedupExactWithinWatermark(
+      input.toDF().toDF("doc_id", "ts", "text"), "ts", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("swmdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (0L, ts("2024-01-01 00:00:00"), "first doc"),
+        (1L, ts("2024-01-01 00:10:00"), "second doc"))
+      q.processAllAvailable()
+      // dup of doc 0 well inside the 1h watermark -> suppressed
+      input.addData((2L, ts("2024-01-01 00:20:00"), "first doc"))
+      q.processAllAvailable()
+      val kept = spark.table("swmdedup").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 1L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("streaming near-dup dedup collapses shingle-set-identical docs across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
