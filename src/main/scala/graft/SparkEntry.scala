@@ -194,6 +194,7 @@ object SparkEntry {
     // — multimodal binary-column plumbing (builder mandate; codec stubbed) —
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frames(s, dir)),
+    "multimodal_resize" -> ((s, dir) => Multimodal.resized(s, dir)),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -629,6 +630,19 @@ object SparkEntry {
         |  ((f - 1) * 16)::BIGINT AS byte_off,
         |  ascii(text[(f - 1) * 16 + 1])::BIGINT AS frame_byte
         |FROM f""".stripMargin,
+    // every stride-th byte survives; ASCII corpus -> char index == byte index
+    "multimodal_resize" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  list_transform(generate_series(1, (len(text) - 1) // 4 + 1),
+        |    i -> ascii(text[(i - 1) * 4 + 1])::BIGINT) AS rb
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        |  len(text)::BIGINT AS orig_len,
+        |  len(rb)::BIGINT AS resized_len,
+        |  (list_sum(rb) % 2147483647)::BIGINT AS resized_checksum,
+        |  rb[1] AS first_byte,
+        |  rb[len(rb)] AS last_byte
+        |FROM c""".stripMargin,
     "book_query_ref" -> bookQueryRefSql,
     // identical semantics — the Spark side differs only in INGESTION (text
     // files through the wholetext source instead of parquet)

@@ -99,4 +99,41 @@ object Multimodal {
 
   def frames(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(spark, dir).toDF()
+
+  case class ResizeRow(doc_id: Long, orig_len: Long, resized_len: Long,
+      resized_checksum: Long, first_byte: Long, last_byte: Long)
+
+  /** RESIZE — the many-bytes-to-fewer-bytes transform (image resize, audio
+    * downsample): every `stride`-th byte of the decoded payload survives
+    * into the resized blob, through the same per-partition batch plumbing
+    * (codec stubbed, [[decodeStub]]). A real resizer interpolates pixels;
+    * the stand-in keeps the SHAPE — output bytes ≈ input/stride, computed
+    * executor-side with no shuffle — while staying integer-exact for the
+    * oracle. Output summarizes the resized blob (len, checksum, first/last
+    * byte) rather than shipping bytes to the driver.
+    */
+  def resizeBlobs(spark: SparkSession, dir: String, stride: Int = 4): Dataset[ResizeRow] = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    withBlob(Tables.documents(spark, dir)).as[BlobRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val decoded = decodeStub(r.payload)
+        if (decoded.isEmpty) Iterator.empty
+        else {
+          val resized = Iterator.range(0, decoded.length, stride)
+            .map(i => (decoded(i) & 0xff).toLong).toArray
+          Iterator.single(ResizeRow(
+            doc_id = r.doc_id,
+            orig_len = decoded.length.toLong,
+            resized_len = resized.length.toLong,
+            resized_checksum = resized.sum % 2147483647L,
+            first_byte = resized.head,
+            last_byte = resized.last))
+        }
+      }
+    }
+  }
+
+  def resized(spark: SparkSession, dir: String): DataFrame =
+    resizeBlobs(spark, dir).toDF()
 }
