@@ -121,6 +121,35 @@ object SparkEntry {
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringShared(Tables.documents(s, dir))),
+    // — non-parquet sources under the driver's hash gate (the same
+    //   export-once / re-ingest / must-match-the-parquet-oracle shape as
+    //   book_query_wholetext, for the CSV and JSON readers) —
+    "source_csv_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sfName = new java.io.File(dir).getName
+      val out = Tables.exportOnce(s"$dir/customer.parquet", s"graft_csvfix_${sfName}_",
+        p => Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+          .write.option("header", "true").csv(p))
+      // explicit schema: inference would re-scan and could widen types
+      s.read.option("header", "true")
+        .schema("c_custkey LONG, c_nationkey INT, c_acctbal DOUBLE")
+        .csv(out)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+    }),
+    "source_json_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sfName = new java.io.File(dir).getName
+      val out = Tables.exportOnce(s"$dir/orders.parquet", s"graft_jsonfix_${sfName}_",
+        p => Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.json(p))
+      s.read.schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .json(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
     // — corpus assembly: source mixing + token budgeting —
     "corpus_mix" -> ((s, dir) =>
       TextAnalysis.sourceMix(Tables.documents(s, dir),
@@ -489,6 +518,17 @@ object SparkEntry {
         |  round(count(b.user_id)::DOUBLE / count(a.user_id), 6) AS retention_rate
         |FROM w a LEFT JOIN w b ON a.user_id = b.user_id AND b.wk = a.wk + 1
         |GROUP BY a.wk""".stripMargin,
+    // the roundtrip entries re-ingest exported CSV/JSON; the oracle reads
+    // the PARQUET truth — a lossy export/read (type widening, precision
+    // loss, header/quoting bugs) breaks the hash
+    "source_csv_roundtrip" ->
+      """SELECT c_nationkey, count(*) AS n_custs,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1""".stripMargin,
+    "source_json_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     // integer-exact burst rule: n·cnt > 2·sum avoids any float mean
     "events_bursts" ->
       """WITH h AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,

@@ -114,6 +114,20 @@ object Tables {
     marker.createNewFile()
   }
 
+  /** One-time fingerprint-keyed fixture export shared by the source-
+    * roundtrip gate entries: reclaims superseded exports for `base`, writes
+    * via `write` only if the keyed dir isn't already `_SUCCESS`-marked, and
+    * returns the dir. Same idempotency discipline as the wholetext corpus.
+    */
+  def exportOnce(sourceParquet: String, base: String, write: String => Unit): String = {
+    val keep = base + java.lang.Long.toHexString(datasetFingerprint(sourceParquet))
+    val tmp = System.getProperty("java.io.tmpdir")
+    cleanStaleExports(tmp, base, keep)
+    val out = s"$tmp/$keep"
+    if (!new java.io.File(out, "_SUCCESS").exists()) write(out)
+    out
+  }
+
   def wholeTextDocuments(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("wholetext", "true").text(dir)
       .select(
