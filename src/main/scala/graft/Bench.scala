@@ -40,6 +40,10 @@ object Bench {
     // not a measurement and must never become the reported minimum
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failTime = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // EVERY pass's wall time (failed passes as negative), so min-vs-mean
+    // divergence (contention, GC) is visible in the artifact itself, not
+    // only on stderr
+    val passes = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     for (pass <- 1 to iters; (name, fn) <- named) {
       val t0 = System.nanoTime()
       val ok =
@@ -52,6 +56,7 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
       else failTime(name) = t
+      passes(name) = passes.getOrElse(name, Nil) :+ (if (ok) t else -t)
       System.err.println(f"[bench] pass $pass $name: $t%.2f s${if (ok) "" else " (failed)"}")
     }
     // a query is an ERROR only if NO pass succeeded (its JSON time is then
@@ -69,9 +74,12 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
         .mkString(""","errors":{""", ",", "}")
+    val passJson = named.map { case (k, _) =>
+      s"${jq(k)}:${passes.getOrElse(k, Nil).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val total = named.collect { case (k, _) if !errorNames.contains(k) => best(k) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson""" +
-      s""","iters":$iters,"order":"sorted","sf":${jq(sfDir)}}""")
+      s""","passes":$passJson,"iters":$iters,"order":"sorted","sf":${jq(sfDir)}}""")
     spark.stop()
   }
 }

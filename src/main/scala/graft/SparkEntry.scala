@@ -72,6 +72,10 @@ object SparkEntry {
     // — dedup surface (SURVEY.md §7.4) —
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir))),
+    // SURVEY §7.4's sha2(normalized_text) form: whitespace/case-insensitive
+    // exact dedup (normalization rules documented at Dedup.normalizeText)
+    "dedup_exact_normalized" -> ((s, dir) =>
+      Dedup.exactGroupsNormalized(Tables.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), tau = 0.7)),
     "dedup_simhash" -> ((s, dir) =>
@@ -156,6 +160,11 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.6, "src2" -> 0.3, "src3" -> 0.1))),
     "corpus_budget" -> ((s, dir) =>
       TextAnalysis.tokenBudget(Tables.documents(s, dir), budgetTokens = 800L)),
+    // the hot-partition-free deployment shape: per-(source, hash-bucket)
+    // windows, so a giant source spreads over nBuckets window partitions
+    "corpus_budget_bucketed" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetBucketed(Tables.documents(s, dir),
+        budgetPerBucket = 300L, nBuckets = 8)),
     "events_transitions" -> ((s, dir) => Events.transitions(s, dir)),
     // — relational surface (SURVEY.md §2.2 checklist) —
     "rel_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -705,6 +714,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
         |  min(doc_id) AS keeper FROM documents GROUP BY 1""".stripMargin,
+    // normalization replayed verbatim: trim + collapse-\s+ + lower is the
+    // engine's exact rule (DuckDB needs the explicit 'g' flag Spark implies)
+    "dedup_exact_normalized" ->
+      """WITH n AS (SELECT doc_id,
+        |  sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h FROM documents)
+        |SELECT h AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(doc_id) AS keeper FROM n GROUP BY 1""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH ${shingleCte(3)},
          |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
@@ -860,6 +876,13 @@ object SparkEntry {
         |  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens FROM t)
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 800""".stripMargin,
+    "corpus_budget_bucketed" ->
+      s"""WITH t AS (SELECT doc_id, source, ${duckHash("text")} % 8 AS bucket,
+         |  len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+         |c AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY source, bucket ORDER BY doc_id
+         |  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens FROM t)
+         |SELECT doc_id, source, bucket, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 300""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.HashFunctions._
@@ -33,6 +33,25 @@ object Dedup {
     */
   def exactGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+
+  /** Whitespace/case normalization for content hashing (SURVEY §7.4's
+    * "sha2(normalized_text)" form): trim, collapse every whitespace run to a
+    * single space, lowercase. Deliberately conservative — NO unicode NFC
+    * (the corpus contract is ASCII, and an engine-side NFC would not be
+    * replayable in every oracle engine) and no punctuation stripping (that
+    * changes dedup semantics from "same text" to "similar text", which is
+    * the near-dup detectors' job). Pure Column arithmetic, codegen'd.
+    */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** [[exactGroups]] over NORMALIZED text with a cryptographic sha2-256
+    * hash: documents differing only in case or whitespace layout land in one
+    * group. Same one-hash-shuffle scale shape as the raw-text form.
+    */
+  def exactGroupsNormalized(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(normalizeText(col("text")), 256).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
 
   /** Near-duplicate pairs by MinHash LSH: sig of `numHashes`, banded

@@ -234,17 +234,20 @@ object TextAnalysis {
   /** The end-to-end cleaning pipeline a training corpus actually runs:
     * quality FILTER → exact-dedup keep-first → surviving documents, as one
     * lazy DAG. The content hash is computed IN the filtered projection
-    * ([[qualityFilterHashed]]), so rejected documents are never hashed and
-    * the dedup side adds one keeper aggregation + one id join on the
-    * (already filtered) survivor stream.
+    * ([[qualityFilterHashed]]), so rejected documents are never hashed.
+    * Keep-first is a min-over-window on the hash — ONE pass over the
+    * filtered stream and one shuffle on `h`. (A keeper
+    * `groupBy(h)+join(doc_id)` computes the same rows but feeds the filter
+    * subtree into two plan branches, and Catalyst does not reuse the
+    * un-materialized subtree: the corpus would be scanned, tokenized, and
+    * hashed twice — the one thing the highest-volume pass of a 100 TB
+    * cleaning pipeline must never do.)
     */
-  def cleanedCorpus(docs: DataFrame): DataFrame = {
-    val qf = qualityFilterHashed(docs)
-    val keepers = qf.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    qf.join(keepers, "doc_id")
+  def cleanedCorpus(docs: DataFrame): DataFrame =
+    qualityFilterHashed(docs)
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy("h")))
+      .where(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
-  }
 
   /** Intra-document repetition statistics — the Gopher/MassiveText
     * repetition rules' raw signals: over the doc's word 3-gram MULTISET
@@ -329,9 +332,9 @@ object TextAnalysis {
     * order while the source's cumulative token count stays within
     * `budgetTokens`. One windowed running sum per source. At 100 TB a
     * single giant source makes one window partition hot — the deployment
-    * shape splits such a source into (source, hash-range) buckets with
-    * per-bucket budgets, same operator; this is the per-source exact form.
-    * Output: (doc_id, source, n_tokens, cum_tokens).
+    * shape is [[tokenBudgetBucketed]], which splits every source into
+    * content-hash buckets with per-bucket budgets; this is the per-source
+    * exact form. Output: (doc_id, source, n_tokens, cum_tokens).
     */
   def tokenBudget(docs: DataFrame, budgetTokens: Long): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
@@ -341,6 +344,35 @@ object TextAnalysis {
         size(tokenize(col("text"))).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .where(col("cum_tokens") <= budgetTokens)
+  }
+
+  /** [[tokenBudget]]'s deployment shape: the budget is split across
+    * `nBuckets` deterministic content-hash buckets PER SOURCE, and each
+    * (source, bucket) runs its own windowed running sum. A web-crawl source
+    * holding half the corpus stops being one hot window partition — its
+    * documents spread over `nBuckets` independent partitions, so window
+    * parallelism scales with `nBuckets` (set it ≈ cluster cores / sources)
+    * and no partition ever holds more than ≈ a 1/nBuckets share of a
+    * source. The trade is exactness at the seam: each bucket stops within
+    * its own `budgetPerBucket`, so a source's total lands near
+    * budgetPerBucket·nBuckets without cutting at one exact global prefix —
+    * the standard accept-bounded-overshoot trade for removing a serial
+    * bottleneck. Same content-hash bucketing discipline as [[sourceMix]] /
+    * [[stratifiedSample]], so the split is reproducible across runs,
+    * engines, and cluster sizes.
+    * Output: (doc_id, source, bucket, n_tokens, cum_tokens).
+    */
+  def tokenBudgetBucketed(docs: DataFrame, budgetPerBucket: Long,
+      nBuckets: Int = 8): DataFrame = {
+    require(nBuckets >= 1, "tokenBudgetBucketed needs at least one bucket")
+    val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        pmod(portableHash31(col("text")), lit(nBuckets.toLong)).as("bucket"),
+        size(tokenize(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetPerBucket)
   }
 
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)), deterministic

@@ -26,6 +26,18 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.count(_._1 == 1L) == 3)      // 3 singleton groups
   }
 
+  test("normalized exact dedup merges whitespace/case variants raw hashing keeps apart") {
+    val messy = Seq(
+      (1L, "The Quick  Brown fox"),
+      (2L, "  the quick brown\tfox "),   // same doc modulo case + whitespace
+      (3L, "a genuinely different document")
+    ).toDF("doc_id", "text")
+    assert(Dedup.exactGroups(messy).count() == 3) // raw md5 sees 3 distinct texts
+    val norm = Dedup.exactGroupsNormalized(messy)
+      .select("n_copies", "keeper").as[(Long, Long)].collect().toSet
+    assert(norm == Set((2L, 1L), (1L, 3L)))
+  }
+
   test("exact all-pairs Jaccard finds the planted pairs") {
     // docs 1,2 identical -> J=1. docs 1,3 / 2,3: 8 shingles each; the changed
     // token (index 8) sits in shingles i=6,7 -> shared = 6, union = 10, J=0.6.

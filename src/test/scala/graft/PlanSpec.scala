@@ -106,6 +106,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cleanedCorpus scans the corpus exactly once") {
+    // keep-first dedup is a min-over-window on the content hash — a keeper
+    // groupBy+self-join shape would feed the filter subtree into two plan
+    // branches and scan/tokenize/hash the corpus twice (the r3 scale-killer)
+    withStaticPlans {
+      val plan = graft.operators.TextAnalysis.cleanedCorpus(Tables.documents(spark, dir))
+        .queryExecution.executedPlan
+      val scans = plan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.size == 1, s"expected exactly 1 corpus scan, got ${scans.size}:\n$plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1, s"expected exactly 1 shuffle (on h), got ${shuffles.size}:\n$plan")
+    }
+  }
+
   test("scans prune columns: flagship reads only doc_id and text") {
     val plan = BookQuery.referenceScores(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString

@@ -126,6 +126,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(kept == Map(1L -> 3L, 2L -> 7L))
   }
 
+  test("tokenBudgetBucketed: one bucket equals tokenBudget; buckets split a giant source") {
+    val docs = (0L until 40L).map(i =>
+      (i, "giant", s"tok a$i b$i c$i d$i e$i")).toDF("doc_id", "source", "text")
+    // nBuckets=1 degenerates to the per-source exact form (bucket column aside)
+    val one = graft.operators.TextAnalysis.tokenBudgetBucketed(docs, budgetPerBucket = 60L, nBuckets = 1)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    val exact = graft.operators.TextAnalysis.tokenBudget(docs, budgetTokens = 60L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(one.nonEmpty && one == exact)
+    // 4 buckets: the single giant source spreads across >1 independent
+    // window partition (the hot-partition fix), each within its own budget
+    val b4 = graft.operators.TextAnalysis.tokenBudgetBucketed(docs, budgetPerBucket = 60L, nBuckets = 4)
+      .select("bucket", "cum_tokens").as[(Long, Long)].collect()
+    assert(b4.map(_._1).distinct.length > 1, "giant source not split across buckets")
+    assert(b4.forall(_._2 <= 60L), "a bucket exceeded its own budget")
+  }
+
   test("decontaminate flags the doc sharing a 5-gram with the eval set") {
     // eval = doc_id < 5; doc 10 embeds eval doc 0's exact 5-token run,
     // doc 11 shares nothing
