@@ -98,6 +98,25 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.dedupClusters(docs, Dedup.minhashLshPairs(docs, tau = 0.7))
     }),
+    // incremental dedup — new-batch-vs-corpus, the production ingest shape:
+    // the first 4/5 of documents play the already-indexed corpus (index
+    // persisted once, fingerprint-keyed, reused across JVMs), the last 1/5
+    // plays today's batch; oracle recomputes both tiers from the two splits
+    "dedup_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val split = docs.count() * 4 / 5
+      val sfName = new java.io.File(dir).getName
+      val base = s"graft_dedupidx_h64b16k3_${sfName}_"
+      val keep = base +
+        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      Tables.cleanStaleExports(tmp, base, keep)
+      val idx = s"$tmp/$keep"
+      if (!Dedup.dedupIndexExists(s, idx))
+        Dedup.buildDedupIndex(docs.where(col("doc_id") < split), idx)
+      Dedup.dedupAgainst(idx, docs.where(col("doc_id") >= split), tau = 0.7)
+    }),
     // — text analysis (SURVEY.md §7.6) —
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityStats(Tables.documents(s, dir))),
@@ -767,6 +786,33 @@ object SparkEntry {
     "book_query_topk" ->
       s"""SELECT * FROM ($bookQueryRefSql) base
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // both tiers replayed over the id split: exact via the md5 self-join
+    // across the 4/5 line, near via the shared LSH banding restricted to
+    // (corpus, batch) pairs — corpus ids all precede batch ids, so cand's
+    // doc_a<doc_b orientation already puts the corpus doc on the a side
+    "dedup_incremental" ->
+      s"""WITH ${shingleCte(3)},
+         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |$minhashCandCtes,
+         |sp AS (SELECT count(*) * 4 // 5 AS split FROM documents),
+         |ex AS (SELECT b.doc_id, min(c.doc_id) AS ek
+         |  FROM documents b JOIN documents c ON md5(b.text) = md5(c.text), sp
+         |  WHERE b.doc_id >= sp.split AND c.doc_id < sp.split GROUP BY 1),
+         |nearv AS (SELECT cand.doc_b AS doc_id, min(cand.doc_a) AS nk
+         |  FROM cand JOIN hs ha ON cand.doc_a = ha.doc_id
+         |            JOIN hs hb ON cand.doc_b = hb.doc_id, sp
+         |  WHERE cand.doc_a < sp.split AND cand.doc_b >= sp.split
+         |    AND len(list_intersect(ha.hset, hb.hset))::DOUBLE
+         |      / (len(ha.hset) + len(hb.hset) - len(list_intersect(ha.hset, hb.hset))) >= 0.7
+         |  GROUP BY 1)
+         |SELECT b.doc_id,
+         |  coalesce(ex.ek, -1) AS exact_keeper,
+         |  coalesce(nearv.nk, -1) AS near_keeper,
+         |  CASE WHEN ex.ek IS NOT NULL THEN 'exact_dup'
+         |       WHEN nearv.nk IS NOT NULL THEN 'near_dup'
+         |       ELSE 'unique' END AS status
+         |FROM (SELECT doc_id FROM documents, sp WHERE doc_id >= sp.split) b
+         |LEFT JOIN ex USING (doc_id) LEFT JOIN nearv USING (doc_id)""".stripMargin,
     "dedup_clusters_lsh" ->
       s"""WITH RECURSIVE ${shingleCte(3)},
          |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),

@@ -121,6 +121,115 @@ object Dedup {
         (col("n_shared_windows") > 0L).as("has_shared"))
   }
 
+  /** Build the PERSISTED dedup index of an already-ingested corpus — the
+    * artifact an incremental ingest dedups each new batch against
+    * ([[dedupAgainst]]) without ever rescanning corpus text. Three parquet
+    * tables under `path`:
+    *
+    *   - `exact/` (text_hash, doc_id) — md5 of raw text, one row per doc
+    *   - `sets/`  (doc_id, hs)        — hashed distinct k-shingle set
+    *                                    (8 B per shingle, never strings)
+    *   - `bands/` (doc_id, band)      — MinHash LSH band keys (same
+    *                                    banding constants as
+    *                                    [[minhashLshPairs]])
+    *
+    * plus a `_DONE` marker written only after all three tables commit, so a
+    * half-built index can never be served. The corpus is scanned twice
+    * (exact hashes; shingle sets) and `bands/` derives from the PERSISTED
+    * sets — the one-time build cost of making every later ingest
+    * corpus-scan-free. Same persistence discipline as
+    * [[EmbeddingSearch.saveKmeansIndex]]: plain parquet on any Hadoop
+    * filesystem, readable from any later JVM.
+    */
+  def buildDedupIndex(docs: DataFrame, path: String,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .write.mode("overwrite").parquet(s"$path/exact")
+    docs.select(col("doc_id"), hashSet(shingleSet(col("text"), k)).as("hs"))
+      .where(size(col("hs")) > 0)
+      .write.mode("overwrite").parquet(s"$path/sets")
+    spark.read.parquet(s"$path/sets")
+      .select(col("doc_id"), explode(minhashBandKeys(
+        minhashFromHashes(col("hs"), numHashes), bands, numHashes / bands)).as("band"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.create(done, true).close()
+  }
+
+  /** True iff a COMPLETE index (all three tables committed) exists at `path`. */
+  def dedupIndexExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
+    done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf()).exists(done)
+  }
+
+  /** Incremental dedup — the single most common production ingest shape:
+    * dedup TODAY'S batch against an already-indexed corpus
+    * ([[buildDedupIndex]]), touching only the index tables and the batch.
+    * Two tiers, cheapest first:
+    *
+    *   1. exact — md5 join against the persisted hash table;
+    *   2. near  — MinHash band join against the persisted band table, then
+    *      exact-Jaccard verification of the candidates over the persisted
+    *      HASHED shingle sets (the oracle replays the same hash family, so
+    *      hashed-set Jaccard stays engine-portable).
+    *
+    * Within-batch duplicates are deliberately out of scope — that is the
+    * batch's own [[exactGroups]]/[[minhashLshPairs]] pass (or the streaming
+    * tier) run before or after this; composing both gives the full
+    * dedup-today's-crawl pipeline. Scale: every batch-derived side is a
+    * SIZE-GATED broadcast (a batch is structurally small next to the
+    * corpus), so the corpus index tables are never shuffled — the band join
+    * and hash join stream map-side over the index; candidate volume is
+    * bounded by band collisions exactly as in the full-corpus LSH join.
+    * Output, one row per batch doc: (doc_id, exact_keeper, near_keeper,
+    * status) — keepers are the minimum matching corpus doc_id or -1;
+    * status ∈ exact_dup | near_dup | unique (exact wins).
+    */
+  def dedupAgainst(indexPath: String, newDocs: DataFrame, tau: Double,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3): DataFrame = {
+    val spark = newDocs.sparkSession
+    require(dedupIndexExists(spark, indexPath),
+      s"dedup index at $indexPath is absent or incomplete (no _DONE marker) — run buildDedupIndex first")
+    val exact = spark.read.parquet(s"$indexPath/exact")
+    val corpusBands = spark.read.parquet(s"$indexPath/bands")
+    val corpusSets = spark.read.parquet(s"$indexPath/sets")
+    val batch = newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"),
+      hashSet(shingleSet(col("text"), k)).as("hs"))
+    val exactKeeper = exact.select(col("text_hash"), col("doc_id").as("cdoc"))
+      .join(Scale.maybeBroadcast(batch.select(col("doc_id"), col("text_hash"))), Seq("text_hash"))
+      .groupBy(col("doc_id")).agg(min(col("cdoc")).as("exact_keeper"))
+    val batchBands = batch.where(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"), explode(minhashBandKeys(
+        minhashFromHashes(col("hs"), numHashes), bands, numHashes / bands)).as("band"))
+    // hs rides along through the band join so the batch is not re-derived
+    // for verification; duplicate (batch, corpus) candidates from multiple
+    // colliding bands collapse before the set join
+    val cand = corpusBands.select(col("band"), col("doc_id").as("cdoc"))
+      .join(Scale.maybeBroadcast(batchBands), Seq("band"))
+      .select(col("doc_id"), col("hs"), col("cdoc"))
+      .dropDuplicates("doc_id", "cdoc")
+    val inter = size(array_intersect(col("hs"), col("chs")))
+    val nearKeeper = cand
+      .join(corpusSets.select(col("doc_id").as("cdoc"), col("hs").as("chs")), Seq("cdoc"))
+      .select(col("doc_id"), col("cdoc"),
+        (inter.cast("double") /
+          (size(col("hs")) + size(col("chs")) - inter).cast("double")).as("j"))
+      .where(col("j") >= tau)
+      .groupBy(col("doc_id")).agg(min(col("cdoc")).as("near_keeper"))
+    newDocs.select(col("doc_id"))
+      .join(exactKeeper, Seq("doc_id"), "left")
+      .join(nearKeeper, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_keeper"), lit(-1L)).as("exact_keeper"),
+        coalesce(col("near_keeper"), lit(-1L)).as("near_keeper"),
+        when(col("exact_keeper").isNotNull, "exact_dup")
+          .when(col("near_keeper").isNotNull, "near_dup")
+          .otherwise("unique").as("status"))
+  }
+
   /** Collapse near-duplicate PAIRS into CLUSTERS and materialize the
     * deduplicated corpus decision: every doc_id with the minimum doc_id of
     * its connected component (`keeper`) and whether it survives keep-first

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Dedup, SimilarityJoin}
 
@@ -36,6 +37,49 @@ class DedupSpec extends AnyFunSuite {
     val norm = Dedup.exactGroupsNormalized(messy)
       .select("n_copies", "keeper").as[(Long, Long)].collect().toSet
     assert(norm == Set((2L, 1L), (1L, 3L)))
+  }
+
+  test("incremental dedup tiers a batch against a persisted corpus index") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an unrelated corpus document about distributed query engines"),
+      (3L, "colorless green ideas sleep furiously inside the data center while " +
+        "the replicated shards keep serving reads from every warm standby node")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      (12L, "colorless green ideas sleep furiously inside the data center while " +
+        "the replicated shards keep serving reads from every cold standby node"), // near dup of 3
+      (13L, "nothing here resembles anything the index has seen before at all")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedupidx_spec").toString
+    Dedup.buildDedupIndex(corpus, idx)
+    val got = Dedup.dedupAgainst(idx, batch, tau = 0.5)
+      .select("doc_id", "exact_keeper", "near_keeper", "status")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(11L) == ((11L, 1L, 1L, "exact_dup"))) // an exact dup is also J=1 near
+    assert(got(12L) == ((12L, -1L, 3L, "near_dup")))
+    assert(got(13L) == ((13L, -1L, -1L, "unique")))
+  }
+
+  test("incremental dedup equals full-corpus LSH pairs restricted to the batch") {
+    // the contract that makes incremental SAFE to deploy: indexing the first
+    // 4/5 and streaming the last 1/5 through dedupAgainst finds exactly the
+    // (corpus, batch) pairs the full-corpus join finds (sf0.01 is the
+    // smallest fixture with planted cross-split near-dup families)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val split = docs.count() * 4 / 5
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedupidx_equiv").toString
+    Dedup.buildDedupIndex(docs.where(col("doc_id") < split), idx)
+    val inc = Dedup.dedupAgainst(idx, docs.where(col("doc_id") >= split), tau = 0.7)
+      .where(col("near_keeper") >= 0L)
+      .select("doc_id", "near_keeper").as[(Long, Long)].collect().toMap
+    val full = Dedup.minhashLshPairs(docs, tau = 0.7)
+      .where(col("doc_a") < split && col("doc_b") >= split)
+      .groupBy(col("doc_b")).agg(org.apache.spark.sql.functions.min(col("doc_a")))
+      .as[(Long, Long)].collect().toMap
+    assert(inc.nonEmpty, "fixture has no cross-split near-dups — equivalence check is vacuous")
+    assert(inc == full)
   }
 
   test("exact all-pairs Jaccard finds the planted pairs") {
