@@ -26,6 +26,15 @@ import graft.sources.Tables
   */
 object EmbeddingSearch {
 
+  /** Count of k-means TRAINING invocations in this JVM — observability for
+    * the train-once/serve-many contract: a serve path that silently
+    * retrains (the exact regression the persisted index exists to prevent)
+    * is invisible in results (they are row-identical) but not in this
+    * counter. Asserted in EmbeddingSpec; harmless single atomic increment
+    * per training run otherwise.
+    */
+  private[graft] val kmeansTrainings = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Sequential-fold dot product of two double arrays — the native
     * [[graft.functions.expressions.DotProduct]] kernel (bit-identical to the
     * HOF `aggregate(zip_with(...))` fold it replaced, minus its per-row
@@ -234,6 +243,7 @@ object EmbeddingSearch {
     * only the probe + re-rank, never the training passes.
     */
   def trainKmeansIndex(emb: DataFrame, nClusters: Int = 8, iters: Int = 2): DataFrame = {
+    kmeansTrainings.incrementAndGet()
     val embN = withNorm(emb)
     var cent = emb.where(col("vec_id") < nClusters)
       .select(col("vec_id").cast("int").as("cl"), col("v").as("cv"))

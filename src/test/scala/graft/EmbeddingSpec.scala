@@ -84,6 +84,21 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(served == fresh, "persisted-index serve diverged from fresh training")
   }
 
+  test("second persisted-index invocation performs ZERO training runs") {
+    // results being row-identical cannot distinguish serve from silent
+    // retrain — the training counter can: exactly one training for the
+    // first call against a fresh index path, none for the second
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_kmidx_count").toString + "/idx"
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    EmbeddingSearch.kmeansTopKPersisted(spark, dir, idx, k = 5, nQueries = 3).count()
+    assert(EmbeddingSearch.kmeansTrainings.get() == before + 1,
+      "first invocation against an empty index path must train exactly once")
+    EmbeddingSearch.kmeansTopKPersisted(spark, dir, idx, k = 5, nQueries = 3).count()
+    assert(EmbeddingSearch.kmeansTrainings.get() == before + 1,
+      "second invocation retrained instead of serving the persisted index")
+  }
+
   test("LSH recall is in (0, 1] and n_hit counts true top-k recoveries") {
     val dir = "/root/testdata/sf0.001"
     val rows = EmbeddingSearch.lshRecall(spark, dir, k = 5, nQueries = 3)

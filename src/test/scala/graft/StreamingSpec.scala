@@ -216,6 +216,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest pipeline end-to-end: file source directory -> file sink") {
+    // The full deploy shape on real files: documents land in a parquet
+    // directory, the composed ingest pipeline streams them, survivors land
+    // in a parquet SINK (checkpointed) — then the sink is read back as a
+    // batch table and checked. Same stage-per-doc fixture as the
+    // MemoryStream test, so every stage's drop is exercised through the
+    // file path too.
+    import graft.functions.TextFunctions.shingleSet
+    import graft.functions.HashFunctions.hashSet
+    val evalGrams = Seq("alpha beta gamma delta epsilon zeta")
+      .toDF("text")
+      .select(explode(hashSet(shingleSet(col("text"), 5))).as("gram"))
+    def clean(seed: Int) = (1 to 35).map(i => s"tok${seed}x$i").mkString(" ")
+    val contaminated = clean(7).split(" ").take(20).mkString(" ") +
+      " alpha beta gamma delta epsilon " + clean(8).split(" ").take(20).mkString(" ")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ingest_src").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_ingest_sink").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ingest_ck").toString
+    val first = Seq(
+      (0L, clean(1)),            // survives
+      (1L, "too short"),         // quality drop
+      (2L, contaminated))        // decontamination drop
+      .toDF("doc_id", "text")
+    first.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(first.schema).parquet(srcDir)
+    val q = StreamingOps.ingestPipeline(stream, evalGrams)
+      .writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a LATER batch of files lands in the same directory — the dedup
+      // state must span file-arrival boundaries, exactly as micro-batches
+      Seq((3L, clean(1)),        // exact dup of doc 0 -> dedup drop
+          (4L, clean(2)))        // survives
+        .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val kept = spark.read.parquet(sinkDir).select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session across a >30min gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
