@@ -165,6 +165,39 @@ object Dedup {
     done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf()).exists(done)
   }
 
+  /** Close the incremental-ingest loop: APPEND a batch's accepted documents
+    * to an existing index, so tomorrow's batch dedups against corpus +
+    * today. Cost scales with the batch (three appends of batch-derived
+    * rows); the corpus tables are never rewritten. The `_DONE` marker is
+    * removed first and re-created after all three appends, so a crash
+    * mid-extend leaves an index [[dedupAgainst]] REFUSES to serve (rebuild
+    * or re-extend to repair) rather than one that silently under-reports
+    * duplicates. Callers pass the docs that SURVIVED their dedup decision
+    * (status == unique, or whatever retention policy applies) — indexing
+    * rejected duplicates too is harmless but wasteful.
+    * Spec-pinned: build(corpus) + extend(batch) serves identically to
+    * build(corpus ∪ batch).
+    */
+  def extendDedupIndex(indexPath: String, newDocs: DataFrame,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = newDocs.sparkSession
+    require(dedupIndexExists(spark, indexPath),
+      s"no complete dedup index at $indexPath to extend — run buildDedupIndex first")
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.delete(done, false)
+    newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .write.mode("append").parquet(s"$indexPath/exact")
+    val sets = newDocs.select(col("doc_id"), hashSet(shingleSet(col("text"), k)).as("hs"))
+      .where(size(col("hs")) > 0)
+    sets.write.mode("append").parquet(s"$indexPath/sets")
+    sets.select(col("doc_id"), explode(minhashBandKeys(
+        minhashFromHashes(col("hs"), numHashes), bands, numHashes / bands)).as("band"))
+      .write.mode("append").parquet(s"$indexPath/bands")
+    fs.create(done, true).close()
+  }
+
   /** Incremental dedup — the single most common production ingest shape:
     * dedup TODAY'S batch against an already-indexed corpus
     * ([[buildDedupIndex]]), touching only the index tables and the batch.

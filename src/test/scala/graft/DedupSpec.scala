@@ -82,6 +82,34 @@ class DedupSpec extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("extendDedupIndex serves identically to rebuilding over corpus+batch") {
+    // the ingest loop: corpus -> index; day 1's batch appended; day 2's
+    // batch must see exactly what a from-scratch corpus+day-1 index shows
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val extended = java.nio.file.Files.createTempDirectory("graft_dedupidx_ext").toString
+    Dedup.buildDedupIndex(docs.where(col("doc_id") < 300L), extended)
+    Dedup.extendDedupIndex(extended, docs.where(col("doc_id") >= 300L && col("doc_id") < 400L))
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_dedupidx_reb").toString
+    Dedup.buildDedupIndex(docs.where(col("doc_id") < 400L), rebuilt)
+    val batch2 = docs.where(col("doc_id") >= 400L)
+    def serve(idx: String) = Dedup.dedupAgainst(idx, batch2, tau = 0.7)
+      .select("doc_id", "exact_keeper", "near_keeper", "status")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val a = serve(extended)
+    assert(a.exists(_._4 != "unique"), "no cross-index dups — equivalence check is vacuous")
+    assert(a == serve(rebuilt))
+  }
+
+  test("dedupAgainst refuses a half-built index (no _DONE marker)") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedupidx_nodone").toString
+    Dedup.buildDedupIndex(corpus, idx)
+    assert(new java.io.File(idx, "_DONE").delete()) // simulate a crashed extend
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainst(idx, corpus, tau = 0.7)
+    }
+  }
+
   test("exact all-pairs Jaccard finds the planted pairs") {
     // docs 1,2 identical -> J=1. docs 1,3 / 2,3: 8 shingles each; the changed
     // token (index 8) sits in shingles i=6,7 -> shared = 6, union = 10, J=0.6.
