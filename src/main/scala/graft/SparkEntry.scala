@@ -107,11 +107,16 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val split = docs.count() * 4 / 5
       val sfName = new java.io.File(dir).getName
-      val base = s"graft_dedupidx_h64b16k3_${sfName}_"
+      // s2 = index-schema tag (sets/ carries hs31+hs62): an index written
+      // under an older schema must never be served, so the tag is part of
+      // the prefix and legacy-prefix dirs are reclaimed like any stale export
+      val base = s"graft_dedupidx_s2h64b16k3_${sfName}_"
       val keep = base +
         java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
       val tmp = System.getProperty("java.io.tmpdir")
       Tables.cleanStaleExports(tmp, base, keep)
+      Tables.cleanStaleExports(tmp, s"graft_dedupidx_h64b16k3_${sfName}_",
+        s"graft_dedupidx_h64b16k3_${sfName}_-")
       val idx = s"$tmp/$keep"
       if (!Dedup.dedupIndexExists(s, idx))
         Dedup.buildDedupIndex(docs.where(col("doc_id") < split), idx)
@@ -272,6 +277,13 @@ object SparkEntry {
   /** Portable rolling hash of a string `s` (mirrors HashFunctions.portableHash31). */
   private def duckHash(s: String): String =
     s"list_reduce(list_transform(generate_series(1, len($s)), ci -> ascii($s[ci])::BIGINT), (a, b) -> (a*31 + b) % 2147483647)"
+
+  /** The base-37 sibling fold; h1·2³¹ + h2 mirrors HashPrimitives.hashSet62's
+    * packed 62-bit element hash (h2 < 2³¹, so the add IS the bit-or).
+    */
+  private def duckHash62(s: String): String =
+    s"(${duckHash(s)} * 2147483648 + " +
+      s"list_reduce(list_transform(generate_series(1, len($s)), ci -> ascii($s[ci])::BIGINT), (a, b) -> (a*37 + b) % 2147483647))"
 
   /** MinHash-LSH candidate CTEs (hs → sig → bands → cand) over a `sets`
     * CTE — ONE copy of the banding constants (64 sigs, 16 bands, the
@@ -733,11 +745,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
         |  min(doc_id) AS keeper FROM documents GROUP BY 1""".stripMargin,
-    // normalization replayed verbatim: trim + collapse-\s+ + lower is the
-    // engine's exact rule (DuckDB needs the explicit 'g' flag Spark implies)
+    // normalization replayed verbatim: trim + collapse-whitespace + lower
+    // (DuckDB needs the explicit 'g' flag Spark implies; the whitespace
+    // class is spelled out because Java's \s includes \x0B and RE2's does
+    // not — see Dedup.normalizeText)
     "dedup_exact_normalized" ->
       """WITH n AS (SELECT doc_id,
-        |  sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h FROM documents)
+        |  sha256(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS h FROM documents)
         |SELECT h AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
         |  min(doc_id) AS keeper FROM n GROUP BY 1""".stripMargin,
     "dedup_minhash_lsh" ->
@@ -795,15 +809,17 @@ object SparkEntry {
          |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
          |$minhashCandCtes,
          |sp AS (SELECT count(*) * 4 // 5 AS split FROM documents),
+         |h62 AS (SELECT doc_id,
+         |  list_distinct(list_transform(sh, t -> ${duckHash62("t")})) AS hset62 FROM sets),
          |ex AS (SELECT b.doc_id, min(c.doc_id) AS ek
          |  FROM documents b JOIN documents c ON md5(b.text) = md5(c.text), sp
          |  WHERE b.doc_id >= sp.split AND c.doc_id < sp.split GROUP BY 1),
          |nearv AS (SELECT cand.doc_b AS doc_id, min(cand.doc_a) AS nk
-         |  FROM cand JOIN hs ha ON cand.doc_a = ha.doc_id
-         |            JOIN hs hb ON cand.doc_b = hb.doc_id, sp
+         |  FROM cand JOIN h62 ha ON cand.doc_a = ha.doc_id
+         |            JOIN h62 hb ON cand.doc_b = hb.doc_id, sp
          |  WHERE cand.doc_a < sp.split AND cand.doc_b >= sp.split
-         |    AND len(list_intersect(ha.hset, hb.hset))::DOUBLE
-         |      / (len(ha.hset) + len(hb.hset) - len(list_intersect(ha.hset, hb.hset))) >= 0.7
+         |    AND len(list_intersect(ha.hset62, hb.hset62))::DOUBLE
+         |      / (len(ha.hset62) + len(hb.hset62) - len(list_intersect(ha.hset62, hb.hset62))) >= 0.7
          |  GROUP BY 1)
          |SELECT b.doc_id,
          |  coalesce(ex.ek, -1) AS exact_keeper,

@@ -28,6 +28,23 @@ import graft.functions.HashFunctions._
   */
 object Dedup {
 
+  import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+
+  /** Sorted-distinct 62-bit hashes of a string-array Column (two 31-bit
+    * polynomial folds packed as h1·2³¹+h2 — engine-portable, DuckDB replays
+    * it) — the verification currency of the incremental dedup index:
+    * pairwise collision ≈ 2⁻⁶², the same accepted residual as the
+    * similarity-join prefilter (SimilarityJoin.scala), where the 31-bit
+    * family's ≈n²/2³² per-pair collision odds would not be negligible at
+    * corpus scale.
+    */
+  private def hashSet62(sh: Column): Column =
+    toColumn(graft.functions.expressions.HashSet62(toExpression(sh)))
+
+  /** |a ∩ b| of two sorted-distinct long arrays — allocation-free merge scan. */
+  private def intersect62(a: Column, b: Column): Column =
+    toColumn(graft.functions.expressions.IntersectCountSorted(toExpression(a), toExpression(b)))
+
   /** Exact-duplicate groups: (text_hash, n_copies, keeper). keeper = lowest
     * doc_id, the row a keep-first dedup pass would retain.
     */
@@ -42,9 +59,14 @@ object Dedup {
     * replayable in every oracle engine) and no punctuation stripping (that
     * changes dedup semantics from "same text" to "similar text", which is
     * the near-dup detectors' job). Pure Column arithmetic, codegen'd.
+    * The whitespace class is spelled out ([ \t\n\x0B\f\r] — exactly Java's
+    * \s) instead of written as \s, because \s itself is NOT engine-portable:
+    * RE2-based engines (the DuckDB oracle among them) exclude vertical tab
+    * from \s, and the two engines would then disagree on which documents
+    * are duplicates.
     */
   def normalizeText(text: Column): Column =
-    lower(trim(regexp_replace(text, "\\s+", " ")))
+    lower(trim(regexp_replace(text, "[ \\t\\n\\x0B\\f\\r]+", " ")))
 
   /** [[exactGroups]] over NORMALIZED text with a cryptographic sha2-256
     * hash: documents differing only in case or whitespace layout land in one
@@ -126,18 +148,23 @@ object Dedup {
     * ([[dedupAgainst]]) without ever rescanning corpus text. Three parquet
     * tables under `path`:
     *
-    *   - `exact/` (text_hash, doc_id) — md5 of raw text, one row per doc
-    *   - `sets/`  (doc_id, hs)        — hashed distinct k-shingle set
-    *                                    (8 B per shingle, never strings)
-    *   - `bands/` (doc_id, band)      — MinHash LSH band keys (same
-    *                                    banding constants as
-    *                                    [[minhashLshPairs]])
+    *   - `exact/` (text_hash, doc_id)  — md5 of raw text, one row per doc
+    *   - `sets/`  (doc_id, hs31, hs62) — hashed distinct k-shingle set in
+    *     BOTH portable families: the 31-bit hashes feed the MinHash banding
+    *     (same permutation constants as [[minhashLshPairs]]), the
+    *     sorted-distinct 62-bit hashes are the VERIFICATION currency
+    *     (per-pair collision ≈ 2⁻⁶² — the similarity-prefilter's accepted
+    *     residual; verifying on the 31-bit family would carry ≈n²/2³²
+    *     per-pair collision odds, not negligible at corpus scale)
+    *   - `bands/` (doc_id, band)       — MinHash LSH band keys
     *
-    * plus a `_DONE` marker written only after all three tables commit, so a
-    * half-built index can never be served. The corpus is scanned twice
-    * (exact hashes; shingle sets) and `bands/` derives from the PERSISTED
-    * sets — the one-time build cost of making every later ingest
-    * corpus-scan-free. Same persistence discipline as
+    * plus a `_DONE` marker removed FIRST (a rebuild over an existing index
+    * must not leave a stale marker on a half-overwritten index) and
+    * re-created only after all three tables commit, so a half-built index
+    * can never be served. The corpus is scanned twice (exact hashes;
+    * shingle sets) and `bands/` derives from the PERSISTED sets, so sets
+    * and bands can never disagree — the one-time build cost of making
+    * every later ingest corpus-scan-free. Same persistence discipline as
     * [[EmbeddingSearch.saveKmeansIndex]]: plain parquet on any Hadoop
     * filesystem, readable from any later JVM.
     */
@@ -145,17 +172,20 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, k: Int = 3): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
+    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.delete(done, false)
     docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
       .write.mode("overwrite").parquet(s"$path/exact")
-    docs.select(col("doc_id"), hashSet(shingleSet(col("text"), k)).as("hs"))
-      .where(size(col("hs")) > 0)
+    docs.select(col("doc_id"),
+        hashSet(shingleSet(col("text"), k)).as("hs31"),
+        hashSet62(shingleSet(col("text"), k)).as("hs62"))
+      .where(size(col("hs31")) > 0)
       .write.mode("overwrite").parquet(s"$path/sets")
     spark.read.parquet(s"$path/sets")
       .select(col("doc_id"), explode(minhashBandKeys(
-        minhashFromHashes(col("hs"), numHashes), bands, numHashes / bands)).as("band"))
+        minhashFromHashes(col("hs31"), numHashes), bands, numHashes / bands)).as("band"))
       .write.mode("overwrite").parquet(s"$path/bands")
-    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
-    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     fs.create(done, true).close()
   }
 
@@ -170,9 +200,17 @@ object Dedup {
     * today. Cost scales with the batch (three appends of batch-derived
     * rows); the corpus tables are never rewritten. The `_DONE` marker is
     * removed first and re-created after all three appends, so a crash
-    * mid-extend leaves an index [[dedupAgainst]] REFUSES to serve (rebuild
-    * or re-extend to repair) rather than one that silently under-reports
-    * duplicates. Callers pass the docs that SURVIVED their dedup decision
+    * mid-extend leaves an index [[dedupAgainst]] REFUSES to serve, never
+    * one that silently under-reports duplicates. REPAIR is re-running
+    * extend (this method requires the three TABLES, not the marker, so it
+    * accepts a crashed-extend index): appends from the crashed attempt are
+    * then duplicated, which serving tolerates — every consumer of the
+    * index rows ends in min()/dropDuplicates, so duplicate index rows cost
+    * space, not correctness (a periodic rebuild compacts). The batch's
+    * shingle sets are eagerly checkpointed before writing, so `sets/` and
+    * `bands/` append the SAME rows even if `newDocs` is non-deterministic
+    * (a live ingest directory) — and the batch is shingled once, not
+    * twice. Callers pass the docs that SURVIVED their dedup decision
     * (status == unique, or whatever retention policy applies) — indexing
     * rejected duplicates too is harmless but wasteful.
     * Spec-pinned: build(corpus) + extend(batch) serves identically to
@@ -181,20 +219,25 @@ object Dedup {
   def extendDedupIndex(indexPath: String, newDocs: DataFrame,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val spark = newDocs.sparkSession
-    require(dedupIndexExists(spark, indexPath),
-      s"no complete dedup index at $indexPath to extend — run buildDedupIndex first")
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    val tables = Seq("exact", "sets", "bands")
+      .map(t => new org.apache.hadoop.fs.Path(indexPath, t))
+    require(tables.forall(fs.exists),
+      s"no dedup index tables at $indexPath to extend — run buildDedupIndex first")
     fs.delete(done, false)
     newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"))
       .write.mode("append").parquet(s"$indexPath/exact")
-    val sets = newDocs.select(col("doc_id"), hashSet(shingleSet(col("text"), k)).as("hs"))
-      .where(size(col("hs")) > 0)
+    val sets = newDocs.select(col("doc_id"),
+        hashSet(shingleSet(col("text"), k)).as("hs31"),
+        hashSet62(shingleSet(col("text"), k)).as("hs62"))
+      .where(size(col("hs31")) > 0)
+      .localCheckpoint()
     sets.write.mode("append").parquet(s"$indexPath/sets")
     sets.select(col("doc_id"), explode(minhashBandKeys(
-        minhashFromHashes(col("hs"), numHashes), bands, numHashes / bands)).as("band"))
+        minhashFromHashes(col("hs31"), numHashes), bands, numHashes / bands)).as("band"))
       .write.mode("append").parquet(s"$indexPath/bands")
+    org.apache.spark.sql.GraftShim.unpersistCheckpoint(sets)
     fs.create(done, true).close()
   }
 
@@ -206,8 +249,10 @@ object Dedup {
     *   1. exact — md5 join against the persisted hash table;
     *   2. near  — MinHash band join against the persisted band table, then
     *      exact-Jaccard verification of the candidates over the persisted
-    *      HASHED shingle sets (the oracle replays the same hash family, so
-    *      hashed-set Jaccard stays engine-portable).
+    *      62-bit hashed shingle sets via an allocation-free merge scan
+    *      (the oracle replays the same two-fold hash family, so hashed-set
+    *      Jaccard stays engine-portable; agreement with raw-string-set
+    *      Jaccard is exact up to the ≈2⁻⁶² per-pair collision residual).
     *
     * Within-batch duplicates are deliberately out of scope — that is the
     * batch's own [[exactGroups]]/[[minhashLshPairs]] pass (or the streaming
@@ -230,26 +275,27 @@ object Dedup {
     val corpusBands = spark.read.parquet(s"$indexPath/bands")
     val corpusSets = spark.read.parquet(s"$indexPath/sets")
     val batch = newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"),
-      hashSet(shingleSet(col("text"), k)).as("hs"))
+      hashSet(shingleSet(col("text"), k)).as("hs31"),
+      hashSet62(shingleSet(col("text"), k)).as("hs62"))
     val exactKeeper = exact.select(col("text_hash"), col("doc_id").as("cdoc"))
       .join(Scale.maybeBroadcast(batch.select(col("doc_id"), col("text_hash"))), Seq("text_hash"))
       .groupBy(col("doc_id")).agg(min(col("cdoc")).as("exact_keeper"))
-    val batchBands = batch.where(size(col("hs")) > 0)
-      .select(col("doc_id"), col("hs"), explode(minhashBandKeys(
-        minhashFromHashes(col("hs"), numHashes), bands, numHashes / bands)).as("band"))
-    // hs rides along through the band join so the batch is not re-derived
+    val batchBands = batch.where(size(col("hs31")) > 0)
+      .select(col("doc_id"), col("hs62"), explode(minhashBandKeys(
+        minhashFromHashes(col("hs31"), numHashes), bands, numHashes / bands)).as("band"))
+    // hs62 rides along through the band join so the batch is not re-derived
     // for verification; duplicate (batch, corpus) candidates from multiple
     // colliding bands collapse before the set join
     val cand = corpusBands.select(col("band"), col("doc_id").as("cdoc"))
       .join(Scale.maybeBroadcast(batchBands), Seq("band"))
-      .select(col("doc_id"), col("hs"), col("cdoc"))
+      .select(col("doc_id"), col("hs62"), col("cdoc"))
       .dropDuplicates("doc_id", "cdoc")
-    val inter = size(array_intersect(col("hs"), col("chs")))
+    val inter = intersect62(col("hs62"), col("chs62"))
     val nearKeeper = cand
-      .join(corpusSets.select(col("doc_id").as("cdoc"), col("hs").as("chs")), Seq("cdoc"))
+      .join(corpusSets.select(col("doc_id").as("cdoc"), col("hs62").as("chs62")), Seq("cdoc"))
       .select(col("doc_id"), col("cdoc"),
         (inter.cast("double") /
-          (size(col("hs")) + size(col("chs")) - inter).cast("double")).as("j"))
+          (size(col("hs62")) + size(col("chs62")) - inter).cast("double")).as("j"))
       .where(col("j") >= tau)
       .groupBy(col("doc_id")).agg(min(col("cdoc")).as("near_keeper"))
     newDocs.select(col("doc_id"))
