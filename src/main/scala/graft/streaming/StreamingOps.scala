@@ -104,6 +104,36 @@ object StreamingOps {
       .drop("__ev")
   }
 
+  /** Stream-vs-corpus dedup: drop streaming documents whose exact content
+    * hash is already in a PERSISTED dedup index
+    * ([[graft.operators.Dedup.buildDedupIndex]]) — the stream-static
+    * composition of the incremental batch path
+    * ([[graft.operators.Dedup.dedupAgainst]]): the indexed CORPUS plays the
+    * static side, so an ingest stream never re-admits yesterday's
+    * documents. STATELESS on the stream (the index is the state, and it
+    * lives on disk, not in the state store), so it chains before the
+    * stateful within-stream stages. The static side's FILE LISTING is
+    * captured when the query starts (standard Spark file-source
+    * semantics), so an [[graft.operators.Dedup.extendDedupIndex]] takes
+    * effect on query RESTART — the usual deployment rhythm (nightly index
+    * job, then bounce the ingest query; spec-asserted), with
+    * [[dedupExact]] downstream covering within-run duplicates in the
+    * meantime. Exact tier only — streaming
+    * NEAR-dup-vs-corpus would need stateful candidate tracking; the
+    * deployed shape is this + [[dedupNearSimhash]] within the stream +
+    * the periodic batch [[graft.operators.Dedup.dedupAgainst]] sweep.
+    */
+  def dedupAgainstIndex(docs: DataFrame, indexPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    require(graft.operators.Dedup.dedupIndexExists(spark, indexPath),
+      s"no complete dedup index at $indexPath — run buildDedupIndex first")
+    val corpusHashes = spark.read.parquet(s"$indexPath/exact")
+      .select(col("text_hash"))
+    docs.withColumn("__h", md5(col("text")))
+      .join(corpusHashes, col("__h") === col("text_hash"), "left_anti")
+      .drop("__h")
+  }
+
   /** The COMPOSED ingest chain a 100 TB training-data stream runs, ordered
     * cheapest-first so each stage sheds volume before the next pays for it:
     * stateless quality predicate → stateless decontamination (broadcast

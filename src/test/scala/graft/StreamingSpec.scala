@@ -216,6 +216,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-vs-corpus dedup drops indexed docs; an index extend takes effect next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an indexed corpus document about distributed engines"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_streamidx").toString
+    graft.operators.Dedup.buildDedupIndex(corpus, idx)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.dedupAgainstIndex(input.toDF().toDF("doc_id", "text"), idx)
+    val q = out.writeStream.format("memory").queryName("sidx")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog today"), // corpus dup: dropped
+        (11L, "a brand new never indexed document body"))            // kept
+      q.processAllAvailable()
+      val kept = spark.table("sidx").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(11L), s"got $kept")
+    } finally q.stop()
+    // the accepted doc joins the index (the ingest loop); the static side's
+    // file listing is captured at query start, so the extend takes effect
+    // on query RESTART — the nightly-index-then-bounce deployment rhythm
+    graft.operators.Dedup.extendDedupIndex(idx,
+      Seq((11L, "a brand new never indexed document body")).toDF("doc_id", "text"))
+    val input2 = MemoryStream[(Long, String)]
+    val out2 = StreamingOps.dedupAgainstIndex(input2.toDF().toDF("doc_id", "text"), idx)
+    val q2 = out2.writeStream.format("memory").queryName("sidx2")
+      .outputMode("append").start()
+    try {
+      input2.addData(
+        (12L, "a brand new never indexed document body"), // indexed since: dropped
+        (13L, "and one more genuinely fresh document"))   // kept
+      q2.processAllAvailable()
+      val kept2 = spark.table("sidx2").select($"doc_id").as[Long].collect().toSet
+      assert(kept2 == Set(13L), s"got $kept2")
+    } finally q2.stop()
+  }
+
   test("ingest pipeline end-to-end: file source directory -> file sink") {
     // The full deploy shape on real files: documents land in a parquet
     // directory, the composed ingest pipeline streams them, survivors land
