@@ -209,6 +209,17 @@ object SparkEntry {
     "rel_pivot" -> ((s, dir) => Relational.ordersPivot(s, dir)),
     "corpus_clean" -> ((s, dir) =>
       TextAnalysis.cleanedCorpus(Tables.documents(s, dir))),
+    // the FULL cleaning composition (Lee et al.'s dedup after quality
+    // filtering): quality predicate → MinHash-LSH near-dup pairs among the
+    // survivors → connected-components keep-first — quality cuts volume
+    // BEFORE any pair machinery runs, and exact dups (J=1) ride the same
+    // clusters, so no separate exact pass is needed
+    "corpus_clean_near" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val surv = Tables.documents(s, dir)
+        .where(TextAnalysis.qualityPredicate(col("text")))
+      Dedup.dedupClusters(surv, Dedup.minhashLshPairs(surv, tau = 0.7))
+    }),
     "text_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
     // sketch aggregates: engine-specific, intentionally no oracle (rows-only)
@@ -516,6 +527,30 @@ object SparkEntry {
     "text_sample" ->
       s"""SELECT doc_id, lang, ${duckHash("text")} % 100 AS bucket
          |FROM documents WHERE ${duckHash("text")} % 100 < 20""".stripMargin,
+    // quality rules + LSH banding + recursive closure, all shared CTE
+    // builders — the shingle CTEs run over the FILTERED docs, mirroring the
+    // engine's quality-first order
+    "corpus_clean_near" ->
+      s"""WITH RECURSIVE $qualityCtes,
+         |qf AS (SELECT doc_id, text FROM s WHERE $qualityPred),
+         |tok2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM qf),
+         |shq AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM tok2),
+         |sets AS (SELECT doc_id, sh FROM shq WHERE len(sh) > 0),
+         |$minhashCandCtes,
+         |pairs AS (${verifyTail(0.7)}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY 1)
+         |SELECT qf.doc_id,
+         |  least(qf.doc_id, coalesce(mn.m, qf.doc_id)) AS keeper,
+         |  qf.doc_id = least(qf.doc_id, coalesce(mn.m, qf.doc_id)) AS kept
+         |FROM qf LEFT JOIN mn ON qf.doc_id = mn.src""".stripMargin,
     "rel_full_outer" ->
       """SELECT coalesce(c_custkey, o.o_custkey) AS custkey, c_name,
         |  coalesce(o.n_orders, 0) AS n_orders
