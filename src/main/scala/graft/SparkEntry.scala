@@ -178,6 +178,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     }),
+    "source_orc_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sfName = new java.io.File(dir).getName
+      val out = Tables.exportOnce(s"$dir/part.parquet", s"graft_orcfix_${sfName}_",
+        p => Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+          .write.orc(p))
+      s.read.schema("p_partkey LONG, p_brand STRING, p_retailprice DOUBLE")
+        .orc(out)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
     // — corpus assembly: source mixing + token budgeting —
     "corpus_mix" -> ((s, dir) =>
       TextAnalysis.sourceMix(Tables.documents(s, dir),
@@ -604,6 +616,10 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "source_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY 1""".stripMargin,
     // integer-exact burst rule: n·cnt > 2·sum avoids any float mean
     "events_bursts" ->
       """WITH h AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, EmbeddingSearch, Relational}
+import graft.operators.{Dedup, EmbeddingSearch, Relational, TextAnalysis}
 import graft.sources.Tables
 
 /** Partition-count invariance (r2 verdict item 5): SCALING.md claims every
@@ -27,7 +28,21 @@ class InvarianceSpec extends AnyFunSuite {
     "embed_knn_kmeans_fresh" ->
       ((s, d) => EmbeddingSearch.kmeansTopK(s, d, k = 5, nQueries = 3)),
     "dedup_minhash_lsh" ->
-      ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), tau = 0.7)))
+      ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), tau = 0.7)),
+    // build + serve both run at the partitioning under test (fresh index
+    // dir per run, so the build is genuinely re-exercised)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = java.nio.file.Files.createTempDirectory("graft_inv_idx").toString
+      Dedup.buildDedupIndex(docs.where(col("doc_id") < 40L), idx)
+      Dedup.dedupAgainst(idx, docs.where(col("doc_id") >= 40L), tau = 0.7)
+    }),
+    "corpus_budget_bucketed" ->
+      ((s, d) => TextAnalysis.tokenBudgetBucketed(Tables.documents(s, d), 300L, 8)),
+    "corpus_clean_near" -> ((s, d) => {
+      val surv = Tables.documents(s, d).where(TextAnalysis.qualityPredicate(col("text")))
+      Dedup.dedupClusters(surv, Dedup.minhashLshPairs(surv, tau = 0.7))
+    }))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
