@@ -208,6 +208,8 @@ object SparkEntry {
     "rel_local_supplier" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "rel_top_orders" -> ((s, dir) => Relational.topOrders(s, dir)),
     "rel_customer_windows" -> ((s, dir) => Relational.customerOrderWindows(s, dir)),
+    // value-RANGE frame: 30-day trailing spend/count per order
+    "rel_trailing_spend" -> ((s, dir) => Relational.trailingSpend(s, dir)),
     "rel_setops" -> ((s, dir) => Relational.customerSetOps(s, dir)),
     "rel_rollup" -> ((s, dir) => Relational.returnsRollup(s, dir)),
     "rel_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
@@ -248,6 +250,9 @@ object SparkEntry {
     "events_retention" -> ((s, dir) => Events.weeklyRetention(s, dir)),
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
     "events_bursts" -> ((s, dir) => Events.bursts(s, dir)),
+    // as-of join (purchase -> latest preceding click) via tagged union +
+    // per-user running-last window — no range join, one user_id shuffle
+    "events_asof" -> ((s, dir) => Events.asofLastClick(s, dir)),
     // — embedding similarity search (SURVEY.md §7.5) —
     "embed_knn_brute" -> ((s, dir) => EmbeddingSearch.bruteForceTopK(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
@@ -462,6 +467,14 @@ object SparkEntry {
         |  date_diff('day', lag(o_orderdate) OVER w, o_orderdate)::BIGINT AS days_since_prev
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "rel_trailing_spend" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |  epoch_us(o_orderdate) // 1000000 AS order_epoch, o_totalprice FROM orders)
+        |SELECT o_custkey, o_orderkey, order_epoch,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_spend,
+        |  (count(*) OVER w)::BIGINT AS trailing_orders
+        |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY order_epoch
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "rel_setops" ->
       """WITH a95 AS (SELECT o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
@@ -631,6 +644,17 @@ object SparkEntry {
         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
         |SELECT hour_epoch, event_type, n_events, trailing_sum, trailing_cnt
         |FROM t WHERE trailing_cnt >= 12 AND n_events * trailing_cnt > trailing_sum * 2""".stripMargin,
+    // the running-last window mirrors the engine's as-of composition
+    // exactly (ROWS frame + (ts, event_id) order, IGNORE NULLS last)
+    "events_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us FROM e)
+        |SELECT user_id, event_id, ts_us AS purchase_us,
+        |  coalesce(last_click_us, -1) AS last_click_us,
+        |  coalesce(ts_us - last_click_us, -1) AS us_since_click
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |v AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),

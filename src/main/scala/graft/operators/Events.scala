@@ -123,6 +123,33 @@ object Events {
         .select(lit("3_purchase").as("step"), col("n_users")))
   }
 
+  /** As-of join, Spark-native: for every purchase event, the user's most
+    * recent click AT-OR-BEFORE it in (ts, event_id) order — the classic
+    * time-series operator Spark lacks as a primitive (attribution,
+    * "state as of t", trade-vs-quote joins). Composed WITHOUT a range
+    * join: both event kinds ride ONE tagged stream and a per-user ordered
+    * window carries the last non-null click timestamp to each row — one
+    * shuffle on user_id, no (purchase × click) candidate blowup, nothing
+    * driver-side, and the running-last state is one value per window
+    * partition however long the history. Ties break on event_id (a click
+    * sharing the purchase's timestamp counts as before it only with a
+    * lower event_id) — deterministic, mirrored in the oracle. Output:
+    * (user_id, event_id, purchase_us, last_click_us, us_since_click);
+    * -1s when the user has no prior click.
+    */
+  def asofLastClick(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      .withColumn("click_us", when(col("event_type") === "click", col("ts_us")))
+      .withColumn("last_click_us", last(col("click_us"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us").as("purchase_us"),
+        coalesce(col("last_click_us"), lit(-1L)).as("last_click_us"),
+        coalesce(col("ts_us") - col("last_click_us"), lit(-1L)).as("us_since_click"))
+  }
+
   /** Burst detection: hours where an event type's count exceeds 2× its
     * trailing baseline (the mean of its previous 24 OBSERVED hourly
     * buckets, current hour excluded; at least 12 observations required

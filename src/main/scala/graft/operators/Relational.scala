@@ -117,6 +117,29 @@ object Relational {
         col("running_spend"), col("days_since_prev"))
   }
 
+  /** Value-RANGE window frame: each order sees the customer's exact
+    * (decimal-summed) spend and order count over the PRECEDING 30 days
+    * inclusive — the trailing-aggregate shape row-count frames cannot
+    * express (orders per window vary). RANGE frames are tie-safe by
+    * construction: the frame is defined by the ORDER BY VALUE, so rows
+    * sharing an order date share a frame and the result is deterministic
+    * under any partitioning. One shuffle on o_custkey.
+    */
+  def trailingSpend(spark: SparkSession, dir: String): DataFrame = {
+    val sec30d = 30L * 86400L
+    val w = Window.partitionBy("o_custkey").orderBy(col("order_epoch"))
+      .rangeBetween(-sec30d, 0L)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        col("o_totalprice"))
+      .withColumn("trailing_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("trailing_orders", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_epoch"),
+        col("trailing_spend"), col("trailing_orders"))
+  }
+
   /** Relational set ops: customers active in 1995 vs 1996 — INTERSECT /
     * EXCEPT / union, tagged.
     */

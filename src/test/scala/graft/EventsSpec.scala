@@ -36,6 +36,29 @@ class EventsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("as-of: last_click equals the quadratic reference join per purchase") {
+    import org.apache.spark.sql.functions._
+    val e = Events.events(spark, dir).select($"user_id", $"event_id", $"event_type", $"ts_us")
+    val got = Events.asofLastClick(spark, dir)
+      .select($"user_id", $"event_id", $"last_click_us").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // the O(purchases × clicks) join the window composition replaces — fine
+    // as a reference at sf0.001, exactly what must never run at scale
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("pid"), $"ts_us".as("pts"))
+    val clicks = e.where($"event_type" === "click")
+      .select($"user_id", $"event_id".as("cid"), $"ts_us".as("cts"))
+    val expect = purchases.join(clicks, Seq("user_id"))
+      .where($"cts" < $"pts" || ($"cts" === $"pts" && $"cid" < $"pid"))
+      .groupBy($"user_id", $"pid").agg(max($"cts").as("mx"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(expect.nonEmpty && got.size >= expect.size)
+    expect.foreach { case (k, v) => assert(got(k) == v, s"purchase $k") }
+    (got.keySet -- expect.keySet).foreach { k =>
+      assert(got(k) == -1L, s"purchase $k should have no prior click")
+    }
+  }
+
   test("funnel is monotonically narrowing and strictly ordered") {
     val steps = Events.funnel(spark, dir)
       .select("step", "n_users").as[(String, Long)].collect().toMap
