@@ -120,6 +120,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join and RANGE window plan exactly one shuffle each") {
+    // both are claimed single-shuffle compositions (SCALING.md): the as-of
+    // window must not degrade into a purchase×click join, and the RANGE
+    // frame must not add exchanges beyond the per-customer partitioning
+    withStaticPlans {
+      for (df <- Seq(
+          graft.operators.Events.asofLastClick(spark, dir),
+          graft.operators.Relational.trailingSpend(spark, dir))) {
+        val plan = df.queryExecution.executedPlan
+        val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.size == 1, s"expected exactly 1 shuffle:\n$plan")
+        val s = plan.toString
+        assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"))
+      }
+    }
+  }
+
+  test("incremental dedup serve side never plans a cartesian join") {
+    withStaticPlans {
+      val docs = Tables.documents(spark, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_planidx").toString
+      graft.operators.Dedup.buildDedupIndex(docs.where(
+        org.apache.spark.sql.functions.col("doc_id") < 40L), idx)
+      val plan = graft.operators.Dedup.dedupAgainst(idx, docs.where(
+          org.apache.spark.sql.functions.col("doc_id") >= 40L), tau = 0.7)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"cartesian/nested-loop join in incremental dedup plan:\n$plan")
+    }
+  }
+
   test("scans prune columns: flagship reads only doc_id and text") {
     val plan = BookQuery.referenceScores(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString
