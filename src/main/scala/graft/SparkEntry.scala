@@ -107,16 +107,17 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val split = docs.count() * 4 / 5
       val sfName = new java.io.File(dir).getName
-      // s2 = index-schema tag (sets/ carries hs31+hs62): an index written
-      // under an older schema must never be served, so the tag is part of
-      // the prefix and legacy-prefix dirs are reclaimed like any stale export
-      val base = s"graft_dedupidx_s2h64b16k3_${sfName}_"
+      // s3 = index-format tag (sets/ carries hs31+hs62 AND the index
+      // self-describes via _PARAMS): an index written under an older
+      // format must never be served, so the tag is part of the prefix and
+      // legacy-prefix dirs are reclaimed like any stale export
+      val base = s"graft_dedupidx_s3h64b16k3_${sfName}_"
       val keep = base +
         java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
       val tmp = System.getProperty("java.io.tmpdir")
       Tables.cleanStaleExports(tmp, base, keep)
-      Tables.cleanStaleExports(tmp, s"graft_dedupidx_h64b16k3_${sfName}_",
-        s"graft_dedupidx_h64b16k3_${sfName}_-")
+      for (legacy <- Seq(s"graft_dedupidx_h64b16k3_${sfName}_", s"graft_dedupidx_s2h64b16k3_${sfName}_"))
+        Tables.cleanStaleExports(tmp, legacy, legacy + "-")
       val idx = s"$tmp/$keep"
       if (!Dedup.dedupIndexExists(s, idx))
         Dedup.buildDedupIndex(docs.where(col("doc_id") < split), idx)
@@ -157,7 +158,7 @@ object SparkEntry {
       val sfName = new java.io.File(dir).getName
       val out = Tables.exportOnce(s"$dir/customer.parquet", s"graft_csvfix_${sfName}_",
         p => Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-          .write.option("header", "true").csv(p))
+          .write.mode("overwrite").option("header", "true").csv(p))
       // explicit schema: inference would re-scan and could widen types
       s.read.option("header", "true")
         .schema("c_custkey LONG, c_nationkey INT, c_acctbal DOUBLE")
@@ -171,7 +172,7 @@ object SparkEntry {
       val sfName = new java.io.File(dir).getName
       val out = Tables.exportOnce(s"$dir/orders.parquet", s"graft_jsonfix_${sfName}_",
         p => Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-          .write.json(p))
+          .write.mode("overwrite").json(p))
       s.read.schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
         .json(out)
         .groupBy(col("o_orderstatus"))
@@ -183,7 +184,7 @@ object SparkEntry {
       val sfName = new java.io.File(dir).getName
       val out = Tables.exportOnce(s"$dir/part.parquet", s"graft_orcfix_${sfName}_",
         p => Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
-          .write.orc(p))
+          .write.mode("overwrite").orc(p))
       s.read.schema("p_partkey LONG, p_brand STRING, p_retailprice DOUBLE")
         .orc(out)
         .groupBy(col("p_brand"))
@@ -290,13 +291,15 @@ object SparkEntry {
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB CTEs shared by the text oracles. `tok`: (doc_id, w = token
-    * list); `sh`: (doc_id, sh = distinct 3-shingle list). `documents.text`
+    * list); `sh`: (doc_id, sh = distinct k-shingle list). `documents.text`
     * is clean single-spaced lowercase (verified), so string_split mirrors
-    * the engine's Java-\W+ tokenizer exactly on this data.
+    * the engine's Java-\W+ tokenizer exactly on this data. `src` lets an
+    * oracle shingle a FILTERED doc CTE (it must expose doc_id, text)
+    * instead of the raw table — one copy of the gram construction for all.
     */
-  private def shingleCte(k: Int): String = {
+  private def shingleCte(k: Int, src: String = "documents"): String = {
     val gram = (1 to k).map(j => if (j == 1) "w[i]" else s"w[i+${j - 1}]").mkString(" || ' ' || ")
-    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        |sh AS (SELECT doc_id,
        |  list_distinct(list_transform(generate_series(1, greatest(len(w)-${k - 1}, 0)),
        |    i -> $gram)) AS sh FROM tok)""".stripMargin
@@ -558,11 +561,8 @@ object SparkEntry {
     "corpus_clean_near" ->
       s"""WITH RECURSIVE $qualityCtes,
          |qf AS (SELECT doc_id, text FROM s WHERE $qualityPred),
-         |tok2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM qf),
-         |shq AS (SELECT doc_id,
-         |  list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
-         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM tok2),
-         |sets AS (SELECT doc_id, sh FROM shq WHERE len(sh) > 0),
+         |${shingleCte(3, src = "qf")},
+         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
          |$minhashCandCtes,
          |pairs AS (${verifyTail(0.7)}),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs

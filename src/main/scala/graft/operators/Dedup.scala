@@ -186,7 +186,39 @@ object Dedup {
       .select(col("doc_id"), explode(minhashBandKeys(
         minhashFromHashes(col("hs31"), numHashes), bands, numHashes / bands)).as("band"))
       .write.mode("overwrite").parquet(s"$path/bands")
+    // the banding/shingle params and format generation are PART of the
+    // index: an extend or serve under different params would mix
+    // incompatible band keys / shingle granularities with no error, and a
+    // pre-_PARAMS (v1-schema) index must be refused outright, not read
+    val meta = fs.create(new org.apache.hadoop.fs.Path(path, "_PARAMS"), true)
+    meta.write(paramsTag(numHashes, bands, k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    meta.close()
     fs.create(done, true).close()
+  }
+
+  /** The persisted index-parameter tag (also encodes the sets/ schema
+    * generation — bump `s2` on any layout change).
+    */
+  private def paramsTag(numHashes: Int, bands: Int, k: Int): String =
+    s"s2h${numHashes}b${bands}k$k"
+
+  /** Read the index's _PARAMS tag and require it to match the caller's
+    * params — the guard that makes a legacy-format index (no _PARAMS) or a
+    * params-mismatched call a loud error instead of silent dup
+    * under-reporting.
+    */
+  private def requireIndexParams(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      numHashes: Int, bands: Int, k: Int): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_PARAMS")
+    require(fs.exists(meta),
+      s"dedup index at $path has no _PARAMS — it predates the current index format " +
+        "(or was never built); rebuild with buildDedupIndex")
+    val in = fs.open(meta)
+    val tag = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    require(tag == paramsTag(numHashes, bands, k),
+      s"dedup index at $path was built with params $tag; this call uses " +
+        s"${paramsTag(numHashes, bands, k)} — mixing them would corrupt/miss silently")
   }
 
   /** True iff a COMPLETE index (all three tables committed) exists at `path`. */
@@ -202,17 +234,23 @@ object Dedup {
     * removed first and re-created after all three appends, so a crash
     * mid-extend leaves an index [[dedupAgainst]] REFUSES to serve, never
     * one that silently under-reports duplicates. REPAIR is re-running
-    * extend (this method requires the three TABLES, not the marker, so it
-    * accepts a crashed-extend index): appends from the crashed attempt are
-    * then duplicated, which serving tolerates — every consumer of the
-    * index rows ends in min()/dropDuplicates, so duplicate index rows cost
-    * space, not correctness (a periodic rebuild compacts). The batch's
-    * shingle sets are eagerly checkpointed before writing, so `sets/` and
-    * `bands/` append the SAME rows even if `newDocs` is non-deterministic
-    * (a live ingest directory) — and the batch is shingled once, not
-    * twice. Callers pass the docs that SURVIVED their dedup decision
-    * (status == unique, or whatever retention policy applies) — indexing
-    * rejected duplicates too is harmless but wasteful.
+    * extend (this method requires the three COMMITTED tables — each dir's
+    * `_SUCCESS` — not the marker, so it accepts a crashed-EXTEND index
+    * while still refusing a crashed-REBUILD one, whose overwritten table
+    * lost its `_SUCCESS`): appends from the crashed attempt are then
+    * duplicated, which serving tolerates — every consumer of the index
+    * rows ends in min()/dropDuplicates, so duplicate index rows cost
+    * space, not correctness (a periodic rebuild compacts). The whole
+    * batch projection (hashes AND shingle sets) is eagerly checkpointed
+    * once before any write, so all three tables append rows derived from
+    * the SAME snapshot even if `newDocs` is non-deterministic (a live
+    * ingest directory) — and the batch is scanned and shingled once.
+    * Params are validated against the index's persisted `_PARAMS` tag —
+    * extending with different banding/shingle params (or a legacy-format
+    * index) is a loud error, not silent corruption. Callers pass the docs
+    * that SURVIVED their dedup decision (status == unique, or whatever
+    * retention policy applies) — indexing rejected duplicates too is
+    * harmless but wasteful.
     * Spec-pinned: build(corpus) + extend(batch) serves identically to
     * build(corpus ∪ batch).
     */
@@ -221,23 +259,27 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    val tables = Seq("exact", "sets", "bands")
-      .map(t => new org.apache.hadoop.fs.Path(indexPath, t))
-    require(tables.forall(fs.exists),
-      s"no dedup index tables at $indexPath to extend — run buildDedupIndex first")
+    val committed = Seq("exact", "sets", "bands")
+      .map(t => new org.apache.hadoop.fs.Path(indexPath, s"$t/_SUCCESS"))
+    require(committed.forall(fs.exists),
+      s"dedup index tables at $indexPath are missing or uncommitted (no _SUCCESS) — " +
+        "a crashed BUILD cannot be repaired by extend; run buildDedupIndex")
+    requireIndexParams(fs, indexPath, numHashes, bands, k)
     fs.delete(done, false)
-    newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"))
-      .write.mode("append").parquet(s"$indexPath/exact")
-    val sets = newDocs.select(col("doc_id"),
+    val batch = newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"),
         hashSet(shingleSet(col("text"), k)).as("hs31"),
         hashSet62(shingleSet(col("text"), k)).as("hs62"))
-      .where(size(col("hs31")) > 0)
       .localCheckpoint()
-    sets.write.mode("append").parquet(s"$indexPath/sets")
-    sets.select(col("doc_id"), explode(minhashBandKeys(
-        minhashFromHashes(col("hs31"), numHashes), bands, numHashes / bands)).as("band"))
-      .write.mode("append").parquet(s"$indexPath/bands")
-    org.apache.spark.sql.GraftShim.unpersistCheckpoint(sets)
+    try {
+      batch.select(col("doc_id"), col("text_hash"))
+        .write.mode("append").parquet(s"$indexPath/exact")
+      val sets = batch.where(size(col("hs31")) > 0)
+        .select(col("doc_id"), col("hs31"), col("hs62"))
+      sets.write.mode("append").parquet(s"$indexPath/sets")
+      sets.select(col("doc_id"), explode(minhashBandKeys(
+          minhashFromHashes(col("hs31"), numHashes), bands, numHashes / bands)).as("band"))
+        .write.mode("append").parquet(s"$indexPath/bands")
+    } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
     fs.create(done, true).close()
   }
 
@@ -271,6 +313,9 @@ object Dedup {
     val spark = newDocs.sparkSession
     require(dedupIndexExists(spark, indexPath),
       s"dedup index at $indexPath is absent or incomplete (no _DONE marker) — run buildDedupIndex first")
+    val idxFs = new org.apache.hadoop.fs.Path(indexPath, "_PARAMS")
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    requireIndexParams(idxFs, indexPath, numHashes, bands, k)
     val exact = spark.read.parquet(s"$indexPath/exact")
     val corpusBands = spark.read.parquet(s"$indexPath/bands")
     val corpusSets = spark.read.parquet(s"$indexPath/sets")

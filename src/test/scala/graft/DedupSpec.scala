@@ -100,6 +100,23 @@ class DedupSpec extends AnyFunSuite {
     assert(a == serve(rebuilt))
   }
 
+  test("extend and serve refuse mismatched or legacy index params") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedupidx_params").toString
+    Dedup.buildDedupIndex(corpus, idx) // defaults: 64/16/3
+    intercept[IllegalArgumentException] {
+      Dedup.extendDedupIndex(idx, corpus, bands = 8) // incompatible banding
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainst(idx, corpus, tau = 0.5, k = 5) // incompatible shingles
+    }
+    // legacy-format index: no _PARAMS -> refused outright, never read
+    assert(new java.io.File(idx, "_PARAMS").delete())
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainst(idx, corpus, tau = 0.5)
+    }
+  }
+
   test("dedupAgainst refuses a half-built index (no _DONE marker)") {
     val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val idx = java.nio.file.Files.createTempDirectory("graft_dedupidx_nodone").toString
