@@ -50,6 +50,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("62-bit hash kernels == independent model on random shingle sets") {
+    // hashSet62 and IntersectCountSorted are the incremental-dedup index's
+    // verification currency — model them independently: two plain-Scala
+    // rolling folds packed h1*2^31+h2, set intersection via Scala Sets
+    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+    import org.apache.spark.sql.functions.col
+    def fold(s: String, base: Long): Long =
+      s.foldLeft(0L)((a, c) => (a * base + c) % 2147483647L)
+    def model62(s: String): Long = (fold(s, 31) << 31) | fold(s, 37)
+    def kernelSets(a: Seq[String], b: Seq[String]): (Seq[Long], Seq[Long], Long) = {
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(
+          toColumn(graft.functions.expressions.HashSet62(toExpression(col("a")))).as("ha"),
+          toColumn(graft.functions.expressions.HashSet62(toExpression(col("b")))).as("hb"))
+      val r = df.select(col("ha"), col("hb"),
+          toColumn(graft.functions.expressions.IntersectCountSorted(
+            toExpression(col("ha")), toExpression(col("hb")))))
+        .as[(Seq[Long], Seq[Long], Long)].head()
+      r
+    }
+    for (seed <- 0L until 15L) {
+      val ta = sample(genText, seed).split(" ").toSeq.filter(_.nonEmpty).distinct
+      val tb = sample(genText, seed + 100).split(" ").toSeq.filter(_.nonEmpty).distinct
+      val (ha, hb, inter) = kernelSets(ta, tb)
+      val (ma, mb) = (ta.map(model62).distinct.sorted, tb.map(model62).distinct.sorted)
+      assert(ha == ma, s"hashSet62 mismatch on $ta")
+      assert(hb == mb, s"hashSet62 mismatch on $tb")
+      assert(inter == (ma.toSet intersect mb.toSet).size.toLong,
+        s"intersect count mismatch on ($ta, $tb)")
+    }
+  }
+
   test("VectorMeanAggregator == per-dim decimal-sum formulation, bit-exact") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(42)
