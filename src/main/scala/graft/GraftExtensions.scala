@@ -69,5 +69,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hyperplane_sig"),
       info("graft_hyperplane_sig", "graft_hyperplane_sig(vec, p) - p-plane LSH signature"),
       (es: Seq[Expression]) => HyperplaneSignature(es.head, intLit(es(1), "p"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash62_set"),
+      info("graft_hash62_set",
+        "graft_hash62_set(strings) - sorted distinct 62-bit element hashes " +
+          "(the dedup index's verification currency)"),
+      (es: Seq[Expression]) => HashSet62(es.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_intersect_count"),
+      info("graft_intersect_count",
+        "graft_intersect_count(a, b) - |a INTERSECT b| over sorted distinct long arrays (merge scan)"),
+      (es: Seq[Expression]) => IntersectCountSorted(es.head, es(1))))
   }
 }

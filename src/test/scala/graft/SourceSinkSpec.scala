@@ -127,6 +127,17 @@ class SourceSinkSpec extends AnyFunSuite {
       assert(row.getLong(2) == ('a'.toInt * 31 + 'b'.toInt) % 2147483647L)
       assert(row.getSeq[Long](4).length == 4)
 
+      // 62-bit family: packed two-fold hashes, sorted distinct; merge-scan
+      // intersect over them
+      val h62 = s2.sql(
+        """SELECT graft_hash62_set(array('ab', 'cd', 'ab')) AS ha,
+          |       graft_intersect_count(graft_hash62_set(array('ab', 'cd')),
+          |                             graft_hash62_set(array('cd', 'ef'))) AS ic""".stripMargin).head()
+      def fold(s: String, base: Long) = s.foldLeft(0L)((a, c) => (a * base + c) % 2147483647L)
+      assert(h62.getSeq[Long](0).toSet ==
+        Set("ab", "cd").map(s => (fold(s, 31) << 31) | fold(s, 37)))
+      assert(h62.getLong(1) == 1L)
+
       // multiset shingler: duplicates kept (vs the set form above)
       assert(s2.sql("SELECT graft_shingle_list('a b a b a', 2) AS g")
         .head().getSeq[String](0) == Seq("a b", "b a", "a b", "b a"))
