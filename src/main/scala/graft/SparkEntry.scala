@@ -282,6 +282,24 @@ object SparkEntry {
         nClusters = nClusters, iters = iters)
     }),
     "embed_label_stats" -> ((s, dir) => EmbeddingSearch.labelStats(s, dir)),
+    // incremental dedup, embedding modality: first 4/5 of vectors play the
+    // indexed corpus (bands + vecs persisted once, fingerprint-keyed), last
+    // 1/5 today's embedding batch; same tau as dedup_embedding
+    "embed_dedup_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, dir)
+      val split = emb.count() * 4 / 5
+      val sfName = new java.io.File(dir).getName
+      val base = s"graft_vecidx_v1p16_${sfName}_"
+      val keep = base +
+        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      Tables.cleanStaleExports(tmp, base, keep)
+      val idx = s"$tmp/$keep"
+      if (!Dedup.dedupIndexExists(s, idx)) // generic _DONE-marker check
+        EmbeddingSearch.buildVecDedupIndex(emb.where(col("vec_id") < split), idx)
+      EmbeddingSearch.vecDedupAgainst(idx, emb.where(col("vec_id") >= split), tau = 0.4)
+    }),
     // — multimodal binary-column plumbing (builder mandate; codec stubbed) —
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frames(s, dir)),
@@ -373,6 +391,21 @@ object SparkEntry {
   private def cosineSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0
        |  ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END""".stripMargin
+
+  /** Hyperplane-LSH signature + band-key CTEs over an `e`(vec_id, v) CTE —
+    * ONE copy of the 16-plane parity pattern and 4×4 banding, shared by the
+    * vector near-dup oracles (the k-NN oracle keeps its own variant, whose
+    * bands CTE must also carry `v`).
+    */
+  private val vecBandCtes: String =
+    """sig AS (SELECT vec_id, v, list_transform(generate_series(0, 15), p ->
+      |  CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
+      |    d -> v[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
+      |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
+      |  THEN 1 ELSE 0 END) AS sig FROM e),
+      |vbands AS (SELECT vec_id, unnest(list_transform(generate_series(0, 3), b ->
+      |  b::VARCHAR || ':' || array_to_string(list_transform(
+      |    list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))) AS band FROM sig)""".stripMargin
 
   /** Brute-force / LSH k-NN oracles as vals: each is also nested (as a
     * parenthesized WITH subquery) inside the recall-evaluation oracle.
@@ -701,21 +734,30 @@ object SparkEntry {
          |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |sig AS (SELECT vec_id, v, list_transform(generate_series(0, 15), p ->
-         |  CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
-         |    d -> v[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
-         |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
-         |  THEN 1 ELSE 0 END) AS sig FROM e),
-         |bands AS (SELECT vec_id, unnest(list_transform(generate_series(0, 3), b ->
-         |  b::VARCHAR || ':' || array_to_string(list_transform(
-         |    list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))) AS band FROM sig),
+         |$vecBandCtes,
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id),
+         |         FROM vbands a JOIN vbands b ON a.band = b.band AND a.vec_id < b.vec_id),
          |s AS (SELECT cand.vec_a, cand.vec_b,
          |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
          |  FROM cand JOIN e ea ON cand.vec_a = ea.vec_id
          |            JOIN e eb ON cand.vec_b = eb.vec_id)
          |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
+    "embed_dedup_incremental" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |$vecBandCtes,
+         |sp AS (SELECT count(*) * 4 // 5 AS split FROM embeddings),
+         |cand AS (SELECT DISTINCT a.vec_id AS cvec, b.vec_id AS vec_id
+         |         FROM vbands a JOIN vbands b ON a.band = b.band, sp
+         |         WHERE a.vec_id < sp.split AND b.vec_id >= sp.split),
+         |s AS (SELECT cand.vec_id, cand.cvec,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cos
+         |  FROM cand JOIN e ea ON cand.cvec = ea.vec_id
+         |            JOIN e eb ON cand.vec_id = eb.vec_id),
+         |k AS (SELECT vec_id, min(cvec) AS nk FROM s WHERE cos >= 0.4 GROUP BY 1)
+         |SELECT b.vec_id, coalesce(k.nk, -1) AS near_keeper,
+         |  CASE WHEN k.nk IS NOT NULL THEN 'near_dup' ELSE 'unique' END AS status
+         |FROM (SELECT vec_id FROM e, sp WHERE vec_id >= sp.split) b
+         |LEFT JOIN k USING (vec_id)""".stripMargin,
     "embed_knn_kmeans" -> {
       // Replays the deterministic spherical k-means training (seeds = first
       // 8 vectors, 2 Lloyd rounds, decimal means, empty cells keep their

@@ -180,6 +180,77 @@ object EmbeddingSearch {
       .where(col("cosine") >= tau)
   }
 
+  /** The embedding-modality twin of [[Dedup.buildDedupIndex]]: persist a
+    * vector corpus's near-dup state as two parquet tables —
+    * `vecs/` (vec_id, v: array<double>) and `bands/` (vec_id, band:
+    * hyperplane-LSH band key) — behind the same `_PARAMS` + `_DONE`
+    * discipline (marker deleted first, written after both tables + params
+    * commit; `bands/` derives from the PERSISTED vecs so the two can never
+    * disagree). A production embedding pipeline indexes its corpus once
+    * and dedups every new embedding batch against it without rescanning
+    * corpus vectors.
+    */
+  def buildVecDedupIndex(embeddings: DataFrame, path: String, nPlanes: Int = 16): Unit = {
+    val spark = embeddings.sparkSession
+    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.delete(done, false)
+    embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .write.mode("overwrite").parquet(s"$path/vecs")
+    spark.read.parquet(s"$path/vecs")
+      .select(col("vec_id"), explode(lshBandKeys(lshSignature(col("v"), nPlanes))).as("band"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    val meta = fs.create(new org.apache.hadoop.fs.Path(path, "_PARAMS"), true)
+    meta.write(s"v1p$nPlanes".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    meta.close()
+    fs.create(done, true).close()
+  }
+
+  /** Incremental vector dedup: flag each NEW embedding whose cosine against
+    * some indexed corpus vector reaches `tau` — candidates from the band
+    * join against the persisted band table (batch side a size-gated
+    * broadcast, so the index never shuffles), verified with the exact
+    * cosine against the persisted vectors. Output, one row per batch
+    * vector: (vec_id, near_keeper, status ∈ near_dup | unique), keeper =
+    * min matching corpus vec_id or -1. Within-batch duplicates are the
+    * batch's own [[cosineNearDupPairsFor]] pass, as in the text twin.
+    */
+  def vecDedupAgainst(indexPath: String, newVecs: DataFrame, tau: Double,
+      nPlanes: Int = 16): DataFrame = {
+    val spark = newVecs.sparkSession
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(done),
+      s"vector dedup index at $indexPath is absent or incomplete — run buildVecDedupIndex first")
+    val meta = new org.apache.hadoop.fs.Path(indexPath, "_PARAMS")
+    require(fs.exists(meta), s"vector dedup index at $indexPath has no _PARAMS — rebuild")
+    val in = fs.open(meta)
+    val tag = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    require(tag == s"v1p$nPlanes",
+      s"vector dedup index at $indexPath was built with $tag; this call uses v1p$nPlanes")
+    val corpusBands = spark.read.parquet(s"$indexPath/bands")
+    val corpusVecs = spark.read.parquet(s"$indexPath/vecs")
+    val batch = newVecs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val batchBands = batch
+      .select(col("vec_id"), col("v"),
+        explode(lshBandKeys(lshSignature(col("v"), nPlanes))).as("band"))
+    val cand = corpusBands.select(col("band"), col("vec_id").as("cvec"))
+      .join(Scale.maybeBroadcast(batchBands), Seq("band"))
+      .select(col("vec_id"), col("v"), col("cvec"))
+      .dropDuplicates("vec_id", "cvec")
+    val nearKeeper = cand
+      .join(corpusVecs.select(col("vec_id").as("cvec"), col("v").as("cv")), Seq("cvec"))
+      .select(col("vec_id"), col("cvec"), round(cosine(col("v"), col("cv")), 6).as("cos"))
+      .where(col("cos") >= tau)
+      .groupBy(col("vec_id")).agg(min(col("cvec")).as("near_keeper"))
+    newVecs.select(col("vec_id"))
+      .join(nearKeeper, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("near_keeper"), lit(-1L)).as("near_keeper"),
+        when(col("near_keeper").isNotNull, "near_dup").otherwise("unique").as("status"))
+  }
+
   /** IVF with a TRAINED coarse quantizer: deterministic spherical k-means
     * (Lloyd iterations with cosine assignment) instead of [[ivfTopK]]'s
     * label shortcut — works on unlabeled corpora. Everything is fixed so the

@@ -127,4 +127,37 @@ class EmbeddingSpec extends AnyFunSuite {
       bruteRank.get((q, v)).foreach(br => assert(br >= r, s"q=$q v=$v lsh=$r brute=$br"))
     }
   }
+
+  test("incremental vector dedup equals full-corpus pairs restricted to the batch") {
+    // same deploy-safety contract as the text-side DedupSpec: indexing the
+    // first 4/5 of the vectors and serving the last 1/5 through
+    // vecDedupAgainst flags exactly the (corpus, batch) pairs the
+    // full-corpus LSH pass finds
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val split = emb.count() * 4 / 5
+    val idx = java.nio.file.Files.createTempDirectory("graft_vecidx_spec").toString
+    EmbeddingSearch.buildVecDedupIndex(emb.where(col("vec_id") < split), idx)
+    val inc = EmbeddingSearch.vecDedupAgainst(idx, emb.where(col("vec_id") >= split), tau = 0.4)
+      .where(col("status") === "near_dup")
+      .select("vec_id", "near_keeper").as[(Long, Long)].collect().toMap
+    val full = EmbeddingSearch.cosineNearDupPairsFor(emb, tau = 0.4)
+      .where(col("vec_a") < split && col("vec_b") >= split)
+      .groupBy(col("vec_b")).agg(min(col("vec_a")))
+      .as[(Long, Long)].collect().toMap
+    assert(inc.nonEmpty, "fixture has no cross-split near-dups — equivalence check is vacuous")
+    assert(inc == full)
+  }
+
+  test("vecDedupAgainst refuses a half-built or param-mismatched index") {
+    val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_vecidx_guard").toString
+    EmbeddingSearch.buildVecDedupIndex(emb, idx)
+    intercept[IllegalArgumentException] {
+      EmbeddingSearch.vecDedupAgainst(idx, emb, tau = 0.5, nPlanes = 8) // wrong plane count
+    }
+    assert(new java.io.File(idx, "_DONE").delete()) // simulate a crashed build
+    intercept[IllegalArgumentException] {
+      EmbeddingSearch.vecDedupAgainst(idx, emb, tau = 0.5)
+    }
+  }
 }

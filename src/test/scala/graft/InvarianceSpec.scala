@@ -37,6 +37,12 @@ class InvarianceSpec extends AnyFunSuite {
       Dedup.buildDedupIndex(docs.where(col("doc_id") < 40L), idx)
       Dedup.dedupAgainst(idx, docs.where(col("doc_id") >= 40L), tau = 0.7)
     }),
+    "embed_dedup_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = java.nio.file.Files.createTempDirectory("graft_inv_vecidx").toString
+      EmbeddingSearch.buildVecDedupIndex(emb.where(col("vec_id") < 40L), idx)
+      EmbeddingSearch.vecDedupAgainst(idx, emb.where(col("vec_id") >= 40L), tau = 0.4)
+    }),
     "corpus_budget_bucketed" ->
       ((s, d) => TextAnalysis.tokenBudgetBucketed(Tables.documents(s, d), 300L, 8)),
     "corpus_clean_near" -> ((s, d) => {
