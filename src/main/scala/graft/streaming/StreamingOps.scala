@@ -134,6 +134,59 @@ object StreamingOps {
       .drop("__h")
   }
 
+  /** The NEAR-dup-vs-corpus serve tier — the streaming twin of the full
+    * two-tier batch [[graft.operators.Dedup.dedupAgainst]] (exact md5 join,
+    * then MinHash band join against the persisted `bands/` table with the
+    * 62-bit merge-scan Jaccard verify), run per MICRO-BATCH through
+    * `foreachBatch`. Why foreachBatch and not a stream-static join: the
+    * per-document verdict ("does ANY corpus doc clear tau?") is an
+    * aggregation of the band-join candidates per stream doc, and the only
+    * streaming-legal aggregations would either hold unbounded state or
+    * force a non-equi nested-loop join against the corpus-sized static
+    * side; foreachBatch is Structured Streaming's designed escape hatch for
+    * exactly this shape — each micro-batch gets the REAL batch plan
+    * (size-gated batch-side broadcasts, corpus index never reshuffled),
+    * with streaming's checkpointed exactly-once batch ids on top.
+    *
+    * Each batch re-reads the index (a fresh parquet listing), so an
+    * [[graft.operators.Dedup.extendDedupIndex]] takes effect on the NEXT
+    * MICRO-BATCH — no query bounce needed (the exact-tier stream-static
+    * transform above only picks extends up on restart; spec-asserted both
+    * ways). With `extendIndex = true` the loop closes itself: each batch's
+    * unique survivors are appended to the index before the next batch runs,
+    * so batch N+1 near-dedups against corpus + batches 1..N — the
+    * continuous-crawl ingest shape. Crash-replay of a batch re-appends its
+    * survivors; duplicate index rows are serving-tolerated by design (see
+    * extendDedupIndex), so the loop is idempotent-at-the-index. The sink
+    * callback receives the batch's documents annotated with
+    * (exact_keeper, near_keeper, status) and must be idempotent by batchId —
+    * the standard foreachBatch contract. Within-batch duplicates are the
+    * upstream stages' job (compose [[dedupExact]]/[[dedupNearSimhash]]
+    * before this, as [[ingestPipeline]] does).
+    */
+  def dedupAgainstIndexNear(docs: DataFrame, indexPath: String, tau: Double,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3,
+      extendIndex: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      // one scan of the micro-batch feeds verdicts + annotate + extend
+      val b = batch.localCheckpoint()
+      try {
+        val verdicts = graft.operators.Dedup.dedupAgainst(
+          indexPath, b, tau, numHashes, bands, k)
+        val annotated = b.join(verdicts, Seq("doc_id")).localCheckpoint()
+        try {
+          sink(annotated, batchId)
+          if (extendIndex) {
+            val survivors = annotated.where(col("status") === "unique")
+              .select(b.columns.map(col): _*)
+            graft.operators.Dedup.extendDedupIndex(
+              indexPath, survivors, numHashes, bands, k)
+          }
+        } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(annotated)
+      } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)
+    }
+
   /** The COMPOSED ingest chain a 100 TB training-data stream runs, ordered
     * cheapest-first so each stage sheds volume before the next pays for it:
     * stateless quality predicate → stateless decontamination (broadcast

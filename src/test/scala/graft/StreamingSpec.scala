@@ -255,6 +255,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("near-dup serve tier: per-batch verdicts == batch dedupAgainst; self-extending loop") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val tau = 0.7
+    def doc(seed: Int) = (1 to 30).map(i => s"w${seed}t$i").mkString(" ")
+    // one token changed out of 30 -> 3 of ~28 shingles differ: J ~ 0.8 >= tau
+    def nearOf(seed: Int) = (1 to 30).map(i => s"w${seed}t$i")
+      .updated(14, "CHANGED").mkString(" ")
+    val corpus = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_nearidx").toString
+    Dedup.buildDedupIndex(corpus, idx)
+
+    val b1 = Seq((10L, doc(1)), (11L, nearOf(2)), (12L, doc(5))) // exact/near/unique
+    val b2 = Seq((20L, nearOf(5)), (21L, doc(9)))                // near-dup of b1's SURVIVOR
+    type Verdict = (Long, Long, Long, String)
+    def verdicts(df: org.apache.spark.sql.DataFrame): Set[Verdict] =
+      df.select($"doc_id", $"exact_keeper", $"near_keeper", $"status")
+        .as[(Long, Long, Long, String)].collect().toSet
+    // expected = the BATCH serve path on the same splits, computed against
+    // the index state each batch will see (b2's after b1's extend)
+    val expected1 = verdicts(Dedup.dedupAgainst(idx, b1.toDF("doc_id", "text"), tau))
+    assert(expected1.map(v => (v._1, v._4)) ==
+      Set((10L, "exact_dup"), (11L, "near_dup"), (12L, "unique")))
+
+    val got = scala.collection.mutable.Map[Long, Set[Verdict]]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupAgainstIndexNear(
+        input.toDF().toDF("doc_id", "text"), idx, tau, extendIndex = true) {
+      (annotated, batchId) => got(batchId) = verdicts(annotated)
+    }.start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(got.values.flatten.toSet == expected1, s"batch1 got $got")
+      // batch 1's survivor (doc 12) was appended to the index by the loop;
+      // compute batch 2's expectation against that EXTENDED index, then
+      // stream it — no restart between batches
+      val expected2 = verdicts(Dedup.dedupAgainst(idx, b2.toDF("doc_id", "text"), tau))
+      assert(expected2.map(v => (v._1, v._3, v._4)) ==
+        Set((20L, 12L, "near_dup"), (21L, -1L, "unique")))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(got.values.flatten.toSet == expected1 ++ expected2, s"batch2 got $got")
+    } finally q.stop()
+  }
+
   test("ingest pipeline end-to-end: file source directory -> file sink") {
     // The full deploy shape on real files: documents land in a parquet
     // directory, the composed ingest pipeline streams them, survivors land
