@@ -805,40 +805,51 @@ object SparkEntry {
          |  round(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm,
          |  min(norm) AS min_norm, max(norm) AS max_norm
          |FROM e GROUP BY 1""".stripMargin,
+    // The multimodal oracles replay the IMAGE CONSTRUCTION, not the codec:
+    // blobs are the doc's bytes packed 3-per-pixel into a 16-wide RGB image
+    // (final row zero-padded) encoded as real BMP/PNG — both lossless — so
+    // every decoded-raster stat is a pure function of the text bytes. A
+    // codec bug (wrong dims, channel swap, lossy roundtrip) breaks the hash.
+    // Char indexing == byte indexing holds because the corpus is verified
+    // ASCII; height = ceil(len/48) since 16 px × 3 channel bytes per row.
     "multimodal_features" ->
-      """WITH c AS (SELECT doc_id, text,
-        |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes
-        |  FROM documents)
-        |SELECT doc_id,
-        |  len(text)::BIGINT AS byte_len,
-        |  ((len(text) - 1) // 16 + 1)::BIGINT AS n_frames,
-        |  (list_sum(list_transform(generate_series(1, (len(text) - 1) // 16 + 1),
-        |    f -> codes[(f - 1) * 16 + 1])) % 2147483647)::BIGINT AS frame_checksum,
-        |  round(list_sum(codes)::DOUBLE / len(text), 6) AS mean_byte
+      """WITH c AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'image/png' END AS mime,
+        |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes,
+        |  ((len(text) - 1) // 48 + 1)::BIGINT AS h
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, mime, 16::BIGINT AS width, h AS height,
+        |  (h * 48)::BIGINT AS n_channel_bytes,
+        |  (list_sum(codes) % 2147483647)::BIGINT AS channel_checksum,
+        |  round(list_sum(codes)::DOUBLE / (h * 48), 6) AS mean_channel
         |FROM c""".stripMargin,
-    // length(text) > 0 guard: the (len-1)//16+1 frame count would claim one
-    // frame for an empty doc where the engine (correctly) emits none. Char
-    // indexing == byte indexing holds because the corpus is verified ASCII.
+    // one row per decoded scanline; padding bytes contribute 0 to the sum,
+    // so the slice over the unpadded codes is exact
     "multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text,
-        |  unnest(generate_series(1, (len(text) - 1) // 16 + 1)) AS f
+        |  unnest(generate_series(1, (len(text) - 1) // 48 + 1)) AS r
         |  FROM documents WHERE length(text) > 0)
-        |SELECT doc_id, (f - 1)::BIGINT AS frame_idx,
-        |  ((f - 1) * 16)::BIGINT AS byte_off,
-        |  ascii(text[(f - 1) * 16 + 1])::BIGINT AS frame_byte
+        |SELECT doc_id, (r - 1)::BIGINT AS frame_idx, 16::BIGINT AS n_pixels,
+        |  (coalesce(list_sum(list_transform(
+        |     generate_series((r - 1) * 48 + 1, least(r * 48, len(text))),
+        |     i -> ascii(text[i])::BIGINT)), 0) % 2147483647)::BIGINT AS frame_checksum
         |FROM f""".stripMargin,
-    // every stride-th byte survives; ASCII corpus -> char index == byte index
+    // nearest-neighbor 2x downsample: out pixel (x,y) = src pixel (2x,2y);
+    // src channel k of pixel (2x,2y) sits at byte (2y*16+2x)*3+k (1-indexed);
+    // out-of-range list access is NULL in DuckDB = the zero padding
     "multimodal_resize" ->
-      """WITH c AS (SELECT doc_id, text,
-        |  list_transform(generate_series(1, (len(text) - 1) // 4 + 1),
-        |    i -> ascii(text[(i - 1) * 4 + 1])::BIGINT) AS rb
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes,
+        |  ((len(text) - 1) // 48 + 1)::BIGINT AS h
         |  FROM documents WHERE length(text) > 0)
-        |SELECT doc_id,
-        |  len(text)::BIGINT AS orig_len,
-        |  len(rb)::BIGINT AS resized_len,
-        |  (list_sum(rb) % 2147483647)::BIGINT AS resized_checksum,
-        |  rb[1] AS first_byte,
-        |  rb[len(rb)] AS last_byte
+        |SELECT doc_id, 16::BIGINT AS orig_w, h AS orig_h,
+        |  8::BIGINT AS out_w, ((h - 1) // 2 + 1)::BIGINT AS out_h,
+        |  (list_sum(flatten(list_transform(generate_series(0, (h - 1) // 2),
+        |     y -> list_transform(generate_series(0, 7),
+        |       x -> coalesce(codes[(2 * y * 16 + 2 * x) * 3 + 1], 0)
+        |          + coalesce(codes[(2 * y * 16 + 2 * x) * 3 + 2], 0)
+        |          + coalesce(codes[(2 * y * 16 + 2 * x) * 3 + 3], 0))))) % 2147483647)::BIGINT
+        |    AS resized_checksum
         |FROM c""".stripMargin,
     "book_query_ref" -> bookQueryRefSql,
     // identical semantics — the Spark side differs only in INGESTION (text

@@ -1,97 +1,175 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import java.awt.image.BufferedImage
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** Multimodal-column surface: image/audio/video payloads as opaque `binary`
-  * columns with typed metadata, plus decode / feature-extract / frame-sample
-  * plumbing (builder mandate).
+/** Multimodal-column surface: image payloads as opaque `binary` columns with
+  * typed metadata, plus REAL decode / feature-extract / frame-read / resize
+  * over them (builder mandate).
   *
-  * The container has no image/audio codecs and the driver tables carry no
-  * media, so the BYTES are stood in for by the documents' own text encoded
-  * as binary, and the real codec call is STUBBED (see [[decodeStub]]) behind
-  * a deterministic fake. Everything around the stub — schema (binary +
-  * metadata struct), per-partition batch shape, fixed-width feature output,
-  * partition-parallel execution with zero driver involvement — is the real
-  * 100 TB design: a decode UDF over `mapPartitions` streams batches through
-  * executors exactly like an image pipeline would, and the feature columns
-  * come back as ordinary columns for downstream relational ops.
+  * The driver tables carry no media, so the blobs are SYNTHESIZED — each
+  * document's UTF-8 bytes packed 3-per-pixel into a 16-px-wide 24-bit RGB
+  * image and encoded as a real BMP (even doc_id) or PNG (odd doc_id), the
+  * two JDK-built-in lossless codecs. Everything downstream of the synthesis
+  * is the real pipeline: [[decodeImage]] is an actual `javax.imageio`
+  * decode of actual image files, the features/frames/resize operators work
+  * on the DECODED raster, and because both codecs are lossless the DuckDB
+  * oracle can replay the expected pixel stats from the text bytes — the
+  * decode is hash-gated, not trusted. Formats without a JDK codec
+  * (JPEG2000, audio, video) fail loudly at the [[decodeImage]] seam — that
+  * is where libjpeg/ffmpeg plug in on a real deployment; there is
+  * deliberately no silent stub.
+  *
+  * Scale shape: encode and decode run inside `mapPartitions` over the typed
+  * Dataset — executor-parallel, zero shuffle, zero driver involvement; the
+  * feature columns come back as ordinary columns for downstream relational
+  * ops. Cost is linear in payload bytes, exactly like a production image
+  * pipeline.
   */
 object Multimodal {
 
-  case class BlobRow(doc_id: Long, payload: Array[Byte], byte_len: Long, mime: String)
-  case class FeatureRow(doc_id: Long, byte_len: Long, n_frames: Long,
-      frame_checksum: Long, mean_byte: Double)
-
-  /** Attach the opaque payload + typed metadata. In production this is the
-    * parquet/lance binary column; here it is text-as-bytes (UTF-8 = the raw
-    * payload truth for this corpus).
+  /** Image geometry: 16 px wide, 3 channel bytes per pixel -> 48 payload
+    * bytes per scanline (conveniently 4-byte aligned, so even the BMP
+    * container adds no row padding). Height = ceil(bytes / 48).
     */
-  def withBlob(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      length(col("text")).cast("long").as("byte_len"),
-      lit("text/plain").as("mime"))
+  private val W = 16
+  private val BytesPerRow = 3 * W
 
-  /** THE STUB: a real pipeline would call the image/audio codec here
-    * (e.g. JPEG decode → pixel tensor). Deterministic fake: identity on
-    * bytes. Marked loudly so nobody mistakes it for a codec.
+  // encode/decode entirely in executor memory — the default disk-backed
+  // ImageIO stream cache would have every task contending on tmp files
+  ImageIO.setUseCache(false)
+
+  case class BlobRow(doc_id: Long, payload: Array[Byte], mime: String)
+
+  /** Synthesize the corpus' image blobs: each doc's UTF-8 bytes packed
+    * 3-per-pixel (R,G,B) row-major into a 16-wide TYPE_3BYTE_BGR image,
+    * final row zero-padded, encoded with the REAL JDK codec for the doc's
+    * mime. Empty docs carry no image (a zero-byte payload is not a valid
+    * image file in any codec).
     */
-  private def decodeStub(payload: Array[Byte]): Array[Byte] = {
-    // ??? <- real codec goes here (libjpeg/ffmpeg); container has none.
-    payload
+  def imageBlobs(spark: SparkSession, dir: String): Dataset[BlobRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 2 === 0, "image/bmp").otherwise("image/png").as("mime"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, mime) =>
+          BlobRow(id, encodeImage(text.getBytes(java.nio.charset.StandardCharsets.UTF_8), mime), mime)
+        }
+      }
   }
 
-  /** Per-partition batch "decode + featurize + frame-sample": every
-    * `frameStep`-th byte is a sampled frame; features are exact integer /
-    * rational stats so the pipeline stays oracle-checkable. Runs as
-    * mapPartitions over the typed Dataset — executor-parallel, no shuffle,
-    * no driver collection; scales with input bytes.
+  private def formatFor(mime: String): String = mime match {
+    case "image/bmp" => "bmp"
+    case "image/png" => "png"
+    case other => throw new IllegalArgumentException(
+      s"no JDK codec for $other — this is the seam where libjpeg/ffmpeg plug in")
+  }
+
+  private def encodeImage(bytes: Array[Byte], mime: String): Array[Byte] = {
+    val h = (bytes.length + BytesPerRow - 1) / BytesPerRow
+    val img = new BufferedImage(W, h, BufferedImage.TYPE_3BYTE_BGR)
+    def b(j: Int): Int = if (j < bytes.length) bytes(j) & 0xff else 0
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < W) {
+        img.setRGB(x, y, (b(i) << 16) | (b(i + 1) << 8) | b(i + 2))
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    // no disk-backed ImageIO cache: executor tasks must not contend on tmp files
+    val ok = javax.imageio.ImageIO.write(img, formatFor(mime), bos)
+    require(ok, s"JDK has no writer for $mime")
+    bos.toByteArray
+  }
+
+  /** THE REAL DECODE: `javax.imageio.ImageIO.read` over the payload bytes
+    * (format sniffed from the container, exactly like production). Returns
+    * (width, height, channel bytes row-major R,G,B per pixel). Both shipped
+    * codecs are lossless, so the oracle can verify every downstream stat.
     */
-  def extractFeatures(spark: SparkSession, dir: String, frameStep: Int = 16): Dataset[FeatureRow] = {
+  private def decodeImage(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val ch = new Array[Int](w * h * 3)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        ch(i) = (rgb >> 16) & 0xff
+        ch(i + 1) = (rgb >> 8) & 0xff
+        ch(i + 2) = rgb & 0xff
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    (w, h, ch)
+  }
+
+  case class FeatureRow(doc_id: Long, mime: String, width: Long, height: Long,
+      n_channel_bytes: Long, channel_checksum: Long, mean_channel: Double)
+
+  /** Decode + featurize: real dimensions and whole-image channel stats off
+    * the decoded raster. mapPartitions over the typed Dataset — executor-
+    * parallel, no shuffle; scales with payload bytes.
+    */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[FeatureRow] = {
     import spark.implicits._
-    withBlob(Tables.documents(spark, dir)).as[BlobRow].mapPartitions { rows =>
+    imageBlobs(spark, dir).mapPartitions { rows =>
       rows.map { r =>
-        val decoded = decodeStub(r.payload)
-        val codes = decoded.map(b => (b & 0xff).toLong)
-        val frames = codes.indices.collect { case i if i % frameStep == 0 => codes(i) }
+        val (w, h, ch) = decodeImage(r.payload)
+        val sum = ch.foldLeft(0L)(_ + _)
         FeatureRow(
           doc_id = r.doc_id,
-          byte_len = codes.length.toLong,
-          n_frames = frames.length.toLong,
-          frame_checksum = frames.sum % 2147483647L,
+          mime = r.mime,
+          width = w.toLong,
+          height = h.toLong,
+          n_channel_bytes = ch.length.toLong,
+          channel_checksum = sum % 2147483647L,
           // double division + HALF_UP round == Spark's round(double, 6),
           // keeping the value bit-aligned with the SQL oracle's round()
-          mean_byte = BigDecimal.valueOf(codes.sum.toDouble / codes.length)
+          mean_channel = BigDecimal.valueOf(sum.toDouble / ch.length)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
     }
   }
 
-  /** The queries() entry: features joined back to doc metadata — the shape a
-    * training pipeline feeds to a filter/sampler stage.
-    */
+  /** The queries() entry: decoded-image features as ordinary columns. */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir).toDF()
 
-  case class FrameRow(doc_id: Long, frame_idx: Long, byte_off: Long, frame_byte: Long)
+  case class FrameRow(doc_id: Long, frame_idx: Long, n_pixels: Long, frame_checksum: Long)
 
-  /** Frame SAMPLING — the one-to-many decode shape (video → frames, audio →
-    * windows): each blob expands to one row per sampled frame via the same
-    * per-partition batch plumbing as [[extractFeatures]], with the codec
-    * stubbed ([[decodeStub]]) and the frame payload stood in by the sampled
-    * byte. Executor-parallel flatMap, no shuffle; output row count is
-    * Σ⌈bytes/frameStep⌉ — the explosion a real frame extractor produces.
+  /** Frame READ — the one-to-many decode shape (video → frames): each
+    * decoded image expands to one row per SCANLINE with that line's channel
+    * checksum. Executor-parallel flatMap over the decoded raster, no
+    * shuffle; output row count is Σ height.
     */
-  def sampleFrames(spark: SparkSession, dir: String, frameStep: Int = 16): Dataset[FrameRow] = {
+  def sampleFrames(spark: SparkSession, dir: String): Dataset[FrameRow] = {
     import spark.implicits._
-    withBlob(Tables.documents(spark, dir)).as[BlobRow].mapPartitions { rows =>
+    imageBlobs(spark, dir).mapPartitions { rows =>
       rows.flatMap { r =>
-        val decoded = decodeStub(r.payload)
-        Iterator.range(0, decoded.length, frameStep).zipWithIndex.map { case (off, idx) =>
-          FrameRow(r.doc_id, idx.toLong, off.toLong, (decoded(off) & 0xff).toLong)
+        val (w, h, ch) = decodeImage(r.payload)
+        Iterator.range(0, h).map { y =>
+          var s = 0L
+          var i = y * w * 3
+          val end = i + w * 3
+          while (i < end) { s += ch(i); i += 1 }
+          FrameRow(r.doc_id, y.toLong, w.toLong, s % 2147483647L)
         }
       }
     }
@@ -100,36 +178,35 @@ object Multimodal {
   def frames(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(spark, dir).toDF()
 
-  case class ResizeRow(doc_id: Long, orig_len: Long, resized_len: Long,
-      resized_checksum: Long, first_byte: Long, last_byte: Long)
+  case class ResizeRow(doc_id: Long, orig_w: Long, orig_h: Long,
+      out_w: Long, out_h: Long, resized_checksum: Long)
 
-  /** RESIZE — the many-bytes-to-fewer-bytes transform (image resize, audio
-    * downsample): every `stride`-th byte of the decoded payload survives
-    * into the resized blob, through the same per-partition batch plumbing
-    * (codec stubbed, [[decodeStub]]). A real resizer interpolates pixels;
-    * the stand-in keeps the SHAPE — output bytes ≈ input/stride, computed
-    * executor-side with no shuffle — while staying integer-exact for the
-    * oracle. Output summarizes the resized blob (len, checksum, first/last
-    * byte) rather than shipping bytes to the driver.
+  /** RESIZE — real nearest-neighbor 2× downsample over the DECODED raster:
+    * output pixel (x, y) takes source pixel (2x, 2y) — the textbook NN
+    * kernel, written out instead of via AffineTransformOp so the sampling
+    * rule is exact and engine-portable (Op implementations are free to
+    * round sample coordinates differently). Same per-partition batch shape;
+    * output summarizes the resized raster rather than shipping bytes.
     */
-  def resizeBlobs(spark: SparkSession, dir: String, stride: Int = 4): Dataset[ResizeRow] = {
+  def resizeBlobs(spark: SparkSession, dir: String): Dataset[ResizeRow] = {
     import spark.implicits._
-    require(stride >= 1, s"stride must be >= 1, got $stride")
-    withBlob(Tables.documents(spark, dir)).as[BlobRow].mapPartitions { rows =>
-      rows.flatMap { r =>
-        val decoded = decodeStub(r.payload)
-        if (decoded.isEmpty) Iterator.empty
-        else {
-          val resized = Iterator.range(0, decoded.length, stride)
-            .map(i => (decoded(i) & 0xff).toLong).toArray
-          Iterator.single(ResizeRow(
-            doc_id = r.doc_id,
-            orig_len = decoded.length.toLong,
-            resized_len = resized.length.toLong,
-            resized_checksum = resized.sum % 2147483647L,
-            first_byte = resized.head,
-            last_byte = resized.last))
+    imageBlobs(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, ch) = decodeImage(r.payload)
+        val outW = (w + 1) / 2
+        val outH = (h + 1) / 2
+        var s = 0L
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) {
+            val base = (2 * y * w + 2 * x) * 3
+            s += ch(base) + ch(base + 1) + ch(base + 2)
+            x += 1
+          }
+          y += 1
         }
+        ResizeRow(r.doc_id, w.toLong, h.toLong, outW.toLong, outH.toLong, s % 2147483647L)
       }
     }
   }
