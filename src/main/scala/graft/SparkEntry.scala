@@ -208,6 +208,7 @@ object SparkEntry {
     "rel_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "rel_local_supplier" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "rel_top_orders" -> ((s, dir) => Relational.topOrders(s, dir)),
+    "rel_bucketed_join" -> ((s, dir) => Relational.bucketedOrderRevenue(s, dir)),
     "rel_customer_windows" -> ((s, dir) => Relational.customerOrderWindows(s, dir)),
     // value-RANGE frame: 30-day trailing spend/count per order
     "rel_trailing_spend" -> ((s, dir) => Relational.trailingSpend(s, dir)),
@@ -245,6 +246,7 @@ object SparkEntry {
     "rel_approx_bounds" -> ((s, dir) => Relational.approxBounds(s, dir)),
     // — events / time-series surface (SURVEY.md §7.7) —
     "events_hourly" -> ((s, dir) => Events.hourlyRollup(s, dir)),
+    "events_pruned_daily" -> ((s, dir) => Events.prunedDailyRollup(s, dir)),
     "events_sliding" -> ((s, dir) => Events.slidingCounts(s, dir)),
     "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
     "events_json" -> ((s, dir) => Events.jsonStats(s, dir)),
@@ -494,6 +496,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  epoch_us(o_orderdate) // 1000000 AS order_epoch
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    // the bucketed layout changes WHERE rows go, never WHAT they are: the
+    // oracle is the plain join over the unbucketed parquet
+    "rel_bucketed_join" ->
+      s"""SELECT o_orderkey, o_orderpriority,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+         |GROUP BY 1, 2""".stripMargin,
     "rel_customer_windows" ->
       """SELECT o_custkey, o_orderkey,
         |  (row_number() OVER w)::BIGINT AS rn,
@@ -615,6 +626,16 @@ object SparkEntry {
         |FROM customer FULL OUTER JOIN
         |  (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
         |  ON c_custkey = o.o_custkey""".stripMargin,
+    // the day-partitioned layout changes WHERE rows live, never WHAT they
+    // are: the oracle replays the integer epoch-day key over the flat table
+    "events_pruned_daily" ->
+      """SELECT epoch_us(ts) // 86400000000 AS event_day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE epoch_us(ts) // 86400000000 BETWEEN 19730 AND 19736
+        |GROUP BY 1, 2""".stripMargin,
     "events_hourly" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, event_type,
         |  count(*) AS n_events,

@@ -37,6 +37,38 @@ object Events {
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
+  /** The events table re-materialized PARTITIONED BY integer epoch day —
+    * the first-order cost lever at 100 TB: a day-range predicate then
+    * prunes whole directories at PLANNING time and the scan never opens
+    * them (PlanSpec-asserted). The partition key is a tz-free integer
+    * (`ts_us div 86400000000`), not a date, so both engines and any
+    * session timezone agree on which partition a row lands in. Export-once
+    * per source fingerprint, same discipline as the csv/json/orc fixtures;
+    * at production scale this layout is written once by ingest, not
+    * derived per query.
+    */
+  def eventsPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.Tables.exportOnce(s"$dir/events.parquet", "graft_events_byday_", p =>
+      events(spark, dir)
+        .withColumn("event_day", expr("ts_us div 86400000000"))
+        .write.partitionBy("event_day").parquet(p))
+    spark.read.parquet(out)
+  }
+
+  /** Daily rollup over ONE WEEK of the partitioned layout: the day-range
+    * predicate is a partition filter, so 23 of 30 day-directories are never
+    * scanned. Same aggregate discipline as [[hourlyRollup]].
+    */
+  def prunedDailyRollup(spark: SparkSession, dir: String,
+      fromDay: Long = 19730L, toDay: Long = 19736L): DataFrame =
+    eventsPartitioned(spark, dir)
+      .where(col("event_day").between(fromDay, toDay))
+      .groupBy(col("event_day").cast("long").as("event_day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
   /** Tumbling 1-hour windows per event type: counts, exact value sum,
     * distinct users. Window key = epoch seconds of the hour bucket.
     */

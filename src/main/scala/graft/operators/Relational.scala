@@ -67,6 +67,27 @@ object Relational {
       .limit(10)
   }
 
+  /** Per-order revenue over PRE-BUCKETED orders/lineitem — the co-located
+    * layout demo: both tables are materialized bucketed+sorted on the join
+    * key ([[Tables.bucketedTable]]), so the sort-merge join AND the
+    * per-order aggregation plan with ZERO runtime exchanges (PlanSpec-
+    * asserted) — the scan IS the shuffle, paid once at write time. The
+    * `merge` hint keeps the plan the bucketed SMJ a 100 TB fact-to-fact
+    * join runs instead of the broadcast join the test SF would pick —
+    * lineitem never broadcasts at scale. Result-identical to the plain
+    * join on the unbucketed parquet (that is the oracle).
+    */
+  def bucketedOrderRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.table(Tables.bucketedTable(spark, dir, "orders", "o_orderkey"))
+    val l = spark.table(Tables.bucketedTable(spark, dir, "lineitem", "l_orderkey"))
+    o.where(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
+      .join(l.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q5-shaped local-supplier revenue: 6-way join through the star,
     * dims broadcast, revenue per nation.
     */

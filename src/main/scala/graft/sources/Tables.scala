@@ -30,17 +30,50 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
 
-  /** Write `df` as a bucketed+sorted managed table: repeated equi-joins /
-    * aggregations on `bucketCols` then plan with ZERO runtime exchange
-    * (co-located sort-merge join). The 100 TB layout for fact tables that
-    * join on the same key query after query.
+  /** Materialize one of the sf dir's tables as a BUCKETED+SORTED external
+    * table and return its catalog name: repeated equi-joins / aggregations
+    * on `bucketCol` then plan with ZERO runtime exchange (co-located
+    * sort-merge join) — the 100 TB layout for fact tables that join on the
+    * same key query after query (at that scale numBuckets is thousands;
+    * the principle is identical).
+    *
+    * Export-once discipline: the files are written once per source
+    * fingerprint (same as the csv/json/orc roundtrip fixtures) under a
+    * fingerprint-keyed tmpdir, and stale exports of regenerated source data
+    * are reclaimed. The bucket SPEC, however, lives in the catalog — which
+    * is in-memory per session — so a later JVM finding the files already on
+    * disk re-REGISTERS them via `CREATE TABLE ... CLUSTERED BY ... LOCATION`
+    * instead of rewriting; the files' bucket layout is deterministic
+    * (`repartition(numBuckets, key)` pre-aligns writer tasks with the bucket
+    * hash, one file per bucket), so registration and write produce the same
+    * physical table.
     */
-  def writeBucketed(df: DataFrame, table: String, numBuckets: Int, bucketCols: Seq[String]): Unit =
-    df.write.mode("overwrite")
-      .format("parquet")
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(table)
+  def bucketedTable(spark: SparkSession, dir: String, name: String,
+      bucketCol: String, numBuckets: Int = 8): String = {
+    val src = s"$dir/$name.parquet"
+    val tbl = s"graft_bkt_${name}_" + java.lang.Long.toHexString(datasetFingerprint(src))
+    if (!spark.catalog.tableExists(tbl)) {
+      val tmp = System.getProperty("java.io.tmpdir")
+      cleanStaleExports(tmp, s"graft_bkt_${name}_", tbl)
+      val out = s"$tmp/$tbl"
+      if (new java.io.File(out, "_SUCCESS").exists()) {
+        val ddl = spark.read.parquet(src).schema.toDDL
+        spark.sql(s"CREATE TABLE $tbl ($ddl) USING parquet " +
+          s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $numBuckets BUCKETS " +
+          s"LOCATION '$out'")
+      } else {
+        spark.read.parquet(src)
+          .repartition(numBuckets, col(bucketCol))
+          .write.mode("overwrite")
+          .format("parquet")
+          .bucketBy(numBuckets, bucketCol)
+          .sortBy(bucketCol)
+          .option("path", out)
+          .saveAsTable(tbl)
+      }
+    }
+    tbl
+  }
 
   /** Parity source with the reference's ingestion (BookQuery.java:44-61):
     * one row per text file in `dir`, doc_id = basename without extension,

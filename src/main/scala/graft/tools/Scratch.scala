@@ -89,9 +89,9 @@ object Scratch {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       import graft.sources.Tables
-      Tables.writeBucketed(Tables.orders(spark, sfDir), "orders_b", 8, Seq("o_orderkey"))
-      Tables.writeBucketed(Tables.lineitem(spark, sfDir), "lineitem_b", 8, Seq("l_orderkey"))
-      val j = spark.table("lineitem_b").join(spark.table("orders_b"),
+      val ordersB = Tables.bucketedTable(spark, sfDir, "orders", "o_orderkey")
+      val lineitemB = Tables.bucketedTable(spark, sfDir, "lineitem", "l_orderkey")
+      val j = spark.table(lineitemB).join(spark.table(ordersB),
         org.apache.spark.sql.functions.col("l_orderkey") ===
         org.apache.spark.sql.functions.col("o_orderkey"))
       println(s"BUCKET JOIN rows=${j.count()}")

@@ -45,6 +45,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed layout join + aggregation plans with ZERO exchanges") {
+    withStaticPlans {
+      val plan = graft.operators.Relational.bucketedOrderRevenue(spark, dir)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      val broadcasts = plan.collect { case e: BroadcastExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join should need no runtime exchange:\n$plan")
+      assert(broadcasts.isEmpty,
+        s"merge hint should keep the 100TB-shaped SMJ, not a broadcast:\n$plan")
+      assert(plan.toString.contains("SortMergeJoin"),
+        s"expected a co-located sort-merge join:\n$plan")
+    }
+  }
+
+  test("events day-range predicate prunes partitions at the scan") {
+    withStaticPlans {
+      import graft.operators.Events
+      val total = Events.eventsPartitioned(spark, dir)
+        .select(org.apache.spark.sql.functions.col("event_day")).distinct().count()
+      val plan = Events.prunedDailyRollup(spark, dir).queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, s"no file scan in:\n$plan")
+      val scanned = scans.head.selectedPartitions.partitionCount.toLong
+      assert(scanned < total && scanned <= 7,
+        s"expected <=7 of $total day-partitions scanned, got $scanned:\n$plan")
+      assert(plan.toString.contains("PartitionFilters") &&
+        plan.toString.contains("event_day"), s"no partition filter:\n$plan")
+    }
+  }
+
   test("similarity surface never force-broadcasts corpus-derived sides") {
     // With broadcasting disabled a *hint* would still plan a
     // BroadcastExchange (a hint is a command) — so an empty collect proves

@@ -59,12 +59,10 @@ class ScaleSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      Tables.writeBucketed(Tables.orders(spark, dir), "orders_b", 4, Seq("o_orderkey"))
-      Tables.writeBucketed(
-        Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
-        "lineitem_b", 4, Seq("l_orderkey"))
-      val joined = spark.table("lineitem_b")
-        .join(spark.table("orders_b"), $"l_orderkey" === $"o_orderkey")
+      val ordersB = Tables.bucketedTable(spark, dir, "orders", "o_orderkey")
+      val lineitemB = Tables.bucketedTable(spark, dir, "lineitem", "l_orderkey")
+      val joined = spark.table(lineitemB).select("l_orderkey", "l_quantity")
+        .join(spark.table(ordersB), $"l_orderkey" === $"o_orderkey")
       val exchanges = joined.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec => e
       }
