@@ -283,6 +283,20 @@ object SparkEntry {
       EmbeddingSearch.kmeansTopKPersisted(s, dir, s"$tmp/$keep",
         nClusters = nClusters, iters = iters)
     }),
+    // the 100 TB training shape: Lloyd rounds fit on a DETERMINISTIC 40%
+    // sample (portable affine hash of vec_id — the oracle replays exactly
+    // which vectors trained), serving still assigns/re-ranks the full set
+    "embed_knn_kmeans_sampled" -> ((s, dir) => {
+      val (nClusters, iters, samplePct) = (8, 2, 40)
+      val sfName = new java.io.File(dir).getName
+      val base = s"graft_kmidx_c${nClusters}i${iters}sp${samplePct}_${sfName}_"
+      val keep = base +
+        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      Tables.cleanStaleExports(tmp, base, keep)
+      EmbeddingSearch.kmeansTopKPersisted(s, dir, s"$tmp/$keep",
+        nClusters = nClusters, iters = iters, samplePct = samplePct)
+    }),
     "embed_label_stats" -> ((s, dir) => EmbeddingSearch.labelStats(s, dir)),
     // incremental dedup, embedding modality: first 4/5 of vectors play the
     // indexed corpus (bands + vecs persisted once, fingerprint-keyed), last
@@ -438,6 +452,54 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** Replays the deterministic spherical k-means training (seeds = first 8
+    * training vectors by vec_id, 2 Lloyd rounds, decimal means, empty cells
+    * keep their centroid), then the nprobe=2 probe + exact re-rank. With
+    * `samplePct`, the TRAINING set is the affine-hash sample of vec_id —
+    * exactly the engine's [[graft.operators.EmbeddingSearch]] portable
+    * sample — while the final inverted file (`af`) and re-rank still cover
+    * every vector, mirroring the train-on-a-sample/serve-everything split.
+    */
+  private def kmeansKnnSql(samplePct: Option[Int]): String = {
+    val train = if (samplePct.isDefined) "smp" else "e"
+    val smpCte = samplePct.map(p =>
+      s"smp AS (SELECT * FROM e WHERE (vec_id * 1103515245 + 12345) % 2147483647 % 100 < $p),\n")
+      .getOrElse("")
+    def assignCte(srcCte: String, centCte: String): String =
+      s"""SELECT vec_id, v, cl FROM (
+         |  SELECT e.vec_id, e.v, c.cl, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cl ASC) AS rn
+         |  FROM $srcCte e, $centCte c) WHERE rn = 1""".stripMargin
+    def updateCtes(i: Int, aCte: String, prevCte: String): String =
+      s"""m$i AS (SELECT cl, di.i AS d,
+         |  CAST(sum(CAST(round(v[di.i], 6) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+         |  FROM $aCte, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) di GROUP BY 1, 2),
+         |n$i AS (SELECT cl, list(c ORDER BY d) AS cv FROM m$i GROUP BY 1),
+         |c$i AS (SELECT $prevCte.cl, coalesce(n$i.cv, $prevCte.cv) AS cv
+         |        FROM $prevCte LEFT JOIN n$i USING (cl))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |${smpCte}c0 AS (SELECT vec_id::INT AS cl, v AS cv FROM $train ORDER BY vec_id LIMIT 8),
+       |a1 AS (${assignCte(train, "c0")}),
+       |${updateCtes(1, "a1", "c0")},
+       |a2 AS (${assignCte(train, "c1")}),
+       |${updateCtes(2, "a2", "c1")},
+       |af AS (${assignCte("e", "c2")}),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |pd AS (SELECT q.query_id, q.qv, c.cl,
+       |  round(${cosineSql("q.qv", "c.cv")}, 6) AS csim FROM q, c2 c),
+       |pr AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS rn FROM pd),
+       |probe AS (SELECT query_id, qv, cl FROM pr WHERE rn <= 2),
+       |s AS (SELECT probe.query_id, af.vec_id,
+       |  round(${cosineSql("af.v", "probe.qv")}, 6) AS cosine
+       |  FROM probe JOIN af ON af.cl = probe.cl
+       |  WHERE af.vec_id <> probe.query_id),
+       |r AS (SELECT *, (row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+  }
 
   /** Reference-pipeline oracle (shared by the parquet and wholetext
     * ingestion entries — both must produce these exact rows).
@@ -779,44 +841,11 @@ object SparkEntry {
          |  CASE WHEN k.nk IS NOT NULL THEN 'near_dup' ELSE 'unique' END AS status
          |FROM (SELECT vec_id FROM e, sp WHERE vec_id >= sp.split) b
          |LEFT JOIN k USING (vec_id)""".stripMargin,
-    "embed_knn_kmeans" -> {
-      // Replays the deterministic spherical k-means training (seeds = first
-      // 8 vectors, 2 Lloyd rounds, decimal means, empty cells keep their
-      // centroid), then the nprobe=2 probe + exact re-rank.
-      def assignCte(centCte: String): String =
-        s"""SELECT vec_id, v, cl FROM (
-           |  SELECT e.vec_id, e.v, c.cl, row_number() OVER (PARTITION BY e.vec_id
-           |    ORDER BY round(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cl ASC) AS rn
-           |  FROM e, $centCte c) WHERE rn = 1""".stripMargin
-      def updateCtes(i: Int, aCte: String, prevCte: String): String =
-        s"""m$i AS (SELECT cl, di.i AS d,
-           |  CAST(sum(CAST(round(v[di.i], 6) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
-           |  FROM $aCte, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) di GROUP BY 1, 2),
-           |n$i AS (SELECT cl, list(c ORDER BY d) AS cv FROM m$i GROUP BY 1),
-           |c$i AS (SELECT $prevCte.cl, coalesce(n$i.cv, $prevCte.cv) AS cv
-           |        FROM $prevCte LEFT JOIN n$i USING (cl))""".stripMargin
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-         |           FROM embeddings),
-         |c0 AS (SELECT vec_id::INT AS cl, v AS cv FROM e WHERE vec_id < 8),
-         |a1 AS (${assignCte("c0")}),
-         |${updateCtes(1, "a1", "c0")},
-         |a2 AS (${assignCte("c1")}),
-         |${updateCtes(2, "a2", "c1")},
-         |af AS (${assignCte("c2")}),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-         |pd AS (SELECT q.query_id, q.qv, c.cl,
-         |  round(${cosineSql("q.qv", "c.cv")}, 6) AS csim FROM q, c2 c),
-         |pr AS (SELECT *, row_number() OVER
-         |  (PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS rn FROM pd),
-         |probe AS (SELECT query_id, qv, cl FROM pr WHERE rn <= 2),
-         |s AS (SELECT probe.query_id, af.vec_id,
-         |  round(${cosineSql("af.v", "probe.qv")}, 6) AS cosine
-         |  FROM probe JOIN af ON af.cl = probe.cl
-         |  WHERE af.vec_id <> probe.query_id),
-         |r AS (SELECT *, (row_number() OVER
-         |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
-         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
-    },
+    "embed_knn_kmeans" -> kmeansKnnSql(samplePct = None),
+    // identical replay, but the Lloyd rounds see only the affine-hash 40%
+    // sample (smp CTE) — seeds and means come from the sample, the final
+    // inverted file and re-rank still cover every vector
+    "embed_knn_kmeans_sampled" -> kmeansKnnSql(samplePct = Some(40)),
     "embed_label_stats" ->
       s"""WITH e AS (SELECT label::BIGINT AS label,
          |  round(sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),

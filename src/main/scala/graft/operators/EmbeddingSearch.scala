@@ -313,10 +313,30 @@ object EmbeddingSearch {
     * 100 TB, training runs on a sample and every query after the first pays
     * only the probe + re-rank, never the training passes.
     */
-  def trainKmeansIndex(emb: DataFrame, nClusters: Int = 8, iters: Int = 2): DataFrame = {
+  /** Deterministic portable sample predicate on vec_id — an affine hash mod
+    * 100, pure BIGINT arithmetic, so the DuckDB oracle (and any engine)
+    * replays EXACTLY which vectors trained. The engine-portable analogue of
+    * the text-side [[TextAnalysis.stratifiedSample]] discipline;
+    * rand()-based sampling would be irreproducible across runs and engines.
+    */
+  private def trainSamplePredicate(pct: Int): Column =
+    (col("vec_id") * 1103515245L + 12345L) % 2147483647L % 100L < pct
+
+  def trainKmeansIndex(emb: DataFrame, nClusters: Int = 8, iters: Int = 2,
+      samplePct: Int = 100): DataFrame = {
+    require(samplePct >= 1 && samplePct <= 100, s"samplePct in [1,100], got $samplePct")
     kmeansTrainings.incrementAndGet()
-    val embN = withNorm(emb)
-    var cent = emb.where(col("vec_id") < nClusters)
+    // At 100 TB training NEVER sees the full corpus: Lloyd rounds converge
+    // on a deterministic sample (samplePct < 100) and only the one-pass
+    // cell ASSIGNMENT of the serve path touches every vector. The sample
+    // is a predicate, not a shuffle — the training scans read a fraction
+    // of the corpus and nothing is materialized driver-side.
+    val train = if (samplePct >= 100) emb else emb.where(trainSamplePredicate(samplePct))
+    val embN = withNorm(train)
+    // seeds = first nClusters of the TRAINING SET by vec_id (a k-row
+    // TakeOrdered, metadata-scale); on a dense-id unsampled corpus this is
+    // identical to the historical `vec_id < nClusters` seeding
+    var cent = train.orderBy(col("vec_id")).limit(nClusters)
       .select(col("vec_id").cast("int").as("cl"), col("v").as("cv"))
     var tRound = System.nanoTime()
     for (_ <- 1 to iters) {
@@ -419,13 +439,13 @@ object EmbeddingSearch {
     */
   def kmeansTopKPersisted(spark: SparkSession, dir: String, indexPath: String,
       k: Int = 5, nQueries: Int = 10, nClusters: Int = 8, iters: Int = 2,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, samplePct: Int = 100): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
     val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     if (!fs.exists(marker))
-      saveKmeansIndex(trainKmeansIndex(emb, nClusters, iters), indexPath)
+      saveKmeansIndex(trainKmeansIndex(emb, nClusters, iters, samplePct), indexPath)
     kmeansTopKWithIndex(emb, loadKmeansIndex(spark, indexPath), k, nQueries, nprobe)
   }
 

@@ -99,6 +99,27 @@ class EmbeddingSpec extends AnyFunSuite {
       "second invocation retrained instead of serving the persisted index")
   }
 
+  test("sampled k-means trains on the deterministic sample, serves everything, zero retrains") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_kmidx_smp").toString + "/idx"
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val served = EmbeddingSearch.kmeansTopKPersisted(spark, dir, idx,
+        k = 5, nQueries = 3, samplePct = 40)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(EmbeddingSearch.kmeansTrainings.get() == before + 1)
+    // serving covers the FULL corpus: results may rank any vector, not just
+    // the ~40% that trained (the sample predicate keeps ~40 of each 100)
+    assert(served.length == 15, s"3 queries x top-5, got ${served.length}")
+    val again = EmbeddingSearch.kmeansTopKPersisted(spark, dir, idx,
+        k = 5, nQueries = 3, samplePct = 40)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(EmbeddingSearch.kmeansTrainings.get() == before + 1,
+      "second invocation retrained instead of serving the persisted index")
+    assert(served.toSet == again.toSet)
+  }
+
   test("LSH recall is in (0, 1] and n_hit counts true top-k recoveries") {
     val dir = "/root/testdata/sf0.001"
     val rows = EmbeddingSearch.lshRecall(spark, dir, k = 5, nQueries = 3)
