@@ -136,6 +136,8 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), kTop = 3)),
     "text_ngram_freq" -> ((s, dir) =>
       TextAnalysis.ngramFrequencies(Tables.documents(s, dir), n = 3, kTop = 20)),
+    "text_gram_df_salted" -> ((s, dir) =>
+      TextAnalysis.saltedGramCounts(Tables.documents(s, dir), n = 3, minDf = 5)),
     "text_lang_minhash" -> ((s, dir) =>
       TextAnalysis.langMinhash(Tables.documents(s, dir))),
     "text_source_stats" -> ((s, dir) =>
@@ -209,6 +211,7 @@ object SparkEntry {
     "rel_local_supplier" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "rel_top_orders" -> ((s, dir) => Relational.topOrders(s, dir)),
     "rel_bucketed_join" -> ((s, dir) => Relational.bucketedOrderRevenue(s, dir)),
+    "rel_salted_join" -> ((s, dir) => Relational.saltedSupplierRevenue(s, dir)),
     "rel_customer_windows" -> ((s, dir) => Relational.customerOrderWindows(s, dir)),
     // value-RANGE frame: 30-day trailing spend/count per order
     "rel_trailing_spend" -> ((s, dir) => Relational.trailingSpend(s, dir)),
@@ -560,6 +563,14 @@ object SparkEntry {
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     // the bucketed layout changes WHERE rows go, never WHAT they are: the
     // oracle is the plain join over the unbucketed parquet
+    // the salt replicates the dim side and splits the fact key — totals are
+    // join-invariant, so the oracle is the plain join
+    "rel_salted_join" ->
+      s"""SELECT s_nationkey,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1""".stripMargin,
     "rel_bucketed_join" ->
       s"""SELECT o_orderkey, o_orderpriority,
          |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
@@ -1030,6 +1041,12 @@ object SparkEntry {
          |r AS (SELECT gram, df, (row_number() OVER
          |  (ORDER BY df DESC, gram ASC))::BIGINT AS rank FROM f)
          |SELECT gram, df, rank FROM r WHERE rank <= 20""".stripMargin,
+    // salting changes where partial counts accumulate, never the totals:
+    // the oracle is the plain GROUP BY
+    "text_gram_df_salted" ->
+      s"""WITH ${shingleCte(3)},
+         |g AS (SELECT unnest(sh) AS gram FROM sh)
+         |SELECT gram, count(*) AS n FROM g GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
     "text_lang_minhash" ->
       s"""WITH tok AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
          |shl AS (SELECT lang,

@@ -88,6 +88,22 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Supplier-nation revenue through the SKEW-SAFE join
+    * ([[Scale.saltedJoin]]): fact rows take a salt, the supplier dim is
+    * replicated once per salt value, and the join key becomes
+    * (suppkey, salt) — so a hot supplier key (the one-vendor-dominates
+    * shape AQE's post-hoc split can't always save) spreads over `buckets`
+    * reducers. Salting replicates only the DIM side (structurally small)
+    * and never changes results — the oracle is the plain join.
+    */
+  def saltedSupplierRevenue(spark: SparkSession, dir: String): DataFrame =
+    Scale.saltedJoin(Tables.lineitem(spark, dir), Tables.supplier(spark, dir),
+        "l_suppkey", "s_suppkey", buckets = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** TPC-H Q5-shaped local-supplier revenue: 6-way join through the star,
     * dims broadcast, revenue per nation.
     */

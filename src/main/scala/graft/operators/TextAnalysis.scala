@@ -110,6 +110,21 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("df").desc, col("gram").asc)).cast("long"))
   }
 
+  /** Document-frequency table of the HOT grams (df ≥ minDf) via the
+    * TWO-PHASE salted aggregation ([[Scale.saltedCount]]): each gram's
+    * count accumulates across `buckets` independent partial groups before
+    * the final combine, so a stop-shingle-grade gram (present in nearly
+    * every document — the classic skew key of corpus statistics) spreads
+    * over `buckets` reducers instead of melting one. Salting is
+    * result-invariant — the oracle is the plain GROUP BY.
+    */
+  def saltedGramCounts(docs: DataFrame, n: Int = 3, minDf: Long = 10,
+      buckets: Int = 8): DataFrame =
+    Scale.saltedCount(
+        docs.select(explode(shingleSet(col("text"), n)).as("gram")),
+        Seq("gram"), buckets)
+      .where(col("n") >= minDf)
+
   /** Deterministic stratified sample: keep ~`percent`% of documents PER
     * LANGUAGE by a portable hash of the text (hash mod 100 < percent) —
     * reproducible across runs, engines, and cluster sizes, unlike
