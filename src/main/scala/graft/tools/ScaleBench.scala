@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve evidence: replicate the sf0.1 documents table K× with a
+  * DUP-STRUCTURE-PRESERVING transform and time the dedup/similarity/clean
+  * family at each size, so the 100 TB plan arguments in SCALING.md rest on
+  * a measured growth curve instead of a single JVM-noise-bound point.
+  *
+  * The replication transform suffixes every TOKEN of replica i>0 with
+  * "x<i>" — a bijection on tokens, so each replica preserves the original's
+  * exact-dup and near-dup structure internally, while replicas share no
+  * shingles with each other (cross-replica Jaccard = 0). A K× corpus
+  * therefore carries exactly K× the dup pairs, K× the LSH candidates, K×
+  * the band buckets — the honest model of "same corpus statistics, K× the
+  * volume", unlike verbatim replication (which manufactures K²-sized dup
+  * cliques) or random text (which destroys the dup families the operators
+  * exist to find).
+  *
+  * Usage: runMain graft.tools.ScaleBench [srcSfDir] [workDir] [k1,k2,...]
+  * Writes one JSON line per size; generation is cached per (src, K) with a
+  * _SUCCESS marker.
+  */
+object ScaleBench {
+
+  /** The queries whose 100 TB cost model SCALING.md argues — every
+    * documents-only operator with candidate-generating machinery, plus the
+    * aggregation-heavy TF-IDF as a shuffle-cost control.
+    */
+  private val family = Seq(
+    "dedup_exact", "dedup_exact_normalized", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_substring", "simjoin_allpairs",
+    "dedup_clusters_lsh", "corpus_clean", "corpus_clean_near",
+    "text_tfidf_topk", "text_gram_df_salted")
+
+  def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
+    val dir = s"$out/x$k"
+    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+      spark.read.parquet(s"$src/documents.parquet")
+        .select(col("*"), explode(sequence(lit(0), lit(k - 1))).as("rep"))
+        .select(
+          (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(array_join(
+              transform(split(col("text"), " "), t => concat(t, lit("x"), col("rep"))),
+              " ")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/graft_scale")
+    val ks = args.lift(2).getOrElse("4,16").split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
+    val dirs: Seq[(Int, String)] =
+      (1, src) +: ks.map(k => k -> scaledDocs(spark, src, k, work))
+    val fns = family.map(n => n -> graft.SparkEntry.queries(n))
+    for ((k, dir) <- dirs) {
+      val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      var rows = 0L
+      for (pass <- 1 to iters; (name, fn) <- fns) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        if (pass == 1) rows += n
+        System.err.println(f"[scale] x$k pass $pass $name: $t%.2f s ($n rows)")
+      }
+      val qs = best.map { case (q, t) => s"${graft.JsonOut.q(q)}:$t" }.mkString("{", ",", "}")
+      println(s"""{"metric":"scale_family","k":$k,"dir":${graft.JsonOut.q(dir)},""" +
+        s""""total":${best.values.sum},"result_rows":$rows,"queries":$qs}""")
+    }
+    spark.stop()
+  }
+}
