@@ -57,9 +57,11 @@ object BookQuery {
   }
 
   /** Reference-exact scores. `n` (corpus cardinality incl. the query doc,
-    * BookQuery.java:211-214) is taken as a driver scalar — one count() job,
-    * the same metadata-scale operation the reference does with
-    * `ContentSummary`. Output: (doc_id, len, sum_shared, score).
+    * BookQuery.java:211-214, via `ContentSummary`) is a 1-row global
+    * aggregate folded INTO the DAG as a broadcast scalar — the whole query
+    * is one lazy job (constructing the DataFrame runs nothing; the
+    * historical driver-side count() ran an eager extra job at plan-build
+    * time). Output: (doc_id, len, sum_shared, score).
     */
   def referenceScores(docs: DataFrame, queryDocId: Long = 0L, k: Int = 3): DataFrame =
     referenceScoresFor(docs, lit(queryDocId), k)
@@ -68,7 +70,10 @@ object BookQuery {
     * by basename string, reference `equals("query")` at BookQuery.java:144).
     */
   def referenceScoresFor(docs: DataFrame, queryDocId: Column, k: Int = 3): DataFrame = {
-    val n = docs.count()
+    // guaranteed 1 row (global aggregate), so the broadcast hint can never
+    // OOM an executor; its exchange is SinglePartition — one long crosses
+    // the wire, metadata-scale, not a data shuffle
+    val nRow = broadcast(docs.agg(count(lit(1)).as("__n")))
     val ex = intersected(docs, queryDocId, k)
       .select(col("doc_id"), col("len"), col("q_len"), explode(col("t")).as("term"))
     // df over NON-query docs; the query trivially holds every surviving term
@@ -76,7 +81,9 @@ object BookQuery {
     // 2 <= df <= n-1  ⇔  1 <= df_nq <= n-2; the lower bound is implied
     // (a term only appears here if some non-query doc has it).
     val df = ex.groupBy("term").agg(count(lit(1)).as("df_nq"))
-      .where(col("df_nq") <= lit(n - 2))
+      .crossJoin(nRow) // |Q|-bounded rows × 1 row
+      .where(col("df_nq") <= col("__n") - 2)
+      .select(col("term"), col("df_nq"))
     ex.join(broadcast(df), "term") // |df| ≤ |Q| ⇒ broadcast, no re-shuffle of ex
       .groupBy("doc_id", "len", "q_len")
       .agg(count(lit(1)).as("sum_shared")) // BookQuery.java:154-158

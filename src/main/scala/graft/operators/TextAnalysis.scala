@@ -396,7 +396,10 @@ object TextAnalysis {
     * (doc_id, term, tf, df, tfidf, rank).
     */
   def tfidfTopTerms(docs: DataFrame, kTop: Int = 3): DataFrame = {
-    val n = docs.count()
+    // corpus cardinality folded into the DAG as a guaranteed-1-row
+    // broadcast scalar (global aggregate — can never OOM), keeping the
+    // whole query one lazy job instead of an eager count() at plan time
+    val nRow = broadcast(docs.agg(count(lit(1)).as("__n")))
     val terms = docs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = terms.select(col("doc_id"), col("term")).distinct()
@@ -404,7 +407,9 @@ object TextAnalysis {
     // df table is vocabulary-sized — web-scale vocab is billions of terms,
     // so the broadcast is size-gated (AQE still broadcasts small actuals).
     val scored = tf.join(Scale.maybeBroadcast(dfT), "term")
-      .withColumn("tfidf", round(col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")), 6))
+      .crossJoin(nRow)
+      .withColumn("tfidf",
+        round(col("tf").cast("double") * log(col("__n").cast("double") / col("df").cast("double")), 6))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= kTop)
