@@ -270,10 +270,10 @@ object EmbeddingSearch {
     * [[bruteForceTopK]].
     */
   def kmeansTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
-      nClusters: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+      nClusters: Int = 8, iters: Int = 2, nprobe: Int = 2, samplePct: Int = 100): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    kmeansTopKWithIndex(emb, trainKmeansIndex(emb, nClusters, iters), k, nQueries, nprobe)
+    kmeansTopKWithIndex(emb, trainKmeansIndex(emb, nClusters, iters, samplePct), k, nQueries, nprobe)
   }
 
   // Norms hoisted OUT of the k-way argmax: sqrt(v·v) is identical whether

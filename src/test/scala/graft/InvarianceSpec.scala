@@ -48,7 +48,16 @@ class InvarianceSpec extends AnyFunSuite {
     "corpus_clean_near" -> ((s, d) => {
       val surv = Tables.documents(s, d).where(TextAnalysis.qualityPredicate(col("text")))
       Dedup.dedupClusters(surv, Dedup.minhashLshPairs(surv, tau = 0.7))
-    }))
+    }),
+    // the salt is monotonically_increasing_id mod buckets — its VALUES
+    // change with partition count by construction; the results must not
+    "rel_salted_join" -> ((s, d) => Relational.saltedSupplierRevenue(s, d)),
+    "text_gram_df_salted" ->
+      ((s, d) => TextAnalysis.saltedGramCounts(Tables.documents(s, d), minDf = 2)),
+    // fresh SAMPLED training at each partitioning (the persisted entry
+    // would hide training shuffles behind the cached index)
+    "embed_knn_kmeans_sampled_fresh" ->
+      ((s, d) => EmbeddingSearch.kmeansTopK(s, d, k = 5, nQueries = 3, samplePct = 40)))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
