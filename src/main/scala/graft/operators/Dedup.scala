@@ -38,11 +38,11 @@ object Dedup {
     * family's ≈n²/2³² per-pair collision odds would not be negligible at
     * corpus scale.
     */
-  private def hashSet62(sh: Column): Column =
+  private[graft] def hashSet62(sh: Column): Column =
     toColumn(graft.functions.expressions.HashSet62(toExpression(sh)))
 
   /** |a ∩ b| of two sorted-distinct long arrays — allocation-free merge scan. */
-  private def intersect62(a: Column, b: Column): Column =
+  private[graft] def intersect62(a: Column, b: Column): Column =
     toColumn(graft.functions.expressions.IntersectCountSorted(toExpression(a), toExpression(b)))
 
   /** Exact-duplicate groups: (text_hash, n_copies, keeper). keeper = lowest
@@ -207,7 +207,7 @@ object Dedup {
     * params-mismatched call a loud error instead of silent dup
     * under-reporting.
     */
-  private def requireIndexParams(fs: org.apache.hadoop.fs.FileSystem, path: String,
+  private[graft] def requireIndexParams(fs: org.apache.hadoop.fs.FileSystem, path: String,
       numHashes: Int, bands: Int, k: Int): Unit = {
     val meta = new org.apache.hadoop.fs.Path(path, "_PARAMS")
     require(fs.exists(meta),

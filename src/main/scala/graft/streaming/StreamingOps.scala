@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -132,6 +132,62 @@ object StreamingOps {
     docs.withColumn("__h", md5(col("text")))
       .join(corpusHashes, col("__h") === col("text_hash"), "left_anti")
       .drop("__h")
+  }
+
+  /** STATELESS in-stream near-dup MATCH stream against the persisted index
+    * — the monitor/alerting tier: every streaming document that clears
+    * Jaccard ≥ tau against SOME indexed corpus document emits one row per
+    * matching corpus doc, in append mode, with ZERO streaming state. The
+    * plan is the serve sketch run as pure stream-static equi joins: stream
+    * doc → MinHash band keys (explode) → equi join the index `bands/`
+    * table → equi join `sets/` → 62-bit merge-scan Jaccard verify.
+    *
+    * Exactly-once per (doc, corpus doc) pair WITHOUT dropDuplicates state:
+    * a near-dup pair typically collides in several of the 16 bands, and a
+    * stateful dedup would grow forever on an unbounded stream — instead,
+    * since `sets/` carries both sides' 31-bit hash sets, each candidate row
+    * recomputes both band-key arrays and emits only when the joined band IS
+    * the minimum band the pair shares. Deterministic, per-row arithmetic,
+    * cost bounded by band-collision candidates (the same volume the verify
+    * already pays). What this tier deliberately does NOT give is per-doc
+    * keeper aggregation or survivor filtering — that is
+    * [[dedupAgainstIndexNear]]'s per-micro-batch job; this one never holds
+    * a row back. Output: (doc_id, near_match, jaccard).
+    */
+  def nearDupMatchesAgainstIndex(docs: DataFrame, indexPath: String, tau: Double,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions.shingleSet
+    import graft.functions.HashFunctions.{hashSet, minhashBandKeys, minhashFromHashes}
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    require(Dedup.dedupIndexExists(spark, indexPath),
+      s"no complete dedup index at $indexPath — run buildDedupIndex first")
+    Dedup.requireIndexParams(
+      new org.apache.hadoop.fs.Path(indexPath, "_PARAMS")
+        .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf()),
+      indexPath, numHashes, bands, k)
+    val rpb = numHashes / bands
+    def bandKeys(hs: Column): Column =
+      minhashBandKeys(minhashFromHashes(hs, numHashes), bands, rpb)
+    val corpusBands = spark.read.parquet(s"$indexPath/bands")
+      .select(col("band"), col("doc_id").as("cdoc"))
+    val corpusSets = spark.read.parquet(s"$indexPath/sets")
+      .select(col("doc_id").as("cdoc"), col("hs31").as("chs31"), col("hs62").as("chs62"))
+    val batch = docs.select(col("doc_id"),
+        hashSet(shingleSet(col("text"), k)).as("hs31"),
+        Dedup.hashSet62(shingleSet(col("text"), k)).as("hs62"))
+      .where(size(col("hs31")) > 0)
+    val inter = Dedup.intersect62(col("hs62"), col("chs62"))
+    batch
+      .select(col("doc_id"), col("hs31"), col("hs62"), explode(bandKeys(col("hs31"))).as("band"))
+      .join(corpusBands, Seq("band"))
+      .join(corpusSets, Seq("cdoc"))
+      .select(col("doc_id"), col("cdoc"), col("band"), col("hs31"), col("chs31"),
+        (inter.cast("double") /
+          (size(col("hs62")) + size(col("chs62")) - inter).cast("double")).as("j"))
+      .where(col("j") >= tau)
+      .where(col("band") === array_min(array_intersect(bandKeys(col("hs31")), bandKeys(col("chs31")))))
+      .select(col("doc_id"), col("cdoc").as("near_match"), round(col("j"), 6).as("jaccard"))
   }
 
   /** The NEAR-dup-vs-corpus serve tier — the streaming twin of the full

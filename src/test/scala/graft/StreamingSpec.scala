@@ -301,6 +301,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless near-dup match stream: one row per pair, agrees with batch near tier") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    // stream doc 10 differs from corpus doc 1 in ONE token (J ~ 0.81) and
+    // from corpus doc 2 in TWO tokens (6 of 34 union shingles differ,
+    // J ~ 0.65) — tau must sit below both
+    val tau = 0.6
+    def doc(seed: Int) = (1 to 30).map(i => s"m${seed}t$i").mkString(" ")
+    def variant(seed: Int, at: Int) = (1 to 30).map(i => s"m${seed}t$i")
+      .updated(at, s"CHG$at").mkString(" ")
+    // corpus docs 1 and 2 are both near-dups of the same family; stream doc
+    // 10 (a third variant) must match BOTH, each exactly once — a highly
+    // similar pair collides in MANY of the 16 bands, so the min-shared-band
+    // filter is what keeps the count at one per pair
+    val corpus = Seq((1L, doc(1)), (2L, variant(1, 5))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_matchidx").toString
+    Dedup.buildDedupIndex(corpus, idx)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.nearDupMatchesAgainstIndex(
+      input.toDF().toDF("doc_id", "text"), idx, tau)
+    val q = out.writeStream.format("memory").queryName("ndm")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, variant(1, 20)), (11L, doc(9)))
+      q.processAllAvailable()
+      val rows = spark.table("ndm")
+        .select($"doc_id", $"near_match", $"jaccard")
+        .as[(Long, Long, Double)].collect()
+      assert(rows.length == 2, s"expected exactly one row per pair, got ${rows.toSeq}")
+      assert(rows.map(r => (r._1, r._2)).toSet == Set((10L, 1L), (10L, 2L)))
+      assert(rows.forall(_._3 >= tau))
+      // the per-doc minimum match is the batch serve tier's near_keeper
+      val batchKeeper = Dedup.dedupAgainst(idx,
+          Seq((10L, variant(1, 20)), (11L, doc(9))).toDF("doc_id", "text"), tau)
+        .select($"doc_id", $"near_keeper").as[(Long, Long)].collect().toMap
+      assert(batchKeeper == Map(10L -> 1L, 11L -> -1L))
+    } finally q.stop()
+  }
+
   test("ingest pipeline end-to-end: file source directory -> file sink") {
     // The full deploy shape on real files: documents land in a parquet
     // directory, the composed ingest pipeline streams them, survivors land
