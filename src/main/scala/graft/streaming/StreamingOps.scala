@@ -256,6 +256,19 @@ object StreamingOps {
       docs.where(graft.operators.TextAnalysis.qualityPredicate(col("text"))),
       evalGramHashes)))
 
+  /** [[ingestPipeline]] with the vs-CORPUS tier in place: after the
+    * stateless quality/decontamination stages, documents already in the
+    * persisted dedup index are dropped by the stateless stream-static anti
+    * join ([[dedupAgainstIndex]]) BEFORE any within-stream dedup state is
+    * paid for them — yesterday's corpus never occupies today's state store.
+    * Same cheapest-first ordering, one lazy streaming DAG.
+    */
+  def ingestPipelineWithIndex(docs: DataFrame, evalGramHashes: DataFrame,
+      indexPath: String): DataFrame =
+    dedupNearSimhash(dedupExact(dedupAgainstIndex(decontaminate(
+      docs.where(graft.operators.TextAnalysis.qualityPredicate(col("text"))),
+      evalGramHashes), indexPath)))
+
   case class Event(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

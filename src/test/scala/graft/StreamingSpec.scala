@@ -193,6 +193,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composed ingest with index tier: corpus dups drop before in-stream state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions.shingleSet
+    import graft.functions.HashFunctions.hashSet
+    val evalGrams = Seq("alpha beta gamma delta epsilon zeta")
+      .toDF("text")
+      .select(explode(hashSet(shingleSet(col("text"), 5))).as("gram"))
+    def clean(seed: Int) = (1 to 35).map(i => s"idx${seed}q$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ingestidx").toString
+    graft.operators.Dedup.buildDedupIndex(
+      Seq((100L, clean(5))).toDF("doc_id", "text"), idx)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.ingestPipelineWithIndex(
+      input.toDF().toDF("doc_id", "text"), evalGrams, idx)
+    val q = out.writeStream.format("memory").queryName("singestidx")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (0L, clean(1)),      // survives
+        (1L, "too short"),   // quality drop (stateless)
+        (2L, clean(5)))      // already in the CORPUS index -> anti-join drop
+      q.processAllAvailable()
+      input.addData(
+        (3L, clean(1)),      // within-stream exact dup of 0 -> state drop
+        (4L, clean(2)))      // survives
+      q.processAllAvailable()
+      val kept = spark.table("singestidx").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("file-source streaming: parquet directory -> windowed counts == batch") {
     // Real readStream over a parquet dir (the deploy shape), checked against
     // the batch aggregation of the same files.
