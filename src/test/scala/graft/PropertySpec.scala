@@ -232,4 +232,44 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(checked == 5)
   }
+
+  test("min-shared-band match stream == distinct banded candidates >= tau, exactly once") {
+    // the stateless exactly-once trick (emit only on the minimum band a
+    // pair shares) must reproduce the OBVIOUS formulation — distinct
+    // band-collision candidates verified at tau — on random corpora where
+    // near-identical pairs collide in many of the 16 bands. The transform
+    // is stream-legal but runs identically on batch frames, so the
+    // property checks at batch speed. Truth side: engine band keys (pinned
+    // against models elsewhere) + the independent Scala Jaccard model.
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions.shingleSet
+    val tau = 0.5
+    for (seed <- 0L until 3L) {
+      val corpus = (0 until 12).map(i => (i.toLong, sample(genTextDense, seed * 100 + i)))
+        .filter(d => modelShingles(d._2).nonEmpty)
+      val batch = (100 until 108).map(i => (i.toLong, sample(genTextDense, seed * 100 + 50 + i)))
+        .filter(d => modelShingles(d._2).nonEmpty)
+      val idx = java.nio.file.Files.createTempDirectory("graft_prop_idx").toString
+      Dedup.buildDedupIndex(corpus.toDF("doc_id", "text"), idx)
+      val got = graft.streaming.StreamingOps.nearDupMatchesAgainstIndex(
+          batch.toDF("doc_id", "text"), idx, tau)
+        .select(col("doc_id"), col("near_match")).as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"seed $seed: duplicate pair emitted: ${got.toSeq}")
+      val bandKeys: Map[Long, Set[String]] = (corpus ++ batch).toDF("doc_id", "text")
+        .select(col("doc_id"), HashFunctions.minhashBandKeys(
+          HashFunctions.minhashFromHashes(
+            HashFunctions.hashSet(shingleSet(col("text"), 3)), 64), 16, 4).as("bk"))
+        .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.toSet).toMap
+      val texts = (corpus ++ batch).toMap
+      val expected = (for {
+        (bid, btext) <- batch
+        (cid, ctext) <- corpus
+        if bandKeys(bid).intersect(bandKeys(cid)).nonEmpty
+        if modelJaccard(btext, ctext) >= tau
+      } yield (bid, cid)).toSet
+      assert(got.toSet == expected,
+        s"seed $seed: got ${got.toSet} expected $expected (texts: $texts)")
+    }
+  }
 }
