@@ -25,6 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * — computed INSIDE the source, so plans need no input_file_name()+regexp
   * projection and column pruning reaches the reader: a doc_id-only query
   * never materializes file contents (`SupportsPushDownRequiredColumns`).
+  * Equality/IN predicates on doc_id push down too
+  * (`SupportsPushDownFilters`): because doc_id IS the file name, they prune
+  * the FILE LISTING at planning time — a point lookup on a 100 TB corpus
+  * opens exactly one file (spec-asserted), the `PushedDocIds` entry in
+  * explain shows it, and non-matching predicates stay Spark-side.
   *
   * Scale shape: the driver sees only file METADATA (one listing, exactly the
   * manifest the reference driver wrote); files are packed into splits by
@@ -67,13 +72,40 @@ private[v2] class TextCorpusTable(path: String) extends Table with SupportsRead 
 }
 
 private[v2] class TextCorpusScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = TextCorpusSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new TextCorpusScan(path, required)
+
+  // doc_id IS the file name, so equality/IN predicates on it are FILE
+  // pruning: matching is exact at the listing, non-matching files are
+  // never opened (the point-lookup shape on a 100 TB corpus). Accepted
+  // filters are fully handled here — Spark does not re-evaluate them.
+  // Multiple accepted filters AND together: intersect their allowed sets.
+  private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var allowedDocIds: Option[Set[String]] = None
+
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def allowed(f: org.apache.spark.sql.sources.Filter): Option[Set[String]] = f match {
+      case EqualTo("doc_id", v: String) => Some(Set(v))
+      case In("doc_id", vs) if vs != null && vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.map(_.asInstanceOf[String]).toSet)
+      case _ => None
+    }
+    val (sup, rest) = filters.partition(allowed(_).isDefined)
+    accepted = sup
+    allowedDocIds = sup.flatMap(allowed).reduceOption(_ intersect _)
+    rest
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = accepted
+
+  override def build(): Scan = new TextCorpusScan(path, required, allowedDocIds)
 }
 
-private[v2] class TextCorpusScan(path: String, required: StructType)
+private[graft] class TextCorpusScan(path: String, required: StructType,
+    docIdFilter: Option[Set[String]] = None)
     extends Scan with Batch {
   // session Hadoop conf captured at plan time (driver) and shipped to
   // executors — a bare `new Configuration()` would drop spark.hadoop.*
@@ -85,7 +117,8 @@ private[v2] class TextCorpusScan(path: String, required: StructType)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"TextCorpusScan path=$path, ReadSchema: ${required.simpleString}"
+    s"TextCorpusScan path=$path, ReadSchema: ${required.simpleString}" +
+      docIdFilter.fold("")(ids => s", PushedDocIds: [${ids.toSeq.sorted.mkString(", ")}]")
 
   /** Driver-side METADATA listing only (the reference's manifest, :216-226);
     * deterministic order, hidden files skipped, splits packed by size like
@@ -98,7 +131,8 @@ private[v2] class TextCorpusScan(path: String, required: StructType)
       (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p) else Array(fs.getFileStatus(p)))
         .filter { s =>
           val n = s.getPath.getName
-          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            docIdFilter.forall(_.contains(TextCorpusSource.docId(n)))
         }
         .sortBy(_.getPath.toString)
     val conf = SQLConf.get
@@ -125,8 +159,8 @@ private[v2] class TextCorpusScan(path: String, required: StructType)
     new TextCorpusReaderFactory(required, confSer)
 }
 
-private[v2] case class FileSlice(path: String, len: Long)
-private[v2] case class TextFilesPartition(files: Array[FileSlice]) extends InputPartition
+private[graft] case class FileSlice(path: String, len: Long)
+private[graft] case class TextFilesPartition(files: Array[FileSlice]) extends InputPartition
 
 private[v2] class TextCorpusReaderFactory(required: StructType, confSer: java.io.Serializable)
     extends PartitionReaderFactory {

@@ -51,6 +51,39 @@ class SourceSinkSpec extends AnyFunSuite {
       Seq("doc_id", "len", "sum_shared", "score"))
   }
 
+  test("DSv2 doc_id filter pushdown prunes FILES at planning time") {
+    val dir = Files.createTempDirectory("graft_corpus_push").toFile
+    for (n <- Seq("alpha", "beta", "gamma", "delta"))
+      Files.writeString(new java.io.File(dir, s"$n.txt").toPath, s"body of $n")
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[graft.sources.v2.TextCorpusScan]
+            .planInputPartitions()
+            .map(_.asInstanceOf[graft.sources.v2.TextFilesPartition].files.length).sum
+      }.get
+    val src = Tables.wholeTextDocumentsV2(spark, dir.getAbsolutePath)
+    // point lookup: ONE file opened out of four
+    val eq = src.where(col("doc_id") === "beta")
+    assert(plannedFiles(eq) == 1, eq.queryExecution.executedPlan.toString)
+    assert(eq.as[(String, String)].collect().toSeq == Seq(("beta", "body of beta")))
+    // IN-list: two files; conjunction with equality intersects to one
+    val in = src.where(col("doc_id").isin("alpha", "gamma"))
+    assert(plannedFiles(in) == 2)
+    assert(in.select("doc_id").as[String].collect().sorted.toSeq == Seq("alpha", "gamma"))
+    val both = src.where(col("doc_id").isin("alpha", "gamma") && col("doc_id") === "gamma")
+    assert(plannedFiles(both) == 1)
+    assert(both.select("doc_id").as[String].collect().toSeq == Seq("gamma"))
+    // a non-pushable predicate (on text) stays Spark-side: all files planned,
+    // rows still correct
+    val onText = src.where(col("text").contains("delta"))
+    assert(plannedFiles(onText) == 4)
+    assert(onText.select("doc_id").as[String].collect().toSeq == Seq("delta"))
+    // explain surfaces the pruning for plan reviews
+    assert(eq.queryExecution.executedPlan.toString.contains("PushedDocIds"),
+      eq.queryExecution.executedPlan.toString)
+  }
+
   test("reference text sink emits '<doc> - query\\t<score>' lines") {
     // 4th doc keeps n=4 so "a b c" (df=3) clears the df==n stop filter.
     val corpus = Seq((0L, "a b c d"), (1L, "a b c x"), (2L, "a b c d e"), (3L, "z z z z"))
