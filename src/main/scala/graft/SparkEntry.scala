@@ -20,6 +20,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     BookQuery.referenceScores(Tables.documents(spark, "/root/testdata/sf0.001"))
 
+  /** The exported one-file-per-document text corpus for this SF — fixture
+    * dirs keyed on the source table's file fingerprint, so regenerated
+    * testdata gets a fresh export instead of a stale _SUCCESS-marked one,
+    * and superseded exports are reclaimed.
+    */
+  private def wtCorpusDir(s: SparkSession, dir: String): String = {
+    val base = "graft_wtcorpus_" + new java.io.File(dir).getName + "_"
+    val keep = base +
+      java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
+    val tmp = System.getProperty("java.io.tmpdir")
+    Tables.cleanStaleExports(tmp, base, keep)
+    val corpus = s"$tmp/$keep"
+    Tables.exportTextCorpus(Tables.documents(s, dir), corpus)
+    corpus
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — reference parity (SURVEY.md §2.1) —
@@ -37,16 +53,7 @@ object SparkEntry {
       // the ingestion path is oracle-checked end-to-end against the same
       // SQL as book_query_ref.
       import org.apache.spark.sql.functions.col
-      // fixture dirs keyed on the source table's file fingerprint:
-      // regenerated testdata gets a fresh export instead of a stale
-      // _SUCCESS-marked one, and superseded exports are reclaimed
-      val base = "graft_wtcorpus_" + new java.io.File(dir).getName + "_"
-      val keep = base +
-        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
-      val tmp = System.getProperty("java.io.tmpdir")
-      Tables.cleanStaleExports(tmp, base, keep)
-      val corpus = s"$tmp/$keep"
-      Tables.exportTextCorpus(Tables.documents(s, dir), corpus)
+      val corpus = wtCorpusDir(s, dir)
       // Ingest ONCE as a MATERIALIZED parquet job — the reference's own
       // ingest-then-query shape (BookQuery.java:216-226). The scoring
       // pipeline reads the corpus from several plan branches (n-count,
@@ -192,6 +199,18 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_parts"),
           sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+    // point lookups through the custom DSv2 source's doc_id filter
+    // pushdown: the predicate prunes the FILE LISTING at planning time
+    // (3 files opened out of the corpus; SourceSinkSpec asserts counts),
+    // and the oracle hash-checks the looked-up content byte-for-byte
+    "source_v2_point_lookup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.wholeTextDocumentsV2(s, wtCorpusDir(s, dir))
+        .where(col("doc_id").isin("7", "11", "42"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(col("text")).as("text_hash"))
     }),
     // — corpus assembly: source mixing + token budgeting —
     "corpus_mix" -> ((s, dir) =>
@@ -760,6 +779,12 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts,
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY 1""".stripMargin,
+    // the looked-up file contents must hash-match the source table rows
+    // byte-for-byte (the corpus is newline-free, so the text-file roundtrip
+    // is exact)
+    "source_v2_point_lookup" ->
+      """SELECT doc_id, len(text)::BIGINT AS n_chars, md5(text) AS text_hash
+        |FROM documents WHERE doc_id IN (7, 11, 42)""".stripMargin,
     // integer-exact burst rule: n·cnt > 2·sum avoids any float mean
     "events_bursts" ->
       """WITH h AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
