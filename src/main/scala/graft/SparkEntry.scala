@@ -232,6 +232,7 @@ object SparkEntry {
     "rel_bucketed_join" -> ((s, dir) => Relational.bucketedOrderRevenue(s, dir)),
     "rel_salted_join" -> ((s, dir) => Relational.saltedSupplierRevenue(s, dir)),
     "rel_customer_windows" -> ((s, dir) => Relational.customerOrderWindows(s, dir)),
+    "rel_window_funcs" -> ((s, dir) => Relational.windowFunctionSuite(s, dir)),
     // value-RANGE frame: 30-day trailing spend/count per order
     "rel_trailing_spend" -> ((s, dir) => Relational.trailingSpend(s, dir)),
     "rel_setops" -> ((s, dir) => Relational.customerSetOps(s, dir)),
@@ -606,6 +607,17 @@ object SparkEntry {
         |  date_diff('day', lag(o_orderdate) OVER w, o_orderdate)::BIGINT AS days_since_prev
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    // rank-family values are integer-derived rationals — identical doubles
+    // in both engines, rounded the same; lead's default avoids NULL rows
+    "rel_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  (ntile(4) OVER w)::BIGINT AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  lead(o_orderkey, 1, -1) OVER w AS next_key
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
     "rel_trailing_spend" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
         |  epoch_us(o_orderdate) // 1000000 AS order_epoch, o_totalprice FROM orders)

@@ -154,6 +154,26 @@ object Relational {
         col("running_spend"), col("days_since_prev"))
   }
 
+  /** The RANK-FAMILY window surface (ntile / percent_rank / cume_dist /
+    * first_value / lead) over a per-customer total order — the quantile-
+    * bucketing and relative-position shapes a feature pipeline derives per
+    * entity. Determinism discipline as everywhere: the ORDER BY ends on the
+    * unique o_orderkey, percent_rank/cume_dist are integer-derived rationals
+    * rounded identically in both engines, and lead carries an explicit
+    * default instead of a NULL. One shuffle on o_custkey.
+    */
+  def windowFunctionSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .where(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"))
+  }
+
   /** Value-RANGE window frame: each order sees the customer's exact
     * (decimal-summed) spend and order count over the PRECEDING 30 days
     * inclusive — the trailing-aggregate shape row-count frames cannot
