@@ -82,11 +82,18 @@ object EmbeddingSearch {
     toColumn(graft.functions.expressions.HyperplaneSignature(toExpression(v), nPlanes))
   }
 
-  /** 4 band keys ("b:bit,bit,bit,bit") over the 16-bit signature. */
-  def lshBandKeys(sig: Column): Column =
-    transform(sequence(lit(0), lit(3)), b =>
+  /** Band keys ("b:bit,...,bit") over a hyperplane signature — `bands`
+    * bands of `rowsPerBand` bits (default 4×4 over the 16-bit signature,
+    * the oracle-replayed configuration). The band VALUE SPACE is
+    * 2^rowsPerBand: at fixed width, bucket occupancy grows linearly with
+    * the corpus and candidate volume quadratically (measured —
+    * BENCH_SCALE.json), so a larger corpus widens rowsPerBand
+    * (≈ log2(N / target bucket size)) and adds bands to hold recall.
+    */
+  def lshBandKeys(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
       concat_ws(":", b.cast("string"),
-        concat_ws(",", transform(slice(sig, b * lit(4) + 1, lit(4)), _.cast("string")))))
+        concat_ws(",", transform(slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)), _.cast("string")))))
 
   /** ANN top-k: candidates share ≥1 of 4 LSH band keys with the query,
     * re-ranked by exact cosine. Same output shape as [[bruteForceTopK]]
@@ -163,12 +170,18 @@ object EmbeddingSearch {
   def cosineNearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.9): DataFrame =
     cosineNearDupPairsFor(Tables.embeddings(spark, dir), tau)
 
-  /** Same over any (vec_id, embedding: array<numeric>) frame. */
-  def cosineNearDupPairsFor(embeddings: DataFrame, tau: Double): DataFrame = {
+  /** Same over any (vec_id, embedding: array<numeric>) frame. `nPlanes`
+    * and `bands` size the LSH to the corpus (see [[lshBandKeys]]); the
+    * defaults are the oracle-replayed 16-bit/4-band configuration.
+    */
+  def cosineNearDupPairsFor(embeddings: DataFrame, tau: Double,
+      nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
     val emb = embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val banded = emb
-      .select(col("vec_id"), explode(lshBandKeys(lshSignature(col("v")))).as("band"))
+      .select(col("vec_id"),
+        explode(lshBandKeys(lshSignature(col("v"), nPlanes), bands, nPlanes / bands)).as("band"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))

@@ -32,7 +32,11 @@ object ScaleBench {
     "dedup_exact", "dedup_exact_normalized", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_substring", "simjoin_allpairs",
     "dedup_clusters_lsh", "corpus_clean", "corpus_clean_near",
-    "text_tfidf_topk", "text_gram_df_salted")
+    "text_tfidf_topk", "text_gram_df_salted",
+    // embeddings/ANN family: |Q| stays 10 (replica ids are offset past the
+    // query range), so these measure corpus-growth cost at fixed query load
+    "embed_knn_brute", "embed_knn_lsh", "embed_knn_ivf",
+    "dedup_embedding", "embed_label_stats")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"
@@ -48,6 +52,22 @@ object ScaleBench {
           col("lang"), col("source"), col("n_chars"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    // embeddings: replica i is the original corpus with every vector's dims
+    // cyclically ROTATED by i — a rotation preserves all within-replica
+    // cosines exactly (same ANN/near-dup structure per replica) while
+    // cross-replica cosines decohere; requires k <= dim (64 here)
+    if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .select(col("*"), explode(sequence(lit(0), lit(k - 1))).as("rep"))
+        .select(
+          (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
+          concat(
+            slice(col("embedding"), col("rep") + 1, size(col("embedding")) - col("rep")),
+            slice(col("embedding"), lit(1), col("rep"))).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
     dir
   }
@@ -69,7 +89,14 @@ object ScaleBench {
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
     val dirs: Seq[(Int, String)] =
       (1, src) +: ks.map(k => k -> scaledDocs(spark, src, k, work))
-    val fns = family.map(n => n -> graft.SparkEntry.queries(n))
+    // dedup_embedding_wide: the SAME operator with the LSH sized for the
+    // larger corpus (64 planes, 8 bands of 8 bits = 256 band values vs the
+    // entry default's 16) — the parameter-scaling rule lshBandKeys
+    // documents, measured side by side with the fixed-width default
+    val fns = family.map(n => n -> graft.SparkEntry.queries(n)) :+
+      ("dedup_embedding_wide" -> ((s: SparkSession, d: String) =>
+        graft.operators.EmbeddingSearch.cosineNearDupPairsFor(
+          graft.sources.Tables.embeddings(s, d), tau = 0.4, nPlanes = 64, bands = 8)))
     for ((k, dir) <- dirs) {
       val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       var rows = 0L
