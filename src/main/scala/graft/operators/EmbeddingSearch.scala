@@ -204,6 +204,11 @@ object EmbeddingSearch {
     * corpus vectors.
     */
   def buildVecDedupIndex(embeddings: DataFrame, path: String, nPlanes: Int = 16): Unit = {
+    // 4 bands over the FULL signature: a wider nPlanes (the at-scale sizing
+    // rule, see lshBandKeys) widens each band's value space instead of
+    // leaving the extra bits unbanded; the _PARAMS tag pins nPlanes so
+    // build and serve always band identically
+    require(nPlanes % 4 == 0, s"nPlanes must be a multiple of 4, got $nPlanes")
     val spark = embeddings.sparkSession
     val done = new org.apache.hadoop.fs.Path(path, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
@@ -211,7 +216,8 @@ object EmbeddingSearch {
     embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .write.mode("overwrite").parquet(s"$path/vecs")
     spark.read.parquet(s"$path/vecs")
-      .select(col("vec_id"), explode(lshBandKeys(lshSignature(col("v"), nPlanes))).as("band"))
+      .select(col("vec_id"),
+        explode(lshBandKeys(lshSignature(col("v"), nPlanes), 4, nPlanes / 4)).as("band"))
       .write.mode("overwrite").parquet(s"$path/bands")
     val meta = fs.create(new org.apache.hadoop.fs.Path(path, "_PARAMS"), true)
     meta.write(s"v1p$nPlanes".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -247,7 +253,7 @@ object EmbeddingSearch {
     val batch = newVecs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val batchBands = batch
       .select(col("vec_id"), col("v"),
-        explode(lshBandKeys(lshSignature(col("v"), nPlanes))).as("band"))
+        explode(lshBandKeys(lshSignature(col("v"), nPlanes), 4, nPlanes / 4)).as("band"))
     val cand = corpusBands.select(col("band"), col("vec_id").as("cvec"))
       .join(Scale.maybeBroadcast(batchBands), Seq("band"))
       .select(col("vec_id"), col("v"), col("cvec"))
