@@ -225,6 +225,49 @@ object EmbeddingSearch {
     fs.create(done, true).close()
   }
 
+  /** APPEND a batch's accepted embeddings to an existing vector index —
+    * the embedding twin of [[graft.operators.Dedup.extendDedupIndex]],
+    * same crash discipline: requires the two COMMITTED tables (each dir's
+    * `_SUCCESS`) and a matching `_PARAMS` tag, removes `_DONE` first and
+    * re-creates it only after both appends, so a crash mid-extend leaves
+    * an index [[vecDedupAgainst]] refuses to serve. Repair = re-running
+    * extend; duplicated appends are serving-tolerated (every consumer ends
+    * in dropDuplicates/min). The batch projection is checkpointed once so
+    * vecs/ and bands/ append the same snapshot.
+    */
+  def extendVecDedupIndex(indexPath: String, newVecs: DataFrame, nPlanes: Int = 16): Unit = {
+    require(nPlanes % 4 == 0, s"nPlanes must be a multiple of 4, got $nPlanes")
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    val committed = Seq("vecs", "bands")
+      .map(t => new org.apache.hadoop.fs.Path(indexPath, s"$t/_SUCCESS"))
+    require(committed.forall(fs.exists),
+      s"vector index tables at $indexPath are missing or uncommitted (no _SUCCESS) — " +
+        "a crashed BUILD cannot be repaired by extend; run buildVecDedupIndex")
+    requireVecIndexParams(fs, indexPath, nPlanes)
+    fs.delete(done, false)
+    val batch = newVecs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    try {
+      batch.write.mode("append").parquet(s"$indexPath/vecs")
+      batch.select(col("vec_id"),
+          explode(lshBandKeys(lshSignature(col("v"), nPlanes), 4, nPlanes / 4)).as("band"))
+        .write.mode("append").parquet(s"$indexPath/bands")
+    } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
+    fs.create(done, true).close()
+  }
+
+  private def requireVecIndexParams(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String, nPlanes: Int): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(indexPath, "_PARAMS")
+    require(fs.exists(meta), s"vector dedup index at $indexPath has no _PARAMS — rebuild")
+    val in = fs.open(meta)
+    val tag = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    require(tag == s"v1p$nPlanes",
+      s"vector dedup index at $indexPath was built with $tag; this call uses v1p$nPlanes")
+  }
+
   /** Incremental vector dedup: flag each NEW embedding whose cosine against
     * some indexed corpus vector reaches `tau` — candidates from the band
     * join against the persisted band table (batch side a size-gated
@@ -241,13 +284,7 @@ object EmbeddingSearch {
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     require(fs.exists(done),
       s"vector dedup index at $indexPath is absent or incomplete — run buildVecDedupIndex first")
-    val meta = new org.apache.hadoop.fs.Path(indexPath, "_PARAMS")
-    require(fs.exists(meta), s"vector dedup index at $indexPath has no _PARAMS — rebuild")
-    val in = fs.open(meta)
-    val tag = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    require(tag == s"v1p$nPlanes",
-      s"vector dedup index at $indexPath was built with $tag; this call uses v1p$nPlanes")
+    requireVecIndexParams(fs, indexPath, nPlanes)
     val corpusBands = spark.read.parquet(s"$indexPath/bands")
     val corpusVecs = spark.read.parquet(s"$indexPath/vecs")
     val batch = newVecs.select(col("vec_id"), toDouble(col("embedding")).as("v"))

@@ -243,6 +243,36 @@ object StreamingOps {
       } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)
     }
 
+  /** The EMBEDDING-modality twin of [[dedupAgainstIndexNear]]: each
+    * micro-batch of (vec_id, embedding) rows runs the full batch
+    * [[graft.operators.EmbeddingSearch.vecDedupAgainst]] (hyperplane-LSH
+    * band join against the persisted vector index, exact-cosine verify)
+    * through foreachBatch — same re-read-per-batch extend visibility, same
+    * idempotent-sink contract. The sink receives the batch annotated with
+    * (near_keeper, status); with `extendIndex = true` each batch's unique
+    * survivors join the index before the next batch
+    * ([[graft.operators.EmbeddingSearch.extendVecDedupIndex]]).
+    */
+  def vecDedupAgainstIndexNear(vecs: DataFrame, indexPath: String, tau: Double,
+      nPlanes: Int = 16, extendIndex: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val b = batch.localCheckpoint()
+      try {
+        val verdicts = graft.operators.EmbeddingSearch.vecDedupAgainst(
+          indexPath, b, tau, nPlanes)
+        val annotated = b.join(verdicts, Seq("vec_id")).localCheckpoint()
+        try {
+          sink(annotated, batchId)
+          if (extendIndex) {
+            val survivors = annotated.where(col("status") === "unique")
+              .select(b.columns.map(col): _*)
+            graft.operators.EmbeddingSearch.extendVecDedupIndex(indexPath, survivors, nPlanes)
+          }
+        } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(annotated)
+      } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)
+    }
+
   /** The COMPOSED ingest chain a 100 TB training-data stream runs, ordered
     * cheapest-first so each stage sheds volume before the next pays for it:
     * stateless quality predicate → stateless decontamination (broadcast

@@ -332,6 +332,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vector serve tier: per-batch verdicts == batch vecDedupAgainst; self-extending loop") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EmbeddingSearch
+    val tau = 0.9
+    // near-orthogonal basis-like vectors: distinct seeds (mod 8) have
+    // cosine ~0.02, a perturbed copy has cosine ~0.9997
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(d => if (d == seed % 8) 1.0 else 0.01)
+    def nearOf(seed: Int): Seq[Double] = vec(seed).updated((seed + 1) % 8, 0.05)
+    val corpus = Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_vecserveidx").toString
+    EmbeddingSearch.buildVecDedupIndex(corpus, idx)
+    val b1 = Seq((10L, nearOf(1)), (11L, vec(5)))  // near-dup of corpus 1; unique
+    val b2 = Seq((20L, nearOf(5)), (21L, vec(3)))  // near-dup of b1's SURVIVOR; unique
+    def verdicts(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+      df.select($"vec_id", $"near_keeper", $"status")
+        .as[(Long, Long, String)].collect().toSet
+    val expected1 = verdicts(EmbeddingSearch.vecDedupAgainst(idx, b1.toDF("vec_id", "embedding"), tau))
+    assert(expected1 == Set((10L, 1L, "near_dup"), (11L, -1L, "unique")))
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, String)]]()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.vecDedupAgainstIndexNear(
+        input.toDF().toDF("vec_id", "embedding"), idx, tau, extendIndex = true) {
+      (annotated, batchId) => got(batchId) = verdicts(annotated)
+    }.start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(got.values.flatten.toSet == expected1, s"batch1 got $got")
+      val expected2 = verdicts(EmbeddingSearch.vecDedupAgainst(idx, b2.toDF("vec_id", "embedding"), tau))
+      assert(expected2 == Set((20L, 11L, "near_dup"), (21L, -1L, "unique")))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(got.values.flatten.toSet == expected1 ++ expected2, s"batch2 got $got")
+    } finally q.stop()
+  }
+
   test("stateless near-dup match stream: one row per pair, agrees with batch near tier") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
