@@ -233,6 +233,8 @@ object SparkEntry {
     "rel_salted_join" -> ((s, dir) => Relational.saltedSupplierRevenue(s, dir)),
     "rel_customer_windows" -> ((s, dir) => Relational.customerOrderWindows(s, dir)),
     "rel_window_funcs" -> ((s, dir) => Relational.windowFunctionSuite(s, dir)),
+    "rel_order_stats" -> ((s, dir) => Relational.orderStats(s, dir)),
+    "rel_histogram" -> ((s, dir) => Relational.orderValueHistogram(s, dir)),
     // value-RANGE frame: 30-day trailing spend/count per order
     "rel_trailing_spend" -> ((s, dir) => Relational.trailingSpend(s, dir)),
     "rel_setops" -> ((s, dir) => Relational.customerSetOps(s, dir)),
@@ -607,6 +609,25 @@ object SparkEntry {
         |  date_diff('day', lag(o_orderdate) OVER w, o_orderdate)::BIGINT AS days_since_prev
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    // moments as associative decimal sums, ONE double expression at the
+    // end — built-in stddev would be partition-order nondeterministic
+    "rel_order_stats" ->
+      """WITH m AS (SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |    * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sum_sq
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  round(sum_price / n, 6) AS mean_price,
+        |  round((sum_sq - sum_price * sum_price / n) / n, 4) AS var_pop,
+        |  round(sqrt((sum_sq - sum_price * sum_price / n) / n), 6) AS stddev_pop
+        |FROM m""".stripMargin,
+    // integer bucket arithmetic, clamped — portable where width_bucket
+    // edge semantics differ between engines
+    "rel_histogram" ->
+      """SELECT least(greatest(floor(o_totalprice / 50000.0), 0), 11)::BIGINT AS bucket,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
     // rank-family values are integer-derived rationals — identical doubles
     // in both engines, rounded the same; lead's default avoids NULL rows
     "rel_window_funcs" ->

@@ -154,6 +154,45 @@ object Relational {
         col("running_spend"), col("days_since_prev"))
   }
 
+  /** Statistical moments computed EXACTLY: mean/variance/stddev per order
+    * priority from decimal moment sums (Σx, Σx²) rather than the built-in
+    * stddev aggregate — the built-ins accumulate doubles in partition
+    * order, so their low bits are nondeterministic under repartitioning
+    * AND disagree across engines; moment sums are associative decimals,
+    * and the final division/sqrt is one double expression both engines
+    * evaluate identically. The same map-side-combinable one-shuffle shape
+    * as any sum.
+    */
+  def orderStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice").cast("decimal(18,2)")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sum_price"),
+        sum((x * x).cast("decimal(38,4)")).cast("double").as("sum_sq"))
+      .select(col("o_orderpriority"), col("n"),
+        round(col("sum_price") / col("n"), 6).as("mean_price"),
+        round((col("sum_sq") - col("sum_price") * col("sum_price") / col("n")) / col("n"), 4)
+          .as("var_pop"),
+        round(sqrt((col("sum_sq") - col("sum_price") * col("sum_price") / col("n")) / col("n")), 6)
+          .as("stddev_pop"))
+  }
+
+  /** Fixed-width histogram of order values — integer bucket arithmetic
+    * (floor((x - lo) / step) clamped to [0, nBuckets-1]), so the bucketing
+    * is bit-portable where width_bucket built-ins may differ on edge
+    * semantics. One map-side bucket projection + one count shuffle.
+    */
+  def orderValueHistogram(spark: SparkSession, dir: String,
+      lo: Double = 0.0, step: Double = 50000.0, nBuckets: Int = 12): DataFrame =
+    Tables.orders(spark, dir)
+      .select(least(greatest(
+          floor((col("o_totalprice") - lo) / step).cast("long"), lit(0L)),
+          lit(nBuckets - 1L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+
   /** The RANK-FAMILY window surface (ntile / percent_rank / cume_dist /
     * first_value / lead) over a per-customer total order — the quantile-
     * bucketing and relative-position shapes a feature pipeline derives per
