@@ -117,6 +117,42 @@ object EmbeddingSearch {
       .where(col("rank") <= k)
   }
 
+  /** Two-sided k-NN JOIN — the kNN-graph constructor: EVERY vector gets its
+    * top-k nearest band-mates by exact cosine. Unlike [[lshTopK]] there is
+    * NO broadcastable query side (both sides are the full corpus), so this
+    * is the shape a diversity sampler or kNN-graph dedup runs at 100 TB:
+    * candidates come from a hash-SHUFFLE self-join on the LSH band keys —
+    * corpus-sized on both sides, volume Σ bucket² per band (measured
+    * scaling in BENCH_SCALE.json; a larger corpus widens rowsPerBand to
+    * hold bucket occupancy, see [[lshBandKeys]]) — then one exact re-rank
+    * per candidate edge. Vectors colliding with fewer than k band-mates
+    * yield fewer rows (recall is the LSH trade; the brute family is the
+    * verified baseline). Output: (vec_id, nbr_id, cosine, rank ≤ k).
+    */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 3,
+      nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val banded = emb.select(col("vec_id"),
+      explode(lshBandKeys(lshSignature(col("v"), nPlanes), bands, nPlanes / bands)).as("band"))
+    // DIRECTED candidate edges (a ≠ b, both orders): each side keeps only
+    // (vec_id, band) — fixed-width rows, never the vectors — and the
+    // distinct collapses multi-band collisions before any vector is fetched
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
+      .distinct()
+    val scored = cand
+      .join(emb, "vec_id")
+      .join(emb.select(col("vec_id").as("nbr_id"), col("v").as("nv")), "nbr_id")
+      .select(col("vec_id"), col("nbr_id"),
+        round(cosine(col("v"), col("nv")), 6).as("cosine"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** IVF-style ANN: a coarse quantizer (per-label centroid — exact,
     * order-independent means via the scaled-long
     * [[graft.functions.VectorMeanAggregator]], so the index is

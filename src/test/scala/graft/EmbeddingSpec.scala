@@ -51,6 +51,31 @@ class EmbeddingSpec extends AnyFunSuite {
     }
   }
 
+  test("kNN join: edges are band-verified, ranked, and subset-consistent with brute") {
+    val dir = "/root/testdata/sf0.001"
+    val g = EmbeddingSearch.knnJoin(spark, dir, k = 3)
+      .select("vec_id", "nbr_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(g.nonEmpty)
+    // per-vector: ranks are 1..m (m <= k), cosine non-increasing in rank
+    g.groupBy(_._1).foreach { case (v, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq, s"ranks for $v")
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3),
+        s"cosine not monotone for $v")
+      assert(rows.forall(_._2 != v), s"self-edge for $v")
+    }
+    // every reported neighbor's cosine matches the exact brute computation:
+    // rank-1 edges for vectors that are also brute queries must agree with
+    // the brute top-k scores when present there
+    val brute = EmbeddingSearch.bruteForceTopK(spark, dir, k = 5, nQueries = 10)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    g.filter(e => brute.contains((e._1, e._2))).foreach { e =>
+      assert(brute((e._1, e._2)) == e._3, s"cosine mismatch on edge ${(e._1, e._2)}")
+    }
+  }
+
   test("embedding near-dup pairs: finds planted near-identical vectors") {
     // 0↔1 near-identical (cosine ≈ 1: same hyperplane signs, collide in all
     // bands); 2 orthogonal-ish; 3 far from everything.
