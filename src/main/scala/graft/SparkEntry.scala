@@ -278,6 +278,9 @@ object SparkEntry {
     "events_retention" -> ((s, dir) => Events.weeklyRetention(s, dir)),
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
     "events_bursts" -> ((s, dir) => Events.bursts(s, dir)),
+    // big-big interval join, binned into an equi-join + residual predicate
+    // (the BNLJ-free range-join shape); probes = hourly bin boundaries
+    "events_concurrency" -> ((s, dir) => Events.sessionConcurrency(s, dir)),
     // as-of join (purchase -> latest preceding click) via tagged union +
     // per-user running-last window — no range join, one user_id shuffle
     "events_asof" -> ((s, dir) => Events.asofLastClick(s, dir)),
@@ -407,6 +410,21 @@ object SparkEntry {
       |  round(n_distinct_tokens::DOUBLE / n_tokens, 6) AS type_token_ratio FROM t)""".stripMargin
   private val qualityPred: String =
     "n_tokens >= 30 AND avg_token_len >= 2.0 AND avg_token_len <= 12.0 AND type_token_ratio >= 0.3"
+
+  /** Sessionization CTEs (30-min gap rule) ending in
+    * `sess`(user_id, session_idx, n_events, start_us, end_us) — ONE copy of
+    * the gap/flag/running-sum construction, shared by the session oracles.
+    */
+  private val sessionCtes: String =
+    """e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |l AS (SELECT *, lag(ts_us) OVER w AS prev_us FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |      THEN 1 ELSE 0 END AS new_session FROM l),
+      |s AS (SELECT *, (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx FROM f),
+      |sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(ts_us) AS start_us, max(ts_us) AS end_us FROM s GROUP BY 1, 2)""".stripMargin
 
   /** Exact-Jaccard pair verification tail shared by the pair-emitting
     * oracles; expects CTEs `sets`(doc_id, sh) and `cand`(doc_a, doc_b).
@@ -775,17 +793,22 @@ object SparkEntry {
         |SELECT b3 - i.i * 10800 AS window_epoch, event_type, count(*) AS n_events
         |FROM e, (VALUES (0), (1)) i(i) GROUP BY 1, 2""".stripMargin,
     "events_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-        |l AS (SELECT *, lag(ts_us) OVER w AS prev_us FROM e
-        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
-        |      THEN 1 ELSE 0 END AS new_session FROM l),
-        |s AS (SELECT *, (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx FROM f)
-        |SELECT user_id, session_idx, count(*) AS n_events,
-        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
-        |  max(ts_us) - min(ts_us) AS duration_us
-        |FROM s GROUP BY 1, 2""".stripMargin,
+      s"""WITH $sessionCtes
+         |SELECT user_id, session_idx, n_events, start_us, end_us,
+         |  end_us - start_us AS duration_us
+         |FROM sess""".stripMargin,
+    // DuckDB verifies the binned interval join with the NAIVE inequality
+    // join — different plan, same containment semantics
+    "events_concurrency" ->
+      s"""WITH $sessionCtes,
+         |b AS (SELECT min(start_us) // 3600000000 AS b0,
+         |             max(end_us) // 3600000000 AS b1 FROM sess),
+         |g AS (SELECT unnest(generate_series(b0, b1)) AS bin FROM b)
+         |SELECT (g.bin * 3600)::BIGINT AS hour_epoch,
+         |  CAST(count(sess.start_us) AS BIGINT) AS n_active
+         |FROM g LEFT JOIN sess ON sess.start_us <= g.bin * 3600000000
+         |                     AND g.bin * 3600000000 <= sess.end_us
+         |GROUP BY 1""".stripMargin,
     "events_json" ->
       """WITH e AS (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,

@@ -182,6 +182,40 @@ object Events {
         coalesce(col("ts_us") - col("last_click_us"), lit(-1L)).as("us_since_click"))
   }
 
+  /** Concurrency curve — how many sessions are OPEN at each bin boundary —
+    * via a BINNED INTERVAL JOIN, the generic big-big range-join shape Spark
+    * has no primitive for. A naive `probe.join(intervals, start <= t && t
+    * <= end)` plans as BroadcastNestedLoopJoin (O(|P|·|S|) comparisons and
+    * an unconditional broadcast) — the classic scale-killer. Binning makes
+    * it an EQUI-join: each interval emits one row per `binUs`-wide bin it
+    * overlaps (fan-out = duration/binUs + 1, bounded by the session-gap
+    * rule here; in general pick binUs near the median interval length),
+    * each probe point lands in exactly one bin, and the residual
+    * containment predicate runs only on same-bin pairs. Both sides are
+    * hash-partitioned on the bin key — no broadcast needed at any scale
+    * (the tiny probe grid here rides the same plan; AQE picks broadcast
+    * when it fits). Probe points are the bin boundaries derived from the
+    * session span itself (one scalar aggregation → sequence — stays in the
+    * DAG); zero-concurrency boundaries are kept via a final left join.
+    * Output: (hour_epoch, n_active).
+    */
+  def sessionConcurrency(spark: SparkSession, dir: String,
+      binUs: Long = 3600000000L): DataFrame = {
+    val sessions = sessionize(spark, dir).select(col("start_us"), col("end_us"))
+    val grid = sessions
+      .agg(expr(s"min(start_us) div $binUs").as("b0"), expr(s"max(end_us) div $binUs").as("b1"))
+      .select(explode(sequence(col("b0"), col("b1"))).as("bin"))
+      .select(col("bin"), (col("bin") * binUs).as("t_us"))
+    val binned = sessions.select(col("start_us"), col("end_us"),
+      explode(sequence(expr(s"start_us div $binUs"), expr(s"end_us div $binUs"))).as("bin"))
+    val active = binned.join(grid, "bin")
+      .where(col("start_us") <= col("t_us") && col("t_us") <= col("end_us"))
+      .groupBy(col("t_us")).agg(count(lit(1)).as("n_active"))
+    grid.join(active, Seq("t_us"), "left")
+      .select(expr("t_us div 1000000").as("hour_epoch"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"))
+  }
+
   /** Burst detection: hours where an event type's count exceeds 2× its
     * trailing baseline (the mean of its previous 24 OBSERVED hourly
     * buckets, current hour excluded; at least 12 observations required

@@ -59,6 +59,25 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrency: binned interval join equals the naive containment join") {
+    import org.apache.spark.sql.functions._
+    val got = Events.sessionConcurrency(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    // quadratic reference: every (boundary, session) containment pair —
+    // exactly the BNLJ the binned equi-join exists to avoid at scale
+    val sess = Events.sessionize(spark, dir)
+      .select($"start_us", $"end_us").as[(Long, Long)].collect()
+    val b0 = sess.map(_._1).min / 3600000000L
+    val b1 = sess.map(_._2).max / 3600000000L
+    (b0 to b1).foreach { bin =>
+      val t = bin * 3600000000L
+      val n = sess.count { case (s, e) => s <= t && t <= e }
+      assert(got(bin * 3600L) == n.toLong, s"bin $bin")
+    }
+    assert(got.size == (b1 - b0 + 1), "grid must cover every boundary exactly once")
+  }
+
   test("funnel is monotonically narrowing and strictly ordered") {
     val steps = Events.funnel(spark, dir)
       .select("step", "n_users").as[(String, Long)].collect().toMap
