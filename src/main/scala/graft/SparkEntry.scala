@@ -243,6 +243,13 @@ object SparkEntry {
     "rel_anti_join" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "rel_semi_join" -> ((s, dir) => Relational.partsWithBigShipments(s, dir)),
     "rel_quantiles" -> ((s, dir) => Relational.orderValueQuantiles(s, dir)),
+    // correlated-subquery SQL front door (same ANSI text as the oracle) —
+    // proves Catalyst decorrelation: scalar-agg, EXISTS, NOT EXISTS, and
+    // the SELECT-list COUNT ("count bug") forms
+    "rel_corr_above_avg" -> ((s, dir) => Relational.corrAboveAvgOrders(s, dir)),
+    "rel_corr_exists" -> ((s, dir) => Relational.corrLateShippedOrders(s, dir)),
+    "rel_corr_not_exists" -> ((s, dir) => Relational.corrNeverBulkParts(s, dir)),
+    "rel_corr_scalar_count" -> ((s, dir) => Relational.corrOrderCounts(s, dir)),
     "rel_cube" -> ((s, dir) => Relational.returnsCube(s, dir)),
     "rel_scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(s, dir)),
     "rel_full_outer" -> ((s, dir) => Relational.customerOrdersFullOuter(s, dir)),
@@ -692,6 +699,13 @@ object SparkEntry {
     "rel_semi_join" ->
       """SELECT p_partkey, p_brand, p_type FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)""".stripMargin,
+    // correlated-subquery family: the ORACLE IS THE SAME SQL the Spark
+    // entry runs (table refs swapped for views) — dialect parity by
+    // construction
+    "rel_corr_above_avg" -> Relational.corrAboveAvgSql("orders"),
+    "rel_corr_exists" -> Relational.corrExistsSql("orders", "lineitem"),
+    "rel_corr_not_exists" -> Relational.corrNotExistsSql("part", "lineitem"),
+    "rel_corr_scalar_count" -> Relational.corrScalarCountSql("customer", "orders"),
     "rel_quantiles" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,

@@ -282,6 +282,76 @@ object Relational {
       .select(col("p_partkey"), col("p_brand"), col("p_type"))
   }
 
+  // ---- correlated-subquery SQL surface -----------------------------------
+  // The ANSI front door a reference-switching SQL user hits first: scalar
+  // aggregate subqueries, EXISTS, NOT EXISTS — each correlated to the outer
+  // row. The SAME text runs on Spark (over parquet.`path` tables) and
+  // verbatim on DuckDB as its oracle, so these entries prove two things at
+  // once: SQL-dialect parity, and that Catalyst DECORRELATES every form
+  // (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery) into
+  // aggregate + equi-join plans — per-outer-row re-execution would be
+  // O(outer·inner) at 100 TB, the same class of blowup as an unbinned
+  // range join. Arithmetic stays in DECIMAL/INTEGER so both engines agree
+  // bit-exactly (`avg` is spelled sum·count-free: price·n > Σprice).
+
+  /** Orders above their customer's average order value, with the float-free
+    * spelling of "above average": price × n_orders > Σ price (exact decimal
+    * both sides). Two correlated scalar aggregates over the same table —
+    * Catalyst folds both into ONE grouped aggregate joined back on custkey.
+    */
+  def corrAboveAvgSql(orders: String): String =
+    s"""SELECT o.o_custkey, o.o_orderkey,
+       |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+       |FROM $orders o
+       |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+       |    (SELECT count(*) FROM $orders o2 WHERE o2.o_custkey = o.o_custkey)
+       |  > (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+       |     FROM $orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin
+
+  /** TPC-H Q4-shaped EXISTS: orders with some lineitem shipped more than 60
+    * days after the order date. The correlated predicate mixes an equi key
+    * with an inequality on the OUTER row's column — decorrelates to a left
+    * semi join with the inequality as residual condition, never a BNLJ.
+    */
+  def corrExistsSql(orders: String, lineitem: String): String =
+    s"""SELECT o.o_orderpriority, count(*) AS n_orders
+       |FROM $orders o
+       |WHERE EXISTS (SELECT 1 FROM $lineitem l
+       |              WHERE l.l_orderkey = o.o_orderkey
+       |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+       |GROUP BY o.o_orderpriority""".stripMargin
+
+  /** NOT EXISTS: parts never shipped in quantity ≥ 48 → left anti join. */
+  def corrNotExistsSql(part: String, lineitem: String): String =
+    s"""SELECT p.p_partkey, p.p_brand
+       |FROM $part p
+       |WHERE NOT EXISTS (SELECT 1 FROM $lineitem l
+       |                  WHERE l.l_partkey = p.p_partkey
+       |                    AND l.l_quantity >= 48)""".stripMargin
+
+  /** Correlated COUNT in the SELECT list — the "count bug" witness: a
+    * customer with no orders must read 0, not NULL, which requires the
+    * decorrelated left join to repair empty groups. Both engines agree.
+    */
+  def corrScalarCountSql(customer: String, orders: String): String =
+    s"""SELECT c.c_custkey,
+       |  (SELECT count(*) FROM $orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+       |FROM $customer c""".stripMargin
+
+  private def pq(dir: String, t: String): String = s"parquet.`$dir/$t.parquet`"
+
+  def corrAboveAvgOrders(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(corrAboveAvgSql(pq(dir, "orders")))
+
+  def corrLateShippedOrders(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(corrExistsSql(pq(dir, "orders"), pq(dir, "lineitem")))
+
+  def corrNeverBulkParts(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(corrNotExistsSql(pq(dir, "part"), pq(dir, "lineitem")))
+
+  def corrOrderCounts(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(corrScalarCountSql(pq(dir, "customer"), pq(dir, "orders")))
+
   /** Exact interpolated quantiles of order value per status (percentile is
     * the exact aggregate — sorts within group; for sketch-based scale-out
     * use approx_percentile, which trades the oracle for O(1) memory).

@@ -126,6 +126,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("correlated subqueries decorrelate to equi-joins, never per-row loops") {
+    // every subquery form must leave Catalyst as an aggregate + equi-join
+    // (semi/anti/left) — a CartesianProduct or BNLJ means decorrelation
+    // failed and the plan re-executes the inner query per outer row
+    withStaticPlans {
+      for (df <- Seq(
+          graft.operators.Relational.corrAboveAvgOrders(spark, dir),
+          graft.operators.Relational.corrLateShippedOrders(spark, dir),
+          graft.operators.Relational.corrNeverBulkParts(spark, dir),
+          graft.operators.Relational.corrOrderCounts(spark, dir))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+          s"correlated subquery did not decorrelate:\n$plan")
+      }
+    }
+  }
+
+  test("kNN join and interval join plan as key joins, never cartesian") {
+    withStaticPlans {
+      for (df <- Seq(
+          graft.operators.EmbeddingSearch.knnJoin(spark, dir),
+          graft.operators.Events.sessionConcurrency(spark, dir))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+          s"cartesian/nested-loop join:\n$plan")
+      }
+    }
+  }
+
   test("hygiene operators join on keys, never cartesian") {
     withStaticPlans {
       val docs = Tables.documents(spark, dir)
