@@ -288,6 +288,8 @@ object SparkEntry {
     // big-big interval join, binned into an equi-join + residual predicate
     // (the BNLJ-free range-join shape); probes = hourly bin boundaries
     "events_concurrency" -> ((s, dir) => Events.sessionConcurrency(s, dir)),
+    // dense-grid resample + forward fill (time-series repair)
+    "events_gapfill" -> ((s, dir) => Events.gapFilledHourly(s, dir)),
     // as-of join (purchase -> latest preceding click) via tagged union +
     // per-user running-last window — no range join, one user_id shuffle
     "events_asof" -> ((s, dir) => Events.asofLastClick(s, dir)),
@@ -823,6 +825,24 @@ object SparkEntry {
          |FROM g LEFT JOIN sess ON sess.start_us <= g.bin * 3600000000
          |                     AND g.bin * 3600000000 <= sess.end_us
          |GROUP BY 1""".stripMargin,
+    // grid × types is replayed naively; IGNORE NULLS running-last mirrors
+    // the engine's forward-fill window exactly
+    "events_gapfill" ->
+      """WITH h AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+        |  event_type, count(*) AS n_events FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hour_epoch) AS h0, max(hour_epoch) AS h1 FROM h),
+        |g AS (SELECT unnest(generate_series(h0, h1, 3600)) AS hour_epoch FROM b),
+        |t AS (SELECT DISTINCT event_type FROM h),
+        |j AS (SELECT g.hour_epoch, t.event_type, h.n_events
+        |      FROM g CROSS JOIN t
+        |      LEFT JOIN h ON h.hour_epoch = g.hour_epoch AND h.event_type = t.event_type),
+        |w AS (SELECT *, last_value(n_events IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY hour_epoch
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff FROM j)
+        |SELECT event_type, hour_epoch, CAST(coalesce(ff, 0) AS BIGINT) AS n_filled,
+        |  CASE WHEN n_events IS NOT NULL THEN 'obs'
+        |       WHEN ff IS NOT NULL THEN 'ffill' ELSE 'none' END AS src
+        |FROM w""".stripMargin,
     "events_json" ->
       """WITH e AS (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,

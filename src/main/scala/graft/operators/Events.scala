@@ -267,6 +267,40 @@ object Events {
           .as("retention_rate"))
   }
 
+  /** Gap-filled hourly series with FORWARD FILL — the time-series repair
+    * every downstream consumer of a rollup wants: a dense (event_type ×
+    * hour) grid over the observed span, missing buckets carrying the last
+    * observed value. The grid is time-span × dimension values — a
+    * STRUCTURAL cross join (two derived-tiny sides: one scalar agg and one
+    * distinct over a low-cardinality dimension), the same reviewed-by-
+    * design shape as the 1-row broadcast joins in the book_query family.
+    * The fill itself is one per-type running-last window — state is a
+    * single value per partition regardless of gap length, and the window
+    * rows are (type, hour) buckets, bounded by time not event volume.
+    * Output: (event_type, hour_epoch, n_filled, src ∈ obs|ffill|none).
+    */
+  def gapFilledHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(
+        (expr("ts_us div 3600000000") * 3600L).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val grid = hourly
+      .agg(expr("min(hour_epoch) div 3600").as("b0"), expr("max(hour_epoch) div 3600").as("b1"))
+      .select(explode(sequence(col("b0"), col("b1"))).as("bin"))
+      .select((col("bin") * 3600L).as("hour_epoch"))
+    val types = hourly.select(col("event_type")).distinct()
+    val w = Window.partitionBy("event_type").orderBy("hour_epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(types)
+      .join(hourly, Seq("hour_epoch", "event_type"), "left")
+      .withColumn("ff", last(col("n_events"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("hour_epoch"),
+        coalesce(col("ff"), lit(0L)).as("n_filled"),
+        when(col("n_events").isNotNull, "obs")
+          .when(col("ff").isNotNull, "ffill").otherwise("none").as("src"))
+  }
+
   /** JSON extraction from the props column + grouped stats over the
     * extracted value — get_json_object stays codegen'd, no UDF.
     */

@@ -78,6 +78,31 @@ class EventsSpec extends AnyFunSuite {
     assert(got.size == (b1 - b0 + 1), "grid must cover every boundary exactly once")
   }
 
+  test("gapfill: dense grid, observed hours intact, fills carry the last observation") {
+    import org.apache.spark.sql.functions._
+    val hourly = Events.hourlyRollup(spark, dir)
+      .select($"hour_epoch", $"event_type", $"n_events").as[(Long, String, Long)].collect()
+      .map(r => (r._2, r._1) -> r._3).toMap
+    val filled = Events.gapFilledHourly(spark, dir)
+      .as[(String, Long, Long, String)].collect()
+    val types = hourly.keys.map(_._1).toSet
+    val h0 = hourly.keys.map(_._2).min
+    val h1 = hourly.keys.map(_._2).max
+    // dense: every (type, hour) exactly once
+    assert(filled.length == types.size * ((h1 - h0) / 3600 + 1))
+    assert(filled.map(r => (r._1, r._2)).distinct.length == filled.length)
+    filled.foreach { case (t, h, n, src) =>
+      hourly.get((t, h)) match {
+        case Some(obs) => assert(n == obs && src == "obs", s"($t,$h)")
+        case None =>
+          // carried value equals the most recent observed hour before h
+          val prev = hourly.collect { case ((`t`, ph), v) if ph < h => (ph, v) }
+          if (prev.isEmpty) assert(n == 0L && src == "none", s"($t,$h)")
+          else assert(n == prev.maxBy(_._1)._2 && src == "ffill", s"($t,$h)")
+      }
+    }
+  }
+
   test("funnel is monotonically narrowing and strictly ordered") {
     val steps = Events.funnel(spark, dir)
       .select("step", "n_users").as[(String, Long)].collect().toMap
