@@ -299,6 +299,37 @@ object StreamingOps {
       docs.where(graft.operators.TextAnalysis.qualityPredicate(col("text"))),
       evalGramHashes), indexPath)))
 
+  /** Stream-STREAM interval join — the streaming twin of the batch as-of /
+    * attribution shape ([[graft.operators.Events.asofLastClick]]): every
+    * purchase joins the same user's clicks in the `lookbackHours` window
+    * at-or-before it, both sides unbounded streams. Spark buffers each
+    * side's rows in the state store keyed by user_id; the watermarks PLUS
+    * the two-sided time-interval condition are what let the engine evict
+    * state — a click older than (purchase watermark − lookback) can never
+    * match a future purchase and is dropped, so state is bounded by
+    * lookback × arrival rate per key, not by stream history. Inner join +
+    * event-time bounds is exactly the form Structured Streaming supports
+    * in append mode with no extra latency. Output:
+    * (user_id, purchase_id, purchase_ts, click_id, click_ts).
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      lookbackHours: Int = 1, watermark: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+        col("c_user_id") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookbackHours HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -450,6 +450,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases match in-window clicks across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingOps.clickAttribution(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // batch 1: clicks only — buffered in state, no output yet
+      clicks.addData((1L, 10L, ts("2024-01-01 10:00:00")),
+        (1L, 11L, ts("2024-01-01 10:50:00")),
+        (2L, 20L, ts("2024-01-01 08:00:00"))) // too old for user 2's purchase
+      q.processAllAvailable()
+      // batch 2: purchases arrive later — must still match buffered clicks
+      purchases.addData((1L, 100L, ts("2024-01-01 10:55:00")),
+        (2L, 200L, ts("2024-01-01 10:30:00")),
+        (3L, 300L, ts("2024-01-01 12:00:00"))) // no clicks at all
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select($"user_id", $"purchase_id", $"click_id").as[(Long, Long, Long)]
+        .collect().toSet
+      // user 1: both clicks in [09:55, 10:55]; user 2: click outside window;
+      // user 3: nothing — inner join emits only real matches
+      assert(got == Set((1L, 100L, 10L), (1L, 100L, 11L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session across a >30min gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
