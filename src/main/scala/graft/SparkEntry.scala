@@ -87,6 +87,10 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.documents(s, dir), tau = 0.7)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
+    // sketch-accuracy measurement loop: signature-agreement estimate (ppm
+    // integer) vs true Jaccard, over exactly the LSH candidate population
+    "dedup_minhash_accuracy" -> ((s, dir) =>
+      Dedup.minhashAccuracy(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), tau = 0.8, n = 2)),
     // tau is data-dependent: the synthetic embeddings carry no true
@@ -270,6 +274,13 @@ object SparkEntry {
     }),
     "text_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
+    // weighted Bernoulli sample (importance sampling by token count) —
+    // the token-mass-preserving downsample; zero-shuffle map predicate
+    "corpus_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(Tables.documents(s, dir))),
+    // integer-exact PMI collocations (phrase detection)
+    "text_pmi_topk" -> ((s, dir) =>
+      TextAnalysis.pmiTopBigrams(Tables.documents(s, dir))),
     // sketch aggregates: engine-specific, intentionally no oracle (rows-only)
     "rel_approx_stats" -> ((s, dir) => Relational.approxStats(s, dir)),
     // ...and their driver-CHECKABLE accuracy gate: exact values + boolean
@@ -761,6 +772,24 @@ object SparkEntry {
     "text_sample" ->
       s"""SELECT doc_id, lang, ${duckHash("text")} % 100 AS bucket
          |FROM documents WHERE ${duckHash("text")} % 100 < 20""".stripMargin,
+    "corpus_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |  ${duckHash("text")} % 50 AS bucket FROM documents)
+         |SELECT doc_id, n_tokens, bucket FROM t WHERE bucket < n_tokens""".stripMargin,
+    // rank-equivalent integer PMI: c_ab·10⁹ // (c_a·c_b); DuckDB lists are
+    // 1-based where Spark arrays are 0-based — each side spells its own
+    "text_pmi_topk" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS t FROM tok),
+        |uc AS (SELECT t, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+        |bi AS (SELECT w[di.i] AS a, w[di.i+1] AS b FROM tok,
+        |  LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) di),
+        |bc AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM bi GROUP BY 1, 2
+        |       HAVING count(*) >= 5)
+        |SELECT bc.a || ' ' || bc.b AS bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  (c_ab * 1000000000) // (ua.c * ub.c) AS score_ppb
+        |FROM bc JOIN uc ua ON bc.a = ua.t JOIN uc ub ON bc.b = ub.t
+        |ORDER BY score_ppb DESC, bigram ASC LIMIT 20""".stripMargin,
     // quality rules + LSH banding + recursive closure, all shared CTE
     // builders — the shingle CTEs run over the FILTERED docs, mirroring the
     // engine's quality-first order
@@ -1079,6 +1108,24 @@ object SparkEntry {
          |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
          |$minhashCandCtes
          |${verifyTail(0.7)}""".stripMargin,
+    // slot-agreement estimate (integer ppm) vs exact Jaccard per candidate
+    "dedup_minhash_accuracy" ->
+      s"""WITH ${shingleCte(3)},
+         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |$minhashCandCtes,
+         |m AS (SELECT cand.doc_a, cand.doc_b,
+         |  len(list_filter(list_transform(generate_series(1, 64),
+         |    i -> ga.sig[i] = gb.sig[i]), x -> x))::BIGINT AS n_match
+         |  FROM cand JOIN sig ga ON cand.doc_a = ga.doc_id
+         |            JOIN sig gb ON cand.doc_b = gb.doc_id),
+         |x AS (SELECT doc_a, doc_b,
+         |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+         |  FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+         |            JOIN sets sb ON cand.doc_b = sb.doc_id)
+         |SELECT m.doc_a, m.doc_b, m.n_match,
+         |  (m.n_match * 1000000) // 64 AS est_ppm, x.jaccard
+         |FROM m JOIN x ON m.doc_a = x.doc_a AND m.doc_b = x.doc_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH ${shingleCte(3)},
          |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),

@@ -96,6 +96,42 @@ object Dedup {
     SimilarityJoin.verifyJaccard(cand, sets, tau)
   }
 
+  /** MinHash ESTIMATION accuracy over the LSH candidate pairs — the
+    * measurement loop that sizes `numHashes` in a deployment (the sketch
+    * twin of [[graft.operators.EmbeddingSearch.lshRecall]]): per candidate
+    * pair, the signature-agreement estimate of Jaccard (matching slots, and
+    * as an EXACT ppm integer — matches·10⁶ div numHashes, so the entry
+    * stays hash-gated) next to the true shingle Jaccard. Costs one extra
+    * signature join over the dedup pass it evaluates; candidates only, so
+    * the measured population is exactly what the dedup would verify.
+    * Output: (doc_a, doc_b, n_match, est_ppm, jaccard).
+    */
+  def minhashAccuracy(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      k: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sigs = sets.select(col("doc_id"),
+      minhashFromHashes(hashSet(col("sh")), numHashes).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+      explode(minhashBandKeys(col("sig"), bands, numHashes / bands)).as("band"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val est = cand
+      .join(Scale.maybeBroadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
+      .join(Scale.maybeBroadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .cast("long").as("n_match"))
+      .withColumn("est_ppm", expr(s"n_match * 1000000 div $numHashes"))
+    est.join(
+      SimilarityJoin.verifyJaccard(cand, sets, 0.0)
+        .select(col("doc_a"), col("doc_b"), col("jaccard")),
+      Seq("doc_a", "doc_b"))
+  }
+
   /** Near-duplicate pairs by SimHash: pairs at Hamming distance ≤ maxDist
     * over the 48-bit fingerprint of the doc's shingle set. Exact (not
     * approximate) for maxDist ≤ 3. Output: (doc_a, doc_b, hamming).

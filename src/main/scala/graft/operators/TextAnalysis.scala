@@ -136,6 +136,54 @@ object TextAnalysis {
         (portableHash31(col("text")) % 100L).as("bucket"))
       .where(col("bucket") < percent)
 
+  /** Deterministic WEIGHTED Bernoulli sample — importance sampling by
+    * length: each document survives with probability min(1, n_tokens/cap)
+    * decided by the portable content hash (hash mod cap < n_tokens), so
+    * docs of `cap` tokens or more always survive and shorter docs
+    * proportionally — the token-mass-preserving downsample a training mix
+    * uses where [[stratifiedSample]] would over-prune long documents.
+    * Pure map-side predicate: zero shuffles, reproducible across engines,
+    * runs, and partitionings. Output: (doc_id, n_tokens, bucket).
+    */
+  def weightedSample(docs: DataFrame, cap: Long = 50): DataFrame =
+    docs.select(col("doc_id"),
+        size(tokenize(col("text"))).cast("long").as("n_tokens"),
+        (portableHash31(col("text")) % cap).as("bucket"))
+      .where(col("bucket") < col("n_tokens"))
+
+  /** Top-k adjacent-bigram collocations by PMI — word2vec-style phrase
+    * detection with EXACT arithmetic: since the corpus-size factors of
+    * pmi = log(c_ab·N²/(N_bi·c_a·c_b)) are constant across bigrams,
+    * ranking by c_ab/(c_a·c_b) is rank-equivalent, and the score ships as
+    * the integer c_ab·10⁹ div (c_a·c_b) (ppb) so ordering and hashing are
+    * bit-exact across engines (at trillion-token scale the product
+    * c_a·c_b approaches 2⁶³ — there the score becomes a double, which
+    * ranking tolerates; the oracle-exact integer form is the registered
+    * entry). Three aggregations (unigram, bigram, top-k heap): the
+    * unigram table is vocabulary-sized and joins size-gated; top-k is
+    * TakeOrdered, never a global sort.
+    * Output: (bigram, c_ab, c_a, c_b, score_ppb).
+    */
+  def pmiTopBigrams(docs: DataFrame, minCount: Long = 5, kTop: Int = 20): DataFrame = {
+    val toks = docs.select(tokenize(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(w) - 1, 0)), i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    bi
+      .join(Scale.maybeBroadcast(uni.select(col("t").as("a"), col("c").as("c_a"))), "a")
+      .join(Scale.maybeBroadcast(uni.select(col("t").as("b"), col("c").as("c_b"))), "b")
+      .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        expr("c_ab * 1000000000 div (c_a * c_b)").as("score_ppb"))
+      .orderBy(col("score_ppb").desc, col("bigram").asc)
+      .limit(kTop)
+  }
+
   /** Per-language MinHash signature of the UNION of all documents' shingle
     * sets, via the typed [[graft.functions.MinHashAggregator]] UDAF
     * (elementwise-min distributes over union, so merging per-doc signatures

@@ -149,6 +149,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
   }
 
+  test("minhash accuracy: exact-dup pair estimates 1.0; estimates bound true Jaccard sensibly") {
+    val rows = Dedup.minhashAccuracy(docs)
+      .select("doc_a", "doc_b", "n_match", "est_ppm", "jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nm, ppm, j) =>
+      assert(nm >= 0 && nm <= 64 && ppm == nm * 1000000L / 64, s"($a,$b)")
+      assert(j >= 0.0 && j <= 1.0)
+      // identical shingle sets must agree on every slot (min is a function
+      // of the set); 64 agreeing slots conversely don't prove identity,
+      // so only the forward implication is asserted
+      if (j == 1.0) assert(nm == 64L, s"exact dup ($a,$b) estimated $nm/64")
+    }
+  }
+
   test("simhash: identical docs at distance 0; unrelated docs not paired") {
     val pairs = Dedup.simhashPairs(docs, maxDist = 3)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()

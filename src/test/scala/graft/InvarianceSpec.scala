@@ -57,7 +57,12 @@ class InvarianceSpec extends AnyFunSuite {
     // fresh SAMPLED training at each partitioning (the persisted entry
     // would hide training shuffles behind the cached index)
     "embed_knn_kmeans_sampled_fresh" ->
-      ((s, d) => EmbeddingSearch.kmeansTopK(s, d, k = 5, nQueries = 3, samplePct = 40)))
+      ((s, d) => EmbeddingSearch.kmeansTopK(s, d, k = 5, nQueries = 3, samplePct = 40)),
+    // round-5 rank/window additions: band-join edge ranking, interval-join
+    // counts, and the integer-PMI TakeOrdered must all be partition-stable
+    "embed_knn_join" -> ((s, d) => EmbeddingSearch.knnJoin(s, d)),
+    "events_concurrency" -> ((s, d) => graft.operators.Events.sessionConcurrency(s, d)),
+    "text_pmi_topk" -> ((s, d) => TextAnalysis.pmiTopBigrams(Tables.documents(s, d))))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

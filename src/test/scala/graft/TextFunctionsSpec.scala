@@ -114,6 +114,39 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(bySource.getOrElse("src1", Array.empty).map(_._1).toSet == expectedSrc1)
   }
 
+  test("weightedSample: long docs always survive, survivors satisfy the hash rule") {
+    val docs = (0L until 60L).map(i =>
+      (i, ((0 to i.toInt % 55) map (j => s"w$j")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.TextAnalysis.weightedSample(docs, cap = 20L)
+      .select("doc_id", "n_tokens", "bucket").as[(Long, Long, Long)].collect()
+    assert(kept.nonEmpty && kept.length < 60, "sample must thin the corpus but not empty it")
+    kept.foreach { case (id, n, b) => assert(b < n, s"doc $id kept with bucket $b >= $n") }
+    // every doc at or over the cap always survives (probability 1)
+    val longDocs = docs.select($"doc_id")
+      .where(org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokenize($"text")) >= 20)
+      .as[Long].collect().toSet
+    assert(longDocs.subsetOf(kept.map(_._1).toSet), "a >=cap doc was dropped")
+  }
+
+  test("pmi top bigrams: planted collocation outranks frequent-word pairs") {
+    // "alpha beta" always co-occur (and only with each other); filler words
+    // are common but pair randomly -> the planted phrase has max PMI
+    val docs = (0L until 30L).map { i =>
+      val filler = (0 to 8).map(j => s"f${(i + j) % 6}").mkString(" ")
+      (i, s"$filler alpha beta $filler")
+    }.toDF("doc_id", "text")
+    val top = graft.operators.TextAnalysis.pmiTopBigrams(docs, minCount = 5, kTop = 5)
+      .select("bigram", "c_ab", "c_a", "c_b", "score_ppb")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(top.head._1 == "alpha beta", s"expected planted phrase first, got ${top.toSeq}")
+    assert(top.head._2 == 30L && top.head._3 == 30L && top.head._4 == 30L)
+    assert(top.head._5 == 30L * 1000000000L / (30L * 30L))
+    // scores are non-increasing (rank order is the integer score)
+    assert(top.sliding(2).forall(p => p.length < 2 || p(0)._5 >= p(1)._5))
+  }
+
   test("tokenBudget keeps docs in id order until the source budget is reached") {
     val docs = Seq(
       (1L, "a", "t1 t2 t3"),            // cum 3  <= 8: kept
