@@ -281,6 +281,11 @@ object SparkEntry {
     // integer-exact PMI collocations (phrase detection)
     "text_pmi_topk" -> ((s, dir) =>
       TextAnalysis.pmiTopBigrams(Tables.documents(s, dir))),
+    // corpus-statistics fluency signal: instance-weighted rare-bigram share
+    "text_rare_bigrams" -> ((s, dir) =>
+      TextAnalysis.rareBigramStats(Tables.documents(s, dir))),
+    // MERGE/upsert composed as one full-outer + coalesce over plain parquet
+    "rel_upsert" -> ((s, dir) => Relational.upsertOrders(s, dir)),
     // sketch aggregates: engine-specific, intentionally no oracle (rows-only)
     "rel_approx_stats" -> ((s, dir) => Relational.approxStats(s, dir)),
     // ...and their driver-CHECKABLE accuracy gate: exact values + boolean
@@ -776,6 +781,30 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
          |  ${duckHash("text")} % 50 AS bucket FROM documents)
          |SELECT doc_id, n_tokens, bucket FROM t WHERE bucket < n_tokens""".stripMargin,
+    "text_rare_bigrams" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT doc_id, w[di.i] || ' ' || w[di.i+1] AS g FROM tok,
+        |  LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) di),
+        |pd AS (SELECT doc_id, g, count(*)::BIGINT AS m FROM bi GROUP BY 1, 2),
+        |df AS (SELECT g, CAST(sum(m) AS BIGINT) AS c FROM pd GROUP BY 1),
+        |a AS (SELECT pd.doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN c < 5 THEN m ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM pd JOIN df USING (g) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_rare,
+        |  (n_rare * 1000000) // n_bigrams AS rare_ppm FROM a""".stripMargin,
+    "rel_upsert" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |b AS (SELECT * FROM o WHERE o_orderkey % 10 < 8),
+        |u AS (SELECT o_orderkey, 'U' AS u_status, price + 10 AS u_price
+        |      FROM o WHERE o_orderkey % 10 >= 5)
+        |SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+        |  coalesce(u.u_status, b.o_orderstatus) AS o_orderstatus,
+        |  CAST(coalesce(u.u_price, b.price) AS DOUBLE) AS totalprice,
+        |  CASE WHEN u.u_status IS NULL THEN 'base'
+        |       WHEN b.o_orderstatus IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS src
+        |FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey""".stripMargin,
     // rank-equivalent integer PMI: c_ab·10⁹ // (c_a·c_b); DuckDB lists are
     // 1-based where Spark arrays are 0-based — each side spells its own
     "text_pmi_topk" ->

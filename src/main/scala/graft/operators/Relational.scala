@@ -282,6 +282,35 @@ object Relational {
       .select(col("p_partkey"), col("p_brand"), col("p_type"))
   }
 
+  /** MERGE/upsert semantics composed Spark-natively (no table format
+    * required): apply an updates table onto a base table by key — matched
+    * keys take the update's values, unmatched updates insert, the rest of
+    * the base passes through — as ONE full-outer join + coalesce, the
+    * batch-upsert shape for plain-parquet pipelines. At 100 TB both sides
+    * hash-partition on the key (one shuffle each); with the bucketed base
+    * layout ([[bucketedOrderRevenue]]'s write-time discipline) the base
+    * side's shuffle disappears. The demo derives base and updates
+    * deterministically from orders: base = keys with last digit < 8,
+    * updates = keys with last digit ≥ 5 revalued at +10 (so 5–7 are
+    * matched-updates, 8–9 inserts, 0–4 untouched).
+    * Output: (o_orderkey, o_orderstatus, totalprice, src).
+    */
+  def upsertOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = ord.where(col("o_orderkey") % 10 < 8)
+    val updates = ord.where(col("o_orderkey") % 10 >= 5)
+      .select(col("o_orderkey"), lit("U").as("u_status"),
+        (col("price") + lit(10).cast("decimal(18,2)")).as("u_price"))
+    base.join(updates, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("u_status"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("u_price"), col("price")).cast("double").as("totalprice"),
+        when(col("u_status").isNull, "base")
+          .when(col("o_orderstatus").isNull, "inserted").otherwise("updated").as("src"))
+  }
+
   // ---- correlated-subquery SQL surface -----------------------------------
   // The ANSI front door a reference-switching SQL user hits first: scalar
   // aggregate subqueries, EXISTS, NOT EXISTS — each correlated to the outer

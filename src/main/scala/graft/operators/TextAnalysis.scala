@@ -184,6 +184,30 @@ object TextAnalysis {
       .limit(kTop)
   }
 
+  /** Rare-bigram fraction — the corpus-statistics fluency signal next to
+    * the per-doc [[repetitionStats]]: how much of a document is built from
+    * bigrams the corpus itself rarely produces (corpus count < `minDf`).
+    * Gibberish, OCR noise, and wrong-language fragments score high; the
+    * arithmetic is all integers (count + ppm ratio), so the entry stays
+    * hash-gated. Scale: per-doc bigram multiplicities aggregate map-side
+    * before the corpus-df table — vocabulary²-bounded in principle, Zipf-
+    * small in practice, size-gated — joins in. Output:
+    * (doc_id, n_bigrams, n_rare, rare_ppm) for docs with ≥ 2 tokens.
+    */
+  def rareBigramStats(docs: DataFrame, minDf: Long = 5): DataFrame = {
+    val inst = docs
+      .select(col("doc_id"), explode(shingleList(col("text"), 2)).as("g"))
+    val perDoc = inst.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("m"))
+    val df = perDoc.groupBy(col("g")).agg(sum(col("m")).as("c"))
+    perDoc
+      .join(Scale.maybeBroadcast(df), "g")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(when(col("c") < minDf, col("m")).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        expr("n_rare * 1000000 div n_bigrams").as("rare_ppm"))
+  }
+
   /** Per-language MinHash signature of the UNION of all documents' shingle
     * sets, via the typed [[graft.functions.MinHashAggregator]] UDAF
     * (elementwise-min distributes over union, so merging per-doc signatures

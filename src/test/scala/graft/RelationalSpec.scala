@@ -17,6 +17,30 @@ class RelationalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("upsert: matched keys updated, new keys inserted, others pass through") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val up = Relational.upsertOrders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"totalprice", $"src")
+      .as[(Long, String, Double, String)].collect()
+    // one output row per base-or-update key (keys ending 0..9 all appear)
+    assert(up.length == orders.size)
+    assert(up.map(_._1).distinct.length == up.length)
+    up.foreach { case (k, status, price, src) =>
+      val (oStatus, oPrice) = orders(k)
+      k % 10 match {
+        case d if d < 5 =>
+          assert(src == "base" && status == oStatus && price == oPrice, s"key $k")
+        case d if d < 8 =>
+          assert(src == "updated" && status == "U" && math.abs(price - (oPrice + 10)) < 1e-9, s"key $k")
+        case _ =>
+          assert(src == "inserted" && status == "U" && math.abs(price - (oPrice + 10)) < 1e-9, s"key $k")
+      }
+    }
+  }
+
   test("cleanedCorpus keep-first dedup drops exact duplicates that pass quality") {
     import spark.implicits._
     // 35 distinct short tokens: passes every quality rule (n_tokens >= 30,

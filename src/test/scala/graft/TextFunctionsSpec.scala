@@ -147,6 +147,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(top.sliding(2).forall(p => p.length < 2 || p(0)._5 >= p(1)._5))
   }
 
+  test("rare bigrams: gibberish doc scores high, repeated-phrase docs score 0") {
+    // docs 0-9 share one phrase -> all its bigrams have corpus count 10;
+    // doc 99 is unique gibberish -> every bigram count 1 (rare at minDf=5)
+    val docs = ((0L until 10L).map(i => (i, "the quick brown fox jumps again")) :+
+      (99L, "zxq wvu tsr qpo nml kji")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.rareBigramStats(docs, minDf = 5)
+      .select("doc_id", "n_bigrams", "n_rare", "rare_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    (0L until 10L).foreach { i =>
+      assert(got(i) == ((i, 5L, 0L, 0L)), s"doc $i: ${got(i)}")
+    }
+    assert(got(99L) == ((99L, 5L, 5L, 1000000L)), s"gibberish: ${got(99L)}")
+  }
+
   test("tokenBudget keeps docs in id order until the source budget is reached") {
     val docs = Seq(
       (1L, "a", "t1 t2 t3"),            // cum 3  <= 8: kept
