@@ -286,6 +286,15 @@ object SparkEntry {
       TextAnalysis.rareBigramStats(Tables.documents(s, dir))),
     // MERGE/upsert composed as one full-outer + coalesce over plain parquet
     "rel_upsert" -> ((s, dir) => Relational.upsertOrders(s, dir)),
+    // dbt-test/Deequ-style validation pass: 5 declared constraints,
+    // (n_checked, n_violations, passed) each — ship-after-order fails on
+    // this data by design, proving the checks fire
+    "rel_constraints" -> ((s, dir) => Relational.constraintReport(s, dir)),
+    // SCD2 temporal-table build: order history -> validity intervals
+    "rel_scd2" -> ((s, dir) => Relational.customerOrderHistory(s, dir)),
+    // provenance rollup of the near-dup graph: source x source pair matrix
+    "dedup_source_matrix" -> ((s, dir) =>
+      Dedup.dupSourceMatrix(Tables.documents(s, dir))),
     // sketch aggregates: engine-specific, intentionally no oracle (rows-only)
     "rel_approx_stats" -> ((s, dir) => Relational.approxStats(s, dir)),
     // ...and their driver-CHECKABLE accuracy gate: exact values + boolean
@@ -792,6 +801,40 @@ object SparkEntry {
         |  FROM pd JOIN df USING (g) GROUP BY 1)
         |SELECT doc_id, n_bigrams, n_rare,
         |  (n_rare * 1000000) // n_bigrams AS rare_ppm FROM a""".stripMargin,
+    "rel_constraints" ->
+      """SELECT 'orders_pk_unique' AS constraint,
+        |  count(*)::BIGINT AS n_checked,
+        |  (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_violations,
+        |  count(*) = count(DISTINCT o_orderkey) AS passed FROM orders
+        |UNION ALL
+        |SELECT 'orders_fk_customer', (SELECT count(*) FROM orders)::BIGINT,
+        |  count(*)::BIGINT, count(*) = 0
+        |FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'lineitem_qty_range', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'customer_name_not_null', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM customer
+        |UNION ALL
+        |SELECT 'lineitem_ship_after_order', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) = 0
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+    "rel_scd2" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        |  epoch_us(o_orderdate) // 86400000000 AS day FROM orders)
+        |SELECT o_custkey, o_orderkey, totalprice,
+        |  day AS valid_from_day,
+        |  coalesce(lead(day) OVER (PARTITION BY o_custkey
+        |    ORDER BY day ASC, o_orderkey ASC), 99999999)::BIGINT AS valid_to_day
+        |FROM o""".stripMargin,
     "rel_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
@@ -1137,6 +1180,18 @@ object SparkEntry {
          |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
          |$minhashCandCtes
          |${verifyTail(0.7)}""".stripMargin,
+    // LSH pair CTEs + two source joins, normalized least/greatest
+    "dedup_source_matrix" ->
+      s"""WITH ${shingleCte(3)},
+         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |$minhashCandCtes,
+         |p AS (${verifyTail(0.7)})
+         |SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  count(*)::BIGINT AS n_pairs
+         |FROM p JOIN documents da ON p.doc_a = da.doc_id
+         |       JOIN documents db ON p.doc_b = db.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     // slot-agreement estimate (integer ppm) vs exact Jaccard per candidate
     "dedup_minhash_accuracy" ->
       s"""WITH ${shingleCte(3)},

@@ -132,6 +132,24 @@ object Dedup {
       Seq("doc_a", "doc_b"))
   }
 
+  /** Provenance report over the near-dup graph: MinHash-LSH pairs rolled
+    * up to a source×source matrix — which feeds are mirroring each other
+    * is the first question a curation pass asks of its dup scan. The pair
+    * job dominates; the rollup adds two vocabulary-thin joins (doc→source,
+    * size-gated) and one matrix-sized aggregation. Source pairs are
+    * normalized least/greatest so the matrix is upper-triangular.
+    * Output: (src_a, src_b, n_pairs).
+    */
+  def dupSourceMatrix(docs: DataFrame, tau: Double = 0.7): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashLshPairs(docs, tau)
+      .select(col("doc_a"), col("doc_b"))
+      .join(Scale.maybeBroadcast(src.select(col("doc_id").as("doc_a"), col("source").as("sa"))), "doc_a")
+      .join(Scale.maybeBroadcast(src.select(col("doc_id").as("doc_b"), col("source").as("sb"))), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"), greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Near-duplicate pairs by SimHash: pairs at Hamming distance ≤ maxDist
     * over the 48-bit fingerprint of the doc's shingle set. Exact (not
     * approximate) for maxDist ≤ 3. Output: (doc_a, doc_b, hamming).

@@ -282,6 +282,61 @@ object Relational {
       .select(col("p_partkey"), col("p_brand"), col("p_type"))
   }
 
+  /** Data-quality constraint report — the dbt-test/Deequ-style validation
+    * pass a pipeline runs before publishing a table: one row per declared
+    * constraint with (n_checked, n_violations, passed). Each check is a
+    * single aggregate (conditional sums, map-side partials) or a keyed
+    * anti-join — nothing quadratic, nothing driver-side; the report is a
+    * 5-row union of 1-row aggregates. The ship-after-order check is the
+    * deliberately failing one on this data — a report where every row
+    * passes can't prove the checks fire.
+    */
+  def constraintReport(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    def row(name: String, checked: Column, viol: Column, src: DataFrame): DataFrame =
+      src.agg(checked.as("n_checked"), viol.as("n_violations"))
+        .select(lit(name).as("constraint"), col("n_checked"),
+          col("n_violations"), (col("n_violations") === 0L).as("passed"))
+    val pkUnique = row("orders_pk_unique",
+      count(lit(1)), count(lit(1)) - countDistinct(col("o_orderkey")), ord)
+    // anti join leaves only violators; n_checked is the full table count
+    val fk = ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(ord.agg(count(lit(1)).as("n_checked")))
+      .select(lit("orders_fk_customer").as("constraint"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0L).as("passed"))
+    val qty = row("lineitem_qty_range", count(lit(1)),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)), li)
+    val nn = row("customer_name_not_null", count(lit(1)),
+      sum(when(col("c_name").isNull, 1L).otherwise(0L)), cust)
+    val shipAfter = row("lineitem_ship_after_order", count(lit(1)),
+      sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)),
+      li.select(col("l_orderkey"), col("l_shipdate"))
+        .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey")))
+    pkUnique.unionAll(fk).unionAll(qty).unionAll(nn).unionAll(shipAfter)
+  }
+
+  /** SCD2-style validity intervals built from the order history: each
+    * customer's orders become consecutive [valid_from_day, valid_to_day)
+    * records — valid_to is the NEXT order's day (exclusive) or the
+    * 99999999 open-interval sentinel — the standard temporal-table build,
+    * one per-customer lead() window (ties broken by order key). Day keys
+    * are tz-free integers so both engines agree bit-exactly.
+    */
+  def customerOrderHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("totalprice"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+      .select(col("o_custkey"), col("o_orderkey"), col("totalprice"),
+        col("day").as("valid_from_day"),
+        coalesce(lead(col("day"), 1).over(w), lit(99999999L)).as("valid_to_day"))
+  }
+
   /** MERGE/upsert semantics composed Spark-natively (no table format
     * required): apply an updates table onto a base table by key — matched
     * keys take the update's values, unmatched updates insert, the rest of

@@ -149,6 +149,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
   }
 
+  test("dup source matrix: pair mass conserved, sources normalized") {
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val nPairs = Dedup.minhashLshPairs(real, tau = 0.7).count()
+    val matrix = Dedup.dupSourceMatrix(real, tau = 0.7)
+      .select("src_a", "src_b", "n_pairs").as[(String, String, Long)].collect()
+    assert(matrix.map(_._3).sum == nPairs, "matrix must conserve total pair count")
+    matrix.foreach { case (a, b, n) =>
+      assert(a <= b, s"source pair ($a,$b) not normalized")
+      assert(n > 0)
+    }
+  }
+
   test("minhash accuracy: exact-dup pair estimates 1.0; estimates bound true Jaccard sensibly") {
     val rows = Dedup.minhashAccuracy(docs)
       .select("doc_a", "doc_b", "n_match", "est_ppm", "jaccard")

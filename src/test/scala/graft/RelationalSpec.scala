@@ -17,6 +17,41 @@ class RelationalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("constraint report: structural checks pass, ship-after-order fires") {
+    import spark.implicits._
+    val rows = Relational.constraintReport(spark, dir)
+      .select($"constraint", $"n_checked", $"n_violations", $"passed")
+      .as[(String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(rows.size == 5)
+    rows.values.foreach { case (c, checked, viol, passed) =>
+      assert(checked > 0, s"$c checked nothing")
+      assert(viol >= 0 && viol <= checked)
+      assert(passed == (viol == 0L), s"$c verdict inconsistent")
+    }
+    Seq("orders_pk_unique", "orders_fk_customer", "lineitem_qty_range",
+      "customer_name_not_null").foreach(c => assert(rows(c)._4, s"$c should pass"))
+    assert(!rows("lineitem_ship_after_order")._4 &&
+      rows("lineitem_ship_after_order")._3 > 0,
+      "the deliberately failing check did not fire")
+  }
+
+  test("scd2: per-customer intervals chain and end with the open sentinel") {
+    import spark.implicits._
+    val hist = Relational.customerOrderHistory(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"valid_from_day", $"valid_to_day")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(hist.nonEmpty)
+    hist.groupBy(_._1).foreach { case (cust, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"cust $cust: gap ${a._4} -> ${b._3}")
+        case _ =>
+      }
+      assert(ordered.last._4 == 99999999L, s"cust $cust: last interval not open")
+      ordered.foreach(r => assert(r._3 <= r._4, s"cust $cust: negative interval"))
+    }
+  }
+
   test("upsert: matched keys updated, new keys inserted, others pass through") {
     import spark.implicits._
     val orders = Tables.orders(spark, dir)
