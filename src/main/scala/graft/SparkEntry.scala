@@ -315,6 +315,8 @@ object SparkEntry {
     "events_concurrency" -> ((s, dir) => Events.sessionConcurrency(s, dir)),
     // dense-grid resample + forward fill (time-series repair)
     "events_gapfill" -> ((s, dir) => Events.gapFilledHourly(s, dir)),
+    // hour-of-day seasonality baseline (exact interpolated percentiles)
+    "events_seasonal" -> ((s, dir) => Events.hourOfDayProfile(s, dir)),
     // as-of join (purchase -> latest preceding click) via tagged union +
     // per-user running-last window — no range join, one user_id shuffle
     "events_asof" -> ((s, dir) => Events.asofLastClick(s, dir)),
@@ -926,6 +928,14 @@ object SparkEntry {
          |FROM g LEFT JOIN sess ON sess.start_us <= g.bin * 3600000000
          |                     AND g.bin * 3600000000 <= sess.end_us
          |GROUP BY 1""".stripMargin,
+    "events_seasonal" ->
+      """WITH h AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+        |  event_type, count(*) AS n_events FROM events GROUP BY 1, 2)
+        |SELECT (hour_epoch % 86400) // 3600 AS hod, event_type,
+        |  count(*)::BIGINT AS n_hours, CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  round(quantile_cont(n_events, 0.5), 2) AS median_n,
+        |  round(quantile_cont(n_events, 0.9), 2) AS p90_n
+        |FROM h GROUP BY 1, 2""".stripMargin,
     // grid × types is replayed naively; IGNORE NULLS running-last mirrors
     // the engine's forward-fill window exactly
     "events_gapfill" ->

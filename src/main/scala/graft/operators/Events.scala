@@ -267,6 +267,28 @@ object Events {
           .as("retention_rate"))
   }
 
+  /** Hour-of-day seasonality profile — the baseline table an anomaly rule
+    * (e.g. [[bursts]]) graduates to once a corpus has enough history:
+    * per (hour-of-day, event_type), the distribution of hourly counts
+    * across observed days (exact interpolated median/p90, the
+    * [[graft.operators.Relational.orderValueQuantiles]] discipline). Two
+    * aggregations, both map-side-combinable; profile rows are bounded by
+    * 24 × types regardless of volume. Output:
+    * (hod, event_type, n_hours, n_events, median_n, p90_n).
+    */
+  def hourOfDayProfile(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        (expr("ts_us div 3600000000") * 3600L).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(expr("(hour_epoch % 86400) div 3600").as("hod"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("n_events")).as("n_events"),
+        round(expr("percentile(n_events, 0.5)"), 2).as("median_n"),
+        round(expr("percentile(n_events, 0.9)"), 2).as("p90_n"))
+
   /** Gap-filled hourly series with FORWARD FILL — the time-series repair
     * every downstream consumer of a rollup wants: a dense (event_type ×
     * hour) grid over the observed span, missing buckets carrying the last

@@ -36,7 +36,11 @@ object ScaleBench {
     // embeddings/ANN family: |Q| stays 10 (replica ids are offset past the
     // query range), so these measure corpus-growth cost at fixed query load
     "embed_knn_brute", "embed_knn_lsh", "embed_knn_ivf",
-    "dedup_embedding", "embed_label_stats")
+    "dedup_embedding", "embed_label_stats",
+    // round-5 additions with candidate machinery or corpus-df joins; the
+    // weighted sample rides along as a zero-shuffle linear control
+    "embed_knn_join", "dedup_minhash_accuracy", "dedup_source_matrix",
+    "text_pmi_topk", "text_rare_bigrams", "corpus_weighted_sample")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"
@@ -96,7 +100,11 @@ object ScaleBench {
     val fns = family.map(n => n -> graft.SparkEntry.queries(n)) :+
       ("dedup_embedding_wide" -> ((s: SparkSession, d: String) =>
         graft.operators.EmbeddingSearch.cosineNearDupPairsFor(
-          graft.sources.Tables.embeddings(s, d), tau = 0.4, nPlanes = 64, bands = 8)))
+          graft.sources.Tables.embeddings(s, d), tau = 0.4, nPlanes = 64, bands = 8))) :+
+      // the kNN join under the SAME corpus-sized LSH re-sizing rule — its
+      // default 16-value bands hit the identical occupancy cliff
+      ("embed_knn_join_wide" -> ((s: SparkSession, d: String) =>
+        graft.operators.EmbeddingSearch.knnJoin(s, d, nPlanes = 64, bands = 8)))
     for ((k, dir) <- dirs) {
       val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       var rows = 0L

@@ -103,6 +103,19 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal profile: hour-of-day buckets partition the hourly rollup") {
+    import org.apache.spark.sql.functions._
+    val hourly = Events.hourlyRollup(spark, dir)
+    val prof = Events.hourOfDayProfile(spark, dir)
+      .as[(Long, String, Long, Long, Double, Double)].collect()
+    assert(prof.forall(r => r._1 >= 0 && r._1 < 24))
+    // bucket mass conserved: Σ n_hours = hourly rows, Σ n_events = events
+    assert(prof.map(_._3).sum == hourly.count())
+    assert(prof.map(_._4).sum == Events.events(spark, dir).count())
+    // median/p90 sit inside each bucket's value range by definition
+    prof.foreach(r => assert(r._5 <= r._6, s"median > p90 in ${r._1}/${r._2}"))
+  }
+
   test("funnel is monotonically narrowing and strictly ordered") {
     val steps = Events.funnel(spark, dir)
       .select("step", "n_users").as[(String, Long)].collect().toMap
