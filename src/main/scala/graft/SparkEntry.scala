@@ -286,6 +286,8 @@ object SparkEntry {
       TextAnalysis.rareBigramStats(Tables.documents(s, dir))),
     // MERGE/upsert composed as one full-outer + coalesce over plain parquet
     "rel_upsert" -> ((s, dir) => Relational.upsertOrders(s, dir)),
+    // percent-of-total in exact integer cents (window over the tiny agg)
+    "rel_revenue_share" -> ((s, dir) => Relational.revenueShare(s, dir)),
     // dbt-test/Deequ-style validation pass: 5 declared constraints,
     // (n_checked, n_violations, passed) each — ship-after-order fails on
     // this data by design, proving the checks fire
@@ -365,6 +367,8 @@ object SparkEntry {
         nClusters = nClusters, iters = iters, samplePct = samplePct)
     }),
     "embed_label_stats" -> ((s, dir) => EmbeddingSearch.labelStats(s, dir)),
+    // ANN index-quality report: per-cell size + mean/worst cosine-to-centroid
+    "embed_centroid_quality" -> ((s, dir) => EmbeddingSearch.centroidQuality(s, dir)),
     // incremental dedup, embedding modality: first 4/5 of vectors play the
     // indexed corpus (bands + vecs persisted once, fingerprint-keyed), last
     // 1/5 today's embedding batch; same tau as dedup_embedding
@@ -803,6 +807,20 @@ object SparkEntry {
         |  FROM pd JOIN df USING (g) GROUP BY 1)
         |SELECT doc_id, n_bigrams, n_rare,
         |  (n_rare * 1000000) // n_bigrams AS rare_ppm FROM a""".stripMargin,
+    // ratio_to_report in exact integer cents; window over the 25-row agg
+    "rel_revenue_share" ->
+      """WITH rev AS (SELECT r_name AS region, n_name AS nation,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) * 10000 AS BIGINT) AS revenue_e4
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, nation, revenue_e4,
+        |  CAST((revenue_e4 * 1000000) //
+        |    CAST(sum(revenue_e4) OVER (PARTITION BY region) AS BIGINT) AS BIGINT) AS share_ppm
+        |FROM rev""".stripMargin,
     "rel_constraints" ->
       """SELECT 'orders_pk_unique' AS constraint,
         |  count(*)::BIGINT AS n_checked,
@@ -1046,6 +1064,22 @@ object SparkEntry {
          |r AS (SELECT *, (row_number() OVER
          |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
          |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+    // same centroid CTEs as the IVF oracle + a decimal-exact per-cell avg
+    "embed_centroid_quality" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |ed AS (SELECT label, di.i AS d, v[di.i] AS x
+         |       FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) di),
+         |cm AS (SELECT label, d,
+         |  CAST(sum(CAST(round(x, 6) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+         |  FROM ed GROUP BY 1, 2),
+         |cent AS (SELECT label, list(c ORDER BY d) AS cv FROM cm GROUP BY 1),
+         |s AS (SELECT e.label, round(${cosineSql("e.v", "cent.cv")}, 6) AS cos
+         |      FROM e JOIN cent ON e.label = cent.label)
+         |SELECT label, count(*)::BIGINT AS n,
+         |  round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_cos,
+         |  min(cos) AS min_cos
+         |FROM s GROUP BY 1""".stripMargin,
     "embed_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
          |           FROM embeddings),

@@ -193,6 +193,30 @@ object EmbeddingSearch {
       .where(col("rank") <= k)
   }
 
+  /** Index-quality metrics for the IVF coarse quantizer — per cell: size,
+    * mean and worst cosine-to-centroid (the spherical analogue of k-means
+    * inertia) — the numbers that decide when to re-train or re-partition
+    * an ANN index. The mean is an exact decimal average of rounded
+    * cosines, so the report stays hash-gated. One centroid aggregation
+    * (the [[ivfTopK]] build) + one broadcast join + one per-cell rollup.
+    * Output: (label, n, mean_cos, min_cos).
+    */
+  def centroidQuality(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val cent = emb
+      .select(col("label"), transform(col("v"), x => round(x, 6)).as("rv"))
+      .groupBy(col("label"))
+      .agg(graft.functions.VectorMeanAggregator.vectorMean(col("rv")).as("cv"))
+    emb.join(broadcast(cent), Seq("label"))
+      .select(col("label"), round(cosine(col("v"), col("cv")), 6).as("cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("cos").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_cos"),
+        min(col("cos")).as("min_cos"))
+  }
+
   /** Embedding-cosine near-duplicate PAIRS — the vector-space member of the
     * dedup family (Dedup.scala holds the text-space ones): all unordered
     * vector pairs with cosine ≥ tau, found via hyperplane-LSH band buckets

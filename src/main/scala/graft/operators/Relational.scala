@@ -282,6 +282,35 @@ object Relational {
       .select(col("p_partkey"), col("p_brand"), col("p_type"))
   }
 
+  /** Percent-of-total (ratio_to_report) — each nation's share of its
+    * REGION's supplier revenue: grouped decimal revenue, then one window
+    * sum over the tiny aggregate (25 nations), never over fact rows. The
+    * share ships as integer ppm of exact cent totals (cents·10⁶ div
+    * region cents), so the ratio is bit-exact across engines. Output:
+    * (region, nation, revenue, share_ppm).
+    */
+  def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), discPrice(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    // rev carries scale 4 (2-dp price × 2-dp discount factor), so ×10⁴ is
+    // an INTEGER exactly — fixed-point with zero rounding on either engine
+    val byNation = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg((sum(col("rev")) * 10000).cast("long").as("revenue_e4"))
+    val w = Window.partitionBy("region")
+    byNation
+      .select(col("region"), col("nation"), col("revenue_e4"),
+        sum(col("revenue_e4")).over(w).as("region_e4"))
+      .select(col("region"), col("nation"), col("revenue_e4"),
+        expr("revenue_e4 * 1000000 div region_e4").as("share_ppm"))
+  }
+
   /** Data-quality constraint report — the dbt-test/Deequ-style validation
     * pass a pipeline runs before publishing a table: one row per declared
     * constraint with (n_checked, n_violations, passed). Each check is a

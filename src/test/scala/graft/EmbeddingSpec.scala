@@ -51,6 +51,20 @@ class EmbeddingSpec extends AnyFunSuite {
     }
   }
 
+  test("centroid quality: cells cover the corpus, mean bounded by worst member") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EmbeddingSearch.centroidQuality(spark, dir)
+      .select("label", "n", "mean_cos", "min_cos")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(q.nonEmpty)
+    val total = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(q.map(_._2).sum == total, "cells must partition the corpus")
+    q.foreach { case (l, n, mean, mn) =>
+      assert(n > 0 && mean >= mn, s"cell $l: mean $mean < min $mn")
+      assert(mean <= 1.0 + 1e-9 && mn >= -1.0 - 1e-9)
+    }
+  }
+
   test("kNN join: edges are band-verified, ranked, and subset-consistent with brute") {
     val dir = "/root/testdata/sf0.001"
     val g = EmbeddingSearch.knnJoin(spark, dir, k = 3)

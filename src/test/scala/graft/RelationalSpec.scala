@@ -17,6 +17,24 @@ class RelationalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("revenue share: per-region ppm shares are exhaustive up to div truncation") {
+    import spark.implicits._
+    val rows = Relational.revenueShare(spark, dir)
+      .select($"region", $"nation", $"revenue_e4", $"share_ppm")
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (region, ns) =>
+      val tot = ns.map(_._3).sum
+      ns.foreach { case (_, nation, e4, ppm) =>
+        assert(ppm == e4 * 1000000L / tot, s"$region/$nation share wrong")
+      }
+      val sumPpm = ns.map(_._4).sum
+      // integer division truncates: the region's shares sum to 1e6 minus
+      // at most one ppm per nation
+      assert(sumPpm <= 1000000L && sumPpm > 1000000L - ns.length, s"$region sums to $sumPpm")
+    }
+  }
+
   test("constraint report: structural checks pass, ship-after-order fires") {
     import spark.implicits._
     val rows = Relational.constraintReport(spark, dir)
