@@ -247,6 +247,11 @@ object SparkEntry {
     "rel_anti_join" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "rel_semi_join" -> ((s, dir) => Relational.partsWithBigShipments(s, dir)),
     "rel_quantiles" -> ((s, dir) => Relational.orderValueQuantiles(s, dir)),
+    // TPC-H Q18/Q19/Q22 shapes: pre-aggregate-then-join HAVING, disjunctive
+    // cross-side predicates, and global-scalar + anti-join composition
+    "rel_big_spenders" -> ((s, dir) => Relational.bigSpenderOrders(s, dir)),
+    "rel_bracket_revenue" -> ((s, dir) => Relational.bracketRevenue(s, dir)),
+    "rel_idle_customers" -> ((s, dir) => Relational.idleRichCustomers(s, dir)),
     // correlated-subquery SQL front door (same ANSI text as the oracle) —
     // proves Catalyst decorrelation: scalar-agg, EXISTS, NOT EXISTS, and
     // the SELECT-list COUNT ("count bug") forms
@@ -317,6 +322,9 @@ object SparkEntry {
     "events_concurrency" -> ((s, dir) => Events.sessionConcurrency(s, dir)),
     // dense-grid resample + forward fill (time-series repair)
     "events_gapfill" -> ((s, dir) => Events.gapFilledHourly(s, dir)),
+    // variance-aware spike detection: the z>3 test cross-multiplied into
+    // exact integer arithmetic (no float mean, no sqrt)
+    "events_anomaly" -> ((s, dir) => Events.anomalies(s, dir)),
     // hour-of-day seasonality baseline (exact interpolated percentiles)
     "events_seasonal" -> ((s, dir) => Events.hourOfDayProfile(s, dir)),
     // as-of join (purchase -> latest preceding click) via tagged union +
@@ -746,6 +754,38 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
         |  count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+    "rel_big_spenders" ->
+      """WITH q AS (SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  epoch_us(o_orderdate) // 1000000 AS order_epoch, o_totalprice, total_qty
+        |FROM orders JOIN q ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "rel_bracket_revenue" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1.00 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY 1""".stripMargin,
+    // the avg is the exact decimal-sum/count double division on both
+    // engines, so the > comparison is bit-portable
+    "rel_idle_customers" ->
+      """WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(c_acctbal) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_custs,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer, a
+        |WHERE c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+        |GROUP BY 1""".stripMargin,
     "rel_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -972,6 +1012,28 @@ object SparkEntry {
         |  CASE WHEN n_events IS NOT NULL THEN 'obs'
         |       WHEN ff IS NOT NULL THEN 'ffill' ELSE 'none' END AS src
         |FROM w""".stripMargin,
+    // z>3 cross-multiplied to integers; HUGEINT squares mirror the
+    // engine's DECIMAL(38,0) exactly for any realistic count
+    "events_anomaly" ->
+      """WITH h AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+        |  event_type, count(*) AS n_events FROM events GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |  count(n_events) OVER tw AS trailing_cnt,
+        |  sum(n_events) OVER tw AS trailing_sum,
+        |  sum(n_events * n_events) OVER tw AS trailing_sumsq
+        |  FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour_epoch
+        |    ROWS BETWEEN 48 PRECEDING AND 1 PRECEDING))
+        |SELECT hour_epoch, event_type, n_events,
+        |  CAST(trailing_cnt AS BIGINT) AS trailing_cnt,
+        |  CAST(trailing_sum AS BIGINT) AS trailing_sum,
+        |  CAST(trailing_sumsq AS BIGINT) AS trailing_sumsq
+        |FROM w
+        |WHERE trailing_cnt >= 24
+        |  AND n_events::HUGEINT * trailing_cnt > trailing_sum::HUGEINT
+        |  AND (n_events::HUGEINT * trailing_cnt - trailing_sum)
+        |    * (n_events::HUGEINT * trailing_cnt - trailing_sum)
+        |    > 9 * (trailing_cnt::HUGEINT * trailing_sumsq
+        |           - trailing_sum::HUGEINT * trailing_sum)""".stripMargin,
     "events_json" ->
       """WITH e AS (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,

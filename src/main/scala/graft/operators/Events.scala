@@ -242,6 +242,45 @@ object Events {
         col("n_events") * col("trailing_cnt") > col("trailing_sum") * 2L)
   }
 
+  /** Rolling z-score spike detection — [[bursts]]' 2×-mean rule graduated
+    * to a variance-aware one: flag hours whose count sits more than 3
+    * standard deviations above the trailing 48-observed-hour mean. The
+    * entire test is EXACT INTEGER arithmetic: with m = trailing count,
+    * S = trailing sum, Q = trailing sum of squares, the z > 3 condition
+    *   (n − S/m) > 3·sqrt((Q − S²/m)/m)
+    * cross-multiplies to
+    *   n·m > S  AND  (n·m − S)² > 9·(m·Q − S²)
+    * — no float mean, no sqrt, bit-exact across engines and partition
+    * orders by construction. The squared terms run in DECIMAL(38,0), so
+    * hourly counts up to ~10⁹ (any realistic bucket at 100 TB) can't
+    * overflow; window state is one row per (type, hour) bucket, bounded by
+    * time not volume. Output: flagged rows only,
+    * (hour_epoch, event_type, n_events, trailing_cnt, trailing_sum,
+    *  trailing_sumsq).
+    */
+  def anomalies(spark: SparkSession, dir: String, lookback: Int = 48,
+      minObs: Int = 24): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(
+        (expr("ts_us div 3600000000") * 3600L).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("hour_epoch")
+      .rowsBetween(-lookback, -1)
+    val dec = "decimal(38,0)"
+    val m = col("trailing_cnt").cast(dec)
+    val s = col("trailing_sum").cast(dec)
+    val q = col("trailing_sumsq").cast(dec)
+    val n = col("n_events").cast(dec)
+    hourly
+      .withColumn("trailing_cnt", count(col("n_events")).over(w))
+      .withColumn("trailing_sum", sum(col("n_events")).over(w))
+      .withColumn("trailing_sumsq", sum(col("n_events") * col("n_events")).over(w))
+      .where(col("trailing_cnt") >= minObs &&
+        n * m > s &&
+        (n * m - s) * (n * m - s) > lit(9).cast(dec) * (m * q - s * s))
+  }
+
   /** Weekly cohort retention: of the distinct users active in week w, how
     * many are also active in week w+1. The classic period-over-period
     * self-join, shaped for scale: activity is reduced to DISTINCT

@@ -282,6 +282,84 @@ object Relational {
       .select(col("p_partkey"), col("p_brand"), col("p_type"))
   }
 
+  /** TPC-H Q18-shaped large-volume orders: orders whose TOTAL lineitem
+    * quantity exceeds a threshold, with customer context. The HAVING runs
+    * on the lineitem aggregate FIRST — one shuffle on l_orderkey reduces
+    * the fact table to qualifying order keys before any join, so the
+    * orders join carries only survivors (here ~2% of orders; the same
+    * pre-aggregate-then-join order is what keeps this bounded at 100 TB —
+    * joining first would ship every lineitem row twice). Customer is the
+    * dim side → broadcast. Deterministic top-100 via TakeOrdered, never a
+    * global sort. Output:
+    * (c_custkey, c_name, o_orderkey, order_epoch, o_totalprice, total_qty).
+    */
+  def bigSpenderOrders(spark: SparkSession, dir: String, minQty: Double = 250.0): DataFrame = {
+    val qual = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(qual, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q19-shaped bracket revenue: disjunctive (OR-of-ANDs) predicates
+    * spanning both join sides — the shape that defeats naive pushdown.
+    * What Catalyst does with it (and what this entry pins): the
+    * part-only disjunction (brand/size) is NOT factored out by the
+    * optimizer, but the join itself stays a plain broadcast equi-join on
+    * p_partkey with the residual OR evaluated post-join inside codegen —
+    * no nested-loop fallback (PlanSpec asserts no BNLJ). Revenue per
+    * brand bracket. Output: (p_brand, n_items, revenue).
+    */
+  def bracketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pt = Tables.part(spark, dir)
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q22-shaped idle high-balance customers: customers whose balance
+    * beats the global positive-balance average AND who placed no order
+    * after a cutoff, rolled up per nation. Composition of the two scalar
+    * shapes that matter at scale: the global average is a 1-row aggregate
+    * CROSS-joined back (broadcast by construction — never a correlated
+    * per-row subquery), and "no recent order" is a LEFT ANTI join against
+    * the date-filtered orders (the filter pushes to the orders scan, so
+    * the anti-join's build side is only recent orders). The avg is the
+    * exact decimal-sum/count double division both engines replay
+    * bit-identically, making the > comparison portable. Output:
+    * (c_nationkey, n_custs, sum_bal).
+    */
+  def idleRichCustomers(spark: SparkSession, dir: String,
+      cutoff: String = "2000-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.where(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= to_timestamp(lit(cutoff)))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"), dsum(col("c_acctbal")).as("sum_bal"))
+  }
+
   /** Percent-of-total (ratio_to_report) — each nation's share of its
     * REGION's supplier revenue: grouped decimal revenue, then one window
     * sum over the tiny aggregate (25 nations), never over fact rows. The

@@ -136,6 +136,24 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("anomalies: the integer rule equals the float z>3 rule on observed data") {
+    // loose threshold so the tiny fixture actually flags something to check
+    val flagged = Events.anomalies(spark, dir, lookback = 48, minObs = 4)
+      .select("n_events", "trailing_cnt", "trailing_sum", "trailing_sumsq")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(flagged.nonEmpty, "fixture produced no anomalies to validate")
+    flagged.foreach { case (n, m, s, q) =>
+      assert(m >= 4)
+      val mean = s.toDouble / m
+      val variance = (q.toDouble - s.toDouble * s / m) / m
+      assert(n > mean, s"flag below mean: n=$n mean=$mean")
+      // the cross-multiplied integer test implies the float one (variance
+      // here is far from the float precision edge)
+      assert((n - mean) * (n - mean) > 9.0 * variance - 1e-6,
+        s"flag fails float z-test: n=$n m=$m s=$s q=$q")
+    }
+  }
+
   test("json extraction bounds: k in [0, 99]") {
     val s = Events.jsonStats(spark, dir)
       .select("min_k", "max_k").as[(Long, Long)].collect()

@@ -133,4 +133,52 @@ class RelationalSpec extends AnyFunSuite {
       assert(a.getLong(3) == e.getLong(4), s"$flag: row counts disagree")
     }
   }
+
+  test("big spenders: every kept order clears the quantity threshold") {
+    import spark.implicits._
+    val rows = Relational.bigSpenderOrders(spark, dir, minQty = 150.0)
+      .select($"o_orderkey", $"total_qty", $"o_totalprice")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { case (k, q, _) => assert(q > 150.0, s"order $k kept with qty $q") }
+    // TakeOrdered semantics: results arrive price-desc
+    assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // independent recount for one kept order
+    val k0 = rows.head._1
+    val exact = Tables.lineitem(spark, dir).where(col("l_orderkey") === k0)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
+    assert(exact == rows.head._2)
+  }
+
+  test("bracket revenue: only the three brackets survive, each non-empty filter logic") {
+    import spark.implicits._
+    val rows = Relational.bracketRevenue(spark, dir)
+      .select($"p_brand", $"n_items", $"revenue").as[(String, Long, Double)].collect()
+    assert(rows.map(_._1).toSet.subsetOf(Set("Brand#12", "Brand#23", "Brand#34")))
+    rows.foreach { case (b, n, rev) =>
+      assert(n > 0 && rev > 0, s"$b bracket empty") }
+  }
+
+  test("idle rich customers: members beat the global avg and placed no recent order") {
+    import spark.implicits._
+    // replay the definition row-by-row at tiny SF
+    val cust = Tables.customer(spark, dir)
+    val avg = {
+      val a = cust.where(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("s"),
+          count(col("c_acctbal")).as("n")).head
+      a.getDouble(0) / a.getLong(1)
+    }
+    val recent = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+      .select($"o_custkey".as[Long]).collect().toSet
+    val expected = cust.select($"c_custkey".as[Long], $"c_nationkey".cast("long").as[Long],
+        $"c_acctbal".as[Double]).collect()
+      .filter { case (ck, _, bal) => bal > avg && !recent.contains(ck) }
+      .groupBy(_._2).map { case (nk, cs) => nk -> cs.length }
+    val got = Relational.idleRichCustomers(spark, dir)
+      .select($"c_nationkey".as[Long], $"n_custs".as[Long]).collect()
+      .map(r => r._1 -> r._2.toInt).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
 }
