@@ -76,6 +76,17 @@ object SparkEntry {
     // — generalized similarity join (SURVEY.md §7.3) —
     "simjoin_allpairs" -> ((s, dir) =>
       SimilarityJoin.allPairsJaccard(Tables.documents(s, dir), tau = 0.7)),
+    // Ed-Join: catalog-reconciliation shape — distinct part names within
+    // edit distance 2, q-gram prefix candidates, no cartesian product
+    "simjoin_edit_distance" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val counts = Tables.part(s, dir).groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+      SimilarityJoin.editDistancePairs(counts.select(col("name")), maxDist = 2)
+        .join(broadcast(counts.select(col("name").as("name_a"), col("n_parts").as("n_a"))), "name_a")
+        .join(broadcast(counts.select(col("name").as("name_b"), col("n_parts").as("n_b"))), "name_b")
+        .select(col("name_a"), col("name_b"), col("edit_dist"), col("n_a"), col("n_b"))
+    }),
     // — dedup surface (SURVEY.md §7.4) —
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir))),
@@ -399,6 +410,9 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frames(s, dir)),
     "multimodal_resize" -> ((s, dir) => Multimodal.resized(s, dir)),
+    // real RIFF/WAVE PCM16 containers, parsed by a real chunk walker; the
+    // oracle replays the expected sample stats from the text codes
+    "multimodal_audio" -> ((s, dir) => Multimodal.audioFeatures(s, dir)),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1250,6 +1264,20 @@ object SparkEntry {
         |          + coalesce(codes[(2 * y * 16 + 2 * x) * 3 + 3], 0))))) % 2147483647)::BIGINT
         |    AS resized_checksum
         |FROM c""".stripMargin,
+    // the audio oracle replays the SAMPLE CONSTRUCTION (sample =
+    // (code−64)·256 at 8 kHz), not the container: a WAV header/layout bug
+    // or endianness slip on the engine side breaks the hash
+    "multimodal_audio" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, 8000::BIGINT AS sample_rate, len(codes)::BIGINT AS n_samples,
+        |  (len(codes) * 1000 // 8000)::BIGINT AS duration_ms,
+        |  CAST(list_max(list_transform(codes, c -> abs((c - 64) * 256))) AS BIGINT) AS peak,
+        |  CAST(list_sum(list_transform(codes, c -> abs((c - 64) * 256))) AS BIGINT) AS sum_abs,
+        |  (list_sum(list_transform(codes, c -> (c - 64) * 256 + 32768)) % 2147483647)::BIGINT
+        |    AS sample_checksum
+        |FROM c""".stripMargin,
     "book_query_ref" -> bookQueryRefSql,
     // identical semantics — the Spark side differs only in INGESTION (text
     // files through the wholetext source instead of parquet)
@@ -1269,6 +1297,17 @@ object SparkEntry {
          |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
          |${verifyTail(0.7)}""".stripMargin,
+    // DuckDB verifies Ed-Join with the NAIVE inequality join — different
+    // plan, same pair semantics
+    "simjoin_edit_distance" ->
+      """WITH n AS (SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist,
+        |  a.n_parts AS n_a, b.n_parts AS n_b
+        |FROM n a JOIN n b
+        |  ON a.name < b.name
+        | AND abs(len(a.name) - len(b.name)) <= 2
+        | AND levenshtein(a.name, b.name) <= 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
         |  min(doc_id) AS keeper FROM documents GROUP BY 1""".stripMargin,

@@ -213,4 +213,143 @@ object Multimodal {
 
   def resized(spark: SparkSession, dir: String): DataFrame =
     resizeBlobs(spark, dir).toDF()
+
+  // ---------------------------------------------------------------- audio
+
+  /** Audio sample rate for the synthesized WAV corpus (8 kHz mono PCM16). */
+  private val SampleRate = 8000
+
+  case class AudioRow(doc_id: Long, payload: Array[Byte])
+
+  /** Synthesize the corpus' audio blobs: one REAL RIFF/WAVE container per
+    * doc — canonical "fmt " chunk (PCM, mono, 8 kHz, 16-bit) and a "data"
+    * chunk holding one little-endian sample per text character,
+    * `sample = (code − 64) · 256` (signed 16-bit, mixed-sign over ASCII).
+    * Even doc_ids additionally carry a LIST/INFO metadata chunk BETWEEN
+    * fmt and data — real files have those, and a decoder that assumes
+    * fixed offsets instead of walking chunks breaks on them (the spec
+    * pins that [[decodeWav]] doesn't).
+    */
+  def audioBlobs(spark: SparkSession, dir: String): Dataset[AudioRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          AudioRow(id, encodeWav(text, withListChunk = id % 2 == 0))
+        }
+      }
+  }
+
+  private def encodeWav(text: String, withListChunk: Boolean): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val n = text.length
+    val listChunk: Array[Byte] =
+      if (!withListChunk) Array.emptyByteArray
+      else {
+        // LIST/INFO with one ISFT entry — the chunk real encoders emit
+        val payload = "INFOISFT".getBytes("US-ASCII") ++
+          ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(6).array() ++
+          "graft ".getBytes("US-ASCII")
+        val b = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("LIST".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+        b.array()
+      }
+    val dataBytes = 2 * n
+    val riffSize = 4 + (8 + 16) + listChunk.length + (8 + dataBytes)
+    val b = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(riffSize).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1)                       // PCM
+    b.putShort(1)                       // mono
+    b.putInt(SampleRate)
+    b.putInt(SampleRate * 2)            // byte rate
+    b.putShort(2)                       // block align
+    b.putShort(16)                      // bits per sample
+    b.put(listChunk)
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) { b.putShort(((text.charAt(i) - 64) * 256).toShort); i += 1 }
+    b.array()
+  }
+
+  /** THE REAL DECODE: a RIFF chunk walker — verifies the RIFF/WAVE magic,
+    * iterates chunks (word-aligned, unknown chunks skipped, exactly what a
+    * production reader must do), requires a PCM16-mono "fmt " before the
+    * "data" chunk, and reads little-endian samples. Returns
+    * (sampleRate, samples). Fails loudly on any malformed container —
+    * there is deliberately no lenient path.
+    */
+  private[graft] def decodeWav(payload: Array[Byte]): (Int, Array[Short]) = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII") }
+    require(b.remaining >= 12 && tag() == "RIFF", "not a RIFF container")
+    val riffSize = b.getInt
+    require(riffSize == b.remaining, s"RIFF size $riffSize != ${b.remaining} remaining")
+    require(tag() == "WAVE", "RIFF is not WAVE")
+    var rate = -1
+    while (b.remaining >= 8) {
+      val id = tag()
+      val size = b.getInt
+      require(size >= 0 && size <= b.remaining, s"chunk $id overruns container")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "fmt chunk too short")
+          val fmtEnd = b.position() + size
+          require(b.getShort == 1, "not PCM")
+          require(b.getShort == 1, "not mono")
+          rate = b.getInt
+          b.getInt                               // byte rate (derived)
+          require(b.getShort == 2, "block align != 2")
+          require(b.getShort == 16, "not 16-bit")
+          b.position(fmtEnd)
+        case "data" =>
+          require(rate > 0, "data chunk before fmt")
+          require(size % 2 == 0, "odd PCM16 data size")
+          val samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = b.getShort; i += 1 }
+          return (rate, samples)
+        case _ =>
+          b.position(b.position() + size + (size & 1))  // skip, word-aligned
+      }
+    }
+    throw new IllegalArgumentException("no data chunk in WAVE")
+  }
+
+  case class AudioFeatureRow(doc_id: Long, sample_rate: Long, n_samples: Long,
+      duration_ms: Long, peak: Long, sum_abs: Long, sample_checksum: Long)
+
+  /** Decode + featurize the audio corpus: duration, peak amplitude, total
+    * absolute amplitude, and an order-insensitive checksum — all off the
+    * PARSED samples, so the oracle (which replays the expected values from
+    * the text codes) hash-gates the whole container round-trip. Same
+    * mapPartitions shape as the image family: executor-parallel, zero
+    * shuffle, linear in payload bytes.
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioBlobs(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, samples) = decodeWav(r.payload)
+        var sumAbs = 0L
+        var peak = 0L
+        var check = 0L
+        var i = 0
+        while (i < samples.length) {
+          val s = samples(i).toLong
+          val a = math.abs(s)
+          sumAbs += a
+          if (a > peak) peak = a
+          check += s + 32768L
+          i += 1
+        }
+        AudioFeatureRow(r.doc_id, rate.toLong, samples.length.toLong,
+          samples.length.toLong * 1000L / rate, peak, sumAbs, check % 2147483647L)
+      }
+    }.toDF()
+  }
 }

@@ -156,4 +156,61 @@ object SimilarityJoin {
       .select(col("doc_a"), col("doc_b"), col("inter_len"), col("union_len"),
         round(col("j"), 6).as("jaccard"))
   }
+
+  /** All-pairs EDIT-DISTANCE join (Ed-Join, Xiao/Wang/Lin VLDB'08): unordered
+    * string pairs within Levenshtein distance `maxDist`, without a cartesian
+    * product. Candidate generation mirrors [[pairsFromSets]]' prefix
+    * filtering, transposed to edit distance: one edit destroys at most `q`
+    * of a string's q-grams, so strings within distance d share at least
+    * max(|s|,|t|) − q + 1 − d·q q-grams — and under a global (df, gram)
+    * order they must share one among their (d·q+1)-PREFIX grams (the
+    * rarest ones). The lossless envelope:
+    *
+    *   - the count bound goes vacuous when max(|s|,|t|) < q·(d+1), so every
+    *     string short enough to pair with one of those (len < q·(d+1)+d)
+    *     is routed through an explicit short-bucket self-join — bounded by
+    *     the short-string vocabulary, which a length histogram checks
+    *     cheaply at any scale;
+    *   - the length filter ||s|−|t|| ≤ d and the thresholded verify run on
+    *     every candidate; verification uses the banded O(d·n) form
+    *     (Spark's 3-arg `levenshtein` early-exits past the threshold).
+    *
+    * Input: a DataFrame with a `name` string column (DISTINCT names — dedupe
+    * upstream; at scale you pair the vocabulary, not the rows). Output:
+    * (name_a, name_b, edit_dist), name_a < name_b.
+    */
+  def editDistancePairs(names: DataFrame, maxDist: Int = 2, q: Int = 2): DataFrame = {
+    val grams = names.select(col("name"),
+      array_distinct(expr(
+        s"transform(sequence(1, greatest(length(name) - $q + 1, 1)), i -> substring(name, i, $q))"))
+        .as("gs"))
+    val ex = grams.select(col("name"), explode(col("gs")).as("g"))
+    val dfG = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("name").orderBy("df", "g")
+    val pfx = ex.join(Scale.maybeBroadcast(dfG), "g")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= lit(q * maxDist + 1))
+      .select(col("name"), col("g"))
+    val prefixCand = pfx.as("a").join(pfx.as("b"),
+        col("a.g") === col("b.g") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    // strings the count bound can't cover: len < q(d+1); any qualifying
+    // partner is within d of that, so the whole bucket is len < q(d+1)+d.
+    // Paired via a LENGTH-KEY equi-join (one side fans out to its 2d+1
+    // admissible partner lengths) — never an inequality/nested-loop join,
+    // so the plan stays key-joins even for this bucket.
+    val shortLen = q * (maxDist + 1) + maxDist
+    val short = names.where(length(col("name")) < shortLen)
+    val shortCand = short.select(col("name").as("name_a"), length(col("name")).as("lk"))
+      .join(short.select(col("name").as("name_b"),
+          explode(sequence(length(col("name")) - maxDist, length(col("name")) + maxDist)).as("lk")),
+        "lk")
+      .where(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"))
+    prefixCand.unionAll(shortCand)
+      .distinct()
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .where(col("edit_dist") >= 0)
+  }
 }

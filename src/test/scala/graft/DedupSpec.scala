@@ -139,6 +139,31 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.size == 3)
   }
 
+  test("edit-distance join equals the naive quadratic join on real part names") {
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val names = graft.sources.Tables.part(spark, "/root/testdata/sf0.001")
+      .select(col("p_name").as("name")).distinct()
+    val got = SimilarityJoin.editDistancePairs(names, maxDist = 2)
+      .select("name_a", "name_b", "edit_dist").as[(String, String, Long)].collect().toSet
+    val naive = names.select(col("name").as("name_a"))
+      .crossJoin(names.select(col("name").as("name_b")))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("edit_dist") <= 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+    assert(naive.nonEmpty, "fixture produced no close pairs to check")
+  }
+
+  test("edit-distance join: short strings below the q-gram bound still pair") {
+    // "ab"/"cd" share NO 2-gram yet ed=2 — only the short bucket finds them
+    // (ed("abc","cd") = 3, correctly excluded)
+    val names = Seq("ab", "cd", "abc", "completely-unrelated-long-name").toDF("name")
+    val got = SimilarityJoin.editDistancePairs(names, maxDist = 2)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    assert(got == Set(("ab", "cd"), ("ab", "abc")))
+  }
+
   test("minhash LSH finds the same high-similarity pairs") {
     val pairs = Dedup.minhashLshPairs(docs, tau = 0.4)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
