@@ -297,6 +297,13 @@ object SparkEntry {
     // integer-exact PMI collocations (phrase detection)
     "text_pmi_topk" -> ((s, dir) =>
       TextAnalysis.pmiTopBigrams(Tables.documents(s, dir))),
+    // TextRank: iterative damped PageRank over the token co-occurrence
+    // graph, integer-exact, 5 unrolled rounds in the oracle
+    "text_textrank" -> ((s, dir) =>
+      TextAnalysis.textrank(Tables.documents(s, dir))),
+    // count-min sketch, structure oracle-replayed cell by cell
+    "text_countmin" -> ((s, dir) =>
+      TextAnalysis.countMinAccuracy(Tables.documents(s, dir))),
     // corpus-statistics fluency signal: instance-weighted rare-bigram share
     "text_rare_bigrams" -> ((s, dir) =>
       TextAnalysis.rareBigramStats(Tables.documents(s, dir))),
@@ -501,6 +508,40 @@ object SparkEntry {
        |          JOIN sets sb ON cand.doc_b = sb.doc_id
        |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
        |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= $tau""".stripMargin
+
+  /** TextRank oracle: the damped weighted-PageRank iteration UNROLLED into
+    * one CTE per round (r1..rN) — fully deterministic integer arithmetic
+    * (`//` on positives ≡ the engine's `div`), HUGEINT products mirroring
+    * the engine's DECIMAL(38,0).
+    */
+  private def textrankSql(iters: Int, minCount: Int, kTop: Int): String = {
+    val base =
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |bi0 AS (SELECT w[di.i] AS a, w[di.i+1] AS b FROM tok,
+         |  LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) di),
+         |bc AS (SELECT a, b, count(*)::BIGINT AS c FROM bi0 WHERE a <> b GROUP BY 1, 2
+         |       HAVING count(*) >= $minCount),
+         |sym AS (SELECT src, dst, CAST(sum(c) AS BIGINT) AS w FROM (
+         |    SELECT a AS src, b AS dst, c FROM bc
+         |    UNION ALL SELECT b AS src, a AS dst, c FROM bc)
+         |  GROUP BY 1, 2),
+         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS w_out FROM sym GROUP BY 1),
+         |e AS (SELECT sym.src, sym.dst, sym.w, ow.w_out FROM sym JOIN ow USING (src)),
+         |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM ow),
+         |r0 AS (SELECT src AS node, 1000000000000 // n_nodes AS r FROM ow, nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  15 * (1000000000000 // nn.n_nodes) // 100
+         |    + 85 * sum(r${i - 1}.r::HUGEINT * e.w // e.w_out) // 100 AS r
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node, nn
+         |  GROUP BY 1, nn.n_nodes)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s"""
+         |SELECT node AS token, CAST(r AS BIGINT) AS rank_e12, w_out
+         |FROM r$iters JOIN ow ON node = ow.src
+         |ORDER BY rank_e12 DESC, token ASC LIMIT $kTop""".stripMargin
+  }
 
   /** ext·(1−disc) in exact decimal (mirrors Relational.discPrice). */
   private val discPriceSql =
@@ -936,6 +977,26 @@ object SparkEntry {
         |  (c_ab * 1000000000) // (ua.c * ub.c) AS score_ppb
         |FROM bc JOIN uc ua ON bc.a = ua.t JOIN uc ub ON bc.b = ub.t
         |ORDER BY score_ppb DESC, bigram ASC LIMIT 20""".stripMargin,
+    "text_textrank" -> textrankSql(iters = 5, minCount = 5, kTop = 30),
+    // the sketch is rebuilt cell-by-cell from the same affine hash family;
+    // a cell-assignment or min-row drift breaks the hash
+    "text_countmin" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |ex AS (SELECT t, count(*)::BIGINT AS exact_count FROM tok WHERE t <> ''
+         |       GROUP BY 1),
+         |exh AS (SELECT t, exact_count, ${duckHash("t")} AS h FROM ex),
+         |wj AS (SELECT t, exact_count,  j.j,
+         |    (h * (2*j.j + 1) + (12345 + 67891*j.j)) % 2147483647 % 256 AS cell
+         |  FROM exh, (SELECT unnest(generate_series(0, 3)) AS j) j),
+         |cells AS (SELECT j, cell, CAST(sum(exact_count) AS BIGINT) AS c
+         |  FROM wj GROUP BY 1, 2),
+         |top AS (SELECT t FROM ex ORDER BY exact_count DESC, t ASC LIMIT 20)
+         |SELECT wj.t AS token, wj.exact_count,
+         |  CAST(min(cells.c) AS BIGINT) AS cm_estimate,
+         |  CAST(min(cells.c) - wj.exact_count AS BIGINT) AS overestimate
+         |FROM wj JOIN top ON wj.t = top.t
+         |JOIN cells ON wj.j = cells.j AND wj.cell = cells.cell
+         |GROUP BY 1, 2""".stripMargin,
     // quality rules + LSH banding + recursive closure, all shared CTE
     // builders — the shingle CTEs run over the FILTERED docs, mirroring the
     // engine's quality-first order

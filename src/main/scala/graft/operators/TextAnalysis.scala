@@ -208,6 +208,110 @@ object TextAnalysis {
         expr("n_rare * 1000000 div n_bigrams").as("rare_ppm"))
   }
 
+  /** Count-min sketch with an exactness audit — the fixed-size frequency
+    * summary a 100 TB pipeline keeps when the exact token-count table is
+    * too big to serve: `depth` hash rows × `width` cells, each cell the sum
+    * of counts of all tokens landing in it, point estimate = min over
+    * rows (Cormode/Muthukrishnan '05; always ≥ exact, never under). Hashes
+    * are the engine's portable affine family over hash31, so the DuckDB
+    * oracle rebuilds the SAME sketch bit-for-bit — the sketch structure is
+    * part of the checked contract, like the MinHash banding. Build cost:
+    * the exact count aggregation (vocabulary-bounded) + a depth-way
+    * explode of the VOCABULARY (never the token stream), then `depth·width`
+    * cells. The audit joins the top-`kTop` exact counts back against their
+    * estimates. Output: (token, exact_count, cm_estimate, overestimate).
+    */
+  def countMinAccuracy(docs: DataFrame, width: Int = 256, depth: Int = 4,
+      kTop: Int = 20): DataFrame = {
+    val exact = docs.select(explode(tokenize(col("text"))).as("t"))
+      .where(col("t") =!= "") // Java-split leading-empty artifact, not a word
+      .groupBy(col("t")).agg(count(lit(1)).as("exact_count"))
+    def cellOf = expr(
+      s"(h * (2*j + 1) + (12345 + 67891*j)) % 2147483647 % $width")
+    val withJ = exact
+      .withColumn("h", portableHash31(col("t")))
+      .select(col("t"), col("exact_count"), col("h"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("cell", cellOf)
+    val cells = withJ.groupBy(col("j"), col("cell"))
+      .agg(sum(col("exact_count")).as("c"))
+    val probes = withJ
+      .join(exact.orderBy(col("exact_count").desc, col("t").asc).limit(kTop)
+        .select(col("t")), "t")
+    probes.join(Scale.maybeBroadcast(cells), Seq("j", "cell"))
+      .groupBy(col("t").as("token"))
+      .agg(first(col("exact_count")).as("exact_count"), min(col("c")).as("cm_estimate"))
+      .select(col("token"), col("exact_count"), col("cm_estimate"),
+        (col("cm_estimate") - col("exact_count")).as("overestimate"))
+  }
+
+  /** TextRank (Mihalcea/Tarau '04) — weighted PageRank over the token
+    * co-occurrence graph, the graph-centrality keyword extractor: nodes are
+    * tokens, undirected edges are adjacent-token pairs with corpus count ≥
+    * `minCount` (weight = count, both directions summed), and `iters`
+    * fixed damped iterations propagate rank. Everything is INTEGER
+    * arithmetic so the iteration is bit-exact across engines and partition
+    * orders: ranks live at scale 10¹² (r₀ = 10¹² div N), a node's
+    * contribution along an edge is r·w div W_out (products in
+    * DECIMAL(38,0) — no overflow for any realistic corpus), damping is
+    * (15·r₀ + 85·in) div 100. Deterministic truncation leaks rank mass;
+    * that loss is identical on both engines and irrelevant to the ranking.
+    *
+    * Scale shape: the edge table is one bigram aggregation (Zipf-small
+    * after the count floor, vocabulary²-bounded in principle), EAGERLY
+    * checkpointed once so the 5 iterations and the final top-k reread a
+    * materialized table instead of re-running the corpus scan per round —
+    * [[graft.operators.Dedup.dedupClusters]]' discipline. Each iteration is
+    * one hash join (edges ⋈ ranks on src) + one aggregation (sum by dst):
+    * shuffle volume O(|E|) per round, never corpus-sized. N comes from a
+    * 1-row aggregate cross-joined back, not a driver count. Output: top
+    * `kTop` (token, rank_e12, w_out) by rank.
+    */
+  def textrank(docs: DataFrame, minCount: Long = 5, iters: Int = 5,
+      kTop: Int = 30): DataFrame = {
+    val toks = docs.select(tokenize(col("text")).as("w"))
+    val bi = toks
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(w) - 1, 0)), i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b")) // self-loops feed rank back to the node; drop
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+    // undirected: weight{a,b} = c(a→b) + c(b→a); one pass emits both roles
+    val sym = bi.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst"), col("c")),
+        struct(col("b").as("src"), col("a").as("dst"), col("c")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.c").as("c"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("w"))
+    val outW = sym.groupBy("src").agg(sum(col("w")).as("w_out"))
+    val edges = sym.join(outW, "src").localCheckpoint()
+    val nNodes = outW.agg(count(lit(1)).as("n_nodes"))
+    var ranks = outW.select(col("src").as("node"))
+      .crossJoin(broadcast(nNodes))
+      .select(col("node"), expr("1000000000000 div n_nodes").as("r"), col("n_nodes"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // r·w runs in DECIMAL(38,0); `div` is TRUNCATING integral division on
+      // both engines (DuckDB `//` on positives agrees) — never `/`, whose
+      // decimal result would round half-up and drift off the oracle
+      ranks = edges
+        .join(ranks.select(col("node").as("src"), col("r"), col("n_nodes")), "src")
+        .select(col("dst"),
+          expr("CAST(r AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0)) div w_out").as("contrib"),
+          col("n_nodes"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("in_sum"), first(col("n_nodes")).as("n_nodes"))
+        .select(col("node"),
+          expr("15 * (1000000000000 div n_nodes) div 100 + 85 * in_sum div 100").as("r"),
+          col("n_nodes"))
+        .localCheckpoint()
+    }
+    ranks.join(outW.select(col("src").as("node"), col("w_out")), "node")
+      .select(col("node").as("token"), col("r").as("rank_e12"), col("w_out"))
+      .orderBy(col("rank_e12").desc, col("token").asc)
+      .limit(kTop)
+  }
+
   /** Per-language MinHash signature of the UNION of all documents' shingle
     * sets, via the typed [[graft.functions.MinHashAggregator]] UDAF
     * (elementwise-min distributes over union, so merging per-doc signatures

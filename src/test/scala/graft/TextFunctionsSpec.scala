@@ -204,4 +204,75 @@ class TextFunctionsSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(got == Set((10L, 1L, true), (11L, 0L, false)))
   }
+
+  test("count-min sketch equals an independent model; estimates never undercount") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select($"text".as[String]).collect()
+    val exact = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split("\\W+").filter(_.nonEmpty)
+      .foreach(t => exact(t) = exact.getOrElse(t, 0L) + 1))
+    def h31(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c) % 2147483647L)
+    def cell(t: String, j: Int): (Int, Long) =
+      j -> (h31(t) * (2 * j + 1) + (12345 + 67891L * j)) % 2147483647L % 256
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    exact.foreach { case (t, c) =>
+      (0 until 4).foreach { j => cells(cell(t, j)) = cells.getOrElse(cell(t, j), 0L) + c }
+    }
+    val top = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val expected = top.map { case (t, c) =>
+      val est = (0 until 4).map(j => cells(cell(t, j))).min
+      (t, c, est, est - c)
+    }.toSet
+    val got = graft.operators.TextAnalysis
+      .countMinAccuracy(graft.sources.Tables.documents(spark, dir))
+      .select("token", "exact_count", "cm_estimate", "overestimate")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    got.foreach { case (t, ex, est, over) =>
+      assert(est >= ex && over == est - ex, s"$t undercounted: exact=$ex est=$est")
+    }
+  }
+
+  test("textrank equals an independent integer-PageRank model on the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val minCount = 2L
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select($"text".as[String]).collect()
+    // independent model: Java split (same quirks), bigram counts, undirected
+    // weights, 5 damped rounds of the exact integer recurrence
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val w = t.split("\\W+")
+      var i = 1
+      while (i < w.length) {
+        if (w(i - 1) != w(i))
+          bi((w(i - 1), w(i))) = bi.getOrElse((w(i - 1), w(i)), 0L) + 1
+        i += 1
+      }
+    }
+    val kept = bi.filter(_._2 >= minCount)
+    val sym = scala.collection.mutable.Map.empty[(String, String), Long]
+    kept.foreach { case ((a, b), c) =>
+      sym((a, b)) = sym.getOrElse((a, b), 0L) + c
+      sym((b, a)) = sym.getOrElse((b, a), 0L) + c
+    }
+    val wOut = sym.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    val n = wOut.size
+    var r = wOut.keys.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 1 to 5) {
+      val in = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      sym.foreach { case ((s, d), w) =>
+        in(d) += (BigInt(r(s)) * w / wOut(s)).toLong
+      }
+      r = r.keys.map(v => v -> (15L * (1000000000000L / n) / 100L + 85L * in(v) / 100L)).toMap
+    }
+    val expected = r.toSeq.map { case (t, rk) => (t, rk, wOut(t)) }
+      .sortBy { case (t, rk, _) => (-rk, t) }.take(30)
+    val got = graft.operators.TextAnalysis
+      .textrank(graft.sources.Tables.documents(spark, dir), minCount = minCount, kTop = 30)
+      .select("token", "rank_e12", "w_out").as[(String, Long, Long)].collect().toSeq
+    assert(got == expected,
+      s"first mismatch: ${got.zip(expected).find { case (g, e) => g != e }}")
+  }
 }
