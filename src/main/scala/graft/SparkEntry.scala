@@ -76,6 +76,10 @@ object SparkEntry {
     // — generalized similarity join (SURVEY.md §7.3) —
     "simjoin_allpairs" -> ((s, dir) =>
       SimilarityJoin.allPairsJaccard(Tables.documents(s, dir), tau = 0.7)),
+    // directed containment join: subset-duplicates (excerpts/truncations)
+    // that Jaccard dedup structurally misses
+    "simjoin_containment" -> ((s, dir) =>
+      SimilarityJoin.containmentPairs(Tables.documents(s, dir), tau = 0.8)),
     // Ed-Join: catalog-reconciliation shape — distinct part names within
     // edit distance 2, q-gram prefix candidates, no cartesian product
     "simjoin_edit_distance" -> ((s, dir) => {
@@ -343,6 +347,9 @@ object SparkEntry {
     // variance-aware spike detection: the z>3 test cross-multiplied into
     // exact integer arithmetic (no float mean, no sqrt)
     "events_anomaly" -> ((s, dir) => Events.anomalies(s, dir)),
+    // aggregate-once/re-aggregate-many: weekly rollup MERGED from the
+    // persisted daily partials; oracle aggregates raw events directly
+    "events_weekly_reagg" -> ((s, dir) => Events.weeklyFromDaily(s, dir)),
     // hour-of-day seasonality baseline (exact interpolated percentiles)
     "events_seasonal" -> ((s, dir) => Events.hourOfDayProfile(s, dir)),
     // as-of join (purchase -> latest preceding click) via tagged union +
@@ -1109,6 +1116,14 @@ object SparkEntry {
         |    * (n_events::HUGEINT * trailing_cnt - trailing_sum)
         |    > 9 * (trailing_cnt::HUGEINT * trailing_sumsq
         |           - trailing_sum::HUGEINT * trailing_sum)""".stripMargin,
+    // single-pass weekly aggregation over RAW events — must equal the
+    // engine's two-level daily→weekly merge exactly
+    "events_weekly_reagg" ->
+      """SELECT (epoch_us(ts) // 604800000000) * 604800 AS week_epoch, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "events_json" ->
       """WITH e AS (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
@@ -1358,6 +1373,16 @@ object SparkEntry {
          |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
          |${verifyTail(0.7)}""".stripMargin,
+    // naive directed join, containment semantics replayed on string sets
+    "simjoin_containment" ->
+      s"""WITH ${shingleCte(3)},
+         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.sh, b.sh))::BIGINT AS inter_len,
+         |  len(a.sh)::BIGINT AS len_a,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) AS containment
+         |FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.8""".stripMargin,
     // DuckDB verifies Ed-Join with the NAIVE inequality join — different
     // plan, same pair semantics
     "simjoin_edit_distance" ->

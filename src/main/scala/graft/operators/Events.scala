@@ -362,6 +362,48 @@ object Events {
           .when(col("ff").isNotNull, "ffill").otherwise("none").as("src"))
   }
 
+  /** MERGEABLE daily aggregate table, materialized once (export-once
+    * discipline, same as the bucketed/partitioned fixtures): per
+    * (event_day, event_type) — count, EXACT decimal value sum, min, max.
+    * Every statistic is an algebraic merge state (sums add, counts add,
+    * min/max fold), deliberately excluding non-mergeable aggregates like
+    * raw distinct counts — that's what sketches are for. At 100 TB this
+    * table is what ingest maintains incrementally; rollup queries then
+    * read days, not events.
+    */
+  def dailyAggregates(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.Tables.exportOnce(s"$dir/events.parquet", "graft_events_daily_", p =>
+      events(spark, dir)
+        .groupBy(expr("ts_us div 86400000000").as("event_day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value_dec"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .write.parquet(p))
+    spark.read.parquet(out)
+  }
+
+  /** Weekly rollup served from the DAILY AGGREGATE table — the
+    * aggregate-once / re-aggregate-many pattern: the weekly answer merges
+    * ~7 daily rows per group instead of rescanning raw events (here 30
+    * daily rows per type vs 100k+ events; at 100 TB the ratio is the whole
+    * point). Lossless because every column of [[dailyAggregates]] is an
+    * algebraic merge state, and day→week nesting is exact integer
+    * arithmetic ((ts div day) div 7 ≡ ts div week). The oracle aggregates
+    * RAW events directly — proving the two-level merge reproduces the
+    * single-pass answer bit-for-bit. Output:
+    * (week_epoch, event_type, n_events, sum_value, min_value, max_value).
+    */
+  def weeklyFromDaily(spark: SparkSession, dir: String): DataFrame =
+    dailyAggregates(spark, dir)
+      .groupBy((expr("event_day div 7") * 604800L).as("week_epoch"), col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_value_dec")).cast("double").as("sum_value"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+
   /** JSON extraction from the props column + grouped stats over the
     * extracted value — get_json_object stays codegen'd, no UDF.
     */

@@ -157,6 +157,62 @@ object SimilarityJoin {
         round(col("j"), 6).as("jaccard"))
   }
 
+  /** Directed CONTAINMENT join: pairs (a, b) where a's shingle set is
+    * τ-contained in b's — |sh(a) ∩ sh(b)| / |sh(a)| ≥ τ. The asymmetric
+    * cousin of [[allPairsJaccard]], and the right operator for
+    * SUBSET-duplicates (a quote, excerpt, or truncation of a longer doc has
+    * low Jaccard against its source but containment ≈ 1 — Jaccard dedup
+    * misses exactly those).
+    *
+    * Scale shape: containment admits NO length filter (b may be arbitrarily
+    * larger than a), so the prefix scheme is one-sided — the probe (a) side
+    * exposes its p = |a| − ⌊τ·|a|⌋ + 1 globally-rarest tokens (overlap
+    * ≥ ⌈τ·|a|⌉ forces a shared token among them; ⌊·⌋ only lengthens the
+    * prefix), while the indexed (b) side posts ALL tokens. Probes therefore
+    * hit mostly RARE posting lists — the df order does the pruning the
+    * length filter can't. Candidates and the prefilter run on 62-bit
+    * hashes ([[verifyJaccard]]'s discipline); exact string-set containment
+    * verifies survivors. Output: (doc_a, doc_b, inter_len, len_a,
+    * containment), doc_a ≠ doc_b, BOTH directions evaluated.
+    */
+  def containmentPairs(docs: DataFrame, tau: Double, k: Int = 3): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+      .where(size(col("sh")) > 0)
+    val hsets = hashSets(sets)
+    val ex = hsets.select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("t"))
+    val dfT = ex.groupBy("t").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "t")
+    val probe = ex.join(Scale.maybeBroadcast(dfT), "t")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= col("sz") - floor(lit(tau) * col("sz")) + 1)
+      .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("t"))
+    val index = ex.select(col("doc_id").as("doc_b"), col("t"))
+    val cand = probe.join(index,
+        probe("t") === index("t") && col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    // hash prefilter: containment on the 62-bit sets bounds true
+    // containment from above (collisions only inflate the intersection)
+    val hInter = toColumn(IntersectCountSorted(
+      toExpression(col("ha")), toExpression(col("hb"))))
+    val pre = cand
+      .join(Scale.maybeBroadcast(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
+      .join(Scale.maybeBroadcast(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
+      .where(hInter.cast("double") / size(col("ha")).cast("double") >= tau)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    pre
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast("long").as("inter_len"),
+        size(col("sa")).cast("long").as("len_a"),
+        (inter.cast("double") / size(col("sa")).cast("double")).as("c"))
+      .where(col("c") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("inter_len"), col("len_a"),
+        round(col("c"), 6).as("containment"))
+  }
+
   /** All-pairs EDIT-DISTANCE join (Ed-Join, Xiao/Wang/Lin VLDB'08): unordered
     * string pairs within Levenshtein distance `maxDist`, without a cartesian
     * product. Candidate generation mirrors [[pairsFromSets]]' prefix

@@ -139,6 +139,43 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.size == 3)
   }
 
+  test("containment join finds the planted excerpt that Jaccard misses") {
+    import org.apache.spark.sql.functions.col
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, base), (2L, excerpt), (3L, "совсем unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val got = SimilarityJoin.containmentPairs(d, tau = 0.8)
+      .select("doc_a", "doc_b", "containment").as[(Long, Long, Double)].collect().toSet
+    // excerpt (8 shingles) fully inside base (28 shingles): containment 1.0
+    // one direction only; Jaccard = 8/28 < 0.3 would never pair them
+    assert(got == Set((2L, 1L, 1.0)), s"got $got")
+    val jac = SimilarityJoin.allPairsJaccard(d, tau = 0.8).count()
+    assert(jac == 0, "Jaccard at the same tau should find nothing")
+  }
+
+  test("containment join equals the naive directed join on the real corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = SimilarityJoin.containmentPairs(docs, tau = 0.8)
+      .select("doc_a", "doc_b", "inter_len", "len_a").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    val sets = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.shingleSet(col("text"), 3).as("sh"))
+      .where(org.apache.spark.sql.functions.size(col("sh")) > 0)
+    val naive = sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+      .crossJoin(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_intersect(col("sa"), col("sb")))
+          .cast("long").as("inter_len"),
+        org.apache.spark.sql.functions.size(col("sa")).cast("long").as("len_a"))
+      .where(col("inter_len").cast("double") / col("len_a").cast("double") >= 0.8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+  }
+
   test("edit-distance join equals the naive quadratic join on real part names") {
     import org.apache.spark.sql.functions.{col, levenshtein}
     val names = graft.sources.Tables.part(spark, "/root/testdata/sf0.001")

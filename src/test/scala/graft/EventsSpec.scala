@@ -154,6 +154,22 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("weekly-from-daily merge equals the single-pass weekly aggregation") {
+    import org.apache.spark.sql.functions._
+    val twoLevel = Events.weeklyFromDaily(spark, dir)
+      .select("week_epoch", "event_type", "n_events", "sum_value", "min_value", "max_value")
+      .as[(Long, String, Long, Double, Double, Double)].collect().toSet
+    val onePass = Events.events(spark, dir)
+      .groupBy((expr("ts_us div 604800000000") * 604800L).as("week_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .as[(Long, String, Long, Double, Double, Double)].collect().toSet
+    assert(twoLevel == onePass,
+      s"missing=${onePass -- twoLevel} extra=${twoLevel -- onePass}")
+    assert(twoLevel.nonEmpty)
+  }
+
   test("json extraction bounds: k in [0, 99]") {
     val s = Events.jsonStats(spark, dir)
       .select("min_k", "max_k").as[(Long, Long)].collect()

@@ -115,6 +115,7 @@ class PlanSpec extends AnyFunSuite {
       val docs = Tables.documents(spark, dir)
       for (df <- Seq(
           graft.operators.SimilarityJoin.allPairsJaccard(docs, tau = 0.7),
+          graft.operators.SimilarityJoin.containmentPairs(docs, tau = 0.8),
           graft.operators.SimilarityJoin.editDistancePairs(
             Tables.part(spark, dir).select(org.apache.spark.sql.functions.col("p_name").as("name")).distinct()),
           graft.operators.Dedup.minhashLshPairs(docs, tau = 0.7),
