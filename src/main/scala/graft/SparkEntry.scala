@@ -124,6 +124,12 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.dedupClusters(docs, Dedup.minhashLshPairs(docs, tau = 0.7))
     }),
+    // keep-policy surface: survive the LONGEST member of each dup cluster
+    // (curation keeps the full doc, not whichever truncation came first)
+    "dedup_clusters_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupClustersKeepLongest(docs, Dedup.minhashLshPairs(docs, tau = 0.7))
+    }),
     // incremental dedup — new-batch-vs-corpus, the production ingest shape:
     // the first 4/5 of documents play the already-indexed corpus (index
     // persisted once, fingerprint-keyed, reused across JVMs), the last 1/5
@@ -265,6 +271,7 @@ object SparkEntry {
     // TPC-H Q18/Q19/Q22 shapes: pre-aggregate-then-join HAVING, disjunctive
     // cross-side predicates, and global-scalar + anti-join composition
     "rel_big_spenders" -> ((s, dir) => Relational.bigSpenderOrders(s, dir)),
+    "rel_nation_trade" -> ((s, dir) => Relational.nationTradeVolume(s, dir)),
     "rel_bracket_revenue" -> ((s, dir) => Relational.bracketRevenue(s, dir)),
     "rel_idle_customers" -> ((s, dir) => Relational.idleRichCustomers(s, dir)),
     // correlated-subquery SQL front door (same ANSI text as the oracle) —
@@ -335,6 +342,8 @@ object SparkEntry {
     "events_pruned_daily" -> ((s, dir) => Events.prunedDailyRollup(s, dir)),
     "events_sliding" -> ((s, dir) => Events.slidingCounts(s, dir)),
     "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
+    // the same sessions through Spark's NATIVE session_window aggregation
+    "events_sessions_native" -> ((s, dir) => Events.sessionizeNative(s, dir)),
     "events_json" -> ((s, dir) => Events.jsonStats(s, dir)),
     "events_retention" -> ((s, dir) => Events.weeklyRetention(s, dir)),
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
@@ -1056,6 +1065,13 @@ object SparkEntry {
          |SELECT user_id, session_idx, n_events, start_us, end_us,
          |  end_us - start_us AS duration_us
          |FROM sess""".stripMargin,
+    // the native session_window gap (+1µs alignment) produces the SAME
+    // sessions as the lag+cumsum rule — one oracle text, two engine plans
+    "events_sessions_native" ->
+      s"""WITH $sessionCtes
+         |SELECT user_id, n_events, start_us, end_us,
+         |  end_us - start_us AS duration_us
+         |FROM sess""".stripMargin,
     // DuckDB verifies the binned interval join with the NAIVE inequality
     // join — different plan, same containment semantics
     "events_concurrency" ->
@@ -1527,6 +1543,40 @@ object SparkEntry {
          |  least(d.doc_id, coalesce(mn.m, d.doc_id)) AS keeper,
          |  d.doc_id = least(d.doc_id, coalesce(mn.m, d.doc_id)) AS kept
          |FROM documents d LEFT JOIN mn ON d.doc_id = mn.src""".stripMargin,
+    // same recursive-closure clusters; the keep rule becomes a window over
+    // cluster members ordered by token count
+    "dedup_clusters_best" ->
+      s"""WITH RECURSIVE ${shingleCte(3)},
+         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |$minhashCandCtes,
+         |pairs AS (${verifyTail(0.7)}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY 1),
+         |cl AS (SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(mn.m, d.doc_id)) AS cluster,
+         |    len(string_split(d.text, ' '))::BIGINT AS n_tokens
+         |  FROM documents d LEFT JOIN mn ON d.doc_id = mn.src)
+         |SELECT doc_id, cluster, n_tokens,
+         |  row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_tokens DESC, doc_id ASC) = 1 AS kept
+         |FROM cl""".stripMargin,
+    "rel_nation_trade" ->
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |GROUP BY 1, 2, 3""".stripMargin,
     "text_ngram_freq" ->
       s"""WITH ${shingleCte(3)},
          |g AS (SELECT unnest(sh) AS gram FROM sh),

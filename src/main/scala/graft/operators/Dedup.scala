@@ -517,4 +517,31 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("keeper"),
         (col("doc_id") === coalesce(col("label"), col("doc_id"))).as("kept"))
   }
+
+  /** [[dedupClusters]] with a KEEP-LONGEST policy: inside each duplicate
+    * cluster, survive the document with the most whitespace tokens
+    * (tie-break: lowest doc_id) instead of the lowest id. The policy
+    * real curation pipelines run — near-dup clusters routinely mix a full
+    * document with its truncations/excerpts, and keep-min-id would keep
+    * whichever happened to ingest first. The cluster id stays the min-id
+    * label (a stable cluster identity independent of the keep rule); the
+    * policy is one row_number window over cluster members — dup-graph-
+    * sized, a sliver of the corpus, so the extra cost over the cluster
+    * pass is negligible at any scale. Output:
+    * (doc_id, cluster, n_tokens, kept).
+    */
+  def dedupClustersKeepLongest(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 10, checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(docs, pairs, maxIters, checkpointDir)
+      .select(col("doc_id"), col("keeper").as("cluster"))
+    val sized = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokenize(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    clusters.join(sized, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster"), col("n_tokens"),
+        (col("rk") === 1).as("kept"))
+  }
 }

@@ -116,6 +116,28 @@ object Events {
 
   }
 
+  /** [[sessionize]] via Spark's NATIVE `session_window` aggregation — the
+    * same 30-minute-gap sessions as the lag+cumsum formulation, but
+    * expressed as the gap-window groupBy the engine merges internally
+    * (and the only formulation that also runs under Structured Streaming
+    * with state eviction). Semantics note: `session_window`'s window end
+    * extends `gap` past the last event, and an event AT exactly
+    * `prev + gap` starts a NEW session (the window is half-open), while
+    * the lag rule keeps `ts − prev == gap` in the OLD session — so this
+    * uses gap+1µs to make the two formulations identical on µs
+    * timestamps; EventsSpec pins the equality row-for-row. Output matches
+    * [[sessionize]] minus the session index (window identity replaces it):
+    * (user_id, n_events, start_us, end_us, duration_us).
+    */
+  def sessionizeNative(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "1800000001 microseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+
   /** Event-type transition counts: per user, consecutive event pairs
     * (ordered by time) → global (prev_type, event_type) matrix. The lag
     * window is the same per-user shuffle sessionization uses.

@@ -282,6 +282,33 @@ object Relational {
       .select(col("p_partkey"), col("p_brand"), col("p_type"))
   }
 
+  /** TPC-H Q7-shaped nation-pair trade volume: revenue flowing from each
+    * supplier nation to each customer nation per ship year. The join tree
+    * a 100 TB star query runs: the two fact joins (lineitem⋈orders,
+    * ⋈customer) stay strategy-free for AQE (sort-merge on orderkey at
+    * scale), supplier and the twice-joined nation dim broadcast. Output
+    * rows are bounded by nations² × years regardless of fact volume.
+    * Output: (supp_nation, cust_nation, ship_year, revenue, n_items).
+    */
+  def nationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q18-shaped large-volume orders: orders whose TOTAL lineitem
     * quantity exceeds a threshold, with customer context. The HAVING runs
     * on the lineitem aggregate FIRST — one shuffle on l_orderkey reduces

@@ -246,6 +246,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("keep-longest policy survives the full doc, not the first-ingested truncation") {
+    import org.apache.spark.sql.functions.col
+    // doc 1 short excerpt (min id), doc 2 the full version, doc 3 unrelated;
+    // pairs say 1~2 — min-id keeps 1, keep-longest must keep 2
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, (1 to 12).map(i => s"w$i").mkString(" ")), (2L, base),
+      (3L, "other thing entirely")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClustersKeepLongest(d, pairs)
+      .select("doc_id", "cluster", "kept").as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (1L, false), "excerpt must lose despite lowest id")
+    assert(got(2L) == (1L, true), "full doc must survive")
+    assert(got(3L) == (3L, true), "isolated doc keeps itself")
+    // exactly one keeper per cluster
+    val perCluster = got.values.groupBy(_._1).view.mapValues(_.count(_._2)).toMap
+    assert(perCluster.values.forall(_ == 1))
+  }
+
   test("dedup clusters collapse transitive chains (A~B, B~C, A!~C)") {
     // 12 tokens; B differs from A in the last token, C differs from B in the
     // first. J(A,B)=J(B,C)=9/11≈0.82 ≥ 0.7 but J(A,C)=8/12≈0.67 < 0.7 —

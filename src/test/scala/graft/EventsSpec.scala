@@ -154,6 +154,17 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("native session_window sessions equal the lag+cumsum sessions") {
+    val viaLag = Events.sessionize(spark, dir)
+      .select("user_id", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaNative = Events.sessionizeNative(spark, dir)
+      .select("user_id", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaNative == viaLag,
+      s"missing=${viaLag -- viaNative} extra=${viaNative -- viaLag}")
+  }
+
   test("weekly-from-daily merge equals the single-pass weekly aggregation") {
     import org.apache.spark.sql.functions._
     val twoLevel = Events.weeklyFromDaily(spark, dir)

@@ -134,6 +134,16 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("nation trade: pair matrix totals reconcile with the whole fact table") {
+    import spark.implicits._
+    val rows = Relational.nationTradeVolume(spark, dir)
+      .select($"n_items".as[Long]).collect()
+    val liCount = Tables.lineitem(spark, dir).count()
+    // every lineitem has exactly one supplier nation and one customer
+    // nation — the matrix partitions the fact table
+    assert(rows.sum == liCount, s"matrix covers ${rows.sum} of $liCount items")
+  }
+
   test("big spenders: every kept order clears the quantity threshold") {
     import spark.implicits._
     val rows = Relational.bigSpenderOrders(spark, dir, minQty = 150.0)
