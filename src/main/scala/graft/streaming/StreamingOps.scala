@@ -243,6 +243,66 @@ object StreamingOps {
       } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)
     }
 
+  /** Streaming MAINTENANCE of the mergeable daily-aggregate table
+    * ([[graft.operators.Events.dailyAggregates]]' schema): each micro-batch
+    * computes its (event_day, event_type) partials and MERGES them into the
+    * persisted table — the aggregate-once pipeline's ingest half, after
+    * which any rollup (e.g. weekly) reads days, not events. Merge touches
+    * only the days present in the batch: the table is PARTITIONED BY
+    * event_day, existing rows load through a partition-pruned scan of just
+    * those days, and the write is a dynamic-partition overwrite of the same
+    * days — steady-state cost is per-day, independent of table history.
+    * Every stored stat is an algebraic merge state (sum/count/min/max), so
+    * partials merge losslessly in any batch order. The touched-day list is
+    * collected driver-side (metadata-scale: a micro-batch spans few days).
+    * Crash contract: a replayed batch re-merges its partials — counts would
+    * double, so the sink relies on Structured Streaming's checkpointed
+    * batch ids (standard foreachBatch idempotence: pass the streaming
+    * checkpointLocation; a torn dynamic-partition overwrite is repaired by
+    * the replay that caused it).
+    *
+    * Input contract: streaming frame with (ts: timestamp, event_type,
+    * value: double).
+    */
+  def maintainDailyAggregates(events: DataFrame, tablePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val sp = batch.sparkSession
+      val partials = batch
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("event_day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(30,2)").as("sum_value_dec"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .localCheckpoint()
+      try {
+        val days = partials.select(col("event_day")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val exists = new java.io.File(tablePath, "_SUCCESS").exists() ||
+          new java.io.File(tablePath).isDirectory()
+        val merged = if (!exists) partials else
+          sp.read.parquet(tablePath)
+            .where(col("event_day").isin(days: _*))
+            .unionByName(partials)
+            .groupBy(col("event_day"), col("event_type"))
+            .agg(
+              sum(col("n_events")).as("n_events"),
+              sum(col("sum_value_dec")).cast("decimal(30,2)").as("sum_value_dec"),
+              min(col("min_value")).as("min_value"),
+              max(col("max_value")).as("max_value"))
+        // materialize BEFORE the overwrite: the merge plan reads the very
+        // partitions the write replaces
+        val out = merged.localCheckpoint()
+        try out.write
+          .partitionBy("event_day")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(tablePath)
+        finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(out)
+      } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(partials)
+    }
+
   /** The EMBEDDING-modality twin of [[dedupAgainstIndexNear]]: each
     * micro-batch of (vec_id, embedding) rows runs the full batch
     * [[graft.operators.EmbeddingSearch.vecDedupAgainst]] (hyperplane-LSH

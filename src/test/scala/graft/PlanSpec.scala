@@ -32,6 +32,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom-filter injection composes with the engine's join shapes") {
+    // Spark's runtime filtering (spark.sql.optimizer.runtime.bloomFilter.*)
+    // injects a bloom filter built from a SELECTIVE join side into the
+    // other side's scan — at 100 TB this prunes most of a fact scan before
+    // the shuffle. Default thresholds (10 GB application-side scan) are
+    // sized for clusters, so this test scales them to the fixture; a real
+    // deployment leaves them alone. The assertion: a date-sliced
+    // orders→lineitem join gets might_contain on the lineitem side.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // injection targets SHUFFLE joins (a broadcast join already prunes at
+      // the build side) — at 100 TB this fact-fact join is one; at the
+      // fixture SF it must be forced out of broadcast range
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("2001-07-01")))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom"),
+        s"no runtime bloom filter injected:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("pricing summary pushes the shipdate filter into the parquet scan") {
     val plan = graft.operators.Relational.pricingSummary(spark, dir)
       .queryExecution.executedPlan.toString

@@ -479,6 +479,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming daily-aggregate maintenance merges batches into the partitioned table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_daily_").toString
+    val table = s"$dir/daily"
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingOps.maintainDailyAggregates(
+        input.toDF().toDF("ts", "event_type", "value"), table)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // batch 1: two days
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "click", 1.0),
+        (ts("2024-01-01 11:00:00"), "click", 3.0),
+        (ts("2024-01-02 09:00:00"), "view", 5.0))
+      q.processAllAvailable()
+      // batch 2 overlaps day 2024-01-02 — its partials must MERGE, and
+      // day 2024-01-01 must survive the dynamic-partition overwrite intact
+      input.addData(
+        (ts("2024-01-02 10:00:00"), "view", 7.0),
+        (ts("2024-01-02 11:00:00"), "click", 2.0),
+        (ts("2024-01-03 08:00:00"), "view", 4.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(table)
+        .select($"event_day".cast("long"), $"event_type", $"n_events",
+          $"sum_value_dec".cast("double"), $"min_value", $"max_value")
+        .as[(Long, String, Long, Double, Double, Double)].collect().toSet
+      val d1 = ts("2024-01-01 00:00:00").getTime / 86400000L
+      assert(got == Set(
+        (d1, "click", 2L, 4.0, 1.0, 3.0),
+        (d1 + 1, "view", 2L, 12.0, 5.0, 7.0),
+        (d1 + 1, "click", 1L, 2.0, 2.0, 2.0),
+        (d1 + 2, "view", 1L, 4.0, 4.0, 4.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session across a >30min gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
