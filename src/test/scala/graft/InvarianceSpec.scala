@@ -62,7 +62,25 @@ class InvarianceSpec extends AnyFunSuite {
     // counts, and the integer-PMI TakeOrdered must all be partition-stable
     "embed_knn_join" -> ((s, d) => EmbeddingSearch.knnJoin(s, d)),
     "events_concurrency" -> ((s, d) => graft.operators.Events.sessionConcurrency(s, d)),
-    "text_pmi_topk" -> ((s, d) => TextAnalysis.pmiTopBigrams(Tables.documents(s, d))))
+    "text_pmi_topk" -> ((s, d) => TextAnalysis.pmiTopBigrams(Tables.documents(s, d))),
+    // this session's additions: the iterative integer PageRank (checkpointed
+    // rounds), the sketch cells, the prefix-filtered pair joins, and the
+    // keep-longest window must all be partition-stable
+    "text_textrank" ->
+      ((s, d) => TextAnalysis.textrank(Tables.documents(s, d), minCount = 2)),
+    "text_countmin" ->
+      ((s, d) => TextAnalysis.countMinAccuracy(Tables.documents(s, d))),
+    "simjoin_containment" -> ((s, d) =>
+      graft.operators.SimilarityJoin.containmentPairs(Tables.documents(s, d), tau = 0.8)),
+    "simjoin_edit_distance" -> ((s, d) =>
+      graft.operators.SimilarityJoin.editDistancePairs(
+        Tables.part(s, d).select(col("p_name").as("name")).distinct())),
+    "dedup_clusters_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupClustersKeepLongest(docs, Dedup.minhashLshPairs(docs, tau = 0.7))
+    }),
+    "events_anomaly" ->
+      ((s, d) => graft.operators.Events.anomalies(s, d, minObs = 4)))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
