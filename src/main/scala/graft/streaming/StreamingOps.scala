@@ -435,4 +435,65 @@ object StreamingOps {
           }
       }
   }
+
+  case class HourBucket(hour: Long, n: Long)
+  case class AnomalyState(open: Map[Long, Long], closed: List[HourBucket])
+  case class AnomalyFlag(event_type: String, hour_epoch: Long, n_events: Long,
+      trailing_cnt: Long, trailing_sum: Long, trailing_sumsq: Long)
+
+  /** Streaming twin of [[graft.operators.Events.anomalies]]: per-type
+    * hourly buckets accumulate in custom state; a bucket CLOSES when a
+    * strictly later hour arrives for that type, and at close it is tested
+    * against the trailing ring of the last `lookback` CLOSED buckets with
+    * the SAME cross-multiplied integer z>3 rule as the batch operator
+    * (BigInt squares stand in for its DECIMAL(38,0)) — flagged buckets
+    * emit in append mode. State per event type is one open-bucket map +
+    * a `lookback`-deep ring: bounded by hours, not event volume, the same
+    * bound as the batch window. Events older than the newest CLOSED hour
+    * are dropped (the explicit-state analog of a 1-hour watermark —
+    * re-opening a closed bucket would double-emit and disorder the ring);
+    * within that bound, arrival order and batch boundaries don't change
+    * what is emitted — the ring only ever appends closed buckets in hour
+    * order. Input contract: (ts: timestamp, event_type: string).
+    */
+  def anomalyStream(events: DataFrame, lookback: Int = 48,
+      minObs: Int = 24): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (eventType: String, rows: Iterator[(String, Long)], state: GroupState[AnomalyState]) =>
+          val st = state.getOption.getOrElse(AnomalyState(Map.empty, Nil))
+          val floorHr = st.closed.lastOption.map(_.hour + 1).getOrElse(Long.MinValue)
+          var open = st.open
+          rows.foreach { case (_, hr) =>
+            if (hr >= floorHr) open += hr -> (open.getOrElse(hr, 0L) + 1L)
+          }
+          if (open.isEmpty) { state.update(st); Iterator.empty }
+          else {
+            val maxHr = open.keys.max
+            var closed = st.closed
+            val out = scala.collection.mutable.Buffer.empty[AnomalyFlag]
+            open.keys.filter(_ < maxHr).toSeq.sorted.foreach { h =>
+              val n = open(h)
+              val trail = closed.takeRight(lookback)
+              val m = trail.size.toLong
+              if (m >= minObs) {
+                val s = trail.map(_.n).sum
+                val q = trail.map(b => b.n * b.n).sum
+                val lhs = BigInt(n) * m - s
+                if (lhs > 0 && lhs * lhs > BigInt(9) * (BigInt(m) * q - BigInt(s) * s))
+                  out += AnomalyFlag(eventType, h * 3600L, n, m, s, q)
+              }
+              closed = (closed :+ HourBucket(h, n)).takeRight(lookback)
+              open -= h
+            }
+            state.update(AnomalyState(open, closed))
+            out.iterator
+          }
+      }
+  }
 }

@@ -514,6 +514,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly detection flags the spike hour with the batch integer rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    def hour(h: Int, n: Int): Seq[(Timestamp, String)] =
+      (1 to n).map(i => (ts(f"2024-01-01 $h%02d:${i % 60}%02d:00"), "click"))
+    // batch 1: five baseline hours (count 2) — nothing can close-and-flag yet
+    input.addData(hour(0, 2) ++ hour(1, 2) ++ hour(2, 2) ++ hour(3, 2) ++ hour(4, 2): _*)
+    val q = StreamingOps.anomalyStream(
+        input.toDF().toDF("ts", "event_type"), lookback = 48, minObs = 4)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: hour 5 spikes to 20; hour 6 arrives and closes it
+      input.addData(hour(5, 20) ++ hour(6, 1): _*)
+      q.processAllAvailable()
+      val got = spark.table("anomalies")
+        .select($"hour_epoch", $"n_events", $"trailing_cnt", $"trailing_sum")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val h5 = ts("2024-01-01 05:00:00").getTime / 3600000L * 3600L
+      // only the spike hour flags: baseline hours have n·m == S (zero
+      // deviation); hour 5 sees trail {2,2,2,2,2}: (20·5−10)² > 9·(5·20−100)
+      assert(got == Set((h5, 20L, 5L, 10L)), s"got $got")
+      // a late event for an already-closed hour must be dropped, not
+      // re-open the bucket (the explicit-state watermark analog)
+      input.addData((ts("2024-01-01 03:30:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("anomalies").count() == 1)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session across a >30min gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
