@@ -376,6 +376,9 @@ object SparkEntry {
     // keyed on the embeddings fingerprint — the first invocation trains and
     // saves it, every later one (any JVM) loads and serves; results are
     // row-identical either way (EmbeddingSpec asserts it)
+    // product quantization: codes + LUT scoring; training, encoding, and
+    // the ADC estimate all replayed by the oracle
+    "embed_knn_pq" -> ((s, dir) => EmbeddingSearch.pqTopK(s, dir)),
     "embed_knn_kmeans" -> ((s, dir) => {
       // training params are DERIVED into the dir prefix and passed to the
       // call from the same values — an index trained under different
@@ -664,6 +667,64 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  /** Product-quantization oracle: per SUBSPACE, the same Lloyd replay as
+    * [[kmeansKnnSql]] (seeds, round(cosine,6) argmax assignment,
+    * DECIMAL(28,10) means, cluster-loss coalesce) over the dim slice,
+    * then the fixed-order LUT scoring — training, encoding, and the ADC
+    * estimate are ALL part of the checked contract.
+    */
+  private def pqKnnSql(m: Int = 4, ksub: Int = 4, iters: Int = 2,
+      k: Int = 5, nQueries: Int = 10, dims: Int = 64): String = {
+    val sub = dims / m
+    def assignCte(srcCte: String, centCte: String): String =
+      s"""SELECT vec_id, v, cl FROM (
+         |  SELECT e.vec_id, e.v, c.cl, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cl ASC) AS rn
+         |  FROM $srcCte e, $centCte c) WHERE rn = 1""".stripMargin
+    def updateCtes(s: Int, i: Int, aCte: String, prevCte: String): String =
+      s"""m${i}_$s AS (SELECT cl, di.i AS d,
+         |  CAST(sum(CAST(round(v[di.i], 6) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+         |  FROM $aCte, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) di GROUP BY 1, 2),
+         |n${i}_$s AS (SELECT cl, list(c ORDER BY d) AS cv FROM m${i}_$s GROUP BY 1),
+         |c${i}_$s AS (SELECT $prevCte.cl, coalesce(n${i}_$s.cv, $prevCte.cv) AS cv
+         |        FROM $prevCte LEFT JOIN n${i}_$s USING (cl))""".stripMargin
+    val subspaceCtes = (0 until m).map { s =>
+      val rounds = (1 to iters).map { i =>
+        s"a${i}_$s AS (${assignCte(s"es$s", s"c${i - 1}_$s")}),\n" +
+          updateCtes(s, i, s"a${i}_$s", s"c${i - 1}_$s")
+      }.mkString(",\n")
+      s"""es$s AS (SELECT vec_id, list_slice(v, ${s * sub + 1}, ${(s + 1) * sub}) AS v FROM e),
+         |c0_$s AS (SELECT vec_id::INT AS cl, v AS cv FROM es$s ORDER BY vec_id LIMIT $ksub),
+         |$rounds,
+         |af_$s AS (${assignCte(s"es$s", s"c${iters}_$s")})""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until m).map { s =>
+      val vecJoin = if (s == 0) "" else s"JOIN af_$s ON af_$s.vec_id = af_0.vec_id "
+      s"${vecJoin}JOIN c${iters}_$s cc$s ON af_$s.cl = cc$s.cl"
+    }.mkString("\n  ")
+    val pdSum = (0 until m).map(s =>
+      s"(${dotSql(s"list_slice(q.qv, ${s * sub + 1}, ${(s + 1) * sub})", s"cc$s.cv")})")
+      .mkString(" + ")
+    val n2Sum = (0 until m).map(s => s"(${dotSql(s"cc$s.cv", s"cc$s.cv")})").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |$subspaceCtes,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |sc AS (SELECT q.query_id, af_0.vec_id,
+       |    sqrt(${dotSql("q.qv", "q.qv")}) AS nq,
+       |    $pdSum AS adc_dot,
+       |    sqrt($n2Sum) AS xn
+       |  FROM q, af_0
+       |  $codeJoins
+       |  WHERE af_0.vec_id <> q.query_id),
+       |scored AS (SELECT query_id, vec_id,
+       |    round(CASE WHEN nq = 0.0 OR xn = 0.0 THEN 0.0
+       |               ELSE adc_dot / (nq * xn) END, 6) AS adc_cosine FROM sc),
+       |r AS (SELECT *, (row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc_cosine DESC, vec_id ASC))::BIGINT AS rank FROM scored)
+       |SELECT query_id, vec_id, adc_cosine, rank FROM r WHERE rank <= $k""".stripMargin
   }
 
   /** Reference-pipeline oracle (shared by the parquet and wholetext
@@ -1297,6 +1358,7 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM e, sp WHERE vec_id >= sp.split) b
          |LEFT JOIN k USING (vec_id)""".stripMargin,
     "embed_knn_kmeans" -> kmeansKnnSql(samplePct = None),
+    "embed_knn_pq" -> pqKnnSql(),
     // identical replay, but the Lloyd rounds see only the affine-hash 40%
     // sample (smp CTE) — seeds and means come from the sample, the final
     // inverted file and re-rank still cover every vector

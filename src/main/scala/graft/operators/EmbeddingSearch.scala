@@ -524,6 +524,72 @@ object EmbeddingSearch {
       .where(col("rank") <= k)
   }
 
+  /** PRODUCT-QUANTIZATION top-k (Jégou et al. '11, spherical variant):
+    * vectors compress to `m` small cluster codes (one per dim-slice
+    * subspace, codebooks trained by the same deterministic spherical
+    * k-means as [[trainKmeansIndex]]), and query scoring becomes a
+    * LOOKUP-TABLE sum — per query only m·ksub true dot products (the LUT)
+    * are ever computed; corpus rows contribute just their codes. The
+    * asymmetric-distance estimate here approximates cosine:
+    *   adc_cos(q, x) = Σ_s q_s·c_{s,code_s(x)}
+    *                   / (‖q‖ · sqrt(Σ_s ‖c_{s,code_s(x)}‖²))
+    * — exact if x equalled its per-subspace centroids. At 100 TB this is
+    * THE memory lever: 64 floats/vector become m bytes + shared codebooks,
+    * so the scored frame shuffles codes, never vectors. Every accumulation
+    * is a FIXED-ORDER expression (pd₀+pd₁+pd₂+pd₃ — never a float SUM
+    * aggregate), so results are partition-invariant and the DuckDB oracle
+    * replays training, encoding, and scoring bit-for-bit. Output:
+    * (query_id, vec_id, adc_cosine, rank) — rank ≤ k per query.
+    */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+      m: Int = 4, ksub: Int = 4, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val dims = 64 // driver testdata contract (embeddings.parquet)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    def sliceS(c: Column, s: Int): Column = slice(c, s * sub + 1, sub)
+    // per-subspace codebooks + corpus codes; codes go WIDE (one column per
+    // subspace) so every downstream accumulation is fixed-order arithmetic
+    val pieces = (0 until m).map { s =>
+      val es = emb.select(col("vec_id"), sliceS(col("v"), s).as("v"))
+      val cent = trainKmeansIndex(es, nClusters = ksub, iters = iters)
+      val codes = kmeansAssign(withNorm(es), cent)
+        .select(col("vec_id"), col("cl").as(s"c$s"))
+      (cent.select(col("cl").as(s"cl$s"), col("cv").as(s"cv$s"),
+        dot(col("cv"), col("cv")).as(s"n2_$s")), codes)
+    }
+    val codesWide = pieces.map(_._2).reduce(_.join(_, "vec_id"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        sqrt(dot(col("v"), col("v"))).as("nq"))
+    // LUT: per (query, subspace, centroid) — m·ksub·|Q| rows, broadcast
+    // unique column names per LUT so the chained joins never carry an
+    // ambiguous query_id
+    val luts = (0 until m).map { s =>
+      val qidName = if (s == 0) "query_id" else s"qid$s"
+      val lutCols = Seq(col("query_id").as(qidName)) ++
+        (if (s == 0) Seq(col("nq")) else Nil) ++ Seq(
+        col(s"cl$s"), dot(sliceS(col("qv"), s), col(s"cv$s")).as(s"pd$s"), col(s"n2_$s"))
+      broadcast(q.crossJoin(broadcast(pieces(s)._1)).select(lutCols: _*))
+    }
+    var scored = codesWide.join(luts(0), codesWide(s"c0") === luts(0)(s"cl0"))
+    for (s <- 1 until m)
+      scored = scored.join(luts(s),
+        col("query_id") === col(s"qid$s") && col(s"c$s") === col(s"cl$s"))
+        .drop(s"qid$s")
+    val adcDot = (0 until m).map(s => col(s"pd$s")).reduce(_ + _)
+    val xn = sqrt((0 until m).map(s => col(s"n2_$s")).reduce(_ + _))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_cosine").desc, col("vec_id").asc)
+    scored
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(when(col("nq") === 0.0 || xn === 0.0, lit(0.0))
+          .otherwise(adcDot / (col("nq") * xn)), 6).as("adc_cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** ANN quality evaluation — recall@k of the LSH path against the exact
     * brute-force top-k, per query: the measurement loop an ANN deployment
     * runs after every index/parameter change, expressed as the same two

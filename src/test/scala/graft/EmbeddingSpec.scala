@@ -208,6 +208,27 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("pq top-k: full coverage per query, bounded scores, deterministic reruns") {
+    val dir = "/root/testdata/sf0.001"
+    val a = EmbeddingSearch.pqTopK(spark, dir, k = 5, nQueries = 4)
+      .select("query_id", "vec_id", "adc_cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(a.map(_._1).distinct.length == 4 && a.length == 20)
+    a.foreach { case (q, v, c, _) =>
+      assert(v != q, "query must not match itself")
+      assert(c >= -1.000001 && c <= 1.000001, s"cosine estimate out of range: $c")
+    }
+    // per query, ranks are 1..5 with non-increasing scores
+    a.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).toSeq == (1L to 5L))
+      assert(rs.map(_._3).toSeq.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+    val b = EmbeddingSearch.pqTopK(spark, dir, k = 5, nQueries = 4)
+      .select("query_id", "vec_id", "adc_cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(a.toSeq == b.toSeq, "PQ results must be deterministic across runs")
+  }
+
   test("vecDedupAgainst refuses a half-built or param-mismatched index") {
     val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
     val idx = java.nio.file.Files.createTempDirectory("graft_vecidx_guard").toString
