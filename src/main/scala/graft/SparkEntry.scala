@@ -368,6 +368,7 @@ object SparkEntry {
     "embed_knn_brute" -> ((s, dir) => EmbeddingSearch.bruteForceTopK(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
     "embed_lsh_recall" -> ((s, dir) => EmbeddingSearch.lshRecall(s, dir)),
+    "embed_pq_recall" -> ((s, dir) => EmbeddingSearch.pqRecall(s, dir)),
     // two-sided kNN JOIN (kNN-graph): every vector × its band-mates, no
     // broadcastable query side — the corpus-vs-corpus shuffle shape
     "embed_knn_join" -> ((s, dir) => EmbeddingSearch.knnJoin(s, dir)),
@@ -1275,6 +1276,14 @@ object SparkEntry {
     "embed_lsh_recall" ->
       s"""WITH br AS (SELECT query_id, vec_id FROM ($bruteKnnSql)),
          |ap AS (SELECT query_id, vec_id FROM ($lshKnnSql))
+         |SELECT br.query_id, count(*) AS n_exact,
+         |  count(ap.vec_id) AS n_hit,
+         |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
+    "embed_pq_recall" ->
+      s"""WITH br AS (SELECT query_id, vec_id FROM ($bruteKnnSql)),
+         |ap AS (SELECT query_id, vec_id FROM (${pqKnnSql()}))
          |SELECT br.query_id, count(*) AS n_exact,
          |  count(ap.vec_id) AS n_hit,
          |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall

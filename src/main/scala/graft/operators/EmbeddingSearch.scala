@@ -611,6 +611,24 @@ object EmbeddingSearch {
         round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
   }
 
+  /** Recall@k of the PQ path against the exact brute-force top-k — the
+    * compression-loss measurement an ANN deployment runs before choosing
+    * (m, ksub): same joined-pipelines shape as [[lshRecall]]. Output:
+    * (query_id, n_exact, n_hit, recall).
+    */
+  def pqRecall(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("vec_id"))
+    val approx = pqTopK(spark, dir, k, nQueries)
+      .select(col("query_id").as("q2"), col("vec_id").as("v2"))
+    exact.join(approx,
+        exact("query_id") === approx("q2") && exact("vec_id") === approx("v2"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("v2")).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
   /** Train-once/serve-many as one call: if no quantizer exists at
     * `indexPath`, train and persist it; then serve the query from the
     * PERSISTED index. The first invocation pays training; every later one

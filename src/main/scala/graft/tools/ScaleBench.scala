@@ -40,7 +40,13 @@ object ScaleBench {
     // round-5 additions with candidate machinery or corpus-df joins; the
     // weighted sample rides along as a zero-shuffle linear control
     "embed_knn_join", "dedup_minhash_accuracy", "dedup_source_matrix",
-    "text_pmi_topk", "text_rare_bigrams", "corpus_weighted_sample")
+    "text_pmi_topk", "text_rare_bigrams", "corpus_weighted_sample",
+    // this session's candidate-generating / iterative additions: the
+    // one-sided-prefix containment join, the checkpointed integer PageRank,
+    // the vocabulary-bounded sketch, the keep-policy cluster pass, and the
+    // code-shuffling PQ search
+    "simjoin_containment", "text_textrank", "text_countmin",
+    "dedup_clusters_best", "embed_knn_pq")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"
