@@ -260,6 +260,7 @@ object SparkEntry {
     "rel_window_funcs" -> ((s, dir) => Relational.windowFunctionSuite(s, dir)),
     "rel_order_stats" -> ((s, dir) => Relational.orderStats(s, dir)),
     "rel_histogram" -> ((s, dir) => Relational.orderValueHistogram(s, dir)),
+    "rel_equidepth" -> ((s, dir) => Relational.orderValueEquidepth(s, dir)),
     // value-RANGE frame: 30-day trailing spend/count per order
     "rel_trailing_spend" -> ((s, dir) => Relational.trailingSpend(s, dir)),
     "rel_setops" -> ((s, dir) => Relational.customerSetOps(s, dir)),
@@ -356,6 +357,8 @@ object SparkEntry {
     // variance-aware spike detection: the z>3 test cross-multiplied into
     // exact integer arithmetic (no float mean, no sqrt)
     "events_anomaly" -> ((s, dir) => Events.anomalies(s, dir)),
+    // two-sided gap repair: exact integer-milli linear interpolation
+    "events_interpolate" -> ((s, dir) => Events.interpolatedHourly(s, dir)),
     // aggregate-once/re-aggregate-many: weekly rollup MERGED from the
     // persisted daily partials; oracle aggregates raw events directly
     "events_weekly_reagg" -> ((s, dir) => Events.weeklyFromDaily(s, dir)),
@@ -919,6 +922,16 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
         |GROUP BY 1""".stripMargin,
+    // ntile membership is deterministic (ORDER ends on the unique key), so
+    // the data-driven boundaries hash-match
+    "rel_equidepth" ->
+      """WITH b AS (SELECT o_totalprice,
+        |  ntile(8) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
+        |  FROM orders)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_orders,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM b GROUP BY 1""".stripMargin,
     "rel_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -1171,6 +1184,38 @@ object SparkEntry {
         |SELECT event_type, hour_epoch, CAST(coalesce(ff, 0) AS BIGINT) AS n_filled,
         |  CASE WHEN n_events IS NOT NULL THEN 'obs'
         |       WHEN ff IS NOT NULL THEN 'ffill' ELSE 'none' END AS src
+        |FROM w""".stripMargin,
+    // two-sided neighbor windows (running last / running first IGNORE
+    // NULLS) + integer-milli slope arithmetic
+    "events_interpolate" ->
+      """WITH h AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+        |  event_type, count(*) AS n_events FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hour_epoch) AS h0, max(hour_epoch) AS h1 FROM h),
+        |g AS (SELECT unnest(generate_series(h0, h1, 3600)) AS hour_epoch FROM b),
+        |t AS (SELECT DISTINCT event_type FROM h),
+        |j AS (SELECT g.hour_epoch, t.event_type, h.n_events
+        |      FROM g CROSS JOIN t
+        |      LEFT JOIN h ON h.hour_epoch = g.hour_epoch AND h.event_type = t.event_type),
+        |w AS (SELECT *,
+        |  last_value(n_events IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN n_events IS NOT NULL THEN hour_epoch END IGNORE NULLS)
+        |    OVER wp AS ph,
+        |  first_value(n_events IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN n_events IS NOT NULL THEN hour_epoch END IGNORE NULLS)
+        |    OVER wn AS nh
+        |  FROM j WINDOW
+        |    wp AS (PARTITION BY event_type ORDER BY hour_epoch
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY event_type ORDER BY hour_epoch
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hour_epoch,
+        |  CASE WHEN n_events IS NOT NULL THEN 'obs'
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+        |       ELSE 'none' END AS src,
+        |  CASE WHEN n_events IS NOT NULL THEN n_events * 1000
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |       THEN (pv * (nh - hour_epoch) + nv * (hour_epoch - ph)) * 1000 // (nh - ph)
+        |       END AS value_milli
         |FROM w""".stripMargin,
     // z>3 cross-multiplied to integers; HUGEINT squares mirror the
     // engine's DECIMAL(38,0) exactly for any realistic count

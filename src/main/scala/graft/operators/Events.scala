@@ -426,6 +426,51 @@ object Events {
         min(col("min_value")).as("min_value"),
         max(col("max_value")).as("max_value"))
 
+  /** Gap repair by LINEAR INTERPOLATION — [[gapFilledHourly]]'s forward
+    * fill upgraded to the two-sided estimate: a missing hour between
+    * observed neighbors (hp, np) and (hn, nn) carries
+    *   v = (np·(hn−h) + nn·(h−hp)) / (hn−hp)
+    * shipped as EXACT integer milli-units (numerator·1000 div gap) — no
+    * float slope, bit-identical on both engines. Same dense-grid
+    * construction as gapfill (structural cross join of two derived-tiny
+    * sides); the neighbor search is one running-last window and one
+    * running-first window per type — state is two values per partition
+    * regardless of gap length. Hours outside the observed span (no
+    * neighbor on one side) are tagged `none`. Output:
+    * (event_type, hour_epoch, src ∈ obs|interp|none, value_milli).
+    */
+  def interpolatedHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(
+        (expr("ts_us div 3600000000") * 3600L).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val grid = hourly
+      .agg(expr("min(hour_epoch) div 3600").as("b0"), expr("max(hour_epoch) div 3600").as("b1"))
+      .select(explode(sequence(col("b0"), col("b1"))).as("bin"))
+      .select((col("bin") * 3600L).as("hour_epoch"))
+    val types = hourly.select(col("event_type")).distinct()
+    val wPrev = Window.partitionBy("event_type").orderBy("hour_epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("hour_epoch")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsAt = when(col("n_events").isNotNull, col("hour_epoch"))
+    grid.crossJoin(types)
+      .join(hourly, Seq("hour_epoch", "event_type"), "left")
+      .withColumn("pv", last(col("n_events"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(obsAt, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("n_events"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(obsAt, ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("hour_epoch"),
+        when(col("n_events").isNotNull, "obs")
+          .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+          .otherwise("none").as("src"),
+        when(col("n_events").isNotNull, col("n_events") * 1000L)
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            expr("(pv * (nh - hour_epoch) + nv * (hour_epoch - ph)) * 1000 div (nh - ph)"))
+          .as("value_milli"))
+  }
+
   /** JSON extraction from the props column + grouped stats over the
     * extracted value — get_json_object stays codegen'd, no UDF.
     */

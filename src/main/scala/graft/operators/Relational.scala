@@ -193,6 +193,29 @@ object Relational {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_orders"))
 
+  /** EQUI-DEPTH histogram — [[orderValueHistogram]]'s fixed-width buckets
+    * replaced by ntile quantile buckets (equal row counts, data-driven
+    * boundaries): the summary an optimizer or data profiler keeps for a
+    * skewed value column, where fixed-width buckets would collapse into
+    * one hot bin. Ordering ends on the unique o_orderkey, so bucket
+    * membership is deterministic on both engines. One global-sort window
+    * (the documented cost: ntile needs a total order — at 100 TB the
+    * sampled sketch in rel_approx_stats is the cheap path; this is the
+    * exact one). Output: (bucket, n_orders, lo, hi, sum_price).
+    */
+  def orderValueEquidepth(spark: SparkSession, dir: String,
+      nBuckets: Int = 8): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
   /** The RANK-FAMILY window surface (ntile / percent_rank / cume_dist /
     * first_value / lead) over a per-customer total order — the quantile-
     * bucketing and relative-position shapes a feature pipeline derives per

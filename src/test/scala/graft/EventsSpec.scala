@@ -154,6 +154,37 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("interpolation equals an independent two-sided neighbor model") {
+    val hourly = Events.events(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.expr("(ts_us div 3600000000) * 3600").as("h"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count()
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(r => r._1 -> r._3).toMap).toMap
+    val h0 = hourly.values.flatMap(_.keys).min
+    val h1 = hourly.values.flatMap(_.keys).max
+    val got = Events.interpolatedHourly(spark, dir)
+      .select("event_type", "hour_epoch", "src", "value_milli")
+      .as[(String, Long, String, Option[Long])].collect()
+    assert(got.length == hourly.size * (((h1 - h0) / 3600) + 1).toInt)
+    got.foreach { case (et, h, src, v) =>
+      val obs = hourly(et)
+      val prev = obs.keys.filter(_ <= h) match { case e if e.isEmpty => None case e => Some(e.max) }
+      val next = obs.keys.filter(_ >= h) match { case e if e.isEmpty => None case e => Some(e.min) }
+      obs.get(h) match {
+        case Some(n) =>
+          assert(src == "obs" && v.contains(n * 1000), s"$et@$h")
+        case None => (prev, next) match {
+          case (Some(hp), Some(hn)) =>
+            val exp = (obs(hp) * (hn - h) + obs(hn) * (h - hp)) * 1000 / (hn - hp)
+            assert(src == "interp" && v.contains(exp), s"$et@$h got $v expected $exp")
+          case _ => assert(src == "none" && v.isEmpty, s"$et@$h")
+        }
+      }
+    }
+    assert(got.exists(_._3 == "interp"), "fixture produced no gaps to interpolate")
+  }
+
   test("native session_window sessions equal the lag+cumsum sessions") {
     val viaLag = Events.sessionize(spark, dir)
       .select("user_id", "n_events", "start_us", "end_us")

@@ -134,6 +134,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-depth histogram: near-equal bucket counts, ordered boundaries") {
+    import spark.implicits._
+    val rows = Relational.orderValueEquidepth(spark, dir)
+      .select($"bucket", $"n_orders", $"lo", $"hi").as[(Long, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 8L))
+    val total = Tables.orders(spark, dir).count()
+    assert(rows.map(_._2).sum == total)
+    // ntile: counts differ by at most 1
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // boundaries are non-decreasing across buckets
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3 + 1e-9, s"bucket ${a._1} hi ${a._4} > bucket ${b._1} lo ${b._3}")
+    case _ => ()
+    }
+  }
+
   test("nation trade: pair matrix totals reconcile with the whole fact table") {
     import spark.implicits._
     val rows = Relational.nationTradeVolume(spark, dir)
