@@ -261,6 +261,10 @@ object SparkEntry {
     "rel_order_stats" -> ((s, dir) => Relational.orderStats(s, dir)),
     "rel_histogram" -> ((s, dir) => Relational.orderValueHistogram(s, dir)),
     "rel_equidepth" -> ((s, dir) => Relational.orderValueEquidepth(s, dir)),
+    "rel_null_semantics" -> ((s, dir) => Relational.nullSemantics(s, dir)),
+    // operational pass: fragment -> compact -> aggregate the compacted copy;
+    // oracle aggregates the original, so the rewrites are hash-gated
+    "source_compaction_roundtrip" -> ((s, dir) => Maintenance.compactionRoundtrip(s, dir)),
     // value-RANGE frame: 30-day trailing spend/count per order
     "rel_trailing_spend" -> ((s, dir) => Relational.trailingSpend(s, dir)),
     "rel_setops" -> ((s, dir) => Relational.customerSetOps(s, dir)),
@@ -922,6 +926,23 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
         |GROUP BY 1""".stripMargin,
+    // NULL group, null-skipping counts, and IS NOT DISTINCT FROM ≡ <=>
+    "rel_null_semantics" ->
+      """WITH n AS (SELECT nullif(o_orderstatus, 'O') AS status_n,
+        |  nullif(o_orderpriority, '1-URGENT') AS pri_n FROM orders)
+        |SELECT status_n, count(*) AS n_rows, count(pri_n) AS n_pri,
+        |  count(DISTINCT pri_n) AS n_distinct_pri,
+        |  CAST(sum(CASE WHEN status_n IS NOT DISTINCT FROM pri_n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nullsafe_eq,
+        |  CAST(sum(CASE WHEN status_n = pri_n THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq
+        |FROM n GROUP BY 1""".stripMargin,
+    // the oracle reads the ORIGINAL table: any row lost or duplicated by
+    // the fragment/compact rewrites breaks the hash
+    "source_compaction_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // ntile membership is deterministic (ORDER ends on the unique key), so
     // the data-driven boundaries hash-match
     "rel_equidepth" ->

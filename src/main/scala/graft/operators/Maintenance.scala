@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table-maintenance surface: the operational pass every long-lived 100 TB
+  * table needs that no query expresses — SMALL-FILE COMPACTION. Streaming
+  * sinks, frequent small batch appends, and over-partitioned writes leave
+  * thousands of KB-sized files; every later scan then pays per-file open
+  * cost and the driver pays per-file listing/planning cost. Compaction
+  * rewrites the data into size-targeted files — contents identical, layout
+  * economical. (Table formats run this as OPTIMIZE; for plain parquet it is
+  * an explicit rewrite job, exactly like [[Relational.upsertOrders]]'
+  * relationship to MERGE.)
+  */
+object Maintenance {
+
+  /** Rewrite `src` (a parquet file or directory) at `out` in
+    * `ceil(bytes / targetFileBytes)` files. The file count comes from the
+    * ACTUAL input byte size (Hadoop FS metadata — no data read), so the
+    * rewrite is one wide repartition job: at scale this is the off-peak
+    * maintenance pass, amortized over every subsequent scan. Returns the
+    * file count written. Round-robin repartition is correct here because
+    * compaction has no key contract — readers that need co-location use
+    * [[graft.sources.Tables.bucketedTable]] instead, which compacts per
+    * bucket by construction.
+    */
+  def compactParquet(spark: SparkSession, src: String, out: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(src)).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(src).repartition(nFiles)
+      .write.mode("overwrite").parquet(out)
+    nFiles
+  }
+
+  /** Count the data files of a parquet path (metadata only). */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isFile) 1
+    else fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** The compaction ROUNDTRIP query (driver-contract entry): fragment the
+    * documents table into 64 tiny files once (simulating a small-batch
+    * streaming sink), compact it once to size-targeted files, and aggregate
+    * the COMPACTED copy — the oracle aggregates the original table, so any
+    * row lost, duplicated, or corrupted by either rewrite breaks the hash.
+    * Both rewrites are export-once per source fingerprint.
+    */
+  def compactionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fragmented = graft.sources.Tables.exportOnce(
+      s"$dir/documents.parquet", "graft_frag_", p =>
+        spark.read.parquet(s"$dir/documents.parquet").repartition(64)
+          .write.mode("overwrite").parquet(p))
+    val compacted = graft.sources.Tables.exportOnce(
+      s"$dir/documents.parquet", "graft_compact_", p => {
+        compactParquet(spark, fragmented, p, targetFileBytes = 4L * 1024 * 1024)
+        ()
+      })
+    spark.read.parquet(compacted)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+}

@@ -193,6 +193,28 @@ object Relational {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_orders"))
 
+  /** NULL-semantics suite: ANSI null behavior pinned end to end on derived
+    * nullable columns (nullif) — NULL as a grouping key (its own group),
+    * count(col) vs count(*) (null-skipping), null-skipping DISTINCT
+    * counts, and NULL-SAFE equality (`<=>` ≡ IS NOT DISTINCT FROM, where
+    * NULL<=>NULL is TRUE, unlike `=`'s UNKNOWN). Engines disagree on these
+    * edges more than anywhere else in SQL; the hash gate makes the
+    * agreement explicit. Output per status group (incl. the NULL group):
+    * (status_n, n_rows, n_pri, n_distinct_pri, n_nullsafe_eq, n_plain_eq).
+    */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        nullif(col("o_orderstatus"), lit("O")).as("status_n"),
+        nullif(col("o_orderpriority"), lit("1-URGENT")).as("pri_n"))
+      .groupBy(col("status_n"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("pri_n")).as("n_pri"),
+        countDistinct(col("pri_n")).as("n_distinct_pri"),
+        sum(when(col("status_n") <=> col("pri_n"), 1L).otherwise(0L)).as("n_nullsafe_eq"),
+        sum(when(col("status_n") === col("pri_n"), 1L).otherwise(0L)).as("n_plain_eq"))
+
   /** EQUI-DEPTH histogram — [[orderValueHistogram]]'s fixed-width buckets
     * replaced by ntile quantile buckets (equal row counts, data-driven
     * boundaries): the summary an optimizer or data profiler keeps for a

@@ -137,6 +137,23 @@ class SourceSinkSpec extends AnyFunSuite {
       scan.contains("order_year"), s"no partition pruning in:\n$scan")
   }
 
+  test("compaction: fewer size-targeted files, identical relation") {
+    import graft.operators.Maintenance
+    val dir = Files.createTempDirectory("graft_compact_spec").toString
+    val src = s"$dir/frag"
+    val out = s"$dir/compact"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.repartition(32).write.parquet(src)
+    assert(Maintenance.dataFileCount(spark, src) == 32)
+    val written = Maintenance.compactParquet(spark, src, out, targetFileBytes = 1L * 1024 * 1024)
+    assert(Maintenance.dataFileCount(spark, out) == written && written < 32,
+      s"expected a compacted layout, got $written files")
+    // contents identical as multisets
+    val a = spark.read.parquet(src).collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("GraftExtensions registers SQL functions") {
     // getOrCreate would return the shared session; force a fresh one on the
     // same SparkContext so the extension hook actually runs.
