@@ -262,6 +262,8 @@ object SparkEntry {
     "rel_histogram" -> ((s, dir) => Relational.orderValueHistogram(s, dir)),
     "rel_equidepth" -> ((s, dir) => Relational.orderValueEquidepth(s, dir)),
     "rel_null_semantics" -> ((s, dir) => Relational.nullSemantics(s, dir)),
+    // the pre-join skew diagnostic: log2-bucketed group-size histogram
+    "rel_key_skew" -> ((s, dir) => Relational.joinKeySkew(s, dir)),
     // operational pass: fragment -> compact -> aggregate the compacted copy;
     // oracle aggregates the original, so the rewrites are hash-gated
     "source_compaction_roundtrip" -> ((s, dir) => Maintenance.compactionRoundtrip(s, dir)),
@@ -926,6 +928,12 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
         |GROUP BY 1""".stripMargin,
+    "rel_key_skew" ->
+      """WITH k AS (SELECT l_orderkey, count(*)::BIGINT AS n FROM lineitem GROUP BY 1)
+        |SELECT CAST(pow(2, floor(log2(n))) AS BIGINT) AS size_bucket_lo,
+        |  count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  max(n) AS max_key_rows
+        |FROM k GROUP BY 1""".stripMargin,
     // NULL group, null-skipping counts, and IS NOT DISTINCT FROM ≡ <=>
     "rel_null_semantics" ->
       """WITH n AS (SELECT nullif(o_orderstatus, 'O') AS status_n,

@@ -193,6 +193,22 @@ object Relational {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_orders"))
 
+  /** Join-key SKEW profile — the distribution diagnostic run before
+    * planning any big join: for a fact-side key, how many keys carry n
+    * rows (the group-size histogram), log2-bucketed so the tail is
+    * readable at any scale. A heavy head bucket says "salt this key or
+    * lean on AQE skew-join" ([[Scale.saltedJoin]]); the profile itself is
+    * two aggregations (per-key count — the same shuffle the join would do —
+    * then a log-bucket rollup over KEYS, which is far smaller than rows).
+    * Output: (size_bucket_lo, n_keys, n_rows, max_key_rows).
+    */
+  def joinKeySkew(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .groupBy(expr("CAST(pow(2, floor(log2(n))) AS BIGINT)").as("size_bucket_lo"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_key_rows"))
+
   /** NULL-semantics suite: ANSI null behavior pinned end to end on derived
     * nullable columns (nullif) — NULL as a grouping key (its own group),
     * count(col) vs count(*) (null-skipping), null-skipping DISTINCT

@@ -134,6 +134,19 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("key-skew profile: buckets partition keys and rows; bounds consistent") {
+    import spark.implicits._
+    val rows = Relational.joinKeySkew(spark, dir)
+      .select($"size_bucket_lo", $"n_keys", $"n_rows", $"max_key_rows")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._3).sum == Tables.lineitem(spark, dir).count())
+    assert(rows.map(_._2).sum ==
+      Tables.lineitem(spark, dir).select($"l_orderkey").distinct().count())
+    rows.foreach { case (lo, _, _, mx) =>
+      assert(mx >= lo && mx < lo * 2, s"max $mx outside [$lo, ${2 * lo})")
+    }
+  }
+
   test("equi-depth histogram: near-equal bucket counts, ordered boundaries") {
     import spark.implicits._
     val rows = Relational.orderValueEquidepth(spark, dir)
