@@ -524,6 +524,62 @@ object EmbeddingSearch {
       .where(col("rank") <= k)
   }
 
+  /** One (s, vec_id, v_s, nv) frame carrying every subspace slice — the
+    * joint frame PQ training/encoding runs over in single corpus passes.
+    */
+  private def slicedWithNorm(emb: DataFrame, m: Int, sub: Int): DataFrame =
+    emb.select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("v"), s * sub + 1, sub).as("v"))): _*)).as("e"))
+      .select(col("e.s").as("s"), col("vec_id"), col("e.v").as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+
+  /** [[kmeansAssign]] keyed by subspace: each s gets its own broadcast
+    * centroid array; the argmax rule (round(cosine,6) desc, lowest cl) is
+    * identical, so per-subspace assignments match training each codebook
+    * alone.
+    */
+  private def pqAssign(slN: DataFrame, cents: DataFrame): DataFrame = {
+    val centsArr = broadcast(cents.groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("cl"), col("cv"),
+        sqrt(dot(col("cv"), col("cv"))).as("ncv")))).as("cents")))
+    slN.join(centsArr, "s")
+      .withColumn("best", array_max(transform(col("cents"), c => {
+        val csim = when(col("nv") === 0.0 || c.getField("ncv") === 0.0, lit(0.0))
+          .otherwise(dot(col("v"), c.getField("cv")) / (col("nv") * c.getField("ncv")))
+        struct(round(csim, 6).as("csim"), (-c.getField("cl")).as("ncl"))
+      })))
+      .select(col("s"), col("vec_id"), col("v"), (-col("best").getField("ncl")).as("cl"))
+  }
+
+  /** Joint Lloyd over all m subspaces: seeds, assignment, and the
+    * decimal-exact mean update are [[trainKmeansIndex]]'s rules applied per
+    * (s, cl) group — each round is ONE pass over the joint sliced frame
+    * instead of m passes over m frames. Returns (s, cl, cv), m·ksub rows,
+    * eagerly checkpointed per round.
+    */
+  private[operators] def trainPqCodebooks(emb: DataFrame, m: Int, sub: Int,
+      ksub: Int, iters: Int): DataFrame = {
+    val sliced = slicedWithNorm(emb, m, sub)
+    val wSeed = Window.partitionBy("s").orderBy("vec_id")
+    var cents = sliced
+      .withColumn("rn", row_number().over(wSeed)).where(col("rn") <= ksub)
+      .select(col("s"), col("vec_id").cast("int").as("cl"), col("v").as("cv"))
+      .coalesce(1).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val means = pqAssign(sliced, cents)
+        .select(col("s"), col("cl"), transform(col("v"), x => round(x, 6)).as("rv"))
+        .groupBy(col("s"), col("cl"))
+        .agg(graft.functions.VectorMeanAggregator.vectorMean(col("rv")).as("cv"))
+      val prev = cents
+      cents = cents.select(col("s"), col("cl"), col("cv").as("cv_prev"))
+        .join(means, Seq("s", "cl"), "left")
+        .select(col("s"), col("cl"), coalesce(col("cv"), col("cv_prev")).as("cv"))
+        .coalesce(1).localCheckpoint()
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(prev)
+    }
+    cents
+  }
+
   /** PRODUCT-QUANTIZATION top-k (Jégou et al. '11, spherical variant):
     * vectors compress to `m` small cluster codes (one per dim-slice
     * subspace, codebooks trained by the same deterministic spherical
@@ -549,17 +605,21 @@ object EmbeddingSearch {
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val sub = dims / m
     def sliceS(c: Column, s: Int): Column = slice(c, s * sub + 1, sub)
-    // per-subspace codebooks + corpus codes; codes go WIDE (one column per
-    // subspace) so every downstream accumulation is fixed-order arithmetic
+    // JOINT training + encoding: all m subspaces ride one (s, vec_id, v_s)
+    // frame, so each Lloyd round is ONE corpus pass (not m) and encoding is
+    // one more — per-subspace results are bit-identical to training each
+    // codebook alone (same seeds, same assignment rule, same mean), which
+    // the per-subspace oracle replay checks. Codes go WIDE (one column per
+    // subspace) so every downstream accumulation is fixed-order arithmetic.
+    val cents = trainPqCodebooks(emb, m, sub, ksub, iters)
+    val codeCols = (0 until m).map(s => max(when(col("s") === s, col("cl"))).as(s"c$s"))
+    val codesWide = pqAssign(slicedWithNorm(emb, m, sub), cents)
+      .groupBy(col("vec_id"))
+      .agg(codeCols.head, codeCols.tail: _*)
     val pieces = (0 until m).map { s =>
-      val es = emb.select(col("vec_id"), sliceS(col("v"), s).as("v"))
-      val cent = trainKmeansIndex(es, nClusters = ksub, iters = iters)
-      val codes = kmeansAssign(withNorm(es), cent)
-        .select(col("vec_id"), col("cl").as(s"c$s"))
-      (cent.select(col("cl").as(s"cl$s"), col("cv").as(s"cv$s"),
-        dot(col("cv"), col("cv")).as(s"n2_$s")), codes)
+      cents.where(col("s") === s).select(col("cl").as(s"cl$s"),
+        col("cv").as(s"cv$s"), dot(col("cv"), col("cv")).as(s"n2_$s"))
     }
-    val codesWide = pieces.map(_._2).reduce(_.join(_, "vec_id"))
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         sqrt(dot(col("v"), col("v"))).as("nq"))
@@ -571,7 +631,7 @@ object EmbeddingSearch {
       val lutCols = Seq(col("query_id").as(qidName)) ++
         (if (s == 0) Seq(col("nq")) else Nil) ++ Seq(
         col(s"cl$s"), dot(sliceS(col("qv"), s), col(s"cv$s")).as(s"pd$s"), col(s"n2_$s"))
-      broadcast(q.crossJoin(broadcast(pieces(s)._1)).select(lutCols: _*))
+      broadcast(q.crossJoin(broadcast(pieces(s))).select(lutCols: _*))
     }
     var scored = codesWide.join(luts(0), codesWide(s"c0") === luts(0)(s"cl0"))
     for (s <- 1 until m)
