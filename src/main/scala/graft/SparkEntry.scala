@@ -295,6 +295,10 @@ object SparkEntry {
     "rel_pivot" -> ((s, dir) => Relational.ordersPivot(s, dir)),
     "corpus_clean" -> ((s, dir) =>
       TextAnalysis.cleanedCorpus(Tables.documents(s, dir))),
+    // the CAPSTONE composition: quality -> decontaminate -> keep-longest
+    // near-dup dedup -> per-source token budget, one lazy DAG
+    "corpus_curated" -> ((s, dir) =>
+      TextAnalysis.curatedCorpus(Tables.documents(s, dir))),
     // the FULL cleaning composition (Lee et al.'s dedup after quality
     // filtering): quality predicate → MinHash-LSH near-dup pairs among the
     // survivors → connected-components keep-first — quality cuts volume
@@ -499,7 +503,7 @@ object SparkEntry {
     * C4-style thresholds, shared by text_quality_filter and corpus_clean.
     */
   private val qualityCtes: String =
-    """t AS (SELECT doc_id, lang, text,
+    """t AS (SELECT doc_id, lang, source, text,
       |  len(string_split(text, ' '))::BIGINT AS n_tokens,
       |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens,
       |  length(text)::BIGINT AS n_chars FROM documents),
@@ -1117,6 +1121,52 @@ object SparkEntry {
          |FROM wj JOIN top ON wj.t = top.t
          |JOIN cells ON wj.j = cells.j AND wj.cell = cells.cell
          |GROUP BY 1, 2""".stripMargin,
+    // the full pipeline composition replayed stage for stage: quality
+    // rules, 5-gram decontamination vs RAW-doc eval grams, MinHash-LSH +
+    // recursive closure with the keep-longest window, id-ordered budgets
+    "corpus_curated" ->
+      s"""WITH RECURSIVE $qualityCtes,
+         |qf AS (SELECT doc_id, source, text FROM s WHERE $qualityPred),
+         |tokev AS (SELECT doc_id, string_split(text, ' ') AS w
+         |          FROM documents WHERE doc_id < 5),
+         |ev AS (SELECT DISTINCT unnest(list_transform(list_distinct(
+         |    list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])),
+         |  t -> ${duckHash("t")})) AS gram FROM tokev),
+         |tokc AS (SELECT doc_id, string_split(text, ' ') AS w FROM qf WHERE doc_id >= 5),
+         |shc AS (SELECT doc_id, list_distinct(
+         |    list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh5
+         |  FROM tokc),
+         |hits AS (SELECT x.doc_id, count(*) AS n FROM
+         |    (SELECT doc_id, unnest(list_transform(sh5, t -> ${duckHash("t")})) AS gram
+         |     FROM shc) x
+         |  JOIN ev USING (gram) GROUP BY 1),
+         |qd AS (SELECT qf.doc_id, qf.source, qf.text FROM qf LEFT JOIN hits USING (doc_id)
+         |       WHERE qf.doc_id >= 5 AND coalesce(hits.n, 0) = 0),
+         |${shingleCte(3, src = "qd")},
+         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |$minhashCandCtes,
+         |pairs AS (${verifyTail(0.7)}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY 1),
+         |cl AS (SELECT d.doc_id, d.source,
+         |    least(d.doc_id, coalesce(mn.m, d.doc_id)) AS cluster,
+         |    len(string_split(d.text, ' '))::BIGINT AS n_tokens
+         |  FROM qd d LEFT JOIN mn ON d.doc_id = mn.src),
+         |keep AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_tokens DESC, doc_id ASC) = 1 AS kept FROM cl),
+         |cum AS (SELECT doc_id, source, n_tokens,
+         |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+         |  FROM keep WHERE kept)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM cum
+         |WHERE cum_tokens <= 800""".stripMargin,
     // quality rules + LSH banding + recursive closure, all shared CTE
     // builders — the shingle CTEs run over the FILTERED docs, mirroring the
     // engine's quality-first order

@@ -245,6 +245,46 @@ object TextAnalysis {
         (col("cm_estimate") - col("exact_count")).as("overestimate"))
   }
 
+  /** The CAPSTONE curation pipeline — every pass a training-data build
+    * runs, composed as ONE lazy DAG in cost order (cheapest-first, each
+    * stage shrinking the next stage's input):
+    *
+    *   1. quality predicate (pure scan filter — the largest-volume cut),
+    *   2. benchmark decontamination (5-gram overlap vs the eval set =
+    *      RAW docs doc_id < 5 — benchmarks don't pass your quality bar,
+    *      so eval grams come from the unfiltered table; broadcast
+    *      intersect, map-side),
+    *   3. near-dup dedup with the KEEP-LONGEST policy (MinHash-LSH pairs →
+    *      connected components → longest member survives),
+    *   4. per-source token budgeting (id-ordered running sums).
+    *
+    * Output: the admitted corpus manifest
+    * (doc_id, source, n_tokens, cum_tokens). Every stage is individually
+    * oracled elsewhere; this entry hash-gates their COMPOSITION — stage
+    * ordering or interface drift breaks it even if each stage stays green.
+    */
+  def curatedCorpus(docs: DataFrame, tau: Double = 0.7, nEval: Int = 5,
+      budgetTokens: Long = 800L): DataFrame = {
+    val qf = docs.where(qualityPredicate(col("text")))
+    val evalGrams = broadcast(docs.where(col("doc_id") < nEval)
+      .select(explode(hashSet(shingleSet(col("text"), 5))).as("g"))
+      .agg(collect_set(col("g")).as("ev")))
+    val decont = qf.where(col("doc_id") >= nEval)
+      .crossJoin(evalGrams)
+      .where(size(array_intersect(hashSet(shingleSet(col("text"), 5)), col("ev"))) === 0)
+      .drop("ev")
+    val kept = graft.operators.Dedup
+      .dedupClustersKeepLongest(decont, graft.operators.Dedup.minhashLshPairs(decont, tau))
+      .where(col("kept"))
+      .join(decont.select(col("doc_id"), col("source")), "doc_id")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** TextRank (Mihalcea/Tarau '04) — weighted PageRank over the token
     * co-occurrence graph, the graph-centrality keyword extractor: nodes are
     * tokens, undirected edges are adjacent-token pairs with corpus count ≥

@@ -205,6 +205,35 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Set((10L, 1L, true), (11L, 0L, false)))
   }
 
+  test("curated corpus: admitted docs pass every stage's own predicate") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val admitted = graft.operators.TextAnalysis.curatedCorpus(docs)
+      .select($"doc_id".as[Long], $"source".as[String], $"n_tokens".as[Long],
+        $"cum_tokens".as[Long]).collect()
+    assert(admitted.nonEmpty)
+    val ids = admitted.map(_._1).toSet
+    // stage 1: every admitted doc passes the quality predicate
+    val quality = docs.where(
+      graft.operators.TextAnalysis.qualityPredicate(col("text")))
+      .select($"doc_id".as[Long]).collect().toSet
+    assert(ids.subsetOf(quality))
+    // stage 2: no admitted doc is flagged by standalone decontamination
+    val contaminated = graft.operators.TextAnalysis.decontaminate(docs)
+      .where($"contaminated")
+      .select($"doc_id".as[Long]).collect().toSet
+    assert(ids.intersect(contaminated).isEmpty)
+    // stage 4: per-source cumulative sums respect the budget and id order
+    admitted.groupBy(_._2).values.foreach { g =>
+      val inOrder = g.sortBy(_._1)
+      var cum = 0L
+      inOrder.foreach { case (_, _, n, c) =>
+        cum += n
+        assert(c == cum && c <= 800L)
+      }
+    }
+  }
+
   test("count-min sketch equals an independent model; estimates never undercount") {
     val dir = "/root/testdata/sf0.001"
     val texts = graft.sources.Tables.documents(spark, dir)
