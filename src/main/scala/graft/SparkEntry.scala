@@ -124,6 +124,12 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.dedupClusters(docs, Dedup.minhashLshPairs(docs, tau = 0.7))
     }),
+    // SimHash-fed clusters: the always-on cheap near-dup tier composed with
+    // the same connected-components keeper pass
+    "dedup_clusters_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupClusters(docs, Dedup.simhashPairs(docs))
+    }),
     // keep-policy surface: survive the LONGEST member of each dup cluster
     // (curation keeps the full doc, not whichever truncation came first)
     "dedup_clusters_best" -> ((s, dir) => {
@@ -1727,6 +1733,31 @@ object SparkEntry {
          |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
          |$minhashCandCtes,
          |pairs AS (${verifyTail(0.7)}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(mn.m, d.doc_id)) AS keeper,
+         |  d.doc_id = least(d.doc_id, coalesce(mn.m, d.doc_id)) AS kept
+         |FROM documents d LEFT JOIN mn ON d.doc_id = mn.src""".stripMargin,
+    // the simhash pair machinery + the same recursive closure
+    "dedup_clusters_simhash" ->
+      s"""WITH RECURSIVE ${shingleCte(3)},
+         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |hs AS (SELECT doc_id, list_transform(sh, t -> ${duckHash("t")}) AS hset FROM sets),
+         |fpt AS (SELECT doc_id, list_sum(list_transform(generate_series(0, 47), j ->
+         |  CASE WHEN list_sum(list_transform(hset,
+         |    h -> ((h*(2*j+3) + (999 + 7919*j)) % 2147483647 % 2) * 2 - 1)) > 0
+         |  THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS fp FROM hs),
+         |chunked AS (SELECT doc_id, fp, unnest(list_transform(generate_series(0, 3),
+         |  c -> c::VARCHAR || ':' || ((fp >> (c*12)) & 4095)::VARCHAR)) AS chunk FROM fpt),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(src, dst) AS (

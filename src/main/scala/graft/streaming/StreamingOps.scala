@@ -436,6 +436,22 @@ object StreamingOps {
       }
   }
 
+  /** [[graft.operators.Events.sessionizeNative]]'s formulation run as a
+    * STREAM — the reason that operator exists: `session_window` is the one
+    * sessionization Spark's engine merges and EVICTS natively (state for a
+    * session is dropped once the watermark passes its close, no custom
+    * state code). Append mode: a session emits when the watermark passes
+    * its end + gap. Input contract: (ts: timestamp, user_id).
+    */
+  def sessionizeNativeStream(events: DataFrame, gap: String = "1800000001 microseconds",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .select(col("user_id"), col("n_events"), col("start_ts"), col("end_ts"))
+
   case class HourBucket(hour: Long, n: Long)
   case class AnomalyState(open: Map[Long, Long], closed: List[HourBucket])
   case class AnomalyFlag(event_type: String, hour_epoch: Long, n_events: Long,

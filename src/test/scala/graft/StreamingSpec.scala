@@ -514,6 +514,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window stream: sessions close and evict past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    input.addData(
+      (ts("2024-01-01 00:00:00"), 7L),
+      (ts("2024-01-01 00:10:00"), 7L),
+      (ts("2024-01-01 00:05:00"), 8L))
+    val q = StreamingOps.sessionizeNativeStream(
+        input.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark hasn't passed the session ends yet — nothing emits
+      assert(spark.table("native_sessions").count() == 0)
+      // 3 hours later: watermark (max event time − 1h) clears both sessions
+      input.addData((ts("2024-01-01 03:00:00"), 9L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 03:00:01"), 9L)) // advance once more
+      q.processAllAvailable()
+      val got = spark.table("native_sessions")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toSet
+      assert(got == Set((7L, 2L), (8L, 1L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming anomaly detection flags the spike hour with the batch integer rule") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
