@@ -166,6 +166,9 @@ object SparkEntry {
       TextAnalysis.qualityStats(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir))),
+    // classifier evaluation: labeled-vs-predicted confusion with ppm shares
+    "text_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Tables.documents(s, dir))),
     "text_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "text_fingerprints" -> ((s, dir) =>
@@ -363,6 +366,8 @@ object SparkEntry {
     "events_sessions_native" -> ((s, dir) => Events.sessionizeNative(s, dir)),
     "events_json" -> ((s, dir) => Events.jsonStats(s, dir)),
     "events_retention" -> ((s, dir) => Events.weeklyRetention(s, dir)),
+    // sliding distinct counts via bounded fan-out equi-join
+    "events_dau_mau" -> ((s, dir) => Events.dauMau(s, dir)),
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
     "events_bursts" -> ((s, dir) => Events.bursts(s, dir)),
     // big-big interval join, binned into an equi-join + residual predicate
@@ -1338,6 +1343,17 @@ object SparkEntry {
         |  min(k) AS min_k, max(k) AS max_k,
         |  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
         |FROM e GROUP BY 1""".stripMargin,
+    // sliding DISTINCT via the bounded fan-out: a user-day pair keeps the
+    // user monthly-active for the 30 days it fans out to
+    "events_dau_mau" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+        |dau AS (SELECT d, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+        |f AS (SELECT du.user_id, dd.d2 FROM du,
+        |  LATERAL (SELECT unnest(generate_series(du.d, du.d + 29)) AS d2) dd),
+        |mau AS (SELECT d2 AS d, count(DISTINCT user_id)::BIGINT AS mau FROM f GROUP BY 1)
+        |SELECT (dau.d * 86400)::BIGINT AS day_epoch, dau.dau, mau.mau,
+        |  (dau.dau * 1000000 // mau.mau)::BIGINT AS stickiness_ppm
+        |FROM dau JOIN mau ON dau.d = mau.d""".stripMargin,
     "events_retention" ->
       """WITH w AS (SELECT DISTINCT epoch_us(ts) // 604800000000 AS wk, user_id FROM events)
         |SELECT a.wk * 604800 AS week_epoch,
@@ -1861,6 +1877,23 @@ object SparkEntry {
         |       WHEN es_hits >= fr_hits THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM sc""".stripMargin,
+    "text_lang_confusion" ->
+      """WITH tok AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_intersect(w, ['the','a','an','of','and','or','to','in','is','it']))::BIGINT AS en_hits,
+        |  len(list_intersect(w, ['el','la','de','y','o','en','es','un','una','que']))::BIGINT AS es_hits,
+        |  len(list_intersect(w, ['le','la','de','et','ou','en','est','un','une','que']))::BIGINT AS fr_hits
+        |  FROM tok),
+        |p AS (SELECT lang AS labeled_lang,
+        |  CASE WHEN greatest(en_hits, es_hits, fr_hits) = 0 THEN 'und'
+        |       WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN es_hits >= fr_hits THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |  FROM sc),
+        |m AS (SELECT labeled_lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2)
+        |SELECT labeled_lang, pred_lang, n_docs,
+        |  (n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY labeled_lang))::BIGINT AS row_ppm
+        |FROM m""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id,
         |  len(string_split(text, ' '))::BIGINT AS ws_tokens,

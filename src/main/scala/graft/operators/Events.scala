@@ -328,6 +328,28 @@ object Events {
           .as("retention_rate"))
   }
 
+  /** DAU / trailing-30-day MAU / stickiness — the engagement triple every
+    * product dashboard leads with. The trailing DISTINCT is the interesting
+    * scale problem (distinct counts don't merge across windows): activity
+    * reduces to DISTINCT (day, user) pairs first, then each pair fans out
+    * to the 30 future days it keeps the user "monthly-active" for — an
+    * EQUI-join shape with bounded fan-out (the binned-interval-join trick
+    * applied to sliding distinct counts), never a 30× rescan of raw events.
+    * Stickiness ships as integer ppm. Output:
+    * (day_epoch, dau, mau, stickiness_ppm).
+    */
+  def dauMau(spark: SparkSession, dir: String, windowDays: Int = 30): DataFrame = {
+    val du = events(spark, dir)
+      .select(expr("ts_us div 86400000000").as("d"), col("user_id")).distinct()
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val mau = du
+      .select(col("user_id"), explode(sequence(col("d"), col("d") + (windowDays - 1))).as("d2"))
+      .groupBy(col("d2").as("d")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "d")
+      .select((col("d") * 86400L).as("day_epoch"), col("dau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+  }
+
   /** Hour-of-day seasonality profile — the baseline table an anomaly rule
     * (e.g. [[bursts]]) graduates to once a corpus has enough history:
     * per (hour-of-day, event_type), the distribution of hourly counts

@@ -68,6 +68,21 @@ object TextAnalysis {
         .otherwise("fr").as("pred_lang"))
   }
 
+  /** Language-ID CONFUSION MATRIX — the evaluation loop for [[languageId]]:
+    * labeled vs predicted language with counts and per-cell recall share
+    * (integer ppm of the labeled row), the quality measurement run before
+    * trusting a heuristic classifier on a new corpus slice. One extra
+    * aggregation over [[languageId]]'s map-side scan. Output:
+    * (labeled_lang, pred_lang, n_docs, row_ppm).
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    languageId(docs)
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_ppm",
+        expr("n_docs * 1000000 div sum(n_docs) OVER (PARTITION BY labeled_lang)"))
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * (letter runs / digit runs / single other chars — the shape of a GPT-2
     * pre-tokenizer, minus unicode classes). Plus chars-per-token, the

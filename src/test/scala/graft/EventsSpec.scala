@@ -154,6 +154,25 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("dau/mau: trailing-window distinct equals a direct recount") {
+    import org.apache.spark.sql.functions._
+    val du = Events.events(spark, dir)
+      .select(expr("ts_us div 86400000000").as[Long], $"user_id".as[Long])
+      .distinct().collect()
+    val byDay = du.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Events.dauMau(spark, dir)
+      .select($"day_epoch".as[Long], $"dau".as[Long], $"mau".as[Long],
+        $"stickiness_ppm".as[Long]).collect()
+    assert(got.length == byDay.size)
+    got.foreach { case (ep, dau, mau, ppm) =>
+      val d = ep / 86400
+      assert(dau == byDay(d).size, s"day $d dau")
+      val expectedMau = (d - 29 to d).flatMap(byDay.get).flatten.toSet.size
+      assert(mau == expectedMau, s"day $d mau $mau != $expectedMau")
+      assert(mau >= dau && ppm == dau * 1000000 / mau)
+    }
+  }
+
   test("interpolation equals an independent two-sided neighbor model") {
     val hourly = Events.events(spark, dir)
       .groupBy(org.apache.spark.sql.functions.expr("(ts_us div 3600000000) * 3600").as("h"),
