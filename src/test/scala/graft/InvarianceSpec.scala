@@ -80,7 +80,14 @@ class InvarianceSpec extends AnyFunSuite {
       Dedup.dedupClustersKeepLongest(docs, Dedup.minhashLshPairs(docs, tau = 0.7))
     }),
     "events_anomaly" ->
-      ((s, d) => graft.operators.Events.anomalies(s, d, minObs = 4)))
+      ((s, d) => graft.operators.Events.anomalies(s, d, minObs = 4)),
+    // the capstone composition, the fan-out distinct, the global ntile
+    // order, and the joint PQ training must all be partition-stable
+    "corpus_curated" ->
+      ((s, d) => TextAnalysis.curatedCorpus(Tables.documents(s, d))),
+    "events_dau_mau" -> ((s, d) => graft.operators.Events.dauMau(s, d)),
+    "rel_equidepth" -> ((s, d) => Relational.orderValueEquidepth(s, d)),
+    "embed_knn_pq" -> ((s, d) => EmbeddingSearch.pqTopK(s, d, nQueries = 3)))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
