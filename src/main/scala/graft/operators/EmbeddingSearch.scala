@@ -604,14 +604,23 @@ object EmbeddingSearch {
     val dims = 64 // driver testdata contract (embeddings.parquet)
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val sub = dims / m
-    def sliceS(c: Column, s: Int): Column = slice(c, s * sub + 1, sub)
     // JOINT training + encoding: all m subspaces ride one (s, vec_id, v_s)
     // frame, so each Lloyd round is ONE corpus pass (not m) and encoding is
     // one more — per-subspace results are bit-identical to training each
     // codebook alone (same seeds, same assignment rule, same mean), which
-    // the per-subspace oracle replay checks. Codes go WIDE (one column per
-    // subspace) so every downstream accumulation is fixed-order arithmetic.
-    val cents = trainPqCodebooks(emb, m, sub, ksub, iters)
+    // the per-subspace oracle replay checks.
+    pqTopKWithCodebooks(emb, trainPqCodebooks(emb, m, sub, ksub, iters),
+      k, nQueries, m, sub)
+  }
+
+  /** The SERVE path of PQ train-once/serve-many: encode the corpus against
+    * loaded codebooks and score queries via the LUT sum. Codes go WIDE
+    * (one column per subspace) so every downstream accumulation is
+    * fixed-order arithmetic.
+    */
+  def pqTopKWithCodebooks(emb: DataFrame, cents: DataFrame, k: Int = 5,
+      nQueries: Int = 10, m: Int = 4, sub: Int = 16): DataFrame = {
+    def sliceS(c: Column, s: Int): Column = slice(c, s * sub + 1, sub)
     val codeCols = (0 until m).map(s => max(when(col("s") === s, col("cl"))).as(s"c$s"))
     val codesWide = pqAssign(slicedWithNorm(emb, m, sub), cents)
       .groupBy(col("vec_id"))
@@ -669,6 +678,34 @@ object EmbeddingSearch {
       .agg(count(lit(1)).as("n_exact"), count(col("v2")).as("n_hit"))
       .select(col("query_id"), col("n_exact"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
+  /** Persist / load the PQ codebooks — [[saveKmeansIndex]]'s discipline
+    * for the compressed-search index: m·ksub rows of (s, cl, cv),
+    * array<double> roundtripping bit-exactly through parquet, so serving
+    * from the loaded index is row-identical to fresh training
+    * (spec-asserted). At scale the CODES would persist beside the
+    * codebooks (they are the compressed corpus); here encoding is cheap
+    * enough to run at serve time and stays plan-visible.
+    */
+  def savePqIndex(cents: DataFrame, path: String): Unit =
+    cents.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadPqIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Train-or-load wrapper for PQ, mirroring [[kmeansTopKPersisted]]. */
+  def pqTopKPersisted(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10, m: Int = 4, ksub: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val sub = 64 / m
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")))
+      savePqIndex(trainPqCodebooks(emb, m, sub, ksub, iters), indexPath)
+    pqTopKWithCodebooks(emb, loadPqIndex(spark, indexPath), k, nQueries, m, sub)
   }
 
   /** Recall@k of the PQ path against the exact brute-force top-k — the

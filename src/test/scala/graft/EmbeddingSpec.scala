@@ -229,6 +229,23 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, "PQ results must be deterministic across runs")
   }
 
+  test("pq persisted index: serving from the loaded codebooks equals fresh training") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_pqidx").toString + "/idx"
+    val fresh = EmbeddingSearch.pqTopK(spark, dir, k = 5, nQueries = 3)
+      .select("query_id", "vec_id", "adc_cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val persisted = EmbeddingSearch.pqTopKPersisted(spark, dir, idx, k = 5, nQueries = 3)
+      .select("query_id", "vec_id", "adc_cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(persisted == fresh)
+    // second serve reads the index without retraining (file already exists)
+    val again = EmbeddingSearch.pqTopKPersisted(spark, dir, idx, k = 5, nQueries = 3)
+      .select("query_id", "vec_id", "adc_cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(again == fresh)
+  }
+
   test("vecDedupAgainst refuses a half-built or param-mismatched index") {
     val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
     val idx = java.nio.file.Files.createTempDirectory("graft_vecidx_guard").toString
