@@ -169,6 +169,9 @@ object SparkEntry {
     // classifier evaluation: labeled-vs-predicted confusion with ppm shares
     "text_lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
+    // vocabulary rank-frequency shape, log2-bucketed
+    "text_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfProfile(Tables.documents(s, dir))),
     "text_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "text_fingerprints" -> ((s, dir) =>
@@ -368,6 +371,8 @@ object SparkEntry {
     "events_retention" -> ((s, dir) => Events.weeklyRetention(s, dir)),
     // sliding distinct counts via bounded fan-out equi-join
     "events_dau_mau" -> ((s, dir) => Events.dauMau(s, dir)),
+    // conversion windows: each step within 1 day of the previous
+    "events_funnel_windowed" -> ((s, dir) => Events.funnelWindowed(s, dir)),
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
     "events_bursts" -> ((s, dir) => Events.bursts(s, dir)),
     // big-big interval join, binned into an equi-join + residual predicate
@@ -437,6 +442,8 @@ object SparkEntry {
         nClusters = nClusters, iters = iters, samplePct = samplePct)
     }),
     "embed_label_stats" -> ((s, dir) => EmbeddingSearch.labelStats(s, dir)),
+    // vector hygiene: zero/near-zero detection + exact norm² moments
+    "embed_norm_stats" -> ((s, dir) => EmbeddingSearch.normStats(s, dir)),
     // ANN index-quality report: per-cell size + mean/worst cosine-to-centroid
     "embed_centroid_quality" -> ((s, dir) => EmbeddingSearch.centroidQuality(s, dir)),
     // incremental dedup, embedding modality: first 4/5 of vectors play the
@@ -1415,6 +1422,31 @@ object SparkEntry {
         |SELECT '1_view' AS step, count(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', count(*) FROM c
         |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
+    "events_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > t1
+        |        AND ts_us <= t1 + 86400000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > t2
+        |        AND ts_us <= t2 + 86400000000 GROUP BY 1)
+        |SELECT '1_view' AS step, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click_1d', count(*) FROM c
+        |UNION ALL SELECT '3_purchase_1d', count(*) FROM p""".stripMargin,
+    // same sequential-fold norm² as every cosine oracle; per-row round(6)
+    // then DECIMAL sum keeps the rollup order-free
+    "embed_norm_stats" ->
+      s"""WITH e AS (SELECT label::BIGINT AS label,
+         |  list_reduce(list_transform(generate_series(1, len(embedding)),
+         |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS n2
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(sum(CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(sum(CASE WHEN n2 < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_tiny,
+         |  CAST(sum(CAST(round(n2, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_norm2,
+         |  round(max(n2), 6) AS max_norm2
+         |FROM e GROUP BY 1""".stripMargin,
     "embed_knn_brute" -> bruteKnnSql,
     "embed_knn_lsh" -> lshKnnSql,
     // recall@k of the LSH path vs the exact top-k — both pipelines nested
@@ -1894,6 +1926,13 @@ object SparkEntry {
         |SELECT labeled_lang, pred_lang, n_docs,
         |  (n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY labeled_lang))::BIGINT AS row_ppm
         |FROM m""".stripMargin,
+    "text_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |f AS (SELECT t, count(*)::BIGINT AS n FROM tok WHERE t <> '' GROUP BY 1)
+        |SELECT CAST(pow(2, floor(log2(n))) AS BIGINT) AS freq_bucket_lo,
+        |  count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  max(n) AS max_freq
+        |FROM f GROUP BY 1""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id,
         |  len(string_split(text, ' '))::BIGINT AS ws_tokens,

@@ -746,6 +746,28 @@ object EmbeddingSearch {
     kmeansTopKWithIndex(emb, loadKmeansIndex(spark, indexPath), k, nQueries, nprobe)
   }
 
+  /** Embedding-norm HYGIENE profile per label — the vector-quality check
+    * run before trusting any cosine machinery: zero and near-zero vectors
+    * (cosine degenerates on them), and exact decimal norm-squared moments.
+    * ‖v‖² comes from the same sequential-fold dot product every cosine in
+    * this file uses (bit-identical to the oracle's fold), per-row values
+    * round to 6 dp, and the cross-row SUM runs in DECIMAL — no
+    * order-dependent float accumulation anywhere, so the profile is
+    * hash-gated like everything else. One map-side scan + one aggregation.
+    * Output: (label, n_vecs, n_zero, n_tiny, sum_norm2, max_norm2).
+    */
+  def normStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        toDouble(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("n2") < 0.01, 1L).otherwise(0L)).as("n_tiny"),
+        sum(round(col("n2"), 6).cast("decimal(28,6)")).cast("double").as("sum_norm2"),
+        round(max(col("n2")), 6).as("max_norm2"))
+
   /** Per-label corpus stats: count and exact (decimal-summed, order-
     * independent) mean/min/max of vector L2 norms — the IVF-style partition
     * profile (label plays the coarse-centroid role on this synthetic data).

@@ -177,6 +177,33 @@ object Events {
         .select(lit("3_purchase").as("step"), col("n_users")))
   }
 
+  /** [[funnel]] with CONVERSION WINDOWS — each step counts only if it
+    * happens within `windowUs` of the user's previous step (the form
+    * product analytics actually reports: "clicked within a day of first
+    * view"). Same chained min-aggregation shape; the window bound rides
+    * the same time predicate, so the plan is identical and the frames
+    * still only shrink. Output: (step, n_users).
+    */
+  def funnelWindowed(spark: SparkSession, dir: String,
+      windowUs: Long = 86400000000L): DataFrame = {
+    val e = events(spark, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, "user_id")
+      .where(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + windowUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .where(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + windowUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("step"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click_1d").as("step"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase_1d").as("step"), col("n_users")))
+  }
+
   /** As-of join, Spark-native: for every purchase event, the user's most
     * recent click AT-OR-BEFORE it in (ts, event_id) order — the classic
     * time-series operator Spark lacks as a primitive (attribution,

@@ -68,6 +68,22 @@ object TextAnalysis {
         .otherwise("fr").as("pred_lang"))
   }
 
+  /** Zipf profile — the vocabulary's rank-frequency shape, log2-bucketed
+    * by token frequency: how many distinct types and how much token mass
+    * each frequency decade carries. The one-glance corpus statistic that
+    * says whether a corpus is natural text (heavy head, long tail),
+    * boilerplate-heavy (mass concentrated high), or synthetic. Two
+    * aggregations; the second runs over the VOCABULARY. Output:
+    * (freq_bucket_lo, n_types, n_tokens, max_freq).
+    */
+  def zipfProfile(docs: DataFrame): DataFrame =
+    docs.select(explode(tokenize(col("text"))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .groupBy(expr("CAST(pow(2, floor(log2(n))) AS BIGINT)").as("freq_bucket_lo"))
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_tokens"),
+        max(col("n")).as("max_freq"))
+
   /** Language-ID CONFUSION MATRIX — the evaluation loop for [[languageId]]:
     * labeled vs predicted language with counts and per-cell recall share
     * (integer ppm of the labeled row), the quality measurement run before
