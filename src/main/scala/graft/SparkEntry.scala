@@ -41,6 +41,10 @@ object SparkEntry {
     // — reference parity (SURVEY.md §2.1) —
     "book_query_ref" -> ((s, dir) =>
       BookQuery.referenceScores(Tables.documents(s, dir))),
+    // the flagship generalized to a query SET: one corpus scan scores all
+    // queries with per-query reference semantics
+    "book_query_batch" -> ((s, dir) =>
+      BookQuery.referenceScoresBatch(Tables.documents(s, dir))),
     "book_query_jaccard" -> ((s, dir) =>
       BookQuery.jaccardScores(Tables.documents(s, dir))),
     "book_query_topk" -> ((s, dir) =>
@@ -780,9 +784,34 @@ object SparkEntry {
        |    ELSE CAST(sum_shared AS DOUBLE) / (len + q_len - sum_shared) END, 6) AS score
        |FROM agg""".stripMargin
 
+  /** Batch-flagship oracle: the reference CTE chain with every stage keyed
+    * by query_id — per-query df and stop-shingle filter, exactly the
+    * standalone pipeline per query.
+    */
+  private def bookQueryBatchSql(nQueries: Int): String =
+    s"""WITH ${shingleCte(3)},
+       |q AS (SELECT doc_id AS query_id, sh AS q_sh, len(sh) AS q_len
+       |      FROM sh WHERE doc_id < $nQueries),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |inter AS (SELECT q.query_id, d.doc_id,
+       |    list_intersect(d.sh, q.q_sh) AS t, q.q_len
+       |  FROM sh d, q WHERE d.doc_id <> q.query_id),
+       |ex AS (SELECT query_id, doc_id, len(t) AS len, q_len, unnest(t) AS term
+       |       FROM inter WHERE len(t) > 0),
+       |df AS (SELECT query_id, term, count(*) AS df_nq FROM ex GROUP BY 1, 2),
+       |surv AS (SELECT ex.query_id, ex.doc_id, ex.len, ex.q_len FROM ex
+       |         JOIN df USING (query_id, term), nn WHERE df.df_nq <= nn.n - 2),
+       |agg AS (SELECT query_id, doc_id, len, q_len, count(*) AS sum_shared
+       |        FROM surv GROUP BY 1, 2, 3, 4)
+       |SELECT query_id, doc_id, len, CAST(sum_shared AS BIGINT) AS sum_shared,
+       |  round(CASE WHEN sum_shared = len + q_len THEN 1.0
+       |    ELSE CAST(sum_shared AS DOUBLE) / (len + q_len - sum_shared) END, 6) AS score
+       |FROM agg""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "book_query_batch" -> bookQueryBatchSql(3),
     "rel_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -94,6 +94,48 @@ object BookQuery {
         round(referenceScore(col("sum_shared"), col("len"), col("q_len")), 6).as("score"))
   }
 
+  /** BATCH scoring — the reference pipeline generalized from one query
+    * document to a query SET, amortizing the corpus scan the reference
+    * re-runs per query (its driver is invoked once per query document;
+    * BookQuery.java:176-208): every (corpus doc, query) pair scores with
+    * the EXACT per-query reference semantics — the df table and the
+    * df ≤ n−2 stop-shingle filter are computed per query over the docs
+    * that aren't it, so each query's scores equal a standalone
+    * [[referenceScoresFor]] run bit-for-bit (spec-asserted). Plan shape
+    * unchanged: queries ride as one ≤\|Q\|-row broadcast, the df table is
+    * (query × term)-bounded and broadcast back, and the same two
+    * exchanges carry keys widened by query_id — shuffle volume
+    * O(Σ_D Σ_q \|sh(D)∩sh(q)\|), the batch form of the reference's own
+    * bound. Output: (query_id, doc_id, len, sum_shared, score).
+    */
+  def referenceScoresBatch(docs: DataFrame, nQueries: Int = 3, k: Int = 3): DataFrame = {
+    val nRow = broadcast(docs.agg(count(lit(1)).as("__n")))
+    val queries = broadcast(docs.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), shingleSet(col("text"), k).as("q_sh"))
+      .withColumn("q_len", size(col("q_sh"))))
+    val ex = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+      .crossJoin(queries)
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("q_len"),
+        array_intersect(col("sh"), col("q_sh")).as("t"))
+      .withColumn("len", size(col("t")))
+      .where(col("len") > 0)
+      .select(col("query_id"), col("doc_id"), col("len"), col("q_len"),
+        explode(col("t")).as("term"))
+    val df = ex.groupBy("query_id", "term").agg(count(lit(1)).as("df_nq"))
+      .crossJoin(nRow)
+      .where(col("df_nq") <= col("__n") - 2)
+      .select(col("query_id"), col("term"))
+    ex.join(broadcast(df), Seq("query_id", "term"))
+      .groupBy("query_id", "doc_id", "len", "q_len")
+      .agg(count(lit(1)).as("sum_shared"))
+      .select(
+        col("query_id"), col("doc_id"),
+        col("len").cast("long").as("len"),
+        col("sum_shared"),
+        round(referenceScore(col("sum_shared"), col("len"), col("q_len")), 6).as("score"))
+  }
+
   /** sum/(len+qlen−sum), guard → 1.0 when denominator would be 0
     * (BookQuery.java:162-166).
     */

@@ -63,6 +63,22 @@ class BookQuerySpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 1L, 0.25))) // 1/(1+4-1)
   }
 
+  test("batch scoring equals a standalone reference run per query") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = BookQuery.referenceScoresBatch(docs, nQueries = 3)
+      .select("query_id", "doc_id", "len", "sum_shared", "score")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4, r._5)).toSet).toMap
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    for (q <- 0L to 2L) {
+      val solo = BookQuery.referenceScores(docs, queryDocId = q)
+        .select("doc_id", "len", "sum_shared", "score")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(batch(q) == solo,
+        s"query $q: missing=${solo -- batch(q)} extra=${batch(q) -- solo}")
+    }
+  }
+
   test("top-k ranks by score with doc_id tie-break") {
     val ranked = BookQuery.topK(BookQuery.referenceScores(corpus1), "score", 1)
       .select("doc_id").as[Long].collect()
