@@ -402,6 +402,9 @@ object SparkEntry {
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
     "embed_lsh_recall" -> ((s, dir) => EmbeddingSearch.lshRecall(s, dir)),
     "embed_pq_recall" -> ((s, dir) => EmbeddingSearch.pqRecall(s, dir)),
+    // multi-probe: Hamming-1 neighbor buckets probed at fixed index layout
+    "embed_knn_multiprobe" -> ((s, dir) => EmbeddingSearch.lshTopKMultiProbe(s, dir)),
+    "embed_multiprobe_recall" -> ((s, dir) => EmbeddingSearch.multiProbeRecall(s, dir)),
     // two-sided kNN JOIN (kNN-graph): every vector × its band-mates, no
     // broadcastable query side — the corpus-vs-corpus shuffle shape
     "embed_knn_join" -> ((s, dir) => EmbeddingSearch.knnJoin(s, dir)),
@@ -650,6 +653,33 @@ object SparkEntry {
        |  b::VARCHAR || ':' || array_to_string(list_transform(
        |    list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))) AS band FROM sig),
        |qb AS (SELECT vec_id AS query_id, v AS qv, band FROM bands WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT qb.query_id, c.vec_id, c.v, qb.qv
+       |         FROM bands c JOIN qb USING (band) WHERE c.vec_id <> qb.query_id),
+       |s AS (SELECT query_id, vec_id, round(${cosineSql("v", "qv")}, 6) AS cosine FROM cand),
+       |r AS (SELECT *, (row_number() OVER
+       |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** Multi-probe LSH k-NN: same index-side bands; the query side also
+    * probes every Hamming-1 band variant.
+    */
+  private val multiProbeKnnSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v, list_transform(generate_series(0, 15), p ->
+       |  CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
+       |    d -> v[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
+       |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
+       |  THEN 1 ELSE 0 END) AS sig FROM e),
+       |bands AS (SELECT vec_id, v, unnest(list_transform(generate_series(0, 3), b ->
+       |  b::VARCHAR || ':' || array_to_string(list_transform(
+       |    list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))) AS band FROM sig),
+       |qb AS (SELECT vec_id AS query_id, v AS qv,
+       |  unnest(flatten(list_transform(generate_series(0, 3), b ->
+       |    list_transform(generate_series(-1, 3), j ->
+       |      b::VARCHAR || ':' || array_to_string(list_transform(generate_series(0, 3), i ->
+       |        (CASE WHEN i = j THEN 1 - sig[(b*4+i+1)::INT] ELSE sig[(b*4+i+1)::INT] END)::VARCHAR),
+       |        ','))))) AS band
+       |  FROM sig WHERE vec_id < 10),
        |cand AS (SELECT DISTINCT qb.query_id, c.vec_id, c.v, qb.qv
        |         FROM bands c JOIN qb USING (band) WHERE c.vec_id <> qb.query_id),
        |s AS (SELECT query_id, vec_id, round(${cosineSql("v", "qv")}, 6) AS cosine FROM cand),
@@ -1478,6 +1508,15 @@ object SparkEntry {
          |FROM e GROUP BY 1""".stripMargin,
     "embed_knn_brute" -> bruteKnnSql,
     "embed_knn_lsh" -> lshKnnSql,
+    "embed_knn_multiprobe" -> multiProbeKnnSql,
+    "embed_multiprobe_recall" ->
+      s"""WITH br AS (SELECT query_id, vec_id FROM ($bruteKnnSql)),
+         |ap AS (SELECT query_id, vec_id FROM ($multiProbeKnnSql))
+         |SELECT br.query_id, count(*) AS n_exact,
+         |  count(ap.vec_id) AS n_hit,
+         |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
     // recall@k of the LSH path vs the exact top-k — both pipelines nested
     // verbatim, then joined; left join so missed neighbors count as misses
     "embed_lsh_recall" ->

@@ -95,6 +95,48 @@ object EmbeddingSearch {
       concat_ws(":", b.cast("string"),
         concat_ws(",", transform(slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)), _.cast("string")))))
 
+  /** MULTI-PROBE query keys (Lv et al. VLDB'07): per band, the base key
+    * plus `rowsPerBand` single-bit-flip variants — the query also probes
+    * every Hamming-1 neighbor bucket. Recall rises toward brute-force
+    * without touching the INDEX side (corpus bucketing unchanged —
+    * the memory/layout cost stays fixed; only query fan-out grows,
+    * (1+rowsPerBand)× keys per band). The standard trade against
+    * adding bands: more bands cost index space, more probes cost query
+    * candidates.
+    */
+  def lshMultiProbeKeys(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
+    flatten(transform(sequence(lit(0), lit(bands - 1)), b =>
+      transform(sequence(lit(-1), lit(rowsPerBand - 1)), j =>
+        concat_ws(":", b.cast("string"),
+          concat_ws(",", transform(sequence(lit(0), lit(rowsPerBand - 1)), i => {
+            val bit = element_at(sig, (b * rowsPerBand + i + 1).cast("int"))
+            when(i === j, lit(1) - bit).otherwise(bit).cast("string")
+          }))))))
+
+  /** [[lshTopK]] with multi-probe queries: identical index side, the query
+    * side explodes (1+rowsPerBand)·bands keys. Output shape unchanged.
+    */
+  def lshTopKMultiProbe(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val corpus = emb
+      .withColumn("bands", lshBandKeys(lshSignature(col("v"))))
+      .select(col("vec_id"), col("v"), explode(col("bands")).as("band"))
+    val queries = broadcast(emb.where(col("vec_id") < nQueries)
+      .withColumn("bands", lshMultiProbeKeys(lshSignature(col("v"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), explode(col("bands")).as("band")))
+    val cand = corpus.join(queries, "band")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("v"), col("qv"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("vec_id"),
+      round(cosine(col("v"), col("qv")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** ANN top-k: candidates share ≥1 of 4 LSH band keys with the query,
     * re-ranked by exact cosine. Same output shape as [[bruteForceTopK]]
     * (rank ≤ k within the candidate set).
@@ -671,6 +713,24 @@ object EmbeddingSearch {
     val exact = bruteForceTopK(spark, dir, k, nQueries)
       .select(col("query_id"), col("vec_id"))
     val approx = lshTopK(spark, dir, k, nQueries)
+      .select(col("query_id").as("q2"), col("vec_id").as("v2"))
+    exact.join(approx,
+        exact("query_id") === approx("q2") && exact("vec_id") === approx("v2"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("v2")).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
+  /** Recall@k of the multi-probe LSH path vs exact — measured beside
+    * [[lshRecall]], this quantifies what Hamming-1 probing buys at fixed
+    * index layout. Output: (query_id, n_exact, n_hit, recall).
+    */
+  def multiProbeRecall(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("vec_id"))
+    val approx = lshTopKMultiProbe(spark, dir, k, nQueries)
       .select(col("query_id").as("q2"), col("vec_id").as("v2"))
     exact.join(approx,
         exact("query_id") === approx("q2") && exact("vec_id") === approx("v2"), "left")

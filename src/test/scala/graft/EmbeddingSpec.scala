@@ -229,6 +229,21 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, "PQ results must be deterministic across runs")
   }
 
+  test("multi-probe LSH: recall dominates single-probe at every query") {
+    val dir = "/root/testdata/sf0.001"
+    val single = EmbeddingSearch.lshRecall(spark, dir, k = 5, nQueries = 5)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    val multi = EmbeddingSearch.multiProbeRecall(spark, dir, k = 5, nQueries = 5)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    assert(multi.keySet == single.keySet && multi.nonEmpty)
+    multi.foreach { case (q, r) =>
+      assert(r >= single(q), s"query $q: multi-probe $r < single ${single(q)}")
+    }
+    // the base band keys are a subset of the multi-probe keys (j = -1 row),
+    // so the probed bucket set strictly contains the single-probe one
+    assert(multi.values.sum >= single.values.sum)
+  }
+
   test("pq persisted index: serving from the loaded codebooks equals fresh training") {
     val dir = "/root/testdata/sf0.001"
     val idx = java.nio.file.Files.createTempDirectory("graft_pqidx").toString + "/idx"
