@@ -46,7 +46,9 @@ object ScaleBench {
     // the vocabulary-bounded sketch, the keep-policy cluster pass, and the
     // code-shuffling PQ search
     "simjoin_containment", "text_textrank", "text_countmin",
-    "dedup_clusters_best", "embed_knn_pq")
+    "dedup_clusters_best", "embed_knn_pq",
+    // the amortized batch flagship and the query-fan-out recall knob
+    "book_query_batch", "embed_knn_multiprobe")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"

@@ -87,7 +87,11 @@ class InvarianceSpec extends AnyFunSuite {
       ((s, d) => TextAnalysis.curatedCorpus(Tables.documents(s, d))),
     "events_dau_mau" -> ((s, d) => graft.operators.Events.dauMau(s, d)),
     "rel_equidepth" -> ((s, d) => Relational.orderValueEquidepth(s, d)),
-    "embed_knn_pq" -> ((s, d) => EmbeddingSearch.pqTopK(s, d, nQueries = 3)))
+    "embed_knn_pq" -> ((s, d) => EmbeddingSearch.pqTopK(s, d, nQueries = 3)),
+    "book_query_batch" ->
+      ((s, d) => graft.operators.BookQuery.referenceScoresBatch(Tables.documents(s, d))),
+    "embed_knn_multiprobe" ->
+      ((s, d) => EmbeddingSearch.lshTopKMultiProbe(s, d, nQueries = 3)))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
