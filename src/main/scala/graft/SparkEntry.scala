@@ -280,6 +280,8 @@ object SparkEntry {
     "rel_null_semantics" -> ((s, dir) => Relational.nullSemantics(s, dir)),
     // the pre-join skew diagnostic: log2-bucketed group-size histogram
     "rel_key_skew" -> ((s, dir) => Relational.joinKeySkew(s, dir)),
+    // SLA shape: exact integer day deltas across a fact-fact join
+    "rel_ship_delay" -> ((s, dir) => Relational.shippingDelay(s, dir)),
     // operational pass: fragment -> compact -> aggregate the compacted copy;
     // oracle aggregates the original, so the rewrites are hash-gated
     "source_compaction_roundtrip" -> ((s, dir) => Maintenance.compactionRoundtrip(s, dir)),
@@ -1009,6 +1011,16 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
         |GROUP BY 1""".stripMargin,
+    "rel_ship_delay" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |  date_diff('day', o_orderdate::DATE, l_shipdate::DATE)::BIGINT AS delay_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_items,
+        |  min(delay_days) AS min_days, max(delay_days) AS max_days,
+        |  CAST(sum(delay_days) * 1000 // count(*) AS BIGINT) AS avg_days_e3,
+        |  round(quantile_cont(delay_days, 0.5), 2) AS p50_days,
+        |  round(quantile_cont(delay_days, 0.95), 2) AS p95_days
+        |FROM d GROUP BY 1""".stripMargin,
     "rel_key_skew" ->
       """WITH k AS (SELECT l_orderkey, count(*)::BIGINT AS n FROM lineitem GROUP BY 1)
         |SELECT CAST(pow(2, floor(log2(n))) AS BIGINT) AS size_bucket_lo,

@@ -193,6 +193,34 @@ object Relational {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_orders"))
 
+  /** Shipping-delay distribution per order priority — the operational-SLA
+    * query shape: an exact integer DAY delta between two timestamps from
+    * DIFFERENT tables (lineitem ship vs. its order's date), rolled up with
+    * exact counts and interpolated percentiles. The join is the standard
+    * fact-fact orderkey join (strategy-free for AQE); day deltas are
+    * tz-free integer epoch-day arithmetic, so the histogram is bit-exact.
+    * Output: (o_orderpriority, n_items, min_days, max_days, avg_days_e3,
+    * p50_days, p95_days).
+    */
+  def shippingDelay(spark: SparkSession, dir: String): DataFrame = {
+    // TIMESTAMP_NTZ → DATE is a tz-free truncation (fixtures carry no
+    // time-of-day), so datediff gives the exact integer epoch-day delta.
+    val delta = expr(
+      "cast(datediff(cast(l_shipdate as date), cast(o_orderdate as date)) as bigint)")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), delta.as("delay_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        min(col("delay_days")).as("min_days"),
+        max(col("delay_days")).as("max_days"),
+        // milli-day mean as exact integer division of exact integer sums
+        expr("sum(delay_days) * 1000 div count(1)").as("avg_days_e3"),
+        round(expr("percentile(delay_days, 0.5)"), 2).as("p50_days"),
+        round(expr("percentile(delay_days, 0.95)"), 2).as("p95_days"))
+  }
+
   /** Join-key SKEW profile — the distribution diagnostic run before
     * planning any big join: for a fact-side key, how many keys carry n
     * rows (the group-size histogram), log2-bucketed so the tail is

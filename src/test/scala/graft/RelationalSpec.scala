@@ -147,6 +147,19 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("shipping delay: totals reconcile; order stats are consistent") {
+    import spark.implicits._
+    val rows = Relational.shippingDelay(spark, dir)
+      .select($"n_items", $"min_days", $"max_days", $"avg_days_e3", $"p50_days", $"p95_days")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).sum == Tables.lineitem(spark, dir).count())
+    rows.foreach { case (n, mn, mx, avgE3, p50, p95) =>
+      assert(n > 0 && mn <= mx)
+      assert(avgE3 >= mn * 1000 && avgE3 <= mx * 1000, s"mean $avgE3 outside [$mn,$mx] days")
+      assert(p50 >= mn && p50 <= p95 && p95 <= mx, s"percentiles $p50/$p95 out of order")
+    }
+  }
+
   test("equi-depth histogram: near-equal bucket counts, ordered boundaries") {
     import spark.implicits._
     val rows = Relational.orderValueEquidepth(spark, dir)
