@@ -198,6 +198,12 @@ object SparkEntry {
       TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     "text_decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    // the transitive tier: flagged set closed over near-dup edges via a
+    // Spark 4 recursive CTE (bounded hops; min-hop distance per doc).
+    // nEval=50 so the flagged set is benchmark-sized on this fixture; the
+    // multi-hop chain itself is pinned by the spec's paraphrase-chain corpus
+    "text_decontaminate_spread" -> ((s, dir) =>
+      TextAnalysis.contaminationSpread(Tables.documents(s, dir), nEval = 50)),
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringShared(Tables.documents(s, dir))),
     // — non-parquet sources under the driver's hash gate (the same
@@ -2081,6 +2087,42 @@ object SparkEntry {
          |  coalesce(hits.n, 0) > 0 AS contaminated
          |FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
          |LEFT JOIN hits USING (doc_id)""".stripMargin,
+    // seeds = decontaminate's flagged docs (5-gram hash overlap with the
+    // eval set), edges = symmetric verified LSH pairs among corpus docs,
+    // spread = the same bounded-hop UNION ALL recursion the engine runs
+    "text_decontaminate_spread" ->
+      s"""WITH RECURSIVE
+         |tokev AS (SELECT doc_id, string_split(text, ' ') AS w
+         |          FROM documents WHERE doc_id < 50),
+         |ev AS (SELECT DISTINCT unnest(list_transform(list_distinct(
+         |    list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])),
+         |  t -> ${duckHash("t")})) AS gram FROM tokev),
+         |tokc AS (SELECT doc_id, string_split(text, ' ') AS w
+         |         FROM documents WHERE doc_id >= 50),
+         |shc AS (SELECT doc_id, list_distinct(
+         |    list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh5
+         |  FROM tokc),
+         |seeds AS (SELECT DISTINCT x.doc_id FROM
+         |    (SELECT doc_id, unnest(list_transform(sh5, t -> ${duckHash("t")})) AS gram
+         |     FROM shc) x
+         |  JOIN ev USING (gram)),
+         |cd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+         |${shingleCte(3, src = "cd")},
+         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |$minhashCandCtes,
+         |pairs AS (${verifyTail(0.7)}),
+         |edges AS (SELECT doc_a, doc_b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |spread(doc_id, hops) AS (
+         |  SELECT doc_id, 0 FROM seeds
+         |  UNION ALL
+         |  SELECT e.doc_b, s.hops + 1
+         |  FROM spread s JOIN edges e ON e.doc_a = s.doc_id
+         |  WHERE s.hops < 3)
+         |SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops
+         |FROM spread GROUP BY doc_id""".stripMargin,
     "dedup_substring" ->
       s"""WITH ${shingleCte(10)},
          |ex AS (SELECT doc_id, unnest(list_transform(sh, t -> ${duckHash("t")})) AS h

@@ -566,6 +566,55 @@ object TextAnalysis {
         (coalesce(col("n"), lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** Contamination SPREAD — the transitive tier of decontamination: a doc
+    * that shares no n-gram with the benchmark but is a near-duplicate of a
+    * contaminated doc (or of a near-dup of one, …) still leaks eval signal
+    * through paraphrase chains, so hygiene flags the bounded-hop closure of
+    * the flagged set over the near-dup graph. Declared as a RECURSIVE CTE
+    * (Spark 4 `WITH RECURSIVE`): seeds are [[decontaminate]]'s flagged docs,
+    * edges the symmetric MinHash-LSH verified pairs among corpus docs, and
+    * each recursion step is one hop, engine-scheduled as an iterated join.
+    * Scale shape: the recursion depth is BOUNDED (`maxHops` joins total, no
+    * fixpoint risk), seeds are benchmark-overlap-sized (small), and the edge
+    * list is the already-sub-quadratic LSH pair output — the per-hop work is
+    * a seeds-sized-side join, not a corpus scan. For the UNBOUNDED closure
+    * use [[Dedup.dedupClusters]] (pointer-halving fixpoint, O(log d)
+    * rounds); the CTE form is the interactive bounded-hop audit query.
+    * Output: (doc_id, hops) — every reachable doc with its minimum hop
+    * count (0 = directly contaminated).
+    */
+  def contaminationSpread(docs: DataFrame, tau: Double = 0.7, maxHops: Int = 3,
+      k: Int = 5, nEval: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val seeds = decontaminate(docs, k, nEval)
+      .where(col("contaminated")).select(col("doc_id"))
+    val pairs = Dedup.minhashLshPairs(docs.where(col("doc_id") >= nEval), tau)
+      .select(col("doc_a"), col("doc_b"))
+    // EAGER checkpoint before the loop (same discipline as dedupClusters):
+    // the recursive term re-evaluates its plan every hop, so without this
+    // the whole LSH pair pipeline — shingle, minhash, band, verify — would
+    // re-run maxHops+1 times; checkpointed, each hop joins the (small)
+    // materialized edge list. Both directions from one pass over pairs.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+      .localCheckpoint()
+    seeds.createOrReplaceTempView("graft_spread_seeds")
+    edges.createOrReplaceTempView("graft_spread_edges")
+    spark.sql(
+      s"""WITH RECURSIVE spread(doc_id, hops) AS (
+         |  SELECT doc_id, 0 FROM graft_spread_seeds
+         |  UNION ALL
+         |  SELECT e.doc_b, s.hops + 1
+         |  FROM spread s JOIN graft_spread_edges e ON e.doc_a = s.doc_id
+         |  WHERE s.hops < $maxHops
+         |)
+         |SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops
+         |FROM spread GROUP BY doc_id""".stripMargin)
+  }
+
   /** Deterministic source-mixing resample — the data-mixing pass that
     * rebalances a multi-source corpus toward target proportions (web 10%,
     * books 100%, …): each source keeps the fraction in `weights` via the

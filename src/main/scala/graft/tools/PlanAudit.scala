@@ -60,7 +60,11 @@ object PlanAudit {
         "regressions (new shuffle, lost broadcast, cartesian in a pair emitter,\n" +
         "split codegen span) surface as git diffs. BNLJ entries are the\n" +
         "REVIEWED broadcast-small-side cross joins (1-row query/centroid/eval\n" +
-        "sets); anything new appearing there needs a justification.\n\n" +
+        "sets); anything new appearing there needs a justification.\n" +
+        "Recursive-CTE queries (UnionLoop) keep their loop body as a nested\n" +
+        "logical plan the counters can't traverse — their scan/exchange cells\n" +
+        "undercount; review those plans via explain (the spread operator's\n" +
+        "loop body is one join against an eagerly-checkpointed edge list).\n\n" +
         header.mkString("\n") + "\n" + body.mkString("\n") + "\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), doc)
     println(s"[plan-audit] wrote ${rows.size} rows to $outFile")

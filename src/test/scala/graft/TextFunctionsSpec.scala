@@ -205,6 +205,28 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Set((10L, 1L, true), (11L, 0L, false)))
   }
 
+  test("contamination spread walks the paraphrase chain to minimum hops") {
+    // Sliding 100-token windows over one token stream, stride 10: adjacent
+    // windows share 90 tokens (3-shingle J = 88/108 ~ 0.81 >= 0.7), windows
+    // two apart share 80 (J ~ 0.66 < 0.7) — so the near-dup graph is the
+    // PATH 10-11-12-13, no shortcuts. Doc 10 overlaps eval doc 0's tokens
+    // (shared 5-grams -> seed); 11/12/13 share nothing with doc 0 directly.
+    val t = (0 until 230).map(i => s"tok$i")
+    def window(lo: Int) = t.slice(lo, lo + 100).mkString(" ")
+    val docs = Seq(
+      (0L, window(0)),      // eval doc: tokens 0..99
+      (10L, window(90)),    // shares grams 90..99 with eval -> hop 0
+      (11L, window(100)),   // near-dup of 10, no eval overlap -> hop 1
+      (12L, window(110)),   // -> hop 2
+      (13L, window(120)),   // -> hop 3
+      (14L, window(130)))   // hop 4 > maxHops -> excluded
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .contaminationSpread(docs, tau = 0.7, maxHops = 3, nEval = 5)
+      .select("doc_id", "hops").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 0L, 11L -> 1L, 12L -> 2L, 13L -> 3L))
+  }
+
   test("curated corpus: admitted docs pass every stage's own predicate") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, dir)
