@@ -48,7 +48,10 @@ object ScaleBench {
     "simjoin_containment", "text_textrank", "text_countmin",
     "dedup_clusters_best", "embed_knn_pq",
     // the amortized batch flagship and the query-fan-out recall knob
-    "book_query_batch", "embed_knn_multiprobe")
+    "book_query_batch", "embed_knn_multiprobe",
+    // bounded-hop recursive CTE: seeds stay benchmark-sized (replica 0
+    // only), edges grow with the corpus — serve cost at fixed seed load
+    "text_decontaminate_spread")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"
@@ -88,6 +91,9 @@ object ScaleBench {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_scale")
     val ks = args.lift(2).getOrElse("4,16").split(",").map(_.trim.toInt).toSeq
+    // optional 4th arg: run only these comma-separated family members
+    // (incremental re-measurement after adding an operator to the family)
+    val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val spark = SparkSession.builder()
@@ -105,7 +111,7 @@ object ScaleBench {
     // larger corpus (64 planes, 8 bands of 8 bits = 256 band values vs the
     // entry default's 16) — the parameter-scaling rule lshBandKeys
     // documents, measured side by side with the fixed-width default
-    val fns = family.map(n => n -> graft.SparkEntry.queries(n)) :+
+    val allFns = family.map(n => n -> graft.SparkEntry.queries(n)) :+
       ("dedup_embedding_wide" -> ((s: SparkSession, d: String) =>
         graft.operators.EmbeddingSearch.cosineNearDupPairsFor(
           graft.sources.Tables.embeddings(s, d), tau = 0.4, nPlanes = 64, bands = 8))) :+
@@ -113,6 +119,7 @@ object ScaleBench {
       // default 16-value bands hit the identical occupancy cliff
       ("embed_knn_join_wide" -> ((s: SparkSession, d: String) =>
         graft.operators.EmbeddingSearch.knnJoin(s, d, nPlanes = 64, bands = 8)))
+    val fns = only.fold(allFns)(o => allFns.filter(f => o(f._1)))
     for ((k, dir) <- dirs) {
       val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       var rows = 0L
