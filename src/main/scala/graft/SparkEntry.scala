@@ -291,6 +291,9 @@ object SparkEntry {
     // operational pass: fragment -> compact -> aggregate the compacted copy;
     // oracle aggregates the original, so the rewrites are hash-gated
     "source_compaction_roundtrip" -> ((s, dir) => Maintenance.compactionRoundtrip(s, dir)),
+    // writers upgrade mid-stream: two on-disk schemas reconciled by one
+    // mergeSchema scan; oracle replays the split from the original table
+    "source_schema_evolution" -> ((s, dir) => Maintenance.schemaEvolutionRoundtrip(s, dir)),
     // value-RANGE frame: 30-day trailing spend/count per order
     "rel_trailing_spend" -> ((s, dir) => Relational.trailingSpend(s, dir)),
     "rel_setops" -> ((s, dir) => Relational.customerSetOps(s, dir)),
@@ -1045,6 +1048,11 @@ object SparkEntry {
         |FROM n GROUP BY 1""".stripMargin,
     // the oracle reads the ORIGINAL table: any row lost or duplicated by
     // the fragment/compact rewrites breaks the hash
+    "source_schema_evolution" ->
+      """SELECT CASE WHEN c_custkey % 2 = 0 THEN -1 ELSE c_nationkey END AS nation_group,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer GROUP BY 1""".stripMargin,
     "source_compaction_roundtrip" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -68,4 +68,40 @@ object Maintenance {
         sum(col("n_chars").cast("long")).as("sum_chars"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
   }
+
+  /** Schema-evolution ROUNDTRIP (driver-contract entry) — the other
+    * operational reality of a long-lived table: writers upgrade mid-stream,
+    * so batches on disk carry DIFFERENT schemas and readers must reconcile
+    * them. Layout written once per source fingerprint: `batch=0` holds the
+    * pre-migration schema (custkey, acctbal), `batch=1` the post-migration
+    * one (adds nationkey) — the standard partitioned-directory evolution
+    * shape. The read side is one `mergeSchema` scan: partition discovery
+    * unions the footers, pre-migration rows surface nationkey as NULL, and
+    * the aggregate groups on the NULL-bucketed key so every reconciliation
+    * path lands in the result. The oracle replays the split from the
+    * original table, so a row dropped, duplicated, or mis-NULLed by either
+    * writer or by the merge breaks the hash. Scale shape: footer merging is
+    * metadata work on the DRIVER listing, not a data pass; the scan itself
+    * stays one linear read with pruning intact.
+    */
+  def schemaEvolutionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val evolved = graft.sources.Tables.exportOnce(
+      s"$dir/customer.parquet", "graft_schevo_", p => {
+        val cust = spark.read.parquet(s"$dir/customer.parquet")
+        cust.where(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_acctbal"))
+          .write.mode("overwrite").parquet(s"$p/batch=0")
+        cust.where(col("c_custkey") % 2 =!= 0)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+          .write.mode("overwrite").parquet(s"$p/batch=1")
+        // the export-once marker only after BOTH batches landed
+        new java.io.File(p, "_SUCCESS").createNewFile()
+        ()
+      })
+    spark.read.option("mergeSchema", "true").parquet(evolved)
+      .groupBy(coalesce(col("c_nationkey"), lit(-1)).as("nation_group"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+  }
 }

@@ -154,6 +154,22 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("schema evolution: mergeSchema reconciles pre/post-migration batches") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val merged = graft.operators.Maintenance.schemaEvolutionRoundtrip(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    // every customer lands exactly once: group counts reconcile to the table
+    val total = merged.agg(sum(col("n_customers"))).collect()(0).getLong(0)
+    assert(total == cust.count())
+    // the pre-migration batch (even custkeys) surfaces as the NULL bucket
+    val nullBucket = merged.where(col("nation_group") === -1)
+      .select(col("n_customers")).collect()(0).getLong(0)
+    assert(nullBucket == cust.where(col("c_custkey") % 2 === 0).count())
+    // post-migration groups carry real nation keys only
+    assert(merged.where(col("nation_group") < -1).count() == 0)
+  }
+
   test("GraftExtensions registers SQL functions") {
     // getOrCreate would return the shared session; force a fresh one on the
     // same SparkContext so the extension hook actually runs.
