@@ -339,6 +339,10 @@ object SparkEntry {
     }),
     "text_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
+    // concat-and-chunk sequence packing: per-source prefix sums place every
+    // doc into fixed 512-token training sequences (spans included)
+    "corpus_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir))),
     // weighted Bernoulli sample (importance sampling by token count) —
     // the token-mass-preserving downsample; zero-shuffle map predicate
     "corpus_weighted_sample" -> ((s, dir) =>
@@ -2061,6 +2065,19 @@ object SparkEntry {
          |   OR (source = 'src1' AND bucket < 6000)
          |   OR (source = 'src2' AND bucket < 3000)
          |   OR (source = 'src3' AND bucket < 1000)""".stripMargin,
+    // same prefix-sum arithmetic: exclusive running token sum per source,
+    // integer division places each doc's first/last training sequence
+    "corpus_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT *,
+        |  (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS UNBOUNDED PRECEDING))::BIGINT - n_tokens AS start_tok
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, source, n_tokens, start_tok,
+        |  start_tok // 512 AS seq_first,
+        |  (start_tok + n_tokens - 1) // 512 AS seq_last
+        |FROM c""".stripMargin,
     "corpus_budget" ->
       """WITH t AS (SELECT doc_id, source,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

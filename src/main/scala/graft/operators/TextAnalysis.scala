@@ -686,6 +686,35 @@ object TextAnalysis {
       .where(col("cum_tokens") <= budgetPerBucket)
   }
 
+  /** Sequence PACKING — the layout pass between a curated corpus and a
+    * training run: documents are concatenated in deterministic doc_id order
+    * per source and chunked into fixed `seqLen`-token training sequences
+    * (GPT-style concat-and-chunk: documents MAY span a boundary; the
+    * alternative — non-splitting bin packing — trades waste for a serial
+    * packer and is not the pretraining default). Each doc's placement is
+    * pure prefix-sum arithmetic: start offset = exclusive running token
+    * sum, first/last sequence = integer division by `seqLen` — so the
+    * entire pass is one per-source window, no shuffle beyond it, and the
+    * result is reproducible under any partitioning. Scale shape: windows
+    * partition by SOURCE (parallel across sources); a giant source is the
+    * same hot-partition case [[tokenBudgetBucketed]] documents — bucket
+    * first, pack per bucket. Output: (doc_id, source, n_tokens, start_tok,
+    * seq_first, seq_last) with seq ids source-local.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long = 512): DataFrame = {
+    require(seqLen >= 1, "packSequences needs a positive sequence length")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokenize(col("text"))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $seqLen").as("seq_first"),
+        expr(s"(start_tok + n_tokens - 1) div $seqLen").as("seq_last"))
+  }
+
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)), deterministic
     * tie-break on rounded score then term. One df aggregation (term-keyed
     * shuffle) + one doc-keyed window. Output:

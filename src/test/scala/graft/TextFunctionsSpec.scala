@@ -205,6 +205,33 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Set((10L, 1L, true), (11L, 0L, false)))
   }
 
+  test("sequence packing: contiguous per-source layout, exact span math") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val L = 512L
+    val got = graft.operators.TextAnalysis.packSequences(docs, seqLen = L)
+      .select("doc_id", "source", "n_tokens", "start_tok", "seq_first", "seq_last")
+      .as[(Long, String, Long, Long, Long, Long)]
+      .collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._2).values.foreach { g =>
+      val inOrder = g.sortBy(_._1)
+      // contiguous: each doc starts exactly where the previous one ended
+      inOrder.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._3 == b._4,
+          s"gap between ${a._1} and ${b._1}")
+        case _ => ()
+      }
+      inOrder.foreach { case (_, _, n, start, first, last) =>
+        assert(first == start / L && last == (start + n - 1) / L)
+        // spanning docs really cross a boundary; non-spanning ones fit
+        if (last > first) assert((start + n - 1) / L > start / L)
+      }
+      // some sequence holds more than one doc (packing actually packs)
+      assert(inOrder.groupBy(_._5).values.exists(_.length > 1))
+    }
+  }
+
   test("contamination spread walks the paraphrase chain to minimum hops") {
     // Sliding 100-token windows over one token stream, stride 10: adjacent
     // windows share 90 tokens (3-shingle J = 88/108 ~ 0.81 >= 0.7), windows
