@@ -51,7 +51,10 @@ object ScaleBench {
     "book_query_batch", "embed_knn_multiprobe",
     // bounded-hop recursive CTE: seeds stay benchmark-sized (replica 0
     // only), edges grow with the corpus — serve cost at fixed seed load
-    "text_decontaminate_spread")
+    "text_decontaminate_spread",
+    // per-source window: sources don't multiply with volume, so this is
+    // the measured form of the documented hot-partition growth case
+    "corpus_pack")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"
