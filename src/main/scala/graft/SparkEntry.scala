@@ -294,6 +294,9 @@ object SparkEntry {
     // writers upgrade mid-stream: two on-disk schemas reconciled by one
     // mergeSchema scan; oracle replays the split from the original table
     "source_schema_evolution" -> ((s, dir) => Maintenance.schemaEvolutionRoundtrip(s, dir)),
+    // partition expiry as directory deletes (metadata-cost retention);
+    // oracle replays the day cutoff as a WHERE over the flat table
+    "source_retention_roundtrip" -> ((s, dir) => Maintenance.retentionRoundtrip(s, dir)),
     // value-RANGE frame: 30-day trailing spend/count per order
     "rel_trailing_spend" -> ((s, dir) => Relational.trailingSpend(s, dir)),
     "rel_setops" -> ((s, dir) => Relational.customerSetOps(s, dir)),
@@ -1052,6 +1055,15 @@ object SparkEntry {
         |FROM n GROUP BY 1""".stripMargin,
     // the oracle reads the ORIGINAL table: any row lost or duplicated by
     // the fragment/compact rewrites breaks the hash
+    "source_retention_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(epoch_us(ts) // 86400000000) AS min_day,
+        |  max(epoch_us(ts) // 86400000000) AS max_day,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE epoch_us(ts) // 86400000000 >= 19740
+        |GROUP BY 1""".stripMargin,
     "source_schema_evolution" ->
       """SELECT CASE WHEN c_custkey % 2 = 0 THEN -1 ELSE c_nationkey END AS nation_group,
         |  count(*) AS n_customers,

@@ -104,4 +104,49 @@ object Maintenance {
       .agg(count(lit(1)).as("n_customers"),
         sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
   }
+
+  /** Retention ROUNDTRIP (driver-contract entry) — partition EXPIRY, the
+    * maintenance op that keeps an append-forever event table finite:
+    * day-partitioned layout, days older than the cutoff dropped by deleting
+    * their partition DIRECTORIES — a filesystem metadata pass (one delete
+    * per expired day), never a rewrite or scan of surviving data. That is
+    * the entire point at 100 TB: retention cost scales with the number of
+    * expired partitions, not with table bytes. The aggregate then runs over
+    * what the reader discovers on disk, and the oracle replays the cutoff
+    * as a WHERE over the flat table — a partition dropped too eagerly, kept
+    * too long, or half-deleted breaks the hash. The fixture's `_SUCCESS`
+    * marker is removed before the expiry pass and re-created after it, so
+    * a crash mid-retention re-runs the writer instead of serving a
+    * half-expired layout (same crash-repair discipline as the dedup
+    * index's `_DONE` tag).
+    */
+  def retentionRoundtrip(spark: SparkSession, dir: String,
+      cutoffDay: Long = 19740L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val retained = graft.sources.Tables.exportOnce(
+      s"$dir/events.parquet", "graft_retain_", p => {
+        Events.events(spark, dir)
+          .withColumn("event_day", expr("ts_us div 86400000000"))
+          .write.partitionBy("event_day").parquet(p)
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        fs.delete(marker, false)
+        fs.listStatus(path).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("event_day=") &&
+              name.stripPrefix("event_day=").toLong < cutoffDay)
+            fs.delete(st.getPath, true)
+        }
+        fs.create(marker).close()
+        ()
+      })
+    spark.read.parquet(retained)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min(col("event_day").cast("long")).as("min_day"),
+        max(col("event_day").cast("long")).as("max_day"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
 }

@@ -170,6 +170,28 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(merged.where(col("nation_group") < -1).count() == 0)
   }
 
+  test("retention: expired day directories are gone, survivors intact") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val cutoff = 19740L
+    val agg = graft.operators.Maintenance.retentionRoundtrip(spark, dir, cutoff)
+    // nothing older than the cutoff survives the read
+    val minDay = agg.agg(min(col("min_day"))).collect()(0).getLong(0)
+    assert(minDay >= cutoff)
+    // row counts reconcile with the flat table's cutoff filter
+    val total = agg.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    val expected = graft.operators.Events.events(spark, dir)
+      .where(expr("ts_us div 86400000000") >= cutoff).count()
+    assert(total == expected && total > 0)
+    // the layout itself: every surviving partition directory is >= cutoff
+    val fixture = graft.sources.Tables.exportOnce(
+      s"$dir/events.parquet", "graft_retain_", _ => fail("fixture missing"))
+    val days = new java.io.File(fixture).listFiles()
+      .filter(_.getName.startsWith("event_day="))
+      .map(_.getName.stripPrefix("event_day=").toLong)
+    assert(days.nonEmpty && days.forall(_ >= cutoff))
+  }
+
   test("GraftExtensions registers SQL functions") {
     // getOrCreate would return the shared session; force a fresh one on the
     // same SparkContext so the extension hook actually runs.
