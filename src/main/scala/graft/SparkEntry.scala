@@ -346,6 +346,10 @@ object SparkEntry {
     // doc into fixed 512-token training sequences (spans included)
     "corpus_pack" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir))),
+    // content-hash train/val/test assignment: identical texts can never
+    // straddle splits; zero-shuffle map projection
+    "corpus_split" -> ((s, dir) =>
+      TextAnalysis.trainValTestSplit(Tables.documents(s, dir))),
     // weighted Bernoulli sample (importance sampling by token count) —
     // the token-mass-preserving downsample; zero-shuffle map predicate
     "corpus_weighted_sample" -> ((s, dir) =>
@@ -2077,6 +2081,14 @@ object SparkEntry {
          |   OR (source = 'src1' AND bucket < 6000)
          |   OR (source = 'src2' AND bucket < 3000)
          |   OR (source = 'src3' AND bucket < 1000)""".stripMargin,
+    "corpus_split" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |  ${duckHash("text")} % 10000 AS bucket FROM documents)
+         |SELECT doc_id, source, bucket,
+         |  CASE WHEN bucket < 9000 THEN 'train'
+         |       WHEN bucket < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
     // same prefix-sum arithmetic: exclusive running token sum per source,
     // integer division places each doc's first/last training sequence
     "corpus_pack" ->

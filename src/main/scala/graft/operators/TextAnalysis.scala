@@ -167,6 +167,28 @@ object TextAnalysis {
         (portableHash31(col("text")) % 100L).as("bucket"))
       .where(col("bucket") < percent)
 
+  /** Train/val/test SPLIT — the assignment every supervised pipeline makes
+    * once and must never get wrong: split membership is decided by the
+    * portable CONTENT hash bucketed out of 10000, which buys the property a
+    * row-number or random split cannot give at any scale — byte-identical
+    * documents land in the SAME split by construction, so exact duplicates
+    * can never straddle train and test (the classic silent leak; near-dups
+    * still need [[decontaminate]]/[[graft.operators.Dedup]]). Pure map-side
+    * projection: zero shuffles, reproducible across engines, runs, and
+    * partitionings, and rebalancing sources later never reassigns a doc.
+    * Output: (doc_id, source, bucket, split).
+    */
+  def trainValTestSplit(docs: DataFrame, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "split percentages must leave room for a test share")
+    val bucket = portableHash31(col("text")) % 10000L
+    docs.select(col("doc_id"), col("source"), bucket.as("bucket"),
+      when(bucket < trainPct * 100L, "train")
+        .when(bucket < (trainPct + valPct) * 100L, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Deterministic WEIGHTED Bernoulli sample — importance sampling by
     * length: each document survives with probability min(1, n_tokens/cap)
     * decided by the portable content hash (hash mod cap < n_tokens), so

@@ -205,6 +205,30 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Set((10L, 1L, true), (11L, 0L, false)))
   }
 
+  test("train/val/test split: duplicates can't straddle; shares are sane") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val split = graft.operators.TextAnalysis.trainValTestSplit(docs)
+    // identical texts always share a split (the leakage-free property):
+    // join assignments back to text and check one split per distinct text
+    val perText = docs.select(col("doc_id"), col("text"))
+      .join(split.select("doc_id", "split"), "doc_id")
+      .groupBy(col("text")).agg(countDistinct(col("split")).as("n_splits"))
+    assert(perText.where(col("n_splits") > 1).count() == 0)
+    // every doc assigned exactly once; all three labels present-ish
+    assert(split.count() == docs.count())
+    val shares = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(shares.keySet.subsetOf(Set("train", "val", "test")))
+    assert(shares("train") > shares.getOrElse("val", 0L))
+    // synthetic straddle check: two byte-identical docs, different ids
+    val dup = Seq((1L, "same text twice", "a"), (2L, "same text twice", "b"))
+      .toDF("doc_id", "text", "source")
+    val dupSplits = graft.operators.TextAnalysis.trainValTestSplit(dup)
+      .select("split").distinct().count()
+    assert(dupSplits == 1)
+  }
+
   test("sequence packing: contiguous per-source layout, exact span math") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, dir)
