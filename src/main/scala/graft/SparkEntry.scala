@@ -297,6 +297,9 @@ object SparkEntry {
     // partition expiry as directory deletes (metadata-cost retention);
     // oracle replays the day cutoff as a WHERE over the flat table
     "source_retention_roundtrip" -> ((s, dir) => Maintenance.retentionRoundtrip(s, dir)),
+    // read-around-damage: one garbage parquet member rejected at planning,
+    // intact files aggregated; oracle aggregates the original table
+    "source_corruption_tolerance" -> ((s, dir) => Maintenance.corruptionToleranceRoundtrip(s, dir)),
     // value-RANGE frame: 30-day trailing spend/count per order
     "rel_trailing_spend" -> ((s, dir) => Relational.trailingSpend(s, dir)),
     "rel_setops" -> ((s, dir) => Relational.customerSetOps(s, dir)),
@@ -1059,6 +1062,11 @@ object SparkEntry {
         |FROM n GROUP BY 1""".stripMargin,
     // the oracle reads the ORIGINAL table: any row lost or duplicated by
     // the fragment/compact rewrites breaks the hash
+    "source_corruption_tolerance" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM customer GROUP BY 1""".stripMargin,
     "source_retention_roundtrip" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

@@ -105,6 +105,40 @@ object Maintenance {
         sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
   }
 
+  /** Corruption-tolerance ROUNDTRIP (driver-contract entry) — the failure
+    * mode a 100 TB table WILL hit: a truncated upload, a bit-rotted block,
+    * a writer killed mid-file. Default reader behavior is the right one
+    * (fail loudly); the OPERATIONAL page is reading around the damage to
+    * keep serving while the bad file is re-ingested — Spark's
+    * `ignoreCorruptFiles`, scoped HERE to one read, never set globally
+    * (a global flag silently eats data loss forever). Fixture: the intact
+    * customer batch plus one garbage `.parquet` alongside it, written once;
+    * the footer probe rejects the garbage file at planning time, the scan
+    * reads only intact files, and the oracle aggregates the original
+    * table — so a dropped good row or a half-parsed bad one breaks the
+    * hash. Per-file decision, embarrassingly parallel, no data pass beyond
+    * the scan itself.
+    */
+  def corruptionToleranceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val mixed = graft.sources.Tables.exportOnce(
+      s"$dir/customer.parquet", "graft_corrupt_", p => {
+        spark.read.parquet(s"$dir/customer.parquet")
+          .write.mode("overwrite").parquet(p)
+        // one garbage member: parquet magic absent, footer unreadable
+        val bad = new java.io.FileOutputStream(
+          new java.io.File(p, "part-corrupt.parquet"))
+        bad.write(Array.tabulate[Byte](4096)(i => (i * 31 + 7).toByte))
+        bad.close()
+        ()
+      })
+    spark.read.option("ignoreCorruptFiles", "true").parquet(mixed)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"),
+        min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+  }
+
   /** Retention ROUNDTRIP (driver-contract entry) — partition EXPIRY, the
     * maintenance op that keeps an append-forever event table finite:
     * day-partitioned layout, days older than the cutoff dropped by deleting

@@ -170,6 +170,23 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(merged.where(col("nation_group") < -1).count() == 0)
   }
 
+  test("corruption tolerance: default read fails loudly, scoped read recovers") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val agg = graft.operators.Maintenance.corruptionToleranceRoundtrip(spark, dir)
+    val total = agg.agg(sum(col("n_customers"))).collect()(0).getLong(0)
+    assert(total == Tables.customer(spark, dir).count())
+    // the fixture really contains the garbage member...
+    val fixture = graft.sources.Tables.exportOnce(
+      s"$dir/customer.parquet", "graft_corrupt_", _ => fail("fixture missing"))
+    assert(new java.io.File(fixture, "part-corrupt.parquet").exists())
+    // ...and the DEFAULT (unscoped) read refuses to silently skip it
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(fixture).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("retention: expired day directories are gone, survivors intact") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
