@@ -353,6 +353,10 @@ object SparkEntry {
     // straddle splits; zero-shuffle map projection
     "corpus_split" -> ((s, dir) =>
       TextAnalysis.trainValTestSplit(Tables.documents(s, dir))),
+    // packing's hot-partition fix: per-(source, content-hash-bucket)
+    // windows, parallelism scales with nBuckets
+    "corpus_pack_bucketed" -> ((s, dir) =>
+      TextAnalysis.packSequencesBucketed(Tables.documents(s, dir))),
     // weighted Bernoulli sample (importance sampling by token count) —
     // the token-mass-preserving downsample; zero-shuffle map predicate
     "corpus_weighted_sample" -> ((s, dir) =>
@@ -2097,6 +2101,18 @@ object SparkEntry {
          |       WHEN bucket < 9500 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin,
+    "corpus_pack_bucketed" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  ${duckHash("text")} % 8 AS bucket,
+         |  len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+         |c AS (SELECT *,
+         |  (sum(n_tokens) OVER (PARTITION BY source, bucket ORDER BY doc_id
+         |   ROWS UNBOUNDED PRECEDING))::BIGINT - n_tokens AS start_tok
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, source, bucket, n_tokens, start_tok,
+         |  start_tok // 512 AS seq_first,
+         |  (start_tok + n_tokens - 1) // 512 AS seq_last
+         |FROM c""".stripMargin,
     // same prefix-sum arithmetic: exclusive running token sum per source,
     // integer division places each doc's first/last training sequence
     "corpus_pack" ->

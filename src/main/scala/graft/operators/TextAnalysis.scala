@@ -737,6 +737,34 @@ object TextAnalysis {
         expr(s"(start_tok + n_tokens - 1) div $seqLen").as("seq_last"))
   }
 
+  /** [[packSequences]]'s deployment shape at one-giant-source scale: the
+    * corpus is split into `nBuckets` deterministic content-hash buckets per
+    * source and each (source, bucket) packs its own independent sequence
+    * stream — window parallelism scales with `nBuckets` exactly as in
+    * [[tokenBudgetBucketed]], at the cost of per-bucket sequence id spaces
+    * (training shards are independent anyway, so bucket-local ids are the
+    * natural unit). `nBuckets = 1` degenerates to [[packSequences]] modulo
+    * the extra bucket column (spec-asserted). Output: (doc_id, source,
+    * bucket, n_tokens, start_tok, seq_first, seq_last).
+    */
+  def packSequencesBucketed(docs: DataFrame, seqLen: Long = 512,
+      nBuckets: Int = 8): DataFrame = {
+    require(seqLen >= 1, "packSequencesBucketed needs a positive sequence length")
+    require(nBuckets >= 1, "packSequencesBucketed needs at least one bucket")
+    val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        pmod(portableHash31(col("text")), lit(nBuckets.toLong)).as("bucket"),
+        size(tokenize(col("text"))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("n_tokens"),
+        col("start_tok"),
+        expr(s"start_tok div $seqLen").as("seq_first"),
+        expr(s"(start_tok + n_tokens - 1) div $seqLen").as("seq_last"))
+  }
+
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)), deterministic
     * tie-break on rounded score then term. One df aggregation (term-keyed
     * shuffle) + one doc-keyed window. Output:

@@ -256,6 +256,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed packing: nBuckets=1 is the plain packer; buckets spread work") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val plain = graft.operators.TextAnalysis.packSequences(docs)
+      .select("doc_id", "source", "n_tokens", "start_tok", "seq_first", "seq_last")
+      .as[(Long, String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val one = graft.operators.TextAnalysis.packSequencesBucketed(docs, nBuckets = 1)
+      .select("doc_id", "source", "n_tokens", "start_tok", "seq_first", "seq_last")
+      .as[(Long, String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(one == plain)
+    // with 8 buckets, a source's docs spread across >1 window partition
+    // and each bucket's layout is itself contiguous
+    val b8 = graft.operators.TextAnalysis.packSequencesBucketed(docs, nBuckets = 8)
+      .select("doc_id", "source", "bucket", "n_tokens", "start_tok")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(b8.map(_._3).distinct.length > 1, "giant source not split across buckets")
+    b8.groupBy(r => (r._2, r._3)).values.foreach { g =>
+      val inOrder = g.sortBy(_._1)
+      assert(inOrder.head._5 == 0L)
+      inOrder.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._4 == b._5)
+        case _ => ()
+      }
+    }
+  }
+
   test("contamination spread walks the paraphrase chain to minimum hops") {
     // Sliding 100-token windows over one token stream, stride 10: adjacent
     // windows share 90 tokens (3-shingle J = 88/108 ~ 0.81 >= 0.7), windows
