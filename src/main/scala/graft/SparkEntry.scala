@@ -404,6 +404,9 @@ object SparkEntry {
     "events_retention" -> ((s, dir) => Events.weeklyRetention(s, dir)),
     // sliding distinct counts via bounded fan-out equi-join
     "events_dau_mau" -> ((s, dir) => Events.dauMau(s, dir)),
+    // non-additive reaggregation: daily HLL sketch partials, weekly served
+    // via union-merge; exact twin + 5% gate in the result
+    "events_distinct_reagg" -> ((s, dir) => Events.distinctReagg(s, dir)),
     // conversion windows: each step within 1 day of the previous
     "events_funnel_windowed" -> ((s, dir) => Events.funnelWindowed(s, dir)),
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
@@ -1478,6 +1481,13 @@ object SparkEntry {
         |SELECT (dau.d * 86400)::BIGINT AS day_epoch, dau.dau, mau.mau,
         |  (dau.dau * 1000000 // mau.mau)::BIGINT AS stickiness_ppm
         |FROM dau JOIN mau ON dau.d = mau.d""".stripMargin,
+    // accuracy-gate discipline: oracle pins the exact weekly distinct and
+    // asserts the engine's sketch-vs-exact tolerance boolean is TRUE
+    "events_distinct_reagg" ->
+      """SELECT epoch_us(ts) // 86400000000 // 7 AS week,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS users_within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
     "events_retention" ->
       """WITH w AS (SELECT DISTINCT epoch_us(ts) // 604800000000 AS wk, user_id FROM events)
         |SELECT a.wk * 604800 AS week_epoch,

@@ -377,6 +377,37 @@ object Events {
         expr("dau * 1000000 div mau").as("stickiness_ppm"))
   }
 
+  /** Mergeable-sketch REAGGREGATION — the at-scale answer to "distinct
+    * users per week/month" when the raw events are too big to rescan per
+    * question: distinct counts are NON-additive, so the maintained daily
+    * table stores an HLL SKETCH partial per day (Spark's DataSketches
+    * `hll_sketch_agg`), and any coarser period is `hll_union_agg` over the
+    * days it covers — same aggregate-once/serve-many shape as
+    * [[graft.streaming.StreamingOps.maintainDailyAggregates]], extended to
+    * the one aggregate that can't be summed. Verification is the
+    * accuracy-gate discipline of `rel_approx_bounds`: the entry emits the
+    * EXACT weekly distinct (oracle-checkable) plus a sketch-vs-exact
+    * tolerance boolean the oracle asserts TRUE — a sketch drift past 5%
+    * breaks the gate deterministically. Output:
+    * (week, exact_users, users_within_5pct).
+    */
+  def distinctReagg(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+    // the maintained table: one sketch partial per day
+    val daily = e.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    // served question: weekly distinct = union of that week's partials
+    val weekly = daily.groupBy(expr("day div 7").as("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+    val exact = e.groupBy(expr("day div 7").as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    weekly.join(exact, "week")
+      .select(col("week"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("users_within_5pct"))
+  }
+
   /** Hour-of-day seasonality profile — the baseline table an anomaly rule
     * (e.g. [[bursts]]) graduates to once a corpus has enough history:
     * per (hour-of-day, event_type), the distribution of hourly counts

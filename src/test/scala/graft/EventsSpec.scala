@@ -236,4 +236,27 @@ class EventsSpec extends AnyFunSuite {
       .select("min_k", "max_k").as[(Long, Long)].collect()
     s.foreach { case (mn, mx) => assert(mn >= 0 && mx <= 99) }
   }
+
+  test("sketch reagg: daily-union estimate equals the one-shot weekly sketch") {
+    import org.apache.spark.sql.functions._
+    // the mergeability contract the maintained-table pattern rests on:
+    // union of per-day partials must estimate EXACTLY what a single sketch
+    // built over the whole week estimates (DataSketches unions are exact
+    // over sketch state, not approximately compatible)
+    val e = Events.events(spark, dir)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+    val viaDays = e.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy(expr("day div 7").as("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val oneShot = e.groupBy(expr("day div 7").as("week"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+    val a = viaDays.select("week", "est").as[(Long, Long)].collect().toMap
+    val b = oneShot.select("week", "est").as[(Long, Long)].collect().toMap
+    assert(a.nonEmpty && a == b)
+    // and the registered entry's gate holds
+    val gate = Events.distinctReagg(spark, dir)
+      .select($"users_within_5pct".as[Boolean]).collect()
+    assert(gate.nonEmpty && gate.forall(identity))
+  }
 }
