@@ -300,6 +300,9 @@ object SparkEntry {
     // read-around-damage: one garbage parquet member rejected at planning,
     // intact files aggregated; oracle aggregates the original table
     "source_corruption_tolerance" -> ((s, dir) => Maintenance.corruptionToleranceRoundtrip(s, dir)),
+    // multi-column data-skipping layout: bit-interleaved z-value, range
+    // partitioned; layout-invariant aggregate under the hash gate
+    "source_zorder_roundtrip" -> ((s, dir) => Maintenance.zorderRoundtrip(s, dir)),
     // value-RANGE frame: 30-day trailing spend/count per order
     "rel_trailing_spend" -> ((s, dir) => Relational.trailingSpend(s, dir)),
     "rel_setops" -> ((s, dir) => Relational.customerSetOps(s, dir)),
@@ -1069,6 +1072,13 @@ object SparkEntry {
         |FROM n GROUP BY 1""".stripMargin,
     // the oracle reads the ORIGINAL table: any row lost or duplicated by
     // the fragment/compact rewrites breaks the hash
+    "source_zorder_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(epoch_us(ts) // 86400000000) AS min_day,
+        |  max(epoch_us(ts) // 86400000000) AS max_day,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
     "source_corruption_tolerance" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,

@@ -105,6 +105,69 @@ object Maintenance {
         sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
   }
 
+  /** Z-ORDER clustering write — the multi-column data-skipping layout
+    * (Delta/Iceberg's OPTIMIZE ZORDER for plain parquet): each clustering
+    * column is linearly normalized to a 16-bit code (min/max are two
+    * metadata-scale scalars), the codes are BIT-INTERLEAVED into one
+    * z-value, and the table is range-partitioned and sorted by it. Rows
+    * close in z are close in BOTH columns, so every output file covers a
+    * small (colA, colB) bounding box and a predicate on EITHER column — or
+    * both — prunes by file min/max stats. A single-column sort gives
+    * perfect skipping on that column and none on the other; z-order trades
+    * a little of the first for real skipping on all clustering columns
+    * (measured in the spec: candidate files for a day-range predicate,
+    * z-layout vs user-sorted layout, on identical file counts). One wide
+    * range-exchange write job, off-peak maintenance like [[compactParquet]].
+    */
+  def zorderWrite(df: DataFrame, colA: String, colB: String, out: String,
+      nFiles: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    require(nFiles >= 1, "zorderWrite needs a positive file count")
+    val Array(loA, hiA, loB, hiB) = df
+      .agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+        min(col(colB)).cast("long"), max(col(colB)).cast("long"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    def code(c: String, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else (col(c).cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)
+    def interleave(a: Column, b: Column): Column =
+      (0 until 16).map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+    df.withColumn("_z",
+        interleave(code(colA, loA, hiA).cast("long"), code(colB, loB, hiB).cast("long")))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  /** The z-order ROUNDTRIP (driver-contract entry): events clustered by
+    * (user_id, event day), aggregate over the clustered copy — layout
+    * changes WHERE rows live, never WHAT they are, so the oracle aggregates
+    * the flat table. The skipping benefit itself is the spec's assertion
+    * (file-level bounding boxes), not the hash gate's.
+    */
+  def zorderRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val clustered = graft.sources.Tables.exportOnce(
+      s"$dir/events.parquet", "graft_zorder_", p => {
+        zorderWrite(
+          Events.events(spark, dir)
+            .withColumn("event_day", expr("ts_us div 86400000000")),
+          "user_id", "event_day", p)
+        ()
+      })
+    spark.read.parquet(clustered)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_day")).as("min_day"), max(col("event_day")).as("max_day"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
   /** Corruption-tolerance ROUNDTRIP (driver-contract entry) — the failure
     * mode a 100 TB table WILL hit: a truncated upload, a bit-rotted block,
     * a writer killed mid-file. Default reader behavior is the right one

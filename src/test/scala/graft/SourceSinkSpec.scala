@@ -170,6 +170,37 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(merged.where(col("nation_group") < -1).count() == 0)
   }
 
+  test("z-order: day predicates prune files a user-only sort cannot") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Events, Maintenance}
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_zspec").toString
+    val ev = Events.events(spark, dir)
+      .withColumn("event_day", expr("ts_us div 86400000000"))
+    Maintenance.zorderWrite(ev, "user_id", "event_day", s"$tmp/z", nFiles = 16)
+    ev.repartitionByRange(16, col("user_id")).sortWithinPartitions("user_id")
+      .write.parquet(s"$tmp/u")
+    // candidate files = files whose day bounding box intersects the
+    // predicate (what file-stats skipping keeps)
+    def candidates(path: String, lo: Long, hi: Long): Int =
+      new java.io.File(path).listFiles
+        .filter(_.getName.endsWith(".parquet")).count { f =>
+          val mm = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("event_day")), max(col("event_day"))).collect()(0)
+          mm.getLong(0) <= hi && mm.getLong(1) >= lo
+        }
+    val (lo, hi) = (19730L, 19736L) // one-week predicate
+    val zc = candidates(s"$tmp/z", lo, hi)
+    val uc = candidates(s"$tmp/u", lo, hi)
+    assert(zc < uc, s"z-order candidates $zc not fewer than user-sort's $uc")
+    // layout is a permutation: both copies hold exactly the same rows
+    val a = spark.read.parquet(s"$tmp/z").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    val b = spark.read.parquet(s"$tmp/u").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("corruption tolerance: default read fails loudly, scoped read recovers") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
