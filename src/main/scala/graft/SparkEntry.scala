@@ -348,6 +348,10 @@ object SparkEntry {
     }),
     "text_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
+    // the flagship's query shape under Okapi BM25 ranking; fixed-order
+    // score folds keep the doubles hash-gated
+    "text_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopDocs(Tables.documents(s, dir))),
     // concat-and-chunk sequence packing: per-source prefix sums place every
     // doc into fixed 512-token training sequences (spans included)
     "corpus_pack" -> ((s, dir) =>
@@ -2113,6 +2117,34 @@ object SparkEntry {
          |   OR (source = 'src1' AND bucket < 6000)
          |   OR (source = 'src2' AND bucket < 3000)
          |   OR (source = 'src3' AND bucket < 1000)""".stripMargin,
+    // BM25 mirrored term by term: same tf/df/len tables, same double
+    // literals and operation order, same term-sorted left fold, round(6)
+    "text_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS len_sum FROM lens),
+        |q AS (SELECT DISTINCT term FROM tf WHERE doc_id = 0),
+        |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        |        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+        |pt AS (SELECT tf.doc_id, tf.term, tf.tf, lens.dl, dft.df, stats.n, stats.len_sum
+        |       FROM tf JOIN dft USING (term)
+        |       JOIN lens ON tf.doc_id = lens.doc_id, stats
+        |       WHERE tf.doc_id <> 0),
+        |sc AS (SELECT doc_id, dl, term,
+        |       ln((n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+        |         * (tf::DOUBLE * (1.2 + 1.0))
+        |         / (tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+        |            + 0.75 * dl::DOUBLE / (len_sum::DOUBLE / n::DOUBLE))) AS tscore
+        |       FROM pt)
+        |SELECT doc_id, count(*)::BIGINT AS n_shared_terms, dl,
+        |  round(list_reduce(
+        |    list_prepend(0.0, list_transform(
+        |      list_sort(list(struct_pack(term := term, tscore := tscore))),
+        |      s2 -> s2.tscore)),
+        |    (a, b2) -> a + b2), 6) AS score
+        |FROM sc GROUP BY doc_id, dl
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "corpus_split" ->
       s"""WITH b AS (SELECT doc_id, source,
          |  ${duckHash("text")} % 10000 AS bucket FROM documents)

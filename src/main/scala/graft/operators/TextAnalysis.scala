@@ -790,4 +790,55 @@ object TextAnalysis {
       .where(col("rank") <= kTop)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
+
+  /** BM25 document ranking — the flagship's query shape under the modern
+    * ranking function: score every corpus doc against a query document's
+    * term set with Okapi BM25 (idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)))
+    * and return the top `kTop`. Same plan skeleton as the reference
+    * pipeline — explode, tf aggregation, query-term semi-join, df over the
+    * SHARED terms only (query-vocabulary-sized, broadcast), per-doc rollup,
+    * TakeOrdered top-k — plus the two corpus scalars (N, total token count)
+    * as guaranteed-1-row broadcast aggregates in the same DAG. Float
+    * determinism: each doc's score is a FIXED-ORDER fold over its
+    * term-sorted per-term scores (the [[graft.operators.EmbeddingSearch]]
+    * dot-product discipline), then one round(6) — so both engines add the
+    * same doubles in the same order and the entry stays hash-gated.
+    * Output: (doc_id, n_shared_terms, dl, score).
+    */
+  def bm25TopDocs(docs: DataFrame, queryDocId: Long = 0L, k1: Double = 1.2,
+      b: Double = 0.75, kTop: Int = 20): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // dl from tf, not a second corpus explode: the (doc, term) exchange is
+    // the shared subtree ReuseExchange dedupes; everything hangs off it
+    val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // the two corpus scalars ride the DAG as 1-row broadcasts
+    val stats = broadcast(lens.agg(
+      count(lit(1)).as("__n"), sum(col("dl")).as("__len_sum")))
+    val qTerms = broadcast(tf.where(col("doc_id") === queryDocId)
+      .select(col("term")).distinct())
+    val dfT = tf.join(qTerms, Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = tf.where(col("doc_id") =!= queryDocId)
+      .join(broadcast(dfT), "term")
+      .join(lens, "doc_id").crossJoin(stats)
+      .withColumn("avgdl",
+        col("__len_sum").cast("double") / col("__n").cast("double"))
+      .withColumn("idf", log(
+        (col("__n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("tscore",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    perTerm
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        array_sort(collect_list(struct(col("term"), col("tscore")))).as("ts"))
+      .withColumn("score", round(
+        aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("tscore")), 6))
+      .select(col("doc_id"), col("n_shared_terms"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(kTop)
+  }
 }

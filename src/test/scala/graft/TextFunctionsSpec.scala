@@ -205,6 +205,47 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Set((10L, 1L, true), (11L, 0L, false)))
   }
 
+  test("bm25 equals an independent in-memory model on a small corpus") {
+    val corpus = Seq(
+      (0L, "apple banana cherry apple"),
+      (1L, "apple apple banana banana date elderberry fig"),
+      (2L, "cherry date cherry grape"),
+      (3L, "grape fig elderberry date grape plum quince rose"),
+      (4L, "apple cherry"))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bm25TopDocs(docs, queryDocId = 0L)
+      .select("doc_id", "n_shared_terms", "dl", "score")
+      .as[(Long, Long, Long, Double)].collect()
+    // independent model, plain Scala
+    val (k1, b) = (1.2, 0.75)
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.length).sum.toDouble / n
+    val q = toks(0L).distinct
+    val expected = toks.filter(_._1 != 0L).flatMap { case (id, ts) =>
+      val shared = q.filter(ts.contains).sorted
+      if (shared.isEmpty) None else Some {
+        val dl = ts.length.toDouble
+        val score = shared.foldLeft(0.0) { (acc, term) =>
+          val tf = ts.count(_ == term).toDouble
+          val df = toks.values.count(_.contains(term)).toDouble
+          val idf = math.log((n - df + 0.5) / (df + 0.5))
+          acc + idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        }
+        id -> (shared.length.toLong, ts.length.toLong,
+          BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    assert(got.length == expected.size)
+    got.foreach { case (id, nsh, dl, sc) =>
+      val (ensh, edl, esc) = expected(id)
+      assert(nsh == ensh && dl == edl, s"doc $id term/len mismatch")
+      assert(math.abs(sc - esc) < 1e-9, s"doc $id score $sc vs $esc")
+    }
+    // ranking order: scores non-increasing
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.reverse.toSeq)
+  }
+
   test("train/val/test split: duplicates can't straddle; shares are sane") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, dir)
