@@ -54,7 +54,9 @@ object ScaleBench {
     "text_decontaminate_spread",
     // per-source window: sources don't multiply with volume, so this is
     // the measured form of the documented hot-partition growth case
-    "corpus_pack")
+    "corpus_pack",
+    // ranking serve path: df over shared terms only; fixed query load
+    "text_bm25_topk")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"
