@@ -329,6 +329,8 @@ object SparkEntry {
     "rel_full_outer" -> ((s, dir) => Relational.customerOrdersFullOuter(s, dir)),
     "rel_grouping_sets" -> ((s, dir) => Relational.returnsGroupingSets(s, dir)),
     "rel_pivot" -> ((s, dir) => Relational.ordersPivot(s, dir)),
+    // the inverse reshape: wide matrix back to long form via native unpivot
+    "rel_unpivot" -> ((s, dir) => Relational.ordersUnpivot(s, dir)),
     "corpus_clean" -> ((s, dir) =>
       TextAnalysis.cleanedCorpus(Tables.documents(s, dir))),
     // the CAPSTONE composition: quality -> decontaminate -> keep-longest
@@ -1147,6 +1149,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    // pivot-then-unpivot ≡ the original long-form aggregate
+    "rel_unpivot" ->
+      """SELECT year(o_orderdate)::BIGINT AS order_year,
+        |  o_orderstatus AS status, count(*)::BIGINT AS n_orders
+        |FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+        |GROUP BY 1, 2""".stripMargin,
     "rel_pivot" ->
       """SELECT year(o_orderdate)::BIGINT AS order_year,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,

@@ -720,6 +720,23 @@ object Relational {
         coalesce(col("O"), lit(0L)).as("n_o"),
         coalesce(col("P"), lit(0L)).as("n_p"))
 
+  /** UNPIVOT — the inverse reshape of [[ordersPivot]]: the wide
+    * year×status count matrix back to long (year, status, n) form via
+    * Spark's native `unpivot` (SQL `stack`) — the standard move when a
+    * wide metrics table must feed a long-form consumer. Zero-filled cells
+    * are filtered back out so the roundtrip reproduces exactly the rows
+    * the original long form had. Pure reshape: the only shuffle is the
+    * pivot's own aggregate; unpivot itself is a map-side explode.
+    * Output: (order_year, status, n_orders).
+    */
+  def ordersUnpivot(spark: SparkSession, dir: String): DataFrame =
+    ordersPivot(spark, dir)
+      .unpivot(
+        Array(col("order_year")),
+        Array(col("n_f").as("F"), col("n_o").as("O"), col("n_p").as("P")),
+        "status", "n_orders")
+      .where(col("n_orders") > 0)
+
   /** Sketch-based approximate aggregates — the O(1)-memory scale path next
     * to the exact operators (HLL++ for distincts, KLL-style quantile
     * sketch). Sketches are engine-specific, so this query carries no DuckDB

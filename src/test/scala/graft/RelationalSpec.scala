@@ -147,6 +147,18 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("unpivot inverts pivot back to the direct long-form aggregate") {
+    import spark.implicits._
+    val got = Relational.ordersUnpivot(spark, dir)
+      .select("order_year", "status", "n_orders")
+      .as[(Long, String, Long)].collect().toSet
+    val direct = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("y"), col("o_orderstatus"))
+      .groupBy($"y", $"o_orderstatus").agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == direct && got.nonEmpty)
+  }
+
   test("shipping delay: totals reconcile; order stats are consistent") {
     import spark.implicits._
     val rows = Relational.shippingDelay(spark, dir)
