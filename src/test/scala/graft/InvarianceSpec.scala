@@ -91,7 +91,20 @@ class InvarianceSpec extends AnyFunSuite {
     "book_query_batch" ->
       ((s, d) => graft.operators.BookQuery.referenceScoresBatch(Tables.documents(s, d))),
     "embed_knn_multiprobe" ->
-      ((s, d) => EmbeddingSearch.lshTopKMultiProbe(s, d, nQueries = 3)))
+      ((s, d) => EmbeddingSearch.lshTopKMultiProbe(s, d, nQueries = 3)),
+    // this session's additions: the recursive-CTE spread (checkpointed
+    // edges + loop), the BM25 fold order, the percentile day-delta rollup,
+    // the packing prefix sums, and the HLL sketch merge must all be
+    // partition-stable
+    "text_decontaminate_spread" ->
+      ((s, d) => TextAnalysis.contaminationSpread(Tables.documents(s, d), nEval = 50)),
+    "text_bm25_topk" ->
+      ((s, d) => TextAnalysis.bm25TopDocs(Tables.documents(s, d))),
+    "rel_ship_delay" -> ((s, d) => Relational.shippingDelay(s, d)),
+    "corpus_pack_bucketed" ->
+      ((s, d) => TextAnalysis.packSequencesBucketed(Tables.documents(s, d))),
+    "events_distinct_reagg" ->
+      ((s, d) => graft.operators.Events.distinctReagg(s, d)))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
