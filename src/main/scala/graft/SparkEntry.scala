@@ -519,6 +519,9 @@ object SparkEntry {
     // real RIFF/WAVE PCM16 containers, parsed by a real chunk walker; the
     // oracle replays the expected sample stats from the text codes
     "multimodal_audio" -> ((s, dir) => Multimodal.audioFeatures(s, dir)),
+    // real RIFF/AVI containers demuxed by the same chunk-walker discipline:
+    // header fields, order-sensitive frame checksum, every-5th-frame sample
+    "multimodal_video" -> ((s, dir) => Multimodal.videoFeatures(s, dir)),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1777,6 +1780,25 @@ object SparkEntry {
         |  (list_sum(list_transform(codes, c -> (c - 64) * 256 + 32768)) % 2147483647)::BIGINT
         |    AS sample_checksum
         |FROM c""".stripMargin,
+    // frame k's pixels replayed from the text codes; the (k+1)-weighted
+    // checksum makes frame ORDER part of the gate
+    "multimodal_video" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id, codes,
+        |  list_transform(codes, cd -> list_sum(
+        |    list_transform(generate_series(0, 15), j -> (cd * 7 + j * 13) % 256))) AS fsums
+        |  FROM c)
+        |SELECT doc_id, len(codes)::BIGINT AS n_frames,
+        |  4::BIGINT AS width, 4::BIGINT AS height, 25000::BIGINT AS fps_e3,
+        |  (len(codes) * 40)::BIGINT AS duration_ms,
+        |  (list_sum(list_transform(generate_series(1, len(fsums)),
+        |     k -> fsums[k] * k)) % 2147483647)::BIGINT AS frames_checksum,
+        |  CAST(list_sum(list_transform(generate_series(1, len(fsums)),
+        |     k -> CASE WHEN (k - 1) % 5 = 0 THEN fsums[k] ELSE 0 END)) AS BIGINT)
+        |    AS sampled_sum
+        |FROM f""".stripMargin,
     "book_query_ref" -> bookQueryRefSql,
     // identical semantics — the Spark side differs only in INGESTION (text
     // files through the wholetext source instead of parquet)

@@ -352,4 +352,179 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  // ------------------------------------------------------------------ video
+
+  private val VideoW = 4
+  private val VideoH = 4
+  private val UsecPerFrame = 40000 // 25 fps
+  private def frameBytes = VideoW * VideoH
+
+  case class VideoRow(doc_id: Long, payload: Array[Byte])
+
+  /** Synthesize the corpus' video blobs: one REAL RIFF/"AVI " container per
+    * doc — LIST(hdrl) holding a canonical 56-byte `avih` main header
+    * (µs/frame, total frames, width, height at their real offsets), then
+    * LIST(movi) with one `00db` uncompressed-frame chunk PER TEXT CHARACTER
+    * (frame k's pixel j = (code·7 + j·13) mod 256 — deterministic,
+    * oracle-replayable). Even doc_ids carry a JUNK chunk between hdrl and
+    * movi — real muxers pad with those, and a reader that assumes fixed
+    * offsets instead of walking chunks breaks on them (the spec pins that
+    * [[decodeAvi]] doesn't).
+    */
+  def videoBlobs(spark: SparkSession, dir: String): Dataset[VideoRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          VideoRow(id, encodeAvi(text, withJunkChunk = id % 2 == 0))
+        }
+      }
+  }
+
+  private def encodeAvi(text: String, withJunkChunk: Boolean): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val n = text.length
+    val avih = ByteBuffer.allocate(8 + 56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.put("avih".getBytes("US-ASCII")).putInt(56)
+    avih.putInt(UsecPerFrame)            //  0: dwMicroSecPerFrame
+    avih.putInt(frameBytes * 25)         //  4: dwMaxBytesPerSec
+    avih.putInt(0)                       //  8: dwPaddingGranularity
+    avih.putInt(0)                       // 12: dwFlags
+    avih.putInt(n)                       // 16: dwTotalFrames
+    avih.putInt(0)                       // 20: dwInitialFrames
+    avih.putInt(1)                       // 24: dwStreams
+    avih.putInt(frameBytes)              // 28: dwSuggestedBufferSize
+    avih.putInt(VideoW)                  // 32: dwWidth
+    avih.putInt(VideoH)                  // 36: dwHeight
+    avih.putInt(0).putInt(0).putInt(0).putInt(0) // 40..55: reserved
+    val hdrlPayload = "hdrl".getBytes("US-ASCII") ++ avih.array()
+    val junk: Array[Byte] =
+      if (!withJunkChunk) Array.emptyByteArray
+      else {
+        val b = ByteBuffer.allocate(8 + 4).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("JUNK".getBytes("US-ASCII")).putInt(4).putInt(0)
+        b.array()
+      }
+    val moviPayload = new Array[Byte](4 + n * (8 + frameBytes))
+    val mb = ByteBuffer.wrap(moviPayload).order(ByteOrder.LITTLE_ENDIAN)
+    mb.put("movi".getBytes("US-ASCII"))
+    var k = 0
+    while (k < n) {
+      val code = text.charAt(k).toInt
+      mb.put("00db".getBytes("US-ASCII")).putInt(frameBytes)
+      var j = 0
+      while (j < frameBytes) { mb.put(((code * 7 + j * 13) % 256).toByte); j += 1 }
+      k += 1
+    }
+    val riffSize = 4 + (8 + hdrlPayload.length) + junk.length + (8 + moviPayload.length)
+    val out = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize).put("AVI ".getBytes("US-ASCII"))
+    out.put("LIST".getBytes("US-ASCII")).putInt(hdrlPayload.length).put(hdrlPayload)
+    out.put(junk)
+    out.put("LIST".getBytes("US-ASCII")).putInt(moviPayload.length).put(moviPayload)
+    out.array()
+  }
+
+  /** THE REAL DECODE: the same chunk-walker discipline as [[decodeWav]] for
+    * the AVI layout — RIFF/"AVI " magic and size check, top-level LIST
+    * dispatch on list type (hdrl → `avih` main header, movi → `00db` frame
+    * chunks), unknown chunks (JUNK) skipped word-aligned, header required
+    * before frames, declared frame count required to match frames found.
+    * Fails loudly on any malformed container — no lenient path. Returns
+    * (usecPerFrame, width, height, frames).
+    */
+  private[graft] def decodeAvi(payload: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII") }
+    require(b.remaining >= 12 && tag() == "RIFF", "not a RIFF container")
+    val riffSize = b.getInt
+    require(riffSize == b.remaining, s"RIFF size $riffSize != ${b.remaining} remaining")
+    require(tag() == "AVI ", "RIFF is not AVI")
+    var usec = -1; var total = -1; var w = -1; var h = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (b.remaining >= 8) {
+      val id = tag()
+      val size = b.getInt
+      require(size >= 0 && size <= b.remaining, s"chunk $id overruns container")
+      val end = b.position() + size + (size & 1)
+      if (id == "LIST") {
+        require(size >= 4, "LIST chunk too short")
+        tag() match {
+          case "hdrl" =>
+            // walk the header list for avih
+            while (b.position() < end - 1 && b.remaining >= 8) {
+              val hid = tag(); val hsize = b.getInt
+              require(hsize >= 0 && b.position() + hsize <= end, s"header chunk $hid overruns")
+              if (hid == "avih") {
+                require(hsize >= 40, "avih too short")
+                val p = b.position()
+                usec = b.getInt(p); total = b.getInt(p + 16)
+                w = b.getInt(p + 32); h = b.getInt(p + 36)
+                require(usec > 0 && total >= 0 && w > 0 && h > 0, "bad avih fields")
+              }
+              b.position(b.position() + hsize + (hsize & 1))
+            }
+          case "movi" =>
+            require(usec > 0, "movi before avih header")
+            while (b.position() < end - 1 && b.remaining >= 8) {
+              val fid = tag(); val fsize = b.getInt
+              require(fsize >= 0 && b.position() + fsize <= end, s"frame chunk $fid overruns")
+              if (fid == "00db") {
+                val f = new Array[Byte](fsize)
+                b.get(f)
+                frames += f
+                if ((fsize & 1) == 1) b.get()
+              } else b.position(b.position() + fsize + (fsize & 1))
+            }
+          case _ => () // unknown list: skip to end below
+        }
+      }
+      b.position(end)
+    }
+    require(total == frames.length, s"declared $total frames, found ${frames.length}")
+    (usec, w, h, frames.toArray)
+  }
+
+  case class VideoFeatureRow(doc_id: Long, n_frames: Long, width: Long,
+      height: Long, fps_e3: Long, duration_ms: Long, frames_checksum: Long,
+      sampled_sum: Long)
+
+  /** Decode + featurize the video corpus: frame count, dimensions, exact
+    * milli-fps and duration from the parsed header, an ORDER-SENSITIVE
+    * checksum over all frames (frame k weighted by k+1 — a reordered or
+    * dropped frame breaks it), and the every-5th-frame sampled byte sum
+    * (the frame-sampling pass a feature extractor runs). All off the parsed
+    * container, so the oracle — which replays the expected values from the
+    * text codes — hash-gates the whole mux/demux round-trip. Same
+    * mapPartitions shape as the image and audio families: executor-
+    * parallel, zero shuffle, linear in payload bytes.
+    */
+  def videoFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoBlobs(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val (usec, w, h, frames) = decodeAvi(r.payload)
+        var check = 0L
+        var sampled = 0L
+        var k = 0
+        while (k < frames.length) {
+          val f = frames(k)
+          var s = 0L
+          var j = 0
+          while (j < f.length) { s += f(j) & 0xff; j += 1 }
+          check = (check + s * (k + 1)) % 2147483647L
+          if (k % 5 == 0) sampled += s
+          k += 1
+        }
+        VideoFeatureRow(r.doc_id, frames.length.toLong, w.toLong, h.toLong,
+          1000000000L / usec, frames.length.toLong * usec / 1000L,
+          check, sampled)
+      }
+    }.toDF()
+  }
 }

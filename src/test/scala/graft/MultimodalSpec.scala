@@ -146,4 +146,47 @@ class MultimodalSpec extends AnyFunSuite {
       })
     }
   }
+
+  test("video: AVI containers demux to one frame per character, JUNK walked") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir).select($"doc_id".as[Long],
+      length($"text").cast("long").as[Long]).collect().toMap
+    val rows = Multimodal.videoFeatures(spark, dir)
+      .select($"doc_id".as[Long], $"n_frames".as[Long], $"width".as[Long],
+        $"height".as[Long], $"fps_e3".as[Long]).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, w, h, fps) =>
+      assert(n == docs(id), s"doc $id: $n frames != ${docs(id)} chars")
+      assert(w == 4 && h == 4 && fps == 25000)
+    }
+    // even ids carry the JUNK chunk, odd don't — both demuxed above; now
+    // verify the walker really saw different layouts
+    val blobs = Multimodal.videoBlobs(spark, dir).collect()
+    val junkTag = "JUNK".getBytes("US-ASCII")
+    blobs.foreach { r =>
+      val hasJunk = r.payload.indexOfSlice(junkTag) >= 0
+      assert(hasJunk == (r.doc_id % 2 == 0), s"doc ${r.doc_id} junk=$hasJunk")
+    }
+  }
+
+  test("video: the demuxer rejects malformed containers loudly") {
+    val good = Multimodal.videoBlobs(spark, dir).head(4)
+      .find(_.doc_id % 2 == 0).get.payload
+    val (usec, w, h, frames) = Multimodal.decodeAvi(good)
+    assert(usec == 40000 && w == 4 && h == 4 && frames.nonEmpty)
+    def corrupt(mutate: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mutate(b); b
+    }
+    // wrong magic
+    intercept[IllegalArgumentException] { Multimodal.decodeAvi(corrupt(_(0) = 'X')) }
+    // truncated container
+    intercept[IllegalArgumentException] { Multimodal.decodeAvi(good.dropRight(3)) }
+    // declared frame count != frames present (totalFrames field, LE low byte)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAvi(corrupt { b =>
+        val avihAt = good.indexOfSlice("avih".getBytes("US-ASCII"))
+        b(avihAt + 8 + 16) = (b(avihAt + 8 + 16) + 1).toByte
+      })
+    }
+  }
 }
