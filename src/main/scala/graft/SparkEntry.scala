@@ -366,6 +366,10 @@ object SparkEntry {
     // windows, parallelism scales with nBuckets
     "corpus_pack_bucketed" -> ((s, dir) =>
       TextAnalysis.packSequencesBucketed(Tables.documents(s, dir))),
+    // epoch-reproducible training order: hash of (doc_id, epoch) as the
+    // order key — zero-shuffle, checkpoint-resume safe
+    "corpus_shuffle" -> ((s, dir) =>
+      TextAnalysis.epochShuffle(Tables.documents(s, dir))),
     // weighted Bernoulli sample (importance sampling by token count) —
     // the token-mass-preserving downsample; zero-shuffle map predicate
     "corpus_weighted_sample" -> ((s, dir) =>
@@ -548,6 +552,13 @@ object SparkEntry {
   /** The base-37 sibling fold; h1·2³¹ + h2 mirrors HashPrimitives.hashSet62's
     * packed 62-bit element hash (h2 < 2³¹, so the add IS the bit-or).
     */
+  /** Scramble mirror of HashFunctions.portableScramble: product of the two
+    * folds mod P. Both factors < 2^31 so the BIGINT product never overflows.
+    */
+  private def duckScramble(s: String): String =
+    s"((${duckHash(s)} * " +
+      s"list_reduce(list_prepend(0, list_transform(generate_series(1, len($s)), ci -> ascii($s[ci])::BIGINT)), (a, b) -> (a*37 + b) % 2147483647)) % 2147483647)"
+
   private def duckHash62(s: String): String =
     s"(${duckHash(s)} * 2147483648 + " +
       s"list_reduce(list_transform(generate_series(1, len($s)), ci -> ascii($s[ci])::BIGINT), (a, b) -> (a*37 + b) % 2147483647))"
@@ -2175,6 +2186,12 @@ object SparkEntry {
         |    (a, b2) -> a + b2), 6) AS score
         |FROM sc GROUP BY doc_id, dl
         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "corpus_shuffle" ->
+      s"""WITH e AS (SELECT doc_id, unnest(generate_series(0, 1))::BIGINT AS epoch
+         |           FROM documents),
+         |k AS (SELECT epoch, doc_id,
+         |  doc_id::VARCHAR || ':' || epoch::VARCHAR AS s FROM e)
+         |SELECT epoch, doc_id, ${duckScramble("s")} AS order_key FROM k""".stripMargin,
     "corpus_split" ->
       s"""WITH b AS (SELECT doc_id, source,
          |  ${duckHash("text")} % 10000 AS bucket FROM documents)

@@ -28,6 +28,19 @@ object HashFunctions {
   def portableHash31(t: Column): Column =
     toCol(graft.functions.expressions.PortableHash31(toExpr(t)))
 
+  /** Scrambled hash in [0, P): `(hash31 * hash37) % P`. Use THIS (not the
+    * bare folds) whenever the hash must LOOK random as an order key — each
+    * fold alone is affine in the chars and order-preserving on short
+    * strings; the cross-product wraps the 62-bit product mod P and
+    * decorrelates neighbors. Exact in any BIGINT engine (both factors
+    * < 2^31, product < 2^62).
+    */
+  def portableScramble(t: Column): Column = {
+    val h31 = toCol(graft.functions.expressions.PortableHash31(toExpr(t)))
+    val h37 = toCol(graft.functions.expressions.PortableHash37(toExpr(t)))
+    (h31 * h37) % lit(P)
+  }
+
   /** Pre-hash a string set once: array<long> of H(t). Do this before calling
     * [[minhashFromHashes]] / [[simhashFromHashes]] so the per-term hash runs
     * once, not once per permutation.

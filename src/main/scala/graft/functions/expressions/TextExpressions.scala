@@ -100,6 +100,22 @@ object TextPrimitives {
     while (i < str.length) { acc = (acc * 31L + str.charAt(i)) % 2147483647L; i += 1 }
     acc
   }
+
+  /** Independent base-37 sibling of [[hash31]] (the scalar form of the
+    * second fold inside HashPrimitives.hashSet62). Exists for SCRAMBLING:
+    * each fold alone is affine in the char values, so on short strings
+    * (< ~6 chars the polynomial never wraps mod P) it is order-PRESERVING —
+    * useless as a shuffle key. `(hash31(s) * hash37(s)) % P` wraps the
+    * 62-bit product hundreds of times and kills that structure while
+    * staying exact BIGINT arithmetic in any engine.
+    */
+  def hash37(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) { acc = (acc * 37L + str.charAt(i)) % 2147483647L; i += 1 }
+    acc
+  }
 }
 
 /** Java-split tokenizer as a native expression: `tokenize(text)`. */
@@ -183,4 +199,16 @@ case class PortableHash31(child: Expression)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.TextPrimitives.hash31($c)")
   override protected def withNewChildInternal(c: Expression): PortableHash31 = copy(c)
+}
+
+/** Base-37 sibling fold: `hash37(text)` — see TextPrimitives.hash37. */
+case class PortableHash37(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextPrimitives.hash37(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TextPrimitives.hash37($c)")
+  override protected def withNewChildInternal(c: Expression): PortableHash37 = copy(c)
 }

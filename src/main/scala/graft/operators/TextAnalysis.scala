@@ -189,6 +189,31 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** Epoch-reproducible training-order SHUFFLE — the order pass between
+    * [[packSequences]] and the data loader: each epoch needs a different
+    * pseudo-random document order, every rerun of the SAME epoch needs the
+    * IDENTICAL order (checkpoint-resume reads the stream from an offset —
+    * a nondeterministic shuffle silently changes what "offset 1M" means).
+    * The order key is the portable SCRAMBLE of `"<doc_id>:<epoch>"` — pure
+    * map-side projection, no shuffle HERE (ordering happens where it's
+    * consumed: a range-partition write or the loader's merge); ties are
+    * broken by doc_id so the induced order is total. Different epochs
+    * decorrelate because the hash mixes the epoch into every key. NOT the
+    * bare hash31: a single polynomial fold never wraps mod P on these short
+    * strings, so it is order-preserving in doc_id — sorting by it would
+    * replay corpus order every epoch (see HashFunctions.portableScramble).
+    * Output: (epoch, doc_id, order_key).
+    */
+  def epochShuffle(docs: DataFrame, epochs: Int = 2): DataFrame = {
+    require(epochs >= 1, "epochShuffle needs at least one epoch")
+    docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .select(col("epoch").cast("long").as("epoch"), col("doc_id"),
+        portableScramble(concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))).as("order_key"))
+  }
+
   /** Deterministic WEIGHTED Bernoulli sample — importance sampling by
     * length: each document survives with probability min(1, n_tokens/cap)
     * decided by the portable content hash (hash mod cap < n_tokens), so

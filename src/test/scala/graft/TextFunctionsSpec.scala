@@ -323,6 +323,30 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch shuffle: rerun-identical per epoch, decorrelated across epochs") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    def run() = graft.operators.TextAnalysis.epochShuffle(docs, epochs = 3)
+      .select("epoch", "doc_id", "order_key")
+      .as[(Long, Long, Long)].collect()
+    val a = run()
+    // every (epoch, doc) exactly once
+    assert(a.length == 3 * nDocs)
+    assert(a.map(r => (r._1, r._2)).distinct.length == a.length)
+    // checkpoint-resume property: a rerun reproduces the keys bit-for-bit
+    assert(a.sorted.toSeq == run().sorted.toSeq)
+    // epochs decorrelate: the induced order of epoch 0 differs from epoch 1
+    def order(e: Long) = a.filter(_._1 == e).sortBy(r => (r._3, r._2)).map(_._2).toSeq
+    assert(order(0) != order(1) && order(1) != order(2))
+    // map-side only: no exchange anywhere in the plan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = graft.operators.TextAnalysis.epochShuffle(docs)
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "epochShuffle must not shuffle")
+  }
+
   test("contamination spread walks the paraphrase chain to minimum hops") {
     // Sliding 100-token windows over one token stream, stride 10: adjacent
     // windows share 90 tokens (3-shingle J = 88/108 ~ 0.81 >= 0.7), windows
