@@ -192,6 +192,10 @@ object SparkEntry {
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "text_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(Tables.documents(s, dir))),
+    // CCNet-style line-level boilerplate removal: lines (10-token chunks
+    // here; \n-split in real corpora) appearing in 2+ docs drop everywhere
+    "text_line_dedup" -> ((s, dir) =>
+      TextAnalysis.lineDedup(Tables.documents(s, dir))),
     // — LLM-pipeline hygiene (round-3 widening): repetition rules,
     //   benchmark decontamination, exact-substring sharing —
     "text_repetition" -> ((s, dir) =>
@@ -549,9 +553,6 @@ object SparkEntry {
   private def duckHash(s: String): String =
     s"list_reduce(list_transform(generate_series(1, len($s)), ci -> ascii($s[ci])::BIGINT), (a, b) -> (a*31 + b) % 2147483647)"
 
-  /** The base-37 sibling fold; h1·2³¹ + h2 mirrors HashPrimitives.hashSet62's
-    * packed 62-bit element hash (h2 < 2³¹, so the add IS the bit-or).
-    */
   /** Scramble mirror of HashFunctions.portableScramble: product of the two
     * folds mod P. Both factors < 2^31 so the BIGINT product never overflows.
     */
@@ -559,6 +560,9 @@ object SparkEntry {
     s"((${duckHash(s)} * " +
       s"list_reduce(list_prepend(0, list_transform(generate_series(1, len($s)), ci -> ascii($s[ci])::BIGINT)), (a, b) -> (a*37 + b) % 2147483647)) % 2147483647)"
 
+  /** The base-37 sibling fold; h1·2³¹ + h2 mirrors HashPrimitives.hashSet62's
+    * packed 62-bit element hash (h2 < 2³¹, so the add IS the bit-or).
+    */
   private def duckHash62(s: String): String =
     s"(${duckHash(s)} * 2147483648 + " +
       s"list_reduce(list_transform(generate_series(1, len($s)), ci -> ascii($s[ci])::BIGINT), (a, b) -> (a*37 + b) % 2147483647))"
@@ -2131,6 +2135,19 @@ object SparkEntry {
         |  round(length(text)::DOUBLE
         |    / greatest(len(string_split(text, ' ')), 1)::DOUBLE, 6) AS chars_per_ws_token
         |FROM documents""".stripMargin,
+    "text_line_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ln AS (SELECT doc_id, i::BIGINT AS line_no,
+        |         array_to_string(w[(i*10+1):(i*10+10)], ' ') AS line
+        |       FROM tok, unnest(generate_series(0,
+        |         CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS t(i)),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1)
+        |SELECT l.doc_id, count(*)::BIGINT AS n_lines,
+        |  (count(*) FILTER (WHERE d.df < 2))::BIGINT AS n_kept,
+        |  coalesce(string_agg(l.line, chr(10) ORDER BY l.line_no)
+        |    FILTER (WHERE d.df < 2), '') AS clean_text
+        |FROM ln l JOIN df d USING (line)
+        |GROUP BY 1""".stripMargin,
     "text_fingerprints" ->
       s"""SELECT doc_id,
          |  ${duckHash("text")} AS rolling_fp,

@@ -41,6 +41,17 @@ object HashFunctions {
     (h31 * h37) % lit(P)
   }
 
+  /** Scalar 62-bit hash `h31·2³¹ + h37` — the single-string form of
+    * HashPrimitives.hashSet62's packed element hash. Use as a JOIN/GROUP key
+    * standing in for a string: fixed 8 bytes through every exchange instead
+    * of the text, with a 2⁻⁶² per-pair collision floor.
+    */
+  def portableHash62(t: Column): Column = {
+    val h31 = toCol(graft.functions.expressions.PortableHash31(toExpr(t)))
+    val h37 = toCol(graft.functions.expressions.PortableHash37(toExpr(t)))
+    h31 * lit(2147483648L) + h37
+  }
+
   /** Pre-hash a string set once: array<long> of H(t). Do this before calling
     * [[minhashFromHashes]] / [[simhashFromHashes]] so the per-term hash runs
     * once, not once per permutation.

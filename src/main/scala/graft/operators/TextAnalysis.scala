@@ -214,6 +214,49 @@ object TextAnalysis {
           col("epoch").cast("string"))).as("order_key"))
   }
 
+  /** CCNet-style LINE-level boilerplate removal: a "line" that appears in
+    * `minDf`+ distinct documents (headers, footers, nav chrome, license
+    * blurbs) is dropped from EVERY document; survivors are reassembled in
+    * original order. The line unit is injectable — real corpora split on
+    * `\n`; the fixture corpus has no newlines, so the registered query uses
+    * fixed `lineTokens`-token chunks (the operator is identical either way:
+    * it consumes the (doc_id, line_no, line) exploded form).
+    *
+    * Scale shape: all df machinery and the boilerplate join run on the
+    * 62-bit line hash — fixed 8 bytes per line through both exchanges, the
+    * line TEXT never shuffles (it stays co-partitioned with its document
+    * through the final per-doc rollup). Boilerplate table is
+    * line-vocabulary-sized after the df floor (Zipf-small: almost all lines
+    * are unique) → size-gated broadcast. 3 shuffles total: distinct
+    * (doc,line) pairs, df count, per-doc reassembly — the canonical CCNet
+    * dedup pass, linear in corpus tokens at any scale.
+    * Output: (doc_id, n_lines, n_kept, clean_text).
+    */
+  def lineDedup(docs: DataFrame, lineTokens: Int = 10, minDf: Long = 2): DataFrame = {
+    require(lineTokens >= 1 && minDf >= 2, "lineTokens >= 1, minDf >= 2")
+    val lines = docs.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(split(text, ' ')) / $lineTokens.0) AS INT) - 1),
+           |  i -> array_join(slice(split(text, ' '), i * $lineTokens + 1, $lineTokens), ' '))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("line_no"), col("col").as("line"),
+        portableHash62(col("col")).as("h62"))
+    val boiler = lines.select(col("doc_id"), col("h62")).distinct()
+      .groupBy("h62").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("h62"), lit(true).as("boiler"))
+    lines.join(Scale.maybeBroadcast(boiler), Seq("h62"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("boiler").isNull, 1)).as("n_kept"),
+        array_join(
+          transform(
+            filter(array_sort(collect_list(struct(col("line_no"), col("line"),
+              col("boiler").isNull.as("keep")))), s => s.getField("keep")),
+            s => s.getField("line")),
+          "\n").as("clean_text"))
+  }
+
   /** Deterministic WEIGHTED Bernoulli sample — importance sampling by
     * length: each document survives with probability min(1, n_tokens/cap)
     * decided by the portable content hash (hash mod cap < n_tokens), so

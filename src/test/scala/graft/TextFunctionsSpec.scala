@@ -347,6 +347,28 @@ class TextFunctionsSpec extends AnyFunSuite {
       "epochShuffle must not shuffle")
   }
 
+  test("line dedup: shared lines drop everywhere, unique lines survive in order") {
+    // lineTokens=2 → "lines" are 2-token chunks. The chunk "x y" appears in
+    // docs 1, 2 and 3 (df=3 ≥ 2 → boilerplate); everything else is unique.
+    val docs = Seq(
+      (1L, "x y a b c d"), // lines: "x y" | "a b" | "c d"
+      (2L, "x y e f"),     // lines: "x y" | "e f"
+      (3L, "x y x y")      // all boilerplate → empty clean_text
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lineDedup(docs, lineTokens = 2)
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, "a b\nc d"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 2L, 0L, "")))
+    // a short tail chunk is its own line and is preserved verbatim
+    val tail = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val t = graft.operators.TextAnalysis.lineDedup(tail, lineTokens = 2)
+      .select("n_lines", "clean_text").as[(Long, String)].head()
+    assert(t == ((2L, "a b\nc")))
+  }
+
   test("contamination spread walks the paraphrase chain to minimum hops") {
     // Sliding 100-token windows over one token stream, stride 10: adjacent
     // windows share 90 tokens (3-shingle J = 88/108 ~ 0.81 >= 0.7), windows
