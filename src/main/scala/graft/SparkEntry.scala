@@ -196,6 +196,11 @@ object SparkEntry {
     // here; \n-split in real corpora) appearing in 2+ docs drop everywhere
     "text_line_dedup" -> ((s, dir) =>
       TextAnalysis.lineDedup(Tables.documents(s, dir))),
+    // PII redaction: the fixture corpus is PII-free, so the entry splices
+    // deterministic doc_id-derived emails/phones/URLs in first (the
+    // multimodal family's synthesize-in-query discipline), then scrubs
+    "text_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(TextAnalysis.piiInject(Tables.documents(s, dir)))),
     // — LLM-pipeline hygiene (round-3 widening): repetition rules,
     //   benchmark decontamination, exact-substring sharing —
     "text_repetition" -> ((s, dir) =>
@@ -2135,6 +2140,22 @@ object SparkEntry {
         |  round(length(text)::DOUBLE
         |    / greatest(len(string_split(text, ' ')), 1)::DOUBLE, 6) AS chars_per_ws_token
         |FROM documents""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH inj AS (SELECT doc_id,
+        |  'contact user' || doc_id::VARCHAR || '@example.com call 415-555-' ||
+        |  lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' see https://ex.example/u/' ||
+        |  doc_id::VARCHAR || ' ' || text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' admin@example.org' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phone,
+        |  len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT AS n_url,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g') AS clean_text
+        |FROM inj""".stripMargin,
     "text_line_dedup" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ln AS (SELECT doc_id, i::BIGINT AS line_no,

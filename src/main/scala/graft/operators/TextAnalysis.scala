@@ -257,6 +257,54 @@ object TextAnalysis {
           "\n").as("clean_text"))
   }
 
+  /** PII patterns shared by [[piiScrub]] and its oracle: deliberately
+    * restricted to syntax with IDENTICAL semantics in Java regex and RE2
+    * (character classes, +, bounded repetition — no backrefs, no lookaround,
+    * no \d shorthand whose escaping differs across SQL string literals).
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val UrlPattern = "https?://[^ ]+"
+
+  /** PII scrubbing — the redaction hygiene pass every shipped training
+    * corpus runs: count and replace emails, phone numbers, and URLs with
+    * typed placeholder tokens. Pure map-side projection (zero shuffles,
+    * linear in corpus bytes); counts are taken on the ORIGINAL text, then
+    * the three replacements apply in email→phone→URL order (the patterns
+    * are mutually non-overlapping, and no placeholder re-matches a later
+    * pattern, so the order is semantics-free — fixed anyway so both engines
+    * rewrite identically). Output: (doc_id, n_email, n_phone, n_url,
+    * clean_text).
+    */
+  /** Deterministic PII splice for the registered entry: the fixture corpus
+    * is PII-free, so (multimodal-family discipline) the query synthesizes
+    * doc_id-derived emails/phones/URLs in-band — one of each per doc, plus
+    * an extra email on every doc_id ≡ 0 (mod 3) so the counts vary — and
+    * the oracle replays the identical splice.
+    */
+  def piiInject(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(
+        lit("contact user"), col("doc_id").cast("string"),
+        lit("@example.com call 415-555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" see https://ex.example/u/"), col("doc_id").cast("string"),
+        lit(" "), col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit(" admin@example.org"))
+          .otherwise(lit(""))))
+
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(
+      col("doc_id"),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_email"),
+      regexp_count(t, lit(PhonePattern)).cast("long").as("n_phone"),
+      regexp_count(t, lit(UrlPattern)).cast("long").as("n_url"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>"), UrlPattern, "<URL>")
+        .as("clean_text"))
+  }
+
   /** Deterministic WEIGHTED Bernoulli sample — importance sampling by
     * length: each document survives with probability min(1, n_tokens/cap)
     * decided by the portable content hash (hash mod cap < n_tokens), so

@@ -369,6 +369,25 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(t == ((2L, "a b\nc")))
   }
 
+  test("pii scrub: typed placeholders, per-type counts, nested-case behavior") {
+    val docs = Seq(
+      (1L, "mail a.b-c@x-mail.co.uk or b@y.io call 415-555-0000 end"),
+      (2L, "plain text no pii at all"),
+      (3L, "link https://a.example/p?q=1 then http://b.example ok"),
+      // a phone INSIDE a url: counted by both patterns (counts are taken on
+      // the original text), then phone-scrubbed before the url collapses
+      (4L, "see https://a.example/415-555-9999 done")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.piiScrub(docs)
+      .select("doc_id", "n_email", "n_phone", "n_url", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0L, "mail <EMAIL> or <EMAIL> call <PHONE> end"),
+      (2L, 0L, 0L, 0L, "plain text no pii at all"),
+      (3L, 0L, 0L, 2L, "link <URL> then <URL> ok"),
+      (4L, 0L, 1L, 1L, "see <URL> done")))
+  }
+
   test("contamination spread walks the paraphrase chain to minimum hops") {
     // Sliding 100-token windows over one token stream, stride 10: adjacent
     // windows share 90 tokens (3-shingle J = 88/108 ~ 0.81 >= 0.7), windows
