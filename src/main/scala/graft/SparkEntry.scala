@@ -375,6 +375,10 @@ object SparkEntry {
     // windows, parallelism scales with nBuckets
     "corpus_pack_bucketed" -> ((s, dir) =>
       TextAnalysis.packSequencesBucketed(Tables.documents(s, dir))),
+    // RAG chunking: overlapping 64-token windows (16 shared) — the
+    // retrieval-corpus build step; zero-shuffle map explode
+    "corpus_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir))),
     // epoch-reproducible training order: hash of (doc_id, epoch) as the
     // order key — zero-shuffle, checkpoint-resume safe
     "corpus_shuffle" -> ((s, dir) =>
@@ -2224,6 +2228,13 @@ object SparkEntry {
         |    (a, b2) -> a + b2), 6) AS score
         |FROM sc GROUP BY doc_id, dl
         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "corpus_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, i::BIGINT AS chunk_no, (i * 48)::BIGINT AS start_tok,
+        |  len(w[(i*48+1):(i*48+64)])::BIGINT AS n_tok,
+        |  array_to_string(w[(i*48+1):(i*48+64)], ' ') AS chunk_text
+        |FROM tok, unnest(generate_series(0,
+        |  (greatest(len(w) - 16, 1) + 47) // 48 - 1)) AS t(i)""".stripMargin,
     "corpus_shuffle" ->
       s"""WITH e AS (SELECT doc_id, unnest(generate_series(0, 1))::BIGINT AS epoch
          |           FROM documents),

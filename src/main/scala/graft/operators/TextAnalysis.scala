@@ -257,6 +257,33 @@ object TextAnalysis {
           "\n").as("clean_text"))
   }
 
+  /** RAG-style document CHUNKING — the retrieval-corpus build step: split
+    * every document into overlapping `chunkTokens`-token windows with
+    * `overlap` tokens shared between consecutive chunks (so no answer span
+    * straddles a boundary unseen). Chunk count is exact integer arithmetic
+    * — `(max(n − overlap, 1) + stride − 1) div stride`, stride =
+    * chunkTokens − overlap — identical in any engine; a document shorter
+    * than one chunk yields exactly itself. Pure map-side explode: zero
+    * shuffles, linear in corpus tokens, embarrassingly parallel — the
+    * embedding stage downstream dominates, so this pass must never be the
+    * bottleneck. Output: (doc_id, chunk_no, start_tok, n_tok, chunk_text).
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        // integral `div`, not `/`: Column./ is floating-point division
+        posexplode(expr(s"sequence(0, CAST((greatest(size(w) - $overlap, 1)" +
+          s" + ${stride - 1}) div $stride AS INT) - 1)")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_no"),
+        (col("col") * stride).cast("long").as("start_tok"),
+        size(slice(col("w"), col("col") * stride + 1, lit(chunkTokens))).cast("long").as("n_tok"),
+        array_join(slice(col("w"), col("col") * stride + 1, lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
   /** PII patterns shared by [[piiScrub]] and its oracle: deliberately
     * restricted to syntax with IDENTICAL semantics in Java regex and RE2
     * (character classes, +, bounded repetition — no backrefs, no lookaround,

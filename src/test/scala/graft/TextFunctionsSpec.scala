@@ -388,6 +388,24 @@ class TextFunctionsSpec extends AnyFunSuite {
       (4L, 0L, 1L, 1L, "see <URL> done")))
   }
 
+  test("chunking: overlap span math exact, short docs pass through whole") {
+    def doc(n: Int) = (n.toLong, (1 to n).map(i => s"t$i").mkString(" "))
+    val docs = Seq(doc(65), doc(64), doc(10), doc(16)).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .chunkDocuments(docs, chunkTokens = 64, overlap = 16)
+      .select("doc_id", "chunk_no", "start_tok", "n_tok", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // 65 tokens, stride 48: chunks [0,64) and [48,65) — 16 tokens shared
+    assert(got(65L).map(c => (c._2, c._3, c._4)) == Seq((0L, 0L, 64L), (1L, 48L, 17L)))
+    assert(got(65L)(0)._5.split(" ").takeRight(16).toSeq ==
+      got(65L)(1)._5.split(" ").take(16).toSeq)
+    // exactly one chunk when the doc fits; short docs come through verbatim
+    assert(got(64L).map(c => (c._3, c._4)) == Seq((0L, 64L)))
+    assert(got(10L) == Seq((10L, 0L, 0L, 10L, doc(10)._2)))
+    assert(got(16L).map(_._4) == Seq(16L))
+  }
+
   test("contamination spread walks the paraphrase chain to minimum hops") {
     // Sliding 100-token windows over one token stream, stride 10: adjacent
     // windows share 90 tokens (3-shingle J = 88/108 ~ 0.81 >= 0.7), windows
