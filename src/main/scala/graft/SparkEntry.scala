@@ -474,6 +474,10 @@ object SparkEntry {
     // product quantization: codes + LUT scoring; training, encoding, and
     // the ADC estimate all replayed by the oracle
     "embed_knn_pq" -> ((s, dir) => EmbeddingSearch.pqTopK(s, dir)),
+    // scalar int8 quantization: per-dim affine codes (min/max train pass),
+    // decoded-vector ADC; quantizer, codes, and scores all oracle-replayed
+    "embed_knn_sq8" -> ((s, dir) => EmbeddingSearch.sq8TopK(s, dir)),
+    "embed_sq8_recall" -> ((s, dir) => EmbeddingSearch.sq8Recall(s, dir)),
     "embed_knn_kmeans" -> ((s, dir) => {
       // training params are DERIVED into the dir prefix and passed to the
       // call from the same values — an index trained under different
@@ -709,6 +713,28 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** SQ8 k-NN oracle: replays the quantizer training (per-dim min/max →
+    * affine step), the rounded affine encode, the decode, and the ADC
+    * cosine — every arithmetic step in the same order as sq8TopK, so the
+    * scores are bit-equal. round() ties: both engines round half away from
+    * zero for the non-negative (x-mn)/sc operand.
+    */
+  private val sq8KnnSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |st AS (SELECT di.i AS d, min(v[di.i]) AS mn, max(v[di.i]) AS mx
+       |       FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) di GROUP BY 1),
+       |p AS (SELECT list(mn ORDER BY d) AS mn, list((mx - mn) / 255.0 ORDER BY d) AS sc FROM st),
+       |dh AS (SELECT e.vec_id, list_transform(generate_series(1, len(e.v)), i ->
+       |         p.mn[i] + (CASE WHEN p.sc[i] = 0.0 THEN 0.0
+       |                    ELSE round((e.v[i] - p.mn[i]) / p.sc[i], 0) END) * p.sc[i]) AS vhat
+       |       FROM e, p),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |s AS (SELECT q.query_id, dh.vec_id, round(${cosineSql("dh.vhat", "q.qv")}, 6) AS sq_cosine
+       |      FROM dh, q WHERE dh.vec_id <> q.query_id),
+       |r AS (SELECT *, (row_number() OVER
+       |      (PARTITION BY query_id ORDER BY sq_cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, sq_cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
   private val lshKnnSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -1731,6 +1757,15 @@ object SparkEntry {
          |LEFT JOIN k USING (vec_id)""".stripMargin,
     "embed_knn_kmeans" -> kmeansKnnSql(samplePct = None),
     "embed_knn_pq" -> pqKnnSql(),
+    "embed_knn_sq8" -> sq8KnnSql,
+    "embed_sq8_recall" ->
+      s"""WITH br AS (SELECT query_id, vec_id FROM ($bruteKnnSql)),
+         |ap AS (SELECT query_id, vec_id FROM ($sq8KnnSql))
+         |SELECT br.query_id, count(*) AS n_exact,
+         |  count(ap.vec_id) AS n_hit,
+         |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
     // identical replay, but the Lloyd rounds see only the affine-hash 40%
     // sample (smp CTE) — seeds and means come from the sample, the final
     // inverted file and re-rank still cover every vector

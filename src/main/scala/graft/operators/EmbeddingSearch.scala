@@ -828,6 +828,86 @@ object EmbeddingSearch {
         sum(round(col("n2"), 6).cast("decimal(28,6)")).cast("double").as("sum_norm2"),
         round(max(col("n2")), 6).as("max_norm2"))
 
+  /** Scalar (int8) quantization parameters: per-dimension min and the
+    * affine step (max-min)/255, as ONE parameter row of two aligned arrays.
+    * This is the OTHER classic ANN compression next to PQ — no codebook
+    * training at all, just a corpus min/max pass, and 4× memory (float32 →
+    * uint8 per dimension) at far lower distortion than PQ's k^m cells when
+    * dimensions are well-spread.
+    *
+    * Scale: posexplode emits N·dims rows but min/max partial-aggregates
+    * map-side, so the shuffle is dims·partitions tiny rows into dims groups
+    * — one corpus pass, metadata-sized output, same discipline as
+    * [[trainPqCodebooks]]. The params row then broadcasts (2·dims doubles).
+    */
+  def sq8Params(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx")))).as("st"))
+      .select(
+        transform(col("st"), s => s.getField("mn")).as("mn"),
+        transform(col("st"), s => (s.getField("mx") - s.getField("mn")) / lit(255.0)).as("sc"))
+
+  /** Encode the corpus against SQ8 params: code_d = round((x_d - mn_d)/sc_d)
+    * ∈ [0,255] (constant dimensions — sc=0 — code to 0). Map-only: the
+    * 1-row params frame broadcasts; nothing shuffles. Codes are int here
+    * (they'd be a 1-byte-per-dim binary column in a stored index); the
+    * decoded approximation `vhat` = mn + code·sc is what ADC scores against.
+    */
+  def sq8Encoded(emb: DataFrame, params: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(params))
+      .withColumn("codes", transform(col("v"), (x, i) =>
+        when(element_at(col("sc"), i + 1) === 0.0, lit(0))
+          .otherwise(round((x - element_at(col("mn"), i + 1)) /
+            element_at(col("sc"), i + 1), 0).cast("int"))))
+      .withColumn("vhat", transform(col("codes"), (c, i) =>
+        element_at(col("mn"), i + 1) +
+          c.cast("double") * element_at(col("sc"), i + 1)))
+      .select(col("vec_id"), col("codes"), col("vhat"))
+
+  /** SQ8 ANN: train the affine quantizer in one corpus pass, encode
+    * map-only, then asymmetric-distance search — full-precision queries
+    * against decoded int8 corpus vectors. The exhaustive scan over codes is
+    * the small-SF verification shape; at 100 TB the same codes column rides
+    * the IVF/LSH bucket layout (quantization compresses the PAYLOAD, the
+    * bucket index bounds the CANDIDATES — orthogonal levers that compose),
+    * with 4× more vectors per executor-memory byte than float32.
+    * Output: (query_id, vec_id, sq_cosine, rank<=k), self excluded.
+    */
+  def sq8TopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val queries = broadcast(emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val scored = sq8Encoded(emb, sq8Params(emb)).crossJoin(queries)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("vhat"), col("qv")), 6).as("sq_cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("sq_cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Recall@k of the SQ8 ADC path against exact brute force — the same
+    * evaluation loop as [[lshRecall]]/[[pqRecall]], measuring what the
+    * 4× compression costs in ranking quality (here: distortion only, since
+    * the small-SF serve is exhaustive — candidate recall is 1).
+    */
+  def sq8Recall(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("vec_id"))
+    val approx = sq8TopK(spark, dir, k, nQueries)
+      .select(col("query_id").as("q2"), col("vec_id").as("v2"))
+    exact.join(approx,
+        exact("query_id") === approx("q2") && exact("vec_id") === approx("v2"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("v2")).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
   /** Per-label corpus stats: count and exact (decimal-summed, order-
     * independent) mean/min/max of vector L2 norms — the IVF-style partition
     * profile (label plays the coarse-centroid role on this synthetic data).

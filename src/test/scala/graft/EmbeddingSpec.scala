@@ -273,4 +273,46 @@ class EmbeddingSpec extends AnyFunSuite {
       EmbeddingSearch.vecDedupAgainst(idx, emb, tau = 0.5)
     }
   }
+
+  test("sq8: codes in [0,255], decode error within half an affine step") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val params = EmbeddingSearch.sq8Params(emb)
+    val enc = EmbeddingSearch.sq8Encoded(emb, params)
+      .join(emb, "vec_id").crossJoin(broadcast(params))
+    val codeOob = enc.where(exists(col("codes"), c => c < 0 || c > 255)).count()
+    assert(codeOob == 0, s"$codeOob rows carry codes outside [0,255]")
+    // per-dim reconstruction slack: |x - vhat_d| - sc_d/2 must never be
+    // positive (round-to-nearest on the affine grid) — check the worst dim
+    val worstSlack = enc.select(array_max(
+        zip_with(zip_with(col("v"), col("vhat"), (x, xh) => abs(x - xh)), col("sc"),
+          (e, s) => e - s / 2)).as("slack"))
+      .agg(max(col("slack"))).head().getDouble(0)
+    assert(worstSlack <= 1e-12, s"decode error exceeds half a step by $worstSlack")
+  }
+
+  test("sq8 top-k: shape, self-exclusion, determinism; recall near-exact") {
+    val dir = "/root/testdata/sf0.001"
+    val a = EmbeddingSearch.sq8TopK(spark, dir, k = 5, nQueries = 4)
+      .select("query_id", "vec_id", "sq_cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(a.map(_._1).distinct.length == 4 && a.length == 20)
+    a.foreach { case (q, v, c, _) =>
+      assert(v != q, "query must not match itself")
+      assert(c >= -1.000001 && c <= 1.000001, s"cosine estimate out of range: $c")
+    }
+    a.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).toSeq == (1L to 5L))
+      assert(rs.map(_._3).toSeq.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+    val b = EmbeddingSearch.sq8TopK(spark, dir, k = 5, nQueries = 4)
+      .select("query_id", "vec_id", "sq_cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(a.toSeq == b.toSeq, "SQ8 results must be deterministic across runs")
+    // 8-bit distortion should barely perturb a 64-dim ranking
+    val rec = EmbeddingSearch.sq8Recall(spark, dir, k = 5, nQueries = 4)
+      .select("recall").as[Double].collect()
+    assert(rec.forall(r => r > 0.0 && r <= 1.0))
+    assert(rec.sum / rec.length >= 0.6, s"mean SQ8 recall suspiciously low: ${rec.toSeq}")
+  }
 }
