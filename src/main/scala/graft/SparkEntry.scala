@@ -287,6 +287,9 @@ object SparkEntry {
     "rel_top_orders" -> ((s, dir) => Relational.topOrders(s, dir)),
     "rel_bucketed_join" -> ((s, dir) => Relational.bucketedOrderRevenue(s, dir)),
     "rel_salted_join" -> ((s, dir) => Relational.saltedSupplierRevenue(s, dir)),
+    // runtime row-level filtering: fact scan pruned by the dim key-set
+    // bloom BEFORE the join shuffle; bloom-invariant, oracle = plain join
+    "rel_bloom_join" -> ((s, dir) => Relational.bloomPartRevenue(s, dir)),
     "rel_customer_windows" -> ((s, dir) => Relational.customerOrderWindows(s, dir)),
     "rel_window_funcs" -> ((s, dir) => Relational.windowFunctionSuite(s, dir)),
     "rel_order_stats" -> ((s, dir) => Relational.orderStats(s, dir)),
@@ -979,6 +982,15 @@ object SparkEntry {
          |  count(*) AS n_items
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY 1""".stripMargin,
+    // the bloom never changes results (exact join re-verifies survivors):
+    // the oracle is the plain filtered join
+    "rel_bloom_join" ->
+      s"""SELECT p_partkey, p_brand,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size = 1
+         |GROUP BY 1, 2""".stripMargin,
     "rel_bucketed_join" ->
       s"""SELECT o_orderkey, o_orderpriority,
          |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue,

@@ -104,6 +104,27 @@ object Relational {
         sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** Per-part revenue for a selective part subset, with the fact side
+    * BLOOM-PRUNED before the join ([[Scale.bloomPrunedFact]]): the filtered
+    * part keys build a bloom in one dim-side aggregation, the lineitem scan
+    * drops non-candidate rows behind a codegen'd integer predicate, and only
+    * the survivors enter the exact join + aggregation. At this SF the dim
+    * would broadcast anyway; the operator is the 100 TB shape where the dim
+    * does NOT fit the broadcast threshold but its key-set bloom does — the
+    * join shuffle then carries the match volume, not the corpus. Results are
+    * bloom-invariant (the exact join re-verifies every survivor), so the
+    * oracle is the plain join.
+    */
+  def bloomPartRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.part(spark, dir).where(col("p_size") === 1)
+    Scale.bloomPrunedFact(Tables.lineitem(spark, dir), dim, "l_partkey", "p_partkey")
+      .join(Scale.maybeBroadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_brand"))
+      .agg(
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q5-shaped local-supplier revenue: 6-way join through the star,
     * dims broadcast, revenue per nation.
     */

@@ -49,6 +49,65 @@ object Scale {
       .agg(sum(col("__partial")).as("n"))
   }
 
+  private val P31 = 2147483647L // 2^31 - 1, the portable-hash modulus
+
+  /** The k bloom bit positions of a non-negative integer key: the same
+    * (2i+1)·h + (12345 + 67891·i) mod 2³¹-1 permutation family the MinHash
+    * signatures use (HashFunctions), reduced mod `mBits`. Pure integer
+    * Column arithmetic — no sketch library, no UDF — so the filter stays in
+    * whole-stage codegen AND an external engine can replay it bit-for-bit.
+    */
+  private[graft] def bloomPositions(key: Column, k: Int, mBits: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      pmod(pmod(key, lit(P31)) * (i * lit(2) + lit(1)) + (lit(12345L) + lit(67891L) * i),
+        lit(P31)) % lit(mBits.toLong))
+
+  /** Build a bloom filter over `dim`'s key column as ONE row holding a
+    * word-index → 64-bit-word map. Construction is an aggregation: each key
+    * emits k bit positions, positions group by word index with `bit_or`
+    * partial aggregation (map-side combine — the shuffle carries at most
+    * mBits/64 words per partition, never keys). Result-order-independent by
+    * construction (bit_or is commutative), so the bloom is deterministic.
+    */
+  private[graft] def buildBloom(dim: DataFrame, dimKey: String, k: Int, mBits: Int): DataFrame =
+    dim.select(explode(bloomPositions(col(dimKey), k, mBits)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy(col("w"))
+      .agg(expr("bit_or(bit)").as("word"))
+      .groupBy()
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("word"))).as("bloom"))
+
+  /** True iff every one of `key`'s k bloom bits is set (absent words are
+    * all-zero). No false negatives ever; false positives only widen the
+    * pruned set — callers re-verify with the exact join.
+    */
+  private[graft] def bloomMightContain(bloom: Column, key: Column, k: Int, mBits: Int): Column =
+    forall(bloomPositions(key, k, mBits), pos =>
+      coalesce(element_at(bloom, (pos / 64).cast("int")), lit(0L))
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0)
+
+  /** Bloom-pruned reduction of `fact` to (a superset of) the rows whose
+    * `factKey` appears in `dim.dimKey` — Spark's runtime row-level filter,
+    * spelled explicitly so the pruning is a declared, testable part of the
+    * plan. THE case for it at 100 TB: the dim side is too big to broadcast
+    * (so no BroadcastHashJoin and no storage-pushed DPP), but its KEY SET
+    * compresses into a few-hundred-KB bloom — the fact side then drops
+    * non-matching rows AT THE SCAN, before the join shuffle, turning a
+    * 100 TB shuffle into a match-sized one. The bloom build itself is one
+    * dim-side aggregation into ≤ mBits/64 words; the single-row result
+    * broadcasts. Callers must still run the exact join on the survivors
+    * (false positives pass the bloom) — results are bloom-invariant, which
+    * is exactly what makes the operator oracle-checkable by a plain join.
+    */
+  def bloomPrunedFact(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+      k: Int = 5, mBits: Int = 1 << 17): DataFrame = {
+    val bloom = buildBloom(dim.select(col(dimKey)), dimKey, k, mBits)
+    fact.crossJoin(broadcast(bloom))
+      .where(bloomMightContain(col("bloom"), col(factKey), k, mBits))
+      .drop("bloom")
+  }
+
   /** Skew-safe equi-join of a (possibly hot-keyed) fact side with a dim
     * side: fact rows take salt = id mod buckets; the dim side is replicated
     * once per salt value; the join key becomes (key, salt). Result set is

@@ -82,4 +82,29 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("bloom-pruned fact: no false negatives, real pruning, join-invariant") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val dim = Tables.part(spark, dir).where($"p_partkey" % 13 === 0)
+      .select("p_partkey")
+    val pruned = Scale.bloomPrunedFact(li, dim, "l_partkey", "p_partkey")
+
+    // every true match survives the bloom (no false negatives): the exact
+    // semi-join result minus the pruned set must be empty
+    val exactSemi = li.join(dim, $"l_partkey" === $"p_partkey", "left_semi")
+    assert(exactSemi.exceptAll(pruned).count() == 0)
+
+    // the bloom actually prunes: survivors are a small fraction of the fact
+    val (total, kept, matches) = (li.count(), pruned.count(), exactSemi.count())
+    assert(kept < total / 2, s"bloom kept $kept of $total rows — not pruning")
+    assert(kept >= matches)
+
+    // false positives are verified away by the exact join: the joined
+    // result over the pruned fact equals the plain join
+    val viaBloom = pruned.join(dim, $"l_partkey" === $"p_partkey")
+      .groupBy("p_partkey").count().as[(Long, Long)].collect().toMap
+    val plain = li.join(dim, $"l_partkey" === $"p_partkey")
+      .groupBy("p_partkey").count().as[(Long, Long)].collect().toMap
+    assert(viaBloom == plain)
+  }
 }
