@@ -405,6 +405,9 @@ object SparkEntry {
       TextAnalysis.rareBigramStats(Tables.documents(s, dir))),
     // MERGE/upsert composed as one full-outer + coalesce over plain parquet
     "rel_upsert" -> ((s, dir) => Relational.upsertOrders(s, dir)),
+    // changelog apply: latest-wins U/D replay by sequence — MERGE's other
+    // half; the oracle replays the same deterministic changelog
+    "rel_cdc_apply" -> ((s, dir) => Relational.cdcApplyOrders(s, dir)),
     // percent-of-total in exact integer cents (window over the tiny agg)
     "rel_revenue_share" -> ((s, dir) => Relational.revenueShare(s, dir)),
     // dbt-test/Deequ-style validation pass: 5 declared constraints,
@@ -1312,6 +1315,28 @@ object SparkEntry {
         |       WHEN b.o_orderstatus IS NULL THEN 'inserted'
         |       ELSE 'updated' END AS src
         |FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey""".stripMargin,
+    "rel_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+        |    o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority,
+        |    'U' AS op, 1 AS seq FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 2.0, o_orderdate,
+        |    o_orderpriority, 'U', 2 FROM orders WHERE o_orderkey % 194 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority, 'U', 1 FROM orders WHERE o_orderkey % 103 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 'D', 3 FROM orders WHERE o_orderkey % 101 = 0),
+        |al AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 'U' AS op, 0 AS seq FROM orders
+        |       UNION ALL SELECT * FROM ch),
+        |r AS (SELECT *, row_number() OVER
+        |      (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM al)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
     // rank-equivalent integer PMI: c_ab·10⁹ // (c_a·c_b); DuckDB lists are
     // 1-based where Spark arrays are 0-based — each side spells its own
     "text_pmi_topk" ->

@@ -610,6 +610,58 @@ object Relational {
           .when(col("o_orderstatus").isNull, "inserted").otherwise("updated").as("src"))
   }
 
+  /** Latest-wins apply of a keyed CDC changelog onto a base table — the
+    * OTHER half of MERGE next to [[upsertOrders]]: where the upsert
+    * coalesces ONE update batch two-sidedly, this replays an ARBITRARY
+    * interleaving of upserts and tombstone DELETEs per key in sequence
+    * order — the shape a binlog/Debezium ingest feeds. Base rows enter as
+    * (op=U, seq=0); the highest-seq version per key wins; a winning
+    * tombstone drops the key. ONE hash shuffle on the key (the window);
+    * idempotent — re-applying the same changelog re-ranks identical rows
+    * identically, so the result is a fixed point. At 100 TB the changes
+    * batch is ≪ base, so cost is the base's one shuffle — which the
+    * bucketed write-time layout ([[bucketedOrderRevenue]]) removes, and a
+    * date-partitioned base confines to touched partitions
+    * (dynamic-partition overwrite, the `maintainDailyAggregates`
+    * discipline). `changes` carries base's columns plus (op, seq); per-key
+    * seqs must be distinct (changelogs are per-key ordered by construction).
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val all = base.withColumn("op", lit("U")).withColumn("seq", lit(0L))
+      .unionByName(changes.withColumn("seq", col("seq").cast("long")))
+    val w = Window.partitionBy(col(key)).orderBy(col("seq").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("op") =!= "D")
+      .drop("op", "seq", "__rn")
+  }
+
+  /** [[applyChangelog]] demo over orders with a deterministic changelog:
+    * seq 1 revalues every 97th key (+1.00, status U1); seq 2 re-updates the
+    * every-194th subset (+2.00, status U2 — latest-wins over seq 1); seq 3
+    * tombstones every 101st key; seq 1 also inserts fresh keys (+10⁹
+    * offset, status N) for every 103rd key — upsert-on-missing. Pure
+    * integer/IEEE arithmetic, so the oracle replays the changelog verbatim.
+    */
+  def cdcApplyOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def upd(mod: Int, add: Double, status: String, seq: Int): DataFrame =
+      ord.where(col("o_orderkey") % mod === 0)
+        .withColumn("o_orderstatus", lit(status))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(add))
+        .withColumn("op", lit("U")).withColumn("seq", lit(seq.toLong))
+    val inserts = ord.where(col("o_orderkey") % 103 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+    val deletes = ord.where(col("o_orderkey") % 101 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+    val changes = upd(97, 1.0, "U1", 1)
+      .unionByName(upd(194, 2.0, "U2", 2))
+      .unionByName(inserts)
+      .unionByName(deletes)
+    applyChangelog(ord, changes, "o_orderkey")
+  }
+
   // ---- correlated-subquery SQL surface -----------------------------------
   // The ANSI front door a reference-switching SQL user hits first: scalar
   // aggregate subqueries, EXISTS, NOT EXISTS — each correlated to the outer

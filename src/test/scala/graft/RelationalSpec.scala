@@ -224,6 +224,27 @@ class RelationalSpec extends AnyFunSuite {
       assert(n > 0 && rev > 0, s"$b bracket empty") }
   }
 
+  test("changelog apply: latest-wins, tombstones drop, inserts land, idempotent") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "v", "x")
+    val changes = Seq(
+      (1L, "a1", 11.0, "U", 1L), // update
+      (1L, "a2", 12.0, "U", 2L), // later update wins
+      (2L, "b", 20.0, "D", 1L),  // tombstone
+      (3L, "c1", 31.0, "U", 1L), // update...
+      (3L, "c1", 31.0, "D", 2L), // ...then delete: delete wins
+      (5L, "e", 50.0, "U", 1L)   // insert on missing key
+    ).toDF("k", "v", "x", "op", "seq")
+    val out = Relational.applyChangelog(base, changes, "k")
+    val got = out.as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a2", 12.0), (4L, "d", 40.0), (5L, "e", 50.0)))
+    // idempotence: re-applying the same changelog to the result is a no-op
+    val again = Relational.applyChangelog(out, changes, "k")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+  }
+
   test("idle rich customers: members beat the global avg and placed no recent order") {
     import spark.implicits._
     // replay the definition row-by-row at tiny SF
