@@ -484,6 +484,9 @@ object SparkEntry {
     // decoded-vector ADC; quantizer, codes, and scores all oracle-replayed
     "embed_knn_sq8" -> ((s, dir) => EmbeddingSearch.sq8TopK(s, dir)),
     "embed_sq8_recall" -> ((s, dir) => EmbeddingSearch.sq8Recall(s, dir)),
+    // embedding hygiene: per-label centroid-distance z-score tail — the
+    // mislabeled/noise filter; centroids, moments, and z all oracle-replayed
+    "embed_outliers" -> ((s, dir) => EmbeddingSearch.labelOutliers(s, dir)),
     "embed_knn_kmeans" -> ((s, dir) => {
       // training params are DERIVED into the dir prefix and passed to the
       // call from the same values — an index trained under different
@@ -1766,6 +1769,32 @@ object SparkEntry {
          |r AS (SELECT *, (row_number() OVER
          |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
          |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+    // same centroid CTEs as embed_knn_ivf; distance = sequential-fold dot
+    // over the difference vector; moments as decimal sums, ONE double
+    // expression (m2 - m·m) at the end — operation order mirrors the Spark
+    // side literal-for-literal so the z tail is bit-equal
+    "embed_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label::BIGINT AS label,
+         |             list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |ed AS (SELECT label, di.i AS d, v[di.i] AS x
+         |       FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) di),
+         |cm AS (SELECT label, d,
+         |  CAST(sum(CAST(round(x, 6) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+         |  FROM ed GROUP BY 1, 2),
+         |cent AS (SELECT label, list(c ORDER BY d) AS cv FROM cm GROUP BY 1),
+         |dvt AS (SELECT e.vec_id, e.label,
+         |  list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.cv[i]) AS dv
+         |  FROM e JOIN cent USING (label)),
+         |ds AS (SELECT vec_id, label, round(sqrt(${dotSql("dv", "dv")}), 6) AS dist FROM dvt),
+         |mom AS (SELECT label, count(*)::BIGINT AS n,
+         |  CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         |  CAST(sum(CAST(round(dist*dist, 10) AS DECIMAL(28,10))) AS DOUBLE) AS s2
+         |  FROM ds GROUP BY 1),
+         |z AS (SELECT vec_id, ds.label, dist,
+         |  CASE WHEN sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0)) = 0.0 THEN 0.0
+         |       ELSE round((dist - s1/n) / sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0)), 6)
+         |  END AS z FROM ds JOIN mom USING (label))
+         |SELECT vec_id, label, dist, z FROM z WHERE z >= 1.5""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |$vecBandCtes,

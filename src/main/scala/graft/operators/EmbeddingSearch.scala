@@ -908,6 +908,46 @@ object EmbeddingSearch {
         round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
   }
 
+  /** Per-label embedding OUTLIERS — the mislabeled/noise filter of an
+    * embedding-curation pass: distance of each vector to its label's
+    * centroid, z-scored against the label's own distance distribution;
+    * rows with z ≥ `zMin` are the flagged tail. Every number is
+    * deterministic: centroids via the scaled-long
+    * [[graft.functions.VectorMeanAggregator]] (the [[ivfTopK]] discipline,
+    * order-independent under any partitioning), the distance as a
+    * sequential-fold dot over the difference vector (bit-equal in the
+    * oracle's list_reduce), label moments as exact decimal sums with the
+    * one double expression at the end — so the z-scores and the flagged
+    * set are hash-gated, not a tolerance test.
+    *
+    * Scale: two tiny keyed aggregations (labels×dims centroid rows, then
+    * per-label moments) + two broadcast joins of label-cardinality frames;
+    * the corpus is scanned twice, never shuffled — the same cost class as
+    * [[labelStats]]. Output: (vec_id, label, dist, z) for z ≥ zMin.
+    */
+  def labelOutliers(spark: SparkSession, dir: String, zMin: Double = 1.5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        toDouble(col("embedding")).as("v"))
+    val cent = emb
+      .select(col("label"), transform(col("v"), x => round(x, 6)).as("rv"))
+      .groupBy(col("label"))
+      .agg(graft.functions.VectorMeanAggregator.vectorMean(col("rv")).as("cv"))
+    val dists = emb.join(broadcast(cent), Seq("label"))
+      .withColumn("dv", zip_with(col("v"), col("cv"), (x, m) => x - m))
+      .select(col("vec_id"), col("label"), round(sqrt(dot(col("dv"), col("dv"))), 6).as("dist"))
+    val mom = dists.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast("decimal(18,6)")).cast("double").as("s1"),
+        sum(round(col("dist") * col("dist"), 10).cast("decimal(28,10)")).cast("double").as("s2"))
+    val m = col("s1") / col("n")
+    val sd = sqrt(greatest(col("s2") / col("n") - m * m, lit(0.0)))
+    dists.join(broadcast(mom), Seq("label"))
+      .withColumn("z", when(sd === 0.0, lit(0.0)).otherwise(round((col("dist") - m) / sd, 6)))
+      .where(col("z") >= zMin)
+      .select(col("vec_id"), col("label"), col("dist"), col("z"))
+  }
+
   /** Per-label corpus stats: count and exact (decimal-summed, order-
     * independent) mean/min/max of vector L2 norms — the IVF-style partition
     * profile (label plays the coarse-centroid role on this synthetic data).

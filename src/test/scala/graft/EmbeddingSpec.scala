@@ -315,4 +315,45 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(rec.forall(r => r > 0.0 && r <= 1.0))
     assert(rec.sum / rec.length >= 0.6, s"mean SQ8 recall suspiciously low: ${rec.toSeq}")
   }
+
+  test("label outliers: flagged tail matches an independent in-memory model") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Long, Seq[Double])].collect()
+
+    // independent model: centroid of rounded@6 coords, sequential-fold
+    // distance, population moments, z-tail — plain Scala, no Spark
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byLabel = raw.groupBy(_._2)
+    val expected = byLabel.toSeq.flatMap { case (label, vs) =>
+      val dims = vs.head._3.length
+      val cent = (0 until dims).map { d =>
+        val s = vs.map(x => BigDecimal(r6(x._3(d))).setScale(10)).sum
+        s.toDouble / vs.length
+      }
+      val dists = vs.map { case (id, _, v) =>
+        // fold in index order, like the DotProduct kernel
+        id -> r6(math.sqrt(v.indices.map(i => (v(i) - cent(i)) * (v(i) - cent(i))).sum))
+      }
+      val n = dists.length
+      val s1 = dists.map(d => BigDecimal(d._2).setScale(6)).sum.toDouble
+      val s2 = dists.map(d => BigDecimal(r6x(d._2 * d._2)).setScale(10)).sum.toDouble
+      val m = s1 / n
+      val sd = math.sqrt(math.max(s2 / n - m * m, 0.0))
+      dists.collect { case (id, dist) if sd != 0.0 && r6((dist - m) / sd) >= 1.5 =>
+        (id, label, dist, r6((dist - m) / sd))
+      }
+    }.toSet
+
+    val got = EmbeddingSearch.labelOutliers(spark, dir, zMin = 1.5)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.nonEmpty, "outlier tail should be non-empty on the fixture")
+  }
+
+  private def r6x(x: Double): Double =
+    BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

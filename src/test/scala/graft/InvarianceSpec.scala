@@ -104,7 +104,14 @@ class InvarianceSpec extends AnyFunSuite {
     "corpus_pack_bucketed" ->
       ((s, d) => TextAnalysis.packSequencesBucketed(Tables.documents(s, d))),
     "events_distinct_reagg" ->
-      ((s, d) => graft.operators.Events.distinctReagg(s, d)))
+      ((s, d) => graft.operators.Events.distinctReagg(s, d)),
+    // this session's additions: the SQ8 min/max train pass, the centroid
+    // z-tail, the bloom bitmap build (collect_list order varies with
+    // partitioning; the map lookup must not care), and the changelog window
+    "embed_knn_sq8" -> ((s, d) => EmbeddingSearch.sq8TopK(s, d, nQueries = 3)),
+    "embed_outliers" -> ((s, d) => EmbeddingSearch.labelOutliers(s, d)),
+    "rel_bloom_join" -> ((s, d) => Relational.bloomPartRevenue(s, d)),
+    "rel_cdc_apply" -> ((s, d) => Relational.cdcApplyOrders(s, d)))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
