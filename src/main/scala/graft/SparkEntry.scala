@@ -393,6 +393,11 @@ object SparkEntry {
     // integer-exact PMI collocations (phrase detection)
     "text_pmi_topk" -> ((s, dir) =>
       TextAnalysis.pmiTopBigrams(Tables.documents(s, dir))),
+    // bigram-LM quality score (the perplexity-filter axis): every ln()
+    // input is an integer count, so round(ln,6) terms + decimal sums keep
+    // the score hash-gated
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir))),
     // TextRank: iterative damped PageRank over the token co-occurrence
     // graph, integer-exact, 5 unrolled rounds in the oracle
     "text_textrank" -> ((s, dir) =>
@@ -1354,6 +1359,25 @@ object SparkEntry {
         |  (c_ab * 1000000000) // (ua.c * ub.c) AS score_ppb
         |FROM bc JOIN uc ua ON bc.a = ua.t JOIN uc ub ON bc.b = ub.t
         |ORDER BY score_ppb DESC, bigram ASC LIMIT 20""".stripMargin,
+    // add-one bigram LM replay: identical count tables, identical
+    // round(ln(integer), 6) terms, decimal-summed — bit-equal by the same
+    // argument as the cosine family
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT t, count(*)::BIGINT AS c1
+        |        FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1),
+        |prm AS (SELECT CAST(sum(c1) AS BIGINT) AS tot, count(*)::BIGINT AS voc FROM uni),
+        |bi AS (SELECT doc_id, w[di.i] AS a, w[di.i+1] AS b FROM tok,
+        |  LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) di),
+        |big AS (SELECT a, b, count(*)::BIGINT AS c2 FROM bi GROUP BY 1, 2),
+        |ft AS (SELECT doc_id, round(ln(c1), 6) - round(ln(tot), 6) AS lp
+        |       FROM tok JOIN uni ON w[1] = t CROSS JOIN prm),
+        |bc AS (SELECT bi.doc_id, round(ln(c2 + 1), 6) - round(ln(c1 + voc), 6) AS lp
+        |       FROM bi JOIN big USING (a, b) JOIN uni ON bi.a = uni.t CROSS JOIN prm),
+        |al AS (SELECT doc_id, lp FROM ft UNION ALL SELECT doc_id, lp FROM bc)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(CAST(sum(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM al GROUP BY 1""".stripMargin,
     "text_textrank" -> textrankSql(iters = 5, minCount = 5, kTop = 30),
     // the sketch is rebuilt cell-by-cell from the same affine hash family;
     // a cell-assignment or min-row drift breaks the hash

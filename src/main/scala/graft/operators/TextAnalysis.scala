@@ -360,6 +360,59 @@ object TextAnalysis {
     * TakeOrdered, never a global sort.
     * Output: (bigram, c_ab, c_a, c_b, score_ppb).
     */
+  /** Per-document language-model score — the CCNet/perplexity-style
+    * quality signal: an add-one-smoothed bigram LM is trained on the
+    * corpus itself (unigram + bigram count tables), and every document is
+    * scored by its mean per-token log-probability
+    * (p(w₁) = c(w₁)/T; p(wᵢ|wᵢ₋₁) = (c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V)).
+    * Low scores = statistically unusual text (gibberish, boilerplate with
+    * rare symbols, wrong-language fragments) — the filter axis perplexity
+    * pipelines threshold on. Every ln() input is an INTEGER (a count, T,
+    * or c+V), so the score is defined as a sum of round(ln(int), 6) terms
+    * accumulated as exact decimals: both engines take ln of identical
+    * integer-valued doubles and agree after the round — the same
+    * discipline that makes the cosine family hash-gated.
+    *
+    * Scale: two count aggregations (unigram = vocabulary-sized, bigram =
+    * bigram-vocabulary-sized, both with map-side partial counts), then the
+    * corpus's token stream joins the count tables — size-gated broadcasts
+    * here; at 100 TB the bigram join is a hash join keyed on the gram,
+    * exactly TF-IDF's df-join cost class — and ONE per-doc aggregation.
+    * No driver scalars: T and V ride a 1-row broadcast frame.
+    * Output: (doc_id, n_tokens, avg_logprob).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokenize(col("text")).as("w"))
+      .where(size(col("w")) >= 1)
+    val uni = tok.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val prm = uni.groupBy().agg(sum(col("c1")).cast("long").as("tot_tokens"), count(lit(1)).as("vocab"))
+    val big = tok
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(w) - 1, 0)), i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("c2"))
+    // first token: ln p(w₁) = ln c(w₁) − ln T
+    val first = tok.select(col("doc_id"), element_at(col("w"), 1).as("t0"))
+      .join(Scale.maybeBroadcast(uni), col("t0") === col("t"))
+      .crossJoin(broadcast(prm))
+      .select(col("doc_id"), (round(log(col("c1")), 6) - round(log(col("tot_tokens")), 6)).as("lp"))
+    // tokens 2..n: ln p(wᵢ|wᵢ₋₁) = ln(c(wᵢ₋₁wᵢ)+1) − ln(c(wᵢ₋₁)+V)
+    val rest = tok
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(w) - 1, 0)), i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .join(Scale.maybeBroadcast(big), Seq("a", "b"))
+      .join(Scale.maybeBroadcast(uni), col("a") === col("t"))
+      .crossJoin(broadcast(prm))
+      .select(col("doc_id"),
+        (round(log(col("c2") + 1), 6) - round(log(col("c1") + col("vocab")), 6)).as("lp"))
+    first.unionByName(rest)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_logprob"))
+  }
+
   def pmiTopBigrams(docs: DataFrame, minCount: Long = 5, kTop: Int = 20): DataFrame = {
     val toks = docs.select(tokenize(col("text")).as("w"))
     val uni = toks.select(explode(col("w")).as("t"))

@@ -109,6 +109,7 @@ class InvarianceSpec extends AnyFunSuite {
     // z-tail, the bloom bitmap build (collect_list order varies with
     // partitioning; the map lookup must not care), and the changelog window
     "embed_knn_sq8" -> ((s, d) => EmbeddingSearch.sq8TopK(s, d, nQueries = 3)),
+    "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
     "embed_outliers" -> ((s, d) => EmbeddingSearch.labelOutliers(s, d)),
     "rel_bloom_join" -> ((s, d) => Relational.bloomPartRevenue(s, d)),
     "rel_cdc_apply" -> ((s, d) => Relational.cdcApplyOrders(s, d)))

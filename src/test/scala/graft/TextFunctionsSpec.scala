@@ -205,6 +205,36 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Set((10L, 1L, true), (11L, 0L, false)))
   }
 
+  test("bigram LM score equals an independent in-memory model on a small corpus") {
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat ran"),
+      (2L, "a dog sat on a log"),
+      (3L, "the dog and the cat sat"))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lmScore(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = uni.values.sum
+    val voc = uni.size.toLong
+    val big = toks.flatMap { case (_, ts) => ts.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = toks.map { case (id, ts) =>
+      val lps = (r6(math.log(uni(ts.head).toDouble)) - r6(math.log(tot.toDouble))) +:
+        ts.sliding(2).filter(_.size == 2).map(p =>
+          r6(math.log((big((p(0), p(1))) + 1).toDouble)) -
+            r6(math.log((uni(p(0)) + voc).toDouble))).toSeq
+      val s = lps.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      id -> (ts.length.toLong, r6(s.toDouble / ts.length))
+    }.toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    // probabilities are < 1, so every mean log-prob is negative
+    assert(got.values.forall(_._2 < 0.0))
+  }
+
   test("bm25 equals an independent in-memory model on a small corpus") {
     val corpus = Seq(
       (0L, "apple banana cherry apple"),
