@@ -56,7 +56,11 @@ object ScaleBench {
     // the measured form of the documented hot-partition growth case
     "corpus_pack",
     // ranking serve path: df over shared terms only; fixed query load
-    "text_bm25_topk")
+    "text_bm25_topk",
+    // this session's additions: the LM's two count passes + gram-keyed
+    // scoring joins (TF-IDF's cost class), the two-scan zero-shuffle
+    // outlier tail, and the SQ8 train/encode/ADC pipeline
+    "text_lm_score", "embed_outliers", "embed_knn_sq8")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"
