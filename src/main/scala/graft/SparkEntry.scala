@@ -492,6 +492,9 @@ object SparkEntry {
     // embedding hygiene: per-label centroid-distance z-score tail — the
     // mislabeled/noise filter; centroids, moments, and z all oracle-replayed
     "embed_outliers" -> ((s, dir) => EmbeddingSearch.labelOutliers(s, dir)),
+    // the Matryoshka measurement: recall of prefix-dim search vs full-dim
+    // exact, one row per d' — truncated storage's quality price
+    "embed_trunc_recall" -> ((s, dir) => EmbeddingSearch.truncRecall(s, dir)),
     "embed_knn_kmeans" -> ((s, dir) => {
       // training params are DERIVED into the dir prefix and passed to the
       // call from the same values — an index trained under different
@@ -727,6 +730,29 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** Truncation-recall oracle: one branch per d' — the brute top-k replay
+    * over list_slice'd prefix vectors, hits counted against the full-dim
+    * exact set; UNION ALL of the per-d' aggregates.
+    */
+  private def truncRecallSql(dPrimes: Seq[Int]): String =
+    dPrimes.map { dp =>
+      s"""(WITH t AS (SELECT vec_id,
+         |  list_slice(list_transform(embedding, x -> x::DOUBLE), 1, $dp) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 10),
+         |s AS (SELECT q.query_id, t.vec_id, round(${cosineSql("t.v", "q.qv")}, 6) AS tcos
+         |      FROM t, q WHERE t.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY tcos DESC, vec_id ASC) AS rank FROM s),
+         |ap AS (SELECT query_id, vec_id FROM r WHERE rank <= 5),
+         |br AS (SELECT query_id, vec_id FROM ($bruteKnnSql))
+         |SELECT $dp::BIGINT AS d_prime, count(*)::BIGINT AS n_exact,
+         |  count(ap.vec_id)::BIGINT AS n_hit,
+         |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM br LEFT JOIN ap
+         |  ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   /** SQ8 k-NN oracle: replays the quantizer training (per-dim min/max →
     * affine step), the rounded affine encode, the decode, and the ADC
@@ -1848,6 +1874,7 @@ object SparkEntry {
     "embed_knn_kmeans" -> kmeansKnnSql(samplePct = None),
     "embed_knn_pq" -> pqKnnSql(),
     "embed_knn_sq8" -> sq8KnnSql,
+    "embed_trunc_recall" -> truncRecallSql(Seq(8, 16, 32)),
     "embed_sq8_recall" ->
       s"""WITH br AS (SELECT query_id, vec_id FROM ($bruteKnnSql)),
          |ap AS (SELECT query_id, vec_id FROM ($sq8KnnSql))

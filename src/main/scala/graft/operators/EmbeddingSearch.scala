@@ -908,6 +908,45 @@ object EmbeddingSearch {
         round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
   }
 
+  /** Dimension-TRUNCATION recall curve — the Matryoshka question: how much
+    * ranking quality do the first d' dimensions alone buy? For each d' the
+    * corpus and queries are sliced to their prefix dims and searched
+    * exhaustively; hits against the full-dimension exact top-k aggregate to
+    * one recall number per d'. The measurement a deployment runs before
+    * committing to truncated storage (prefix dims are THE memory lever when
+    * embeddings are MRL-trained — compression with zero re-encoding, and
+    * it composes multiplicatively with SQ8's 4× and the IVF layout).
+    * Exhaustive scan per d' is the small-SF verification shape; each branch
+    * is the [[bruteForceTopK]] plan (1-row query broadcast, per-query
+    * window) — nothing here shuffles the corpus. Output:
+    * (d_prime, n_exact, n_hit, recall), one row per d'.
+    */
+  def truncRecall(spark: SparkSession, dir: String, dPrimes: Seq[Int] = Seq(8, 16, 32),
+      k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("vec_id"))
+    val perD = dPrimes.map { dp =>
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), slice(toDouble(col("embedding")), 1, dp).as("v"))
+      val queries = broadcast(emb.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      val approx = emb.crossJoin(queries)
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id").as("q2"), col("vec_id").as("v2"),
+          round(cosine(col("v"), col("qv")), 6).as("tcos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q2").orderBy(col("tcos").desc, col("v2").asc)))
+        .where(col("rank") <= k)
+      exact.join(approx,
+          exact("query_id") === approx("q2") && exact("vec_id") === approx("v2"), "left")
+        .groupBy()
+        .agg(count(lit(1)).as("n_exact"), count(col("v2")).as("n_hit"))
+        .select(lit(dp.toLong).as("d_prime"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+    }
+    perD.reduce(_ unionByName _)
+  }
+
   /** Per-label embedding OUTLIERS — the mislabeled/noise filter of an
     * embedding-curation pass: distance of each vector to its label's
     * centroid, z-scored against the label's own distance distribution;

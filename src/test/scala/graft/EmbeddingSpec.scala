@@ -316,6 +316,21 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(rec.sum / rec.length >= 0.6, s"mean SQ8 recall suspiciously low: ${rec.toSeq}")
   }
 
+  test("truncation recall: full-width slice is exact, curve well-formed") {
+    val dir = "/root/testdata/sf0.001"
+    // slicing to the full 64 dims must reproduce exact search bit-for-bit
+    val full = EmbeddingSearch.truncRecall(spark, dir, dPrimes = Seq(64), k = 5, nQueries = 4)
+      .select("recall").as[Double].head()
+    assert(full == 1.0, s"full-width truncation must have recall 1.0, got $full")
+    val curve = EmbeddingSearch.truncRecall(spark, dir, dPrimes = Seq(8, 16, 32), k = 5, nQueries = 4)
+      .select("d_prime", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(8L, 16L, 32L))
+    curve.foreach { case (_, ne, nh, r) =>
+      assert(ne == 20 && nh <= ne && r >= 0.0 && r <= 1.0)
+    }
+  }
+
   test("label outliers: flagged tail matches an independent in-memory model") {
     val dir = "/root/testdata/sf0.001"
     val raw = spark.read.parquet(s"$dir/embeddings.parquet")
