@@ -398,6 +398,9 @@ object SparkEntry {
     // the score hash-gated
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(Tables.documents(s, dir))),
+    // CCNet head/middle/tail: exact equal-depth tiers over the LM score
+    "corpus_lm_tiers" -> ((s, dir) =>
+      TextAnalysis.lmTiers(Tables.documents(s, dir))),
     // TextRank: iterative damped PageRank over the token co-occurrence
     // graph, integer-exact, 5 unrolled rounds in the oracle
     "text_textrank" -> ((s, dir) =>
@@ -730,6 +733,27 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** Add-one bigram LM replay (text_lm_score, and the tier split's input):
+    * identical count tables, identical round(ln(integer), 6) terms,
+    * decimal-summed — bit-equal by the same argument as the cosine family.
+    */
+  private val lmScoreSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |uni AS (SELECT t, count(*)::BIGINT AS c1
+      |        FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1),
+      |prm AS (SELECT CAST(sum(c1) AS BIGINT) AS tot, count(*)::BIGINT AS voc FROM uni),
+      |bi AS (SELECT doc_id, w[di.i] AS a, w[di.i+1] AS b FROM tok,
+      |  LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) di),
+      |big AS (SELECT a, b, count(*)::BIGINT AS c2 FROM bi GROUP BY 1, 2),
+      |ft AS (SELECT doc_id, round(ln(c1), 6) - round(ln(tot), 6) AS lp
+      |       FROM tok JOIN uni ON w[1] = t CROSS JOIN prm),
+      |bc AS (SELECT bi.doc_id, round(ln(c2 + 1), 6) - round(ln(c1 + voc), 6) AS lp
+      |       FROM bi JOIN big USING (a, b) JOIN uni ON bi.a = uni.t CROSS JOIN prm),
+      |al AS (SELECT doc_id, lp FROM ft UNION ALL SELECT doc_id, lp FROM bc)
+      |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |  round(CAST(sum(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
+      |FROM al GROUP BY 1""".stripMargin
 
   /** Truncation-recall oracle: one branch per d' — the brute top-k replay
     * over list_slice'd prefix vectors, hits counted against the full-dim
@@ -1388,22 +1412,19 @@ object SparkEntry {
     // add-one bigram LM replay: identical count tables, identical
     // round(ln(integer), 6) terms, decimal-summed — bit-equal by the same
     // argument as the cosine family
-    "text_lm_score" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |uni AS (SELECT t, count(*)::BIGINT AS c1
-        |        FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1),
-        |prm AS (SELECT CAST(sum(c1) AS BIGINT) AS tot, count(*)::BIGINT AS voc FROM uni),
-        |bi AS (SELECT doc_id, w[di.i] AS a, w[di.i+1] AS b FROM tok,
-        |  LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i) di),
-        |big AS (SELECT a, b, count(*)::BIGINT AS c2 FROM bi GROUP BY 1, 2),
-        |ft AS (SELECT doc_id, round(ln(c1), 6) - round(ln(tot), 6) AS lp
-        |       FROM tok JOIN uni ON w[1] = t CROSS JOIN prm),
-        |bc AS (SELECT bi.doc_id, round(ln(c2 + 1), 6) - round(ln(c1 + voc), 6) AS lp
-        |       FROM bi JOIN big USING (a, b) JOIN uni ON bi.a = uni.t CROSS JOIN prm),
-        |al AS (SELECT doc_id, lp FROM ft UNION ALL SELECT doc_id, lp FROM bc)
-        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-        |  round(CAST(sum(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
-        |FROM al GROUP BY 1""".stripMargin,
+    "text_lm_score" -> lmScoreSql,
+    // CCNet head/middle/tail: global ntile over the LM score (total order
+    // with doc_id tie-break), per-tier stats decimal-summed
+    "corpus_lm_tiers" ->
+      s"""WITH sc AS ($lmScoreSql),
+         |t AS (SELECT *, ntile(3) OVER
+         |      (ORDER BY avg_logprob DESC, doc_id ASC) AS tier FROM sc)
+         |SELECT tier::BIGINT AS tier, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  max(avg_logprob) AS best_lp, min(avg_logprob) AS worst_lp,
+         |  round(CAST(sum(CAST(avg_logprob AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_lp
+         |FROM t GROUP BY 1""".stripMargin,
     "text_textrank" -> textrankSql(iters = 5, minCount = 5, kTop = 30),
     // the sketch is rebuilt cell-by-cell from the same affine hash family;
     // a cell-assignment or min-row drift breaks the hash

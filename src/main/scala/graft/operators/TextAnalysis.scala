@@ -413,6 +413,32 @@ object TextAnalysis {
           / count(lit(1)).cast("double"), 6).as("avg_logprob"))
   }
 
+  /** CCNet's head/middle/tail split: rank every document by its
+    * [[lmScore]] and cut the corpus into `nTiers` equal-depth tiers
+    * (tier 1 = most fluent). The classic perplexity-based curation move —
+    * keep head+middle, drop or re-sample the tail — reported here as
+    * per-tier stats (the decision table for choosing the cut).
+    *
+    * Cost note, same as rel_equidepth: a global ntile IS a total order —
+    * the documented price of exact equal-depth tiers. At 100 TB the
+    * deployment twin buckets by APPROXIMATE score quantiles from a sample
+    * (one map pass against broadcast cut points) — exact ntile is the
+    * verification shape that pins the scoring itself. Output:
+    * (tier, n_docs, n_tokens, best_lp, worst_lp, mean_lp).
+    */
+  def lmTiers(docs: DataFrame, nTiers: Int = 3): DataFrame = {
+    val w = Window.orderBy(col("avg_logprob").desc, col("doc_id").asc)
+    lmScore(docs)
+      .withColumn("tier", ntile(nTiers).over(w).cast("long"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("avg_logprob")).as("best_lp"),
+        min(col("avg_logprob")).as("worst_lp"),
+        round(sum(col("avg_logprob").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_lp"))
+  }
+
   def pmiTopBigrams(docs: DataFrame, minCount: Long = 5, kTop: Int = 20): DataFrame = {
     val toks = docs.select(tokenize(col("text")).as("w"))
     val uni = toks.select(explode(col("w")).as("t"))

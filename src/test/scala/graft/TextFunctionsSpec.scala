@@ -235,6 +235,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.values.forall(_._2 < 0.0))
   }
 
+  test("LM tiers: equal-depth partition of the corpus, fluency-ordered") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tiers = graft.operators.TextAnalysis.lmTiers(docs)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val total = docs.count()
+    assert(tiers.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(tiers.map(_._2).sum == total, "tiers must partition the corpus")
+    // ntile equal depth: sizes differ by at most 1
+    assert(tiers.map(_._2).max - tiers.map(_._2).min <= 1)
+    // fluency-ordered: tier k's worst score is >= tier k+1's best score,
+    // and mean scores strictly decrease head -> tail
+    tiers.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi._5 >= lo._4, s"tier ${hi._1} worst ${hi._5} < tier ${lo._1} best ${lo._4}")
+      assert(hi._6 > lo._6)
+    }
+  }
+
   test("bm25 equals an independent in-memory model on a small corpus") {
     val corpus = Seq(
       (0L, "apple banana cherry apple"),
