@@ -117,6 +117,12 @@ object SparkEntry {
     // exercise the full bucket→verify path with non-trivial output
     "dedup_embedding" -> ((s, dir) =>
       EmbeddingSearch.cosineNearDupPairs(s, dir, tau = 0.4)),
+    // the DEPLOYMENT shape: LSH width sized from the corpus count by the
+    // lshRowsPerBand occupancy rule (8 bands × rpb bits, rpb = min r with
+    // 32·2^r ≥ N) — holds candidate volume linear in N instead of the
+    // measured fixed-width x16 cliff; oracle replays the derivation
+    "dedup_embedding_scaled" -> ((s, dir) =>
+      EmbeddingSearch.cosineNearDupPairsScaled(s, dir, tau = 0.4)),
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dedupClusters(docs, SimilarityJoin.allPairsJaccard(docs, tau = 0.7))
@@ -422,6 +428,13 @@ object SparkEntry {
     // (n_checked, n_violations, passed) each — ship-after-order fails on
     // this data by design, proving the checks fire
     "rel_constraints" -> ((s, dir) => Relational.constraintReport(s, dir)),
+    // single-scan multi-column numeric profile (count/null/distinct/min/
+    // max/decimal-exact sum per column, one Expand aggregation)
+    "rel_profile" -> ((s, dir) => Audit.lineitemProfile(s, dir)),
+    // the FK-STAR audit twin of rel_constraints: every declared FK edge as
+    // a lazy anti-join count aggregate + per-table row-local rule scans,
+    // one (constraint, n_violations) row per rule — all zeros or no publish
+    "rel_audit_constraints" -> ((s, dir) => Audit.constraintViolations(s, dir)),
     // SCD2 temporal-table build: order history -> validity intervals
     "rel_scd2" -> ((s, dir) => Relational.customerOrderHistory(s, dir)),
     // provenance rollup of the near-dup graph: source x source pair matrix
@@ -480,6 +493,9 @@ object SparkEntry {
     // two-sided kNN JOIN (kNN-graph): every vector × its band-mates, no
     // broadcastable query side — the corpus-vs-corpus shuffle shape
     "embed_knn_join" -> ((s, dir) => EmbeddingSearch.knnJoin(s, dir)),
+    // kNN join under the same corpus-adaptive LSH sizing (the registered
+    // at-scale config; the fixed-width form above is the small-corpus default)
+    "embed_knn_join_scaled" -> ((s, dir) => EmbeddingSearch.knnJoinScaled(s, dir)),
     "embed_knn_ivf" -> ((s, dir) => EmbeddingSearch.ivfTopK(s, dir)),
     // train-once/serve-many (VERDICT r2 item 3): the quantizer is persisted
     // keyed on the embeddings fingerprint — the first invocation trains and
@@ -721,6 +737,27 @@ object SparkEntry {
       |vbands AS (SELECT vec_id, unnest(list_transform(generate_series(0, 3), b ->
       |  b::VARCHAR || ':' || array_to_string(list_transform(
       |    list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))) AS band FROM sig)""".stripMargin
+
+  /** [[vecBandCtes]] under the CORPUS-ADAPTIVE width: rpb = the smallest
+    * r in [4, 16] with 32·2^r ≥ count(*) — the same integer
+    * shift-and-compare as `EmbeddingSearch.lshRowsPerBand` (no floating
+    * log2, so both engines agree at exact powers of two) — then 8 bands of
+    * rpb bits over an 8·rpb-plane signature.
+    */
+  private val vecBandCtesScaled: String =
+    """cntv AS (SELECT count(*)::BIGINT AS n FROM e),
+      |prm AS (SELECT coalesce((SELECT min(r)::INT
+      |  FROM (SELECT unnest(generate_series(4, 16)) AS r) t, cntv
+      |  WHERE (32::BIGINT << r) >= cntv.n), 16) AS rpb),
+      |sig AS (SELECT vec_id, v, list_transform(generate_series(0, 8*prm.rpb - 1), p ->
+      |  CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
+      |    d -> v[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
+      |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
+      |  THEN 1 ELSE 0 END) AS sig FROM e, prm),
+      |vbands AS (SELECT vec_id, unnest(list_transform(generate_series(0, 7), b ->
+      |  b::VARCHAR || ':' || array_to_string(list_transform(
+      |    list_slice(sig, b*rpb+1, b*rpb+rpb), x -> x::VARCHAR), ','))) AS band
+      |  FROM sig, prm)""".stripMargin
 
   /** Brute-force / LSH k-NN oracles as vals: each is also nested (as a
     * parenthesized WITH subquery) inside the recall-evaluation oracle.
@@ -1351,6 +1388,44 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT),
         |  sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) = 0
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+    // one SELECT per profiled column (replays the single-scan Expand agg);
+    // decimal(28,6) sums are exact, so sum_val is bit-equal
+    "rel_profile" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |  (count(*) - count($c))::BIGINT AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_val,
+           |  CAST(max($c) AS DOUBLE) AS max_val,
+           |  CAST(sum(CAST($c AS DECIMAL(28,6))) AS DOUBLE) AS sum_val
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+        + "\nORDER BY col_name"),
+    "rel_audit_constraints" ->
+      """SELECT 'dom_discount_in_unit_range' AS constraint,
+        |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations FROM lineitem
+        |UNION ALL
+        |SELECT 'dom_quantity_positive',
+        |  CAST(sum(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'nn_shipdate_not_null',
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'pk_orders_unique',
+        |  (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders
+        |UNION ALL
+        |SELECT 'dom_totalprice_nonnegative',
+        |  CAST(sum(CASE WHEN o_totalprice < 0.0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'fk_lineitem_orderkey', count(*)::BIGINT FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'fk_lineitem_partkey', count(*)::BIGINT FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'fk_orders_custkey', count(*)::BIGINT FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY "constraint"""".stripMargin,
     "rel_scd2" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
@@ -1802,6 +1877,19 @@ object SparkEntry {
          |r AS (SELECT *, (row_number() OVER
          |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
          |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+    // identical replay under the corpus-adaptive banding CTEs
+    "embed_knn_join_scaled" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |$vecBandCtesScaled,
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |         FROM vbands a JOIN vbands b ON a.band = b.band AND a.vec_id <> b.vec_id),
+         |s AS (SELECT cand.vec_id, cand.nbr_id,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
+         |r AS (SELECT *, (row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
+         |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
     // same centroid CTEs as the IVF oracle + a decimal-exact per-cell avg
     "embed_centroid_quality" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1869,6 +1957,16 @@ object SparkEntry {
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |$vecBandCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM vbands a JOIN vbands b ON a.band = b.band AND a.vec_id < b.vec_id),
+         |s AS (SELECT cand.vec_a, cand.vec_b,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cand JOIN e ea ON cand.vec_a = ea.vec_id
+         |            JOIN e eb ON cand.vec_b = eb.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
+    "dedup_embedding_scaled" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |$vecBandCtesScaled,
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM vbands a JOIN vbands b ON a.band = b.band AND a.vec_id < b.vec_id),
          |s AS (SELECT cand.vec_a, cand.vec_b,

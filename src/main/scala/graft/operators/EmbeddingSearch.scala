@@ -272,6 +272,43 @@ object EmbeddingSearch {
   def cosineNearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.9): DataFrame =
     cosineNearDupPairsFor(Tables.embeddings(spark, dir), tau)
 
+  /** CORPUS-ADAPTIVE band width — the [[lshBandKeys]] occupancy rule made
+    * executable: the smallest rowsPerBand r in [4, 16] with
+    * targetBucket · 2^r ≥ n (i.e. rowsPerBand ≈ ceil(log2(n/targetBucket)),
+    * but INTEGER-EXACT — a shift-and-compare both engines replay with no
+    * floating log2 edge cases at powers of two). Expected bucket occupancy
+    * stays ≈ targetBucket as the corpus grows, so candidate volume
+    * (Σ bucket² per band) grows LINEARLY with n instead of quadratically —
+    * the measured fix for the x16 occupancy cliff (BENCH_SCALE.json: 24×/52×
+    * wall at fixed 16-value bands vs 7.4×/10.4× re-sized).
+    */
+  def lshRowsPerBand(corpusRows: Long, targetBucket: Int = 32): Int =
+    (4 to 16).find(r => (targetBucket.toLong << r) >= corpusRows).getOrElse(16)
+
+  /** [[cosineNearDupPairsFor]] with the LSH sized from the corpus row count
+    * by [[lshRowsPerBand]] (8 bands of the derived width). The ONE eager
+    * action here — a count() — is metadata-scale (parquet row-count
+    * statistics, no column data) and unavoidable: nPlanes is a STRUCTURAL
+    * plan literal (the signature expression's width), so it cannot ride the
+    * DAG; at 100 TB it's computed once per corpus snapshot and amortized
+    * over every dedup run against it.
+    */
+  def cosineNearDupPairsScaled(spark: SparkSession, dir: String, tau: Double,
+      targetBucket: Int = 32, bands: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val rpb = lshRowsPerBand(emb.count(), targetBucket)
+    cosineNearDupPairsFor(emb, tau, nPlanes = bands * rpb, bands = bands)
+  }
+
+  /** [[knnJoin]] under the same corpus-adaptive sizing (see
+    * [[cosineNearDupPairsScaled]] for the count() argument). */
+  def knnJoinScaled(spark: SparkSession, dir: String, k: Int = 3,
+      targetBucket: Int = 32, bands: Int = 8): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val rpb = lshRowsPerBand(n, targetBucket)
+    knnJoin(spark, dir, k, nPlanes = bands * rpb, bands = bands)
+  }
+
   /** Same over any (vec_id, embedding: array<numeric>) frame. `nPlanes`
     * and `bands` size the LSH to the corpus (see [[lshBandKeys]]); the
     * defaults are the oracle-replayed 16-bit/4-band configuration.

@@ -37,6 +37,9 @@ object ScaleBench {
     // query range), so these measure corpus-growth cost at fixed query load
     "embed_knn_brute", "embed_knn_lsh", "embed_knn_ivf",
     "dedup_embedding", "embed_label_stats",
+    // corpus-adaptive LSH sizing (round 6): the registered fixes for the
+    // fixed-width occupancy cliff the two entries above measure
+    "dedup_embedding_scaled", "embed_knn_join_scaled",
     // round-5 additions with candidate machinery or corpus-df joins; the
     // weighted sample rides along as a zero-shuffle linear control
     "embed_knn_join", "dedup_minhash_accuracy", "dedup_source_matrix",
@@ -116,18 +119,12 @@ object ScaleBench {
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
     val dirs: Seq[(Int, String)] =
       (1, src) +: ks.map(k => k -> scaledDocs(spark, src, k, work))
-    // dedup_embedding_wide: the SAME operator with the LSH sized for the
-    // larger corpus (64 planes, 8 bands of 8 bits = 256 band values vs the
-    // entry default's 16) — the parameter-scaling rule lshBandKeys
-    // documents, measured side by side with the fixed-width default
-    val allFns = family.map(n => n -> graft.SparkEntry.queries(n)) :+
-      ("dedup_embedding_wide" -> ((s: SparkSession, d: String) =>
-        graft.operators.EmbeddingSearch.cosineNearDupPairsFor(
-          graft.sources.Tables.embeddings(s, d), tau = 0.4, nPlanes = 64, bands = 8))) :+
-      // the kNN join under the SAME corpus-sized LSH re-sizing rule — its
-      // default 16-value bands hit the identical occupancy cliff
-      ("embed_knn_join_wide" -> ((s: SparkSession, d: String) =>
-        graft.operators.EmbeddingSearch.knnJoin(s, d, nPlanes = 64, bands = 8)))
+    // the corpus-adaptive LSH entries (dedup_embedding_scaled /
+    // embed_knn_join_scaled, in `family`) are now REGISTERED first-class
+    // queries — lshRowsPerBand re-sizes the bands per scaled corpus, so the
+    // curve measures the occupancy rule exactly where the fixed-width
+    // defaults measured the cliff
+    val allFns = family.map(n => n -> graft.SparkEntry.queries(n))
     val fns = only.fold(allFns)(o => allFns.filter(f => o(f._1)))
     for ((k, dir) <- dirs) {
       val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]

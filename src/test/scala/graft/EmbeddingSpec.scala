@@ -371,4 +371,44 @@ class EmbeddingSpec extends AnyFunSuite {
 
   private def r6x(x: Double): Double =
     BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("lshRowsPerBand: integer-exact thresholds, monotone, clamped to [4,16]") {
+    // below/at/above the first threshold 32·2^4 = 512
+    assert(EmbeddingSearch.lshRowsPerBand(1) == 4)
+    assert(EmbeddingSearch.lshRowsPerBand(512) == 4)
+    assert(EmbeddingSearch.lshRowsPerBand(513) == 5)
+    // the power-of-two edge a floating ceil(log2) could miss
+    assert(EmbeddingSearch.lshRowsPerBand(32L << 10) == 10)
+    assert(EmbeddingSearch.lshRowsPerBand((32L << 10) + 1) == 11)
+    // clamp: beyond 32·2^16 the width stays 16
+    assert(EmbeddingSearch.lshRowsPerBand(Long.MaxValue) == 16)
+    // monotone in n
+    val widths = Seq(100L, 1000L, 10000L, 100000L, 10000000L)
+      .map(EmbeddingSearch.lshRowsPerBand(_))
+    assert(widths == widths.sorted)
+    // expected occupancy stays ≈ targetBucket: n / 2^rpb ≤ 32 for n ≥ 512
+    Seq(600L, 5000L, 50000L, 2000000L).foreach { n =>
+      val rpb = EmbeddingSearch.lshRowsPerBand(n)
+      assert(n.toDouble / (1L << rpb) <= 32.0, s"occupancy blown at n=$n")
+    }
+  }
+
+  test("scaled near-dup pairs / kNN join equal the explicit-width calls") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val rpb = EmbeddingSearch.lshRowsPerBand(n)
+    val exp = EmbeddingSearch.cosineNearDupPairsFor(
+      graft.sources.Tables.embeddings(spark, dir), tau = 0.4,
+      nPlanes = 8 * rpb, bands = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = EmbeddingSearch.cosineNearDupPairsScaled(spark, dir, tau = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == exp)
+    val expK = EmbeddingSearch.knnJoin(spark, dir, nPlanes = 8 * rpb, bands = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val gotK = EmbeddingSearch.knnJoinScaled(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(gotK == expK)
+    assert(gotK.nonEmpty, "scaled kNN join should produce edges on the fixture")
+  }
 }
