@@ -108,6 +108,24 @@ object HashPrimitives {
     new GenericArrayData(out)
   }
 
+  /** All k bloom bits of `key` set in the DENSE word array? Bit positions
+    * are the (2i+1)·pmod(key,P)+(12345+67891·i) mod P mod mBits permutation
+    * family — arithmetic identical to the Column form it replaces
+    * (Scale.bloomPositions), but one branchy integer loop per row instead
+    * of an interpreted transform+forall over a materialized position array:
+    * zero allocation, early exit on the first clear bit.
+    */
+  def bloomMightContain(words: ArrayData, key: Long, k: Int, mBits: Int): Boolean = {
+    val h = ((key % P) + P) % P // pmod: non-negative residue like Spark's
+    var i = 0
+    while (i < k) {
+      val pos = ((h * (2L * i + 1L) + (12345L + 67891L * i)) % P) % mBits
+      if ((words.getLong((pos >> 6).toInt) & (1L << (pos & 63L).toInt)) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** 48-bit SimHash: bit j set iff Σ_t (2·((h·(2j+3)+999+7919j) mod P mod 2)−1) > 0. */
   def simhash48(hashes: ArrayData): Long = {
     val n = hashes.numElements()
@@ -193,6 +211,28 @@ case class HyperplaneSignature(child: Expression, nPlanes: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.HashPrimitives.hyperplaneSig($c, $nPlanes)")
   override protected def withNewChildInternal(c: Expression): HyperplaneSignature = copy(child = c)
+}
+
+/** Bloom-filter membership probe ((array<long> dense words, long key) →
+  * boolean) — the per-fact-row kernel of [[graft.operators.Scale
+  * .bloomPrunedFact]]. Replaces an interpreted `transform`+`forall` of k
+  * modular positions (the round-5 bench's slowest registered kernel) with
+  * one codegen'd early-exit loop; position arithmetic bit-identical to the
+  * Column form, so pruning sets are unchanged.
+  */
+case class BloomMightContain(left: Expression, right: Expression, k: Int, mBits: Int)
+    extends BinaryExpression {
+  require(k >= 1 && mBits >= 64 && (mBits & (mBits - 1)) == 0,
+    "k >= 1 and mBits a power of two >= 64")
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(words: Any, key: Any): Any =
+    HashPrimitives.bloomMightContain(
+      words.asInstanceOf[ArrayData], key.asInstanceOf[Long], k, mBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, c) =>
+      s"graft.functions.expressions.HashPrimitives.bloomMightContain($w, $c, $k, $mBits)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
+    copy(left = l, right = r)
 }
 
 /** 48-bit SimHash over a pre-hashed set (array<long> → long). */

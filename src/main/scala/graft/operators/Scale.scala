@@ -62,12 +62,15 @@ object Scale {
       pmod(pmod(key, lit(P31)) * (i * lit(2) + lit(1)) + (lit(12345L) + lit(67891L) * i),
         lit(P31)) % lit(mBits.toLong))
 
-  /** Build a bloom filter over `dim`'s key column as ONE row holding a
-    * word-index → 64-bit-word map. Construction is an aggregation: each key
-    * emits k bit positions, positions group by word index with `bit_or`
-    * partial aggregation (map-side combine — the shuffle carries at most
-    * mBits/64 words per partition, never keys). Result-order-independent by
-    * construction (bit_or is commutative), so the bloom is deterministic.
+  /** Build a bloom filter over `dim`'s key column as ONE row holding the
+    * DENSE array of mBits/64 64-bit words. Construction is an aggregation:
+    * each key emits k bit positions, positions group by word index with
+    * `bit_or` partial aggregation (map-side combine — the shuffle carries at
+    * most mBits/64 (w, word) pairs per partition, never keys); the sparse
+    * pairs densify in one final single-row projection so the probe side
+    * indexes words directly (no per-probe map lookup).
+    * Result-order-independent by construction (bit_or is commutative), so
+    * the bloom is deterministic.
     */
   private[graft] def buildBloom(dim: DataFrame, dimKey: String, k: Int, mBits: Int): DataFrame =
     dim.select(explode(bloomPositions(col(dimKey), k, mBits)).as("pos"))
@@ -76,16 +79,22 @@ object Scale {
       .groupBy(col("w"))
       .agg(expr("bit_or(bit)").as("word"))
       .groupBy()
-      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("word"))).as("bloom"))
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("word"))).as("m"))
+      .select(transform(sequence(lit(0), lit(mBits / 64 - 1)), w =>
+        coalesce(element_at(col("m"), w.cast("int")), lit(0L))).as("bloom"))
 
-  /** True iff every one of `key`'s k bloom bits is set (absent words are
-    * all-zero). No false negatives ever; false positives only widen the
-    * pruned set — callers re-verify with the exact join.
+  /** True iff every one of `key`'s k bloom bits is set. No false negatives
+    * ever; false positives only widen the pruned set — callers re-verify
+    * with the exact join. The probe is a native codegen Expression
+    * ([[graft.functions.expressions.BloomMightContain]]): one early-exit
+    * integer loop per fact row inside whole-stage codegen, replacing the
+    * interpreted transform+forall kernel that dominated the round-5 bench.
     */
-  private[graft] def bloomMightContain(bloom: Column, key: Column, k: Int, mBits: Int): Column =
-    forall(bloomPositions(key, k, mBits), pos =>
-      coalesce(element_at(bloom, (pos / 64).cast("int")), lit(0L))
-        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0)
+  private[graft] def bloomMightContain(bloom: Column, key: Column, k: Int, mBits: Int): Column = {
+    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+    toColumn(graft.functions.expressions.BloomMightContain(
+      toExpression(bloom), toExpression(key.cast("long")), k, mBits))
+  }
 
   /** Bloom-pruned reduction of `fact` to (a superset of) the rows whose
     * `factKey` appears in `dim.dimKey` — Spark's runtime row-level filter,

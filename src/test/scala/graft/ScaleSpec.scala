@@ -107,4 +107,29 @@ class ScaleSpec extends AnyFunSuite {
       .groupBy("p_partkey").count().as[(Long, Long)].collect().toMap
     assert(viaBloom == plain)
   }
+
+  test("codegen bloom probe ≡ the interpreted HOF formulation, bit-for-bit") {
+    import org.apache.spark.sql.Column
+    val P31 = 2147483647L
+    val (k, mBits) = (5, 1 << 12)
+    val dim = spark.range(0, 1000, 13).toDF("key")
+    val bloom = Scale.buildBloom(dim, "key", k, mBits)
+    val facts = spark.range(0, 3000).toDF("fk").crossJoin(bloom)
+    // the pre-round-6 interpreted kernel, replayed against the dense words
+    // (array element_at is 1-based where the old map lookup was 0-keyed)
+    def hofPositions(key: Column): Column =
+      transform(sequence(lit(0), lit(k - 1)), i =>
+        pmod(pmod(key, lit(P31)) * (i * lit(2) + lit(1))
+          + (lit(12345L) + lit(67891L) * i), lit(P31)) % lit(mBits.toLong))
+    val old = facts.where(forall(hofPositions(col("fk")), pos =>
+        element_at(col("bloom"), ((pos / 64).cast("int") + 1))
+          .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0))
+      .select("fk").as[Long].collect().toSet
+    val neu = facts.where(Scale.bloomMightContain(col("bloom"), col("fk"), k, mBits))
+      .select("fk").as[Long].collect().toSet
+    assert(neu == old)
+    // sanity: every dim key passes its own bloom, and the probe prunes
+    assert((0L until 1000L by 13).toSet.subsetOf(neu))
+    assert(neu.size < 3000)
+  }
 }
