@@ -504,9 +504,16 @@ object SparkEntry {
     // product quantization: codes + LUT scoring; training, encoding, and
     // the ADC estimate all replayed by the oracle
     "embed_knn_pq" -> ((s, dir) => EmbeddingSearch.pqTopK(s, dir)),
+    // PQ codebooks trained on the deterministic 40% affine-hash sample
+    // (the 100 TB training shape k-means already has); encoding + LUT
+    // serve still cover every vector — oracle replays the sampled rounds
+    "embed_knn_pq_sampled" -> ((s, dir) => EmbeddingSearch.pqTopK(s, dir, samplePct = 40)),
     // scalar int8 quantization: per-dim affine codes (min/max train pass),
     // decoded-vector ADC; quantizer, codes, and scores all oracle-replayed
     "embed_knn_sq8" -> ((s, dir) => EmbeddingSearch.sq8TopK(s, dir)),
+    // SQ8 min/max trained on the same 40% sample; out-of-sample-range
+    // values saturate at the byte edges (the stored-uint8 behavior)
+    "embed_knn_sq8_sampled" -> ((s, dir) => EmbeddingSearch.sq8TopK(s, dir, samplePct = 40)),
     "embed_sq8_recall" -> ((s, dir) => EmbeddingSearch.sq8Recall(s, dir)),
     // embedding hygiene: per-label centroid-distance z-score tail — the
     // mislabeled/noise filter; centroids, moments, and z all oracle-replayed
@@ -821,14 +828,19 @@ object SparkEntry {
     * scores are bit-equal. round() ties: both engines round half away from
     * zero for the non-negative (x-mn)/sc operand.
     */
-  private val sq8KnnSql: String =
+  private def sq8KnnSql(samplePct: Option[Int] = None): String = {
+    val trainCte = samplePct.map(p =>
+      s"smp AS (SELECT * FROM e WHERE (vec_id * 1103515245 + 12345) % 2147483647 % 100 < $p),\n")
+      .getOrElse("")
+    val trainSrc = if (samplePct.isDefined) "smp" else "e"
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-       |st AS (SELECT di.i AS d, min(v[di.i]) AS mn, max(v[di.i]) AS mx
-       |       FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) di GROUP BY 1),
+       |${trainCte}st AS (SELECT di.i AS d, min(v[di.i]) AS mn, max(v[di.i]) AS mx
+       |       FROM $trainSrc, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) di GROUP BY 1),
        |p AS (SELECT list(mn ORDER BY d) AS mn, list((mx - mn) / 255.0 ORDER BY d) AS sc FROM st),
        |dh AS (SELECT e.vec_id, list_transform(generate_series(1, len(e.v)), i ->
        |         p.mn[i] + (CASE WHEN p.sc[i] = 0.0 THEN 0.0
-       |                    ELSE round((e.v[i] - p.mn[i]) / p.sc[i], 0) END) * p.sc[i]) AS vhat
+       |                    ELSE least(greatest(round((e.v[i] - p.mn[i]) / p.sc[i], 0), 0), 255)
+       |                    END) * p.sc[i]) AS vhat
        |       FROM e, p),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
        |s AS (SELECT q.query_id, dh.vec_id, round(${cosineSql("dh.vhat", "q.qv")}, 6) AS sq_cosine
@@ -836,6 +848,7 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |      (PARTITION BY query_id ORDER BY sq_cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
        |SELECT query_id, vec_id, sq_cosine, rank FROM r WHERE rank <= 5""".stripMargin
+  }
 
   private val lshKnnSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -937,8 +950,15 @@ object SparkEntry {
     * estimate are ALL part of the checked contract.
     */
   private def pqKnnSql(m: Int = 4, ksub: Int = 4, iters: Int = 2,
-      k: Int = 5, nQueries: Int = 10, dims: Int = 64): String = {
+      k: Int = 5, nQueries: Int = 10, dims: Int = 64,
+      samplePct: Option[Int] = None): String = {
     val sub = dims / m
+    // with samplePct: seeds + Lloyd rounds read the ts$s sampled slices
+    // (the portable affine-hash predicate); the final assignment af_$s
+    // (= encoding) still covers every vector
+    val smpCte = samplePct.map(p =>
+      s"smp AS (SELECT * FROM e WHERE (vec_id * 1103515245 + 12345) % 2147483647 % 100 < $p),\n")
+      .getOrElse("")
     def assignCte(srcCte: String, centCte: String): String =
       s"""SELECT vec_id, v, cl FROM (
          |  SELECT e.vec_id, e.v, c.cl, row_number() OVER (PARTITION BY e.vec_id
@@ -951,13 +971,16 @@ object SparkEntry {
          |n${i}_$s AS (SELECT cl, list(c ORDER BY d) AS cv FROM m${i}_$s GROUP BY 1),
          |c${i}_$s AS (SELECT $prevCte.cl, coalesce(n${i}_$s.cv, $prevCte.cv) AS cv
          |        FROM $prevCte LEFT JOIN n${i}_$s USING (cl))""".stripMargin
+    val trainSrc = (s: Int) => if (samplePct.isDefined) s"ts$s" else s"es$s"
     val subspaceCtes = (0 until m).map { s =>
       val rounds = (1 to iters).map { i =>
-        s"a${i}_$s AS (${assignCte(s"es$s", s"c${i - 1}_$s")}),\n" +
+        s"a${i}_$s AS (${assignCte(trainSrc(s), s"c${i - 1}_$s")}),\n" +
           updateCtes(s, i, s"a${i}_$s", s"c${i - 1}_$s")
       }.mkString(",\n")
-      s"""es$s AS (SELECT vec_id, list_slice(v, ${s * sub + 1}, ${(s + 1) * sub}) AS v FROM e),
-         |c0_$s AS (SELECT vec_id::INT AS cl, v AS cv FROM es$s ORDER BY vec_id LIMIT $ksub),
+      val tsCte = if (samplePct.isDefined)
+        s"\nts$s AS (SELECT vec_id, list_slice(v, ${s * sub + 1}, ${(s + 1) * sub}) AS v FROM smp)," else ""
+      s"""es$s AS (SELECT vec_id, list_slice(v, ${s * sub + 1}, ${(s + 1) * sub}) AS v FROM e),$tsCte
+         |c0_$s AS (SELECT vec_id::INT AS cl, v AS cv FROM ${trainSrc(s)} ORDER BY vec_id LIMIT $ksub),
          |$rounds,
          |af_$s AS (${assignCte(s"es$s", s"c${iters}_$s")})""".stripMargin
     }.mkString(",\n")
@@ -971,7 +994,7 @@ object SparkEntry {
     val n2Sum = (0 until m).map(s => s"(${dotSql(s"cc$s.cv", s"cc$s.cv")})").mkString(" + ")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |           FROM embeddings),
-       |$subspaceCtes,
+       |$smpCte$subspaceCtes,
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
        |sc AS (SELECT q.query_id, af_0.vec_id,
        |    sqrt(${dotSql("q.qv", "q.qv")}) AS nq,
@@ -1992,11 +2015,13 @@ object SparkEntry {
          |LEFT JOIN k USING (vec_id)""".stripMargin,
     "embed_knn_kmeans" -> kmeansKnnSql(samplePct = None),
     "embed_knn_pq" -> pqKnnSql(),
-    "embed_knn_sq8" -> sq8KnnSql,
+    "embed_knn_pq_sampled" -> pqKnnSql(samplePct = Some(40)),
+    "embed_knn_sq8" -> sq8KnnSql(),
+    "embed_knn_sq8_sampled" -> sq8KnnSql(Some(40)),
     "embed_trunc_recall" -> truncRecallSql(Seq(8, 16, 32)),
     "embed_sq8_recall" ->
       s"""WITH br AS (SELECT query_id, vec_id FROM ($bruteKnnSql)),
-         |ap AS (SELECT query_id, vec_id FROM ($sq8KnnSql))
+         |ap AS (SELECT query_id, vec_id FROM (${sq8KnnSql()}))
          |SELECT br.query_id, count(*) AS n_exact,
          |  count(ap.vec_id) AS n_hit,
          |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall

@@ -637,8 +637,13 @@ object EmbeddingSearch {
     * eagerly checkpointed per round.
     */
   private[operators] def trainPqCodebooks(emb: DataFrame, m: Int, sub: Int,
-      ksub: Int, iters: Int): DataFrame = {
-    val sliced = slicedWithNorm(emb, m, sub)
+      ksub: Int, iters: Int, samplePct: Int = 100): DataFrame = {
+    require(samplePct >= 1 && samplePct <= 100, s"samplePct in [1,100], got $samplePct")
+    // the 100 TB discipline trainKmeansIndex already follows: codebooks
+    // converge on the deterministic affine-hash sample — only ENCODING
+    // (the caller's one serve pass) touches every vector
+    val train = if (samplePct >= 100) emb else emb.where(trainSamplePredicate(samplePct))
+    val sliced = slicedWithNorm(train, m, sub)
     val wSeed = Window.partitionBy("s").orderBy("vec_id")
     var cents = sliced
       .withColumn("rn", row_number().over(wSeed)).where(col("rn") <= ksub)
@@ -677,7 +682,7 @@ object EmbeddingSearch {
     * (query_id, vec_id, adc_cosine, rank) — rank ≤ k per query.
     */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
-      m: Int = 4, ksub: Int = 4, iters: Int = 2): DataFrame = {
+      m: Int = 4, ksub: Int = 4, iters: Int = 2, samplePct: Int = 100): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val dims = 64 // driver testdata contract (embeddings.parquet)
@@ -687,8 +692,9 @@ object EmbeddingSearch {
     // frame, so each Lloyd round is ONE corpus pass (not m) and encoding is
     // one more — per-subspace results are bit-identical to training each
     // codebook alone (same seeds, same assignment rule, same mean), which
-    // the per-subspace oracle replay checks.
-    pqTopKWithCodebooks(emb, trainPqCodebooks(emb, m, sub, ksub, iters),
+    // the per-subspace oracle replay checks. With samplePct < 100 the Lloyd
+    // rounds see only the deterministic sample; encoding still covers all.
+    pqTopKWithCodebooks(emb, trainPqCodebooks(emb, m, sub, ksub, iters, samplePct),
       k, nQueries, m, sub)
   }
 
@@ -888,7 +894,10 @@ object EmbeddingSearch {
         transform(col("st"), s => (s.getField("mx") - s.getField("mn")) / lit(255.0)).as("sc"))
 
   /** Encode the corpus against SQ8 params: code_d = round((x_d - mn_d)/sc_d)
-    * ∈ [0,255] (constant dimensions — sc=0 — code to 0). Map-only: the
+    * clamped into [0,255] (constant dimensions — sc=0 — code to 0; the
+    * clamp only bites when params were trained on a SAMPLE and an
+    * out-of-sample value falls outside the seen range — it saturates at
+    * the byte edge exactly as a stored uint8 would). Map-only: the
     * 1-row params frame broadcasts; nothing shuffles. Codes are int here
     * (they'd be a 1-byte-per-dim binary column in a stored index); the
     * decoded approximation `vhat` = mn + code·sc is what ADC scores against.
@@ -897,8 +906,8 @@ object EmbeddingSearch {
     emb.crossJoin(broadcast(params))
       .withColumn("codes", transform(col("v"), (x, i) =>
         when(element_at(col("sc"), i + 1) === 0.0, lit(0))
-          .otherwise(round((x - element_at(col("mn"), i + 1)) /
-            element_at(col("sc"), i + 1), 0).cast("int"))))
+          .otherwise(least(greatest(round((x - element_at(col("mn"), i + 1)) /
+            element_at(col("sc"), i + 1), 0).cast("int"), lit(0)), lit(255)))))
       .withColumn("vhat", transform(col("codes"), (c, i) =>
         element_at(col("mn"), i + 1) +
           c.cast("double") * element_at(col("sc"), i + 1)))
@@ -913,12 +922,18 @@ object EmbeddingSearch {
     * with 4× more vectors per executor-memory byte than float32.
     * Output: (query_id, vec_id, sq_cosine, rank<=k), self excluded.
     */
-  def sq8TopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+  def sq8TopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+      samplePct: Int = 100): DataFrame = {
+    require(samplePct >= 1 && samplePct <= 100, s"samplePct in [1,100], got $samplePct")
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // min/max train on the deterministic sample when samplePct < 100 (the
+    // same portable predicate as k-means/PQ); encoding clamps the rare
+    // out-of-sample-range value to the byte edges
+    val train = if (samplePct >= 100) emb else emb.where(trainSamplePredicate(samplePct))
     val queries = broadcast(emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv")))
-    val scored = sq8Encoded(emb, sq8Params(emb)).crossJoin(queries)
+    val scored = sq8Encoded(emb, sq8Params(train)).crossJoin(queries)
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("vhat"), col("qv")), 6).as("sq_cosine"))

@@ -372,6 +372,47 @@ class EmbeddingSpec extends AnyFunSuite {
   private def r6x(x: Double): Double =
     BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("sq8 sampled training: out-of-sample values clamp to byte-edge codes") {
+    // train the quantizer on a narrow subset, encode a wider corpus: the
+    // outlier dims must saturate at 0/255, vhat staying inside the trained
+    // affine range (exactly what a stored uint8 index would do)
+    val emb = Seq(
+      (0L, Seq(0.0, 10.0)), (1L, Seq(1.0, 11.0)),      // the "sample"
+      (2L, Seq(-5.0, 10.5)), (3L, Seq(9.0, 25.0)),     // out-of-range rows
+    ).toDF("vec_id", "v")
+    val params = EmbeddingSearch.sq8Params(emb.where($"vec_id" < 2))
+    val enc = EmbeddingSearch.sq8Encoded(emb, params)
+      .select($"vec_id", $"codes", $"vhat")
+      .as[(Long, Seq[Int], Seq[Double])].collect().map(r => r._1 -> r).toMap
+    enc.values.foreach { case (id, codes, _) =>
+      codes.foreach(c => assert(c >= 0 && c <= 255, s"vec $id code $c out of byte range"))
+    }
+    assert(enc(2L)._2 == Seq(0, 128))     // -5 < trained min 0 -> clamps to 0
+    assert(enc(3L)._2 == Seq(255, 255))   // 9 > max 1, 25 > max 11 -> clamp to 255
+    // in-sample rows are exact under the affine decode
+    assert(enc(0L)._3 == Seq(0.0, 10.0) && enc(1L)._3 == Seq(1.0, 11.0))
+  }
+
+  test("sampled PQ/SQ8 top-k: full per-query coverage, valid ranks, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    Seq(
+      EmbeddingSearch.pqTopK(spark, dir, samplePct = 40),
+      EmbeddingSearch.sq8TopK(spark, dir, samplePct = 40)
+    ).foreach { df =>
+      val rows = df.select(df.columns.head, df.columns.tail: _*)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val byQ = rows.groupBy(_._1)
+      assert(byQ.size == 10, s"expected 10 queries, got ${byQ.size}")
+      byQ.foreach { case (q, rs) =>
+        assert(rs.map(_._4).sorted.toSeq == (1L to 5L), s"query $q ranks malformed")
+        assert(rs.forall(_._2 != q), s"query $q scored itself")
+      }
+    }
+    val a = EmbeddingSearch.pqTopK(spark, dir, samplePct = 40).collect().toSeq
+    val b = EmbeddingSearch.pqTopK(spark, dir, samplePct = 40).collect().toSeq
+    assert(a == b, "sampled PQ rerun differs — training not deterministic")
+  }
+
   test("lshRowsPerBand: integer-exact thresholds, monotone, clamped to [4,16]") {
     // below/at/above the first threshold 32·2^4 = 512
     assert(EmbeddingSearch.lshRowsPerBand(1) == 4)
