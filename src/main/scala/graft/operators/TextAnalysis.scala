@@ -232,19 +232,30 @@ object TextAnalysis {
     * dedup pass, linear in corpus tokens at any scale.
     * Output: (doc_id, n_lines, n_kept, clean_text).
     */
-  def lineDedup(docs: DataFrame, lineTokens: Int = 10, minDf: Long = 2): DataFrame = {
-    require(lineTokens >= 1 && minDf >= 2, "lineTokens >= 1, minDf >= 2")
-    val lines = docs.select(col("doc_id"),
+  /** The per-doc line split shared by the in-corpus pass and the
+    * index-serve path: (doc_id, line_no, line, h62). */
+  private def docLines(docs: DataFrame, lineTokens: Int): DataFrame =
+    docs.select(col("doc_id"),
       posexplode(expr(
         s"""transform(sequence(0, CAST(ceil(size(split(text, ' ')) / $lineTokens.0) AS INT) - 1),
            |  i -> array_join(slice(split(text, ' '), i * $lineTokens + 1, $lineTokens), ' '))""".stripMargin)))
       .select(col("doc_id"), col("pos").cast("long").as("line_no"), col("col").as("line"),
         portableHash62(col("col")).as("h62"))
-    val boiler = lines.select(col("doc_id"), col("h62")).distinct()
+
+  /** The corpus-global boilerplate-line table of [[lineDedup]]: 62-bit
+    * hashes of lines appearing in ≥ minDf distinct docs. */
+  private def boilerplateLines(docs: DataFrame, lineTokens: Int, minDf: Long): DataFrame =
+    docLines(docs, lineTokens).select(col("doc_id"), col("h62")).distinct()
       .groupBy("h62").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select(col("h62"), lit(true).as("boiler"))
-    lines.join(Scale.maybeBroadcast(boiler), Seq("h62"), "left")
+
+  /** [[lineDedup]]'s SERVE half against an explicit boilerplate table —
+    * what the streaming/incremental path runs with the PERSISTED table
+    * (the line df is corpus-global, so a stream can't compute it; it loads
+    * it). One left join on the 8-byte hash + one per-doc rollup. */
+  def lineDedupAgainst(docs: DataFrame, boiler: DataFrame, lineTokens: Int = 10): DataFrame =
+    docLines(docs, lineTokens).join(Scale.maybeBroadcast(boiler), Seq("h62"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),
@@ -255,6 +266,50 @@ object TextAnalysis {
               col("boiler").isNull.as("keep")))), s => s.getField("keep")),
             s => s.getField("line")),
           "\n").as("clean_text"))
+
+  def lineDedup(docs: DataFrame, lineTokens: Int = 10, minDf: Long = 2): DataFrame = {
+    require(lineTokens >= 1 && minDf >= 2, "lineTokens >= 1, minDf >= 2")
+    lineDedupAgainst(docs, boilerplateLines(docs, lineTokens, minDf), lineTokens)
+  }
+
+  /** Persist the corpus-global boilerplate-line table so ingest can
+    * line-dedup new documents without rescanning the corpus (the df is
+    * corpus-global — the one part of [[lineDedup]] a stream cannot
+    * compute). Same `_PARAMS` + `_DONE` discipline as the dedup indexes:
+    * marker deleted first, written after the table and params commit, and
+    * a serve under different lineTokens is refused (different split →
+    * incompatible hashes, silently-empty joins otherwise).
+    */
+  def buildBoilerplateIndex(docs: DataFrame, path: String,
+      lineTokens: Int = 10, minDf: Long = 2): Unit = {
+    require(lineTokens >= 1 && minDf >= 2, "lineTokens >= 1, minDf >= 2")
+    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.delete(done, false)
+    boilerplateLines(docs, lineTokens, minDf)
+      .write.mode("overwrite").parquet(s"$path/boiler")
+    val meta = fs.create(new org.apache.hadoop.fs.Path(path, "_PARAMS"), true)
+    meta.write(s"blv1lt${lineTokens}df$minDf".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    meta.close()
+    fs.create(done, true).close()
+  }
+
+  /** Serve [[lineDedup]] from a persisted boilerplate index (param-checked). */
+  def lineDedupFromIndex(docs: DataFrame, indexPath: String,
+      lineTokens: Int = 10, minDf: Long = 2): DataFrame = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_DONE")),
+      s"no complete boilerplate index at $indexPath — run buildBoilerplateIndex first")
+    val tag = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(indexPath, "_PARAMS"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    require(tag == s"blv1lt${lineTokens}df$minDf",
+      s"boilerplate index at $indexPath has params $tag — " +
+        s"caller wants blv1lt${lineTokens}df$minDf; rebuild or match params")
+    lineDedupAgainst(docs, spark.read.parquet(s"$indexPath/boiler"), lineTokens)
   }
 
   /** RAG-style document CHUNKING — the retrieval-corpus build step: split
@@ -382,6 +437,15 @@ object TextAnalysis {
     * Output: (doc_id, n_tokens, avg_logprob).
     */
   def lmScore(docs: DataFrame): DataFrame = {
+    val (uni, big, prm) = lmCounts(docs)
+    lmScoreWith(docs, uni, big, prm)
+  }
+
+  /** The LM's three count tables — (unigram (t, c1), bigram (a, b, c2),
+    * 1-row params (tot_tokens, vocab)) — factored out so they can be
+    * PERSISTED and served against new documents ([[buildLmIndex]] /
+    * [[lmScoreWithModel]]). */
+  private def lmCounts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"), tokenize(col("text")).as("w"))
       .where(size(col("w")) >= 1)
     val uni = tok.select(explode(col("w")).as("t"))
@@ -391,26 +455,77 @@ object TextAnalysis {
       .select(explode(expr(
         "transform(sequence(1, greatest(size(w) - 1, 0)), i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("c2"))
-    // first token: ln p(w₁) = ln c(w₁) − ln T
+    (uni, big, prm)
+  }
+
+  /** Score any documents against an EXPLICIT model (count tables that may
+    * not derive from these docs). Joins are left + coalesce-to-zero so
+    * out-of-vocabulary tokens are defined: an unseen first token scores
+    * ln(1) − ln T (the strongest penalty), an unseen bigram falls back to
+    * add-one smoothing ln(0+1) − ln(c(a)+V) exactly as a seen-zero would.
+    * On documents fully covered by the model (in particular the corpus the
+    * model was trained on — the self-scoring registered entry) every
+    * coalesce is a no-op and the scores are IDENTICAL to the historical
+    * inner-join formulation, which keeps `text_lm_score` under its oracle
+    * hash gate.
+    */
+  private def lmScoreWith(docs: DataFrame, uni: DataFrame, big: DataFrame,
+      prm: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokenize(col("text")).as("w"))
+      .where(size(col("w")) >= 1)
+    // first token: ln p(w₁) = ln max(c(w₁),1) − ln T
     val first = tok.select(col("doc_id"), element_at(col("w"), 1).as("t0"))
-      .join(Scale.maybeBroadcast(uni), col("t0") === col("t"))
+      .join(Scale.maybeBroadcast(uni), col("t0") === col("t"), "left")
       .crossJoin(broadcast(prm))
-      .select(col("doc_id"), (round(log(col("c1")), 6) - round(log(col("tot_tokens")), 6)).as("lp"))
+      .select(col("doc_id"),
+        (round(log(greatest(coalesce(col("c1"), lit(0L)), lit(1L))), 6)
+          - round(log(col("tot_tokens")), 6)).as("lp"))
     // tokens 2..n: ln p(wᵢ|wᵢ₋₁) = ln(c(wᵢ₋₁wᵢ)+1) − ln(c(wᵢ₋₁)+V)
     val rest = tok
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, greatest(size(w) - 1, 0)), i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-      .join(Scale.maybeBroadcast(big), Seq("a", "b"))
-      .join(Scale.maybeBroadcast(uni), col("a") === col("t"))
+      .join(Scale.maybeBroadcast(big), Seq("a", "b"), "left")
+      .join(Scale.maybeBroadcast(uni), col("a") === col("t"), "left")
       .crossJoin(broadcast(prm))
       .select(col("doc_id"),
-        (round(log(col("c2") + 1), 6) - round(log(col("c1") + col("vocab")), 6)).as("lp"))
+        (round(log(coalesce(col("c2"), lit(0L)) + 1), 6)
+          - round(log(coalesce(col("c1"), lit(0L)) + col("vocab")), 6)).as("lp"))
     first.unionByName(rest)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("lp").cast("decimal(38,6)")).cast("double")
           / count(lit(1)).cast("double"), 6).as("avg_logprob"))
+  }
+
+  /** Persist the bigram LM (uni/, bi/, prm/ tables) under the `_PARAMS` +
+    * `_DONE` marker discipline — train the quality model ONCE on the
+    * curated corpus, then score every ingest batch against it without
+    * rescanning corpus tokens.
+    */
+  def buildLmIndex(docs: DataFrame, path: String): Unit = {
+    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.delete(done, false)
+    val (uni, big, prm) = lmCounts(docs)
+    uni.write.mode("overwrite").parquet(s"$path/uni")
+    big.write.mode("overwrite").parquet(s"$path/bi")
+    prm.write.mode("overwrite").parquet(s"$path/prm")
+    val meta = fs.create(new org.apache.hadoop.fs.Path(path, "_PARAMS"), true)
+    meta.write("lmv1bigram".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    meta.close()
+    fs.create(done, true).close()
+  }
+
+  /** Score documents against a persisted LM index ([[buildLmIndex]]). */
+  def lmScoreWithModel(docs: DataFrame, indexPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_DONE")),
+      s"no complete LM index at $indexPath — run buildLmIndex first")
+    lmScoreWith(docs, spark.read.parquet(s"$indexPath/uni"),
+      spark.read.parquet(s"$indexPath/bi"), spark.read.parquet(s"$indexPath/prm"))
   }
 
   /** CCNet's head/middle/tail split: rank every document by its

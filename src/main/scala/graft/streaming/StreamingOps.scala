@@ -333,6 +333,57 @@ object StreamingOps {
       } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)
     }
 
+  /** Streaming PII scrub — the ingestion-time twin of
+    * [[graft.operators.TextAnalysis.piiScrub]]: the same three
+    * Java∩RE2-dialect patterns REPLACE in-band (text is rewritten, other
+    * columns ride through), so the stage composes schema-preserving into
+    * the ingest chain. Pure stateless projection — zero state, zero
+    * shuffles, linear in batch bytes — which is exactly why it belongs at
+    * ingest: scrubbing at serve time would re-pay the regex over the
+    * corpus on every export.
+    */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis.{EmailPattern, PhonePattern, UrlPattern}
+    docs.withColumn("text",
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>"), UrlPattern, "<URL>"))
+  }
+
+  /** Streaming LM quality scoring against a PERSISTED model
+    * ([[graft.operators.TextAnalysis.buildLmIndex]]) — the serve half of
+    * the CCNet perplexity filter: the model trains once on the curated
+    * corpus, every ingest batch scores against it. foreachBatch for the
+    * same reason as [[dedupAgainstIndexNear]]: the per-document score is
+    * an aggregation over the batch's exploded token stream (illegal as an
+    * append-mode streaming agg), and each micro-batch should get the real
+    * batch plan — size-gated broadcasts of the count tables, per-doc
+    * rollup, checkpointed exactly-once batch ids on top. A re-trained
+    * model takes effect on the NEXT micro-batch (fresh parquet listing per
+    * batch). Sink receives (doc_id, n_tokens, avg_logprob) per batch.
+    */
+  def lmScoreAgainstModel(docs: DataFrame, indexPath: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.TextAnalysis.lmScoreWithModel(batch, indexPath), batchId)
+    }
+
+  /** Streaming line-level boilerplate dedup against the PERSISTED
+    * boilerplate table ([[graft.operators.TextAnalysis
+    * .buildBoilerplateIndex]]) — the line df is corpus-global, so the
+    * stream loads it instead of computing it (the same
+    * persisted-index treatment as the near-dup tier). foreachBatch because
+    * the per-document reassembly is an aggregation over the batch's
+    * exploded lines; the boilerplate side is an 8-byte-hash table joined
+    * size-gated. Sink receives (doc_id, n_lines, n_kept, clean_text).
+    */
+  def lineDedupAgainstIndex(docs: DataFrame, indexPath: String,
+      lineTokens: Int = 10, minDf: Long = 2)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.TextAnalysis.lineDedupFromIndex(
+        batch, indexPath, lineTokens, minDf), batchId)
+    }
+
   /** The COMPOSED ingest chain a 100 TB training-data stream runs, ordered
     * cheapest-first so each stage sheds volume before the next pays for it:
     * stateless quality predicate → stateless decontamination (broadcast
@@ -344,6 +395,17 @@ object StreamingOps {
   def ingestPipeline(docs: DataFrame, evalGramHashes: DataFrame): DataFrame =
     dedupNearSimhash(dedupExact(decontaminate(
       docs.where(graft.operators.TextAnalysis.qualityPredicate(col("text"))),
+      evalGramHashes)))
+
+  /** [[ingestPipeline]] with the round-6 hygiene stage in place: the PII
+    * scrub runs right after the quality gate (stateless, schema-
+    * preserving) and BEFORE the dedup tiers — dedup hashes then key on the
+    * scrubbed text, so two documents differing only in redacted PII
+    * collapse as the duplicates they are.
+    */
+  def ingestPipelineHygiene(docs: DataFrame, evalGramHashes: DataFrame): DataFrame =
+    dedupNearSimhash(dedupExact(decontaminate(
+      scrubPii(docs.where(graft.operators.TextAnalysis.qualityPredicate(col("text")))),
       evalGramHashes)))
 
   /** [[ingestPipeline]] with the vs-CORPUS tier in place: after the

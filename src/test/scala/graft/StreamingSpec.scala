@@ -591,4 +591,118 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set((7L, 2L)))
     } finally q.stop()
   }
+
+  test("streaming PII scrub rewrites text in-band, other columns preserved") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val out = StreamingOps.scrubPii(
+      input.toDF().toDF("doc_id", "text", "source"))
+    val q = out.writeStream.format("memory").queryName("spii")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (0L, "mail me at bob@example.com or 415-555-0000 via https://x.example/a now", "web"),
+        (1L, "no pii here at all", "book"))
+      q.processAllAvailable()
+      val got = spark.table("spii").select($"doc_id", $"text", $"source")
+        .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+      assert(got(0L)._2 == "mail me at <EMAIL> or <PHONE> via <URL> now")
+      assert(got(0L)._3 == "web" && got(1L)._2 == "no pii here at all")
+      // matches the batch operator's rewrite exactly
+      val batch = graft.operators.TextAnalysis.piiScrub(
+        Seq((0L, "mail me at bob@example.com or 415-555-0000 via https://x.example/a now"))
+          .toDF("doc_id", "text")).select($"clean_text").as[String].head()
+      assert(batch == got(0L)._2)
+    } finally q.stop()
+  }
+
+  test("LM model serve: streamed scores equal batch self-scores on covered docs; OOV finite") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    def doc(seed: Int) = (1 to 20).map(i => s"lm${seed}w${i % 7}").mkString(" ")
+    val corpus = Seq((0L, doc(1)), (1L, doc(2)), (2L, doc(1))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_lmidx").toString
+    TextAnalysis.buildLmIndex(corpus, idx)
+    // self-scores of the corpus under its own model (the oracled batch path)
+    val self = TextAnalysis.lmScore(corpus)
+      .select($"doc_id", $"n_tokens", $"avg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.lmScoreAgainstModel(
+        input.toDF().toDF("doc_id", "text"), idx) { (scores, _) =>
+      scores.select($"doc_id", $"n_tokens", $"avg_logprob")
+        .as[(Long, Long, Double)].collect()
+        .foreach(r => got(r._1) = (r._2, r._3))
+    }.start()
+    try {
+      input.addData(
+        (10L, doc(1)),                       // covered: same text as corpus doc 0
+        (11L, "zzq wholly unseen tokens"))   // fully OOV
+      q.processAllAvailable()
+      assert(got(10L) == self(0L), s"covered doc drifted: ${got(10L)} vs ${self(0L)}")
+      val (nTok, lp) = got(11L)
+      assert(nTok == 4L && !lp.isNaN && !lp.isInfinite && lp < 0.0,
+        s"OOV doc score malformed: $nTok tokens, lp=$lp")
+    } finally q.stop()
+  }
+
+  test("line-dedup serve: indexed boilerplate lines stripped from streamed docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // 10-token lines; the boiler line appears in both corpus docs
+    val boilerLine = (1 to 10).map(i => s"cookie$i").mkString(" ")
+    def uniq(seed: Int) = (1 to 10).map(i => s"u${seed}v$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"$boilerLine ${uniq(1)}"),
+      (1L, s"$boilerLine ${uniq(2)}")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_blidx").toString
+    TextAnalysis.buildBoilerplateIndex(corpus, idx)
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.lineDedupAgainstIndex(
+        input.toDF().toDF("doc_id", "text"), idx) { (cleaned, _) =>
+      cleaned.select($"doc_id", $"n_lines", $"n_kept", $"clean_text")
+        .as[(Long, Long, Long, String)].collect()
+        .foreach(r => got(r._1) = (r._2, r._3, r._4))
+    }.start()
+    try {
+      input.addData((20L, s"$boilerLine ${uniq(9)}"), (21L, uniq(8)))
+      q.processAllAvailable()
+      assert(got(20L) == (2L, 1L, uniq(9)), s"boiler line survived: ${got(20L)}")
+      assert(got(21L) == (1L, 1L, uniq(8)))
+      // param-mismatched serve is refused loudly
+      val err = intercept[IllegalArgumentException] {
+        TextAnalysis.lineDedupFromIndex(corpus, idx, lineTokens = 5)
+      }
+      assert(err.getMessage.contains("params"))
+    } finally q.stop()
+  }
+
+  test("hygiene ingest: docs differing only in PII collapse as duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions.shingleSet
+    import graft.functions.HashFunctions.hashSet
+    val evalGrams = Seq("alpha beta gamma delta epsilon zeta")
+      .toDF("text")
+      .select(explode(hashSet(shingleSet(col("text"), 5))).as("gram"))
+    def clean(seed: Int) = (1 to 35).map(i => s"pp${seed}h$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.ingestPipelineHygiene(
+      input.toDF().toDF("doc_id", "text"), evalGrams)
+    val q = out.writeStream.format("memory").queryName("shygiene")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, clean(1) + " write a@example.com"))
+      q.processAllAvailable()
+      input.addData(
+        (1L, clean(1) + " write b@example.org"), // same text after scrub -> dup
+        (2L, clean(2)))                          // survives
+      q.processAllAvailable()
+      val rows = spark.table("shygiene").select($"doc_id", $"text")
+        .as[(Long, String)].collect().toMap
+      assert(rows.keySet == Set(0L, 2L), s"got ${rows.keySet}")
+      assert(rows(0L).endsWith("write <EMAIL>"), s"text not scrubbed: ${rows(0L)}")
+    } finally q.stop()
+  }
 }
