@@ -296,6 +296,10 @@ object SparkEntry {
     // runtime row-level filtering: fact scan pruned by the dim key-set
     // bloom BEFORE the join shuffle; bloom-invariant, oracle = plain join
     "rel_bloom_join" -> ((s, dir) => Relational.bloomPartRevenue(s, dir)),
+    // inequality (|a-b|<=eps) join executed as an eps-band equi-join —
+    // one hash shuffle instead of the cartesian BNLJ; banding is
+    // result-invariant, oracle = plain inequality join
+    "rel_band_join" -> ((s, dir) => Relational.acctbalBandPairs(s, dir)),
     "rel_customer_windows" -> ((s, dir) => Relational.customerOrderWindows(s, dir)),
     "rel_window_funcs" -> ((s, dir) => Relational.windowFunctionSuite(s, dir)),
     "rel_order_stats" -> ((s, dir) => Relational.orderStats(s, dir)),
@@ -482,6 +486,12 @@ object SparkEntry {
     // as-of join (purchase -> latest preceding click) via tagged union +
     // per-user running-last window — no range join, one user_id shuffle
     "events_asof" -> ((s, dir) => Events.asofLastClick(s, dir)),
+    // interval join as a temporal band join: one hash shuffle on
+    // (user, band), 2x click replication; banding result-invariant,
+    // oracle = plain inequality join
+    "events_attribution" -> ((s, dir) => Events.attributionPairs(s, dir)),
+    // latest in-window click per purchase (rank over the pair frame)
+    "events_attribution_last" -> ((s, dir) => Events.attributionLastTouch(s, dir)),
     // — embedding similarity search (SURVEY.md §7.5) —
     "embed_knn_brute" -> ((s, dir) => EmbeddingSearch.bruteForceTopK(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
@@ -508,6 +518,10 @@ object SparkEntry {
     // (the 100 TB training shape k-means already has); encoding + LUT
     // serve still cover every vector — oracle replays the sampled rounds
     "embed_knn_pq_sampled" -> ((s, dir) => EmbeddingSearch.pqTopK(s, dir, samplePct = 40)),
+    // two-stage serve: ADC shortlist (codes only) -> exact cosine re-rank
+    // of the |Q|*R survivors — the deployment answer shape; both stages
+    // oracle-replayed (shortlist membership AND true-cosine order)
+    "embed_knn_pq_refine" -> ((s, dir) => EmbeddingSearch.pqTopKRefined(s, dir)),
     // scalar int8 quantization: per-dim affine codes (min/max train pass),
     // decoded-vector ADC; quantizer, codes, and scores all oracle-replayed
     "embed_knn_sq8" -> ((s, dir) => EmbeddingSearch.sq8TopK(s, dir)),
@@ -1011,6 +1025,26 @@ object SparkEntry {
        |SELECT query_id, vec_id, adc_cosine, rank FROM r WHERE rank <= $k""".stripMargin
   }
 
+  /** Two-stage PQ serve oracle: the FULL [[pqKnnSql]] replay (training,
+    * encoding, ADC scoring) nested as the shortlist subquery with
+    * rank ≤ `shortlist`, then the exact-cosine re-rank over only those
+    * candidates — the same candidate set AND the same true-cosine order
+    * the engine's refine stage produces.
+    */
+  private def pqRefineSql(k: Int = 5, nQueries: Int = 10,
+      shortlist: Int = 20): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |sl AS (SELECT query_id, vec_id FROM (${pqKnnSql(k = shortlist)})),
+       |s AS (SELECT sl.query_id, sl.vec_id,
+       |        round(${cosineSql("e.v", "q.qv")}, 6) AS cosine
+       |      FROM sl JOIN e ON e.vec_id = sl.vec_id
+       |              JOIN q ON q.query_id = sl.query_id),
+       |r AS (SELECT *, (row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= $k""".stripMargin
+
   /** Reference-pipeline oracle (shared by the parquet and wholetext
     * ingestion entries — both must produce these exact rows).
     */
@@ -1119,6 +1153,12 @@ object SparkEntry {
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |WHERE o_orderdate >= TIMESTAMP '2001-01-01'
          |GROUP BY 1, 2""".stripMargin,
+    // the banding never changes results (exact eps filter re-verifies
+    // every band candidate): the oracle is the bare inequality join
+    "rel_band_join" ->
+      """SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+        |FROM customer, supplier
+        |WHERE abs(c_acctbal - s_acctbal) <= 2.0""".stripMargin,
     "rel_customer_windows" ->
       """SELECT o_custkey, o_orderkey,
         |  (row_number() OVER w)::BIGINT AS rn,
@@ -1823,6 +1863,34 @@ object SparkEntry {
         |  coalesce(last_click_us, -1) AS last_click_us,
         |  coalesce(ts_us - last_click_us, -1) AS us_since_click
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // the band mechanics never change results: the oracle is the bare
+    // per-user inequality join over the two event kinds
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts_us AS click_us FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT p.user_id, purchase_id, click_id, purchase_us, click_us,
+        |  purchase_us - click_us AS us_before
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |WHERE click_us <= purchase_us
+        |  AND purchase_us - click_us <= 86400000000""".stripMargin,
+    "events_attribution_last" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts_us AS click_us FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |pairs AS (SELECT p.user_id, purchase_id, click_id, purchase_us, click_us,
+        |    purchase_us - click_us AS us_before
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE click_us <= purchase_us
+        |    AND purchase_us - click_us <= 86400000000),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |    ORDER BY click_us DESC, click_id DESC) AS rn FROM pairs)
+        |SELECT user_id, purchase_id, click_id, purchase_us, click_us, us_before
+        |FROM r WHERE rn = 1""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |v AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
@@ -2015,6 +2083,7 @@ object SparkEntry {
          |LEFT JOIN k USING (vec_id)""".stripMargin,
     "embed_knn_kmeans" -> kmeansKnnSql(samplePct = None),
     "embed_knn_pq" -> pqKnnSql(),
+    "embed_knn_pq_refine" -> pqRefineSql(),
     "embed_knn_pq_sampled" -> pqKnnSql(samplePct = Some(40)),
     "embed_knn_sq8" -> sq8KnnSql(),
     "embed_knn_sq8_sampled" -> sq8KnnSql(Some(40)),

@@ -811,6 +811,40 @@ object EmbeddingSearch {
     pqTopKWithCodebooks(emb, loadPqIndex(spark, indexPath), k, nQueries, m, sub)
   }
 
+  /** PQ SHORTLIST + EXACT RE-RANK — the standard two-stage ANN serve shape
+    * (Jégou et al. '11 §IV-C: ADC selects candidates, true distances order
+    * the final answer). Stage 1 scores the whole corpus from codes only
+    * (the LUT sum — no vectors shuffle) and keeps a `shortlist`-sized
+    * candidate set per query; stage 2 fetches ONLY those |Q|·shortlist raw
+    * vectors and re-ranks them by exact cosine. At 100 TB the two frames
+    * differ by orders of magnitude: the corpus-wide pass touches m bytes
+    * per vector, while the full-precision reads are bounded by the
+    * shortlist — this is how a PQ deployment gets exact-ordered answers
+    * without a brute-force scan. The shortlist join is broadcast (|Q|·R
+    * rows) so stage 2 adds no shuffle. Output: (query_id, vec_id, cosine,
+    * rank) — rank ≤ k per query, ordered by TRUE cosine.
+    */
+  def pqTopKRefined(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10, m: Int = 4, ksub: Int = 4, iters: Int = 2,
+      shortlist: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val sub = 64 / m
+    val short = pqTopKWithCodebooks(emb,
+        trainPqCodebooks(emb, m, sub, ksub, iters), shortlist, nQueries, m, sub)
+      .select(col("query_id"), col("vec_id"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    broadcast(short)
+      .join(emb, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Recall@k of the PQ path against the exact brute-force top-k — the
     * compression-loss measurement an ANN deployment runs before choosing
     * (m, ksub): same joined-pipelines shape as [[lshRecall]]. Output:

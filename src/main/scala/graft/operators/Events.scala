@@ -231,6 +231,61 @@ object Events {
         coalesce(col("ts_us") - col("last_click_us"), lit(-1L)).as("us_since_click"))
   }
 
+  /** MULTI-TOUCH ATTRIBUTION pairs: every (purchase, click) of the same
+    * user with the click at-or-before the purchase and within `windowUs` —
+    * the interval join marketing attribution runs, and the other classic
+    * shape Spark plans as a cartesian BNLJ if written as a bare range
+    * predicate. Executed as a TEMPORAL BAND JOIN ([[Scale.bandJoin]]'s
+    * discipline on the time axis, one-sided): bands are windowUs wide, a
+    * click replicates into its band and the NEXT (click ∈ [p−W, p] ⟹
+    * band(click) ∈ {band(p)−1, band(p)}), purchases probe their own band,
+    * and the exact predicate runs on same-(user, band) pairs only — one
+    * hash shuffle on (user_id, band), 2× replication of the click side, no
+    * per-user clicks×purchases blowup beyond true in-window matches.
+    * Banding is result-invariant (exact filter re-verifies), so the oracle
+    * is the plain inequality join. Output: (user_id, purchase_id,
+    * click_id, purchase_us, click_us, us_before).
+    */
+  def attributionPairs(spark: SparkSession, dir: String,
+      windowUs: Long = 86400000000L): DataFrame = {
+    val e = events(spark, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"))
+      .withColumn("__band", explode(array(
+        expr(s"click_us div ${windowUs}L"),
+        expr(s"click_us div ${windowUs}L") + lit(1L))))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"))
+      .withColumn("__band", expr(s"purchase_us div ${windowUs}L"))
+    purchases.join(clicks, Seq("user_id", "__band"))
+      .where(col("click_us") <= col("purchase_us") &&
+        col("purchase_us") - col("click_us") <= windowUs)
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_us"), col("click_us"),
+        (col("purchase_us") - col("click_us")).as("us_before"))
+  }
+
+  /** LAST-TOUCH attribution: [[attributionPairs]] reduced to the latest
+    * in-window click per purchase (ties on click_us break to the higher
+    * click_id — the later-arriving event wins, mirrored in the oracle).
+    * Contrast with [[asofLastClick]]: as-of carries the last click however
+    * old (running state, no join); last-touch bounds the lookback to the
+    * attribution window and keeps only attributed purchases. The rank
+    * window partitions by purchase — per-purchase state, purchase-count
+    * parallelism. Output schema = attributionPairs.
+    */
+  def attributionLastTouch(spark: SparkSession, dir: String,
+      windowUs: Long = 86400000000L): DataFrame = {
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("click_us").desc, col("click_id").desc)
+    attributionPairs(spark, dir, windowUs)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Concurrency curve — how many sessions are OPEN at each bin boundary —
     * via a BINNED INTERVAL JOIN, the generic big-big range-join shape Spark
     * has no primitive for. A naive `probe.join(intervals, start <= t && t

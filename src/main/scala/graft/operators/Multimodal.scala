@@ -252,7 +252,7 @@ object Multimodal {
         // LIST/INFO with one ISFT entry — the chunk real encoders emit
         val payload = "INFOISFT".getBytes("US-ASCII") ++
           ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(6).array() ++
-          "graft ".getBytes("US-ASCII")
+          "graft\u0000".getBytes("US-ASCII")
         val b = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
         b.put("LIST".getBytes("US-ASCII")).putInt(payload.length).put(payload)
         b.array()

@@ -125,6 +125,21 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Customer–supplier pairs with account balances within `eps` of each
+    * other — a pure BAND JOIN ([[Scale.bandJoin]]): no equi key exists, so
+    * the eps-wide value band becomes the join key (one hash shuffle, 3×
+    * replication of the small side) instead of the cartesian
+    * BroadcastNestedLoop Spark would plan for the bare inequality. The
+    * banding is result-invariant, so the oracle is the plain inequality
+    * join. Output: (c_custkey, s_suppkey, c_acctbal, s_acctbal).
+    */
+  def acctbalBandPairs(spark: SparkSession, dir: String, eps: Double = 2.0): DataFrame =
+    Scale.bandJoin(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_acctbal")),
+      Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_acctbal")),
+      "c_acctbal", "s_acctbal", eps)
+      .select(col("c_custkey"), col("s_suppkey"), col("c_acctbal"), col("s_acctbal"))
+
   /** TPC-H Q5-shaped local-supplier revenue: 6-way join through the star,
     * dims broadcast, revenue per nation.
     */

@@ -117,6 +117,33 @@ object Scale {
       .drop("bloom")
   }
 
+  /** BAND JOIN — the inequality join |left.val − right.val| ≤ eps with NO
+    * equi key, executed as an equi-join: both sides bucket the value axis
+    * into eps-wide bands (band = floor(v/eps)); the right side replicates
+    * into its band and both neighbors, so any pair within eps lands in
+    * exactly ONE shared band (|a−b| ≤ eps ⇒ |band(a)−band(b)| ≤ 1, and
+    * left's band is fixed — no duplicate matches, no dedup pass). The
+    * exact |a−b| ≤ eps filter then discards band false-positives, so the
+    * result set is bucketing-invariant — which is what lets a plain
+    * inequality join oracle it. Why it matters at 100 TB: Spark plans a
+    * bare inequality join as BroadcastNestedLoop/cartesian — O(n·m) row
+    * comparisons and a broadcast of a corpus-derived side; this shape is
+    * one hash shuffle on the band key with 3× replication of ONE side.
+    * Pick eps-granularity wisely: a value distribution concentrated in a
+    * few bands recreates skew (then salt the band key — [[saltedJoin]]
+    * composes, the band IS the key).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, leftVal: String, rightVal: String,
+      eps: Double): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val lb = left.withColumn("__band", floor(col(leftVal) / eps).cast("long"))
+    val rb = right.withColumn("__band", explode(array(Seq(-1L, 0L, 1L).map(d =>
+      floor(col(rightVal) / eps).cast("long") + lit(d)): _*)))
+    lb.join(rb, "__band")
+      .where(abs(col(leftVal) - col(rightVal)) <= eps)
+      .drop("__band")
+  }
+
   /** Skew-safe equi-join of a (possibly hot-keyed) fact side with a dim
     * side: fact rows take salt = id mod buckets; the dim side is replicated
     * once per salt value; the join key becomes (key, salt). Result set is

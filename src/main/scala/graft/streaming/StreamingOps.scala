@@ -29,6 +29,39 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** STREAM-STREAM interval join — the streaming twin of
+    * `Events.attributionPairs`: two live streams (clicks, purchases)
+    * joined on user_id with the click inside the purchase's attribution
+    * window. This is the one join shape where BOTH sides buffer state:
+    * each side holds rows until the other side's watermark proves no
+    * further match can arrive, so the time-range condition PLUS the two
+    * watermarks are what bound state (without the range condition Spark
+    * would have to keep both streams forever — it rejects the plan).
+    * State partitions by user_id across executors; per-user state is the
+    * in-window suffix of each stream. Inner-join results emit as matches
+    * arrive (no watermark latency on output, only on state eviction).
+    * Expects (user_id, event_id, ts) on both inputs; output matches the
+    * batch op: (user_id, purchase_id, click_id, purchase_us, click_us,
+    * us_before).
+    */
+  def attributeClicks(clicks: DataFrame, purchases: DataFrame,
+      window: String = "24 hours", delay: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val p = purchases.select(col("user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("click_us"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("us_before"))
+  }
+
   /** Streaming exact dedup — the ingestion-time twin of Dedup.exactGroups:
     * keep the FIRST document per content hash across micro-batches. State is
     * one (hash) key per distinct document; with an event-time column, pair

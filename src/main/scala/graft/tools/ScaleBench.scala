@@ -63,7 +63,12 @@ object ScaleBench {
     // this session's additions: the LM's two count passes + gram-keyed
     // scoring joins (TF-IDF's cost class), the two-scan zero-shuffle
     // outlier tail, and the SQ8 train/encode/ADC pipeline
-    "text_lm_score", "embed_outliers", "embed_knn_sq8")
+    "text_lm_score", "embed_outliers", "embed_knn_sq8",
+    // the two heaviest document COMPOSITIONS — each stage is on the curve
+    // individually; these measure the composed frames (every later stage
+    // sees only the previous stage's survivors, so composed growth should
+    // track the max stage, not the sum)
+    "corpus_curated", "corpus_lm_tiers")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"

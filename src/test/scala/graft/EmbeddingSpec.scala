@@ -452,4 +452,34 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(gotK == expK)
     assert(gotK.nonEmpty, "scaled kNN join should produce edges on the fixture")
   }
+
+  test("pq refine: true-cosine reorder of the ADC shortlist, k per query") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 5; val shortlist = 10; val nQ = 3
+    val refined = EmbeddingSearch.pqTopKRefined(spark, dir, k, nQ, shortlist = shortlist)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val shortSet = EmbeddingSearch.pqTopK(spark, dir, k = shortlist, nQueries = nQ)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byQ = refined.groupBy(_._1)
+    assert(byQ.size == nQ)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to k), s"query $q ranks malformed")
+      // every refined answer came from the ADC shortlist
+      rs.foreach(r => assert(shortSet((q, r._2)), s"($q,${r._2}) not in shortlist"))
+      // rank order IS true-cosine order (desc, vec_id asc tiebreak)
+      val inRank = rs.sortBy(_._4).map(r => (-r._3, r._2)).toSeq
+      assert(inRank == inRank.sorted, s"query $q not ordered by true cosine")
+    }
+    // the refine stage computes EXACT cosines: spot-check against brute
+    // force where the pairs coincide
+    val brute = EmbeddingSearch.bruteForceTopK(spark, dir, k, nQ)
+      .select("query_id", "vec_id", "cosine")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val checked = refined.count { case (q, v, c, _) =>
+      brute.get((q, v)).exists(bc => { assert(bc == c, s"cosine mismatch ($q,$v)"); true })
+    }
+    assert(checked > 0, "no overlap with brute-force top-k to cross-check")
+  }
 }

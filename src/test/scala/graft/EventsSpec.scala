@@ -259,4 +259,36 @@ class EventsSpec extends AnyFunSuite {
       .select($"users_within_5pct".as[Boolean]).collect()
     assert(gate.nonEmpty && gate.forall(identity))
   }
+
+  test("attribution: band join equals naive per-user inequality; last-touch is the max") {
+    import org.apache.spark.sql.functions._
+    val windowUs = 86400000000L
+    val e = Events.events(spark, dir)
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"))
+    val naive = p.join(c, col("user_id") === col("cu") &&
+        col("click_us") <= col("purchase_us") &&
+        col("purchase_us") - col("click_us") <= windowUs)
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    val banded = Events.attributionPairs(spark, dir, windowUs)
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(banded == naive)
+    assert(banded.nonEmpty, "fixture should produce attributed pairs")
+    // last-touch: exactly one row per attributed purchase, and it is the
+    // latest in-window click
+    val pairs = Events.attributionPairs(spark, dir, windowUs)
+      .select($"purchase_id", $"click_id", $"click_us")
+      .as[(Long, Long, Long)].collect()
+    val expectLast = pairs.groupBy(_._1).map { case (pid, rs) =>
+      pid -> rs.maxBy(r => (r._3, r._2))._2
+    }
+    val gotLast = Events.attributionLastTouch(spark, dir, windowUs)
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect()
+    assert(gotLast.length == gotLast.map(_._1).distinct.length)
+    assert(gotLast.toMap == expectLast)
+  }
 }

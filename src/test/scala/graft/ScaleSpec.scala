@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Scale
+import graft.operators.{Relational, Scale}
 import graft.sources.Tables
 
 /** Scale tooling: result-equivalence of the salted plans and the
@@ -131,5 +131,35 @@ class ScaleSpec extends AnyFunSuite {
     // sanity: every dim key passes its own bloom, and the probe prunes
     assert((0L until 1000L by 13).toSet.subsetOf(neu))
     assert(neu.size < 3000)
+  }
+
+  test("band join equals the naive inequality cross-join, incl. negatives") {
+    val eps = 0.25
+    // values straddle band boundaries, zero, and negatives; includes exact
+    // eps-distance pairs (the <= boundary) and same-band duplicates
+    val left = Seq((1L, -1.0), (2L, -0.76), (3L, 0.0), (4L, 0.24), (5L, 0.25),
+      (6L, 1.0), (7L, 1.0)).toDF("lid", "lv")
+    val right = Seq((10L, -1.25), (11L, -0.5), (12L, 0.0), (13L, 0.49),
+      (14L, 1.26)).toDF("rid", "rv")
+    val banded = Scale.bandJoin(left, right, "lv", "rv", eps)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = left.crossJoin(right).where(abs($"lv" - $"rv") <= eps)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(banded == naive)
+    // no duplicate pair from the 3-band replication (left band is fixed)
+    assert(banded.distinct == banded)
+    // exact-boundary pair present: |0.25 - 0.0| <= 0.25
+    assert(banded.contains((5L, 12L)))
+    // and on the real tables: the registered entry equals the naive plan
+    val dir = "/root/testdata/sf0.001"
+    // eps widened for the tiny fixture so the match set is non-empty
+    val got = Relational.acctbalBandPairs(spark, dir, eps = 50.0)
+      .select("c_custkey", "s_suppkey").as[(Long, Long)].collect().toSet
+    val c = graft.sources.Tables.customer(spark, dir)
+    val s = graft.sources.Tables.supplier(spark, dir)
+    val exp = c.crossJoin(s).where(abs($"c_acctbal" - $"s_acctbal") <= 50.0)
+      .select("c_custkey", "s_suppkey").as[(Long, Long)].collect().toSet
+    assert(got == exp)
+    assert(got.nonEmpty, "band join should match pairs on the fixture")
   }
 }

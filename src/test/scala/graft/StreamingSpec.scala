@@ -37,6 +37,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join: in-window pairs only, both directions bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    // u1: c1@00:00, c2@01:00; u2: c3@00:30
+    clicks.addData(
+      (1L, 101L, ts("2024-01-01 00:00:00")),
+      (1L, 102L, ts("2024-01-01 01:00:00")),
+      (2L, 103L, ts("2024-01-01 00:30:00")))
+    // p1@01:30 (u1) -> c2 only; p2@00:45 (u1) -> c1 only (c2 is AFTER it);
+    // p3@02:00 (u2) -> nothing in [01:00, 02:00]
+    purchases.addData(
+      (1L, 201L, ts("2024-01-01 01:30:00")),
+      (1L, 202L, ts("2024-01-01 00:45:00")),
+      (2L, 203L, ts("2024-01-01 02:00:00")))
+    val joined = StreamingOps.attributeClicks(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"),
+      window = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select($"purchase_id", $"click_id", $"us_before")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((201L, 102L, 1800000000L), (202L, 101L, 2700000000L)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first doc per content hash across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
