@@ -300,6 +300,10 @@ object SparkEntry {
     // one hash shuffle instead of the cartesian BNLJ; banding is
     // result-invariant, oracle = plain inequality join
     "rel_band_join" -> ((s, dir) => Relational.acctbalBandPairs(s, dir)),
+    // TPC-H Q21 shape, decorrelated by aggregation (ONE lineitem scan
+    // replaces the EXISTS/NOT-EXISTS self-joins); the oracle keeps the
+    // correlated form, putting the decorrelation under the hash gate
+    "rel_waiting_suppliers" -> ((s, dir) => Relational.waitingSuppliers(s, dir)),
     "rel_customer_windows" -> ((s, dir) => Relational.customerOrderWindows(s, dir)),
     "rel_window_funcs" -> ((s, dir) => Relational.windowFunctionSuite(s, dir)),
     "rel_order_stats" -> ((s, dir) => Relational.orderStats(s, dir)),
@@ -594,6 +598,12 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frames(s, dir)),
     "multimodal_resize" -> ((s, dir) => Multimodal.resized(s, dir)),
+    // 48-bit block-mean perceptual hash off the DECODED raster (integer
+    // cross-multiply bit rule — both engines replay it exactly)
+    "multimodal_phash" -> ((s, dir) => Multimodal.phashes(s, dir)),
+    // image near-dup: phash + the lossless 4x12-bit chunk index + exact
+    // Hamming verify — the image twin of SimHash text dedup
+    "multimodal_phash_pairs" -> ((s, dir) => Multimodal.phashNearDupPairs(s, dir)),
     // real RIFF/WAVE PCM16 containers, parsed by a real chunk walker; the
     // oracle replays the expected sample stats from the text codes
     "multimodal_audio" -> ((s, dir) => Multimodal.audioFeatures(s, dir)),
@@ -1159,6 +1169,22 @@ object SparkEntry {
       """SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
         |FROM customer, supplier
         |WHERE abs(c_acctbal - s_acctbal) <= 2.0""".stripMargin,
+    // deliberately the textbook CORRELATED form (EXISTS / NOT EXISTS) —
+    // hash-equality with the engine's aggregate decorrelation is the check
+    "rel_waiting_suppliers" ->
+      """WITH w AS (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM lineitem l1 JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        |  WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1
+        |      FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY))
+        |SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+        |FROM w JOIN supplier ON w.l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
     "rel_customer_windows" ->
       """SELECT o_custkey, o_orderkey,
         |  (row_number() OVER w)::BIGINT AS rn,
@@ -2116,6 +2142,37 @@ object SparkEntry {
     // codec bug (wrong dims, channel swap, lossy roundtrip) breaks the hash.
     // Char indexing == byte indexing holds because the corpus is verified
     // ASCII; height = ceil(len/48) since 16 px × 3 channel bytes per row.
+    // phash replay from the text codes (the codecs are lossless, so the
+    // decoded raster IS the padded byte stream): chunk j of the 48·h-byte
+    // stream is exactly h bytes; bit rule 48·chunkSum >= totalSum; padding
+    // bytes past len(text) are 0 (NULL list access -> coalesce)
+    "multimodal_phash" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes,
+        |  ((len(text) - 1) // 48 + 1)::BIGINT AS h
+        |  FROM documents WHERE length(text) > 0),
+        |t AS (SELECT doc_id, h, codes, list_sum(codes)::BIGINT AS total FROM c)
+        |SELECT doc_id, list_sum(list_transform(generate_series(0, 47), j ->
+        |  CASE WHEN 48 * coalesce(list_sum(list_transform(
+        |      generate_series(j*h + 1, j*h + h), p -> coalesce(codes[p], 0))), 0) >= total
+        |  THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS phash
+        |FROM t""".stripMargin,
+    "multimodal_phash_pairs" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes,
+        |  ((len(text) - 1) // 48 + 1)::BIGINT AS h
+        |  FROM documents WHERE length(text) > 0),
+        |t AS (SELECT doc_id, h, codes, list_sum(codes)::BIGINT AS total FROM c),
+        |ph AS (SELECT doc_id, list_sum(list_transform(generate_series(0, 47), j ->
+        |  CASE WHEN 48 * coalesce(list_sum(list_transform(
+        |      generate_series(j*h + 1, j*h + h), p -> coalesce(codes[p], 0))), 0) >= total
+        |  THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS phash FROM t),
+        |chunked AS (SELECT doc_id, phash, unnest(list_transform(generate_series(0, 3),
+        |  c -> c::VARCHAR || ':' || ((phash >> (c*12)) & 4095)::VARCHAR)) AS chunk FROM ph),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+        |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
     "multimodal_features" ->
       """WITH c AS (SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'image/png' END AS mime,

@@ -214,6 +214,66 @@ object Multimodal {
   def resized(spark: SparkSession, dir: String): DataFrame =
     resizeBlobs(spark, dir).toDF()
 
+  case class PHashRow(doc_id: Long, phash: Long)
+
+  /** 48-bit BLOCK-MEAN PERCEPTUAL HASH (aHash family) over the DECODED
+    * raster: the channel-byte stream splits into 48 equal chunks (npad =
+    * 48·h bytes, so chunk j is exactly h bytes) and bit j is set iff chunk
+    * j's mean ≥ the whole image's mean. The comparison is the integer
+    * cross-multiplication `48·chunkSum ≥ totalSum` — no float division, so
+    * any engine replays it bit-for-bit. 48 bits (not the classic 64)
+    * follows the repo's simhash48 convention: every intermediate stays a
+    * positive int64 in any engine, and the lossless 4×12-bit chunk index
+    * applies unchanged. Near-identical images (same doc text up to small
+    * edits) differ in a few block means → small Hamming distance.
+    */
+  def imagePHashes(spark: SparkSession, dir: String): Dataset[PHashRow] = {
+    import spark.implicits._
+    imageBlobs(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val (_, h, ch) = decodeImage(r.payload)
+        var total = 0L
+        var i = 0
+        while (i < ch.length) { total += ch(i); i += 1 }
+        var hash = 0L
+        var j = 0
+        while (j < 48) {
+          var cs = 0L
+          var p = j * h
+          val end = p + h
+          while (p < end) { cs += ch(p); p += 1 }
+          if (cs * 48L >= total) hash |= 1L << j
+          j += 1
+        }
+        PHashRow(r.doc_id, hash)
+      }
+    }
+  }
+
+  def phashes(spark: SparkSession, dir: String): DataFrame =
+    imagePHashes(spark, dir).toDF()
+
+  /** IMAGE NEAR-DUP pairs by perceptual hash: [[imagePHashes]] fingerprints
+    * joined through the same lossless 4×12-bit chunk index as
+    * `Dedup.simhashPairs` (pigeonhole: Hamming ≤ 3 ⟹ one chunk equal), then
+    * exact Hamming verify. This is the image-modality twin of SimHash text
+    * dedup: decode + hash are one shuffle-free corpus pass, the candidate
+    * join carries 8-byte fingerprints (never rasters), candidates are
+    * chunk-bucket-bounded. Output: (doc_a, doc_b, hamming).
+    */
+  def phashNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk index is only lossless for Hamming <= 3")
+    val fps = phashes(spark, dir)
+    val chunked = fps.select(col("doc_id"), col("phash"),
+      explode(graft.functions.HashFunctions.simhashChunkKeys(col("phash"))).as("chunk"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.functions.HashFunctions.hamming(col("a.phash"), col("b.phash")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
   // ---------------------------------------------------------------- audio
 
   /** Audio sample rate for the synthesized WAV corpus (8 kHz mono PCM16). */

@@ -140,6 +140,49 @@ object Relational {
       "c_acctbal", "s_acctbal", eps)
       .select(col("c_custkey"), col("s_suppkey"), col("c_acctbal"), col("s_acctbal"))
 
+  /** TPC-H Q21-shaped "waiting suppliers": suppliers who were the SOLE
+    * late shipper in a multi-supplier order (late := shipped more than
+    * `lateDays` after the order date). The textbook formulation is a
+    * DOUBLE correlated subquery (EXISTS another supplier / NOT EXISTS
+    * another LATE supplier) — planned as two extra scans + semi/anti
+    * self-joins of the fact table. Here it is DECORRELATED BY AGGREGATION:
+    * one pass computes per-(order, supplier) lateness, one order-keyed
+    * aggregate derives (n_suppliers, n_late_suppliers, the sole late
+    * suppkey), and the predicate `n_supp ≥ 2 ∧ n_late = 1` replaces both
+    * subqueries — lineitem is scanned ONCE, and the two order-keyed
+    * aggregates share ONE explicit exchange on l_orderkey (hash
+    * partitioning on the order key satisfies both grouping clusterings,
+    * so neither groupBy adds a shuffle — plan-visible in PLANS.md). The
+    * oracle deliberately keeps the EXISTS/NOT-EXISTS
+    * form, so the decorrelation itself is under the hash gate. Output:
+    * (s_suppkey, s_name, numwait) — numwait counts orders.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String, lateDays: Int = 60): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val perSupp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1)
+          .otherwise(0).as("late"))
+      // ONE exchange on l_orderkey serves BOTH aggregates below:
+      // HashPartitioning(l_orderkey) satisfies the (l_orderkey, l_suppkey)
+      // clustering too, so neither groupBy re-shuffles (PLANS.md row)
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("late")).as("n_late"),
+        max(when(col("late") === 1, col("l_suppkey"))).as("sole_late_supp"))
+    perOrder.where(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("sole_late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Scale.maybeBroadcast(
+        Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))), "s_suppkey")
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
   /** TPC-H Q5-shaped local-supplier revenue: 6-way join through the star,
     * dims broadcast, revenue per nation.
     */

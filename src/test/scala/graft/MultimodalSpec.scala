@@ -189,4 +189,27 @@ class MultimodalSpec extends AnyFunSuite {
       })
     }
   }
+
+  test("image phash: 48-bit, deterministic; chunk index lossless for Hamming <= 3") {
+    val ph = Multimodal.imagePHashes(spark, dir).collect()
+      .map(r => r.doc_id -> r.phash).toMap
+    assert(ph.nonEmpty)
+    assert(ph.values.forall(p => p >= 0L && p < (1L << 48)), "phash must be 48-bit")
+    val rerun = Multimodal.imagePHashes(spark, dir).collect()
+      .map(r => r.doc_id -> r.phash).toMap
+    assert(rerun == ph, "phash not deterministic")
+    // the pigeonhole chunk index must recover EXACTLY the naive all-pairs
+    // Hamming <= 3 set
+    val ids = ph.keys.toSeq.sorted
+    val naive = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      d = java.lang.Long.bitCount(ph(a) ^ ph(b))
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.phashNearDupPairs(spark, dir)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive)
+  }
 }

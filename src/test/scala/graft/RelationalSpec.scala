@@ -15,7 +15,34 @@ import graft.sources.Tables
   */
 class RelationalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
+  import spark.implicits._
   private val dir = "/root/testdata/sf0.001"
+
+  test("waiting suppliers: aggregate decorrelation equals the semi/anti-join form") {
+    import graft.sources.Tables
+    val pairs = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1)
+          .otherwise(0).as("late"))
+      .groupBy("l_orderkey", "l_suppkey").agg(max("late").as("late"))
+      .localCheckpoint()
+    val late = pairs.where(col("late") === 1).select("l_orderkey", "l_suppkey")
+    // the correlated form, spelled as Spark semi/anti joins: another
+    // supplier EXISTS in the order; no OTHER late supplier exists
+    val semi = late.as("x").join(pairs.as("y"),
+      col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_suppkey") =!= col("y.l_suppkey"), "left_semi")
+    val sole = semi.as("x").join(late.as("z"),
+      col("x.l_orderkey") === col("z.l_orderkey") &&
+        col("x.l_suppkey") =!= col("z.l_suppkey"), "left_anti")
+    val expected = sole.groupBy(col("l_suppkey")).count()
+      .as[(Long, Long)].collect().toMap
+    val got = Relational.waitingSuppliers(spark, dir)
+      .select("s_suppkey", "numwait").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should have sole-late suppliers")
+  }
 
   test("revenue share: per-region ppm shares are exhaustive up to div truncation") {
     import spark.implicits._
