@@ -50,7 +50,12 @@ object RelScale {
     "rel_bloom_join", "rel_constraints", "rel_audit_constraints",
     "rel_upsert", "rel_scd2", "rel_cdc_apply",
     "events_funnel", "events_sessions_native", "events_concurrency",
-    "events_hourly")
+    "events_hourly",
+    // round-6 additions: the eps-band inequality join, the decorrelated
+    // Q21 shape (fact self-semantics via one scan), and the temporal band
+    // join + its per-purchase rank reduction
+    "rel_band_join", "rel_waiting_suppliers",
+    "events_attribution", "events_attribution_last")
 
   /** Key stride between replicas — far above any base key (max base key is
     * l_orderkey ≈ 6·10⁵ at sf0.1; 16 replicas stay below 2³¹ even embedded
@@ -58,8 +63,23 @@ object RelScale {
     */
   private val Stride = 100000000L
 
+  /** Value columns that VALUE-PROXIMITY joins (the eps-band join) match
+    * on: cloned verbatim across replicas they manufacture K² cross-replica
+    * matches (every replica's balance is within eps of every other
+    * replica's copy) — the value-axis analog of the dup-clique problem the
+    * documents transform avoids with its token bijection. Offsetting each
+    * replica's values by rep·10⁵ (far beyond any eps) keeps within-replica
+    * proximity structure byte-identical while cross-replica proximity
+    * decoheres, so band-join match volume grows K× like every other join.
+    */
+  private val valueOffsets: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_acctbal"),
+    "supplier" -> Seq("s_acctbal"))
+
   def scaledRel(spark: SparkSession, src: String, k: Int, out: String): String = {
-    val dir = s"$out/relx$k"
+    // v2: value-decohered acctbal columns (cache key bumps with the
+    // transform so stale v1 dirs are never served)
+    val dir = s"$out/relx${k}v2"
     // (table, PK/FK columns to offset by rep·Stride). region/nation copy
     // verbatim: fixed dims, every replica's FKs still resolve against them.
     val offsets: Seq[(String, Seq[String])] = Seq(
@@ -75,12 +95,14 @@ object RelScale {
       val tgt = s"$dir/$name.parquet"
       if (!new java.io.File(s"$tgt/_SUCCESS").exists()) {
         val base = spark.read.parquet(s"$src/$name.parquet")
+        val vals = valueOffsets.getOrElse(name, Nil)
         val scaled =
           if (keys.isEmpty) base
           else base
             .select(col("*"), explode(sequence(lit(0), lit(k - 1))).as("rep"))
             .select(base.columns.map { c =>
               if (keys.contains(c)) (col(c) + col("rep").cast("long") * Stride).as(c)
+              else if (vals.contains(c)) (col(c) + col("rep").cast("double") * 100000.0).as(c)
               else col(c)
             }: _*)
         scaled.repartition(32).write.mode("overwrite").parquet(tgt)

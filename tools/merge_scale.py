@@ -24,7 +24,9 @@ with open(artifact) as f:
 
 with open(log) as f:
     for line in f:
-        m = re.search(r'\{"metric":"scale_family".*\}', line)
+        # accepts both curve artifacts: ScaleBench's scale_family and
+        # RelScale's relscale_family
+        m = re.search(r'\{"metric":"(?:rel)?scale_family".*\}', line)
         if not m:
             continue
         r = json.loads(m.group(0))
