@@ -62,6 +62,32 @@ object StreamingOps {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("us_before"))
   }
 
+  /** [[attributeClicks]] as a LEFT OUTER stream-stream join — the audit
+    * shape: every purchase emits, attributed or not. Outer results CANNOT
+    * emit eagerly (an unmatched purchase is only provably unmatched once
+    * the click-side watermark passes its window), so null-padded rows
+    * carry watermark latency — the structural price of outer streaming
+    * joins, and why the inner form is the serving default. State bounds
+    * are identical to the inner join.
+    */
+  def attributeClicksOuter(clicks: DataFrame, purchases: DataFrame,
+      window: String = "24 hours", delay: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val p = purchases.select(col("user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"),
+        "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+  }
+
   /** Streaming exact dedup — the ingestion-time twin of Dedup.exactGroups:
     * keep the FIRST document per content hash across micro-batches. State is
     * one (hash) key per distinct document; with an event-time column, pair

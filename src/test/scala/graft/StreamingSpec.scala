@@ -68,6 +68,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer attribution: unmatched purchases emit null-padded after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    clicks.addData((1L, 101L, ts("2024-01-01 01:00:00")))
+    purchases.addData(
+      (1L, 201L, ts("2024-01-01 01:30:00")),  // attributed to 101
+      (2L, 202L, ts("2024-01-01 01:30:00")))  // no click at all -> null pad
+    val joined = StreamingOps.attributeClicksOuter(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"),
+      window = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the purchases so the unmatched
+      // row is provably unmatched and must emit null-padded
+      clicks.addData((9L, 901L, ts("2024-01-02 12:00:00")))
+      purchases.addData((9L, 902L, ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      clicks.addData((9L, 903L, ts("2024-01-03 12:00:00")))
+      purchases.addData((9L, 904L, ts("2024-01-03 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer")
+        .select($"purchase_id", $"click_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(got.contains((201L, 101L)), s"attributed pair missing: $got")
+      assert(got.contains((202L, -1L)), s"null-padded unmatched purchase missing: $got")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first doc per content hash across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
