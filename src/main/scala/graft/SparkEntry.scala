@@ -598,12 +598,35 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frames(s, dir)),
     "multimodal_resize" -> ((s, dir) => Multimodal.resized(s, dir)),
-    // 48-bit block-mean perceptual hash off the DECODED raster (integer
-    // cross-multiply bit rule — both engines replay it exactly)
+    // 48-bit block-DIFFERENCE perceptual hash (dHash) off the DECODED
+    // raster (adjacent-chunk integer comparisons — both engines replay it
+    // exactly; difference bits keep entropy on low-variance rasters where
+    // block-mean bits collapse)
     "multimodal_phash" -> ((s, dir) => Multimodal.phashes(s, dir)),
     // image near-dup: phash + the lossless 4x12-bit chunk index + exact
     // Hamming verify — the image twin of SimHash text dedup
     "multimodal_phash_pairs" -> ((s, dir) => Multimodal.phashNearDupPairs(s, dir)),
+    // incremental image dedup — new batch vs the PERSISTED 8-byte-per-image
+    // fingerprint index (the image twin of dedup_incremental /
+    // embed_dedup_incremental): first 4/5 of docs play the indexed corpus,
+    // last 1/5 today's batch; serve never touches corpus image bytes
+    "multimodal_phash_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val split = docs.count() * 4 / 5
+      val sfName = new java.io.File(dir).getName
+      val base = s"graft_phashidx_d48k4_${sfName}_"
+      val keep = base +
+        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      Tables.cleanStaleExports(tmp, base, keep)
+      val idx = s"$tmp/$keep"
+      if (!Multimodal.phashIndexExists(idx))
+        Multimodal.buildPhashIndex(
+          Multimodal.imagePHashesOf(docs.where(col("doc_id") < split)), idx)
+      Multimodal.phashDedupAgainst(idx,
+        Multimodal.imagePHashesOf(docs.where(col("doc_id") >= split)))
+    }),
     // real RIFF/WAVE PCM16 containers, parsed by a real chunk walker; the
     // oracle replays the expected sample stats from the text codes
     "multimodal_audio" -> ((s, dir) => Multimodal.audioFeatures(s, dir)),
@@ -2144,17 +2167,19 @@ object SparkEntry {
     // ASCII; height = ceil(len/48) since 16 px × 3 channel bytes per row.
     // phash replay from the text codes (the codecs are lossless, so the
     // decoded raster IS the padded byte stream): chunk j of the 48·h-byte
-    // stream is exactly h bytes; bit rule 48·chunkSum >= totalSum; padding
-    // bytes past len(text) are 0 (NULL list access -> coalesce)
+    // stream is exactly h bytes; dHash bit rule cs[j] > cs[(j+1) mod 48];
+    // padding bytes past len(text) are 0 (NULL list access -> coalesce)
     "multimodal_phash" ->
       """WITH c AS (SELECT doc_id,
         |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes,
         |  ((len(text) - 1) // 48 + 1)::BIGINT AS h
         |  FROM documents WHERE length(text) > 0),
-        |t AS (SELECT doc_id, h, codes, list_sum(codes)::BIGINT AS total FROM c)
+        |t AS (SELECT doc_id, list_transform(generate_series(0, 47), j ->
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(j*h + 1, j*h + h), p -> coalesce(codes[p], 0))), 0)::BIGINT) AS cs
+        |  FROM c)
         |SELECT doc_id, list_sum(list_transform(generate_series(0, 47), j ->
-        |  CASE WHEN 48 * coalesce(list_sum(list_transform(
-        |      generate_series(j*h + 1, j*h + h), p -> coalesce(codes[p], 0))), 0) >= total
+        |  CASE WHEN cs[j + 1] > cs[(j + 1) % 48 + 1]
         |  THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS phash
         |FROM t""".stripMargin,
     "multimodal_phash_pairs" ->
@@ -2162,10 +2187,12 @@ object SparkEntry {
         |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes,
         |  ((len(text) - 1) // 48 + 1)::BIGINT AS h
         |  FROM documents WHERE length(text) > 0),
-        |t AS (SELECT doc_id, h, codes, list_sum(codes)::BIGINT AS total FROM c),
+        |t AS (SELECT doc_id, list_transform(generate_series(0, 47), j ->
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(j*h + 1, j*h + h), p -> coalesce(codes[p], 0))), 0)::BIGINT) AS cs
+        |  FROM c),
         |ph AS (SELECT doc_id, list_sum(list_transform(generate_series(0, 47), j ->
-        |  CASE WHEN 48 * coalesce(list_sum(list_transform(
-        |      generate_series(j*h + 1, j*h + h), p -> coalesce(codes[p], 0))), 0) >= total
+        |  CASE WHEN cs[j + 1] > cs[(j + 1) % 48 + 1]
         |  THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS phash FROM t),
         |chunked AS (SELECT doc_id, phash, unnest(list_transform(generate_series(0, 3),
         |  c -> c::VARCHAR || ':' || ((phash >> (c*12)) & 4095)::VARCHAR)) AS chunk FROM ph),
@@ -2173,6 +2200,28 @@ object SparkEntry {
         |    bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
         |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    // serve-path oracle is the BARE batch x corpus Hamming join — brute
+    // force, no chunk machinery — so a hash match proves BOTH the dHash
+    // replay and that the 4x12-bit pigeonhole serve is lossless at <= 3;
+    // split on total doc count (empty-text docs included) to mirror the
+    // Scala split, while ph itself only carries non-empty docs
+    "multimodal_phash_incremental" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes,
+        |  ((len(text) - 1) // 48 + 1)::BIGINT AS h
+        |  FROM documents WHERE length(text) > 0),
+        |t AS (SELECT doc_id, list_transform(generate_series(0, 47), j ->
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(j*h + 1, j*h + h), p -> coalesce(codes[p], 0))), 0)::BIGINT) AS cs
+        |  FROM c),
+        |ph AS (SELECT doc_id, list_sum(list_transform(generate_series(0, 47), j ->
+        |  CASE WHEN cs[j + 1] > cs[(j + 1) % 48 + 1]
+        |  THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS phash FROM t),
+        |sp AS (SELECT count(*) * 4 // 5 AS split FROM documents)
+        |SELECT b.doc_id, a.doc_id AS dup_of,
+        |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+        |FROM ph a JOIN ph b ON bit_count(xor(a.phash, b.phash)) <= 3, sp
+        |WHERE a.doc_id < sp.split AND b.doc_id >= sp.split""".stripMargin,
     "multimodal_features" ->
       """WITH c AS (SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'image/png' END AS mime,

