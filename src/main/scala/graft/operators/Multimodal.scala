@@ -312,6 +312,26 @@ object Multimodal {
     done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf()).exists(done)
   }
 
+  /** Append a new batch of fingerprints to a persisted phash index — the
+    * image twin of [[graft.operators.Dedup.extendDedupIndex]]: nightly
+    * index growth without rebuilding over the full corpus. `_DONE` drops
+    * during the append and is re-created after, so a crash mid-extend
+    * leaves an index serves refuse; a crashed BUILD (no committed
+    * `phashes/_SUCCESS`) cannot be repaired by extend and is a loud error.
+    * Spec-pinned: build(corpus) + extend(batch) serves identically to
+    * build(corpus ∪ batch).
+    */
+  def extendPhashIndex(indexPath: String, images: Dataset[PHashRow]): Unit = {
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "phashes/_SUCCESS")),
+      s"phash index at $indexPath is missing or uncommitted — " +
+        "a crashed build cannot be repaired by extend; run buildPhashIndex")
+    fs.delete(done, false)
+    images.toDF().write.mode("append").parquet(s"$indexPath/phashes")
+    fs.create(done, true).close()
+  }
+
   /** INCREMENTAL image dedup — the image twin of `Dedup.dedupAgainst` /
     * `EmbeddingSearch.vecDedupAgainst`: a new batch of images is checked
     * against the PERSISTED corpus index without touching corpus payloads.

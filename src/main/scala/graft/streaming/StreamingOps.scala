@@ -392,6 +392,46 @@ object StreamingOps {
       } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)
     }
 
+  /** STATELESS in-stream image near-dup match against the persisted phash
+    * index ([[graft.operators.Multimodal.buildPhashIndex]]) — the image
+    * twin of [[nearDupMatchesAgainstIndex]]: every streaming image within
+    * Hamming ≤ maxDist of SOME indexed corpus image emits one row per
+    * matching corpus image, append mode, ZERO streaming state. Input is
+    * the fingerprint stream (doc_id, phash) — decode+hash happens in the
+    * upstream ingest map stage
+    * ([[graft.operators.Multimodal.imagePHashesOf]] on the micro-batch
+    * frame), so only 8 B/image ever reaches the join.
+    *
+    * Exactly-once per (stream, corpus) pair without dropDuplicates state:
+    * a near-dup pair shares up to all 4 pigeonhole chunks (an exact dup
+    * shares exactly 4), so each candidate row recomputes both chunk-key
+    * arrays and emits only when the JOINED chunk is the minimum chunk the
+    * pair shares — the same deterministic min-shared-key rule the MinHash
+    * tier uses. Static-side file listing is captured at query start, so an
+    * [[graft.operators.Multimodal.extendPhashIndex]] takes effect on
+    * query restart. Output: (doc_id, corpus_match, hamming).
+    */
+  def phashMatchesAgainstIndex(images: DataFrame, indexPath: String,
+      maxDist: Int = 3): DataFrame = {
+    import graft.functions.HashFunctions.{simhashChunkKeys, hamming}
+    require(maxDist <= 3, "4-chunk index is only lossless for Hamming <= 3")
+    val spark = images.sparkSession
+    require(graft.operators.Multimodal.phashIndexExists(indexPath),
+      s"no complete phash index at $indexPath — run buildPhashIndex first")
+    val corpus = spark.read.parquet(s"$indexPath/phashes")
+      .select(col("doc_id").as("corpus_match"), col("phash").as("c_phash"),
+        explode(simhashChunkKeys(col("phash"))).as("chunk"))
+    images
+      .select(col("doc_id"), col("phash"),
+        explode(simhashChunkKeys(col("phash"))).as("chunk"))
+      .join(corpus, Seq("chunk"))
+      .where(hamming(col("phash"), col("c_phash")) <= maxDist)
+      .where(col("chunk") === array_min(array_intersect(
+        simhashChunkKeys(col("phash")), simhashChunkKeys(col("c_phash")))))
+      .select(col("doc_id"), col("corpus_match"),
+        hamming(col("phash"), col("c_phash")).as("hamming"))
+  }
+
   /** Streaming PII scrub — the ingestion-time twin of
     * [[graft.operators.TextAnalysis.piiScrub]]: the same three
     * Java∩RE2-dialect patterns REPLACE in-band (text is rewritten, other

@@ -241,4 +241,31 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.phashDedupAgainst(broken, batch)
     }
   }
+
+  test("extendPhashIndex serves identically to rebuilding over corpus+batch") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val n = docs.count()
+    val aEnd = n * 3 / 5
+    val bEnd = n * 4 / 5
+    val extended = java.nio.file.Files.createTempDirectory("phashidx_ext").toString
+    Multimodal.buildPhashIndex(
+      Multimodal.imagePHashesOf(docs.where(col("doc_id") < aEnd)), extended)
+    Multimodal.extendPhashIndex(extended,
+      Multimodal.imagePHashesOf(docs.where(col("doc_id") >= aEnd && col("doc_id") < bEnd)))
+    val rebuilt = java.nio.file.Files.createTempDirectory("phashidx_full").toString
+    Multimodal.buildPhashIndex(
+      Multimodal.imagePHashesOf(docs.where(col("doc_id") < bEnd)), rebuilt)
+    val batch = Multimodal.imagePHashesOf(docs.where(col("doc_id") >= bEnd))
+    val servedExt = Multimodal.phashDedupAgainst(extended, batch)
+      .as[(Long, Long, Long)].collect().toSet
+    val servedFull = Multimodal.phashDedupAgainst(rebuilt, batch)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(servedExt == servedFull)
+    assert(servedExt.nonEmpty, "corpus should plant dup families across the splits")
+    // extending a never-built (or crashed-build) index is a loud error
+    val empty = java.nio.file.Files.createTempDirectory("phashidx_none").toString
+    intercept[IllegalArgumentException] {
+      Multimodal.extendPhashIndex(empty, batch)
+    }
+  }
 }

@@ -472,6 +472,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless image match stream: one row per pair even when all 4 chunks collide") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // corpus fingerprints: 100 is an EXACT dup of stream image 10 (shares
+    // all 4 pigeonhole chunks — the min-shared-chunk rule is what keeps the
+    // emit count at one), 101 is Hamming 2 (two low-bit flips in different
+    // chunks -> 3 shared chunks), 102 is far away
+    val fp = 0x0123456789ABL & ((1L << 48) - 1)
+    val corpus = Seq((100L, fp), (101L, fp ^ (1L << 1) ^ (1L << 13)),
+        (102L, ~fp & ((1L << 48) - 1)))
+      .map { case (id, h) => Multimodal.PHashRow(id, h) }.toDS()
+    val idx = java.nio.file.Files.createTempDirectory("graft_phash_stream").toString
+    Multimodal.buildPhashIndex(corpus, idx)
+    val input = MemoryStream[(Long, Long)]
+    val out = StreamingOps.phashMatchesAgainstIndex(
+      input.toDF().toDF("doc_id", "phash"), idx)
+    val q = out.writeStream.format("memory").queryName("phm")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, fp), (11L, 0x800000000000L >> 1 | 1L))
+      q.processAllAvailable()
+      val rows = spark.table("phm")
+        .select($"doc_id", $"corpus_match", $"hamming")
+        .as[(Long, Long, Long)].collect()
+      assert(rows.length == 2, s"expected one row per matching pair, got ${rows.toSeq}")
+      assert(rows.map(r => (r._1, r._2, r._3)).toSet ==
+        Set((10L, 100L, 0L), (10L, 101L, 2L)))
+    } finally q.stop()
+  }
+
   test("ingest pipeline end-to-end: file source directory -> file sink") {
     // The full deploy shape on real files: documents land in a parquet
     // directory, the composed ingest pipeline streams them, survivors land
