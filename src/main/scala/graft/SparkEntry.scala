@@ -285,6 +285,10 @@ object SparkEntry {
     "corpus_budget_bucketed" -> ((s, dir) =>
       TextAnalysis.tokenBudgetBucketed(Tables.documents(s, dir),
         budgetPerBucket = 300L, nBuckets = 8)),
+    // C4-style per-source doc cap with quality-ranked (TTR) retention;
+    // grouped top-k runs skew-safe via the lossless two-stage bucket prune
+    "corpus_source_cap" -> ((s, dir) =>
+      TextAnalysis.sourceCap(Tables.documents(s, dir), cap = 40, nBuckets = 8)),
     "events_transitions" -> ((s, dir) => Events.transitions(s, dir)),
     // — relational surface (SURVEY.md §2.2 checklist) —
     "rel_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -2759,6 +2763,15 @@ object SparkEntry {
          |  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens FROM t)
          |SELECT doc_id, source, bucket, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 300""".stripMargin,
+    "corpus_source_cap" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |q AS (SELECT doc_id, source, len(w)::BIGINT AS n_tokens,
+        |  len(list_distinct(w))::BIGINT * 1000000 // len(w)::BIGINT AS ttr_ppm
+        |  FROM t WHERE len(w) > 0),
+        |r AS (SELECT *, (row_number() OVER (PARTITION BY source
+        |  ORDER BY ttr_ppm DESC, doc_id ASC))::BIGINT AS rank_in_source FROM q)
+        |SELECT doc_id, source, n_tokens, ttr_ppm, rank_in_source FROM r
+        |WHERE rank_in_source <= 40""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),

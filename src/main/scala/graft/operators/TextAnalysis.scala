@@ -1045,6 +1045,50 @@ object TextAnalysis {
       .where(col("cum_tokens") <= budgetPerBucket)
   }
 
+  /** Per-source document CAP with QUALITY-RANKED retention — the C4 /
+    * RefinedWeb-style domain-frequency cap: no source (domain, crawl,
+    * feed) contributes more than `cap` documents, and when a source
+    * overflows, the KEPT docs are its highest-quality ones rather than an
+    * arbitrary prefix. The quality axis here is the type-token ratio in
+    * exact integer ppm (`distinct_tokens·10⁶ div n_tokens` — repetitive
+    * boilerplate scores low), ties broken by doc_id, so retention is
+    * deterministic and engine-replayable; any other deterministic score
+    * ranks the same machinery.
+    *
+    * Grouped top-k done SKEW-SAFE: a bare per-source `row_number` makes a
+    * web-crawl source holding half the corpus one hot window partition.
+    * Instead, stage 1 ranks within (source, content-hash bucket) and
+    * keeps each bucket's top `cap` — spreading the giant source over
+    * `nBuckets` parallel partitions — and stage 2 ranks the survivors
+    * (≤ nBuckets·cap rows per source, metadata-sized) for the exact
+    * global answer. Any row in a source's true top-cap is in its bucket's
+    * top-cap, so the prune is LOSSLESS and the result is invariant to
+    * `nBuckets` (spec-pinned at 1 vs 8).
+    * Output: (doc_id, source, n_tokens, ttr_ppm, rank_in_source).
+    */
+  def sourceCap(docs: DataFrame, cap: Int = 40, nBuckets: Int = 8): DataFrame = {
+    require(cap >= 1, "sourceCap needs a positive cap")
+    require(nBuckets >= 1, "sourceCap needs at least one bucket")
+    val scored = docs
+      .select(col("doc_id"), col("source"),
+        size(tokenize(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(tokenize(col("text")))).cast("long").as("n_distinct"),
+        pmod(portableHash31(col("text")), lit(nBuckets.toLong)).as("bucket"))
+      .where(col("n_tokens") > 0)
+      .withColumn("ttr_ppm", expr("n_distinct * 1000000 DIV n_tokens"))
+    val local = Window.partitionBy("source", "bucket")
+      .orderBy(col("ttr_ppm").desc, col("doc_id").asc)
+    val global = Window.partitionBy("source")
+      .orderBy(col("ttr_ppm").desc, col("doc_id").asc)
+    scored
+      .withColumn("lrk", row_number().over(local))
+      .where(col("lrk") <= cap)
+      .withColumn("rank_in_source", row_number().over(global).cast("long"))
+      .where(col("rank_in_source") <= cap)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("ttr_ppm"),
+        col("rank_in_source"))
+  }
+
   /** Sequence PACKING — the layout pass between a curated corpus and a
     * training run: documents are concatenated in deterministic doc_id order
     * per source and chunked into fixed `seqLen`-token training sequences

@@ -190,6 +190,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(b4.forall(_._2 <= 60L), "a bucket exceeded its own budget")
   }
 
+  test("sourceCap keeps each source's top-quality docs; bucketed prune is lossless") {
+    // "big" overflows cap=3: keep the 3 highest type-token ratios, the
+    // ttr tie (docs 4 and 6, both 10^6) broken by doc_id; "small" fits
+    val docs = Seq(
+      (1L, "big", "a a a a"),          // ttr 250000
+      (2L, "big", "a b a b"),          // ttr 500000
+      (3L, "big", "a b c a"),          // ttr 750000
+      (4L, "big", "a b c d"),          // ttr 1000000
+      (5L, "big", "x x x x x x x x"),  // ttr 125000
+      (6L, "big", "p q r s t u v w"),  // ttr 1000000, loses tie to 4
+      (10L, "small", "m n"),
+      (11L, "small", "k k"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.TextAnalysis.sourceCap(docs, cap = 3, nBuckets = 8)
+      .select("doc_id", "rank_in_source").as[(Long, Long)].collect().toMap
+    assert(got == Map(4L -> 1L, 6L -> 2L, 3L -> 3L, 10L -> 1L, 11L -> 2L))
+    // the two-stage (bucket-local then survivor) ranking is lossless:
+    // nBuckets=1 computes the plain exact grouped top-k, nBuckets=8 must
+    // return identical rows
+    val exact = graft.operators.TextAnalysis.sourceCap(docs, cap = 3, nBuckets = 1)
+      .collect().toSet
+    val bucketed = graft.operators.TextAnalysis.sourceCap(docs, cap = 3, nBuckets = 8)
+      .collect().toSet
+    assert(exact == bucketed)
+  }
+
   test("decontaminate flags the doc sharing a 5-gram with the eval set") {
     // eval = doc_id < 5; doc 10 embeds eval doc 0's exact 5-token run,
     // doc 11 shares nothing
