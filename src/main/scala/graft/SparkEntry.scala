@@ -954,31 +954,44 @@ object SparkEntry {
     * sample — while the final inverted file (`af`) and re-rank still cover
     * every vector, mirroring the train-on-a-sample/serve-everything split.
     */
-  private def kmeansKnnSql(samplePct: Option[Int]): String = {
+  /** One Lloyd-round assignment CTE body shared by the whole-vector k-means
+    * oracles ([[kmeansKnnSql]], [[semDedupSql]]); the PQ oracle keeps its
+    * per-subspace variant. */
+  private def kmAssignCte(srcCte: String, centCte: String): String =
+    s"""SELECT vec_id, v, cl FROM (
+       |  SELECT e.vec_id, e.v, c.cl, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cl ASC) AS rn
+       |  FROM $srcCte e, $centCte c) WHERE rn = 1""".stripMargin
+
+  private def kmUpdateCtes(i: Int, aCte: String, prevCte: String): String =
+    s"""m$i AS (SELECT cl, di.i AS d,
+       |  CAST(sum(CAST(round(v[di.i], 6) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+       |  FROM $aCte, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) di GROUP BY 1, 2),
+       |n$i AS (SELECT cl, list(c ORDER BY d) AS cv FROM m$i GROUP BY 1),
+       |c$i AS (SELECT $prevCte.cl, coalesce(n$i.cv, $prevCte.cv) AS cv
+       |        FROM $prevCte LEFT JOIN n$i USING (cl))""".stripMargin
+
+  /** The shared Lloyd replay to the final full assignment `af` — seeds,
+    * exactly two rounds, round(cosine,6) argmax, DECIMAL(28,10) means,
+    * lost-cluster coalesce — the trained-quantizer contract every k-means
+    * oracle checks. */
+  private def kmTrainedAssignCtes(samplePct: Option[Int]): String = {
     val train = if (samplePct.isDefined) "smp" else "e"
     val smpCte = samplePct.map(p =>
       s"smp AS (SELECT * FROM e WHERE (vec_id * 1103515245 + 12345) % 2147483647 % 100 < $p),\n")
       .getOrElse("")
-    def assignCte(srcCte: String, centCte: String): String =
-      s"""SELECT vec_id, v, cl FROM (
-         |  SELECT e.vec_id, e.v, c.cl, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY round(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cl ASC) AS rn
-         |  FROM $srcCte e, $centCte c) WHERE rn = 1""".stripMargin
-    def updateCtes(i: Int, aCte: String, prevCte: String): String =
-      s"""m$i AS (SELECT cl, di.i AS d,
-         |  CAST(sum(CAST(round(v[di.i], 6) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
-         |  FROM $aCte, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) di GROUP BY 1, 2),
-         |n$i AS (SELECT cl, list(c ORDER BY d) AS cv FROM m$i GROUP BY 1),
-         |c$i AS (SELECT $prevCte.cl, coalesce(n$i.cv, $prevCte.cv) AS cv
-         |        FROM $prevCte LEFT JOIN n$i USING (cl))""".stripMargin
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |           FROM embeddings),
        |${smpCte}c0 AS (SELECT vec_id::INT AS cl, v AS cv FROM $train ORDER BY vec_id LIMIT 8),
-       |a1 AS (${assignCte(train, "c0")}),
-       |${updateCtes(1, "a1", "c0")},
-       |a2 AS (${assignCte(train, "c1")}),
-       |${updateCtes(2, "a2", "c1")},
-       |af AS (${assignCte("e", "c2")}),
+       |a1 AS (${kmAssignCte(train, "c0")}),
+       |${kmUpdateCtes(1, "a1", "c0")},
+       |a2 AS (${kmAssignCte(train, "c1")}),
+       |${kmUpdateCtes(2, "a2", "c1")},
+       |af AS (${kmAssignCte("e", "c2")})""".stripMargin
+  }
+
+  private def kmeansKnnSql(samplePct: Option[Int]): String = {
+    s"""WITH ${kmTrainedAssignCtes(samplePct)},
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
        |pd AS (SELECT q.query_id, q.qv, c.cl,
        |  round(${cosineSql("q.qv", "c.cv")}, 6) AS csim FROM q, c2 c),

@@ -1088,4 +1088,48 @@ object EmbeddingSearch {
           .as("avg_norm"),
         min(col("norm")).as("min_norm"),
         max(col("norm")).as("max_norm"))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup by
+    * k-means clustering then within-cluster cosine pruning — the third
+    * member of the embedding-dedup triptych, distinct from both
+    * [[cosineNearDupPairsFor]] (LSH buckets: recall-approximate pair
+    * MINING) and [[vecDedupAgainst]] (incremental serve): here the
+    * candidate structure is the trained partition itself, so recall
+    * within a cluster is EXACT and the policy (which copy survives) is
+    * part of the operator.
+    *
+    * Pipeline: [[trainKmeansIndex]] (deterministic seeds/rounds — the same
+    * quantizer contract the DuckDB oracle already replays for
+    * `embed_knn_kmeans`), one-pass [[kmeansAssign]] of every vector, then
+    * an all-pairs cosine join WITHIN each cluster and a keep-earliest
+    * policy: a vector is dropped iff some LOWER-id vector in its cluster
+    * has round(cosine,6) ≥ tau. Output one row per vector
+    * (vec_id, cluster, kept) — the full decision table, not just pairs.
+    *
+    * Scale: the join shuffles on the cluster id once; the quadratic term
+    * is bounded per cluster (the paper's point — at 100 TB nClusters grows
+    * with N to hold E[cluster] ≈ constant, the [[lshRowsPerBand]] occupancy
+    * discipline applied to centroids), training runs on the deterministic
+    * [[trainSamplePredicate]] sample, and only the one-pass assignment
+    * touches every vector. Reference pipeline analogue: none — pure
+    * extension surface (SURVEY §2.2 dedup family).
+    */
+  def semDedup(spark: SparkSession, dir: String, tau: Double = 0.9,
+      nClusters: Int = 8, iters: Int = 2, samplePct: Int = 100): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cent = trainKmeansIndex(emb, nClusters, iters, samplePct)
+    val assigned = kmeansAssign(withNorm(emb), cent)
+    val dropped = assigned.select(col("cl"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(assigned.select(col("cl"), col("vec_id").as("id_b"), col("v").as("vb")), Seq("cl"))
+      .where(col("id_a") < col("id_b"))
+      .where(round(cosine(col("va"), col("vb")), 6) >= tau)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+      .withColumn("is_dup", lit(true))
+    assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cl").cast("int").as("cluster"),
+        coalesce(!col("is_dup"), lit(true)).as("kept"))
+  }
 }
