@@ -11,9 +11,13 @@ import org.apache.spark.sql.SparkSession
   * the registry's hash-map iteration order or residual JIT/codegen noise in
   * whichever queries happen to run first.
   *
-  * A failed query is LOUD: its name lands in an "errors" object on the same
-  * line (and on stderr), its wall time stays visible in "queries", and it is
-  * EXCLUDED from "value" — a broken query can't contribute a plausible total.
+  * A failed query is LOUD and TRUNCATION-PROOF: "n_errors" rides directly
+  * after "value" at the head of the line, the compact "error_names" list is
+  * the LAST key on the line (an artifact keeping only a head or a tail of
+  * the line still shows the failure count/names), the per-error messages
+  * live mid-line in "errors" (and on stderr), a failed query's wall time
+  * stays visible in "queries", it is EXCLUDED from "value" — and the entire
+  * untruncated line is also written to BENCH_FULL.json in the working dir.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -78,8 +82,17 @@ object Bench {
       s"${jq(k)}:${passes.getOrElse(k, Nil).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     val total = named.collect { case (k, _) if !errorNames.contains(k) => best(k) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson""" +
-      s""","passes":$passJson,"iters":$iters,"order":"sorted","sf":${jq(sfDir)}}""")
+    val errorNamesJson = errors.map(e => jq(e._1)).mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errors.size},""" +
+        s""""queries":$qs$errJson,"passes":$passJson,"iters":$iters,""" +
+        s""""order":"sorted","sf":${jq(sfDir)},"error_names":$errorNamesJson}"""
+    println(line)
+    // the full line survives any stdout truncation the harness applies
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     spark.stop()
   }
 }

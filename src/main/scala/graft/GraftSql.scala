@@ -5,9 +5,10 @@ import graft.sources.Tables
 
 /** SQL facade: register every engine table for an SF dir as a temp view and
   * run queries as plain SQL (with the graft_* functions available when the
-  * session carries [[GraftExtensions]]). The session must be built with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (the events view reads
-  * TIMESTAMP(NANOS) parquet — see README "Required session conf").
+  * session carries [[GraftExtensions]]). The events view is encoding-
+  * adaptive; build the session with `spark.sql.legacy.parquet.nanosAsLong=
+  * true` and `spark.sql.session.timeZone=UTC` so it registers whichever
+  * physical timestamp encoding the testdata carries (see README).
   * The "switch from the reference" story for SQL-first users:
   *
   * {{{
@@ -22,13 +23,15 @@ object GraftSql {
 
   def registerTables(spark: SparkSession, dir: String): Unit = {
     tableNames.foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
-    // the events view needs the nanosAsLong build-time conf; a session
-    // without it still gets every other view instead of a hard failure here
-    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      Events.eventsView(spark, dir)
-    else
-      System.err.println("[graft] skipping `events` view: build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (see README) to register it")
+    // the events view is encoding-adaptive (Events.events) but still needs
+    // the right build-time conf for the encoding it finds (nanosAsLong for
+    // ns-parquet, UTC session tz for TIMESTAMP_NTZ); a session without it
+    // still gets every other view instead of a hard failure here
+    try Events.eventsView(spark, dir)
+    catch {
+      case e: Exception =>
+        System.err.println(s"[graft] skipping `events` view: ${e.getMessage}")
+    }
   }
 
   private object Events {

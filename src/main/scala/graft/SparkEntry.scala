@@ -114,15 +114,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), tau = 0.8, n = 2)),
     // tau is data-dependent: the synthetic embeddings carry no true
     // near-dups (max candidate cosine ≈ 0.48), so the entry runs at 0.4 to
-    // exercise the full bucket→verify path with non-trivial output
+    // exercise the full bucket→verify path with non-trivial output.
+    // DEFAULT = the DEPLOYMENT shape: LSH width sized from the corpus count
+    // by the lshRowsPerBand occupancy rule (8 bands × rpb bits, rpb = min r
+    // with 32·2^r ≥ N) — holds candidate volume linear in N instead of the
+    // measured fixed-width x16 cliff (24×); oracle replays the derivation
     "dedup_embedding" -> ((s, dir) =>
-      EmbeddingSearch.cosineNearDupPairs(s, dir, tau = 0.4)),
-    // the DEPLOYMENT shape: LSH width sized from the corpus count by the
-    // lshRowsPerBand occupancy rule (8 bands × rpb bits, rpb = min r with
-    // 32·2^r ≥ N) — holds candidate volume linear in N instead of the
-    // measured fixed-width x16 cliff; oracle replays the derivation
-    "dedup_embedding_scaled" -> ((s, dir) =>
       EmbeddingSearch.cosineNearDupPairsScaled(s, dir, tau = 0.4)),
+    // the fixed 16-value band config, kept as an explicitly-named variant:
+    // fine for a known-small static corpus, carries the measured x16 cliff
+    "dedup_embedding_fixed" -> ((s, dir) =>
+      EmbeddingSearch.cosineNearDupPairs(s, dir, tau = 0.4)),
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dedupClusters(docs, SimilarityJoin.allPairsJaccard(docs, tau = 0.7))
@@ -509,11 +511,12 @@ object SparkEntry {
     "embed_knn_multiprobe" -> ((s, dir) => EmbeddingSearch.lshTopKMultiProbe(s, dir)),
     "embed_multiprobe_recall" -> ((s, dir) => EmbeddingSearch.multiProbeRecall(s, dir)),
     // two-sided kNN JOIN (kNN-graph): every vector × its band-mates, no
-    // broadcastable query side — the corpus-vs-corpus shuffle shape
-    "embed_knn_join" -> ((s, dir) => EmbeddingSearch.knnJoin(s, dir)),
-    // kNN join under the same corpus-adaptive LSH sizing (the registered
-    // at-scale config; the fixed-width form above is the small-corpus default)
-    "embed_knn_join_scaled" -> ((s, dir) => EmbeddingSearch.knnJoinScaled(s, dir)),
+    // broadcastable query side — the corpus-vs-corpus shuffle shape.
+    // DEFAULT = corpus-adaptive LSH sizing (the at-scale config; the fixed
+    // width measured a 52× candidate cliff at x16 data)
+    "embed_knn_join" -> ((s, dir) => EmbeddingSearch.knnJoinScaled(s, dir)),
+    // fixed-width form, explicitly named — known-small static corpora only
+    "embed_knn_join_fixed" -> ((s, dir) => EmbeddingSearch.knnJoin(s, dir)),
     "embed_knn_ivf" -> ((s, dir) => EmbeddingSearch.ivfTopK(s, dir)),
     // train-once/serve-many (VERDICT r2 item 3): the quantizer is persisted
     // keyed on the embeddings fingerprint — the first invocation trains and
@@ -2021,8 +2024,9 @@ object SparkEntry {
          |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
          |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
          |GROUP BY 1""".stripMargin,
-    // kNN join: directed band-collision edges (both orders), exact re-rank
-    "embed_knn_join" ->
+    // kNN join, fixed-width banding: directed band-collision edges (both
+    // orders), exact re-rank
+    "embed_knn_join_fixed" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |$vecBandCtes,
          |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
@@ -2034,8 +2038,8 @@ object SparkEntry {
          |r AS (SELECT *, (row_number() OVER
          |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
          |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
-    // identical replay under the corpus-adaptive banding CTEs
-    "embed_knn_join_scaled" ->
+    // the DEFAULT entry replays under the corpus-adaptive banding CTEs
+    "embed_knn_join" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |$vecBandCtesScaled,
          |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
@@ -2111,7 +2115,7 @@ object SparkEntry {
          |       ELSE round((dist - s1/n) / sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0)), 6)
          |  END AS z FROM ds JOIN mom USING (label))
          |SELECT vec_id, label, dist, z FROM z WHERE z >= 1.5""".stripMargin,
-    "dedup_embedding" ->
+    "dedup_embedding_fixed" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |$vecBandCtes,
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -2121,7 +2125,7 @@ object SparkEntry {
          |  FROM cand JOIN e ea ON cand.vec_a = ea.vec_id
          |            JOIN e eb ON cand.vec_b = eb.vec_id)
          |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
-    "dedup_embedding_scaled" ->
+    "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |$vecBandCtesScaled,
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

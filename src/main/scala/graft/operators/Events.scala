@@ -9,32 +9,73 @@ import org.apache.spark.sql.functions._
   * strictly batch with no temporal operators (SURVEY.md §2.2) — this is the
   * extension surface over `events.parquet`.
   *
-  * The events table carries parquet TIMESTAMP(NANOS), which Spark's scan
-  * rejects by default; [[events]] reads it via the documented
-  * `nanosAsLong` escape hatch and keeps an exact `ts_us` (µs, floor-divided
-  * — identical to what engines that truncate ns→µs on read produce) plus a
-  * real TimestampType column for window functions. All query outputs expose
+  * The events table's `ts` column has shipped under two physical parquet
+  * encodings across testdata generations — TIMESTAMP(NANOS) (which Spark
+  * surfaces as BIGINT ns under the `nanosAsLong` escape hatch) and
+  * TIMESTAMP(MICROS) (surfaced as TimestampType / TimestampNTZType).
+  * [[events]] is SCHEMA-ADAPTIVE: it branches on the column's resolved type
+  * and normalizes both encodings to the same three-column contract — `ts_ns`
+  * (BIGINT ns), `ts_us` (BIGINT µs, exact), `ts` (TimestampType, µs) — so
+  * every downstream operator is encoding-agnostic. All query outputs expose
   * time as epoch seconds/micros (BIGINT) — exact, timezone-free, portable.
   */
 object Events {
 
-  /** events with ts_ns (long), ts_us (long), and ts (TimestampType, µs).
+  import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+
+  /** events with ts_ns (long), ts_us (long), and ts (TimestampType, µs) —
+    * identical logical schema whichever physical encoding the parquet
+    * carries.
     *
-    * REQUIRED SESSION CONF: `spark.sql.legacy.parquet.nanosAsLong=true` must
-    * be set when the session is BUILT (see README / graft.Verify). A query
-    * constructor must not mutate session config — a concurrent query reading
-    * ns-parquet with different expectations would race on the shared value —
-    * so this only checks and fails loudly.
+    *  - `ts: BIGINT` (TIMESTAMP(NANOS) read with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`): ns pass through;
+    *    `ts_us = ts_ns div 1000` (floor — what engines that truncate ns→µs
+    *    on read produce). The nanosAsLong conf is only REQUIRED on this
+    *    branch; without it Spark's scan rejects ns-parquet before we get
+    *    here, so the require exists purely to turn that into a clear
+    *    message. A query constructor must not mutate session config — a
+    *    concurrent query would race on the shared value — so it checks and
+    *    fails loudly instead of setting it.
+    *  - `ts: TIMESTAMP_NTZ` (TIMESTAMP(MICROS), isAdjustedToUTC=false — what
+    *    pyarrow writes for tz-naive data): the stored int64 IS epoch µs the
+    *    way every naive-timestamp engine (DuckDB `epoch_us`) reads it, i.e.
+    *    wall-clock-as-UTC. Spark's NTZ→Timestamp cast goes through the
+    *    SESSION timezone, so this branch requires
+    *    `spark.sql.session.timeZone=UTC` (all graft entrypoints pin it) and
+    *    the cast is then the identity on the stored micros.
+    *  - `ts: TIMESTAMP` (isAdjustedToUTC=true): already an instant;
+    *    `unix_micros` is timezone-free on it.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (see README)")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = graft.sources.Tables.table(spark, dir, "events")
+    val normalized = raw.schema("ts").dataType match {
+      case LongType =>
+        require(
+          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+          "events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
+            "spark.sql.legacy.parquet.nanosAsLong=true (see README)")
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case TimestampNTZType | TimestampType =>
+        if (raw.schema("ts").dataType == TimestampNTZType) require(
+          spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.parquet carries TIMESTAMP_NTZ(MICROS): build the SparkSession " +
+            "with spark.sql.session.timeZone=UTC so the naive→instant cast is the " +
+            "identity on the stored micros (matching DuckDB epoch_us semantics)")
+        raw.withColumn("ts_us", unix_micros(col("ts").cast(TimestampType)))
+          .withColumn("ts_ns", col("ts_us") * 1000L)
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case other => sys.error(
+        s"events.parquet: unsupported physical type for ts: $other — expected " +
+          "BIGINT (TIMESTAMP(NANOS) via nanosAsLong), TIMESTAMP, or TIMESTAMP_NTZ. " +
+          "The testdata generator likely changed encodings again; extend " +
+          "Events.events with the new branch.")
+    }
+    // one canonical column order whichever branch produced it
+    normalized.select(
+      col("event_id"), col("ts_ns"), col("user_id"), col("event_type"),
+      col("value"), col("props"), col("ts_us"), col("ts"))
   }
 
   /** The events table re-materialized PARTITIONED BY integer epoch day —

@@ -16,8 +16,81 @@ import org.apache.spark.sql.functions._
   * adding executors; there is no driver-side enumeration here).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    assertExpectedSchema(name, df.schema)
+    df
+  }
+
+  /** Expected logical types per fixture column. The accepted SET per column
+    * covers every physical encoding the testdata generator has actually
+    * shipped (e.g. `events.ts` has been both TIMESTAMP(NANOS)→BIGINT-via-
+    * nanosAsLong and TIMESTAMP(MICROS)→timestamp/timestamp_ntz), so a
+    * regeneration that flips between known encodings stays silent while a
+    * NEW encoding fails with one targeted message instead of dozens of
+    * scattered analysis errors downstream. Extra columns are ignored —
+    * additive schema evolution is legal (see `source_schema_evolution`).
+    */
+  private val expectedColumnTypes: Map[String, Seq[(String, Set[String])]] = {
+    val ts = Set("timestamp", "timestamp_ntz", "bigint")
+    Map(
+      "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
+      "nation" -> Seq("n_nationkey" -> Set("int"), "n_name" -> Set("string"),
+        "n_regionkey" -> Set("int")),
+      "customer" -> Seq("c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+        "c_nationkey" -> Set("int"), "c_acctbal" -> Set("double"),
+        "c_mktsegment" -> Set("string")),
+      "supplier" -> Seq("s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+        "s_nationkey" -> Set("int"), "s_acctbal" -> Set("double")),
+      "part" -> Seq("p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+        "p_brand" -> Set("string"), "p_type" -> Set("string"),
+        "p_size" -> Set("int"), "p_retailprice" -> Set("double")),
+      "orders" -> Seq("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+        "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+        "o_orderdate" -> ts, "o_orderpriority" -> Set("string")),
+      "lineitem" -> Seq("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+        "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
+        "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+        "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+        "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+        "l_shipdate" -> ts),
+      "events" -> Seq("event_id" -> Set("bigint"), "ts" -> ts,
+        "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+        "value" -> Set("double"), "props" -> Set("string")),
+      "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),
+        "lang" -> Set("string"), "source" -> Set("string"),
+        "n_chars" -> Set("bigint")),
+      "embeddings" -> Seq("vec_id" -> Set("bigint"),
+        "embedding" -> Set("array<float>"), "label" -> Set("int")))
+  }
+
+  /** Loud, targeted schema drift check for a known fixture table: every
+    * expected column that IS present must carry a type in its accepted set.
+    * Unknown table names pass silently (user tables aren't ours to police),
+    * and ABSENT columns pass too — specs legitimately build minimal
+    * same-named fixtures, and a genuinely dropped column already fails
+    * downstream with a clear unresolved-column error. The failure mode this
+    * exists for: the testdata generator RE-ENCODING a column (as it did to
+    * `events.ts`), which without this probe surfaces as N unrelated
+    * `DATATYPE_MISMATCH` analysis errors instead of one "testdata schema
+    * changed" message naming the column and both types.
+    */
+  def assertExpectedSchema(name: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    expectedColumnTypes.get(name).foreach { cols =>
+      val actual = schema.fields.map(f => f.name -> f.dataType.catalogString.toLowerCase).toMap
+      val problems = cols.flatMap { case (c, ok) =>
+        actual.get(c) match {
+          case Some(t) if !ok.contains(t) =>
+            Some(s"$c: $t (expected ${ok.mkString(" or ")})")
+          case _ => None
+        }
+      }
+      require(problems.isEmpty,
+        s"testdata schema changed for table '$name': ${problems.mkString("; ")}. " +
+          "Either the generator shipped a new physical encoding (extend the " +
+          "accepted set here and adapt the reader — cf. Events.events) or the " +
+          "wrong file is at this path.")
+    }
 
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

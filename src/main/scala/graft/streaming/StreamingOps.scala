@@ -42,15 +42,19 @@ object StreamingOps {
     * arrive (no watermark latency on output, only on state eviction).
     * Expects (user_id, event_id, ts) on both inputs; output matches the
     * batch op: (user_id, purchase_id, click_id, purchase_us, click_us,
-    * us_before).
+    * us_before). `ts` may arrive as TIMESTAMP or TIMESTAMP_NTZ (the
+    * regenerated testdata's µs encoding) — watermarks are only legal on
+    * TIMESTAMP, so the op normalizes with a cast, which under the engine's
+    * pinned UTC session is the identity on the stored micros (the same
+    * contract as the batch `Events.events`).
     */
   def attributeClicks(clicks: DataFrame, purchases: DataFrame,
       window: String = "24 hours", delay: String = "1 hour"): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user_id"),
-        col("event_id").as("click_id"), col("ts").as("click_ts"))
+        col("event_id").as("click_id"), col("ts").cast("timestamp").as("click_ts"))
       .withWatermark("click_ts", delay)
     val p = purchases.select(col("user_id"),
-        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+        col("event_id").as("purchase_id"), col("ts").cast("timestamp").as("purchase_ts"))
       .withWatermark("purchase_ts", delay)
     p.join(c,
         col("user_id") === col("c_user_id") &&
@@ -73,10 +77,10 @@ object StreamingOps {
   def attributeClicksOuter(clicks: DataFrame, purchases: DataFrame,
       window: String = "24 hours", delay: String = "1 hour"): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user_id"),
-        col("event_id").as("click_id"), col("ts").as("click_ts"))
+        col("event_id").as("click_id"), col("ts").cast("timestamp").as("click_ts"))
       .withWatermark("click_ts", delay)
     val p = purchases.select(col("user_id"),
-        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+        col("event_id").as("purchase_id"), col("ts").cast("timestamp").as("purchase_ts"))
       .withWatermark("purchase_ts", delay)
     p.join(c,
         col("user_id") === col("c_user_id") &&
@@ -431,6 +435,70 @@ object StreamingOps {
       .select(col("doc_id"), col("corpus_match"),
         hamming(col("phash"), col("c_phash")).as("hamming"))
   }
+
+  /** Watermark-BOUNDED within-stream image dedup — the image twin of
+    * [[dedupExactWithinWatermark]], completing the modality-parity story:
+    * keep the FIRST image per 48-bit dHash fingerprint, with state for
+    * fingerprints older than the event-time watermark dropped by the engine
+    * instead of growing forever (8 B of state per distinct live image). The
+    * trade is the same as the text tier's and explicit: a duplicate image
+    * arriving more than `delay` after its original is RE-ADMITTED —
+    * downstream the periodic batch [[graft.operators.Multimodal.phashNearDupPairs]]
+    * sweep catches it, the standard two-tier design. Equal-fingerprint
+    * collapse covers exact dups and the re-encode/resize variants dHash is
+    * invariant to; Hamming 1–3 neighbors are the batch sweep's job (a
+    * single-key streaming dedup cannot express them losslessly). Input
+    * carries (doc_id, phash, `tsCol`) — fingerprints from the upstream
+    * decode map stage, never rasters.
+    */
+  def dedupPhashWithinWatermark(images: DataFrame, tsCol: String, delay: String): DataFrame =
+    images.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("phash")
+
+  /** Per-micro-batch image dedup-vs-index with per-image VERDICTS — the
+    * image twin of [[dedupAgainstIndexNear]]: each micro-batch of
+    * (doc_id, phash) fingerprints runs the batch
+    * [[graft.operators.Multimodal.phashDedupAgainst]] (4×12-bit pigeonhole
+    * chunk join against the persisted index, exact Hamming verify) through
+    * foreachBatch, and the sink receives the batch annotated with
+    * (dup_of, hamming, status) — status "dup" with the closest corpus
+    * match (min Hamming, ties to the lowest doc_id) or "unique". Same
+    * re-read-per-batch extend visibility and idempotent-by-batchId sink
+    * contract as the text/vector twins; with `extendIndex = true` each
+    * batch's unique fingerprints join the index before the next batch runs
+    * (crash-replay re-appends — duplicate index rows are serving-tolerated
+    * by design, so the loop is idempotent-at-the-index).
+    */
+  def phashDedupAgainstIndexNear(images: DataFrame, indexPath: String,
+      maxDist: Int = 3, extendIndex: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    images.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      import graft.operators.Multimodal
+      val sp = batch.sparkSession
+      import sp.implicits._
+      val b = batch.localCheckpoint()
+      try {
+        val matches = Multimodal.phashDedupAgainst(indexPath,
+          b.select(col("doc_id"), col("phash")).as[Multimodal.PHashRow], maxDist)
+        // one verdict per image: the closest corpus match wins
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("hamming").asc, col("dup_of").asc)
+        val verdicts = matches
+          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+          .select(col("doc_id"), col("dup_of"), col("hamming"))
+        val annotated = b.join(verdicts, Seq("doc_id"), "left")
+          .withColumn("status", when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("unique")))
+          .localCheckpoint()
+        try {
+          sink(annotated, batchId)
+          if (extendIndex) {
+            val survivors = annotated.where(col("status") === "unique")
+              .select(col("doc_id"), col("phash")).as[Multimodal.PHashRow]
+            Multimodal.extendPhashIndex(indexPath, survivors)
+          }
+        } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(annotated)
+      } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)
+    }
 
   /** Streaming PII scrub — the ingestion-time twin of
     * [[graft.operators.TextAnalysis.piiScrub]]: the same three

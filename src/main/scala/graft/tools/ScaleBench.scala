@@ -36,13 +36,13 @@ object ScaleBench {
     // embeddings/ANN family: |Q| stays 10 (replica ids are offset past the
     // query range), so these measure corpus-growth cost at fixed query load
     "embed_knn_brute", "embed_knn_lsh", "embed_knn_ivf",
-    "dedup_embedding", "embed_label_stats",
-    // corpus-adaptive LSH sizing (round 6): the registered fixes for the
-    // fixed-width occupancy cliff the two entries above measure
-    "dedup_embedding_scaled", "embed_knn_join_scaled",
+    "dedup_embedding_fixed", "embed_label_stats",
+    // corpus-adaptive LSH sizing is the DEFAULT-named config since round 7;
+    // the `_fixed` twins above/below measure the occupancy cliff it fixes
+    "dedup_embedding", "embed_knn_join",
     // round-5 additions with candidate machinery or corpus-df joins; the
     // weighted sample rides along as a zero-shuffle linear control
-    "embed_knn_join", "dedup_minhash_accuracy", "dedup_source_matrix",
+    "embed_knn_join_fixed", "dedup_minhash_accuracy", "dedup_source_matrix",
     "text_pmi_topk", "text_rare_bigrams", "corpus_weighted_sample",
     // this session's candidate-generating / iterative additions: the
     // one-sided-prefix containment join, the checkpointed integer PageRank,
@@ -71,7 +71,14 @@ object ScaleBench {
     "corpus_curated", "corpus_lm_tiers",
     // image near-dup: decode+hash is the linear term; the chunk self-join
     // measures bucket-occupancy growth on the 4x12-bit pigeonhole index
-    "multimodal_phash_pairs")
+    "multimodal_phash_pairs",
+    // the rest of the multimodal family (r6 verdict item 6): every payload
+    // is synthesized from documents.text, so the token-bijection replication
+    // scales image/audio/video corpora too — these pin the MEASURED slope of
+    // the shuffle-free decode/feature map passes (the argument-only rows in
+    // SCALING.md) plus the fingerprint build feeding the pairs join above
+    "multimodal_phash", "multimodal_features", "multimodal_audio",
+    "multimodal_video")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"
@@ -127,11 +134,10 @@ object ScaleBench {
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
     val dirs: Seq[(Int, String)] =
       (1, src) +: ks.map(k => k -> scaledDocs(spark, src, k, work))
-    // the corpus-adaptive LSH entries (dedup_embedding_scaled /
-    // embed_knn_join_scaled, in `family`) are now REGISTERED first-class
-    // queries — lshRowsPerBand re-sizes the bands per scaled corpus, so the
-    // curve measures the occupancy rule exactly where the fixed-width
-    // defaults measured the cliff
+    // the corpus-adaptive LSH sizing is the DEFAULT-named dedup_embedding /
+    // embed_knn_join since round 7 — lshRowsPerBand re-sizes the bands per
+    // scaled corpus, so the curve measures the occupancy rule exactly where
+    // the `_fixed` twins measured the cliff
     val allFns = family.map(n => n -> graft.SparkEntry.queries(n))
     val fns = only.fold(allFns)(o => allFns.filter(f => o(f._1)))
     for ((k, dir) <- dirs) {

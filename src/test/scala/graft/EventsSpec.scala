@@ -291,4 +291,42 @@ class EventsSpec extends AnyFunSuite {
     assert(gotLast.length == gotLast.map(_._1).distinct.length)
     assert(gotLast.toMap == expectLast)
   }
+
+  // The testdata generator has shipped `ts` as TIMESTAMP(NANOS) (→ BIGINT ns
+  // under nanosAsLong) and as TIMESTAMP(MICROS) (→ timestamp_ntz). This pins
+  // the reader's adaptivity on explicit fixtures of EVERY supported encoding,
+  // so the next encoding flip is THIS test failing with a clear name — not 24
+  // scattered DATATYPE_MISMATCH analysis errors across the suite.
+  test("events reader normalizes ns-long, µs TIMESTAMP_NTZ, and µs TIMESTAMP identically") {
+    import org.apache.spark.sql.functions._
+    val base = Seq(
+      (1L, 1700000000123456L, 10L, "click", 1.5, "{}"),
+      (2L, 1700000003999999L, 11L, "purchase", 2.5, "{}"),
+      (3L, 1700000007000001L, 10L, "view", 0.5, "{}"))
+    def fixtureDir(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_enc_$tag").toString
+    val raw = base.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // ns-as-long (what TIMESTAMP(NANOS) parquet resolves to under nanosAsLong)
+    val dNs = fixtureDir("ns")
+    raw.withColumn("ts", col("ts") * lit(1000L))
+      .write.parquet(s"$dNs/events.parquet")
+    // TIMESTAMP_NTZ(µs): wall-clock-as-UTC naive micros (pyarrow's encoding)
+    val dNtz = fixtureDir("ntz")
+    raw.withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+      .write.parquet(s"$dNtz/events.parquet")
+    // TIMESTAMP(µs), isAdjustedToUTC=true: a true instant column
+    val dTs = fixtureDir("ts")
+    raw.withColumn("ts", timestamp_micros(col("ts")))
+      .write.parquet(s"$dTs/events.parquet")
+    val outs = Seq(dNs, dNtz, dTs).map { d =>
+      Events.events(spark, d)
+        .select($"event_id", $"ts_ns", $"ts_us", unix_micros($"ts").as("ts_col_us"),
+          $"user_id", $"event_type", $"value", $"props")
+        .collect().map(_.toSeq).toSet
+    }
+    assert(outs(0) == outs(1), "ns-long vs TIMESTAMP_NTZ encodings diverge")
+    assert(outs(0) == outs(2), "ns-long vs TIMESTAMP encodings diverge")
+    val expectUs = base.map(_._2).toSet
+    assert(outs(0).map(r => r(2).asInstanceOf[Long]) == expectUs, "ts_us must be the stored epoch micros")
+  }
 }

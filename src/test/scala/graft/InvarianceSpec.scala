@@ -60,7 +60,8 @@ class InvarianceSpec extends AnyFunSuite {
       ((s, d) => EmbeddingSearch.kmeansTopK(s, d, k = 5, nQueries = 3, samplePct = 40)),
     // round-5 rank/window additions: band-join edge ranking, interval-join
     // counts, and the integer-PMI TakeOrdered must all be partition-stable
-    "embed_knn_join" -> ((s, d) => EmbeddingSearch.knnJoin(s, d)),
+    // the default-named entry is the corpus-adaptive sizing since round 7
+    "embed_knn_join" -> ((s, d) => EmbeddingSearch.knnJoinScaled(s, d)),
     "events_concurrency" -> ((s, d) => graft.operators.Events.sessionConcurrency(s, d)),
     "text_pmi_topk" -> ((s, d) => TextAnalysis.pmiTopBigrams(Tables.documents(s, d))),
     // this session's additions: the iterative integer PageRank (checkpointed

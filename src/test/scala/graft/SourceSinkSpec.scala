@@ -302,4 +302,25 @@ class SourceSinkSpec extends AnyFunSuite {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  // the defensive probe the events testdata regeneration motivated: a fixture
+  // table whose column was re-encoded to something outside the accepted set
+  // must fail with ONE targeted "testdata schema changed" message naming the
+  // column and both types — not scattered analysis errors downstream
+  test("schema probe: a re-typed fixture column fails with one targeted message") {
+    val dir = Files.createTempDirectory("graft_probe").toString
+    Seq((1L, "not-a-timestamp", 10L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] { Tables.table(spark, dir, "events") }
+    assert(e.getMessage.contains("testdata schema changed for table 'events'"))
+    assert(e.getMessage.contains("ts: string"))
+    // minimal same-named spec fixtures (absent columns) are fine
+    val dir2 = Files.createTempDirectory("graft_probe2").toString
+    Seq((1L, 2L)).toDF("event_id", "user_id").write.parquet(s"$dir2/events.parquet")
+    assert(Tables.table(spark, dir2, "events").count() == 1)
+    // unknown (user) tables are not policed
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/mytable.parquet")
+    assert(Tables.table(spark, dir, "mytable").count() == 1)
+  }
 }

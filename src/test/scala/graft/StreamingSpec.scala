@@ -68,6 +68,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attribution join accepts TIMESTAMP_NTZ micro-batches (µs testdata encoding)") {
+    // pins the events-family encoding end to end: the same stream-stream
+    // join, fed the naive-µs timestamps the regenerated testdata carries
+    // (LocalDateTime → TIMESTAMP_NTZ); under the UTC-pinned session the
+    // epoch arithmetic must agree exactly with the instant-typed run above
+    implicit val sqlCtx = spark.sqlContext
+    def ldt(s: String): java.time.LocalDateTime =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    val clicks = MemoryStream[(Long, Long, java.time.LocalDateTime)]
+    val purchases = MemoryStream[(Long, Long, java.time.LocalDateTime)]
+    clicks.addData(
+      (1L, 101L, ldt("2024-01-01 00:00:00")),
+      (1L, 102L, ldt("2024-01-01 01:00:00")),
+      (2L, 103L, ldt("2024-01-01 00:30:00")))
+    purchases.addData(
+      (1L, 201L, ldt("2024-01-01 01:30:00")),
+      (1L, 202L, ldt("2024-01-01 00:45:00")),
+      (2L, 203L, ldt("2024-01-01 02:00:00")))
+    val joined = StreamingOps.attributeClicks(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"),
+      window = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attrib_ntz")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attrib_ntz")
+        .select($"purchase_id", $"click_id", $"us_before")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((201L, 102L, 1800000000L), (202L, 101L, 2700000000L)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("left-outer attribution: unmatched purchases emit null-padded after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
@@ -797,6 +831,68 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, String)].collect().toMap
       assert(rows.keySet == Set(0L, 2L), s"got ${rows.keySet}")
       assert(rows(0L).endsWith("write <EMAIL>"), s"text not scrubbed: ${rows(0L)}")
+    } finally q.stop()
+  }
+
+  test("watermarked phash dedup: in-window dup images suppressed, late dup re-admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val A = 0x123456789ABL; val B = 0xF0F0F0F0F0F0L; val C = 0x0F0F0F0F0F0FL
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val deduped = StreamingOps.dedupPhashWithinWatermark(
+      input.toDF().toDF("doc_id", "ts", "phash"), "ts", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("sphashwm")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, ts("2024-01-01 00:00:00"), A), (1L, ts("2024-01-01 00:10:00"), B))
+      q.processAllAvailable()
+      // dup of image 0's fingerprint well inside the 1h watermark -> suppressed
+      input.addData((2L, ts("2024-01-01 00:20:00"), A))
+      q.processAllAvailable()
+      // advance the watermark far past A's state lifetime (00:00 + 1h)
+      input.addData((3L, ts("2024-01-01 04:00:00"), C))
+      q.processAllAvailable()
+      // LATE-arriving duplicate image: same fingerprint as image 0, event
+      // time after the advanced watermark, state long evicted -> re-admitted
+      // (the documented two-tier trade; the batch phash sweep catches it)
+      input.addData((4L, ts("2024-01-01 03:30:00"), A))
+      q.processAllAvailable()
+      val kept = spark.table("sphashwm").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 1L, 3L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+
+  test("image serve tier: per-batch verdicts == batch phashDedupAgainst; self-extending loop") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // X and Y share no low-Hamming relationship (24 bits apart); X2 is
+    // Hamming-2 from X (one flipped bit pair inside a single 12-bit chunk)
+    val X = 0x123456789ABL; val Y = X ^ 0xFFFFFF000000L; val X2 = X ^ 0x3L
+    val corpus = Seq(Multimodal.PHashRow(100L, X)).toDS()
+    val idx = java.nio.file.Files.createTempDirectory("graft_phserveidx").toString
+    Multimodal.buildPhashIndex(corpus, idx)
+    def verdicts(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select($"doc_id", $"status").as[(Long, String)].collect().toSet
+    val got = scala.collection.mutable.Map[Long, Set[(Long, String)]]()
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamingOps.phashDedupAgainstIndexNear(
+        input.toDF().toDF("doc_id", "phash"), idx, extendIndex = true) {
+      (annotated, batchId) => got(batchId) = verdicts(annotated)
+    }.start()
+    try {
+      // batch 1: near-dup of corpus image; a genuinely new image
+      input.addData((10L, X2), (11L, Y))
+      q.processAllAvailable()
+      assert(got.values.flatten.toSet == Set((10L, "dup"), (11L, "unique")), s"got $got")
+      // batch 1's survivor (11, Y) was appended by the loop: an exact dup of
+      // it in batch 2 must now be a dup WITHOUT any restart
+      input.addData((20L, Y))
+      q.processAllAvailable()
+      assert(got.values.flatten.toSet ==
+        Set((10L, "dup"), (11L, "unique"), (20L, "dup")), s"got $got")
+      // and the closest-match verdict agrees with the batch serve path
+      val batchView = Multimodal.phashDedupAgainst(idx,
+        Seq(Multimodal.PHashRow(30L, X2)).toDS())
+      assert(batchView.select($"dup_of").as[Long].collect().toSet == Set(100L))
     } finally q.stop()
   }
 }
