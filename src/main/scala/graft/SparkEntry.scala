@@ -349,6 +349,12 @@ object SparkEntry {
     "rel_nation_trade" -> ((s, dir) => Relational.nationTradeVolume(s, dir)),
     "rel_bracket_revenue" -> ((s, dir) => Relational.bracketRevenue(s, dir)),
     "rel_idle_customers" -> ((s, dir) => Relational.idleRichCustomers(s, dir)),
+    // TPC-H Q10/Q14/Q6 shapes: returned-item top-k with pushed date range,
+    // conditional-aggregation promo share (fixed-point ppm), and the pure
+    // scan-predicate aggregate whose cost IS the pushed filters
+    "rel_returned_customers" -> ((s, dir) => Relational.returnedItemCustomers(s, dir)),
+    "rel_promo_revenue" -> ((s, dir) => Relational.promoRevenueShare(s, dir)),
+    "rel_filtered_revenue" -> ((s, dir) => Relational.filteredRevenue(s, dir)),
     // correlated-subquery SQL front door (same ANSI text as the oracle) —
     // proves Catalyst decorrelation: scalar-agg, EXISTS, NOT EXISTS, and
     // the SELECT-list COUNT ("count bug") forms
@@ -1332,6 +1338,41 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1""".stripMargin,
+    "rel_returned_customers" ->
+      """WITH r AS (SELECT o_custkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1.00 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, c_acctbal, n_name AS nation, revenue
+        |FROM r JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    // fixed-point share: scale-4 decimal revenue ×10⁴ is an exact integer;
+    // the ppm division widens to avoid BIGINT overflow on big years
+    "rel_promo_revenue" ->
+      """WITH j AS (SELECT year(l_shipdate) AS ship_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1.00 - CAST(l_discount AS DECIMAL(5,2))) AS rev,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (SELECT CAST(ship_year AS BIGINT) AS ship_year,
+        |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |                  ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS promo_e4,
+        |    CAST(sum(rev) * 10000 AS BIGINT) AS total_e4
+        |  FROM j GROUP BY 1)
+        |SELECT ship_year, promo_e4, total_e4,
+        |  CAST(promo_e4::HUGEINT * 1000000 // total_e4 AS BIGINT) AS promo_ppm
+        |FROM a""".stripMargin,
+    "rel_filtered_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(5,2))) * 10000 AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     // the avg is the exact decimal-sum/count double division on both
     // engines, so the > comparison is bit-portable
     "rel_idle_customers" ->

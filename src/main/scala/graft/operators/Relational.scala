@@ -584,6 +584,79 @@ object Relational {
         expr("revenue_e4 * 1000000 div region_e4").as("share_ppm"))
   }
 
+  /** TPC-H Q10-shaped returned-item reporting: revenue lost to returns per
+    * customer over one quarter, top 20. The plan a 100 TB star query wants:
+    * the o_orderdate range filter pushes to the orders SCAN (partition/
+    * row-group pruning at scale) and the returnflag filter to the lineitem
+    * scan BEFORE the fact-fact join on orderkey; customer and nation are
+    * dim sides → broadcast. Revenue is the exact decimal sum cast to
+    * double; top-20 via TakeOrdered (never a global sort), revenue desc
+    * with c_custkey tiebreak so the cut is deterministic in both engines.
+    * Output: (c_custkey, c_name, c_acctbal, nation, revenue).
+    */
+  def returnedItemCustomers(spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val li = Tables.lineitem(spark, dir).where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        discPrice(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name").as("nation"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q14-shaped promo revenue share per ship year: what fraction of
+    * revenue came from promo-type parts. One fact scan, part broadcast,
+    * and the share is conditional aggregation INSIDE one groupBy — never
+    * two passes or a self-join. Fixed-point discipline (revenueShare's):
+    * discounted price carries scale 4, so ×10⁴ totals are exact longs and
+    * the ppm ratio is integer division — bit-identical in any engine.
+    * Output: (ship_year, promo_e4, total_e4, promo_ppm).
+    */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pt = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO",
+          discPrice(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0)))
+          * 10000).cast("long").as("promo_e4"),
+        (sum(discPrice(col("l_extendedprice"), col("l_discount"))) * 10000)
+          .cast("long").as("total_e4"))
+      .select(col("ship_year"), col("promo_e4"), col("total_e4"),
+        // ×10⁶ can overflow BIGINT on a big year — widen through
+        // DECIMAL(38,0) for the integral division (exact, both engines)
+        expr("CAST(CAST(promo_e4 AS DECIMAL(38,0)) * 1000000 DIV total_e4 AS LONG)")
+          .as("promo_ppm"))
+  }
+
+  /** TPC-H Q6-shaped forecast revenue: the pure SCAN-PREDICATE aggregate —
+    * a year of shipments in a discount band under a quantity cap, one row
+    * out. The entire query is the scan: all three predicates reach the
+    * parquet reader as pushed filters (PlanSpec asserts PushedFilters and
+    * a 4-column ReadSchema), so at 100 TB the cost is row-groups whose
+    * stats overlap the range — not the table. Revenue = Σ extprice·disc
+    * as exact ×10⁴ cents-scale longs. Output: (n_items, revenue_e4).
+    */
+  def filteredRevenue(spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(5,2)")) * 10000)
+          .cast("long").as("revenue_e4"))
+
   /** Data-quality constraint report — the dbt-test/Deequ-style validation
     * pass a pipeline runs before publishing a table: one row per declared
     * constraint with (n_checked, n_violations, passed). Each check is a

@@ -74,6 +74,22 @@ class PlanSpec extends AnyFunSuite {
       s"no pushed shipdate filter:\n$plan")
   }
 
+  test("Q6 shape: all three scan predicates push to parquet; 4-column ReadSchema") {
+    // the query's entire cost model is the scan — if the predicates don't
+    // reach the reader (row-group stats pruning at scale) or the scan reads
+    // more than the 4 referenced columns, the 100 TB argument is void
+    val plan = graft.operators.Relational.filteredRevenue(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), s"no pushed filters:\n$plan")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(plan.contains(c), s"predicate column $c missing from scan:\n$plan") }
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+        .forall(readSchema.contains) &&
+      !Seq("l_orderkey", "l_partkey", "l_returnflag").exists(readSchema.contains),
+      s"scan does not prune to the 4 referenced columns: $readSchema")
+  }
+
   test("jaccard scores are a zero-shuffle map-side plan") {
     withStaticPlans {
       val plan = BookQuery.jaccardScores(Tables.documents(spark, dir))

@@ -294,4 +294,56 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => r._1 -> r._2.toInt).toMap
     assert(got == expected, s"got $got expected $expected")
   }
+
+  test("Q6 shape: filtered revenue equals an exact driver-side recompute") {
+    val rows = Tables.lineitem(spark, dir)
+      .select($"l_shipdate".cast("string").as[String], $"l_discount".as[Double],
+        $"l_quantity".as[Double], $"l_extendedprice".as[Double]).collect()
+    val in = rows.filter { case (d, disc, qty, _) =>
+      d >= "1996-01-01" && d < "1997-01-01" && disc >= 0.05 && disc <= 0.07 && qty < 24 }
+    val expectE4 = in.map { case (_, disc, _, ext) =>
+      (BigDecimal(ext).setScale(2) * BigDecimal(disc).setScale(2) * 10000).toLongExact
+    }.sum
+    val got = Relational.filteredRevenue(spark, dir)
+      .select($"n_items".as[Long], $"revenue_e4".as[Long]).head()
+    assert(got == ((in.length.toLong, expectE4)), s"got $got expected (${in.length}, $expectE4)")
+  }
+
+  test("Q14 shape: promo share is bounded, consistent, and covers all ship years") {
+    val out = Relational.promoRevenueShare(spark, dir)
+      .select($"ship_year".as[Long], $"promo_e4".as[Long], $"total_e4".as[Long],
+        $"promo_ppm".as[Long]).collect()
+    val years = Tables.lineitem(spark, dir)
+      .select(year($"l_shipdate").cast("long").as[Long]).distinct().collect().toSet
+    assert(out.map(_._1).toSet == years)
+    out.foreach { case (y, promo, total, ppm) =>
+      assert(promo >= 0 && promo <= total, s"year $y: promo_e4 outside [0, total]")
+      assert(ppm == (BigInt(promo) * 1000000 / BigInt(total)).toLong,
+        s"year $y: ppm inconsistent with the e4 totals")
+    }
+    assert(out.exists(_._2 > 0), "no promo revenue found at all — fixture assumption broken")
+  }
+
+  test("Q10 shape: top-20 returned-item customers ordered, tie-broken, recomputable") {
+    val got = Relational.returnedItemCustomers(spark, dir)
+      .select($"c_custkey".as[Long], $"revenue".as[Double]).collect()
+    assert(got.length <= 20)
+    // deterministic order: revenue desc, custkey asc on ties
+    got.sliding(2).foreach {
+      case Array((k1, r1), (k2, r2)) =>
+        assert(r1 > r2 || (r1 == r2 && k1 < k2), s"order violated at $k1/$k2")
+      case _ =>
+    }
+    // the top row's revenue equals an independent per-customer recompute
+    val byCust = Tables.lineitem(spark, dir).where($"l_returnflag" === "R")
+      .join(Tables.orders(spark, dir).where(
+        $"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-04-01"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1).cast("decimal(5,2)") - $"l_discount".cast("decimal(5,2)"))))
+        .cast("double").as("rev"))
+      .select($"o_custkey".as[Long], $"rev".as[Double]).collect().toMap
+    got.foreach { case (k, r) => assert(byCust(k) == r, s"customer $k revenue drifts") }
+  }
 }
