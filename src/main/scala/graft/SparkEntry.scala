@@ -355,6 +355,9 @@ object SparkEntry {
     "rel_returned_customers" -> ((s, dir) => Relational.returnedItemCustomers(s, dir)),
     "rel_promo_revenue" -> ((s, dir) => Relational.promoRevenueShare(s, dir)),
     "rel_filtered_revenue" -> ((s, dir) => Relational.filteredRevenue(s, dir)),
+    // Q15 shape: aggregate → 1-row max → broadcast join-back; fixed-point
+    // revenue so the equality against the scalar is bit-portable
+    "rel_top_supplier" -> ((s, dir) => Relational.topSupplier(s, dir)),
     // correlated-subquery SQL front door (same ANSI text as the oracle) —
     // proves Catalyst decorrelation: scalar-agg, EXISTS, NOT EXISTS, and
     // the SELECT-list COUNT ("count bug") forms
@@ -585,6 +588,12 @@ object SparkEntry {
         nClusters = nClusters, iters = iters, samplePct = samplePct)
     }),
     "embed_label_stats" -> ((s, dir) => EmbeddingSearch.labelStats(s, dir)),
+    // SemDeDup-style semantic prune: cell-bounded (label) + band-bounded
+    // candidates, exact-cosine verify, deterministic non-transitive keeper
+    // (dup_of = smallest qualifying lower id); one verdict row per vector.
+    // tau is data-dependent like dedup_embedding's: within-label cosines on
+    // the synthetic corpus top out ≈ 0.47, so 0.35 exercises the drop path
+    "embed_semantic_prune" -> ((s, dir) => EmbeddingSearch.semanticPrune(s, dir, tau = 0.35)),
     // vector hygiene: zero/near-zero detection + exact norm² moments
     "embed_norm_stats" -> ((s, dir) => EmbeddingSearch.normStats(s, dir)),
     // ANN index-quality report: per-cell size + mean/worst cosine-to-centroid
@@ -1373,6 +1382,18 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // Q15: the max is equality-joined against fixed-point longs, so the
+    // winning-row selection cannot drift between engines
+    "rel_top_supplier" ->
+      """WITH ps AS (SELECT l_suppkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1.00 - CAST(l_discount AS DECIMAL(5,2)))) * 10000 AS BIGINT) AS revenue_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, revenue_e4
+        |FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue_e4 = (SELECT max(revenue_e4) FROM ps)""".stripMargin,
     // the avg is the exact decimal-sum/count double division on both
     // engines, so the > comparison is bit-portable
     "rel_idle_customers" ->
@@ -2166,6 +2187,26 @@ object SparkEntry {
          |  FROM cand JOIN e ea ON cand.vec_a = ea.vec_id
          |            JOIN e eb ON cand.vec_b = eb.vec_id)
          |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
+    // SemDeDup: same adaptive banding CTEs; the keeper rule is a plain
+    // min over qualifying lower-id same-label band-mates — no recursion
+    "embed_semantic_prune" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |$vecBandCtesScaled,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr
+         |         FROM vbands a JOIN vbands b ON a.band = b.band
+         |         JOIN lab la ON la.vec_id = a.vec_id
+         |         JOIN lab lb ON lb.vec_id = b.vec_id
+         |         WHERE la.label = lb.label AND b.vec_id < a.vec_id),
+         |d AS (SELECT cand.vec_id, min(cand.nbr) AS dup_of
+         |      FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+         |                JOIN e eb ON cand.nbr = eb.vec_id
+         |      WHERE round(${cosineSql("ea.v", "eb.v")}, 6) >= 0.35
+         |      GROUP BY 1)
+         |SELECT l.vec_id, CAST(l.label AS BIGINT) AS label,
+         |  coalesce(d.dup_of, -1) AS dup_of,
+         |  CASE WHEN d.dup_of IS NULL THEN 'kept' ELSE 'dropped' END AS status
+         |FROM lab l LEFT JOIN d ON l.vec_id = d.vec_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |$vecBandCtesScaled,

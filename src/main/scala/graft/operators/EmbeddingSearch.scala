@@ -300,6 +300,49 @@ object EmbeddingSearch {
     cosineNearDupPairsFor(emb, tau, nPlanes = bands * rpb, bands = bands)
   }
 
+  /** SemDeDup-style SEMANTIC PRUNE (Abbas et al. '23): drop every vector
+    * that has a semantically-near predecessor WITHIN ITS CELL, keep one
+    * representative per near-dup group. Cells here are the corpus's label
+    * partition (the IVF coarse-quantizer discipline — production SemDeDup
+    * uses k-means cells the same way); candidates inside a cell come from
+    * the engine's corpus-adaptively-sized hyperplane-LSH bands (the same
+    * sub-quadratic machinery as [[cosineNearDupPairsScaled]] — production
+    * SemDeDup's FAISS-within-cluster, re-expressed), then the exact cosine
+    * verifies. The keeper rule is deterministic and non-transitive: a
+    * vector is DROPPED iff some lower-id same-cell band-mate clears tau;
+    * `dup_of` is the smallest such id — so the verdict is replayable row
+    * by row with no iterative closure (contrast [[graft.operators.Dedup
+    * .dedupClusters]], which IS the transitive variant on text). One
+    * verdict row per corpus vector. At 100 TB: cells bound the candidate
+    * space, bands bound it again within the cell, fingerprint-width rows
+    * shuffle, vectors join in only for surviving candidates. Output:
+    * (vec_id, label, dup_of, status).
+    */
+  def semanticPrune(spark: SparkSession, dir: String, tau: Double = 0.4,
+      targetBucket: Int = 32, bands: Int = 8): DataFrame = {
+    val embRaw = Tables.embeddings(spark, dir)
+    val rpb = lshRowsPerBand(embRaw.count(), targetBucket)
+    val nPlanes = bands * rpb
+    val emb = embRaw.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val banded = emb.select(col("vec_id"), col("label"),
+      explode(lshBandKeys(lshSignature(col("v"), nPlanes), bands, rpb)).as("band"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.label") === col("b.label") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"))
+      .distinct()
+    val dupOf = cand
+      .join(emb.select(col("vec_id"), col("v").as("va")), "vec_id")
+      .join(emb.select(col("vec_id").as("nbr"), col("v").as("vb")), "nbr")
+      .where(round(cosine(col("va"), col("vb")), 6) >= tau)
+      .groupBy(col("vec_id")).agg(min(col("nbr")).as("dup_of_found"))
+    emb.select(col("vec_id"), col("label").cast("long").as("label"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("dup_of_found"), lit(-1L)).as("dup_of"),
+        when(col("dup_of_found").isNotNull, lit("dropped")).otherwise(lit("kept")).as("status"))
+  }
+
   /** [[knnJoin]] under the same corpus-adaptive sizing (see
     * [[cosineNearDupPairsScaled]] for the count() argument). */
   def knnJoinScaled(spark: SparkSession, dir: String, k: Int = 3,

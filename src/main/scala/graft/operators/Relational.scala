@@ -657,6 +657,34 @@ object Relational {
           col("l_discount").cast("decimal(5,2)")) * 10000)
           .cast("long").as("revenue_e4"))
 
+  /** TPC-H Q15-shaped top supplier: revenue per supplier over one quarter,
+    * then the supplier(s) achieving the MAX — the aggregate-then-max-
+    * join-back shape (SQL's scalar subquery over a derived view). The max
+    * is a 1-row aggregate of the per-supplier aggregate, cross-joined back
+    * (broadcast by construction) — never a global-order window over the
+    * aggregate (total order on |suppliers| rows doesn't scale). The lazy
+    * form references the per-supplier aggregate twice, so the static plan
+    * carries two (pushdown-pruned) fact scans; the deployment form at
+    * 100 TB persists the |suppliers|-row aggregate once and reads the fact
+    * table once — same rule as the trained-quantizer entries (the
+    * train-once/serve-many discipline). Revenue stays scale-4 fixed-point
+    * (×10⁴ exact long) so the MAX comparison — equality against the
+    * scalar! — is bit-portable; a double here could select different rows
+    * per engine. Output: (s_suppkey, s_name, revenue_e4).
+    */
+  def topSupplier(spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .groupBy(col("l_suppkey"))
+      .agg((sum(discPrice(col("l_extendedprice"), col("l_discount"))) * 10000)
+        .cast("long").as("revenue_e4"))
+    val top = perSupp.agg(max(col("revenue_e4")).as("max_e4"))
+    perSupp.join(broadcast(top), col("revenue_e4") === col("max_e4"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_e4"))
+  }
+
   /** Data-quality constraint report — the dbt-test/Deequ-style validation
     * pass a pipeline runs before publishing a table: one row per declared
     * constraint with (n_checked, n_violations, passed). Each check is a

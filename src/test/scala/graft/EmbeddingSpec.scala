@@ -482,4 +482,48 @@ class EmbeddingSpec extends AnyFunSuite {
     }
     assert(checked > 0, "no overlap with brute-force top-k to cross-check")
   }
+
+  test("semantic prune: drops are sound vs an exact quadratic recompute; rule fires") {
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val tau = 0.35
+    val out = EmbeddingSearch.semanticPrune(spark, dir, tau = tau)
+      .select($"vec_id".as[Long], $"label".as[Long], $"dup_of".as[Long],
+        $"status".as[String]).collect()
+    assert(out.length == Tables.embeddings(spark, dir).count())
+    val dropped = out.filter(_._4 == "dropped")
+    assert(dropped.nonEmpty, "fixture must exercise the drop path (see entry tau)")
+    assert(out.filter(_._4 == "kept").forall(_._3 == -1L))
+    // exact ground truth, quadratic within-label — fine at sf0.001, exactly
+    // what the banded candidates exist to avoid at scale
+    val corpus = Tables.embeddings(spark, dir)
+      .select($"vec_id".as[Long], $"label".cast("long").as[Long],
+        $"embedding".as[Seq[Float]]).collect()
+      .map { case (id, l, v) => (id, (l, v.map(_.toDouble).toArray)) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    dropped.foreach { case (id, label, keeper, _) =>
+      assert(keeper >= 0 && keeper < id, s"$id: keeper $keeper not a predecessor")
+      assert(corpus(keeper)._1 == label, s"$id: keeper $keeper crosses cells")
+      assert(cos(corpus(id)._2, corpus(keeper)._2) >= tau, s"$id: keeper $keeper below tau")
+    }
+    // completeness on the guaranteed subset: an exact-duplicate vector
+    // agrees on EVERY hyperplane, so all bands collide and the prune MUST
+    // catch it — pinned via the op run on a corpus with a planted clone
+    val emb = Tables.embeddings(spark, dir)
+    val clone = emb.where($"vec_id" === 3L)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semprune").toString
+    emb.select($"vec_id", $"embedding", $"label").union(clone)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val withClone = EmbeddingSearch.semanticPrune(spark, tmp, tau = tau)
+      .where($"vec_id" === 1000003L)
+      .select($"dup_of".as[Long], $"status".as[String]).head()
+    assert(withClone._2 == "dropped" && withClone._1 >= 0,
+      s"planted exact duplicate not pruned: $withClone")
+  }
 }

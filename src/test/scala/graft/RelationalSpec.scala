@@ -295,6 +295,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("Q15 shape: winners carry exactly the max per-supplier revenue") {
+    val perSupp = Tables.lineitem(spark, dir)
+      .where($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+      .groupBy($"l_suppkey")
+      .agg((sum($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1).cast("decimal(5,2)") - $"l_discount".cast("decimal(5,2)"))) * 10000)
+        .cast("long").as("rev"))
+      .select($"l_suppkey".as[Long], $"rev".as[Long]).collect().toMap
+    val expectMax = perSupp.values.max
+    val winners = perSupp.filter(_._2 == expectMax).keySet
+    val got = Relational.topSupplier(spark, dir)
+      .select($"s_suppkey".as[Long], $"revenue_e4".as[Long]).collect()
+    assert(got.map(_._1).toSet == winners, s"winner set drifts: got ${got.toSeq}")
+    assert(got.forall(_._2 == expectMax))
+  }
+
   test("Q6 shape: filtered revenue equals an exact driver-side recompute") {
     val rows = Tables.lineitem(spark, dir)
       .select($"l_shipdate".cast("string").as[String], $"l_discount".as[Double],
