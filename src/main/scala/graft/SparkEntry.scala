@@ -276,6 +276,19 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars"),
           md5(col("text")).as("text_hash"))
     }),
+    // the DSv2 WRITE path: publish the documents table as a doc-per-file
+    // corpus through the graft-text sink (two-phase staged commit), then
+    // read it back through the graft-text source — write+read both
+    // optimizer-visible; export-once keyed on the source fingerprint
+    "source_v2_write_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = Tables.exportOnce(s"$dir/documents.parquet", "graft_v2write_", p =>
+        Tables.documents(s, dir)
+          .selectExpr("CAST(doc_id AS STRING) AS doc_id", "text")
+          .write.format("graft-text").mode("overwrite").save(p))
+      s.read.format("graft-text").load(out)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    }),
     // — corpus assembly: source mixing + token budgeting —
     "corpus_mix" -> ((s, dir) =>
       TextAnalysis.sourceMix(Tables.documents(s, dir),
@@ -1972,6 +1985,10 @@ object SparkEntry {
     "source_v2_point_lookup" ->
       """SELECT doc_id, len(text)::BIGINT AS n_chars, md5(text) AS text_hash
         |FROM documents WHERE doc_id IN (7, 11, 42)""".stripMargin,
+    // the sink publishes text verbatim (corpus is newline-free), so the
+    // write→read roundtrip is the identity on the source table
+    "source_v2_write_roundtrip" ->
+      """SELECT doc_id, text FROM documents""".stripMargin,
     // integer-exact burst rule: n·cnt > 2·sum avoids any float mean
     "events_bursts" ->
       """WITH h AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,

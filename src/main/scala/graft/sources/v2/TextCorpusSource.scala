@@ -62,13 +62,19 @@ object TextCorpusSource {
   }
 }
 
-private[v2] class TextCorpusTable(path: String) extends Table with SupportsRead {
+private[v2] class TextCorpusTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-text `$path`"
   override def schema(): StructType = TextCorpusSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TextCorpusScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TextCorpusWriteBuilder(path, info.schema())
 }
 
 private[v2] class TextCorpusScanBuilder(path: String)
@@ -210,5 +216,137 @@ private[v2] class TextCorpusReader(partition: TextFilesPartition, required: Stru
   }
 
   override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+// ----------------------------------------------------------------- write path
+
+/** The WRITE half of the doc-per-file corpus table — the reference's output
+  * model (files on a shared FS) as a real DSv2 sink with the standard
+  * two-phase commit the `foreachPartition` export util
+  * ([[graft.sources.Tables.exportTextCorpus]]) could never give:
+  *
+  * {{{ df.write.format("graft-text").mode("append"|"overwrite").save(dir) }}}
+  *
+  * Each task writes its rows as `<doc_id>.txt` under a hidden per-query
+  * staging dir (underscore/dot-prefixed names are invisible to the read
+  * side, so a running ingest never sees half-written corpora); the DRIVER
+  * commit moves staged files into place and drops the staging dir, and an
+  * abort (job failure, speculation losers) just deletes staging — rename-
+  * based publish, the same discipline as Hadoop committers. `overwrite`
+  * (TRUNCATE capability) clears the visible corpus files inside the commit,
+  * so readers observe old-corpus-or-new, never a mix. doc_id is the FILE
+  * NAME: it must be unique per corpus (last rename wins otherwise — the
+  * primary-key contract every doc table in the engine already carries) and
+  * path-safe (validated loudly per row).
+  */
+private[v2] class TextCorpusWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateFirst = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    Seq("doc_id", "text").foreach { c =>
+      require(schema.fieldNames.contains(c) &&
+          schema(c).dataType == StringType,
+        s"graft-text write requires (doc_id string, text string); got ${schema.simpleString}")
+    }
+    new TextCorpusWrite(path, schema, truncateFirst)
+  }
+}
+
+private[v2] class TextCorpusWrite(path: String, schema: StructType, truncateFirst: Boolean)
+    extends org.apache.spark.sql.connector.write.Write {
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new TextCorpusBatchWrite(path, schema, truncateFirst)
+}
+
+private[v2] class TextCorpusBatchWrite(path: String, schema: StructType,
+    truncateFirst: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  // driver-side conf, shipped to executors (same rule as the scan)
+  private val confSer: java.io.Serializable =
+    org.apache.spark.sql.GraftShim.serializableHadoopConf(
+      org.apache.spark.sql.GraftShim.sessionHadoopConf())
+  private val stagingName = s".staging-${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new TextCorpusWriterFactory(s"$path/$stagingName", schema, confSer)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(org.apache.spark.sql.GraftShim.hadoopConfOf(confSer))
+    val staging = new Path(root, stagingName)
+    if (truncateFirst) {
+      val existing = if (fs.exists(root)) fs.listStatus(root) else Array.empty[FileStatus]
+      existing.foreach { s =>
+        val n = s.getPath.getName
+        if (s.isFile && !n.startsWith("_") && !n.startsWith(".")) fs.delete(s.getPath, false)
+      }
+    }
+    // staged layout: staging/<taskId>/<doc_id>.txt — move every leaf up
+    if (fs.exists(staging)) {
+      fs.listStatus(staging).foreach { taskDir =>
+        if (taskDir.isDirectory) fs.listStatus(taskDir.getPath).foreach { f =>
+          val dest = new Path(root, f.getPath.getName)
+          if (fs.exists(dest)) fs.delete(dest, false) // append-mode upsert / dup doc_id: last wins
+          require(fs.rename(f.getPath, dest), s"commit rename failed: ${f.getPath} -> $dest")
+        }
+      }
+      fs.delete(staging, true)
+    }
+    val ok = fs.create(new Path(root, "_SUCCESS"), true); ok.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(org.apache.spark.sql.GraftShim.hadoopConfOf(confSer))
+    fs.delete(new Path(root, stagingName), true)
+  }
+}
+
+private[v2] case class TextWriteDone(nDocs: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[v2] class TextCorpusWriterFactory(stagingPath: String, schema: StructType,
+    confSer: java.io.Serializable)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TextCorpusDataWriter(s"$stagingPath/$partitionId-$taskId", schema, confSer)
+}
+
+/** Executor-side writer: one UTF-8 file per row under this task's private
+  * staging subdir (task attempts never collide; a failed/speculated attempt
+  * leaves only garbage in staging that abort or the commit's dir-drop
+  * reclaims). doc_id is validated path-safe loudly — a '/' or a leading
+  * '_'/'.' would silently vanish from the read side's listing.
+  */
+private[v2] class TextCorpusDataWriter(taskDir: String, schema: StructType,
+    confSer: java.io.Serializable)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val docIdx = schema.fieldIndex("doc_id")
+  private val textIdx = schema.fieldIndex("text")
+  private var n = 0L
+  private lazy val fs = new Path(taskDir)
+    .getFileSystem(org.apache.spark.sql.GraftShim.hadoopConfOf(confSer))
+
+  override def write(row: InternalRow): Unit = {
+    val docId = row.getUTF8String(docIdx).toString
+    require(docId.nonEmpty && !docId.contains('/') && !docId.contains('\\') &&
+        !docId.startsWith("_") && !docId.startsWith("."),
+      s"doc_id '$docId' is not a publishable file name (path separators and " +
+        "underscore/dot prefixes collide with the corpus listing rules)")
+    val out = fs.create(new Path(taskDir, s"$docId.txt"), true)
+    try out.write(row.getUTF8String(textIdx).getBytes)
+    finally out.close()
+    n += 1
+  }
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+    TextWriteDone(n)
+  override def abort(): Unit = fs.delete(new Path(taskDir), true)
   override def close(): Unit = ()
 }

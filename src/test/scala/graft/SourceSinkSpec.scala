@@ -303,6 +303,49 @@ class SourceSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("graft-text sink: staged commit, overwrite truncates, append upserts, bad ids loud") {
+    val dir = Files.createTempDirectory("graft_v2sink").toString
+    Seq(("a", "alpha body"), ("b", "beta body"))
+      .toDF("doc_id", "text")
+      .write.format("graft-text").mode("overwrite").save(dir)
+    // published atomically: docs visible, _SUCCESS marker, staging gone
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files.contains("a.txt") && files.contains("b.txt") && files.contains("_SUCCESS"))
+    assert(!files.exists(_.startsWith(".staging")), s"staging leaked: $files")
+    val back = Tables.wholeTextDocumentsV2(spark, dir)
+      .select($"doc_id".as[String], $"text".as[String]).collect().toMap
+    assert(back == Map("a" -> "alpha body", "b" -> "beta body"))
+    // append upserts by doc_id (the file IS the key) and keeps the rest
+    Seq(("b", "beta v2"), ("c", "gamma body"))
+      .toDF("doc_id", "text")
+      .write.format("graft-text").mode("append").save(dir)
+    val afterAppend = Tables.wholeTextDocumentsV2(spark, dir)
+      .select($"doc_id".as[String], $"text".as[String]).collect().toMap
+    assert(afterAppend == Map("a" -> "alpha body", "b" -> "beta v2", "c" -> "gamma body"))
+    // overwrite truncates the visible corpus — readers see old or new, no mix
+    Seq(("z", "zeta body")).toDF("doc_id", "text")
+      .write.format("graft-text").mode("overwrite").save(dir)
+    val afterOver = Tables.wholeTextDocumentsV2(spark, dir)
+      .select($"doc_id".as[String]).collect().toSet
+    assert(afterOver == Set("z"))
+    // a doc_id that can't be a publishable file name fails the WRITE, and
+    // the failed job publishes nothing
+    val e = intercept[Exception] {
+      Seq(("bad/slash", "x")).toDF("doc_id", "text")
+        .write.format("graft-text").mode("append").save(dir)
+    }
+    assert(e.getMessage != null)
+    val afterFail = Tables.wholeTextDocumentsV2(spark, dir)
+      .select($"doc_id".as[String]).collect().toSet
+    assert(afterFail == Set("z"), "failed write must publish nothing")
+    // schema contract is validated up front
+    val e2 = intercept[Exception] {
+      Seq(("a", 1)).toDF("doc_id", "n")
+        .write.format("graft-text").mode("append").save(dir)
+    }
+    assert(e2.getMessage != null)
+  }
+
   // the defensive probe the events testdata regeneration motivated: a fixture
   // table whose column was re-encoded to something outside the accepted set
   // must fail with ONE targeted "testdata schema changed" message naming the
