@@ -490,6 +490,9 @@ object SparkEntry {
     // the same sessions through Spark's NATIVE session_window aggregation
     "events_sessions_native" -> ((s, dir) => Events.sessionizeNative(s, dir)),
     "events_json" -> ((s, dir) => Events.jsonStats(s, dir)),
+    // per-user activity heavy hitters: count-min (portable affine hashes,
+    // structure under the hash gate) audited against exact top-k counts
+    "events_heavy_hitters" -> ((s, dir) => Events.userHeavyHitters(s, dir)),
     "events_retention" -> ((s, dir) => Events.weeklyRetention(s, dir)),
     // sliding distinct counts via bounded fan-out equi-join
     "events_dau_mau" -> ((s, dir) => Events.dauMau(s, dir)),
@@ -1938,6 +1941,23 @@ object SparkEntry {
         |  min(k) AS min_k, max(k) AS max_k,
         |  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
         |FROM e GROUP BY 1""".stripMargin,
+    // count-min replayed structurally: same affine hash family, same cells
+    "events_heavy_hitters" ->
+      """WITH ex AS (SELECT user_id, count(*)::BIGINT AS exact_count FROM events GROUP BY 1),
+        |exh AS (SELECT user_id, exact_count,
+        |        (user_id * 2654435761) % 2147483647 AS h FROM ex),
+        |wj AS (SELECT user_id, exact_count, j.j,
+        |    (h * (2*j.j + 1) + (12345 + 67891*j.j)) % 2147483647 % 256 AS cell
+        |  FROM exh, (SELECT unnest(generate_series(0, 3)) AS j) j),
+        |cells AS (SELECT j, cell, CAST(sum(exact_count) AS BIGINT) AS c
+        |  FROM wj GROUP BY 1, 2),
+        |top AS (SELECT user_id FROM ex ORDER BY exact_count DESC, user_id ASC LIMIT 20)
+        |SELECT wj.user_id, wj.exact_count,
+        |  CAST(min(cells.c) AS BIGINT) AS cm_estimate,
+        |  CAST(min(cells.c) - wj.exact_count AS BIGINT) AS overestimate
+        |FROM wj JOIN top ON wj.user_id = top.user_id
+        |JOIN cells ON wj.j = cells.j AND wj.cell = cells.cell
+        |GROUP BY 1, 2""".stripMargin,
     // sliding DISTINCT via the bounded fan-out: a user-day pair keeps the
     // user monthly-active for the 30 days it fans out to
     "events_dau_mau" ->

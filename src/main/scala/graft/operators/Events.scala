@@ -660,4 +660,38 @@ object Events {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"),
         round(sum(col("k")).cast("double") / count(col("k")).cast("double"), 6).as("avg_k"))
+
+  /** Approximate HEAVY HITTERS over per-user activity — the events twin of
+    * [[graft.operators.TextAnalysis.countMinAccuracy]]: a count-min sketch
+    * (depth affine rows over a portable integer hash of user_id, fixed
+    * `depth × width` cells) audited against the exact top-`kTop` counts.
+    * The fixed-size summary an ops pipeline keeps when the per-user count
+    * table outgrows serving (estimate ≥ exact always — never under); the
+    * audit quantifies the collision overestimate on precisely the users
+    * that matter. Hashes are affine integer arithmetic both engines replay
+    * bit-for-bit, so the SKETCH STRUCTURE is under the hash gate, not just
+    * the exact counts. Build cost: the exact per-user aggregation (key-
+    * bounded) + a depth-way explode of the USER SET (never the event
+    * stream). Output: (user_id, exact_count, cm_estimate, overestimate).
+    */
+  def userHeavyHitters(spark: SparkSession, dir: String, width: Int = 256,
+      depth: Int = 4, kTop: Int = 20): DataFrame = {
+    val exact = events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_count"))
+    val withJ = exact
+      .withColumn("h", expr("(user_id * 2654435761) % 2147483647"))
+      .select(col("user_id"), col("exact_count"), col("h"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("cell", expr(s"(h * (2*j + 1) + (12345 + 67891*j)) % 2147483647 % $width"))
+    val cells = withJ.groupBy(col("j"), col("cell"))
+      .agg(sum(col("exact_count")).as("c"))
+    val probes = withJ.join(
+      exact.orderBy(col("exact_count").desc, col("user_id").asc).limit(kTop)
+        .select(col("user_id")), "user_id")
+    probes.join(Scale.maybeBroadcast(cells), Seq("j", "cell"))
+      .groupBy(col("user_id"))
+      .agg(first(col("exact_count")).as("exact_count"), min(col("c")).as("cm_estimate"))
+      .select(col("user_id"), col("exact_count"), col("cm_estimate"),
+        (col("cm_estimate") - col("exact_count")).as("overestimate"))
+  }
 }

@@ -588,6 +588,25 @@ object StreamingOps {
       docs.where(graft.operators.TextAnalysis.qualityPredicate(col("text"))),
       evalGramHashes), indexPath)))
 
+  /** Terminate an ingest chain by PUBLISHING each micro-batch's survivors
+    * as doc-per-file corpus files through the `graft-text` DSv2 sink
+    * (append mode = upsert by doc_id) — the last mile of the streaming
+    * curation story: stream → hygiene/dedup stages → published corpus a
+    * batch trainer reads. Exactly-once corpus state WITHOUT checkpoint
+    * bookkeeping in the sink: a replayed batch re-publishes the same
+    * doc_ids with the same bytes (file content is a pure function of the
+    * row, and the sink's staged commit publishes atomically), so
+    * at-least-once batch delivery converges to the same files. Each batch
+    * is one staged-commit write job; readers of the corpus dir never see
+    * a half-published batch (staging is hidden from the listing rules).
+    */
+  def publishCorpus(docs: DataFrame, corpusDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      batch.select(col("doc_id").cast("string").as("doc_id"), col("text"))
+        .write.format("graft-text").mode("append").save(corpusDir)
+    }
+
   /** Stream-STREAM interval join — the streaming twin of the batch as-of /
     * attribution shape ([[graft.operators.Events.asofLastClick]]): every
     * purchase joins the same user's clicks in the `lookbackHours` window

@@ -292,6 +292,24 @@ class EventsSpec extends AnyFunSuite {
     assert(gotLast.toMap == expectLast)
   }
 
+  test("heavy hitters: estimates never under-count and probe the exact top-k users") {
+    import org.apache.spark.sql.functions._
+    val nUsers = Events.events(spark, dir)
+      .select($"user_id").distinct().count()
+    val out = Events.userHeavyHitters(spark, dir)
+      .select($"user_id".as[Long], $"exact_count".as[Long],
+        $"cm_estimate".as[Long], $"overestimate".as[Long]).collect()
+    assert(out.length == math.min(20L, nUsers))
+    out.foreach { case (u, exact, est, over) =>
+      assert(est >= exact, s"user $u: count-min under-counted ($est < $exact)")
+      assert(over == est - exact)
+    }
+    val expectTop = Events.events(spark, dir).groupBy($"user_id").count()
+      .orderBy(col("count").desc, col("user_id").asc).limit(20)
+      .select($"user_id".as[Long]).collect().toSet
+    assert(out.map(_._1).toSet == expectTop)
+  }
+
   // The testdata generator has shipped `ts` as TIMESTAMP(NANOS) (→ BIGINT ns
   // under nanosAsLong) and as TIMESTAMP(MICROS) (→ timestamp_ntz). This pins
   // the reader's adaptivity on explicit fixtures of EVERY supported encoding,

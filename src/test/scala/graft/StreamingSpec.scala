@@ -834,6 +834,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest chain publishes survivors through the graft-text sink; replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions.shingleSet
+    import graft.functions.HashFunctions.hashSet
+    val evalGrams = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+      .select(explode(hashSet(shingleSet(col("text"), 5))).as("gram"))
+    def clean(seed: Int) = (1 to 35).map(i => s"pub${seed}w$i").mkString(" ")
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_pub").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.publishCorpus(
+      StreamingOps.ingestPipelineHygiene(input.toDF().toDF("doc_id", "text"), evalGrams),
+      corpusDir).start()
+    try {
+      input.addData((1L, clean(1)), (2L, "too short to pass quality"))
+      q.processAllAvailable()
+      // batch 2: a dup of doc 1 (suppressed by state) + a fresh survivor
+      input.addData((3L, clean(1)), (4L, clean(4)))
+      q.processAllAvailable()
+      val published = graft.sources.Tables.wholeTextDocumentsV2(spark, corpusDir)
+        .select($"doc_id".as[String], $"text".as[String]).collect().toMap
+      assert(published.keySet == Set("1", "4"), s"got ${published.keySet}")
+      assert(published("1") == clean(1) && published("4") == clean(4))
+      // re-publishing the same survivors (the crash-replay shape) converges
+      // to the same files — no duplicates, same bytes
+      Seq(("1", clean(1))).toDF("doc_id", "text")
+        .write.format("graft-text").mode("append").save(corpusDir)
+      val after = graft.sources.Tables.wholeTextDocumentsV2(spark, corpusDir)
+        .select($"doc_id".as[String], $"text".as[String]).collect().toMap
+      assert(after == published)
+    } finally q.stop()
+  }
+
   test("watermarked phash dedup: in-window dup images suppressed, late dup re-admitted") {
     implicit val sqlCtx = spark.sqlContext
     val A = 0x123456789ABL; val B = 0xF0F0F0F0F0F0L; val C = 0x0F0F0F0F0F0FL
