@@ -40,6 +40,9 @@ object ScaleBench {
     // corpus-adaptive LSH sizing is the DEFAULT-named config since round 7;
     // the `_fixed` twins above/below measure the occupancy cliff it fixes
     "dedup_embedding", "embed_knn_join",
+    // SemDeDup prune: label cells × adaptive bands — the curve checks the
+    // cell∩band candidate bound holds as the corpus grows
+    "embed_semantic_prune",
     // round-5 additions with candidate machinery or corpus-df joins; the
     // weighted sample rides along as a zero-shuffle linear control
     "embed_knn_join_fixed", "dedup_minhash_accuracy", "dedup_source_matrix",

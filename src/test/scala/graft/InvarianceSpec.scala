@@ -62,6 +62,8 @@ class InvarianceSpec extends AnyFunSuite {
     // counts, and the integer-PMI TakeOrdered must all be partition-stable
     // the default-named entry is the corpus-adaptive sizing since round 7
     "embed_knn_join" -> ((s, d) => EmbeddingSearch.knnJoinScaled(s, d)),
+    // SemDeDup verdicts: distinct + min aggregates must be partition-stable
+    "embed_semantic_prune" -> ((s, d) => EmbeddingSearch.semanticPrune(s, d, tau = 0.35)),
     "events_concurrency" -> ((s, d) => graft.operators.Events.sessionConcurrency(s, d)),
     "text_pmi_topk" -> ((s, d) => TextAnalysis.pmiTopBigrams(Tables.documents(s, d))),
     // this session's additions: the iterative integer PageRank (checkpointed
