@@ -117,7 +117,12 @@ object Relational {
     */
   def bloomPartRevenue(spark: SparkSession, dir: String): DataFrame = {
     val dim = Tables.part(spark, dir).where(col("p_size") === 1)
-    Scale.bloomPrunedFact(Tables.lineitem(spark, dir), dim, "l_partkey", "p_partkey")
+    // width from the dim's key count (Scale.bloomBitsFor) — the FP rate
+    // then holds ≈ 9·10⁻⁴ at any dim size instead of saturating; results
+    // are bloom-invariant, so the sizing changes cost, never the answer
+    val mBits = Scale.bloomBitsFor(dim.count())
+    Scale.bloomPrunedFact(Tables.lineitem(spark, dir), dim, "l_partkey", "p_partkey",
+        mBits = mBits)
       .join(Scale.maybeBroadcast(dim), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_partkey"), col("p_brand"))
       .agg(

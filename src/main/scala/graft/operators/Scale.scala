@@ -96,6 +96,21 @@ object Scale {
       toExpression(bloom), toExpression(key.cast("long")), k, mBits))
   }
 
+  /** KEY-COUNT-ADAPTIVE bloom width — the bloom twin of
+    * `EmbeddingSearch.lshRowsPerBand`: the smallest power of two giving at
+    * least `bitsPerKey` bits per dim key, clamped to [2^17, 2^27] (16 KiB –
+    * 16 MiB — always broadcastable). Integer shift-and-compare, no floating
+    * log2. Why: a FIXED width saturates as the dim grows — at k=5 hashes,
+    * n/m = 1/16 keeps the false-positive rate ≈ 9·10⁻⁴ whether the dim has
+    * 10³ or 10⁸ keys, so the pruned-set size tracks true matches instead of
+    * degrading toward "keep everything" (the occupancy-cliff failure mode
+    * the LSH sizing rule fixed, on the bloom axis). The one eager count()
+    * a caller pays to use it is dim-side and metadata-scale.
+    */
+  def bloomBitsFor(nKeys: Long, bitsPerKey: Int = 16): Int =
+    // compare via division — nKeys·bitsPerKey could overflow Long
+    (17 to 27).map(1 << _).find(m => nKeys <= m.toLong / bitsPerKey).getOrElse(1 << 27)
+
   /** Bloom-pruned reduction of `fact` to (a superset of) the rows whose
     * `factKey` appears in `dim.dimKey` — Spark's runtime row-level filter,
     * spelled explicitly so the pruning is a declared, testable part of the

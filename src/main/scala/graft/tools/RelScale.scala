@@ -55,7 +55,13 @@ object RelScale {
     // Q21 shape (fact self-semantics via one scan), and the temporal band
     // join + its per-purchase rank reduction
     "rel_band_join", "rel_waiting_suppliers",
-    "events_attribution", "events_attribution_last")
+    "events_attribution", "events_attribution_last",
+    // round-7 additions: Q10 (filter-before-fact-fact-join + top-k), Q14
+    // (conditional-agg share), Q6 (pure pushed-predicate scan), Q15
+    // (aggregate→max→join-back, the twice-used aggregate), and the
+    // count-min heavy-hitter audit (user-set-bounded sketch)
+    "rel_returned_customers", "rel_promo_revenue", "rel_filtered_revenue",
+    "rel_top_supplier", "events_heavy_hitters")
 
   /** Key stride between replicas — far above any base key (max base key is
     * l_orderkey ≈ 6·10⁵ at sf0.1; 16 replicas stay below 2³¹ even embedded

@@ -108,6 +108,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaBloom == plain)
   }
 
+  test("bloom width rule: power of two, >= 16 bits/key, clamped") {
+    assert(Scale.bloomBitsFor(0) == (1 << 17))
+    assert(Scale.bloomBitsFor(8192) == (1 << 17))      // 8192*16 = 2^17 exactly
+    assert(Scale.bloomBitsFor(8193) == (1 << 18))      // first key over the edge
+    assert(Scale.bloomBitsFor(1000000) == (1 << 24))
+    assert(Scale.bloomBitsFor(Long.MaxValue / 32) == (1 << 27)) // clamp
+    // monotone and always a power of two
+    val widths = Seq(1L, 100L, 10000L, 1000000L, 100000000L).map(Scale.bloomBitsFor(_))
+    assert(widths == widths.sorted)
+    widths.foreach(w => assert((w & (w - 1)) == 0))
+  }
+
   test("codegen bloom probe ≡ the interpreted HOF formulation, bit-for-bit") {
     import org.apache.spark.sql.Column
     val P31 = 2147483647L
