@@ -371,6 +371,9 @@ object SparkEntry {
     // Q15 shape: aggregate → 1-row max → broadcast join-back; fixed-point
     // revenue so the equality against the scalar is bit-portable
     "rel_top_supplier" -> ((s, dir) => Relational.topSupplier(s, dir)),
+    // point-in-interval lookup join: variable-width brackets band-replicate,
+    // points probe one band, exact range filter re-verifies (IP-range shape)
+    "rel_interval_join" -> ((s, dir) => Relational.orderBracketLookup(s, dir)),
     // correlated-subquery SQL front door (same ANSI text as the oracle) —
     // proves Catalyst decorrelation: scalar-agg, EXISTS, NOT EXISTS, and
     // the SELECT-list COUNT ("count bug") forms
@@ -1398,6 +1401,17 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // interval lookup replayed as the plain inequality join (banding is
+    // result-invariant); the overlapping catch-all pins k-row semantics
+    "rel_interval_join" ->
+      """WITH b AS (SELECT i::BIGINT AS bracket_id,
+        |    CASE WHEN i < 10 THEN (i*i)::DOUBLE * 2000 ELSE 0 END AS lo,
+        |    CASE WHEN i < 10 THEN ((i+1)*(i+1))::DOUBLE * 2000 ELSE 50000 END AS hi
+        |  FROM (SELECT unnest(generate_series(0, 10)) AS i))
+        |SELECT bracket_id, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN b ON o_totalprice >= lo AND o_totalprice <= hi
+        |GROUP BY 1""".stripMargin,
     // Q15: the max is equality-joined against fixed-point longs, so the
     // winning-row selection cannot drift between engines
     "rel_top_supplier" ->

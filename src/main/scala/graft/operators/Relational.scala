@@ -662,6 +662,29 @@ object Relational {
           col("l_discount").cast("decimal(5,2)")) * 10000)
           .cast("long").as("revenue_e4"))
 
+  /** Point-in-interval LOOKUP join ([[Scale.intervalJoin]]) driven from a
+    * deterministic variable-width bracket table: orders land in quadratic
+    * price brackets [i²·2000, (i+1)²·2000] plus one deliberately
+    * OVERLAPPING catch-all [0, 50000] (an order inside k intervals emits k
+    * rows — join semantics, pinned by the oracle). The banding is
+    * result-invariant, so the plain inequality join oracles it; at scale
+    * this is the IP-range / rate-table shape: one hash shuffle instead of
+    * the BroadcastNestedLoop a bare range predicate plans.
+    * Output: (bracket_id, n_orders, sum_price).
+    */
+  def orderBracketLookup(spark: SparkSession, dir: String): DataFrame = {
+    val brackets = spark.range(0, 11).select(
+      col("id").as("bracket_id"),
+      when(col("id") < 10, (col("id") * col("id")).cast("double") * 2000.0)
+        .otherwise(0.0).as("lo"),
+      when(col("id") < 10, ((col("id") + 1) * (col("id") + 1)).cast("double") * 2000.0)
+        .otherwise(50000.0).as("hi"))
+    Scale.intervalJoin(Tables.orders(spark, dir), brackets,
+        "o_totalprice", "lo", "hi", bandWidth = 5000.0)
+      .groupBy(col("bracket_id"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+  }
+
   /** TPC-H Q15-shaped top supplier: revenue per supplier over one quarter,
     * then the supplier(s) achieving the MAX — the aggregate-then-max-
     * join-back shape (SQL's scalar subquery over a derived view). The max

@@ -159,6 +159,36 @@ object Scale {
       .drop("__band")
   }
 
+  /** POINT-IN-INTERVAL lookup join — `points.p ∈ [intervals.lo, hi]` with
+    * NO equi key: the IP-range / bracket-table / effective-dated-rate
+    * lookup shape, generalizing [[bandJoin]] from fixed-eps proximity to
+    * ARBITRARY-width intervals. Each interval replicates into every
+    * `bandWidth`-wide band it overlaps (⌈width/w⌉+1 rows); each point
+    * probes exactly its own band; the exact `lo ≤ p ≤ hi` filter discards
+    * band false-positives, so the result is banding-invariant — a plain
+    * inequality join oracles it. Why not Spark's default: a bare
+    * range-predicate join plans as BroadcastNestedLoop/cartesian (O(n·m)
+    * compares, corpus-side broadcast); this is one hash shuffle on the
+    * band key. A point inside k overlapping intervals emits k rows (join
+    * semantics, not first-match). Pick `bandWidth` near the TYPICAL
+    * interval width: too small blows up interval replication (⌈width/w⌉
+    * rows each), too large recreates fat probe buckets; at 100 TB the
+    * width is derived from the interval table's observed width
+    * distribution once per snapshot (it is metadata-scale), and a skewed
+    * band composes with [[saltedJoin]] — the band IS the key.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+      loCol: String, hiCol: String, bandWidth: Double): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    val pb = points.withColumn("__band", floor(col(pointCol) / bandWidth).cast("long"))
+    val ib = intervals.withColumn("__band",
+      explode(sequence(floor(col(loCol) / bandWidth).cast("long"),
+        floor(col(hiCol) / bandWidth).cast("long"))))
+    pb.join(ib, "__band")
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__band")
+  }
+
   /** Skew-safe equi-join of a (possibly hot-keyed) fact side with a dim
     * side: fact rows take salt = id mod buckets; the dim side is replicated
     * once per salt value; the join key becomes (key, salt). Result set is

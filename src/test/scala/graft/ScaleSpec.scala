@@ -145,6 +145,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(neu.size < 3000)
   }
 
+  test("interval join equals the naive range join: overlaps, boundaries, empties") {
+    // intervals: disjoint, OVERLAPPING (a point in k intervals emits k
+    // rows), zero-width (lo == hi boundary hit), inverted (lo > hi — can
+    // never match), and spanning many bands; points sit on boundaries too
+    val intervals = Seq(
+      (0L, 0.0, 10.0), (1L, 5.0, 15.0), (2L, 20.0, 20.0),
+      (3L, 30.0, 25.0), (4L, 40.0, 140.0)).toDF("iid", "lo", "hi")
+    val points = Seq((100L, 0.0), (101L, 5.0), (102L, 10.0), (103L, 12.5),
+      (104L, 20.0), (105L, 27.0), (106L, 139.99), (107L, 140.0), (108L, 141.0))
+      .toDF("pid", "p")
+    for (w <- Seq(1.0, 7.0, 1000.0)) {
+      val banded = Scale.intervalJoin(points, intervals, "p", "lo", "hi", w)
+        .select($"pid".as[Long], $"iid".as[Long]).collect().toSeq.sorted
+      val naive = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+        .select($"pid".as[Long], $"iid".as[Long]).collect().toSeq.sorted
+      assert(banded == naive, s"bandWidth=$w: $banded != $naive")
+    }
+    // sanity on the fixture: the overlap really produces multi-matches and
+    // the inverted interval matches nothing
+    val naive = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+      .select($"pid".as[Long], $"iid".as[Long]).collect()
+    assert(naive.count(_._1 == 101L) == 2)
+    assert(!naive.exists(_._2 == 3L))
+  }
+
   test("band join equals the naive inequality cross-join, incl. negatives") {
     val eps = 0.25
     // values straddle band boundaries, zero, and negatives; includes exact
