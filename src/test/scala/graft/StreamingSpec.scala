@@ -834,6 +834,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval lookup runs stream-static: stateless band probe on a live stream") {
+    // the rate-table/IP-range shape at ingest: the interval table is the
+    // static side (band-exploded once per plan), the stream probes its own
+    // band — ZERO streaming state, append mode, same banding-invariant
+    // result as the batch op
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Scale
+    val intervals = Seq((0L, 0.0, 10.0), (1L, 5.0, 15.0), (2L, 40.0, 140.0))
+      .toDF("iid", "lo", "hi")
+    val input = MemoryStream[(Long, Double)]
+    val joined = Scale.intervalJoin(
+      input.toDF().toDF("pid", "p"), intervals, "p", "lo", "hi", bandWidth = 7.0)
+    val q = joined.writeStream.format("memory").queryName("sinterval")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, 7.0), (101L, 20.0))
+      q.processAllAvailable()
+      input.addData((102L, 140.0), (103L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sinterval")
+        .select($"pid".as[Long], $"iid".as[Long]).collect().toSet
+      // 7.0 is in BOTH overlapping intervals; 20.0 in none; boundaries hit
+      assert(got == Set((100L, 0L), (100L, 1L), (102L, 2L), (103L, 0L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("ingest chain publishes survivors through the graft-text sink; replay converges") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.TextFunctions.shingleSet
