@@ -678,20 +678,9 @@ object Events {
       depth: Int = 4, kTop: Int = 20): DataFrame = {
     val exact = events(spark, dir).groupBy(col("user_id"))
       .agg(count(lit(1)).as("exact_count"))
-    val withJ = exact
-      .withColumn("h", expr("(user_id * 2654435761) % 2147483647"))
-      .select(col("user_id"), col("exact_count"), col("h"),
-        explode(sequence(lit(0), lit(depth - 1))).as("j"))
-      .withColumn("cell", expr(s"(h * (2*j + 1) + (12345 + 67891*j)) % 2147483647 % $width"))
-    val cells = withJ.groupBy(col("j"), col("cell"))
-      .agg(sum(col("exact_count")).as("c"))
-    val probes = withJ.join(
-      exact.orderBy(col("exact_count").desc, col("user_id").asc).limit(kTop)
-        .select(col("user_id")), "user_id")
-    probes.join(Scale.maybeBroadcast(cells), Seq("j", "cell"))
-      .groupBy(col("user_id"))
-      .agg(first(col("exact_count")).as("exact_count"), min(col("c")).as("cm_estimate"))
-      .select(col("user_id"), col("exact_count"), col("cm_estimate"),
-        (col("cm_estimate") - col("exact_count")).as("overestimate"))
+    // shared sketch scaffold (Scale.countMinAudit) — the same kernel and
+    // oracle-replayed cell formula as TextAnalysis.countMinAccuracy
+    Scale.countMinAudit(exact, "user_id",
+      expr("(user_id * 2654435761) % 2147483647"), width, depth, kTop)
   }
 }

@@ -96,6 +96,35 @@ object Scale {
       toExpression(bloom), toExpression(key.cast("long")), k, mBits))
   }
 
+  /** Shared count-min-with-exactness-audit kernel — ONE implementation of
+    * the sketch scaffold `TextAnalysis.countMinAccuracy` (tokens) and
+    * `Events.userHeavyHitters` (users) both run, so the portable cell
+    * formula `(h·(2j+1) + (12345 + 67891·j)) mod 2³¹−1 mod width` — which
+    * the DuckDB oracles replay bit-for-bit — lives in exactly one place
+    * and cannot silently diverge between modalities. `exact` carries
+    * (`keyCol`, exact_count); `hash` is the caller's portable non-negative
+    * integer hash of the key. Output: (keyCol, exact_count, cm_estimate,
+    * overestimate) for the exact top-`kTop` keys.
+    */
+  private[operators] def countMinAudit(exact: DataFrame, keyCol: String,
+      hash: Column, width: Int, depth: Int, kTop: Int): DataFrame = {
+    val withJ = exact
+      .withColumn("h", hash)
+      .select(col(keyCol), col("exact_count"), col("h"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("cell", expr(s"(h * (2*j + 1) + (12345 + 67891*j)) % 2147483647 % $width"))
+    val cells = withJ.groupBy(col("j"), col("cell"))
+      .agg(sum(col("exact_count")).as("c"))
+    val probes = withJ.join(
+      exact.orderBy(col("exact_count").desc, col(keyCol).asc).limit(kTop)
+        .select(col(keyCol)), keyCol)
+    probes.join(maybeBroadcast(cells), Seq("j", "cell"))
+      .groupBy(col(keyCol))
+      .agg(first(col("exact_count")).as("exact_count"), min(col("c")).as("cm_estimate"))
+      .select(col(keyCol), col("exact_count"), col("cm_estimate"),
+        (col("cm_estimate") - col("exact_count")).as("overestimate"))
+  }
+
   /** KEY-COUNT-ADAPTIVE bloom width — the bloom twin of
     * `EmbeddingSearch.lshRowsPerBand`: the smallest power of two giving at
     * least `bitsPerKey` bits per dim key, clamped to [2^17, 2^27] (16 KiB –

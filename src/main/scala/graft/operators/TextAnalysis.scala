@@ -616,23 +616,10 @@ object TextAnalysis {
     val exact = docs.select(explode(tokenize(col("text"))).as("t"))
       .where(col("t") =!= "") // Java-split leading-empty artifact, not a word
       .groupBy(col("t")).agg(count(lit(1)).as("exact_count"))
-    def cellOf = expr(
-      s"(h * (2*j + 1) + (12345 + 67891*j)) % 2147483647 % $width")
-    val withJ = exact
-      .withColumn("h", portableHash31(col("t")))
-      .select(col("t"), col("exact_count"), col("h"),
-        explode(sequence(lit(0), lit(depth - 1))).as("j"))
-      .withColumn("cell", cellOf)
-    val cells = withJ.groupBy(col("j"), col("cell"))
-      .agg(sum(col("exact_count")).as("c"))
-    val probes = withJ
-      .join(exact.orderBy(col("exact_count").desc, col("t").asc).limit(kTop)
-        .select(col("t")), "t")
-    probes.join(Scale.maybeBroadcast(cells), Seq("j", "cell"))
-      .groupBy(col("t").as("token"))
-      .agg(first(col("exact_count")).as("exact_count"), min(col("c")).as("cm_estimate"))
-      .select(col("token"), col("exact_count"), col("cm_estimate"),
-        (col("cm_estimate") - col("exact_count")).as("overestimate"))
+    // the sketch scaffold is the shared kernel (Scale.countMinAudit) — one
+    // copy of the oracle-replayed cell formula across modalities
+    Scale.countMinAudit(exact, "t", portableHash31(col("t")), width, depth, kTop)
+      .withColumnRenamed("t", "token")
   }
 
   /** The CAPSTONE curation pipeline — every pass a training-data build

@@ -32,7 +32,13 @@ object Tables {
     * additive schema evolution is legal (see `source_schema_evolution`).
     */
   private val expectedColumnTypes: Map[String, Seq[(String, Set[String])]] = {
-    val ts = Set("timestamp", "timestamp_ntz", "bigint")
+    // date/timestamp columns WITHOUT an adaptive reader accept only the
+    // timestamp encodings — a BIGINT re-encoding of o_orderdate/l_shipdate
+    // would silently null out every date predicate, which is exactly the
+    // class of drift this probe exists to catch loudly. Only events.ts has
+    // the ns-as-long branch (Events.events), so only it accepts bigint.
+    val ts = Set("timestamp", "timestamp_ntz")
+    val tsAdaptive = ts + "bigint"
     Map(
       "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
       "nation" -> Seq("n_nationkey" -> Set("int"), "n_name" -> Set("string"),
@@ -54,7 +60,7 @@ object Tables {
         "l_discount" -> Set("double"), "l_tax" -> Set("double"),
         "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
         "l_shipdate" -> ts),
-      "events" -> Seq("event_id" -> Set("bigint"), "ts" -> ts,
+      "events" -> Seq("event_id" -> Set("bigint"), "ts" -> tsAdaptive,
         "user_id" -> Set("bigint"), "event_type" -> Set("string"),
         "value" -> Set("double"), "props" -> Set("string")),
       "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),

@@ -233,12 +233,22 @@ private[v2] class TextCorpusReader(partition: TextFilesPartition, required: Stru
   * side, so a running ingest never sees half-written corpora); the DRIVER
   * commit moves staged files into place and drops the staging dir, and an
   * abort (job failure, speculation losers) just deletes staging — rename-
-  * based publish, the same discipline as Hadoop committers. `overwrite`
-  * (TRUNCATE capability) clears the visible corpus files inside the commit,
-  * so readers observe old-corpus-or-new, never a mix. doc_id is the FILE
+  * based publish, the same discipline as Hadoop committers. Only task
+  * directories named in COMMITTED WriterCommitMessages are published: a
+  * task attempt that died without abort() leaves garbage in staging that
+  * the commit never touches (publishing by listing would let a dead
+  * attempt's truncated file overwrite the successful retry's). `overwrite`
+  * (TRUNCATE capability) publishes the new files FIRST (per-doc_id rename
+  * upsert), then removes visible files that are not part of the published
+  * set: a concurrent reader sees per-document old-or-new (briefly the
+  * union — never an empty corpus), and a crash mid-commit leaves a
+  * recoverable superset plus staging, never data loss. doc_id is the FILE
   * NAME: it must be unique per corpus (last rename wins otherwise — the
   * primary-key contract every doc table in the engine already carries) and
-  * path-safe (validated loudly per row).
+  * path-safe (validated loudly per row). Text is published in the corpus'
+  * LINE-NORMALIZED form (`\r?\n` → single space — exactly what the read
+  * side and the reference's ingestion produce), so write→read is the
+  * identity on what any reader of this format ever observes.
   */
 private[v2] class TextCorpusWriteBuilder(path: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.WriteBuilder
@@ -280,24 +290,34 @@ private[v2] class TextCorpusBatchWrite(path: String, schema: StructType,
     val root = new Path(path)
     val fs = root.getFileSystem(org.apache.spark.sql.GraftShim.hadoopConfOf(confSer))
     val staging = new Path(root, stagingName)
+    // publish ONLY the task dirs named in committed messages — a task
+    // attempt that died without abort() leaves staging garbage this loop
+    // never touches (Spark's output commit coordination guarantees one
+    // committed attempt per partition)
+    val published = scala.collection.mutable.Set.empty[String]
+    messages.foreach {
+      case TextWriteDone(taskDir, _) =>
+        val td = new Path(taskDir)
+        if (fs.exists(td)) fs.listStatus(td).foreach { f =>
+          val dest = new Path(root, f.getPath.getName)
+          if (fs.exists(dest)) fs.delete(dest, false) // upsert by doc_id: last wins
+          require(fs.rename(f.getPath, dest), s"commit rename failed: ${f.getPath} -> $dest")
+          published += f.getPath.getName
+        }
+      case other => sys.error(s"unexpected commit message: $other")
+    }
+    // truncate AFTER publishing: readers see per-document old-or-new
+    // (briefly the union), and a crash here leaves a recoverable superset
+    // — never an emptied corpus
     if (truncateFirst) {
       val existing = if (fs.exists(root)) fs.listStatus(root) else Array.empty[FileStatus]
       existing.foreach { s =>
         val n = s.getPath.getName
-        if (s.isFile && !n.startsWith("_") && !n.startsWith(".")) fs.delete(s.getPath, false)
+        if (s.isFile && !n.startsWith("_") && !n.startsWith(".") && !published.contains(n))
+          fs.delete(s.getPath, false)
       }
     }
-    // staged layout: staging/<taskId>/<doc_id>.txt — move every leaf up
-    if (fs.exists(staging)) {
-      fs.listStatus(staging).foreach { taskDir =>
-        if (taskDir.isDirectory) fs.listStatus(taskDir.getPath).foreach { f =>
-          val dest = new Path(root, f.getPath.getName)
-          if (fs.exists(dest)) fs.delete(dest, false) // append-mode upsert / dup doc_id: last wins
-          require(fs.rename(f.getPath, dest), s"commit rename failed: ${f.getPath} -> $dest")
-        }
-      }
-      fs.delete(staging, true)
-    }
+    fs.delete(staging, true)
     val ok = fs.create(new Path(root, "_SUCCESS"), true); ok.close()
   }
 
@@ -308,7 +328,7 @@ private[v2] class TextCorpusBatchWrite(path: String, schema: StructType,
   }
 }
 
-private[v2] case class TextWriteDone(nDocs: Long)
+private[v2] case class TextWriteDone(taskDir: String, nDocs: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[v2] class TextCorpusWriterFactory(stagingPath: String, schema: StructType,
@@ -340,13 +360,17 @@ private[v2] class TextCorpusDataWriter(taskDir: String, schema: StructType,
         !docId.startsWith("_") && !docId.startsWith("."),
       s"doc_id '$docId' is not a publishable file name (path separators and " +
         "underscore/dot prefixes collide with the corpus listing rules)")
+    // publish in the corpus' line-normalized form (what the read side and
+    // the reference's ingestion produce) — write→read is then the identity
+    // on what readers of this format observe
+    val text = row.getUTF8String(textIdx).toString.replaceAll("\\r?\\n", " ")
     val out = fs.create(new Path(taskDir, s"$docId.txt"), true)
-    try out.write(row.getUTF8String(textIdx).getBytes)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     n += 1
   }
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
-    TextWriteDone(n)
+    TextWriteDone(taskDir, n)
   override def abort(): Unit = fs.delete(new Path(taskDir), true)
   override def close(): Unit = ()
 }

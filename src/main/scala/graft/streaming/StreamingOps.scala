@@ -19,6 +19,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Normalize a stream's event-time column for watermarking, loudly:
+    * TIMESTAMP passes through; TIMESTAMP_NTZ casts — the identity on the
+    * stored micros under the engine's UTC-pinned session (required here,
+    * same contract as the batch `Events.events`); ANY OTHER TYPE is an
+    * error. The guard exists because a blind `cast("timestamp")` on a
+    * BIGINT-ns column would silently reinterpret nanoseconds as epoch
+    * SECONDS (~10⁹× off) and the watermark + join window would match
+    * nothing — convert ns-long inputs with
+    * `timestamp_micros(ts_ns div 1000)` before streaming them.
+    */
+  private def eventTimeCol(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
+      case TimestampType => col(c)
+      case TimestampNTZType =>
+        require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"stream column '$c' is TIMESTAMP_NTZ: pin spark.sql.session.timeZone=UTC " +
+            "so the naive→instant cast is the identity on the stored micros")
+        col(c).cast(TimestampType)
+      case other => sys.error(
+        s"stream column '$c' has type $other — watermarks need TIMESTAMP; " +
+          "convert ns-long inputs with timestamp_micros(ts_ns div 1000) first " +
+          "(cf. Events.events)")
+    }
+  }
+
   /** Tumbling 1-hour windowed counts per event type, 2h watermark. Works on
     * any streaming DataFrame with (ts: timestamp, event_type: string).
     */
@@ -44,17 +70,17 @@ object StreamingOps {
     * batch op: (user_id, purchase_id, click_id, purchase_us, click_us,
     * us_before). `ts` may arrive as TIMESTAMP or TIMESTAMP_NTZ (the
     * regenerated testdata's µs encoding) — watermarks are only legal on
-    * TIMESTAMP, so the op normalizes with a cast, which under the engine's
-    * pinned UTC session is the identity on the stored micros (the same
+    * TIMESTAMP, so the op normalizes via [[eventTimeCol]] (NTZ casts under
+    * the required UTC session; anything else fails loudly — the same
     * contract as the batch `Events.events`).
     */
   def attributeClicks(clicks: DataFrame, purchases: DataFrame,
       window: String = "24 hours", delay: String = "1 hour"): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user_id"),
-        col("event_id").as("click_id"), col("ts").cast("timestamp").as("click_ts"))
+        col("event_id").as("click_id"), eventTimeCol(clicks, "ts").as("click_ts"))
       .withWatermark("click_ts", delay)
     val p = purchases.select(col("user_id"),
-        col("event_id").as("purchase_id"), col("ts").cast("timestamp").as("purchase_ts"))
+        col("event_id").as("purchase_id"), eventTimeCol(purchases, "ts").as("purchase_ts"))
       .withWatermark("purchase_ts", delay)
     p.join(c,
         col("user_id") === col("c_user_id") &&
@@ -77,10 +103,10 @@ object StreamingOps {
   def attributeClicksOuter(clicks: DataFrame, purchases: DataFrame,
       window: String = "24 hours", delay: String = "1 hour"): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user_id"),
-        col("event_id").as("click_id"), col("ts").cast("timestamp").as("click_ts"))
+        col("event_id").as("click_id"), eventTimeCol(clicks, "ts").as("click_ts"))
       .withWatermark("click_ts", delay)
     val p = purchases.select(col("user_id"),
-        col("event_id").as("purchase_id"), col("ts").cast("timestamp").as("purchase_ts"))
+        col("event_id").as("purchase_id"), eventTimeCol(purchases, "ts").as("purchase_ts"))
       .withWatermark("purchase_ts", delay)
     p.join(c,
         col("user_id") === col("c_user_id") &&

@@ -344,6 +344,19 @@ class SourceSinkSpec extends AnyFunSuite {
         .write.format("graft-text").mode("append").save(dir)
     }
     assert(e2.getMessage != null)
+    // text publishes line-NORMALIZED (\r?\n -> space, the corpus format's
+    // canonical form), so write->read is the identity on what any reader
+    // of this format observes — and republishing converges byte-for-byte
+    Seq(("nl", "line one\nline two\r\nline three")).toDF("doc_id", "text")
+      .write.format("graft-text").mode("append").save(dir)
+    val nl = Tables.wholeTextDocumentsV2(spark, dir)
+      .where($"doc_id" === "nl").select($"text".as[String]).head()
+    assert(nl == "line one line two line three")
+    Seq(("nl", nl)).toDF("doc_id", "text")
+      .write.format("graft-text").mode("append").save(dir)
+    val nl2 = Tables.wholeTextDocumentsV2(spark, dir)
+      .where($"doc_id" === "nl").select($"text".as[String]).head()
+    assert(nl2 == nl)
   }
 
   // the defensive probe the events testdata regeneration motivated: a fixture
