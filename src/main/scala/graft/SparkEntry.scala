@@ -461,6 +461,9 @@ object SparkEntry {
     // changelog apply: latest-wins U/D replay by sequence — MERGE's other
     // half; the oracle replays the same deterministic changelog
     "rel_cdc_apply" -> ((s, dir) => Relational.cdcApplyOrders(s, dir)),
+    // the INVERSE: minimal I/U/D changelog between two snapshots (change-
+    // data-feed generation); apply ∘ diff == new is spec-pinned
+    "rel_snapshot_diff" -> ((s, dir) => Relational.ordersSnapshotDiff(s, dir)),
     // percent-of-total in exact integer cents (window over the tiny agg)
     "rel_revenue_share" -> ((s, dir) => Relational.revenueShare(s, dir)),
     // dbt-test/Deequ-style validation pass: 5 declared constraints,
@@ -1694,6 +1697,44 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         |  o_orderpriority
         |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    // diff = replay the same apply as a CTE, then full-outer compare with
+    // the old snapshot (null-safe per column); unchanged keys emit nothing
+    "rel_snapshot_diff" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+        |    o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority,
+        |    'U' AS op, 1 AS seq FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 2.0, o_orderdate,
+        |    o_orderpriority, 'U', 2 FROM orders WHERE o_orderkey % 194 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority, 'U', 1 FROM orders WHERE o_orderkey % 103 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 'D', 3 FROM orders WHERE o_orderkey % 101 = 0),
+        |al AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 'U' AS op, 0 AS seq FROM orders
+        |       UNION ALL SELECT * FROM ch),
+        |r AS (SELECT *, row_number() OVER
+        |      (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM al),
+        |nw AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority FROM r WHERE rn = 1 AND op <> 'D'),
+        |j AS (SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+        |        o.o_custkey AS o_c, o.o_orderstatus AS o_s, o.o_totalprice AS o_t,
+        |        o.o_orderdate AS o_d, o.o_orderpriority AS o_p,
+        |        n.o_custkey AS n_c, n.o_orderstatus AS n_s, n.o_totalprice AS n_t,
+        |        n.o_orderdate AS n_d, n.o_orderpriority AS n_p
+        |      FROM orders o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey)
+        |SELECT coalesce(nk, ok) AS o_orderkey,
+        |  CASE WHEN ok IS NULL THEN 'I' WHEN nk IS NULL THEN 'D' ELSE 'U' END AS op,
+        |  n_c AS o_custkey, n_s AS o_orderstatus, n_t AS o_totalprice,
+        |  n_d AS o_orderdate, n_p AS o_orderpriority
+        |FROM j
+        |WHERE ok IS NULL OR nk IS NULL
+        |   OR NOT (o_c IS NOT DISTINCT FROM n_c AND o_s IS NOT DISTINCT FROM n_s
+        |       AND o_t IS NOT DISTINCT FROM n_t AND o_d IS NOT DISTINCT FROM n_d
+        |       AND o_p IS NOT DISTINCT FROM n_p)""".stripMargin,
     // rank-equivalent integer PMI: c_ab·10⁹ // (c_a·c_b); DuckDB lists are
     // 1-based where Spark arrays are 0-based — each side spells its own
     "text_pmi_topk" ->

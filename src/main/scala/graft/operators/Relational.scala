@@ -822,6 +822,45 @@ object Relational {
       .drop("op", "seq", "__rn")
   }
 
+  /** SNAPSHOT DIFF — the INVERSE of [[applyChangelog]]: given two keyed
+    * snapshots of the same schema, emit the minimal changelog
+    * (op ∈ {I, U, D} + the NEW row's values; D rows carry the key with
+    * null values) that transforms old → new — the change-data-feed
+    * generator a plain-parquet pipeline runs between snapshot versions.
+    * One full-outer hash join on the key (both sides one shuffle, removed
+    * by the bucketed layout); change detection is per-column NULL-SAFE
+    * equality (`<=>`), never a serialized-blob compare, so column order
+    * and representation quirks cannot manufacture phantom diffs.
+    * Unchanged keys emit NOTHING — the changelog is minimal. The algebra
+    * is spec-pinned: `applyChangelog(old, snapshotDiff(old, new)) == new`.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
+    require(newDf.columns.toSeq == oldDf.columns.toSeq,
+      s"snapshots must share a schema: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    val cols = oldDf.columns.filterNot(_ == key).toSeq
+    val o = oldDf.select(col(key).as("__ok") +: cols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select(col(key).as("__nk") +: cols.map(c => col(c).as(s"__n_$c")): _*)
+    val changed = cols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    o.join(n, col("__ok") === col("__nk"), "full_outer")
+      .where(col("__ok").isNull || col("__nk").isNull || changed)
+      .select(
+        (coalesce(col("__nk"), col("__ok")).as(key) +:
+          when(col("__ok").isNull, "I").when(col("__nk").isNull, "D")
+            .otherwise("U").as("op") +:
+          cols.map(c => col(s"__n_$c").as(c))): _*)
+  }
+
+  /** [[snapshotDiff]] driven between the orders snapshot and its
+    * deterministically-CDC'd successor ([[cdcApplyOrders]]): the diff must
+    * recover exactly the NET effect of the changelog — updates as U,
+    * +10⁹-keyed inserts as I, tombstoned keys as D, seq-1-then-seq-2
+    * double-updates collapsing to ONE U row with the final values, and
+    * untouched keys absent. Oracle replays the apply then diffs with plain
+    * SQL. Output: (o_orderkey, op, <new row columns>).
+    */
+  def ordersSnapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiff(Tables.orders(spark, dir), cdcApplyOrders(spark, dir), "o_orderkey")
+
   /** [[applyChangelog]] demo over orders with a deterministic changelog:
     * seq 1 revalues every 97th key (+1.00, status U1); seq 2 re-updates the
     * every-194th subset (+2.00, status U2 — latest-wins over seq 1); seq 3

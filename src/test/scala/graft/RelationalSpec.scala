@@ -295,6 +295,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("snapshot diff: minimal I/U/D changelog; applyChangelog(old, diff) == new") {
+    val old = Tables.orders(spark, dir)
+    val neu = Relational.cdcApplyOrders(spark, dir)
+    val diff = Relational.snapshotDiff(old, neu, "o_orderkey").localCheckpoint()
+    val ops = diff.groupBy($"op").count().as[(String, Long)].collect().toMap
+    assert(Set("I", "U", "D").subsetOf(ops.keySet), s"missing op classes: $ops")
+    // minimality: every diffed key was actually touched by the changelog
+    val touched = old.select($"o_orderkey".as[Long]).collect()
+      .filter(k => k % 97 == 0 || k % 101 == 0 || k % 103 == 0).toSet
+    diff.select($"o_orderkey".as[Long], $"op".as[String]).collect().foreach {
+      case (k, "I") => assert(touched.contains(k - 1000000000L), s"phantom insert $k")
+      case (k, _) => assert(touched.contains(k), s"phantom diff for untouched key $k")
+    }
+    // the algebra: re-applying the diff as a changelog reproduces new exactly
+    val cols = old.columns.toSeq
+    val reapplied = Relational.applyChangelog(old,
+      diff.withColumn("seq", lit(1L)), "o_orderkey")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq.toList).toSet
+    assert(rows(reapplied) == rows(neu))
+  }
+
   test("Q15 shape: winners carry exactly the max per-supplier revenue") {
     val perSupp = Tables.lineitem(spark, dir)
       .where($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
