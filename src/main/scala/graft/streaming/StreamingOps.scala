@@ -650,11 +650,11 @@ object StreamingOps {
       lookbackHours: Int = 1, watermark: String = "2 hours"): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
+        eventTimeCol(clicks, "ts").as("click_ts"))
       .withWatermark("click_ts", watermark)
     val p = purchases
       .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
+        eventTimeCol(purchases, "ts").as("purchase_ts"))
       .withWatermark("purchase_ts", watermark)
     p.join(c,
         col("c_user_id") === col("user_id") &&
