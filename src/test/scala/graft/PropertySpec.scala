@@ -272,4 +272,40 @@ class PropertySpec extends AnyFunSuite {
         s"seed $seed: got ${got.toSet} expected $expected (texts: $texts)")
     }
   }
+
+  test("property: applyChangelog(old, snapshotDiff(old, new)) == new; diff is minimal") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // arbitrary keyed snapshots incl. null values, overlapping and disjoint
+    // keys — the diff/apply algebra must hold for EVERY pair, and the diff
+    // must name exactly the keys whose rows differ
+    val genVal: Gen[Option[String]] =
+      Gen.option(Gen.oneOf("x", "y", "z", ""))
+    val genSnap: Gen[Map[Long, (Option[String], Long)]] =
+      Gen.mapOf(for {
+        k <- Gen.chooseNum(0L, 12L)
+        s <- genVal
+        v <- Gen.chooseNum(-2L, 2L)
+      } yield k -> (s, v))
+    for (seed <- 1L to 8L) {
+      val oldM = sample(genSnap, seed)
+      val newM = sample(genSnap, seed + 1000)
+      def df(m: Map[Long, (Option[String], Long)]) =
+        m.toSeq.map { case (k, (s, v)) => (k, s.orNull, v) }.toDF("k", "s", "v")
+      val (oldDf, newDf) = (df(oldM), df(newM))
+      val diff = graft.operators.Relational.snapshotDiff(oldDf, newDf, "k")
+        .localCheckpoint()
+      // minimality: the diffed key set is exactly the symmetric-difference-
+      // or-changed set of the two maps
+      val expectKeys = (oldM.keySet ++ newM.keySet)
+        .filter(k => oldM.get(k) != newM.get(k))
+      val gotKeys = diff.select($"k".as[Long]).collect().toSet
+      assert(gotKeys == expectKeys, s"seed $seed: $gotKeys != $expectKeys")
+      // the algebra: re-apply reproduces new exactly (incl. null values)
+      val reapplied = graft.operators.Relational.applyChangelog(
+          oldDf, diff.withColumn("seq", lit(1L)), "k")
+        .select($"k".as[Long], $"s".as[String], $"v".as[Long]).collect()
+        .map(r => r._1 -> ((Option(r._2), r._3))).toMap
+      assert(reapplied == newM, s"seed $seed: $reapplied != $newM")
+    }
+  }
 }
