@@ -211,19 +211,20 @@ object Tables {
       .foreach(deleteRec)
   }
 
+  /** Export a documents DataFrame as a doc-per-file text corpus, once per
+    * fixture dir (`_SUCCESS`-keyed). Delegates to the `graft-text` DSv2
+    * sink — the engine's ONE file-per-doc writer (task-commit parallel
+    * publish, atomic per-document renames, `_SUCCESS` on job commit) —
+    * instead of a second hand-rolled `foreachPartition` writer. The sink
+    * publishes text line-NORMALIZED, which is exactly what every reader of
+    * this format (v1 wholetext, the DSv2 scan, the reference's ingestion)
+    * observes anyway, so fixture hashes are unchanged.
+    */
   def exportTextCorpus(docs: DataFrame, dir: String): Unit = {
     val marker = new java.io.File(dir, "_SUCCESS")
     if (marker.exists()) return
-    new java.io.File(dir).mkdirs()
     docs.select(col("doc_id").cast("string").as("doc_id"), col("text"))
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        rows.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, r.getString(0) + ".txt"),
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        }
-      }
-    marker.createNewFile()
+      .write.format("graft-text").mode("overwrite").save(dir)
   }
 
   /** One-time fingerprint-keyed fixture export shared by the source-

@@ -357,6 +357,43 @@ class SourceSinkSpec extends AnyFunSuite {
     val nl2 = Tables.wholeTextDocumentsV2(spark, dir)
       .where($"doc_id" === "nl").select($"text".as[String]).head()
     assert(nl2 == nl)
+    // extra input columns would be silently discarded by a doc-per-file
+    // format — the write schema contract is exact, and fails up front
+    // (Spark's append analysis rejects it against the table schema before
+    // our builder's exact-set require even runs — either way, loud)
+    val e3 = intercept[Exception] {
+      Seq(("q", "body", 7)).toDF("doc_id", "text", "extra")
+        .write.format("graft-text").mode("append").save(dir)
+    }
+    assert(e3.getMessage != null)
+    assert(!new java.io.File(dir).listFiles().map(_.getName).contains("q.txt"))
+  }
+
+  test("graft-text sink: driver commit work is O(tasks), publish is executor-side") {
+    import graft.sources.v2.TextCorpusSinkMetrics
+    val dir = Files.createTempDirectory("graft_v2sink_scale").toString
+    val nDocs = 96
+    // many docs spread over many tasks: the per-doc renames must happen at
+    // TASK commit (parallel, executor-side); the DRIVER commit does only
+    // staging cleanup + _SUCCESS — a small constant independent of nDocs.
+    // This is the pin against the Hadoop-v1-committer regression (a serial
+    // per-document driver rename loop was measured at 97.7 s for ~10k docs).
+    spark.range(nDocs).selectExpr("CONCAT('doc', id) AS doc_id", "'body' AS text")
+      .repartition(8)
+      .write.format("graft-text").mode("append").save(dir)
+    val appendOps = TextCorpusSinkMetrics.lastDriverCommitOps.get()
+    assert(appendOps <= 3, s"driver commit did $appendOps FS mutation ops for " +
+      s"$nDocs docs — publish work leaked back onto the driver")
+    assert(Tables.wholeTextDocumentsV2(spark, dir).count() == nDocs)
+    // overwrite with the same doc set: truncate finds nothing stale to
+    // delete, so driver work stays O(tasks) there too
+    spark.range(nDocs).selectExpr("CONCAT('doc', id) AS doc_id", "'body2' AS text")
+      .repartition(8)
+      .write.format("graft-text").mode("overwrite").save(dir)
+    val overwriteOps = TextCorpusSinkMetrics.lastDriverCommitOps.get()
+    assert(overwriteOps <= 3, s"same-keyed overwrite did $overwriteOps driver ops")
+    val back = Tables.wholeTextDocumentsV2(spark, dir)
+    assert(back.count() == nDocs && back.where($"text" === "body2").count() == nDocs)
   }
 
   // the defensive probe the events testdata regeneration motivated: a fixture
