@@ -95,6 +95,40 @@ object HashFunctions {
       c => concat_ws(":", c.cast("string"),
         call_function("shiftright", fp, c * lit(12)).bitwiseAND(4095L).cast("string")))
 
+  /** SHARDED chunk keys — the second-level pigeonhole refinement of
+    * [[simhashChunkKeys]]: 16 `"j:cv:k:bv"` strings per fingerprint, where
+    * `cv` is chunk j's 12-bit value and `bv` is 9-bit block k of the OTHER
+    * 36 bits (the word with chunk j excised). Any pair at Hamming ≤ 3
+    * still shares ≥ 1 key: some chunk j is exactly equal (4-way pigeonhole
+    * over ≤ 3 differing bits), and with chunk j clean all ≤ 3 differing
+    * bits fall in the compacted 36-bit remainder, whose four 9-bit blocks
+    * pigeonhole again to ≥ 1 equal. So the index stays LOSSLESS for
+    * distance ≤ 3, but a bucket key now pins 21 fingerprint bits instead
+    * of 12: expected bucket occupancy — and the candidate join's output,
+    * which grows with Σ occupancy² — shrinks by 2^9 for only 4× more keys.
+    * This is what keeps the all-pairs join linear once corpus size crosses
+    * the 4096-bucket saturation point the flat chunk index hits (measured:
+    * 7.0× wall at 16× images before this refinement). The chunk width
+    * itself can never be widened adaptively — pigeonhole for ≤ 3 errors
+    * needs exactly 4 chunks — so the refinement nests INSIDE each chunk
+    * bucket instead (an equi-key refinement, not a semantic change:
+    * fingerprints-only on the wire, still one shuffle).
+    */
+  def simhashShardedChunkKeys(fp: Column): Column = {
+    val hi36 = (1L << 36) - 1
+    val keys = for { j <- 0 to 3; k <- 0 to 3 } yield {
+      val chunkVal = call_function("shiftright", fp, lit(12 * j)).bitwiseAND(4095L)
+      // excise chunk j: bits [0,12j) stay, bits [12j+12,48) shift down 12
+      val lowMask = (1L << (12 * j)) - 1
+      val rem = fp.bitwiseAND(lowMask).bitwiseOR(
+        call_function("shiftright", fp, lit(12)).bitwiseAND(hi36 & ~lowMask))
+      val blockVal = call_function("shiftright", rem, lit(9 * k)).bitwiseAND(511L)
+      concat_ws(":", lit(j).cast("string"), chunkVal.cast("string"),
+        lit(k).cast("string"), blockVal.cast("string"))
+    }
+    array(keys: _*)
+  }
+
   /** Hamming distance between two fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 }

@@ -152,14 +152,19 @@ object Dedup {
 
   /** Near-duplicate pairs by SimHash: pairs at Hamming distance ≤ maxDist
     * over the 48-bit fingerprint of the doc's shingle set. Exact (not
-    * approximate) for maxDist ≤ 3. Output: (doc_a, doc_b, hamming).
+    * approximate) for maxDist ≤ 3 — candidates come from the SHARDED
+    * chunk index (21 key bits: 12-bit pigeonhole chunk × 9-bit block of
+    * the remainder, [[graft.functions.HashFunctions.simhashShardedChunkKeys]]),
+    * which stays lossless while keeping bucket occupancy — and so the
+    * candidate join — linear past the corpus size where a flat 4096-bucket
+    * chunk table saturates. Output: (doc_a, doc_b, hamming).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, k: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk index is only lossless for Hamming <= 3")
     val fps = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), simhash48(hashSet(col("sh"))).as("fp"))
-    val chunked = fps.select(col("doc_id"), col("fp"), explode(simhashChunkKeys(col("fp"))).as("chunk"))
+    val chunked = fps.select(col("doc_id"), col("fp"), explode(simhashShardedChunkKeys(col("fp"))).as("chunk"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -271,18 +271,21 @@ object Multimodal {
     imagePHashes(spark, dir).toDF()
 
   /** IMAGE NEAR-DUP pairs by perceptual hash: [[imagePHashes]] fingerprints
-    * joined through the same lossless 4×12-bit chunk index as
-    * `Dedup.simhashPairs` (pigeonhole: Hamming ≤ 3 ⟹ one chunk equal), then
-    * exact Hamming verify. This is the image-modality twin of SimHash text
-    * dedup: decode + hash are one shuffle-free corpus pass, the candidate
-    * join carries 8-byte fingerprints (never rasters), candidates are
-    * chunk-bucket-bounded. Output: (doc_a, doc_b, hamming).
+    * joined through the lossless SHARDED chunk index
+    * (`HashFunctions.simhashShardedChunkKeys` — 12-bit pigeonhole chunk ×
+    * 9-bit second-level block, 21 key bits, still exact for Hamming ≤ 3),
+    * then exact Hamming verify. This is the image-modality twin of SimHash
+    * text dedup: decode + hash are one shuffle-free corpus pass, the
+    * candidate join carries 8-byte fingerprints (never rasters). The
+    * sharded key is what keeps candidates linear past the point where the
+    * flat 4096-bucket chunk table saturates (measured 7.0× wall at 16×
+    * images before the refinement). Output: (doc_a, doc_b, hamming).
     */
   def phashNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk index is only lossless for Hamming <= 3")
     val fps = phashes(spark, dir)
     val chunked = fps.select(col("doc_id"), col("phash"),
-      explode(graft.functions.HashFunctions.simhashChunkKeys(col("phash"))).as("chunk"))
+      explode(graft.functions.HashFunctions.simhashShardedChunkKeys(col("phash"))).as("chunk"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -336,11 +339,14 @@ object Multimodal {
     * `EmbeddingSearch.vecDedupAgainst`: a new batch of images is checked
     * against the PERSISTED corpus index without touching corpus payloads.
     * The batch decodes + hashes in one map pass; both sides band into the
-    * 4×12-bit pigeonhole chunks; the chunk equi-join bounds candidates and
-    * the exact Hamming verify keeps the result losslessly equal to the
-    * bare batch×corpus Hamming ≤ 3 join (which is therefore the oracle).
-    * Serve cost scales with the BATCH and the index's fingerprint table —
-    * never with corpus image bytes. Output: (doc_id, dup_of, hamming),
+    * SHARDED pigeonhole chunk keys (21 key bits — lossless for Hamming ≤ 3,
+    * see `HashFunctions.simhashShardedChunkKeys`); the equi-join bounds
+    * candidates and the exact Hamming verify keeps the result losslessly
+    * equal to the bare batch×corpus Hamming ≤ 3 join (which is therefore
+    * the oracle). Serve cost scales with the BATCH and the index's
+    * fingerprint table — never with corpus image bytes, and per-batch-key
+    * candidate volume stays bounded past the corpus size where a flat
+    * 4096-bucket chunk table saturates. Output: (doc_id, dup_of, hamming),
     * one row per (batch image, matching corpus image).
     */
   def phashDedupAgainst(indexPath: String, batch: Dataset[PHashRow],
@@ -352,7 +358,7 @@ object Multimodal {
     require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_DONE")),
       s"phash index at $indexPath is absent or half-built (_DONE missing) — refusing to serve")
     val chunksOf = (df: DataFrame) => df.select(col("doc_id"), col("phash"),
-      explode(graft.functions.HashFunctions.simhashChunkKeys(col("phash"))).as("chunk"))
+      explode(graft.functions.HashFunctions.simhashShardedChunkKeys(col("phash"))).as("chunk"))
     val corpus = chunksOf(spark.read.parquet(s"$indexPath/phashes"))
       .select(col("doc_id").as("dup_of"), col("phash").as("c_phash"), col("chunk"))
     chunksOf(Scale.maybeBroadcast(batch.toDF()))

@@ -433,31 +433,33 @@ object StreamingOps {
     * frame), so only 8 B/image ever reaches the join.
     *
     * Exactly-once per (stream, corpus) pair without dropDuplicates state:
-    * a near-dup pair shares up to all 4 pigeonhole chunks (an exact dup
-    * shares exactly 4), so each candidate row recomputes both chunk-key
-    * arrays and emits only when the JOINED chunk is the minimum chunk the
+    * a near-dup pair shares one or more of the sharded pigeonhole keys (an
+    * exact dup shares all 16), so each candidate row recomputes both
+    * key arrays and emits only when the JOINED key is the minimum key the
     * pair shares — the same deterministic min-shared-key rule the MinHash
-    * tier uses. Static-side file listing is captured at query start, so an
+    * tier uses. The sharded 21-bit keys (not the flat 12-bit chunks) keep
+    * per-stream-image candidate volume bounded as the indexed corpus
+    * grows. Static-side file listing is captured at query start, so an
     * [[graft.operators.Multimodal.extendPhashIndex]] takes effect on
     * query restart. Output: (doc_id, corpus_match, hamming).
     */
   def phashMatchesAgainstIndex(images: DataFrame, indexPath: String,
       maxDist: Int = 3): DataFrame = {
-    import graft.functions.HashFunctions.{simhashChunkKeys, hamming}
+    import graft.functions.HashFunctions.{simhashShardedChunkKeys, hamming}
     require(maxDist <= 3, "4-chunk index is only lossless for Hamming <= 3")
     val spark = images.sparkSession
     require(graft.operators.Multimodal.phashIndexExists(indexPath),
       s"no complete phash index at $indexPath — run buildPhashIndex first")
     val corpus = spark.read.parquet(s"$indexPath/phashes")
       .select(col("doc_id").as("corpus_match"), col("phash").as("c_phash"),
-        explode(simhashChunkKeys(col("phash"))).as("chunk"))
+        explode(simhashShardedChunkKeys(col("phash"))).as("chunk"))
     images
       .select(col("doc_id"), col("phash"),
-        explode(simhashChunkKeys(col("phash"))).as("chunk"))
+        explode(simhashShardedChunkKeys(col("phash"))).as("chunk"))
       .join(corpus, Seq("chunk"))
       .where(hamming(col("phash"), col("c_phash")) <= maxDist)
       .where(col("chunk") === array_min(array_intersect(
-        simhashChunkKeys(col("phash")), simhashChunkKeys(col("c_phash")))))
+        simhashShardedChunkKeys(col("phash")), simhashShardedChunkKeys(col("c_phash")))))
       .select(col("doc_id"), col("corpus_match"),
         hamming(col("phash"), col("c_phash")).as("hamming"))
   }

@@ -38,6 +38,32 @@ class PropertySpec extends AnyFunSuite {
     Gen.chooseNum(4, 12).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(vocab.take(4))).map(_.mkString(" ")))
 
+  test("sharded chunk keys: every Hamming<=3 pair shares a key (pigeonhole, 500 planted pairs)") {
+    // the lossless-index guarantee the phash/simhash pairs joins rest on:
+    // 12-bit chunk pigeonhole (some chunk of 4 is clean) nested with 9-bit
+    // block pigeonhole over the 36-bit remainder (some block of 4 is clean)
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val pairs = (0 until 500).map { i =>
+      val fp = rnd.nextLong() & ((1L << 48) - 1)
+      val flips = rnd.nextInt(4) // 0..3 bit flips
+      var other = fp
+      (0 until flips).foreach(_ => other ^= 1L << rnd.nextInt(48))
+      (i.toLong, fp, other)
+    }
+    import org.apache.spark.sql.functions.{arrays_overlap, col}
+    val df = pairs.toDF("i", "fp_a", "fp_b")
+      .select(col("i"),
+        HashFunctions.hamming(col("fp_a"), col("fp_b")).as("d"),
+        arrays_overlap(
+          HashFunctions.simhashShardedChunkKeys(col("fp_a")),
+          HashFunctions.simhashShardedChunkKeys(col("fp_b"))).as("shared"))
+    val missed = df.where(col("d") <= 3 && !col("shared")).count()
+    assert(missed == 0, s"$missed Hamming<=3 pairs missed by the sharded key index")
+    // and the keys really do refine: identical fingerprints share all 16
+    val self = df.where(col("d") === 0).count()
+    assert(self > 0) // seed sanity: some zero-flip pairs were generated
+  }
+
   test("ShingleList kernel == independent sliding-window model on random text") {
     import graft.functions.TextFunctions.shingleList
     import org.apache.spark.sql.functions.col
