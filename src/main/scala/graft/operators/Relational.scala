@@ -132,8 +132,9 @@ object Relational {
 
   /** Customer–supplier pairs with account balances within `eps` of each
     * other — a pure BAND JOIN ([[Scale.bandJoin]]): no equi key exists, so
-    * the eps-wide value band becomes the join key (one hash shuffle, 3×
-    * replication of the small side) instead of the cartesian
+    * the value band becomes the join key (one hash shuffle, ≤ 2×
+    * replication of the small side at the rule-derived 2·eps width)
+    * instead of the cartesian
     * BroadcastNestedLoop Spark would plan for the bare inequality. The
     * banding is result-invariant, so the oracle is the plain inequality
     * join. Output: (c_custkey, s_suppkey, c_acctbal, s_acctbal).
@@ -350,7 +351,7 @@ object Relational {
     * one hot bin. Ordering ends on the unique o_orderkey, so bucket
     * membership is deterministic on both engines. One global-sort window
     * (the documented cost: ntile needs a total order — at 100 TB the
-    * sampled sketch in rel_approx_stats is the cheap path; this is the
+    * sampled sketch in [[approxStats]] is the cheap path; this is the
     * exact one). Output: (bucket, n_orders, lo, hi, sum_price).
     */
   def orderValueEquidepth(spark: SparkSession, dir: String,
@@ -669,8 +670,12 @@ object Relational {
     * rows — join semantics, pinned by the oracle). The banding is
     * result-invariant, so the plain inequality join oracles it; at scale
     * this is the IP-range / rate-table shape: one hash shuffle instead of
-    * the BroadcastNestedLoop a bare range predicate plans.
-    * Output: (bracket_id, n_orders, sum_price).
+    * the BroadcastNestedLoop a bare range predicate plans. The band width
+    * is DATA-DERIVED ([[Scale.bandWidthFor]]: median observed bracket
+    * width, floored so the widest bracket — the catch-all — replicates
+    * ≤ 64×), the same once-per-snapshot sizing discipline as the LSH and
+    * bloom rules: no caller-supplied constant to go stale as the bracket
+    * table evolves. Output: (bracket_id, n_orders, sum_price).
     */
   def orderBracketLookup(spark: SparkSession, dir: String): DataFrame = {
     val brackets = spark.range(0, 11).select(
@@ -680,7 +685,7 @@ object Relational {
       when(col("id") < 10, ((col("id") + 1) * (col("id") + 1)).cast("double") * 2000.0)
         .otherwise(50000.0).as("hi"))
     Scale.intervalJoin(Tables.orders(spark, dir), brackets,
-        "o_totalprice", "lo", "hi", bandWidth = 5000.0)
+        "o_totalprice", "lo", "hi")
       .groupBy(col("bracket_id"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
   }
@@ -833,16 +838,39 @@ object Relational {
     * and representation quirks cannot manufacture phantom diffs.
     * Unchanged keys emit NOTHING — the changelog is minimal. The algebra
     * is spec-pinned: `applyChangelog(old, snapshotDiff(old, new)) == new`.
+    *
+    * `key` must be UNIQUE within each snapshot (the primary-key contract
+    * every keyed table in the engine carries) — with duplicates the full
+    * outer join fans out and no minimal changelog exists. This is ENFORCED
+    * in-plan: each side's per-key count rides the join's own hash
+    * partitioning (the window reuses the exchange — no extra shuffle), and
+    * a duplicated key raises a targeted error at execution instead of
+    * silently emitting a changelog that breaks the apply∘diff algebra. A
+    * key-only snapshot (no value columns) degenerates correctly: `changed`
+    * folds to false and the diff is pure membership (I/D rows only).
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
     require(newDf.columns.toSeq == oldDf.columns.toSeq,
       s"snapshots must share a schema: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
     val cols = oldDf.columns.filterNot(_ == key).toSeq
     val o = oldDf.select(col(key).as("__ok") +: cols.map(c => col(c).as(s"__o_$c")): _*)
+      .withColumn("__oc", count(lit(1)).over(Window.partitionBy(col("__ok"))))
     val n = newDf.select(col(key).as("__nk") +: cols.map(c => col(c).as(s"__n_$c")): _*)
-    val changed = cols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+      .withColumn("__nc", count(lit(1)).over(Window.partitionBy(col("__nk"))))
+    val changed = cols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .foldLeft(lit(false))(_ || _)
+    // one ordered when-expression: the dup check is evaluated before the
+    // change filter for every joined row, so a duplicated key cannot be
+    // filtered away as "unchanged" before the guard sees it
+    val emit = when(col("__oc") > 1L || col("__nc") > 1L,
+        raise_error(format_string(
+          s"snapshotDiff: key '$key' value %s is duplicated within a " +
+            "snapshot — snapshots must be keyed (unique per key) for a " +
+            "minimal changelog to exist",
+          coalesce(col("__nk"), col("__ok")).cast("string"))))
+      .otherwise(col("__ok").isNull || col("__nk").isNull || changed)
     o.join(n, col("__ok") === col("__nk"), "full_outer")
-      .where(col("__ok").isNull || col("__nk").isNull || changed)
+      .where(emit)
       .select(
         (coalesce(col("__nk"), col("__ok")).as(key) +:
           when(col("__ok").isNull, "I").when(col("__nk").isNull, "D")
@@ -1038,10 +1066,11 @@ object Relational {
 
   /** Sketch-based approximate aggregates — the O(1)-memory scale path next
     * to the exact operators (HLL++ for distincts, KLL-style quantile
-    * sketch). Sketches are engine-specific, so this query carries no DuckDB
-    * oracle (driver records a rows-only check); the exact twins
-    * ([[distinctCounts]], [[orderValueQuantiles]]) are the hash-checked
-    * versions.
+    * sketch). Sketch VALUES are engine-specific, so this operator is
+    * deliberately NOT a registered entry (it could never hash-match a
+    * DuckDB oracle); RelationalSpec bounds it against the exact answers,
+    * and the registry carries [[approxBounds]] — exact values + tolerance
+    * verdicts — as the driver-hash-gated face of the same sketches.
     */
   def approxStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -180,12 +180,54 @@ object Scale {
   def bandJoin(left: DataFrame, right: DataFrame, leftVal: String, rightVal: String,
       eps: Double): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
-    val lb = left.withColumn("__band", floor(col(leftVal) / eps).cast("long"))
-    val rb = right.withColumn("__band", explode(array(Seq(-1L, 0L, 1L).map(d =>
-      floor(col(rightVal) / eps).cast("long") + lit(d)): _*)))
-    lb.join(rb, "__band")
-      .where(abs(col(leftVal) - col(rightVal)) <= eps)
-      .drop("__band")
+    // |a−b| ≤ eps is the point-in-interval containment a ∈ [b−eps, b+eps]:
+    // delegate to intervalJoin so there is ONE banding kernel (and one
+    // replication guard). Band width comes from the adaptive rule's CLOSED
+    // FORM: every implicit interval has width exactly 2·eps, so
+    // bandWidthFor's median-width answer is 2·eps by construction
+    // (ScaleSpec pins this identity) — passing it directly spares an eager
+    // aggregate over what may be a corpus-sized side.
+    val r2 = right
+      .withColumn("__lo", col(rightVal) - eps)
+      .withColumn("__hi", col(rightVal) + eps)
+    intervalJoin(left, r2, leftVal, "__lo", "__hi", bandWidth = 2 * eps)
+      .drop("__lo", "__hi")
+  }
+
+  /** DATA-DERIVED band width for [[intervalJoin]]/[[bandJoin]] — the
+    * band-join member of the engine's adaptive-sizing family
+    * (`EmbeddingSearch.lshRowsPerBand`, [[bloomBitsFor]]): one
+    * metadata-scale aggregate over the interval table (it is the SMALL
+    * side — brackets, rate tables, IP ranges) derives
+    *
+    *   w = max(median interval width, max interval width / maxReplication)
+    *
+    * The MEDIAN keeps per-interval replication ≈ 2 for typical intervals
+    * (⌈width/w⌉ ≈ 1–2 rows) while keeping probe buckets near
+    * typical-interval granularity; the max/maxReplication FLOOR caps the
+    * replication of the widest interval at `maxReplication` rows, so ONE
+    * pathological catch-all interval (the [0, ∞)-ish default bracket every
+    * real rate table has) cannot explode into millions of band rows when
+    * the median is narrow. Results are banding-invariant (the exact
+    * containment filter re-verifies), so the rule changes cost, never the
+    * answer — the plain inequality join still oracles callers. Degenerate
+    * input fails loudly: all-point intervals (every width 0) have no
+    * usable band axis — that lookup is an equi-join, not a band join.
+    */
+  def bandWidthFor(intervals: DataFrame, loCol: String, hiCol: String,
+      maxReplication: Int = 64): Double = {
+    require(maxReplication >= 2, s"maxReplication must be >= 2, got $maxReplication")
+    val row = intervals.agg(
+      expr(s"percentile($hiCol - $loCol, 0.5)").as("median_w"),
+      max(col(hiCol) - col(loCol)).as("max_w"),
+      count(lit(1)).as("n")).head()
+    require(row.getLong(2) > 0, "bandWidthFor: interval table is empty")
+    val medianW = row.getDouble(0)
+    val maxW = row.getDouble(1)
+    require(maxW > 0,
+      "bandWidthFor: every interval is a point (width 0) — a band join adds " +
+        "nothing here; join on the value directly (equi-join)")
+    math.max(medianW, maxW / maxReplication)
   }
 
   /** POINT-IN-INTERVAL lookup join — `points.p ∈ [intervals.lo, hi]` with
@@ -199,20 +241,36 @@ object Scale {
     * range-predicate join plans as BroadcastNestedLoop/cartesian (O(n·m)
     * compares, corpus-side broadcast); this is one hash shuffle on the
     * band key. A point inside k overlapping intervals emits k rows (join
-    * semantics, not first-match). Pick `bandWidth` near the TYPICAL
-    * interval width: too small blows up interval replication (⌈width/w⌉
-    * rows each), too large recreates fat probe buckets; at 100 TB the
-    * width is derived from the interval table's observed width
-    * distribution once per snapshot (it is metadata-scale), and a skewed
-    * band composes with [[saltedJoin]] — the band IS the key.
+    * semantics, not first-match). `bandWidth` defaults to the
+    * DATA-DERIVED [[bandWidthFor]] rule (median width, floored so the
+    * widest interval replicates ≤ 64×); pass an explicit width only when
+    * the distribution is known a priori. Either way a GUARD fails the job
+    * loudly — at plan execution, no extra pass — if any interval would
+    * replicate into more than `maxReplication` bands (an explicit width
+    * chosen badly against a pathological wide interval), instead of
+    * silently materializing millions of band rows. A skewed band composes
+    * with [[saltedJoin]] — the band IS the key.
     */
   def intervalJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
-      loCol: String, hiCol: String, bandWidth: Double): DataFrame = {
-    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
-    val pb = points.withColumn("__band", floor(col(pointCol) / bandWidth).cast("long"))
-    val ib = intervals.withColumn("__band",
-      explode(sequence(floor(col(loCol) / bandWidth).cast("long"),
-        floor(col(hiCol) / bandWidth).cast("long"))))
+      loCol: String, hiCol: String, bandWidth: Double = Double.NaN,
+      maxReplication: Int = 64): DataFrame = {
+    val w =
+      if (bandWidth.isNaN) bandWidthFor(intervals, loCol, hiCol, maxReplication)
+      else bandWidth
+    require(w > 0, s"bandWidth must be positive, got $w")
+    val pb = points.withColumn("__band", floor(col(pointCol) / w).cast("long"))
+    val loBand = floor(col(loCol) / w).cast("long")
+    val hiBand = floor(col(hiCol) / w).cast("long")
+    // fail-loud replication guard, evaluated per interval row inside the
+    // plan: raise_error's NullType branch unifies with the band sequence
+    val bands = when(hiBand - loBand >= lit(maxReplication.toLong),
+        raise_error(format_string(
+          s"intervalJoin: interval [%s, %s] spans more than $maxReplication " +
+            s"bands at bandWidth=$w — widen bandWidth (or use bandWidthFor) " +
+            "instead of replicating this interval into that many rows",
+          col(loCol).cast("string"), col(hiCol).cast("string"))))
+      .otherwise(sequence(loBand, hiBand))
+    val ib = intervals.withColumn("__band", explode(bands))
     pb.join(ib, "__band")
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__band")

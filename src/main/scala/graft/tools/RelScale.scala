@@ -61,7 +61,12 @@ object RelScale {
     // (aggregate→max→join-back, the twice-used aggregate), and the
     // count-min heavy-hitter audit (user-set-bounded sketch)
     "rel_returned_customers", "rel_promo_revenue", "rel_filtered_revenue",
-    "rel_top_supplier", "events_heavy_hitters")
+    "rel_top_supplier", "events_heavy_hitters",
+    // round-8 addition: the point-in-interval lookup under the DATA-DERIVED
+    // band width (Scale.bandWidthFor) — probe side grows with k, the
+    // bracket table stays metadata-scale, so the curve measures the
+    // derived-width banding at growing point volume
+    "rel_interval_join")
 
   /** Key stride between replicas — far above any base key (max base key is
     * l_orderkey ≈ 6·10⁵ at sf0.1; 16 replicas stay below 2³¹ even embedded

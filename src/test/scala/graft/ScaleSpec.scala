@@ -155,19 +155,74 @@ class ScaleSpec extends AnyFunSuite {
     val points = Seq((100L, 0.0), (101L, 5.0), (102L, 10.0), (103L, 12.5),
       (104L, 20.0), (105L, 27.0), (106L, 139.99), (107L, 140.0), (108L, 141.0))
       .toDF("pid", "p")
+    // (maxReplication raised for the w=1.0 point: the [40,140] interval
+    // spans 101 1-wide bands, which the default guard would rightly refuse)
     for (w <- Seq(1.0, 7.0, 1000.0)) {
-      val banded = Scale.intervalJoin(points, intervals, "p", "lo", "hi", w)
+      val banded = Scale.intervalJoin(points, intervals, "p", "lo", "hi", w,
+          maxReplication = 200)
         .select($"pid".as[Long], $"iid".as[Long]).collect().toSeq.sorted
       val naive = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
         .select($"pid".as[Long], $"iid".as[Long]).collect().toSeq.sorted
       assert(banded == naive, s"bandWidth=$w: $banded != $naive")
     }
+    // DERIVED width (no constant supplied) recovers the same result set
+    val derived = Scale.intervalJoin(points, intervals, "p", "lo", "hi")
+      .select($"pid".as[Long], $"iid".as[Long]).collect().toSeq.sorted
+    val naiveAll = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+      .select($"pid".as[Long], $"iid".as[Long]).collect().toSeq.sorted
+    assert(derived == naiveAll)
     // sanity on the fixture: the overlap really produces multi-matches and
     // the inverted interval matches nothing
     val naive = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
       .select($"pid".as[Long], $"iid".as[Long]).collect()
     assert(naive.count(_._1 == 101L) == 2)
     assert(!naive.exists(_._2 == 3L))
+  }
+
+  test("bandWidthFor: median rule, catch-all floor, closed form, degenerate fail-loud") {
+    // median width drives the answer: widths {2, 4, 100} -> median 4,
+    // floor 100/64 < 4, so w = 4
+    val mixed = Seq((0.0, 2.0), (10.0, 14.0), (0.0, 100.0)).toDF("lo", "hi")
+    assert(Scale.bandWidthFor(mixed, "lo", "hi") == 4.0)
+    // a pathological catch-all: median 2, max 100000 -> the floor wins and
+    // caps the wide interval's replication at maxReplication bands
+    val catchAll = Seq((0.0, 2.0), (1.0, 3.0), (0.0, 100000.0)).toDF("lo", "hi")
+    val w = Scale.bandWidthFor(catchAll, "lo", "hi")
+    assert(w == 100000.0 / 64)
+    assert(math.ceil(100000.0 / w) <= 64)
+    // CLOSED FORM the bandJoin delegation relies on: constant-width
+    // implicit intervals [v-eps, v+eps] derive exactly 2*eps
+    val eps = 0.25
+    val const = Seq(-1.25, 0.0, 0.49, 1.26).toDF("v")
+      .select(($"v" - eps).as("lo"), ($"v" + eps).as("hi"))
+    assert(Scale.bandWidthFor(const, "lo", "hi") == 2 * eps)
+    // degenerate inputs fail loudly instead of dividing by zero downstream
+    val e1 = intercept[IllegalArgumentException] {
+      Scale.bandWidthFor(Seq((1.0, 1.0), (2.0, 2.0)).toDF("lo", "hi"), "lo", "hi")
+    }
+    assert(e1.getMessage.contains("point"))
+    val e2 = intercept[IllegalArgumentException] {
+      Scale.bandWidthFor(Seq.empty[(Double, Double)].toDF("lo", "hi"), "lo", "hi")
+    }
+    assert(e2.getMessage.contains("empty"))
+  }
+
+  test("intervalJoin replication guard: a pathologically wide interval fails loudly") {
+    val points = Seq((1L, 5.0)).toDF("pid", "p")
+    val intervals = Seq((0L, 0.0, 10.0), (1L, 0.0, 100000.0)).toDF("iid", "lo", "hi")
+    // explicit narrow width: the catch-all would replicate into 100000
+    // band rows — the in-plan guard raises instead of materializing them
+    val e = intercept[Exception] {
+      Scale.intervalJoin(points, intervals, "p", "lo", "hi", bandWidth = 1.0).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("spans more than") ||
+        e.getCause != null && e.getCause.getMessage.contains("spans more than")))
+    // the DERIVED width on the same table sails through (the floor caps
+    // the catch-all at <= 64 bands) and matches the naive join
+    val got = Scale.intervalJoin(points, intervals, "p", "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L), (1L, 1L)))
   }
 
   test("band join equals the naive inequality cross-join, incl. negatives") {
