@@ -83,8 +83,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = named.collect { case (k, _) if !errorNames.contains(k) => best(k) }.sum
     val errorNamesJson = errors.map(e => jq(e._1)).mkString("[", ",", "]")
+    // HEADLINE the 5 slowest FIRST passes (cold cost): a min-of-iters
+    // `queries` map hides a pathological cold run (r7's 97.7 s sink write
+    // was invisible in the total), and the `passes` tail can be truncated
+    // away — so the cold outliers go near the line head where any prefix
+    // of the artifact still shows them
+    val coldTop = named
+      .flatMap { case (k, _) => passes.getOrElse(k, Nil).headOption.map(t => k -> t.abs) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, t) => s"${jq(k)}:$t" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n_errors":${errors.size},""" +
+        s""""max_iter1":$coldTop,""" +
         s""""queries":$qs$errJson,"passes":$passJson,"iters":$iters,""" +
         s""""order":"sorted","sf":${jq(sfDir)},"error_names":$errorNamesJson}"""
     println(line)

@@ -482,11 +482,14 @@ object SparkEntry {
     // provenance rollup of the near-dup graph: source x source pair matrix
     "dedup_source_matrix" -> ((s, dir) =>
       Dedup.dupSourceMatrix(Tables.documents(s, dir))),
-    // sketch aggregates: engine-specific, intentionally no oracle (rows-only)
-    "rel_approx_stats" -> ((s, dir) => Relational.approxStats(s, dir)),
-    // ...and their driver-CHECKABLE accuracy gate: exact values + boolean
-    // tolerance verdicts, oracled with literal TRUEs — a sketch regression
-    // flips a boolean and fails the hash compare (VERDICT r2 item 7)
+    // sketch aggregates, via their driver-CHECKABLE accuracy gate: exact
+    // values + boolean tolerance verdicts, oracled with literal TRUEs — a
+    // sketch regression flips a boolean and fails the hash compare. (The
+    // raw-sketch-values twin `Relational.approxStats` stays available as an
+    // operator, bounds-gated in RelationalSpec; it is deliberately NOT a
+    // registered entry because engine-specific sketch values can never
+    // hash-match a DuckDB oracle, and an ungated entry invites drift —
+    // every registered query below is hash-gated.)
     "rel_approx_bounds" -> ((s, dir) => Relational.approxBounds(s, dir)),
     // — events / time-series surface (SURVEY.md §7.7) —
     "events_hourly" -> ((s, dir) => Events.hourlyRollup(s, dir)),

@@ -72,10 +72,14 @@ object Events {
           "The testdata generator likely changed encodings again; extend " +
           "Events.events with the new branch.")
     }
-    // one canonical column order whichever branch produced it
-    normalized.select(
-      col("event_id"), col("ts_ns"), col("user_id"), col("event_type"),
-      col("value"), col("props"), col("ts_us"), col("ts"))
+    // one canonical column order whichever branch produced it — then any
+    // EXTRA columns in their schema order: additive generator evolution is
+    // declared legal by Tables.assertExpectedSchema ("extra columns are
+    // ignored" means not policed — not silently dropped from the reader)
+    val canonical = Seq("event_id", "ts_ns", "user_id", "event_type",
+      "value", "props", "ts_us", "ts")
+    val extras = normalized.columns.filterNot(canonical.contains).toSeq
+    normalized.select((canonical ++ extras).map(col): _*)
   }
 
   /** The events table re-materialized PARTITIONED BY integer epoch day —

@@ -347,4 +347,22 @@ class EventsSpec extends AnyFunSuite {
     val expectUs = base.map(_._2).toSet
     assert(outs(0).map(r => r(2).asInstanceOf[Long]) == expectUs, "ts_us must be the stored epoch micros")
   }
+
+  test("events reader passes EXTRA generator columns through, after the canonical eight") {
+    import org.apache.spark.sql.functions._
+    // additive schema evolution is declared legal — a new generator column
+    // must survive the reader (appended after the canonical columns), not
+    // silently disappear downstream
+    val d = java.nio.file.Files.createTempDirectory("graft_enc_extra").toString
+    Seq((1L, 1700000000123456L, 10L, "click", 1.5, "{}", "web", 42L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props",
+        "channel", "shard")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .write.parquet(s"$d/events.parquet")
+    val out = Events.events(spark, d)
+    assert(out.columns.toSeq == Seq("event_id", "ts_ns", "user_id", "event_type",
+      "value", "props", "ts_us", "ts", "channel", "shard"))
+    val r = out.select($"channel".as[String], $"shard".as[Long]).head()
+    assert(r == ("web", 42L))
+  }
 }

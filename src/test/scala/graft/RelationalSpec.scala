@@ -5,11 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Relational
 import graft.sources.Tables
 
-/** Bounds for the one deliberately oracle-less query: `rel_approx_stats`
-  * uses engine-specific sketches (HLL++, approx_percentile), so no DuckDB
-  * hash-compare exists — instead the sketches are checked against the EXACT
-  * answers computed by the same engine: HLL distinct counts within the
-  * configured relative error envelope, the approximate median inside the
+/** Bounds for the deliberately oracle-less OPERATOR `Relational.approxStats`
+  * (not a registered entry — engine-specific sketch values can never
+  * hash-match a DuckDB oracle, so the registry carries its tolerance-gate
+  * twin `rel_approx_bounds` instead): the sketches are checked against the
+  * EXACT answers computed by the same engine — HLL distinct counts within
+  * the configured relative error envelope, the approximate median inside the
   * exact p40–p60 band. Both sketches are deterministic for fixed data, so
   * this is a stable regression gate, not a flaky tolerance test.
   */
@@ -137,7 +138,7 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == Set((2L, 35L), (9L, 39L)), s"got $got")
   }
 
-  test("rel_approx_stats sketches stay inside exact-answer bounds") {
+  test("approxStats sketches stay inside exact-answer bounds") {
     val approx = Relational.approxStats(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap
     val li = Tables.lineitem(spark, dir)
@@ -315,6 +316,25 @@ class RelationalSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select(cols.map(col): _*).collect().map(_.toSeq.toList).toSet
     assert(rows(reapplied) == rows(neu))
+  }
+
+  test("snapshot diff: key-only snapshots diff by membership; duplicate keys fail loudly") {
+    // no value columns: `changed` folds over lit(false) instead of
+    // reduce-throwing on the empty column list; the diff is pure I/D
+    val oldK = Seq(1L, 2L, 3L).toDF("k")
+    val newK = Seq(2L, 3L, 4L).toDF("k")
+    val d = Relational.snapshotDiff(oldK, newK, "k")
+      .select($"k".as[Long], $"op".as[String]).collect().toSet
+    assert(d == Set((1L, "D"), (4L, "I")))
+    // a duplicated key breaks the apply∘diff algebra — enforced in-plan
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val clean = Seq((1L, "a"), (2L, "c")).toDF("k", "v")
+    val e = intercept[Exception] {
+      Relational.snapshotDiff(dup, clean, "k").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicated within a snapshot")), s"wrong error: $e")
   }
 
   test("Q15 shape: winners carry exactly the max per-supplier revenue") {
