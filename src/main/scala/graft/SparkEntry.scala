@@ -680,6 +680,57 @@ object SparkEntry {
     // real RIFF/AVI containers demuxed by the same chunk-walker discipline:
     // header fields, order-sensitive frame checksum, every-5th-frame sample
     "multimodal_video" -> ((s, dir) => Multimodal.videoFeatures(s, dir)),
+    // 48-bit audio fingerprint — the shared dhash48 kernel at PCM-sample
+    // granularity (adjacent-chunk energy comparisons off the DECODED
+    // samples; a container/endianness bug upstream breaks the hash)
+    "multimodal_audio_fp" -> ((s, dir) => Multimodal.audioFps(s, dir)),
+    // audio near-dup: fingerprints through the sharded pigeonhole index +
+    // exact Hamming verify — the audio twin of multimodal_phash_pairs
+    "multimodal_audio_pairs" -> ((s, dir) => Multimodal.audioNearDupPairs(s, dir)),
+    // incremental audio dedup vs the persisted 8-byte-per-clip index;
+    // first 4/5 of docs play the corpus, last 1/5 today's batch
+    "multimodal_audio_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val split = docs.count() * 4 / 5
+      val sfName = new java.io.File(dir).getName
+      val base = s"graft_afpidx_d48k4_${sfName}_"
+      val keep = base +
+        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      Tables.cleanStaleExports(tmp, base, keep)
+      val idx = s"$tmp/$keep"
+      if (!Multimodal.audioFpIndexExists(idx))
+        Multimodal.buildAudioFpIndex(
+          Multimodal.audioFingerprintsOf(
+            Multimodal.audioBlobsOf(docs.where(col("doc_id") < split))), idx)
+      Multimodal.audioDedupAgainst(idx,
+        Multimodal.audioFingerprintsOf(
+          Multimodal.audioBlobsOf(docs.where(col("doc_id") >= split))))
+    }),
+    // 48-bit video fingerprint — dhash48 at FRAME granularity (per-frame
+    // energy sums in demux order; a reordered/dropped frame flips bits)
+    "multimodal_video_fp" -> ((s, dir) => Multimodal.videoFps(s, dir)),
+    "multimodal_video_pairs" -> ((s, dir) => Multimodal.videoNearDupPairs(s, dir)),
+    "multimodal_video_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val split = docs.count() * 4 / 5
+      val sfName = new java.io.File(dir).getName
+      val base = s"graft_vfpidx_d48k4_${sfName}_"
+      val keep = base +
+        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      Tables.cleanStaleExports(tmp, base, keep)
+      val idx = s"$tmp/$keep"
+      if (!Multimodal.videoFpIndexExists(idx))
+        Multimodal.buildVideoFpIndex(
+          Multimodal.videoFingerprintsOf(
+            Multimodal.videoBlobsOf(docs.where(col("doc_id") < split))), idx)
+      Multimodal.videoDedupAgainst(idx,
+        Multimodal.videoFingerprintsOf(
+          Multimodal.videoBlobsOf(docs.where(col("doc_id") >= split))))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2492,6 +2543,130 @@ object SparkEntry {
         |     k -> CASE WHEN (k - 1) % 5 = 0 THEN fsums[k] ELSE 0 END)) AS BIGINT)
         |    AS sampled_sum
         |FROM f""".stripMargin,
+    // the audio fingerprint oracle replays the shared dhash48 rule at
+    // SAMPLE granularity: sample p = (code_p − 64)·256, h = ceil(n/48),
+    // chunk j sums samples j·h+1 .. j·h+h (past-the-end -> 0), bit j iff
+    // cs[j] > cs[(j+1) mod 48]. A WAV walker or endianness bug upstream
+    // changes the samples and breaks the hash.
+    "multimodal_audio_fp" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(text)),
+        |    i -> ((ascii(text[i]) - 64) * 256)::BIGINT) AS smp,
+        |  ((len(text) - 1) // 48 + 1)::BIGINT AS h
+        |  FROM documents WHERE length(text) > 0),
+        |t AS (SELECT doc_id, list_transform(generate_series(0, 47), j ->
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(j*h + 1, j*h + h), p -> coalesce(smp[p], 0))), 0)::BIGINT) AS cs
+        |  FROM c)
+        |SELECT doc_id, list_sum(list_transform(generate_series(0, 47), j ->
+        |  CASE WHEN cs[j + 1] > cs[(j + 1) % 48 + 1]
+        |  THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS afp
+        |FROM t""".stripMargin,
+    // pairs oracle joins on the FLAT 4x12-bit chunks — a hash match proves
+    // both the fingerprint replay and that the sharded-key engine path is
+    // lossless at Hamming <= 3 (equal result sets by pigeonhole)
+    "multimodal_audio_pairs" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(text)),
+        |    i -> ((ascii(text[i]) - 64) * 256)::BIGINT) AS smp,
+        |  ((len(text) - 1) // 48 + 1)::BIGINT AS h
+        |  FROM documents WHERE length(text) > 0),
+        |t AS (SELECT doc_id, list_transform(generate_series(0, 47), j ->
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(j*h + 1, j*h + h), p -> coalesce(smp[p], 0))), 0)::BIGINT) AS cs
+        |  FROM c),
+        |fp AS (SELECT doc_id, list_sum(list_transform(generate_series(0, 47), j ->
+        |  CASE WHEN cs[j + 1] > cs[(j + 1) % 48 + 1]
+        |  THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS afp FROM t),
+        |chunked AS (SELECT doc_id, afp, unnest(list_transform(generate_series(0, 3),
+        |  c -> c::VARCHAR || ':' || ((afp >> (c*12)) & 4095)::VARCHAR)) AS chunk FROM fp),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
+        |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    // serve-path oracle is the BARE batch x corpus Hamming join (split on
+    // total doc count to mirror the Scala split)
+    "multimodal_audio_incremental" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(text)),
+        |    i -> ((ascii(text[i]) - 64) * 256)::BIGINT) AS smp,
+        |  ((len(text) - 1) // 48 + 1)::BIGINT AS h
+        |  FROM documents WHERE length(text) > 0),
+        |t AS (SELECT doc_id, list_transform(generate_series(0, 47), j ->
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(j*h + 1, j*h + h), p -> coalesce(smp[p], 0))), 0)::BIGINT) AS cs
+        |  FROM c),
+        |fp AS (SELECT doc_id, list_sum(list_transform(generate_series(0, 47), j ->
+        |  CASE WHEN cs[j + 1] > cs[(j + 1) % 48 + 1]
+        |  THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS afp FROM t),
+        |sp AS (SELECT count(*) * 4 // 5 AS split FROM documents)
+        |SELECT b.doc_id, a.doc_id AS dup_of,
+        |  bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
+        |FROM fp a JOIN fp b ON bit_count(xor(a.afp, b.afp)) <= 3, sp
+        |WHERE a.doc_id < sp.split AND b.doc_id >= sp.split""".stripMargin,
+    // the video fingerprint oracle replays dhash48 at FRAME granularity:
+    // frame k's energy = Σ_j (code_k·7 + j·13) mod 256, then the same
+    // chunk-sum comparison rule over the frame-sum sequence
+    "multimodal_video_fp" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id,
+        |  list_transform(codes, cd -> (list_sum(
+        |    list_transform(generate_series(0, 15), j -> (cd * 7 + j * 13) % 256)))::BIGINT) AS fsums,
+        |  ((len(codes) - 1) // 48 + 1)::BIGINT AS h
+        |  FROM c),
+        |t AS (SELECT doc_id, list_transform(generate_series(0, 47), j ->
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(j*h + 1, j*h + h), p -> coalesce(fsums[p], 0))), 0)::BIGINT) AS cs
+        |  FROM f)
+        |SELECT doc_id, list_sum(list_transform(generate_series(0, 47), j ->
+        |  CASE WHEN cs[j + 1] > cs[(j + 1) % 48 + 1]
+        |  THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS vfp
+        |FROM t""".stripMargin,
+    "multimodal_video_pairs" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id,
+        |  list_transform(codes, cd -> (list_sum(
+        |    list_transform(generate_series(0, 15), j -> (cd * 7 + j * 13) % 256)))::BIGINT) AS fsums,
+        |  ((len(codes) - 1) // 48 + 1)::BIGINT AS h
+        |  FROM c),
+        |t AS (SELECT doc_id, list_transform(generate_series(0, 47), j ->
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(j*h + 1, j*h + h), p -> coalesce(fsums[p], 0))), 0)::BIGINT) AS cs
+        |  FROM f),
+        |fp AS (SELECT doc_id, list_sum(list_transform(generate_series(0, 47), j ->
+        |  CASE WHEN cs[j + 1] > cs[(j + 1) % 48 + 1]
+        |  THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS vfp FROM t),
+        |chunked AS (SELECT doc_id, vfp, unnest(list_transform(generate_series(0, 3),
+        |  c -> c::VARCHAR || ':' || ((vfp >> (c*12)) & 4095)::VARCHAR)) AS chunk FROM fp),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.vfp, b.vfp))::BIGINT AS hamming
+        |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    "multimodal_video_incremental" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(text)), i -> ascii(text[i])::BIGINT) AS codes
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id,
+        |  list_transform(codes, cd -> (list_sum(
+        |    list_transform(generate_series(0, 15), j -> (cd * 7 + j * 13) % 256)))::BIGINT) AS fsums,
+        |  ((len(codes) - 1) // 48 + 1)::BIGINT AS h
+        |  FROM c),
+        |t AS (SELECT doc_id, list_transform(generate_series(0, 47), j ->
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(j*h + 1, j*h + h), p -> coalesce(fsums[p], 0))), 0)::BIGINT) AS cs
+        |  FROM f),
+        |fp AS (SELECT doc_id, list_sum(list_transform(generate_series(0, 47), j ->
+        |  CASE WHEN cs[j + 1] > cs[(j + 1) % 48 + 1]
+        |  THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS vfp FROM t),
+        |sp AS (SELECT count(*) * 4 // 5 AS split FROM documents)
+        |SELECT b.doc_id, a.doc_id AS dup_of,
+        |  bit_count(xor(a.vfp, b.vfp))::BIGINT AS hamming
+        |FROM fp a JOIN fp b ON bit_count(xor(a.vfp, b.vfp)) <= 3, sp
+        |WHERE a.doc_id < sp.split AND b.doc_id >= sp.split""".stripMargin,
     "book_query_ref" -> bookQueryRefSql,
     // identical semantics — the Spark side differs only in INGESTION (text
     // files through the wholetext source instead of parquet)

@@ -218,6 +218,122 @@ object Multimodal {
   def resized(spark: SparkSession, dir: String): DataFrame =
     resizeBlobs(spark, dir).toDF()
 
+  // ---------------------------------------------------- fingerprint kernel
+
+  /** Shared 48-bit block-DIFFERENCE fingerprint (dHash family) over any
+    * per-item value stream — the ONE hashing rule all three modalities use
+    * (image: channel bytes; audio: PCM samples; video: per-frame byte
+    * sums). The stream of `n` values splits into 48 chunks of
+    * `h = ceil(n/48)` (positions past `n` contribute 0 — the same zero
+    * padding the image raster carries physically), and bit j is set iff
+    * chunk j's sum EXCEEDS chunk (j+1) mod 48's. Pure integer comparisons:
+    * any engine replays the bits exactly, which is what lets the DuckDB
+    * oracles hash-gate every modality's fingerprint.
+    */
+  private[graft] def dhash48(n: Int, value: Int => Long): Long = {
+    val h = (n + 47) / 48
+    val cs = new Array[Long](48)
+    var j = 0
+    while (j < 48) {
+      var s = 0L
+      var p = j * h
+      val end = math.min(p + h, n)
+      while (p < end) { s += value(p); p += 1 }
+      cs(j) = s
+      j += 1
+    }
+    var hash = 0L
+    j = 0
+    while (j < 48) {
+      if (cs(j) > cs((j + 1) % 48)) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
+  /** Generic fingerprint near-dup pairs: (doc_id, `fpCol`) frame joined
+    * through the lossless SHARDED pigeonhole chunk index
+    * ([[graft.functions.HashFunctions.simhashShardedChunkKeys]]), then
+    * exact Hamming verify — one kernel behind the image/audio/video pair
+    * sweeps. Output: (doc_a, doc_b, hamming).
+    */
+  private[graft] def fpNearDupPairsOf(fps: DataFrame, fpCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-chunk index is only lossless for Hamming <= 3")
+    val chunked = fps.select(col("doc_id"), col(fpCol),
+      explode(graft.functions.HashFunctions.simhashShardedChunkKeys(col(fpCol))).as("chunk"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.functions.HashFunctions.hamming(col(s"a.$fpCol"), col(s"b.$fpCol")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  /** Persist a fingerprint-dedup index: ONE parquet table of
+    * (doc_id, fingerprint) under `$path/$table` — 8 bytes per item is the
+    * entire serving state (chunk keys re-derive at serve time). `_DONE`-
+    * marked: a crash mid-build leaves an index serves refuse.
+    */
+  private[graft] def buildFpIndexAt(fps: DataFrame, path: String, table: String): Unit = {
+    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.delete(done, false)
+    fps.write.mode("overwrite").parquet(s"$path/$table")
+    fs.create(done, true).close()
+  }
+
+  private[graft] def fpIndexExistsAt(path: String): Boolean = {
+    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
+    done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf()).exists(done)
+  }
+
+  /** Append a batch of fingerprints to a persisted index — nightly growth
+    * without a full rebuild. `_DONE` drops during the append and re-creates
+    * after; a crashed BUILD (no committed `$table/_SUCCESS`) cannot be
+    * repaired by extend and is a loud error. Spec-pinned per modality:
+    * build(corpus) + extend(batch) serves identically to
+    * build(corpus ∪ batch).
+    */
+  private[graft] def extendFpIndexAt(indexPath: String, fps: DataFrame,
+      table: String): Unit = {
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, s"$table/_SUCCESS")),
+      s"fingerprint index at $indexPath is missing or uncommitted — " +
+        "a crashed build cannot be repaired by extend; rebuild the index")
+    fs.delete(done, false)
+    fps.write.mode("append").parquet(s"$indexPath/$table")
+    fs.create(done, true).close()
+  }
+
+  /** Incremental fingerprint dedup vs a PERSISTED index: batch and corpus
+    * both band into the sharded pigeonhole chunk keys, equi-join, exact
+    * Hamming verify — losslessly equal to the bare batch×corpus
+    * Hamming ≤ maxDist join (the oracle). Serve cost scales with the batch
+    * and the index's fingerprint table — never with corpus media bytes.
+    * Output: (doc_id, dup_of, hamming).
+    */
+  private[graft] def fpDedupAgainstAt(indexPath: String, batch: DataFrame,
+      table: String, fpCol: String, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-chunk index is only lossless for Hamming <= 3")
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_DONE")),
+      s"fingerprint index at $indexPath is absent or half-built (_DONE missing) — refusing to serve")
+    val chunksOf = (df: DataFrame) => df.select(col("doc_id"), col(fpCol),
+      explode(graft.functions.HashFunctions.simhashShardedChunkKeys(col(fpCol))).as("chunk"))
+    val corpus = chunksOf(spark.read.parquet(s"$indexPath/$table"))
+      .select(col("doc_id").as("dup_of"), col(fpCol).as("__c_fp"), col("chunk"))
+    chunksOf(Scale.maybeBroadcast(batch))
+      .join(corpus, Seq("chunk"))
+      .select(col("doc_id"), col("dup_of"),
+        graft.functions.HashFunctions.hamming(col(fpCol), col("__c_fp")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
   case class PHashRow(doc_id: Long, phash: Long)
 
   /** 48-bit BLOCK-DIFFERENCE PERCEPTUAL HASH (dHash family) over the
@@ -242,24 +358,10 @@ object Multimodal {
     import spark.implicits._
     imageBlobsOf(docs).mapPartitions { rows =>
       rows.map { r =>
-        val (_, h, ch) = decodeImage(r.payload)
-        val cs = new Array[Long](48)
-        var j = 0
-        while (j < 48) {
-          var s = 0L
-          var p = j * h
-          val end = p + h
-          while (p < end) { s += ch(p); p += 1 }
-          cs(j) = s
-          j += 1
-        }
-        var hash = 0L
-        j = 0
-        while (j < 48) {
-          if (cs(j) > cs((j + 1) % 48)) hash |= 1L << j
-          j += 1
-        }
-        PHashRow(r.doc_id, hash)
+        val (_, _, ch) = decodeImage(r.payload)
+        // raster length is exactly 48·h bytes (zero-padded final row), so
+        // the shared kernel's ceil-chunking reproduces the h-byte chunks
+        PHashRow(r.doc_id, dhash48(ch.length, i => ch(i).toLong))
       }
     }
   }
@@ -281,18 +383,8 @@ object Multimodal {
     * flat 4096-bucket chunk table saturates (measured 7.0× wall at 16×
     * images before the refinement). Output: (doc_a, doc_b, hamming).
     */
-  def phashNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4-chunk index is only lossless for Hamming <= 3")
-    val fps = phashes(spark, dir)
-    val chunked = fps.select(col("doc_id"), col("phash"),
-      explode(graft.functions.HashFunctions.simhashShardedChunkKeys(col("phash"))).as("chunk"))
-    chunked.as("a").join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        graft.functions.HashFunctions.hamming(col("a.phash"), col("b.phash")).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxDist)
-  }
+  def phashNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    fpNearDupPairsOf(phashes(spark, dir), "phash", maxDist)
 
   /** Persist the image-dedup index: ONE parquet table of (doc_id, phash) —
     * 8 bytes of fingerprint per image is the entire serving state (the
@@ -302,18 +394,10 @@ object Multimodal {
     * `_DONE`-marked like the text/vector indexes: a crash mid-build leaves
     * an index [[phashDedupAgainst]] refuses to serve.
     */
-  def buildPhashIndex(images: Dataset[PHashRow], path: String): Unit = {
-    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
-    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    fs.delete(done, false)
-    images.toDF().write.mode("overwrite").parquet(s"$path/phashes")
-    fs.create(done, true).close()
-  }
+  def buildPhashIndex(images: Dataset[PHashRow], path: String): Unit =
+    buildFpIndexAt(images.toDF(), path, "phashes")
 
-  def phashIndexExists(path: String): Boolean = {
-    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
-    done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf()).exists(done)
-  }
+  def phashIndexExists(path: String): Boolean = fpIndexExistsAt(path)
 
   /** Append a new batch of fingerprints to a persisted phash index — the
     * image twin of [[graft.operators.Dedup.extendDedupIndex]]: nightly
@@ -324,16 +408,8 @@ object Multimodal {
     * Spec-pinned: build(corpus) + extend(batch) serves identically to
     * build(corpus ∪ batch).
     */
-  def extendPhashIndex(indexPath: String, images: Dataset[PHashRow]): Unit = {
-    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
-    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "phashes/_SUCCESS")),
-      s"phash index at $indexPath is missing or uncommitted — " +
-        "a crashed build cannot be repaired by extend; run buildPhashIndex")
-    fs.delete(done, false)
-    images.toDF().write.mode("append").parquet(s"$indexPath/phashes")
-    fs.create(done, true).close()
-  }
+  def extendPhashIndex(indexPath: String, images: Dataset[PHashRow]): Unit =
+    extendFpIndexAt(indexPath, images.toDF(), "phashes")
 
   /** INCREMENTAL image dedup — the image twin of `Dedup.dedupAgainst` /
     * `EmbeddingSearch.vecDedupAgainst`: a new batch of images is checked
@@ -350,24 +426,8 @@ object Multimodal {
     * one row per (batch image, matching corpus image).
     */
   def phashDedupAgainst(indexPath: String, batch: Dataset[PHashRow],
-      maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4-chunk index is only lossless for Hamming <= 3")
-    val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_DONE")),
-      s"phash index at $indexPath is absent or half-built (_DONE missing) — refusing to serve")
-    val chunksOf = (df: DataFrame) => df.select(col("doc_id"), col("phash"),
-      explode(graft.functions.HashFunctions.simhashShardedChunkKeys(col("phash"))).as("chunk"))
-    val corpus = chunksOf(spark.read.parquet(s"$indexPath/phashes"))
-      .select(col("doc_id").as("dup_of"), col("phash").as("c_phash"), col("chunk"))
-    chunksOf(Scale.maybeBroadcast(batch.toDF()))
-      .join(corpus, Seq("chunk"))
-      .select(col("doc_id"), col("dup_of"),
-        graft.functions.HashFunctions.hamming(col("phash"), col("c_phash")).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxDist)
-  }
+      maxDist: Int = 3): DataFrame =
+    fpDedupAgainstAt(indexPath, batch.toDF(), "phashes", "phash", maxDist)
 
   // ---------------------------------------------------------------- audio
 
@@ -385,9 +445,10 @@ object Multimodal {
     * fixed offsets instead of walking chunks breaks on them (the spec
     * pins that [[decodeWav]] doesn't).
     */
-  def audioBlobs(spark: SparkSession, dir: String): Dataset[AudioRow] = {
+  def audioBlobsOf(docs: DataFrame): Dataset[AudioRow] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .where(length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -397,6 +458,9 @@ object Multimodal {
         }
       }
   }
+
+  def audioBlobs(spark: SparkSession, dir: String): Dataset[AudioRow] =
+    audioBlobsOf(Tables.documents(spark, dir))
 
   private def encodeWav(text: String, withListChunk: Boolean): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
@@ -508,6 +572,56 @@ object Multimodal {
     }.toDF()
   }
 
+  case class AudioFpRow(doc_id: Long, afp: Long)
+
+  /** 48-bit AUDIO fingerprint over the DECODED PCM samples — the audio
+    * member of the shared [[dhash48]] family: the sample stream splits into
+    * 48 equal chunks (h = ceil(n/48), tail zero-padded) and bit j compares
+    * adjacent chunk ENERGY sums (circular). Adjacent-chunk differences are
+    * robust to the global-gain changes a re-encode introduces (every chunk
+    * sum scales together, comparisons survive) — the same reasoning that
+    * picked dHash over aHash for images. Decode + hash is one shuffle-free
+    * map pass; 8 bytes of fingerprint per clip is all that travels.
+    */
+  def audioFingerprintsOf(audio: Dataset[AudioRow]): Dataset[AudioFpRow] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, samples) = decodeWav(r.payload)
+        AudioFpRow(r.doc_id, dhash48(samples.length, i => samples(i).toLong))
+      }
+    }
+  }
+
+  def audioFingerprints(spark: SparkSession, dir: String): Dataset[AudioFpRow] =
+    audioFingerprintsOf(audioBlobs(spark, dir))
+
+  def audioFps(spark: SparkSession, dir: String): DataFrame =
+    audioFingerprints(spark, dir).toDF()
+
+  /** AUDIO NEAR-DUP pairs — fingerprints through the sharded pigeonhole
+    * index + exact Hamming verify, the audio twin of [[phashNearDupPairs]].
+    * Output: (doc_a, doc_b, hamming).
+    */
+  def audioNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    fpNearDupPairsOf(audioFps(spark, dir), "afp", maxDist)
+
+  def buildAudioFpIndex(fps: Dataset[AudioFpRow], path: String): Unit =
+    buildFpIndexAt(fps.toDF(), path, "afps")
+
+  def audioFpIndexExists(path: String): Boolean = fpIndexExistsAt(path)
+
+  def extendAudioFpIndex(indexPath: String, fps: Dataset[AudioFpRow]): Unit =
+    extendFpIndexAt(indexPath, fps.toDF(), "afps")
+
+  /** Incremental audio dedup vs the persisted fingerprint index — the audio
+    * twin of [[phashDedupAgainst]]; output (doc_id, dup_of, hamming).
+    */
+  def audioDedupAgainst(indexPath: String, batch: Dataset[AudioFpRow],
+      maxDist: Int = 3): DataFrame =
+    fpDedupAgainstAt(indexPath, batch.toDF(), "afps", "afp", maxDist)
+
   // ------------------------------------------------------------------ video
 
   private val VideoW = 4
@@ -527,9 +641,10 @@ object Multimodal {
     * offsets instead of walking chunks breaks on them (the spec pins that
     * [[decodeAvi]] doesn't).
     */
-  def videoBlobs(spark: SparkSession, dir: String): Dataset[VideoRow] = {
+  def videoBlobsOf(docs: DataFrame): Dataset[VideoRow] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .where(length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -539,6 +654,9 @@ object Multimodal {
         }
       }
   }
+
+  def videoBlobs(spark: SparkSession, dir: String): Dataset[VideoRow] =
+    videoBlobsOf(Tables.documents(spark, dir))
 
   private def encodeAvi(text: String, withJunkChunk: Boolean): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
@@ -682,4 +800,64 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  case class VideoFpRow(doc_id: Long, vfp: Long)
+
+  /** 48-bit VIDEO fingerprint over the DEMUXED frame sequence — the video
+    * member of the shared [[dhash48]] family, hashed at FRAME granularity:
+    * the per-frame byte sums (one energy scalar per frame, order preserved)
+    * split into 48 equal chunks and bit j compares adjacent chunk sums.
+    * Frame-level hashing is what makes this a VIDEO fingerprint rather than
+    * a bag-of-pixels one: re-encoded copies that keep the frame sequence
+    * collapse, while a reordered or re-cut frame sequence moves energy
+    * across chunk boundaries and flips difference bits. One demux + hash
+    * map pass; 8 bytes per video travels into the joins.
+    */
+  def videoFingerprintsOf(video: Dataset[VideoRow]): Dataset[VideoFpRow] = {
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, _, _, frames) = decodeAvi(r.payload)
+        val fsums = new Array[Long](frames.length)
+        var k = 0
+        while (k < frames.length) {
+          val f = frames(k)
+          var s = 0L
+          var j = 0
+          while (j < f.length) { s += f(j) & 0xff; j += 1 }
+          fsums(k) = s
+          k += 1
+        }
+        VideoFpRow(r.doc_id, dhash48(fsums.length, fsums(_)))
+      }
+    }
+  }
+
+  def videoFingerprints(spark: SparkSession, dir: String): Dataset[VideoFpRow] =
+    videoFingerprintsOf(videoBlobs(spark, dir))
+
+  def videoFps(spark: SparkSession, dir: String): DataFrame =
+    videoFingerprints(spark, dir).toDF()
+
+  /** VIDEO NEAR-DUP pairs — the video twin of [[phashNearDupPairs]];
+    * output (doc_a, doc_b, hamming).
+    */
+  def videoNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    fpNearDupPairsOf(videoFps(spark, dir), "vfp", maxDist)
+
+  def buildVideoFpIndex(fps: Dataset[VideoFpRow], path: String): Unit =
+    buildFpIndexAt(fps.toDF(), path, "vfps")
+
+  def videoFpIndexExists(path: String): Boolean = fpIndexExistsAt(path)
+
+  def extendVideoFpIndex(indexPath: String, fps: Dataset[VideoFpRow]): Unit =
+    extendFpIndexAt(indexPath, fps.toDF(), "vfps")
+
+  /** Incremental video dedup vs the persisted fingerprint index — the video
+    * twin of [[phashDedupAgainst]]; output (doc_id, dup_of, hamming).
+    */
+  def videoDedupAgainst(indexPath: String, batch: Dataset[VideoFpRow],
+      maxDist: Int = 3): DataFrame =
+    fpDedupAgainstAt(indexPath, batch.toDF(), "vfps", "vfp", maxDist)
 }

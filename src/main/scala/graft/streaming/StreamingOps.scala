@@ -444,24 +444,55 @@ object StreamingOps {
     * query restart. Output: (doc_id, corpus_match, hamming).
     */
   def phashMatchesAgainstIndex(images: DataFrame, indexPath: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    fpMatchesAgainstIndexImpl(images, indexPath, "phashes", "phash", maxDist,
+      "run buildPhashIndex first")
+
+  /** The AUDIO twin of [[phashMatchesAgainstIndex]]: stateless in-stream
+    * match of audio fingerprints ([[graft.operators.Multimodal
+    * .audioFingerprintsOf]] upstream) against the persisted audio index —
+    * append mode, zero streaming state, same min-shared-key exactly-once
+    * rule. Output: (doc_id, corpus_match, hamming).
+    */
+  def audioMatchesAgainstIndex(audio: DataFrame, indexPath: String,
+      maxDist: Int = 3): DataFrame =
+    fpMatchesAgainstIndexImpl(audio, indexPath, "afps", "afp", maxDist,
+      "run buildAudioFpIndex first")
+
+  /** The VIDEO twin of [[phashMatchesAgainstIndex]] — frame-sequence
+    * fingerprints vs the persisted video index, stateless.
+    * Output: (doc_id, corpus_match, hamming).
+    */
+  def videoMatchesAgainstIndex(video: DataFrame, indexPath: String,
+      maxDist: Int = 3): DataFrame =
+    fpMatchesAgainstIndexImpl(video, indexPath, "vfps", "vfp", maxDist,
+      "run buildVideoFpIndex first")
+
+  /** The one kernel behind the three modality match streams: stream
+    * fingerprints explode into the sharded pigeonhole chunk keys, equi-join
+    * the index's `$table` fingerprint table, exact-Hamming verify, and the
+    * min-shared-key rule keeps emission at exactly one row per
+    * (stream, corpus) pair with zero streaming state.
+    */
+  private def fpMatchesAgainstIndexImpl(stream: DataFrame, indexPath: String,
+      table: String, fpCol: String, maxDist: Int, buildHint: String): DataFrame = {
     import graft.functions.HashFunctions.{simhashShardedChunkKeys, hamming}
     require(maxDist <= 3, "4-chunk index is only lossless for Hamming <= 3")
-    val spark = images.sparkSession
-    require(graft.operators.Multimodal.phashIndexExists(indexPath),
-      s"no complete phash index at $indexPath — run buildPhashIndex first")
-    val corpus = spark.read.parquet(s"$indexPath/phashes")
-      .select(col("doc_id").as("corpus_match"), col("phash").as("c_phash"),
-        explode(simhashShardedChunkKeys(col("phash"))).as("chunk"))
-    images
-      .select(col("doc_id"), col("phash"),
-        explode(simhashShardedChunkKeys(col("phash"))).as("chunk"))
+    val spark = stream.sparkSession
+    require(graft.operators.Multimodal.fpIndexExistsAt(indexPath),
+      s"no complete fingerprint index at $indexPath — $buildHint")
+    val corpus = spark.read.parquet(s"$indexPath/$table")
+      .select(col("doc_id").as("corpus_match"), col(fpCol).as("__c_fp"),
+        explode(simhashShardedChunkKeys(col(fpCol))).as("chunk"))
+    stream
+      .select(col("doc_id"), col(fpCol),
+        explode(simhashShardedChunkKeys(col(fpCol))).as("chunk"))
       .join(corpus, Seq("chunk"))
-      .where(hamming(col("phash"), col("c_phash")) <= maxDist)
+      .where(hamming(col(fpCol), col("__c_fp")) <= maxDist)
       .where(col("chunk") === array_min(array_intersect(
-        simhashShardedChunkKeys(col("phash")), simhashShardedChunkKeys(col("c_phash")))))
+        simhashShardedChunkKeys(col(fpCol)), simhashShardedChunkKeys(col("__c_fp")))))
       .select(col("doc_id"), col("corpus_match"),
-        hamming(col("phash"), col("c_phash")).as("hamming"))
+        hamming(col(fpCol), col("__c_fp")).as("hamming"))
   }
 
   /** Watermark-BOUNDED within-stream image dedup — the image twin of
@@ -483,6 +514,28 @@ object StreamingOps {
     images.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("phash")
 
+  /** The AUDIO twin of [[dedupPhashWithinWatermark]]: keep the FIRST clip
+    * per 48-bit audio fingerprint within the event-time watermark — 8 B of
+    * state per distinct live clip, state older than `delay` evicted by the
+    * engine. Same explicit trade: a duplicate arriving later than `delay`
+    * is re-admitted and the periodic batch
+    * [[graft.operators.Multimodal.audioNearDupPairs]] sweep catches it.
+    * Input carries (doc_id, afp, `tsCol`) — fingerprints from the upstream
+    * decode map stage, never waveforms.
+    */
+  def dedupAudioFpWithinWatermark(audio: DataFrame, tsCol: String, delay: String): DataFrame =
+    audio.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("afp")
+
+  /** The VIDEO twin of [[dedupPhashWithinWatermark]] — first video per
+    * frame-sequence fingerprint within the watermark; the batch
+    * [[graft.operators.Multimodal.videoNearDupPairs]] sweep is the deep
+    * clean. Input carries (doc_id, vfp, `tsCol`).
+    */
+  def dedupVideoFpWithinWatermark(video: DataFrame, tsCol: String, delay: String): DataFrame =
+    video.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("vfp")
+
   /** Per-micro-batch image dedup-vs-index with per-image VERDICTS — the
     * image twin of [[dedupAgainstIndexNear]]: each micro-batch of
     * (doc_id, phash) fingerprints runs the batch
@@ -500,15 +553,46 @@ object StreamingOps {
   def phashDedupAgainstIndexNear(images: DataFrame, indexPath: String,
       maxDist: Int = 3, extendIndex: Boolean = false)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    images.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+    fpDedupAgainstIndexNearImpl(images, indexPath, "phashes", "phash",
+      maxDist, extendIndex)(sink)
+
+  /** The AUDIO twin of [[phashDedupAgainstIndexNear]]: per-micro-batch
+    * verdicts (dup_of, hamming, status) for a stream of audio fingerprints
+    * against the persisted audio index, with the same self-extending-loop
+    * option and idempotent-by-batchId sink contract.
+    */
+  def audioDedupAgainstIndexNear(audio: DataFrame, indexPath: String,
+      maxDist: Int = 3, extendIndex: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    fpDedupAgainstIndexNearImpl(audio, indexPath, "afps", "afp",
+      maxDist, extendIndex)(sink)
+
+  /** The VIDEO twin of [[phashDedupAgainstIndexNear]]. */
+  def videoDedupAgainstIndexNear(video: DataFrame, indexPath: String,
+      maxDist: Int = 3, extendIndex: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    fpDedupAgainstIndexNearImpl(video, indexPath, "vfps", "vfp",
+      maxDist, extendIndex)(sink)
+
+  /** The one kernel behind the three modality serve tiers: each micro-batch
+    * runs the batch fingerprint-vs-index join
+    * ([[graft.operators.Multimodal.fpDedupAgainstAt]]), collapses matches
+    * to one verdict per item (closest corpus match; ties to the lowest
+    * doc_id), and hands the annotated batch to the sink; with
+    * `extendIndex` the batch's unique fingerprints join the index before
+    * the next batch (crash-replay re-appends — duplicate index rows are
+    * serving-tolerated, the loop is idempotent-at-the-index).
+    */
+  private def fpDedupAgainstIndexNearImpl(stream: DataFrame, indexPath: String,
+      table: String, fpCol: String, maxDist: Int, extendIndex: Boolean)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       import graft.operators.Multimodal
-      val sp = batch.sparkSession
-      import sp.implicits._
       val b = batch.localCheckpoint()
       try {
-        val matches = Multimodal.phashDedupAgainst(indexPath,
-          b.select(col("doc_id"), col("phash")).as[Multimodal.PHashRow], maxDist)
-        // one verdict per image: the closest corpus match wins
+        val matches = Multimodal.fpDedupAgainstAt(indexPath,
+          b.select(col("doc_id"), col(fpCol)), table, fpCol, maxDist)
+        // one verdict per item: the closest corpus match wins
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("hamming").asc, col("dup_of").asc)
         val verdicts = matches
@@ -521,8 +605,8 @@ object StreamingOps {
           sink(annotated, batchId)
           if (extendIndex) {
             val survivors = annotated.where(col("status") === "unique")
-              .select(col("doc_id"), col("phash")).as[Multimodal.PHashRow]
-            Multimodal.extendPhashIndex(indexPath, survivors)
+              .select(col("doc_id"), col(fpCol))
+            Multimodal.extendFpIndexAt(indexPath, survivors, table)
           }
         } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(annotated)
       } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)

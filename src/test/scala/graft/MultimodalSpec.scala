@@ -268,4 +268,132 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.extendPhashIndex(empty, batch)
     }
   }
+
+  test("audio fingerprint: matches an independent sample model; sharded index recovers the naive pair set") {
+    val fps = Multimodal.audioFingerprints(spark, dir).collect()
+      .map(r => r.doc_id -> r.afp).toMap
+    assert(fps.nonEmpty)
+    assert(fps.values.forall(p => p >= 0L && p < (1L << 48)), "afp must be 48-bit")
+    // independent model: PCM samples replayed from the text codes, then the
+    // shared dhash48 chunk-comparison rule — a WAV walker bug (endianness,
+    // chunk offsets) would break this before it broke the oracle
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def model(text: String): Long = {
+      val n = text.length
+      val h = (n + 47) / 48
+      val cs = Array.tabulate(48) { j =>
+        (j * h until math.min(j * h + h, n))
+          .foldLeft(0L)((s, p) => s + (text.charAt(p) - 64).toLong * 256L)
+      }
+      (0 until 48).foldLeft(0L)((acc, j) =>
+        if (cs(j) > cs((j + 1) % 48)) acc | (1L << j) else acc)
+    }
+    docs.foreach { case (id, text) => assert(fps(id) == model(text), s"doc $id") }
+    // the sharded pigeonhole index must recover EXACTLY the naive
+    // all-pairs Hamming <= 3 set
+    val ids = fps.keys.toSeq.sorted
+    val naive = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      d = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.audioNearDupPairs(spark, dir)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive)
+  }
+
+  test("incremental audio dedup: persisted index serve == bare batch x corpus Hamming join") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val split = docs.count() * 4 / 5
+    val idx = java.nio.file.Files.createTempDirectory("afpidx").toString
+    Multimodal.buildAudioFpIndex(
+      Multimodal.audioFingerprintsOf(
+        Multimodal.audioBlobsOf(docs.where(col("doc_id") < split))), idx)
+    assert(Multimodal.audioFpIndexExists(idx))
+    val batch = Multimodal.audioFingerprintsOf(
+      Multimodal.audioBlobsOf(docs.where(col("doc_id") >= split)))
+    val got = Multimodal.audioDedupAgainst(idx, batch)
+      .select("doc_id", "dup_of", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val fps = Multimodal.audioFingerprints(spark, dir).collect()
+      .map(r => r.doc_id -> r.afp).toMap
+    val naive = (for {
+      b <- fps.keys if b >= split
+      c <- fps.keys if c < split
+      d = java.lang.Long.bitCount(fps(b) ^ fps(c))
+      if d <= 3
+    } yield (b, c, d.toLong)).toSet
+    assert(got == naive)
+    // a half-built index (no _DONE) must refuse to serve
+    val broken = java.nio.file.Files.createTempDirectory("afpidx_broken").toString
+    intercept[IllegalArgumentException] {
+      Multimodal.audioDedupAgainst(broken, batch)
+    }
+  }
+
+  test("video fingerprint: matches an independent frame-sum model; pairs == naive set") {
+    val fps = Multimodal.videoFingerprints(spark, dir).collect()
+      .map(r => r.doc_id -> r.vfp).toMap
+    assert(fps.nonEmpty)
+    assert(fps.values.forall(p => p >= 0L && p < (1L << 48)), "vfp must be 48-bit")
+    // independent model: per-frame energy replayed from the text codes
+    // (frame k pixel j = (code·7 + j·13) mod 256), then dhash48 over the
+    // ORDERED frame-sum sequence — a demuxer that reorders or drops frames
+    // moves energy across chunk boundaries and breaks this
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def model(text: String): Long = {
+      val fsums = text.map(c => (0 until 16).foldLeft(0L)((s, j) => s + (c.toInt * 7 + j * 13) % 256))
+      val n = fsums.length
+      val h = (n + 47) / 48
+      val cs = Array.tabulate(48) { j =>
+        (j * h until math.min(j * h + h, n)).foldLeft(0L)((s, p) => s + fsums(p))
+      }
+      (0 until 48).foldLeft(0L)((acc, j) =>
+        if (cs(j) > cs((j + 1) % 48)) acc | (1L << j) else acc)
+    }
+    docs.foreach { case (id, text) => assert(fps(id) == model(text), s"doc $id") }
+    val ids = fps.keys.toSeq.sorted
+    val naive = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      d = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.videoNearDupPairs(spark, dir)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive)
+  }
+
+  test("extendVideoFpIndex serves identically to rebuilding over corpus+batch") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val n = docs.count()
+    val aEnd = n * 3 / 5
+    val bEnd = n * 4 / 5
+    def fpsOf(pred: org.apache.spark.sql.Column) =
+      Multimodal.videoFingerprintsOf(Multimodal.videoBlobsOf(docs.where(pred)))
+    val extended = java.nio.file.Files.createTempDirectory("vfpidx_ext").toString
+    Multimodal.buildVideoFpIndex(fpsOf(col("doc_id") < aEnd), extended)
+    Multimodal.extendVideoFpIndex(extended,
+      fpsOf(col("doc_id") >= aEnd && col("doc_id") < bEnd))
+    val rebuilt = java.nio.file.Files.createTempDirectory("vfpidx_full").toString
+    Multimodal.buildVideoFpIndex(fpsOf(col("doc_id") < bEnd), rebuilt)
+    val batch = fpsOf(col("doc_id") >= bEnd)
+    val servedExt = Multimodal.videoDedupAgainst(extended, batch)
+      .as[(Long, Long, Long)].collect().toSet
+    val servedFull = Multimodal.videoDedupAgainst(rebuilt, batch)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(servedExt == servedFull)
+    // extending a never-built index is a loud error
+    val empty = java.nio.file.Files.createTempDirectory("vfpidx_none").toString
+    intercept[IllegalArgumentException] {
+      Multimodal.extendVideoFpIndex(empty, batch)
+    }
+  }
 }

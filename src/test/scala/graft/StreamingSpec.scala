@@ -953,4 +953,92 @@ class StreamingSpec extends AnyFunSuite {
       assert(batchView.select($"dup_of").as[Long].collect().toSet == Set(100L))
     } finally q.stop()
   }
+
+  test("watermarked audio dedup: in-window dup clips suppressed, late dup re-admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val A = 0x123456789ABL; val B = 0xF0F0F0F0F0F0L; val C = 0x0F0F0F0F0F0FL
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val deduped = StreamingOps.dedupAudioFpWithinWatermark(
+      input.toDF().toDF("doc_id", "ts", "afp"), "ts", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("saudiowm")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, ts("2024-01-01 00:00:00"), A), (1L, ts("2024-01-01 00:10:00"), B))
+      q.processAllAvailable()
+      // dup of clip 0's fingerprint well inside the 1h watermark -> suppressed
+      input.addData((2L, ts("2024-01-01 00:20:00"), A))
+      q.processAllAvailable()
+      // advance the watermark far past A's state lifetime
+      input.addData((3L, ts("2024-01-01 04:00:00"), C))
+      q.processAllAvailable()
+      // LATE-arriving duplicate clip: state long evicted -> re-admitted
+      // (the two-tier trade; the batch audioNearDupPairs sweep catches it)
+      input.addData((4L, ts("2024-01-01 03:30:00"), A))
+      q.processAllAvailable()
+      val kept = spark.table("saudiowm").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 1L, 3L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+
+  test("audio serve tier: per-batch verdicts == batch audioDedupAgainst; self-extending loop") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val X = 0x123456789ABL; val Y = X ^ 0xFFFFFF000000L; val X2 = X ^ 0x3L
+    val corpus = Seq(Multimodal.AudioFpRow(100L, X)).toDS()
+    val idx = java.nio.file.Files.createTempDirectory("graft_afpserveidx").toString
+    Multimodal.buildAudioFpIndex(corpus, idx)
+    def verdicts(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select($"doc_id", $"status").as[(Long, String)].collect().toSet
+    val got = scala.collection.mutable.Map[Long, Set[(Long, String)]]()
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamingOps.audioDedupAgainstIndexNear(
+        input.toDF().toDF("doc_id", "afp"), idx, extendIndex = true) {
+      (annotated, batchId) => got(batchId) = verdicts(annotated)
+    }.start()
+    try {
+      // batch 1: near-dup of the corpus clip; a genuinely new clip
+      input.addData((10L, X2), (11L, Y))
+      q.processAllAvailable()
+      assert(got.values.flatten.toSet == Set((10L, "dup"), (11L, "unique")), s"got $got")
+      // batch 1's survivor was appended by the loop: an exact dup of it in
+      // batch 2 must be a dup WITHOUT any restart
+      input.addData((20L, Y))
+      q.processAllAvailable()
+      assert(got.values.flatten.toSet ==
+        Set((10L, "dup"), (11L, "unique"), (20L, "dup")), s"got $got")
+      // the closest-match verdict agrees with the batch serve path
+      val batchView = Multimodal.audioDedupAgainst(idx,
+        Seq(Multimodal.AudioFpRow(30L, X2)).toDS())
+      assert(batchView.select($"dup_of").as[Long].collect().toSet == Set(100L))
+    } finally q.stop()
+  }
+
+  test("stateless video match stream: one row per pair even when all chunks collide") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // corpus fingerprints: 100 is an EXACT dup of stream video 10 (shares
+    // every sharded key — the min-shared-key rule keeps the emit count at
+    // one), 101 is Hamming 2, 102 is far away
+    val fp = 0x0123456789ABL & ((1L << 48) - 1)
+    val corpus = Seq((100L, fp), (101L, fp ^ (1L << 1) ^ (1L << 13)),
+        (102L, ~fp & ((1L << 48) - 1)))
+      .map { case (id, h) => Multimodal.VideoFpRow(id, h) }.toDS()
+    val idx = java.nio.file.Files.createTempDirectory("graft_vfp_stream").toString
+    Multimodal.buildVideoFpIndex(corpus, idx)
+    val input = MemoryStream[(Long, Long)]
+    val out = StreamingOps.videoMatchesAgainstIndex(
+      input.toDF().toDF("doc_id", "vfp"), idx)
+    val q = out.writeStream.format("memory").queryName("vfm")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, fp), (11L, 0x800000000000L >> 1 | 1L))
+      q.processAllAvailable()
+      val rows = spark.table("vfm")
+        .select($"doc_id", $"corpus_match", $"hamming")
+        .as[(Long, Long, Long)].collect()
+      assert(rows.length == 2, s"expected one row per matching pair, got ${rows.toSeq}")
+      assert(rows.map(r => (r._1, r._2, r._3)).toSet ==
+        Set((10L, 100L, 0L), (10L, 101L, 2L)))
+    } finally q.stop()
+  }
 }
