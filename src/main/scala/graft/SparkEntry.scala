@@ -374,6 +374,20 @@ object SparkEntry {
     // point-in-interval lookup join: variable-width brackets band-replicate,
     // points probe one band, exact range filter re-verifies (IP-range shape)
     "rel_interval_join" -> ((s, dir) => Relational.orderBracketLookup(s, dir)),
+    // TPC-H Q2/Q8/Q9/Q11/Q13/Q16/Q17 shapes — the remaining classic
+    // disciplines: decorrelated argmin join-back (fixed-point price so the
+    // winner can't drift), one-pass conditional-agg market share,
+    // computed-cost profit rollup, group-vs-global-scalar HAVING in pure
+    // integers, left-outer count distribution (the zero bucket the inner
+    // join silently drops), NOT-IN distinct-supplier diversity, and the
+    // correlated per-group-avg threshold decorrelated by aggregation
+    "rel_min_cost_supplier" -> ((s, dir) => Relational.minCostSupplier(s, dir)),
+    "rel_market_share" -> ((s, dir) => Relational.marketShare(s, dir)),
+    "rel_nation_profit" -> ((s, dir) => Relational.nationProfit(s, dir)),
+    "rel_important_parts" -> ((s, dir) => Relational.importantParts(s, dir)),
+    "rel_order_count_dist" -> ((s, dir) => Relational.orderCountDistribution(s, dir)),
+    "rel_supplier_diversity" -> ((s, dir) => Relational.supplierDiversity(s, dir)),
+    "rel_small_qty_revenue" -> ((s, dir) => Relational.smallQtyRevenue(s, dir)),
     // correlated-subquery SQL front door (same ANSI text as the oracle) —
     // proves Catalyst decorrelation: scalar-agg, EXISTS, NOT EXISTS, and
     // the SELECT-list COUNT ("count bug") forms
@@ -1469,6 +1483,104 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN b ON o_totalprice >= lo AND o_totalprice <= hi
         |GROUP BY 1""".stripMargin,
+    // Q2: the oracle KEEPS the correlated argmin form, so the decorrelate-
+    // by-aggregation rewrite is under the hash gate; unit price is an e6
+    // integer (cents·10⁴ // qty) so the min equality is bit-portable
+    "rel_min_cost_supplier" ->
+      """WITH offers AS (SELECT l_partkey, l_suppkey, s_name, n_name,
+        |    (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000)
+        |      // CAST(l_quantity AS BIGINT) AS unit_e6
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT DISTINCT p_partkey, p_name, o.l_suppkey AS s_suppkey, s_name,
+        |  n_name, unit_e6
+        |FROM offers o JOIN part ON o.l_partkey = p_partkey
+        |WHERE p_size < 10
+        |  AND unit_e6 = (SELECT min(unit_e6) FROM offers i
+        |                 WHERE i.l_partkey = o.l_partkey)""".stripMargin,
+    // Q8: share as exact e4 totals + integer ppm (promo_ppm discipline);
+    // the oracle's IN-subquery region filter replays the semi join
+    "rel_market_share" ->
+      """WITH f AS (SELECT year(o_orderdate)::BIGINT AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1.00 - CAST(l_discount AS DECIMAL(5,2))) AS rev,
+        |    n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        |    AND o_custkey IN (SELECT c_custkey FROM customer
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')),
+        |a AS (SELECT o_year,
+        |    CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |                  ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS nation_e4,
+        |    CAST(sum(rev) * 10000 AS BIGINT) AS total_e4
+        |  FROM f GROUP BY 1)
+        |SELECT o_year, nation_e4, total_e4,
+        |  CAST(nation_e4::HUGEINT * 1000000 // total_e4 AS BIGINT) AS share_ppm
+        |FROM a""".stripMargin,
+    // Q9: profit in pure integers (rev_e4 − retail_cents·qty·10 — the
+    // deterministic 10%-of-retail cost stand-in, no partsupp in the star)
+    "rel_nation_profit" ->
+      """SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1.00 - CAST(l_discount AS DECIMAL(5,2))) * 10000 AS BIGINT)
+        |    - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT) * 10) AS BIGINT) AS profit_e4,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2""".stripMargin,
+    // Q11: group-total vs 1.5× the global MEAN, in pure widened integers
+    "rel_important_parts" ->
+      """WITH pp AS (SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1.00 - CAST(l_discount AS DECIMAL(5,2)))) * 10000 AS BIGINT) AS value_e4
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4,
+        |    count(*) AS n_parts FROM pp)
+        |SELECT p_partkey, value_e4 FROM pp, g
+        |WHERE value_e4::HUGEINT * 2 * n_parts > total_e4::HUGEINT * 3""".stripMargin,
+    // Q13: the priority predicate lives in the JOIN CONDITION so customers
+    // with no qualifying orders keep their zero-count row
+    "rel_order_count_dist" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM pc GROUP BY 1""".stripMargin,
+    // Q16: NOT IN kept in the oracle; the engine runs it as the anti join
+    "rel_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 1 AND 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // Q17: the oracle keeps the correlated per-part avg; the avg is the
+    // exact decimal-sum/count double both engines derive identically
+    "rel_small_qty_revenue" ->
+      """WITH bi AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |f AS (SELECT * FROM bi o
+        |  WHERE l_quantity < (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |                        / count(l_quantity)
+        |                      FROM bi i WHERE i.l_partkey = o.l_partkey) * 0.2)
+        |SELECT n_items, revenue_e4,
+        |  round(CAST(revenue_e4 AS DOUBLE) / 7.0 / 10000.0, 6) AS avg_weekly
+        |FROM (SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS revenue_e4
+        |  FROM f)""".stripMargin,
     // Q15: the max is equality-joined against fixed-point longs, so the
     // winning-row selection cannot drift between engines
     "rel_top_supplier" ->

@@ -1119,4 +1119,218 @@ object Relational {
         col("c_name"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"))
   }
+
+  /** Exact e6-scale unit price: integer cents ×10⁴ integer-divided by the
+    * (integral) quantity — bit-portable where a double division would tie-
+    * break differently per engine in the argmin below.
+    */
+  private def unitPriceE6: Column =
+    expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000" +
+      " DIV CAST(l_quantity AS BIGINT)")
+
+  /** TPC-H Q2-shaped min-cost supplier: for each small part, the EUROPE
+    * supplier(s) offering the minimum observed unit price. The classic
+    * correlated-argmin (`WHERE price = (SELECT min(price) … same part)`)
+    * DECORRELATED BY AGGREGATION: offers are built once (lineitem ⋈
+    * broadcast region-filtered suppliers), the per-part min is a grouped
+    * aggregate of that same frame, and the winner join-back is an
+    * equi-join on (part, exact fixed-point price) — two shuffles on
+    * l_partkey where the correlated form would rescan per row; ties emit
+    * every achieving supplier (pinned by the oracle, which KEEPS the
+    * correlated form so the rewrite is under the hash gate). The unit
+    * price is an e6 integer so the argmin equality cannot drift between
+    * engines. Output: (p_partkey, p_name, s_suppkey, s_name, n_name,
+    * unit_e6).
+    */
+  def minCostSupplier(spark: SparkSession, dir: String,
+      regionName: String = "EUROPE", maxSize: Int = 10): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).where(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    // the part filter cuts the OFFER frame before any aggregation — the
+    // per-part min over region suppliers is independent of which parts are
+    // output, so filtering early is result-invariant and drops ~80% of the
+    // fact rows ahead of both shuffles
+    val offers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), unitPriceE6.as("unit_e6"))
+      .join(broadcast(Tables.part(spark, dir).where(col("p_size") < maxSize)
+          .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val minPer = offers.groupBy(col("p_partkey").as("mp_key"))
+      .agg(min(col("unit_e6")).as("min_e6"))
+    offers
+      .join(minPer, col("p_partkey") === col("mp_key") && col("unit_e6") === col("min_e6"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("unit_e6"))
+      .distinct()
+  }
+
+  /** TPC-H Q8-shaped market share: of the revenue ASIA-region customers
+    * generated in 1996–1997, what fraction (ppm) was supplied by one
+    * nation, per order year. ONE fact pass: the share is conditional
+    * aggregation inside a single groupBy — never two scans differenced —
+    * and the ratio is exact integer arithmetic on e4 fixed-point totals
+    * (widened through DECIMAL(38,0) like promo_ppm). Dims broadcast; the
+    * date predicate pushes to the orders scan. Output: (o_year,
+    * nation_e4, total_e4, share_ppm).
+    */
+  def marketShare(spark: SparkSession, dir: String,
+      regionName: String = "ASIA", suppNation: String = "NATION_3",
+      from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame = {
+    val custRegion = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).where(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNat = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .where(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === suppNation,
+          discPrice(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0)))
+          * 10000).cast("long").as("nation_e4"),
+        (sum(discPrice(col("l_extendedprice"), col("l_discount"))) * 10000)
+          .cast("long").as("total_e4"))
+      .select(col("o_year"), col("nation_e4"), col("total_e4"),
+        expr("CAST(CAST(nation_e4 AS DECIMAL(38,0)) * 1000000 DIV total_e4 AS LONG)")
+          .as("share_ppm"))
+  }
+
+  /** TPC-H Q9-shaped profit by supplier nation and order year, for parts
+    * whose name contains a token. With no partsupp table in the star, the
+    * per-unit cost is a DETERMINISTIC stand-in — 10% of the part's retail
+    * price — so profit stays a pure function of shipped columns:
+    * profit_e4 = rev_e4 − retail_cents·qty·10 (all integer, engine-exact).
+    * The name filter cuts the part dim BEFORE its broadcast, so the fact
+    * rows that survive the join are already profit-relevant — the
+    * filter-the-dim-not-the-fact discipline. Output: (n_name, o_year,
+    * profit_e4, n_items).
+    */
+  def nationProfit(spark: SparkSession, dir: String,
+      nameToken: String = "bolt"): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .where(col("p_name").contains(nameToken))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNat = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val profitE4 =
+      (discPrice(col("l_extendedprice"), col("l_discount")) * 10000).cast("long") -
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          col("l_quantity").cast("long") * lit(10L)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profitE4).cast("long").as("profit_e4"), count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q11-shaped important parts: parts whose total traded value
+    * exceeds 1.5× the MEAN per-part value. The group-vs-global-scalar
+    * HAVING: one fact pass builds the per-part e4 totals, a 1-row
+    * aggregate OF THAT AGGREGATE (never a second fact scan) is cross-
+    * joined back broadcast, and the threshold compare is pure integer —
+    * value_e4·2·n_parts > 3·total_e4, widened through DECIMAL(38,0) so
+    * the product can't wrap at planet scale. A multiple-of-MEAN threshold
+    * (not TPC-H's fixed global fraction) is the deliberate scale-safe
+    * choice: a fixed share-of-total selects a vanishing set as the part
+    * population grows (measured: 0 rows even at sf0.01), while the mean
+    * multiple keeps the selected fraction stable at any SF. Output:
+    * (p_partkey, value_e4).
+    */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg((sum(discPrice(col("l_extendedprice"), col("l_discount"))) * 10000)
+        .cast("long").as("value_e4"))
+    val total = perPart.agg(
+      sum(col("value_e4")).as("total_e4"), count(lit(1)).as("n_parts"))
+    perPart.join(broadcast(total),
+        expr("CAST(value_e4 AS DECIMAL(38,0)) * 2 * n_parts") >
+          expr("CAST(total_e4 AS DECIMAL(38,0)) * 3"))
+      .select(col("p_partkey"), col("value_e4"))
+  }
+
+  /** TPC-H Q13-shaped order-count distribution: how many customers placed
+    * exactly k URGENT orders, INCLUDING k = 0 — the left-outer + count
+    * composition where the zero bucket only exists because count(o_orderkey)
+    * counts non-null keys, not rows (the classic "count bug" the inner-join
+    * form silently drops). Two aggregations: per-customer counts (one hash
+    * shuffle), then the |distinct-counts|-sized histogram. Output:
+    * (c_count, custdist).
+    */
+  def orderCountDistribution(spark: SparkSession, dir: String,
+      priority: String = "1-URGENT"): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir)
+          .where(col("o_orderpriority") === priority)
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q16-shaped supplier diversity: distinct supplier count per
+    * (brand, type, size) for mid-size non-Brand#1 parts, EXCLUDING
+    * suppliers in arrears — the NOT IN over a subquery expressed as what
+    * it is at scale: a left-anti join on the (structurally small) excluded
+    * key set, run on the distinct (part, supplier) PAIRS (one dedup
+    * shuffle) rather than raw lineitems, so the count-distinct aggregate
+    * sees pre-deduped fixed-width keys. Output: (p_brand, p_type, p_size,
+    * supplier_cnt).
+    */
+  def supplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .where(col("p_brand") =!= "Brand#1" && col("p_size").between(1, 25))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val excluded = Tables.supplier(spark, dir)
+      .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(Scale.maybeBroadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: revenue lost to sub-20%-of-
+    * average-quantity orders of one brand's parts. The correlated per-part
+    * AVG threshold decorrelated by aggregation: per-part exact averages
+    * (decimal sum / count — the one double both engines derive bit-
+    * identically) join back broadcast onto the brand's lineitems, and only
+    * the surviving rows aggregate. The oracle keeps the correlated
+    * `l_quantity < 0.2 * (SELECT avg …)` form. Output: (n_items,
+    * revenue_e4, avg_weekly).
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String,
+      brand: String = "Brand#13"): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .where(col("p_brand") === brand).select(col("p_partkey"))
+    val brandItems = Tables.lineitem(spark, dir)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgPer = brandItems.groupBy(col("l_partkey").as("ap_key"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    brandItems
+      .join(broadcast(avgPer), col("l_partkey") === col("ap_key"))
+      .where(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")) * 10000)
+          .cast("long").as("revenue_e4"))
+      .select(col("n_items"), col("revenue_e4"),
+        round(col("revenue_e4").cast("double") / 7.0 / 10000.0, 6).as("avg_weekly"))
+  }
 }

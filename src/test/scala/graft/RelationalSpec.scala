@@ -404,4 +404,154 @@ class RelationalSpec extends AnyFunSuite {
       .select($"o_custkey".as[Long], $"rev".as[Double]).collect().toMap
     got.foreach { case (k, r) => assert(byCust(k) == r, s"customer $k revenue drifts") }
   }
+
+  /** Driver-side exact model of the Q2/Q8/Q9 offer rows at sf0.001:
+    * (partkey, suppkey, unit_e6) for region-filtered suppliers.
+    */
+  private def europeOffers: Seq[(Long, Long, Long)] = {
+    val regionOf = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as[Long], $"r_name".as[String]).collect().toMap
+    val suppNation = Tables.supplier(spark, dir)
+      .select($"s_suppkey".as[Long], $"s_nationkey".as[Long]).collect().toMap
+    Tables.lineitem(spark, dir)
+      .select($"l_partkey".as[Long], $"l_suppkey".as[Long],
+        $"l_extendedprice".as[Double], $"l_quantity".as[Double]).collect()
+      .filter { case (_, sk, _, _) => regionOf(suppNation(sk)) == "EUROPE" }
+      .map { case (pk, sk, ext, qty) =>
+        val cents = (BigDecimal(ext).setScale(2) * 100).toLongExact
+        (pk, sk, cents * 10000L / qty.toLong)
+      }.toSeq
+  }
+
+  test("Q2 shape: every winner achieves the per-part min unit price; ties all emit") {
+    val smallParts = Tables.part(spark, dir).where($"p_size" < 10)
+      .select($"p_partkey".as[Long]).collect().toSet
+    val offers = europeOffers
+    val minPer = offers.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val expected = offers
+      .filter { case (pk, _, u) => smallParts(pk) && u == minPer(pk) }
+      .map { case (pk, sk, u) => (pk, sk, u) }.toSet
+    val got = Relational.minCostSupplier(spark, dir)
+      .select($"p_partkey".as[Long], $"s_suppkey".as[Long], $"unit_e6".as[Long])
+      .collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should have EUROPE offers on small parts")
+    // at least one part must tie across two suppliers OR the min must be
+    // unique everywhere — either way the argmin equality held exactly
+  }
+
+  test("Q8 shape: share ppm consistent with e4 totals; only window years emit") {
+    val out = Relational.marketShare(spark, dir)
+      .select($"o_year".as[Long], $"nation_e4".as[Long], $"total_e4".as[Long],
+        $"share_ppm".as[Long]).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).toSet.subsetOf(Set(1996L, 1997L)))
+    out.foreach { case (y, nat, total, ppm) =>
+      assert(nat >= 0 && nat <= total, s"year $y: nation_e4 outside [0, total]")
+      assert(ppm == (BigInt(nat) * 1000000 / BigInt(total)).toLong,
+        s"year $y: ppm inconsistent")
+    }
+  }
+
+  test("Q9 shape: profit equals an exact driver-side recompute per (nation, year)") {
+    val retail = Tables.part(spark, dir).where($"p_name".contains("bolt"))
+      .select($"p_partkey".as[Long], $"p_retailprice".as[Double]).collect().toMap
+    val nationName = Tables.nation(spark, dir)
+      .select($"n_nationkey".as[Long], $"n_name".as[String]).collect().toMap
+    val suppNation = Tables.supplier(spark, dir)
+      .select($"s_suppkey".as[Long], $"s_nationkey".as[Long]).collect().toMap
+    val orderYear = Tables.orders(spark, dir)
+      .select($"o_orderkey".as[Long], year($"o_orderdate").cast("long").as[Long])
+      .collect().toMap
+    val expected = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_extendedprice", $"l_discount", $"l_quantity")
+      .as[(Long, Long, Long, Double, Double, Double)]
+      .collect()
+      .filter(r => retail.contains(r._2))
+      .map { case (ok, pk, sk, ext, disc, qty) =>
+        val revE4 = (BigDecimal(ext).setScale(2) *
+          (BigDecimal(1).setScale(2) - BigDecimal(disc).setScale(2)) * 10000).toLongExact
+        val costE4 = (BigDecimal(retail(pk)).setScale(2) * 100).toLongExact * qty.toLong * 10L
+        ((nationName(suppNation(sk)), orderYear(ok)), revE4 - costE4)
+      }
+      .groupBy(_._1).view.mapValues(vs => (vs.map(_._2).sum, vs.size.toLong)).toMap
+    val got = Relational.nationProfit(spark, dir)
+      .select($"n_name".as[String], $"o_year".as[Long], $"profit_e4".as[Long],
+        $"n_items".as[Long]).collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should have bolt parts")
+  }
+
+  test("Q11 shape: selected parts clear 1.5x the mean value, unselected don't") {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg((sum($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1).cast("decimal(5,2)") - $"l_discount".cast("decimal(5,2)"))) * 10000)
+        .cast("long").as("v"))
+      .select($"l_partkey".as[Long], $"v".as[Long]).collect().toMap
+    val total = perPart.values.map(BigInt(_)).sum
+    val n = perPart.size
+    val expected = perPart.filter { case (_, v) => BigInt(v) * 2 * n > total * 3 }
+    val got = Relational.importantParts(spark, dir)
+      .select($"p_partkey".as[Long], $"value_e4".as[Long]).collect().toMap
+    assert(got == expected)
+  }
+
+  test("Q13 shape: count distribution covers every customer; zero bucket only if earned") {
+    val urgentPer = Tables.orders(spark, dir).where($"o_orderpriority" === "1-URGENT")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .select($"o_custkey".as[Long], $"n".as[Long]).collect().toMap
+    val nCust = Tables.customer(spark, dir).count()
+    val expected = Tables.customer(spark, dir).select($"c_custkey".as[Long]).collect()
+      .map(c => urgentPer.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Relational.orderCountDistribution(spark, dir)
+      .select($"c_count".as[Long], $"custdist".as[Long]).collect().toMap
+    assert(got == expected)
+    assert(got.values.sum == nCust, "every customer lands in exactly one bucket")
+  }
+
+  test("Q16 shape: distinct supplier counts match a driver-side pair recompute") {
+    val partAttrs = Tables.part(spark, dir)
+      .where($"p_brand" =!= "Brand#1" && $"p_size".between(1, 25))
+      .select($"p_partkey".as[Long], $"p_brand".as[String], $"p_type".as[String],
+        $"p_size".as[Int]).collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val excluded = Tables.supplier(spark, dir).where($"s_acctbal" < 0)
+      .select($"s_suppkey".as[Long]).collect().toSet
+    val expected = Tables.lineitem(spark, dir)
+      .select($"l_partkey".as[Long], $"l_suppkey".as[Long]).distinct().collect()
+      .filter { case (pk, sk) => partAttrs.contains(pk) && !excluded(sk) }
+      .groupBy { case (pk, _) => partAttrs(pk) }.view
+      .mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val got = Relational.supplierDiversity(spark, dir)
+      .select($"p_brand".as[String], $"p_type".as[String], $"p_size".as[Int],
+        $"supplier_cnt".as[Long]).collect()
+      .map(r => ((r._1, r._2, r._3), r._4)).toMap
+    assert(got == expected)
+    assert(excluded.isEmpty || got.nonEmpty)
+  }
+
+  test("Q17 shape: the correlated avg threshold matches a driver-side recompute") {
+    val brandParts = Tables.part(spark, dir).where($"p_brand" === "Brand#13")
+      .select($"p_partkey".as[Long]).collect().toSet
+    val items = Tables.lineitem(spark, dir)
+      .select($"l_partkey".as[Long], $"l_quantity".as[Double], $"l_extendedprice".as[Double])
+      .collect().filter(r => brandParts(r._1))
+    // the engine's avg: exact decimal sum cast double / count — replay it
+    val avgPer = items.groupBy(_._1).view.mapValues { vs =>
+      (vs.map(v => BigDecimal(v._2).setScale(2)).sum.toDouble) / vs.length.toDouble
+    }.toMap
+    val kept = items.filter { case (pk, qty, _) => qty < avgPer(pk) * 0.2 }
+    val expectE4 = kept.map(v => (BigDecimal(v._3).setScale(2) * 10000).toLongExact).sum
+    val got = Relational.smallQtyRevenue(spark, dir)
+      .select($"n_items".as[Long], $"revenue_e4".as[Long], $"avg_weekly".as[Double]).head()
+    assert(got._1 == kept.length.toLong, s"n_items ${got._1} != ${kept.length}")
+    assert(got._2 == expectE4)
+    assert(got._3 == BigDecimal(got._2.toDouble / 7.0 / 10000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
