@@ -336,6 +336,11 @@ object SparkEntry {
     // operational pass: fragment -> compact -> aggregate the compacted copy;
     // oracle aggregates the original, so the rewrites are hash-gated
     "source_compaction_roundtrip" -> ((s, dir) => Maintenance.compactionRoundtrip(s, dir)),
+    // Spark's built-in blob source over the file-per-doc corpus export:
+    // the media/whole-doc ingestion front door; every blob's bytes are
+    // oracle-replayed from the documents table
+    "source_binaryfile_ingest" -> ((s, dir) =>
+      Maintenance.binaryFileIngest(s, wtCorpusDir(s, dir))),
     // writers upgrade mid-stream: two on-disk schemas reconciled by one
     // mergeSchema scan; oracle replays the split from the original table
     "source_schema_evolution" -> ((s, dir) => Maintenance.schemaEvolutionRoundtrip(s, dir)),
@@ -552,6 +557,14 @@ object SparkEntry {
     "events_attribution_last" -> ((s, dir) => Events.attributionLastTouch(s, dir)),
     // — embedding similarity search (SURVEY.md §7.5) —
     "embed_knn_brute" -> ((s, dir) => EmbeddingSearch.bruteForceTopK(s, dir)),
+    // MIPS: retrieval by raw inner product (the trained objective of most
+    // embedding models — unnormalized, so norm carries signal cosine drops)
+    "embed_knn_mips" -> ((s, dir) => EmbeddingSearch.mipsTopK(s, dir)),
+    // ALSH (asymmetric transform [x;√(M²−|x|²)] / [q;0]) makes inner
+    // product — not a metric, not directly LSH-able — indexable by the
+    // existing hyperplane bands; exact dot re-rank of band-mates
+    "embed_knn_mips_alsh" -> ((s, dir) => EmbeddingSearch.mipsTopKAlsh(s, dir)),
+    "embed_mips_recall" -> ((s, dir) => EmbeddingSearch.mipsRecall(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
     "embed_lsh_recall" -> ((s, dir) => EmbeddingSearch.lshRecall(s, dir)),
     "embed_pq_recall" -> ((s, dir) => EmbeddingSearch.pqRecall(s, dir)),
@@ -936,6 +949,52 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** Exact MIPS top-k replay — the brute cosine oracle with the raw dot
+    * product as the score (same fold order, so bit-equal before round).
+    */
+  private val mipsBruteSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |s AS (SELECT q.query_id, e.vec_id, round(${dotSql("e.v", "q.qv")}, 6) AS ip
+       |      FROM e, q WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT *, (row_number() OVER
+       |      (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, ip, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** ALSH MIPS replay: M² corpus max-norm aggregate, the asymmetric
+    * augmentation [x;√(M²−|x|²)] on the index side (17-dim signature sums;
+    * the query's augmented 0 contributes nothing, so its signature replays
+    * over v directly), the 4×4 banding, and the exact-dot re-rank — every
+    * stage the Spark plan runs, in the same double fold order.
+    */
+  private val mipsAlshSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |m AS (SELECT max(${dotSql("v", "v")}) AS m2 FROM e),
+       |a AS (SELECT vec_id, v, list_append(v,
+       |  sqrt(greatest(m2 - ${dotSql("v", "v")}, 0.0))) AS va FROM e CROSS JOIN m),
+       |sig AS (SELECT vec_id, v, list_transform(generate_series(0, 15), p ->
+       |  CASE WHEN list_reduce(list_transform(generate_series(1, len(va)),
+       |    d -> va[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
+       |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
+       |  THEN 1 ELSE 0 END) AS sig FROM a),
+       |bands AS (SELECT vec_id, v, unnest(list_transform(generate_series(0, 3), b ->
+       |  b::VARCHAR || ':' || array_to_string(list_transform(
+       |    list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))) AS band FROM sig),
+       |qsig AS (SELECT vec_id, v, list_transform(generate_series(0, 15), p ->
+       |  CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
+       |    d -> v[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
+       |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
+       |  THEN 1 ELSE 0 END) AS sig FROM e WHERE vec_id < 10),
+       |qb AS (SELECT vec_id AS query_id, v AS qv, unnest(list_transform(generate_series(0, 3), b ->
+       |  b::VARCHAR || ':' || array_to_string(list_transform(
+       |    list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))) AS band FROM qsig),
+       |cand AS (SELECT DISTINCT qb.query_id, c.vec_id, c.v, qb.qv
+       |         FROM bands c JOIN qb USING (band) WHERE c.vec_id <> qb.query_id),
+       |s AS (SELECT query_id, vec_id, round(${dotSql("v", "qv")}, 6) AS ip FROM cand),
+       |r AS (SELECT *, (row_number() OVER
+       |      (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, ip, rank FROM r WHERE rank <= 5""".stripMargin
 
   /** Add-one bigram LM replay (text_lm_score, and the tier split's input):
     * identical count tables, identical round(ln(integer), 6) terms,
@@ -1655,6 +1714,12 @@ object SparkEntry {
         |FROM events
         |WHERE epoch_us(ts) // 86400000000 >= 19740
         |GROUP BY 1""".stripMargin,
+    // binaryFile blob ingest: every stat replayed from the source table —
+    // n_bytes is the UTF-8 byte length of the exported file's content
+    "source_binaryfile_ingest" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  length(text) AS n_chars, substr(text, 1, 16) AS head
+        |FROM documents""".stripMargin,
     "source_schema_evolution" ->
       """SELECT CASE WHEN c_custkey % 2 = 0 THEN -1 ELSE c_nationkey END AS nation_group,
         |  count(*) AS n_customers,
@@ -2316,6 +2381,18 @@ object SparkEntry {
          |  round(max(n2), 6) AS max_norm2
          |FROM e GROUP BY 1""".stripMargin,
     "embed_knn_brute" -> bruteKnnSql,
+    "embed_knn_mips" -> mipsBruteSql,
+    "embed_knn_mips_alsh" -> mipsAlshSql,
+    // recall@k of ALSH MIPS vs the exact inner-product top-k — both
+    // pipelines nested verbatim; left join so missed neighbors count
+    "embed_mips_recall" ->
+      s"""WITH br AS (SELECT query_id, vec_id FROM ($mipsBruteSql)),
+         |ap AS (SELECT query_id, vec_id FROM ($mipsAlshSql))
+         |SELECT br.query_id, count(*) AS n_exact,
+         |  count(ap.vec_id) AS n_hit,
+         |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
     "embed_knn_lsh" -> lshKnnSql,
     "embed_knn_multiprobe" -> multiProbeKnnSql,
     "embed_multiprobe_recall" ->

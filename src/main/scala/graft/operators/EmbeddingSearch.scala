@@ -73,6 +73,85 @@ object EmbeddingSearch {
       .where(col("rank") <= k)
   }
 
+  /** Exact top-k by INNER PRODUCT — MIPS, the retrieval objective most
+    * embedding models are actually trained against (unnormalized scores:
+    * a long on-topic document can outrank a short one, which cosine's
+    * normalization erases). Same shape as [[bruteForceTopK]]: corpus scan
+    * × broadcast query rows, one pass, rank on the rounded score with
+    * vec_id tie-break. Output: (query_id, vec_id, ip, rank).
+    */
+  def mipsTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val queries = broadcast(emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val scored = emb.crossJoin(queries)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv")), 6).as("ip"))
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** ALSH-accelerated MIPS (Shrivastava & Li NIPS'14 / Neyshabur & Srebro
+    * ICML'15 Simple-LSH): inner product is NOT a metric (it violates the
+    * triangle inequality and a vector need not be its own nearest
+    * neighbor), so plain LSH cannot index it — but the ASYMMETRIC
+    * transform x' = [x ; √(M² − |x|²)] (M = max corpus norm), q' = [q ; 0]
+    * makes every corpus vector the same length M, and then
+    * cos(q', x') = q·x / (M·|q|) is monotone in q·x: angular LSH over the
+    * augmented vectors IS a MIPS index. Hyperplane signs are invariant to
+    * positive scaling, so the un-normalized form works verbatim with the
+    * existing 16-plane parity kernel — the augmented coordinate just
+    * becomes dimension d+1 of the signature sum, and the query side's
+    * augmented 0 contributes nothing, so its signature is computed over q
+    * directly. Index side: corpus bands (the at-scale shuffle key);
+    * query side: broadcast. Exact dot re-rank of band-mates keeps every
+    * returned score true — recall (not precision) is the LSH trade,
+    * measured by [[mipsRecall]]. M² is a 1-row aggregate broadcast back
+    * over the scan, the same scalar-exchange shape as the flagship's n.
+    */
+  def mipsTopKAlsh(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+      nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val m2 = emb.agg(max(dot(col("v"), col("v"))).as("m2"))
+    val aug = emb.crossJoin(broadcast(m2))
+      .select(col("vec_id"), col("v"),
+        concat(col("v"),
+          array(sqrt(greatest(col("m2") - dot(col("v"), col("v")), lit(0.0))))).as("va"))
+    val corpus = aug.select(col("vec_id"), col("v"),
+      explode(lshBandKeys(lshSignature(col("va"), nPlanes), bands, nPlanes / bands)).as("band"))
+    val queries = broadcast(emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(lshBandKeys(lshSignature(col("v"), nPlanes), bands, nPlanes / bands)).as("band")))
+    val cand = corpus.join(queries, "band")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("v"), col("qv"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("vec_id"),
+      round(dot(col("v"), col("qv")), 6).as("ip"))
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** recall@k of the ALSH MIPS path against exact [[mipsTopK]] — the same
+    * left-join shape as [[lshRecall]] so missed true neighbors count as
+    * misses. Output: (query_id, n_exact, n_hit, recall).
+    */
+  def mipsRecall(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val br = mipsTopK(spark, dir, k, nQueries).select(col("query_id"), col("vec_id"))
+    val ap = mipsTopKAlsh(spark, dir, k, nQueries)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    br.join(ap, col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("av")).as("n_hit"),
+        round(count(col("av")).cast("double") / count(lit(1)).cast("double"), 6).as("recall"))
+  }
+
   /** 16-bit hyperplane signature of a double vector (native kernel —
     * [[graft.functions.expressions.HyperplaneSignature]]; weights are the
     * deterministic ±1 parity pattern shared with the DuckDB oracle).

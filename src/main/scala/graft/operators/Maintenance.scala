@@ -246,4 +246,32 @@ object Maintenance {
         max(col("event_day").cast("long")).as("max_day"),
         countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** `binaryFile` ingestion (driver-contract entry `source_binaryfile_ingest`):
+    * Spark's built-in blob source — the 100 TB front door for media and
+    * whole-document payloads when they arrive as FILES rather than rows
+    * (the shape [[Multimodal]] consumes downstream). Reads the
+    * one-doc-per-file corpus export back as (path, length, content) blob
+    * rows and reduces each blob to byte/char stats plus a content prefix;
+    * the DuckDB oracle replays all of it from the documents table, so a
+    * blob dropped, duplicated, truncated, or re-encoded anywhere across
+    * export → file listing → content read → UTF-8 decode breaks the hash.
+    * Scale shape: listing is driver metadata like every file source;
+    * content reads are executor-parallel one-file-per-row with NO shuffle
+    * (pure projection — no aggregate), and column pruning means a
+    * metadata-only query over this source never opens file contents.
+    */
+  def binaryFileIngest(spark: SparkSession, corpusDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .load(corpusDir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.txt$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        decode(col("content"), "UTF-8").as("text"))
+      .select(col("doc_id"), col("n_bytes"),
+        length(col("text")).cast("long").as("n_chars"),
+        substring(col("text"), 1, 16).as("head"))
+  }
 }

@@ -872,4 +872,70 @@ object StreamingOps {
           }
       }
   }
+
+  case class SSEntry(key: String, count: Long, err: Long)
+  case class SSState(n: Long, seq: Long, entries: List[SSEntry])
+  case class HeavyHitter(shard: Int, seq: Long, key: String, count: Long,
+      err: Long, shard_n: Long)
+
+  /** Deterministic shard assignment for [[heavyHittersStream]] — exposed so
+    * consumers (and the spec) can replay which shard owns a key.
+    */
+  def shardOf(key: String, shards: Int): Int = Math.floorMod(key.hashCode, shards)
+
+  /** Streaming heavy hitters — the SpaceSaving sketch (Metwally et al.,
+    * ICDT'05) as keyed stream state. The batch engine answers top-k with
+    * count-min + an exact audit ([[graft.operators.Events.userHeavyHitters]]);
+    * a stream can't re-scan, and per-key state (`dropDuplicates`-style)
+    * grows with the key universe — unbounded for user-ids/URLs/tokens. This
+    * tier bounds state EXACTLY: keys hash into `shards` groups and each
+    * group's state is a `capacity`-entry SpaceSaving summary, so total
+    * state is shards × capacity entries, forever, at any input rate.
+    *
+    * Per trigger each touched shard emits its full current summary stamped
+    * with a per-shard `seq` (update-mode semantics: latest seq per shard is
+    * the current truth; a key absent from the latest summary was evicted).
+    * SpaceSaving invariants per shard, spec-pinned: every summarized key
+    * has count−err ≤ true ≤ count; any key with true frequency >
+    * shard_n/capacity is GUARANTEED present; with capacity ≥ distinct keys
+    * the summary is exact (err = 0). Global top-k = merge the latest
+    * shard summaries (shards × capacity rows — driver-trivial), each key
+    * living in exactly one shard so no cross-shard double count.
+    *
+    * Eviction replaces the MINIMUM-count entry (key tie-break makes runs
+    * deterministic), charging its count as the newcomer's error bound —
+    * the classic deterministic-guarantee trade against sampled or
+    * probabilistic (count-min) alternatives.
+    */
+  def heavyHittersStream(keys: Dataset[String], capacity: Int = 64,
+      shards: Int = 8): Dataset[HeavyHitter] = {
+    import keys.sparkSession.implicits._
+    require(capacity > 0 && shards > 0, "capacity and shards must be positive")
+    keys
+      .groupByKey(k => shardOf(k, shards))
+      .flatMapGroupsWithState[SSState, HeavyHitter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[String], state: GroupState[SSState]) =>
+          val st = state.getOption.getOrElse(SSState(0L, 0L, Nil))
+          val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+          st.entries.foreach(e => m(e.key) = (e.count, e.err))
+          var n = st.n
+          rows.foreach { k =>
+            n += 1
+            m.get(k) match {
+              case Some((c, e)) => m(k) = (c + 1, e)
+              case None if m.size < capacity => m(k) = (1L, 0L)
+              case None =>
+                val (mk, (mc, _)) = m.minBy { case (kk, (c, _)) => (c, kk) }
+                m.remove(mk)
+                m(k) = (mc + 1, mc)
+            }
+          }
+          val seq = st.seq + 1
+          val entries = m.toList.map { case (k0, (c, e)) => SSEntry(k0, c, e) }
+            .sortBy(_.key)
+          state.update(SSState(n, seq, entries))
+          entries.map(e => HeavyHitter(shard, seq, e.key, e.count, e.err, n)).iterator
+      }
+  }
 }

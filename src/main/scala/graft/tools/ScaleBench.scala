@@ -81,7 +81,12 @@ object ScaleBench {
     // the shuffle-free decode/feature map passes (the argument-only rows in
     // SCALING.md) plus the fingerprint build feeding the pairs join above
     "multimodal_phash", "multimodal_features", "multimodal_audio",
-    "multimodal_video")
+    "multimodal_video",
+    // MIPS family (round 8): the exact scan is the linear control; the
+    // ALSH band join measures augmented-signature bucket occupancy at
+    // fixed (|Q|=10, replica-0) query load — one-sided, so candidate
+    // growth should be linear in corpus size, not quadratic
+    "embed_knn_mips", "embed_knn_mips_alsh")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"

@@ -496,7 +496,7 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(out.filter(_._4 == "kept").forall(_._3 == -1L))
     // exact ground truth, quadratic within-label — fine at sf0.001, exactly
     // what the banded candidates exist to avoid at scale
-    val corpus = Tables.embeddings(spark, dir)
+    val corpus = graft.sources.Tables.embeddings(spark, dir)
       .select($"vec_id".as[Long], $"label".cast("long").as[Long],
         $"embedding".as[Seq[Float]]).collect()
       .map { case (id, l, v) => (id, (l, v.map(_.toDouble).toArray)) }.toMap
@@ -514,7 +514,7 @@ class EmbeddingSpec extends AnyFunSuite {
     // completeness on the guaranteed subset: an exact-duplicate vector
     // agrees on EVERY hyperplane, so all bands collide and the prune MUST
     // catch it — pinned via the op run on a corpus with a planted clone
-    val emb = Tables.embeddings(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
     val clone = emb.where($"vec_id" === 3L)
       .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label")
     val tmp = java.nio.file.Files.createTempDirectory("graft_semprune").toString
@@ -525,5 +525,65 @@ class EmbeddingSpec extends AnyFunSuite {
       .select($"dup_of".as[Long], $"status".as[String]).head()
     assert(withClone._2 == "dropped" && withClone._1 >= 0,
       s"planted exact duplicate not pruned: $withClone")
+  }
+
+  test("MIPS brute top-k matches a driver-side exact recompute at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def ip(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (0L until 3L).flatMap { q =>
+      corpus.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, ip(v, corpus(q))) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, s), r) => (q, id, s, (r + 1).toLong) }
+    }.toSet
+    val got = EmbeddingSearch.mipsTopK(spark, dir, k = 5, nQueries = 3)
+      .select($"query_id", $"vec_id", $"ip", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("ALSH MIPS: subset-rank consistent with brute; max-norm aligned clone always top-1") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = EmbeddingSearch.mipsTopK(spark, dir, k = 5, nQueries = 3)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    val alsh = EmbeddingSearch.mipsTopKAlsh(spark, dir, k = 5, nQueries = 3)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    // ALSH ranks within a band-candidate SUBSET, so any returned pair's
+    // exact rank can only be >= its ALSH rank
+    val bruteRank = brute.map { case (q, v, r) => (q, v) -> r }.toMap
+    assert(alsh.nonEmpty)
+    alsh.foreach { case (q, v, r) =>
+      bruteRank.get((q, v)).foreach(br => assert(br >= r, s"q=$q v=$v alsh=$r brute=$br"))
+    }
+    // completeness on the guaranteed subset: a positively-scaled clone of
+    // query 0 scaled to be THE max-norm corpus vector has augmented
+    // coordinate exactly 0, so its 17-dim signature equals the query's own
+    // (hyperplane signs are scale-invariant) — every band collides and
+    // ALSH MUST return it; with 10× the previous max norm its inner
+    // product with query 0 is also the global maximum → top-1
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val maxNorm = math.sqrt(emb.select($"embedding".cast("array<double>").as[Seq[Double]])
+      .collect().map(v => v.map(x => x * x).sum).max)
+    val q0 = emb.where($"vec_id" === 0L).select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].head()
+    val q0n = math.sqrt(q0.map(x => x * x).sum)
+    assert(q0n > 0.0, "fixture query 0 must be nonzero")
+    val scale = 10.0 * maxNorm / q0n
+    val clone = emb.sparkSession.createDataFrame(
+      Seq((1000000L, q0.map(x => (x * scale).toFloat), -1))).toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mips_alsh").toString
+    emb.select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+      .union(clone).write.parquet(s"$tmp/embeddings.parquet")
+    val top1 = EmbeddingSearch.mipsTopKAlsh(spark, tmp, k = 1, nQueries = 1)
+      .select($"vec_id".as[Long]).collect().toSeq
+    assert(top1 == Seq(1000000L), s"planted max-norm clone not top-1: $top1")
   }
 }

@@ -1041,4 +1041,72 @@ class StreamingSpec extends AnyFunSuite {
         Set((10L, 100L, 0L), (10L, 101L, 2L)))
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: exact when capacity covers the key universe") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = StreamingOps.heavyHittersStream(input.toDS(), capacity = 16, shards = 2)
+    val q = out.writeStream.format("memory").queryName("hh_exact")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(2)("a") ++ Seq.fill(4)("d"): _*)
+      q.processAllAvailable()
+      val rows = spark.table("hh_exact")
+        .select($"shard", $"seq", $"key", $"count", $"err")
+        .as[(Int, Long, String, Long, Long)].collect()
+      // latest summary per shard across triggers
+      val latest = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val mx = rs.map(_._2).max; rs.filter(_._2 == mx).toSeq
+      }.map(r => r._3 -> (r._4, r._5)).toMap
+      val truth = Map("a" -> 7L, "b" -> 3L, "c" -> 1L, "d" -> 4L)
+      assert(latest == truth.map { case (k, c) => k -> (c, 0L) },
+        s"capacity >= distinct keys must be exact, got $latest")
+    } finally q.stop()
+  }
+
+  test("streaming heavy hitters: SpaceSaving bounds hold under eviction pressure") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val capacity = 3
+    val out = StreamingOps.heavyHittersStream(input.toDS(), capacity = capacity, shards = 2)
+    val q = out.writeStream.format("memory").queryName("hh_tight")
+      .outputMode("update").start()
+    try {
+      // per shard: 2 dominant keys + a churning tail that forces evictions
+      val heavy = Seq.fill(40)("hot1") ++ Seq.fill(25)("hot2")
+      val tail = (0 until 30).map(i => s"t$i")
+      input.addData(heavy ++ tail: _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(10)("hot1") ++ (30 until 45).map(i => s"t$i"): _*)
+      q.processAllAvailable()
+      val all = Seq.fill(50)("hot1") ++ Seq.fill(25)("hot2") ++
+        (0 until 45).map(i => s"t$i")
+      val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val byShard = all.groupBy(StreamingOps.shardOf(_, 2))
+        .view.mapValues(_.size.toLong).toMap
+      val rows = spark.table("hh_tight")
+        .select($"shard", $"seq", $"key", $"count", $"err", $"shard_n")
+        .as[(Int, Long, String, Long, Long, Long)].collect()
+      rows.groupBy(_._1).foreach { case (shard, rs) =>
+        val mx = rs.map(_._2).max
+        val latest = rs.filter(_._2 == mx)
+        assert(latest.length <= capacity, s"shard $shard summary exceeds capacity")
+        val n = latest.head._6
+        assert(n == byShard(shard), s"shard $shard n=$n != true ${byShard(shard)}")
+        latest.foreach { case (_, _, k, c, e, _) =>
+          val t = truth(k)
+          assert(t <= c, s"$k: count $c underestimates true $t")
+          assert(c - e <= t, s"$k: count-err ${c - e} exceeds true $t")
+        }
+        // the SpaceSaving guarantee: every key with true freq > n/capacity
+        // owned by this shard MUST be in the summary
+        val present = latest.map(_._3).toSet
+        truth.filter { case (k, t) =>
+          StreamingOps.shardOf(k, 2) == shard && t > n / capacity
+        }.keys.foreach(k => assert(present.contains(k), s"guaranteed key $k evicted"))
+      }
+    } finally q.stop()
+  }
 }
