@@ -465,6 +465,16 @@ object SparkEntry {
     // CCNet head/middle/tail: exact equal-depth tiers over the LM score
     "corpus_lm_tiers" -> ((s, dir) =>
       TextAnalysis.lmTiers(Tables.documents(s, dir))),
+    // TRAINED quality classifier (the GPT-3/CCNet filter discipline):
+    // hashed-feature logistic regression, 3 full-batch GD rounds from
+    // zero — rational sigmoid + fixed fold orders + decimal-summed
+    // 6dp gradient contributions make the TRAINING itself bit-replayable
+    // by the oracle, not just its outputs
+    "text_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassifierWeights(Tables.documents(s, dir))),
+    // train-fit confusion matrix of the same model (predicted = z >= 0)
+    "text_quality_classifier_eval" -> ((s, dir) =>
+      TextAnalysis.qualityClassifierEval(Tables.documents(s, dir))),
     // TextRank: iterative damped PageRank over the token co-occurrence
     // graph, integer-exact, 5 unrolled rounds in the oracle
     "text_textrank" -> ((s, dir) =>
@@ -1021,6 +1031,48 @@ object SparkEntry {
     * over list_slice'd prefix vectors, hits counted against the full-dim
     * exact set; UNION ALL of the per-d' aggregates.
     */
+  /** Full bit-replay of the trained quality classifier
+    * (TextAnalysis.qualityClassifierWeights): hashed-frequency features +
+    * bias, then `iters` unrolled full-batch GD rounds — z in fixed
+    * ascending-j fold order, the RATIONAL sigmoid (only IEEE-exact ops, no
+    * libm), per-row gradient terms rounded to 6dp and decimal-summed,
+    * update scaled by the exact η=4.0 / n. Returns the WITH-clause chain
+    * ending at CTE `w<iters>` (1-row weight list) + `feat`/`nn`.
+    */
+  private def classifierCtes(dims: Int = 16, iters: Int = 3): String = {
+    val dp = dims + 1
+    val base =
+      s"""d0 AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+         |tokc AS (SELECT doc_id, ${duckHash("t")} % $dims AS j, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE t <> '' GROUP BY 1, 2),
+         |dense AS (SELECT d.doc_id, js.j, coalesce(tc.c, 0) AS c
+         |  FROM d0 d CROSS JOIN (SELECT unnest(generate_series(0, ${dims - 1})) AS j) js
+         |  LEFT JOIN tokc tc ON tc.doc_id = d.doc_id AND tc.j = js.j),
+         |xt AS (SELECT doc_id, list(c ORDER BY j) AS cs, sum(c)::BIGINT AS ntok
+         |  FROM dense GROUP BY doc_id),
+         |feat AS (SELECT x.doc_id, d.y,
+         |  list_append(list_transform(cs, c ->
+         |    CASE WHEN ntok = 0 THEN 0.0 ELSE c::DOUBLE / ntok::DOUBLE END), 1.0) AS x
+         |  FROM xt x JOIN d0 d ON d.doc_id = x.doc_id),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |w0 AS (SELECT list_transform(generate_series(0, $dims), j -> 0.0) AS w)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""s$t AS (SELECT f.doc_id, f.y, f.x,
+         |  list_reduce(list_transform(generate_series(1, $dp), j -> w[j] * x[j]),
+         |    (a, b) -> a + b) AS z
+         |  FROM feat f CROSS JOIN w${t - 1}),
+         |g$t AS (SELECT u.jj - 1 AS j,
+         |  sum(CAST(round(x[u.jj] * (0.5 + 0.5*z/(1.0 + abs(z)) - y), 6) AS DECIMAL(18,6))) AS gj
+         |  FROM s$t, LATERAL (SELECT unnest(generate_series(1, $dp)) AS jj) u
+         |  GROUP BY 1),
+         |w$t AS (SELECT list(wv ORDER BY j) AS w FROM (
+         |  SELECT g.j, w.w[(g.j + 1)::INT] - 4.0 * (g.gj::DOUBLE / nn.n::DOUBLE) AS wv
+         |  FROM g$t g CROSS JOIN w${t - 1} w CROSS JOIN nn))""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$steps"
+  }
+
   private def truncRecallSql(dPrimes: Seq[Int]): String =
     dPrimes.map { dp =>
       s"""(WITH t AS (SELECT vec_id,
@@ -1984,6 +2036,21 @@ object SparkEntry {
     // round(ln(integer), 6) terms, decimal-summed — bit-equal by the same
     // argument as the cosine family
     "text_lm_score" -> lmScoreSql,
+    // trained classifier: the weight VECTOR itself is the gated result —
+    // the oracle re-trains bit-identically (see classifierCtes)
+    "text_quality_classifier" ->
+      s"""${classifierCtes()}
+         |SELECT u.j::BIGINT AS j, w[(u.j + 1)::INT] AS weight
+         |FROM w3, LATERAL (SELECT unnest(generate_series(0, 16)) AS j) u""".stripMargin,
+    "text_quality_classifier_eval" ->
+      s"""${classifierCtes()},
+         |sf AS (SELECT f.y,
+         |  list_reduce(list_transform(generate_series(1, 17), j -> w[j] * x[j]),
+         |    (a, b) -> a + b) AS z
+         |  FROM feat f CROSS JOIN w3)
+         |SELECT y::BIGINT AS label, (z >= 0.0)::BIGINT AS predicted,
+         |  count(*) AS n_docs
+         |FROM sf GROUP BY 1, 2""".stripMargin,
     // CCNet head/middle/tail: global ntile over the LM score (total order
     // with doc_id tie-break), per-tier stats decimal-summed
     "corpus_lm_tiers" ->

@@ -1209,4 +1209,118 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(kTop)
   }
+
+  // ———— trained quality classifier (hashed-feature logistic regression) ————
+
+  /** Per-doc dense feature vector for the trained classifier: `dims`
+    * hash-bucket token FREQUENCIES (j = portableHash31(token) mod dims —
+    * the hashing trick, so the feature space is fixed-width at any
+    * vocabulary size) plus a constant bias 1.0 as the last element. All
+    * ratios are exact IEEE divisions of the same integers in both engines.
+    * Empty docs keep an all-zero frequency block (bias only). Label y =
+    * 1.0 for English — the production shape is "reference corpus vs rest"
+    * (the GPT-3/CCNet quality-filter discipline); lang is the label the
+    * driver tables carry.
+    */
+  private def classifierFeatures(docs: DataFrame, dims: Int): DataFrame = {
+    val labeled = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val cnt = docs
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("doc_id"), pmod(portableHash31(col("t")), lit(dims)).cast("int").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val dense = cnt.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c")))).as("m"),
+        sum(col("c")).cast("long").as("ntok"))
+    labeled.join(dense, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("y"),
+        concat(
+          transform(sequence(lit(0), lit(dims - 1)), j =>
+            when(col("ntok").isNull || col("ntok") === 0L, lit(0.0))
+              .otherwise(coalesce(element_at(col("m"), j.cast("int")), lit(0L))
+                .cast("double") / col("ntok").cast("double"))),
+          array(lit(1.0))).as("x"))
+  }
+
+  /** One full-batch gradient-descent step, engine-portable by
+    * construction: z = Σⱼ wⱼxⱼ in FIXED ascending-j fold order; the link is
+    * the rational sigmoid σ̃(z) = 0.5 + 0.5·z/(1+|z|) — every operation
+    * (add, abs, divide) is IEEE-exact, unlike exp-based σ whose libm
+    * rounding differs across engines; per-row gradient contributions
+    * round(xⱼ·(σ̃(z)−y), 6) are decimal-summed (order-independent), and the
+    * update divides by the doc count and scales by η=4.0 (a power of two —
+    * exact). The whole step is therefore bit-replayable by the DuckDB
+    * oracle, partition count notwithstanding. Scale shape per step: one
+    * map-side-combined shuffle on j (dims+1 keys) + two 1-row broadcasts —
+    * the classic distributed-GD round, cost linear in corpus size.
+    */
+  private def classifierStep(feat: DataFrame, w: DataFrame, nDocs: DataFrame,
+      dims: Int, eta: Double): DataFrame = {
+    val scored = feat.crossJoin(broadcast(w))
+      .withColumn("z", aggregate(sequence(lit(0), lit(dims)), lit(0.0),
+        (acc, j) => acc + element_at(col("w"), (j + 1).cast("int"))
+          * element_at(col("x"), (j + 1).cast("int"))))
+      .withColumn("d",
+        lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))) - col("y"))
+    val grad = scored
+      .select(posexplode(transform(col("x"),
+        x => round(x * col("d"), 6).cast("decimal(18,6)"))))
+      .groupBy(col("pos").as("j")).agg(sum(col("col")).as("gj"))
+      .groupBy().agg(map_from_entries(collect_list(struct(col("j"), col("gj")))).as("gm"))
+    w.crossJoin(broadcast(grad)).crossJoin(broadcast(nDocs))
+      .select(transform(sequence(lit(0), lit(dims)), j =>
+        element_at(col("w"), (j + 1).cast("int"))
+          - lit(eta) * (element_at(col("gm"), j.cast("int")).cast("double")
+            / col("n").cast("double"))).as("w"))
+  }
+
+  /** Train the hashed-feature logistic-regression quality classifier for
+    * `iters` full-batch GD rounds from zero weights and return the weight
+    * vector as (j, weight) rows — dims frequency weights + the bias at
+    * j = dims. The whole training is ONE lazy DAG (`iters` chained
+    * aggregate→broadcast rounds, the feature build computed once and
+    * reused); at 100 TB each round is a linear scan with a dims+1-key
+    * map-combined shuffle, which is exactly how production quality filters
+    * (fastText-style linear models over hashed n-grams) train at corpus
+    * scale. Every arithmetic step is engine-exact (see
+    * [[classifierStep]]), so the full training REPLAYS bit-identically in
+    * the DuckDB oracle — the model, not just its outputs, sits under the
+    * hash gate.
+    */
+  def qualityClassifierWeights(docs: DataFrame, dims: Int = 16, iters: Int = 3,
+      eta: Double = 4.0): DataFrame = {
+    require(dims >= 1 && iters >= 1, "dims and iters must be positive")
+    val feat = classifierFeatures(docs, dims)
+    val nDocs = docs.groupBy().agg(count(lit(1)).as("n"))
+    val spark = docs.sparkSession
+    var w: DataFrame = spark.range(1)
+      .select(transform(sequence(lit(0), lit(dims)), _ => lit(0.0)).as("w"))
+    for (_ <- 1 to iters) w = classifierStep(feat, w, nDocs, dims, eta)
+    w.select(posexplode(col("w")))
+      .select(col("pos").cast("long").as("j"), col("col").as("weight"))
+  }
+
+  /** Confusion matrix of the trained classifier against the true labels —
+    * predicted = (z ≥ 0), i.e. σ̃(z) ≥ ½, evaluated with the final weights
+    * on the training corpus (the standard train-fit diagnostic). Output:
+    * (label, predicted, n_docs); both engines derive the same exact z, so
+    * the boolean and the counts are under the hash gate.
+    */
+  def qualityClassifierEval(docs: DataFrame, dims: Int = 16, iters: Int = 3,
+      eta: Double = 4.0): DataFrame = {
+    val feat = classifierFeatures(docs, dims)
+    val nDocs = docs.groupBy().agg(count(lit(1)).as("n"))
+    val spark = docs.sparkSession
+    var w: DataFrame = spark.range(1)
+      .select(transform(sequence(lit(0), lit(dims)), _ => lit(0.0)).as("w"))
+    for (_ <- 1 to iters) w = classifierStep(feat, w, nDocs, dims, eta)
+    feat.crossJoin(broadcast(w))
+      .withColumn("z", aggregate(sequence(lit(0), lit(dims)), lit(0.0),
+        (acc, j) => acc + element_at(col("w"), (j + 1).cast("int"))
+          * element_at(col("x"), (j + 1).cast("int"))))
+      .groupBy(col("y").cast("long").as("label"),
+        (col("z") >= 0.0).cast("long").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

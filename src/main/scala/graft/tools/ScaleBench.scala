@@ -86,7 +86,11 @@ object ScaleBench {
     // ALSH band join measures augmented-signature bucket occupancy at
     // fixed (|Q|=10, replica-0) query load — one-sided, so candidate
     // growth should be linear in corpus size, not quadratic
-    "embed_knn_mips", "embed_knn_mips_alsh")
+    "embed_knn_mips", "embed_knn_mips_alsh",
+    // trained quality classifier: iters chained (scan + dims+1-key
+    // map-combined shuffle) rounds — distributed full-batch GD's measured
+    // slope should be linear per round
+    "text_quality_classifier")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"

@@ -1066,6 +1066,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: state survives a checkpointed stop/restart") {
+    // the operational contract no in-flight test can pin: kill the query,
+    // start a NEW query instance on the same checkpoint, and the SpaceSaving
+    // state (counts AND the per-shard seq) must carry over — if state were
+    // lost, key "a" would re-count from 2 instead of reaching 7
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_restart").toString
+    val srcDir = s"$dir/src"; val ck = s"$dir/ck"
+    StreamingSpec.hhRestartRows.clear()
+    val schema = Seq("k").toDF("key").schema
+    Seq.fill(5)("a").++(Seq.fill(3)("b")).toDF("key")
+      .write.mode("overwrite").parquet(srcDir)
+    def startQuery() = StreamingOps
+      .heavyHittersStream(
+        spark.readStream.schema(schema).parquet(srcDir).as[String],
+        capacity = 16, shards = 2)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamingOps.HeavyHitter], _: Long) =>
+        StreamingSpec.hhRestartRows ++=
+          ds.collect().map(h => (h.shard, h.seq, h.key, h.count, h.err, h.shard_n))
+        ()
+      }
+      .start()
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+    Seq.fill(2)("a").++(Seq.fill(4)("c")).toDF("key")
+      .write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val rows = StreamingSpec.hhRestartRows.toList
+    val latest = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val mx = rs.map(_._2).max; rs.filter(_._2 == mx).toSeq
+    }.map(r => r._3 -> (r._4, r._5)).toMap
+    assert(latest("a") == (7L, 0L),
+      s"state lost across restart: a = ${latest.get("a")} (restart-blind count would be 2)")
+    assert(latest("c") == (4L, 0L), s"post-restart batch miscounted: ${latest.get("c")}")
+    // seq continued past the pre-restart trigger for the restarted shard(s)
+    assert(rows.exists(_._2 >= 2L), s"per-shard seq did not advance across restart: $rows")
+  }
+
   test("streaming heavy hitters: SpaceSaving bounds hold under eviction pressure") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
@@ -1109,4 +1149,13 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+}
+
+object StreamingSpec {
+  /** Shared sink buffer for the restart spec's foreachBatch — must live on
+    * a stable (companion) reference so both query INSTANCES append to the
+    * same buffer across the stop/restart boundary.
+    */
+  val hhRestartRows =
+    new scala.collection.mutable.ArrayBuffer[(Int, Long, String, Long, Long, Long)]
 }

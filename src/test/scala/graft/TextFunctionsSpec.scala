@@ -600,4 +600,63 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == expected,
       s"first mismatch: ${got.zip(expected).find { case (g, e) => g != e }}")
   }
+
+  test("quality classifier separates a planted two-vocabulary corpus perfectly") {
+    // the driver corpus shares ONE vocabulary across langs by construction
+    // (no linear signal — the registered entries gate the training
+    // arithmetic there); learnability is pinned HERE: disjoint vocabularies
+    // must separate perfectly at the default 3 GD rounds
+    val va = "the quick brown fox jumps over lazy dog bright river stone".split(" ")
+    val vb = "lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor".split(" ")
+    val docs = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) va else vb
+      val text = (0 until 30).map(k => v((i * 7 + k) % v.length)).mkString(" ")
+      (i.toLong, text, if (i % 2 == 0) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    val eval = graft.operators.TextAnalysis.qualityClassifierEval(docs)
+      .select("label", "predicted", "n_docs").as[(Long, Long, Long)].collect().toSet
+    assert(eval == Set((1L, 1L, 20L), (0L, 0L, 20L)),
+      s"planted separable corpus not separated: $eval")
+  }
+
+  test("quality classifier training replays exactly driver-side at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val dims = 16; val iters = 3; val eta = 4.0
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"lang").as[(Long, String, String)].collect()
+    def h31(s: String): Long = {
+      var a = 0L; var i = 0
+      while (i < s.length) { a = (a * 31 + s.charAt(i)) % 2147483647L; i += 1 }
+      a
+    }
+    val feats = docs.map { case (_, text, lang) =>
+      val toks = text.split("\\W+").filter(_.nonEmpty)
+      val x = new Array[Double](dims + 1)
+      toks.foreach(t => x((h31(t) % dims).toInt) += 1.0)
+      if (toks.nonEmpty) (0 until dims).foreach(j => x(j) = x(j) / toks.length.toDouble)
+      x(dims) = 1.0
+      (x, if (lang == "en") 1.0 else 0.0)
+    }
+    val n = docs.length
+    var w = Array.fill(dims + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val g = Array.fill(dims + 1)(BigDecimal(0))
+      feats.foreach { case (x, y) =>
+        var z = 0.0; var j = 0
+        while (j <= dims) { z += w(j) * x(j); j += 1 }
+        val d = 0.5 + 0.5 * z / (1.0 + math.abs(z)) - y
+        j = 0
+        while (j <= dims) {
+          g(j) += BigDecimal(x(j) * d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          j += 1
+        }
+      }
+      w = w.indices.map(j => w(j) - eta * (g(j).toDouble / n.toDouble)).toArray
+    }
+    val expected = w.indices.map(j => (j.toLong, w(j))).toSet
+    val got = graft.operators.TextAnalysis
+      .qualityClassifierWeights(graft.sources.Tables.documents(spark, dir), dims, iters, eta)
+      .select("j", "weight").as[(Long, Double)].collect().toSet
+    assert(got == expected, s"weights diverged from the driver replay:\n$got\nvs\n$expected")
+  }
 }
