@@ -454,6 +454,11 @@ object SparkEntry {
     // the token-mass-preserving downsample; zero-shuffle map predicate
     "corpus_weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir))),
+    // consecutive global training positions WITHOUT a single-partition
+    // window: range-partition + parallel local ranks + metadata-scale
+    // offset table (the two-phase global-sort-index pattern)
+    "corpus_assign_ids" -> ((s, dir) =>
+      TextAnalysis.assignGlobalIds(Tables.documents(s, dir))),
     // integer-exact PMI collocations (phrase detection)
     "text_pmi_topk" -> ((s, dir) =>
       TextAnalysis.pmiTopBigrams(Tables.documents(s, dir))),
@@ -3341,6 +3346,13 @@ object SparkEntry {
          |k AS (SELECT epoch, doc_id,
          |  doc_id::VARCHAR || ':' || epoch::VARCHAR AS s FROM e)
          |SELECT epoch, doc_id, ${duckScramble("s")} AS order_key FROM k""".stripMargin,
+    // the two-phase seq equals the plain global row_number by construction
+    "corpus_assign_ids" ->
+      s"""WITH k0 AS (SELECT doc_id, doc_id::VARCHAR || ':0' AS s FROM documents),
+         |k AS (SELECT doc_id, ${duckScramble("s")} AS order_key FROM k0)
+         |SELECT doc_id, order_key,
+         |  (row_number() OVER (ORDER BY order_key, doc_id) - 1)::BIGINT AS seq
+         |FROM k""".stripMargin,
     "corpus_split" ->
       s"""WITH b AS (SELECT doc_id, source,
          |  ${duckHash("text")} % 10000 AS bucket FROM documents)

@@ -1210,6 +1210,37 @@ object TextAnalysis {
       .limit(kTop)
   }
 
+  /** Consecutive global TRAINING positions 0..N−1 in the epoch-0 shuffle
+    * order ([[epochShuffle]]'s key), assigned WITHOUT the single-partition
+    * window a bare `row_number() OVER (ORDER BY …)` plans — Spark executes
+    * that as ONE task holding the whole corpus, the classic 100 TB trap.
+    * Two-phase instead: range-partition on the order key (parallel), rank
+    * within partitions (parallel windows), then add per-partition offsets
+    * from a #partitions-row count table whose running sum is the one
+    * legitimately tiny single-partition window (metadata-scale). The final
+    * position depends only on the TOTAL ORDER (order_key, doc_id), never on
+    * where the sampled range boundaries land, so the result is
+    * partition-invariant even though range sampling isn't (InvarianceSpec
+    * pins it). The count pass re-scans the ranged frame — two linear scans
+    * total, the price of not single-partitioning. Output:
+    * (doc_id, order_key, seq).
+    */
+  def assignGlobalIds(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      portableScramble(concat(col("doc_id").cast("string"), lit(":0"))).as("order_key"))
+    val ranged = keyed.repartitionByRange(col("order_key"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = Window.partitionBy(col("pid")).orderBy(col("order_key"), col("doc_id"))
+    val ranked = ranged.withColumn("lrk", row_number().over(local).cast("long"))
+    val offsets = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .withColumn("offset",
+        coalesce(sum(col("c")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    ranked.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("order_key"), (col("lrk") - 1L + col("offset")).as("seq"))
+  }
+
   // ———— trained quality classifier (hashed-feature logistic regression) ————
 
   /** Per-doc dense feature vector for the trained classifier: `dims`

@@ -399,11 +399,28 @@ private[v2] class TextCorpusWriterFactory(rootPath: String, stagingPath: String,
 private[v2] class TextCorpusDataWriter(rootPath: String, taskDir: String,
     schema: StructType, confSer: java.io.Serializable)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import TextCorpusDataWriter.NewlineRe
   private val docIdx = schema.fieldIndex("doc_id")
   private val textIdx = schema.fieldIndex("text")
   private var n = 0L
   private lazy val conf = org.apache.spark.sql.GraftShim.hadoopConfOf(confSer)
   private lazy val fs = new Path(taskDir).getFileSystem(conf)
+
+  /** `file://`-scheme fast path: Hadoop's local adapter forks a `chmod`
+    * PROCESS per created file when the native library is absent (measured
+    * 21 ms/create + 44 ms/rename here vs 0.05 ms for the raw OS call —
+    * it made a 5k-doc publish cost 238 s). java.nio performs the same ops
+    * with identical semantics: `ATOMIC_MOVE + REPLACE_EXISTING` is the
+    * POSIX atomic overwrite rename. Any non-local scheme (HDFS, S3A — the
+    * real-cluster deployments) takes the Hadoop branch unchanged.
+    */
+  private lazy val localTaskDir: Option[java.nio.file.Path] = {
+    val uri = new Path(taskDir).toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      Some(java.nio.file.Paths.get(uri.getPath))
+    else None
+  }
+  private var localDirReady = false
 
   override def write(row: InternalRow): Unit = {
     val docId = row.getUTF8String(docIdx).toString
@@ -414,10 +431,19 @@ private[v2] class TextCorpusDataWriter(rootPath: String, taskDir: String,
     // publish in the corpus' line-normalized form (what the read side and
     // the reference's ingestion produce) — write→read is then the identity
     // on what readers of this format observe
-    val text = row.getUTF8String(textIdx).toString.replaceAll("\\r?\\n", " ")
-    val out = fs.create(new Path(taskDir, s"$docId.txt"), true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val text = NewlineRe.matcher(row.getUTF8String(textIdx).toString).replaceAll(" ")
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    localTaskDir match {
+      case Some(dir) =>
+        if (!localDirReady) {
+          java.nio.file.Files.createDirectories(dir); localDirReady = true
+        }
+        java.nio.file.Files.write(dir.resolve(s"$docId.txt"), bytes)
+      case None =>
+        val out = fs.create(new Path(taskDir, s"$docId.txt"), true)
+        try out.write(bytes)
+        finally out.close()
+    }
     n += 1
   }
 
@@ -427,25 +453,43 @@ private[v2] class TextCorpusDataWriter(rootPath: String, taskDir: String,
     * (replay converges), un-renamed ones stay hidden in staging.
     */
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    val root = new Path(rootPath)
-    val td = new Path(taskDir)
     val created = Array.newBuilder[String]
     val replaced = Array.newBuilder[String]
-    if (n > 0 && fs.exists(td)) {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
-      fs.listStatus(td).foreach { f =>
-        val name = f.getPath.getName
-        val dest = new Path(root, name)
-        // existence probe classifies new-vs-replaced for abort rollback
-        // only; the rename itself is a single atomic overwrite (no
-        // delete-then-rename absence window)
-        val existed = fs.exists(dest)
-        fc.rename(f.getPath, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        if (existed) replaced += name else created += name
-      }
+    localTaskDir match {
+      case Some(dir) if n > 0 && java.nio.file.Files.isDirectory(dir) =>
+        import java.nio.file.{Files, StandardCopyOption}
+        val rootDir = java.nio.file.Paths.get(new Path(rootPath).toUri.getPath)
+        val files = Files.list(dir)
+        try files.iterator().forEachRemaining { f =>
+          val name = f.getFileName.toString
+          val dest = rootDir.resolve(name)
+          // existence probe classifies new-vs-replaced for abort rollback
+          // only; the move itself is a single atomic overwrite (no
+          // delete-then-rename absence window)
+          val existed = Files.exists(dest)
+          Files.move(f, dest,
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          if (existed) replaced += name else created += name
+        } finally files.close()
+      case None if n > 0 && fs.exists(new Path(taskDir)) =>
+        val root = new Path(rootPath)
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+        fs.listStatus(new Path(taskDir)).foreach { f =>
+          val name = f.getPath.getName
+          val dest = new Path(root, name)
+          val existed = fs.exists(dest)
+          fc.rename(f.getPath, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          if (existed) replaced += name else created += name
+        }
+      case _ => ()
     }
     TextWriteDone(taskDir, created.result(), replaced.result())
   }
   override def abort(): Unit = fs.delete(new Path(taskDir), true)
   override def close(): Unit = ()
+}
+
+private[v2] object TextCorpusDataWriter {
+  /** Precompiled once — `String.replaceAll` re-compiles its regex per row. */
+  private val NewlineRe = java.util.regex.Pattern.compile("\\r?\\n")
 }

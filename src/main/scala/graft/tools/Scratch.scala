@@ -20,6 +20,47 @@ object Scratch {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "fsprof") {
+      // microbenchmark the Hadoop FS ops the sink performs per document
+      import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+      val conf = spark.sparkContext.hadoopConfiguration
+      val base = java.nio.file.Files.createTempDirectory("graft_fsprof").toString
+      val stage = new HPath(s"$base/stage"); val root = new HPath(s"$base/root")
+      val fs = stage.getFileSystem(conf)
+      fs.mkdirs(stage); fs.mkdirs(root)
+      val nFiles = 2000
+      var t0 = System.nanoTime()
+      (0 until nFiles).foreach { i =>
+        val out = fs.create(new HPath(stage, s"$i.txt"), true)
+        out.write(("x" * 500).getBytes); out.close()
+      }
+      println(f"create+write+close x$nFiles: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val fc = FileContext.getFileContext(root.toUri, conf)
+      t0 = System.nanoTime()
+      (0 until nFiles).foreach { i =>
+        val dest = new HPath(root, s"$i.txt")
+        fs.exists(dest)
+        fc.rename(new HPath(stage, s"$i.txt"), dest, Options.Rename.OVERWRITE)
+      }
+      println(f"exists+fcrename x$nFiles: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "sinkprof") {
+      // profile the graft-text DSv2 sink: write sf docs to a FRESH corpus
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("CAST(doc_id AS STRING) AS doc_id", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft_sinkprof").toString + "/corpus"
+      var t0 = System.nanoTime()
+      docs.write.format("graft-text").mode("overwrite").save(out)
+      println(f"WRITE fresh: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+      docs.write.format("graft-text").mode("append").save(out)
+      println(f"WRITE upsert-over-existing: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+      val n = spark.read.format("graft-text").load(out).count()
+      println(f"READ back ($n docs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "ngramprof") {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window

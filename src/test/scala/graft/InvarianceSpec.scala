@@ -115,7 +115,17 @@ class InvarianceSpec extends AnyFunSuite {
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
     "embed_outliers" -> ((s, d) => EmbeddingSearch.labelOutliers(s, d)),
     "rel_bloom_join" -> ((s, d) => Relational.bloomPartRevenue(s, d)),
-    "rel_cdc_apply" -> ((s, d) => Relational.cdcApplyOrders(s, d)))
+    "rel_cdc_apply" -> ((s, d) => Relational.cdcApplyOrders(s, d)),
+    // round-8 additions: the ALSH MIPS band join + exact re-rank, and the
+    // 3-round distributed GD (decimal-summed gradients, broadcast weight
+    // rows) must both be partition-stable
+    "embed_knn_mips_alsh" -> ((s, d) => EmbeddingSearch.mipsTopKAlsh(s, d, nQueries = 3)),
+    "text_quality_classifier" ->
+      ((s, d) => TextAnalysis.qualityClassifierWeights(Tables.documents(s, d))),
+    // the two-phase global-id assignment: range boundaries move with the
+    // partition count; the assigned positions must not
+    "corpus_assign_ids" ->
+      ((s, d) => TextAnalysis.assignGlobalIds(Tables.documents(s, d))))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
