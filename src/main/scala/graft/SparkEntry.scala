@@ -252,6 +252,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     }),
+    // PERMISSIVE-mode malformed-record tolerance: every 7th order's JSON
+    // line is deterministically TRUNCATED mid-object at export; the read
+    // must route those rows to _corrupt_record (not fail the scan, not
+    // silently drop) and keep every well-formed row bit-intact — the
+    // oracle replays the corruption rule from the parquet table
+    "source_json_corrupt" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sfName = new java.io.File(dir).getName
+      val out = Tables.exportOnce(s"$dir/orders.parquet", s"graft_jsoncorr_${sfName}_",
+        p => {
+          val j = to_json(struct(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+          Tables.orders(s, dir)
+            .select(when(col("o_orderkey") % 7 === 0,
+                substring(j, lit(1), length(j) - 2)).otherwise(j).as("value"))
+            .write.mode("overwrite").text(p)
+        })
+      s.read
+        .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .select(when(col("_corrupt_record").isNotNull, lit("corrupt"))
+          .otherwise(col("o_orderstatus")).as("status_bucket"), col("o_totalprice"))
+        .groupBy(col("status_bucket"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
     "source_orc_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val sfName = new java.io.File(dir).getName
@@ -2357,6 +2384,15 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts,
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY 1""".stripMargin,
+    // replay of the deterministic truncation rule: corrupt rows bucket
+    // together with a NULL sum; well-formed rows must survive bit-intact
+    "source_json_corrupt" ->
+      """SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'corrupt' ELSE o_orderstatus END
+        |    AS status_bucket,
+        |  count(*) AS n_records,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     // the looked-up file contents must hash-match the source table rows
     // byte-for-byte (the corpus is newline-free, so the text-file roundtrip
     // is exact)

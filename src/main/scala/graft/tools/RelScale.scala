@@ -66,7 +66,14 @@ object RelScale {
     // band width (Scale.bandWidthFor) — probe side grows with k, the
     // bracket table stays metadata-scale, so the curve measures the
     // derived-width banding at growing point volume
-    "rel_interval_join")
+    "rel_interval_join",
+    // round-8 additions: the remaining TPC-H disciplines — Q2's
+    // decorrelated argmin, Q8/Q9's conditional-agg and computed-cost
+    // rollups, Q11's group-vs-global HAVING, Q13's left-outer count
+    // distribution, Q16's NOT-IN anti join, Q17's per-part avg threshold
+    "rel_min_cost_supplier", "rel_market_share", "rel_nation_profit",
+    "rel_important_parts", "rel_order_count_dist", "rel_supplier_diversity",
+    "rel_small_qty_revenue")
 
   /** Key stride between replicas — far above any base key (max base key is
     * l_orderkey ≈ 6·10⁵ at sf0.1; 16 replicas stay below 2³¹ even embedded
