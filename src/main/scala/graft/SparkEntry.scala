@@ -507,6 +507,12 @@ object SparkEntry {
     // train-fit confusion matrix of the same model (predicted = z >= 0)
     "text_quality_classifier_eval" -> ((s, dir) =>
       TextAnalysis.qualityClassifierEval(Tables.documents(s, dir))),
+    // per-doc serve scores from the trained weights (the filter's output
+    // surface; the persisted train-once/serve-many path is spec-pinned
+    // row-identical to this fresh-trained form)
+    "text_quality_classifier_scores" -> ((s, dir) =>
+      TextAnalysis.scoreWithClassifier(Tables.documents(s, dir),
+        TextAnalysis.qualityClassifierWeights(Tables.documents(s, dir)))),
     // TextRank: iterative damped PageRank over the token co-occurrence
     // graph, integer-exact, 5 unrolled rounds in the oracle
     "text_textrank" -> ((s, dir) =>
@@ -2083,6 +2089,14 @@ object SparkEntry {
          |SELECT y::BIGINT AS label, (z >= 0.0)::BIGINT AS predicted,
          |  count(*) AS n_docs
          |FROM sf GROUP BY 1, 2""".stripMargin,
+    "text_quality_classifier_scores" ->
+      s"""${classifierCtes()},
+         |sc AS (SELECT f.doc_id,
+         |  list_reduce(list_transform(generate_series(1, 17), j -> w[j] * x[j]),
+         |    (a, b) -> a + b) AS z
+         |  FROM feat f CROSS JOIN w3)
+         |SELECT doc_id, round(z, 6) AS score, (z >= 0.0)::BIGINT AS predicted
+         |FROM sc""".stripMargin,
     // CCNet head/middle/tail: global ntile over the LM score (total order
     // with doc_id tie-break), per-tier stats decimal-summed
     "corpus_lm_tiers" ->

@@ -1322,6 +1322,7 @@ object TextAnalysis {
   def qualityClassifierWeights(docs: DataFrame, dims: Int = 16, iters: Int = 3,
       eta: Double = 4.0): DataFrame = {
     require(dims >= 1 && iters >= 1, "dims and iters must be positive")
+    classifierTrainings.incrementAndGet()
     val feat = classifierFeatures(docs, dims)
     val nDocs = docs.groupBy().agg(count(lit(1)).as("n"))
     val spark = docs.sparkSession
@@ -1330,6 +1331,51 @@ object TextAnalysis {
     for (_ <- 1 to iters) w = classifierStep(feat, w, nDocs, dims, eta)
     w.select(posexplode(col("w")))
       .select(col("pos").cast("long").as("j"), col("col").as("weight"))
+  }
+
+  /** Trainings performed (test observability — the persisted-model spec
+    * asserts the serve path performs ZERO of them, same discipline as
+    * `kmeansTrainings`). */
+  val classifierTrainings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-doc scores from an EXPLICIT weight table (j, weight) — the serve
+    * half of train-once/serve-many: one linear scan against the broadcast
+    * weight row, no training shuffles. Output: (doc_id, score, predicted).
+    */
+  def scoreWithClassifier(docs: DataFrame, weights: DataFrame, dims: Int = 16): DataFrame = {
+    val wArr = weights.groupBy().agg(
+      transform(array_sort(collect_list(struct(col("j"), col("weight")))),
+        s => s.getField("weight")).as("w"))
+    classifierFeatures(docs, dims).crossJoin(broadcast(wArr))
+      .withColumn("z", aggregate(sequence(lit(0), lit(dims)), lit(0.0),
+        (acc, j) => acc + element_at(col("w"), (j + 1).cast("int"))
+          * element_at(col("x"), (j + 1).cast("int"))))
+      .select(col("doc_id"), round(col("z"), 6).as("score"),
+        (col("z") >= 0.0).cast("long").as("predicted"))
+  }
+
+  def saveClassifierModel(weights: DataFrame, path: String): Unit =
+    weights.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadClassifierModel(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Train-once/serve-many: the first call against an empty `indexPath`
+    * trains ([[qualityClassifierWeights]]) and persists the weight table;
+    * every later call (any JVM) loads and serves — row-identical either
+    * way, zero training shuffles on the serve path (spec-pinned via
+    * [[classifierTrainings]], the kmeans-index discipline applied to the
+    * quality filter: at 100 TB the filter trains on one corpus snapshot
+    * and scores every later ingest batch).
+    */
+  def qualityClassifierPersisted(docs: DataFrame, indexPath: String, dims: Int = 16,
+      iters: Int = 3, eta: Double = 4.0): DataFrame = {
+    val spark = docs.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      saveClassifierModel(qualityClassifierWeights(docs, dims, iters, eta), indexPath)
+    scoreWithClassifier(docs, loadClassifierModel(spark, indexPath), dims)
   }
 
   /** Confusion matrix of the trained classifier against the true labels —

@@ -659,4 +659,24 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select("j", "weight").as[(Long, Double)].collect().toSet
     assert(got == expected, s"weights diverged from the driver replay:\n$got\nvs\n$expected")
   }
+
+  test("persisted classifier model serves row-identical scores with zero retrains") {
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fresh = TextAnalysis
+      .scoreWithClassifier(docs, TextAnalysis.qualityClassifierWeights(docs))
+      .select("doc_id", "score", "predicted").as[(Long, Double, Long)].collect().toSet
+    val idx = java.nio.file.Files.createTempDirectory("graft_clf_idx").toString + "/idx"
+    val before = TextAnalysis.classifierTrainings.get()
+    val first = TextAnalysis.qualityClassifierPersisted(docs, idx)
+      .select("doc_id", "score", "predicted").as[(Long, Double, Long)].collect().toSet
+    assert(TextAnalysis.classifierTrainings.get() == before + 1,
+      "first invocation against an empty model path must train exactly once")
+    val served = TextAnalysis.qualityClassifierPersisted(docs, idx)
+      .select("doc_id", "score", "predicted").as[(Long, Double, Long)].collect().toSet
+    assert(TextAnalysis.classifierTrainings.get() == before + 1,
+      "second invocation retrained instead of serving the persisted model")
+    assert(first == fresh, "train-and-persist call diverged from fresh scores")
+    assert(served == fresh, "persisted-model serve diverged from fresh scores")
+  }
 }
