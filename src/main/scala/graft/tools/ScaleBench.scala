@@ -90,7 +90,11 @@ object ScaleBench {
     // trained quality classifier: iters chained (scan + dims+1-key
     // map-combined shuffle) rounds — distributed full-batch GD's measured
     // slope should be linear per round
-    "text_quality_classifier")
+    "text_quality_classifier",
+    // two-phase global-id assignment: a range shuffle + parallel local
+    // ranks — the measured form of "global sort-index without the
+    // single-partition window"
+    "corpus_assign_ids")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"
