@@ -1274,63 +1274,66 @@ object TextAnalysis {
           array(lit(1.0))).as("x"))
   }
 
-  /** One full-batch gradient-descent step, engine-portable by
-    * construction: z = Σⱼ wⱼxⱼ in FIXED ascending-j fold order; the link is
-    * the rational sigmoid σ̃(z) = 0.5 + 0.5·z/(1+|z|) — every operation
-    * (add, abs, divide) is IEEE-exact, unlike exp-based σ whose libm
-    * rounding differs across engines; per-row gradient contributions
-    * round(xⱼ·(σ̃(z)−y), 6) are decimal-summed (order-independent), and the
-    * update divides by the doc count and scales by η=4.0 (a power of two —
-    * exact). The whole step is therefore bit-replayable by the DuckDB
-    * oracle, partition count notwithstanding. Scale shape per step: one
-    * map-side-combined shuffle on j (dims+1 keys) + two 1-row broadcasts —
-    * the classic distributed-GD round, cost linear in corpus size.
-    */
-  private def classifierStep(feat: DataFrame, w: DataFrame, nDocs: DataFrame,
-      dims: Int, eta: Double): DataFrame = {
-    val scored = feat.crossJoin(broadcast(w))
-      .withColumn("z", aggregate(sequence(lit(0), lit(dims)), lit(0.0),
-        (acc, j) => acc + element_at(col("w"), (j + 1).cast("int"))
-          * element_at(col("x"), (j + 1).cast("int"))))
-      .withColumn("d",
-        lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))) - col("y"))
-    val grad = scored
-      .select(posexplode(transform(col("x"),
-        x => round(x * col("d"), 6).cast("decimal(18,6)"))))
-      .groupBy(col("pos").as("j")).agg(sum(col("col")).as("gj"))
-      .groupBy().agg(map_from_entries(collect_list(struct(col("j"), col("gj")))).as("gm"))
-    w.crossJoin(broadcast(grad)).crossJoin(broadcast(nDocs))
-      .select(transform(sequence(lit(0), lit(dims)), j =>
-        element_at(col("w"), (j + 1).cast("int"))
-          - lit(eta) * (element_at(col("gm"), j.cast("int")).cast("double")
-            / col("n").cast("double"))).as("w"))
-  }
-
   /** Train the hashed-feature logistic-regression quality classifier for
-    * `iters` full-batch GD rounds from zero weights and return the weight
-    * vector as (j, weight) rows — dims frequency weights + the bias at
-    * j = dims. The whole training is ONE lazy DAG (`iters` chained
-    * aggregate→broadcast rounds, the feature build computed once and
-    * reused); at 100 TB each round is a linear scan with a dims+1-key
-    * map-combined shuffle, which is exactly how production quality filters
-    * (fastText-style linear models over hashed n-grams) train at corpus
-    * scale. Every arithmetic step is engine-exact (see
-    * [[classifierStep]]), so the full training REPLAYS bit-identically in
-    * the DuckDB oracle — the model, not just its outputs, sits under the
-    * hash gate.
+    * `iters` full-batch GD rounds from zero weights and return the final
+    * weight vector — the idiomatic Spark iterative-ML loop (the same shape
+    * as [[trainKmeansIndex]] and Spark MLlib's own GD): features are built
+    * ONCE and persisted, each round is one scan of the cached frame with
+    * the current weights inlined as literals, the dims+1 decimal gradient
+    * sums come back to the driver (17 values — metadata-scale), and the
+    * cache is released when training ends. At 100 TB this is exactly how
+    * production quality filters (fastText-style linear models over hashed
+    * n-grams) train: cache-once, k cheap passes.
+    *
+    * Engine-portable by construction: z = Σⱼ wⱼxⱼ in FIXED ascending-j
+    * fold order; the link is the rational sigmoid σ̃(z) = 0.5+0.5·z/(1+|z|)
+    * — every operation (add, abs, divide) is IEEE-exact, unlike exp-based
+    * σ whose libm rounding differs across engines; per-row gradient
+    * contributions round(xⱼ·(σ̃(z)−y), 6) are decimal-summed
+    * (order-independent), and the update divides by the doc count and
+    * scales by η=4.0 (a power of two — exact). The whole training
+    * therefore REPLAYS bit-identically in the DuckDB oracle — the model,
+    * not just its outputs, sits under the hash gate — and is
+    * partition-invariant (InvarianceSpec pins 4 vs 7).
     */
-  def qualityClassifierWeights(docs: DataFrame, dims: Int = 16, iters: Int = 3,
-      eta: Double = 4.0): DataFrame = {
+  private[operators] def trainClassifier(docs: DataFrame, dims: Int, iters: Int,
+      eta: Double): Array[Double] = {
     require(dims >= 1 && iters >= 1, "dims and iters must be positive")
     classifierTrainings.incrementAndGet()
     val feat = classifierFeatures(docs, dims)
-    val nDocs = docs.groupBy().agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = feat.count() // materializes the cache; one row per doc
+      var w = Array.fill(dims + 1)(0.0)
+      for (_ <- 1 to iters) {
+        val wArr = array(w.toIndexedSeq.map(lit): _*)
+        val grads = feat
+          .withColumn("z", aggregate(sequence(lit(0), lit(dims)), lit(0.0),
+            (acc, j) => acc + element_at(wArr, (j + 1).cast("int"))
+              * element_at(col("x"), (j + 1).cast("int"))))
+          .withColumn("d",
+            lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))) - col("y"))
+          .select(posexplode(transform(col("x"),
+            x => round(x * col("d"), 6).cast("decimal(18,6)"))))
+          .groupBy(col("pos")).agg(sum(col("col")).as("gj"))
+          .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+        w = w.indices.map(j =>
+          w(j) - eta * (grads(j).doubleValue() / n.toDouble)).toArray
+      }
+      w
+    } finally { feat.unpersist(); () }
+  }
+
+  /** The trained weight vector as (j, weight) rows — dims frequency
+    * weights + the bias at j = dims (see [[trainClassifier]] for the
+    * training discipline and the portability argument).
+    */
+  def qualityClassifierWeights(docs: DataFrame, dims: Int = 16, iters: Int = 3,
+      eta: Double = 4.0): DataFrame = {
     val spark = docs.sparkSession
-    var w: DataFrame = spark.range(1)
-      .select(transform(sequence(lit(0), lit(dims)), _ => lit(0.0)).as("w"))
-    for (_ <- 1 to iters) w = classifierStep(feat, w, nDocs, dims, eta)
-    w.select(posexplode(col("w")))
-      .select(col("pos").cast("long").as("j"), col("col").as("weight"))
+    import spark.implicits._
+    trainClassifier(docs, dims, iters, eta).toIndexedSeq.zipWithIndex
+      .map { case (wt, j) => (j.toLong, wt) }.toDF("j", "weight")
   }
 
   /** Trainings performed (test observability — the persisted-model spec
@@ -1386,15 +1389,10 @@ object TextAnalysis {
     */
   def qualityClassifierEval(docs: DataFrame, dims: Int = 16, iters: Int = 3,
       eta: Double = 4.0): DataFrame = {
-    val feat = classifierFeatures(docs, dims)
-    val nDocs = docs.groupBy().agg(count(lit(1)).as("n"))
-    val spark = docs.sparkSession
-    var w: DataFrame = spark.range(1)
-      .select(transform(sequence(lit(0), lit(dims)), _ => lit(0.0)).as("w"))
-    for (_ <- 1 to iters) w = classifierStep(feat, w, nDocs, dims, eta)
-    feat.crossJoin(broadcast(w))
+    val wArr = array(trainClassifier(docs, dims, iters, eta).toIndexedSeq.map(lit): _*)
+    classifierFeatures(docs, dims)
       .withColumn("z", aggregate(sequence(lit(0), lit(dims)), lit(0.0),
-        (acc, j) => acc + element_at(col("w"), (j + 1).cast("int"))
+        (acc, j) => acc + element_at(wArr, (j + 1).cast("int"))
           * element_at(col("x"), (j + 1).cast("int"))))
       .groupBy(col("y").cast("long").as("label"),
         (col("z") >= 0.0).cast("long").as("predicted"))
