@@ -334,4 +334,28 @@ class PropertySpec extends AnyFunSuite {
       assert(reapplied == newM, s"seed $seed: $reapplied != $newM")
     }
   }
+
+  test("global-id assignment: exact 0..N-1 permutation in scramble order on arbitrary corpora") {
+    // the two-phase (range-partition + local ranks + offsets) machinery
+    // must produce EXACTLY the positions a driver-side global sort gives,
+    // for any doc-id set — sparse, dense, singleton, adversarial gaps
+    val genIds: Gen[List[Long]] = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 1000000L)).map(_.distinct))
+    def modelKey(id: Long): Long = {
+      // portableScramble("<id>:0") — independent plain-Scala model
+      def fold(s: String, base: Long): Long =
+        s.foldLeft(0L)((a, c) => (a * base + c) % 2147483647L)
+      val s = s"$id:0"
+      (fold(s, 31) * fold(s, 37)) % 2147483647L
+    }
+    for (seed <- 1L to 8L) {
+      val ids = sample(genIds, seed)
+      val docs = ids.map(id => (id, s"doc $id")).toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis.assignGlobalIds(docs)
+        .select($"doc_id".as[Long], $"seq".as[Long]).collect().toMap
+      val expected = ids.sortBy(id => (modelKey(id), id)).zipWithIndex
+        .map { case (id, i) => id -> i.toLong }.toMap
+      assert(got == expected, s"seed $seed: $got != $expected")
+    }
+  }
 }
