@@ -486,6 +486,11 @@ object SparkEntry {
     // offset table (the two-phase global-sort-index pattern)
     "corpus_assign_ids" -> ((s, dir) =>
       TextAnalysis.assignGlobalIds(Tables.documents(s, dir))),
+    // temperature mix at alpha=1/2 (XLM-R sampling rule): keep fraction
+    // sqrt(c_min/c_s) per source, derived from the data — exact because
+    // alpha=1/2 needs only IEEE sqrt, never libm pow
+    "corpus_mix_temperature" -> ((s, dir) =>
+      TextAnalysis.sourceMixTemperature(Tables.documents(s, dir))),
     // integer-exact PMI collocations (phrase detection)
     "text_pmi_topk" -> ((s, dir) =>
       TextAnalysis.pmiTopBigrams(Tables.documents(s, dir))),
@@ -3355,6 +3360,18 @@ object SparkEntry {
          |   OR (source = 'src1' AND bucket < 6000)
          |   OR (source = 'src2' AND bucket < 3000)
          |   OR (source = 'src3' AND bucket < 1000)""".stripMargin,
+    // temperature-mix replay: same token counts, same exact sqrt rule
+    "corpus_mix_temperature" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |  ${duckHash("text")} % 10000 AS bucket FROM documents),
+         |c AS (SELECT source, sum(n_tokens)::BIGINT AS c FROM t GROUP BY 1),
+         |m AS (SELECT min(c) AS cmin FROM c),
+         |th AS (SELECT source,
+         |  CAST(round(sqrt(cmin::DOUBLE / c::DOUBLE) * 10000) AS BIGINT) AS threshold
+         |  FROM c CROSS JOIN m)
+         |SELECT t.doc_id, t.lang, t.source, t.bucket, th.threshold
+         |FROM t JOIN th USING (source) WHERE t.bucket < th.threshold""".stripMargin,
     // BM25 mirrored term by term: same tf/df/len tables, same double
     // literals and operation order, same term-sorted left fold, round(6)
     "text_bm25_topk" ->

@@ -984,6 +984,36 @@ object TextAnalysis {
       .where(col("bucket") < thresholdCol)
   }
 
+  /** TEMPERATURE-mixed corpus — the multilingual/domain sampling rule of
+    * mBERT/XLM-R (sample source s with probability ∝ p_s^α) at α = ½,
+    * where the per-source KEEP fraction reduces to f_s = √(c_min/c_s):
+    * the smallest source keeps everything, a 4×-bigger source keeps half.
+    * α = ½ is chosen PRECISELY so the rule stays engine-exact — c_min/c_s
+    * is an exact IEEE division of integer token counts and √ is
+    * IEEE-correctly-rounded, no libm `pow` enters the plan. Membership is
+    * the deterministic content-hash bucket against the integer threshold
+    * round(f_s·10⁴) (the [[sourceMix]] mechanism with DATA-DERIVED
+    * weights — the mixing twin of `bandWidthFor`/`bloomBitsFor`/
+    * `lshRowsPerBand`: the caller brings a temperature, not a weight
+    * table). Scale shape: one metadata-scale per-source aggregate
+    * broadcast back over the scan; the filter itself is map-side.
+    * Output: (doc_id, lang, source, bucket, threshold).
+    */
+  def sourceMixTemperature(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+      size(tokenize(col("text"))).cast("long").as("n_tokens"),
+      pmod(portableHash31(col("text")), lit(10000L)).as("bucket"))
+    val counts = toks.groupBy(col("source")).agg(sum(col("n_tokens")).cast("long").as("c"))
+    val thresholds = counts
+      .crossJoin(broadcast(counts.groupBy().agg(min(col("c")).as("cmin"))))
+      .select(col("source"),
+        round(sqrt(col("cmin").cast("double") / col("c").cast("double")) * 10000)
+          .cast("long").as("threshold"))
+    toks.join(broadcast(thresholds), "source")
+      .where(col("bucket") < col("threshold"))
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"), col("threshold"))
+  }
+
   /** Per-source token budgeting — the "take N tokens from each source" pass
     * of corpus assembly: keep each source's documents in ascending doc_id
     * order while the source's cumulative token count stays within

@@ -660,6 +660,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == expected, s"weights diverged from the driver replay:\n$got\nvs\n$expected")
   }
 
+  test("temperature mix: sqrt(c_min/c_s) thresholds on a skewed planted corpus") {
+    // source big carries ~4x small's tokens -> threshold ~ sqrt(1/4)*1e4;
+    // the smallest source must keep EVERYTHING (threshold 10000)
+    val docs = ((0 until 40).map(i => (i.toLong, Seq.fill(20)(s"tok$i").mkString(" "), "en", "big")) ++
+      (100 until 110).map(i => (i.toLong, Seq.fill(20)(s"tok$i").mkString(" "), "en", "small")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.TextAnalysis.sourceMixTemperature(docs)
+      .select("source", "threshold").as[(String, Long)].collect()
+    val th = out.groupBy(_._1).map { case (s, rs) => s -> rs.head._2 }
+    // counts: big = 40*20 = 800, small = 10*20 = 200 tokens
+    val expectBig = math.round(math.sqrt(200.0 / 800.0) * 10000)
+    assert(th.get("small").forall(_ == 10000L) || th.get("small").isEmpty == false,
+      s"small source must keep everything: $th")
+    assert(th("small") == 10000L, s"small threshold: ${th("small")}")
+    assert(th("big") == expectBig, s"big threshold ${th("big")} != $expectBig")
+    // and the small source's docs all survive (bucket < 10000 always)
+    val kept = graft.operators.TextAnalysis.sourceMixTemperature(docs)
+      .where($"source" === "small").count()
+    assert(kept == 10L, s"small source lost docs: $kept/10")
+  }
+
   test("persisted classifier model serves row-identical scores with zero retrains") {
     import graft.operators.TextAnalysis
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
