@@ -491,6 +491,15 @@ object SparkEntry {
     // alpha=1/2 needs only IEEE sqrt, never libm pow
     "corpus_mix_temperature" -> ((s, dir) =>
       TextAnalysis.sourceMixTemperature(Tables.documents(s, dir))),
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram target/raw
+    // log-likelihood ratios — 64-bucket map-combined distribution aggs, a
+    // broadcast ratio table, one doc-keyed scoring shuffle; ln of integers
+    // at 6dp + decimal sums keep the scores hash-gated
+    "corpus_dsir_scores" -> ((s, dir) =>
+      TextAnalysis.dsirScores(Tables.documents(s, dir))),
+    // deterministic ranked DSIR selection (TakeOrdered top-100)
+    "corpus_dsir_select" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(Tables.documents(s, dir))),
     // integer-exact PMI collocations (phrase detection)
     "text_pmi_topk" -> ((s, dir) =>
       TextAnalysis.pmiTopBigrams(Tables.documents(s, dir))),
@@ -518,6 +527,21 @@ object SparkEntry {
     "text_quality_classifier_scores" -> ((s, dir) =>
       TextAnalysis.scoreWithClassifier(Tables.documents(s, dir),
         TextAnalysis.qualityClassifierWeights(Tables.documents(s, dir)))),
+    // TRAINED BPE tokenizer (Sennrich et al. 2016): 8 merge rounds over the
+    // cached vocabulary-sized word-frequency table — integer pair counts +
+    // total-order argmax + fixed left-to-right replaces make the merge
+    // TABLE itself bit-replayable by the oracle (8 unrolled rounds in SQL)
+    "text_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(Tables.documents(s, dir))),
+    // the vocabulary those merges induce, instance-weighted — the table a
+    // vocab-size/coverage budget decision reads
+    "text_bpe_vocab" -> ((s, dir) =>
+      TextAnalysis.bpeVocab(Tables.documents(s, dir))),
+    // per-doc post-BPE token counts (what sequence packing actually
+    // budgets); serve = distinct-word tokenization broadcast onto the doc
+    // word stream, the persisted train-once path is spec-pinned identical
+    "text_bpe_tokens" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCounts(Tables.documents(s, dir))),
     // TextRank: iterative damped PageRank over the token co-occurrence
     // graph, integer-exact, 5 unrolled rounds in the oracle
     "text_textrank" -> ((s, dir) =>
@@ -1070,6 +1094,29 @@ object SparkEntry {
       |  round(CAST(sum(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
       |FROM al GROUP BY 1""".stripMargin
 
+  /** DSIR replay (TextAnalysis.dsirScores): hashed-unigram bucket counts
+    * for target (lang='en') vs raw, add-one-smoothed log-likelihood ratios
+    * as exact 6dp decimals (every ln input an integer), decimal-summed per
+    * doc — the lmScore portability discipline.
+    */
+  private val dsirScoresSql: String =
+    s"""WITH tk AS (SELECT doc_id, lang = 'en' AS is_target, ${duckHash("t")} % 64 AS b
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |bc AS (SELECT b, count(*)::BIGINT AS r_b,
+       |  sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS t_b FROM tk GROUP BY 1),
+       |tt AS (SELECT CAST(sum(r_b) AS BIGINT) AS r_tot,
+       |       CAST(sum(t_b) AS BIGINT) AS t_tot FROM bc),
+       |w AS (SELECT b,
+       |  CAST(round(ln(t_b + 1), 6) AS DECIMAL(18,6))
+       |  - CAST(round(ln(t_tot + 64), 6) AS DECIMAL(18,6))
+       |  - CAST(round(ln(r_b + 1), 6) AS DECIMAL(18,6))
+       |  + CAST(round(ln(r_tot + 64), 6) AS DECIMAL(18,6)) AS w_b
+       |  FROM bc CROSS JOIN tt)
+       |SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
+       |  round(CAST(sum(w_b) AS DOUBLE), 6) AS dsir_logweight
+       |FROM tk JOIN w USING (b) GROUP BY 1""".stripMargin
+
   /** Truncation-recall oracle: one branch per d' — the brute top-k replay
     * over list_slice'd prefix vectors, hits counted against the full-dim
     * exact set; UNION ALL of the per-d' aggregates.
@@ -1112,6 +1159,32 @@ object SparkEntry {
          |w$t AS (SELECT list(wv ORDER BY j) AS w FROM (
          |  SELECT g.j, w.w[(g.j + 1)::INT] - 4.0 * (g.gj::DOUBLE / nn.n::DOUBLE) AS wv
          |  FROM g$t g CROSS JOIN w${t - 1} w CROSS JOIN nn))""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$steps"
+  }
+
+  /** BPE-trainer replay: the word-frequency base (`t0` carries the
+    * bracketed char encoding) plus `rounds` unrolled merge rounds — each
+    * round counts adjacent pairs from the current tokenization, takes the
+    * same (count desc, lhs asc, rhs asc) argmax, and rewrites with the
+    * same left-to-right literal replace. `m$t` is round t's merge, `t$t`
+    * the tokenization after it — the trainer's cache-recompute loop,
+    * flattened into CTEs.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val base =
+      """wrd AS (SELECT w, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |t0 AS (SELECT w, c, regexp_replace(w, '(.)', '<\1>', 'g') AS s FROM wrd)""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      s"""p$t AS (SELECT l[u.i] AS a, l[u.i+1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM (SELECT c, string_split(trim(s, '<>'), '><') AS l FROM t${t - 1}) tt,
+         |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) u
+         |  GROUP BY 1, 2),
+         |m$t AS (SELECT a, b, cnt FROM p$t ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |t$t AS (SELECT w, c, replace(s, '<'||m.a||'><'||m.b||'>', '<'||m.a||m.b||'>') AS s
+         |  FROM t${t - 1} CROSS JOIN m$t m)""".stripMargin
     }.mkString(",\n")
     s"WITH $base,\n$steps"
   }
@@ -2102,6 +2175,30 @@ object SparkEntry {
          |  FROM feat f CROSS JOIN w3)
          |SELECT doc_id, round(z, 6) AS score, (z >= 0.0)::BIGINT AS predicted
          |FROM sc""".stripMargin,
+    // BPE trainer replay: 8 unrolled merge rounds — the merge table IS the
+    // gated result (see bpeCtes)
+    "text_bpe_merges" ->
+      s"""${bpeCtes(8)}
+         |${(1 to 8).map(t =>
+             s"SELECT $t::BIGINT AS merge_round, a AS lhs, b AS rhs, " +
+               s"a||b AS merged, cnt AS pair_count FROM m$t")
+           .mkString("\nUNION ALL\n")}""".stripMargin,
+    "text_bpe_vocab" ->
+      s"""${bpeCtes(8)}
+         |SELECT token, freq, length(token)::BIGINT AS n_chars FROM (
+         |  SELECT tok AS token, CAST(sum(c) AS BIGINT) AS freq
+         |  FROM (SELECT c, unnest(string_split(trim(s, '<>'), '><')) AS tok FROM t8)
+         |  GROUP BY 1)""".stripMargin,
+    "text_bpe_tokens" ->
+      s"""${bpeCtes(8)},
+         |wt AS (SELECT w, length(w)::BIGINT AS w_chars,
+         |  (length(s) - length(replace(s, '<', '')))::BIGINT AS w_toks FROM t8),
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+         |  CAST(sum(w_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(w_toks) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN wt ON dw.w = wt.w
+         |WHERE dw.w <> '' GROUP BY 1""".stripMargin,
     // CCNet head/middle/tail: global ntile over the LM score (total order
     // with doc_id tie-break), per-tier stats decimal-summed
     "corpus_lm_tiers" ->
@@ -3372,6 +3469,13 @@ object SparkEntry {
          |  FROM c CROSS JOIN m)
          |SELECT t.doc_id, t.lang, t.source, t.bucket, th.threshold
          |FROM t JOIN th USING (source) WHERE t.bucket < th.threshold""".stripMargin,
+    // DSIR replay: same hashed buckets, same add-one smoothing, same
+    // round(ln(integer), 6) decimal arithmetic as the engine
+    "corpus_dsir_scores" -> dsirScoresSql,
+    "corpus_dsir_select" ->
+      s"""WITH s AS ($dsirScoresSql)
+         |SELECT doc_id, n_tokens, dsir_logweight FROM s
+         |ORDER BY dsir_logweight DESC, doc_id ASC LIMIT 100""".stripMargin,
     // BM25 mirrored term by term: same tf/df/len tables, same double
     // literals and operation order, same term-sorted left fold, round(6)
     "text_bm25_topk" ->

@@ -66,9 +66,10 @@ object PlanAudit {
         "undercount; review those plans via explain (the spread operator's\n" +
         "loop body is one join against an eagerly-checkpointed edge list).\n" +
         "EAGER-trainer entries (text_quality_classifier: cache-once GD runs\n" +
-        "during plan construction, kmeans-discipline) return a literal weight\n" +
-        "frame — their row legitimately shows a trivial plan; the training's\n" +
-        "per-round plan is the cached-scan + 17-key agg SCALING.md documents.\n\n" +
+        "during plan construction, kmeans-discipline; text_bpe_merges: the\n" +
+        "8 cache-once argmax rounds) return a literal frame — their row\n" +
+        "legitimately shows a trivial plan; the per-round plans are the\n" +
+        "cached-scan aggregations SCALING.md documents.\n\n" +
         header.mkString("\n") + "\n" + body.mkString("\n") + "\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), doc)
     println(s"[plan-audit] wrote ${rows.size} rows to $outFile")

@@ -94,7 +94,13 @@ object ScaleBench {
     // two-phase global-id assignment: a range shuffle + parallel local
     // ranks — the measured form of "global sort-index without the
     // single-partition window"
-    "corpus_assign_ids")
+    "corpus_assign_ids",
+    // BPE trainer (round 8): one corpus-scale tokenize+count shuffle, then
+    // 8 rounds at VOCABULARY scale — the token-bijection replication grows
+    // the vocab Kx while instance counts stay flat, so this measures the
+    // worst case for the round loop (real corpora grow instances, not
+    // vocab); the serve path rides the same word-table broadcast
+    "text_bpe_merges", "text_bpe_tokens")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"

@@ -125,7 +125,14 @@ class InvarianceSpec extends AnyFunSuite {
     // the two-phase global-id assignment: range boundaries move with the
     // partition count; the assigned positions must not
     "corpus_assign_ids" ->
-      ((s, d) => TextAnalysis.assignGlobalIds(Tables.documents(s, d))))
+      ((s, d) => TextAnalysis.assignGlobalIds(Tables.documents(s, d))),
+    // the BPE trainer's 8 sequential argmax rounds (integer pair counts +
+    // total-order tie-break) must pick identical merges at any layout
+    "text_bpe_merges" ->
+      ((s, d) => TextAnalysis.bpeMerges(Tables.documents(s, d))),
+    // DSIR: decimal-summed 6dp log-ratio terms must be partition-stable
+    "corpus_dsir_scores" ->
+      ((s, d) => TextAnalysis.dsirScores(Tables.documents(s, d))))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -700,4 +700,128 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(first == fresh, "train-and-persist call diverged from fresh scores")
     assert(served == fresh, "persisted-model serve diverged from fresh scores")
   }
+
+  test("DSIR importance scores separate a planted two-vocabulary corpus") {
+    import graft.operators.TextAnalysis
+    // target (en) docs draw from vocabulary A, the rest from B: every
+    // A-token bucket's target share beats its raw share, so the add-one
+    // smoothed log-likelihood-ratio sum must rank every A-doc above every
+    // B-doc (deterministic hash -> stable even if A and B share buckets)
+    val va = "the quick brown fox jumps over lazy dog bright river".split(" ")
+    val vb = "lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor".split(" ")
+    val docs = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) va else vb
+      val text = (0 until 25).map(k => v((i * 3 + k) % v.length)).mkString(" ")
+      (i.toLong, text, if (i % 2 == 0) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    val scores = TextAnalysis.dsirScores(docs)
+      .select("doc_id", "dsir_logweight").as[(Long, Double)].collect()
+    val (target, rest) = scores.partition(_._1 % 2 == 0)
+    assert(target.map(_._2).min > rest.map(_._2).max,
+      s"planted target docs not separated: ${scores.sortBy(_._1).toSeq}")
+    // and the ranked selection returns exactly the top docs by that order
+    val sel = TextAnalysis.dsirSelect(docs, k = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel == target.map(_._1).toSet,
+      s"top-20 selection should be exactly the 20 target docs: $sel")
+  }
+
+  test("BPE merges on a planted corpus follow the hand-computed sequence with early stop") {
+    import graft.operators.TextAnalysis
+    // words: abab x3, ab x2, ba x1
+    // round 1: (a,b) = 2*3 + 2 = 8 beats (b,a) = 3 + 1 = 4 -> merge ab
+    // round 2: (ab,ab) = 3 -> merge abab;  round 3: (b,a) = 1 -> merge ba
+    // round 4: no adjacent pairs remain -> early stop at 3 of 5 rounds
+    val docs = Seq((0L, "abab abab abab ab ab ba", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.bpeMerges(docs, rounds = 5)
+      .select("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", "b", "ab", 8L), (2L, "ab", "ab", "abab", 3L),
+      (3L, "b", "a", "ba", 1L)), s"merge sequence: $got")
+    val tc = TextAnalysis.bpeTokenCounts(docs, rounds = 5)
+      .select("doc_id", "n_words", "n_chars", "n_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // 6 words, 18 chars; tokens: abab->1 each, ab->1 each, and round 3's
+    // (b,a) merge makes ba a single token = 3 + 2 + 1 = 6
+    assert(tc == Seq((0L, 6L, 18L, 6L)), s"token counts: $tc")
+  }
+
+  test("BPE training replays exactly driver-side at sf0.001") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    def applyMerge(toks: Vector[String], a: String, b: String): Vector[String] = {
+      // left-to-right non-overlapping, the replace() scan order
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+    val words = graft.sources.Tables.documents(spark, dir)
+      .select($"text").as[String].collect()
+      .flatMap(_.split("\\W+")).filter(_.nonEmpty)
+    var cur: Map[Vector[String], Long] =
+      words.groupBy(w => w.map(_.toString).toVector).map { case (k, v) => k -> v.length.toLong }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to 8) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      cur.foreach { case (toks, c) =>
+        toks.iterator.zip(toks.iterator.drop(1)).foreach(p => pc(p) += c)
+      }
+      if (pc.nonEmpty) {
+        val ((a, b), n) = pc.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+        expected += ((a, b, n))
+        cur = cur.groupMapReduce { case (toks, _) => applyMerge(toks, a, b) }(_._2)(_ + _)
+      }
+    }
+    assert(expected.size == 8, "sf0.001 corpus must sustain 8 merge rounds")
+    // BPE invariant: the max pair count never increases round over round
+    // (a merge only removes old adjacencies; a new pair's count is bounded
+    // by the count of the merge that created its token)
+    val counts = expected.map(_._3).toSeq
+    counts.zip(counts.tail).foreach { case (p, q) =>
+      assert(q <= p, s"pair counts increased: $counts")
+    }
+    val got = TextAnalysis.bpeMerges(graft.sources.Tables.documents(spark, dir), 8)
+      .select("merge_round", "lhs", "rhs", "pair_count")
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      .map(r => (r._2, r._3, r._4))
+    assert(got == expected.toSeq, s"merges diverged from the driver replay:\n$got\nvs\n$expected")
+  }
+
+  test("BPE vocab totals equal the summed per-doc token counts at sf0.001") {
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocabTotal = TextAnalysis.bpeVocab(docs)
+      .agg(sum($"freq")).as[Long].collect().head
+    val docTotal = TextAnalysis.bpeTokenCounts(docs)
+      .agg(sum($"n_bpe_tokens")).as[Long].collect().head
+    assert(vocabTotal == docTotal,
+      s"vocab instance total $vocabTotal != per-doc token total $docTotal")
+  }
+
+  test("persisted BPE model serves row-identical token counts with zero retrains") {
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fresh = TextAnalysis.bpeTokenCounts(docs)
+      .select("doc_id", "n_words", "n_chars", "n_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val idx = java.nio.file.Files.createTempDirectory("graft_bpe_idx").toString + "/idx"
+    val before = TextAnalysis.bpeTrainings.get()
+    val first = TextAnalysis.bpeTokenCountsPersisted(docs, idx)
+      .select("doc_id", "n_words", "n_chars", "n_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(TextAnalysis.bpeTrainings.get() == before + 1,
+      "first invocation against an empty model path must train exactly once")
+    val served = TextAnalysis.bpeTokenCountsPersisted(docs, idx)
+      .select("doc_id", "n_words", "n_chars", "n_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(TextAnalysis.bpeTrainings.get() == before + 1,
+      "second invocation retrained instead of serving the persisted model")
+    assert(first == fresh, "train-and-persist call diverged from fresh counts")
+    assert(served == fresh, "persisted-model serve diverged from fresh counts")
+  }
 }
