@@ -473,6 +473,11 @@ object SparkEntry {
     // retrieval-corpus build step; zero-shuffle map explode
     "corpus_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, dir))),
+    // content-defined chunking: anchor-token boundaries (hash % target = 0)
+    // + anchor-relative max-cap sub-splits — edits shift only chunks up to
+    // the next anchor (CDC stability, spec-pinned); one doc-keyed shuffle
+    "corpus_chunks_cdc" -> ((s, dir) =>
+      TextAnalysis.chunkDocumentsCdc(Tables.documents(s, dir))),
     // epoch-reproducible training order: hash of (doc_id, epoch) as the
     // order key — zero-shuffle, checkpoint-resume safe
     "corpus_shuffle" -> ((s, dir) =>
@@ -575,6 +580,10 @@ object SparkEntry {
     "rel_audit_constraints" -> ((s, dir) => Audit.constraintViolations(s, dir)),
     // SCD2 temporal-table build: order history -> validity intervals
     "rel_scd2" -> ((s, dir) => Relational.customerOrderHistory(s, dir)),
+    // time travel over the SCD2 history: as-of-day midpoint derived by one
+    // metadata-scale agg, validity filter applied map-side (prunable at
+    // scale when history is laid out by valid_from_day)
+    "rel_scd2_asof" -> ((s, dir) => Relational.scd2AsOf(s, dir)),
     // provenance rollup of the near-dup graph: source x source pair matrix
     "dedup_source_matrix" -> ((s, dir) =>
       Dedup.dupSourceMatrix(Tables.documents(s, dir))),
@@ -2061,6 +2070,19 @@ object SparkEntry {
         |  coalesce(lead(day) OVER (PARTITION BY o_custkey
         |    ORDER BY day ASC, o_orderkey ASC), 99999999)::BIGINT AS valid_to_day
         |FROM o""".stripMargin,
+    "rel_scd2_asof" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        |  epoch_us(o_orderdate) // 86400000000 AS day FROM orders),
+        |h AS (SELECT o_custkey, o_orderkey, totalprice,
+        |  day AS valid_from_day,
+        |  coalesce(lead(day) OVER (PARTITION BY o_custkey
+        |    ORDER BY day ASC, o_orderkey ASC), 99999999)::BIGINT AS valid_to_day
+        |FROM o),
+        |c AS (SELECT (min(valid_from_day) + max(valid_from_day)) // 2 AS d FROM h)
+        |SELECT o_custkey, o_orderkey, totalprice, valid_from_day, valid_to_day
+        |FROM h CROSS JOIN c
+        |WHERE valid_from_day <= d AND d < valid_to_day""".stripMargin,
     "rel_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
@@ -3511,6 +3533,25 @@ object SparkEntry {
         |  array_to_string(w[(i*48+1):(i*48+64)], ' ') AS chunk_text
         |FROM tok, unnest(generate_series(0,
         |  (greatest(len(w) - 16, 1) + 47) // 48 - 1)) AS t(i)""".stripMargin,
+    // CDC replay: same anchor rule, same running boundary count, same
+    // anchor-relative sub-split, same space-joined chunk hash
+    "corpus_chunks_cdc" ->
+      s"""WITH tk AS (SELECT doc_id, w[u.i] AS t, (u.i - 1)::BIGINT AS pos
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+         |       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) u
+         |  WHERE w[u.i] <> ''),
+         |fl AS (SELECT doc_id, t, pos,
+         |  CASE WHEN ${duckHash("t")} % 32 = 0 THEN 1 ELSE 0 END AS f FROM tk),
+         |cd AS (SELECT doc_id, t, pos, CAST(sum(f) OVER
+         |  (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cid
+         |  FROM fl),
+         |cs AS (SELECT *, min(pos) OVER (PARTITION BY doc_id, cid) AS cstart FROM cd),
+         |ch AS (SELECT doc_id, cid AS chunk_seq, (pos - cstart) // 128 AS sub_seq,
+         |  count(*)::BIGINT AS n_tokens, min(pos) AS start_pos, max(pos) AS end_pos,
+         |  string_agg(t, ' ' ORDER BY pos) AS ct
+         |  FROM cs GROUP BY 1, 2, 3)
+         |SELECT doc_id, chunk_seq, sub_seq, n_tokens, start_pos, end_pos,
+         |  ${duckHash("ct")} AS chunk_hash FROM ch""".stripMargin,
     "corpus_shuffle" ->
       s"""WITH e AS (SELECT doc_id, unnest(generate_series(0, 1))::BIGINT AS epoch
          |           FROM documents),

@@ -773,6 +773,27 @@ object Relational {
         coalesce(lead(col("day"), 1).over(w), lit(99999999L)).as("valid_to_day"))
   }
 
+  /** Point-in-time reconstruction (time travel) over the SCD2 history:
+    * the version rows valid AS OF a cut day — the integer midpoint of the
+    * observed day range, derived by one metadata-scale aggregate and
+    * broadcast so the validity filter applies map-side. At 100 TB the
+    * as-of read is a pure interval predicate: with the history laid out
+    * by valid_from_day (the retention/z-order write discipline in
+    * [[graft.operators.Maintenance]]) it prunes to the files straddling
+    * the cut instead of scanning all of history. The interval columns are
+    * kept so downstream auditing sees why a row qualified.
+    */
+  def scd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val hist = customerOrderHistory(spark, dir)
+    val asof = hist
+      .agg(min(col("valid_from_day")).as("mn"), max(col("valid_from_day")).as("mx"))
+      .selectExpr("(mn + mx) div 2 AS d")
+    hist.crossJoin(broadcast(asof))
+      .where(col("valid_from_day") <= col("d") && col("d") < col("valid_to_day"))
+      .select(col("o_custkey"), col("o_orderkey"), col("totalprice"),
+        col("valid_from_day"), col("valid_to_day"))
+  }
+
   /** MERGE/upsert semantics composed Spark-natively (no table format
     * required): apply an updates table onto a base table by key — matched
     * keys take the update's values, unmatched updates insert, the rest of

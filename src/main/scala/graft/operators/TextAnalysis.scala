@@ -339,6 +339,46 @@ object TextAnalysis {
         array_join(slice(col("w"), col("col") * stride + 1, lit(chunkTokens)), " ").as("chunk_text"))
   }
 
+  /** Content-defined chunking — the dedup-friendly alternative to
+    * [[chunkDocuments]]'s fixed-size windows: a chunk boundary opens at
+    * every ANCHOR token (portable hash ≡ 0 mod `targetTokens`, so expected
+    * chunk length ≈ targetTokens with a geometric tail), and oversized
+    * chunks are sub-split every `maxTokens` tokens RELATIVE TO THE ANCHOR.
+    * Because boundaries follow content, not positions, an edit near the
+    * start of a document shifts only the chunks up to the first anchor
+    * after the edit — every later chunk re-emerges byte-identical (the CDC
+    * stability property storage dedup systems are built on, spec-pinned),
+    * where fixed-size chunking re-cuts the whole document. Output per
+    * chunk: (doc_id, chunk_seq, sub_seq, n_tokens, start_pos, end_pos,
+    * chunk_hash). One doc-keyed shuffle: both windows and the final
+    * rollup share the doc_id partitioning; per-doc sorts only — linear in
+    * corpus tokens at any scale.
+    */
+  def chunkDocumentsCdc(docs: DataFrame, targetTokens: Int = 32,
+      maxTokens: Int = 128): DataFrame = {
+    require(targetTokens >= 1 && maxTokens >= 1, "chunk sizes must be positive")
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokenize(col("text"))).as(Seq("p", "t")))
+      .where(col("t") =!= "")
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("t"),
+        when(pmod(portableHash31(col("t")), lit(targetTokens)) === 0, 1L)
+          .otherwise(0L).as("f"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cids = toks.withColumn("cid", sum(col("f")).over(wDoc))
+    val starts = cids.withColumn("cstart",
+      min(col("pos")).over(Window.partitionBy(col("doc_id"), col("cid"))))
+    starts
+      .withColumn("sub", floor((col("pos") - col("cstart")) / lit(maxTokens)).cast("long"))
+      .groupBy(col("doc_id"), col("cid").as("chunk_seq"), col("sub").as("sub_seq"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+          s => s.getField("t")), " ").as("ct"))
+      .select(col("doc_id"), col("chunk_seq"), col("sub_seq"), col("n_tokens"),
+        col("start_pos"), col("end_pos"), portableHash31(col("ct")).as("chunk_hash"))
+  }
+
   /** PII patterns shared by [[piiScrub]] and its oracle: deliberately
     * restricted to syntax with IDENTICAL semantics in Java regex and RE2
     * (character classes, +, bounded repetition — no backrefs, no lookaround,
@@ -1580,6 +1620,14 @@ object TextAnalysis {
   def loadBpeModel(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The persisted merge list in training order — a ≤rounds-row metadata
+    * read (the driver-side collect is the model load, not a data path). */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    loadBpeModel(spark, path)
+      .orderBy(col("merge_round").asc).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toIndexedSeq
+
   /** Train-once/serve-many: the first call against an empty `indexPath`
     * trains and persists the merge table; every later call (any JVM) loads
     * it — a ≤rounds-row metadata read — and serves with ZERO training
@@ -1594,10 +1642,7 @@ object TextAnalysis {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker))
       saveBpeModel(bpeMerges(docs, rounds), indexPath)
-    val ms = loadBpeModel(spark, indexPath)
-      .orderBy(col("merge_round").asc).collect()
-      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toIndexedSeq
-    bpeTokenCountsWith(docs, ms)
+    bpeTokenCountsWith(docs, loadBpeMerges(spark, indexPath))
   }
 
   // ─────────────────── DSIR importance-based data selection ───────────────────

@@ -663,6 +663,39 @@ object StreamingOps {
         batch, indexPath, lineTokens, minDf), batchId)
     }
 
+  /** Streaming quality-classifier serve: each micro-batch scored against
+    * the PERSISTED weight table (the serve half of
+    * [[graft.operators.TextAnalysis.qualityClassifierPersisted]]) — the
+    * model is corpus-trained, so the stream LOADS it instead of computing
+    * it (the lmScoreAgainstModel discipline). Zero training shuffles per
+    * batch; a re-trained model takes effect next batch because the
+    * 17-row weight table re-loads per batch. Sink receives
+    * (doc_id, score, predicted).
+    */
+  def classifyAgainstModel(docs: DataFrame, modelPath: String, dims: Int = 16)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.TextAnalysis.scoreWithClassifier(batch,
+        graft.operators.TextAnalysis.loadClassifierModel(
+          batch.sparkSession, modelPath), dims), batchId)
+    }
+
+  /** Streaming token budgeting: per-batch post-BPE token counts from the
+    * PERSISTED merge table (the serve half of
+    * [[graft.operators.TextAnalysis.bpeTokenCountsPersisted]]) — the
+    * ≤rounds-row model re-loads per batch; counting broadcasts the BATCH's
+    * own distinct-word tokenization, so per-batch cost scales with the
+    * batch vocabulary, never the training corpus. Sink receives
+    * (doc_id, n_words, n_chars, n_bpe_tokens).
+    */
+  def bpeTokensAgainstModel(docs: DataFrame, modelPath: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.TextAnalysis.bpeTokenCountsWith(batch,
+        graft.operators.TextAnalysis.loadBpeMerges(
+          batch.sparkSession, modelPath)), batchId)
+    }
+
   /** The COMPOSED ingest chain a 100 TB training-data stream runs, ordered
     * cheapest-first so each stage sheds volume before the next pays for it:
     * stateless quality predicate → stateless decontamination (broadcast

@@ -100,7 +100,13 @@ object ScaleBench {
     // the vocab Kx while instance counts stay flat, so this measures the
     // worst case for the round loop (real corpora grow instances, not
     // vocab); the serve path rides the same word-table broadcast
-    "text_bpe_merges", "text_bpe_tokens")
+    "text_bpe_merges", "text_bpe_tokens",
+    // DSIR selection: 64-bucket map-combined distribution aggs + one
+    // doc-keyed scoring shuffle — slope should be linear-or-flatter
+    "corpus_dsir_scores",
+    // content-defined chunking: per-doc windows over the doc_id shuffle —
+    // linear in corpus tokens
+    "corpus_chunks_cdc")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"

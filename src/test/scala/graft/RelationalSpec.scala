@@ -19,6 +19,25 @@ class RelationalSpec extends AnyFunSuite {
   import spark.implicits._
   private val dir = "/root/testdata/sf0.001"
 
+  test("SCD2 as-of read reconstructs exactly one version per covered customer") {
+    // per customer the validity intervals partition the day line, so the
+    // as-of cut must hit EXACTLY one version for every customer whose
+    // history starts on or before the cut — the time-travel contract
+    val hist = Relational.customerOrderHistory(spark, dir)
+      .select($"o_custkey", $"valid_from_day").as[(Long, Long)].collect()
+    val d = {
+      val days = hist.map(_._2)
+      (days.min + days.max) / 2
+    }
+    val asof = Relational.scd2AsOf(spark, dir)
+      .select($"o_custkey").as[Long].collect()
+    assert(asof.length == asof.distinct.length,
+      "as-of read returned more than one version for some customer")
+    val covered = hist.filter(_._2 <= d).map(_._1).distinct.sorted.toSeq
+    assert(asof.sorted.toSeq == covered,
+      s"as-of customers ${asof.length} != customers with history before the cut ${covered.length}")
+  }
+
   test("waiting suppliers: aggregate decorrelation equals the semi/anti-join form") {
     import graft.sources.Tables
     val pairs = Tables.lineitem(spark, dir)

@@ -775,6 +775,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("classifier model serve: streamed scores equal the persisted batch serve, zero retrains") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_clf_sidx").toString + "/m"
+    TextAnalysis.saveClassifierModel(TextAnalysis.qualityClassifierWeights(corpus), idx)
+    val batchServe = TextAnalysis
+      .scoreWithClassifier(corpus, TextAnalysis.loadClassifierModel(spark, idx))
+      .select($"doc_id", $"score", $"predicted")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val sample = corpus.select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().take(5)
+    val got = scala.collection.mutable.Map.empty[Long, (Double, Long)]
+    val before = TextAnalysis.classifierTrainings.get()
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.classifyAgainstModel(
+        input.toDF().toDF("doc_id", "text", "lang"), idx) { (scores, _) =>
+      scores.select($"doc_id", $"score", $"predicted")
+        .as[(Long, Double, Long)].collect().foreach(r => got(r._1) = (r._2, r._3))
+    }.start()
+    try {
+      input.addData(sample.toIndexedSeq)
+      q.processAllAvailable()
+      sample.foreach { case (id, _, _) =>
+        assert(got(id) == batchServe(id), s"doc $id drifted: ${got(id)} vs ${batchServe(id)}")
+      }
+      assert(TextAnalysis.classifierTrainings.get() == before,
+        "streaming serve must never train")
+    } finally q.stop()
+  }
+
+  test("BPE model serve: streamed token counts equal the persisted batch serve, zero retrains") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bpe_sidx").toString + "/m"
+    TextAnalysis.saveBpeModel(TextAnalysis.bpeMerges(corpus), idx)
+    val batchServe = TextAnalysis
+      .bpeTokenCountsWith(corpus, TextAnalysis.loadBpeMerges(spark, idx))
+      .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val sample = corpus.select($"doc_id", $"text")
+      .as[(Long, String)].collect().take(5)
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val before = TextAnalysis.bpeTrainings.get()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.bpeTokensAgainstModel(
+        input.toDF().toDF("doc_id", "text"), idx) { (counts, _) =>
+      counts.select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+        .foreach(r => got(r._1) = (r._2, r._3, r._4))
+    }.start()
+    try {
+      input.addData(sample.toIndexedSeq)
+      q.processAllAvailable()
+      sample.foreach { case (id, _) =>
+        assert(got(id) == batchServe(id), s"doc $id drifted: ${got(id)} vs ${batchServe(id)}")
+      }
+      assert(TextAnalysis.bpeTrainings.get() == before,
+        "streaming serve must never train")
+    } finally q.stop()
+  }
+
   test("line-dedup serve: indexed boilerplate lines stripped from streamed docs") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextAnalysis

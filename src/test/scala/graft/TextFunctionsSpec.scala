@@ -701,6 +701,30 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(served == fresh, "persisted-model serve diverged from fresh scores")
   }
 
+  test("CDC chunking: an edit shifts only chunks before the next anchor") {
+    import graft.operators.TextAnalysis
+    // content-defined boundaries: prepend tokens to a document and every
+    // chunk from the first anchor onward must re-emerge hash-identical
+    // (fixed-size chunking would re-cut the whole document); sub-splits
+    // are anchor-relative, so the property survives the max-cap too
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .where($"doc_id" < 3).select($"text").as[String].collect().mkString(" ")
+    val docs = Seq((0L, base, "en"), (1L, "zzz qqq " + base, "en"))
+      .toDF("doc_id", "text", "lang")
+    val ch = TextAnalysis.chunkDocumentsCdc(docs)
+      .select("doc_id", "chunk_seq", "n_tokens", "chunk_hash")
+      .as[(Long, Long, Long, Long)].collect()
+    val anchored = ch.filter(r => r._1 == 0L && r._2 >= 1L).map(_._4).toSet
+    assert(anchored.nonEmpty, "test corpus must contain at least one anchor token")
+    val editedHashes = ch.filter(_._1 == 1L).map(_._4).toSet
+    assert(anchored.subsetOf(editedHashes),
+      s"anchored chunks did not survive the edit: ${anchored -- editedHashes}")
+    // lossless cover: chunk token counts sum to the doc's token count
+    val n0 = ch.filter(_._1 == 0L).map(_._3).sum
+    assert(n0 == base.split(" ").length.toLong,
+      s"chunks must partition the doc: $n0 tokens chunked")
+  }
+
   test("DSIR importance scores separate a planted two-vocabulary corpus") {
     import graft.operators.TextAnalysis
     // target (en) docs draw from vocabulary A, the rest from B: every
