@@ -478,6 +478,10 @@ object SparkEntry {
     // the next anchor (CDC stability, spec-pinned); one doc-keyed shuffle
     "corpus_chunks_cdc" -> ((s, dir) =>
       TextAnalysis.chunkDocumentsCdc(Tables.documents(s, dir))),
+    // chunk-level cross-doc dedup over the CDC chunks (the storage-dedup
+    // payoff of content-defined boundaries): one hash-keyed groupBy
+    "corpus_chunks_cdc_dedup" -> ((s, dir) =>
+      TextAnalysis.cdcChunkDedup(Tables.documents(s, dir))),
     // epoch-reproducible training order: hash of (doc_id, epoch) as the
     // order key — zero-shuffle, checkpoint-resume safe
     "corpus_shuffle" -> ((s, dir) =>
@@ -654,6 +658,7 @@ object SparkEntry {
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
     "embed_lsh_recall" -> ((s, dir) => EmbeddingSearch.lshRecall(s, dir)),
     "embed_pq_recall" -> ((s, dir) => EmbeddingSearch.pqRecall(s, dir)),
+    "embed_ivfpq_recall" -> ((s, dir) => EmbeddingSearch.ivfPqRecall(s, dir)),
     // multi-probe: Hamming-1 neighbor buckets probed at fixed index layout
     "embed_knn_multiprobe" -> ((s, dir) => EmbeddingSearch.lshTopKMultiProbe(s, dir)),
     "embed_multiprobe_recall" -> ((s, dir) => EmbeddingSearch.multiProbeRecall(s, dir)),
@@ -672,6 +677,10 @@ object SparkEntry {
     // product quantization: codes + LUT scoring; training, encoding, and
     // the ADC estimate all replayed by the oracle
     "embed_knn_pq" -> ((s, dir) => EmbeddingSearch.pqTopK(s, dir)),
+    // IVF-PQ: the composed production index — coarse k-means probe bounds
+    // candidates to nprobe cells, PQ ADC bounds bytes per candidate to m
+    // codes; both trained quantizers + the composition oracle-replayed
+    "embed_knn_ivfpq" -> ((s, dir) => EmbeddingSearch.ivfPqTopK(s, dir)),
     // PQ codebooks trained on the deterministic 40% affine-hash sample
     // (the 100 TB training shape k-means already has); encoding + LUT
     // serve still cover every vector — oracle replays the sampled rounds
@@ -693,6 +702,9 @@ object SparkEntry {
     // the Matryoshka measurement: recall of prefix-dim search vs full-dim
     // exact, one row per d' — truncated storage's quality price
     "embed_trunc_recall" -> ((s, dir) => EmbeddingSearch.truncRecall(s, dir)),
+    // JL random-projection recall: deterministic ±1 projection (the
+    // hyperplane sign family as a matrix-free expression), recall per d'
+    "embed_rp_recall" -> ((s, dir) => EmbeddingSearch.rpRecall(s, dir)),
     "embed_knn_kmeans" -> ((s, dir) => {
       // training params are DERIVED into the dir prefix and passed to the
       // call from the same values — an index trained under different
@@ -1126,6 +1138,28 @@ object SparkEntry {
        |  round(CAST(sum(w_b) AS DOUBLE), 6) AS dsir_logweight
        |FROM tk JOIN w USING (b) GROUP BY 1""".stripMargin
 
+  /** CDC chunking replay (TextAnalysis.chunkDocumentsCdc): anchor rule,
+    * running boundary count, anchor-relative sub-split, space-joined chunk
+    * hash — shared by the chunks entry and its dedup rollup.
+    */
+  private val cdcChunksSql: String =
+    s"""WITH tk AS (SELECT doc_id, w[u.i] AS t, (u.i - 1)::BIGINT AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+       |       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) u
+       |  WHERE w[u.i] <> ''),
+       |fl AS (SELECT doc_id, t, pos,
+       |  CASE WHEN ${duckHash("t")} % 32 = 0 THEN 1 ELSE 0 END AS f FROM tk),
+       |cd AS (SELECT doc_id, t, pos, CAST(sum(f) OVER
+       |  (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cid
+       |  FROM fl),
+       |cs AS (SELECT *, min(pos) OVER (PARTITION BY doc_id, cid) AS cstart FROM cd),
+       |ch AS (SELECT doc_id, cid AS chunk_seq, (pos - cstart) // 128 AS sub_seq,
+       |  count(*)::BIGINT AS n_tokens, min(pos) AS start_pos, max(pos) AS end_pos,
+       |  string_agg(t, ' ' ORDER BY pos) AS ct
+       |  FROM cs GROUP BY 1, 2, 3)
+       |SELECT doc_id, chunk_seq, sub_seq, n_tokens, start_pos, end_pos,
+       |  ${duckHash("ct")} AS chunk_hash FROM ch""".stripMargin
+
   /** Truncation-recall oracle: one branch per d' — the brute top-k replay
     * over list_slice'd prefix vectors, hits counted against the full-dim
     * exact set; UNION ALL of the per-d' aggregates.
@@ -1202,6 +1236,34 @@ object SparkEntry {
     dPrimes.map { dp =>
       s"""(WITH t AS (SELECT vec_id,
          |  list_slice(list_transform(embedding, x -> x::DOUBLE), 1, $dp) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 10),
+         |s AS (SELECT q.query_id, t.vec_id, round(${cosineSql("t.v", "q.qv")}, 6) AS tcos
+         |      FROM t, q WHERE t.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY tcos DESC, vec_id ASC) AS rank FROM s),
+         |ap AS (SELECT query_id, vec_id FROM r WHERE rank <= 5),
+         |br AS (SELECT query_id, vec_id FROM ($bruteKnnSql))
+         |SELECT $dp::BIGINT AS d_prime, count(*)::BIGINT AS n_exact,
+         |  count(ap.vec_id)::BIGINT AS n_hit,
+         |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM br LEFT JOIN ap
+         |  ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** JL random-projection recall oracle: the same deterministic ±1 sign
+    * family as the engine (j·2654435761 + d·40503 mod 65537 mod 2), the
+    * same ascending-d fold per output dim, then the truncation-recall
+    * rollup shape per d'.
+    */
+  private def rpRecallSql(dPrimes: Seq[Int], dims: Int = 64): String =
+    dPrimes.map { dp =>
+      s"""(WITH t AS (SELECT vec_id,
+         |  list_transform(generate_series(1, $dp), j ->
+         |    list_reduce(list_transform(generate_series(1, $dims), d ->
+         |      (embedding[d]::DOUBLE) * (CASE WHEN (j*2654435761 + d*40503) % 65537 % 2 = 1
+         |                                THEN 1.0 ELSE -1.0 END)),
+         |      (a, b) -> a + b)) AS v
          |  FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 10),
          |s AS (SELECT q.query_id, t.vec_id, round(${cosineSql("t.v", "q.qv")}, 6) AS tcos
@@ -1357,16 +1419,15 @@ object SparkEntry {
     * then the fixed-order LUT scoring — training, encoding, and the ADC
     * estimate are ALL part of the checked contract.
     */
-  private def pqKnnSql(m: Int = 4, ksub: Int = 4, iters: Int = 2,
-      k: Int = 5, nQueries: Int = 10, dims: Int = 64,
-      samplePct: Option[Int] = None): String = {
-    val sub = dims / m
-    // with samplePct: seeds + Lloyd rounds read the ts$s sampled slices
-    // (the portable affine-hash predicate); the final assignment af_$s
-    // (= encoding) still covers every vector
-    val smpCte = samplePct.map(p =>
-      s"smp AS (SELECT * FROM e WHERE (vec_id * 1103515245 + 12345) % 2147483647 % 100 < $p),\n")
-      .getOrElse("")
+  /** The PQ replay's reusable middle: per-subspace Lloyd training CTEs to
+    * the encodings `af_$s`, the code joins, and the fixed-order LUT sum
+    * fragments — shared by [[pqKnnSql]] and the IVF-PQ composition.
+    * Returns (subspaceCtes, codeJoins, pdSum, n2Sum); all CTE names carry
+    * the `_$s` suffix so they compose with the unsuffixed whole-vector
+    * Lloyd CTEs of [[kmTrainedAssignCtes]].
+    */
+  private def pqSubspaceParts(m: Int, ksub: Int, iters: Int, sub: Int,
+      samplePct: Option[Int]): (String, String, String, String) = {
     def assignCte(srcCte: String, centCte: String): String =
       s"""SELECT vec_id, v, cl FROM (
          |  SELECT e.vec_id, e.v, c.cl, row_number() OVER (PARTITION BY e.vec_id
@@ -1400,6 +1461,21 @@ object SparkEntry {
       s"(${dotSql(s"list_slice(q.qv, ${s * sub + 1}, ${(s + 1) * sub})", s"cc$s.cv")})")
       .mkString(" + ")
     val n2Sum = (0 until m).map(s => s"(${dotSql(s"cc$s.cv", s"cc$s.cv")})").mkString(" + ")
+    (subspaceCtes, codeJoins, pdSum, n2Sum)
+  }
+
+  private def pqKnnSql(m: Int = 4, ksub: Int = 4, iters: Int = 2,
+      k: Int = 5, nQueries: Int = 10, dims: Int = 64,
+      samplePct: Option[Int] = None): String = {
+    val sub = dims / m
+    // with samplePct: seeds + Lloyd rounds read the ts$s sampled slices
+    // (the portable affine-hash predicate); the final assignment af_$s
+    // (= encoding) still covers every vector
+    val smpCte = samplePct.map(p =>
+      s"smp AS (SELECT * FROM e WHERE (vec_id * 1103515245 + 12345) % 2147483647 % 100 < $p),\n")
+      .getOrElse("")
+    val (subspaceCtes, codeJoins, pdSum, n2Sum) =
+      pqSubspaceParts(m, ksub, iters, sub, samplePct)
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |           FROM embeddings),
        |$smpCte$subspaceCtes,
@@ -1410,6 +1486,45 @@ object SparkEntry {
        |    sqrt($n2Sum) AS xn
        |  FROM q, af_0
        |  $codeJoins
+       |  WHERE af_0.vec_id <> q.query_id),
+       |scored AS (SELECT query_id, vec_id,
+       |    round(CASE WHEN nq = 0.0 OR xn = 0.0 THEN 0.0
+       |               ELSE adc_dot / (nq * xn) END, 6) AS adc_cosine FROM sc),
+       |r AS (SELECT *, (row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc_cosine DESC, vec_id ASC))::BIGINT AS rank FROM scored)
+       |SELECT query_id, vec_id, adc_cosine, rank FROM r WHERE rank <= $k""".stripMargin
+  }
+
+  /** IVF-PQ oracle: the whole-vector coarse Lloyd replay
+    * ([[kmTrainedAssignCtes]]: e..c2 + inverted file `af`), the nprobe=2
+    * probe rule from [[kmeansKnnSql]], and [[pqSubspaceParts]]' per-subspace
+    * training/encoding/ADC — joined so only vectors in probed cells are
+    * scored. CTE namespaces compose: coarse names are unsuffixed, PQ names
+    * carry `_$s`.
+    */
+  private def ivfPqKnnSql(m: Int = 4, ksub: Int = 4, iters: Int = 2,
+      k: Int = 5, nQueries: Int = 10, dims: Int = 64, nprobe: Int = 2): String = {
+    val sub = dims / m
+    val (subspaceCtes, codeJoins, pdSum, n2Sum) =
+      pqSubspaceParts(m, ksub, iters, sub, samplePct = None)
+    s"""WITH ${kmTrainedAssignCtes(None)},
+       |$subspaceCtes,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |pd AS (SELECT q.query_id, c.cl,
+       |  round(${cosineSql("q.qv", "c.cv")}, 6) AS csim FROM q, c2 c),
+       |pr AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS rn FROM pd),
+       |probe AS (SELECT query_id, cl FROM pr WHERE rn <= $nprobe),
+       |allowed AS (SELECT probe.query_id, af.vec_id
+       |            FROM probe JOIN af ON af.cl = probe.cl),
+       |sc AS (SELECT q.query_id, af_0.vec_id,
+       |    sqrt(${dotSql("q.qv", "q.qv")}) AS nq,
+       |    $pdSum AS adc_dot,
+       |    sqrt($n2Sum) AS xn
+       |  FROM q, af_0
+       |  $codeJoins
+       |  JOIN allowed ON allowed.query_id = q.query_id
+       |               AND allowed.vec_id = af_0.vec_id
        |  WHERE af_0.vec_id <> q.query_id),
        |scored AS (SELECT query_id, vec_id,
        |    round(CASE WHEN nq = 0.0 OR xn = 0.0 THEN 0.0
@@ -2667,6 +2782,14 @@ object SparkEntry {
          |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
          |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
          |GROUP BY 1""".stripMargin,
+    "embed_ivfpq_recall" ->
+      s"""WITH br AS (SELECT query_id, vec_id FROM ($bruteKnnSql)),
+         |ap AS (SELECT query_id, vec_id FROM (${ivfPqKnnSql()}))
+         |SELECT br.query_id, count(*) AS n_exact,
+         |  count(ap.vec_id) AS n_hit,
+         |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
     // kNN join, fixed-width banding: directed band-collision edges (both
     // orders), exact re-rank
     "embed_knn_join_fixed" ->
@@ -2816,11 +2939,13 @@ object SparkEntry {
          |LEFT JOIN k USING (vec_id)""".stripMargin,
     "embed_knn_kmeans" -> kmeansKnnSql(samplePct = None),
     "embed_knn_pq" -> pqKnnSql(),
+    "embed_knn_ivfpq" -> ivfPqKnnSql(),
     "embed_knn_pq_refine" -> pqRefineSql(),
     "embed_knn_pq_sampled" -> pqKnnSql(samplePct = Some(40)),
     "embed_knn_sq8" -> sq8KnnSql(),
     "embed_knn_sq8_sampled" -> sq8KnnSql(Some(40)),
     "embed_trunc_recall" -> truncRecallSql(Seq(8, 16, 32)),
+    "embed_rp_recall" -> rpRecallSql(Seq(8, 16, 32)),
     "embed_sq8_recall" ->
       s"""WITH br AS (SELECT query_id, vec_id FROM ($bruteKnnSql)),
          |ap AS (SELECT query_id, vec_id FROM (${sq8KnnSql()}))
@@ -3535,23 +3660,14 @@ object SparkEntry {
         |  (greatest(len(w) - 16, 1) + 47) // 48 - 1)) AS t(i)""".stripMargin,
     // CDC replay: same anchor rule, same running boundary count, same
     // anchor-relative sub-split, same space-joined chunk hash
-    "corpus_chunks_cdc" ->
-      s"""WITH tk AS (SELECT doc_id, w[u.i] AS t, (u.i - 1)::BIGINT AS pos
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
-         |       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) u
-         |  WHERE w[u.i] <> ''),
-         |fl AS (SELECT doc_id, t, pos,
-         |  CASE WHEN ${duckHash("t")} % 32 = 0 THEN 1 ELSE 0 END AS f FROM tk),
-         |cd AS (SELECT doc_id, t, pos, CAST(sum(f) OVER
-         |  (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cid
-         |  FROM fl),
-         |cs AS (SELECT *, min(pos) OVER (PARTITION BY doc_id, cid) AS cstart FROM cd),
-         |ch AS (SELECT doc_id, cid AS chunk_seq, (pos - cstart) // 128 AS sub_seq,
-         |  count(*)::BIGINT AS n_tokens, min(pos) AS start_pos, max(pos) AS end_pos,
-         |  string_agg(t, ' ' ORDER BY pos) AS ct
-         |  FROM cs GROUP BY 1, 2, 3)
-         |SELECT doc_id, chunk_seq, sub_seq, n_tokens, start_pos, end_pos,
-         |  ${duckHash("ct")} AS chunk_hash FROM ch""".stripMargin,
+    "corpus_chunks_cdc" -> cdcChunksSql,
+    // chunk-level dedup: one groupBy on the replayed chunk hashes
+    "corpus_chunks_cdc_dedup" ->
+      s"""WITH c AS ($cdcChunksSql)
+         |SELECT chunk_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_occurrences,
+         |  max(n_tokens) AS n_tokens, min(doc_id) AS canonical_doc
+         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "corpus_shuffle" ->
       s"""WITH e AS (SELECT doc_id, unnest(generate_series(0, 1))::BIGINT AS epoch
          |           FROM documents),

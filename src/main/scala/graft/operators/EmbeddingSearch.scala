@@ -826,7 +826,8 @@ object EmbeddingSearch {
     * fixed-order arithmetic.
     */
   def pqTopKWithCodebooks(emb: DataFrame, cents: DataFrame, k: Int = 5,
-      nQueries: Int = 10, m: Int = 4, sub: Int = 16): DataFrame = {
+      nQueries: Int = 10, m: Int = 4, sub: Int = 16,
+      restrict: Option[DataFrame] = None): DataFrame = {
     def sliceS(c: Column, s: Int): Column = slice(c, s * sub + 1, sub)
     val codeCols = (0 until m).map(s => max(when(col("s") === s, col("cl"))).as(s"c$s"))
     val codesWide = pqAssign(slicedWithNorm(emb, m, sub), cents)
@@ -857,13 +858,61 @@ object EmbeddingSearch {
     val adcDot = (0 until m).map(s => col(s"pd$s")).reduce(_ + _)
     val xn = sqrt((0 until m).map(s => col(s"n2_$s")).reduce(_ + _))
     val w = Window.partitionBy("query_id").orderBy(col("adc_cosine").desc, col("vec_id").asc)
-    scored
+    // an IVF restriction (allowed (query_id, vec_id) pairs from the coarse
+    // probe) applies BEFORE the rank: at scale the codes frame would be
+    // partitioned by cell so only probed cells are ever scored — the
+    // semi-join here is that cell pruning expressed declaratively
+    val restricted = restrict.fold(scored)(pairs =>
+      scored.join(pairs, Seq("query_id", "vec_id"), "left_semi"))
+    restricted
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(when(col("nq") === 0.0 || xn === 0.0, lit(0.0))
           .otherwise(adcDot / (col("nq") * xn)), 6).as("adc_cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+  }
+
+  /** IVF-PQ — the composed production ANN index (Jégou et al. '11 as
+    * deployed by FAISS's IndexIVFPQ, here the `by_residual=false`
+    * configuration, which keeps the spherical/cosine semantics of both
+    * trained quantizers intact): the COARSE spherical-k-means quantizer
+    * ([[trainKmeansIndex]]) routes each query to its nprobe best cells,
+    * and only vectors IN those cells are scored — by the PQ ADC lookup-sum
+    * ([[pqTopKWithCodebooks]]) over m-byte codes, never the raw vectors.
+    * At 100 TB this is the memory AND compute lever in one index: the
+    * inverted file bounds candidates to ~nprobe/nlist of the corpus, PQ
+    * bounds bytes-per-candidate to m codes, and both quantizers train on
+    * samples and persist. Every stage reuses an already-oracle-replayed
+    * kernel (coarse Lloyd, probe rule, per-subspace Lloyd, encoding, ADC),
+    * so the COMPOSITION itself sits under the hash gate. Output:
+    * (query_id, vec_id, adc_cosine, rank).
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+      nClusters: Int = 8, nprobe: Int = 2, m: Int = 4, ksub: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val dims = 64 // driver testdata contract (embeddings.parquet)
+    val sub = dims / m
+    val cent = trainKmeansIndex(emb, nClusters, iters)
+    val cells = kmeansAssign(withNorm(emb), cent).select(col("vec_id"), col("cl"))
+    // probe: per query the nprobe best coarse cells — the kmeansTopK rule
+    val centN = broadcast(cent.withColumn("ncv", sqrt(dot(col("cv"), col("cv")))))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        sqrt(dot(col("v"), col("v"))).as("nq0"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cl").asc)
+    val probe = q.crossJoin(centN)
+      .select(col("query_id"), col("cl"),
+        round(when(col("nq0") === 0.0 || col("ncv") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) / (col("nq0") * col("ncv"))), 6).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("cl"))
+    val allowed = probe.join(cells, Seq("cl")).select(col("query_id"), col("vec_id"))
+    pqTopKWithCodebooks(emb, trainPqCodebooks(emb, m, sub, ksub, iters),
+      k, nQueries, m, sub, restrict = Some(allowed))
   }
 
   /** ANN quality evaluation — recall@k of the LSH path against the exact
@@ -972,11 +1021,23 @@ object EmbeddingSearch {
     * (m, ksub): same joined-pipelines shape as [[lshRecall]]. Output:
     * (query_id, n_exact, n_hit, recall).
     */
-  def pqRecall(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+  def pqRecall(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame =
+    recallAgainstBrute(spark, dir, pqTopK(spark, dir, k, nQueries), k, nQueries)
+
+  /** Recall@k of the composed IVF-PQ index against the exact top-k — the
+    * knob-tuning loop (nprobe × m × ksub) an IVF-PQ deployment runs.
+    */
+  def ivfPqRecall(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame =
+    recallAgainstBrute(spark, dir, ivfPqTopK(spark, dir, k, nQueries), k, nQueries)
+
+  /** The shared recall@k rollup: left-join an approximate searcher's top-k
+    * against the brute-force exact set (both |Q|·k rows — the join is
+    * negligible next to the searches). */
+  private def recallAgainstBrute(spark: SparkSession, dir: String,
+      approxTopK: DataFrame, k: Int, nQueries: Int): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, nQueries)
       .select(col("query_id"), col("vec_id"))
-    val approx = pqTopK(spark, dir, k, nQueries)
-      .select(col("query_id").as("q2"), col("vec_id").as("v2"))
+    val approx = approxTopK.select(col("query_id").as("q2"), col("vec_id").as("v2"))
     exact.join(approx,
         exact("query_id") === approx("q2") && exact("vec_id") === approx("v2"), "left")
       .groupBy(col("query_id"))
@@ -1130,12 +1191,40 @@ object EmbeddingSearch {
     * (d_prime, n_exact, n_hit, recall), one row per d'.
     */
   def truncRecall(spark: SparkSession, dir: String, dPrimes: Seq[Int] = Seq(8, 16, 32),
-      k: Int = 5, nQueries: Int = 10): DataFrame = {
+      k: Int = 5, nQueries: Int = 10): DataFrame =
+    projectedRecall(spark, dir, dPrimes, k, nQueries, (v, dp) => slice(v, 1, dp))
+
+  /** Random-PROJECTION recall curve — the Johnson–Lindenstrauss counterpart
+    * to [[truncRecall]]: instead of keeping the first d' dims (which only
+    * works when the embedding was Matryoshka-trained), project to d' dims
+    * through a deterministic ±1 matrix (Achlioptas 2003 — the sign comes
+    * from the same integer hash family the hyperplane LSH uses, so the
+    * "matrix" costs nothing to store or broadcast: it is an expression).
+    * JL says cosine structure survives any source embedding at
+    * d' = O(log n / ε²); this measures exactly how much ranking quality
+    * each d' buys on THIS corpus. Projection is a per-row fixed-order fold
+    * (d' × dims FMAs, zero shuffles); each d' branch is the
+    * [[bruteForceTopK]] plan. Output: (d_prime, n_exact, n_hit, recall).
+    */
+  def rpRecall(spark: SparkSession, dir: String, dPrimes: Seq[Int] = Seq(8, 16, 32),
+      k: Int = 5, nQueries: Int = 10, dims: Int = 64): DataFrame =
+    projectedRecall(spark, dir, dPrimes, k, nQueries, (v, dp) =>
+      transform(sequence(lit(1), lit(dp)), j =>
+        aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, d) =>
+          acc + element_at(v, d.cast("int")) *
+            when((j * lit(2654435761L) + d * lit(40503L)) % 65537 % 2 === 1, lit(1.0))
+              .otherwise(lit(-1.0)))))
+
+  /** Shared dimension-reduction recall rollup: apply `project(v, d')` to
+    * corpus and queries, search exhaustively in the reduced space, count
+    * hits against the full-dimension exact top-k — one row per d'. */
+  private def projectedRecall(spark: SparkSession, dir: String, dPrimes: Seq[Int],
+      k: Int, nQueries: Int, project: (Column, Int) => Column): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, nQueries)
       .select(col("query_id"), col("vec_id"))
     val perD = dPrimes.map { dp =>
       val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), slice(toDouble(col("embedding")), 1, dp).as("v"))
+        .select(col("vec_id"), project(toDouble(col("embedding")), dp).as("v"))
       val queries = broadcast(emb.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv")))
       val approx = emb.crossJoin(queries)

@@ -379,6 +379,27 @@ object TextAnalysis {
         col("start_pos"), col("end_pos"), portableHash31(col("ct")).as("chunk_hash"))
   }
 
+  /** Cross-document chunk-level dedup over the CDC chunking — the payoff
+    * CDC boundaries exist for: because boundaries follow content, shared
+    * passages land in identical chunks regardless of where they sit in
+    * each document, so ONE groupBy on the chunk hash finds every shared
+    * region (fixed-size chunks would only match passages at equal offsets
+    * modulo the window). Output: per duplicated chunk, how many documents
+    * and total occurrences carry it, its token length, and the smallest
+    * carrying doc_id (the canonical-owner convention). At 100 TB this is
+    * a hash-keyed aggregation over 8-byte chunk hashes — the storage-dedup
+    * shape, linear in chunk count.
+    */
+  def cdcChunkDedup(docs: DataFrame, targetTokens: Int = 32,
+      maxTokens: Int = 128): DataFrame =
+    chunkDocumentsCdc(docs, targetTokens, maxTokens)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("canonical_doc"))
+      .where(col("n_docs") >= 2)
+
   /** PII patterns shared by [[piiScrub]] and its oracle: deliberately
     * restricted to syntax with IDENTICAL semantics in Java regex and RE2
     * (character classes, +, bounded repetition — no backrefs, no lookaround,

@@ -104,6 +104,9 @@ object ScaleBench {
     // DSIR selection: 64-bucket map-combined distribution aggs + one
     // doc-keyed scoring shuffle — slope should be linear-or-flatter
     "corpus_dsir_scores",
+    // IVF-PQ: coarse probe bounds the ADC joins to nprobe cells — the
+    // curve checks the composed index keeps the sub-linear candidate bound
+    "embed_knn_ivfpq",
     // content-defined chunking: per-doc windows over the doc_id shuffle —
     // linear in corpus tokens
     "corpus_chunks_cdc")

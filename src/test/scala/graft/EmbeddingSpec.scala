@@ -586,4 +586,33 @@ class EmbeddingSpec extends AnyFunSuite {
       .select($"vec_id".as[Long]).collect().toSeq
     assert(top1 == Seq(1000000L), s"planted max-norm clone not top-1: $top1")
   }
+
+  test("IVF-PQ: hits lie in probed cells and carry the unrestricted PQ ADC scores") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val got = EmbeddingSearch.ivfPqTopK(spark, dir)
+      .select($"query_id", $"vec_id", $"adc_cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "IVF-PQ returned no rows")
+    // (a) the ADC score of every hit equals the score the UNRESTRICTED PQ
+    // path assigns the same (query, vec) pair — the probe must only prune,
+    // never perturb arithmetic
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", c => c.cast("double")).as("v"))
+    val allScores = EmbeddingSearch.pqTopK(spark, dir, k = 1000000)
+      .select($"query_id", $"vec_id", $"adc_cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (q, v, s) =>
+      assert(allScores((q, v)) == s, s"ADC drifted for ($q,$v): $s vs ${allScores((q, v))}")
+    }
+    // (b) every hit's vector sits in one of its query's nprobe=2 probed
+    // cells, recomputed independently from the trained coarse quantizer
+    val cent = EmbeddingSearch.trainKmeansIndex(emb)
+    val cells = EmbeddingSearch.kmeansTopKWithIndex(emb, cent, k = 1000000, nQueries = 10)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    got.foreach { case (q, v, _) =>
+      assert(cells((q, v)), s"hit ($q,$v) outside the probed cells")
+    }
+  }
 }

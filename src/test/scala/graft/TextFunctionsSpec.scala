@@ -723,6 +723,14 @@ class TextFunctionsSpec extends AnyFunSuite {
     val n0 = ch.filter(_._1 == 0L).map(_._3).sum
     assert(n0 == base.split(" ").length.toLong,
       s"chunks must partition the doc: $n0 tokens chunked")
+    // and chunk-level dedup finds the passage even though it sits at
+    // DIFFERENT offsets in the two docs — the CDC payoff
+    val dup = TextAnalysis.cdcChunkDedup(docs)
+      .select("chunk_hash", "n_docs").as[(Long, Long)].collect()
+    assert(dup.nonEmpty && dup.forall(_._2 == 2L),
+      s"shared passage not found by chunk dedup: ${dup.toSeq}")
+    assert(anchored.subsetOf(dup.map(_._1).toSet),
+      "every anchored chunk is shared by both docs and must be reported")
   }
 
   test("DSIR importance scores separate a planted two-vocabulary corpus") {
