@@ -173,6 +173,33 @@ object SparkEntry {
         Dedup.buildDedupIndex(docs.where(col("doc_id") < split), idx)
       Dedup.dedupAgainst(idx, docs.where(col("doc_id") >= split), tau = 0.7)
     }),
+    // right-to-be-forgotten: build the corpus index, FORGET ids ≡ 0 mod 7,
+    // then serve the batch — forgotten docs must never surface as keepers;
+    // the _FORGOTTEN marker makes the cached build+forget pair atomic as a
+    // unit (a crash between the steps rebuilds from scratch)
+    "dedup_forget_serve" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val split = docs.count() * 4 / 5
+      val sfName = new java.io.File(dir).getName
+      val base = s"graft_dedupfgt_s3h64b16k3_${sfName}_"
+      val keep = base +
+        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      Tables.cleanStaleExports(tmp, base, keep)
+      val idx = s"$tmp/$keep"
+      val marker = new org.apache.hadoop.fs.Path(idx, "_FORGOTTEN")
+      val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+      if (!Dedup.dedupIndexExists(s, idx) || !fs.exists(marker)) {
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        Dedup.buildDedupIndex(docs.where(col("doc_id") < split), idx)
+        Dedup.forgetFromDedupIndex(s, idx,
+          docs.where(col("doc_id") < split && col("doc_id") % 7 === 0)
+            .select(col("doc_id")))
+        fs.create(marker, true).close()
+      }
+      Dedup.dedupAgainst(idx, docs.where(col("doc_id") >= split), tau = 0.7)
+    }),
     // — text analysis (SURVEY.md §7.6) —
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityStats(Tables.documents(s, dir))),
@@ -465,6 +492,13 @@ object SparkEntry {
     // straddle splits; zero-shuffle map projection
     "corpus_split" -> ((s, dir) =>
       TextAnalysis.trainValTestSplit(Tables.documents(s, dir))),
+    // cluster-aware split: the fold is the near-dup cluster keeper's
+    // bucket, so near-duplicates can never straddle train/test either
+    "corpus_split_clustered" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.trainValTestSplitClustered(docs,
+        Dedup.dedupClusters(docs, SimilarityJoin.allPairsJaccard(docs, tau = 0.7)))
+    }),
     // packing's hot-partition fix: per-(source, content-hash-bucket)
     // windows, parallelism scales with nBuckets
     "corpus_pack_bucketed" -> ((s, dir) =>
@@ -551,6 +585,10 @@ object SparkEntry {
     // word stream, the persisted train-once path is spec-pinned identical
     "text_bpe_tokens" -> ((s, dir) =>
       TextAnalysis.bpeTokenCounts(Tables.documents(s, dir))),
+    // tokenizer fertility by language (tokens/word, chars/token) — the
+    // multilingual-equity table a mix decision reads
+    "text_bpe_fertility" -> ((s, dir) =>
+      TextAnalysis.bpeFertility(Tables.documents(s, dir))),
     // TextRank: iterative damped PageRank over the token co-occurrence
     // graph, integer-exact, 5 unrolled rounds in the oracle
     "text_textrank" -> ((s, dir) =>
@@ -1137,6 +1175,29 @@ object SparkEntry {
        |SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
        |  round(CAST(sum(w_b) AS DOUBLE), 6) AS dsir_logweight
        |FROM tk JOIN w USING (b) GROUP BY 1""".stripMargin
+
+  /** Connected-components keeper replay (Dedup.dedupClusters over the
+    * exact Jaccard≥0.7 pair join): recursive closure to the per-component
+    * min id — shared by the clusters entry and the cluster-aware split.
+    */
+  private lazy val clustersKeeperSql: String =
+    s"""WITH RECURSIVE ${shingleCte(3)},
+       |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY 1)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, coalesce(mn.m, d.doc_id)) AS keeper,
+       |  d.doc_id = least(d.doc_id, coalesce(mn.m, d.doc_id)) AS kept
+       |FROM documents d LEFT JOIN mn ON d.doc_id = mn.src""".stripMargin
 
   /** CDC chunking replay (TextAnalysis.chunkDocumentsCdc): anchor rule,
     * running boundary count, anchor-relative sub-split, space-joined chunk
@@ -2336,6 +2397,25 @@ object SparkEntry {
          |  CAST(sum(w_toks) AS BIGINT) AS n_bpe_tokens
          |FROM dw JOIN wt ON dw.w = wt.w
          |WHERE dw.w <> '' GROUP BY 1""".stripMargin,
+    "text_bpe_fertility" ->
+      s"""${bpeCtes(8)},
+         |wt AS (SELECT w, length(w)::BIGINT AS w_chars,
+         |  (length(s) - length(replace(s, '<', '')))::BIGINT AS w_toks FROM t8),
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |pd AS (SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+         |  CAST(sum(w_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(w_toks) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN wt ON dw.w = wt.w WHERE dw.w <> '' GROUP BY 1)
+         |SELECT d.lang, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(pd.n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(pd.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(pd.n_bpe_tokens) AS DOUBLE)
+         |    / CAST(sum(pd.n_words) AS DOUBLE), 6) AS tokens_per_word,
+         |  round(CAST(sum(pd.n_chars) AS DOUBLE)
+         |    / CAST(sum(pd.n_bpe_tokens) AS DOUBLE), 6) AS chars_per_token
+         |FROM pd JOIN documents d ON d.doc_id = pd.doc_id
+         |GROUP BY 1""".stripMargin,
     // CCNet head/middle/tail: global ntile over the LM score (total order
     // with doc_id tie-break), per-tier stats decimal-summed
     "corpus_lm_tiers" ->
@@ -3334,24 +3414,7 @@ object SparkEntry {
          |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
          |${verifyTail(0.8)}""".stripMargin,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE ${shingleCte(3)},
-         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |mn AS (SELECT src, min(dst) AS m FROM reach GROUP BY 1)
-         |SELECT d.doc_id,
-         |  least(d.doc_id, coalesce(mn.m, d.doc_id)) AS keeper,
-         |  d.doc_id = least(d.doc_id, coalesce(mn.m, d.doc_id)) AS kept
-         |FROM documents d LEFT JOIN mn ON d.doc_id = mn.src""".stripMargin,
+    "dedup_clusters" -> clustersKeeperSql,
     "book_query_topk" ->
       s"""SELECT * FROM ($bookQueryRefSql) base
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
@@ -3373,6 +3436,35 @@ object SparkEntry {
          |  FROM cand JOIN h62 ha ON cand.doc_a = ha.doc_id
          |            JOIN h62 hb ON cand.doc_b = hb.doc_id, sp
          |  WHERE cand.doc_a < sp.split AND cand.doc_b >= sp.split
+         |    AND len(list_intersect(ha.hset62, hb.hset62))::DOUBLE
+         |      / (len(ha.hset62) + len(hb.hset62) - len(list_intersect(ha.hset62, hb.hset62))) >= 0.7
+         |  GROUP BY 1)
+         |SELECT b.doc_id,
+         |  coalesce(ex.ek, -1) AS exact_keeper,
+         |  coalesce(nearv.nk, -1) AS near_keeper,
+         |  CASE WHEN ex.ek IS NOT NULL THEN 'exact_dup'
+         |       WHEN nearv.nk IS NOT NULL THEN 'near_dup'
+         |       ELSE 'unique' END AS status
+         |FROM (SELECT doc_id FROM documents, sp WHERE doc_id >= sp.split) b
+         |LEFT JOIN ex USING (doc_id) LEFT JOIN nearv USING (doc_id)""".stripMargin,
+    // the incremental replay with the corpus side additionally filtered to
+    // ids not ≡ 0 mod 7 — a forgotten doc must never be a keeper
+    "dedup_forget_serve" ->
+      s"""WITH ${shingleCte(3)},
+         |sets AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |$minhashCandCtes,
+         |sp AS (SELECT count(*) * 4 // 5 AS split FROM documents),
+         |h62 AS (SELECT doc_id,
+         |  list_distinct(list_transform(sh, t -> ${duckHash62("t")})) AS hset62 FROM sets),
+         |ex AS (SELECT b.doc_id, min(c.doc_id) AS ek
+         |  FROM documents b JOIN documents c ON md5(b.text) = md5(c.text), sp
+         |  WHERE b.doc_id >= sp.split AND c.doc_id < sp.split
+         |    AND c.doc_id % 7 <> 0 GROUP BY 1),
+         |nearv AS (SELECT cand.doc_b AS doc_id, min(cand.doc_a) AS nk
+         |  FROM cand JOIN h62 ha ON cand.doc_a = ha.doc_id
+         |            JOIN h62 hb ON cand.doc_b = hb.doc_id, sp
+         |  WHERE cand.doc_a < sp.split AND cand.doc_a % 7 <> 0
+         |    AND cand.doc_b >= sp.split
          |    AND len(list_intersect(ha.hset62, hb.hset62))::DOUBLE
          |      / (len(ha.hset62) + len(hb.hset62) - len(list_intersect(ha.hset62, hb.hset62))) >= 0.7
          |  GROUP BY 1)
@@ -3689,6 +3781,16 @@ object SparkEntry {
          |       WHEN bucket < 9500 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin,
+    // the near-dup cluster keeper's content-hash bucket decides the fold
+    // for every member — replayed over the recursive-closure keeper table
+    "corpus_split_clustered" ->
+      s"""WITH c AS ($clustersKeeperSql),
+         |b AS (SELECT c.doc_id, c.keeper, ${duckHash("k.text")} % 10000 AS bucket
+         |      FROM c JOIN documents k ON k.doc_id = c.keeper)
+         |SELECT doc_id, keeper, bucket,
+         |  CASE WHEN bucket < 9000 THEN 'train'
+         |       WHEN bucket < 9500 THEN 'val'
+         |       ELSE 'test' END AS split FROM b""".stripMargin,
     "corpus_pack_bucketed" ->
       s"""WITH t AS (SELECT doc_id, source,
          |  ${duckHash("text")} % 8 AS bucket,

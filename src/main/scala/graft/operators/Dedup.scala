@@ -313,6 +313,42 @@ object Dedup {
     * Spec-pinned: build(corpus) + extend(batch) serves identically to
     * build(corpus ∪ batch).
     */
+  /** Right-to-be-forgotten propagation into the persisted index — the
+    * compliance pass a 100 TB corpus must support: removing a document
+    * from the corpus is NOT enough while derived artifacts still carry
+    * its hashes (a forgotten doc would keep surfacing as other docs'
+    * `keeper`). Anti-joins `ids` out of all three tables with the build's
+    * crash-safety discipline: `_DONE` drops FIRST (no serve ever sees a
+    * half-forgotten index), each table rewrites through a staging dir (a
+    * parquet path cannot be overwritten from its own lazy scan) and swaps
+    * in, `_DONE` returns only after all three. A crash leaves either the
+    * old complete index minus `_DONE` or the new one — rerun the forget
+    * either way. At 100 TB, with the tables laid out by doc_id range
+    * (the compaction/z-order discipline in Maintenance), the anti-join
+    * rewrite prunes to the files that contain forgotten ids. The spec
+    * pins serve-after-forget ≡ serve-against-an-index-rebuilt-on-the-
+    * filtered-corpus.
+    */
+  def forgetFromDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, ids: DataFrame): Unit = {
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(dedupIndexExists(spark, indexPath),
+      s"dedup index at $indexPath is absent or incomplete — nothing to forget from")
+    fs.delete(done, false)
+    val forget = broadcast(ids.select(col("doc_id")))
+    for (t <- Seq("exact", "sets", "bands")) {
+      val staged = new org.apache.hadoop.fs.Path(indexPath, s"${t}__forgetting")
+      spark.read.parquet(s"$indexPath/$t")
+        .join(forget, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(staged.toString)
+      val live = new org.apache.hadoop.fs.Path(indexPath, t)
+      fs.delete(live, true)
+      require(fs.rename(staged, live), s"swap of forgotten $t table failed")
+    }
+    fs.create(done, true).close()
+  }
+
   def extendDedupIndex(indexPath: String, newDocs: DataFrame,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")

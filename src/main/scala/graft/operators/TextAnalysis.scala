@@ -1666,6 +1666,58 @@ object TextAnalysis {
     bpeTokenCountsWith(docs, loadBpeMerges(spark, indexPath))
   }
 
+  /** Tokenizer FERTILITY per language — the multilingual-equity metric the
+    * mBERT/XLM-R line of work reports: tokens-per-word and
+    * chars-per-token under the trained BPE merges, rolled up by language.
+    * A tokenizer trained on a skewed mix fragments under-represented
+    * languages (high fertility = more sequence positions per word = a
+    * worse effective context and compute share); this is the table that
+    * decision reads, and the natural consumer of [[sourceMixTemperature]]
+    * upstream. Cost: the BPE serve pass + one lang-keyed rollup. Ratios
+    * divide exact integer sums, so the output is hash-gated.
+    */
+  def bpeFertility(docs: DataFrame, rounds: Int = 8): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(bpeTokenCounts(docs, rounds), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(col("n_bpe_tokens")).cast("long").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6)
+          .as("tokens_per_word"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+
+  /** Cluster-aware leakage-proof split: [[trainValTestSplit]] hashes each
+    * document's own text, which pins EXACT duplicates to one fold but
+    * still lets NEAR-duplicates straddle train/test — the classic
+    * eval-contamination hole. Here the fold is decided per near-dup
+    * CLUSTER: every member inherits its cluster keeper's content-hash
+    * bucket, so whole near-dup families land in one fold (singletons are
+    * their own keeper — identical to the plain split for them). Cost on
+    * top of the plain split is the dedup clustering the pipeline already
+    * runs (feed [[graft.operators.Dedup.minhashLshPairs]] candidates at
+    * scale) plus one join from keeper ids to keeper text — keepers are a
+    * sliver of the corpus, so that side broadcasts under AQE.
+    * Output: (doc_id, keeper, bucket, split).
+    */
+  def trainValTestSplitClustered(docs: DataFrame, clusters: DataFrame,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "split percentages must leave room for a test share")
+    val keeperText = docs.select(col("doc_id").as("keeper"), col("text").as("ktext"))
+    val bucket = portableHash31(col("ktext")) % 10000L
+    clusters.select(col("doc_id"), col("keeper"))
+      .join(keeperText, Seq("keeper"))
+      .select(col("doc_id"), col("keeper"), bucket.as("bucket"),
+        when(bucket < trainPct * 100L, "train")
+          .when(bucket < (trainPct + valPct) * 100L, "val")
+          .otherwise("test").as("split"))
+  }
+
   // ─────────────────── DSIR importance-based data selection ───────────────────
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

@@ -350,4 +350,31 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 1.0)
     assert(pairs((1L, 3L)) == 0.636364)
   }
+
+  test("forget-from-index: serve equals an index rebuilt on the filtered corpus") {
+    val full = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val split = full.count() * 4 / 5
+    val corpus = full.where(col("doc_id") < split)
+    val batch = full.where(col("doc_id") >= split)
+    val forgetIds = corpus.where(col("doc_id") % 7 === 0).select(col("doc_id"))
+    val forgotten = forgetIds.as[Long].collect().toSet
+    assert(forgotten.nonEmpty)
+    val root = java.nio.file.Files.createTempDirectory("graft_fgt").toString
+    // path A: build on the full corpus, then forget
+    Dedup.buildDedupIndex(corpus, s"$root/a")
+    Dedup.forgetFromDedupIndex(spark, s"$root/a", forgetIds)
+    // path B: build directly on the filtered corpus
+    Dedup.buildDedupIndex(corpus.where(col("doc_id") % 7 =!= 0), s"$root/b")
+    def serve(idx: String) = Dedup.dedupAgainst(idx, batch, tau = 0.7)
+      .select("doc_id", "exact_keeper", "near_keeper", "status")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val a = serve(s"$root/a")
+    assert(a == serve(s"$root/b"),
+      "forgetting from the index diverged from rebuilding on the filtered corpus")
+    // and no forgotten id ever surfaces as a keeper
+    a.foreach { case (_, ek, nk, _) =>
+      assert(!forgotten(ek) && !forgotten(nk),
+        s"forgotten doc surfaced as keeper: ($ek, $nk)")
+    }
+  }
 }

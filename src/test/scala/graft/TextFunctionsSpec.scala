@@ -733,6 +733,22 @@ class TextFunctionsSpec extends AnyFunSuite {
       "every anchored chunk is shared by both docs and must be reported")
   }
 
+  test("clustered split never lets a near-dup pair straddle folds") {
+    import graft.operators.{TextAnalysis, Dedup, SimilarityJoin}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = SimilarityJoin.allPairsJaccard(docs, tau = 0.7)
+    val clusters = Dedup.dedupClusters(docs, pairs)
+    val split = TextAnalysis.trainValTestSplitClustered(docs, clusters)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(split.size == docs.count(), "every doc must get a fold")
+    val prs = pairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(prs.nonEmpty, "sf0.001 must contain near-dup pairs for this test to bite")
+    prs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dups $a/$b straddle folds: ${split(a)} vs ${split(b)}")
+    }
+  }
+
   test("DSIR importance scores separate a planted two-vocabulary corpus") {
     import graft.operators.TextAnalysis
     // target (en) docs draw from vocabulary A, the rest from B: every
