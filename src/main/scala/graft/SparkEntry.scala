@@ -626,6 +626,9 @@ object SparkEntry {
     // metadata-scale agg, validity filter applied map-side (prunable at
     // scale when history is laid out by valid_from_day)
     "rel_scd2_asof" -> ((s, dir) => Relational.scd2AsOf(s, dir)),
+    // k-anonymous aggregate release: sub-k quasi-identifier cells are
+    // suppressed into an auditable residual row; totals reconcile
+    "rel_kanon_release" -> ((s, dir) => Relational.kAnonRelease(s, dir)),
     // provenance rollup of the near-dup graph: source x source pair matrix
     "dedup_source_matrix" -> ((s, dir) =>
       Dedup.dupSourceMatrix(Tables.documents(s, dir))),
@@ -743,6 +746,9 @@ object SparkEntry {
     // JL random-projection recall: deterministic ±1 projection (the
     // hyperplane sign family as a matrix-free expression), recall per d'
     "embed_rp_recall" -> ((s, dir) => EmbeddingSearch.rpRecall(s, dir)),
+    // MMR diversity re-rank at lambda=1/2: greedy relevance-vs-redundancy
+    // selection over the checkpointed shortlist, k unrolled lazy rounds
+    "embed_mmr_rerank" -> ((s, dir) => EmbeddingSearch.mmrTopK(s, dir)),
     "embed_knn_kmeans" -> ((s, dir) => {
       // training params are DERIVED into the dir prefix and passed to the
       // call from the same values — an index trained under different
@@ -1339,6 +1345,42 @@ object SparkEntry {
          |FROM br LEFT JOIN ap
          |  ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id)""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** MMR replay (EmbeddingSearch.mmrTopK): the brute top-nCand shortlist,
+    * then k unrolled greedy rounds — anti-join the selected, max-penalty
+    * join, per-query (score desc, vec_id asc) argmax — at λ = ½ so every
+    * step is exact halving of 6dp cosines.
+    */
+  private def mmrSql(k: Int = 5, nCand: Int = 20, nQueries: Int = 10): String = {
+    val rounds = (2 to k).map { r =>
+      s"""p$r AS (SELECT c.query_id, c.vec_id,
+         |  max(round(${cosineSql("c.v", "s.v")}, 6)) AS pen
+         |  FROM cand c JOIN a${r - 1} s ON c.query_id = s.query_id
+         |  LEFT JOIN a${r - 1} x ON x.query_id = c.query_id AND x.vec_id = c.vec_id
+         |  WHERE x.vec_id IS NULL GROUP BY 1, 2),
+         |sc$r AS (SELECT p.query_id, p.vec_id, c.rel, c.v,
+         |  round(0.5*c.rel - 0.5*p.pen, 6) AS mmr_score
+         |  FROM p$r p JOIN cand c ON c.query_id = p.query_id AND c.vec_id = p.vec_id),
+         |sel$r AS (SELECT query_id, vec_id, v, rel, mmr_score, $r::BIGINT AS pick
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY mmr_score DESC, vec_id ASC) AS rn FROM sc$r) WHERE rn = 1),
+         |a$r AS (SELECT * FROM a${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |s0 AS (SELECT q.query_id, e.vec_id, round(${cosineSql("e.v", "q.qv")}, 6) AS rel,
+       |       e.v FROM e, q WHERE e.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, vec_id, rel, v FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, vec_id ASC) AS rn FROM s0) WHERE rn <= $nCand),
+       |a1 AS (SELECT query_id, vec_id, v, rel, round(0.5*rel, 6) AS mmr_score,
+       |       1::BIGINT AS pick
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rel DESC, vec_id ASC) AS rn FROM cand) WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, vec_id, pick, rel AS relevance, mmr_score FROM a$k""".stripMargin
+  }
 
   /** SQ8 k-NN oracle: replays the quantizer training (per-dim min/max →
     * affine step), the rounded affine encode, the decode, and the ADC
@@ -2259,6 +2301,20 @@ object SparkEntry {
         |SELECT o_custkey, o_orderkey, totalprice, valid_from_day, valid_to_day
         |FROM h CROSS JOIN c
         |WHERE valid_from_day <= d AND d < valid_to_day""".stripMargin,
+    "rel_kanon_release" ->
+      """WITH cells AS (SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+        |  count(*)::BIGINT AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, o_year, n_orders, CAST(rev AS DOUBLE) AS revenue
+        |FROM cells WHERE n_orders >= 25
+        |UNION ALL
+        |SELECT '__suppressed__' AS n_name, CAST(-1 AS BIGINT) AS o_year,
+        |  CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(sum(rev), 0) AS DOUBLE) AS revenue
+        |FROM cells WHERE n_orders < 25""".stripMargin,
     "rel_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
@@ -3026,6 +3082,7 @@ object SparkEntry {
     "embed_knn_sq8_sampled" -> sq8KnnSql(Some(40)),
     "embed_trunc_recall" -> truncRecallSql(Seq(8, 16, 32)),
     "embed_rp_recall" -> rpRecallSql(Seq(8, 16, 32)),
+    "embed_mmr_rerank" -> mmrSql(),
     "embed_sq8_recall" ->
       s"""WITH br AS (SELECT query_id, vec_id FROM ($bruteKnnSql)),
          |ap AS (SELECT query_id, vec_id FROM (${sq8KnnSql()}))

@@ -73,6 +73,55 @@ object EmbeddingSearch {
       .where(col("rank") <= k)
   }
 
+  /** MMR diversity re-rank (Carbonell & Goldstein '98 Maximal Marginal
+    * Relevance at λ = ½): greedily pick k results from a relevance
+    * shortlist, each round taking the candidate maximizing
+    * ½·rel(q,c) − ½·max_{s∈S} cos(c,s) — the standard fix for a top-k
+    * that returns k near-copies of the same document (RAG retrieval,
+    * search diversification). Spark-first shape: the corpus is touched
+    * ONCE by the shortlist search ([[bruteForceTopK]] here; swap in any
+    * ANN searcher at scale), the |Q|·nCand shortlist is eagerly
+    * checkpointed, and the k greedy rounds are unrolled lazy plans over
+    * that metadata-scale frame (anti-join the selected, max-penalty join,
+    * per-query argmax) — never a driver loop over data. λ = ½ keeps every
+    * arithmetic step engine-exact (exact halving of 6dp cosines), so the
+    * whole greedy trajectory replays in the oracle's unrolled CTE rounds.
+    * Ties break on vec_id asc. Output:
+    * (query_id, vec_id, pick, relevance, mmr_score), pick 1..k.
+    */
+  def mmrTopK(spark: SparkSession, dir: String, k: Int = 5, nCand: Int = 20,
+      nQueries: Int = 10): DataFrame = {
+    require(k >= 1 && nCand >= k, "need nCand >= k >= 1")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cand = bruteForceTopK(spark, dir, nCand, nQueries)
+      .select(col("query_id"), col("vec_id"), col("cosine").as("rel"))
+      .join(emb, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("rel"), col("v"))
+      .localCheckpoint()
+    def pickTop(scored: DataFrame, scoreCol: String, pick: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col(scoreCol).desc, col("vec_id").asc)))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("v"), col("rel"),
+          col(scoreCol).as("mmr_score"), lit(pick.toLong).as("pick"))
+    var selected = pickTop(cand.withColumn("s0", round(col("rel") * 0.5, 6)), "s0", 1)
+    for (r <- 2 to k) {
+      val selNow = selected
+      val pen = cand
+        .join(selNow.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(selNow.select(col("query_id"), col("v").as("sv")), Seq("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(max(round(cosine(col("v"), col("sv")), 6)).as("pen"))
+      val scored = pen.join(cand, Seq("query_id", "vec_id"))
+        .withColumn("sc", round(col("rel") * 0.5 - col("pen") * 0.5, 6))
+      selected = selected.unionByName(pickTop(scored, "sc", r))
+    }
+    selected.select(col("query_id"), col("vec_id"), col("pick"),
+      col("rel").as("relevance"), col("mmr_score"))
+  }
+
   /** Exact top-k by INNER PRODUCT — MIPS, the retrieval objective most
     * embedding models are actually trained against (unnormalized scores:
     * a long on-topic document can outrank a short one, which cosine's

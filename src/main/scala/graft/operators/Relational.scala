@@ -1354,4 +1354,32 @@ object Relational {
       .select(col("n_items"), col("revenue_e4"),
         round(col("revenue_e4").cast("double") / 7.0 / 10000.0, 6).as("avg_weekly"))
   }
+
+  /** k-ANONYMOUS aggregate release — the privacy-preserving publication
+    * discipline: quasi-identifier cells (nation × order year) with fewer
+    * than k orders are SUPPRESSED from the release and rolled into one
+    * explicit residual row — so small cells never leak, totals still
+    * reconcile, and the suppression itself is auditable (an always-present
+    * residual row, zeros when nothing was suppressed). One aggregation
+    * behind a broadcast dim join; the suppression rollup is a second agg
+    * over the cell table (nations × years — metadata scale). Output:
+    * (n_name, o_year, n_orders, revenue) + ('__suppressed__', -1) row.
+    */
+  def kAnonRelease(spark: SparkSession, dir: String, k: Long = 25): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val kept = cells.where(col("n_orders") >= k)
+    val suppressed = cells.where(col("n_orders") < k)
+      .agg(coalesce(sum(col("n_orders")), lit(0L)).cast("long").as("n_orders"),
+        coalesce(sum(col("rev")), lit(0).cast("decimal(38,2)")).as("rev"))
+      .select(lit("__suppressed__").as("n_name"), lit(-1L).as("o_year"),
+        col("n_orders"), col("rev"))
+    kept.unionByName(suppressed)
+      .select(col("n_name"), col("o_year"), col("n_orders"),
+        col("rev").cast("double").as("revenue"))
+  }
 }

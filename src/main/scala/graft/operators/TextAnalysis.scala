@@ -1526,9 +1526,13 @@ object TextAnalysis {
       replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
     }
 
-  /** Tokens of a bracketed string as an array (trim the outer brackets,
-    * split on the boundary `"><"`). */
-  private def bpeTokens(s: Column): Column = split(trim(s, "<>"), "><")
+  /** Tokens of a bracketed string as an array (drop the one outer bracket
+    * pair, split on the boundary `"><"`). substr, not two-param trim: the
+    * string is always exactly `<tok>…<tok>`, and Spark 4 deprecates the
+    * trim(col, chars) form (analysis-time warning per use).
+    */
+  private def bpeTokens(s: Column): Column =
+    split(substr(s, lit(2), length(s) - 2), "><")
 
   /** Adjacent-pair counts over the current tokenization, weighted by word
     * instance count — one aggregation over the vocabulary-sized cached

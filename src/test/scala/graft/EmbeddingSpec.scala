@@ -587,6 +587,41 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(top1 == Seq(1000000L), s"planted max-norm clone not top-1: $top1")
   }
 
+  test("MMR re-rank replays the greedy trajectory exactly driver-side at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.transform
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", c => c.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().map(r => r._1 -> r._2.toArray).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 10L).flatMap { q =>
+      val cand = vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, r6(cos(vecs(q), vecs(v)))))
+        .sortBy { case (v, rel) => (-rel, v) }.take(20)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+      for (pick <- 1 to 5) {
+        val chosen = cand.filterNot(c => sel.exists(_._2 == c._1)).map { case (v, rel) =>
+          val pen = if (sel.isEmpty) 0.0
+            else sel.map(s => r6(cos(vecs(v), vecs(s._2)))).max
+          (v, rel, r6(0.5 * rel - 0.5 * pen))
+        }.minBy { case (v, _, sc) => (-sc, v) }
+        sel += ((q, chosen._1, chosen._2, chosen._3))
+      }
+      sel.zipWithIndex.map { case ((qq, v, rel, sc), i) => (qq, v, i + 1L, rel, sc) }
+    }.toSet
+    val got = EmbeddingSearch.mmrTopK(spark, dir)
+      .select($"query_id", $"vec_id", $"pick", $"relevance", $"mmr_score")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(got == expected, s"MMR diverged from the driver replay:\n" +
+      s"missing=${(expected -- got).take(5)}\nextra=${(got -- expected).take(5)}")
+  }
+
   test("IVF-PQ: hits lie in probed cells and carry the unrestricted PQ ADC scores") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
