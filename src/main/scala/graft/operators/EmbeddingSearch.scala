@@ -944,7 +944,15 @@ object EmbeddingSearch {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val dims = 64 // driver testdata contract (embeddings.parquet)
     val sub = dims / m
-    val cent = trainKmeansIndex(emb, nClusters, iters)
+    ivfPqServe(emb, trainKmeansIndex(emb, nClusters, iters),
+      trainPqCodebooks(emb, m, sub, ksub, iters), k, nQueries, nprobe, m, sub)
+  }
+
+  /** The serve half of IVF-PQ: coarse probe from EXPLICIT centroids, ADC
+    * from EXPLICIT codebooks — shared by fresh training and the persisted
+    * path. */
+  private def ivfPqServe(emb: DataFrame, cent: DataFrame, cents: DataFrame,
+      k: Int, nQueries: Int, nprobe: Int, m: Int, sub: Int): DataFrame = {
     val cells = kmeansAssign(withNorm(emb), cent).select(col("vec_id"), col("cl"))
     // probe: per query the nprobe best coarse cells — the kmeansTopK rule
     val centN = broadcast(cent.withColumn("ncv", sqrt(dot(col("cv"), col("cv")))))
@@ -960,8 +968,35 @@ object EmbeddingSearch {
       .where(col("rn") <= nprobe)
       .select(col("query_id"), col("cl"))
     val allowed = probe.join(cells, Seq("cl")).select(col("query_id"), col("vec_id"))
-    pqTopKWithCodebooks(emb, trainPqCodebooks(emb, m, sub, ksub, iters),
-      k, nQueries, m, sub, restrict = Some(allowed))
+    pqTopKWithCodebooks(emb, cents, k, nQueries, m, sub, restrict = Some(allowed))
+  }
+
+  /** Train-once/serve-many for the composed index: the first call against
+    * an empty `indexPath` trains BOTH quantizers and persists them
+    * (coarse centroids under `coarse/`, PQ codebooks under `pq/`, one
+    * `_DONE` marker after both commit); every later call loads two
+    * metadata-scale tables and serves with ZERO training shuffles —
+    * row-identical to fresh training (spec-pinned via
+    * [[kmeansTrainings]], the index-family discipline). The deployment
+    * shape: quantizers train once per corpus snapshot, every query batch
+    * after that pays probe + ADC only.
+    */
+  def ivfPqTopKPersisted(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10, nClusters: Int = 8, nprobe: Int = 2,
+      m: Int = 4, ksub: Int = 4, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val dims = 64
+    val sub = dims / m
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(done)) {
+      saveKmeansIndex(trainKmeansIndex(emb, nClusters, iters), s"$indexPath/coarse")
+      savePqIndex(trainPqCodebooks(emb, m, sub, ksub, iters), s"$indexPath/pq")
+      fs.create(done, true).close()
+    }
+    ivfPqServe(emb, loadKmeansIndex(spark, s"$indexPath/coarse"),
+      loadPqIndex(spark, s"$indexPath/pq"), k, nQueries, nprobe, m, sub)
   }
 
   /** ANN quality evaluation — recall@k of the LSH path against the exact

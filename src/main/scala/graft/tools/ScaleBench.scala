@@ -107,6 +107,14 @@ object ScaleBench {
     // IVF-PQ: coarse probe bounds the ADC joins to nprobe cells — the
     // curve checks the composed index keeps the sub-linear candidate bound
     "embed_knn_ivfpq",
+    // MMR: the greedy rounds run on the |Q|-bounded shortlist, so the
+    // slope should be the shortlist search's (brute here), nothing more
+    "embed_mmr_rerank",
+    // persisted-index serve tiers: the index builds once per scaled corpus
+    // (cached across passes — min-of-2 isolates SERVE cost), so these rows
+    // measure the 100 TB question directly: does serving a fixed-size
+    // batch against a 16x index stay batch-bounded?
+    "dedup_incremental", "dedup_forget_serve",
     // content-defined chunking: per-doc windows over the doc_id shuffle —
     // linear in corpus tokens
     "corpus_chunks_cdc")

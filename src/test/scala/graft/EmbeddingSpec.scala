@@ -587,6 +587,25 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(top1 == Seq(1000000L), s"planted max-norm clone not top-1: $top1")
   }
 
+  test("persisted IVF-PQ serves row-identical results with zero retrains") {
+    val dir = "/root/testdata/sf0.001"
+    val fresh = EmbeddingSearch.ivfPqTopK(spark, dir)
+      .select($"query_id", $"vec_id", $"adc_cosine", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString + "/idx"
+    val first = EmbeddingSearch.ivfPqTopKPersisted(spark, dir, idx)
+      .select($"query_id", $"vec_id", $"adc_cosine", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(first == fresh, "train-and-persist call diverged from fresh results")
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val served = EmbeddingSearch.ivfPqTopKPersisted(spark, dir, idx)
+      .select($"query_id", $"vec_id", $"adc_cosine", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "second invocation retrained the coarse quantizer instead of loading it")
+    assert(served == fresh, "persisted-index serve diverged from fresh results")
+  }
+
   test("MMR re-rank replays the greedy trajectory exactly driver-side at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions.transform
