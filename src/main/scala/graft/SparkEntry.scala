@@ -1374,10 +1374,11 @@ object SparkEntry {
        |cand AS (SELECT query_id, vec_id, rel, v FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY rel DESC, vec_id ASC) AS rn FROM s0) WHERE rn <= $nCand),
-       |a1 AS (SELECT query_id, vec_id, v, rel, round(0.5*rel, 6) AS mmr_score,
-       |       1::BIGINT AS pick
+       |a1 AS (SELECT query_id, vec_id, v, rel, mmr_score, 1::BIGINT AS pick
        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |        ORDER BY rel DESC, vec_id ASC) AS rn FROM cand) WHERE rn = 1),
+       |        ORDER BY mmr_score DESC, vec_id ASC) AS rn
+       |        FROM (SELECT *, round(0.5*rel, 6) AS mmr_score FROM cand))
+       |  WHERE rn = 1),
        |$rounds
        |SELECT query_id, vec_id, pick, rel AS relevance, mmr_score FROM a$k""".stripMargin
   }
@@ -2303,18 +2304,20 @@ object SparkEntry {
         |WHERE valid_from_day <= d AND d < valid_to_day""".stripMargin,
     "rel_kanon_release" ->
       """WITH cells AS (SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_customers,
         |  count(*)::BIGINT AS n_orders,
         |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |  GROUP BY 1, 2)
-        |SELECT n_name, o_year, n_orders, CAST(rev AS DOUBLE) AS revenue
-        |FROM cells WHERE n_orders >= 25
+        |SELECT n_name, o_year, n_customers, n_orders, CAST(rev AS DOUBLE) AS revenue
+        |FROM cells WHERE n_customers >= 25
         |UNION ALL
         |SELECT '__suppressed__' AS n_name, CAST(-1 AS BIGINT) AS o_year,
+        |  CAST(coalesce(sum(n_customers), 0) AS BIGINT) AS n_customers,
         |  CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders,
         |  CAST(coalesce(sum(rev), 0) AS DOUBLE) AS revenue
-        |FROM cells WHERE n_orders < 25""".stripMargin,
+        |FROM cells WHERE n_customers < 25""".stripMargin,
     "rel_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),

@@ -321,9 +321,13 @@ object Dedup {
     * crash-safety discipline: `_DONE` drops FIRST (no serve ever sees a
     * half-forgotten index), each table rewrites through a staging dir (a
     * parquet path cannot be overwritten from its own lazy scan) and swaps
-    * in, `_DONE` returns only after all three. A crash leaves either the
-    * old complete index minus `_DONE` or the new one — rerun the forget
-    * either way. At 100 TB, with the tables laid out by doc_id range
+    * in, `_DONE` returns only after all three. Crash-rerunnable: the pass
+    * gates on per-table `_SUCCESS` (never on the `_DONE` it removes) and
+    * RESUMES a swap whose staged table committed but whose live table was
+    * already dropped — rerun the SAME forget request after any crash and
+    * it converges (spec-pinned; a different id set mid-recovery would
+    * apply inconsistently across tables and is the caller's contract to
+    * avoid). At 100 TB, with the tables laid out by doc_id range
     * (the compaction/z-order discipline in Maintenance), the anti-join
     * rewrite prunes to the files that contain forgotten ids. The spec
     * pins serve-after-forget ≡ serve-against-an-index-rebuilt-on-the-
@@ -333,18 +337,34 @@ object Dedup {
       indexPath: String, ids: DataFrame): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    require(dedupIndexExists(spark, indexPath),
-      s"dedup index at $indexPath is absent or incomplete — nothing to forget from")
+    // gate on per-table _SUCCESS, NOT the _DONE marker this pass itself
+    // removes — rerunning after a crash must repair, not refuse (the
+    // extendDedupIndex discipline). A rerun MUST carry the same ids: a
+    // crash can leave some tables already filtered (resumed below from
+    // their committed staging), and a different id set would apply
+    // inconsistently across tables.
     fs.delete(done, false)
     val forget = broadcast(ids.select(col("doc_id")))
     for (t <- Seq("exact", "sets", "bands")) {
-      val staged = new org.apache.hadoop.fs.Path(indexPath, s"${t}__forgetting")
-      spark.read.parquet(s"$indexPath/$t")
-        .join(forget, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(staged.toString)
       val live = new org.apache.hadoop.fs.Path(indexPath, t)
-      fs.delete(live, true)
-      require(fs.rename(staged, live), s"swap of forgotten $t table failed")
+      val staged = new org.apache.hadoop.fs.Path(indexPath, s"${t}__forgetting")
+      val liveOk = fs.exists(new org.apache.hadoop.fs.Path(live, "_SUCCESS"))
+      val stagedOk = fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
+      if (!liveOk && stagedOk) {
+        // a previous forget crashed between delete(live) and the swap:
+        // the staged table is complete — finish the swap
+        require(fs.rename(staged, live), s"resume-swap of forgotten $t table failed")
+      } else {
+        require(liveOk,
+          s"dedup index table $t at $indexPath is missing or uncommitted — " +
+            "a crashed BUILD cannot be repaired by forget; run buildDedupIndex")
+        fs.delete(staged, true) // stale staging from an older crashed run
+        spark.read.parquet(live.toString)
+          .join(forget, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(staged.toString)
+        fs.delete(live, true)
+        require(fs.rename(staged, live), s"swap of forgotten $t table failed")
+      }
     }
     fs.create(done, true).close()
   }

@@ -105,7 +105,11 @@ object EmbeddingSearch {
         .where(col("rn") === 1)
         .select(col("query_id"), col("vec_id"), col("v"), col("rel"),
           col(scoreCol).as("mmr_score"), lit(pick.toLong).as("pick"))
+    // the accumulated selection is re-referenced three times per round
+    // (anti-join, penalty join, union) — checkpoint each round's |Q|·r-row
+    // result so plan size and recomputation stay LINEAR in k, not 3^k
     var selected = pickTop(cand.withColumn("s0", round(col("rel") * 0.5, 6)), "s0", 1)
+      .localCheckpoint()
     for (r <- 2 to k) {
       val selNow = selected
       val pen = cand
@@ -116,7 +120,7 @@ object EmbeddingSearch {
         .agg(max(round(cosine(col("v"), col("sv")), 6)).as("pen"))
       val scored = pen.join(cand, Seq("query_id", "vec_id"))
         .withColumn("sc", round(col("rel") * 0.5 - col("pen") * 0.5, 6))
-      selected = selected.unionByName(pickTop(scored, "sc", r))
+      selected = selected.unionByName(pickTop(scored, "sc", r)).localCheckpoint()
     }
     selected.select(col("query_id"), col("vec_id"), col("pick"),
       col("rel").as("relevance"), col("mmr_score"))
@@ -954,16 +958,15 @@ object EmbeddingSearch {
   private def ivfPqServe(emb: DataFrame, cent: DataFrame, cents: DataFrame,
       k: Int, nQueries: Int, nprobe: Int, m: Int, sub: Int): DataFrame = {
     val cells = kmeansAssign(withNorm(emb), cent).select(col("vec_id"), col("cl"))
-    // probe: per query the nprobe best coarse cells — the kmeansTopK rule
-    val centN = broadcast(cent.withColumn("ncv", sqrt(dot(col("cv"), col("cv")))))
+    // probe: per query the nprobe best coarse cells — the kmeansTopK rule,
+    // through the one shared cosine kernel (a second hand-rolled probe
+    // would silently fork the rule on any future edit)
     val q = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        sqrt(dot(col("v"), col("v"))).as("nq0"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cl").asc)
-    val probe = q.crossJoin(centN)
+    val probe = q.crossJoin(broadcast(cent))
       .select(col("query_id"), col("cl"),
-        round(when(col("nq0") === 0.0 || col("ncv") === 0.0, lit(0.0))
-          .otherwise(dot(col("qv"), col("cv")) / (col("nq0") * col("ncv"))), 6).as("csim"))
+        round(cosine(col("qv"), col("cv")), 6).as("csim"))
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") <= nprobe)
       .select(col("query_id"), col("cl"))

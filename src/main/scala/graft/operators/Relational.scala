@@ -1356,30 +1356,37 @@ object Relational {
   }
 
   /** k-ANONYMOUS aggregate release — the privacy-preserving publication
-    * discipline: quasi-identifier cells (nation × order year) with fewer
-    * than k orders are SUPPRESSED from the release and rolled into one
-    * explicit residual row — so small cells never leak, totals still
-    * reconcile, and the suppression itself is auditable (an always-present
-    * residual row, zeros when nothing was suppressed). One aggregation
-    * behind a broadcast dim join; the suppression rollup is a second agg
-    * over the cell table (nations × years — metadata scale). Output:
-    * (n_name, o_year, n_orders, revenue) + ('__suppressed__', -1) row.
+    * discipline: quasi-identifier cells (nation × order year) backed by
+    * fewer than k DISTINCT CUSTOMERS are SUPPRESSED from the release and
+    * rolled into one explicit residual row — k-anonymity is over
+    * individuals, not records: a 25-order cell fed by one customer would
+    * publish that individual's yearly spend verbatim, so the gate counts
+    * customers and n_orders is published as a measure. Totals still
+    * reconcile and the suppression is auditable (an always-present
+    * residual row, zeros when nothing was suppressed; its n_customers is
+    * the SUM of per-cell counts — a cross-cell distinct union would
+    * itself leak cell structure). One aggregation behind a broadcast dim
+    * join; the suppression rollup is a second agg over the cell table
+    * (nations × years — metadata scale). Output:
+    * (n_name, o_year, n_customers, n_orders, revenue) + residual row.
     */
   def kAnonRelease(spark: SparkSession, dir: String, k: Long = 25): DataFrame = {
     val cells = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(count(lit(1)).as("n_orders"),
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-    val kept = cells.where(col("n_orders") >= k)
-    val suppressed = cells.where(col("n_orders") < k)
-      .agg(coalesce(sum(col("n_orders")), lit(0L)).cast("long").as("n_orders"),
+    val kept = cells.where(col("n_customers") >= k)
+    val suppressed = cells.where(col("n_customers") < k)
+      .agg(coalesce(sum(col("n_customers")), lit(0L)).cast("long").as("n_customers"),
+        coalesce(sum(col("n_orders")), lit(0L)).cast("long").as("n_orders"),
         coalesce(sum(col("rev")), lit(0).cast("decimal(38,2)")).as("rev"))
       .select(lit("__suppressed__").as("n_name"), lit(-1L).as("o_year"),
-        col("n_orders"), col("rev"))
+        col("n_customers"), col("n_orders"), col("rev"))
     kept.unionByName(suppressed)
-      .select(col("n_name"), col("o_year"), col("n_orders"),
+      .select(col("n_name"), col("o_year"), col("n_customers"), col("n_orders"),
         col("rev").cast("double").as("revenue"))
   }
 }

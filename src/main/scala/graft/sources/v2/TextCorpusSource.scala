@@ -36,6 +36,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * cumulative size against `spark.sql.files.maxPartitionBytes` +
   * `openCostInBytes`, so a 100 TB corpus of small files spreads evenly over
   * executors and each file's bytes are read once, executor-side.
+  *
+  * Deliberately NO MicroBatchStream: watching a directory correctly needs a
+  * persisted seen-files log with compaction (publish order and mtime don't
+  * agree under staged renames, so a high-water mark silently drops late
+  * publishes) — exactly what Spark's built-in FileStreamSource already
+  * provides; `readStream.text(dir)` plus the doc_id projection covers the
+  * streaming-ingest case without re-implementing that battle-tested log,
+  * and the engine's streaming tiers consume it that way.
   */
 class TextCorpusSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-text"

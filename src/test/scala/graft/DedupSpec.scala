@@ -376,5 +376,20 @@ class DedupSpec extends AnyFunSuite {
       assert(!forgotten(ek) && !forgotten(nk),
         s"forgotten doc surfaced as keeper: ($ek, $nk)")
     }
+    // crash-recovery: simulate dying between delete(live) and the swap on
+    // one table — staged copy committed, live dir gone, _DONE gone — then
+    // rerun the SAME forget; it must resume the swap and converge
+    val fsPath = new org.apache.hadoop.fs.Path(s"$root/a", "_DONE")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.buildDedupIndex(corpus, s"$root/c")
+    val cForget = corpus.where(col("doc_id") % 7 === 0).select(col("doc_id"))
+    spark.read.parquet(s"$root/c/sets")
+      .join(cForget, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$root/c/sets__forgetting")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/c/sets"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/c", "_DONE"), false)
+    Dedup.forgetFromDedupIndex(spark, s"$root/c", cForget)
+    assert(serve(s"$root/c") == a,
+      "rerun after a simulated mid-swap crash diverged from the clean forget")
   }
 }

@@ -38,19 +38,20 @@ class RelationalSpec extends AnyFunSuite {
       s"as-of customers ${asof.length} != customers with history before the cut ${covered.length}")
   }
 
-  test("k-anon release: no sub-k cell published, totals reconcile through the residual") {
+  test("k-anon release: no sub-k-customer cell published, totals reconcile through the residual") {
     val k = 25L
     val rel = Relational.kAnonRelease(spark, dir, k)
-      .select($"n_name", $"o_year", $"n_orders").as[(String, Long, Long)].collect()
+      .select($"n_name", $"o_year", $"n_customers", $"n_orders")
+      .as[(String, Long, Long, Long)].collect()
     val (residual, published) = rel.partition(_._1 == "__suppressed__")
     assert(residual.length == 1, "exactly one auditable residual row")
-    published.foreach { case (n, y, c) =>
-      assert(c >= k, s"sub-k cell published: ($n, $y, $c)")
+    published.foreach { case (n, y, c, _) =>
+      assert(c >= k, s"cell with fewer than $k distinct customers published: ($n, $y, $c)")
     }
     // totals reconcile: published + residual = all orders
     val total = Tables.orders(spark, dir).count()
-    assert(rel.map(_._3).sum == total,
-      s"release total ${rel.map(_._3).sum} != $total orders")
+    assert(rel.map(_._4).sum == total,
+      s"release total ${rel.map(_._4).sum} != $total orders")
   }
 
   test("waiting suppliers: aggregate decorrelation equals the semi/anti-join form") {
