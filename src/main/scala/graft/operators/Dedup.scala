@@ -334,18 +334,29 @@ object Dedup {
     * filtered-corpus.
     */
   def forgetFromDedupIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, ids: DataFrame): Unit = {
+      indexPath: String, ids: DataFrame): Unit =
+    forgetFromIndexTables(spark, indexPath, Seq("exact", "sets", "bands"), "doc_id", ids)
+
+  /** The shared forget kernel every per-record derived artifact uses (text
+    * dedup index here; vector index via
+    * [[graft.operators.EmbeddingSearch.forgetFromVecDedupIndex]];
+    * image/audio/video fingerprint indexes via
+    * [[graft.operators.Multimodal]]'s forget wrappers): anti-join `ids`
+    * out of each `$indexPath/$table` with the staged-swap crash
+    * discipline. Gates on per-table `_SUCCESS`, NOT the `_DONE` marker it
+    * removes — rerunning after a crash must repair, not refuse (the
+    * extend discipline) — and RESUMES a swap whose staged table committed
+    * but whose live table was already dropped. A rerun MUST carry the
+    * same ids: a crash can leave some tables already filtered, and a
+    * different id set would apply inconsistently across tables.
+    */
+  private[operators] def forgetFromIndexTables(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, tables: Seq[String], keyCol: String, ids: DataFrame): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    // gate on per-table _SUCCESS, NOT the _DONE marker this pass itself
-    // removes — rerunning after a crash must repair, not refuse (the
-    // extendDedupIndex discipline). A rerun MUST carry the same ids: a
-    // crash can leave some tables already filtered (resumed below from
-    // their committed staging), and a different id set would apply
-    // inconsistently across tables.
     fs.delete(done, false)
-    val forget = broadcast(ids.select(col("doc_id")))
-    for (t <- Seq("exact", "sets", "bands")) {
+    val forget = broadcast(ids.select(col(keyCol)))
+    for (t <- tables) {
       val live = new org.apache.hadoop.fs.Path(indexPath, t)
       val staged = new org.apache.hadoop.fs.Path(indexPath, s"${t}__forgetting")
       val liveOk = fs.exists(new org.apache.hadoop.fs.Path(live, "_SUCCESS"))
@@ -356,11 +367,11 @@ object Dedup {
         require(fs.rename(staged, live), s"resume-swap of forgotten $t table failed")
       } else {
         require(liveOk,
-          s"dedup index table $t at $indexPath is missing or uncommitted — " +
-            "a crashed BUILD cannot be repaired by forget; run buildDedupIndex")
+          s"index table $t at $indexPath is missing or uncommitted — " +
+            "a crashed BUILD cannot be repaired by forget; rebuild the index")
         fs.delete(staged, true) // stale staging from an older crashed run
         spark.read.parquet(live.toString)
-          .join(forget, Seq("doc_id"), "left_anti")
+          .join(forget, Seq(keyCol), "left_anti")
           .write.mode("overwrite").parquet(staged.toString)
         fs.delete(live, true)
         require(fs.rename(staged, live), s"swap of forgotten $t table failed")

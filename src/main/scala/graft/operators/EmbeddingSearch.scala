@@ -539,6 +539,22 @@ object EmbeddingSearch {
     fs.create(done, true).close()
   }
 
+  /** Right-to-be-forgotten for the VECTOR index — embeddings of a
+    * forgotten document are personal data like its text, so the forget
+    * pass must reach every per-record artifact: anti-joins `ids` out of
+    * `vecs/` and `bands/` via the shared staged-swap kernel
+    * ([[graft.operators.Dedup.forgetFromIndexTables]] — same crash
+    * contract: gate on per-table `_SUCCESS`, resume committed swaps,
+    * rerun with the same ids). The trained quantizers (k-means centroids,
+    * PQ codebooks) are AGGREGATES, not per-record rows — they carry no
+    * individual's data and need no forget, the standard GDPR distinction
+    * between indexes and models.
+    */
+  def forgetFromVecDedupIndex(spark: SparkSession, indexPath: String,
+      ids: DataFrame): Unit =
+    graft.operators.Dedup.forgetFromIndexTables(
+      spark, indexPath, Seq("vecs", "bands"), "vec_id", ids)
+
   /** APPEND a batch's accepted embeddings to an existing vector index —
     * the embedding twin of [[graft.operators.Dedup.extendDedupIndex]],
     * same crash discipline: requires the two COMMITTED tables (each dir's

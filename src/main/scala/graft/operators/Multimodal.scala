@@ -429,6 +429,23 @@ object Multimodal {
       maxDist: Int = 3): DataFrame =
     fpDedupAgainstAt(indexPath, batch.toDF(), "phashes", "phash", maxDist)
 
+  /** Right-to-be-forgotten for the fingerprint indexes — a forgotten
+    * image/audio/video document's fingerprints are per-record rows like
+    * the text index's hashes, so the forget pass must reach them too:
+    * anti-join via the shared staged-swap kernel
+    * ([[graft.operators.Dedup.forgetFromIndexTables]], same crash contract:
+    * gate on per-table `_SUCCESS`, resume committed swaps, rerun with the
+    * same ids).
+    */
+  def forgetFromPhashIndex(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+    graft.operators.Dedup.forgetFromIndexTables(spark, indexPath, Seq("phashes"), "doc_id", ids)
+
+  def forgetFromAudioFpIndex(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+    graft.operators.Dedup.forgetFromIndexTables(spark, indexPath, Seq("afps"), "doc_id", ids)
+
+  def forgetFromVideoFpIndex(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+    graft.operators.Dedup.forgetFromIndexTables(spark, indexPath, Seq("vfps"), "doc_id", ids)
+
   // ---------------------------------------------------------------- audio
 
   /** Audio sample rate for the synthesized WAV corpus (8 kHz mono PCM16). */

@@ -208,6 +208,24 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("vector-index forget: serve equals an index rebuilt on the filtered corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val split = emb.count() * 4 / 5
+    val corpus = emb.where(col("vec_id") < split)
+    val batch = emb.where(col("vec_id") >= split)
+    val forgetIds = corpus.where(col("vec_id") % 7 === 0)
+      .select(col("vec_id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_vecfgt").toString
+    EmbeddingSearch.buildVecDedupIndex(corpus, s"$root/a")
+    EmbeddingSearch.forgetFromVecDedupIndex(spark, s"$root/a", forgetIds)
+    EmbeddingSearch.buildVecDedupIndex(corpus.where(col("vec_id") % 7 =!= 0), s"$root/b")
+    def serve(idx: String) = EmbeddingSearch.vecDedupAgainst(idx, batch, tau = 0.4)
+      .select("vec_id", "near_keeper", "status")
+      .as[(Long, Long, String)].collect().toSet
+    assert(serve(s"$root/a") == serve(s"$root/b"),
+      "forgetting from the vector index diverged from rebuilding on the filtered corpus")
+  }
+
   test("pq top-k: full coverage per query, bounded scores, deterministic reruns") {
     val dir = "/root/testdata/sf0.001"
     val a = EmbeddingSearch.pqTopK(spark, dir, k = 5, nQueries = 4)

@@ -396,4 +396,22 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.extendVideoFpIndex(empty, batch)
     }
   }
+
+  test("phash-index forget: serve equals an index rebuilt on the filtered corpus") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val split = docs.count() * 4 / 5
+    val corpus = docs.where(col("doc_id") < split)
+    val batch = Multimodal.imagePHashesOf(docs.where(col("doc_id") >= split))
+    val forgetIds = corpus.where(col("doc_id") % 7 === 0).select(col("doc_id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_phfgt").toString
+    Multimodal.buildPhashIndex(Multimodal.imagePHashesOf(corpus), s"$root/a")
+    Multimodal.forgetFromPhashIndex(spark, s"$root/a", forgetIds)
+    Multimodal.buildPhashIndex(
+      Multimodal.imagePHashesOf(corpus.where(col("doc_id") % 7 =!= 0)), s"$root/b")
+    def serve(idx: String) = Multimodal.phashDedupAgainst(idx, batch)
+      .select("doc_id", "dup_of", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(serve(s"$root/a") == serve(s"$root/b"),
+      "forgetting from the phash index diverged from rebuilding on the filtered corpus")
+  }
 }
