@@ -1279,7 +1279,12 @@ object SparkEntry {
     * same (count desc, lhs asc, rhs asc) argmax, and rewrites with the
     * same left-to-right literal replace. `m$t` is round t's merge, `t$t`
     * the tokenization after it — the trainer's cache-recompute loop,
-    * flattened into CTEs.
+    * flattened into CTEs. `t$t` joins its merge with LEFT JOIN ON true,
+    * not CROSS JOIN: when the corpus EXHAUSTS before `rounds` (every word
+    * one token — `p$t` empty so `m$t` is empty), the tokenization must
+    * pass through unchanged, mirroring the trainer's early stop; a cross
+    * join against the empty merge would silently empty every later CTE
+    * and fail the hash gate with zero rows.
     */
   private def bpeCtes(rounds: Int): String = {
     val base =
@@ -1293,8 +1298,10 @@ object SparkEntry {
          |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) u
          |  GROUP BY 1, 2),
          |m$t AS (SELECT a, b, cnt FROM p$t ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         |t$t AS (SELECT w, c, replace(s, '<'||m.a||'><'||m.b||'>', '<'||m.a||m.b||'>') AS s
-         |  FROM t${t - 1} CROSS JOIN m$t m)""".stripMargin
+         |t$t AS (SELECT w, c,
+         |    CASE WHEN m.a IS NULL THEN s
+         |         ELSE replace(s, '<'||m.a||'><'||m.b||'>', '<'||m.a||m.b||'>') END AS s
+         |  FROM t${t - 1} LEFT JOIN m$t m ON true)""".stripMargin
     }.mkString(",\n")
     s"WITH $base,\n$steps"
   }

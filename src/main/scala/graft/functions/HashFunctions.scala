@@ -84,19 +84,10 @@ object HashFunctions {
   def simhash48(hashes: Column): Column =
     toCol(graft.functions.expressions.SimHash48(toExpr(hashes)))
 
-  /** The 4 12-bit chunk keys of a 48-bit fingerprint, as
-    * "c:v" strings. By pigeonhole, any pair at Hamming distance ≤ 3 shares at
-    * least one of the 4 chunks exactly — so chunk-join + Hamming verify is a
-    * LOSSLESS index for distance ≤ 3 (Manku et al., WWW'07 §3).
-    */
-  def simhashChunkKeys(fp: Column): Column =
-    transform(
-      sequence(lit(0), lit(3)),
-      c => concat_ws(":", c.cast("string"),
-        call_function("shiftright", fp, c * lit(12)).bitwiseAND(4095L).cast("string")))
-
-  /** SHARDED chunk keys — the second-level pigeonhole refinement of
-    * [[simhashChunkKeys]]: 16 `"j:cv:k:bv"` strings per fingerprint, where
+  /** SHARDED chunk keys — the second-level pigeonhole refinement of the
+    * flat 4×12-bit chunk index (Manku et al., WWW'07 §3: any pair at
+    * Hamming ≤ 3 shares ≥ 1 of 4 chunks exactly, so chunk-join + verify
+    * is lossless): 16 `"j:cv:k:bv"` strings per fingerprint, where
     * `cv` is chunk j's 12-bit value and `bv` is 9-bit block k of the OTHER
     * 36 bits (the word with chunk j excised). Any pair at Hamming ≤ 3
     * still shares ≥ 1 key: some chunk j is exactly equal (4-way pigeonhole

@@ -160,17 +160,12 @@ object Dedup {
     * chunk table saturates. Output: (doc_a, doc_b, hamming).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, k: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4-chunk index is only lossless for Hamming <= 3")
     val fps = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), simhash48(hashSet(col("sh"))).as("fp"))
-    val chunked = fps.select(col("doc_id"), col("fp"), explode(simhashShardedChunkKeys(col("fp"))).as("chunk"))
-    chunked.as("a").join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming(col("a.fp"), col("b.fp")).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxDist)
+    // text simhash shares the sharded-pigeonhole candidate join with the
+    // image/audio/video fingerprints — ONE kernel to keep lossless
+    Multimodal.fpNearDupPairsOf(fps, "fp", maxDist)
   }
 
   /** Exact n-gram-Jaccard near-dup pairs (delegates to the prefix join). */

@@ -132,8 +132,8 @@ object Relational {
 
   /** Customer–supplier pairs with account balances within `eps` of each
     * other — a pure BAND JOIN ([[Scale.bandJoin]]): no equi key exists, so
-    * the value band becomes the join key (one hash shuffle, ≤ 2×
-    * replication of the small side at the rule-derived 2·eps width)
+    * the value band becomes the join key (one hash shuffle, 3×
+    * replication of the small side — band and both neighbors)
     * instead of the cartesian
     * BroadcastNestedLoop Spark would plan for the bare inequality. The
     * banding is result-invariant, so the oracle is the plain inequality

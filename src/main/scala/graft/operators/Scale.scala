@@ -180,17 +180,27 @@ object Scale {
   def bandJoin(left: DataFrame, right: DataFrame, leftVal: String, rightVal: String,
       eps: Double): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
-    // |a−b| ≤ eps is the point-in-interval containment a ∈ [b−eps, b+eps]:
-    // delegate to intervalJoin so there is ONE banding kernel (and one
-    // replication guard). Band width comes from the adaptive rule's CLOSED
-    // FORM: every implicit interval has width exactly 2·eps, so
-    // bandWidthFor's median-width answer is 2·eps by construction
-    // (ScaleSpec pins this identity) — passing it directly spares an eager
-    // aggregate over what may be a corpus-sized side.
+    require(leftVal != rightVal,
+      "bandJoin needs distinct value column names to apply the exact filter post-join")
+    // Candidates come from intervalJoin (ONE banding kernel, one
+    // replication guard), but the EXACT predicate stays |a−b| ≤ eps — the
+    // form the inequality-join oracle computes. Routing the exact test
+    // through containment a ∈ [b−eps, b+eps] is NOT equivalent under IEEE
+    // arithmetic (fl(a−b) ≤ eps vs a ≥ fl(b−eps) can disagree on boundary
+    // pairs, and b±eps forces decimal inputs through double early), so the
+    // implicit intervals are WIDENED to [b−2eps, b+2eps]: the candidate
+    // filter then has an eps-sized margin — astronomically larger than one
+    // ulp — making the candidate set a strict superset of the abs-matches,
+    // and the final abs filter (exact on decimals) decides membership.
+    // Band width 2·eps over width-4·eps intervals replicates the right
+    // side into ⌈2⌉+1 = 3 band rows: the classic band-and-both-neighbors
+    // form. Banding never decides membership, so results stay
+    // bucketing-invariant.
     val r2 = right
-      .withColumn("__lo", col(rightVal) - eps)
-      .withColumn("__hi", col(rightVal) + eps)
+      .withColumn("__lo", col(rightVal) - 2 * eps)
+      .withColumn("__hi", col(rightVal) + 2 * eps)
     intervalJoin(left, r2, leftVal, "__lo", "__hi", bandWidth = 2 * eps)
+      .where(abs(col(leftVal) - col(rightVal)) <= eps)
       .drop("__lo", "__hi")
   }
 
@@ -200,12 +210,16 @@ object Scale {
     * metadata-scale aggregate over the interval table (it is the SMALL
     * side — brackets, rate tables, IP ranges) derives
     *
-    *   w = max(median interval width, max interval width / maxReplication)
+    *   w = max(median interval width, max interval width / (maxReplication − 1))
     *
     * The MEDIAN keeps per-interval replication ≈ 2 for typical intervals
     * (⌈width/w⌉ ≈ 1–2 rows) while keeping probe buckets near
-    * typical-interval granularity; the max/maxReplication FLOOR caps the
-    * replication of the widest interval at `maxReplication` rows, so ONE
+    * typical-interval granularity; the max/(maxReplication−1) FLOOR caps
+    * the replication of the widest interval at `maxReplication` rows —
+    * the −1 is load-bearing: an interval of width exactly (maxReplication)·w
+    * ALWAYS spans maxReplication+1 bands (floor(x+k)−floor(x) = k for
+    * integer k), so a floor of maxW/maxReplication would make the widest
+    * interval trip [[intervalJoin]]'s own replication guard — so ONE
     * pathological catch-all interval (the [0, ∞)-ish default bracket every
     * real rate table has) cannot explode into millions of band rows when
     * the median is narrow. Results are banding-invariant (the exact
@@ -217,9 +231,13 @@ object Scale {
   def bandWidthFor(intervals: DataFrame, loCol: String, hiCol: String,
       maxReplication: Int = 64): Double = {
     require(maxReplication >= 2, s"maxReplication must be >= 2, got $maxReplication")
+    // widths cast to double IN the aggregate: integer/decimal interval
+    // bounds (IP ranges, day-keyed validity intervals) would otherwise
+    // come back as Long/Decimal and fail the driver-side reads
+    val width = (col(hiCol) - col(loCol)).cast("double")
     val row = intervals.agg(
-      expr(s"percentile($hiCol - $loCol, 0.5)").as("median_w"),
-      max(col(hiCol) - col(loCol)).as("max_w"),
+      expr(s"percentile(CAST($hiCol - $loCol AS DOUBLE), 0.5)").as("median_w"),
+      max(width).as("max_w"),
       count(lit(1)).as("n")).head()
     require(row.getLong(2) > 0, "bandWidthFor: interval table is empty")
     val medianW = row.getDouble(0)
@@ -227,7 +245,7 @@ object Scale {
     require(maxW > 0,
       "bandWidthFor: every interval is a point (width 0) — a band join adds " +
         "nothing here; join on the value directly (equi-join)")
-    math.max(medianW, maxW / maxReplication)
+    math.max(medianW, maxW / (maxReplication - 1))
   }
 
   /** POINT-IN-INTERVAL lookup join — `points.p ∈ [intervals.lo, hi]` with

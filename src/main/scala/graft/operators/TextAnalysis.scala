@@ -1305,25 +1305,36 @@ object TextAnalysis {
     * order ([[epochShuffle]]'s key), assigned WITHOUT the single-partition
     * window a bare `row_number() OVER (ORDER BY …)` plans — Spark executes
     * that as ONE task holding the whole corpus, the classic 100 TB trap.
-    * Two-phase instead: range-partition on the order key (parallel), rank
-    * within partitions (parallel windows), then add per-partition offsets
-    * from a #partitions-row count table whose running sum is the one
-    * legitimately tiny single-partition window (metadata-scale). The final
-    * position depends only on the TOTAL ORDER (order_key, doc_id), never on
-    * where the sampled range boundaries land, so the result is
-    * partition-invariant even though range sampling isn't (InvarianceSpec
-    * pins it). The count pass re-scans the ranged frame — two linear scans
-    * total, the price of not single-partitioning. Output:
+    * Two-phase instead: bucket on the order key, rank within buckets
+    * (parallel windows), then add per-bucket offsets from a #buckets-row
+    * count table whose running sum is the one legitimately tiny
+    * single-partition window (metadata-scale). The bucket id is computed
+    * DETERMINISTICALLY from the row itself — `pid = ⌊key·NP/P⌋`, a
+    * monotone equal-width split of the scramble key's uniform [0, P)
+    * codomain — NOT from `repartitionByRange` + `spark_partition_id()`:
+    * range boundaries come from nondeterministic sampling, so the rank
+    * branch and the count branch (two consumers of the same frame) would
+    * only agree on pid when Spark happens to reuse the exchange between
+    * them — a silent 0..N−1 corruption the moment reuse is defeated.
+    * Value-derived buckets make both branches consistent on ANY physical
+    * plan, and partition-invariance holds by construction (InvarianceSpec
+    * pins it). Balance comes from the scramble's uniformity — the same
+    * argument that makes the epoch shuffle unbiased. Output:
     * (doc_id, order_key, seq).
     */
   def assignGlobalIds(docs: DataFrame): DataFrame = {
+    val nBuckets = docs.sparkSession.sessionState.conf.numShufflePartitions.toLong
     val keyed = docs.select(col("doc_id"),
       portableScramble(concat(col("doc_id").cast("string"), lit(":0"))).as("order_key"))
-    val ranged = keyed.repartitionByRange(col("order_key"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      // monotone in order_key: every key in bucket k sorts before every key
+      // in bucket k+1, so per-bucket rank + preceding-bucket counts IS the
+      // global row_number. Exact long arithmetic (div, not the
+      // double-returning /); key·NP stays far from overflow (key < 2³¹).
+      .withColumn("pid",
+        expr(s"order_key * $nBuckets div ${graft.functions.HashFunctions.P}"))
     val local = Window.partitionBy(col("pid")).orderBy(col("order_key"), col("doc_id"))
-    val ranked = ranged.withColumn("lrk", row_number().over(local).cast("long"))
-    val offsets = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+    val ranked = keyed.withColumn("lrk", row_number().over(local).cast("long"))
+    val offsets = keyed.groupBy(col("pid")).agg(count(lit(1)).as("c"))
       .withColumn("offset",
         coalesce(sum(col("c")).over(
           Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

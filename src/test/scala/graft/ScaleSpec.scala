@@ -185,11 +185,26 @@ class ScaleSpec extends AnyFunSuite {
     val mixed = Seq((0.0, 2.0), (10.0, 14.0), (0.0, 100.0)).toDF("lo", "hi")
     assert(Scale.bandWidthFor(mixed, "lo", "hi") == 4.0)
     // a pathological catch-all: median 2, max 100000 -> the floor wins and
-    // caps the wide interval's replication at maxReplication bands
+    // caps the wide interval's replication at maxReplication bands. The
+    // divisor is maxReplication-1: a width-64w interval ALWAYS spans 65
+    // bands (floor(x+64)-floor(x) = 64), which would trip intervalJoin's
+    // own guard on exactly the interval the floor was derived for
     val catchAll = Seq((0.0, 2.0), (1.0, 3.0), (0.0, 100000.0)).toDF("lo", "hi")
     val w = Scale.bandWidthFor(catchAll, "lo", "hi")
-    assert(w == 100000.0 / 64)
+    assert(w == 100000.0 / 63)
     assert(math.ceil(100000.0 / w) <= 64)
+    // EXECUTE the binding-floor case end to end: the derived width must
+    // clear the replication guard (regression: w = maxW/64 raised in-plan)
+    val caPoints = Seq((1L, 1.5), (2L, 99999.0)).toDF("pid", "p")
+    val caIntervals = Seq((0L, 0.0, 2.0), (1L, 1.0, 3.0), (2L, 0.0, 100000.0))
+      .toDF("iid", "lo", "hi")
+    val caGot = Scale.intervalJoin(caPoints, caIntervals, "p", "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(caGot == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 2L)))
+    // integer interval bounds (the IP-range / day-interval shape) must
+    // derive, not ClassCastException on the driver-side double reads
+    assert(Scale.bandWidthFor(Seq((0L, 10L), (5L, 25L), (0L, 30L))
+      .toDF("lo", "hi"), "lo", "hi") == 20.0)
     // CLOSED FORM the bandJoin delegation relies on: constant-width
     // implicit intervals [v-eps, v+eps] derive exactly 2*eps
     val eps = 0.25
