@@ -129,6 +129,13 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.dedupClusters(docs, SimilarityJoin.allPairsJaccard(docs, tau = 0.7))
     }),
+    // SOFT dedup: every doc kept at training weight 1/|near-dup cluster| —
+    // one expected document of loss per duplicate family instead of
+    // dropping (the data-constrained-scaling discipline)
+    "dedup_soft_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.softDedupWeights(docs, SimilarityJoin.allPairsJaccard(docs, tau = 0.7))
+    }),
     // same clustering over the SUB-QUADRATIC candidate path (MinHash-LSH
     // pairs instead of the exact all-pairs join) — the composition a 100 TB
     // dedup actually runs; oracle replays LSH banding + closure
@@ -3482,6 +3489,13 @@ object SparkEntry {
          |         FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
          |${verifyTail(0.8)}""".stripMargin,
     "dedup_clusters" -> clustersKeeperSql,
+    // cluster sizes over the keeper table; weight = exact 1/n rounded 6dp
+    "dedup_soft_weights" ->
+      s"""WITH c AS ($clustersKeeperSql),
+         |s AS (SELECT keeper, count(*)::BIGINT AS cluster_size FROM c GROUP BY 1)
+         |SELECT c.doc_id, c.keeper, s.cluster_size,
+         |  round(1.0::DOUBLE / s.cluster_size::DOUBLE, 6) AS weight
+         |FROM c JOIN s ON c.keeper = s.keeper""".stripMargin,
     "book_query_topk" ->
       s"""SELECT * FROM ($bookQueryRefSql) base
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,

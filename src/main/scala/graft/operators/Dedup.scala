@@ -611,4 +611,26 @@ object Dedup {
       .select(col("doc_id"), col("cluster"), col("n_tokens"),
         (col("rk") === 1).as("kept"))
   }
+
+  /** SOFT dedup — keep every document but emit a per-doc TRAINING WEIGHT
+    * `1/|cluster|` over the near-dup clusters, so each duplicate family
+    * contributes one document's worth of loss in expectation instead of
+    * being either dropped (hard dedup discards paraphrase diversity) or
+    * fully repeated (repeats degrade with diminishing value — the
+    * data-constrained-scaling result of Muennighoff et al. 2023 this
+    * discipline answers). Cost over [[dedupClusters]] is one dup-graph-
+    * sized aggregation + broadcastable join — the cluster-size table has
+    * one row per KEEPER. Weight is the exact IEEE division 1/n rounded
+    * 6dp (integer n), so it replays bit-identically in the oracle.
+    * Output: (doc_id, keeper, cluster_size, weight).
+    */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = dedupClusters(docs, pairs, maxIters, checkpointDir)
+    val sizes = clusters.groupBy(col("keeper"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "keeper")
+      .select(col("doc_id"), col("keeper"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size").cast("double"), 6).as("weight"))
+  }
 }

@@ -283,6 +283,24 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 4L, true)))
   }
 
+  test("soft dedup weights: 1/|cluster| per member, mass = one doc per cluster") {
+    // reuse the transitive-chain shape: {1,2,3} one cluster, {4} singleton
+    val base = Seq("t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8", "t9", "t10", "t11", "t12")
+    val a = base.mkString(" ")
+    val b = (base.dropRight(1) :+ "x").mkString(" ")
+    val c = ("y" +: base.drop(1).dropRight(1) :+ "x").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, "unrelated words entirely different here now"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.SimilarityJoin.allPairsJaccard(docs, tau = 0.7)
+    val w = Dedup.softDedupWeights(docs, pairs)
+      .select("doc_id", "keeper", "cluster_size", "weight")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(w == Set((1L, 1L, 3L, 0.333333), (2L, 1L, 3L, 0.333333),
+      (3L, 1L, 3L, 0.333333), (4L, 4L, 1L, 1.0)))
+    // every doc is retained — soft dedup never drops rows
+    assert(w.size == 4)
+  }
+
   test("dedup clusters converge on a 30-hop chain within maxIters (path halving)") {
     // one-hop min propagation needs O(diameter) rounds and would exhaust
     // maxIters=10 on this chain; path halving converges in O(log diameter)
