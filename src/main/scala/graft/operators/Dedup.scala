@@ -357,18 +357,27 @@ object Dedup {
       val liveOk = fs.exists(new org.apache.hadoop.fs.Path(live, "_SUCCESS"))
       val stagedOk = fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
       if (!liveOk && stagedOk) {
-        // a previous forget crashed between delete(live) and the swap:
-        // the staged table is complete — finish the swap
+        // a previous forget crashed between delete(live) and the swap: the
+        // staged table is complete — finish the swap. A directory delete is
+        // NOT atomic, so the crash can leave a half-deleted live dir
+        // (_SUCCESS gone, part-files still there); renaming into an
+        // existing directory would NEST staged inside it and the recreated
+        // _DONE would then bless the stale unfiltered part-files — clear
+        // any leftover first, loudly.
+        if (fs.exists(live)) require(fs.delete(live, true),
+          s"could not clear half-deleted $t table before resuming the swap")
         require(fs.rename(staged, live), s"resume-swap of forgotten $t table failed")
       } else {
         require(liveOk,
           s"index table $t at $indexPath is missing or uncommitted — " +
             "a crashed BUILD cannot be repaired by forget; rebuild the index")
-        fs.delete(staged, true) // stale staging from an older crashed run
+        fs.delete(staged, true) // stale staging (overwrite re-clears anyway)
         spark.read.parquet(live.toString)
           .join(forget, Seq(keyCol), "left_anti")
           .write.mode("overwrite").parquet(staged.toString)
-        fs.delete(live, true)
+        require(fs.delete(live, true),
+          s"could not remove live $t table before the swap — aborting " +
+            "instead of nesting the staged table inside it")
         require(fs.rename(staged, live), s"swap of forgotten $t table failed")
       }
     }
@@ -619,17 +628,26 @@ object Dedup {
     * fully repeated (repeats degrade with diminishing value — the
     * data-constrained-scaling result of Muennighoff et al. 2023 this
     * discipline answers). Cost over [[dedupClusters]] is one dup-graph-
-    * sized aggregation + broadcastable join — the cluster-size table has
-    * one row per KEEPER. Weight is the exact IEEE division 1/n rounded
+    * sized aggregation + broadcastable left join — the cluster-size table
+    * has one row per NON-SINGLETON keeper (singletons, the overwhelming
+    * majority at corpus scale, never enter it — they default to weight
+    * 1.0 in the join). Weight is the exact IEEE division 1/n rounded
     * 6dp (integer n), so it replays bit-identically in the oracle.
     * Output: (doc_id, keeper, cluster_size, weight).
     */
   def softDedupWeights(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10,
       checkpointDir: Option[String] = None): DataFrame = {
     val clusters = dedupClusters(docs, pairs, maxIters, checkpointDir)
-    val sizes = clusters.groupBy(col("keeper"))
-      .agg(count(lit(1)).as("cluster_size"))
-    clusters.join(sizes, "keeper")
+    // sizes only for NON-SINGLETON clusters (rows where doc_id != keeper
+    // exist only in the dup graph — a sliver of the corpus), so the size
+    // table stays dup-graph-sized instead of one row per document; the
+    // corpus-scale left join against it is broadcastable, and singletons
+    // default to size 1 / weight 1.0 via coalesce
+    val sizes = clusters.where(col("doc_id") =!= col("keeper"))
+      .groupBy(col("keeper"))
+      .agg((count(lit(1)) + 1L).as("nonsingleton_size"))
+    clusters.join(sizes, Seq("keeper"), "left")
+      .withColumn("cluster_size", coalesce(col("nonsingleton_size"), lit(1L)))
       .select(col("doc_id"), col("keeper"), col("cluster_size"),
         round(lit(1.0) / col("cluster_size").cast("double"), 6).as("weight"))
   }

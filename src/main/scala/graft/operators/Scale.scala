@@ -196,11 +196,16 @@ object Scale {
     // side into ⌈2⌉+1 = 3 band rows: the classic band-and-both-neighbors
     // form. Banding never decides membership, so results stay
     // bucketing-invariant.
+    // dataframe-qualified references, captured against the INPUT frames:
+    // by-name col() would be ambiguous whenever the other side also
+    // happens to carry a column with the same name
+    val lv = left(leftVal)
+    val rv = right(rightVal)
     val r2 = right
-      .withColumn("__lo", col(rightVal) - 2 * eps)
-      .withColumn("__hi", col(rightVal) + 2 * eps)
+      .withColumn("__lo", rv - 2 * eps)
+      .withColumn("__hi", rv + 2 * eps)
     intervalJoin(left, r2, leftVal, "__lo", "__hi", bandWidth = 2 * eps)
-      .where(abs(col(leftVal) - col(rightVal)) <= eps)
+      .where(abs(lv - rv) <= eps)
       .drop("__lo", "__hi")
   }
 
@@ -216,10 +221,13 @@ object Scale {
     * (⌈width/w⌉ ≈ 1–2 rows) while keeping probe buckets near
     * typical-interval granularity; the max/(maxReplication−1) FLOOR caps
     * the replication of the widest interval at `maxReplication` rows —
-    * the −1 is load-bearing: an interval of width exactly (maxReplication)·w
+    * the −1 matters: an interval of width exactly (maxReplication)·w
     * ALWAYS spans maxReplication+1 bands (floor(x+k)−floor(x) = k for
-    * integer k), so a floor of maxW/maxReplication would make the widest
-    * interval trip [[intervalJoin]]'s own replication guard — so ONE
+    * integer k), so a floor of maxW/maxReplication would put the widest
+    * interval exactly AT [[intervalJoin]]'s replication threshold with
+    * zero margin (it tripped the guard outright before the guard gained
+    * its one-band slack); dividing by maxReplication−1 keeps the widest
+    * interval a full band below the threshold instead — so ONE
     * pathological catch-all interval (the [0, ∞)-ish default bracket every
     * real rate table has) cannot explode into millions of band rows when
     * the median is narrow. Results are banding-invariant (the exact
@@ -280,8 +288,15 @@ object Scale {
     val loBand = floor(col(loCol) / w).cast("long")
     val hiBand = floor(col(hiCol) / w).cast("long")
     // fail-loud replication guard, evaluated per interval row inside the
-    // plan: raise_error's NullType branch unifies with the band sequence
-    val bands = when(hiBand - loBand >= lit(maxReplication.toLong),
+    // plan: raise_error's NullType branch unifies with the band sequence.
+    // STRICT inequality — one band of slack past the derived-width
+    // maximum (span exactly maxReplication at the binding floor): the
+    // band ids are computed in doubles, so an interval whose lo sits
+    // within ulps of a band boundary can round one band wide; the guard
+    // exists to stop RUNAWAY replication (thousands of rows), not to
+    // litigate 64 vs 65, and a zero-margin threshold would turn that
+    // rounding into a query-killing cliff on legitimate data
+    val bands = when(hiBand - loBand > lit(maxReplication.toLong),
         raise_error(format_string(
           s"intervalJoin: interval [%s, %s] spans more than $maxReplication " +
             s"bands at bandWidth=$w — widen bandWidth (or use bandWidthFor) " +
@@ -289,8 +304,10 @@ object Scale {
           col(loCol).cast("string"), col(hiCol).cast("string"))))
       .otherwise(sequence(loBand, hiBand))
     val ib = intervals.withColumn("__band", explode(bands))
+    // frame-qualified references: by-name col() would be ambiguous if the
+    // other side happens to carry a column with the same name
     pb.join(ib, "__band")
-      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .where(points(pointCol) >= intervals(loCol) && points(pointCol) <= intervals(hiCol))
       .drop("__band")
   }
 

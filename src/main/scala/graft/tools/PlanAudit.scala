@@ -69,7 +69,10 @@ object PlanAudit {
         "during plan construction, kmeans-discipline; text_bpe_merges: the\n" +
         "8 cache-once argmax rounds) return a literal frame — their row\n" +
         "legitimately shows a trivial plan; the per-round plans are the\n" +
-        "cached-scan aggregations SCALING.md documents.\n\n" +
+        "cached-scan aggregations SCALING.md documents. embed_mmr_rerank\n" +
+        "likewise ends on a per-round localCheckpoint (plan growth would be\n" +
+        "3^k without it), so its row shows the checkpoint-backed frame, not\n" +
+        "the k unrolled greedy-round joins that ran to produce it.\n\n" +
         header.mkString("\n") + "\n" + body.mkString("\n") + "\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), doc)
     println(s"[plan-audit] wrote ${rows.size} rows to $outFile")

@@ -409,5 +409,19 @@ class DedupSpec extends AnyFunSuite {
     Dedup.forgetFromDedupIndex(spark, s"$root/c", cForget)
     assert(serve(s"$root/c") == a,
       "rerun after a simulated mid-swap crash diverged from the clean forget")
+    // HALF-deleted live dir: directory delete is not atomic, so a crash
+    // can leave live/_SUCCESS gone while part-files remain. The resume
+    // must clear the leftover before the swap — renaming into an existing
+    // dir NESTS the staged table inside it and the recreated _DONE would
+    // bless the stale unfiltered part-files
+    Dedup.buildDedupIndex(corpus, s"$root/d")
+    spark.read.parquet(s"$root/d/sets")
+      .join(cForget, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$root/d/sets__forgetting")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/d/sets", "_SUCCESS"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/d", "_DONE"), false)
+    Dedup.forgetFromDedupIndex(spark, s"$root/d", cForget)
+    assert(serve(s"$root/d") == a,
+      "rerun after a half-deleted live table diverged from the clean forget")
   }
 }

@@ -397,6 +397,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio/video fp-index forget: serve equals an index rebuilt on the filtered corpus") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val split = docs.count() * 4 / 5
+    val corpus = docs.where(col("doc_id") < split)
+    val filtered = corpus.where(col("doc_id") % 7 =!= 0)
+    val forgetIds = corpus.where(col("doc_id") % 7 === 0).select(col("doc_id"))
+    val rest = docs.where(col("doc_id") >= split)
+    val root = java.nio.file.Files.createTempDirectory("graft_avfgt").toString
+    // audio
+    Multimodal.buildAudioFpIndex(
+      Multimodal.audioFingerprintsOf(Multimodal.audioBlobsOf(corpus)), s"$root/aa")
+    Multimodal.forgetFromAudioFpIndex(spark, s"$root/aa", forgetIds)
+    Multimodal.buildAudioFpIndex(
+      Multimodal.audioFingerprintsOf(Multimodal.audioBlobsOf(filtered)), s"$root/ab")
+    val aBatch = Multimodal.audioFingerprintsOf(Multimodal.audioBlobsOf(rest))
+    def aServe(idx: String) = Multimodal.audioDedupAgainst(idx, aBatch)
+      .select("doc_id", "dup_of", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(aServe(s"$root/aa") == aServe(s"$root/ab"),
+      "audio fp forget diverged from rebuilding on the filtered corpus")
+    // video
+    Multimodal.buildVideoFpIndex(
+      Multimodal.videoFingerprintsOf(Multimodal.videoBlobsOf(corpus)), s"$root/va")
+    Multimodal.forgetFromVideoFpIndex(spark, s"$root/va", forgetIds)
+    Multimodal.buildVideoFpIndex(
+      Multimodal.videoFingerprintsOf(Multimodal.videoBlobsOf(filtered)), s"$root/vb")
+    val vBatch = Multimodal.videoFingerprintsOf(Multimodal.videoBlobsOf(rest))
+    def vServe(idx: String) = Multimodal.videoDedupAgainst(idx, vBatch)
+      .select("doc_id", "dup_of", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(vServe(s"$root/va") == vServe(s"$root/vb"),
+      "video fp forget diverged from rebuilding on the filtered corpus")
+  }
+
   test("phash-index forget: serve equals an index rebuilt on the filtered corpus") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val split = docs.count() * 4 / 5
