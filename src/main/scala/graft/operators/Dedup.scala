@@ -375,6 +375,14 @@ object Dedup {
         spark.read.parquet(live.toString)
           .join(forget, Seq(keyCol), "left_anti")
           .write.mode("overwrite").parquet(staged.toString)
+        // MARKER-FIRST delete: recursive delete is not atomic and child
+        // order is unspecified, so a crash mid-delete could otherwise
+        // leave part-files gone but _SUCCESS behind — a rerun would then
+        // read the truncated live table as committed and rebuild the
+        // index from it (silent data loss). Dropping the marker first
+        // makes every partially-deleted state read as uncommitted
+        // (liveOk=false), routing the rerun to the resume branch above.
+        fs.delete(new org.apache.hadoop.fs.Path(live, "_SUCCESS"), false)
         require(fs.delete(live, true),
           s"could not remove live $t table before the swap — aborting " +
             "instead of nesting the staged table inside it")
@@ -638,15 +646,20 @@ object Dedup {
   def softDedupWeights(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10,
       checkpointDir: Option[String] = None): DataFrame = {
     val clusters = dedupClusters(docs, pairs, maxIters, checkpointDir)
-    // sizes only for NON-SINGLETON clusters (rows where doc_id != keeper
-    // exist only in the dup graph — a sliver of the corpus), so the size
-    // table stays dup-graph-sized instead of one row per document; the
-    // corpus-scale left join against it is broadcastable, and singletons
-    // default to size 1 / weight 1.0 via coalesce
-    val sizes = clusters.where(col("doc_id") =!= col("keeper"))
+    // sizes only for NON-SINGLETON clusters: dup keepers (keepers with at
+    // least one other member) exist only in the dup graph — a sliver of
+    // the corpus — so both small sides below are broadcast explicitly and
+    // the corpus-sized clusters frame never shuffles; singletons default
+    // to size 1 / weight 1.0 via coalesce. Sizes count ACTUAL member rows
+    // (semi-join then count), not non-keeper rows + 1: a keeper absent
+    // from `docs` (stale pairs over a filtered shard, which dedupClusters
+    // tolerates) must not inflate its cluster by a phantom member
+    val dupKeepers = clusters.where(col("doc_id") =!= col("keeper"))
+      .select(col("keeper")).distinct()
+    val sizes = clusters.join(broadcast(dupKeepers), Seq("keeper"), "left_semi")
       .groupBy(col("keeper"))
-      .agg((count(lit(1)) + 1L).as("nonsingleton_size"))
-    clusters.join(sizes, Seq("keeper"), "left")
+      .agg(count(lit(1)).as("nonsingleton_size"))
+    clusters.join(broadcast(sizes), Seq("keeper"), "left")
       .withColumn("cluster_size", coalesce(col("nonsingleton_size"), lit(1L)))
       .select(col("doc_id"), col("keeper"), col("cluster_size"),
         round(lit(1.0) / col("cluster_size").cast("double"), 6).as("weight"))

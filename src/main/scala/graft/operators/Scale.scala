@@ -272,9 +272,12 @@ object Scale {
     * widest interval replicates ≤ 64×); pass an explicit width only when
     * the distribution is known a priori. Either way a GUARD fails the job
     * loudly — at plan execution, no extra pass — if any interval would
-    * replicate into more than `maxReplication` bands (an explicit width
+    * replicate into more than `maxReplication`+1 bands (an explicit width
     * chosen badly against a pathological wide interval), instead of
-    * silently materializing millions of band rows. A skewed band composes
+    * silently materializing millions of band rows; the +1 is one band of
+    * deliberate slack over the derived-width maximum, since band ids are
+    * computed in doubles and a zero-margin threshold would turn boundary
+    * rounding into a query-killing cliff. A skewed band composes
     * with [[saltedJoin]] — the band IS the key.
     */
   def intervalJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
@@ -298,7 +301,7 @@ object Scale {
     // rounding into a query-killing cliff on legitimate data
     val bands = when(hiBand - loBand > lit(maxReplication.toLong),
         raise_error(format_string(
-          s"intervalJoin: interval [%s, %s] spans more than $maxReplication " +
+          s"intervalJoin: interval [%s, %s] spans more than ${maxReplication + 1} " +
             s"bands at bandWidth=$w — widen bandWidth (or use bandWidthFor) " +
             "instead of replicating this interval into that many rows",
           col(loCol).cast("string"), col(hiCol).cast("string"))))
