@@ -117,7 +117,11 @@ object ScaleBench {
     "dedup_incremental", "dedup_forget_serve",
     // content-defined chunking: per-doc windows over the doc_id shuffle —
     // linear in corpus tokens
-    "corpus_chunks_cdc")
+    "corpus_chunks_cdc",
+    // soft dedup (round 8): the clusters composition plus a dup-graph-sized
+    // size aggregate + two broadcast joins — slope should track the
+    // underlying pairs+clusters pass, nothing more
+    "dedup_soft_weights")
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"
