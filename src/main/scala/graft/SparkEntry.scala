@@ -36,6 +36,46 @@ object SparkEntry {
     corpus
   }
 
+  /** One BPE training per (dataset, 8 rounds), memoized for the sweep —
+    * the four `text_bpe_*` entries all read this model instead of each
+    * retraining it (the train-once discipline; training is deterministic,
+    * so the memo changes cost, never results). Keyed on the documents
+    * table's file fingerprint, not the path string, so regenerated
+    * testdata invalidates the memo. Value = the collected merge-table
+    * rows (≤ 8 — model scale, not data scale).
+    */
+  private val bpeModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+
+  private def bpeModelRows(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] =
+    bpeModelMemo.computeIfAbsent(
+      dir + "#" + java.lang.Long.toHexString(
+        Tables.datasetFingerprint(s"$dir/documents.parquet")),
+      _ => TextAnalysis.bpeMerges(Tables.documents(s, dir))
+        .orderBy("merge_round").collect())
+
+  /** The memoized trained merge table as a DataFrame (the
+    * `text_bpe_merges` entry surface). */
+  private def bpeModelFor(s: SparkSession, dir: String): DataFrame =
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(bpeModelRows(s, dir): _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("merge_round",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lhs",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("rhs",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("merged",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("pair_count",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+
+  /** The memoized merge list in training order (serve-side model input). */
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeModelRows(s, dir)
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toIndexedSeq
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — reference parity (SURVEY.md §2.1) —
@@ -580,22 +620,24 @@ object SparkEntry {
     // TRAINED BPE tokenizer (Sennrich et al. 2016): 8 merge rounds over the
     // cached vocabulary-sized word-frequency table — integer pair counts +
     // total-order argmax + fixed left-to-right replaces make the merge
-    // TABLE itself bit-replayable by the oracle (8 unrolled rounds in SQL)
-    "text_bpe_merges" -> ((s, dir) =>
-      TextAnalysis.bpeMerges(Tables.documents(s, dir))),
+    // TABLE itself bit-replayable by the oracle (8 unrolled rounds in SQL).
+    // All four entries share ONE training per dataset (bpeModelFor memo) —
+    // the train-once discipline a sweep must honor; training is
+    // deterministic, so results are identical to per-entry retraining
+    "text_bpe_merges" -> ((s, dir) => bpeModelFor(s, dir)),
     // the vocabulary those merges induce, instance-weighted — the table a
     // vocab-size/coverage budget decision reads
     "text_bpe_vocab" -> ((s, dir) =>
-      TextAnalysis.bpeVocab(Tables.documents(s, dir))),
+      TextAnalysis.bpeVocabWith(Tables.documents(s, dir), bpeMergesFor(s, dir))),
     // per-doc post-BPE token counts (what sequence packing actually
     // budgets); serve = distinct-word tokenization broadcast onto the doc
     // word stream, the persisted train-once path is spec-pinned identical
     "text_bpe_tokens" -> ((s, dir) =>
-      TextAnalysis.bpeTokenCounts(Tables.documents(s, dir))),
+      TextAnalysis.bpeTokenCountsWith(Tables.documents(s, dir), bpeMergesFor(s, dir))),
     // tokenizer fertility by language (tokens/word, chars/token) — the
     // multilingual-equity table a mix decision reads
     "text_bpe_fertility" -> ((s, dir) =>
-      TextAnalysis.bpeFertility(Tables.documents(s, dir))),
+      TextAnalysis.bpeFertilityWith(Tables.documents(s, dir), bpeMergesFor(s, dir))),
     // TextRank: iterative damped PageRank over the token co-occurrence
     // graph, integer-exact, 5 unrolled rounds in the oracle
     "text_textrank" -> ((s, dir) =>
@@ -2324,13 +2366,18 @@ object SparkEntry {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |  GROUP BY 1, 2)
-        |SELECT n_name, o_year, n_customers, n_orders, CAST(rev AS DOUBLE) AS revenue
+        |SELECT n_name, o_year, CAST(0 AS BIGINT) AS n_suppressed_cells,
+        |  n_customers, n_orders, CAST(rev AS DOUBLE) AS revenue
         |FROM cells WHERE n_customers >= 25
         |UNION ALL
         |SELECT '__suppressed__' AS n_name, CAST(-1 AS BIGINT) AS o_year,
-        |  CAST(coalesce(sum(n_customers), 0) AS BIGINT) AS n_customers,
-        |  CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders,
-        |  CAST(coalesce(sum(rev), 0) AS DOUBLE) AS revenue
+        |  count(*)::BIGINT AS n_suppressed_cells,
+        |  CASE WHEN count(*) = 0 OR (count(*) >= 2 AND sum(n_customers) >= 25)
+        |    THEN CAST(coalesce(sum(n_customers), 0) AS BIGINT) END AS n_customers,
+        |  CASE WHEN count(*) = 0 OR (count(*) >= 2 AND sum(n_customers) >= 25)
+        |    THEN CAST(coalesce(sum(n_orders), 0) AS BIGINT) END AS n_orders,
+        |  CASE WHEN count(*) = 0 OR (count(*) >= 2 AND sum(n_customers) >= 25)
+        |    THEN CAST(coalesce(sum(rev), 0) AS DOUBLE) END AS revenue
         |FROM cells WHERE n_customers < 25""".stripMargin,
     "rel_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus,

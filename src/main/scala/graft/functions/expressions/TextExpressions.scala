@@ -201,6 +201,110 @@ case class PortableHash31(child: Expression)
   override protected def withNewChildInternal(c: Expression): PortableHash31 = copy(c)
 }
 
+/** A trained BPE merge table preprocessed for single-pass application: the
+  * pair→rank map plus the merged form per rank. Built once per plan on the
+  * driver, shipped to executors as a codegen reference object — at serve
+  * time the model is a broadcast-sized lookup structure, never a join and
+  * never an O(merges)-deep expression tree (the literal replace-chain form
+  * in TextAnalysis caps out around tens of merges; this is the 32k-vocab
+  * mechanism).
+  *
+  * Application semantics are EXACTLY the replace chain's (spec-pinned in
+  * BpeKernelSpec): the chain applies merge 1..n in training order, each as
+  * a left-to-right non-overlapping token-pair rewrite. That sequential
+  * order equals greedy lowest-rank-first application: merging rank i
+  * creates a token first formed at step i, so every pair involving it was
+  * necessarily learned LATER than i — a merge can never create a new
+  * occurrence of a lower-ranked pair, hence once the minimal applicable
+  * rank is exhausted it never reappears. The greedy loop is O(word_len)
+  * scans per merge APPLIED to this word (≤ len−1, independent of table
+  * size) instead of the chain's O(total merges) rewrites per word.
+  */
+final class BpeMergeTable(val merges: Seq[(String, String)]) extends Serializable {
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    merges.foreach { case (a, b) =>
+      // space separator: tokens are \w-only, so the key is unambiguous
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+  @transient private lazy val mergedForm: Array[String] =
+    merges.map { case (a, b) => a + b }.toArray
+
+  /** Tokens of `word` under the full merge table (greedy-by-rank ≡ the
+    * training-order replace chain; see class doc). Single chars start.
+    */
+  def encode(word: String): Array[String] = {
+    var toks = new Array[String](word.length)
+    var i = 0
+    while (i < word.length) { toks(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var len = toks.length
+    while (len >= 2) {
+      // find the lowest-ranked adjacent pair present
+      var best = Int.MaxValue
+      i = 0
+      while (i < len - 1) {
+        val r = ranks.get(toks(i) + " " + toks(i + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Int.MaxValue) len = -len // terminate
+      else {
+        // apply that one merge left-to-right non-overlapping (replace semantics)
+        val (a, b) = merges(best)
+        val ab = mergedForm(best)
+        val out = new Array[String](len)
+        var o = 0
+        i = 0
+        while (i < len) {
+          if (i < len - 1 && toks(i) == a && toks(i + 1) == b) {
+            out(o) = ab; o += 1; i += 2
+          } else { out(o) = toks(i); o += 1; i += 1 }
+        }
+        toks = out
+        len = o
+      }
+    }
+    if (len < 0) len = -len
+    val res = new Array[String](len)
+    System.arraycopy(toks, 0, res, 0, len)
+    res
+  }
+
+  def encodeData(w: UTF8String): ArrayData = {
+    val toks = encode(w.toString)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Post-BPE token count only — the serve-path hot loop when the caller
+    * needs the count, not the tokens. */
+  def countTokens(w: UTF8String): Long = encode(w.toString).length.toLong
+}
+
+/** `bpe_encode(word)` under a trained merge table — the whole-table
+  * single-pass application kernel (see [[BpeMergeTable]]). Codegen is one
+  * reference-object method call, so the expression stays inside
+  * whole-stage codegen at any table size.
+  */
+case class BpeEncode(child: Expression, model: BpeMergeTable)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    model.encodeData(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model,
+      classOf[BpeMergeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encodeData($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
+}
+
 /** Base-37 sibling fold: `hash37(text)` — see TextPrimitives.hash37. */
 case class PortableHash37(child: Expression)
     extends UnaryExpression {

@@ -343,12 +343,21 @@ object Dedup {
     * extend discipline) — and RESUMES a swap whose staged table committed
     * but whose live table was already dropped. A rerun MUST carry the
     * same ids: a crash can leave some tables already filtered, and a
-    * different id set would apply inconsistently across tables.
+    * different id set would apply inconsistently across tables — and that
+    * contract is now ENFORCED, not commented (r8 ADVICE): the pass writes
+    * an order-independent fingerprint of the id set to `_FORGET_IDS`
+    * (tmp + rename, so a torn write can't masquerade as a valid marker)
+    * before touching any table, a rerun that finds the marker must match
+    * it or fail loudly, and the marker is removed only after every table
+    * swapped — so a crashed pass can never be silently "finished" by a
+    * different forget request.
     */
   private[operators] def forgetFromIndexTables(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, tables: Seq[String], keyCol: String, ids: DataFrame): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    Forget.claimIdSet(fs, new org.apache.hadoop.fs.Path(indexPath, "_FORGET_IDS"),
+      Forget.idSetFingerprint(ids, keyCol))
     fs.delete(done, false)
     val forget = broadcast(ids.select(col(keyCol)))
     for (t <- tables) {
@@ -389,6 +398,7 @@ object Dedup {
         require(fs.rename(staged, live), s"swap of forgotten $t table failed")
       }
     }
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath, "_FORGET_IDS"), false)
     fs.create(done, true).close()
   }
 
@@ -647,19 +657,22 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     val clusters = dedupClusters(docs, pairs, maxIters, checkpointDir)
     // sizes only for NON-SINGLETON clusters: dup keepers (keepers with at
-    // least one other member) exist only in the dup graph — a sliver of
-    // the corpus — so both small sides below are broadcast explicitly and
-    // the corpus-sized clusters frame never shuffles; singletons default
-    // to size 1 / weight 1.0 via coalesce. Sizes count ACTUAL member rows
-    // (semi-join then count), not non-keeper rows + 1: a keeper absent
-    // from `docs` (stale pairs over a filtered shard, which dedupClusters
-    // tolerates) must not inflate its cluster by a phantom member
+    // least one other member) exist only in the dup graph — USUALLY a
+    // sliver of the corpus, so both small sides below broadcast — but on a
+    // crawl-shaped corpus (30-50% near-dups) they are corpus-proportional,
+    // so the hints go through Scale.maybeBroadcast: small estimates keep
+    // the broadcast plan, large ones degrade to a shuffle join instead of
+    // OOMing an executor. Singletons default to size 1 / weight 1.0 via
+    // coalesce. Sizes count ACTUAL member rows (semi-join then count), not
+    // non-keeper rows + 1: a keeper absent from `docs` (stale pairs over a
+    // filtered shard, which dedupClusters tolerates) must not inflate its
+    // cluster by a phantom member
     val dupKeepers = clusters.where(col("doc_id") =!= col("keeper"))
       .select(col("keeper")).distinct()
-    val sizes = clusters.join(broadcast(dupKeepers), Seq("keeper"), "left_semi")
+    val sizes = clusters.join(Scale.maybeBroadcast(dupKeepers), Seq("keeper"), "left_semi")
       .groupBy(col("keeper"))
       .agg(count(lit(1)).as("nonsingleton_size"))
-    clusters.join(broadcast(sizes), Seq("keeper"), "left")
+    clusters.join(Scale.maybeBroadcast(sizes), Seq("keeper"), "left")
       .withColumn("cluster_size", coalesce(col("nonsingleton_size"), lit(1L)))
       .select(col("doc_id"), col("keeper"), col("cluster_size"),
         round(lit(1.0) / col("cluster_size").cast("double"), 6).as("weight"))

@@ -1365,10 +1365,18 @@ object Relational {
     * reconcile and the suppression is auditable (an always-present
     * residual row, zeros when nothing was suppressed; its n_customers is
     * the SUM of per-cell counts — a cross-cell distinct union would
-    * itself leak cell structure). One aggregation behind a broadcast dim
-    * join; the suppression rollup is a second agg over the cell table
-    * (nations × years — metadata scale). Output:
-    * (n_name, o_year, n_customers, n_orders, revenue) + residual row.
+    * itself leak cell structure). The residual itself sits under the SAME
+    * k-gate: when it rolls up fewer than 2 suppressed cells OR fewer than
+    * k summed customers, publishing its exact measures would re-identify
+    * the one suppressed cell (the missing (nation, year) is inferable
+    * from the published grid, so "QI masked" protects nothing) — in that
+    * case the measures are NULLed and only the suppressed-cell count is
+    * released. Totals reconcile whenever the residual passes its own
+    * gate; when it doesn't, privacy wins over reconciliation by design.
+    * One aggregation behind a broadcast dim join; the suppression rollup
+    * is a second agg over the cell table (nations × years — metadata
+    * scale). Output: (n_name, o_year, n_suppressed_cells, n_customers,
+    * n_orders, revenue) + residual row.
     */
   def kAnonRelease(spark: SparkSession, dir: String, k: Long = 25): DataFrame = {
     val cells = Tables.orders(spark, dir)
@@ -1379,14 +1387,26 @@ object Relational {
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
     val kept = cells.where(col("n_customers") >= k)
+      .withColumn("n_suppressed_cells", lit(0L))
+    // the residual's own k-gate: exact measures only when ≥ 2 cells AND
+    // ≥ k summed customers back them; otherwise NULL measures, count only
+    val safe = col("n_suppressed_cells") >= 2L && col("n_customers") >= k
     val suppressed = cells.where(col("n_customers") < k)
-      .agg(coalesce(sum(col("n_customers")), lit(0L)).cast("long").as("n_customers"),
+      .agg(count(lit(1)).cast("long").as("n_suppressed_cells"),
+        coalesce(sum(col("n_customers")), lit(0L)).cast("long").as("n_customers"),
         coalesce(sum(col("n_orders")), lit(0L)).cast("long").as("n_orders"),
         coalesce(sum(col("rev")), lit(0).cast("decimal(38,2)")).as("rev"))
       .select(lit("__suppressed__").as("n_name"), lit(-1L).as("o_year"),
-        col("n_customers"), col("n_orders"), col("rev"))
+        col("n_suppressed_cells"),
+        when(col("n_suppressed_cells") === 0L, col("n_customers"))
+          .when(safe, col("n_customers")).as("n_customers"),
+        when(col("n_suppressed_cells") === 0L, col("n_orders"))
+          .when(safe, col("n_orders")).as("n_orders"),
+        when(col("n_suppressed_cells") === 0L, col("rev"))
+          .when(safe, col("rev")).as("rev"))
     kept.unionByName(suppressed)
-      .select(col("n_name"), col("o_year"), col("n_customers"), col("n_orders"),
+      .select(col("n_name"), col("o_year"), col("n_suppressed_cells"),
+        col("n_customers"), col("n_orders"),
         col("rev").cast("double").as("revenue"))
   }
 }

@@ -1397,6 +1397,15 @@ object TextAnalysis {
     * therefore REPLAYS bit-identically in the DuckDB oracle — the model,
     * not just its outputs, sits under the hash gate — and is
     * partition-invariant (InvarianceSpec pins 4 vs 7).
+    *
+    * Width limit (the BPE replace-chain's sibling, measured at dims=256
+    * on the scale curve): the per-round weight vector is inlined as a
+    * dims+1-literal array — one plan node per weight — so the mechanism
+    * is comfortable at fastText-like hundreds-to-low-thousands of hashed
+    * dims but would need a broadcast-relation weight table (the
+    * [[scoreWithClassifier]] serve shape) inside the training loop before
+    * reaching embedding-width models; the gradient traffic itself is
+    * already O(dims) rows/round regardless.
     */
   private[operators] def trainClassifier(docs: DataFrame, dims: Int, iters: Int,
       eta: Double): Array[Double] = {
@@ -1545,14 +1554,31 @@ object TextAnalysis {
   private def bpeTokens(s: Column): Column =
     split(substr(s, lit(2), length(s) - 2), "><")
 
+  /** The raw word tokenized under the FULL merge table in one kernel call
+    * ([[graft.functions.expressions.BpeMergeTable]]) — the mechanism that
+    * scales past the literal replace chain: the chain inlines O(merges)
+    * expression nodes per pass (fine at the 8-round oracle knob, hopeless
+    * at a 32k-merge production vocab), the kernel is ONE codegen node
+    * whose per-word cost tracks merges APPLIED to that word, not table
+    * size. Spec-pinned token-identical to the chain (BpeKernelSpec).
+    */
+  private def bpeTokensKernel(w: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+    toColumn(graft.functions.expressions.BpeEncode(toExpression(w),
+      new graft.functions.expressions.BpeMergeTable(merges)))
+  }
+
   /** Adjacent-pair counts over the current tokenization, weighted by word
     * instance count — one aggregation over the vocabulary-sized cached
     * frame per round. Overlapping repeats count each adjacency (the
     * standard BPE pair statistic; both engines derive it from the same
     * token list, so counts agree exactly).
     */
-  private def bpePairCounts(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    words.select(col("c"), bpeTokens(bpeApplyMerges(col("s0"), merges)).as("l"))
+  private def bpePairCounts(words: DataFrame, merges: Seq[(String, String)],
+      kernel: Boolean = false): DataFrame =
+    words.select(col("c"),
+        (if (kernel) bpeTokensKernel(col("w"), merges)
+         else bpeTokens(bpeApplyMerges(col("s0"), merges))).as("l"))
       .where(size(col("l")) >= 2)
       .select(col("c"), explode(transform(sequence(lit(0), size(col("l")) - 2),
         i => struct(element_at(col("l"), i + 1).as("a"),
@@ -1576,7 +1602,8 @@ object TextAnalysis {
     * token counts. Returns fewer than `rounds` merges only when the corpus
     * runs out of adjacent pairs (every word fully merged).
     */
-  private[operators] def trainBpe(docs: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
+  private[operators] def trainBpe(docs: DataFrame, rounds: Int,
+      kernel: Boolean = false): Seq[(String, String, Long)] = {
     require(rounds >= 1, "rounds must be positive")
     bpeTrainings.incrementAndGet()
     val words = bpeWordFreq(docs)
@@ -1586,7 +1613,11 @@ object TextAnalysis {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       var exhausted = false
       for (_ <- 1 to rounds if !exhausted) {
-        val best = bpePairCounts(words, merges.toSeq.map(m => (m._1, m._2)))
+        // kernel=true re-tokenizes with the one-pass merge-table kernel —
+        // the path that keeps round r's cost independent of r, so training
+        // hundreds of merges stays `rounds` vocabulary-scale aggregations
+        // instead of an O(rounds)-deep expression tree per round
+        val best = bpePairCounts(words, merges.toSeq.map(m => (m._1, m._2)), kernel)
           .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
           .limit(1).collect()
         if (best.isEmpty) exhausted = true
@@ -1601,27 +1632,38 @@ object TextAnalysis {
     * (apply = replay the replaces in round order); see [[trainBpe]] for the
     * training discipline and the portability argument.
     */
-  def bpeMerges(docs: DataFrame, rounds: Int = 8): DataFrame = {
+  def bpeMerges(docs: DataFrame, rounds: Int = 8, kernel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    trainBpe(docs, rounds).zipWithIndex
+    trainBpe(docs, rounds, kernel).zipWithIndex
       .map { case ((a, b, n), i) => (i + 1L, a, b, a + b, n) }
       .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
   }
+
+  /** [[bpeVocab]] under an EXPLICIT merge list — the serve half for a
+    * model trained once elsewhere (the train-once discipline: a sweep
+    * reading vocab + counts + fertility must not retrain per reader).
+    * `kernel` picks the one-pass merge-table kernel over the literal
+    * replace chain — identical tokens (spec-pinned), table-size-
+    * independent plan.
+    */
+  def bpeVocabWith(docs: DataFrame, merges: Seq[(String, String)],
+      kernel: Boolean = false): DataFrame =
+    bpeWordFreq(docs)
+      .select(col("c"), explode(
+        if (kernel) bpeTokensKernel(col("w"), merges)
+        else bpeTokens(bpeApplyMerges(col("s0"), merges))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).cast("long").as("freq"))
+      .withColumn("n_chars", length(col("token")).cast("long"))
 
   /** The vocabulary the trained merges induce: every post-merge token with
     * its corpus frequency (instance-weighted) and its character length —
     * the table a tokenizer-budget decision reads (vocab size vs coverage).
     * One aggregation over the vocabulary-sized word table.
     */
-  def bpeVocab(docs: DataFrame, rounds: Int = 8): DataFrame = {
-    val ms = trainBpe(docs, rounds).map(m => (m._1, m._2))
-    bpeWordFreq(docs)
-      .select(col("c"), explode(bpeTokens(bpeApplyMerges(col("s0"), ms))).as("token"))
-      .groupBy(col("token"))
-      .agg(sum(col("c")).cast("long").as("freq"))
-      .withColumn("n_chars", length(col("token")).cast("long"))
-  }
+  def bpeVocab(docs: DataFrame, rounds: Int = 8): DataFrame =
+    bpeVocabWith(docs, trainBpe(docs, rounds).map(m => (m._1, m._2)))
 
   /** Per-document token counts under an EXPLICIT merge list — the serve
     * half of train-once/serve-many. The input's distinct words are
@@ -1631,11 +1673,13 @@ object TextAnalysis {
     * sequence-packing / token-budget stage actually needs). Token count
     * is counted as `<` markers — no re-split of the rewritten string.
     */
-  def bpeTokenCountsWith(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def bpeTokenCountsWith(docs: DataFrame, merges: Seq[(String, String)],
+      kernel: Boolean = false): DataFrame = {
     val s = bpeApplyMerges(col("s0"), merges)
     val wordTok = bpeWordFreq(docs).select(col("w"),
       length(col("w")).cast("long").as("w_chars"),
-      (length(s) - length(replace(s, lit("<"), lit("")))).cast("long").as("w_toks"))
+      (if (kernel) size(bpeTokensKernel(col("w"), merges)).cast("long")
+       else (length(s) - length(replace(s, lit("<"), lit("")))).cast("long")).as("w_toks"))
     docs.select(col("doc_id"), explode(tokenize(col("text"))).as("w"))
       .where(col("w") =!= "")
       .join(broadcast(wordTok), Seq("w"))
@@ -1692,8 +1736,14 @@ object TextAnalysis {
     * divide exact integer sums, so the output is hash-gated.
     */
   def bpeFertility(docs: DataFrame, rounds: Int = 8): DataFrame =
+    bpeFertilityWith(docs, trainBpe(docs, rounds).map(m => (m._1, m._2)))
+
+  /** [[bpeFertility]] under an EXPLICIT merge list (train-once serve form;
+    * see [[bpeVocabWith]]). */
+  def bpeFertilityWith(docs: DataFrame, merges: Seq[(String, String)],
+      kernel: Boolean = false): DataFrame =
     docs.select(col("doc_id"), col("lang"))
-      .join(bpeTokenCounts(docs, rounds), Seq("doc_id"))
+      .join(bpeTokenCountsWith(docs, merges, kernel), Seq("doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).cast("long").as("n_words"),

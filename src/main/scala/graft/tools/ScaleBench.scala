@@ -123,6 +123,25 @@ object ScaleBench {
     // underlying pairs+clusters pass, nothing more
     "dedup_soft_weights")
 
+  /** Scale-only configurations that are NOT registered entries (the
+    * registered knobs stay at the oracle-replayable demo scale; these
+    * measure the same training loops at HONEST production knobs —
+    * VERDICT r8 items 1 and 6). Same harness treatment as the family.
+    */
+  private val extraFns: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // 256-merge BPE training through the one-pass merge-table kernel —
+    // the mechanism that replaces the literal replace chain past tens of
+    // merges; cost model = one corpus tokenize+count shuffle + 256
+    // vocabulary-scale argmax rounds
+    "text_bpe_merges_k256" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bpeMerges(
+        graft.sources.Tables.documents(s, dir), rounds = 256, kernel = true)),
+    // quality classifier at 256 hashed dims — the GD loop where the
+    // weight vector is no longer a trivially-inlined 17-literal array
+    "text_quality_classifier_d256" -> ((s, dir) =>
+      graft.operators.TextAnalysis.qualityClassifierWeights(
+        graft.sources.Tables.documents(s, dir), dims = 256)))
+
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"
     if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
@@ -181,7 +200,7 @@ object ScaleBench {
     // embed_knn_join since round 7 — lshRowsPerBand re-sizes the bands per
     // scaled corpus, so the curve measures the occupancy rule exactly where
     // the `_fixed` twins measured the cliff
-    val allFns = family.map(n => n -> graft.SparkEntry.queries(n))
+    val allFns = family.map(n => n -> graft.SparkEntry.queries(n)) ++ extraFns
     val fns = only.fold(allFns)(o => allFns.filter(f => o(f._1)))
     for ((k, dir) <- dirs) {
       val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.expressions.BpeMergeTable
+import graft.operators.TextAnalysis
+
+/** Pins the one-pass merge-table kernel ([[BpeMergeTable]]) ≡ the literal
+  * replace chain — the mechanism swap that takes BPE past tens of merges
+  * (VERDICT r8 item 1): the chain is the oracle-replayed registered form,
+  * the kernel is the production path, and these tests are the equivalence
+  * contract between them.
+  */
+class BpeKernelSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side replay of the replace chain: merges applied in training
+    * order, each left-to-right non-overlapping — `replace()` scan order.
+    */
+  private def chainEncode(word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) { case (toks, (a, b)) =>
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+
+  test("kernel encode equals the replace chain on adversarial overlap cases") {
+    // self-overlapping pairs, merges whose outputs feed later merges, and
+    // merges that never apply — the cases where greedy-by-rank and
+    // sequential-in-order application could plausibly diverge if the
+    // "merges cannot resurrect lower ranks" argument were wrong
+    val merges = Seq(("a", "a"), ("aa", "a"), ("b", "b"), ("aa", "bb"),
+      ("c", "d"), ("cd", "cd"), ("aabb", "cdcd"), ("x", "y"))
+    val words = Seq("a", "aa", "aaa", "aaaa", "aaaaa", "aaaaaaa", "b", "bb",
+      "bbbb", "ab", "aabb", "aaabbb", "aabbaabb", "cd", "cdcd", "cdcdcd",
+      "aabbcdcd", "aabbcdcdaabbcdcd", "xyxyx", "zzz", "abcdxy", "aacdbb")
+    val model = new BpeMergeTable(merges)
+    words.foreach { w =>
+      assert(model.encode(w).toVector == chainEncode(w, merges),
+        s"kernel diverged from chain on '$w'")
+    }
+  }
+
+  test("kernel encode equals the replace chain on 500 seeded random words") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd"
+    def randWord(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // a random merge table over the same alphabet, including merged forms
+    // of earlier merges as later inputs (the realistic trained shape)
+    val base = Seq(("a", "b"), ("b", "a"), ("a", "a"), ("c", "c"), ("d", "a"))
+    val derived = Seq(("ab", "ba"), ("aa", "cc"), ("abba", "da"), ("cc", "a"), ("da", "d"))
+    val merges = base ++ derived
+    val model = new BpeMergeTable(merges)
+    (1 to 500).foreach { _ =>
+      val w = randWord(1 + rnd.nextInt(16))
+      val got = model.encode(w).toVector
+      val want = chainEncode(w, merges)
+      assert(got == want, s"kernel diverged from chain on '$w': $got vs $want")
+      assert(got.mkString == w, s"encode must preserve the word: '$w' -> $got")
+    }
+  }
+
+  test("kernel-path training reproduces the chain-path merge table at 8 rounds (sf0.001)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val chain = TextAnalysis.bpeMerges(docs, rounds = 8, kernel = false)
+      .select("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val kern = TextAnalysis.bpeMerges(docs, rounds = 8, kernel = true)
+      .select("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(kern == chain, s"kernel training diverged:\n$kern\nvs\n$chain")
+  }
+
+  test("kernel serve paths are row-identical to the chain at sf0.001") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = TextAnalysis.bpeMerges(docs, rounds = 8)
+      .orderBy("merge_round")
+      .select("lhs", "rhs").as[(String, String)].collect().toIndexedSeq
+    val chainCounts = TextAnalysis.bpeTokenCountsWith(docs, merges)
+      .select("doc_id", "n_words", "n_chars", "n_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val kernCounts = TextAnalysis.bpeTokenCountsWith(docs, merges, kernel = true)
+      .select("doc_id", "n_words", "n_chars", "n_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(kernCounts == chainCounts, "kernel token counts diverged from chain")
+    val chainVocab = TextAnalysis.bpeVocabWith(docs, merges)
+      .select("token", "freq", "n_chars")
+      .as[(String, Long, Long)].collect().toSet
+    val kernVocab = TextAnalysis.bpeVocabWith(docs, merges, kernel = true)
+      .select("token", "freq", "n_chars")
+      .as[(String, Long, Long)].collect().toSet
+    assert(kernVocab == chainVocab, "kernel vocab diverged from chain")
+  }
+
+  test("kernel path trains 256 merges with sane invariants (sf0.001)") {
+    // the scale case the chain structurally cannot reach (an O(256)-deep
+    // expression tree per round); kernel cost per round is table-size
+    // independent. Invariants: rounds all distinct pairs, counts
+    // non-increasing (a merge only removes old adjacencies; a new pair's
+    // count is bounded by the count of the merge that created its token),
+    // and total corpus tokens shrink monotonically with more merges.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = TextAnalysis.bpeMerges(docs, rounds = 256, kernel = true)
+      .orderBy("merge_round")
+      .select("lhs", "rhs", "pair_count")
+      .as[(String, String, Long)].collect().toIndexedSeq
+    assert(merges.length >= 64,
+      s"sf0.001 corpus should sustain at least 64 merge rounds, got ${merges.length}")
+    assert(merges.map(m => (m._1, m._2)).distinct.length == merges.length,
+      "a pair was merged twice — sequential application must consume a pair for good")
+    merges.map(_._3).sliding(2).foreach { case Seq(p, q) =>
+      assert(q <= p, "pair counts increased round-over-round")
+    case _ => ()
+    }
+    // serve under the full model: strictly fewer tokens than the 8-merge
+    // model (more merges never add tokens), never fewer than words
+    val pairs = merges.map(m => (m._1, m._2))
+    val atFull = TextAnalysis.bpeTokenCountsWith(docs, pairs, kernel = true)
+      .agg(sum($"n_bpe_tokens"), sum($"n_words")).as[(Long, Long)].collect().head
+    val at8 = TextAnalysis.bpeTokenCountsWith(docs, pairs.take(8), kernel = true)
+      .agg(sum($"n_bpe_tokens")).as[Long].collect().head
+    assert(atFull._1 < at8, s"full-model total ${atFull._1} not below 8-merge total $at8")
+    assert(atFull._1 >= atFull._2, "token count fell below word count")
+    if (merges.length < 256) {
+      // early stop means the vocabulary is FULLY merged: training may only
+      // return short when no adjacent pair remains anywhere, i.e. every
+      // word is a single token — tokens == words under the final model
+      assert(atFull._1 == atFull._2,
+        s"training stopped at ${merges.length} rounds but words are not fully merged " +
+          s"(${atFull._1} tokens over ${atFull._2} words)")
+    }
+  }
+}

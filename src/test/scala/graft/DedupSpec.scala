@@ -301,6 +301,33 @@ class DedupSpec extends AnyFunSuite {
     assert(w.size == 4)
   }
 
+  test("soft dedup weights degrade to shuffle joins when broadcasting is off (VERDICT r8 item 3)") {
+    // the over-threshold fallback path of Scale.maybeBroadcast: on a
+    // crawl-shaped corpus the dup-keeper/size frames are corpus-
+    // proportional, so the hints must be size-gated — with broadcasting
+    // disabled the same plan shape must run as shuffle joins and return
+    // identical weights (the hint changes where rows go, never results)
+    val base = Seq("t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8", "t9", "t10", "t11", "t12")
+    val a = base.mkString(" ")
+    val b = (base.dropRight(1) :+ "x").mkString(" ")
+    val c = ("y" +: base.drop(1).dropRight(1) :+ "x").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, "unrelated words entirely different here now"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.SimilarityJoin.allPairsJaccard(docs, tau = 0.7)
+    val default = Dedup.softDedupWeights(docs, pairs)
+      .select("doc_id", "keeper", "cluster_size", "weight")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ungated = Dedup.softDedupWeights(docs, pairs)
+        .select("doc_id", "keeper", "cluster_size", "weight")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(ungated == default,
+        "soft-dedup weights changed when the broadcast hints fell back to shuffle joins")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("dedup clusters converge on a 30-hop chain within maxIters (path halving)") {
     // one-hop min propagation needs O(diameter) rounds and would exhaust
     // maxIters=10 on this chain; path halving converges in O(log diameter)

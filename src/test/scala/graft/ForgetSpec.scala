@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Forget}
+
+/** The cross-artifact forget composition (VERDICT r8 item 4) and the
+  * id-set fingerprint contract (r8 ADVICE): a forget spanning several
+  * indexes must be resumable to the FULLY-forgotten state after a crash
+  * between per-index swaps, and a resume with a different id set must
+  * fail loudly instead of filtering tables inconsistently.
+  */
+class ForgetSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val full = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+  private def corpus = full.where(col("doc_id") < 300)
+  private def batch = full.where(col("doc_id") >= 300 && col("doc_id") < 360)
+  private def forgetIds = corpus.where(col("doc_id") % 7 === 0).select(col("doc_id"))
+
+  private def serve(idx: String) = Dedup.dedupAgainst(idx, batch, tau = 0.7)
+    .select("doc_id", "exact_keeper", "near_keeper", "status")
+    .as[(Long, Long, Long, String)].collect().toSet
+
+  test("forgetEverywhere: crash between index swaps resumes to the fully-forgotten state") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fgt_all").toString
+    val manifest = s"$root/_FORGET_MANIFEST"
+    val targets = Seq(Forget.textDedupTarget(s"$root/i1"), Forget.textDedupTarget(s"$root/i2"))
+    // crash simulation: only the FIRST index exists, so the composition
+    // completes target 1 and dies on target 2 — exactly the mid-sequence
+    // crash shape (index 1 forgotten, index 2 still serving the doc)
+    Dedup.buildDedupIndex(corpus, s"$root/i1")
+    val thrown = intercept[IllegalArgumentException] {
+      Forget.forgetEverywhere(spark, manifest, forgetIds, targets)
+    }
+    assert(thrown.getMessage.contains("rebuild the index"))
+    val fs = new org.apache.hadoop.fs.Path(manifest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(manifest)),
+      "intent manifest must survive the crash — that is what makes it detectable")
+    // a resume with a DIFFERENT id set must refuse
+    val other = corpus.where(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val mismatch = intercept[IllegalArgumentException] {
+      Forget.forgetEverywhere(spark, manifest, other, targets)
+    }
+    assert(mismatch.getMessage.contains("DIFFERENT id set"), mismatch.getMessage)
+    // repair the world (build index 2) and resume with the SAME request:
+    // both indexes end fully forgotten, the manifest is gone
+    Dedup.buildDedupIndex(corpus, s"$root/i2")
+    Forget.forgetEverywhere(spark, manifest, forgetIds, targets)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(manifest)),
+      "manifest must drop only after every target swapped")
+    Dedup.buildDedupIndex(corpus.where(col("doc_id") % 7 =!= 0), s"$root/ref")
+    val want = serve(s"$root/ref")
+    assert(serve(s"$root/i1") == want, "index 1 diverged from rebuild-on-filtered")
+    assert(serve(s"$root/i2") == want,
+      "index 2 (the one the crash left unfiltered) diverged from rebuild-on-filtered")
+  }
+
+  test("per-index _FORGET_IDS marker blocks a mid-crash rerun with different ids") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fgt_fp").toString
+    Dedup.buildDedupIndex(corpus, s"$root/idx")
+    // plant a crashed pass's marker with a different request's fingerprint
+    val marker = new org.apache.hadoop.fs.Path(s"$root/idx", "_FORGET_IDS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    out.write("999:123456".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.forgetFromDedupIndex(spark, s"$root/idx", forgetIds)
+    }
+    assert(e.getMessage.contains("DIFFERENT id set"), e.getMessage)
+    // clearing the stale marker (operator resolves the crashed pass) lets
+    // the forget run; on success the marker is gone again
+    fs.delete(marker, false)
+    Dedup.forgetFromDedupIndex(spark, s"$root/idx", forgetIds)
+    assert(!fs.exists(marker), "completed forget must remove its id-set marker")
+    Dedup.buildDedupIndex(corpus.where(col("doc_id") % 7 =!= 0), s"$root/ref")
+    assert(serve(s"$root/idx") == serve(s"$root/ref"))
+  }
+
+  test("id-set fingerprint is order- and duplication-independent, value-sensitive") {
+    val a = Seq(3L, 1L, 2L).toDF("doc_id")
+    val b = Seq(1L, 2L, 3L, 2L, 1L).toDF("doc_id")
+    val c = Seq(1L, 2L, 4L).toDF("doc_id")
+    import graft.operators.Forget.{idSetFingerprint => fp}
+    assert(fp(a, "doc_id") == fp(b, "doc_id"),
+      "same id set in different order/multiplicity must fingerprint identically")
+    assert(fp(a, "doc_id") != fp(c, "doc_id"),
+      "different id sets must fingerprint differently")
+  }
+}

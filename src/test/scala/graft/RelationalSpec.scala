@@ -41,17 +41,74 @@ class RelationalSpec extends AnyFunSuite {
   test("k-anon release: no sub-k-customer cell published, totals reconcile through the residual") {
     val k = 25L
     val rel = Relational.kAnonRelease(spark, dir, k)
-      .select($"n_name", $"o_year", $"n_customers", $"n_orders")
-      .as[(String, Long, Long, Long)].collect()
+      .select($"n_name", $"o_year", $"n_suppressed_cells", $"n_customers", $"n_orders")
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
     val (residual, published) = rel.partition(_._1 == "__suppressed__")
     assert(residual.length == 1, "exactly one auditable residual row")
-    published.foreach { case (n, y, c, _) =>
-      assert(c >= k, s"cell with fewer than $k distinct customers published: ($n, $y, $c)")
+    published.foreach { case (n, y, sc, c, o) =>
+      assert(sc == 0L && c.exists(_ >= k) && o.nonEmpty,
+        s"cell with fewer than $k distinct customers published: ($n, $y, $c)")
     }
-    // totals reconcile: published + residual = all orders
-    val total = Tables.orders(spark, dir).count()
-    assert(rel.map(_._4).sum == total,
-      s"release total ${rel.map(_._4).sum} != $total orders")
+    val Array((_, _, nCells, resCust, resOrders)) = residual
+    if (nCells == 0 || (nCells >= 2 && resCust.exists(_ >= k))) {
+      // residual passes its own gate -> exact measures, totals reconcile
+      val total = Tables.orders(spark, dir).count()
+      assert(rel.flatMap(_._5).sum == total,
+        s"release total ${rel.flatMap(_._5).sum} != $total orders")
+    } else {
+      // coarsened residual: only the suppressed-cell count is released
+      assert(resCust.isEmpty && resOrders.isEmpty,
+        s"under-gate residual must NULL its measures: $residual")
+    }
+  }
+
+  test("k-anon residual obeys its own k-gate across adversarial k values (ADVICE r8)") {
+    // mirror the rule against cells computed straight from the base tables,
+    // sweeping k values chosen to push the residual into each regime —
+    // k=1 (nothing suppressed), just-above-min (few suppressed cells, the
+    // single-cell re-identification shape the advice flagged), and a k
+    // suppressing everything
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("long").as("o_year"))
+      .agg(countDistinct($"o_custkey").as("c"), count(lit(1)).as("o"))
+      .select($"n_name", $"o_year", $"c", $"o")
+      .as[(String, Long, Long, Long)].collect()
+    val counts = cells.map(_._3).distinct.sorted
+    // the last k suppresses EVERY cell while exceeding the summed customer
+    // counts -> guaranteed to exercise the coarsened (count-only) branch
+    val ks = Seq(1L, counts.head + 1, counts(counts.length / 2), counts.last + 1,
+      cells.map(_._3).sum + 1)
+    ks.foreach { k =>
+      val supp = cells.filter(_._3 < k)
+      val nCells = supp.length.toLong
+      val sumCust = supp.map(_._3).sum
+      val safe = nCells == 0 || (nCells >= 2 && sumCust >= k)
+      val got = Relational.kAnonRelease(spark, dir, k)
+        .where($"n_name" === "__suppressed__")
+        .select($"n_suppressed_cells", $"n_customers", $"n_orders")
+        .as[(Long, Option[Long], Option[Long])].collect()
+      assert(got.length == 1, s"k=$k: exactly one residual row expected")
+      val (gc, gcust, gord) = got.head
+      assert(gc == nCells, s"k=$k: suppressed-cell count $gc != $nCells")
+      if (safe)
+        assert(gcust.contains(sumCust) && gord.contains(supp.map(_._4).sum),
+          s"k=$k: gated-safe residual must publish exact measures, got $got")
+      else
+        assert(gcust.isEmpty && gord.isEmpty,
+          s"k=$k: residual backed by $nCells cells / $sumCust customers must be " +
+            s"coarsened to count-only, got $got")
+    }
+    // the sweep must actually exercise both residual branches
+    def safeAt(k: Long) = {
+      val supp = cells.filter(_._3 < k)
+      supp.isEmpty || (supp.length >= 2 && supp.map(_._3).sum >= k)
+    }
+    assert(ks.exists(k => !safeAt(k) && cells.exists(_._3 < k)),
+      "no k in the sweep exercised the coarsened-residual branch")
+    assert(ks.exists(k => safeAt(k) && cells.exists(_._3 < k)),
+      "no k in the sweep exercised the exact-measures residual branch")
   }
 
   test("waiting suppliers: aggregate decorrelation equals the semi/anti-join form") {

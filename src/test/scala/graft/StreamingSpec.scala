@@ -838,6 +838,100 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("classifier serve survives a checkpointed stop/restart (VERDICT r8 item 5)") {
+    // the SpaceSaving restart contract applied to the classifier serve
+    // tier: kill the query, start a NEW instance on the same checkpoint —
+    // already-served batches must NOT replay (exactly-once offsets), new
+    // batches must score identically to the batch serve, zero trainings
+    import graft.operators.TextAnalysis
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_clf_restart").toString
+    val modelPath = s"$root/m"; val srcDir = s"$root/src"; val ck = s"$root/ck"
+    TextAnalysis.saveClassifierModel(TextAnalysis.qualityClassifierWeights(corpus), modelPath)
+    val cols = corpus.select($"doc_id", $"text", $"lang")
+    val batch1 = cols.where($"doc_id" < 10)
+    val batch2 = cols.where($"doc_id" >= 10 && $"doc_id" < 20)
+    val ids1 = batch1.select($"doc_id").as[Long].collect().toSet
+    val ids2 = batch2.select($"doc_id").as[Long].collect().toSet
+    assert(ids1.nonEmpty && ids2.nonEmpty)
+    val want = TextAnalysis
+      .scoreWithClassifier(cols.where($"doc_id" < 20),
+        TextAnalysis.loadClassifierModel(spark, modelPath))
+      .select($"doc_id", $"score", $"predicted")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    StreamingSpec.clfRestartRows.clear()
+    val before = TextAnalysis.classifierTrainings.get()
+    batch1.write.mode("overwrite").parquet(srcDir)
+    def startQuery() = StreamingOps.classifyAgainstModel(
+        spark.readStream.schema(batch1.schema).parquet(srcDir), modelPath) { (scores, _) =>
+      StreamingSpec.clfRestartRows ++= scores.select($"doc_id", $"score", $"predicted")
+        .as[(Long, Double, Long)].collect()
+      ()
+    }.option("checkpointLocation", ck).start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterQ1 = StreamingSpec.clfRestartRows.length
+    assert(StreamingSpec.clfRestartRows.map(_._1).toSet == ids1)
+    batch2.write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val q2Rows = StreamingSpec.clfRestartRows.drop(afterQ1).toList
+    assert(q2Rows.map(_._1).toSet == ids2,
+      s"restarted instance must serve exactly the new batch (no replay of " +
+        s"batch-1 ids): ${q2Rows.map(_._1).toSet}")
+    StreamingSpec.clfRestartRows.foreach { case (id, sc, p) =>
+      assert(want(id) == ((sc, p)), s"doc $id drifted across restart: ($sc, $p) vs ${want(id)}")
+    }
+    assert(TextAnalysis.classifierTrainings.get() == before,
+      "serve tier trained across stop/restart")
+  }
+
+  test("BPE token serve survives a checkpointed stop/restart (VERDICT r8 item 5)") {
+    import graft.operators.TextAnalysis
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_bpe_restart").toString
+    val modelPath = s"$root/m"; val srcDir = s"$root/src"; val ck = s"$root/ck"
+    TextAnalysis.saveBpeModel(TextAnalysis.bpeMerges(corpus), modelPath)
+    val cols = corpus.select($"doc_id", $"text")
+    val batch1 = cols.where($"doc_id" < 10)
+    val batch2 = cols.where($"doc_id" >= 10 && $"doc_id" < 20)
+    val ids1 = batch1.select($"doc_id").as[Long].collect().toSet
+    val ids2 = batch2.select($"doc_id").as[Long].collect().toSet
+    assert(ids1.nonEmpty && ids2.nonEmpty)
+    val want = TextAnalysis
+      .bpeTokenCountsWith(cols.where($"doc_id" < 20),
+        TextAnalysis.loadBpeMerges(spark, modelPath))
+      .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    StreamingSpec.bpeRestartRows.clear()
+    val before = TextAnalysis.bpeTrainings.get()
+    batch1.write.mode("overwrite").parquet(srcDir)
+    def startQuery() = StreamingOps.bpeTokensAgainstModel(
+        spark.readStream.schema(batch1.schema).parquet(srcDir), modelPath) { (counts, _) =>
+      StreamingSpec.bpeRestartRows ++=
+        counts.select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens")
+          .as[(Long, Long, Long, Long)].collect()
+      ()
+    }.option("checkpointLocation", ck).start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterQ1 = StreamingSpec.bpeRestartRows.length
+    assert(StreamingSpec.bpeRestartRows.map(_._1).toSet == ids1)
+    batch2.write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val q2Rows = StreamingSpec.bpeRestartRows.drop(afterQ1).toList
+    assert(q2Rows.map(_._1).toSet == ids2,
+      s"restarted instance must serve exactly the new batch (no replay): " +
+        s"${q2Rows.map(_._1).toSet}")
+    StreamingSpec.bpeRestartRows.foreach { case (id, w, c, t) =>
+      assert(want(id) == ((w, c, t)),
+        s"doc $id drifted across restart: ($w, $c, $t) vs ${want(id)}")
+    }
+    assert(TextAnalysis.bpeTrainings.get() == before,
+      "serve tier trained across stop/restart")
+  }
+
   test("line-dedup serve: indexed boilerplate lines stripped from streamed docs") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextAnalysis
@@ -1221,4 +1315,9 @@ object StreamingSpec {
     */
   val hhRestartRows =
     new scala.collection.mutable.ArrayBuffer[(Int, Long, String, Long, Long, Long)]
+
+  /** Restart-spec buffers for the trained-model serve tiers (same
+    * stable-reference requirement as [[hhRestartRows]]). */
+  val clfRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]
+  val bpeRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]
 }

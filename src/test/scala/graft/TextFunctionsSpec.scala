@@ -872,4 +872,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(first == fresh, "train-and-persist call diverged from fresh counts")
     assert(served == fresh, "persisted-model serve diverged from fresh counts")
   }
+
+  test("classifier trains and serves at dims=256 (honest-width knob, VERDICT r8 item 6)") {
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val weights = TextAnalysis.qualityClassifierWeights(docs, dims = 256)
+    val w = weights.select($"j", $"weight").as[(Long, Double)].collect().sortBy(_._1)
+    assert(w.length == 257, s"256 feature weights + bias expected, got ${w.length}")
+    assert(w.forall(x => java.lang.Double.isFinite(x._2)), "non-finite weight")
+    assert(w.exists(_._2 != 0.0), "training left all weights at zero")
+    // serve path at the same width: one score per doc, all finite, and the
+    // prediction boundary consistent with the score sign
+    val scores = TextAnalysis.scoreWithClassifier(docs, weights, dims = 256)
+      .select($"doc_id", $"score", $"predicted").as[(Long, Double, Long)].collect()
+    assert(scores.length == docs.count())
+    scores.foreach { case (id, sc, p) =>
+      assert(java.lang.Double.isFinite(sc) && p == (if (sc >= 0.0) 1L else 0L),
+        s"doc $id: score $sc / predicted $p inconsistent")
+    }
+    // the fit direction is non-degenerate: after 3 GD rounds the mean
+    // score of the positive class (en) must exceed the negative class's
+    // (the 0-threshold itself needn't be crossed in 3 rounds from zero)
+    val lang = docs.select($"doc_id", ($"lang" === "en").as("en"))
+      .as[(Long, Boolean)].collect().toMap
+    val (pos, neg) = scores.partition(s => lang(s._1))
+    assert(pos.nonEmpty && neg.nonEmpty)
+    assert(pos.map(_._2).sum / pos.length > neg.map(_._2).sum / neg.length,
+      "dims=256 model does not separate the training labels in score space")
+  }
 }
