@@ -3008,8 +3008,13 @@ object SparkEntry {
     "embed_knn_join" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |$vecBandCtesScaled,
+         |bscr AS (SELECT band, vec_id, vec_id::VARCHAR AS s FROM vbands),
+         |bcap AS (SELECT band, vec_id FROM (
+         |  SELECT band, vec_id, row_number() OVER (PARTITION BY band
+         |    ORDER BY ${duckScramble("s")} ASC, vec_id ASC) AS rn FROM bscr)
+         |  WHERE rn <= 64),
          |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
-         |         FROM vbands a JOIN vbands b ON a.band = b.band AND a.vec_id <> b.vec_id),
+         |         FROM vbands a JOIN bcap b ON a.band = b.band AND a.vec_id <> b.vec_id),
          |s AS (SELECT cand.vec_id, cand.nbr_id,
          |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
          |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id

@@ -302,9 +302,25 @@ object EmbeddingSearch {
     * per candidate edge. Vectors colliding with fewer than k band-mates
     * yield fewer rows (recall is the LSH trade; the brute family is the
     * verified baseline). Output: (vec_id, nbr_id, cosine, rank ≤ k).
+    *
+    * `candidateCap` > 0 bounds the CANDIDATE side of every band bucket to
+    * that many members, chosen by the portable scramble hash of the
+    * vec_id (deterministic, oracle-replayable) — the bounded-probe-list
+    * discipline (FAISS caps list scans the same way). Why it exists:
+    * widening rowsPerBand stops discriminating once buckets hold
+    * near-identical vectors (hyperplane signs agree on true near-dups BY
+    * DESIGN — r9 census: avg occupancy grew 32 → 200 across x1 → x16
+    * while the rule held the UNIFORM model flat), so Σ bucket² goes
+    * quadratic exactly where the data is clustered. Capping the b-side
+    * keeps the a-side complete — every vector still probes all its
+    * buckets and gets up to bands·cap candidates — and bounds edges at
+    * n·bands·cap, linear by construction. Recall loss concentrates in
+    * hot buckets, which hold mutual near-dups where any cap members are
+    * as near as the dropped ones. Cap 0 = unbounded (the measured
+    * quadratic control).
     */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 3,
-      nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+      nPlanes: Int = 16, bands: Int = 4, candidateCap: Int = 0): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -313,7 +329,20 @@ object EmbeddingSearch {
     // DIRECTED candidate edges (a ≠ b, both orders): each side keeps only
     // (vec_id, band) — fixed-width rows, never the vectors — and the
     // distinct collapses multi-band collisions before any vector is fetched
-    val cand = banded.as("a").join(banded.as("b"),
+    val bSide =
+      if (candidateCap <= 0) banded
+      else {
+        // per-bucket rank by scrambled id: the window partition carries
+        // (band, vec_id) fixed-width rows only, so even a pathological
+        // bucket sorts in-memory; ties cannot occur (scramble is keyed on
+        // the unique id, id breaks any wrap collision)
+        val w = Window.partitionBy("band").orderBy(
+          graft.functions.HashFunctions.portableScramble(col("vec_id").cast("string")).asc,
+          col("vec_id").asc)
+        banded.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= candidateCap).drop("__rn")
+      }
+    val cand = banded.as("a").join(bSide.as("b"),
         col("a.band") === col("b.band") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
       .distinct()
@@ -476,12 +505,16 @@ object EmbeddingSearch {
   }
 
   /** [[knnJoin]] under the same corpus-adaptive sizing (see
-    * [[cosineNearDupPairsScaled]] for the count() argument). */
+    * [[cosineNearDupPairsScaled]] for the count() argument) PLUS the
+    * bounded candidate side (`candidateCap` — see [[knnJoin]]): the
+    * occupancy rule keeps the UNIFORM part of the signature distribution
+    * flat, the cap bounds the clustered part the rule cannot reach, and
+    * together edge volume is ≤ n·bands·cap at any corpus size. */
   def knnJoinScaled(spark: SparkSession, dir: String, k: Int = 3,
-      targetBucket: Int = 32, bands: Int = 8): DataFrame = {
+      targetBucket: Int = 32, bands: Int = 8, candidateCap: Int = 64): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val rpb = lshRowsPerBand(n, targetBucket)
-    knnJoin(spark, dir, k, nPlanes = bands * rpb, bands = bands)
+    knnJoin(spark, dir, k, nPlanes = bands * rpb, bands = bands, candidateCap = candidateCap)
   }
 
   /** Same over any (vec_id, embedding: array<numeric>) frame. `nPlanes`

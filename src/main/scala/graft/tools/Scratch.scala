@@ -20,6 +20,43 @@ object Scratch {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "knnprobe") {
+      // hypothesis probe for the embed_knn_join x16 slope: does the wall
+      // time track the autoBroadcastJoinThreshold (vector-fetch joins
+      // falling off broadcast), independent of candidate volume?
+      for (thr <- Seq("10485760", "134217728"); pass <- 1 to 2) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        val t0 = System.nanoTime()
+        val n = graft.operators.EmbeddingSearch.knnJoinScaled(spark, sfDir).count()
+        println(f"[knnprobe] thr=$thr pass=$pass: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "knncand") {
+      // candidate-volume census: is edge growth actually linear (the
+      // occupancy rule's claim), and where do the bucket sizes sit?
+      import org.apache.spark.sql.functions._
+      import graft.operators.EmbeddingSearch
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val n = emb.count()
+      val rpb = EmbeddingSearch.lshRowsPerBand(n)
+      val banded = emb.select(col("vec_id"),
+        explode(EmbeddingSearch.lshBandKeys(
+          EmbeddingSearch.lshSignature(col("v"), 8 * rpb), 8, rpb)).as("band"))
+      val occ = banded.groupBy("band").count()
+      val stats = occ.agg(count(lit(1)), max(col("count")), avg(col("count")),
+        sum(col("count") * col("count"))).head()
+      println(s"[knncand] n=$n rpb=$rpb buckets=${stats.getLong(0)} " +
+        s"maxOcc=${stats.getLong(1)} avgOcc=${stats.getDouble(2)} sumSq=${stats.getLong(3)}")
+      val pre = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") =!= col("b.vec_id")).count()
+      val post = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id")).distinct().count()
+      println(s"[knncand] edges pre-distinct=$pre post-distinct=$post")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "fsprof") {
       // microbenchmark the Hadoop FS ops the sink performs per document
       import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}

@@ -463,12 +463,42 @@ class EmbeddingSpec extends AnyFunSuite {
     val got = EmbeddingSearch.cosineNearDupPairsScaled(spark, dir, tau = 0.4)
       .as[(Long, Long, Double)].collect().toSet
     assert(got == exp)
-    val expK = EmbeddingSearch.knnJoin(spark, dir, nPlanes = 8 * rpb, bands = 8)
+    val expK = EmbeddingSearch.knnJoin(spark, dir, nPlanes = 8 * rpb, bands = 8,
+        candidateCap = 64)
       .as[(Long, Long, Double, Long)].collect().toSet
     val gotK = EmbeddingSearch.knnJoinScaled(spark, dir)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(gotK == expK)
     assert(gotK.nonEmpty, "scaled kNN join should produce edges on the fixture")
+  }
+
+  test("kNN candidate cap: no-op when cap covers occupancy, bounded and ranked when binding") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val rpb = EmbeddingSearch.lshRowsPerBand(n)
+    // a cap at the corpus size can never bind: capped == uncapped exactly
+    val uncapped = EmbeddingSearch.knnJoin(spark, dir, nPlanes = 8 * rpb, bands = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val slack = EmbeddingSearch.knnJoin(spark, dir, nPlanes = 8 * rpb, bands = 8,
+        candidateCap = n.toInt)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(slack == uncapped, "non-binding cap changed the result")
+    // a binding cap: per-vector output stays well-formed (ranks contiguous
+    // from 1, cosines still exact — every surviving edge's cosine equals
+    // the uncapped run's for the same pair) and never exceeds k rows
+    val capped = EmbeddingSearch.knnJoin(spark, dir, nPlanes = 8 * rpb, bands = 8,
+        candidateCap = 4)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(capped.nonEmpty)
+    val uncappedCos = uncapped.map(e => (e._1, e._2) -> e._3).toMap
+    capped.groupBy(_._1).foreach { case (v, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length), s"vector $v ranks malformed")
+      assert(rs.length <= 3)
+    }
+    capped.foreach { e =>
+      uncappedCos.get((e._1, e._2)).foreach(c =>
+        assert(c == e._3, s"cap changed an exact cosine for (${e._1}, ${e._2})"))
+    }
   }
 
   test("pq refine: true-cosine reorder of the ADC shortlist, k per query") {
