@@ -634,6 +634,12 @@ object SparkEntry {
     // word stream, the persisted train-once path is spec-pinned identical
     "text_bpe_tokens" -> ((s, dir) =>
       TextAnalysis.bpeTokenCountsWith(Tables.documents(s, dir), bpeMergesFor(s, dir))),
+    // the same counts through the one-pass merge-table KERNEL (the
+    // production mechanism past tens of merges) — registered so the
+    // driver's hash gate pins kernel ≡ chain, not just the spec
+    "text_bpe_tokens_kernel" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCountsWith(Tables.documents(s, dir), bpeMergesFor(s, dir),
+        kernel = true)),
     // tokenizer fertility by language (tokens/word, chars/token) — the
     // multilingual-equity table a mix decision reads
     "text_bpe_fertility" -> ((s, dir) =>
@@ -2508,6 +2514,19 @@ object SparkEntry {
          |  FROM (SELECT c, unnest(string_split(trim(s, '<>'), '><')) AS tok FROM t8)
          |  GROUP BY 1)""".stripMargin,
     "text_bpe_tokens" ->
+      s"""${bpeCtes(8)},
+         |wt AS (SELECT w, length(w)::BIGINT AS w_chars,
+         |  (length(s) - length(replace(s, '<', '')))::BIGINT AS w_toks FROM t8),
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+         |  CAST(sum(w_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(w_toks) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN wt ON dw.w = wt.w
+         |WHERE dw.w <> '' GROUP BY 1""".stripMargin,
+    // kernel serve path: row-identical to the chain by construction, so
+    // the oracle is the SAME replayed SQL — a kernel/chain divergence
+    // shows up as a hash mismatch on exactly one of the two entries
+    "text_bpe_tokens_kernel" ->
       s"""${bpeCtes(8)},
          |wt AS (SELECT w, length(w)::BIGINT AS w_chars,
          |  (length(s) - length(replace(s, '<', '')))::BIGINT AS w_toks FROM t8),
