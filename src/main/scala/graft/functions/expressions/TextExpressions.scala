@@ -221,12 +221,37 @@ case class PortableHash31(child: Expression)
   * size) instead of the chain's O(total merges) rewrites per word.
   */
 final class BpeMergeTable(val merges: Seq[(String, String)]) extends Serializable {
+  // The greedy ≡ sequential proof requires TRAINING ORDER: every
+  // multi-char component of merge j must be the merged form of some
+  // EARLIER merge i < j (tokens start as single chars; only merges create
+  // multi-char tokens). A later-or-absent producer makes the pair dead in
+  // the chain but firable by the greedy kernel once its producer runs —
+  // the one shape where the two mechanisms disagree — so a table that was
+  // reordered or hand-edited fails here instead of silently diverging.
+  {
+    val formedAt = new java.util.HashMap[String, Integer](merges.length * 2)
+    var j = 0
+    merges.foreach { case (a, b) =>
+      Seq(a, b).foreach { c =>
+        if (c.length > 1) {
+          val i = formedAt.get(c)
+          require(i != null && i.intValue() < j,
+            s"merge table is not in training order: component '$c' of merge " +
+              s"$j ('$a'+'$b') is not produced by any earlier merge — the " +
+              "replace chain and the one-pass kernel would disagree on it")
+        }
+      }
+      formedAt.putIfAbsent(a + b, Integer.valueOf(j))
+      j += 1
+    }
+  }
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.length * 2)
     var i = 0
     merges.foreach { case (a, b) =>
-      // space separator: tokens are \w-only, so the key is unambiguous
-      m.putIfAbsent(a + " " + b, Integer.valueOf(i))
+      // NUL separator (as an escape — a raw byte makes the file binary to
+      // grep): tokens are \w-only, so the key is unambiguous
+      m.putIfAbsent(a + "\u0000" + b, Integer.valueOf(i))
       i += 1
     }
     m
@@ -247,7 +272,7 @@ final class BpeMergeTable(val merges: Seq[(String, String)]) extends Serializabl
       var best = Int.MaxValue
       i = 0
       while (i < len - 1) {
-        val r = ranks.get(toks(i) + " " + toks(i + 1))
+        val r = ranks.get(toks(i) + "\u0000" + toks(i + 1))
         if (r != null && r.intValue() < best) best = r.intValue()
         i += 1
       }
@@ -282,9 +307,6 @@ final class BpeMergeTable(val merges: Seq[(String, String)]) extends Serializabl
     new GenericArrayData(out)
   }
 
-  /** Post-BPE token count only — the serve-path hot loop when the caller
-    * needs the count, not the tokens. */
-  def countTokens(w: UTF8String): Long = encode(w.toString).length.toLong
 }
 
 /** `bpe_encode(word)` under a trained merge table — the whole-table

@@ -247,6 +247,7 @@ object Dedup {
     val meta = fs.create(new org.apache.hadoop.fs.Path(path, "_PARAMS"), true)
     meta.write(paramsTag(numHashes, bands, k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     meta.close()
+    Forget.clearStaleForgetState(fs, path, Seq("exact", "sets", "bands"))
     fs.create(done, true).close()
   }
 
@@ -356,6 +357,20 @@ object Dedup {
       indexPath: String, tables: Seq[String], keyCol: String, ids: DataFrame): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    // PRE-FLIGHT before claiming the id-set marker: every table must be
+    // repairable (committed live, or a resumable committed stage). A
+    // crashed BUILD must fail BEFORE the marker is written — a marker
+    // claimed on a refused pass would outlive the subsequent rebuild and
+    // poison every future forget with a different id set
+    tables.foreach { t =>
+      val liveOk = fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(indexPath, t), "_SUCCESS"))
+      val stagedOk = fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(indexPath, s"${t}__forgetting"), "_SUCCESS"))
+      require(liveOk || stagedOk,
+        s"index table $t at $indexPath is missing or uncommitted — " +
+          "a crashed BUILD cannot be repaired by forget; rebuild the index")
+    }
     Forget.claimIdSet(fs, new org.apache.hadoop.fs.Path(indexPath, "_FORGET_IDS"),
       Forget.idSetFingerprint(ids, keyCol))
     fs.delete(done, false)
@@ -413,6 +428,7 @@ object Dedup {
       s"dedup index tables at $indexPath are missing or uncommitted (no _SUCCESS) — " +
         "a crashed BUILD cannot be repaired by extend; run buildDedupIndex")
     requireIndexParams(fs, indexPath, numHashes, bands, k)
+    Forget.requireNoCrashedForget(fs, indexPath)
     fs.delete(done, false)
     val batch = newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"),
         hashSet(shingleSet(col("text"), k)).as("hs31"),

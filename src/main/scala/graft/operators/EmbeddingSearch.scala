@@ -569,6 +569,7 @@ object EmbeddingSearch {
     val meta = fs.create(new org.apache.hadoop.fs.Path(path, "_PARAMS"), true)
     meta.write(s"v1p$nPlanes".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     meta.close()
+    Forget.clearStaleForgetState(fs, path, Seq("vecs", "bands"))
     fs.create(done, true).close()
   }
 
@@ -608,6 +609,7 @@ object EmbeddingSearch {
       s"vector index tables at $indexPath are missing or uncommitted (no _SUCCESS) — " +
         "a crashed BUILD cannot be repaired by extend; run buildVecDedupIndex")
     requireVecIndexParams(fs, indexPath, nPlanes)
+    Forget.requireNoCrashedForget(fs, indexPath)
     fs.delete(done, false)
     val batch = newVecs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .localCheckpoint()

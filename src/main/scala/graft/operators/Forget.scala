@@ -82,6 +82,31 @@ object Forget {
     }
   }
 
+  /** Full REBUILDERS call this right before committing `_DONE`: a rebuild
+    * wholesale-overwrites the tables, so any crashed forget's state is
+    * moot — and a surviving `_FORGET_IDS` marker would poison every
+    * future forget with a different id set ("started with a DIFFERENT id
+    * set" against an index that no longer carries the old pass's partial
+    * filtering). Also clears leftover `__forgetting` staging dirs so a
+    * later forget cannot resume a stale stage over the fresh tables.
+    */
+  private[operators] def clearStaleForgetState(fs: FileSystem, indexPath: String,
+      tables: Seq[String]): Unit = {
+    fs.delete(new Path(indexPath, "_FORGET_IDS"), false)
+    tables.foreach(t => fs.delete(new Path(indexPath, s"${t}__forgetting"), true))
+    ()
+  }
+
+  /** EXTENDS call this before appending: appending to an index whose
+    * forget crashed mid-pass would interleave new rows with half-filtered
+    * tables — the forget must be resumed (same ids) or the index rebuilt
+    * first.
+    */
+  private[operators] def requireNoCrashedForget(fs: FileSystem, indexPath: String): Unit =
+    require(!fs.exists(new Path(indexPath, "_FORGET_IDS")),
+      s"a forget pass at $indexPath is incomplete (_FORGET_IDS present) — " +
+        "resume it with the original ids (or rebuild the index) before extending")
+
   /** Forget `ids` from EVERY target as one resumable composition (see
     * object doc). `manifestPath` is the global intent marker's location —
     * one per logical forget pipeline, NOT per request (a second request
@@ -90,7 +115,9 @@ object Forget {
   def forgetEverywhere(spark: SparkSession, manifestPath: String, ids: DataFrame,
       targets: Seq[Target]): Unit = {
     require(targets.nonEmpty, "forgetEverywhere needs at least one target")
-    val keyCols = targets.map(_.keyCol).distinct
+    // sorted like the target lines below: the manifest must not depend on
+    // the order a recovery script happens to rebuild the target list in
+    val keyCols = targets.map(_.keyCol).distinct.sorted
     val fps = keyCols.map(kc => kc + "=" + idSetFingerprint(ids, kc)).mkString(";")
     val manifest = new Path(manifestPath)
     val fs = manifest.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())

@@ -280,6 +280,7 @@ object Multimodal {
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     fs.delete(done, false)
     fps.write.mode("overwrite").parquet(s"$path/$table")
+    graft.operators.Forget.clearStaleForgetState(fs, path, Seq(table))
     fs.create(done, true).close()
   }
 
@@ -302,6 +303,7 @@ object Multimodal {
     require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, s"$table/_SUCCESS")),
       s"fingerprint index at $indexPath is missing or uncommitted — " +
         "a crashed build cannot be repaired by extend; rebuild the index")
+    graft.operators.Forget.requireNoCrashedForget(fs, indexPath)
     fs.delete(done, false)
     fps.write.mode("append").parquet(s"$indexPath/$table")
     fs.create(done, true).close()

@@ -1388,9 +1388,12 @@ object Relational {
         sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
     val kept = cells.where(col("n_customers") >= k)
       .withColumn("n_suppressed_cells", lit(0L))
-    // the residual's own k-gate: exact measures only when ≥ 2 cells AND
-    // ≥ k summed customers back them; otherwise NULL measures, count only
-    val safe = col("n_suppressed_cells") >= 2L && col("n_customers") >= k
+    // the residual's own k-gate, ONE shared condition for every measure:
+    // exact measures when nothing was suppressed (zeros are harmless) or
+    // when ≥ 2 cells AND ≥ k summed customers back them; otherwise NULL
+    // measures, count only
+    val publish = col("n_suppressed_cells") === 0L ||
+      (col("n_suppressed_cells") >= 2L && col("n_customers") >= k)
     val suppressed = cells.where(col("n_customers") < k)
       .agg(count(lit(1)).cast("long").as("n_suppressed_cells"),
         coalesce(sum(col("n_customers")), lit(0L)).cast("long").as("n_customers"),
@@ -1398,12 +1401,9 @@ object Relational {
         coalesce(sum(col("rev")), lit(0).cast("decimal(38,2)")).as("rev"))
       .select(lit("__suppressed__").as("n_name"), lit(-1L).as("o_year"),
         col("n_suppressed_cells"),
-        when(col("n_suppressed_cells") === 0L, col("n_customers"))
-          .when(safe, col("n_customers")).as("n_customers"),
-        when(col("n_suppressed_cells") === 0L, col("n_orders"))
-          .when(safe, col("n_orders")).as("n_orders"),
-        when(col("n_suppressed_cells") === 0L, col("rev"))
-          .when(safe, col("rev")).as("rev"))
+        when(publish, col("n_customers")).as("n_customers"),
+        when(publish, col("n_orders")).as("n_orders"),
+        when(publish, col("rev")).as("rev"))
     kept.unionByName(suppressed)
       .select(col("n_name"), col("o_year"), col("n_suppressed_cells"),
         col("n_customers"), col("n_orders"),

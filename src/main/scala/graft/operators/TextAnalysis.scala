@@ -1675,11 +1675,17 @@ object TextAnalysis {
     */
   def bpeTokenCountsWith(docs: DataFrame, merges: Seq[(String, String)],
       kernel: Boolean = false): DataFrame = {
-    val s = bpeApplyMerges(col("s0"), merges)
+    // the chain column is built ONLY on its own branch — at a production
+    // merge count the whole point of kernel=true is never allocating the
+    // O(merges)-deep replace tree, driver-side included
+    val wToks =
+      if (kernel) size(bpeTokensKernel(col("w"), merges)).cast("long")
+      else {
+        val s = bpeApplyMerges(col("s0"), merges)
+        (length(s) - length(replace(s, lit("<"), lit("")))).cast("long")
+      }
     val wordTok = bpeWordFreq(docs).select(col("w"),
-      length(col("w")).cast("long").as("w_chars"),
-      (if (kernel) size(bpeTokensKernel(col("w"), merges)).cast("long")
-       else (length(s) - length(replace(s, lit("<"), lit("")))).cast("long")).as("w_toks"))
+      length(col("w")).cast("long").as("w_chars"), wToks.as("w_toks"))
     docs.select(col("doc_id"), explode(tokenize(col("text"))).as("w"))
       .where(col("w") =!= "")
       .join(broadcast(wordTok), Seq("w"))

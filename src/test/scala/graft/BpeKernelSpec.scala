@@ -66,6 +66,20 @@ class BpeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel refuses a merge table that is not in training order") {
+    // review finding: for a reordered/hand-edited table — rank0's pair
+    // using a token only produced by rank1 — the chain never fires rank0
+    // but the greedy kernel would, so construction must fail loudly
+    // instead of the two mechanisms silently disagreeing
+    val e = intercept[IllegalArgumentException] {
+      new BpeMergeTable(Seq(("ab", "c"), ("a", "b")))
+    }
+    assert(e.getMessage.contains("training order"), e.getMessage)
+    // the same pairs in training order are fine
+    new BpeMergeTable(Seq(("a", "b"), ("ab", "c")))
+    ()
+  }
+
   test("kernel-path training reproduces the chain-path merge table at 8 rounds (sf0.001)") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val chain = TextAnalysis.bpeMerges(docs, rounds = 8, kernel = false)

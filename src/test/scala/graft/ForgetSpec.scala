@@ -79,6 +79,50 @@ class ForgetSpec extends AnyFunSuite {
     assert(serve(s"$root/idx") == serve(s"$root/ref"))
   }
 
+  test("refused forget on a crashed build claims no marker; rebuild clears stale forget state") {
+    // review finding: claiming _FORGET_IDS before validating the index
+    // would poison every future forget after a rebuild
+    val root = java.nio.file.Files.createTempDirectory("graft_fgt_pf").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // no index at all: the pass must refuse BEFORE writing its marker
+    intercept[IllegalArgumentException] {
+      Dedup.forgetFromDedupIndex(spark, s"$root/idx", forgetIds)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/idx", "_FORGET_IDS")),
+      "a refused pass must not leave an id-set marker behind")
+    // a crashed forget's marker + staging survive until a REBUILD, which
+    // wholesale-overwrites the tables and must clear both — a later
+    // forget with a different id set is then legitimate
+    Dedup.buildDedupIndex(corpus, s"$root/idx")
+    val marker = new org.apache.hadoop.fs.Path(s"$root/idx", "_FORGET_IDS")
+    val out = fs.create(marker, true); out.write("999:1".getBytes("UTF-8")); out.close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/idx", "sets__forgetting"))
+    Dedup.buildDedupIndex(corpus, s"$root/idx")
+    assert(!fs.exists(marker), "rebuild must clear a crashed forget's marker")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/idx", "sets__forgetting")),
+      "rebuild must clear crashed forget staging")
+    Dedup.forgetFromDedupIndex(spark, s"$root/idx",
+      corpus.where(col("doc_id") % 5 === 0).select(col("doc_id")))
+    Dedup.buildDedupIndex(corpus.where(col("doc_id") % 5 =!= 0), s"$root/ref5")
+    assert(serve(s"$root/idx") == serve(s"$root/ref5"))
+  }
+
+  test("extend refuses an index whose forget crashed mid-pass") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fgt_ext").toString
+    Dedup.buildDedupIndex(corpus, s"$root/idx")
+    val marker = new org.apache.hadoop.fs.Path(s"$root/idx", "_FORGET_IDS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true); out.write("1:2".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.extendDedupIndex(s"$root/idx", batch)
+    }
+    assert(e.getMessage.contains("incomplete"), e.getMessage)
+    // resolving the crashed pass (here: clearing it) re-enables extend
+    fs.delete(marker, false)
+    Dedup.extendDedupIndex(s"$root/idx", batch)
+  }
+
   test("id-set fingerprint is order- and duplication-independent, value-sensitive") {
     val a = Seq(3L, 1L, 2L).toDF("doc_id")
     val b = Seq(1L, 2L, 3L, 2L, 1L).toDF("doc_id")
