@@ -765,6 +765,12 @@ object SparkEntry {
     "embed_knn_join" -> ((s, dir) => EmbeddingSearch.knnJoinScaled(s, dir)),
     // fixed-width form, explicitly named — known-small static corpora only
     "embed_knn_join_fixed" -> ((s, dir) => EmbeddingSearch.knnJoin(s, dir)),
+    // recall@k of the kNN graph vs the exact graph on a 100-probe set —
+    // the standing evidence of what LSH candidate generation costs in
+    // neighbor quality (and the measurement that caught the candidate
+    // cap halving recall, sending the registered path to the exact
+    // bucket-local kernel)
+    "embed_knn_join_recall" -> ((s, dir) => EmbeddingSearch.knnJoinRecall(s, dir)),
     "embed_knn_ivf" -> ((s, dir) => EmbeddingSearch.ivfTopK(s, dir)),
     // train-once/serve-many (VERDICT r2 item 3): the quantizer is persisted
     // keyed on the embeddings fingerprint — the first invocation trains and
@@ -3027,13 +3033,8 @@ object SparkEntry {
     "embed_knn_join" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |$vecBandCtesScaled,
-         |bscr AS (SELECT band, vec_id, vec_id::VARCHAR AS s FROM vbands),
-         |bcap AS (SELECT band, vec_id FROM (
-         |  SELECT band, vec_id, row_number() OVER (PARTITION BY band
-         |    ORDER BY ${duckScramble("s")} ASC, vec_id ASC) AS rn FROM bscr)
-         |  WHERE rn <= 64),
          |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
-         |         FROM vbands a JOIN bcap b ON a.band = b.band AND a.vec_id <> b.vec_id),
+         |         FROM vbands a JOIN vbands b ON a.band = b.band AND a.vec_id <> b.vec_id),
          |s AS (SELECT cand.vec_id, cand.nbr_id,
          |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
          |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
@@ -3041,6 +3042,35 @@ object SparkEntry {
          |r AS (SELECT *, (row_number() OVER
          |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
          |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+    // kNN-graph recall vs the exact graph on the 100-probe set: the
+    // approx side replays the embed_knn_join oracle, the exact side is a
+    // probe-set brute force
+    "embed_knn_join_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |$vecBandCtesScaled,
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |         FROM vbands a JOIN vbands b ON a.band = b.band AND a.vec_id <> b.vec_id
+         |         WHERE a.vec_id < 100),
+         |sc AS (SELECT cand.vec_id, cand.nbr_id,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
+         |ap AS (SELECT vec_id AS a_id, nbr_id AS a_nbr FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rank FROM sc)
+         |  WHERE rank <= 3),
+         |exs AS (SELECT p.vec_id AS p_id, e2.vec_id AS e_nbr,
+         |  round(${cosineSql("e2.v", "p.v")}, 6) AS cosine
+         |  FROM e e2, e p WHERE p.vec_id < 100 AND e2.vec_id <> p.vec_id),
+         |ext AS (SELECT p_id, e_nbr FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY p_id ORDER BY cosine DESC, e_nbr ASC) AS rank FROM exs)
+         |  WHERE rank <= 3)
+         |SELECT ext.p_id AS vec_id, count(*)::BIGINT AS n_exact,
+         |  count(ap.a_nbr)::BIGINT AS n_hit,
+         |  round(count(ap.a_nbr)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM ext LEFT JOIN ap ON ext.p_id = ap.a_id AND ext.e_nbr = ap.a_nbr
+         |GROUP BY 1""".stripMargin,
     // same centroid CTEs as the IVF oracle + a decimal-exact per-cell avg
     "embed_centroid_quality" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v

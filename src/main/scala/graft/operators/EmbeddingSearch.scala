@@ -47,6 +47,17 @@ object EmbeddingSearch {
 
   private def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
+  /** The same sequential fold as [[graft.functions.expressions
+    * .VectorPrimitives.dotSeq]], on plain arrays — the bucket-local
+    * kernel's inner loop must produce the expression path's exact
+    * doubles (same multiply/add sequence, ascending index). */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
   /** cosine(a, b) in pure HOF arithmetic; 0 for zero vectors. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
@@ -504,17 +515,143 @@ object EmbeddingSearch {
         when(col("dup_of_found").isNotNull, lit("dropped")).otherwise(lit("kept")).as("status"))
   }
 
+  /** Spark's Round on DoubleType, replicated for the bucket-local kernel:
+    * the selection key inside [[knnJoinBucketLocal]]'s per-bucket loop
+    * must be the SAME (rounded cosine, nbr id) total order the global
+    * window ranks by, or a rounding-tie at the local k boundary could
+    * drop a globally-top-k edge. Spec-pinned row-identical to the
+    * expression path (BigDecimal-on-toString, HALF_UP — what Spark's
+    * Round evaluates for doubles).
+    *
+    * FAST PATH, because this runs once per candidate pair (measured: the
+    * naive per-pair BigDecimal was 8.7 of 11 s at x16 — allocation +
+    * decimal-string parsing, not arithmetic): scale by 10⁶ and decide the
+    * half-up digit from the computed fraction. The computed y = x·10⁶
+    * differs from the EXACT decimal value by ≤ ½ulp(10⁶) ≈ 6·10⁻¹¹, so
+    * whenever frac is more than 10⁻⁷ away from the three decision
+    * boundaries (0, ½, 1) the fast decision provably equals the decimal
+    * one — integer-valued (f+δ) ≤ 10⁶ is exact in double and n/10⁶ by
+    * IEEE division is the correctly-rounded double of the same rational
+    * the BigDecimal conversion produces. Inside the boundary zones
+    * (measure-zero in practice) it falls back to the BigDecimal form.
+    */
+  private[graft] def round6(x: Double): Double = {
+    val y = x * 1e6
+    val f = math.floor(y)
+    val frac = y - f
+    val safe = (frac > 1e-7 && frac < 0.4999999) || (frac > 0.5000001 && frac < 0.9999999)
+    if (safe) (f + (if (frac >= 0.5) 1.0 else 0.0)) / 1e6
+    else BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** [[knnJoin]] re-ranked BUCKET-LOCALLY — identical rows, the shuffle
+    * volume the edge formulation cannot avoid removed. The edge plan
+    * shuffles every candidate pair and fetches both 512 B vectors per
+    * edge: with clustered embeddings (hyperplane signs agree on
+    * near-identical vectors BY DESIGN), Σ bucket² goes quadratic and the
+    * r9 census measured 268 M pre-distinct edges / 13 s at x16. Here each
+    * band bucket is processed as a group: one pass computes every
+    * member's local top-k by (rounded cosine desc, nbr asc) — the same
+    * total order the global window uses, so local top-k provably
+    * preserves every global-top-k edge (a candidate outranked locally by
+    * k others is outranked globally by the same k) — and only
+    * N·bands·k winner edges leave the kernel. Costs: shuffle is
+    * N·bands·(id + vector) — linear; compute is still Σ bucket² dot
+    * products but as straight-line arithmetic in one stage, not edges
+    * through exchanges; memory per task is one bucket's vectors, with a
+    * LOUD `maxBucket` guard for degenerate corpora (a bucket that big
+    * means the hash is not discriminating — re-shard or use the capped
+    * variant, explicitly). flatMapGroups is the (d)-tier escape hatch the
+    * design doc reserves for genuine per-partition imperative logic —
+    * a bounded-heap all-pairs loop is exactly that; (a)-(c) cannot
+    * express "top-k per member within a group" without materializing the
+    * quadratic edge set this exists to avoid.
+    */
+  private[graft] def knnJoinBucketLocal(spark: SparkSession, dir: String,
+      k: Int = 3, nPlanes: Int = 16, bands: Int = 4,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val banded = emb.select(col("vec_id"), col("v"),
+      explode(lshBandKeys(lshSignature(col("v"), nPlanes), bands, nPlanes / bands)).as("band"))
+    val local = banded.select(col("band"), col("vec_id"), col("v"))
+      .as[(String, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (band, it) =>
+        val m = it.toArray
+        require(m.length <= maxBucket,
+          s"band bucket '$band' holds ${m.length} vectors (> $maxBucket) — the " +
+            "signature is not discriminating on this corpus; widen the LSH or " +
+            "use the explicitly-capped knnJoin variant")
+        val n = m.length
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) { norms(i) = math.sqrt(dotSeq(m(i)._3, m(i)._3)); i += 1 }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        i = 0
+        while (i < n) {
+          // bounded selection: top-k among the other members by
+          // (rounded cosine desc, nbr id asc) — insertion into a k-array
+          val bestC = new Array[Double](k)
+          val bestId = new Array[Long](k)
+          var filled = 0
+          var j = 0
+          while (j < n) {
+            if (j != i && m(j)._2 != m(i)._2) {
+              val c =
+                if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
+                else round6(dotSeq(m(i)._3, m(j)._3) / (norms(i) * norms(j)))
+              val id = m(j)._2
+              // find insertion point among the filled slots
+              var p = filled
+              while (p > 0 && (bestC(p - 1) < c ||
+                  (bestC(p - 1) == c && bestId(p - 1) > id))) p -= 1
+              if (p < k) {
+                val last = math.min(filled, k - 1)
+                var q = last
+                while (q > p) { bestC(q) = bestC(q - 1); bestId(q) = bestId(q - 1); q -= 1 }
+                bestC(p) = c; bestId(p) = id
+                if (filled < k) filled += 1
+              }
+            }
+            j += 1
+          }
+          var s = 0
+          while (s < filled) { out += ((m(i)._2, bestId(s), bestC(s))); s += 1 }
+          i += 1
+        }
+        out
+      }
+      .toDF("vec_id", "nbr_id", "cosine")
+    // multi-band duplicates carry identical cosines — one survives; the
+    // global window then ranks the ≤ bands·k per-band winners per vector
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id").asc)
+    local.dropDuplicates("vec_id", "nbr_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** [[knnJoin]] under the same corpus-adaptive sizing (see
-    * [[cosineNearDupPairsScaled]] for the count() argument) PLUS the
-    * bounded candidate side (`candidateCap` — see [[knnJoin]]): the
-    * occupancy rule keeps the UNIFORM part of the signature distribution
-    * flat, the cap bounds the clustered part the rule cannot reach, and
-    * together edge volume is ≤ n·bands·cap at any corpus size. */
+    * [[cosineNearDupPairsScaled]] for the count() argument), computed
+    * BUCKET-LOCALLY ([[knnJoinBucketLocal]]) — row-identical to the edge
+    * formulation (spec-pinned) with linear shuffle volume. The occupancy
+    * rule keeps the uniform part of the signature distribution flat; the
+    * bucket-local kernel absorbs the clustered part (where near-identical
+    * vectors fill a bucket and edges went quadratic); `candidateCap` > 0
+    * instead routes through the sampled b-side cap — an explicit
+    * recall-for-edges trade (measured: cap=64 halves recall on the
+    * clustered fixture — see [[knnJoinRecall]]) for corpora whose
+    * degenerate buckets trip even the local kernel's memory guard. */
   def knnJoinScaled(spark: SparkSession, dir: String, k: Int = 3,
-      targetBucket: Int = 32, bands: Int = 8, candidateCap: Int = 64): DataFrame = {
+      targetBucket: Int = 32, bands: Int = 8, candidateCap: Int = 0): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val rpb = lshRowsPerBand(n, targetBucket)
-    knnJoin(spark, dir, k, nPlanes = bands * rpb, bands = bands, candidateCap = candidateCap)
+    if (candidateCap > 0)
+      knnJoin(spark, dir, k, nPlanes = bands * rpb, bands = bands, candidateCap = candidateCap)
+    else
+      knnJoinBucketLocal(spark, dir, k, nPlanes = bands * rpb, bands = bands)
   }
 
   /** Same over any (vec_id, embedding: array<numeric>) frame. `nPlanes`
@@ -1071,6 +1208,40 @@ object EmbeddingSearch {
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"), count(col("v2")).as("n_hit"))
       .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
+  /** Recall@k of the kNN-graph path ([[knnJoinScaled]]) against the
+    * exact graph, on a fixed probe set (`vec_id < nProbes`) — the
+    * standing evidence of what the LSH candidate generation costs in
+    * neighbor quality (and, with `candidateCap` > 0, of what the
+    * explicit cap costs on top: measured cap=64 HALVES recall on the
+    * clustered fixture — the number that sent the registered path to the
+    * exact bucket-local kernel instead). Exact side = one corpus scan
+    * against the broadcast probe vectors (|P|·N cosines — fixed probe
+    * load, linear in N); approx side = the same graph the registered
+    * entry runs. Output: (vec_id, n_exact, n_hit, recall) per probe.
+    */
+  def knnJoinRecall(spark: SparkSession, dir: String, k: Int = 3,
+      nProbes: Int = 100, targetBucket: Int = 32, bands: Int = 8,
+      candidateCap: Int = 0): DataFrame = {
+    val approx = knnJoinScaled(spark, dir, k, targetBucket, bands, candidateCap)
+      .where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("a_id"), col("nbr_id").as("a_nbr"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val probes = emb.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"))
+    val w = Window.partitionBy("p_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    val exTop = emb.join(broadcast(probes), col("vec_id") =!= col("p_id"))
+      .select(col("p_id"), col("vec_id"), round(cosine(col("v"), col("pv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("p_id"), col("vec_id").as("e_nbr"))
+    exTop.join(approx,
+        exTop("p_id") === approx("a_id") && exTop("e_nbr") === approx("a_nbr"), "left")
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("a_nbr")).as("n_hit"))
+      .select(col("p_id").as("vec_id"), col("n_exact"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
   }
 

@@ -32,6 +32,17 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "knnrecall") {
+      import org.apache.spark.sql.functions._
+      for (cap <- Seq(0, 32, 64, 96, 128, 192, 256)) {
+        val t0 = System.nanoTime()
+        val r = graft.operators.EmbeddingSearch.knnJoinRecall(spark, sfDir, candidateCap = cap)
+          .agg(avg(col("recall")), count(lit(1))).head()
+        println(f"[knnrecall] cap=$cap mean=${r.getDouble(0)}%.4f probes=${r.getLong(1)} " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "knncand") {
       // candidate-volume census: is edge growth actually linear (the
       // occupancy rule's claim), and where do the bucket sizes sit?

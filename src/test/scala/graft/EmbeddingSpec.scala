@@ -463,13 +463,22 @@ class EmbeddingSpec extends AnyFunSuite {
     val got = EmbeddingSearch.cosineNearDupPairsScaled(spark, dir, tau = 0.4)
       .as[(Long, Long, Double)].collect().toSet
     assert(got == exp)
-    val expK = EmbeddingSearch.knnJoin(spark, dir, nPlanes = 8 * rpb, bands = 8,
-        candidateCap = 64)
+    // the scaled path routes through the bucket-local kernel — this pin
+    // IS the row-identity contract between the kernel (per-bucket
+    // bounded-heap selection, driver-replicated rounding) and the edge
+    // formulation (distinct edges + expression cosine + global window)
+    val expK = EmbeddingSearch.knnJoin(spark, dir, nPlanes = 8 * rpb, bands = 8)
       .as[(Long, Long, Double, Long)].collect().toSet
     val gotK = EmbeddingSearch.knnJoinScaled(spark, dir)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(gotK == expK)
     assert(gotK.nonEmpty, "scaled kNN join should produce edges on the fixture")
+    // and at the fixed default widths too (different bucket shapes)
+    val expD = EmbeddingSearch.knnJoin(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val gotD = EmbeddingSearch.knnJoinBucketLocal(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(gotD == expD, "bucket-local kernel diverged from the edge formulation")
   }
 
   test("kNN candidate cap: no-op when cap covers occupancy, bounded and ranked when binding") {
@@ -499,6 +508,48 @@ class EmbeddingSpec extends AnyFunSuite {
       uncappedCos.get((e._1, e._2)).foreach(c =>
         assert(c == e._3, s"cap changed an exact cosine for (${e._1}, ${e._2})"))
     }
+  }
+
+  test("fast round6 equals the BigDecimal HALF_UP form on random and boundary doubles") {
+    def slow(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rnd = new scala.util.Random(7)
+    (1 to 200000).foreach { _ =>
+      val x = rnd.nextDouble() * 2 - 1 // the cosine range
+      assert(EmbeddingSearch.round6(x) == slow(x), s"fast/slow disagree at $x")
+    }
+    // crafted boundary cases: exact .5 half-ups (both signs), exact
+    // 6-dp values, values within ulps of a boundary
+    val edges = Seq(0.0000005, -0.0000005, 0.1234565, -0.1234565, 0.123456,
+      -0.999999, 1.0, -1.0, 0.9999995, -0.9999995, 0.1234564999999999,
+      0.1234565000000001, 4.9999999999e-7, 5.0000000001e-7, 0.0, -0.0)
+    edges.foreach { x =>
+      assert(EmbeddingSearch.round6(x) == slow(x), s"fast/slow disagree at boundary $x")
+    }
+  }
+
+  test("kNN-graph recall: well-formed per probe; cap's recall cost is measured, not hidden") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = EmbeddingSearch.knnJoinRecall(spark, dir)
+      .select($"vec_id", $"n_exact", $"n_hit", $"recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 100, s"one row per probe expected, got ${rows.length}")
+    rows.foreach { case (v, ne, nh, r) =>
+      assert(ne == 3L, s"probe $v: exact side must find k=3 neighbors")
+      assert(nh >= 0L && nh <= ne && r >= 0.0 && r <= 1.0, s"probe $v malformed: $nh/$ne=$r")
+      assert(r == math.round(nh.toDouble / ne * 1e6) / 1e6, s"probe $v recall arithmetic")
+    }
+    val exact = rows.map(_._4).sum / rows.length
+    assert(exact > 0.4, s"LSH recall $exact suspiciously low — index sizing broken?")
+    // the explicit candidate cap is a recall-for-edges trade and must
+    // MEASURE as one: a sampled candidate pool can only lose exact-top-k
+    // members (hits are monotone in the candidate set up to rounding
+    // ties), so the capped mean sits at or below the exact path's
+    val capped = EmbeddingSearch.knnJoinRecall(spark, dir, candidateCap = 64)
+      .select($"recall").as[Double].collect()
+    val cm = capped.sum / capped.length
+    assert(cm <= exact + 1e-9,
+      s"capped recall $cm above the full-candidate path $exact — monotonicity broken")
   }
 
   test("pq refine: true-cosine reorder of the ADC shortlist, k per query") {
