@@ -771,6 +771,13 @@ object SparkEntry {
     // cap halving recall, sending the registered path to the exact
     // bucket-local kernel)
     "embed_knn_join_recall" -> ((s, dir) => EmbeddingSearch.knnJoinRecall(s, dir)),
+    // the explicitly-named CAPPED variant (scramble-sampled candidate
+    // side, edges <= N*bands*cap) — the opt-in for corpora whose
+    // degenerate buckets trip the bucket-local kernel's memory guard;
+    // registered so its deterministic sampling stays hash-gated and its
+    // recall trade stays measured (see embed_knn_join_recall)
+    "embed_knn_join_capped" -> ((s, dir) =>
+      EmbeddingSearch.knnJoinScaled(s, dir, candidateCap = 64)),
     "embed_knn_ivf" -> ((s, dir) => EmbeddingSearch.ivfTopK(s, dir)),
     // train-once/serve-many (VERDICT r2 item 3): the quantizer is persisted
     // keyed on the embeddings fingerprint — the first invocation trains and
@@ -3035,6 +3042,26 @@ object SparkEntry {
          |$vecBandCtesScaled,
          |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
          |         FROM vbands a JOIN vbands b ON a.band = b.band AND a.vec_id <> b.vec_id),
+         |s AS (SELECT cand.vec_id, cand.nbr_id,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
+         |r AS (SELECT *, (row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
+         |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+    // the capped opt-in: the embed_knn_join oracle with the candidate
+    // side bounded per bucket by the same scramble-ordered row_number the
+    // Spark side applies
+    "embed_knn_join_capped" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |$vecBandCtesScaled,
+         |bscr AS (SELECT band, vec_id, vec_id::VARCHAR AS s FROM vbands),
+         |bcap AS (SELECT band, vec_id FROM (
+         |  SELECT band, vec_id, row_number() OVER (PARTITION BY band
+         |    ORDER BY ${duckScramble("s")} ASC, vec_id ASC) AS rn FROM bscr)
+         |  WHERE rn <= 64),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |         FROM vbands a JOIN bcap b ON a.band = b.band AND a.vec_id <> b.vec_id),
          |s AS (SELECT cand.vec_id, cand.nbr_id,
          |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
          |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
