@@ -24,6 +24,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("bucket-local kNN kernel: hot one-bucket corpus matches the edge plan; guard trips loudly") {
+    // the worst shape the kernel can meet: 150 near-identical vectors put
+    // the whole corpus in ONE bucket per band (hyperplane signs agree on
+    // near-dups by design) plus a distinct tail — the kernel's B² loop
+    // runs on the hot bucket and must still emit exactly the edge plan's
+    // rows; a maxBucket below the hot size must fail loudly, not OOM
+    import graft.operators.EmbeddingSearch
+    val root = java.nio.file.Files.createTempDirectory("graft_knn_hot").toString
+    val base = (0 until 64).map(d => math.sin(d + 1).toFloat)
+    val rows = (0L until 150L).map { i =>
+      // tiny per-vector perturbation: same signature, distinct cosines
+      (i, base.zipWithIndex.map { case (x, d) =>
+        x + (if (d == (i % 64).toInt) 1e-4f * ((i % 7) + 1) else 0f) }, 0)
+    } ++ (150L until 160L).map { i =>
+      (i, (0 until 64).map(d => math.cos((d + 3) * (i - 148)).toFloat).toIndexedSeq, 1)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4).write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+    val edge = EmbeddingSearch.knnJoin(spark, root)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val local = EmbeddingSearch.knnJoinBucketLocal(spark, root)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(local == edge, "hot-bucket kernel diverged from the edge plan")
+    assert(local.nonEmpty && local.map(_._1).size >= 150,
+      "every hot-family vector should find neighbors")
+    val e = intercept[org.apache.spark.SparkException] {
+      EmbeddingSearch.knnJoinBucketLocal(spark, root, maxBucket = 100)
+        .count()
+    }
+    assert(e.getMessage.contains("not discriminating") ||
+      Option(e.getCause).exists(_.getMessage.contains("not discriminating")),
+      s"guard message missing: ${e.getMessage}")
+  }
+
   test("salted join equals plain join") {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
