@@ -536,6 +536,9 @@ object EmbeddingSearch {
     * (measure-zero in practice) it falls back to the BigDecimal form.
     */
   private[graft] def round6(x: Double): Double = {
+    // NaN/Infinity pass through unchanged — Spark's Round special-cases
+    // them the same way; BigDecimal(NaN) would throw instead
+    if (x.isNaN || x.isInfinite) return x
     val y = x * 1e6
     val f = math.floor(y)
     val frac = y - f
@@ -569,7 +572,7 @@ object EmbeddingSearch {
     */
   private[graft] def knnJoinBucketLocal(spark: SparkSession, dir: String,
       k: Int = 3, nPlanes: Int = 16, bands: Int = 4,
-      maxBucket: Int = 1 << 20): DataFrame = {
+      maxBucket: Int = 1 << 17): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -580,46 +583,70 @@ object EmbeddingSearch {
       .as[(String, Long, Array[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (band, it) =>
-        val m = it.toArray
-        require(m.length <= maxBucket,
-          s"band bucket '$band' holds ${m.length} vectors (> $maxBucket) — the " +
-            "signature is not discriminating on this corpus; widen the LSH or " +
-            "use the explicitly-capped knnJoin variant")
+        // the guard fires WHILE draining the iterator — a degenerate
+        // bucket must fail with this message before its vectors are ever
+        // buffered, not OOM inside toArray
+        val buf = new scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double])]()
+        while (it.hasNext) {
+          buf += it.next()
+          require(buf.length <= maxBucket,
+            s"band bucket '$band' holds more than $maxBucket vectors — the " +
+              "signature is not discriminating on this corpus; widen the LSH or " +
+              "use the explicitly-capped knnJoin variant")
+        }
+        val m = buf
         val n = m.length
         val norms = new Array[Double](n)
         var i = 0
         while (i < n) { norms(i) = math.sqrt(dotSeq(m(i)._3, m(i)._3)); i += 1 }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        // per-member bounded top-k slices in two flat arrays; each
+        // unordered pair is scored ONCE (dot and the norm product are
+        // IEEE-commutative, so both directions see bit-identical cosines)
+        // and inserted into both members' slices
+        val bestC = new Array[Double](n * k)
+        val bestId = new Array[Long](n * k)
+        val filled = new Array[Int](n)
+        def insert(owner: Int, c: Double, id: Long): Unit = {
+          val base = owner * k
+          val f = filled(owner)
+          var p = f
+          while (p > 0 && (bestC(base + p - 1) < c ||
+              (bestC(base + p - 1) == c && bestId(base + p - 1) > id))) p -= 1
+          if (p < k) {
+            var q = math.min(f, k - 1)
+            while (q > p) {
+              bestC(base + q) = bestC(base + q - 1)
+              bestId(base + q) = bestId(base + q - 1)
+              q -= 1
+            }
+            bestC(base + p) = c
+            bestId(base + p) = id
+            if (f < k) filled(owner) = f + 1
+          }
+        }
         i = 0
         while (i < n) {
-          // bounded selection: top-k among the other members by
-          // (rounded cosine desc, nbr id asc) — insertion into a k-array
-          val bestC = new Array[Double](k)
-          val bestId = new Array[Long](k)
-          var filled = 0
-          var j = 0
+          var j = i + 1
           while (j < n) {
-            if (j != i && m(j)._2 != m(i)._2) {
+            if (m(j)._2 != m(i)._2) {
               val c =
                 if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
                 else round6(dotSeq(m(i)._3, m(j)._3) / (norms(i) * norms(j)))
-              val id = m(j)._2
-              // find insertion point among the filled slots
-              var p = filled
-              while (p > 0 && (bestC(p - 1) < c ||
-                  (bestC(p - 1) == c && bestId(p - 1) > id))) p -= 1
-              if (p < k) {
-                val last = math.min(filled, k - 1)
-                var q = last
-                while (q > p) { bestC(q) = bestC(q - 1); bestId(q) = bestId(q - 1); q -= 1 }
-                bestC(p) = c; bestId(p) = id
-                if (filled < k) filled += 1
-              }
+              insert(i, c, m(j)._2)
+              insert(j, c, m(i)._2)
             }
             j += 1
           }
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        i = 0
+        while (i < n) {
           var s = 0
-          while (s < filled) { out += ((m(i)._2, bestId(s), bestC(s))); s += 1 }
+          while (s < filled(i)) {
+            out += ((m(i)._2, bestId(i * k + s), bestC(i * k + s)))
+            s += 1
+          }
           i += 1
         }
         out
@@ -1228,15 +1255,11 @@ object EmbeddingSearch {
     val approx = knnJoinScaled(spark, dir, k, targetBucket, bands, candidateCap)
       .where(col("vec_id") < nProbes)
       .select(col("vec_id").as("a_id"), col("nbr_id").as("a_nbr"))
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val probes = emb.where(col("vec_id") < nProbes)
-      .select(col("vec_id").as("p_id"), col("v").as("pv"))
-    val w = Window.partitionBy("p_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    val exTop = emb.join(broadcast(probes), col("vec_id") =!= col("p_id"))
-      .select(col("p_id"), col("vec_id"), round(cosine(col("v"), col("pv")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("p_id"), col("vec_id").as("e_nbr"))
+    // the exact side IS bruteForceTopK on the probe set — one ranking
+    // rule, like every other recall helper here (a second hand-rolled
+    // probe would silently fork the rule on any future edit)
+    val exTop = bruteForceTopK(spark, dir, k, nQueries = nProbes)
+      .select(col("query_id").as("p_id"), col("vec_id").as("e_nbr"))
     exTop.join(approx,
         exTop("p_id") === approx("a_id") && exTop("e_nbr") === approx("a_nbr"), "left")
       .groupBy(col("p_id"))

@@ -526,6 +526,11 @@ class EmbeddingSpec extends AnyFunSuite {
     edges.foreach { x =>
       assert(EmbeddingSearch.round6(x) == slow(x), s"fast/slow disagree at boundary $x")
     }
+    // non-finite inputs pass through (Spark's Round semantics) instead of
+    // the NumberFormatException BigDecimal(NaN) would throw
+    assert(EmbeddingSearch.round6(Double.NaN).isNaN)
+    assert(EmbeddingSearch.round6(Double.PositiveInfinity) == Double.PositiveInfinity)
+    assert(EmbeddingSearch.round6(Double.NegativeInfinity) == Double.NegativeInfinity)
   }
 
   test("kNN-graph recall: well-formed per probe; cap's recall cost is measured, not hidden") {
