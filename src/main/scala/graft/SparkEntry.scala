@@ -625,6 +625,12 @@ object SparkEntry {
     // the train-once discipline a sweep must honor; training is
     // deterministic, so results are identical to per-entry retraining
     "text_bpe_merges" -> ((s, dir) => bpeModelFor(s, dir)),
+    // the EVOLVING-STATE trainer (one replace + checkpoint per round —
+    // O(T) merge applications where chain/kernel re-tokenization is
+    // O(T²)); merge-identical by construction, registered so the
+    // production-rounds trainer sits under the same replayed oracle
+    "text_bpe_merges_evolving" -> ((s, dir) =>
+      TextAnalysis.bpeMergesEvolving(Tables.documents(s, dir))),
     // the vocabulary those merges induce, instance-weighted — the table a
     // vocab-size/coverage budget decision reads
     "text_bpe_vocab" -> ((s, dir) =>
@@ -2515,6 +2521,13 @@ object SparkEntry {
     // BPE trainer replay: 8 unrolled merge rounds — the merge table IS the
     // gated result (see bpeCtes)
     "text_bpe_merges" ->
+      s"""${bpeCtes(8)}
+         |${(1 to 8).map(t =>
+             s"SELECT $t::BIGINT AS merge_round, a AS lhs, b AS rhs, " +
+               s"a||b AS merged, cnt AS pair_count FROM m$t")
+           .mkString("\nUNION ALL\n")}""".stripMargin,
+    // the evolving trainer is merge-identical to the chain — same oracle
+    "text_bpe_merges_evolving" ->
       s"""${bpeCtes(8)}
          |${(1 to 8).map(t =>
              s"SELECT $t::BIGINT AS merge_round, a AS lhs, b AS rhs, " +

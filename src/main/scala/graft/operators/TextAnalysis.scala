@@ -1576,9 +1576,15 @@ object TextAnalysis {
     */
   private def bpePairCounts(words: DataFrame, merges: Seq[(String, String)],
       kernel: Boolean = false): DataFrame =
-    words.select(col("c"),
-        (if (kernel) bpeTokensKernel(col("w"), merges)
-         else bpeTokens(bpeApplyMerges(col("s0"), merges))).as("l"))
+    bpePairCountsTok(words,
+      if (kernel) bpeTokensKernel(col("w"), merges)
+      else bpeTokens(bpeApplyMerges(col("s0"), merges)))
+
+  /** Adjacent-pair counts over any (c, tokens) derivation — shared by the
+    * from-scratch paths (chain/kernel over `words`) and the evolving
+    * trainer (current bracketed column). */
+  private def bpePairCountsTok(src: DataFrame, toks: Column): DataFrame =
+    src.select(col("c"), toks.as("l"))
       .where(size(col("l")) >= 2)
       .select(col("c"), explode(transform(sequence(lit(0), size(col("l")) - 2),
         i => struct(element_at(col("l"), i + 1).as("a"),
@@ -1625,6 +1631,59 @@ object TextAnalysis {
       }
       merges.toSeq
     } finally { words.unpersist(); () }
+  }
+
+  /** The EVOLVING-STATE trainer — the production-rounds shape. [[trainBpe]]
+    * re-tokenizes from scratch every round (chain or kernel: round t pays
+    * up to t merge applications per word — O(T²) applications over T
+    * rounds, which is what capped even the kernel path's round count);
+    * here the tokenization is STATE, advanced one merge per round with a
+    * single `replace` over the previous round's materialized strings —
+    * the dedupClusters checkpointed-iteration discipline applied to the
+    * tokenizer. Per round: one vocabulary-scale replace + localCheckpoint
+    * (lineage truncated, so the plan stays one replace deep at ANY round
+    * number), one pair-count aggregation, one 1-row argmax. O(T) merge
+    * applications total — a 32k-merge vocabulary is 32k constant-cost
+    * rounds instead of quadratically growing ones. Merge-for-merge
+    * identical to [[trainBpe]] by construction (each round's replace IS
+    * the chain's next link, applied to the chain's own intermediate
+    * state); spec-pinned at 8 rounds vs the chain and at full vocab
+    * exhaustion vs the kernel.
+    */
+  private[operators] def trainBpeEvolving(docs: DataFrame,
+      rounds: Int): Seq[(String, String, Long)] = {
+    require(rounds >= 1, "rounds must be positive")
+    bpeTrainings.incrementAndGet()
+    var cur = bpeWordFreq(docs).select(col("c"), col("s0").as("s")).localCheckpoint()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var exhausted = false
+      for (_ <- 1 to rounds if !exhausted) {
+        val best = bpePairCountsTok(cur, bpeTokens(col("s")))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((a, b, n))
+          val next = cur.withColumn("s",
+            replace(col("s"), lit(s"<$a><$b>"), lit(s"<$a$b>"))).localCheckpoint()
+          org.apache.spark.sql.GraftShim.unpersistCheckpoint(cur)
+          cur = next
+        }
+      }
+      merges.toSeq
+    } finally { org.apache.spark.sql.GraftShim.unpersistCheckpoint(cur); () }
+  }
+
+  /** [[trainBpeEvolving]]'s merge table as a DataFrame — same shape as
+    * [[bpeMerges]]. */
+  def bpeMergesEvolving(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainBpeEvolving(docs, rounds).zipWithIndex
+      .map { case ((a, b, n), i) => (i + 1L, a, b, a + b, n) }
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
   }
 
   /** The trained merge table — (merge_round, lhs, rhs, merged, pair_count),

@@ -136,6 +136,13 @@ object ScaleBench {
     "text_bpe_merges_k256" -> ((s, dir) =>
       graft.operators.TextAnalysis.bpeMerges(
         graft.sources.Tables.documents(s, dir), rounds = 256, kernel = true)),
+    // the evolving-state trainer at the same knob: per-round cost is
+    // independent of the round NUMBER (one replace + checkpoint + agg),
+    // vs the kernel's from-scratch re-tokenization (round t re-applies t
+    // merges) — the row that shows O(T) vs O(T²) round scaling
+    "text_bpe_merges_e256" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bpeMergesEvolving(
+        graft.sources.Tables.documents(s, dir), rounds = 256)),
     // quality classifier at 256 hashed dims — the GD loop where the
     // weight vector is no longer a trivially-inlined 17-literal array
     "text_quality_classifier_d256" -> ((s, dir) =>

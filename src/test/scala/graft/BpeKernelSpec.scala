@@ -91,6 +91,21 @@ class BpeKernelSpec extends AnyFunSuite {
     assert(kern == chain, s"kernel training diverged:\n$kern\nvs\n$chain")
   }
 
+  test("evolving-state trainer reproduces the chain at 8 rounds and the kernel at full exhaustion") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def table(df: org.apache.spark.sql.DataFrame) = df
+      .select("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(table(TextAnalysis.bpeMergesEvolving(docs, rounds = 8)) ==
+      table(TextAnalysis.bpeMerges(docs, rounds = 8)),
+      "evolving trainer diverged from the chain at 8 rounds")
+    // full-vocab exhaustion: both trainers must stop at the same table
+    val evolved = table(TextAnalysis.bpeMergesEvolving(docs, rounds = 256))
+    val kern = table(TextAnalysis.bpeMerges(docs, rounds = 256, kernel = true))
+    assert(evolved == kern,
+      s"evolving trainer diverged from the kernel at exhaustion (${evolved.length} vs ${kern.length})")
+  }
+
   test("kernel serve paths are row-identical to the chain at sf0.001") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = TextAnalysis.bpeMerges(docs, rounds = 8)
