@@ -469,7 +469,10 @@ object EmbeddingSearch {
       targetBucket: Int = 32, bands: Int = 8): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val rpb = lshRowsPerBand(emb.count(), targetBucket)
-    cosineNearDupPairsFor(emb, tau, nPlanes = bands * rpb, bands = bands)
+    // bucket-local since r9 (row-identical to cosineNearDupPairsFor,
+    // spec-pinned) — the clustered-bucket candidate volume stays
+    // arithmetic instead of shuffled vector-carrying edges
+    cosineNearDupPairsBucketLocal(emb, tau, nPlanes = bands * rpb, bands = bands)
   }
 
   /** SemDeDup-style SEMANTIC PRUNE (Abbas et al. '23): drop every vector
@@ -679,6 +682,67 @@ object EmbeddingSearch {
       knnJoin(spark, dir, k, nPlanes = bands * rpb, bands = bands, candidateCap = candidateCap)
     else
       knnJoinBucketLocal(spark, dir, k, nPlanes = bands * rpb, bands = bands)
+  }
+
+  /** [[cosineNearDupPairsFor]] computed BUCKET-LOCALLY — identical rows
+    * (spec-pinned), the same kernel discipline as [[knnJoinBucketLocal]]
+    * applied to the PAIRS contract: per band bucket, one pass scores
+    * every unordered member pair and emits only the survivors of the
+    * exact `cosine ≥ tau` filter, so the quadratic clustered-bucket
+    * candidate set is straight-line arithmetic instead of shuffled edges
+    * fetching 2×512 B vectors each. The OUTPUT can still be quadratic
+    * inside a dup cluster (that is the pairs contract — cluster-scale
+    * dedup routes through `Dedup.dedupClusters`), but the intermediate no
+    * longer is. Same drain-time `maxBucket` guard.
+    */
+  def cosineNearDupPairsBucketLocal(embeddings: DataFrame, tau: Double,
+      nPlanes: Int = 16, bands: Int = 4, maxBucket: Int = 1 << 17): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val emb = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val banded = emb.select(col("vec_id"), col("v"),
+      explode(lshBandKeys(lshSignature(col("v"), nPlanes), bands, nPlanes / bands)).as("band"))
+    banded.select(col("band"), col("vec_id"), col("v"))
+      .as[(String, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (band, it) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double])]()
+        while (it.hasNext) {
+          buf += it.next()
+          require(buf.length <= maxBucket,
+            s"band bucket '$band' holds more than $maxBucket vectors — the " +
+              "signature is not discriminating on this corpus; widen the LSH")
+        }
+        val n = buf.length
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) { norms(i) = math.sqrt(dotSeq(buf(i)._3, buf(i)._3)); i += 1 }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            if (buf(i)._2 != buf(j)._2) {
+              val c =
+                if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
+                else round6(dotSeq(buf(i)._3, buf(j)._3) / (norms(i) * norms(j)))
+              if (c >= tau) {
+                val (a, b) =
+                  if (buf(i)._2 < buf(j)._2) (buf(i)._2, buf(j)._2)
+                  else (buf(j)._2, buf(i)._2)
+                out += ((a, b, c))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("vec_a", "vec_b", "cosine")
+      // multi-band duplicates carry identical cosines — one survives
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** Same over any (vec_id, embedding: array<numeric>) frame. `nPlanes`

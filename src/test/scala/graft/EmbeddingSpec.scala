@@ -479,6 +479,16 @@ class EmbeddingSpec extends AnyFunSuite {
     val gotD = EmbeddingSearch.knnJoinBucketLocal(spark, dir)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(gotD == expD, "bucket-local kernel diverged from the edge formulation")
+    // the PAIRS kernel too, at the fixed 16-plane/4-band defaults — a
+    // different bucket shape than the rpb-derived widths the scaled pin
+    // above exercises (cosineNearDupPairsScaled routes through the kernel)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val expP = EmbeddingSearch.cosineNearDupPairsFor(emb, tau = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val gotP = EmbeddingSearch.cosineNearDupPairsBucketLocal(emb, tau = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expP.nonEmpty, "fixture produced no near-dup pairs — pin is vacuous")
+    assert(gotP == expP, "bucket-local pairs kernel diverged from the edge formulation")
   }
 
   test("kNN candidate cap: no-op when cap covers occupancy, bounded and ranked when binding") {
