@@ -1360,6 +1360,16 @@ object SparkEntry {
     * join against the empty merge would silently empty every later CTE
     * and fail the hash gate with zero rows.
     */
+  /** The trained merge TABLE replayed as SQL — shared verbatim by the
+    * chain, kernel, and evolving trainer entries, which are spec-pinned
+    * merge-identical (editing one trainer's oracle must edit all). */
+  private lazy val bpeMergeTableSql: String =
+    s"""${bpeCtes(8)}
+       |${(1 to 8).map(t =>
+           s"SELECT $t::BIGINT AS merge_round, a AS lhs, b AS rhs, " +
+             s"a||b AS merged, cnt AS pair_count FROM m$t")
+         .mkString("\nUNION ALL\n")}""".stripMargin
+
   private def bpeCtes(rounds: Int): String = {
     val base =
       """wrd AS (SELECT w, count(*)::BIGINT AS c
@@ -2520,19 +2530,9 @@ object SparkEntry {
          |FROM sc""".stripMargin,
     // BPE trainer replay: 8 unrolled merge rounds — the merge table IS the
     // gated result (see bpeCtes)
-    "text_bpe_merges" ->
-      s"""${bpeCtes(8)}
-         |${(1 to 8).map(t =>
-             s"SELECT $t::BIGINT AS merge_round, a AS lhs, b AS rhs, " +
-               s"a||b AS merged, cnt AS pair_count FROM m$t")
-           .mkString("\nUNION ALL\n")}""".stripMargin,
+    "text_bpe_merges" -> bpeMergeTableSql,
     // the evolving trainer is merge-identical to the chain — same oracle
-    "text_bpe_merges_evolving" ->
-      s"""${bpeCtes(8)}
-         |${(1 to 8).map(t =>
-             s"SELECT $t::BIGINT AS merge_round, a AS lhs, b AS rhs, " +
-               s"a||b AS merged, cnt AS pair_count FROM m$t")
-           .mkString("\nUNION ALL\n")}""".stripMargin,
+    "text_bpe_merges_evolving" -> bpeMergeTableSql,
     "text_bpe_vocab" ->
       s"""${bpeCtes(8)}
          |SELECT token, freq, length(token)::BIGINT AS n_chars FROM (

@@ -576,36 +576,19 @@ object EmbeddingSearch {
   private[graft] def knnJoinBucketLocal(spark: SparkSession, dir: String,
       k: Int = 3, nPlanes: Int = 16, bands: Int = 4,
       maxBucket: Int = 1 << 17): DataFrame = {
-    require(nPlanes % bands == 0, "bands must divide nPlanes")
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val banded = emb.select(col("vec_id"), col("v"),
-      explode(lshBandKeys(lshSignature(col("v"), nPlanes), bands, nPlanes / bands)).as("band"))
-    val local = banded.select(col("band"), col("vec_id"), col("v"))
+    val local = bandedVectors(Tables.embeddings(spark, dir), nPlanes, bands)
       .as[(String, Long, Array[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (band, it) =>
-        // the guard fires WHILE draining the iterator — a degenerate
-        // bucket must fail with this message before its vectors are ever
-        // buffered, not OOM inside toArray
-        val buf = new scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double])]()
-        while (it.hasNext) {
-          buf += it.next()
-          require(buf.length <= maxBucket,
-            s"band bucket '$band' holds more than $maxBucket vectors — the " +
-              "signature is not discriminating on this corpus; widen the LSH or " +
-              "use the explicitly-capped knnJoin variant")
-        }
-        val m = buf
+        val (m, norms) = drainBucketWithNorms(band, it, maxBucket,
+          "widen the LSH or use the explicitly-capped knnJoin variant")
         val n = m.length
-        val norms = new Array[Double](n)
-        var i = 0
-        while (i < n) { norms(i) = math.sqrt(dotSeq(m(i)._3, m(i)._3)); i += 1 }
         // per-member bounded top-k slices in two flat arrays; each
         // unordered pair is scored ONCE (dot and the norm product are
         // IEEE-commutative, so both directions see bit-identical cosines)
-        // and inserted into both members' slices
+        // and inserted into both members' slices; ordering via cosLt/cosEq
+        // so a NaN cosine ranks first, as the global window would rank it
         val bestC = new Array[Double](n * k)
         val bestId = new Array[Long](n * k)
         val filled = new Array[Int](n)
@@ -613,8 +596,8 @@ object EmbeddingSearch {
           val base = owner * k
           val f = filled(owner)
           var p = f
-          while (p > 0 && (bestC(base + p - 1) < c ||
-              (bestC(base + p - 1) == c && bestId(base + p - 1) > id))) p -= 1
+          while (p > 0 && (cosLt(bestC(base + p - 1), c) ||
+              (cosEq(bestC(base + p - 1), c) && bestId(base + p - 1) > id))) p -= 1
           if (p < k) {
             var q = math.min(f, k - 1)
             while (q > p) {
@@ -627,7 +610,7 @@ object EmbeddingSearch {
             if (f < k) filled(owner) = f + 1
           }
         }
-        i = 0
+        var i = 0
         while (i < n) {
           var j = i + 1
           while (j < n) {
@@ -684,6 +667,50 @@ object EmbeddingSearch {
       knnJoinBucketLocal(spark, dir, k, nPlanes = bands * rpb, bands = bands)
   }
 
+  /** The shared bucket-local-kernel prologue: project to (vec_id, v),
+    * explode into band keys. Both kernels group on the result's `band`.
+    */
+  private def bandedVectors(embeddings: DataFrame, nPlanes: Int, bands: Int): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        explode(lshBandKeys(lshSignature(col("v"), nPlanes), bands, nPlanes / bands)).as("band"))
+      .select(col("band"), col("vec_id"), col("v"))
+  }
+
+  /** Drain one band bucket into an array + precomputed norms. The guard
+    * fires WHILE draining — a degenerate bucket must fail with this
+    * message before its vectors are ever buffered, not OOM inside
+    * toArray; `guardHint` names the kernel-specific escape route.
+    */
+  private def drainBucketWithNorms(band: String,
+      it: Iterator[(String, Long, Array[Double])], maxBucket: Int, guardHint: String):
+      (scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double])], Array[Double]) = {
+    val buf = new scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double])]()
+    while (it.hasNext) {
+      buf += it.next()
+      require(buf.length <= maxBucket,
+        s"band bucket '$band' holds more than $maxBucket vectors — the " +
+          s"signature is not discriminating on this corpus; $guardHint")
+    }
+    val norms = new Array[Double](buf.length)
+    var i = 0
+    while (i < buf.length) { norms(i) = math.sqrt(dotSeq(buf(i)._3, buf(i)._3)); i += 1 }
+    (buf, norms)
+  }
+
+  /** Spark's ORDER BY / comparison total order on doubles, replicated for
+    * the kernels' driver-side compares: NaN ranks ABOVE every numeric and
+    * EQUAL to itself (so a NaN cosine passes any `>= tau` filter and wins
+    * any descending sort, exactly as the edge formulations' Column
+    * comparisons decide); ±0.0 already compare equal under JVM primitive
+    * operators, matching Spark.
+    */
+  private def cosLt(a: Double, b: Double): Boolean =
+    if (b != b) a == a else if (a != a) false else a < b
+  private def cosEq(a: Double, b: Double): Boolean = a == b || (a != a && b != b)
+  private def cosGeq(a: Double, b: Double): Boolean = !cosLt(a, b)
+
   /** [[cosineNearDupPairsFor]] computed BUCKET-LOCALLY — identical rows
     * (spec-pinned), the same kernel discipline as [[knnJoinBucketLocal]]
     * applied to the PAIRS contract: per band bucket, one pass scores
@@ -692,53 +719,47 @@ object EmbeddingSearch {
     * candidate set is straight-line arithmetic instead of shuffled edges
     * fetching 2×512 B vectors each. The OUTPUT can still be quadratic
     * inside a dup cluster (that is the pairs contract — cluster-scale
-    * dedup routes through `Dedup.dedupClusters`), but the intermediate no
-    * longer is. Same drain-time `maxBucket` guard.
+    * dedup routes through `Dedup.dedupClusters`), so survivors stream out
+    * of a lazy iterator — the kernel holds one bucket's VECTORS, never
+    * its pair set. Same drain-time `maxBucket` guard.
     */
   def cosineNearDupPairsBucketLocal(embeddings: DataFrame, tau: Double,
       nPlanes: Int = 16, bands: Int = 4, maxBucket: Int = 1 << 17): DataFrame = {
-    require(nPlanes % bands == 0, "bands must divide nPlanes")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val emb = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val banded = emb.select(col("vec_id"), col("v"),
-      explode(lshBandKeys(lshSignature(col("v"), nPlanes), bands, nPlanes / bands)).as("band"))
-    banded.select(col("band"), col("vec_id"), col("v"))
+    bandedVectors(embeddings, nPlanes, bands)
       .as[(String, Long, Array[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (band, it) =>
-        val buf = new scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double])]()
-        while (it.hasNext) {
-          buf += it.next()
-          require(buf.length <= maxBucket,
-            s"band bucket '$band' holds more than $maxBucket vectors — the " +
-              "signature is not discriminating on this corpus; widen the LSH")
-        }
-        val n = buf.length
-        val norms = new Array[Double](n)
-        var i = 0
-        while (i < n) { norms(i) = math.sqrt(dotSeq(buf(i)._3, buf(i)._3)); i += 1 }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) {
-            if (buf(i)._2 != buf(j)._2) {
-              val c =
-                if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
-                else round6(dotSeq(buf(i)._3, buf(j)._3) / (norms(i) * norms(j)))
-              if (c >= tau) {
-                val (a, b) =
-                  if (buf(i)._2 < buf(j)._2) (buf(i)._2, buf(j)._2)
-                  else (buf(j)._2, buf(i)._2)
-                out += ((a, b, c))
+        val (m, norms) = drainBucketWithNorms(band, it, maxBucket, "widen the LSH")
+        val n = m.length
+        new Iterator[(Long, Long, Double)] {
+          private var i = 0
+          private var j = 1
+          private var pending: (Long, Long, Double) = _
+          advance()
+          private def advance(): Unit = {
+            pending = null
+            while (pending == null && i < n) {
+              while (pending == null && j < n) {
+                if (m(i)._2 != m(j)._2) {
+                  val c =
+                    if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
+                    else round6(dotSeq(m(i)._3, m(j)._3) / (norms(i) * norms(j)))
+                  if (cosGeq(c, tau)) {
+                    pending =
+                      if (m(i)._2 < m(j)._2) (m(i)._2, m(j)._2, c)
+                      else (m(j)._2, m(i)._2, c)
+                  }
+                }
+                j += 1
               }
+              if (pending == null) { i += 1; j = i + 1 }
             }
-            j += 1
           }
-          i += 1
+          def hasNext: Boolean = pending != null
+          def next(): (Long, Long, Double) = { val r = pending; advance(); r }
         }
-        out
       }
       .toDF("vec_a", "vec_b", "cosine")
       // multi-band duplicates carry identical cosines — one survives

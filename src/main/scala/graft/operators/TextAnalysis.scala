@@ -1676,28 +1676,28 @@ object TextAnalysis {
     } finally { org.apache.spark.sql.GraftShim.unpersistCheckpoint(cur); () }
   }
 
-  /** [[trainBpeEvolving]]'s merge table as a DataFrame — same shape as
-    * [[bpeMerges]]. */
-  def bpeMergesEvolving(docs: DataFrame, rounds: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
+  /** The one merge-table shape both trainers publish — (merge_round, lhs,
+    * rhs, merged, pair_count), rounds numbered from 1 in training order.
+    */
+  private def mergesToDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String, Long)]): DataFrame = {
     import spark.implicits._
-    trainBpeEvolving(docs, rounds).zipWithIndex
+    merges.toSeq.zipWithIndex
       .map { case ((a, b, n), i) => (i + 1L, a, b, a + b, n) }
       .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
   }
 
-  /** The trained merge table — (merge_round, lhs, rhs, merged, pair_count),
-    * rounds numbered from 1 in training order. This IS the tokenizer model
-    * (apply = replay the replaces in round order); see [[trainBpe]] for the
-    * training discipline and the portability argument.
+  /** [[trainBpeEvolving]]'s merge table as a DataFrame — same shape as
+    * [[bpeMerges]]. */
+  def bpeMergesEvolving(docs: DataFrame, rounds: Int = 8): DataFrame =
+    mergesToDf(docs.sparkSession, trainBpeEvolving(docs, rounds))
+
+  /** The trained merge table. This IS the tokenizer model (apply = replay
+    * the replaces in round order); see [[trainBpe]] for the training
+    * discipline and the portability argument.
     */
-  def bpeMerges(docs: DataFrame, rounds: Int = 8, kernel: Boolean = false): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    trainBpe(docs, rounds, kernel).zipWithIndex
-      .map { case ((a, b, n), i) => (i + 1L, a, b, a + b, n) }
-      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
-  }
+  def bpeMerges(docs: DataFrame, rounds: Int = 8, kernel: Boolean = false): DataFrame =
+    mergesToDf(docs.sparkSession, trainBpe(docs, rounds, kernel))
 
   /** [[bpeVocab]] under an EXPLICIT merge list — the serve half for a
     * model trained once elsewhere (the train-once discipline: a sweep

@@ -491,6 +491,40 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(gotP == expP, "bucket-local pairs kernel diverged from the edge formulation")
   }
 
+  test("NaN cosines rank per Spark's total order in both bucket-local kernels") {
+    // Spark treats NaN as larger than any numeric: the edge formulations'
+    // Column compares pass a NaN cosine through `>= tau` and rank it first
+    // in the desc window — the kernels' JVM compares must agree. Two
+    // vectors with a NaN component share every band (all signature bits
+    // false) and produce a NaN cosine.
+    val rows = Seq(
+      (100L, Array(Float.NaN, 1f, 0f, 0f), 0),
+      (101L, Array(Float.NaN, 2f, 0f, 0f), 0),
+      (102L, Array(1f, 0.1f, 0f, 0f), 0),
+      (103L, Array(0.99f, 0.12f, 0f, 0f), 0),
+      (104L, Array(-1f, 0.5f, 0.5f, 0f), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // tuple equality treats NaN != NaN — normalize before set-compare
+    def n3(t: (Long, Long, Double)) = (t._1, t._2, if (t._3.isNaN) Double.MaxValue else t._3)
+    val expP = EmbeddingSearch.cosineNearDupPairsFor(df, tau = 0.4)
+      .as[(Long, Long, Double)].collect().map(n3).toSet
+    val gotP = EmbeddingSearch.cosineNearDupPairsBucketLocal(df, tau = 0.4)
+      .as[(Long, Long, Double)].collect().map(n3).toSet
+    assert(expP.exists(_._3 == Double.MaxValue), "fixture produced no NaN pair — pin is vacuous")
+    assert(gotP == expP, "pairs kernel NaN handling diverged from the edge formulation")
+    // the kNN kernel against the edge window over the same corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_nan_knn").toString
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def n4(t: (Long, Long, Double, Long)) =
+      (t._1, t._2, if (t._3.isNaN) Double.MaxValue else t._3, t._4)
+    val expK = EmbeddingSearch.knnJoin(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().map(n4).toSet
+    val gotK = EmbeddingSearch.knnJoinBucketLocal(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().map(n4).toSet
+    assert(expK.exists(_._3 == Double.MaxValue), "fixture produced no NaN kNN edge — pin is vacuous")
+    assert(gotK == expK, "kNN kernel NaN handling diverged from the edge formulation")
+  }
+
   test("kNN candidate cap: no-op when cap covers occupancy, bounded and ranked when binding") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.sources.Tables.embeddings(spark, dir).count()
