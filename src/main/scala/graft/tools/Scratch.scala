@@ -32,6 +32,16 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "bpe1024") {
+      // O(T) round-cost probe for the evolving trainer: 1024 requested
+      // rounds should cost ~4x the 256-round scale row (or stop early at
+      // vocab exhaustion), never the kernel's quadratic re-tokenization
+      val t0 = System.nanoTime()
+      val n = graft.operators.TextAnalysis.bpeMergesEvolving(
+        graft.sources.Tables.documents(spark, sfDir), rounds = 1024).count()
+      println(f"[bpe1024] ${(System.nanoTime() - t0) / 1e9}%.2f s ($n merges learned)")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "knnrecall") {
       import org.apache.spark.sql.functions._
       for (cap <- Seq(0, 32, 64, 96, 128, 192, 256)) {

@@ -58,6 +58,36 @@ class ScaleSpec extends AnyFunSuite {
       s"guard message missing: ${e.getMessage}")
   }
 
+  test("bucket-local pairs kernel: hot one-bucket corpus streams its quadratic output exactly") {
+    // the pairs twin of the kNN stress above: a 150-member near-identical
+    // family is ONE bucket per band and every member pair survives the
+    // tau filter — quadratic OUTPUT by contract (~11k rows from 150
+    // vectors), which the kernel must stream out of its lazy iterator
+    // row-identically to the edge plan, never buffer per task
+    import graft.operators.EmbeddingSearch
+    val base = (0 until 64).map(d => math.sin(d + 1).toFloat)
+    val rows = (0L until 150L).map { i =>
+      (i, base.zipWithIndex.map { case (x, d) =>
+        x + (if (d == (i % 64).toInt) 1e-4f * ((i % 7) + 1) else 0f) }, 0)
+    } ++ (150L until 160L).map { i =>
+      (i, (0 until 64).map(d => math.cos((d + 3) * (i - 148)).toFloat).toIndexedSeq, 1)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label").repartition(4)
+    val edge = EmbeddingSearch.cosineNearDupPairsFor(df, tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val local = EmbeddingSearch.cosineNearDupPairsBucketLocal(df, tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(local == edge, "hot-bucket pairs kernel diverged from the edge plan")
+    assert(local.size >= 150L * 149L / 2,
+      s"the hot family's all-pairs output should survive tau: ${local.size}")
+    val e = intercept[org.apache.spark.SparkException] {
+      EmbeddingSearch.cosineNearDupPairsBucketLocal(df, tau = 0.9, maxBucket = 100).count()
+    }
+    assert(e.getMessage.contains("not discriminating") ||
+      Option(e.getCause).exists(_.getMessage.contains("not discriminating")),
+      s"guard message missing: ${e.getMessage}")
+  }
+
   test("salted join equals plain join") {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
