@@ -855,6 +855,22 @@ object SparkEntry {
       EmbeddingSearch.kmeansTopKPersisted(s, dir, s"$tmp/$keep",
         nClusters = nClusters, iters = iters, samplePct = samplePct)
     }),
+    // cluster-balanced corpus sampling: cap every semantic cluster at its
+    // q most central members — served from the SAME persisted quantizer as
+    // embed_knn_kmeans (identical params => identical index dir), so a
+    // sweep trains once for both; selection is the bounded top-k
+    // aggregator, never a window over corpus/k-row cluster partitions
+    "embed_cluster_balance" -> ((s, dir) => {
+      val (nClusters, iters) = (8, 2)
+      val sfName = new java.io.File(dir).getName
+      val base = s"graft_kmidx_c${nClusters}i${iters}_${sfName}_"
+      val keep = base +
+        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      Tables.cleanStaleExports(tmp, base, keep)
+      EmbeddingSearch.clusterBalancePersisted(s, dir, s"$tmp/$keep", q = 20,
+        nClusters = nClusters, iters = iters)
+    }),
     "embed_label_stats" -> ((s, dir) => EmbeddingSearch.labelStats(s, dir)),
     // SemDeDup-style semantic prune: cell-bounded (label) + band-bounded
     // candidates, exact-cosine verify, deterministic non-transitive keeper
@@ -3253,6 +3269,16 @@ object SparkEntry {
     // sample (smp CTE) — seeds and means come from the sample, the final
     // inverted file and re-rank still cover every vector
     "embed_knn_kmeans_sampled" -> kmeansKnnSql(samplePct = Some(40)),
+    // same Lloyd replay to the final assignment af + centroids c2; the
+    // balance is per-cluster rank by centrality (cosine to own centroid)
+    "embed_cluster_balance" ->
+      s"""WITH ${kmTrainedAssignCtes(None)},
+         |cb AS (SELECT af.cl, af.vec_id,
+         |  round(${cosineSql("af.v", "c2.cv")}, 6) AS centrality
+         |  FROM af JOIN c2 USING (cl)),
+         |r AS (SELECT *, (row_number() OVER
+         |  (PARTITION BY cl ORDER BY centrality DESC, vec_id ASC))::BIGINT AS rank FROM cb)
+         |SELECT cl, vec_id, centrality, rank FROM r WHERE rank <= 20""".stripMargin,
     "embed_label_stats" ->
       s"""WITH e AS (SELECT label::BIGINT AS label,
          |  round(sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),

@@ -1483,6 +1483,52 @@ object EmbeddingSearch {
     kmeansTopKWithIndex(emb, loadKmeansIndex(spark, indexPath), k, nQueries, nprobe)
   }
 
+  /** CLUSTER-BALANCED corpus sampling: keep each semantic cluster's `q`
+    * most CENTRAL members (cosine to the assigned trained centroid desc,
+    * vec_id asc) — the cluster-quota subsampling step of an
+    * embedding-curated data mix (cap every topic at q prototypical
+    * examples so no cluster dominates the training mix), over the same
+    * trained k-means quantizer the ANN entries serve from.
+    *
+    * Scale shape: assignment is the zero-shuffle broadcast-centroid map
+    * pass ([[kmeansAssign]]); per-cluster selection is a BOUNDED typed
+    * aggregator ([[graft.functions.TopKByScoreAggregator]]) — O(q) state
+    * per cluster with map-side partial aggregation, so a corpus-sized hot
+    * cluster costs `partitions × q` shuffle rows, never a window sort over
+    * corpus/k-row partitions (k is small, so window partitions here WOULD
+    * be corpus-scale — the exact shape the aggregator exists to avoid).
+    * Rank = position in the aggregated array (posexplode), no window at
+    * all. Output: (cl, vec_id, centrality, rank).
+    */
+  def clusterBalanceWithIndex(emb: DataFrame, cent: DataFrame, q: Int = 20): DataFrame = {
+    val scored = kmeansAssign(withNorm(emb), cent)
+      .join(broadcast(cent), Seq("cl"))
+      .select(col("cl"), col("vec_id"),
+        round(cosine(col("v"), col("cv")), 6).as("centrality"))
+    scored.groupBy(col("cl"))
+      .agg(graft.functions.TopKByScoreAggregator.topKByScore(q)(
+        col("centrality"), col("vec_id")).as("top"))
+      .select(col("cl"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("cl"), col("t._2").as("vec_id"), col("t._1").as("centrality"),
+        (col("i") + 1).cast("long").as("rank"))
+  }
+
+  /** [[clusterBalanceWithIndex]] against a PERSISTED quantizer, training it
+    * if absent — same train-once discipline (and, at the default params,
+    * the same index directory) as [[kmeansTopKPersisted]]: a sweep running
+    * both entries trains ONE quantizer and serves both from it.
+    */
+  def clusterBalancePersisted(spark: SparkSession, dir: String, indexPath: String,
+      q: Int = 20, nClusters: Int = 8, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
+    val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(marker))
+      saveKmeansIndex(trainKmeansIndex(emb, nClusters, iters), indexPath)
+    clusterBalanceWithIndex(emb, loadKmeansIndex(spark, indexPath), q)
+  }
+
   /** Embedding-norm HYGIENE profile per label — the vector-quality check
     * run before trusting any cosine machinery: zero and near-zero vectors
     * (cosine degenerates on them), and exact decimal norm-squared moments.

@@ -115,6 +115,10 @@ object ScaleBench {
     // measure the 100 TB question directly: does serving a fixed-size
     // batch against a 16x index stay batch-bounded?
     "dedup_incremental", "dedup_forget_serve",
+    // cluster-balanced sampling: one broadcast-centroid assignment pass +
+    // the bounded top-k aggregator — output fixed at k·q rows, so the
+    // slope is the assignment scan's and nothing more
+    "embed_cluster_balance",
     // content-defined chunking: per-doc windows over the doc_id shuffle —
     // linear in corpus tokens
     "corpus_chunks_cdc",

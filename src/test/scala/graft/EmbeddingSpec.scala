@@ -525,6 +525,64 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(gotK == expK, "kNN kernel NaN handling diverged from the edge formulation")
   }
 
+  test("topKByScore aggregator equals the window formulation, incl. NaN and tied scores") {
+    import graft.functions.TopKByScoreAggregator
+    import org.apache.spark.sql.expressions.Window
+    // heavy tying (20 distinct scores over 500 rows), a NaN sprinkle, and
+    // one hot group — the shapes where a bounded merge can drift from the
+    // window's (score desc, id asc) total order
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map { i =>
+      val g = if (i <= 300) 0 else i % 5
+      val score = if (i % 97 == 0) Double.NaN else math.floor(rnd.nextDouble() * 20) / 20.0
+      (g, i.toLong, score)
+    }
+    val df = rows.toDF("g", "id", "score").repartition(8)
+    def norm(t: (Int, Long, Double, Int)) =
+      (t._1, t._2, if (t._3.isNaN) Double.MaxValue else t._3, t._4)
+    val got = df.groupBy(col("g"))
+      .agg(TopKByScoreAggregator.topKByScore(7)(col("score"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("g"), col("t._2").as("id"), col("t._1").as("score"),
+        (col("i") + 1).as("rank"))
+      .as[(Int, Long, Double, Int)].collect().map(norm).toSet
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val exp = df.withColumn("rank", row_number().over(w)).where(col("rank") <= 7)
+      .select(col("g"), col("id"), col("score"), col("rank"))
+      .as[(Int, Long, Double, Int)].collect().map(norm).toSet
+    assert(exp.exists(_._3 == Double.MaxValue), "fixture produced no surviving NaN — pin is vacuous")
+    assert(got == exp, "bounded top-k aggregator diverged from the window formulation")
+  }
+
+  test("cluster balance: persisted serve identical, train-once, per-cluster contract holds") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_cb_idx").toString
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val a = EmbeddingSearch.clusterBalancePersisted(spark, dir, idx, q = 5)
+      .as[(Int, Long, Double, Long)].collect()
+    assert(EmbeddingSearch.kmeansTrainings.get() == before + 1, "first call must train")
+    val b = EmbeddingSearch.clusterBalancePersisted(spark, dir, idx, q = 5)
+      .as[(Int, Long, Double, Long)].collect()
+    assert(EmbeddingSearch.kmeansTrainings.get() == before + 1,
+      "second call must serve from the persisted quantizer, not retrain")
+    assert(a.toSet == b.toSet, "persisted serve diverged from the training run")
+    assert(a.nonEmpty && a.map(_._1).distinct.length > 1, "fixture should yield multiple clusters")
+    a.groupBy(_._1).foreach { case (cl, rs) =>
+      assert(rs.length <= 5, s"cluster $cl exceeded its quota")
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to rs.length), s"cluster $cl ranks malformed")
+      // centrality non-increasing with rank; ties broken by ascending id
+      byRank.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x._3 > y._3 || (x._3 == y._3 && x._2 < y._2),
+            s"cluster $cl ordering violated at ranks ${x._4}/${y._4}")
+        case _ => ()
+      }
+    }
+    // every kept vec_id appears exactly once (a vector belongs to ONE cell)
+    assert(a.map(_._2).distinct.length == a.length, "a vector appeared in two clusters")
+  }
+
   test("kNN candidate cap: no-op when cap covers occupancy, bounded and ranked when binding") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.sources.Tables.embeddings(spark, dir).count()
