@@ -1501,10 +1501,7 @@ object EmbeddingSearch {
     * all. Output: (cl, vec_id, centrality, rank).
     */
   def clusterBalanceWithIndex(emb: DataFrame, cent: DataFrame, q: Int = 20): DataFrame = {
-    val scored = kmeansAssign(withNorm(emb), cent)
-      .join(broadcast(cent), Seq("cl"))
-      .select(col("cl"), col("vec_id"),
-        round(cosine(col("v"), col("cv")), 6).as("centrality"))
+    val scored = centralityScored(emb, cent)
     scored.groupBy(col("cl"))
       .agg(graft.functions.TopKByScoreAggregator.topKByScore(q)(
         col("centrality"), col("vec_id")).as("top"))
@@ -1512,6 +1509,27 @@ object EmbeddingSearch {
       .select(col("cl"), col("t._2").as("vec_id"), col("t._1").as("centrality"),
         (col("i") + 1).cast("long").as("rank"))
   }
+
+  /** Cell + centrality for every vector of a (vec_id, v) frame against a
+    * trained quantizer: the zero-shuffle broadcast-centroid assignment
+    * ([[kmeansAssign]]) plus the rounded cosine to the OWN centroid —
+    * shared by the balance rank and the streaming routing tier.
+    */
+  private def centralityScored(embV: DataFrame, cent: DataFrame): DataFrame =
+    kmeansAssign(withNorm(embV), cent)
+      .join(broadcast(cent), Seq("cl"))
+      .select(col("cl"), col("vec_id"),
+        round(cosine(col("v"), col("cv")), 6).as("centrality"))
+
+  /** [[centralityScored]] over any raw (vec_id, embedding: array<numeric>)
+    * frame — the serve-side ROUTING primitive an online embedding ingest
+    * runs per batch: which trained cell does each new vector land in, and
+    * how central is it there (grow an IVF cell file, watch balance drift).
+    * Output: (cl, vec_id, centrality).
+    */
+  def assignWithIndex(embeddings: DataFrame, cent: DataFrame): DataFrame =
+    centralityScored(
+      embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")), cent)
 
   /** [[clusterBalanceWithIndex]] against a PERSISTED quantizer, training it
     * if absent — same train-once discipline (and, at the default params,

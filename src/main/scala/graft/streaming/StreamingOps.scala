@@ -696,6 +696,27 @@ object StreamingOps {
           batch.sparkSession, modelPath)), batchId)
     }
 
+  /** Streaming cell routing against the PERSISTED k-means quantizer
+    * ([[graft.operators.EmbeddingSearch.saveKmeansIndex]]) — the VECTOR
+    * twin of [[classifyAgainstModel]], completing the trained-artifact
+    * serve matrix (LM, boilerplate, classifier, BPE, quantizer): each
+    * micro-batch of (vec_id, embedding) is routed to its trained cell
+    * (argmax rounded cosine, lowest-cl tie-break) with its centrality —
+    * what an online embedding ingest runs to grow an IVF index cell-wise
+    * or watch cluster balance drift. The k-row quantizer re-loads per
+    * batch (a re-trained model takes effect on the NEXT batch); the
+    * assignment is the zero-shuffle broadcast-centroid map pass, so
+    * per-batch cost is the batch scan, never the corpus. Sink receives
+    * (cl, vec_id, centrality).
+    */
+  def assignAgainstKmeansIndex(vecs: DataFrame, indexPath: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.EmbeddingSearch.assignWithIndex(batch,
+        graft.operators.EmbeddingSearch.loadKmeansIndex(
+          batch.sparkSession, indexPath)), batchId)
+    }
+
   /** The COMPOSED ingest chain a 100 TB training-data stream runs, ordered
     * cheapest-first so each stage sheds volume before the next pays for it:
     * stateless quality predicate → stateless decontamination (broadcast

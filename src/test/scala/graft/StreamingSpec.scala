@@ -838,6 +838,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("k-means quantizer serve: streamed cell routing equals the batch serve, zero retrains") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EmbeddingSearch
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_km_sidx").toString + "/m"
+    EmbeddingSearch.saveKmeansIndex(EmbeddingSearch.trainKmeansIndex(
+      emb.select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("v"))), idx)
+    val batchServe = EmbeddingSearch
+      .assignWithIndex(emb, EmbeddingSearch.loadKmeansIndex(spark, idx))
+      .select($"cl", $"vec_id", $"centrality")
+      .as[(Int, Long, Double)].collect().map(r => r._2 -> (r._1, r._3)).toMap
+    val sample = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().take(5)
+    val got = scala.collection.mutable.Map.empty[Long, (Int, Double)]
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.assignAgainstKmeansIndex(
+        input.toDF().toDF("vec_id", "embedding"), idx) { (routed, _) =>
+      routed.select($"cl", $"vec_id", $"centrality")
+        .as[(Int, Long, Double)].collect().foreach(r => got(r._2) = (r._1, r._3))
+    }.start()
+    try {
+      input.addData(sample.toIndexedSeq)
+      q.processAllAvailable()
+      sample.foreach { case (id, _) =>
+        assert(got(id) == batchServe(id), s"vec $id drifted: ${got(id)} vs ${batchServe(id)}")
+      }
+      assert(EmbeddingSearch.kmeansTrainings.get() == before,
+        "streaming serve must never train")
+    } finally q.stop()
+  }
+
   test("classifier serve survives a checkpointed stop/restart (VERDICT r8 item 5)") {
     // the SpaceSaving restart contract applied to the classifier serve
     // tier: kill the query, start a NEW instance on the same checkpoint —
