@@ -76,6 +76,27 @@ object SparkEntry {
     bpeModelRows(s, dir)
       .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toIndexedSeq
 
+  /** The ONE derivation of a persisted k-means quantizer's directory:
+    * training params + dataset fingerprint in the name (an index trained
+    * under different params or data can never be served), stale
+    * fingerprints reclaimed. Every quantizer-backed entry MUST route
+    * through this — two hand-maintained copies drifting apart would
+    * silently split the shared index into per-entry retrains
+    * (spec-asserted: running `embed_cluster_balance` after
+    * `embed_knn_kmeans` adds zero trainings).
+    */
+  private[graft] def kmeansIndexDirFor(dir: String, nClusters: Int, iters: Int,
+      samplePct: Option[Int] = None): String = {
+    val sfName = new java.io.File(dir).getName
+    val sp = samplePct.map(p => s"sp$p").getOrElse("")
+    val base = s"graft_kmidx_c${nClusters}i$iters${sp}_${sfName}_"
+    val keep = base +
+      java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
+    val tmp = System.getProperty("java.io.tmpdir")
+    Tables.cleanStaleExports(tmp, base, keep)
+    s"$tmp/$keep"
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — reference parity (SURVEY.md §2.1) —
@@ -824,53 +845,31 @@ object SparkEntry {
     // selection over the checkpointed shortlist, k unrolled lazy rounds
     "embed_mmr_rerank" -> ((s, dir) => EmbeddingSearch.mmrTopK(s, dir)),
     "embed_knn_kmeans" -> ((s, dir) => {
-      // training params are DERIVED into the dir prefix and passed to the
-      // call from the same values — an index trained under different
-      // params can never be served for this entry
-      val (nClusters, iters) = (8, 2)
-      val sfName = new java.io.File(dir).getName
-      val base = s"graft_kmidx_c${nClusters}i${iters}_${sfName}_"
-      val keep = base +
-        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
-      val tmp = System.getProperty("java.io.tmpdir")
-      Tables.cleanStaleExports(tmp, base, keep)
       // pre-params-in-prefix releases used graft_kmidx_<sf>_<hex> — those
       // orphans can never be served again; reclaim them too (the keep
       // marker "-" matches no hex name, so every legacy dir is stale)
-      Tables.cleanStaleExports(tmp, s"graft_kmidx_${sfName}_", s"graft_kmidx_${sfName}_-")
-      EmbeddingSearch.kmeansTopKPersisted(s, dir, s"$tmp/$keep",
-        nClusters = nClusters, iters = iters)
+      val sfName = new java.io.File(dir).getName
+      Tables.cleanStaleExports(System.getProperty("java.io.tmpdir"),
+        s"graft_kmidx_${sfName}_", s"graft_kmidx_${sfName}_-")
+      EmbeddingSearch.kmeansTopKPersisted(s, dir, kmeansIndexDirFor(dir, 8, 2),
+        nClusters = 8, iters = 2)
     }),
     // the 100 TB training shape: Lloyd rounds fit on a DETERMINISTIC 40%
     // sample (portable affine hash of vec_id — the oracle replays exactly
     // which vectors trained), serving still assigns/re-ranks the full set
-    "embed_knn_kmeans_sampled" -> ((s, dir) => {
-      val (nClusters, iters, samplePct) = (8, 2, 40)
-      val sfName = new java.io.File(dir).getName
-      val base = s"graft_kmidx_c${nClusters}i${iters}sp${samplePct}_${sfName}_"
-      val keep = base +
-        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
-      val tmp = System.getProperty("java.io.tmpdir")
-      Tables.cleanStaleExports(tmp, base, keep)
-      EmbeddingSearch.kmeansTopKPersisted(s, dir, s"$tmp/$keep",
-        nClusters = nClusters, iters = iters, samplePct = samplePct)
-    }),
+    "embed_knn_kmeans_sampled" -> ((s, dir) =>
+      EmbeddingSearch.kmeansTopKPersisted(s, dir,
+        kmeansIndexDirFor(dir, 8, 2, samplePct = Some(40)),
+        nClusters = 8, iters = 2, samplePct = 40)),
     // cluster-balanced corpus sampling: cap every semantic cluster at its
     // q most central members — served from the SAME persisted quantizer as
-    // embed_knn_kmeans (identical params => identical index dir), so a
-    // sweep trains once for both; selection is the bounded top-k
+    // embed_knn_kmeans (same kmeansIndexDirFor derivation at the same
+    // params => the same index dir, spec-asserted zero extra trainings),
+    // so a sweep trains once for both; selection is the bounded top-k
     // aggregator, never a window over corpus/k-row cluster partitions
-    "embed_cluster_balance" -> ((s, dir) => {
-      val (nClusters, iters) = (8, 2)
-      val sfName = new java.io.File(dir).getName
-      val base = s"graft_kmidx_c${nClusters}i${iters}_${sfName}_"
-      val keep = base +
-        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
-      val tmp = System.getProperty("java.io.tmpdir")
-      Tables.cleanStaleExports(tmp, base, keep)
-      EmbeddingSearch.clusterBalancePersisted(s, dir, s"$tmp/$keep", q = 20,
-        nClusters = nClusters, iters = iters)
-    }),
+    "embed_cluster_balance" -> ((s, dir) =>
+      EmbeddingSearch.clusterBalancePersisted(s, dir, kmeansIndexDirFor(dir, 8, 2),
+        q = 20, nClusters = 8, iters = 2)),
     "embed_label_stats" -> ((s, dir) => EmbeddingSearch.labelStats(s, dir)),
     // SemDeDup-style semantic prune: cell-bounded (label) + band-bounded
     // candidates, exact-cosine verify, deterministic non-transitive keeper

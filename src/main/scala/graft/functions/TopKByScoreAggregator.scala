@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions.udaf
   * every numeric and equal to itself; ±0.0 compare equal under primitive
   * operators), so results match what the window formulation would emit —
   * asserted against it in EmbeddingSpec.
+  *
+  * Precondition: score and id must be NON-NULL (the typed (Double, Long)
+  * encoder rejects nulls at runtime, where `row_number()` would sort them
+  * last and complete) — a caller migrating a window over nullable scores
+  * must filter or coalesce them first, explicitly.
   */
 class TopKByScoreAggregator(k: Int)
     extends Aggregator[(Double, Long), TopKByScoreAggregator.Buf, Seq[(Double, Long)]] {
@@ -41,17 +46,25 @@ class TopKByScoreAggregator(k: Int)
     else {
       var p = n
       while (p > 0 && better(s, id, buf.scores(p - 1), buf.ids(p - 1))) p -= 1
-      val m = math.min(n + 1, k)
-      val ss = new Array[Double](m)
-      val is = new Array[Long](m)
-      System.arraycopy(buf.scores, 0, ss, 0, p)
-      System.arraycopy(buf.ids, 0, is, 0, p)
-      ss(p) = s; is(p) = id
-      if (p + 1 < m) {
-        System.arraycopy(buf.scores, p, ss, p + 1, m - p - 1)
-        System.arraycopy(buf.ids, p, is, p + 1, m - p - 1)
+      if (n == k) {
+        // full buffer: the evicted row is the current worst — shift the
+        // tail down IN PLACE (steady state allocates nothing per row)
+        var q = n - 1
+        while (q > p) {
+          buf.scores(q) = buf.scores(q - 1); buf.ids(q) = buf.ids(q - 1); q -= 1
+        }
+        buf.scores(p) = s; buf.ids(p) = id
+        buf
+      } else {
+        val ss = new Array[Double](n + 1)
+        val is = new Array[Long](n + 1)
+        System.arraycopy(buf.scores, 0, ss, 0, p)
+        System.arraycopy(buf.ids, 0, is, 0, p)
+        ss(p) = s; is(p) = id
+        System.arraycopy(buf.scores, p, ss, p + 1, n - p)
+        System.arraycopy(buf.ids, p, is, p + 1, n - p)
+        Buf(ss, is)
       }
-      Buf(ss, is)
     }
   }
 

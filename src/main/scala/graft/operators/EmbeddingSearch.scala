@@ -967,7 +967,11 @@ object EmbeddingSearch {
           .otherwise(dot(col("v"), c.getField("cv")) / (col("nv") * c.getField("ncv")))
         struct(round(csim, 6).as("csim"), (-c.getField("cl")).as("ncl"))
       })))
-      .select(col("vec_id"), col("v"), (-col("best").getField("ncl")).as("cl"))
+      .select(col("vec_id"), col("v"), (-col("best").getField("ncl")).as("cl"),
+        // the winning cosine rides along — callers that need "how central
+        // is this vector in its cell" (balance rank, streaming routing)
+        // must not recompute it with a second join
+        col("best").getField("csim").as("centrality"))
   }
 
   /** Deterministic spherical k-means TRAINING over (vec_id, v:array<double>):
@@ -1471,16 +1475,31 @@ object EmbeddingSearch {
     * session's configuration, so the index path can live on any cluster
     * filesystem (HDFS/object store), not just local disk.
     */
+  /** Load the quantizer at `indexPath`, TRAINING AND PERSISTING it first
+    * if absent — the one train-or-load prologue every persisted-quantizer
+    * surface shares (kNN serve, cluster balance; a divergent copy would
+    * let two entries silently stop sharing an index).
+    */
+  def ensureKmeansIndex(spark: SparkSession, dir: String, indexPath: String,
+      nClusters: Int = 8, iters: Int = 2, samplePct: Int = 100): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
+    val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(marker)) {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      saveKmeansIndex(trainKmeansIndex(emb, nClusters, iters, samplePct), indexPath)
+    }
+    loadKmeansIndex(spark, indexPath)
+  }
+
   def kmeansTopKPersisted(spark: SparkSession, dir: String, indexPath: String,
       k: Int = 5, nQueries: Int = 10, nClusters: Int = 8, iters: Int = 2,
       nprobe: Int = 2, samplePct: Int = 100): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
-    val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    if (!fs.exists(marker))
-      saveKmeansIndex(trainKmeansIndex(emb, nClusters, iters, samplePct), indexPath)
-    kmeansTopKWithIndex(emb, loadKmeansIndex(spark, indexPath), k, nQueries, nprobe)
+    kmeansTopKWithIndex(emb,
+      ensureKmeansIndex(spark, dir, indexPath, nClusters, iters, samplePct),
+      k, nQueries, nprobe)
   }
 
   /** CLUSTER-BALANCED corpus sampling: keep each semantic cluster's `q`
@@ -1511,15 +1530,14 @@ object EmbeddingSearch {
   }
 
   /** Cell + centrality for every vector of a (vec_id, v) frame against a
-    * trained quantizer: the zero-shuffle broadcast-centroid assignment
-    * ([[kmeansAssign]]) plus the rounded cosine to the OWN centroid —
-    * shared by the balance rank and the streaming routing tier.
+    * trained quantizer — the winning rounded cosine [[kmeansAssign]]
+    * already computed for the argmax, just projected (no second join, no
+    * re-folded dot products). Shared by the balance rank and the
+    * streaming routing tier.
     */
   private def centralityScored(embV: DataFrame, cent: DataFrame): DataFrame =
     kmeansAssign(withNorm(embV), cent)
-      .join(broadcast(cent), Seq("cl"))
-      .select(col("cl"), col("vec_id"),
-        round(cosine(col("v"), col("cv")), 6).as("centrality"))
+      .select(col("cl"), col("vec_id"), col("centrality"))
 
   /** [[centralityScored]] over any raw (vec_id, embedding: array<numeric>)
     * frame — the serve-side ROUTING primitive an online embedding ingest
@@ -1540,11 +1558,8 @@ object EmbeddingSearch {
       q: Int = 20, nClusters: Int = 8, iters: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
-    val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    if (!fs.exists(marker))
-      saveKmeansIndex(trainKmeansIndex(emb, nClusters, iters), indexPath)
-    clusterBalanceWithIndex(emb, loadKmeansIndex(spark, indexPath), q)
+    clusterBalanceWithIndex(emb,
+      ensureKmeansIndex(spark, dir, indexPath, nClusters, iters), q)
   }
 
   /** Embedding-norm HYGIENE profile per label — the vector-quality check

@@ -583,6 +583,19 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.length == a.length, "a vector appeared in two clusters")
   }
 
+  test("embed_knn_kmeans and embed_cluster_balance share one persisted quantizer") {
+    // the train-once-for-both claim pinned at the ENTRY level: whichever
+    // entry runs first ensures the index; the other must add zero
+    // trainings (both route through SparkEntry.kmeansIndexDirFor — a
+    // drifted copy of the derivation would fail this)
+    val dir = "/root/testdata/sf0.001"
+    assert(graft.SparkEntry.queries("embed_knn_kmeans")(spark, dir).count() > 0)
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    assert(graft.SparkEntry.queries("embed_cluster_balance")(spark, dir).count() > 0)
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "the balance entry must serve from the kNN entry's quantizer, not retrain")
+  }
+
   test("kNN candidate cap: no-op when cap covers occupancy, bounded and ranked when binding") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.sources.Tables.embeddings(spark, dir).count()
