@@ -884,6 +884,21 @@ object SparkEntry {
     // incremental dedup, embedding modality: first 4/5 of vectors play the
     // indexed corpus (bands + vecs persisted once, fingerprint-keyed), last
     // 1/5 today's embedding batch; same tau as dedup_embedding
+    // incremental kNN — the add-without-retrain production pattern: the
+    // persisted IVF index (quantizer + corpus cell table, trained on the
+    // first 4/5) serves; the last 1/5 is today's batch, routed to cells
+    // by the zero-shuffle assignment and searched WITHOUT retraining or
+    // rescanning indexed vectors; oracle replays train-on-corpus +
+    // assign-everything, which is exactly index ∪ routed batch
+    "embed_knn_incremental" -> ((s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val base = s"graft_ivfinc_c8i2_${sfName}_"
+      val keep = base +
+        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      Tables.cleanStaleExports(tmp, base, keep)
+      EmbeddingSearch.knnIncremental(s, dir, s"$tmp/$keep")
+    }),
     "embed_dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, dir)
@@ -1591,11 +1606,15 @@ object SparkEntry {
     * exactly two rounds, round(cosine,6) argmax, DECIMAL(28,10) means,
     * lost-cluster coalesce — the trained-quantizer contract every k-means
     * oracle checks. */
-  private def kmTrainedAssignCtes(samplePct: Option[Int]): String = {
-    val train = if (samplePct.isDefined) "smp" else "e"
+  private def kmTrainedAssignCtes(samplePct: Option[Int],
+      trainWhere: Option[String] = None): String = {
+    require(samplePct.isEmpty || trainWhere.isEmpty,
+      "sample and explicit train predicate are alternative training sets")
+    val train =
+      if (samplePct.isDefined) "smp" else if (trainWhere.isDefined) "trn" else "e"
     val smpCte = samplePct.map(p =>
       s"smp AS (SELECT * FROM e WHERE (vec_id * 1103515245 + 12345) % 2147483647 % 100 < $p),\n")
-      .getOrElse("")
+      .getOrElse(trainWhere.map(w => s"trn AS (SELECT * FROM e WHERE $w),\n").getOrElse(""))
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |           FROM embeddings),
        |${smpCte}c0 AS (SELECT vec_id::INT AS cl, v AS cv FROM $train ORDER BY vec_id LIMIT 8),
@@ -1606,8 +1625,9 @@ object SparkEntry {
        |af AS (${kmAssignCte("e", "c2")})""".stripMargin
   }
 
-  private def kmeansKnnSql(samplePct: Option[Int]): String = {
-    s"""WITH ${kmTrainedAssignCtes(samplePct)},
+  private def kmeansKnnSql(samplePct: Option[Int],
+      trainWhere: Option[String] = None): String = {
+    s"""WITH ${kmTrainedAssignCtes(samplePct, trainWhere)},
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
        |pd AS (SELECT q.query_id, q.qv, c.cl,
        |  round(${cosineSql("q.qv", "c.cv")}, 6) AS csim FROM q, c2 c),
@@ -3247,6 +3267,10 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM e, sp WHERE vec_id >= sp.split) b
          |LEFT JOIN k USING (vec_id)""".stripMargin,
     "embed_knn_kmeans" -> kmeansKnnSql(samplePct = None),
+    // Lloyd trains on the corpus 4/5 only; af then assigns EVERY vector
+    // against those centroids = persisted index ∪ routed batch
+    "embed_knn_incremental" -> kmeansKnnSql(samplePct = None,
+      trainWhere = Some("vec_id < (SELECT count(*) * 4 // 5 FROM embeddings)")),
     "embed_knn_pq" -> pqKnnSql(),
     "embed_knn_ivfpq" -> ivfPqKnnSql(),
     "embed_knn_pq_refine" -> pqRefineSql(),

@@ -1066,6 +1066,16 @@ object EmbeddingSearch {
     val inverted = kmeansAssign(withNorm(emb), cent) // the inverted file: vectors by cell
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    knnOverInverted(inverted, q, cent, k, nprobe)
+  }
+
+  /** The probe + exact-re-rank half every IVF-shaped serve shares: rank
+    * centroids per query, keep `nprobe` cells, re-rank probed cells'
+    * members by exact rounded cosine. `inverted` must carry (cl, vec_id,
+    * v); extra columns ride along untouched.
+    */
+  private def knnOverInverted(inverted: DataFrame, q: DataFrame, cent: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cl").asc)
     val probes = q.crossJoin(broadcast(cent))
       .select(col("query_id"), col("qv"), col("cl"),
@@ -1560,6 +1570,62 @@ object EmbeddingSearch {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     clusterBalanceWithIndex(emb,
       ensureKmeansIndex(spark, dir, indexPath, nClusters, iters), q)
+  }
+
+  /** Persist a FULL IVF index over `embV`: the trained quantizer
+    * (`cent/`) plus the corpus's inverted file (`ivf/`: cl, vec_id, v) —
+    * `_DONE` discipline (deleted first, created after both tables
+    * commit), the same two-table crash-safety as [[buildVecDedupIndex]].
+    * Unlike the bare quantizer, the index carries the corpus's cell
+    * ASSIGNMENTS, so growing the searchable set never rescans indexed
+    * vectors.
+    */
+  def buildIvfIndex(embV: DataFrame, path: String,
+      nClusters: Int = 8, iters: Int = 2): Unit = {
+    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.delete(done, false)
+    val cent = trainKmeansIndex(embV, nClusters, iters)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
+    // assignments derive from the PERSISTED quantizer so the two tables
+    // can never disagree (the buildVecDedupIndex discipline)
+    val savedCent = loadKmeansIndex(embV.sparkSession, s"$path/cent")
+    kmeansAssign(withNorm(embV), savedCent)
+      .select(col("cl"), col("vec_id"), col("v"))
+      .write.mode("overwrite").parquet(s"$path/ivf")
+    Forget.clearStaleForgetState(fs, path, Seq("cent", "ivf"))
+    fs.create(done, true).close()
+  }
+
+  /** INCREMENTAL kNN — the add-without-retrain pattern of a production
+    * ANN service: the persisted IVF index answers for yesterday's corpus,
+    * a new embedding batch is routed to its trained cells with the
+    * zero-shuffle assignment pass (never retraining the quantizer, never
+    * rescanning indexed vectors), and queries probe the UNION. Serve cost
+    * = probed-cell reads + the batch scan — at 100 TB the daily add is
+    * batch-sized while the index grows cell files append-only.
+    * First 4/5 of vec_ids play the indexed corpus, the rest today's
+    * batch; queries are the standard vec_id < nQueries set (corpus-side).
+    * Output matches [[kmeansTopKWithIndex]] over the full set served
+    * against the corpus-trained quantizer (spec-pinned row-identical).
+    */
+  def knnIncremental(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
+      nClusters: Int = 8, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val split = emb.count() * 4 / 5
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(done))
+      buildIvfIndex(emb.where(col("vec_id") < split), indexPath, nClusters, iters)
+    val cent = loadKmeansIndex(spark, s"$indexPath/cent")
+    val corpusIvf = spark.read.parquet(s"$indexPath/ivf")
+    val batchIvf = kmeansAssign(withNorm(emb.where(col("vec_id") >= split)), cent)
+      .select(col("cl"), col("vec_id"), col("v"))
+    val q = corpusIvf.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    knnOverInverted(corpusIvf.unionByName(batchIvf), q, cent, k, nprobe)
   }
 
   /** Embedding-norm HYGIENE profile per label — the vector-quality check

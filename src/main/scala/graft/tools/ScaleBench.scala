@@ -119,6 +119,10 @@ object ScaleBench {
     // the bounded top-k aggregator — output fixed at k·q rows, so the
     // slope is the assignment scan's and nothing more
     "embed_cluster_balance",
+    // incremental kNN: the persisted IVF index serves, the 1/5 batch is
+    // routed cell-wise — serve cost = probed-cell reads + batch scan
+    // (min-of-2 isolates serve from the one-time corpus index build)
+    "embed_knn_incremental",
     // content-defined chunking: per-doc windows over the doc_id shuffle —
     // linear in corpus tokens
     "corpus_chunks_cdc",

@@ -583,6 +583,34 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.length == a.length, "a vector appeared in two clusters")
   }
 
+  test("incremental kNN: index + routed batch equals the full-set serve, add never retrains") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), org.apache.spark.sql.functions.transform(
+        col("embedding"), _.cast("double")).as("v"))
+    val split = emb.count() * 4 / 5
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfinc_spec").toString
+    val got = EmbeddingSearch.knnIncremental(spark, dir, idx)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // reference: the same corpus-trained quantizer serving the FULL set in
+    // one pass — index ∪ routed batch must be indistinguishable from it
+    val cent = EmbeddingSearch.loadKmeansIndex(spark, s"$idx/cent")
+    val exp = EmbeddingSearch.kmeansTopKWithIndex(emb, cent)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == exp, "incremental serve diverged from the full-set formulation")
+    assert(got.nonEmpty)
+    // batch vectors must be SEARCHABLE (some neighbor comes from the batch
+    // side) — otherwise the union is vacuous on this fixture
+    assert(got.exists(_._2 >= split), "no batch vector surfaced as a neighbor")
+    // a second serve (new batch day) must reuse the index, never retrain
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val again = EmbeddingSearch.knnIncremental(spark, dir, idx)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(again == got)
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "incremental serve retrained the quantizer")
+  }
+
   test("embed_knn_kmeans and embed_cluster_balance share one persisted quantizer") {
     // the train-once-for-both claim pinned at the ENTRY level: whichever
     // entry runs first ensures the index; the other must add zero
