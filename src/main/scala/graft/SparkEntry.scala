@@ -39,20 +39,25 @@ object SparkEntry {
   /** One BPE training per (dataset, 8 rounds), memoized for the sweep —
     * the four `text_bpe_*` entries all read this model instead of each
     * retraining it (the train-once discipline; training is deterministic,
-    * so the memo changes cost, never results). Keyed on the documents
-    * table's file fingerprint, not the path string, so regenerated
-    * testdata invalidates the memo. Value = the collected merge-table
-    * rows (≤ 8 — model scale, not data scale).
+    * so the memo changes cost, never results). Keyed per DIR with the
+    * documents table's file fingerprint validating the cached value, so
+    * regenerated testdata invalidates (and replaces) the entry. Value =
+    * the collected merge-table rows (≤ 8 — model scale, not data scale).
     */
-  private val bpeModelMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+  private val bpeModelMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[org.apache.spark.sql.Row])]()
 
-  private def bpeModelRows(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] =
-    bpeModelMemo.computeIfAbsent(
-      dir + "#" + java.lang.Long.toHexString(
-        Tables.datasetFingerprint(s"$dir/documents.parquet")),
-      _ => TextAnalysis.bpeMerges(Tables.documents(s, dir))
-        .orderBy("merge_round").collect())
+  private def bpeModelRows(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] = {
+    // ONE entry per dir (the cleanStaleExports discipline for the in-memory
+    // memo): a regenerated dataset REPLACES the dir's entry instead of
+    // accumulating a stale fingerprint key per generation in a long JVM
+    val fp = java.lang.Long.toHexString(
+      Tables.datasetFingerprint(s"$dir/documents.parquet"))
+    bpeModelMemo.compute(dir, (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else (fp, TextAnalysis.bpeMerges(Tables.documents(s, dir))
+        .orderBy("merge_round").collect()))._2
+  }
 
   /** The memoized trained merge table as a DataFrame (the
     * `text_bpe_merges` entry surface). */
@@ -787,24 +792,36 @@ object SparkEntry {
     "embed_multiprobe_recall" -> ((s, dir) => EmbeddingSearch.multiProbeRecall(s, dir)),
     // two-sided kNN JOIN (kNN-graph): every vector × its band-mates, no
     // broadcastable query side — the corpus-vs-corpus shuffle shape.
-    // DEFAULT = corpus-adaptive LSH sizing (the at-scale config; the fixed
-    // width measured a 52× candidate cliff at x16 data)
+    // DEFAULT = corpus-adaptive sizing at targetBucket=128 with Hamming-1
+    // MULTIPROBE (Lv et al. VLDB'07 on the symmetric join: every vector
+    // also visits its single-bit-flip buckets, probe-probe pairs skipped
+    // so candidates are exactly the Hamming<=1 band pairs) — the r10
+    // recall/wall frontier: recall@3 0.883 at sf0.1 vs 0.327 for the r9
+    // config, which stays registered as embed_knn_join_unprobed
     "embed_knn_join" -> ((s, dir) => EmbeddingSearch.knnJoinScaled(s, dir)),
+    // the r9 config (tb=32, no probing) — the measured 0-point of the
+    // recall curve, kept registered so the cheap-low-recall graph stays
+    // hash-gated and the curve stays replayable
+    "embed_knn_join_unprobed" -> ((s, dir) =>
+      EmbeddingSearch.knnJoinScaled(s, dir, targetBucket = 32, multiProbe = false)),
     // fixed-width form, explicitly named — known-small static corpora only
     "embed_knn_join_fixed" -> ((s, dir) => EmbeddingSearch.knnJoin(s, dir)),
-    // recall@k of the kNN graph vs the exact graph on a 100-probe set —
-    // the standing evidence of what LSH candidate generation costs in
-    // neighbor quality (and the measurement that caught the candidate
-    // cap halving recall, sending the registered path to the exact
-    // bucket-local kernel)
+    // recall@k of the UNPROBED tb=32 graph vs the exact graph on a
+    // 100-probe set — the curve's 0-point (and the measurement that
+    // caught the candidate cap halving recall, sending the registered
+    // path to the exact bucket-local kernel)
     "embed_knn_join_recall" -> ((s, dir) => EmbeddingSearch.knnJoinRecall(s, dir)),
+    // recall@k of the DEFAULT (tb=128, probed) graph — the other end of
+    // the curve that justifies the default
+    "embed_knn_join_probed_recall" -> ((s, dir) =>
+      EmbeddingSearch.knnJoinRecall(s, dir, targetBucket = 128, multiProbe = true)),
     // the explicitly-named CAPPED variant (scramble-sampled candidate
     // side, edges <= N*bands*cap) — the opt-in for corpora whose
     // degenerate buckets trip the bucket-local kernel's memory guard;
     // registered so its deterministic sampling stays hash-gated and its
     // recall trade stays measured (see embed_knn_join_recall)
     "embed_knn_join_capped" -> ((s, dir) =>
-      EmbeddingSearch.knnJoinScaled(s, dir, candidateCap = 64)),
+      EmbeddingSearch.knnJoinScaled(s, dir, targetBucket = 32, candidateCap = 64)),
     "embed_knn_ivf" -> ((s, dir) => EmbeddingSearch.ivfTopK(s, dir)),
     // train-once/serve-many (VERDICT r2 item 3): the quantizer is persisted
     // keyed on the embeddings fingerprint — the first invocation trains and
@@ -1169,12 +1186,12 @@ object SparkEntry {
     * log2, so both engines agree at exact powers of two) — then 8 bands of
     * rpb bits over an 8·rpb-plane signature.
     */
-  private val vecBandCtesScaled: String =
-    """cntv AS (SELECT count(*)::BIGINT AS n FROM e),
+  private def vecBandCtesScaledTb(tb: Int): String =
+    s"""cntv AS (SELECT count(*)::BIGINT AS n FROM e),
       |prm AS (SELECT coalesce((SELECT min(r)::INT
       |  FROM (SELECT unnest(generate_series(4, 16)) AS r) t, cntv
-      |  WHERE (32::BIGINT << r) >= cntv.n), 16) AS rpb),
-      |sig AS (SELECT vec_id, v, list_transform(generate_series(0, 8*prm.rpb - 1), p ->
+      |  WHERE ($tb::BIGINT << r) >= cntv.n), 16) AS rpb),""".stripMargin + "\n" +
+    """sig AS (SELECT vec_id, v, list_transform(generate_series(0, 8*prm.rpb - 1), p ->
       |  CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
       |    d -> v[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
       |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
@@ -1182,6 +1199,24 @@ object SparkEntry {
       |vbands AS (SELECT vec_id, unnest(list_transform(generate_series(0, 7), b ->
       |  b::VARCHAR || ':' || array_to_string(list_transform(
       |    list_slice(sig, b*rpb+1, b*rpb+rpb), x -> x::VARCHAR), ','))) AS band
+      |  FROM sig, prm)""".stripMargin
+
+  private val vecBandCtesScaled: String = vecBandCtesScaledTb(32)
+
+  /** Multiprobe memberships under the adaptive width: base band keys plus
+    * every Hamming-1 single-bit-flip variant — the b-side of the probed
+    * kNN-join oracle (one-sided probing: the a-side stays `vbands`, so
+    * candidates are exactly the band pairs at Hamming ≤ 1, mirroring the
+    * kernel's probe-probe skip).
+    */
+  private val vecProbeCte: String =
+    """vprobe AS (SELECT vec_id, band FROM vbands
+      |  UNION ALL
+      |  SELECT vec_id, unnest(flatten(list_transform(generate_series(0, 7), b ->
+      |    list_transform(generate_series(0, rpb - 1), j ->
+      |      b::VARCHAR || ':' || array_to_string(list_transform(generate_series(0, rpb - 1), i ->
+      |        (CASE WHEN i = j THEN 1 - sig[(b*rpb+i+1)::INT]
+      |         ELSE sig[(b*rpb+i+1)::INT] END)::VARCHAR), ','))))) AS band
       |  FROM sig, prm)""".stripMargin
 
   /** Brute-force / LSH k-NN oracles as vals: each is also nested (as a
@@ -3084,8 +3119,9 @@ object SparkEntry {
          |r AS (SELECT *, (row_number() OVER
          |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
          |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
-    // the DEFAULT entry replays under the corpus-adaptive banding CTEs
-    "embed_knn_join" ->
+    // the r9 default kept registered: corpus-adaptive tb=32 banding, no
+    // probing — the recall curve's 0-point
+    "embed_knn_join_unprobed" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |$vecBandCtesScaled,
          |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
@@ -3097,6 +3133,50 @@ object SparkEntry {
          |r AS (SELECT *, (row_number() OVER
          |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
          |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+    // the DEFAULT: tb=128 adaptive banding with the candidate b-side
+    // widened to the Hamming-1 probe memberships
+    "embed_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |${vecBandCtesScaledTb(128)},
+         |$vecProbeCte,
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |         FROM vbands a JOIN vprobe b ON a.band = b.band AND a.vec_id <> b.vec_id),
+         |s AS (SELECT cand.vec_id, cand.nbr_id,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
+         |r AS (SELECT *, (row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
+         |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+    // probed-default recall vs the exact graph on the 100-probe set — the
+    // other point of the recall/wall curve next to embed_knn_join_recall
+    "embed_knn_join_probed_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |${vecBandCtesScaledTb(128)},
+         |$vecProbeCte,
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |         FROM vbands a JOIN vprobe b ON a.band = b.band AND a.vec_id <> b.vec_id
+         |         WHERE a.vec_id < 100),
+         |sc AS (SELECT cand.vec_id, cand.nbr_id,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
+         |ap AS (SELECT vec_id AS a_id, nbr_id AS a_nbr FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rank FROM sc)
+         |  WHERE rank <= 3),
+         |exs AS (SELECT p.vec_id AS p_id, e2.vec_id AS e_nbr,
+         |  round(${cosineSql("e2.v", "p.v")}, 6) AS cosine
+         |  FROM e e2, e p WHERE p.vec_id < 100 AND e2.vec_id <> p.vec_id),
+         |ext AS (SELECT p_id, e_nbr FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY p_id ORDER BY cosine DESC, e_nbr ASC) AS rank FROM exs)
+         |  WHERE rank <= 3)
+         |SELECT ext.p_id AS vec_id, count(*)::BIGINT AS n_exact,
+         |  count(ap.a_nbr)::BIGINT AS n_hit,
+         |  round(count(ap.a_nbr)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM ext LEFT JOIN ap ON ext.p_id = ap.a_id AND ext.e_nbr = ap.a_nbr
+         |GROUP BY 1""".stripMargin,
     // the capped opt-in: the embed_knn_join oracle with the candidate
     // side bounded per bucket by the same scramble-ordered row_number the
     // Spark side applies

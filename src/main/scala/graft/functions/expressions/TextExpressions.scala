@@ -241,7 +241,18 @@ final class BpeMergeTable(val merges: Seq[(String, String)]) extends Serializabl
               "replace chain and the one-pass kernel would disagree on it")
         }
       }
-      formedAt.putIfAbsent(a + b, Integer.valueOf(j))
+      // duplicate merged forms (('c','ab') and ('ca','b') both → 'cab')
+      // BREAK the greedy ≡ chain proof outright: when the later producer
+      // fires it re-forms the token, and any pair ranked between the two
+      // producers becomes applicable again — the chain already passed that
+      // rank, the greedy kernel would fire it. No ordering argument saves
+      // this shape, so such a table is refused here (serve it with the
+      // replace chain, which defines the semantics).
+      val prior = formedAt.putIfAbsent(a + b, Integer.valueOf(j))
+      require(prior == null,
+        s"merge table re-forms '${a + b}' at merge $j (first produced by " +
+          s"merge $prior) — greedy one-pass application diverges from the " +
+          "training-order chain on re-formed tokens; use the replace chain")
       j += 1
     }
   }

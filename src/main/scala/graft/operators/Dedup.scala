@@ -374,7 +374,10 @@ object Dedup {
     Forget.claimIdSet(fs, new org.apache.hadoop.fs.Path(indexPath, "_FORGET_IDS"),
       Forget.idSetFingerprint(ids, keyCol))
     fs.delete(done, false)
-    val forget = broadcast(ids.select(col(keyCol)))
+    // size-gated like every other small-side hint: a routine forget request
+    // broadcasts, but a bulk GDPR batch (millions of ids) stays a shuffle
+    // join instead of pinning an unbounded frame into every executor
+    val forget = Scale.maybeBroadcast(ids.select(col(keyCol)))
     for (t <- tables) {
       val live = new org.apache.hadoop.fs.Path(indexPath, t)
       val staged = new org.apache.hadoop.fs.Path(indexPath, s"${t}__forgetting")

@@ -256,6 +256,22 @@ object EmbeddingSearch {
             when(i === j, lit(1) - bit).otherwise(bit).cast("string")
           }))))))
 
+  /** The FLIPS-ONLY half of [[lshMultiProbeKeys]] (j ranges over the bits,
+    * never -1): per band, the `rowsPerBand` Hamming-1 variants of the base
+    * key and NOT the base key itself. The symmetric-join multiprobe keeps
+    * base and probe memberships distinguishable (probe-probe pairs are
+    * skipped in the kernels — see [[knnJoinBucketLocal]]), so the two key
+    * sets are generated separately and tagged.
+    */
+  def lshFlipKeys(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
+    flatten(transform(sequence(lit(0), lit(bands - 1)), b =>
+      transform(sequence(lit(0), lit(rowsPerBand - 1)), j =>
+        concat_ws(":", b.cast("string"),
+          concat_ws(",", transform(sequence(lit(0), lit(rowsPerBand - 1)), i => {
+            val bit = element_at(sig, (b * rowsPerBand + i + 1).cast("int"))
+            when(i === j, lit(1) - bit).otherwise(bit).cast("string")
+          }))))))
+
   /** [[lshTopK]] with multi-probe queries: identical index side, the query
     * side explodes (1+rowsPerBand)·bands keys. Output shape unchanged.
     */
@@ -466,13 +482,14 @@ object EmbeddingSearch {
     * over every dedup run against it.
     */
   def cosineNearDupPairsScaled(spark: SparkSession, dir: String, tau: Double,
-      targetBucket: Int = 32, bands: Int = 8): DataFrame = {
+      targetBucket: Int = 32, bands: Int = 8, maxBucket: Int = 1 << 17): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val rpb = lshRowsPerBand(emb.count(), targetBucket)
     // bucket-local since r9 (row-identical to cosineNearDupPairsFor,
     // spec-pinned) — the clustered-bucket candidate volume stays
     // arithmetic instead of shuffled vector-carrying edges
-    cosineNearDupPairsBucketLocal(emb, tau, nPlanes = bands * rpb, bands = bands)
+    cosineNearDupPairsBucketLocal(emb, tau, nPlanes = bands * rpb, bands = bands,
+      maxBucket = maxBucket)
   }
 
   /** SemDeDup-style SEMANTIC PRUNE (Abbas et al. '23): drop every vector
@@ -572,13 +589,23 @@ object EmbeddingSearch {
     * a bounded-heap all-pairs loop is exactly that; (a)-(c) cannot
     * express "top-k per member within a group" without materializing the
     * quadratic edge set this exists to avoid.
+    *
+    * `multiProbe` (Lv et al. VLDB'07, symmetric-join form): every vector
+    * ALSO visits its Hamming-1 neighbor buckets per band, tagged probe;
+    * pairs are scored only when ≥1 side is a BASE member, so the
+    * candidate set is exactly the Hamming ≤ 1 band pairs (symmetric:
+    * base(x)=flip_j(z) ⟺ base(z)=flip_j(x)) and pair work grows
+    * LINEARLY in probes (base×all), never probe². Local-top-k
+    * preservation is unchanged — every neighbor scored in a bucket is a
+    * true candidate of its owner, so a locally-outranked edge is
+    * globally outranked by the same k.
     */
   private[graft] def knnJoinBucketLocal(spark: SparkSession, dir: String,
       k: Int = 3, nPlanes: Int = 16, bands: Int = 4,
-      maxBucket: Int = 1 << 17): DataFrame = {
+      maxBucket: Int = 1 << 17, multiProbe: Boolean = false): DataFrame = {
     import spark.implicits._
-    val local = bandedVectors(Tables.embeddings(spark, dir), nPlanes, bands)
-      .as[(String, Long, Array[Double])]
+    val local = bandedVectors(Tables.embeddings(spark, dir), nPlanes, bands, multiProbe)
+      .as[(String, Long, Array[Double], Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (band, it) =>
         val (m, norms) = drainBucketWithNorms(band, it, maxBucket,
@@ -614,7 +641,11 @@ object EmbeddingSearch {
         while (i < n) {
           var j = i + 1
           while (j < n) {
-            if (m(j)._2 != m(i)._2) {
+            // probe-probe pairs are SKIPPED: two flipped keys colliding
+            // means Hamming ≤ 2 in this band — beyond the one-sided
+            // Hamming-1 candidate contract the oracle replays, and the
+            // quadratic-in-probes work the flag exists to avoid
+            if (m(j)._2 != m(i)._2 && (m(i)._4 || m(j)._4)) {
               val c =
                 if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
                 else round6(dotSeq(m(i)._3, m(j)._3) / (norms(i) * norms(j)))
@@ -656,26 +687,55 @@ object EmbeddingSearch {
     * instead routes through the sampled b-side cap — an explicit
     * recall-for-edges trade (measured: cap=64 halves recall on the
     * clustered fixture — see [[knnJoinRecall]]) for corpora whose
-    * degenerate buckets trip even the local kernel's memory guard. */
+    * degenerate buckets trip even the local kernel's memory guard.
+    *
+    * DEFAULTS (targetBucket=128, multiProbe=true) are the measured
+    * recall/wall frontier on the r10 curve (SCALING.md): at sf0.1,
+    * recall@3 0.883 at 2.5 s vs 0.327 at 1.2 s for the r9 config
+    * (tb=32, unprobed) — wider buckets and Hamming-1 probing each buy
+    * recall, and together they dominate every narrower/probier config
+    * tried (probing at tb=32 costs 6 s for 0.570; 16 bands cost 22 s for
+    * 0.637). Cost model at scale: pair work ≈ n·bands·tb·(1+rpb) dot
+    * products — linear in n with a constant the two knobs set
+    * explicitly; a kNN-graph consumer that prefers the cheap low-recall
+    * graph passes the r9 config back in. */
   def knnJoinScaled(spark: SparkSession, dir: String, k: Int = 3,
-      targetBucket: Int = 32, bands: Int = 8, candidateCap: Int = 0): DataFrame = {
+      targetBucket: Int = 128, bands: Int = 8, candidateCap: Int = 0,
+      multiProbe: Boolean = true, maxBucket: Int = 1 << 17): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val rpb = lshRowsPerBand(n, targetBucket)
     if (candidateCap > 0)
+      // the capped path has no probe support (probing widens candidates,
+      // the cap narrows them — the two knobs pull opposite ways)
       knnJoin(spark, dir, k, nPlanes = bands * rpb, bands = bands, candidateCap = candidateCap)
     else
-      knnJoinBucketLocal(spark, dir, k, nPlanes = bands * rpb, bands = bands)
+      knnJoinBucketLocal(spark, dir, k, nPlanes = bands * rpb, bands = bands,
+        maxBucket = maxBucket, multiProbe = multiProbe)
   }
 
   /** The shared bucket-local-kernel prologue: project to (vec_id, v),
-    * explode into band keys. Both kernels group on the result's `band`.
+    * explode into band keys tagged base/probe. Both kernels group on the
+    * result's `band`. With `multiProbe` each vector ALSO visits its
+    * Hamming-1 neighbor buckets per band ([[lshFlipKeys]], tagged
+    * `is_base = false`) — ONE signature compute feeds both key sets (a
+    * single struct array explodes), so multiprobe costs key fan-out, not
+    * a second scan.
     */
-  private def bandedVectors(embeddings: DataFrame, nPlanes: Int, bands: Int): DataFrame = {
+  private def bandedVectors(embeddings: DataFrame, nPlanes: Int, bands: Int,
+      multiProbe: Boolean = false): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
-    embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .select(col("vec_id"), col("v"),
-        explode(lshBandKeys(lshSignature(col("v"), nPlanes), bands, nPlanes / bands)).as("band"))
-      .select(col("band"), col("vec_id"), col("v"))
+    val rpb = nPlanes / bands
+    val emb = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val sig = lshSignature(col("v"), nPlanes)
+    val tag = (keys: Column, base: Boolean) =>
+      transform(keys, k => struct(k.as("band"), lit(base).as("is_base")))
+    val keyed =
+      if (!multiProbe) tag(lshBandKeys(sig, bands, rpb), true)
+      else concat(tag(lshBandKeys(sig, bands, rpb), true),
+        tag(lshFlipKeys(sig, bands, rpb), false))
+    emb.select(col("vec_id"), col("v"), explode(keyed).as("bk"))
+      .select(col("bk.band").as("band"), col("vec_id"), col("v"),
+        col("bk.is_base").as("is_base"))
   }
 
   /** Drain one band bucket into an array + precomputed norms. The guard
@@ -684,9 +744,9 @@ object EmbeddingSearch {
     * toArray; `guardHint` names the kernel-specific escape route.
     */
   private def drainBucketWithNorms(band: String,
-      it: Iterator[(String, Long, Array[Double])], maxBucket: Int, guardHint: String):
-      (scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double])], Array[Double]) = {
-    val buf = new scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double])]()
+      it: Iterator[(String, Long, Array[Double], Boolean)], maxBucket: Int, guardHint: String):
+      (scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double], Boolean)], Array[Double]) = {
+    val buf = new scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double], Boolean)]()
     while (it.hasNext) {
       buf += it.next()
       require(buf.length <= maxBucket,
@@ -724,11 +784,12 @@ object EmbeddingSearch {
     * its pair set. Same drain-time `maxBucket` guard.
     */
   def cosineNearDupPairsBucketLocal(embeddings: DataFrame, tau: Double,
-      nPlanes: Int = 16, bands: Int = 4, maxBucket: Int = 1 << 17): DataFrame = {
+      nPlanes: Int = 16, bands: Int = 4, maxBucket: Int = 1 << 17,
+      multiProbe: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    bandedVectors(embeddings, nPlanes, bands)
-      .as[(String, Long, Array[Double])]
+    bandedVectors(embeddings, nPlanes, bands, multiProbe)
+      .as[(String, Long, Array[Double], Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (band, it) =>
         val (m, norms) = drainBucketWithNorms(band, it, maxBucket, "widen the LSH")
@@ -742,7 +803,8 @@ object EmbeddingSearch {
             pending = null
             while (pending == null && i < n) {
               while (pending == null && j < n) {
-                if (m(i)._2 != m(j)._2) {
+                // probe-probe skipped — see knnJoinBucketLocal
+                if (m(i)._2 != m(j)._2 && (m(i)._4 || m(j)._4)) {
                   val c =
                     if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
                     else round6(dotSeq(m(i)._3, m(j)._3) / (norms(i) * norms(j)))
@@ -1350,8 +1412,9 @@ object EmbeddingSearch {
     */
   def knnJoinRecall(spark: SparkSession, dir: String, k: Int = 3,
       nProbes: Int = 100, targetBucket: Int = 32, bands: Int = 8,
-      candidateCap: Int = 0): DataFrame = {
-    val approx = knnJoinScaled(spark, dir, k, targetBucket, bands, candidateCap)
+      candidateCap: Int = 0, multiProbe: Boolean = false): DataFrame = {
+    val approx = knnJoinScaled(spark, dir, k, targetBucket, bands, candidateCap,
+        multiProbe = multiProbe)
       .where(col("vec_id") < nProbes)
       .select(col("vec_id").as("a_id"), col("nbr_id").as("a_nbr"))
     // the exact side IS bruteForceTopK on the probe set — one ranking
@@ -1615,6 +1678,13 @@ object EmbeddingSearch {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val split = emb.count() * 4 / 5
+    // queries come from corpusIvf (vec_id < nQueries), which only holds the
+    // indexed 4/5: a query set reaching past the split would silently drop
+    // queries instead of matching the spec-pinned kmeansTopKWithIndex
+    // contract over the full frame — refuse loudly
+    require(nQueries <= split,
+      s"nQueries=$nQueries exceeds the indexed corpus split ($split rows) — " +
+        "queries are drawn from the indexed side; shrink nQueries or index more")
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     if (!fs.exists(done))

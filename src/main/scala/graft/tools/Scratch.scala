@@ -32,6 +32,29 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "knnrecall") {
+      // recall/wall curve for the kNN-graph configs: what Hamming-1
+      // probing, band count, and bucket width each buy at sf0.1
+      for ((label, tb, bands, mp) <- Seq(
+          ("base-8b", 32, 8, false), ("probed-8b", 32, 8, true),
+          ("base-tb64", 64, 8, false), ("probed-8b-tb64", 64, 8, true),
+          ("base-tb128", 128, 8, false), ("probed-8b-tb128", 128, 8, true),
+          ("probed-4b-tb64", 64, 4, true)); pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.EmbeddingSearch
+          .knnJoinScaled(spark, sfDir, targetBucket = tb, bands = bands, multiProbe = mp)
+          .count()
+        val w = (System.nanoTime() - t0) / 1e9
+        val rec = graft.operators.EmbeddingSearch
+          .knnJoinRecall(spark, sfDir, targetBucket = tb, bands = bands, multiProbe = mp)
+          .agg(org.apache.spark.sql.functions.sum("n_hit"),
+            org.apache.spark.sql.functions.sum("n_exact"))
+          .collect()(0)
+        println(f"[knnrecall] $label%-16s pass=$pass wall=$w%6.2f s rows=$n " +
+          f"recall=${rec.getLong(0).toDouble / rec.getLong(1)}%.3f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "bpe1024") {
       // O(T) round-cost probe for the evolving trainer: 1024 requested
       // rounds should cost ~4x the 256-round scale row (or stop early at

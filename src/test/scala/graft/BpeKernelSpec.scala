@@ -80,6 +80,18 @@ class BpeKernelSpec extends AnyFunSuite {
     ()
   }
 
+  test("kernel refuses a merge table where two merges produce the same form") {
+    // review finding: ('c','ab') and ('ca','b') both yield 'cab'; when the
+    // later producer fires it RE-FORMS the token, so a pair ranked between
+    // the two producers becomes applicable again — the chain has already
+    // passed that rank but the greedy kernel would fire it. No training
+    // order saves this shape; construction must refuse it.
+    val e = intercept[IllegalArgumentException] {
+      new BpeMergeTable(Seq(("a", "b"), ("c", "a"), ("c", "ab"), ("ca", "b")))
+    }
+    assert(e.getMessage.contains("re-forms"), e.getMessage)
+  }
+
   test("kernel-path training reproduces the chain-path merge table at 8 rounds (sf0.001)") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val chain = TextAnalysis.bpeMerges(docs, rounds = 8, kernel = false)

@@ -469,7 +469,7 @@ class EmbeddingSpec extends AnyFunSuite {
     // formulation (distinct edges + expression cosine + global window)
     val expK = EmbeddingSearch.knnJoin(spark, dir, nPlanes = 8 * rpb, bands = 8)
       .as[(Long, Long, Double, Long)].collect().toSet
-    val gotK = EmbeddingSearch.knnJoinScaled(spark, dir)
+    val gotK = EmbeddingSearch.knnJoinScaled(spark, dir, targetBucket = 32, multiProbe = false)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(gotK == expK)
     assert(gotK.nonEmpty, "scaled kNN join should produce edges on the fixture")
@@ -489,6 +489,67 @@ class EmbeddingSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(expP.nonEmpty, "fixture produced no near-dup pairs — pin is vacuous")
     assert(gotP == expP, "bucket-local pairs kernel diverged from the edge formulation")
+  }
+
+  /** Probed EDGE formulation — the declarative reference for the
+    * multiprobe kernel: one-sided Hamming-1 candidates (base a-side joins
+    * a base∪flips b-side; symmetric because base(x)=flip_j(z) ⟺
+    * base(z)=flip_j(x)), exact expression cosine, global window. The
+    * kernel must be row-identical to this, as the unprobed kernel is to
+    * [[EmbeddingSearch.knnJoin]].
+    */
+  private def probedEdgeKnn(emb: org.apache.spark.sql.DataFrame, k: Int,
+      nPlanes: Int, bands: Int): org.apache.spark.sql.DataFrame = {
+    val rpb = nPlanes / bands
+    val sig = EmbeddingSearch.lshSignature(col("v"), nPlanes)
+    val base = emb.select(col("vec_id"),
+      explode(EmbeddingSearch.lshBandKeys(sig, bands, rpb)).as("band"))
+    val probe = emb.select(col("vec_id"),
+      explode(concat(EmbeddingSearch.lshBandKeys(sig, bands, rpb),
+        EmbeddingSearch.lshFlipKeys(sig, bands, rpb))).as("band"))
+    val cand = base.as("a").join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id").asc)
+    cand
+      .join(emb, "vec_id")
+      .join(emb.select(col("vec_id").as("nbr_id"), col("v").as("nv")), "nbr_id")
+      .select(col("vec_id"), col("nbr_id"),
+        round(EmbeddingSearch.cosine(col("v"), col("nv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  test("multiprobe kNN join kernel equals the probed edge formulation (incl. default config)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = emb.count()
+    // the registered DEFAULT config: tb=128 adaptive width, Hamming-1 probes
+    val rpb = EmbeddingSearch.lshRowsPerBand(n, 128)
+    val exp = probedEdgeKnn(emb, 3, 8 * rpb, 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val got = EmbeddingSearch.knnJoinScaled(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(exp.nonEmpty, "probed fixture produced no edges — pin is vacuous")
+    assert(got == exp, "probed kernel diverged from the probed edge formulation")
+    // and at a different bucket shape (narrow tb=32 widths)
+    val rpb32 = EmbeddingSearch.lshRowsPerBand(n, 32)
+    val exp32 = probedEdgeKnn(emb, 3, 8 * rpb32, 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val got32 = EmbeddingSearch.knnJoinScaled(spark, dir, targetBucket = 32)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got32 == exp32, "probed kernel diverged at tb=32 widths")
+    // probing only ADDS candidates: the probed graph's per-vector edge set
+    // must dominate the unprobed one in the (cosine desc, id asc) order —
+    // spot-check via recall instead of structural compare: every unprobed
+    // candidate pair is also a probed candidate pair (Hamming 0 ⊆ ≤1)
+    val unprobed = EmbeddingSearch
+      .knnJoinScaled(spark, dir, targetBucket = 32, multiProbe = false)
+      .select("vec_id").as[Long].collect().toSet
+    assert(unprobed.subsetOf(got32.map(_._1)),
+      "a vector with unprobed edges lost all its edges under probing")
   }
 
   test("NaN cosines rank per Spark's total order in both bucket-local kernels") {
@@ -523,6 +584,15 @@ class EmbeddingSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Long)].collect().map(n4).toSet
     assert(expK.exists(_._3 == Double.MaxValue), "fixture produced no NaN kNN edge — pin is vacuous")
     assert(gotK == expK, "kNN kernel NaN handling diverged from the edge formulation")
+    // the PROBED kernel under NaN too — probe membership of the all-false
+    // NaN signature must rank by the same total order
+    val embNaN = df.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val expPr = probedEdgeKnn(embNaN, 3, 16, 4)
+      .as[(Long, Long, Double, Long)].collect().map(n4).toSet
+    val gotPr = EmbeddingSearch.knnJoinBucketLocal(spark, dir, multiProbe = true)
+      .as[(Long, Long, Double, Long)].collect().map(n4).toSet
+    assert(gotPr == expPr, "probed kNN kernel NaN handling diverged")
   }
 
   test("topKByScore aggregator equals the window formulation, incl. NaN and tied scores") {
