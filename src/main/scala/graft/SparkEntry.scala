@@ -804,6 +804,14 @@ object SparkEntry {
     // hash-gated and the curve stays replayable
     "embed_knn_join_unprobed" -> ((s, dir) =>
       EmbeddingSearch.knnJoinScaled(s, dir, targetBucket = 32, multiProbe = false)),
+    // the EXACT degenerate-bucket escape on the driver gate: maxBucket=24
+    // is below the fixture's mean bucket size, so the census genuinely
+    // tiles (round-robin tile-pair groups, hard memory bound) and the
+    // hash must still equal the untiled unprobed oracle — exactness of
+    // the escape, gated every round
+    "embed_knn_join_tiled" -> ((s, dir) =>
+      EmbeddingSearch.knnJoinScaled(s, dir, targetBucket = 32, multiProbe = false,
+        maxBucket = 24, tileOversized = true)),
     // fixed-width form, explicitly named — known-small static corpora only
     "embed_knn_join_fixed" -> ((s, dir) => EmbeddingSearch.knnJoin(s, dir)),
     // recall@k of the UNPROBED tb=32 graph vs the exact graph on a
@@ -1218,6 +1226,23 @@ object SparkEntry {
       |        (CASE WHEN i = j THEN 1 - sig[(b*rpb+i+1)::INT]
       |         ELSE sig[(b*rpb+i+1)::INT] END)::VARCHAR), ','))))) AS band
       |  FROM sig, prm)""".stripMargin
+
+  /** The unprobed corpus-adaptive kNN-graph oracle — shared verbatim by
+    * `embed_knn_join_unprobed` and `embed_knn_join_tiled`: the tiled
+    * escape is EXACT, so the two entries hash against the same SQL.
+    */
+  private val knnJoinUnprobedOracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |$vecBandCtesScaled,
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+       |         FROM vbands a JOIN vbands b ON a.band = b.band AND a.vec_id <> b.vec_id),
+       |s AS (SELECT cand.vec_id, cand.nbr_id,
+       |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+       |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+       |            JOIN e eb ON cand.nbr_id = eb.vec_id),
+       |r AS (SELECT *, (row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
+       |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin
 
   /** Brute-force / LSH k-NN oracles as vals: each is also nested (as a
     * parenthesized WITH subquery) inside the recall-evaluation oracle.
@@ -3121,18 +3146,11 @@ object SparkEntry {
          |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
     // the r9 default kept registered: corpus-adaptive tb=32 banding, no
     // probing — the recall curve's 0-point
-    "embed_knn_join_unprobed" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |$vecBandCtesScaled,
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
-         |         FROM vbands a JOIN vbands b ON a.band = b.band AND a.vec_id <> b.vec_id),
-         |s AS (SELECT cand.vec_id, cand.nbr_id,
-         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
-         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
-         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
-         |r AS (SELECT *, (row_number() OVER
-         |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
-         |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+    "embed_knn_join_unprobed" -> knnJoinUnprobedOracle,
+    // the tiled escape under a deliberately tiny maxBucket: the oracle is
+    // IDENTICAL to the unprobed entry because the escape is exact — the
+    // hash gate proves tiling changes the plan, never the rows
+    "embed_knn_join_tiled" -> knnJoinUnprobedOracle,
     // the DEFAULT: tb=128 adaptive banding with the candidate b-side
     // widened to the Hamming-1 probe memberships
     "embed_knn_join" ->

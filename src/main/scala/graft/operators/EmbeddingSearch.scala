@@ -482,14 +482,15 @@ object EmbeddingSearch {
     * over every dedup run against it.
     */
   def cosineNearDupPairsScaled(spark: SparkSession, dir: String, tau: Double,
-      targetBucket: Int = 32, bands: Int = 8, maxBucket: Int = 1 << 17): DataFrame = {
+      targetBucket: Int = 32, bands: Int = 8, maxBucket: Int = 1 << 17,
+      tileOversized: Boolean = false): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val rpb = lshRowsPerBand(emb.count(), targetBucket)
     // bucket-local since r9 (row-identical to cosineNearDupPairsFor,
     // spec-pinned) — the clustered-bucket candidate volume stays
     // arithmetic instead of shuffled vector-carrying edges
     cosineNearDupPairsBucketLocal(emb, tau, nPlanes = bands * rpb, bands = bands,
-      maxBucket = maxBucket)
+      maxBucket = maxBucket, tileOversized = tileOversized)
   }
 
   /** SemDeDup-style SEMANTIC PRUNE (Abbas et al. '23): drop every vector
@@ -602,14 +603,17 @@ object EmbeddingSearch {
     */
   private[graft] def knnJoinBucketLocal(spark: SparkSession, dir: String,
       k: Int = 3, nPlanes: Int = 16, bands: Int = 4,
-      maxBucket: Int = 1 << 17, multiProbe: Boolean = false): DataFrame = {
+      maxBucket: Int = 1 << 17, multiProbe: Boolean = false,
+      tileOversized: Boolean = false): DataFrame = {
     import spark.implicits._
-    val local = bandedVectors(Tables.embeddings(spark, dir), nPlanes, bands, multiProbe)
-      .as[(String, Long, Array[Double], Boolean)]
+    val banded = bandedVectors(Tables.embeddings(spark, dir), nPlanes, bands, multiProbe)
+    val local = (if (tileOversized) tileOversizedBuckets(banded, maxBucket) else banded)
+      .as[(String, Long, Array[Double], Boolean, Int, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (band, it) =>
         val (m, norms) = drainBucketWithNorms(band, it, maxBucket,
-          "widen the LSH or use the explicitly-capped knnJoin variant")
+          "enable tileOversized (the exact tiled escape) or use the " +
+            "explicitly-capped knnJoin variant (measured recall trade)")
         val n = m.length
         // per-member bounded top-k slices in two flat arrays; each
         // unordered pair is scored ONCE (dot and the norm product are
@@ -644,8 +648,12 @@ object EmbeddingSearch {
             // probe-probe pairs are SKIPPED: two flipped keys colliding
             // means Hamming ≤ 2 in this band — beyond the one-sided
             // Hamming-1 candidate contract the oracle replays, and the
-            // quadratic-in-probes work the flag exists to avoid
-            if (m(j)._2 != m(i)._2 && (m(i)._4 || m(j)._4)) {
+            // quadratic-in-probes work the flag exists to avoid. Under
+            // tiling, off-diagonal groups (diag=false) score only
+            // CROSS-tile pairs — within-tile pairs belong to the
+            // diagonal group, so each bucket pair is scored exactly once
+            if (m(j)._2 != m(i)._2 && (m(i)._4 || m(j)._4) &&
+                (m(i)._6 || m(i)._5 != m(j)._5)) {
               val c =
                 if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
                 else round6(dotSeq(m(i)._3, m(j)._3) / (norms(i) * norms(j)))
@@ -701,7 +709,8 @@ object EmbeddingSearch {
     * graph passes the r9 config back in. */
   def knnJoinScaled(spark: SparkSession, dir: String, k: Int = 3,
       targetBucket: Int = 128, bands: Int = 8, candidateCap: Int = 0,
-      multiProbe: Boolean = true, maxBucket: Int = 1 << 17): DataFrame = {
+      multiProbe: Boolean = true, maxBucket: Int = 1 << 17,
+      tileOversized: Boolean = false): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val rpb = lshRowsPerBand(n, targetBucket)
     if (candidateCap > 0)
@@ -710,7 +719,7 @@ object EmbeddingSearch {
       knnJoin(spark, dir, k, nPlanes = bands * rpb, bands = bands, candidateCap = candidateCap)
     else
       knnJoinBucketLocal(spark, dir, k, nPlanes = bands * rpb, bands = bands,
-        maxBucket = maxBucket, multiProbe = multiProbe)
+        maxBucket = maxBucket, multiProbe = multiProbe, tileOversized = tileOversized)
   }
 
   /** The shared bucket-local-kernel prologue: project to (vec_id, v),
@@ -720,6 +729,11 @@ object EmbeddingSearch {
     * `is_base = false`) — ONE signature compute feeds both key sets (a
     * single struct array explodes), so multiprobe costs key fan-out, not
     * a second scan.
+    *
+    * Output shape is the kernels' 6-tuple (band, vec_id, v, is_base,
+    * tile, diag); without [[tileOversizedBuckets]] every row carries
+    * tile=0/diag=true, so the kernels' tile predicate is a no-op and the
+    * plan is unchanged.
     */
   private def bandedVectors(embeddings: DataFrame, nPlanes: Int, bands: Int,
       multiProbe: Boolean = false): DataFrame = {
@@ -735,7 +749,64 @@ object EmbeddingSearch {
         tag(lshFlipKeys(sig, bands, rpb), false))
     emb.select(col("vec_id"), col("v"), explode(keyed).as("bk"))
       .select(col("bk.band").as("band"), col("vec_id"), col("v"),
-        col("bk.is_base").as("is_base"))
+        col("bk.is_base").as("is_base"),
+        lit(0).as("tile"), lit(true).as("diag"))
+  }
+
+  /** The EXACT degenerate-bucket escape (the tiled pair-group rewrite of
+    * a banded frame): a band bucket bigger than the kernels' memory guard
+    * — a mega dup-family at crawl scale, exactly what corpus dedup exists
+    * for — is split into T deterministic hash-tiles and each member is
+    * replicated into the T tile-PAIR groups its tile participates in.
+    * The diagonal group (t,t) scores within-tile pairs; an off-diagonal
+    * group (a,b) scores only cross-tile pairs — so every unordered pair
+    * of the original bucket is scored in EXACTLY one group and the
+    * kernels' output is row-identical to the untiled/edge formulation
+    * (spec-pinned with a planted over-limit bucket), at full recall —
+    * unlike the capped variant's measured recall halving.
+    *
+    * Costs, explicitly: one census pass (groupBy(band).count — partial
+    * aggregation makes the shuffle metadata-scale; the oversized list is
+    * bounded by totalRows/maxBucket rows and is size-gate-broadcast into
+    * the join, so the banded frame itself never reshuffles for the
+    * lookup); one extra exchange over oversized-bucket MEMBERS ONLY (the
+    * round-robin window below); and T-way replication of those members —
+    * shuffle volume 4·size²/maxBucket per degenerate bucket, the
+    * unavoidable blocked-cartesian transfer cost of an exact quadratic
+    * contract with bounded task memory. Tiles are ROUND-ROBIN by
+    * per-bucket row_number, not hashed: with T = ceil(4·size/maxBucket)
+    * that's a HARD tile bound of ceil(size/T) ≤ maxBucket/4 + 1 and a
+    * hard group bound ≤ maxBucket/2 + 2 — a memory guarantee, where hash
+    * tiling's Poisson tail can blow any constant slack at small
+    * tile sizes. Normal buckets pass through with their original key and
+    * zero replication. Opt-in (`tileOversized`) because the census
+    * re-scans and re-hashes the corpus — the common no-degenerate-bucket
+    * case shouldn't pay 2× scan for insurance; the drain guard's failure
+    * message names this flag as the exact escape.
+    */
+  private def tileOversizedBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val sizes = banded.groupBy("band").agg(count(lit(1)).as("bsize"))
+      .where(col("bsize") > maxBucket)
+      .select(col("band"),
+        ceil(col("bsize") * 4 / maxBucket).cast("int").as("ntiles"))
+    val joined = banded.join(Scale.maybeBroadcast(sizes), Seq("band"), "left")
+    val normal = joined.where(col("ntiles").isNull)
+      .select(col("band"), col("vec_id"), col("v"), col("is_base"), col("tile"), col("diag"))
+    // (vec_id) is unique within a bucket — a vector's base and flip keys
+    // for any band are pairwise distinct strings — so the round-robin
+    // assignment is deterministic under orderBy(vec_id)
+    val overW = Window.partitionBy("band").orderBy("vec_id")
+    val over = joined.where(col("ntiles").isNotNull)
+      .withColumn("tile",
+        pmod(row_number().over(overW) - 1, col("ntiles")).cast("int"))
+      .select(col("vec_id"), col("v"), col("is_base"), col("tile"),
+        explode(transform(sequence(lit(0), col("ntiles") - 1), u => struct(
+          concat_ws("#", col("band"), least(col("tile"), u).cast("string"),
+            greatest(col("tile"), u).cast("string")).as("gkey"),
+          (u === col("tile")).as("diag")))).as("tg"))
+      .select(col("tg.gkey").as("band"), col("vec_id"), col("v"),
+        col("is_base"), col("tile"), col("tg.diag").as("diag"))
+    normal.union(over)
   }
 
   /** Drain one band bucket into an array + precomputed norms. The guard
@@ -744,9 +815,12 @@ object EmbeddingSearch {
     * toArray; `guardHint` names the kernel-specific escape route.
     */
   private def drainBucketWithNorms(band: String,
-      it: Iterator[(String, Long, Array[Double], Boolean)], maxBucket: Int, guardHint: String):
-      (scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double], Boolean)], Array[Double]) = {
-    val buf = new scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double], Boolean)]()
+      it: Iterator[(String, Long, Array[Double], Boolean, Int, Boolean)], maxBucket: Int,
+      guardHint: String):
+      (scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double], Boolean, Int, Boolean)],
+        Array[Double]) = {
+    val buf =
+      new scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double], Boolean, Int, Boolean)]()
     while (it.hasNext) {
       buf += it.next()
       require(buf.length <= maxBucket,
@@ -785,14 +859,16 @@ object EmbeddingSearch {
     */
   def cosineNearDupPairsBucketLocal(embeddings: DataFrame, tau: Double,
       nPlanes: Int = 16, bands: Int = 4, maxBucket: Int = 1 << 17,
-      multiProbe: Boolean = false): DataFrame = {
+      multiProbe: Boolean = false, tileOversized: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    bandedVectors(embeddings, nPlanes, bands, multiProbe)
-      .as[(String, Long, Array[Double], Boolean)]
+    val banded = bandedVectors(embeddings, nPlanes, bands, multiProbe)
+    (if (tileOversized) tileOversizedBuckets(banded, maxBucket) else banded)
+      .as[(String, Long, Array[Double], Boolean, Int, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (band, it) =>
-        val (m, norms) = drainBucketWithNorms(band, it, maxBucket, "widen the LSH")
+        val (m, norms) = drainBucketWithNorms(band, it, maxBucket,
+          "enable tileOversized (the exact tiled escape) or widen the LSH")
         val n = m.length
         new Iterator[(Long, Long, Double)] {
           private var i = 0
@@ -803,8 +879,10 @@ object EmbeddingSearch {
             pending = null
             while (pending == null && i < n) {
               while (pending == null && j < n) {
-                // probe-probe skipped — see knnJoinBucketLocal
-                if (m(i)._2 != m(j)._2 && (m(i)._4 || m(j)._4)) {
+                // probe-probe skipped, off-diagonal groups cross-tile
+                // only — see knnJoinBucketLocal
+                if (m(i)._2 != m(j)._2 && (m(i)._4 || m(j)._4) &&
+                    (m(i)._6 || m(i)._5 != m(j)._5)) {
                   val c =
                     if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
                     else round6(dotSeq(m(i)._3, m(j)._3) / (norms(i) * norms(j)))

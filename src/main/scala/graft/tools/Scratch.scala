@@ -32,6 +32,28 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "tilecheck") {
+      // does the registered embed_knn_join_tiled config genuinely tile at
+      // this SF? (the untiled guard must fire at the same maxBucket) —
+      // plus the tiled wall cost next to the untiled entry's
+      val fired = try {
+        graft.operators.EmbeddingSearch.knnJoinScaled(spark, sfDir,
+          targetBucket = 32, multiProbe = false, maxBucket = 24).count()
+        false
+      } catch { case _: Throwable => true }
+      for (pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.EmbeddingSearch.knnJoinScaled(spark, sfDir,
+          targetBucket = 32, multiProbe = false, maxBucket = 24, tileOversized = true).count()
+        val t1 = System.nanoTime()
+        val n2 = graft.operators.EmbeddingSearch.knnJoinScaled(spark, sfDir,
+          targetBucket = 32, multiProbe = false).count()
+        val t2 = System.nanoTime()
+        println(f"[tilecheck] guardFired=$fired pass=$pass tiled=${(t1 - t0) / 1e9}%.2f s " +
+          f"($n rows) untiled=${(t2 - t1) / 1e9}%.2f s ($n2 rows)")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "knnrecall") {
       // recall/wall curve for the kNN-graph configs: what Hamming-1
       // probing, band count, and bucket width each buy at sf0.1
@@ -65,7 +87,7 @@ object Scratch {
       println(f"[bpe1024] ${(System.nanoTime() - t0) / 1e9}%.2f s ($n merges learned)")
       spark.stop(); return
     }
-    if (args.length > 1 && args(1) == "knnrecall") {
+    if (args.length > 1 && args(1) == "knncaprecall") {
       import org.apache.spark.sql.functions._
       for (cap <- Seq(0, 32, 64, 96, 128, 192, 256)) {
         val t0 = System.nanoTime()

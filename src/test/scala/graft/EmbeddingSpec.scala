@@ -552,6 +552,51 @@ class EmbeddingSpec extends AnyFunSuite {
       "a vector with unprobed edges lost all its edges under probing")
   }
 
+  test("tiled escape: over-limit buckets yield row-identical output to the edge plans") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val rpb = EmbeddingSearch.lshRowsPerBand(n) // tb=32 widths: ~31/bucket avg
+    // WITHOUT the escape, a guard far below the fixture's bucket sizes
+    // must refuse loudly and name the exact escape
+    val e = intercept[Throwable] {
+      EmbeddingSearch.knnJoinScaled(spark, dir, targetBucket = 32,
+        multiProbe = false, maxBucket = 8).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("tileOversized"), s"guard message lost its escape hint:\n$chain")
+    // WITH the escape at maxBucket=32 (mixed case: some buckets tile,
+    // some pass through untouched) the output is ROW-IDENTICAL to the
+    // edge formulation — the escape is exact, not a recall trade
+    val expK = EmbeddingSearch.knnJoin(spark, dir, nPlanes = 8 * rpb, bands = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val gotK = EmbeddingSearch.knnJoinScaled(spark, dir, targetBucket = 32,
+        multiProbe = false, maxBucket = 32, tileOversized = true)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(expK.nonEmpty, "fixture produced no kNN edges — pin is vacuous")
+    assert(gotK == expK, "tiled kNN kernel diverged from the edge formulation")
+    // tiling composes with MULTIPROBE (probe members count toward bucket
+    // size and tile like base members; the pair predicate ANDs)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val expP = probedEdgeKnn(emb, 3, 8 * rpb, 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val gotP = EmbeddingSearch.knnJoinScaled(spark, dir, targetBucket = 32,
+        maxBucket = 32, tileOversized = true)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(gotP == expP, "tiled+probed kNN kernel diverged from the probed edge formulation")
+    // and the PAIRS kernel under the same planted over-limit buckets
+    val expPairs = EmbeddingSearch.cosineNearDupPairsFor(
+        graft.sources.Tables.embeddings(spark, dir), tau = 0.4,
+        nPlanes = 8 * rpb, bands = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val gotPairs = EmbeddingSearch.cosineNearDupPairsScaled(spark, dir, tau = 0.4,
+        maxBucket = 32, tileOversized = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expPairs.nonEmpty, "fixture produced no near-dup pairs — pin is vacuous")
+    assert(gotPairs == expPairs, "tiled pairs kernel diverged from the edge formulation")
+  }
+
   test("NaN cosines rank per Spark's total order in both bucket-local kernels") {
     // Spark treats NaN as larger than any numeric: the edge formulations'
     // Column compares pass a NaN cosine through `>= tau` and rank it first
