@@ -555,6 +555,12 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
     // the flagship's query shape under Okapi BM25 ranking; fixed-order
     // score folds keep the doubles hash-gated
+    // HYBRID retrieval (the RAG serving capstone of the reference's query
+    // capability): BM25 lexical ranks + exact-cosine semantic ranks fused
+    // by reciprocal-rank — pure integer-rank arithmetic after the two
+    // retrievals, fully oracle-replayable
+    "text_hybrid_topk" -> ((s, dir) =>
+      TextAnalysis.hybridTopK(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "text_bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopDocs(Tables.documents(s, dir))),
     // concat-and-chunk sequence packing: per-source prefix sums place every
@@ -643,6 +649,13 @@ object SparkEntry {
     "text_quality_classifier_scores" -> ((s, dir) =>
       TextAnalysis.scoreWithClassifier(Tables.documents(s, dir),
         TextAnalysis.qualityClassifierWeights(Tables.documents(s, dir)))),
+    // the WIDE mechanism (table-weight GD + join-based serve — the shape
+    // that holds at 100k+ hashed dims, spec-pinned bit-identical to the
+    // literal path at 16 and 256 dims) gated at oracle width against the
+    // SAME oracle: the mechanism changes, the rows must not
+    "text_quality_classifier_scores_wide" -> ((s, dir) =>
+      TextAnalysis.scoreWithClassifierWide(Tables.documents(s, dir),
+        TextAnalysis.qualityClassifierWeightsWide(Tables.documents(s, dir)))),
     // TRAINED BPE tokenizer (Sennrich et al. 2016): 8 merge rounds over the
     // cached vocabulary-sized word-frequency table — integer pair counts +
     // total-order argmax + fixed left-to-right replaces make the merge
@@ -1243,6 +1256,39 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
        |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin
+
+  /** BM25 oracle body, factored so the hybrid-retrieval oracle replays
+    * the IDENTICAL lexical ranking it fuses: the CTE chain (tok→sc) and
+    * the per-doc rollup, shared verbatim by `text_bm25_topk` and
+    * `text_hybrid_topk`.
+    */
+  private val bm25CtesSql: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+      |lens AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS len_sum FROM lens),
+      |q AS (SELECT DISTINCT term FROM tf WHERE doc_id = 0),
+      |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf
+      |        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+      |pt AS (SELECT tf.doc_id, tf.term, tf.tf, lens.dl, dft.df, stats.n, stats.len_sum
+      |       FROM tf JOIN dft USING (term)
+      |       JOIN lens ON tf.doc_id = lens.doc_id, stats
+      |       WHERE tf.doc_id <> 0),
+      |sc AS (SELECT doc_id, dl, term,
+      |       ln((n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+      |         * (tf::DOUBLE * (1.2 + 1.0))
+      |         / (tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+      |            + 0.75 * dl::DOUBLE / (len_sum::DOUBLE / n::DOUBLE))) AS tscore
+      |       FROM pt)""".stripMargin
+
+  private val bm25RollupSql: String =
+    """SELECT doc_id, count(*)::BIGINT AS n_shared_terms, dl,
+      |  round(list_reduce(
+      |    list_prepend(0.0, list_transform(
+      |      list_sort(list(struct_pack(term := term, tscore := tscore))),
+      |      s2 -> s2.tscore)),
+      |    (a, b2) -> a + b2), 6) AS score
+      |FROM sc GROUP BY doc_id, dl""".stripMargin
 
   /** Brute-force / LSH k-NN oracles as vals: each is also nested (as a
     * parenthesized WITH subquery) inside the recall-evaluation oracle.
@@ -2616,6 +2662,16 @@ object SparkEntry {
          |  count(*) AS n_docs
          |FROM sf GROUP BY 1, 2""".stripMargin,
     "text_quality_classifier_scores" ->
+      s"""${classifierCtes()},
+         |sc AS (SELECT f.doc_id,
+         |  list_reduce(list_transform(generate_series(1, 17), j -> w[j] * x[j]),
+         |    (a, b) -> a + b) AS z
+         |  FROM feat f CROSS JOIN w3)
+         |SELECT doc_id, round(z, 6) AS score, (z >= 0.0)::BIGINT AS predicted
+         |FROM sc""".stripMargin,
+    // wide mechanism, same model, same rows — the oracle is identical by
+    // construction (the spec pins weight bit-identity; the gate pins rows)
+    "text_quality_classifier_scores_wide" ->
       s"""${classifierCtes()},
          |sc AS (SELECT f.doc_id,
          |  list_reduce(list_transform(generate_series(1, 17), j -> w[j] * x[j]),
@@ -4087,31 +4143,35 @@ object SparkEntry {
     // BM25 mirrored term by term: same tf/df/len tables, same double
     // literals and operation order, same term-sorted left fold, round(6)
     "text_bm25_topk" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
-        |lens AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
-        |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS len_sum FROM lens),
-        |q AS (SELECT DISTINCT term FROM tf WHERE doc_id = 0),
-        |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf
-        |        WHERE term IN (SELECT term FROM q) GROUP BY 1),
-        |pt AS (SELECT tf.doc_id, tf.term, tf.tf, lens.dl, dft.df, stats.n, stats.len_sum
-        |       FROM tf JOIN dft USING (term)
-        |       JOIN lens ON tf.doc_id = lens.doc_id, stats
-        |       WHERE tf.doc_id <> 0),
-        |sc AS (SELECT doc_id, dl, term,
-        |       ln((n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
-        |         * (tf::DOUBLE * (1.2 + 1.0))
-        |         / (tf::DOUBLE + 1.2 * ((1.0 - 0.75)
-        |            + 0.75 * dl::DOUBLE / (len_sum::DOUBLE / n::DOUBLE))) AS tscore
-        |       FROM pt)
-        |SELECT doc_id, count(*)::BIGINT AS n_shared_terms, dl,
-        |  round(list_reduce(
-        |    list_prepend(0.0, list_transform(
-        |      list_sort(list(struct_pack(term := term, tscore := tscore))),
-        |      s2 -> s2.tscore)),
-        |    (a, b2) -> a + b2), 6) AS score
-        |FROM sc GROUP BY doc_id, dl
-        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+      s"""WITH $bm25CtesSql
+         |$bm25RollupSql
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // hybrid = the SAME BM25 rollup (shared CTEs) ranked, the exact
+    // cosine top-20 of vec 0 ranked, full-outer fused by RRF — pure
+    // integer-rank arithmetic after the two retrievals (1.0/(60+rank) is
+    // the same IEEE division of the same integers in both engines,
+    // summed lexical-then-semantic, one round(6))
+    "text_hybrid_topk" ->
+      s"""WITH $bm25CtesSql,
+         |bm AS ($bm25RollupSql ORDER BY score DESC, doc_id ASC LIMIT 20),
+         |bmr AS (SELECT doc_id, (row_number() OVER
+         |  (ORDER BY score DESC, doc_id ASC))::BIGINT AS lex_rank FROM bm),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |semall AS (SELECT e.vec_id, round(${cosineSql("e.v", "qv.qv")}, 6) AS cosine
+         |           FROM e, qv WHERE e.vec_id <> 0),
+         |semtop AS (SELECT vec_id, cosine FROM semall
+         |           ORDER BY cosine DESC, vec_id ASC LIMIT 20),
+         |semr AS (SELECT vec_id, (row_number() OVER
+         |  (ORDER BY cosine DESC, vec_id ASC))::BIGINT AS sem_rank FROM semtop),
+         |f AS (SELECT coalesce(b.doc_id, s.vec_id) AS doc_id, b.lex_rank, s.sem_rank,
+         |  round(coalesce(1.0::DOUBLE / (60 + b.lex_rank)::DOUBLE, 0.0)
+         |      + coalesce(1.0::DOUBLE / (60 + s.sem_rank)::DOUBLE, 0.0), 6) AS rrf
+         |  FROM bmr b FULL JOIN semr s ON b.doc_id = s.vec_id)
+         |SELECT doc_id, lex_rank, sem_rank, rrf, rank FROM (
+         |  SELECT *, (row_number() OVER
+         |    (ORDER BY rrf DESC, doc_id ASC))::BIGINT AS rank FROM f)
+         |WHERE rank <= 10""".stripMargin,
     "corpus_chunks" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id, i::BIGINT AS chunk_no, (i * 48)::BIGINT AS start_tok,

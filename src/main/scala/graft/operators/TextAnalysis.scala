@@ -1301,6 +1301,54 @@ object TextAnalysis {
       .limit(kTop)
   }
 
+  /** HYBRID retrieval — the standard RAG serving shape: fuse the LEXICAL
+    * ranking ([[bm25TopDocs]] — the reference pipeline's own query
+    * capability under BM25) with the SEMANTIC ranking (exact cosine
+    * top-k over the embedding twin of the same corpus; swap in any ANN
+    * searcher at scale — the fusion consumes only (id, rank)) via
+    * Reciprocal Rank Fusion (Cormack et al. SIGIR'09):
+    * rrf(d) = Σ_lists 1/(rrfK + rank_list(d)), the rank-only combiner
+    * that needs no score calibration between BM25's unbounded scores and
+    * cosine's [−1, 1]. Candidates are the UNION of both top-`kEach`
+    * lists (full outer join on the shared id space — documents and
+    * embeddings are id-aligned twins in this corpus family); a doc
+    * missing from one list contributes nothing for it — the standard RRF
+    * convention. Everything after the two retrievals is integer-rank
+    * arithmetic: 1.0/(rrfK+rank) is the same IEEE division of the same
+    * integers in both engines, summed lexical-then-semantic, one
+    * round(6) — fully hash-gated. Cost at scale: the two retrievals
+    * (each already scale-shaped) plus a 2·kEach-row fusion — the fusion
+    * itself is free. Output: (doc_id, lex_rank, sem_rank, rrf, rank).
+    */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame, queryId: Long = 0L,
+      kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopDocs(docs, queryId, kTop = kEach)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    val emb = embeddings.select(col("vec_id"), transform(col("embedding"),
+      _.cast("double")).as("v"))
+    val q = broadcast(emb.where(col("vec_id") === queryId).select(col("v").as("qv")))
+    // distributed TakeOrdered pulls the kEach survivors; the rank window
+    // then runs over kEach rows, never the corpus-wide score stream
+    val sem = emb.crossJoin(q).where(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(kEach)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("id"), col("sem_rank"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")).cast("double"), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("id").asc)).cast("long"))
+      .where(col("rank") <= kTop)
+      .select(col("id").as("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf"), col("rank"))
+  }
+
   /** Consecutive global TRAINING positions 0..N−1 in the epoch-0 shuffle
     * order ([[epochShuffle]]'s key), assigned WITHOUT the single-partition
     * window a bare `row_number() OVER (ORDER BY …)` plans — Spark executes
@@ -1466,6 +1514,131 @@ object TextAnalysis {
           * element_at(col("x"), (j + 1).cast("int"))))
       .select(col("doc_id"), round(col("z"), 6).as("score"),
         (col("z") >= 0.0).cast("long").as("predicted"))
+  }
+
+  /** SPARSE features for the wide-model paths: one (doc_id, j, x) row per
+    * NONZERO hash bucket — never a dims-sized dense array, so the shape
+    * holds at fastText-honest widths (100k+ hashed dims) where
+    * [[classifierFeatures]]'s per-doc dense vector would be ~1 MB/doc.
+    * Per-doc row count is bounded by min(doc tokens, dims) regardless of
+    * model width. The x values are the SAME exact IEEE divisions the
+    * dense path computes (c/ntok of identical integers). Empty docs have
+    * no rows here — the wide paths re-attach them from the docs frame
+    * (bias-only, matching the dense path's all-zero frequency block).
+    * The final explode happens after a groupBy(doc_id), so the frame
+    * arrives doc_id-partitioned — downstream per-doc aggregations reuse
+    * that exchange.
+    */
+  private def classifierFeaturesSparse(docs: DataFrame, dims: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokenize(col("text"))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("doc_id"), pmod(portableHash31(col("t")), lit(dims)).cast("int").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("j"), col("c"))).as("jc"),
+        sum(col("c")).cast("long").as("ntok"))
+      .select(col("doc_id"), col("ntok"), explode(col("jc")).as("e"))
+      .select(col("doc_id"), col("e.j").as("j"),
+        (col("e.c").cast("double") / col("ntok").cast("double")).as("x"))
+
+  /** Per-doc Σⱼ wⱼxⱼ over the sparse features against a WEIGHT TABLE —
+    * the join-based z that replaces the dense fold past expression-tree
+    * widths. Bit-identical to the dense ascending-j fold: terms are
+    * summed in ascending-j order (sort_array on (j, term) structs; j is
+    * unique per doc) and the skipped x=0 terms contribute exact IEEE
+    * zeros the dense fold adds without effect (cancellation yields +0.0
+    * under round-to-nearest, so the accumulator is never -0.0 and
+    * `a + ±0.0 ≡ a` throughout). The weight table is size-gated — at
+    * 65k dims it broadcasts (~1 MB) and the per-doc aggregation reuses
+    * the features' doc_id partitioning; a table past the gate
+    * shuffle-joins on j and the result re-exchanges, still never
+    * materializing a dense vector.
+    */
+  private def sparseZ(sparse: DataFrame, weights: DataFrame, dims: Int): DataFrame =
+    sparse.join(Scale.maybeBroadcast(weights.where(col("j") < dims)), Seq("j"))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("j"), (col("weight") * col("x")).as("term")))),
+        lit(0.0), (acc, s) => acc + s.getField("term")).as("zf"))
+
+  /** [[scoreWithClassifier]] at PRODUCTION MODEL WIDTH: the weight table
+    * is joined, never inlined or densified, so the serve works at 100k+
+    * hashed dims where the literal path's dims-sized arrays (one plan
+    * node per weight on the train side, a dense ~1 MB vector per doc on
+    * the feature side) stop being sane. Row-identical to
+    * [[scoreWithClassifier]] at any width (spec-pinned at dims=16 and
+    * 256) — the wide path changes mechanism, never results.
+    */
+  def scoreWithClassifierWide(docs: DataFrame, weights: DataFrame,
+      dims: Int = 16): DataFrame = {
+    val zf = sparseZ(classifierFeaturesSparse(docs, dims), weights, dims)
+    val bias = weights.where(col("j") === lit(dims)).select(col("weight").as("wb"))
+    docs.select(col("doc_id")).join(zf, Seq("doc_id"), "left")
+      .crossJoin(broadcast(bias)) // exactly one row — the bias weight
+      .withColumn("z", coalesce(col("zf"), lit(0.0)) + col("wb"))
+      .select(col("doc_id"), round(col("z"), 6).as("score"),
+        (col("z") >= 0.0).cast("long").as("predicted"))
+  }
+
+  /** [[trainClassifier]] at PRODUCTION MODEL WIDTH: same full-batch GD,
+    * same exact arithmetic (spec-pinned bit-identical weights at dims=16
+    * and 256), but the per-round weight vector reaches the executors as
+    * a size-gated TABLE (created from the driver array — dims+1 rows,
+    * metadata-scale at any realistic width) instead of a dims+1-literal
+    * expression array, and features stay sparse end-to-end. Per-round
+    * cost: one broadcast join + one per-doc aggregation + one gradient
+    * aggregation over nonzero (doc, j) pairs — O(corpus tokens + dims)
+    * rows, no plan whose SIZE grows with the model. Gradient sums skip
+    * x=0 contributions, which round to exact decimal zero in the dense
+    * path — sums identical. The bias gradient (x ≡ 1.0) aggregates from
+    * the per-doc d frame directly.
+    */
+  private[operators] def trainClassifierWide(docs: DataFrame, dims: Int, iters: Int,
+      eta: Double): Array[Double] = {
+    require(dims >= 1 && iters >= 1, "dims and iters must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    classifierTrainings.incrementAndGet()
+    val sparse = classifierFeaturesSparse(docs, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labeled = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    try {
+      sparse.count() // materialize the feature cache once
+      val n = labeled.count()
+      var w = Array.fill(dims + 1)(0.0)
+      for (_ <- 1 to iters) {
+        val wDf = w.toIndexedSeq.zipWithIndex
+          .map { case (wt, j) => (j, wt) }.toDF("j", "weight")
+        val d = labeled
+          .join(sparseZ(sparse, wDf, dims), Seq("doc_id"), "left")
+          .withColumn("z", coalesce(col("zf"), lit(0.0)) + lit(w(dims)))
+          .select(col("doc_id"),
+            (lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z"))) - col("y")).as("d"))
+        val grads = sparse.join(d, Seq("doc_id"))
+          .select(col("j"), round(col("x") * col("d"), 6).cast("decimal(18,6)").as("g"))
+          .groupBy(col("j")).agg(sum(col("g")).as("gj"))
+          .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+        val gBias = d.select(round(col("d"), 6).cast("decimal(18,6)").as("g"))
+          .agg(sum(col("g"))).head().getDecimal(0)
+        w = w.indices.map { j =>
+          val g = if (j == dims) gBias
+            else grads.get(j).map(identity).getOrElse(java.math.BigDecimal.ZERO)
+          w(j) - eta * (g.doubleValue() / n.toDouble)
+        }.toArray
+      }
+      w
+    } finally { sparse.unpersist(); () }
+  }
+
+  /** [[qualityClassifierWeights]] through the wide trainer — the weight
+    * table a 100k-dim production filter trains and serves with. */
+  def qualityClassifierWeightsWide(docs: DataFrame, dims: Int = 16, iters: Int = 3,
+      eta: Double = 4.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainClassifierWide(docs, dims, iters, eta).toIndexedSeq.zipWithIndex
+      .map { case (wt, j) => (j.toLong, wt) }.toDF("j", "weight")
   }
 
   def saveClassifierModel(weights: DataFrame, path: String): Unit =

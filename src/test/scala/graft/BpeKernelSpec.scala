@@ -177,4 +177,33 @@ class BpeKernelSpec extends AnyFunSuite {
           s"(${atFull._1} tokens over ${atFull._2} words)")
     }
   }
+
+  test("persisted wide merge table serves through the kernel: load roundtrip, chain-equal, zero retrains") {
+    // the production-vocab serve shape ScaleBench measures at 576 merges
+    // (text_bpe_tokens_m576): an evolving-trained LARGE model persisted to
+    // parquet, loaded as a metadata-scale merge list, served via the
+    // one-pass kernel. Gated here (not the oracle — it can't unroll
+    // hundreds of CTE rounds): (1) the load roundtrips the table exactly,
+    // (2) kernel serve from the loaded model equals the literal CHAIN at
+    // the same merges — the chain is the semantic definition, feasible at
+    // this spec's 96 rounds though hopeless at production width, (3) the
+    // serve performs zero trainings.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("bpe_wide").toString + "/model"
+    val trained = TextAnalysis.bpeMergesEvolving(docs, rounds = 96)
+    TextAnalysis.saveBpeModel(trained, path)
+    val loaded = TextAnalysis.loadBpeMerges(spark, path)
+    val fresh = trained.orderBy("merge_round")
+      .select("lhs", "rhs").as[(String, String)].collect().toIndexedSeq
+    assert(loaded == fresh, "persisted merge table did not roundtrip in training order")
+    assert(loaded.length >= 64, s"expected a wide model, got ${loaded.length} merges")
+    val before = TextAnalysis.bpeTrainings.get()
+    val viaKernel = TextAnalysis.bpeTokenCountsWith(docs, loaded, kernel = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(TextAnalysis.bpeTrainings.get() == before, "serve path trained")
+    val viaChain = TextAnalysis.bpeTokenCountsWith(docs, loaded, kernel = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaKernel.nonEmpty && viaKernel == viaChain,
+      "kernel serve from the persisted wide model diverged from the replace chain")
+  }
 }

@@ -965,6 +965,57 @@ class StreamingSpec extends AnyFunSuite {
       "serve tier trained across stop/restart")
   }
 
+  test("quantizer serve survives a checkpointed stop/restart (VERDICT r9 stretch)") {
+    // the classifier/BPE restart contract applied to the k-means serve
+    // tier: kill the query, start a NEW instance on the same checkpoint —
+    // already-routed batches must NOT replay (exactly-once offsets), new
+    // batches route identically to the batch serve, zero trainings
+    import graft.operators.EmbeddingSearch
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_km_restart").toString
+    val modelPath = s"$root/m"; val srcDir = s"$root/src"; val ck = s"$root/ck"
+    EmbeddingSearch.saveKmeansIndex(EmbeddingSearch.trainKmeansIndex(
+      emb.select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("v"))),
+      modelPath)
+    val cols = emb.select($"vec_id", $"embedding")
+    val batch1 = cols.where($"vec_id" < 10)
+    val batch2 = cols.where($"vec_id" >= 10 && $"vec_id" < 20)
+    val ids1 = batch1.select($"vec_id").as[Long].collect().toSet
+    val ids2 = batch2.select($"vec_id").as[Long].collect().toSet
+    assert(ids1.nonEmpty && ids2.nonEmpty)
+    val want = EmbeddingSearch
+      .assignWithIndex(cols.where($"vec_id" < 20),
+        EmbeddingSearch.loadKmeansIndex(spark, modelPath))
+      .select($"cl", $"vec_id", $"centrality")
+      .as[(Int, Long, Double)].collect().map(r => r._2 -> (r._1, r._3)).toMap
+    StreamingSpec.kmRestartRows.clear()
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    batch1.write.mode("overwrite").parquet(srcDir)
+    def startQuery() = StreamingOps.assignAgainstKmeansIndex(
+        spark.readStream.schema(batch1.schema).parquet(srcDir), modelPath) { (routed, _) =>
+      StreamingSpec.kmRestartRows ++= routed.select($"cl", $"vec_id", $"centrality")
+        .as[(Int, Long, Double)].collect()
+      ()
+    }.option("checkpointLocation", ck).start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterQ1 = StreamingSpec.kmRestartRows.length
+    assert(StreamingSpec.kmRestartRows.map(_._2).toSet == ids1)
+    batch2.write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val q2Rows = StreamingSpec.kmRestartRows.drop(afterQ1).toList
+    assert(q2Rows.map(_._2).toSet == ids2,
+      s"restarted instance must route exactly the new batch (no replay): " +
+        s"${q2Rows.map(_._2).toSet}")
+    StreamingSpec.kmRestartRows.foreach { case (cl, id, cen) =>
+      assert(want(id) == ((cl, cen)), s"vec $id drifted across restart: ($cl, $cen) vs ${want(id)}")
+    }
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "serve tier trained across stop/restart")
+  }
+
   test("line-dedup serve: indexed boilerplate lines stripped from streamed docs") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextAnalysis
@@ -1353,4 +1404,5 @@ object StreamingSpec {
     * stable-reference requirement as [[hhRestartRows]]). */
   val clfRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]
   val bpeRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]
+  val kmRestartRows = new scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]
 }

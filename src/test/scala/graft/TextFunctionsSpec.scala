@@ -900,4 +900,63 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(pos.map(_._2).sum / pos.length > neg.map(_._2).sum / neg.length,
       "dims=256 model does not separate the training labels in score space")
   }
+
+  test("wide (join-serve) classifier is bit-identical to the literal path at 16 and 256 dims") {
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (dims <- Seq(16, 256)) {
+      // TRAINING: the table-weight GD must reproduce the literal-inlined
+      // GD weight-for-weight, bit-exactly — same features (sparse skips
+      // only exact-zero terms), same ascending-j fold order, same decimal
+      // gradient sums
+      val lit16 = TextAnalysis.qualityClassifierWeights(docs, dims = dims)
+        .as[(Long, Double)].collect().sortBy(_._1)
+      val wide16 = TextAnalysis.qualityClassifierWeightsWide(docs, dims = dims)
+        .as[(Long, Double)].collect().sortBy(_._1)
+      assert(wide16.length == dims + 1)
+      assert(lit16.zip(wide16).forall { case ((ja, wa), (jb, wb)) =>
+        ja == jb && wa.equals(wb) // Double.equals: bit-identity incl. ±0/NaN
+      }, s"wide training diverged from literal training at dims=$dims")
+      // SERVE: the join-based scorer must be row-identical to the dense
+      // broadcast-array scorer against the same weight table
+      val wdf = TextAnalysis.qualityClassifierWeightsWide(docs, dims = dims)
+      val litScores = TextAnalysis.scoreWithClassifier(docs, wdf, dims = dims)
+        .as[(Long, Double, Long)].collect().toSet
+      val wideScores = TextAnalysis.scoreWithClassifierWide(docs, wdf, dims = dims)
+        .as[(Long, Double, Long)].collect().toSet
+      assert(litScores.nonEmpty && wideScores == litScores,
+        s"wide serve diverged from literal serve at dims=$dims")
+    }
+  }
+
+  test("hybrid retrieval equals an in-memory RRF fusion of its two rank lists") {
+    import graft.operators.{TextAnalysis, EmbeddingSearch}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    // the two rank lists, collected INDEPENDENTLY of the fused operator
+    val lex = TextAnalysis.bm25TopDocs(docs, 0L, kTop = 20)
+      .select($"doc_id", $"score").as[(Long, Double)].collect()
+      .sortBy { case (id, sc) => (-sc, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val sem = EmbeddingSearch.bruteForceTopK(spark, dir, k = 20, nQueries = 1)
+      .select($"vec_id", $"rank").as[(Long, Long)].collect().toMap
+    assert(lex.nonEmpty && sem.nonEmpty, "a retrieval list is empty — fusion pin is vacuous")
+    // plain-Scala RRF over the union, fixed lexical-then-semantic order
+    val fused = (lex.keySet ++ sem.keySet).toSeq.map { id =>
+      val r = lex.get(id).map(r => 1.0 / (60L + r)).getOrElse(0.0) +
+        sem.get(id).map(r => 1.0 / (60L + r)).getOrElse(0.0)
+      (id, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, r) => (-r, id) }.take(10)
+      .zipWithIndex.map { case ((id, r), i) => (id, r, i + 1L) }.toSet
+    val got = TextAnalysis.hybridTopK(docs, emb)
+      .select($"doc_id", $"rrf", $"rank").as[(Long, Double, Long)].collect().toSet
+    assert(got == fused, "hybridTopK diverged from the in-memory RRF replay")
+    // rank columns are consistent with membership: a doc with both ranks
+    // must out-fuse a doc appearing in only one list at equal-or-worse ranks
+    val rows = TextAnalysis.hybridTopK(docs, emb)
+      .select($"doc_id", $"lex_rank", $"sem_rank").collect()
+    assert(rows.forall(r => !(r.isNullAt(1) && r.isNullAt(2))),
+      "a fused doc carries neither rank")
+  }
 }
