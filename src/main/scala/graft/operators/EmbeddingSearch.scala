@@ -248,13 +248,7 @@ object EmbeddingSearch {
     * candidates.
     */
   def lshMultiProbeKeys(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
-    flatten(transform(sequence(lit(0), lit(bands - 1)), b =>
-      transform(sequence(lit(-1), lit(rowsPerBand - 1)), j =>
-        concat_ws(":", b.cast("string"),
-          concat_ws(",", transform(sequence(lit(0), lit(rowsPerBand - 1)), i => {
-            val bit = element_at(sig, (b * rowsPerBand + i + 1).cast("int"))
-            when(i === j, lit(1) - bit).otherwise(bit).cast("string")
-          }))))))
+    lshFlippedKeys(sig, bands, rowsPerBand, includeBase = true)
 
   /** The FLIPS-ONLY half of [[lshMultiProbeKeys]] (j ranges over the bits,
     * never -1): per band, the `rowsPerBand` Hamming-1 variants of the base
@@ -264,8 +258,17 @@ object EmbeddingSearch {
     * sets are generated separately and tagged.
     */
   def lshFlipKeys(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
+    lshFlippedKeys(sig, bands, rowsPerBand, includeBase = false)
+
+  /** The ONE definition of the flipped-key string format both probe key
+    * sets derive from (j = -1 flips nothing — the base key, bit-identical
+    * to [[lshBandKeys]]'s; the oracle's vprobe CTE replays this format,
+    * so it must never fork across the three builders).
+    */
+  private def lshFlippedKeys(sig: Column, bands: Int, rowsPerBand: Int,
+      includeBase: Boolean): Column =
     flatten(transform(sequence(lit(0), lit(bands - 1)), b =>
-      transform(sequence(lit(0), lit(rowsPerBand - 1)), j =>
+      transform(sequence(lit(if (includeBase) -1 else 0), lit(rowsPerBand - 1)), j =>
         concat_ws(":", b.cast("string"),
           concat_ws(",", transform(sequence(lit(0), lit(rowsPerBand - 1)), i => {
             val bit = element_at(sig, (b * rowsPerBand + i + 1).cast("int"))
@@ -606,8 +609,8 @@ object EmbeddingSearch {
       maxBucket: Int = 1 << 17, multiProbe: Boolean = false,
       tileOversized: Boolean = false): DataFrame = {
     import spark.implicits._
-    val banded = bandedVectors(Tables.embeddings(spark, dir), nPlanes, bands, multiProbe)
-    val local = (if (tileOversized) tileOversizedBuckets(banded, maxBucket) else banded)
+    val local = bandedForKernel(Tables.embeddings(spark, dir), nPlanes, bands,
+        multiProbe, tileOversized, maxBucket)
       .as[(String, Long, Array[Double], Boolean, Int, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (band, it) =>
@@ -736,22 +739,48 @@ object EmbeddingSearch {
     * plan is unchanged.
     */
   private def bandedVectors(embeddings: DataFrame, nPlanes: Int, bands: Int,
-      multiProbe: Boolean = false): DataFrame = {
+      multiProbe: Boolean = false): DataFrame =
+    bandedFromSigned(signedVectors(embeddings, nPlanes), nPlanes, bands, multiProbe)
+
+  /** The EXPENSIVE prefix of the banded frame — parquet scan, float→double
+    * cast, nPlanes hyperplane projections — split out so the tiled escape
+    * can materialize it ONCE (`localCheckpoint`) and fan its three
+    * consumers (census, pass-through branch, tiling branch) off cheap
+    * key-building explodes instead of three full signature passes.
+    */
+  private def signedVectors(embeddings: DataFrame, nPlanes: Int): DataFrame =
+    embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("sig", lshSignature(col("v"), nPlanes))
+
+  private def bandedFromSigned(signed: DataFrame, nPlanes: Int, bands: Int,
+      multiProbe: Boolean): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val rpb = nPlanes / bands
-    val emb = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val sig = lshSignature(col("v"), nPlanes)
+    val sig = col("sig")
     val tag = (keys: Column, base: Boolean) =>
       transform(keys, k => struct(k.as("band"), lit(base).as("is_base")))
     val keyed =
       if (!multiProbe) tag(lshBandKeys(sig, bands, rpb), true)
       else concat(tag(lshBandKeys(sig, bands, rpb), true),
         tag(lshFlipKeys(sig, bands, rpb), false))
-    emb.select(col("vec_id"), col("v"), explode(keyed).as("bk"))
+    signed.select(col("vec_id"), col("v"), explode(keyed).as("bk"))
       .select(col("bk.band").as("band"), col("vec_id"), col("v"),
         col("bk.is_base").as("is_base"),
         lit(0).as("tile"), lit(true).as("diag"))
   }
+
+  /** The banded frame for a kernel invocation: plain when untiled; under
+    * `tileOversized` the signature pass is materialized once
+    * (localCheckpoint — N rows of (id, vector, signature), 1× corpus, vs
+    * 3× full scans if census and both branches each recomputed it) and
+    * the census + tiling rewrite runs over cheap re-explodes of it.
+    */
+  private def bandedForKernel(embeddings: DataFrame, nPlanes: Int, bands: Int,
+      multiProbe: Boolean, tileOversized: Boolean, maxBucket: Int): DataFrame =
+    if (!tileOversized) bandedVectors(embeddings, nPlanes, bands, multiProbe)
+    else tileOversizedBuckets(
+      bandedFromSigned(signedVectors(embeddings, nPlanes).localCheckpoint(),
+        nPlanes, bands, multiProbe), maxBucket)
 
   /** The EXACT degenerate-bucket escape (the tiled pair-group rewrite of
     * a banded frame): a band bucket bigger than the kernels' memory guard
@@ -779,10 +808,13 @@ object EmbeddingSearch {
     * hard group bound ≤ maxBucket/2 + 2 — a memory guarantee, where hash
     * tiling's Poisson tail can blow any constant slack at small
     * tile sizes. Normal buckets pass through with their original key and
-    * zero replication. Opt-in (`tileOversized`) because the census
-    * re-scans and re-hashes the corpus — the common no-degenerate-bucket
-    * case shouldn't pay 2× scan for insurance; the drain guard's failure
-    * message names this flag as the exact escape.
+    * zero replication. Opt-in (`tileOversized`) because the shape needs
+    * the signature pass MATERIALIZED (one localCheckpoint of (id, vector,
+    * signature) — see [[bandedForKernel]]; census + both branches then
+    * re-explode cheap key strings off it) — the common
+    * no-degenerate-bucket case shouldn't pay a corpus materialization for
+    * insurance; the drain guard's failure message names this flag as the
+    * exact escape.
     */
   private def tileOversizedBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
     val sizes = banded.groupBy("band").agg(count(lit(1)).as("bsize"))
@@ -862,8 +894,7 @@ object EmbeddingSearch {
       multiProbe: Boolean = false, tileOversized: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val banded = bandedVectors(embeddings, nPlanes, bands, multiProbe)
-    (if (tileOversized) tileOversizedBuckets(banded, maxBucket) else banded)
+    bandedForKernel(embeddings, nPlanes, bands, multiProbe, tileOversized, maxBucket)
       .as[(String, Long, Array[Double], Boolean, Int, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (band, it) =>

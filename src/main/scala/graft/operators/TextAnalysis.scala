@@ -1623,7 +1623,7 @@ object TextAnalysis {
           .agg(sum(col("g"))).head().getDecimal(0)
         w = w.indices.map { j =>
           val g = if (j == dims) gBias
-            else grads.get(j).map(identity).getOrElse(java.math.BigDecimal.ZERO)
+            else grads.getOrElse(j, java.math.BigDecimal.ZERO)
           w(j) - eta * (g.doubleValue() / n.toDouble)
         }.toArray
       }
@@ -1932,8 +1932,24 @@ object TextAnalysis {
   def bpeTokenCounts(docs: DataFrame, rounds: Int = 8): DataFrame =
     bpeTokenCountsWith(docs, trainBpe(docs, rounds).map(m => (m._1, m._2)))
 
-  def saveBpeModel(merges: DataFrame, path: String): Unit =
+  /** Persist a trained merge table — validating KERNEL-SERVABILITY first:
+    * a table where two merges produce the same merged form (possible in
+    * principle — ('c','ab') after ('ca','b') both yield 'cab' if both
+    * pairs ever become adjacent) breaks the one-pass kernel's greedy ≡
+    * chain equivalence, and [[graft.functions.expressions.BpeMergeTable]]
+    * refuses it at construction. That refusal must happen HERE, when the
+    * model ships, not at the first serve query against a persisted model
+    * (where the only fallback would be the O(merges)-deep literal chain
+    * the kernel exists to replace). The validation is one model-scale
+    * collect + the constructor's own checks.
+    */
+  def saveBpeModel(merges: DataFrame, path: String): Unit = {
+    val ordered = merges.orderBy(col("merge_round").asc)
+      .select(col("lhs"), col("rhs")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+    new graft.functions.expressions.BpeMergeTable(ordered) // throws if unservable
     merges.coalesce(1).write.mode("overwrite").parquet(path)
+  }
 
   def loadBpeModel(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -188,9 +188,18 @@ object ScaleBench {
     }))
 
   /** Per-scaled-dir model store for the persisted extraFns (first pass
-    * trains, later passes serve — min-of-2 then measures the serve). */
-  private def modelPath(dir: String, name: String): String =
-    s"/tmp/graft_scale_models/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    * trains, later passes serve — min-of-2 then measures the serve).
+    * Keyed on the documents table's FILE FINGERPRINT, not just the dir
+    * string — regenerated corpora (the round workflow regenerates
+    * /tmp/graft_scale/xK at will) must invalidate the model rather than
+    * silently serving weights trained on the previous generation (the
+    * SparkEntry.bpeModelRows / quantizer-persistence discipline).
+    */
+  private def modelPath(dir: String, name: String): String = {
+    val fp = java.lang.Long.toHexString(
+      graft.sources.Tables.datasetFingerprint(s"$dir/documents.parquet"))
+    s"/tmp/graft_scale_models/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
+  }
 
   def scaledDocs(spark: SparkSession, src: String, k: Int, out: String): String = {
     val dir = s"$out/x$k"

@@ -40,7 +40,14 @@ object Scratch {
         graft.operators.EmbeddingSearch.knnJoinScaled(spark, sfDir,
           targetBucket = 32, multiProbe = false, maxBucket = 24).count()
         false
-      } catch { case _: Throwable => true }
+      } catch {
+        // only the drain guard counts; anything else is a real failure
+        // this probe must not re-label as "guard fired"
+        case t: Throwable
+            if Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+              .exists(c => Option(c.getMessage).exists(_.contains("tileOversized"))) =>
+          true
+      }
       for (pass <- 1 to 2) {
         val t0 = System.nanoTime()
         val n = graft.operators.EmbeddingSearch.knnJoinScaled(spark, sfDir,

@@ -80,6 +80,21 @@ class BpeKernelSpec extends AnyFunSuite {
     ()
   }
 
+  test("saveBpeModel refuses to persist a kernel-unservable merge table") {
+    // review finding (r10): the duplicate-form refusal lived only at
+    // serve-time construction — a persisted model would load fine and
+    // crash the first kernel query. The guard must fire when the model
+    // SHIPS.
+    import spark.implicits._
+    val bad = Seq((1L, "a", "b", "ab", 9L), (2L, "c", "a", "ca", 8L),
+        (3L, "c", "ab", "cab", 7L), (4L, "ca", "b", "cab", 6L))
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+    val path = java.nio.file.Files.createTempDirectory("bpe_bad").toString + "/m"
+    val e = intercept[IllegalArgumentException] { TextAnalysis.saveBpeModel(bad, path) }
+    assert(e.getMessage.contains("re-forms"), e.getMessage)
+    assert(!new java.io.File(path).exists(), "refused model must not be written")
+  }
+
   test("kernel refuses a merge table where two merges produce the same form") {
     // review finding: ('c','ab') and ('ca','b') both yield 'cab'; when the
     // later producer fires it RE-FORMS the token, so a pair ranked between
