@@ -102,6 +102,40 @@ object SparkEntry {
     s"$tmp/$keep"
   }
 
+  /** The ONE derivation of the persisted BM25 index's directory (the
+    * [[kmeansIndexDirFor]] discipline): dataset fingerprint in the name,
+    * stale fingerprints reclaimed, every lexical-serve entry routes
+    * through it so the tokenize pass runs once per dataset. `suffix`
+    * separates the full-corpus serve index from the incremental entry's
+    * build-then-extend index (different construction histories must not
+    * share a dir).
+    */
+  private[graft] def bm25IndexDirFor(dir: String, suffix: String = ""): String = {
+    val sfName = new java.io.File(dir).getName
+    val base = s"graft_bm25idx${suffix}_${sfName}_"
+    val keep = base +
+      java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
+    val tmp = System.getProperty("java.io.tmpdir")
+    Tables.cleanStaleExports(tmp, base, keep)
+    s"$tmp/$keep"
+  }
+
+  /** The ONE derivation of the persisted FULL-corpus IVF index's
+    * directory — the vector-store artifact the hybrid serves read
+    * (distinct from `graft_ivfinc_*`, which indexes the 4/5 split for
+    * the incremental-kNN entry).
+    */
+  private[graft] def ivfFullIndexDirFor(dir: String, nClusters: Int = 8,
+      iters: Int = 2): String = {
+    val sfName = new java.io.File(dir).getName
+    val base = s"graft_ivffull_c${nClusters}i${iters}_${sfName}_"
+    val keep = base +
+      java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
+    val tmp = System.getProperty("java.io.tmpdir")
+    Tables.cleanStaleExports(tmp, base, keep)
+    s"$tmp/$keep"
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — reference parity (SURVEY.md §2.1) —
@@ -563,6 +597,30 @@ object SparkEntry {
       TextAnalysis.hybridTopK(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "text_bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopDocs(Tables.documents(s, dir))),
+    // the SAME ranking served from the persisted inverted index (postings
+    // built once per dataset fingerprint, zero corpus re-tokenization) —
+    // identical plan tail, so the oracle is shared verbatim
+    "text_bm25_serve" -> ((s, dir) => {
+      val p = bm25IndexDirFor(dir)
+      TextAnalysis.ensureBm25Index(s, dir, p)
+      TextAnalysis.bm25TopDocsWithIndex(s, p)
+    }),
+    // incremental lexical index maintenance: first 4/5 of doc_ids play the
+    // indexed corpus, the rest today's batch APPENDED without touching
+    // indexed postings; serve over the union ≡ the full-corpus ranking
+    "text_bm25_incremental" -> ((s, dir) =>
+      TextAnalysis.bm25Incremental(s, dir, bm25IndexDirFor(dir, suffix = "inc"))),
+    // hybrid retrieval served from ARTIFACTS ONLY: persisted postings
+    // (lexical) + the persisted IVF index's vector table (semantic, exact
+    // flat scan — nprobe probing is the recall-trading scale knob, kept
+    // out of the oracle-gated serve); neither base table is touched
+    "text_hybrid_serve" -> ((s, dir) => {
+      val bp = bm25IndexDirFor(dir)
+      val ip = ivfFullIndexDirFor(dir)
+      TextAnalysis.ensureBm25Index(s, dir, bp)
+      EmbeddingSearch.ensureIvfIndex(s, dir, ip)
+      TextAnalysis.hybridTopKServed(s, bp, ip)
+    }),
     // concat-and-chunk sequence packing: per-source prefix sums place every
     // doc into fixed 512-token training sequences (spans included)
     "corpus_pack" -> ((s, dir) =>
@@ -1289,6 +1347,47 @@ object SparkEntry {
       |      s2 -> s2.tscore)),
       |    (a, b2) -> a + b2), 6) AS score
       |FROM sc GROUP BY doc_id, dl""".stripMargin
+
+  /** The complete BM25 ranking oracle — shared by the in-DAG entry and
+    * both persisted-index serves (`text_bm25_serve`,
+    * `text_bm25_incremental`): the serve plans are the SAME oracle-gated
+    * ranking over postings that were materialized instead of in-DAG, so
+    * the replay is identical by construction.
+    */
+  private val bm25TopSql: String =
+    s"""WITH $bm25CtesSql
+       |$bm25RollupSql
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** Hybrid-retrieval oracle: the SAME BM25 rollup (shared CTEs) ranked,
+    * the exact cosine top-20 of vec 0 ranked, full-outer fused by RRF —
+    * pure integer-rank arithmetic after the two retrievals
+    * (1.0/(60+rank) is the same IEEE division of the same integers in
+    * both engines, summed lexical-then-semantic, one round(6)). Shared
+    * by the in-DAG entry and the artifact-only serve
+    * (`text_hybrid_serve`).
+    */
+  private val hybridTopSql: String =
+    s"""WITH $bm25CtesSql,
+       |bm AS ($bm25RollupSql ORDER BY score DESC, doc_id ASC LIMIT 20),
+       |bmr AS (SELECT doc_id, (row_number() OVER
+       |  (ORDER BY score DESC, doc_id ASC))::BIGINT AS lex_rank FROM bm),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |semall AS (SELECT e.vec_id, round(${cosineSql("e.v", "qv.qv")}, 6) AS cosine
+       |           FROM e, qv WHERE e.vec_id <> 0),
+       |semtop AS (SELECT vec_id, cosine FROM semall
+       |           ORDER BY cosine DESC, vec_id ASC LIMIT 20),
+       |semr AS (SELECT vec_id, (row_number() OVER
+       |  (ORDER BY cosine DESC, vec_id ASC))::BIGINT AS sem_rank FROM semtop),
+       |f AS (SELECT coalesce(b.doc_id, s.vec_id) AS doc_id, b.lex_rank, s.sem_rank,
+       |  round(coalesce(1.0::DOUBLE / (60 + b.lex_rank)::DOUBLE, 0.0)
+       |      + coalesce(1.0::DOUBLE / (60 + s.sem_rank)::DOUBLE, 0.0), 6) AS rrf
+       |  FROM bmr b FULL JOIN semr s ON b.doc_id = s.vec_id)
+       |SELECT doc_id, lex_rank, sem_rank, rrf, rank FROM (
+       |  SELECT *, (row_number() OVER
+       |    (ORDER BY rrf DESC, doc_id ASC))::BIGINT AS rank FROM f)
+       |WHERE rank <= 10""".stripMargin
 
   /** Brute-force / LSH k-NN oracles as vals: each is also nested (as a
     * parenthesized WITH subquery) inside the recall-evaluation oracle.
@@ -4142,36 +4241,22 @@ object SparkEntry {
          |ORDER BY dsir_logweight DESC, doc_id ASC LIMIT 100""".stripMargin,
     // BM25 mirrored term by term: same tf/df/len tables, same double
     // literals and operation order, same term-sorted left fold, round(6)
-    "text_bm25_topk" ->
-      s"""WITH $bm25CtesSql
-         |$bm25RollupSql
-         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "text_bm25_topk" -> bm25TopSql,
+    // the persisted-index serves replay the identical ranking: postings
+    // hold exactly the (doc_id, term, tf) rows the in-DAG plan builds
+    // (serve) / build-on-4/5-then-append-1/5 reunions them (incremental)
+    "text_bm25_serve" -> bm25TopSql,
+    "text_bm25_incremental" -> bm25TopSql,
     // hybrid = the SAME BM25 rollup (shared CTEs) ranked, the exact
     // cosine top-20 of vec 0 ranked, full-outer fused by RRF — pure
     // integer-rank arithmetic after the two retrievals (1.0/(60+rank) is
     // the same IEEE division of the same integers in both engines,
     // summed lexical-then-semantic, one round(6))
-    "text_hybrid_topk" ->
-      s"""WITH $bm25CtesSql,
-         |bm AS ($bm25RollupSql ORDER BY score DESC, doc_id ASC LIMIT 20),
-         |bmr AS (SELECT doc_id, (row_number() OVER
-         |  (ORDER BY score DESC, doc_id ASC))::BIGINT AS lex_rank FROM bm),
-         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |semall AS (SELECT e.vec_id, round(${cosineSql("e.v", "qv.qv")}, 6) AS cosine
-         |           FROM e, qv WHERE e.vec_id <> 0),
-         |semtop AS (SELECT vec_id, cosine FROM semall
-         |           ORDER BY cosine DESC, vec_id ASC LIMIT 20),
-         |semr AS (SELECT vec_id, (row_number() OVER
-         |  (ORDER BY cosine DESC, vec_id ASC))::BIGINT AS sem_rank FROM semtop),
-         |f AS (SELECT coalesce(b.doc_id, s.vec_id) AS doc_id, b.lex_rank, s.sem_rank,
-         |  round(coalesce(1.0::DOUBLE / (60 + b.lex_rank)::DOUBLE, 0.0)
-         |      + coalesce(1.0::DOUBLE / (60 + s.sem_rank)::DOUBLE, 0.0), 6) AS rrf
-         |  FROM bmr b FULL JOIN semr s ON b.doc_id = s.vec_id)
-         |SELECT doc_id, lex_rank, sem_rank, rrf, rank FROM (
-         |  SELECT *, (row_number() OVER
-         |    (ORDER BY rrf DESC, doc_id ASC))::BIGINT AS rank FROM f)
-         |WHERE rank <= 10""".stripMargin,
+    "text_hybrid_topk" -> hybridTopSql,
+    // the artifact-only serve is row-identical: persisted postings replay
+    // the lexical side, the IVF index's vector table holds exactly the
+    // corpus vectors for the exact-cosine semantic side
+    "text_hybrid_serve" -> hybridTopSql,
     "corpus_chunks" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id, i::BIGINT AS chunk_no, (i * 48)::BIGINT AS start_tok,

@@ -1769,6 +1769,22 @@ object EmbeddingSearch {
     fs.create(done, true).close()
   }
 
+  /** Build-if-missing wrapper over [[buildIvfIndex]] for the FULL corpus
+    * — the persisted vector-store artifact the hybrid-retrieval serves
+    * read ([[graft.operators.TextAnalysis.hybridTopKServed]] / the
+    * streaming tier): one training per (params, dataset) index dir, every
+    * consumer shares it (the [[ensureKmeansIndex]] discipline).
+    */
+  def ensureIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+      nClusters: Int = 8, iters: Int = 2): Unit = {
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(done))
+      buildIvfIndex(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")),
+        indexPath, nClusters, iters)
+  }
+
   /** INCREMENTAL kNN — the add-without-retrain pattern of a production
     * ANN service: the persisted IVF index answers for yesterday's corpus,
     * a new embedding batch is routed to its trained cells with the

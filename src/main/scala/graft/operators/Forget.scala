@@ -41,6 +41,7 @@ object Forget {
     Target(indexPath, Seq("exact", "sets", "bands"), "doc_id")
   def vecDedupTarget(indexPath: String): Target =
     Target(indexPath, Seq("vecs", "bands"), "vec_id")
+  def bm25Target(indexPath: String): Target = Target(indexPath, Seq("postings"), "doc_id")
   def phashTarget(indexPath: String): Target = Target(indexPath, Seq("phashes"), "doc_id")
   def audioFpTarget(indexPath: String): Target = Target(indexPath, Seq("afps"), "doc_id")
   def videoFpTarget(indexPath: String): Target = Target(indexPath, Seq("vfps"), "doc_id")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.HashFunctions._
+import graft.sources.Tables
 
 /** Text-analysis surface of the engine: per-document statistics, quality
   * scoring, language ID, token counting, fingerprinting, TF-IDF. All pure
@@ -1267,7 +1268,19 @@ object TextAnalysis {
   def bm25TopDocs(docs: DataFrame, queryDocId: Long = 0L, k1: Double = 1.2,
       b: Double = 0.75, kTop: Int = 20): DataFrame = {
     val terms = docs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    bm25FromPostings(terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+      queryDocId, k1, b, kTop)
+  }
+
+  /** BM25 over an already-materialized POSTINGS frame (doc_id, term, tf)
+    * — the single ranking plan behind both the in-DAG entry
+    * ([[bm25TopDocs]], postings built by tokenizing the corpus) and the
+    * persisted-index serve ([[bm25TopDocsWithIndex]], postings read back
+    * from [[buildBm25Index]]'s parquet). One definition means the serve
+    * can never drift from the oracle-gated ranking semantics.
+    */
+  private def bm25FromPostings(tf: DataFrame, queryDocId: Long, k1: Double,
+      b: Double, kTop: Int): DataFrame = {
     // dl from tf, not a second corpus explode: the (doc, term) exchange is
     // the shared subtree ReuseExchange dedupes; everything hangs off it
     val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
@@ -1301,6 +1314,111 @@ object TextAnalysis {
       .limit(kTop)
   }
 
+  // ———— persisted BM25 inverted index (the lexical serving artifact) ————
+
+  /** Persist the corpus's LEXICAL serving artifact: one `postings` table
+    * (doc_id, term, tf) — the inverted index every BM25 serve ranks from
+    * without re-tokenizing the corpus (tokenize-and-count is the scan-
+    * bound half of [[bm25TopDocs]]; the ranking half is postings-sized).
+    * Deliberately SINGLE-table: dl, N, avgdl and per-term df all derive
+    * from postings at serve time (dl = Σtf per doc is exactly how
+    * [[bm25TopDocs]] computes it), so extend/forget maintain ONE table
+    * and no cross-table consistency invariant exists to violate — the
+    * same single-source-of-truth argument as [[graft.operators
+    * .EmbeddingSearch.buildIvfIndex]]'s derive-from-persisted rule.
+    * Layout: `path/postings` + `_DONE` commit marker (a crashed build
+    * leaves no marker and is rebuilt, never served).
+    */
+  def buildBm25Index(docs: DataFrame, path: String): Unit = {
+    val done = new org.apache.hadoop.fs.Path(path, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.delete(done, false)
+    docs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    Forget.clearStaleForgetState(fs, path, Seq("postings"))
+    fs.create(done, true).close()
+  }
+
+  /** Append a NEW document batch to a committed BM25 index — the
+    * add-without-rebuild maintenance pass of a production lexical index:
+    * tokenize only the batch, append its (doc_id, term, tf) rows. Serve
+    * correctness needs (doc_id, term) to stay unique, so batch doc_ids
+    * must be new to the index (the [[Dedup.extendDedupIndex]] caller
+    * contract); corpus-global stats (df, N, avgdl) need no maintenance —
+    * they derive from postings at serve time, which is exactly why the
+    * index is one table. Crash contract: `_DONE` drops before the append
+    * and returns after, so a half-appended index reads as uncommitted;
+    * a crashed forget pass must be resumed first (appending under a
+    * half-filtered table would interleave states).
+    */
+  def extendBm25Index(indexPath: String, newDocs: DataFrame): Unit = {
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "postings/_SUCCESS")),
+      s"BM25 postings at $indexPath are missing or uncommitted (no _SUCCESS) — " +
+        "a crashed BUILD cannot be repaired by extend; run buildBm25Index")
+    Forget.requireNoCrashedForget(fs, indexPath)
+    fs.delete(done, false)
+    newDocs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(s"$indexPath/postings")
+    fs.create(done, true).close()
+  }
+
+  /** Build-if-missing wrapper over [[buildBm25Index]] — one tokenize pass
+    * per (dataset) index dir, every lexical serve shares it (the
+    * [[graft.operators.EmbeddingSearch.ensureKmeansIndex]] discipline).
+    */
+  def ensureBm25Index(spark: org.apache.spark.sql.SparkSession, dir: String,
+      indexPath: String): Unit = {
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(done)) buildBm25Index(Tables.documents(spark, dir), indexPath)
+  }
+
+  /** Serve [[bm25TopDocs]] from the PERSISTED index: the identical
+    * oracle-gated ranking plan ([[bm25FromPostings]]) with the corpus
+    * tokenize+count replaced by a postings scan — the whole point of the
+    * artifact. Refuses an uncommitted index (no `_DONE`): a half-built or
+    * half-extended postings table would silently rank against a partial
+    * corpus.
+    */
+  def bm25TopDocsWithIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queryDocId: Long = 0L, k1: Double = 1.2,
+      b: Double = 0.75, kTop: Int = 20): DataFrame = {
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(done),
+      s"BM25 index at $indexPath is uncommitted (no _DONE) — build/extend first")
+    bm25FromPostings(spark.read.parquet(s"$indexPath/postings"),
+      queryDocId, k1, b, kTop)
+  }
+
+  /** INCREMENTAL lexical retrieval — [[Dedup.dedupIncremental]]'s shape
+    * applied to the BM25 index: the first 4/5 of doc_ids play yesterday's
+    * indexed corpus ([[buildBm25Index]]), the rest today's batch, APPENDED
+    * without touching indexed postings ([[extendBm25Index]]); the query
+    * then ranks over the union index. The `_READY` marker commits the
+    * build+extend SEQUENCE: a crash between the two reads as not-ready
+    * and the pair reruns from the overwrite build, so the serve can never
+    * see the 4/5-only index as complete. Output = [[bm25TopDocs]] over
+    * the full corpus (the oracle replays exactly that).
+    */
+  def bm25Incremental(spark: org.apache.spark.sql.SparkSession, dir: String,
+      indexPath: String, kTop: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.count() * 4 / 5
+    val ready = new org.apache.hadoop.fs.Path(indexPath, "_READY")
+    val fs = ready.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(ready)) {
+      buildBm25Index(docs.where(col("doc_id") < split), indexPath)
+      extendBm25Index(indexPath, docs.where(col("doc_id") >= split))
+      fs.create(ready, true).close()
+    }
+    bm25TopDocsWithIndex(spark, indexPath, kTop = kTop)
+  }
+
   /** HYBRID retrieval — the standard RAG serving shape: fuse the LEXICAL
     * ranking ([[bm25TopDocs]] — the reference pipeline's own query
     * capability under BM25) with the SEMANTIC ranking (exact cosine
@@ -1321,23 +1439,63 @@ object TextAnalysis {
     * itself is free. Output: (doc_id, lex_rank, sem_rank, rrf, rank).
     */
   def hybridTopK(docs: DataFrame, embeddings: DataFrame, queryId: Long = 0L,
+      kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60): DataFrame =
+    rrfFuse(lexRanks(bm25TopDocs(docs, queryId, kTop = kEach)),
+      semRanks(embeddings.select(col("vec_id"), transform(col("embedding"),
+        _.cast("double")).as("v")), queryId, kEach), kTop, rrfK)
+
+  /** [[hybridTopK]] SERVED FROM ARTIFACTS ONLY — the production RAG query
+    * path: the lexical side ranks from the persisted BM25 postings
+    * ([[buildBm25Index]]; the oracle-identical [[bm25FromPostings]] plan,
+    * zero corpus re-tokenization), the semantic side scores the vectors
+    * the persisted IVF index already stores ([[graft.operators
+    * .EmbeddingSearch.buildIvfIndex]] `ivf` table — a flat exact scan,
+    * the full-recall tier; `nprobe`-cell probing is the documented scale
+    * knob and trades recall, so the oracle-gated serve stays exact).
+    * Neither base table is touched: the query document's terms and
+    * vector both come OUT of the indexes. Output ≡ [[hybridTopK]], so
+    * the entry shares its oracle verbatim.
+    */
+  def hybridTopKServed(spark: org.apache.spark.sql.SparkSession,
+      bm25IndexPath: String, ivfIndexPath: String, queryId: Long = 0L,
       kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60): DataFrame = {
-    val lex = bm25TopDocs(docs, queryId, kTop = kEach)
-      .withColumn("lex_rank", row_number().over(
+    val vecs = spark.read.parquet(s"$ivfIndexPath/ivf")
+      .select(col("vec_id"), col("v"))
+    rrfFuse(
+      lexRanks(bm25TopDocsWithIndex(spark, bm25IndexPath, queryId, kTop = kEach)),
+      semRanks(vecs, queryId, kEach), kTop, rrfK)
+  }
+
+  /** Lexical rank list from a BM25 top-k frame: (id, lex_rank). */
+  private def lexRanks(bm25Top: DataFrame): DataFrame =
+    bm25Top.withColumn("lex_rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
       .select(col("doc_id").as("id"), col("lex_rank"))
-    val emb = embeddings.select(col("vec_id"), transform(col("embedding"),
-      _.cast("double")).as("v"))
+
+  /** Semantic rank list for ONE query vector drawn from the corpus frame
+    * itself: exact cosine top-`kEach`, (id, sem_rank). The distributed
+    * TakeOrdered pulls the kEach survivors; the rank window then runs
+    * over kEach rows, never the corpus-wide score stream.
+    */
+  private def semRanks(emb: DataFrame, queryId: Long, kEach: Int): DataFrame = {
     val q = broadcast(emb.where(col("vec_id") === queryId).select(col("v").as("qv")))
-    // distributed TakeOrdered pulls the kEach survivors; the rank window
-    // then runs over kEach rows, never the corpus-wide score stream
-    val sem = emb.crossJoin(q).where(col("vec_id") =!= queryId)
+    emb.crossJoin(q).where(col("vec_id") =!= queryId)
       .select(col("vec_id"),
         round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc).limit(kEach)
       .withColumn("sem_rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
       .select(col("vec_id").as("id"), col("sem_rank"))
+  }
+
+  /** Reciprocal Rank Fusion of two (id, *_rank) lists (Cormack et al.
+    * SIGIR'09): candidates = the union (full outer join), a doc missing
+    * from one list contributes nothing for it, one round(6) on the
+    * integer-rank-derived sum keeps the result hash-gated. The fusion
+    * runs over ≤ 2·kEach rows — free at any corpus scale.
+    */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame, kTop: Int,
+      rrfK: Int): DataFrame =
     lex.join(sem, Seq("id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")).cast("double"), lit(0.0)) +
@@ -1347,6 +1505,85 @@ object TextAnalysis {
       .where(col("rank") <= kTop)
       .select(col("id").as("doc_id"), col("lex_rank"), col("sem_rank"),
         col("rrf"), col("rank"))
+
+  /** MULTI-QUERY hybrid serve over EXTERNAL query texts+vectors — the
+    * micro-batch kernel of the streaming RAG tier ([[graft.streaming
+    * .StreamingOps.hybridAgainstIndexes]]): a batch of
+    * (query_id, text, embedding) rows is ranked against the persisted
+    * postings (lexical; query terms tokenized from the BATCH text, so
+    * per-batch cost scales with batch vocabulary) and the persisted IVF
+    * vector table (semantic; exact cosine), fused per query with RRF.
+    * External queries are not corpus members, so there is no
+    * self-exclusion. Per-query top-k on BOTH sides is the bounded
+    * [[graft.functions.TopKByScoreAggregator]] — a stopword-heavy query
+    * matches a corpus-sized candidate stream, and a window over
+    * (query_id) partitions would sort corpus-scale groups on a handful
+    * of tasks (the exact trap the aggregator exists to avoid); per-doc
+    * lexical rollups fold term-sorted (the house float discipline), so
+    * serve output is bit-stable across batchings and restarts (the
+    * batch-identity + restart specs pin this). Output:
+    * (query_id, doc_id, lex_rank, sem_rank, rrf, rank).
+    */
+  def hybridServeBatch(queries: DataFrame, bm25IndexPath: String,
+      ivfIndexPath: String, kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.functions.TopKByScoreAggregator.topKByScore
+    val spark = queries.sparkSession
+    val tf = spark.read.parquet(s"$bm25IndexPath/postings")
+    val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = broadcast(lens.agg(
+      count(lit(1)).as("__n"), sum(col("dl")).as("__len_sum")))
+    // batch-derived sides are size-gated broadcasts: a batch is
+    // structurally small next to the index, but nothing enforces it
+    val qTerms = Scale.maybeBroadcast(queries.select(col("query_id"),
+      explode(array_distinct(tokenize(col("text")))).as("term"))
+      .where(col("term") =!= ""))
+    val dfT = tf.join(qTerms.select(col("term")).distinct(), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(qTerms, Seq("term"))
+      .join(Scale.maybeBroadcast(dfT), "term")
+      .join(lens, "doc_id").crossJoin(stats)
+      .withColumn("avgdl",
+        col("__len_sum").cast("double") / col("__n").cast("double"))
+      .withColumn("idf", log(
+        (col("__n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("tscore",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val lexScores = perTerm
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("term"), col("tscore")))).as("ts"))
+      .withColumn("score", round(
+        aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("tscore")), 6))
+    val lex = lexScores.groupBy(col("query_id"))
+      .agg(topKByScore(kEach)(col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), col("t._2").as("id"),
+        (col("i") + 1).cast("long").as("lex_rank"))
+    val qVecs = Scale.maybeBroadcast(queries.select(col("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv")))
+    val sem = spark.read.parquet(s"$ivfIndexPath/ivf")
+      .select(col("vec_id"), col("v")).crossJoin(qVecs)
+      .select(col("query_id"), col("vec_id"),
+        round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(topKByScore(kEach)(col("cosine"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), col("t._2").as("id"),
+        (col("i") + 1).cast("long").as("sem_rank"))
+    lex.join(sem, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")).cast("double"), lit(0.0)), 6))
+      // fused candidate sets are ≤ 2·kEach rows per query — the window is
+      // legitimately tiny here
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("id").asc)).cast("long"))
+      .where(col("rank") <= kTop)
+      .select(col("query_id"), col("id").as("doc_id"), col("lex_rank"),
+        col("sem_rank"), col("rrf"), col("rank"))
   }
 
   /** Consecutive global TRAINING positions 0..N−1 in the epoch-0 shuffle

@@ -717,6 +717,30 @@ object StreamingOps {
           batch.sparkSession, indexPath)), batchId)
     }
 
+  /** Streaming HYBRID retrieval serve — the online RAG query tier over
+    * BOTH persisted retrieval artifacts at once: each micro-batch of
+    * (query_id, text, embedding) queries is ranked lexically against the
+    * persisted BM25 postings ([[graft.operators.TextAnalysis
+    * .buildBm25Index]]) and semantically against the persisted IVF vector
+    * table ([[graft.operators.EmbeddingSearch.buildIvfIndex]]), fused
+    * per query with reciprocal-rank fusion ([[graft.operators
+    * .TextAnalysis.hybridServeBatch]] — one definition for the batch and
+    * streaming shapes, so the tiers cannot drift). foreachBatch because
+    * both sides are per-batch aggregations over stream-static joins;
+    * the indexes re-load per batch, so a rebuilt/extended index takes
+    * effect on the NEXT batch (the classifyAgainstModel contract).
+    * Per-batch cost scales with the batch's vocabulary and the postings/
+    * vector scans — never with stream history; no state store at all.
+    * Sink receives (query_id, doc_id, lex_rank, sem_rank, rrf, rank).
+    */
+  def hybridAgainstIndexes(queries: DataFrame, bm25IndexPath: String,
+      ivfIndexPath: String, kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.TextAnalysis.hybridServeBatch(
+        batch, bm25IndexPath, ivfIndexPath, kEach, kTop, rrfK), batchId)
+    }
+
   /** The COMPOSED ingest chain a 100 TB training-data stream runs, ordered
     * cheapest-first so each stage sheds volume before the next pays for it:
     * stateless quality predicate → stateless decontamination (broadcast

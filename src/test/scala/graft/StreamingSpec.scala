@@ -1390,6 +1390,72 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("hybrid retrieval serve: streamed queries equal the batch serve across stop/restart") {
+    // the trained-artifact restart contract applied to the RAG query
+    // tier: both persisted indexes (BM25 postings + IVF vector table)
+    // serve a query stream; kill the query, restart on the same
+    // checkpoint — served batches must NOT replay, new batches must fuse
+    // identically to the batch serve kernel, zero quantizer trainings
+    import graft.operators.{TextAnalysis, EmbeddingSearch}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_restart").toString
+    val bmIdx = s"$root/bm"; val ivfIdx = s"$root/ivf"
+    val srcDir = s"$root/src"; val ck = s"$root/ck"
+    TextAnalysis.buildBm25Index(docs, bmIdx)
+    EmbeddingSearch.buildIvfIndex(emb.select($"vec_id",
+      org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("v")),
+      ivfIdx)
+    // external query batches: corpus texts paired with their embedding
+    // twins (id-aligned tables), streamed as (query_id, text, embedding)
+    val queries = docs.select($"doc_id".as("query_id"), $"text")
+      .join(emb.select($"vec_id".as("query_id"), $"embedding"), "query_id")
+    val batch1 = queries.where($"query_id" < 3)
+    val batch2 = queries.where($"query_id" >= 3 && $"query_id" < 6)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"doc_id", $"lex_rank", $"sem_rank", $"rrf", $"rank")
+        .collect().map { r =>
+          (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getDouble(4), r.getLong(5))
+        }.toSet
+    val want = rowsOf(TextAnalysis.hybridServeBatch(
+      queries.where($"query_id" < 6), bmIdx, ivfIdx))
+    assert(want.nonEmpty, "batch-serve reference is empty — the pin is vacuous")
+    StreamingSpec.hybridRestartRows.clear()
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    batch1.write.mode("overwrite").parquet(srcDir)
+    def startQuery() = StreamingOps.hybridAgainstIndexes(
+        spark.readStream.schema(batch1.schema).parquet(srcDir), bmIdx, ivfIdx) { (fused, _) =>
+      StreamingSpec.hybridRestartRows ++= fused
+        .select($"query_id", $"doc_id", $"lex_rank", $"sem_rank", $"rrf", $"rank")
+        .collect().map { r =>
+          (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getDouble(4), r.getLong(5))
+        }
+      ()
+    }.option("checkpointLocation", ck).start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterQ1 = StreamingSpec.hybridRestartRows.length
+    assert(StreamingSpec.hybridRestartRows.map(_._1).toSet == Set(0L, 1L, 2L))
+    batch2.write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val q2Rows = StreamingSpec.hybridRestartRows.drop(afterQ1).toList
+    assert(q2Rows.map(_._1).toSet == Set(3L, 4L, 5L),
+      s"restarted instance must serve exactly the new batch (no replay): " +
+        s"${q2Rows.map(_._1).toSet}")
+    assert(StreamingSpec.hybridRestartRows.toSet == want,
+      "streamed hybrid serve drifted from the batch serve kernel")
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "hybrid serve tier trained across stop/restart")
+  }
 }
 
 object StreamingSpec {
@@ -1405,4 +1471,6 @@ object StreamingSpec {
   val clfRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]
   val bpeRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]
   val kmRestartRows = new scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]
+  val hybridRestartRows = new scala.collection.mutable
+    .ArrayBuffer[(Long, Long, Option[Long], Option[Long], Double, Long)]
 }

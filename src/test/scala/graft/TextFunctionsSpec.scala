@@ -959,4 +959,167 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rows.forall(r => !(r.isNullAt(1) && r.isNullAt(2))),
       "a fused doc carries neither rank")
   }
+
+  test("multi-query hybrid serve equals a full plain-Scala replay of both sides") {
+    import graft.operators.{TextAnalysis, EmbeddingSearch}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_kernel").toString
+    val bmIdx = s"$root/bm"; val ivfIdx = s"$root/ivf"
+    TextAnalysis.buildBm25Index(docs, bmIdx)
+    EmbeddingSearch.buildIvfIndex(emb.select($"vec_id",
+      org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("v")),
+      ivfIdx)
+    val queries = docs.select($"doc_id".as("query_id"), $"text")
+      .join(emb.select($"vec_id".as("query_id"), $"embedding"), "query_id")
+      .where($"query_id" < 2)
+
+    // ——— plain-Scala replay, independent of every Spark plan above ———
+    val corpus = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    val qs = queries.select($"query_id", $"text", $"embedding")
+      .as[(Long, String, Seq[Float])].collect()
+      .map { case (id, t, v) => (id, t, v.map(_.toDouble).toArray) }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // postings exactly as buildBm25Index materializes them (Java \W+
+    // split parity is the engine's own tokenize contract, EXCEPT that
+    // empty/all-punct text tokenizes to [] where Java yields [""])
+    def engineToks(t: String): Seq[String] = {
+      val raw = t.split("\\W+").toSeq
+      if (raw == Seq("")) Seq.empty else raw
+    }
+    val postings = corpus.flatMap { case (id, t) =>
+      engineToks(t).map(w => (id, w))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap // ((doc,term)) -> tf
+    val dls = postings.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val n = dls.size.toDouble
+    val avgdl = dls.values.sum.toDouble / n
+    val dfs = postings.keys.toSeq.map(_._2).groupBy(identity).view
+      .mapValues(_.length.toDouble).toMap
+    val expected = qs.flatMap { case (qid, qtext, qv) =>
+      val qTerms = qtext.split("\\W+").toSeq.filter(_.nonEmpty).distinct
+      val lexScores = corpus.map(_._1).flatMap { did =>
+        val ts = qTerms.flatMap { term =>
+          postings.get((did, term)).map { tf =>
+            val df = dfs(term)
+            val idf = math.log((n - df + 0.5) / (df + 0.5))
+            term -> idf * (tf.toDouble * (1.2 + 1.0)) /
+              (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * dls(did).toDouble / avgdl))
+          }
+        }
+        if (ts.isEmpty) None
+        else Some(did -> round6(ts.sortBy(_._1).foldLeft(0.0)(_ + _._2)))
+      }
+      val lexRank = lexScores.sortBy { case (id, sc) => (-sc, id) }.take(20)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+      }
+      val semScores = vecs.map { case (id, v) =>
+        val na = math.sqrt(dotSeq(v, v)); val nb = math.sqrt(dotSeq(qv, qv))
+        id -> round6(if (na == 0.0 || nb == 0.0) 0.0 else dotSeq(v, qv) / (na * nb))
+      }
+      val semRank = semScores.sortBy { case (id, sc) => (-sc, id) }.take(20)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      (lexRank.keySet ++ semRank.keySet).toSeq.map { id =>
+        val rrf = round6(lexRank.get(id).map(r => 1.0 / (60L + r)).getOrElse(0.0) +
+          semRank.get(id).map(r => 1.0 / (60L + r)).getOrElse(0.0))
+        (id, lexRank.get(id), semRank.get(id), rrf)
+      }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(10)
+        .zipWithIndex.map { case ((id, lr, sr, rrf), i) =>
+          (qid, id, lr, sr, rrf, i + 1L)
+        }
+    }.toSet
+
+    val got = TextAnalysis.hybridServeBatch(queries, bmIdx, ivfIdx)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getDouble(4), r.getLong(5))
+      }.toSet
+    assert(expected.nonEmpty && got == expected,
+      "hybridServeBatch diverged from the plain-Scala two-sided replay")
+  }
+
+  test("BM25 index: serve equals the in-DAG ranking; build/extend/forget contracts hold") {
+    import graft.operators.{TextAnalysis, Forget}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25idx_spec").toString
+    val idx = s"$root/full"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+
+    // serve refuses an index that was never committed
+    val uncommitted = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopDocsWithIndex(spark, s"$root/nothere")
+    }
+    assert(uncommitted.getMessage.contains("_DONE"))
+    // extend refuses to repair a missing/crashed build
+    val noBuild = intercept[IllegalArgumentException] {
+      TextAnalysis.extendBm25Index(s"$root/nothere", docs)
+    }
+    assert(noBuild.getMessage.contains("buildBm25Index"))
+
+    TextAnalysis.buildBm25Index(docs, idx)
+    val want = TextAnalysis.bm25TopDocs(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = TextAnalysis.bm25TopDocsWithIndex(spark, idx)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      "persisted-index serve diverged from the in-DAG BM25 ranking")
+
+    // extend refuses while a crashed forget pass is pending
+    val marker = new org.apache.hadoop.fs.Path(idx, "_FORGET_IDS")
+    fs.create(marker, true).close()
+    val crashed = intercept[IllegalArgumentException] {
+      TextAnalysis.extendBm25Index(idx, docs.limit(1))
+    }
+    assert(crashed.getMessage.contains("forget"))
+    fs.delete(marker, false)
+
+    // forgetting a ranked doc re-ranks exactly like rebuilding without it:
+    // df/N/avgdl all derive from the surviving postings, so the single
+    // postings table IS the whole consistency story
+    val victim = want.map(_._1).min
+    Forget.forgetEverywhere(spark, s"$root/manifest",
+      Seq(victim).toDF("doc_id"), Seq(Forget.bm25Target(idx)))
+    val wantAfter = TextAnalysis.bm25TopDocs(docs.where($"doc_id" =!= victim))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val gotAfter = TextAnalysis.bm25TopDocsWithIndex(spark, idx)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(gotAfter == wantAfter,
+      "post-forget serve diverged from a rebuild on the filtered corpus")
+    assert(gotAfter != want, "forgetting a ranked doc must change the ranking")
+  }
+
+  test("BM25 incremental: build+extend equals full rebuild and resumes a crash between them") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val split = docs.count() * 4 / 5
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25inc_spec").toString
+    val want = TextAnalysis.bm25TopDocs(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    // fresh: build 4/5 + append 1/5 ≡ the full-corpus ranking
+    val inc = TextAnalysis.bm25Incremental(spark, dir, s"$root/a")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(inc == want, "incremental index serve diverged from the full ranking")
+
+    // crash simulation: a prior run died between build and extend — the
+    // index is committed (_DONE) but holds only the 4/5 corpus and no
+    // _READY marker; the rerun must NOT serve it as-is
+    TextAnalysis.buildBm25Index(docs.where($"doc_id" < split), s"$root/b")
+    val resumed = TextAnalysis.bm25Incremental(spark, dir, s"$root/b")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(resumed == want,
+      "crash-resume served the 4/5-only index instead of rebuilding+extending")
+  }
 }
