@@ -129,7 +129,15 @@ object ScaleBench {
     // soft dedup (round 8): the clusters composition plus a dup-graph-sized
     // size aggregate + two broadcast joins — slope should track the
     // underlying pairs+clusters pass, nothing more
-    "dedup_soft_weights")
+    "dedup_soft_weights",
+    // hybrid retrieval (round 10): the two retrievals at fixed query load
+    // plus a 2·kEach-row fusion — slope should track the semantic exact
+    // scan (the lexical side's df is query-vocabulary-bounded)
+    "text_hybrid_topk",
+    // the persisted-artifact serves: postings/IVF build once per scaled
+    // corpus (min-of-2 isolates SERVE) — the 100 TB question is whether
+    // ranking a fixed query against a 16x index stays index-scan-bounded
+    "text_bm25_serve", "text_bm25_incremental", "text_hybrid_serve")
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these
