@@ -1762,9 +1762,15 @@ object EmbeddingSearch {
     // assignments derive from the PERSISTED quantizer so the two tables
     // can never disagree (the buildVecDedupIndex discipline)
     val savedCent = loadKmeansIndex(embV.sparkSession, s"$path/cent")
+    // per-cell directory layout (partitionBy cl) — the on-disk shape of a
+    // production IVF index: a probe of p cells is a PARTITION-PRUNED scan
+    // of p directories at PLAN time, so serve cost is probed-cells bytes,
+    // not a full-index scan with a post-hoc filter. NOTE a generic forget
+    // rewrite flattens the layout (cl becomes a data column — results
+    // unchanged, pruning degrades to a filter); rebuild to restore it.
     kmeansAssign(withNorm(embV), savedCent)
       .select(col("cl"), col("vec_id"), col("v"))
-      .write.mode("overwrite").parquet(s"$path/ivf")
+      .write.mode("overwrite").partitionBy("cl").parquet(s"$path/ivf")
     Forget.clearStaleForgetState(fs, path, Seq("cent", "ivf"))
     fs.create(done, true).close()
   }

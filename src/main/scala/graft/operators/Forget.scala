@@ -41,7 +41,15 @@ object Forget {
     Target(indexPath, Seq("exact", "sets", "bands"), "doc_id")
   def vecDedupTarget(indexPath: String): Target =
     Target(indexPath, Seq("vecs", "bands"), "vec_id")
-  def bm25Target(indexPath: String): Target = Target(indexPath, Seq("postings"), "doc_id")
+  def bm25Target(indexPath: String): Target =
+    Target(indexPath, Seq("postings", "doclens"), "doc_id")
+  /** The IVF index's VECTOR table — the per-record side of the ANN
+    * artifact. The `cent` table is the trained MODEL and deliberately NOT
+    * a target (the index-vs-model GDPR distinction: record deletion
+    * removes the record's data, not statistics trained over the corpus —
+    * see [[graft.operators.Dedup]]'s forget doc).
+    */
+  def ivfTarget(indexPath: String): Target = Target(indexPath, Seq("ivf"), "vec_id")
   def phashTarget(indexPath: String): Target = Target(indexPath, Seq("phashes"), "doc_id")
   def audioFpTarget(indexPath: String): Target = Target(indexPath, Seq("afps"), "doc_id")
   def videoFpTarget(indexPath: String): Target = Target(indexPath, Seq("vfps"), "doc_id")

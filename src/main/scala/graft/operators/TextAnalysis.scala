@@ -1316,53 +1316,89 @@ object TextAnalysis {
 
   // ———— persisted BM25 inverted index (the lexical serving artifact) ————
 
-  /** Persist the corpus's LEXICAL serving artifact: one `postings` table
-    * (doc_id, term, tf) — the inverted index every BM25 serve ranks from
-    * without re-tokenizing the corpus (tokenize-and-count is the scan-
-    * bound half of [[bm25TopDocs]]; the ranking half is postings-sized).
-    * Deliberately SINGLE-table: dl, N, avgdl and per-term df all derive
-    * from postings at serve time (dl = Σtf per doc is exactly how
-    * [[bm25TopDocs]] computes it), so extend/forget maintain ONE table
-    * and no cross-table consistency invariant exists to violate — the
-    * same single-source-of-truth argument as [[graft.operators
-    * .EmbeddingSearch.buildIvfIndex]]'s derive-from-persisted rule.
-    * Layout: `path/postings` + `_DONE` commit marker (a crashed build
-    * leaves no marker and is rebuilt, never served).
+  /** Persist the corpus's LEXICAL serving artifact: the `postings` table
+    * (doc_id, term, tf; term-hash-bucketed directories) — the inverted
+    * index every BM25 serve ranks from without re-tokenizing the corpus
+    * (tokenize-and-count is the scan-bound half of [[bm25TopDocs]]; the
+    * ranking half is postings-sized) — plus the narrow `doclens` table
+    * (doc_id, dl), DERIVED from the persisted postings so the two can
+    * never disagree, there for the bucket-PRUNED serve (whose scan holds
+    * only query-term rows and so cannot see a candidate's full length).
+    * df, N and avgdl still derive at serve time (df from the pruned
+    * term rows — exact, a term's rows all share one bucket; N/avgdl from
+    * doclens); both tables key on doc_id, so the generic forget kernel
+    * maintains them together ([[Forget.bm25Target]]). Layout:
+    * `path/postings` + `path/doclens` + `_DONE` commit marker (a crashed
+    * build leaves no marker and is rebuilt, never served).
     */
+  /** Term-hash bucket count for the postings layout. 64 keeps the
+    * directory fan-out trivial while bounding any query's footprint at
+    * |query terms| directories (a term's rows all live in ONE bucket, so
+    * per-term df/tf are exact under pruning).
+    */
+  val Bm25IndexBuckets = 64
+
   def buildBm25Index(docs: DataFrame, path: String): Unit = {
     val done = new org.apache.hadoop.fs.Path(path, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     fs.delete(done, false)
+    // term-hash-bucketed directory layout: a serve that knows its query
+    // terms prunes to their buckets at PLAN time (partition pruning, not
+    // a post-scan filter) — the footprint a lexical query pays at 100 TB
+    // is its terms' buckets, never the index. NOTE a generic forget
+    // rewrite flattens the layout (bucket becomes a data column — results
+    // unchanged, pruning degrades); rebuild to restore it.
     docs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite").parquet(s"$path/postings")
-    Forget.clearStaleForgetState(fs, path, Seq("postings"))
+      .withColumn("bucket",
+        pmod(portableHash31(col("term")), lit(Bm25IndexBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    // doclens DERIVES FROM THE PERSISTED postings (the buildIvfIndex
+    // two-tables-can-never-disagree discipline): dl per doc so a
+    // bucket-pruned serve still sees candidates' FULL lengths (a pruned
+    // postings scan only holds query-term rows), narrow (#docs × 2 cols)
+    docs.sparkSession.read.parquet(s"$path/postings")
+      .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+    Forget.clearStaleForgetState(fs, path, Seq("postings", "doclens"))
     fs.create(done, true).close()
   }
 
   /** Append a NEW document batch to a committed BM25 index — the
     * add-without-rebuild maintenance pass of a production lexical index:
-    * tokenize only the batch, append its (doc_id, term, tf) rows. Serve
-    * correctness needs (doc_id, term) to stay unique, so batch doc_ids
-    * must be new to the index (the [[Dedup.extendDedupIndex]] caller
-    * contract); corpus-global stats (df, N, avgdl) need no maintenance —
-    * they derive from postings at serve time, which is exactly why the
-    * index is one table. Crash contract: `_DONE` drops before the append
-    * and returns after, so a half-appended index reads as uncommitted;
-    * a crashed forget pass must be resumed first (appending under a
+    * tokenize only the batch, append its (doc_id, term, tf) postings and
+    * (doc_id, dl) lengths. Serve correctness needs (doc_id, term) to stay
+    * unique, so batch doc_ids must be new to the index (the
+    * [[Dedup.extendDedupIndex]] caller contract); corpus-global stats
+    * (df, N, avgdl) need no maintenance — they derive from the tables at
+    * serve time. Crash contract: `_DONE` drops before the appends and
+    * returns after, so a half-appended index reads as uncommitted; a
+    * crashed forget pass must be resumed first (appending under a
     * half-filtered table would interleave states).
     */
   def extendBm25Index(indexPath: String, newDocs: DataFrame): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "postings/_SUCCESS")),
-      s"BM25 postings at $indexPath are missing or uncommitted (no _SUCCESS) — " +
+    val committed = Seq("postings", "doclens")
+      .map(t => new org.apache.hadoop.fs.Path(indexPath, s"$t/_SUCCESS"))
+    require(committed.forall(fs.exists),
+      s"BM25 index tables at $indexPath are missing or uncommitted (no _SUCCESS) — " +
         "a crashed BUILD cannot be repaired by extend; run buildBm25Index")
     Forget.requireNoCrashedForget(fs, indexPath)
     fs.delete(done, false)
-    newDocs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+    // both appended tables derive from ONE checkpointed batch tf frame —
+    // a lazy recompute between the two writes could otherwise let them
+    // disagree (the extendDedupIndex discipline)
+    val batch = newDocs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .write.mode("append").parquet(s"$indexPath/postings")
+      .localCheckpoint()
+    try {
+      batch.withColumn("bucket",
+          pmod(portableHash31(col("term")), lit(Bm25IndexBuckets)).cast("int"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/postings")
+      batch.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        .write.mode("append").parquet(s"$indexPath/doclens")
+    } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
     fs.create(done, true).close()
   }
 
@@ -1374,7 +1410,11 @@ object TextAnalysis {
       indexPath: String): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    if (!fs.exists(done)) buildBm25Index(Tables.documents(spark, dir), indexPath)
+    // doclens joined the layout after the first release of this index —
+    // a committed PRE-doclens dir must rebuild, not serve half a layout
+    val v2 = new org.apache.hadoop.fs.Path(indexPath, "doclens/_SUCCESS")
+    if (!fs.exists(done) || !fs.exists(v2))
+      buildBm25Index(Tables.documents(spark, dir), indexPath)
   }
 
   /** Serve [[bm25TopDocs]] from the PERSISTED index: the identical
@@ -1411,7 +1451,8 @@ object TextAnalysis {
     val split = docs.count() * 4 / 5
     val ready = new org.apache.hadoop.fs.Path(indexPath, "_READY")
     val fs = ready.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    if (!fs.exists(ready)) {
+    val v2 = new org.apache.hadoop.fs.Path(indexPath, "doclens/_SUCCESS")
+    if (!fs.exists(ready) || !fs.exists(v2)) {
       buildBm25Index(docs.where(col("doc_id") < split), indexPath)
       extendBm25Index(indexPath, docs.where(col("doc_id") >= split))
       fs.create(ready, true).close()
@@ -1521,16 +1562,28 @@ object TextAnalysis {
     * of tasks (the exact trap the aggregator exists to avoid); per-doc
     * lexical rollups fold term-sorted (the house float discipline), so
     * serve output is bit-stable across batchings and restarts (the
-    * batch-identity + restart specs pin this). Output:
+    * batch-identity + restart specs pin this).
+    *
+    * Scale shape: the lexical scan is PARTITION-PRUNED to the batch
+    * terms' hash buckets (≤ [[Bm25IndexBuckets]] directories; corpus
+    * stats come from the narrow doclens table), and with `nprobe > 0`
+    * the semantic scan is pruned to the probed cells of the
+    * cell-partitioned IVF table — so per-batch cost is batch-vocabulary
+    * buckets + probed cells + doclens, never the full index pair. The
+    * two driver-side prune lists are bounded by the layout constants
+    * (64 buckets / quantizer k), not by data volume. Output:
     * (query_id, doc_id, lex_rank, sem_rank, rrf, rank).
     */
   def hybridServeBatch(queries: DataFrame, bm25IndexPath: String,
       ivfIndexPath: String, kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, nprobe: Int = 0): DataFrame = {
     import graft.functions.TopKByScoreAggregator.topKByScore
     val spark = queries.sparkSession
-    val tf = spark.read.parquet(s"$bm25IndexPath/postings")
-    val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // N and avgdl from the narrow doclens table — the pruned postings
+    // scan below holds only query-term rows, so corpus stats can't come
+    // from it (and a full postings scan per batch is exactly what the
+    // layout exists to avoid)
+    val lens = spark.read.parquet(s"$bm25IndexPath/doclens")
     val stats = broadcast(lens.agg(
       count(lit(1)).as("__n"), sum(col("dl")).as("__len_sum")))
     // batch-derived sides are size-gated broadcasts: a batch is
@@ -1538,6 +1591,18 @@ object TextAnalysis {
     val qTerms = Scale.maybeBroadcast(queries.select(col("query_id"),
       explode(array_distinct(tokenize(col("text")))).as("term"))
       .where(col("term") =!= ""))
+    // PLAN-time partition pruning: the batch's term-hash buckets — a
+    // driver list bounded by Bm25IndexBuckets (64 ints), metadata-scale
+    // by construction (the bounded-day-list collect discipline). The
+    // serve's postings footprint is the query buckets' directories, not
+    // the index; a term's rows all live in one bucket, so per-term df/tf
+    // stay exact under the pruned scan.
+    val buckets = qTerms.select(pmod(portableHash31(col("term")),
+        lit(Bm25IndexBuckets)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val tfAll = spark.read.parquet(s"$bm25IndexPath/postings")
+    val tf = if (buckets.length >= Bm25IndexBuckets) tfAll
+      else tfAll.where(col("bucket").isin(buckets: _*))
     val dfT = tf.join(qTerms.select(col("term")).distinct(), Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("df"))
     val perTerm = tf.join(qTerms, Seq("term"))
@@ -1564,8 +1629,35 @@ object TextAnalysis {
         (col("i") + 1).cast("long").as("lex_rank"))
     val qVecs = Scale.maybeBroadcast(queries.select(col("query_id"),
       transform(col("embedding"), _.cast("double")).as("qv")))
-    val sem = spark.read.parquet(s"$ivfIndexPath/ivf")
-      .select(col("vec_id"), col("v")).crossJoin(qVecs)
+    val vecsAll = spark.read.parquet(s"$ivfIndexPath/ivf")
+    // nprobe <= 0: exact flat scan (full recall — the oracle-shaped tier).
+    // nprobe > 0: each query probes its nprobe nearest trained cells
+    // (round(cosine,6) desc, lowest-cl ties — the kmeansAssign
+    // discipline) and scores ONLY their vectors; the probed-cell union is
+    // a driver list bounded by the quantizer's k (metadata-scale), so the
+    // cell-partitioned ivf table is PARTITION-PRUNED at plan time. The
+    // recall trade is the standard IVF one; nprobe >= k is row-identical
+    // to the exact scan (spec-pinned).
+    val semCands =
+      if (nprobe <= 0) vecsAll.select(col("vec_id"), col("v")).crossJoin(qVecs)
+      else {
+        val cent = spark.read.parquet(s"$ivfIndexPath/cent")
+        val probePairs = qVecs.crossJoin(broadcast(cent))
+          .select(col("query_id"), col("cl").cast("long").as("cl_l"),
+            round(EmbeddingSearch.cosine(col("qv"), col("cv")), 6).as("csim"))
+          .groupBy(col("query_id"))
+          .agg(topKByScore(nprobe)(col("csim"), col("cl_l")).as("top"))
+          .select(col("query_id"), explode(col("top")).as("t"))
+          .select(col("query_id"), col("t._2").cast("int").as("cl"))
+        val cells = probePairs.select(col("cl")).distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq
+        vecsAll.where(col("cl").isin(cells: _*))
+          .select(col("cl"), col("vec_id"), col("v"))
+          .join(Scale.maybeBroadcast(probePairs), Seq("cl"))
+          .join(qVecs, Seq("query_id"))
+          .select(col("query_id"), col("vec_id"), col("v"), col("qv"))
+      }
+    val sem = semCands
       .select(col("query_id"), col("vec_id"),
         round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine"))
       .groupBy(col("query_id"))

@@ -734,11 +734,13 @@ object StreamingOps {
     * Sink receives (query_id, doc_id, lex_rank, sem_rank, rrf, rank).
     */
   def hybridAgainstIndexes(queries: DataFrame, bm25IndexPath: String,
-      ivfIndexPath: String, kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60)(
+      ivfIndexPath: String, kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60,
+      nprobe: Int = 0)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       sink(graft.operators.TextAnalysis.hybridServeBatch(
-        batch, bm25IndexPath, ivfIndexPath, kEach, kTop, rrfK), batchId)
+        batch, bm25IndexPath, ivfIndexPath, kEach, kTop, rrfK,
+        nprobe = nprobe), batchId)
     }
 
   /** The COMPOSED ingest chain a 100 TB training-data stream runs, ordered

@@ -123,6 +123,60 @@ class ForgetSpec extends AnyFunSuite {
     Dedup.extendDedupIndex(s"$root/idx", batch)
   }
 
+  test("one forget request spans BOTH retrieval artifacts (postings+doclens and the IVF vector table)") {
+    // the GDPR story for the RAG serving pair: a single forgetEverywhere
+    // manifest removes a document from the lexical index (both
+    // doc_id-keyed tables) and its embedding twin from the vector store;
+    // the hybrid serve afterwards equals a serve over indexes REBUILT on
+    // the filtered corpus — and the quantizer (cent) is untouched, the
+    // documented index-vs-model distinction
+    import graft.operators.{TextAnalysis, EmbeddingSearch}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val embV = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val root = java.nio.file.Files.createTempDirectory("graft_fgt_retr").toString
+    TextAnalysis.buildBm25Index(docs, s"$root/bm")
+    EmbeddingSearch.buildIvfIndex(embV, s"$root/ivf")
+    val queries = docs.select(col("doc_id").as("query_id"), col("text"))
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+      .where(col("query_id") < 2)
+    def serveRows(bm: String, ivf: String) =
+      TextAnalysis.hybridServeBatch(queries, bm, ivf).collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getDouble(4), r.getLong(5))
+      }.toSet
+    val before = serveRows(s"$root/bm", s"$root/ivf")
+    // victim: a doc the serve currently returns, so the forget must move it
+    val victim = before.map(_._2).min
+    val centBefore = spark.read.parquet(s"$root/ivf/cent").collect().toSet
+    // INDEPENDENT reference, snapshotted BEFORE the forget runs: the
+    // lexical index rebuilt from the filtered corpus, and the vector
+    // table hand-filtered under the SAME quantizer (record deletion
+    // removes the record's row; it never retrains the model)
+    TextAnalysis.buildBm25Index(docs.where(col("doc_id") =!= victim), s"$root/bm2")
+    spark.read.parquet(s"$root/ivf/ivf").where(col("vec_id") =!= victim)
+      .write.parquet(s"$root/ivf2/ivf")
+    spark.read.parquet(s"$root/ivf/cent").write.parquet(s"$root/ivf2/cent")
+    val wantRows = serveRows(s"$root/bm2", s"$root/ivf2")
+    // the ids frame carries BOTH key columns (documents and embeddings
+    // are id-aligned twins) — forgetEverywhere fingerprints each target's
+    // keyCol over the same request frame
+    Forget.forgetEverywhere(spark, s"$root/_MANIFEST",
+      Seq(victim).toDF("doc_id").withColumn("vec_id", col("doc_id")),
+      Seq(Forget.bm25Target(s"$root/bm"), Forget.ivfTarget(s"$root/ivf")))
+    val after = serveRows(s"$root/bm", s"$root/ivf")
+    assert(!after.exists(_._2 == victim),
+      s"doc $victim still served after the cross-artifact forget")
+    assert(after == wantRows,
+      "post-forget hybrid serve diverged from the rebuilt-on-filtered reference")
+    assert(spark.read.parquet(s"$root/ivf/cent").collect().toSet == centBefore,
+      "forget must not touch the trained quantizer (index-vs-model distinction)")
+  }
+
   test("id-set fingerprint is order- and duplication-independent, value-sensitive") {
     val a = Seq(3L, 1L, 2L).toDF("doc_id")
     val b = Seq(1L, 2L, 3L, 2L, 1L).toDF("doc_id")

@@ -132,6 +132,54 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid serve prunes postings to query buckets and ivf to probed cells at PLAN time") {
+    // the serving tier's 100 TB claim made concrete: a small query's
+    // lexical footprint is its terms' bucket DIRECTORIES and its semantic
+    // footprint its probed cell directories — partition pruning visible
+    // in selectedPartitions, not a post-scan filter
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_hybrid").toString
+    graft.operators.TextAnalysis.buildBm25Index(docs, s"$root/bm")
+    graft.operators.EmbeddingSearch.buildIvfIndex(
+      emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")),
+      s"$root/ivf")
+    val qEmb = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val queries = Seq((0L, "probability of the hypothesis")).toDF("query_id", "text")
+      .withColumn("embedding", typedLit(qEmb))
+    withStaticPlans {
+      val plan = graft.operators.TextAnalysis
+        .hybridServeBatch(queries, s"$root/bm", s"$root/ivf", nprobe = 2)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val postingsScans = scans.filter(_.output.exists(_.name == "tf"))
+      val ivfScans = scans.filter(s =>
+        s.output.exists(_.name == "v") && s.output.exists(_.name == "cl"))
+      assert(postingsScans.nonEmpty && ivfScans.nonEmpty,
+        s"could not identify the index scans in:\n$plan")
+      val bucketsTotal = spark.read.parquet(s"$root/bm/postings")
+        .select(col("bucket")).distinct().count()
+      val cellsTotal = spark.read.parquet(s"$root/ivf/ivf")
+        .select(col("cl")).distinct().count()
+      // 4 distinct query terms -> at most 4 bucket dirs; 2 probed cells
+      postingsScans.foreach { s =>
+        val n = s.selectedPartitions.partitionCount.toLong
+        assert(n <= 4 && n < bucketsTotal,
+          s"postings scan read $n of $bucketsTotal buckets — not pruned:\n$plan")
+      }
+      ivfScans.foreach { s =>
+        val n = s.selectedPartitions.partitionCount.toLong
+        assert(n <= 2 && n < cellsTotal,
+          s"ivf scan read $n of $cellsTotal cells — not pruned:\n$plan")
+      }
+    }
+  }
+
   test("similarity surface never force-broadcasts corpus-derived sides") {
     // With broadcasting disabled a *hint* would still plan a
     // BroadcastExchange (a hint is a command) — so an empty collect proves

@@ -1045,6 +1045,45 @@ class TextFunctionsSpec extends AnyFunSuite {
       }.toSet
     assert(expected.nonEmpty && got == expected,
       "hybridServeBatch diverged from the plain-Scala two-sided replay")
+
+    // ——— nprobe contracts on the same indexes/batch ———
+    // full probe ≡ the exact flat scan, row-identical (every cell probed
+    // means every vector scored — the same candidates, the same folds)
+    val gotFull = TextAnalysis.hybridServeBatch(queries, bmIdx, ivfIdx, nprobe = 8)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getDouble(4), r.getLong(5))
+      }.toSet
+    assert(gotFull == expected, "nprobe=k diverged from the exact flat scan")
+    // partial probe: every semantic candidate must come from the query's
+    // probed cells (the recall trade is BOUNDED to unprobed cells)
+    val assign = spark.read.parquet(s"$ivfIdx/ivf")
+      .select($"vec_id", $"cl").as[(Long, Int)].collect().toMap
+    val cent = spark.read.parquet(s"$ivfIdx/cent").collect()
+    val probed1 = TextAnalysis.hybridServeBatch(queries, bmIdx, ivfIdx, nprobe = 1)
+      .where($"sem_rank".isNotNull)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect()
+    assert(probed1.nonEmpty, "nprobe=1 returned no semantic candidates")
+    val qv = qs.map { case (id, _, v) => id -> v }.toMap
+    def dotSeq2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    probed1.foreach { case (queryId, vecId) =>
+      // the query's single probed cell, by the kmeansAssign discipline
+      val v = qv(queryId)
+      val best = cent.map { r =>
+        val cv = r.getAs[Seq[Double]]("cv").toArray
+        val na = math.sqrt(dotSeq2(v, v)); val nb = math.sqrt(dotSeq2(cv, cv))
+        val c = if (na == 0.0 || nb == 0.0) 0.0 else dotSeq2(v, cv) / (na * nb)
+        (round6(c), r.getAs[Int]("cl"))
+      }.sortBy { case (c, cl) => (-c, cl) }.head._2
+      assert(assign(vecId) == best,
+        s"query $queryId: semantic candidate $vecId from cell ${assign(vecId)}, " +
+          s"but nprobe=1 probes only cell $best")
+    }
   }
 
   test("BM25 index: serve equals the in-DAG ranking; build/extend/forget contracts hold") {
@@ -1074,6 +1113,17 @@ class TextFunctionsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(want.nonEmpty && got == want,
       "persisted-index serve diverged from the in-DAG BM25 ranking")
+    // the two tables can never disagree: doclens must equal the lens the
+    // full-scan ranking derives from postings
+    def doclensDrift(): Set[(Long, Long)] = {
+      val derived = spark.read.parquet(s"$idx/postings")
+        .groupBy("doc_id").agg(sum($"tf").as("dl"))
+        .as[(Long, Long)].collect().toSet
+      val stored = spark.read.parquet(s"$idx/doclens")
+        .as[(Long, Long)].collect().toSet
+      stored.diff(derived) ++ derived.diff(stored)
+    }
+    assert(doclensDrift().isEmpty, "doclens diverged from postings after build")
 
     // extend refuses while a crashed forget pass is pending
     val marker = new org.apache.hadoop.fs.Path(idx, "_FORGET_IDS")
@@ -1097,6 +1147,9 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(gotAfter == wantAfter,
       "post-forget serve diverged from a rebuild on the filtered corpus")
     assert(gotAfter != want, "forgetting a ranked doc must change the ranking")
+    assert(doclensDrift().isEmpty,
+      "doclens diverged from postings after forget — the generic kernel " +
+        "must filter both doc_id-keyed tables together")
   }
 
   test("BM25 incremental: build+extend equals full rebuild and resumes a crash between them") {
