@@ -430,6 +430,14 @@ object Dedup {
     require(committed.forall(fs.exists),
       s"dedup index tables at $indexPath are missing or uncommitted (no _SUCCESS) — " +
         "a crashed BUILD cannot be repaired by extend; run buildDedupIndex")
+    // a crashed EXTEND (post-delete of _DONE) already appended an unknown
+    // subset of its batch tables; re-running would append the batch a
+    // second time — doubled exact/sets/bands rows, silently wrong serves.
+    // Only a committed index (_DONE present) is a legal extend base.
+    require(fs.exists(done),
+      s"dedup index at $indexPath is uncommitted (no _DONE) — a crashed EXTEND " +
+        "may already have appended part of a batch, and re-appending would " +
+        "silently duplicate its rows; rebuild with buildDedupIndex")
     requireIndexParams(fs, indexPath, numHashes, bands, k)
     Forget.requireNoCrashedForget(fs, indexPath)
     fs.delete(done, false)

@@ -774,13 +774,31 @@ object EmbeddingSearch {
     * (localCheckpoint — N rows of (id, vector, signature), 1× corpus, vs
     * 3× full scans if census and both branches each recomputed it) and
     * the census + tiling rewrite runs over cheap re-explodes of it.
+    *
+    * Checkpoint lifecycle: the returned frame is LAZY over the checkpoint,
+    * so the blocks can't be released inside this call — instead the most
+    * recent tiled checkpoint is tracked session-wide and freed when the
+    * NEXT tiled frame is built, bounding a long-lived session (ScaleBench
+    * min-of-2 loops, repeated Scratch passes) at ONE pinned corpus-sized
+    * checkpoint instead of one per invocation. Contract: at most one
+    * outstanding tiled frame — building a new one invalidates any
+    * still-unevaluated previous frame's blocks (a localCheckpoint has no
+    * lineage to recompute from). Every in-repo caller evaluates each tiled
+    * frame before building another (Verify/Bench/specs run entries
+    * sequentially).
     */
+  private val lastTiledCheckpoint =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private def bandedForKernel(embeddings: DataFrame, nPlanes: Int, bands: Int,
       multiProbe: Boolean, tileOversized: Boolean, maxBucket: Int): DataFrame =
     if (!tileOversized) bandedVectors(embeddings, nPlanes, bands, multiProbe)
-    else tileOversizedBuckets(
-      bandedFromSigned(signedVectors(embeddings, nPlanes).localCheckpoint(),
-        nPlanes, bands, multiProbe), maxBucket)
+    else {
+      val cp = signedVectors(embeddings, nPlanes).localCheckpoint()
+      val prev = lastTiledCheckpoint.getAndSet(cp)
+      if (prev != null) org.apache.spark.sql.GraftShim.unpersistCheckpoint(prev)
+      tileOversizedBuckets(bandedFromSigned(cp, nPlanes, bands, multiProbe), maxBucket)
+    }
 
   /** The EXACT degenerate-bucket escape (the tiled pair-group rewrite of
     * a banded frame): a band bucket bigger than the kernels' memory guard

@@ -1371,10 +1371,18 @@ object TextAnalysis {
     * unique, so batch doc_ids must be new to the index (the
     * [[Dedup.extendDedupIndex]] caller contract); corpus-global stats
     * (df, N, avgdl) need no maintenance — they derive from the tables at
-    * serve time. Crash contract: `_DONE` drops before the appends and
-    * returns after, so a half-appended index reads as uncommitted; a
-    * crashed forget pass must be resumed first (appending under a
-    * half-filtered table would interleave states).
+    * serve time. Crash contract: `_DONE` must EXIST at entry (a committed
+    * index is the only legal base — a crashed extend already appended an
+    * unknown subset, and re-running it over that state would append the
+    * batch postings a second time and silently double tf/df/dl, so the
+    * only repair is a rebuild), drops before the appends, and returns
+    * after, so a half-appended index reads as uncommitted; a crashed
+    * forget pass must be resumed first (appending under a half-filtered
+    * table would interleave states); and a forget-FLATTENED postings
+    * layout (bucket rewritten as a data column) is refused — appending
+    * `partitionBy("bucket")` files next to flat files makes the mixed
+    * directory unreadable ('conflicting directory structures'), not just
+    * slower.
     */
   def extendBm25Index(indexPath: String, newDocs: DataFrame): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
@@ -1384,6 +1392,18 @@ object TextAnalysis {
     require(committed.forall(fs.exists),
       s"BM25 index tables at $indexPath are missing or uncommitted (no _SUCCESS) — " +
         "a crashed BUILD cannot be repaired by extend; run buildBm25Index")
+    require(fs.exists(done),
+      s"BM25 index at $indexPath is uncommitted (no _DONE) — a crashed EXTEND " +
+        "may already have appended part of a batch, and re-appending would " +
+        "silently double tf/df/dl for its terms; rebuild with buildBm25Index")
+    // a forget rewrite flattens postings (bucket becomes a data column);
+    // appending bucket=*/ partition dirs next to flat files would leave a
+    // mixed layout Spark refuses to read — refuse up front instead
+    require(fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, "postings"))
+        .exists(_.getPath.getName.startsWith("bucket=")),
+      s"BM25 postings at $indexPath are FLAT (a forget pass rewrote the " +
+        "bucket-partitioned layout) — appending partitioned files would mix " +
+        "layouts; rebuild with buildBm25Index before extending")
     Forget.requireNoCrashedForget(fs, indexPath)
     fs.delete(done, false)
     // both appended tables derive from ONE checkpointed batch tf frame —
@@ -1490,18 +1510,43 @@ object TextAnalysis {
     * ([[buildBm25Index]]; the oracle-identical [[bm25FromPostings]] plan,
     * zero corpus re-tokenization), the semantic side scores the vectors
     * the persisted IVF index already stores ([[graft.operators
-    * .EmbeddingSearch.buildIvfIndex]] `ivf` table — a flat exact scan,
-    * the full-recall tier; `nprobe`-cell probing is the documented scale
-    * knob and trades recall, so the oracle-gated serve stays exact).
-    * Neither base table is touched: the query document's terms and
-    * vector both come OUT of the indexes. Output ≡ [[hybridTopK]], so
-    * the entry shares its oracle verbatim.
+    * .EmbeddingSearch.buildIvfIndex]] `ivf` table). Neither base table is
+    * touched: the query document's terms and vector both come OUT of the
+    * indexes. `nprobe <= 0` (default): a flat exact scan — the
+    * full-recall tier, output ≡ [[hybridTopK]], so the entry shares its
+    * oracle verbatim. `nprobe > 0`: the SCALE tier — the query probes its
+    * nprobe nearest trained cells (round(cosine,6) desc, lowest-cl ties —
+    * the kmeansAssign discipline) and the cell-partitioned `ivf` table is
+    * PARTITION-PRUNED to them at plan time, so the semantic footprint is
+    * probed-cells bytes, never the corpus; the recall trade is the
+    * standard IVF one, measured by the fused-rank recall entry
+    * (`text_hybrid_probed_recall`), and the probed serve carries its own
+    * oracle (the trained-quantizer Lloyd replay + probed-cell cosine).
     */
   def hybridTopKServed(spark: org.apache.spark.sql.SparkSession,
       bm25IndexPath: String, ivfIndexPath: String, queryId: Long = 0L,
-      kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60): DataFrame = {
-    val vecs = spark.read.parquet(s"$ivfIndexPath/ivf")
-      .select(col("vec_id"), col("v"))
+      kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60,
+      nprobe: Int = 0): DataFrame = {
+    val vecsAll = spark.read.parquet(s"$ivfIndexPath/ivf")
+    val vecs =
+      if (nprobe <= 0) vecsAll.select(col("vec_id"), col("v"))
+      else {
+        import graft.functions.TopKByScoreAggregator.topKByScore
+        val cent = spark.read.parquet(s"$ivfIndexPath/cent")
+        val qv = vecsAll.where(col("vec_id") === queryId)
+          .select(col("v").as("qv"))
+        // the probed cells: a driver list bounded by the quantizer's k
+        // (metadata-scale by construction), turned into PLAN-time
+        // partition pruning on the cl-partitioned ivf directory layout
+        val cells = qv.crossJoin(broadcast(cent))
+          .select(col("cl").cast("long").as("cl_l"),
+            round(EmbeddingSearch.cosine(col("qv"), col("cv")), 6).as("csim"))
+          .agg(topKByScore(nprobe)(col("csim"), col("cl_l")).as("top"))
+          .select(explode(col("top")).as("t"))
+          .select(col("t._2").cast("int").as("cl"))
+          .collect().map(_.getInt(0)).toIndexedSeq
+        vecsAll.where(col("cl").isin(cells: _*)).select(col("vec_id"), col("v"))
+      }
     rrfFuse(
       lexRanks(bm25TopDocsWithIndex(spark, bm25IndexPath, queryId, kTop = kEach)),
       semRanks(vecs, queryId, kEach), kTop, rrfK)
@@ -1676,6 +1721,47 @@ object TextAnalysis {
       .where(col("rank") <= kTop)
       .select(col("query_id"), col("id").as("doc_id"), col("lex_rank"),
         col("sem_rank"), col("rrf"), col("rank"))
+  }
+
+  /** The corpus-drawn external query set for the hybrid-retrieval batch
+    * entries: the first `nQueries` documents' (query_id, text, embedding)
+    * rows, in the [[hybridServeBatch]] external-query shape (copies of
+    * corpus members, so no self-exclusion — the doc itself legitimately
+    * ranks #1 for its own text, the standard known-item check).
+    */
+  def hybridQuerySet(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nQueries: Int): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id").as("query_id"), col("text"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("query_id"), col("embedding")), Seq("query_id"))
+      .where(col("query_id") < nQueries)
+
+  /** FUSED-RANK recall of the probed hybrid serve vs the exact one — the
+    * measurement that justifies (or vetoes) any `nprobe` default before
+    * it ships (the r9 lesson: an unmeasured approximation knob halved
+    * recall and only the ground-truth entry caught it). Both sides run
+    * the SAME batch kernel over the same probe query set; the only
+    * difference is the semantic tier (probed cells vs flat scan), so the
+    * recall measured here is exactly what the knob costs the FUSED
+    * ranking — lexical rank shifts ripple through RRF, so this is NOT
+    * just semantic-list recall. Output per query:
+    * (query_id, n_exact, n_hit, recall), the
+    * [[graft.operators.EmbeddingSearch.knnJoinRecall]] shape.
+    */
+  def hybridProbedRecall(spark: org.apache.spark.sql.SparkSession, dir: String,
+      bm25IndexPath: String, ivfIndexPath: String, nQueries: Int = 20,
+      nprobe: Int = 2): DataFrame = {
+    val queries = hybridQuerySet(spark, dir, nQueries)
+    val exact = hybridServeBatch(queries, bm25IndexPath, ivfIndexPath)
+      .select(col("query_id"), col("doc_id"))
+    val probed = hybridServeBatch(queries, bm25IndexPath, ivfIndexPath,
+        nprobe = nprobe)
+      .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+    exact.join(probed, Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"),
+        round(count(col("hit")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("recall"))
   }
 
   /** Consecutive global TRAINING positions 0..N−1 in the epoch-0 shuffle

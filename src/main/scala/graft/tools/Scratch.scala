@@ -84,6 +84,54 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "knnrecall2") {
+      // extend the r10 kNN-graph frontier past 0.883: more bands and wider
+      // buckets at the tb=128+probed default's side of the curve
+      for ((label, tb, bands, mp) <- Seq(
+          ("probed-8b-tb128", 128, 8, true),   // the registered default
+          ("base-16b-tb128", 128, 16, false),
+          ("probed-16b-tb128", 128, 16, true),
+          ("probed-8b-tb256", 256, 8, true),
+          ("probed-8b-tb512", 512, 8, true)); pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.EmbeddingSearch
+          .knnJoinScaled(spark, sfDir, targetBucket = tb, bands = bands, multiProbe = mp)
+          .count()
+        val w = (System.nanoTime() - t0) / 1e9
+        val rec = graft.operators.EmbeddingSearch
+          .knnJoinRecall(spark, sfDir, targetBucket = tb, bands = bands, multiProbe = mp)
+          .agg(org.apache.spark.sql.functions.sum("n_hit"),
+            org.apache.spark.sql.functions.sum("n_exact"))
+          .collect()(0)
+        println(f"[knnrecall2] $label%-17s pass=$pass wall=$w%6.2f s rows=$n " +
+          f"recall=${rec.getLong(0).toDouble / rec.getLong(1)}%.3f")
+      }
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "hybridprobe") {
+      // recall/wall curve for the probed hybrid serve: what nprobe buys
+      // the FUSED ranking (single-query serve wall + 20-query fused-rank
+      // recall per nprobe; nprobe=0 is the exact flat-scan tier)
+      import org.apache.spark.sql.functions.sum
+      val bp = graft.SparkEntry.bm25IndexDirFor(sfDir)
+      val ip = graft.SparkEntry.ivfFullIndexDirFor(sfDir)
+      graft.operators.TextAnalysis.ensureBm25Index(spark, sfDir, bp)
+      graft.operators.EmbeddingSearch.ensureIvfIndex(spark, sfDir, ip)
+      for (np <- Seq(0, 1, 2, 4); pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.TextAnalysis
+          .hybridTopKServed(spark, bp, ip, nprobe = np).count()
+        val w = (System.nanoTime() - t0) / 1e9
+        val rec = if (np == 0) 1.0 else {
+          val r = graft.operators.TextAnalysis
+            .hybridProbedRecall(spark, sfDir, bp, ip, nQueries = 20, nprobe = np)
+            .agg(sum("n_hit"), sum("n_exact")).head()
+          r.getLong(0).toDouble / r.getLong(1)
+        }
+        println(f"[hybridprobe] nprobe=$np pass=$pass wall=$w%6.2f s rows=$n recall=$rec%.3f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "bpe1024") {
       // O(T) round-cost probe for the evolving trainer: 1024 requested
       // rounds should cost ~4x the 256-round scale row (or stop early at

@@ -98,6 +98,17 @@ class DedupSpec extends AnyFunSuite {
     val a = serve(extended)
     assert(a.exists(_._4 != "unique"), "no cross-index dups — equivalence check is vacuous")
     assert(a == serve(rebuilt))
+
+    // a crashed EXTEND (_DONE deleted, appends in an unknown state) can
+    // only be repaired by rebuild — re-running would append the batch's
+    // exact/sets/bands rows a second time and silently corrupt serves
+    val done = new org.apache.hadoop.fs.Path(extended, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.delete(done, false)
+    val halfExtended = intercept[IllegalArgumentException] {
+      Dedup.extendDedupIndex(extended, batch2.limit(1))
+    }
+    assert(halfExtended.getMessage.contains("crashed EXTEND"))
   }
 
   test("extend and serve refuse mismatched or legacy index params") {

@@ -1086,6 +1086,47 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("probed single-query hybrid serve: full probe equals exact; batch serve is batch-size invariant") {
+    import graft.operators.{TextAnalysis, EmbeddingSearch}
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_probed").toString
+    val bmIdx = s"$root/bm"; val ivfIdx = s"$root/ivf"
+    TextAnalysis.buildBm25Index(graft.sources.Tables.documents(spark, dir), bmIdx)
+    EmbeddingSearch.buildIvfIndex(graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("v")),
+      ivfIdx)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3), r.getLong(4))
+    }.toSet
+    // probing every trained cell scores every vector — row-identical to
+    // the exact flat-scan tier (same candidates, same folds)
+    val exact = rows(TextAnalysis.hybridTopKServed(spark, bmIdx, ivfIdx))
+    val full = rows(TextAnalysis.hybridTopKServed(spark, bmIdx, ivfIdx, nprobe = 8))
+    assert(exact.nonEmpty && full == exact,
+      "single-query nprobe=k serve diverged from the exact flat scan")
+    // a partial probe keeps the contract shape: kTop fused rows, and the
+    // query's own doc is excluded exactly as in the exact serve
+    val probed = TextAnalysis.hybridTopKServed(spark, bmIdx, ivfIdx, nprobe = 1)
+    assert(probed.count() == 10 && probed.where($"doc_id" === 0L).isEmpty,
+      "partial probe broke the serve contract (kTop rows, self-excluded)")
+
+    // batch-size invariance (the book_query_batch discipline): the 3-query
+    // batch's per-query rows equal each query served in its own batch
+    val queries = TextAnalysis.hybridQuerySet(spark, dir, 3)
+    val batched = TextAnalysis.hybridServeBatch(queries, bmIdx, ivfIdx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getLong(5))).toSet
+    val oneByOne = (0L until 3L).flatMap { qid =>
+      TextAnalysis.hybridServeBatch(queries.where($"query_id" === qid), bmIdx, ivfIdx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getLong(5)))
+    }.toSet
+    assert(batched.nonEmpty && batched == oneByOne,
+      "hybridServeBatch results depend on how queries are batched")
+  }
+
   test("BM25 index: serve equals the in-DAG ranking; build/extend/forget contracts hold") {
     import graft.operators.{TextAnalysis, Forget}
     val dir = "/root/testdata/sf0.001"
@@ -1150,6 +1191,30 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(doclensDrift().isEmpty,
       "doclens diverged from postings after forget — the generic kernel " +
         "must filter both doc_id-keyed tables together")
+
+    // the forget rewrite FLATTENED postings (bucket is now a data column):
+    // extend must refuse — appending bucket=*/ partition dirs next to flat
+    // files would leave a mixed directory Spark cannot read at all
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(idx, "postings"))
+        .exists(_.getPath.getName.startsWith("bucket=")),
+      "precondition: forget should have flattened the postings layout")
+    val flat = intercept[IllegalArgumentException] {
+      TextAnalysis.extendBm25Index(idx, docs.limit(1))
+    }
+    assert(flat.getMessage.contains("FLAT"))
+    // serve still works on the flat layout (pruning degrades, rows don't)
+    assert(TextAnalysis.bm25TopDocsWithIndex(spark, idx)
+      .as[(Long, Long, Long, Double)].collect().toSet == wantAfter)
+
+    // a crashed EXTEND (_DONE deleted, appends in an unknown state) can
+    // only be repaired by rebuild: re-running extend would append the
+    // batch postings a second time and silently double tf/df/dl
+    val done = new org.apache.hadoop.fs.Path(idx, "_DONE")
+    fs.delete(done, false)
+    val halfExtended = intercept[IllegalArgumentException] {
+      TextAnalysis.extendBm25Index(idx, docs.limit(1))
+    }
+    assert(halfExtended.getMessage.contains("crashed EXTEND"))
   }
 
   test("BM25 incremental: build+extend equals full rebuild and resumes a crash between them") {
