@@ -947,13 +947,20 @@ object SparkEntry {
     "embed_multiprobe_recall" -> ((s, dir) => EmbeddingSearch.multiProbeRecall(s, dir)),
     // two-sided kNN JOIN (kNN-graph): every vector × its band-mates, no
     // broadcastable query side — the corpus-vs-corpus shuffle shape.
-    // DEFAULT = corpus-adaptive sizing at targetBucket=128 with Hamming-1
+    // DEFAULT = corpus-adaptive sizing at targetBucket=128 with HAMMING-2
     // MULTIPROBE (Lv et al. VLDB'07 on the symmetric join: every vector
-    // also visits its single-bit-flip buckets, probe-probe pairs skipped
-    // so candidates are exactly the Hamming<=1 band pairs) — the r10
-    // recall/wall frontier: recall@3 0.883 at sf0.1 vs 0.327 for the r9
-    // config, which stays registered as embed_knn_join_unprobed
+    // also visits its 1- and 2-bit-flip buckets, probe-probe pairs
+    // skipped so candidates are exactly the Hamming<=2 band pairs) — the
+    // r11 frontier point: recall@3 0.970 at sf0.1 (+0.087 over the r10
+    // Hamming-1 default for +18% wall, dominating every bands-based
+    // alternative measured); the r10 point stays registered as
+    // embed_knn_join_h1, the r9 point as embed_knn_join_unprobed
     "embed_knn_join" -> ((s, dir) => EmbeddingSearch.knnJoinScaled(s, dir)),
+    // the r10 default (tb=128, Hamming-1 probes) — the middle of the
+    // recall curve, kept registered and hash-gated so the cheaper graph
+    // stays replayable (recall 0.883 at ~0.85x the default's wall)
+    "embed_knn_join_h1" -> ((s, dir) =>
+      EmbeddingSearch.knnJoinScaled(s, dir, probeHamming = 1)),
     // the r9 config (tb=32, no probing) — the measured 0-point of the
     // recall curve, kept registered so the cheap-low-recall graph stays
     // hash-gated and the curve stays replayable
@@ -974,10 +981,11 @@ object SparkEntry {
     // caught the candidate cap halving recall, sending the registered
     // path to the exact bucket-local kernel)
     "embed_knn_join_recall" -> ((s, dir) => EmbeddingSearch.knnJoinRecall(s, dir)),
-    // recall@k of the DEFAULT (tb=128, probed) graph — the other end of
-    // the curve that justifies the default
+    // recall@k of the DEFAULT (tb=128, Hamming-2 probed) graph — the
+    // other end of the curve that justifies the default
     "embed_knn_join_probed_recall" -> ((s, dir) =>
-      EmbeddingSearch.knnJoinRecall(s, dir, targetBucket = 128, multiProbe = true)),
+      EmbeddingSearch.knnJoinRecall(s, dir, targetBucket = 128, multiProbe = true,
+        probeHamming = 2)),
     // the explicitly-named CAPPED variant (scramble-sampled candidate
     // side, edges <= N*bands*cap) — the opt-in for corpora whose
     // degenerate buckets trip the bucket-local kernel's memory guard;
@@ -1380,6 +1388,24 @@ object SparkEntry {
       |      b::VARCHAR || ':' || array_to_string(list_transform(generate_series(0, rpb - 1), i ->
       |        (CASE WHEN i = j THEN 1 - sig[(b*rpb+i+1)::INT]
       |         ELSE sig[(b*rpb+i+1)::INT] END)::VARCHAR), ','))))) AS band
+      |  FROM sig, prm)""".stripMargin
+
+  /** The Hamming-≤2 probe membership: vprobe (base + 1-bit flips) plus
+    * every 2-bit-flip key — base × vprobe2 band matches are exactly the
+    * Hamming ≤ 2 band pairs the probed kernel scores (probe-probe pairs
+    * are skipped on the Spark side, and every Hamming ≤ 2 pair IS a
+    * base-vs-flip pair by symmetry, so the two formulations coincide).
+    */
+  private val vecProbe2Cte: String =
+    s"""$vecProbeCte,
+      |vprobe2 AS (SELECT vec_id, band FROM vprobe
+      |  UNION ALL
+      |  SELECT vec_id, unnest(flatten(flatten(list_transform(generate_series(0, 7), b ->
+      |    list_transform(generate_series(0, rpb - 2), j1 ->
+      |      list_transform(generate_series(j1 + 1, rpb - 1), j2 ->
+      |        b::VARCHAR || ':' || array_to_string(list_transform(generate_series(0, rpb - 1), i ->
+      |          (CASE WHEN i = j1 OR i = j2 THEN 1 - sig[(b*rpb+i+1)::INT]
+      |           ELSE sig[(b*rpb+i+1)::INT] END)::VARCHAR), ','))))))) AS band
       |  FROM sig, prm)""".stripMargin
 
   /** The unprobed corpus-adaptive kNN-graph oracle — shared verbatim by
@@ -3525,8 +3551,22 @@ object SparkEntry {
     // hash gate proves tiling changes the plan, never the rows
     "embed_knn_join_tiled" -> knnJoinUnprobedOracle,
     // the DEFAULT: tb=128 adaptive banding with the candidate b-side
-    // widened to the Hamming-1 probe memberships
+    // widened to the Hamming-<=2 probe memberships
     "embed_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |${vecBandCtesScaledTb(128)},
+         |$vecProbe2Cte,
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |         FROM vbands a JOIN vprobe2 b ON a.band = b.band AND a.vec_id <> b.vec_id),
+         |s AS (SELECT cand.vec_id, cand.nbr_id,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
+         |r AS (SELECT *, (row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
+         |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+    // the r10 default (Hamming-1 probes) — the curve's registered middle
+    "embed_knn_join_h1" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |${vecBandCtesScaledTb(128)},
          |$vecProbeCte,
@@ -3544,9 +3584,9 @@ object SparkEntry {
     "embed_knn_join_probed_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |${vecBandCtesScaledTb(128)},
-         |$vecProbeCte,
+         |$vecProbe2Cte,
          |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
-         |         FROM vbands a JOIN vprobe b ON a.band = b.band AND a.vec_id <> b.vec_id
+         |         FROM vbands a JOIN vprobe2 b ON a.band = b.band AND a.vec_id <> b.vec_id
          |         WHERE a.vec_id < 100),
          |sc AS (SELECT cand.vec_id, cand.nbr_id,
          |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine

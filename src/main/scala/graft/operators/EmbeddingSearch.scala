@@ -260,6 +260,23 @@ object EmbeddingSearch {
   def lshFlipKeys(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
     lshFlippedKeys(sig, bands, rowsPerBand, includeBase = false)
 
+  /** The HAMMING-2 probe keys: per band, every 2-bit-flip variant of the
+    * base key (C(rowsPerBand, 2) keys — the next probe ring out from
+    * [[lshFlipKeys]]'s Hamming-1 shell). Same string format, same
+    * is_base=false tagging in the kernels, so probe-probe skipping works
+    * unchanged; key fan-out grows to 1 + r + r(r−1)/2 per band. Measured
+    * on the frontier harness (Scratch knnh2) before any default moves.
+    */
+  def lshFlip2Keys(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
+    flatten(transform(sequence(lit(0), lit(bands - 1)), b =>
+      flatten(transform(sequence(lit(0), lit(rowsPerBand - 2)), j1 =>
+        transform(sequence(j1 + 1, lit(rowsPerBand - 1)), j2 =>
+          concat_ws(":", b.cast("string"),
+            concat_ws(",", transform(sequence(lit(0), lit(rowsPerBand - 1)), i => {
+              val bit = element_at(sig, (b * rowsPerBand + i + 1).cast("int"))
+              when(i === j1 || i === j2, lit(1) - bit).otherwise(bit).cast("string")
+            }))))))))
+
   /** The ONE definition of the flipped-key string format both probe key
     * sets derive from (j = -1 flips nothing — the base key, bit-identical
     * to [[lshBandKeys]]'s; the oracle's vprobe CTE replays this format,
@@ -607,10 +624,10 @@ object EmbeddingSearch {
   private[graft] def knnJoinBucketLocal(spark: SparkSession, dir: String,
       k: Int = 3, nPlanes: Int = 16, bands: Int = 4,
       maxBucket: Int = 1 << 17, multiProbe: Boolean = false,
-      tileOversized: Boolean = false): DataFrame = {
+      tileOversized: Boolean = false, probeHamming: Int = 1): DataFrame = {
     import spark.implicits._
     val local = bandedForKernel(Tables.embeddings(spark, dir), nPlanes, bands,
-        multiProbe, tileOversized, maxBucket)
+        multiProbe, tileOversized, maxBucket, probeHamming)
       .as[(String, Long, Array[Double], Boolean, Int, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (band, it) =>
@@ -700,20 +717,23 @@ object EmbeddingSearch {
     * clustered fixture — see [[knnJoinRecall]]) for corpora whose
     * degenerate buckets trip even the local kernel's memory guard.
     *
-    * DEFAULTS (targetBucket=128, multiProbe=true) are the measured
-    * recall/wall frontier on the r10 curve (SCALING.md): at sf0.1,
-    * recall@3 0.883 at 2.5 s vs 0.327 at 1.2 s for the r9 config
-    * (tb=32, unprobed) — wider buckets and Hamming-1 probing each buy
-    * recall, and together they dominate every narrower/probier config
-    * tried (probing at tb=32 costs 6 s for 0.570; 16 bands cost 22 s for
-    * 0.637). Cost model at scale: pair work ≈ n·bands·tb·(1+rpb) dot
-    * products — linear in n with a constant the two knobs set
-    * explicitly; a kNN-graph consumer that prefers the cheap low-recall
-    * graph passes the r9 config back in. */
+    * DEFAULTS (targetBucket=128, multiProbe=true, probeHamming=2) are
+    * the measured recall/wall frontier on the r10+r11 curves
+    * (SCALING.md): at sf0.1, recall@3 0.970 at 1.7 s (Hamming-2 probes)
+    * vs 0.883 at 1.5 s for the r10 Hamming-1 default and 0.327 at 1.2 s
+    * for the r9 config (tb=32, unprobed) — the Hamming-2 ring buys
+    * +0.087 recall for +18% wall and dominates every bands-based
+    * alternative measured (16 probed bands: 0.893 at 1.5 s, and only
+    * +0.003 more when stacked ON TOP of Hamming-2 for 1.7× wall). Cost
+    * model at scale: pair work ≈ n·bands·tb·(1+r+r(r−1)/2) dot products
+    * — linear in n with a constant the knobs set explicitly; a consumer
+    * that prefers a cheaper lower-recall graph passes probeHamming=1 or
+    * the r9 config back in (both stay registered, hash-gated points on
+    * the curve). */
   def knnJoinScaled(spark: SparkSession, dir: String, k: Int = 3,
       targetBucket: Int = 128, bands: Int = 8, candidateCap: Int = 0,
       multiProbe: Boolean = true, maxBucket: Int = 1 << 17,
-      tileOversized: Boolean = false): DataFrame = {
+      tileOversized: Boolean = false, probeHamming: Int = 2): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val rpb = lshRowsPerBand(n, targetBucket)
     if (candidateCap > 0)
@@ -722,7 +742,8 @@ object EmbeddingSearch {
       knnJoin(spark, dir, k, nPlanes = bands * rpb, bands = bands, candidateCap = candidateCap)
     else
       knnJoinBucketLocal(spark, dir, k, nPlanes = bands * rpb, bands = bands,
-        maxBucket = maxBucket, multiProbe = multiProbe, tileOversized = tileOversized)
+        maxBucket = maxBucket, multiProbe = multiProbe,
+        tileOversized = tileOversized, probeHamming = probeHamming)
   }
 
   /** The shared bucket-local-kernel prologue: project to (vec_id, v),
@@ -739,8 +760,9 @@ object EmbeddingSearch {
     * plan is unchanged.
     */
   private def bandedVectors(embeddings: DataFrame, nPlanes: Int, bands: Int,
-      multiProbe: Boolean = false): DataFrame =
-    bandedFromSigned(signedVectors(embeddings, nPlanes), nPlanes, bands, multiProbe)
+      multiProbe: Boolean = false, probeHamming: Int = 1): DataFrame =
+    bandedFromSigned(signedVectors(embeddings, nPlanes), nPlanes, bands,
+      multiProbe, probeHamming)
 
   /** The EXPENSIVE prefix of the banded frame — parquet scan, float→double
     * cast, nPlanes hyperplane projections — split out so the tiled escape
@@ -753,16 +775,21 @@ object EmbeddingSearch {
       .withColumn("sig", lshSignature(col("v"), nPlanes))
 
   private def bandedFromSigned(signed: DataFrame, nPlanes: Int, bands: Int,
-      multiProbe: Boolean): DataFrame = {
+      multiProbe: Boolean, probeHamming: Int = 1): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
+    require(probeHamming >= 1 && probeHamming <= 2,
+      s"probeHamming in [1,2], got $probeHamming")
     val rpb = nPlanes / bands
     val sig = col("sig")
     val tag = (keys: Column, base: Boolean) =>
       transform(keys, k => struct(k.as("band"), lit(base).as("is_base")))
+    val flips =
+      if (probeHamming >= 2) concat(lshFlipKeys(sig, bands, rpb),
+        lshFlip2Keys(sig, bands, rpb))
+      else lshFlipKeys(sig, bands, rpb)
     val keyed =
       if (!multiProbe) tag(lshBandKeys(sig, bands, rpb), true)
-      else concat(tag(lshBandKeys(sig, bands, rpb), true),
-        tag(lshFlipKeys(sig, bands, rpb), false))
+      else concat(tag(lshBandKeys(sig, bands, rpb), true), tag(flips, false))
     signed.select(col("vec_id"), col("v"), explode(keyed).as("bk"))
       .select(col("bk.band").as("band"), col("vec_id"), col("v"),
         col("bk.is_base").as("is_base"),
@@ -791,13 +818,16 @@ object EmbeddingSearch {
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   private def bandedForKernel(embeddings: DataFrame, nPlanes: Int, bands: Int,
-      multiProbe: Boolean, tileOversized: Boolean, maxBucket: Int): DataFrame =
-    if (!tileOversized) bandedVectors(embeddings, nPlanes, bands, multiProbe)
+      multiProbe: Boolean, tileOversized: Boolean, maxBucket: Int,
+      probeHamming: Int = 1): DataFrame =
+    if (!tileOversized)
+      bandedVectors(embeddings, nPlanes, bands, multiProbe, probeHamming)
     else {
       val cp = signedVectors(embeddings, nPlanes).localCheckpoint()
       val prev = lastTiledCheckpoint.getAndSet(cp)
       if (prev != null) org.apache.spark.sql.GraftShim.unpersistCheckpoint(prev)
-      tileOversizedBuckets(bandedFromSigned(cp, nPlanes, bands, multiProbe), maxBucket)
+      tileOversizedBuckets(
+        bandedFromSigned(cp, nPlanes, bands, multiProbe, probeHamming), maxBucket)
     }
 
   /** The EXACT degenerate-bucket escape (the tiled pair-group rewrite of
@@ -1539,9 +1569,10 @@ object EmbeddingSearch {
     */
   def knnJoinRecall(spark: SparkSession, dir: String, k: Int = 3,
       nProbes: Int = 100, targetBucket: Int = 32, bands: Int = 8,
-      candidateCap: Int = 0, multiProbe: Boolean = false): DataFrame = {
+      candidateCap: Int = 0, multiProbe: Boolean = false,
+      probeHamming: Int = 1): DataFrame = {
     val approx = knnJoinScaled(spark, dir, k, targetBucket, bands, candidateCap,
-        multiProbe = multiProbe)
+        multiProbe = multiProbe, probeHamming = probeHamming)
       .where(col("vec_id") < nProbes)
       .select(col("vec_id").as("a_id"), col("nbr_id").as("a_nbr"))
     // the exact side IS bruteForceTopK on the probe set — one ranking

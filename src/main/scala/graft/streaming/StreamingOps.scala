@@ -680,6 +680,24 @@ object StreamingOps {
           batch.sparkSession, modelPath), dims), batchId)
     }
 
+  /** [[classifyAgainstModel]] at PRODUCTION MODEL WIDTH: the wide
+    * table-join serve ([[graft.operators.TextAnalysis
+    * .scoreWithClassifierWide]]) behind the same foreachBatch contract —
+    * the weight TABLE is joined size-gated instead of inlined as a
+    * dims-sized literal plan, so the streaming tier works at the same
+    * 100k-dim widths the batch wide serve does (row-identical to the
+    * literal path at any width — spec-pinned). The table re-loads per
+    * batch; zero training shuffles on the serve path. Sink receives
+    * (doc_id, score, predicted).
+    */
+  def classifyWideAgainstModel(docs: DataFrame, modelPath: String, dims: Int = 16)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.TextAnalysis.scoreWithClassifierWide(batch,
+        graft.operators.TextAnalysis.loadClassifierModel(
+          batch.sparkSession, modelPath), dims), batchId)
+    }
+
   /** Streaming token budgeting: per-batch post-BPE token counts from the
     * PERSISTED merge table (the serve half of
     * [[graft.operators.TextAnalysis.bpeTokenCountsPersisted]]) — the

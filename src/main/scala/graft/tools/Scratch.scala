@@ -71,7 +71,8 @@ object Scratch {
           ("probed-4b-tb64", 64, 4, true)); pass <- 1 to 2) {
         val t0 = System.nanoTime()
         val n = graft.operators.EmbeddingSearch
-          .knnJoinScaled(spark, sfDir, targetBucket = tb, bands = bands, multiProbe = mp)
+          .knnJoinScaled(spark, sfDir, targetBucket = tb, bands = bands,
+            multiProbe = mp, probeHamming = 1) // r10 curve = Hamming-1 labels
           .count()
         val w = (System.nanoTime() - t0) / 1e9
         val rec = graft.operators.EmbeddingSearch
@@ -87,19 +88,21 @@ object Scratch {
     if (args.length > 1 && args(1) == "knnrecall2") {
       // extend the r10 kNN-graph frontier past 0.883: more bands and wider
       // buckets at the tb=128+probed default's side of the curve
-      for ((label, tb, bands, mp) <- Seq(
-          ("probed-8b-tb128", 128, 8, true),   // the registered default
-          ("base-16b-tb128", 128, 16, false),
-          ("probed-16b-tb128", 128, 16, true),
-          ("probed-8b-tb256", 256, 8, true),
-          ("probed-8b-tb512", 512, 8, true)); pass <- 1 to 2) {
+      for ((label, tb, bands, mp, ph) <- Seq(
+          ("probed-8b-tb128", 128, 8, true, 1),   // the registered default
+          ("base-16b-tb128", 128, 16, false, 1),
+          ("probed-16b-tb128", 128, 16, true, 1),
+          ("h2-8b-tb128", 128, 8, true, 2),       // Hamming-2 probe ring
+          ("h2-16b-tb128", 128, 16, true, 2)); pass <- 1 to 2) {
         val t0 = System.nanoTime()
         val n = graft.operators.EmbeddingSearch
-          .knnJoinScaled(spark, sfDir, targetBucket = tb, bands = bands, multiProbe = mp)
+          .knnJoinScaled(spark, sfDir, targetBucket = tb, bands = bands,
+            multiProbe = mp, probeHamming = ph)
           .count()
         val w = (System.nanoTime() - t0) / 1e9
         val rec = graft.operators.EmbeddingSearch
-          .knnJoinRecall(spark, sfDir, targetBucket = tb, bands = bands, multiProbe = mp)
+          .knnJoinRecall(spark, sfDir, targetBucket = tb, bands = bands,
+            multiProbe = mp, probeHamming = ph)
           .agg(org.apache.spark.sql.functions.sum("n_hit"),
             org.apache.spark.sql.functions.sum("n_exact"))
           .collect()(0)

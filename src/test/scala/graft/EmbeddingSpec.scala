@@ -499,14 +499,18 @@ class EmbeddingSpec extends AnyFunSuite {
     * [[EmbeddingSearch.knnJoin]].
     */
   private def probedEdgeKnn(emb: org.apache.spark.sql.DataFrame, k: Int,
-      nPlanes: Int, bands: Int): org.apache.spark.sql.DataFrame = {
+      nPlanes: Int, bands: Int, probeHamming: Int = 1): org.apache.spark.sql.DataFrame = {
     val rpb = nPlanes / bands
     val sig = EmbeddingSearch.lshSignature(col("v"), nPlanes)
     val base = emb.select(col("vec_id"),
       explode(EmbeddingSearch.lshBandKeys(sig, bands, rpb)).as("band"))
-    val probe = emb.select(col("vec_id"),
-      explode(concat(EmbeddingSearch.lshBandKeys(sig, bands, rpb),
-        EmbeddingSearch.lshFlipKeys(sig, bands, rpb))).as("band"))
+    val probeKeys =
+      if (probeHamming >= 2) concat(EmbeddingSearch.lshBandKeys(sig, bands, rpb),
+        EmbeddingSearch.lshFlipKeys(sig, bands, rpb),
+        EmbeddingSearch.lshFlip2Keys(sig, bands, rpb))
+      else concat(EmbeddingSearch.lshBandKeys(sig, bands, rpb),
+        EmbeddingSearch.lshFlipKeys(sig, bands, rpb))
+    val probe = emb.select(col("vec_id"), explode(probeKeys).as("band"))
     val cand = base.as("a").join(probe.as("b"),
         col("a.band") === col("b.band") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id")).distinct()
@@ -526,25 +530,26 @@ class EmbeddingSpec extends AnyFunSuite {
     val emb = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val n = emb.count()
-    // the registered DEFAULT config: tb=128 adaptive width, Hamming-1 probes
+    // the registered DEFAULT config: tb=128 adaptive width, Hamming-2 probes
     val rpb = EmbeddingSearch.lshRowsPerBand(n, 128)
-    val exp = probedEdgeKnn(emb, 3, 8 * rpb, 8)
+    val exp = probedEdgeKnn(emb, 3, 8 * rpb, 8, probeHamming = 2)
       .as[(Long, Long, Double, Long)].collect().toSet
     val got = EmbeddingSearch.knnJoinScaled(spark, dir)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(exp.nonEmpty, "probed fixture produced no edges — pin is vacuous")
     assert(got == exp, "probed kernel diverged from the probed edge formulation")
-    // and at a different bucket shape (narrow tb=32 widths)
+    // the Hamming-1 ring at a different bucket shape (narrow tb=32 widths)
     val rpb32 = EmbeddingSearch.lshRowsPerBand(n, 32)
     val exp32 = probedEdgeKnn(emb, 3, 8 * rpb32, 8)
       .as[(Long, Long, Double, Long)].collect().toSet
-    val got32 = EmbeddingSearch.knnJoinScaled(spark, dir, targetBucket = 32)
+    val got32 = EmbeddingSearch
+      .knnJoinScaled(spark, dir, targetBucket = 32, probeHamming = 1)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(got32 == exp32, "probed kernel diverged at tb=32 widths")
     // probing only ADDS candidates: the probed graph's per-vector edge set
     // must dominate the unprobed one in the (cosine desc, id asc) order —
     // spot-check via recall instead of structural compare: every unprobed
-    // candidate pair is also a probed candidate pair (Hamming 0 ⊆ ≤1)
+    // candidate pair is also a probed candidate pair (Hamming 0 ⊆ ≤1 ⊆ ≤2)
     val unprobed = EmbeddingSearch
       .knnJoinScaled(spark, dir, targetBucket = 32, multiProbe = false)
       .select("vec_id").as[Long].collect().toSet

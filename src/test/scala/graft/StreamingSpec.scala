@@ -919,6 +919,57 @@ class StreamingSpec extends AnyFunSuite {
       "serve tier trained across stop/restart")
   }
 
+  test("WIDE classifier serve survives a checkpointed stop/restart") {
+    // the classifier restart contract on the production-width tier: the
+    // weight TABLE is joined (never inlined as a dims-sized literal
+    // plan), so this is the streaming twin of scoreWithClassifierWide —
+    // same exactly-once offsets, same zero-trainings guarantee, rows
+    // identical to the batch wide serve
+    import graft.operators.TextAnalysis
+    val dims = 256
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_clfw_restart").toString
+    val modelPath = s"$root/m"; val srcDir = s"$root/src"; val ck = s"$root/ck"
+    TextAnalysis.saveClassifierModel(
+      TextAnalysis.qualityClassifierWeightsWide(corpus, dims = dims), modelPath)
+    val cols = corpus.select($"doc_id", $"text")
+    val batch1 = cols.where($"doc_id" < 10)
+    val batch2 = cols.where($"doc_id" >= 10 && $"doc_id" < 20)
+    val ids1 = batch1.select($"doc_id").as[Long].collect().toSet
+    val ids2 = batch2.select($"doc_id").as[Long].collect().toSet
+    assert(ids1.nonEmpty && ids2.nonEmpty)
+    val want = TextAnalysis
+      .scoreWithClassifierWide(cols.where($"doc_id" < 20),
+        TextAnalysis.loadClassifierModel(spark, modelPath), dims)
+      .select($"doc_id", $"score", $"predicted")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    StreamingSpec.clfWideRestartRows.clear()
+    val before = TextAnalysis.classifierTrainings.get()
+    batch1.write.mode("overwrite").parquet(srcDir)
+    def startQuery() = StreamingOps.classifyWideAgainstModel(
+        spark.readStream.schema(batch1.schema).parquet(srcDir), modelPath, dims) { (scores, _) =>
+      StreamingSpec.clfWideRestartRows ++= scores.select($"doc_id", $"score", $"predicted")
+        .as[(Long, Double, Long)].collect()
+      ()
+    }.option("checkpointLocation", ck).start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterQ1 = StreamingSpec.clfWideRestartRows.length
+    assert(StreamingSpec.clfWideRestartRows.map(_._1).toSet == ids1)
+    batch2.write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val q2Rows = StreamingSpec.clfWideRestartRows.drop(afterQ1).toList
+    assert(q2Rows.map(_._1).toSet == ids2,
+      s"restarted instance must serve exactly the new batch (no replay of " +
+        s"batch-1 ids): ${q2Rows.map(_._1).toSet}")
+    StreamingSpec.clfWideRestartRows.foreach { case (id, sc, p) =>
+      assert(want(id) == ((sc, p)), s"doc $id drifted across restart: ($sc, $p) vs ${want(id)}")
+    }
+    assert(TextAnalysis.classifierTrainings.get() == before,
+      "serve tier trained across stop/restart")
+  }
+
   test("BPE token serve survives a checkpointed stop/restart (VERDICT r8 item 5)") {
     import graft.operators.TextAnalysis
     val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
@@ -1469,6 +1520,7 @@ object StreamingSpec {
   /** Restart-spec buffers for the trained-model serve tiers (same
     * stable-reference requirement as [[hhRestartRows]]). */
   val clfRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]
+  val clfWideRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]
   val bpeRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]
   val kmRestartRows = new scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]
   val hybridRestartRows = new scala.collection.mutable
