@@ -1430,11 +1430,27 @@ object SparkEntry {
     * the per-doc rollup, shared verbatim by `text_bm25_topk` and
     * `text_hybrid_topk`.
     */
-  private def bm25CtesSqlFrom(docsRel: String): String =
+  /** The corpus-side BM25 base CTEs (tokenize → tf → doc lengths →
+    * corpus stats) — the ONE copy both the single-query and the
+    * multi-query lexical replays build on.
+    */
+  private def bm25BaseCtesFrom(docsRel: String): String =
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $docsRel),
       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
       |lens AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
-      |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS len_sum FROM lens),
+      |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS len_sum FROM lens)""".stripMargin
+
+  /** The Okapi BM25 per-(doc, term) score expression (k1=1.2, b=0.75) —
+    * the ONE copy of the formula; reads n/df/tf/dl/len_sum columns.
+    */
+  private val bm25TscoreSql: String =
+    """ln((n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+      |         * (tf::DOUBLE * (1.2 + 1.0))
+      |         / (tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+      |            + 0.75 * dl::DOUBLE / (len_sum::DOUBLE / n::DOUBLE)))""".stripMargin
+
+  private def bm25CtesSqlFrom(docsRel: String): String =
+    s"""${bm25BaseCtesFrom(docsRel)},
       |q AS (SELECT DISTINCT term FROM tf WHERE doc_id = 0),
       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf
       |        WHERE term IN (SELECT term FROM q) GROUP BY 1),
@@ -1443,10 +1459,7 @@ object SparkEntry {
       |       JOIN lens ON tf.doc_id = lens.doc_id, stats
       |       WHERE tf.doc_id <> 0),
       |sc AS (SELECT doc_id, dl, term,
-      |       ln((n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
-      |         * (tf::DOUBLE * (1.2 + 1.0))
-      |         / (tf::DOUBLE + 1.2 * ((1.0 - 0.75)
-      |            + 0.75 * dl::DOUBLE / (len_sum::DOUBLE / n::DOUBLE))) AS tscore
+      |       $bm25TscoreSql AS tscore
       |       FROM pt)""".stripMargin
 
   private val bm25CtesSql: String = bm25CtesSqlFrom("documents")
@@ -1479,16 +1492,18 @@ object SparkEntry {
     * by the in-DAG entry and the artifact-only serve
     * (`text_hybrid_serve`).
     */
-  private def hybridTopSqlFrom(docsRel: String, embRel: String): String =
-    s"""WITH ${bm25CtesSqlFrom(docsRel)},
-       |bm AS ($bm25RollupSql ORDER BY score DESC, doc_id ASC LIMIT 20),
+  /** The single-query hybrid oracle's shared frame: the ranked lexical
+    * CTEs (bm/bmr) and, after the caller's `semall` CTE, the fusion tail
+    * (sem top-20 → ranks → RRF full-outer → top-10) — the ONE copy the
+    * exact and probed serve oracles both close with.
+    */
+  private val bm25RankedCtes: String =
+    s"""bm AS ($bm25RollupSql ORDER BY score DESC, doc_id ASC LIMIT 20),
        |bmr AS (SELECT doc_id, (row_number() OVER
-       |  (ORDER BY score DESC, doc_id ASC))::BIGINT AS lex_rank FROM bm),
-       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM $embRel),
-       |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |semall AS (SELECT e.vec_id, round(${cosineSql("e.v", "qv.qv")}, 6) AS cosine
-       |           FROM e, qv WHERE e.vec_id <> 0),
-       |semtop AS (SELECT vec_id, cosine FROM semall
+       |  (ORDER BY score DESC, doc_id ASC))::BIGINT AS lex_rank FROM bm)""".stripMargin
+
+  private val hybridFusionTailSql: String =
+    s"""semtop AS (SELECT vec_id, cosine FROM semall
        |           ORDER BY cosine DESC, vec_id ASC LIMIT 20),
        |semr AS (SELECT vec_id, (row_number() OVER
        |  (ORDER BY cosine DESC, vec_id ASC))::BIGINT AS sem_rank FROM semtop),
@@ -1500,6 +1515,15 @@ object SparkEntry {
        |  SELECT *, (row_number() OVER
        |    (ORDER BY rrf DESC, doc_id ASC))::BIGINT AS rank FROM f)
        |WHERE rank <= 10""".stripMargin
+
+  private def hybridTopSqlFrom(docsRel: String, embRel: String): String =
+    s"""WITH ${bm25CtesSqlFrom(docsRel)},
+       |$bm25RankedCtes,
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM $embRel),
+       |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |semall AS (SELECT e.vec_id, round(${cosineSql("e.v", "qv.qv")}, 6) AS cosine
+       |           FROM e, qv WHERE e.vec_id <> 0),
+       |$hybridFusionTailSql""".stripMargin
 
   private val hybridTopSql: String = hybridTopSqlFrom("documents", "embeddings")
 
@@ -1524,9 +1548,7 @@ object SparkEntry {
     */
   private def hybridServeProbedSql(nprobe: Int): String =
     s"""WITH $bm25CtesSql,
-       |bm AS ($bm25RollupSql ORDER BY score DESC, doc_id ASC LIMIT 20),
-       |bmr AS (SELECT doc_id, (row_number() OVER
-       |  (ORDER BY score DESC, doc_id ASC))::BIGINT AS lex_rank FROM bm),
+       |$bm25RankedCtes,
        |${kmTrainedAssignCtes(None)},
        |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |pdq AS (SELECT c.cl, round(${cosineSql("qv.qv", "c.cv")}, 6) AS csim FROM qv, c2 c),
@@ -1534,18 +1556,7 @@ object SparkEntry {
        |  (ORDER BY csim DESC, cl ASC) AS rn FROM pdq) WHERE rn <= $nprobe),
        |semall AS (SELECT af.vec_id, round(${cosineSql("af.v", "qv.qv")}, 6) AS cosine
        |           FROM af JOIN probe USING (cl), qv WHERE af.vec_id <> 0),
-       |semtop AS (SELECT vec_id, cosine FROM semall
-       |           ORDER BY cosine DESC, vec_id ASC LIMIT 20),
-       |semr AS (SELECT vec_id, (row_number() OVER
-       |  (ORDER BY cosine DESC, vec_id ASC))::BIGINT AS sem_rank FROM semtop),
-       |f AS (SELECT coalesce(b.doc_id, s.vec_id) AS doc_id, b.lex_rank, s.sem_rank,
-       |  round(coalesce(1.0::DOUBLE / (60 + b.lex_rank)::DOUBLE, 0.0)
-       |      + coalesce(1.0::DOUBLE / (60 + s.sem_rank)::DOUBLE, 0.0), 6) AS rrf
-       |  FROM bmr b FULL JOIN semr s ON b.doc_id = s.vec_id)
-       |SELECT doc_id, lex_rank, sem_rank, rrf, rank FROM (
-       |  SELECT *, (row_number() OVER
-       |    (ORDER BY rrf DESC, doc_id ASC))::BIGINT AS rank FROM f)
-       |WHERE rank <= 10""".stripMargin
+       |$hybridFusionTailSql""".stripMargin
 
   /** MULTI-QUERY hybrid serve oracle — the [[hybridServeBatch]] kernel
     * replayed end-to-end for the first `nQueries` corpus documents as
@@ -1575,10 +1586,7 @@ object SparkEntry {
            |  FROM probe JOIN af ON af.cl = probe.cl
            |  JOIN qe ON qe.query_id = probe.query_id)""".stripMargin
     }
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
-       |lens AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
-       |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS len_sum FROM lens),
+    s"""WITH ${bm25BaseCtesFrom("documents")},
        |qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM tok
        |           WHERE doc_id < $nQueries),
        |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf
@@ -1588,10 +1596,7 @@ object SparkEntry {
        |       FROM tf JOIN qterms qt USING (term) JOIN dft USING (term)
        |       JOIN lens ON tf.doc_id = lens.doc_id, stats),
        |sc AS (SELECT query_id, doc_id, term,
-       |       ln((n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
-       |         * (tf::DOUBLE * (1.2 + 1.0))
-       |         / (tf::DOUBLE + 1.2 * ((1.0 - 0.75)
-       |            + 0.75 * dl::DOUBLE / (len_sum::DOUBLE / n::DOUBLE))) AS tscore
+       |       $bm25TscoreSql AS tscore
        |       FROM pt),
        |lexsc AS (SELECT query_id, doc_id,
        |    round(list_reduce(

@@ -430,16 +430,19 @@ object Dedup {
     require(committed.forall(fs.exists),
       s"dedup index tables at $indexPath are missing or uncommitted (no _SUCCESS) — " +
         "a crashed BUILD cannot be repaired by extend; run buildDedupIndex")
-    // a crashed EXTEND (post-delete of _DONE) already appended an unknown
-    // subset of its batch tables; re-running would append the batch a
-    // second time — doubled exact/sets/bands rows, silently wrong serves.
-    // Only a committed index (_DONE present) is a legal extend base.
+    requireIndexParams(fs, indexPath, numHashes, bands, k)
+    // crashed-forget check FIRST (a forget mid-pass also leaves _DONE
+    // absent; its remedy — resume with the original ids — is cheaper than
+    // a rebuild). THEN the crashed-extend check: a crashed EXTEND
+    // (post-delete of _DONE) already appended an unknown subset of its
+    // batch tables; re-running would append the batch a second time —
+    // doubled exact/sets/bands rows, silently wrong serves. Only a
+    // committed index (_DONE present) is a legal extend base.
+    Forget.requireNoCrashedForget(fs, indexPath)
     require(fs.exists(done),
       s"dedup index at $indexPath is uncommitted (no _DONE) — a crashed EXTEND " +
         "may already have appended part of a batch, and re-appending would " +
         "silently duplicate its rows; rebuild with buildDedupIndex")
-    requireIndexParams(fs, indexPath, numHashes, bands, k)
-    Forget.requireNoCrashedForget(fs, indexPath)
     fs.delete(done, false)
     val batch = newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"),
         hashSet(shingleSet(col("text"), k)).as("hs31"),

@@ -267,7 +267,12 @@ object EmbeddingSearch {
     * unchanged; key fan-out grows to 1 + r + r(r−1)/2 per band. Measured
     * on the frontier harness (Scratch knnh2) before any default moves.
     */
-  def lshFlip2Keys(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
+  def lshFlip2Keys(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column = {
+    // Spark's sequence(0, -1) DESCENDS ([0, -1]) instead of being empty,
+    // so rowsPerBand=1 would emit duplicate 1-flip keys mislabeled as the
+    // 2-flip ring — refuse the degenerate width (C(1,2) = 0 keys exist)
+    require(rowsPerBand >= 2,
+      s"lshFlip2Keys needs rowsPerBand >= 2 (C(r,2) 2-bit flips), got $rowsPerBand")
     flatten(transform(sequence(lit(0), lit(bands - 1)), b =>
       flatten(transform(sequence(lit(0), lit(rowsPerBand - 2)), j1 =>
         transform(sequence(j1 + 1, lit(rowsPerBand - 1)), j2 =>
@@ -276,6 +281,7 @@ object EmbeddingSearch {
               val bit = element_at(sig, (b * rowsPerBand + i + 1).cast("int"))
               when(i === j1 || i === j2, lit(1) - bit).otherwise(bit).cast("string")
             }))))))))
+  }
 
   /** The ONE definition of the flipped-key string format both probe key
     * sets derive from (j = -1 flips nothing — the base key, bit-identical
@@ -665,10 +671,15 @@ object EmbeddingSearch {
         while (i < n) {
           var j = i + 1
           while (j < n) {
-            // probe-probe pairs are SKIPPED: two flipped keys colliding
-            // means Hamming ≤ 2 in this band — beyond the one-sided
-            // Hamming-1 candidate contract the oracle replays, and the
-            // quadratic-in-probes work the flag exists to avoid. Under
+            // probe-probe pairs are SKIPPED, at ANY probe ring width: the
+            // contract is the Hamming ≤ probeHamming band pairs, and every
+            // such pair is ALREADY reachable as base-vs-flip by symmetry
+            // (base(x) = flip_J(z) ⟺ base(z) = flip_J(x) for any flip-bit
+            // set J with |J| ≤ probeHamming — the vprobe/vprobe2 oracle
+            // CTEs replay exactly that base×probe formulation), so scoring
+            // probe-probe collisions would only re-find covered pairs and
+            // reintroduce the quadratic-in-probes work the skip avoids.
+            // Under
             // tiling, off-diagonal groups (diag=false) score only
             // CROSS-tile pairs — within-tile pairs belong to the
             // diagonal group, so each bucket pair is scored exactly once

@@ -1392,6 +1392,10 @@ object TextAnalysis {
     require(committed.forall(fs.exists),
       s"BM25 index tables at $indexPath are missing or uncommitted (no _SUCCESS) — " +
         "a crashed BUILD cannot be repaired by extend; run buildBm25Index")
+    // crashed-forget check FIRST: a forget mid-pass also leaves _DONE
+    // absent, and its remedy (resume with the original ids) is cheaper
+    // than the rebuild the crashed-extend diagnosis below prescribes
+    Forget.requireNoCrashedForget(fs, indexPath)
     require(fs.exists(done),
       s"BM25 index at $indexPath is uncommitted (no _DONE) — a crashed EXTEND " +
         "may already have appended part of a batch, and re-appending would " +
@@ -1404,7 +1408,6 @@ object TextAnalysis {
       s"BM25 postings at $indexPath are FLAT (a forget pass rewrote the " +
         "bucket-partitioned layout) — appending partitioned files would mix " +
         "layouts; rebuild with buildBm25Index before extending")
-    Forget.requireNoCrashedForget(fs, indexPath)
     fs.delete(done, false)
     // both appended tables derive from ONE checkpointed batch tf frame —
     // a lazy recompute between the two writes could otherwise let them
@@ -1528,28 +1531,44 @@ object TextAnalysis {
       kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60,
       nprobe: Int = 0): DataFrame = {
     val vecsAll = spark.read.parquet(s"$ivfIndexPath/ivf")
-    val vecs =
-      if (nprobe <= 0) vecsAll.select(col("vec_id"), col("v"))
+    val lex = lexRanks(bm25TopDocsWithIndex(spark, bm25IndexPath, queryId,
+      kTop = kEach))
+    val sem =
+      if (nprobe <= 0) semRanks(vecsAll.select(col("vec_id"), col("v")), queryId, kEach)
       else {
         import graft.functions.TopKByScoreAggregator.topKByScore
         val cent = spark.read.parquet(s"$ivfIndexPath/cent")
-        val qv = vecsAll.where(col("vec_id") === queryId)
-          .select(col("v").as("qv"))
-        // the probed cells: a driver list bounded by the quantizer's k
-        // (metadata-scale by construction), turned into PLAN-time
-        // partition pruning on the cl-partitioned ivf directory layout
-        val cells = qv.crossJoin(broadcast(cent))
-          .select(col("cl").cast("long").as("cl_l"),
-            round(EmbeddingSearch.cosine(col("qv"), col("cv")), 6).as("csim"))
-          .agg(topKByScore(nprobe)(col("csim"), col("cl_l")).as("top"))
-          .select(explode(col("top")).as("t"))
-          .select(col("t._2").cast("int").as("cl"))
-          .collect().map(_.getInt(0)).toIndexedSeq
-        vecsAll.where(col("cl").isin(cells: _*)).select(col("vec_id"), col("v"))
+        // ONE driver fetch of the query's vector (a 1-row take — the
+        // limit(1)-argmax collect class): the by-id lookup has no
+        // partition to prune on the cl-partitioned layout, so it must not
+        // run once for the probe ranking and AGAIN inside the pruned-scan
+        // cosine — the literal is reused by both, and the serve's only
+        // other vector-table touch is the PRUNED probed-cells scan
+        val qvRows = vecsAll.where(col("vec_id") === queryId)
+          .select(col("v")).take(1)
+        if (qvRows.isEmpty)
+          // the query vector is not in the index (e.g. forgotten): no
+          // cells to probe — the fusion degrades to lexical-only, the
+          // same shape an empty semantic list produces on the exact path
+          semRanks(vecsAll.where(lit(false)).select(col("vec_id"), col("v")),
+            queryId, kEach)
+        else {
+          val qv = typedLit(qvRows(0).getSeq[Double](0))
+          // the probed cells: a driver list bounded by the quantizer's k
+          // (metadata-scale by construction), turned into PLAN-time
+          // partition pruning on the cl-partitioned ivf directory layout
+          val cells = cent
+            .select(col("cl").cast("long").as("cl_l"),
+              round(EmbeddingSearch.cosine(qv, col("cv")), 6).as("csim"))
+            .agg(topKByScore(nprobe)(col("csim"), col("cl_l")).as("top"))
+            .select(explode(col("top")).as("t"))
+            .select(col("t._2").cast("int").as("cl"))
+            .collect().map(_.getInt(0)).toIndexedSeq
+          semRanksFor(vecsAll.where(col("cl").isin(cells: _*))
+            .select(col("vec_id"), col("v")), queryId, qv, kEach)
+        }
       }
-    rrfFuse(
-      lexRanks(bm25TopDocsWithIndex(spark, bm25IndexPath, queryId, kTop = kEach)),
-      semRanks(vecs, queryId, kEach), kTop, rrfK)
+    rrfFuse(lex, sem, kTop, rrfK)
   }
 
   /** Lexical rank list from a BM25 top-k frame: (id, lex_rank). */
@@ -1565,14 +1584,26 @@ object TextAnalysis {
     */
   private def semRanks(emb: DataFrame, queryId: Long, kEach: Int): DataFrame = {
     val q = broadcast(emb.where(col("vec_id") === queryId).select(col("v").as("qv")))
-    emb.crossJoin(q).where(col("vec_id") =!= queryId)
+    semTopRanks(emb.crossJoin(q).where(col("vec_id") =!= queryId)
       .select(col("vec_id"),
-        round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id").asc).limit(kEach)
+        round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine")), kEach)
+  }
+
+  /** [[semRanks]] with the query vector supplied as a LITERAL (the probed
+    * serve's driver-fetched row) — the candidate frame is scanned once,
+    * with no in-DAG self-lookup of the query row.
+    */
+  private def semRanksFor(emb: DataFrame, queryId: Long, qv: Column,
+      kEach: Int): DataFrame =
+    semTopRanks(emb.where(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(EmbeddingSearch.cosine(col("v"), qv), 6).as("cosine")), kEach)
+
+  private def semTopRanks(scored: DataFrame, kEach: Int): DataFrame =
+    scored.orderBy(col("cosine").desc, col("vec_id").asc).limit(kEach)
       .withColumn("sem_rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
       .select(col("vec_id").as("id"), col("sem_rank"))
-  }
 
   /** Reciprocal Rank Fusion of two (id, *_rank) lists (Cormack et al.
     * SIGIR'09): candidates = the union (full outer join), a doc missing

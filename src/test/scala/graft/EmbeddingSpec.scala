@@ -581,10 +581,11 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(expK.nonEmpty, "fixture produced no kNN edges — pin is vacuous")
     assert(gotK == expK, "tiled kNN kernel diverged from the edge formulation")
     // tiling composes with MULTIPROBE (probe members count toward bucket
-    // size and tile like base members; the pair predicate ANDs)
+    // size and tile like base members; the pair predicate ANDs) — checked
+    // under the registered default's Hamming-2 probe ring
     val emb = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val expP = probedEdgeKnn(emb, 3, 8 * rpb, 8)
+    val expP = probedEdgeKnn(emb, 3, 8 * rpb, 8, probeHamming = 2)
       .as[(Long, Long, Double, Long)].collect().toSet
     val gotP = EmbeddingSearch.knnJoinScaled(spark, dir, targetBucket = 32,
         maxBucket = 32, tileOversized = true)
