@@ -947,20 +947,23 @@ object SparkEntry {
     "embed_multiprobe_recall" -> ((s, dir) => EmbeddingSearch.multiProbeRecall(s, dir)),
     // two-sided kNN JOIN (kNN-graph): every vector × its band-mates, no
     // broadcastable query side — the corpus-vs-corpus shuffle shape.
-    // DEFAULT = corpus-adaptive sizing at targetBucket=128 with HAMMING-2
+    // DEFAULT = corpus-adaptive sizing at targetBucket=128 with Hamming-1
     // MULTIPROBE (Lv et al. VLDB'07 on the symmetric join: every vector
-    // also visits its 1- and 2-bit-flip buckets, probe-probe pairs
-    // skipped so candidates are exactly the Hamming<=2 band pairs) — the
-    // r11 frontier point: recall@3 0.970 at sf0.1 (+0.087 over the r10
-    // Hamming-1 default for +18% wall, dominating every bands-based
-    // alternative measured); the r10 point stays registered as
-    // embed_knn_join_h1, the r9 point as embed_knn_join_unprobed
+    // also visits its single-bit-flip buckets, probe-probe pairs skipped
+    // so candidates are exactly the Hamming<=1 band pairs) — recall@3
+    // 0.883 at sf0.1. The r11 Hamming-2 measurement (SCALING.md) found
+    // the wider ring dominates at sf0.1 (0.970, +18% wall) but its
+    // r²-growing fan-out flips the recall-per-wall crown back to
+    // Hamming-1 by x16 — so the SCALE default stays here and Hamming-2
+    // is the registered opt-in (embed_knn_join_h2); the r9 config stays
+    // as embed_knn_join_unprobed
     "embed_knn_join" -> ((s, dir) => EmbeddingSearch.knnJoinScaled(s, dir)),
-    // the r10 default (tb=128, Hamming-1 probes) — the middle of the
-    // recall curve, kept registered and hash-gated so the cheaper graph
-    // stays replayable (recall 0.883 at ~0.85x the default's wall)
-    "embed_knn_join_h1" -> ((s, dir) =>
-      EmbeddingSearch.knnJoinScaled(s, dir, probeHamming = 1)),
+    // the Hamming-2 probe ring — the high-recall OPT-IN for bounded
+    // corpora (recall 0.970 at sf0.1; cost constant grows ~r²/2 with the
+    // corpus-adaptive band width, the measured reason it is not the
+    // default) — hash-gated with the Hamming-<=2 probe oracle
+    "embed_knn_join_h2" -> ((s, dir) =>
+      EmbeddingSearch.knnJoinScaled(s, dir, probeHamming = 2)),
     // the r9 config (tb=32, no probing) — the measured 0-point of the
     // recall curve, kept registered so the cheap-low-recall graph stays
     // hash-gated and the curve stays replayable
@@ -981,9 +984,15 @@ object SparkEntry {
     // caught the candidate cap halving recall, sending the registered
     // path to the exact bucket-local kernel)
     "embed_knn_join_recall" -> ((s, dir) => EmbeddingSearch.knnJoinRecall(s, dir)),
-    // recall@k of the DEFAULT (tb=128, Hamming-2 probed) graph — the
+    // recall@k of the DEFAULT (tb=128, Hamming-1 probed) graph — the
     // other end of the curve that justifies the default
     "embed_knn_join_probed_recall" -> ((s, dir) =>
+      EmbeddingSearch.knnJoinRecall(s, dir, targetBucket = 128, multiProbe = true)),
+    // recall@k of the Hamming-2 opt-in — the measurement that caught the
+    // ring's scale flip (0.970 at x1 but recall-per-wall loses to
+    // Hamming-1 by x16), kept gated so the opt-in's recall claim stays
+    // replayable
+    "embed_knn_join_h2_recall" -> ((s, dir) =>
       EmbeddingSearch.knnJoinRecall(s, dir, targetBucket = 128, multiProbe = true,
         probeHamming = 2)),
     // the explicitly-named CAPPED variant (scramble-sampled candidate
@@ -3556,22 +3565,8 @@ object SparkEntry {
     // hash gate proves tiling changes the plan, never the rows
     "embed_knn_join_tiled" -> knnJoinUnprobedOracle,
     // the DEFAULT: tb=128 adaptive banding with the candidate b-side
-    // widened to the Hamming-<=2 probe memberships
+    // widened to the Hamming-1 probe memberships
     "embed_knn_join" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |${vecBandCtesScaledTb(128)},
-         |$vecProbe2Cte,
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
-         |         FROM vbands a JOIN vprobe2 b ON a.band = b.band AND a.vec_id <> b.vec_id),
-         |s AS (SELECT cand.vec_id, cand.nbr_id,
-         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
-         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
-         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
-         |r AS (SELECT *, (row_number() OVER
-         |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
-         |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
-    // the r10 default (Hamming-1 probes) — the curve's registered middle
-    "embed_knn_join_h1" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |${vecBandCtesScaledTb(128)},
          |$vecProbeCte,
@@ -3584,14 +3579,57 @@ object SparkEntry {
          |r AS (SELECT *, (row_number() OVER
          |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
          |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
-    // probed-default recall vs the exact graph on the 100-probe set — the
-    // other point of the recall/wall curve next to embed_knn_join_recall
-    "embed_knn_join_probed_recall" ->
+    // the Hamming-2 opt-in: the candidate b-side widened to the
+    // Hamming-<=2 probe memberships
+    "embed_knn_join_h2" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |${vecBandCtesScaledTb(128)},
+         |$vecProbe2Cte,
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |         FROM vbands a JOIN vprobe2 b ON a.band = b.band AND a.vec_id <> b.vec_id),
+         |s AS (SELECT cand.vec_id, cand.nbr_id,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
+         |r AS (SELECT *, (row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
+         |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+    // Hamming-2 opt-in recall vs the exact graph on the same probe set
+    "embed_knn_join_h2_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |${vecBandCtesScaledTb(128)},
          |$vecProbe2Cte,
          |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
          |         FROM vbands a JOIN vprobe2 b ON a.band = b.band AND a.vec_id <> b.vec_id
+         |         WHERE a.vec_id < 100),
+         |sc AS (SELECT cand.vec_id, cand.nbr_id,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
+         |ap AS (SELECT vec_id AS a_id, nbr_id AS a_nbr FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rank FROM sc)
+         |  WHERE rank <= 3),
+         |exs AS (SELECT p.vec_id AS p_id, e2.vec_id AS e_nbr,
+         |  round(${cosineSql("e2.v", "p.v")}, 6) AS cosine
+         |  FROM e e2, e p WHERE p.vec_id < 100 AND e2.vec_id <> p.vec_id),
+         |ext AS (SELECT p_id, e_nbr FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY p_id ORDER BY cosine DESC, e_nbr ASC) AS rank FROM exs)
+         |  WHERE rank <= 3)
+         |SELECT ext.p_id AS vec_id, count(*)::BIGINT AS n_exact,
+         |  count(ap.a_nbr)::BIGINT AS n_hit,
+         |  round(count(ap.a_nbr)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM ext LEFT JOIN ap ON ext.p_id = ap.a_id AND ext.e_nbr = ap.a_nbr
+         |GROUP BY 1""".stripMargin,
+    // probed-default recall vs the exact graph on the 100-probe set — the
+    // other point of the recall/wall curve next to embed_knn_join_recall
+    "embed_knn_join_probed_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |${vecBandCtesScaledTb(128)},
+         |$vecProbeCte,
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |         FROM vbands a JOIN vprobe b ON a.band = b.band AND a.vec_id <> b.vec_id
          |         WHERE a.vec_id < 100),
          |sc AS (SELECT cand.vec_id, cand.nbr_id,
          |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine

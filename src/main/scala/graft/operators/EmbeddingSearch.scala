@@ -728,23 +728,25 @@ object EmbeddingSearch {
     * clustered fixture — see [[knnJoinRecall]]) for corpora whose
     * degenerate buckets trip even the local kernel's memory guard.
     *
-    * DEFAULTS (targetBucket=128, multiProbe=true, probeHamming=2) are
+    * DEFAULTS (targetBucket=128, multiProbe=true, probeHamming=1) are
     * the measured recall/wall frontier on the r10+r11 curves
-    * (SCALING.md): at sf0.1, recall@3 0.970 at 1.7 s (Hamming-2 probes)
-    * vs 0.883 at 1.5 s for the r10 Hamming-1 default and 0.327 at 1.2 s
-    * for the r9 config (tb=32, unprobed) — the Hamming-2 ring buys
-    * +0.087 recall for +18% wall and dominates every bands-based
-    * alternative measured (16 probed bands: 0.893 at 1.5 s, and only
-    * +0.003 more when stacked ON TOP of Hamming-2 for 1.7× wall). Cost
-    * model at scale: pair work ≈ n·bands·tb·(1+r+r(r−1)/2) dot products
-    * — linear in n with a constant the knobs set explicitly; a consumer
-    * that prefers a cheaper lower-recall graph passes probeHamming=1 or
-    * the r9 config back in (both stay registered, hash-gated points on
-    * the curve). */
+    * (SCALING.md) — and the SCALE story is why Hamming-1, not Hamming-2,
+    * is the default despite Hamming-2 dominating at sf0.1 (recall@3
+    * 0.970 at +18% wall there): the 2-bit ring's key fan-out is
+    * 1+r+r(r−1)/2 per band with r = the band width `lshRowsPerBand`
+    * GROWS with the corpus, so its cost CONSTANT grows quadratically in
+    * log(n) while Hamming-1's grows linearly. Measured at x16 (r=8):
+    * Hamming-2 reads 0.577 recall at 35 s vs Hamming-1's 0.387 at 10 s —
+    * the recall-per-wall crown flips to Hamming-1 as the corpus grows,
+    * and at 100 TB widths (r=16: 137 keys/band vs 17) the ring would
+    * dominate the shuffle. Recall-critical consumers on bounded corpora
+    * opt in with probeHamming=2 (registered and hash-gated as
+    * embed_knn_join_h2, its recall as embed_knn_join_h2_recall); the r9
+    * cheap config stays as embed_knn_join_unprobed. */
   def knnJoinScaled(spark: SparkSession, dir: String, k: Int = 3,
       targetBucket: Int = 128, bands: Int = 8, candidateCap: Int = 0,
       multiProbe: Boolean = true, maxBucket: Int = 1 << 17,
-      tileOversized: Boolean = false, probeHamming: Int = 2): DataFrame = {
+      tileOversized: Boolean = false, probeHamming: Int = 1): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val rpb = lshRowsPerBand(n, targetBucket)
     if (candidateCap > 0)

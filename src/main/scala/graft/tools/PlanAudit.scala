@@ -72,7 +72,10 @@ object PlanAudit {
         "cached-scan aggregations SCALING.md documents. embed_mmr_rerank\n" +
         "likewise ends on a per-round localCheckpoint (plan growth would be\n" +
         "3^k without it), so its row shows the checkpoint-backed frame, not\n" +
-        "the k unrolled greedy-round joins that ran to produce it.\n\n" +
+        "the k unrolled greedy-round joins that ran to produce it.\n" +
+        "embed_knn_join_tiled materializes its signature pass as a\n" +
+        "localCheckpoint (the tiled escape's 1×-vs-3× scan trade), so its\n" +
+        "file-scan cell reads 0 — the scan ran eagerly at plan construction.\n\n" +
         header.mkString("\n") + "\n" + body.mkString("\n") + "\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), doc)
     println(s"[plan-audit] wrote ${rows.size} rows to $outFile")

@@ -137,7 +137,17 @@ object ScaleBench {
     // the persisted-artifact serves: postings/IVF build once per scaled
     // corpus (min-of-2 isolates SERVE) — the 100 TB question is whether
     // ranking a fixed query against a 16x index stays index-scan-bounded
-    "text_bm25_serve", "text_bm25_incremental", "text_hybrid_serve")
+    "text_bm25_serve", "text_bm25_incremental", "text_hybrid_serve",
+    // round 11: the probed serve (the semantic tier partition-pruned to
+    // nprobe cells — the row that shows serve cost decoupling from the
+    // vector-table size), the multi-query serve (fixed 5-query batch vs a
+    // growing index), the forget composition (build+forget cached per
+    // scaled corpus; min-of-2 isolates the post-forget serve), the
+    // fused-recall measurement (both batch serves end-to-end), and the
+    // kNN-graph Hamming-2 opt-in (the ring whose r²-growing fan-out is
+    // exactly what this curve exists to watch)
+    "text_hybrid_serve_probed", "text_hybrid_batch", "text_hybrid_forget_serve",
+    "text_hybrid_probed_recall", "embed_knn_join_h2")
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these

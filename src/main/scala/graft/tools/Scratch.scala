@@ -92,7 +92,7 @@ object Scratch {
           ("probed-8b-tb128", 128, 8, true, 1),   // the registered default
           ("base-16b-tb128", 128, 16, false, 1),
           ("probed-16b-tb128", 128, 16, true, 1),
-          ("h2-8b-tb128", 128, 8, true, 2),       // Hamming-2 probe ring
+          ("h2-8b-tb128", 128, 8, true, 2),       // the Hamming-2 opt-in
           ("h2-16b-tb128", 128, 16, true, 2)); pass <- 1 to 2) {
         val t0 = System.nanoTime()
         val n = graft.operators.EmbeddingSearch

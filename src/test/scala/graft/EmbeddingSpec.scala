@@ -530,14 +530,20 @@ class EmbeddingSpec extends AnyFunSuite {
     val emb = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val n = emb.count()
-    // the registered DEFAULT config: tb=128 adaptive width, Hamming-2 probes
+    // the registered DEFAULT config: tb=128 adaptive width, Hamming-1 probes
     val rpb = EmbeddingSearch.lshRowsPerBand(n, 128)
-    val exp = probedEdgeKnn(emb, 3, 8 * rpb, 8, probeHamming = 2)
+    val exp = probedEdgeKnn(emb, 3, 8 * rpb, 8)
       .as[(Long, Long, Double, Long)].collect().toSet
     val got = EmbeddingSearch.knnJoinScaled(spark, dir)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(exp.nonEmpty, "probed fixture produced no edges — pin is vacuous")
     assert(got == exp, "probed kernel diverged from the probed edge formulation")
+    // the Hamming-2 OPT-IN (embed_knn_join_h2) against its edge formulation
+    val expH2 = probedEdgeKnn(emb, 3, 8 * rpb, 8, probeHamming = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val gotH2 = EmbeddingSearch.knnJoinScaled(spark, dir, probeHamming = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(gotH2 == expH2, "Hamming-2 kernel diverged from the 2-flip edge formulation")
     // the Hamming-1 ring at a different bucket shape (narrow tb=32 widths)
     val rpb32 = EmbeddingSearch.lshRowsPerBand(n, 32)
     val exp32 = probedEdgeKnn(emb, 3, 8 * rpb32, 8)
@@ -582,13 +588,13 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(gotK == expK, "tiled kNN kernel diverged from the edge formulation")
     // tiling composes with MULTIPROBE (probe members count toward bucket
     // size and tile like base members; the pair predicate ANDs) — checked
-    // under the registered default's Hamming-2 probe ring
+    // under the widest ring (Hamming-2, the embed_knn_join_h2 opt-in)
     val emb = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val expP = probedEdgeKnn(emb, 3, 8 * rpb, 8, probeHamming = 2)
       .as[(Long, Long, Double, Long)].collect().toSet
     val gotP = EmbeddingSearch.knnJoinScaled(spark, dir, targetBucket = 32,
-        maxBucket = 32, tileOversized = true)
+        maxBucket = 32, tileOversized = true, probeHamming = 2)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(gotP == expP, "tiled+probed kNN kernel diverged from the probed edge formulation")
     // and the PAIRS kernel under the same planted over-limit buckets
