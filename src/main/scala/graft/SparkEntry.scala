@@ -1096,6 +1096,21 @@ object SparkEntry {
       Tables.cleanStaleExports(tmp, base, keep)
       EmbeddingSearch.knnIncremental(s, dir, s"$tmp/$keep")
     }),
+    // the ON-DISK twin: the 1/5 batch is APPENDED to the persisted index
+    // (extendIvfIndex: cell files + idmap buckets grow append-only under
+    // the build/extend/forget crash discipline — the third artifact
+    // completes the matrix) and the serve reads the union back from
+    // disk; the oracle is shared verbatim with embed_knn_incremental, so
+    // the hash gate proves disk-append ≡ in-memory union
+    "embed_knn_extend_serve" -> ((s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val base = s"graft_ivfext_c8i2_${sfName}_"
+      val keep = base +
+        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      Tables.cleanStaleExports(tmp, base, keep)
+      EmbeddingSearch.knnIncrementalExtend(s, dir, s"$tmp/$keep")
+    }),
     "embed_dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, dir)
@@ -3824,6 +3839,10 @@ object SparkEntry {
     // Lloyd trains on the corpus 4/5 only; af then assigns EVERY vector
     // against those centroids = persisted index ∪ routed batch
     "embed_knn_incremental" -> kmeansKnnSql(samplePct = None,
+      trainWhere = Some("vec_id < (SELECT count(*) * 4 // 5 FROM embeddings)")),
+    // the on-disk extend serves IDENTICALLY to the in-memory union — one
+    // oracle, shared verbatim
+    "embed_knn_extend_serve" -> kmeansKnnSql(samplePct = None,
       trainWhere = Some("vec_id < (SELECT count(*) * 4 // 5 FROM embeddings)")),
     "embed_knn_pq" -> pqKnnSql(),
     "embed_knn_ivfpq" -> ivfPqKnnSql(),

@@ -1833,9 +1833,23 @@ object EmbeddingSearch {
     kmeansAssign(withNorm(embV), savedCent)
       .select(col("cl"), col("vec_id"), col("v"))
       .write.mode("overwrite").partitionBy("cl").parquet(s"$path/ivf")
-    Forget.clearStaleForgetState(fs, path, Seq("cent", "ivf"))
+    // the id→cell map, DERIVED from the persisted ivf table (the
+    // two-tables-can-never-disagree discipline) and id-hash-bucketed: a
+    // by-id lookup (the single-query serve fetching its own query vector)
+    // prunes to ONE of 64 narrow directories instead of scanning the
+    // cl-partitioned vector table — without it, the one per-query touch
+    // that cell probing cannot prune is a corpus-wide scan. 12 B/row, so
+    // the map is ~2% of the vector table at 64 dims.
+    embV.sparkSession.read.parquet(s"$path/ivf")
+      .select(col("vec_id"), col("cl"),
+        pmod(col("vec_id"), lit(IvfIdBuckets)).cast("int").as("ib"))
+      .write.mode("overwrite").partitionBy("ib").parquet(s"$path/idmap")
+    Forget.clearStaleForgetState(fs, path, Seq("cent", "ivf", "idmap"))
     fs.create(done, true).close()
   }
+
+  /** Id-hash bucket count for the IVF index's `idmap` layout. */
+  val IvfIdBuckets = 64
 
   /** Build-if-missing wrapper over [[buildIvfIndex]] for the FULL corpus
     * — the persisted vector-store artifact the hybrid-retrieval serves
@@ -1847,7 +1861,11 @@ object EmbeddingSearch {
       nClusters: Int = 8, iters: Int = 2): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    if (!fs.exists(done))
+    // idmap joined the layout after the first release of this index — a
+    // committed PRE-idmap dir must rebuild, not serve half a layout (the
+    // ensureBm25Index doclens discipline)
+    val v2 = new org.apache.hadoop.fs.Path(indexPath, "idmap/_SUCCESS")
+    if (!fs.exists(done) || !fs.exists(v2))
       buildIvfIndex(Tables.embeddings(spark, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("v")),
         indexPath, nClusters, iters)
@@ -1889,6 +1907,93 @@ object EmbeddingSearch {
     val q = corpusIvf.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     knnOverInverted(corpusIvf.unionByName(batchIvf), q, cent, k, nprobe)
+  }
+
+  /** Append a NEW vector batch to a committed IVF index ON DISK — the
+    * add-without-rebuild maintenance pass that completes the
+    * build/extend/forget matrix for the vector artifact (the
+    * [[graft.operators.TextAnalysis.extendBm25Index]] /
+    * [[Dedup.extendDedupIndex]] discipline applied to the third index):
+    * the batch is routed to its TRAINED cells with the zero-shuffle
+    * assignment (never retraining the quantizer, never rescanning indexed
+    * vectors) and appended to both per-record tables — `ivf` cell files
+    * and `idmap` id-hash buckets — from ONE checkpointed frame, so the
+    * two can never disagree. Batch vec_ids must be new to the index (the
+    * extendDedupIndex caller contract). Crash contract: `_DONE` must
+    * EXIST at entry (a crashed extend already appended an unknown subset
+    * — re-running would duplicate batch rows in both tables; rebuild),
+    * drops before the appends, returns after; a crashed forget must be
+    * resumed first; a forget-FLATTENED layout (cl/ib rewritten as data
+    * columns) is refused — a partitioned append next to flat files is a
+    * mixed directory Spark cannot read.
+    */
+  def extendIvfIndex(indexPath: String, newVecs: DataFrame): Unit = {
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    val committed = Seq("cent", "ivf", "idmap")
+      .map(t => new org.apache.hadoop.fs.Path(indexPath, s"$t/_SUCCESS"))
+    require(committed.forall(fs.exists),
+      s"IVF index tables at $indexPath are missing or uncommitted (no _SUCCESS) — " +
+        "a crashed BUILD cannot be repaired by extend; run buildIvfIndex")
+    Forget.requireNoCrashedForget(fs, indexPath)
+    require(fs.exists(done),
+      s"IVF index at $indexPath is uncommitted (no _DONE) — a crashed EXTEND " +
+        "may already have appended part of a batch to ivf/idmap, and " +
+        "re-appending would silently duplicate it; rebuild with buildIvfIndex")
+    for ((t, pk) <- Seq("ivf" -> "cl=", "idmap" -> "ib="))
+      require(fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, t))
+          .exists(_.getPath.getName.startsWith(pk)),
+        s"IVF table '$t' at $indexPath is FLAT (a forget pass rewrote the " +
+          "partitioned layout) — appending partitioned files would mix " +
+          "layouts; rebuild with buildIvfIndex before extending")
+    fs.delete(done, false)
+    val cent = loadKmeansIndex(newVecs.sparkSession, s"$indexPath/cent")
+    // both appended tables derive from ONE checkpointed assignment frame
+    val batch = kmeansAssign(withNorm(newVecs), cent)
+      .select(col("cl"), col("vec_id"), col("v"))
+      .localCheckpoint()
+    try {
+      batch.write.mode("append").partitionBy("cl").parquet(s"$indexPath/ivf")
+      batch.select(col("vec_id"), col("cl"),
+          pmod(col("vec_id"), lit(IvfIdBuckets)).cast("int").as("ib"))
+        .write.mode("append").partitionBy("ib").parquet(s"$indexPath/idmap")
+    } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
+    fs.create(done, true).close()
+  }
+
+  /** INCREMENTAL kNN served from the PERSISTED extended index — the
+    * on-disk twin of [[knnIncremental]]: the first 4/5 of vec_ids build
+    * the index ([[buildIvfIndex]]), the rest append as today's batch
+    * ([[extendIvfIndex]] — cell files grow append-only, the quantizer
+    * never retrains), and the query then probes the UNION index read
+    * back from disk. The `_READY` marker commits the build+extend
+    * SEQUENCE (the [[graft.operators.TextAnalysis.bm25Incremental]]
+    * contract): a crash between the two reads as not-ready and the pair
+    * reruns from the overwrite build. Output ≡ [[knnIncremental]] ≡ the
+    * train-on-4/5 oracle — the hash gate proves the DISK append serves
+    * identically to the in-memory union.
+    */
+  def knnIncrementalExtend(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
+      nClusters: Int = 8, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val split = emb.count() * 4 / 5
+    require(nQueries <= split,
+      s"nQueries=$nQueries exceeds the indexed corpus split ($split rows) — " +
+        "queries are drawn from the indexed side; shrink nQueries or index more")
+    val ready = new org.apache.hadoop.fs.Path(indexPath, "_READY")
+    val fs = ready.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(ready)) {
+      buildIvfIndex(emb.where(col("vec_id") < split), indexPath, nClusters, iters)
+      extendIvfIndex(indexPath, emb.where(col("vec_id") >= split))
+      fs.create(ready, true).close()
+    }
+    val cent = loadKmeansIndex(spark, s"$indexPath/cent")
+    val inverted = spark.read.parquet(s"$indexPath/ivf")
+    val q = inverted.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    knnOverInverted(inverted, q, cent, k, nprobe)
   }
 
   /** Embedding-norm HYGIENE profile per label — the vector-quality check

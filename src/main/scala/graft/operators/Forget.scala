@@ -49,7 +49,8 @@ object Forget {
     * removes the record's data, not statistics trained over the corpus —
     * see [[graft.operators.Dedup]]'s forget doc).
     */
-  def ivfTarget(indexPath: String): Target = Target(indexPath, Seq("ivf"), "vec_id")
+  def ivfTarget(indexPath: String): Target =
+    Target(indexPath, Seq("ivf", "idmap"), "vec_id")
   def phashTarget(indexPath: String): Target = Target(indexPath, Seq("phashes"), "doc_id")
   def audioFpTarget(indexPath: String): Target = Target(indexPath, Seq("afps"), "doc_id")
   def videoFpTarget(indexPath: String): Target = Target(indexPath, Seq("vfps"), "doc_id")

@@ -1517,14 +1517,17 @@ object TextAnalysis {
     * touched: the query document's terms and vector both come OUT of the
     * indexes. `nprobe <= 0` (default): a flat exact scan — the
     * full-recall tier, output ≡ [[hybridTopK]], so the entry shares its
-    * oracle verbatim. `nprobe > 0`: the SCALE tier — the query probes its
-    * nprobe nearest trained cells (round(cosine,6) desc, lowest-cl ties —
-    * the kmeansAssign discipline) and the cell-partitioned `ivf` table is
-    * PARTITION-PRUNED to them at plan time, so the semantic footprint is
-    * probed-cells bytes, never the corpus; the recall trade is the
-    * standard IVF one, measured by the fused-rank recall entry
-    * (`text_hybrid_probed_recall`), and the probed serve carries its own
-    * oracle (the trained-quantizer Lloyd replay + probed-cell cosine).
+    * oracle verbatim. `nprobe > 0`: the SCALE tier — the query's vector
+    * resolves through the id-hash-bucketed `idmap` (one narrow bucket →
+    * its cell → one cell directory), then the query probes its nprobe
+    * nearest trained cells (round(cosine,6) desc, lowest-cl ties — the
+    * kmeansAssign discipline) and the cell-partitioned `ivf` table is
+    * PARTITION-PRUNED to them at plan time — the semantic footprint is
+    * one idmap bucket + (1+nprobe) cells of bytes, never the corpus; the
+    * recall trade is the standard IVF one, measured by the fused-rank
+    * recall entry (`text_hybrid_probed_recall`), and the probed serve
+    * carries its own oracle (the trained-quantizer Lloyd replay +
+    * probed-cell cosine).
     */
   def hybridTopKServed(spark: org.apache.spark.sql.SparkSession,
       bm25IndexPath: String, ivfIndexPath: String, queryId: Long = 0L,
@@ -1538,14 +1541,24 @@ object TextAnalysis {
       else {
         import graft.functions.TopKByScoreAggregator.topKByScore
         val cent = spark.read.parquet(s"$ivfIndexPath/cent")
-        // ONE driver fetch of the query's vector (a 1-row take — the
-        // limit(1)-argmax collect class): the by-id lookup has no
-        // partition to prune on the cl-partitioned layout, so it must not
-        // run once for the probe ranking and AGAIN inside the pruned-scan
-        // cosine — the literal is reused by both, and the serve's only
-        // other vector-table touch is the PRUNED probed-cells scan
-        val qvRows = vecsAll.where(col("vec_id") === queryId)
-          .select(col("v")).take(1)
+        // the query vector via TWO pruned 1-row lookups (the
+        // limit(1)-argmax collect class): the id-hash-bucketed idmap
+        // resolves the query's trained cell (one of 64 narrow
+        // directories), then the cl-partitioned vector table is read at
+        // exactly that cell — so the serve's vector-table footprint is
+        // 1 idmap bucket + 1 cell + the nprobe probed cells, and NOTHING
+        // scans corpus-wide (a forget pass flattens both layouts; the
+        // filters still apply as data predicates, pruning degrades, rows
+        // don't)
+        val qClRows = spark.read.parquet(s"$ivfIndexPath/idmap")
+          .where(col("ib") === lit((queryId % EmbeddingSearch.IvfIdBuckets).toInt) &&
+            col("vec_id") === queryId)
+          .select(col("cl").cast("int")).take(1)
+        val qvRows =
+          if (qClRows.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else vecsAll.where(col("cl") === qClRows(0).getInt(0) &&
+              col("vec_id") === queryId)
+            .select(col("v")).take(1)
         if (qvRows.isEmpty)
           // the query vector is not in the index (e.g. forgotten): no
           // cells to probe — the fusion degrades to lexical-only, the

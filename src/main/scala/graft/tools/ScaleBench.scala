@@ -147,7 +147,11 @@ object ScaleBench {
     // kNN-graph Hamming-2 opt-in (the ring whose r²-growing fan-out is
     // exactly what this curve exists to watch)
     "text_hybrid_serve_probed", "text_hybrid_batch", "text_hybrid_forget_serve",
-    "text_hybrid_probed_recall", "embed_knn_join_h2")
+    "text_hybrid_probed_recall", "embed_knn_join_h2",
+    // the on-disk IVF extend-then-serve (build+extend cached per scaled
+    // corpus by the _READY marker; min-of-2 measures the probed serve
+    // against the disk-extended union)
+    "embed_knn_extend_serve")
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these

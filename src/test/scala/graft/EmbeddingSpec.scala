@@ -738,6 +738,66 @@ class EmbeddingSpec extends AnyFunSuite {
       "incremental serve retrained the quantizer")
   }
 
+  test("IVF disk extend: append serves identically to the in-memory union; extend contracts hold") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), org.apache.spark.sql.functions.transform(
+        col("embedding"), _.cast("double")).as("v"))
+    val split = emb.count() * 4 / 5
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfext_spec").toString
+    val idx = s"$root/idx"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+
+    // extend refuses a missing/crashed build
+    val noBuild = intercept[IllegalArgumentException] {
+      EmbeddingSearch.extendIvfIndex(s"$root/nothere", emb.limit(1))
+    }
+    assert(noBuild.getMessage.contains("buildIvfIndex"))
+
+    // build on 4/5, DISK-append the rest, serve from the persisted union
+    val got = EmbeddingSearch.knnIncrementalExtend(spark, dir, idx)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // reference: the in-memory union path over a fresh index dir
+    val inc = EmbeddingSearch.knnIncremental(spark, dir, s"$root/inc")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got.nonEmpty && got == inc,
+      "disk-extended serve diverged from the in-memory union serve")
+    assert(got.exists(_._2 >= split), "no appended vector surfaced as a neighbor")
+    // the two appended tables can never disagree
+    val fromIvf = spark.read.parquet(s"$idx/ivf")
+      .select($"vec_id", $"cl".cast("int")).as[(Long, Int)].collect().toSet
+    val fromIdmap = spark.read.parquet(s"$idx/idmap")
+      .select($"vec_id", $"cl".cast("int")).as[(Long, Int)].collect().toSet
+    assert(fromIdmap == fromIvf, "idmap diverged from ivf after the disk extend")
+    assert(fromIvf.size == emb.count(), "extended index does not hold the full corpus")
+    // a second serve reuses the committed pair, never retrains/re-extends
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val again = EmbeddingSearch.knnIncrementalExtend(spark, dir, idx)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(again == got)
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "extend-serve retrained the quantizer")
+
+    // a crashed EXTEND (_DONE deleted, appends unknown) is rebuild-only
+    val done = new org.apache.hadoop.fs.Path(idx, "_DONE")
+    fs.delete(done, false)
+    val halfExtended = intercept[IllegalArgumentException] {
+      EmbeddingSearch.extendIvfIndex(idx, emb.limit(1))
+    }
+    assert(halfExtended.getMessage.contains("crashed EXTEND"))
+    fs.create(done, true).close()
+
+    // a forget-FLATTENED layout is refused (appending partitioned files
+    // next to flat ones would leave a mixed, unreadable directory)
+    graft.operators.Forget.forgetEverywhere(spark, s"$root/_M",
+      Seq(0L).toDF("vec_id"), Seq(graft.operators.Forget.ivfTarget(idx)))
+    val flat = intercept[IllegalArgumentException] {
+      EmbeddingSearch.extendIvfIndex(idx, emb.limit(1))
+    }
+    assert(flat.getMessage.contains("FLAT"))
+  }
+
   test("embed_knn_kmeans and embed_cluster_balance share one persisted quantizer") {
     // the train-once-for-both claim pinned at the ENTRY level: whichever
     // entry runs first ensures the index; the other must add zero

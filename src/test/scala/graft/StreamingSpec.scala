@@ -1507,6 +1507,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(EmbeddingSearch.kmeansTrainings.get() == before,
       "hybrid serve tier trained across stop/restart")
   }
+
+  test("PROBED hybrid streaming tier equals the probed batch kernel per micro-batch") {
+    // the nprobe knob on the streaming tier: each micro-batch fuses
+    // against the partition-pruned probed semantic scan exactly as the
+    // batch kernel does — one kernel definition, so the tiers can't drift
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{TextAnalysis, EmbeddingSearch}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid_probed_s").toString
+    TextAnalysis.buildBm25Index(docs, s"$root/bm")
+    EmbeddingSearch.buildIvfIndex(emb.select($"vec_id",
+      org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("v")),
+      s"$root/ivf")
+    val queries = docs.select($"doc_id".as("query_id"), $"text")
+      .join(emb.select($"vec_id".as("query_id"), $"embedding"), "query_id")
+      .where($"query_id" < 3)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"doc_id", $"rrf", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val want = rowsOf(TextAnalysis.hybridServeBatch(queries, s"$root/bm", s"$root/ivf",
+      nprobe = 2))
+    assert(want.nonEmpty)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double, Long)]
+    val input = MemoryStream[(Long, String, Seq[Float])]
+    val q = StreamingOps.hybridAgainstIndexes(
+        input.toDF().toDF("query_id", "text", "embedding"),
+        s"$root/bm", s"$root/ivf", nprobe = 2) { (fused, _) =>
+      got ++= rowsOf(fused); ()
+    }.start()
+    try {
+      input.addData(queries.as[(Long, String, Seq[Float])].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == want,
+      "probed streaming tier diverged from the probed batch kernel")
+  }
 }
 
 object StreamingSpec {

@@ -1102,6 +1102,14 @@ class TextFunctionsSpec extends AnyFunSuite {
         if (r.isNullAt(2)) None else Some(r.getLong(2)),
         r.getDouble(3), r.getLong(4))
     }.toSet
+    // the idmap side table (the by-id lookup path of the probed serve)
+    // can never disagree with the vector table it derives from
+    val fromIvf = spark.read.parquet(s"$ivfIdx/ivf")
+      .select($"vec_id", $"cl".cast("int")).as[(Long, Int)].collect().toSet
+    val fromIdmap = spark.read.parquet(s"$ivfIdx/idmap")
+      .select($"vec_id", $"cl".cast("int")).as[(Long, Int)].collect().toSet
+    assert(fromIvf.nonEmpty && fromIdmap == fromIvf,
+      "idmap diverged from the ivf table's (vec_id, cl) assignments")
     // probing every trained cell scores every vector — row-identical to
     // the exact flat-scan tier (same candidates, same folds)
     val exact = rows(TextAnalysis.hybridTopKServed(spark, bmIdx, ivfIdx))
