@@ -132,7 +132,23 @@ class InvarianceSpec extends AnyFunSuite {
       ((s, d) => TextAnalysis.bpeMerges(Tables.documents(s, d))),
     // DSIR: decimal-summed 6dp log-ratio terms must be partition-stable
     "corpus_dsir_scores" ->
-      ((s, d) => TextAnalysis.dsirScores(Tables.documents(s, d))))
+      ((s, d) => TextAnalysis.dsirScores(Tables.documents(s, d))),
+    // round-11 additions: the multi-query hybrid serve (bucket-pruned
+    // lexical scan + bounded per-query heads + RRF) and the Hamming-2
+    // probe ring must both be partition-stable; fresh index dirs so the
+    // builds themselves run at BOTH partitionings
+    "text_hybrid_batch_fresh" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_inv_hyb").toString
+      TextAnalysis.buildBm25Index(Tables.documents(s, d), s"$root/bm")
+      EmbeddingSearch.buildIvfIndex(Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            _.cast("double")).as("v")), s"$root/ivf")
+      TextAnalysis.hybridServeBatch(TextAnalysis.hybridQuerySet(s, d, 3),
+        s"$root/bm", s"$root/ivf", nprobe = 2)
+    }),
+    "embed_knn_join_h2" ->
+      ((s, d) => EmbeddingSearch.knnJoinScaled(s, d, probeHamming = 2)))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
