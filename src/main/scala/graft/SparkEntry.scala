@@ -26,14 +26,28 @@ object SparkEntry {
     * and superseded exports are reclaimed.
     */
   private def wtCorpusDir(s: SparkSession, dir: String): String = {
-    val base = "graft_wtcorpus_" + new java.io.File(dir).getName + "_"
-    val keep = base +
-      java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
-    val tmp = System.getProperty("java.io.tmpdir")
-    Tables.cleanStaleExports(tmp, base, keep)
-    val corpus = s"$tmp/$keep"
+    val corpus = fingerprintedDir(dir, "graft_wtcorpus", Seq("documents.parquet"))
     Tables.exportTextCorpus(Tables.documents(s, dir), corpus)
     corpus
+  }
+
+  /** THE derivation of a fingerprinted /tmp artifact directory — the
+    * one copy of the naming + stale-reclaim scheme every persisted
+    * index/export entry routes through:
+    * `<tmpdir>/<prefix>_<sf>_<fp(file1)>[_<fp(file2)>…]`, superseded
+    * fingerprints of the same prefix reclaimed. Multiple files because
+    * id-aligned twin tables (documents + embeddings) must BOTH
+    * invalidate an artifact built over the pair.
+    */
+  private[graft] def fingerprintedDir(dir: String, prefix: String,
+      files: Seq[String]): String = {
+    val sfName = new java.io.File(dir).getName
+    val base = s"${prefix}_${sfName}_"
+    val keep = base + files.map(f =>
+      java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/$f"))).mkString("_")
+    val tmp = System.getProperty("java.io.tmpdir")
+    Tables.cleanStaleExports(tmp, base, keep)
+    s"$tmp/$keep"
   }
 
   /** One BPE training per (dataset, 8 rounds), memoized for the sweep —
@@ -92,14 +106,8 @@ object SparkEntry {
     */
   private[graft] def kmeansIndexDirFor(dir: String, nClusters: Int, iters: Int,
       samplePct: Option[Int] = None): String = {
-    val sfName = new java.io.File(dir).getName
     val sp = samplePct.map(p => s"sp$p").getOrElse("")
-    val base = s"graft_kmidx_c${nClusters}i$iters${sp}_${sfName}_"
-    val keep = base +
-      java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
-    val tmp = System.getProperty("java.io.tmpdir")
-    Tables.cleanStaleExports(tmp, base, keep)
-    s"$tmp/$keep"
+    fingerprintedDir(dir, s"graft_kmidx_c${nClusters}i$iters$sp", Seq("embeddings.parquet"))
   }
 
   /** The ONE derivation of the persisted BM25 index's directory (the
@@ -110,15 +118,8 @@ object SparkEntry {
     * build-then-extend index (different construction histories must not
     * share a dir).
     */
-  private[graft] def bm25IndexDirFor(dir: String, suffix: String = ""): String = {
-    val sfName = new java.io.File(dir).getName
-    val base = s"graft_bm25idx${suffix}_${sfName}_"
-    val keep = base +
-      java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
-    val tmp = System.getProperty("java.io.tmpdir")
-    Tables.cleanStaleExports(tmp, base, keep)
-    s"$tmp/$keep"
-  }
+  private[graft] def bm25IndexDirFor(dir: String, suffix: String = ""): String =
+    fingerprintedDir(dir, s"graft_bm25idx$suffix", Seq("documents.parquet"))
 
   /** The forget-then-serve entry's index-PAIR root: both retrieval
     * artifacts (BM25 postings under `bm/`, IVF vectors under `ivf/`) live
@@ -126,17 +127,8 @@ object SparkEntry {
     * tables are id-aligned twins, but a regenerated embeddings file with
     * an unchanged documents file must still invalidate the pair.
     */
-  private[graft] def hybridForgetDirFor(dir: String): String = {
-    val sfName = new java.io.File(dir).getName
-    val base = s"graft_hybfgt_${sfName}_"
-    val keep = base +
-      java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet")) +
-      "_" +
-      java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
-    val tmp = System.getProperty("java.io.tmpdir")
-    Tables.cleanStaleExports(tmp, base, keep)
-    s"$tmp/$keep"
-  }
+  private[graft] def hybridForgetDirFor(dir: String): String =
+    fingerprintedDir(dir, "graft_hybfgt", Seq("documents.parquet", "embeddings.parquet"))
 
   /** The ONE derivation of the persisted FULL-corpus IVF index's
     * directory — the vector-store artifact the hybrid serves read
@@ -144,15 +136,8 @@ object SparkEntry {
     * the incremental-kNN entry).
     */
   private[graft] def ivfFullIndexDirFor(dir: String, nClusters: Int = 8,
-      iters: Int = 2): String = {
-    val sfName = new java.io.File(dir).getName
-    val base = s"graft_ivffull_c${nClusters}i${iters}_${sfName}_"
-    val keep = base +
-      java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
-    val tmp = System.getProperty("java.io.tmpdir")
-    Tables.cleanStaleExports(tmp, base, keep)
-    s"$tmp/$keep"
-  }
+      iters: Int = 2): String =
+    fingerprintedDir(dir, s"graft_ivffull_c${nClusters}i$iters", Seq("embeddings.parquet"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -286,14 +271,10 @@ object SparkEntry {
       // self-describes via _PARAMS): an index written under an older
       // format must never be served, so the tag is part of the prefix and
       // legacy-prefix dirs are reclaimed like any stale export
-      val base = s"graft_dedupidx_s3h64b16k3_${sfName}_"
-      val keep = base +
-        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
+      val idx = fingerprintedDir(dir, "graft_dedupidx_s3h64b16k3", Seq("documents.parquet"))
       val tmp = System.getProperty("java.io.tmpdir")
-      Tables.cleanStaleExports(tmp, base, keep)
       for (legacy <- Seq(s"graft_dedupidx_h64b16k3_${sfName}_", s"graft_dedupidx_s2h64b16k3_${sfName}_"))
         Tables.cleanStaleExports(tmp, legacy, legacy + "-")
-      val idx = s"$tmp/$keep"
       if (!Dedup.dedupIndexExists(s, idx))
         Dedup.buildDedupIndex(docs.where(col("doc_id") < split), idx)
       Dedup.dedupAgainst(idx, docs.where(col("doc_id") >= split), tau = 0.7)
@@ -306,13 +287,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, dir)
       val split = docs.count() * 4 / 5
-      val sfName = new java.io.File(dir).getName
-      val base = s"graft_dedupfgt_s3h64b16k3_${sfName}_"
-      val keep = base +
-        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
-      val tmp = System.getProperty("java.io.tmpdir")
-      Tables.cleanStaleExports(tmp, base, keep)
-      val idx = s"$tmp/$keep"
+      val idx = fingerprintedDir(dir, "graft_dedupfgt_s3h64b16k3", Seq("documents.parquet"))
       val marker = new org.apache.hadoop.fs.Path(idx, "_FORGOTTEN")
       val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
       if (!Dedup.dedupIndexExists(s, idx) || !fs.exists(marker)) {
@@ -1088,13 +1063,8 @@ object SparkEntry {
     // rescanning indexed vectors; oracle replays train-on-corpus +
     // assign-everything, which is exactly index ∪ routed batch
     "embed_knn_incremental" -> ((s, dir) => {
-      val sfName = new java.io.File(dir).getName
-      val base = s"graft_ivfinc_c8i2_${sfName}_"
-      val keep = base +
-        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
-      val tmp = System.getProperty("java.io.tmpdir")
-      Tables.cleanStaleExports(tmp, base, keep)
-      EmbeddingSearch.knnIncremental(s, dir, s"$tmp/$keep")
+      EmbeddingSearch.knnIncremental(s, dir,
+        fingerprintedDir(dir, "graft_ivfinc_c8i2", Seq("embeddings.parquet")))
     }),
     // the ON-DISK twin: the 1/5 batch is APPENDED to the persisted index
     // (extendIvfIndex: cell files + idmap buckets grow append-only under
@@ -1103,25 +1073,14 @@ object SparkEntry {
     // disk; the oracle is shared verbatim with embed_knn_incremental, so
     // the hash gate proves disk-append ≡ in-memory union
     "embed_knn_extend_serve" -> ((s, dir) => {
-      val sfName = new java.io.File(dir).getName
-      val base = s"graft_ivfext_c8i2_${sfName}_"
-      val keep = base +
-        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
-      val tmp = System.getProperty("java.io.tmpdir")
-      Tables.cleanStaleExports(tmp, base, keep)
-      EmbeddingSearch.knnIncrementalExtend(s, dir, s"$tmp/$keep")
+      EmbeddingSearch.knnIncrementalExtend(s, dir,
+        fingerprintedDir(dir, "graft_ivfext_c8i2", Seq("embeddings.parquet")))
     }),
     "embed_dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, dir)
       val split = emb.count() * 4 / 5
-      val sfName = new java.io.File(dir).getName
-      val base = s"graft_vecidx_v1p16_${sfName}_"
-      val keep = base +
-        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
-      val tmp = System.getProperty("java.io.tmpdir")
-      Tables.cleanStaleExports(tmp, base, keep)
-      val idx = s"$tmp/$keep"
+      val idx = fingerprintedDir(dir, "graft_vecidx_v1p16", Seq("embeddings.parquet"))
       if (!Dedup.dedupIndexExists(s, idx)) // generic _DONE-marker check
         EmbeddingSearch.buildVecDedupIndex(emb.where(col("vec_id") < split), idx)
       EmbeddingSearch.vecDedupAgainst(idx, emb.where(col("vec_id") >= split), tau = 0.4)
@@ -1146,13 +1105,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, dir)
       val split = docs.count() * 4 / 5
-      val sfName = new java.io.File(dir).getName
-      val base = s"graft_phashidx_d48k4_${sfName}_"
-      val keep = base +
-        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
-      val tmp = System.getProperty("java.io.tmpdir")
-      Tables.cleanStaleExports(tmp, base, keep)
-      val idx = s"$tmp/$keep"
+      val idx = fingerprintedDir(dir, "graft_phashidx_d48k4", Seq("documents.parquet"))
       if (!Multimodal.phashIndexExists(idx))
         Multimodal.buildPhashIndex(
           Multimodal.imagePHashesOf(docs.where(col("doc_id") < split)), idx)
@@ -1178,13 +1131,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, dir)
       val split = docs.count() * 4 / 5
-      val sfName = new java.io.File(dir).getName
-      val base = s"graft_afpidx_d48k4_${sfName}_"
-      val keep = base +
-        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
-      val tmp = System.getProperty("java.io.tmpdir")
-      Tables.cleanStaleExports(tmp, base, keep)
-      val idx = s"$tmp/$keep"
+      val idx = fingerprintedDir(dir, "graft_afpidx_d48k4", Seq("documents.parquet"))
       if (!Multimodal.audioFpIndexExists(idx))
         Multimodal.buildAudioFpIndex(
           Multimodal.audioFingerprintsOf(
@@ -1201,13 +1148,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, dir)
       val split = docs.count() * 4 / 5
-      val sfName = new java.io.File(dir).getName
-      val base = s"graft_vfpidx_d48k4_${sfName}_"
-      val keep = base +
-        java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/documents.parquet"))
-      val tmp = System.getProperty("java.io.tmpdir")
-      Tables.cleanStaleExports(tmp, base, keep)
-      val idx = s"$tmp/$keep"
+      val idx = fingerprintedDir(dir, "graft_vfpidx_d48k4", Seq("documents.parquet"))
       if (!Multimodal.videoFpIndexExists(idx))
         Multimodal.buildVideoFpIndex(
           Multimodal.videoFingerprintsOf(

@@ -1840,9 +1840,7 @@ object EmbeddingSearch {
     // cl-partitioned vector table — without it, the one per-query touch
     // that cell probing cannot prune is a corpus-wide scan. 12 B/row, so
     // the map is ~2% of the vector table at 64 dims.
-    embV.sparkSession.read.parquet(s"$path/ivf")
-      .select(col("vec_id"), col("cl"),
-        pmod(col("vec_id"), lit(IvfIdBuckets)).cast("int").as("ib"))
+    idmapProjection(embV.sparkSession.read.parquet(s"$path/ivf"))
       .write.mode("overwrite").partitionBy("ib").parquet(s"$path/idmap")
     Forget.clearStaleForgetState(fs, path, Seq("cent", "ivf", "idmap"))
     fs.create(done, true).close()
@@ -1850,6 +1848,21 @@ object EmbeddingSearch {
 
   /** Id-hash bucket count for the IVF index's `idmap` layout. */
   val IvfIdBuckets = 64
+
+  /** THE id→bucket rule, single-sourced for its three consumers (build
+    * projection, extend projection, and — via [[idmapBucketOf]] — the
+    * serve's driver-side lookup): Spark's `pmod` is always non-negative,
+    * so the lookup must use `floorMod`, never Scala's sign-preserving `%`
+    * — a mismatch would silently route negative-id queries to a bucket
+    * that does not exist.
+    */
+  private def idmapProjection(assigned: DataFrame): DataFrame =
+    assigned.select(col("vec_id"), col("cl"),
+      pmod(col("vec_id"), lit(IvfIdBuckets)).cast("int").as("ib"))
+
+  /** The driver-side twin of [[idmapProjection]]'s bucket expression. */
+  def idmapBucketOf(vecId: Long): Int =
+    java.lang.Math.floorMod(vecId, IvfIdBuckets.toLong).toInt
 
   /** Build-if-missing wrapper over [[buildIvfIndex]] for the FULL corpus
     * — the persisted vector-store artifact the hybrid-retrieval serves
@@ -1930,11 +1943,17 @@ object EmbeddingSearch {
   def extendIvfIndex(indexPath: String, newVecs: DataFrame): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    val committed = Seq("cent", "ivf", "idmap")
+    val committed = Seq("cent", "ivf")
       .map(t => new org.apache.hadoop.fs.Path(indexPath, s"$t/_SUCCESS"))
     require(committed.forall(fs.exists),
       s"IVF index tables at $indexPath are missing or uncommitted (no _SUCCESS) — " +
         "a crashed BUILD cannot be repaired by extend; run buildIvfIndex")
+    // a committed PRE-idmap (v1) dir is a different state from a crashed
+    // build — nothing crashed, the layout just predates the idmap table;
+    // the remedy is the same (rebuild) but the diagnosis must not mislead
+    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "idmap/_SUCCESS")),
+      s"IVF index at $indexPath has the pre-idmap (v1) layout — rebuild with " +
+        "buildIvfIndex to add the idmap table before extending")
     Forget.requireNoCrashedForget(fs, indexPath)
     require(fs.exists(done),
       s"IVF index at $indexPath is uncommitted (no _DONE) — a crashed EXTEND " +
@@ -1954,8 +1973,7 @@ object EmbeddingSearch {
       .localCheckpoint()
     try {
       batch.write.mode("append").partitionBy("cl").parquet(s"$indexPath/ivf")
-      batch.select(col("vec_id"), col("cl"),
-          pmod(col("vec_id"), lit(IvfIdBuckets)).cast("int").as("ib"))
+      idmapProjection(batch)
         .write.mode("append").partitionBy("ib").parquet(s"$indexPath/idmap")
     } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
     fs.create(done, true).close()

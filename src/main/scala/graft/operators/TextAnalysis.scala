@@ -1551,7 +1551,7 @@ object TextAnalysis {
         // filters still apply as data predicates, pruning degrades, rows
         // don't)
         val qClRows = spark.read.parquet(s"$ivfIndexPath/idmap")
-          .where(col("ib") === lit((queryId % EmbeddingSearch.IvfIdBuckets).toInt) &&
+          .where(col("ib") === lit(EmbeddingSearch.idmapBucketOf(queryId)) &&
             col("vec_id") === queryId)
           .select(col("cl").cast("int")).take(1)
         val qvRows =
