@@ -42,7 +42,7 @@ object Forget {
   def vecDedupTarget(indexPath: String): Target =
     Target(indexPath, Seq("vecs", "bands"), "vec_id")
   def bm25Target(indexPath: String): Target =
-    Target(indexPath, Seq("postings", "doclens"), "doc_id")
+    Target(indexPath, Seq("postings", "doclens", "fwd"), "doc_id")
   /** The IVF index's VECTOR table — the per-record side of the ANN
     * artifact. The `cent` table is the trained MODEL and deliberately NOT
     * a target (the index-vs-model GDPR distinction: record deletion

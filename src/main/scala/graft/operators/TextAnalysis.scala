@@ -1357,12 +1357,36 @@ object TextAnalysis {
     // two-tables-can-never-disagree discipline): dl per doc so a
     // bucket-pruned serve still sees candidates' FULL lengths (a pruned
     // postings scan only holds query-term rows), narrow (#docs × 2 cols)
-    docs.sparkSession.read.parquet(s"$path/postings")
+    val persisted = docs.sparkSession.read.parquet(s"$path/postings")
+    persisted
       .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       .write.mode("overwrite").parquet(s"$path/doclens")
-    Forget.clearStaleForgetState(fs, path, Seq("postings", "doclens"))
+    // the FORWARD index (doc → its terms), doc-id-hash-bucketed — the
+    // lexical twin of the IVF idmap: a query-from-corpus serve resolves
+    // its own terms from ONE of 64 narrow directories instead of
+    // scanning the term-bucketed postings by doc_id (the one per-query
+    // touch term-bucket pruning cannot prune). Also DERIVED from the
+    // persisted postings, so the three tables can never disagree.
+    fwdProjection(persisted)
+      .write.mode("overwrite").partitionBy("db").parquet(s"$path/fwd")
+    Forget.clearStaleForgetState(fs, path, Seq("postings", "doclens", "fwd"))
     fs.create(done, true).close()
   }
+
+  /** Doc-id-hash bucket count for the forward index's layout. */
+  val Bm25FwdBuckets = 64
+
+  /** THE doc→bucket rule of the forward index, single-sourced for its
+    * writers (build/extend projections) and — via [[fwdBucketOf]] — the
+    * serve's pruning predicate (`pmod` is non-negative; the driver twin
+    * must use floorMod, never Scala's sign-preserving `%`).
+    */
+  private def fwdProjection(postings: DataFrame): DataFrame =
+    postings.select(col("doc_id"), col("term"),
+      pmod(col("doc_id"), lit(Bm25FwdBuckets)).cast("int").as("db"))
+
+  def fwdBucketOf(docId: Long): Int =
+    java.lang.Math.floorMod(docId, Bm25FwdBuckets.toLong).toInt
 
   /** Append a NEW document batch to a committed BM25 index — the
     * add-without-rebuild maintenance pass of a production lexical index:
@@ -1387,11 +1411,12 @@ object TextAnalysis {
   def extendBm25Index(indexPath: String, newDocs: DataFrame): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    val committed = Seq("postings", "doclens")
+    val committed = Seq("postings", "doclens", "fwd")
       .map(t => new org.apache.hadoop.fs.Path(indexPath, s"$t/_SUCCESS"))
     require(committed.forall(fs.exists),
       s"BM25 index tables at $indexPath are missing or uncommitted (no _SUCCESS) — " +
-        "a crashed BUILD cannot be repaired by extend; run buildBm25Index")
+        "a crashed BUILD cannot be repaired by extend (or the layout predates " +
+        "the fwd table); run buildBm25Index")
     // crashed-forget check FIRST: a forget mid-pass also leaves _DONE
     // absent, and its remedy (resume with the original ids) is cheaper
     // than the rebuild the crashed-extend diagnosis below prescribes
@@ -1400,14 +1425,15 @@ object TextAnalysis {
       s"BM25 index at $indexPath is uncommitted (no _DONE) — a crashed EXTEND " +
         "may already have appended part of a batch, and re-appending would " +
         "silently double tf/df/dl for its terms; rebuild with buildBm25Index")
-    // a forget rewrite flattens postings (bucket becomes a data column);
-    // appending bucket=*/ partition dirs next to flat files would leave a
-    // mixed layout Spark refuses to read — refuse up front instead
-    require(fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, "postings"))
-        .exists(_.getPath.getName.startsWith("bucket=")),
-      s"BM25 postings at $indexPath are FLAT (a forget pass rewrote the " +
-        "bucket-partitioned layout) — appending partitioned files would mix " +
-        "layouts; rebuild with buildBm25Index before extending")
+    // a forget rewrite flattens the partitioned tables (the partition key
+    // becomes a data column); appending partition dirs next to flat files
+    // would leave a mixed layout Spark refuses to read — refuse up front
+    for ((t, pk) <- Seq("postings" -> "bucket=", "fwd" -> "db="))
+      require(fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, t))
+          .exists(_.getPath.getName.startsWith(pk)),
+        s"BM25 table '$t' at $indexPath is FLAT (a forget pass rewrote the " +
+          "partitioned layout) — appending partitioned files would mix " +
+          "layouts; rebuild with buildBm25Index before extending")
     fs.delete(done, false)
     // both appended tables derive from ONE checkpointed batch tf frame —
     // a lazy recompute between the two writes could otherwise let them
@@ -1421,6 +1447,8 @@ object TextAnalysis {
         .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/postings")
       batch.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
         .write.mode("append").parquet(s"$indexPath/doclens")
+      fwdProjection(batch)
+        .write.mode("append").partitionBy("db").parquet(s"$indexPath/fwd")
     } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
     fs.create(done, true).close()
   }
@@ -1433,19 +1461,29 @@ object TextAnalysis {
       indexPath: String): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    // doclens joined the layout after the first release of this index —
-    // a committed PRE-doclens dir must rebuild, not serve half a layout
+    // doclens (v2) and fwd (v3) joined the layout after the first release
+    // of this index — a committed older dir must rebuild, not serve half
+    // a layout
     val v2 = new org.apache.hadoop.fs.Path(indexPath, "doclens/_SUCCESS")
-    if (!fs.exists(done) || !fs.exists(v2))
+    val v3 = new org.apache.hadoop.fs.Path(indexPath, "fwd/_SUCCESS")
+    if (!fs.exists(done) || !fs.exists(v2) || !fs.exists(v3))
       buildBm25Index(Tables.documents(spark, dir), indexPath)
   }
 
-  /** Serve [[bm25TopDocs]] from the PERSISTED index: the identical
-    * oracle-gated ranking plan ([[bm25FromPostings]]) with the corpus
-    * tokenize+count replaced by a postings scan — the whole point of the
-    * artifact. Refuses an uncommitted index (no `_DONE`): a half-built or
-    * half-extended postings table would silently rank against a partial
-    * corpus.
+  /** Serve [[bm25TopDocs]] from the PERSISTED index — FULLY PRUNED: the
+    * query document's terms resolve from ONE fwd bucket (doc-id-hash
+    * pruning, the lexical twin of the IVF idmap lookup), their hash
+    * buckets become a ≤[[Bm25IndexBuckets]]-int driver list that
+    * PARTITION-PRUNES the postings scan at plan time, and corpus stats
+    * (N, avgdl, candidate dl) come from the narrow doclens table — so
+    * the serve's footprint is 1 fwd bucket + the query terms' postings
+    * buckets + doclens, never the index. df stays EXACT under pruning (a
+    * term's rows all live in one bucket). Rows are identical to the
+    * historical full-scan plan (df/dl/N/avgdl take the same values from
+    * the derived tables — the build asserts they can never disagree), so
+    * the oracle is unchanged. Refuses an uncommitted index (no `_DONE`):
+    * a half-built or half-extended table set would silently rank against
+    * a partial corpus.
     */
   def bm25TopDocsWithIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queryDocId: Long = 0L, k1: Double = 1.2,
@@ -1454,8 +1492,43 @@ object TextAnalysis {
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     require(fs.exists(done),
       s"BM25 index at $indexPath is uncommitted (no _DONE) — build/extend first")
-    bm25FromPostings(spark.read.parquet(s"$indexPath/postings"),
-      queryDocId, k1, b, kTop)
+    val lens = spark.read.parquet(s"$indexPath/doclens")
+    val stats = broadcast(lens.agg(
+      count(lit(1)).as("__n"), sum(col("dl")).as("__len_sum")))
+    val qTerms = Scale.maybeBroadcast(spark.read.parquet(s"$indexPath/fwd")
+      .where(col("db") === lit(fwdBucketOf(queryDocId)) &&
+        col("doc_id") === queryDocId)
+      .select(col("term")).distinct())
+    // the bounded-day-list collect discipline: ≤64 ints
+    val buckets = qTerms.select(pmod(portableHash31(col("term")),
+        lit(Bm25IndexBuckets)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val tfAll = spark.read.parquet(s"$indexPath/postings")
+    val tf = if (buckets.length >= Bm25IndexBuckets) tfAll
+      else tfAll.where(col("bucket").isin(buckets: _*))
+    val dfT = tf.join(qTerms, Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = tf.where(col("doc_id") =!= queryDocId)
+      .join(Scale.maybeBroadcast(dfT), "term")
+      .join(lens, "doc_id").crossJoin(stats)
+      .withColumn("avgdl",
+        col("__len_sum").cast("double") / col("__n").cast("double"))
+      .withColumn("idf", log(
+        (col("__n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("tscore",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    perTerm
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        array_sort(collect_list(struct(col("term"), col("tscore")))).as("ts"))
+      .withColumn("score", round(
+        aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("tscore")), 6))
+      .select(col("doc_id"), col("n_shared_terms"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(kTop)
   }
 
   /** INCREMENTAL lexical retrieval — [[Dedup.dedupIncremental]]'s shape
@@ -1475,7 +1548,8 @@ object TextAnalysis {
     val ready = new org.apache.hadoop.fs.Path(indexPath, "_READY")
     val fs = ready.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     val v2 = new org.apache.hadoop.fs.Path(indexPath, "doclens/_SUCCESS")
-    if (!fs.exists(ready) || !fs.exists(v2)) {
+    val v3 = new org.apache.hadoop.fs.Path(indexPath, "fwd/_SUCCESS")
+    if (!fs.exists(ready) || !fs.exists(v2) || !fs.exists(v3)) {
       buildBm25Index(docs.where(col("doc_id") < split), indexPath)
       extendBm25Index(indexPath, docs.where(col("doc_id") >= split))
       fs.create(ready, true).close()
@@ -1510,7 +1584,7 @@ object TextAnalysis {
 
   /** [[hybridTopK]] SERVED FROM ARTIFACTS ONLY — the production RAG query
     * path: the lexical side ranks from the persisted BM25 postings
-    * ([[buildBm25Index]]; the oracle-identical [[bm25FromPostings]] plan,
+    * ([[buildBm25Index]]; the fully-pruned [[bm25TopDocsWithIndex]] plan,
     * zero corpus re-tokenization), the semantic side scores the vectors
     * the persisted IVF index already stores ([[graft.operators
     * .EmbeddingSearch.buildIvfIndex]] `ivf` table). Neither base table is

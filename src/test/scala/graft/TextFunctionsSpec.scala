@@ -1162,8 +1162,9 @@ class TextFunctionsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(want.nonEmpty && got == want,
       "persisted-index serve diverged from the in-DAG BM25 ranking")
-    // the two tables can never disagree: doclens must equal the lens the
-    // full-scan ranking derives from postings
+    // the derived tables can never disagree with postings: doclens must
+    // equal the lens a full scan derives, and the forward index must hold
+    // exactly the postings' (doc_id, term) pairs
     def doclensDrift(): Set[(Long, Long)] = {
       val derived = spark.read.parquet(s"$idx/postings")
         .groupBy("doc_id").agg(sum($"tf").as("dl"))
@@ -1172,7 +1173,15 @@ class TextFunctionsSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toSet
       stored.diff(derived) ++ derived.diff(stored)
     }
+    def fwdDrift(): Set[(Long, String)] = {
+      val derived = spark.read.parquet(s"$idx/postings")
+        .select($"doc_id", $"term").as[(Long, String)].collect().toSet
+      val stored = spark.read.parquet(s"$idx/fwd")
+        .select($"doc_id", $"term").as[(Long, String)].collect().toSet
+      stored.diff(derived) ++ derived.diff(stored)
+    }
     assert(doclensDrift().isEmpty, "doclens diverged from postings after build")
+    assert(fwdDrift().isEmpty, "fwd diverged from postings after build")
 
     // extend refuses while a crashed forget pass is pending
     val marker = new org.apache.hadoop.fs.Path(idx, "_FORGET_IDS")
@@ -1199,6 +1208,9 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(doclensDrift().isEmpty,
       "doclens diverged from postings after forget — the generic kernel " +
         "must filter both doc_id-keyed tables together")
+    assert(fwdDrift().isEmpty,
+      "fwd diverged from postings after forget — all three doc_id-keyed " +
+        "tables must filter together")
 
     // the forget rewrite FLATTENED postings (bucket is now a data column):
     // extend must refuse — appending bucket=*/ partition dirs next to flat
