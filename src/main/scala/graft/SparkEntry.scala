@@ -663,8 +663,13 @@ object SparkEntry {
       val root = hybridForgetDirFor(dir)
       val marker = new org.apache.hadoop.fs.Path(root, "_FORGOTTEN")
       val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+      // layout-version checks ride along (fwd/idmap joined their indexes
+      // after the first release): a cached pre-upgrade pair must rebuild,
+      // not crash on a missing table mid-serve
       val built = Seq("bm", "ivf").forall(t => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$root/$t", "_DONE")))
+        new org.apache.hadoop.fs.Path(s"$root/$t", "_DONE"))) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/bm", "fwd/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/ivf", "idmap/_SUCCESS"))
       if (!built || !fs.exists(marker)) {
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
         TextAnalysis.buildBm25Index(Tables.documents(s, dir), s"$root/bm")

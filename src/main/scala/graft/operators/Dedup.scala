@@ -397,7 +397,8 @@ object Dedup {
       } else {
         require(liveOk,
           s"index table $t at $indexPath is missing or uncommitted — " +
-            "a crashed BUILD cannot be repaired by forget; rebuild the index")
+            "a crashed BUILD cannot be repaired by forget (or the index " +
+            "layout predates this table); rebuild the index")
         fs.delete(staged, true) // stale staging (overwrite re-clears anyway)
         spark.read.parquet(live.toString)
           .join(forget, Seq(keyCol), "left_anti")

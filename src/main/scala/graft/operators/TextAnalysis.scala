@@ -1273,26 +1273,37 @@ object TextAnalysis {
   }
 
   /** BM25 over an already-materialized POSTINGS frame (doc_id, term, tf)
-    * — the single ranking plan behind both the in-DAG entry
-    * ([[bm25TopDocs]], postings built by tokenizing the corpus) and the
-    * persisted-index serve ([[bm25TopDocsWithIndex]], postings read back
-    * from [[buildBm25Index]]'s parquet). One definition means the serve
-    * can never drift from the oracle-gated ranking semantics.
+    * — the in-DAG plan ([[bm25TopDocs]]): dl/stats/query terms all derive
+    * from the one tf frame (the (doc, term) exchange is the shared
+    * subtree ReuseExchange dedupes), then the shared scoring tail.
     */
   private def bm25FromPostings(tf: DataFrame, queryDocId: Long, k1: Double,
       b: Double, kTop: Int): DataFrame = {
-    // dl from tf, not a second corpus explode: the (doc, term) exchange is
-    // the shared subtree ReuseExchange dedupes; everything hangs off it
     val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    // the two corpus scalars ride the DAG as 1-row broadcasts
     val stats = broadcast(lens.agg(
       count(lit(1)).as("__n"), sum(col("dl")).as("__len_sum")))
     val qTerms = broadcast(tf.where(col("doc_id") === queryDocId)
       .select(col("term")).distinct())
+    bm25ScoreTail(tf, lens, stats, qTerms, queryDocId, k1, b, kTop)
+  }
+
+  /** THE single-query BM25 scoring tail — df over the query terms,
+    * idf/tscore arithmetic, the term-sorted fixed-order fold, one
+    * round(6), TakeOrdered top-k — shared by the in-DAG plan
+    * ([[bm25FromPostings]]: tf/lens/stats/qTerms all derived from one
+    * tokenize) and the PRUNED index serve ([[bm25TopDocsWithIndex]]:
+    * tf bucket-pruned, lens/stats from doclens, qTerms from the fwd
+    * bucket). One definition of the formula means the serve can never
+    * drift from the oracle-gated ranking semantics, whatever the inputs'
+    * provenance.
+    */
+  private def bm25ScoreTail(tf: DataFrame, lens: DataFrame, stats: DataFrame,
+      qTerms: DataFrame, queryDocId: Long, k1: Double, b: Double,
+      kTop: Int): DataFrame = {
     val dfT = tf.join(qTerms, Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("df"))
     val perTerm = tf.where(col("doc_id") =!= queryDocId)
-      .join(broadcast(dfT), "term")
+      .join(Scale.maybeBroadcast(dfT), "term")
       .join(lens, "doc_id").crossJoin(stats)
       .withColumn("avgdl",
         col("__len_sum").cast("double") / col("__n").cast("double"))
@@ -1402,11 +1413,11 @@ object TextAnalysis {
     * only repair is a rebuild), drops before the appends, and returns
     * after, so a half-appended index reads as uncommitted; a crashed
     * forget pass must be resumed first (appending under a half-filtered
-    * table would interleave states); and a forget-FLATTENED postings
-    * layout (bucket rewritten as a data column) is refused — appending
-    * `partitionBy("bucket")` files next to flat files makes the mixed
-    * directory unreadable ('conflicting directory structures'), not just
-    * slower.
+    * table would interleave states); and a forget-FLATTENED partitioned
+    * table — postings (bucket) OR fwd (db), each rewritten with its
+    * partition key as a data column — is refused: appending partitioned
+    * files next to flat files makes the mixed directory unreadable
+    * ('conflicting directory structures'), not just slower.
     */
   def extendBm25Index(indexPath: String, newDocs: DataFrame): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
@@ -1435,9 +1446,9 @@ object TextAnalysis {
           "partitioned layout) — appending partitioned files would mix " +
           "layouts; rebuild with buildBm25Index before extending")
     fs.delete(done, false)
-    // both appended tables derive from ONE checkpointed batch tf frame —
-    // a lazy recompute between the two writes could otherwise let them
-    // disagree (the extendDedupIndex discipline)
+    // all three appended tables derive from ONE checkpointed batch tf
+    // frame — a lazy recompute between the writes could otherwise let
+    // them disagree (the extendDedupIndex discipline)
     val batch = newDocs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
@@ -1506,29 +1517,7 @@ object TextAnalysis {
     val tfAll = spark.read.parquet(s"$indexPath/postings")
     val tf = if (buckets.length >= Bm25IndexBuckets) tfAll
       else tfAll.where(col("bucket").isin(buckets: _*))
-    val dfT = tf.join(qTerms, Seq("term"), "left_semi")
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val perTerm = tf.where(col("doc_id") =!= queryDocId)
-      .join(Scale.maybeBroadcast(dfT), "term")
-      .join(lens, "doc_id").crossJoin(stats)
-      .withColumn("avgdl",
-        col("__len_sum").cast("double") / col("__n").cast("double"))
-      .withColumn("idf", log(
-        (col("__n").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))))
-      .withColumn("tscore",
-        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
-    perTerm
-      .groupBy(col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("n_shared_terms"),
-        array_sort(collect_list(struct(col("term"), col("tscore")))).as("ts"))
-      .withColumn("score", round(
-        aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("tscore")), 6))
-      .select(col("doc_id"), col("n_shared_terms"), col("dl"), col("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(kTop)
+    bm25ScoreTail(tf, lens, stats, qTerms, queryDocId, k1, b, kTop)
   }
 
   /** INCREMENTAL lexical retrieval — [[Dedup.dedupIncremental]]'s shape
@@ -1550,6 +1539,11 @@ object TextAnalysis {
     val v2 = new org.apache.hadoop.fs.Path(indexPath, "doclens/_SUCCESS")
     val v3 = new org.apache.hadoop.fs.Path(indexPath, "fwd/_SUCCESS")
     if (!fs.exists(ready) || !fs.exists(v2) || !fs.exists(v3)) {
+      // drop any STALE _READY before rebuilding (the layout-upgrade
+      // branch can enter with one on disk): a crash between the build
+      // and the extend must read as not-ready on the next run, or the
+      // serve would rank the 4/5-only index as complete
+      fs.delete(ready, false)
       buildBm25Index(docs.where(col("doc_id") < split), indexPath)
       extendBm25Index(indexPath, docs.where(col("doc_id") >= split))
       fs.create(ready, true).close()
