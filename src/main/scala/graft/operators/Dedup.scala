@@ -400,9 +400,20 @@ object Dedup {
             "a crashed BUILD cannot be repaired by forget (or the index " +
             "layout predates this table); rebuild the index")
         fs.delete(staged, true) // stale staging (overwrite re-clears anyway)
-        spark.read.parquet(live.toString)
+        // the staged rewrite PRESERVES the live table's hive-style
+        // partition layout (bucket=/db=/cl=/ib= directories): the pruned
+        // serves key their plan-time partition pruning on those dirs, and
+        // a flat rewrite silently degraded every post-forget serve to a
+        // corpus-wide scan (measured: the post-forget hybrid serve read
+        // 1.9x at x16 vs its never-forgotten sibling's 1.2x) — and made
+        // extend-after-forget illegal (appending partition dirs next to
+        // flat files is an unreadable mixed layout)
+        val partCols = partitionColsOf(fs, live)
+        val filtered = spark.read.parquet(live.toString)
           .join(forget, Seq(keyCol), "left_anti")
-          .write.mode("overwrite").parquet(staged.toString)
+        val writer = filtered.write.mode("overwrite")
+        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+          .parquet(staged.toString)
         // MARKER-FIRST delete: recursive delete is not atomic and child
         // order is unspecified, so a crash mid-delete could otherwise
         // leave part-files gone but _SUCCESS behind — a rerun would then
@@ -419,6 +430,31 @@ object Dedup {
     }
     fs.delete(new org.apache.hadoop.fs.Path(indexPath, "_FORGET_IDS"), false)
     fs.create(done, true).close()
+  }
+
+  /** Partition columns of a committed parquet table, read off the
+    * directory layout itself (hive-style `col=value` levels, outermost
+    * first; empty for a flat table). Walks the FIRST partition-dir chain —
+    * a committed partitioned table has a uniform layout, so one chain
+    * carries the full column list. Used by the forget rewrite to put the
+    * filtered rows back in the layout it found them in.
+    */
+  private def partitionColsOf(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Seq[String] = {
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var level = table
+    var descend = true
+    while (descend) {
+      val next = fs.listStatus(level)
+        .find(s => s.isDirectory && s.getPath.getName.contains("="))
+      next match {
+        case Some(d) =>
+          cols += d.getPath.getName.split("=", 2)(0)
+          level = d.getPath
+        case None => descend = false
+      }
+    }
+    cols.toSeq
   }
 
   def extendDedupIndex(indexPath: String, newDocs: DataFrame,

@@ -1827,9 +1827,8 @@ object EmbeddingSearch {
     // per-cell directory layout (partitionBy cl) — the on-disk shape of a
     // production IVF index: a probe of p cells is a PARTITION-PRUNED scan
     // of p directories at PLAN time, so serve cost is probed-cells bytes,
-    // not a full-index scan with a post-hoc filter. NOTE a generic forget
-    // rewrite flattens the layout (cl becomes a data column — results
-    // unchanged, pruning degrades to a filter); rebuild to restore it.
+    // not a full-index scan with a post-hoc filter. The generic forget
+    // rewrite preserves this layout, so pruning survives forget passes.
     kmeansAssign(withNorm(embV), savedCent)
       .select(col("cl"), col("vec_id"), col("v"))
       .write.mode("overwrite").partitionBy("cl").parquet(s"$path/ivf")
@@ -1936,9 +1935,11 @@ object EmbeddingSearch {
     * EXIST at entry (a crashed extend already appended an unknown subset
     * — re-running would duplicate batch rows in both tables; rebuild),
     * drops before the appends, returns after; a crashed forget must be
-    * resumed first; a forget-FLATTENED layout (cl/ib rewritten as data
-    * columns) is refused — a partitioned append next to flat files is a
-    * mixed directory Spark cannot read.
+    * resumed first; a FLATTENED layout (cl/ib rewritten as data columns —
+    * a pre-r12 forget or an external writer) is refused — a partitioned
+    * append next to flat files is a mixed directory Spark cannot read.
+    * The current forget rewrite preserves the layout, so
+    * extend-after-forget is legal.
     */
   def extendIvfIndex(indexPath: String, newVecs: DataFrame): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
@@ -1959,12 +1960,20 @@ object EmbeddingSearch {
       s"IVF index at $indexPath is uncommitted (no _DONE) — a crashed EXTEND " +
         "may already have appended part of a batch to ivf/idmap, and " +
         "re-appending would silently duplicate it; rebuild with buildIvfIndex")
-    for ((t, pk) <- Seq("ivf" -> "cl=", "idmap" -> "ib="))
-      require(fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, t))
-          .exists(_.getPath.getName.startsWith(pk)),
-        s"IVF table '$t' at $indexPath is FLAT (a forget pass rewrote the " +
-          "partitioned layout) — appending partitioned files would mix " +
+    // FLAT = data files without partition dirs (a pre-r12 forget rewrote
+    // the layout, or an external writer flattened it); a committed-but-
+    // EMPTY table (only _SUCCESS) is legal — the append establishes the
+    // layout (the extendBm25Index guard discipline)
+    for ((t, pk) <- Seq("ivf" -> "cl=", "idmap" -> "ib=")) {
+      val entries = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, t))
+      val hasPartDirs = entries.exists(_.getPath.getName.startsWith(pk))
+      val hasDataFiles = entries.exists(e => e.isFile &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      require(hasPartDirs || !hasDataFiles,
+        s"IVF table '$t' at $indexPath is FLAT (data files without $pk " +
+          "partition directories) — appending partitioned files would mix " +
           "layouts; rebuild with buildIvfIndex before extending")
+    }
     fs.delete(done, false)
     val cent = loadKmeansIndex(newVecs.sparkSession, s"$indexPath/cent")
     // both appended tables derive from ONE checkpointed assignment frame

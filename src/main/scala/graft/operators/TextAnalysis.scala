@@ -1356,9 +1356,9 @@ object TextAnalysis {
     // term-hash-bucketed directory layout: a serve that knows its query
     // terms prunes to their buckets at PLAN time (partition pruning, not
     // a post-scan filter) — the footprint a lexical query pays at 100 TB
-    // is its terms' buckets, never the index. NOTE a generic forget
-    // rewrite flattens the layout (bucket becomes a data column — results
-    // unchanged, pruning degrades); rebuild to restore it.
+    // is its terms' buckets, never the index. The generic forget rewrite
+    // preserves this layout (partition dirs re-derived from the live
+    // table), so pruning survives forget passes.
     docs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("bucket",
@@ -1413,11 +1413,13 @@ object TextAnalysis {
     * only repair is a rebuild), drops before the appends, and returns
     * after, so a half-appended index reads as uncommitted; a crashed
     * forget pass must be resumed first (appending under a half-filtered
-    * table would interleave states); and a forget-FLATTENED partitioned
-    * table — postings (bucket) OR fwd (db), each rewritten with its
-    * partition key as a data column — is refused: appending partitioned
-    * files next to flat files makes the mixed directory unreadable
-    * ('conflicting directory structures'), not just slower.
+    * table would interleave states); and a FLATTENED partitioned table —
+    * postings (bucket) OR fwd (db) rewritten with its partition key as a
+    * data column (a pre-r12 forget, or an external writer) — is refused:
+    * appending partitioned files next to flat files makes the mixed
+    * directory unreadable ('conflicting directory structures'), not just
+    * slower. The current forget rewrite preserves the layout, so
+    * extend-after-forget is legal (spec-pinned).
     */
   def extendBm25Index(indexPath: String, newDocs: DataFrame): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
@@ -1436,15 +1438,25 @@ object TextAnalysis {
       s"BM25 index at $indexPath is uncommitted (no _DONE) — a crashed EXTEND " +
         "may already have appended part of a batch, and re-appending would " +
         "silently double tf/df/dl for its terms; rebuild with buildBm25Index")
-    // a forget rewrite flattens the partitioned tables (the partition key
-    // becomes a data column); appending partition dirs next to flat files
-    // would leave a mixed layout Spark refuses to read — refuse up front
-    for ((t, pk) <- Seq("postings" -> "bucket=", "fwd" -> "db="))
-      require(fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, t))
-          .exists(_.getPath.getName.startsWith(pk)),
-        s"BM25 table '$t' at $indexPath is FLAT (a forget pass rewrote the " +
-          "partitioned layout) — appending partitioned files would mix " +
-          "layouts; rebuild with buildBm25Index before extending")
+    // a FLAT table (partition key present as a data column but no
+    // bucket=/db= dirs — e.g. written by a pre-r12 forget rewrite, which
+    // flattened layouts instead of preserving them) is refused: appending
+    // partition dirs next to flat files leaves a mixed layout Spark
+    // refuses to read. A COMMITTED-BUT-EMPTY table (zero rows → no
+    // partition dirs AND no data files, just _SUCCESS) is NOT flat — the
+    // append is the first data and establishes the layout — so the guard
+    // keys on data files without partition dirs, not on missing dirs alone
+    for ((t, pk) <- Seq("postings" -> "bucket=", "fwd" -> "db=")) {
+      val entries = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, t))
+      val hasPartDirs = entries.exists(_.getPath.getName.startsWith(pk))
+      val hasDataFiles = entries.exists(e => e.isFile &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      require(hasPartDirs || !hasDataFiles,
+        s"BM25 table '$t' at $indexPath is FLAT (data files without $pk " +
+          "partition directories — a pre-r12 forget rewrote the layout, or " +
+          "an external writer flattened it) — appending partitioned files " +
+          "would mix layouts; rebuild with buildBm25Index before extending")
+    }
     fs.delete(done, false)
     // all three appended tables derive from ONE checkpointed batch tf
     // frame — a lazy recompute between the writes could otherwise let
@@ -1615,9 +1627,8 @@ object TextAnalysis {
         // directories), then the cl-partitioned vector table is read at
         // exactly that cell — so the serve's vector-table footprint is
         // 1 idmap bucket + 1 cell + the nprobe probed cells, and NOTHING
-        // scans corpus-wide (a forget pass flattens both layouts; the
-        // filters still apply as data predicates, pruning degrades, rows
-        // don't)
+        // scans corpus-wide (the forget rewrite preserves both partition
+        // layouts, so this pruning survives forget passes)
         val qClRows = spark.read.parquet(s"$ivfIndexPath/idmap")
           .where(col("ib") === lit(EmbeddingSearch.idmapBucketOf(queryId)) &&
             col("vec_id") === queryId)

@@ -788,10 +788,30 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(halfExtended.getMessage.contains("crashed EXTEND"))
     fs.create(done, true).close()
 
-    // a forget-FLATTENED layout is refused (appending partitioned files
-    // next to flat ones would leave a mixed, unreadable directory)
+    // the forget rewrite PRESERVES the partitioned layouts (r12): cl=/ib=
+    // dirs survive, the probed serve keeps plan-time pruning, and
+    // extend-after-forget is legal — re-appending the forgotten vector
+    // restores the index to its pre-forget rows exactly
     graft.operators.Forget.forgetEverywhere(spark, s"$root/_M",
       Seq(0L).toDF("vec_id"), Seq(graft.operators.Forget.ivfTarget(idx)))
+    for ((t, pk) <- Seq("ivf" -> "cl=", "idmap" -> "ib="))
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(idx, t))
+          .exists(_.getPath.getName.startsWith(pk)),
+        s"forget flattened the $t layout — partition dirs must survive")
+    EmbeddingSearch.extendIvfIndex(idx, emb.where($"vec_id" === 0L))
+    val afterRoundtrip = spark.read.parquet(s"$idx/ivf")
+      .select($"vec_id", $"cl".cast("int")).as[(Long, Int)].collect().toSet
+    assert(afterRoundtrip == fromIvf,
+      "forget-then-re-extend of one vector must restore the exact ivf rows")
+
+    // a genuinely FLAT table (pre-r12 forget, external writer) is still
+    // refused: flatten ivf by hand and extend
+    val iPath = new org.apache.hadoop.fs.Path(idx, "ivf")
+    val iTmp = new org.apache.hadoop.fs.Path(idx, "ivf__flat")
+    spark.read.parquet(iPath.toString)
+      .write.mode("overwrite").parquet(iTmp.toString)
+    fs.delete(iPath, true)
+    assert(fs.rename(iTmp, iPath))
     val flat = intercept[IllegalArgumentException] {
       EmbeddingSearch.extendIvfIndex(idx, emb.limit(1))
     }

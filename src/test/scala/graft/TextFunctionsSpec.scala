@@ -1212,19 +1212,62 @@ class TextFunctionsSpec extends AnyFunSuite {
       "fwd diverged from postings after forget — all three doc_id-keyed " +
         "tables must filter together")
 
-    // the forget rewrite FLATTENED postings (bucket is now a data column):
-    // extend must refuse — appending bucket=*/ partition dirs next to flat
-    // files would leave a mixed directory Spark cannot read at all
-    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(idx, "postings"))
+    // the forget rewrite PRESERVES the partitioned layouts (r12): the
+    // bucket=/db= directories survive, so the pruned serve keeps its
+    // plan-time partition pruning after a forget — and extend stays legal
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(idx, "postings"))
         .exists(_.getPath.getName.startsWith("bucket=")),
-      "precondition: forget should have flattened the postings layout")
+      "forget flattened the postings layout — partition dirs must survive")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(idx, "fwd"))
+        .exists(_.getPath.getName.startsWith("db=")),
+      "forget flattened the fwd layout — partition dirs must survive")
+    // extend-AFTER-forget: append a brand-new doc over the preserved
+    // layout; serving then must equal a full rebuild over (corpus minus
+    // victim plus the new doc)
+    val newDoc = Seq((990001L, "zzqx zzqy zzqx zzqy zzqz")).toDF("doc_id", "text")
+    TextAnalysis.extendBm25Index(idx, newDoc)
+    val wantExt = TextAnalysis.bm25TopDocs(
+        docs.select($"doc_id", $"text").where($"doc_id" =!= victim)
+          .unionByName(newDoc))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(TextAnalysis.bm25TopDocsWithIndex(spark, idx)
+      .as[(Long, Long, Long, Double)].collect().toSet == wantExt,
+      "serve after forget-then-extend diverged from a rebuild on the same corpus")
+
+    // a genuinely FLAT table (a pre-r12 forget rewrite, or an external
+    // writer) is still refused: flatten postings by hand and extend
+    val pPath = new org.apache.hadoop.fs.Path(idx, "postings")
+    val pTmp = new org.apache.hadoop.fs.Path(idx, "postings__flat")
+    spark.read.parquet(pPath.toString)
+      .write.mode("overwrite").parquet(pTmp.toString)
+    fs.delete(pPath, true)
+    assert(fs.rename(pTmp, pPath))
     val flat = intercept[IllegalArgumentException] {
       TextAnalysis.extendBm25Index(idx, docs.limit(1))
     }
     assert(flat.getMessage.contains("FLAT"))
     // serve still works on the flat layout (pruning degrades, rows don't)
     assert(TextAnalysis.bm25TopDocsWithIndex(spark, idx)
-      .as[(Long, Long, Long, Double)].collect().toSet == wantAfter)
+      .as[(Long, Long, Long, Double)].collect().toSet == wantExt)
+
+    // a committed-but-EMPTY table is NOT flat: zero rows leave no
+    // partition dirs and no data files (only _SUCCESS) — extend must
+    // establish the layout, not refuse with the misleading FLAT diagnosis
+    val emptyIdx = s"$root/empty"
+    for (t <- Seq("postings", "doclens", "fwd")) {
+      val tp = new org.apache.hadoop.fs.Path(emptyIdx, t)
+      fs.mkdirs(tp)
+      fs.create(new org.apache.hadoop.fs.Path(tp, "_SUCCESS"), true).close()
+    }
+    fs.create(new org.apache.hadoop.fs.Path(emptyIdx, "_DONE"), true).close()
+    TextAnalysis.extendBm25Index(emptyIdx, newDoc)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(emptyIdx, "postings"))
+        .exists(_.getPath.getName.startsWith("bucket=")),
+      "the first append must establish the partitioned layout")
+    // the only doc is the query doc itself (self-excluded) — 0 rows, but
+    // the serve runs, proving the appended tables are a readable index
+    assert(TextAnalysis.bm25TopDocsWithIndex(spark, emptyIdx, queryDocId = 990001L)
+      .collect().isEmpty, "a single-doc index has no other docs to rank")
 
     // a crashed EXTEND (_DONE deleted, appends in an unknown state) can
     // only be repaired by rebuild: re-running extend would append the
