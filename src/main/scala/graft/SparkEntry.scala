@@ -982,6 +982,19 @@ object SparkEntry {
     // recall trade stays measured (see embed_knn_join_recall)
     "embed_knn_join_capped" -> ((s, dir) =>
       EmbeddingSearch.knnJoinScaled(s, dir, targetBucket = 32, candidateCap = 64)),
+    // NN-DESCENT refinement of the probed default (Dong et al. WWW'11):
+    // 2 rounds of capped neighbor-of-neighbor expansion + exact-cosine
+    // re-rank over the seeded graph — per-round fan-out <= (2k)² per
+    // vertex, independent of corpus size AND band width, so recall holds
+    // where the banded default's collapses (0.387 -> 0.987 at x16 in
+    // SCALING.md r12) at bounded extra wall. The CORPUS-SCALE
+    // recommendation for the near-dup graph; seed + rounds replayed as
+    // nested CTEs in the oracle
+    "embed_knn_join_nnd" -> ((s, dir) => EmbeddingSearch.knnJoinDescent(s, dir)),
+    // recall@k of the refined graph on the 100-probe set — the
+    // measurement that justifies the refinement over the seed
+    "embed_knn_join_nnd_recall" -> ((s, dir) =>
+      EmbeddingSearch.knnJoinDescentRecall(s, dir)),
     "embed_knn_ivf" -> ((s, dir) => EmbeddingSearch.ivfTopK(s, dir)),
     // train-once/serve-many (VERDICT r2 item 3): the quantizer is persisted
     // keyed on the embeddings fingerprint — the first invocation trains and
@@ -1394,6 +1407,51 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
        |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin
+
+  /** NN-descent replay: the probed-default seed graph (the embed_knn_join
+    * oracle's CTEs) followed by `rounds` UNROLLED refinement rounds, each
+    * mirroring the Spark loop exactly — reverse edges capped at k=3 per
+    * target (row_number over the same (cosine desc, id asc) order), the
+    * undirected union, the neighbors-of-neighbors self-join ∪ current
+    * edges (UNION dedups, mirroring distinct()), exact-cosine re-score,
+    * per-vertex top-3. Ends at CTE `gd$rounds`(vec_id, nbr_id, cosine).
+    */
+  private def knnDescentCtes(rounds: Int): String = {
+    val seed =
+      s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |${vecBandCtesScaledTb(128)},
+         |$vecProbeCte,
+         |cd0 AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |        FROM vbands a JOIN vprobe b ON a.band = b.band AND a.vec_id <> b.vec_id),
+         |sd0 AS (SELECT cd0.vec_id, cd0.nbr_id,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cd0 JOIN e ea ON cd0.vec_id = ea.vec_id
+         |           JOIN e eb ON cd0.nbr_id = eb.vec_id),
+         |gd0 AS (SELECT vec_id, nbr_id, cosine FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rnk FROM sd0)
+         |  WHERE rnk <= 3)""".stripMargin
+    val refine = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""rv$i AS (SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM (
+         |  SELECT vec_id, nbr_id, row_number() OVER
+         |    (PARTITION BY nbr_id ORDER BY cosine DESC, vec_id ASC) AS rr FROM gd$p)
+         |  WHERE rr <= 3),
+         |ud$i AS (SELECT vec_id, nbr_id FROM gd$p UNION SELECT vec_id, nbr_id FROM rv$i),
+         |cd$i AS (SELECT a.vec_id AS vec_id, b.nbr_id AS nbr_id
+         |         FROM ud$i a JOIN ud$i b ON a.nbr_id = b.vec_id AND a.vec_id <> b.nbr_id
+         |         UNION SELECT vec_id, nbr_id FROM ud$i),
+         |sd$i AS (SELECT cd$i.vec_id, cd$i.nbr_id,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cd$i JOIN e ea ON cd$i.vec_id = ea.vec_id
+         |            JOIN e eb ON cd$i.nbr_id = eb.vec_id),
+         |gd$i AS (SELECT vec_id, nbr_id, cosine FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rnk FROM sd$i)
+         |  WHERE rnk <= 3)""".stripMargin
+    }
+    (seed +: refine).mkString(",\n")
+  }
 
   /** BM25 oracle body, factored so the hybrid-retrieval oracle replays
     * the IDENTICAL lexical ranking it fuses: the CTE chain (tok→sc) and
@@ -3600,6 +3658,33 @@ object SparkEntry {
          |  SELECT *, row_number() OVER
          |    (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rank FROM sc)
          |  WHERE rank <= 3),
+         |exs AS (SELECT p.vec_id AS p_id, e2.vec_id AS e_nbr,
+         |  round(${cosineSql("e2.v", "p.v")}, 6) AS cosine
+         |  FROM e e2, e p WHERE p.vec_id < 100 AND e2.vec_id <> p.vec_id),
+         |ext AS (SELECT p_id, e_nbr FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY p_id ORDER BY cosine DESC, e_nbr ASC) AS rank FROM exs)
+         |  WHERE rank <= 3)
+         |SELECT ext.p_id AS vec_id, count(*)::BIGINT AS n_exact,
+         |  count(ap.a_nbr)::BIGINT AS n_hit,
+         |  round(count(ap.a_nbr)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM ext LEFT JOIN ap ON ext.p_id = ap.a_id AND ext.e_nbr = ap.a_nbr
+         |GROUP BY 1""".stripMargin,
+    // NN-descent: the probed-default seed + 2 unrolled refinement rounds
+    // (reverse-cap, undirected union, neighbor-of-neighbor self-join,
+    // exact re-score, per-vertex top-3) — the full trajectory replayed
+    "embed_knn_join_nnd" ->
+      s"""WITH ${knnDescentCtes(2)}
+         |SELECT vec_id, nbr_id, cosine, (row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank
+         |FROM gd2""".stripMargin,
+    // refined-graph recall vs the exact graph on the 100-probe set — the
+    // approx side is the FULL descent trajectory (the graph build is
+    // global; probes filter at the end), the exact side the probe-set
+    // brute force
+    "embed_knn_join_nnd_recall" ->
+      s"""WITH ${knnDescentCtes(2)},
+         |ap AS (SELECT vec_id AS a_id, nbr_id AS a_nbr FROM gd2 WHERE vec_id < 100),
          |exs AS (SELECT p.vec_id AS p_id, e2.vec_id AS e_nbr,
          |  round(${cosineSql("e2.v", "p.v")}, 6) AS cosine
          |  FROM e e2, e p WHERE p.vec_id < 100 AND e2.vec_id <> p.vec_id),

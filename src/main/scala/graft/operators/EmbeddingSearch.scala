@@ -759,6 +759,105 @@ object EmbeddingSearch {
         tileOversized = tileOversized, probeHamming = probeHamming)
   }
 
+  /** NN-DESCENT refinement of the banded kNN graph (Dong et al. WWW'11,
+    * "Efficient k-nearest neighbor graph construction for generic
+    * similarity measures"): take [[knnJoinScaled]]'s graph as the SEED,
+    * then run `rounds` neighbor-of-neighbor expansions — a neighbor of my
+    * neighbor is likely my neighbor — each round scoring every candidate
+    * by exact cosine and keeping the top-k. This is the scale answer to
+    * the banded default's recall cliff: `lshRowsPerBand` holds wall at
+    * x16 by WIDENING bands, which crushes single-flip probe coverage
+    * (recall@3 0.883 at sf0.1 → 0.387 at x16), and the Hamming-2 ring
+    * was rejected because its fan-out grows QUADRATICALLY in the band
+    * width (21× wall at x16). NN-descent's cost rides neither: every
+    * round is a bounded equi-join keyed by vertex — reverse edges are
+    * capped at k per target (row_number over the same (cosine desc, id
+    * asc) total order), so the undirected neighborhood is ≤ 2k and the
+    * candidate fan-out ≤ (2k)² per vertex per round, INDEPENDENT of
+    * corpus size and band width. Each round: cap reverse edges → union
+    * into the undirected edge set → self-join on the shared middle
+    * vertex (neighbors-of-neighbors) ∪ current edges → exact-cosine
+    * re-score → per-vertex top-k. The graph can only improve: candidates
+    * always include the previous round's edges, and per-vertex top-k
+    * under the one total order is monotone in the candidate set
+    * (spec-pinned). Rounds are UNROLLED lazy plans with a per-round
+    * localCheckpoint (each round reads the previous graph three times —
+    * reverse cap, union base, join sides — and plan growth would
+    * otherwise be exponential in rounds); the oracle replays the same
+    * fixed rounds as nested CTEs. Measured (SCALING.md r12): recall@3
+    * 0.987 at sf0.1 and at x16 — the x16 point the r11 verdict asked for,
+    * at bounded extra wall over the seed. Output: (vec_id, nbr_id,
+    * cosine, rank ≤ k) — [[knnJoin]]'s shape.
+    */
+  def knnJoinDescent(spark: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 2, targetBucket: Int = 128, bands: Int = 8,
+      probeHamming: Int = 1): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val wTop = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    var g = knnJoinScaled(spark, dir, k, targetBucket, bands,
+        probeHamming = probeHamming)
+      .select(col("vec_id"), col("nbr_id"), col("cosine"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // reverse edges capped at k per TARGET vertex (same total order as
+      // the forward top-k): |undirected neighborhood| ≤ 2k however hubby
+      // a vertex is — the bound that keeps a round's fan-out ≤ (2k)²
+      val rev = g.withColumn("rr", row_number().over(
+          Window.partitionBy("nbr_id").orderBy(col("cosine").desc, col("vec_id").asc)))
+        .where(col("rr") <= k)
+        .select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))
+      val und = g.select(col("vec_id"), col("nbr_id")).union(rev).distinct()
+      val cand = und.as("a")
+        .join(und.as("b"), col("a.nbr_id") === col("b.vec_id") &&
+          col("a.vec_id") =!= col("b.nbr_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.nbr_id").as("nbr_id"))
+        .union(und)
+        .distinct()
+      // exact re-score of ALL candidates (old edges re-score to the same
+      // rounded cosine — the pair arithmetic is deterministic), two
+      // vertex-keyed equi-joins against the vector table
+      val scored = cand
+        .join(e.select(col("vec_id"), col("v").as("va")), Seq("vec_id"))
+        .join(e.select(col("vec_id").as("nbr_id"), col("v").as("vb")), Seq("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"),
+          round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      val next = scored.withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= k)
+        .select(col("vec_id"), col("nbr_id"), col("cosine"))
+        .localCheckpoint()
+      // eager checkpoint above has materialized `next`; the previous
+      // round's blocks are dead — free them so a long descent holds one
+      // graph-sized checkpoint, not `rounds` of them
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(g)
+      g = next
+    }
+    g.withColumn("rank", row_number().over(wTop).cast("long"))
+  }
+
+  /** Recall@k of the NN-descent-refined graph against the exact graph on
+    * the fixed probe set — [[knnJoinRecall]]'s shape over
+    * [[knnJoinDescent]]'s output, the measurement that justifies the
+    * refinement (seed recall vs refined recall on the same probes).
+    */
+  def knnJoinDescentRecall(spark: SparkSession, dir: String, k: Int = 3,
+      nProbes: Int = 100, rounds: Int = 2, targetBucket: Int = 128,
+      bands: Int = 8): DataFrame = {
+    val approx = knnJoinDescent(spark, dir, k, rounds, targetBucket, bands)
+      .where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("a_id"), col("nbr_id").as("a_nbr"))
+    val exTop = bruteForceTopK(spark, dir, k, nQueries = nProbes)
+      .select(col("query_id").as("p_id"), col("vec_id").as("e_nbr"))
+    exTop.join(approx,
+        exTop("p_id") === approx("a_id") && exTop("e_nbr") === approx("a_nbr"), "left")
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("a_nbr")).as("n_hit"))
+      .select(col("p_id").as("vec_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
   /** The shared bucket-local-kernel prologue: project to (vec_id, v),
     * explode into band keys tagged base/probe. Both kernels group on the
     * result's `band`. With `multiProbe` each vector ALSO visits its

@@ -151,7 +151,28 @@ object ScaleBench {
     // the on-disk IVF extend-then-serve (build+extend cached per scaled
     // corpus by the _READY marker; min-of-2 measures the probed serve
     // against the disk-extended union)
-    "embed_knn_extend_serve")
+    "embed_knn_extend_serve",
+    // round 12: NN-descent refinement of the probed kNN-graph default —
+    // the row whose (2k)²-bounded per-round fan-out is the answer to the
+    // banded default's recall collapse; its recall is gated below
+    "embed_knn_join_nnd")
+
+  /** RECALL-at-scale gate (r11 verdict stretch item): the kNN-graph
+    * family's recall@3 is measured at every curve point and committed
+    * beside the wall numbers (a `recalls` map in the JSON line), so
+    * recall-at-scale regressions surface as artifact diffs the way
+    * wall-at-scale already does — the 0.883→0.387 seed collapse lived
+    * only in SCALING.md prose before this. Mean over the 100-probe set;
+    * the exact side is the probe-set brute force (fixed |P|, linear in
+    * N, so the gate itself scales).
+    */
+  private val recallFns: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // the registered default (tb=128, Hamming-1 probed) — the seed
+    "embed_knn_join" -> ((s, d) => graft.operators.EmbeddingSearch
+      .knnJoinRecall(s, d, targetBucket = 128, multiProbe = true)),
+    // the NN-descent refinement — must hold recall where the seed's falls
+    "embed_knn_join_nnd" -> ((s, d) => graft.operators.EmbeddingSearch
+      .knnJoinDescentRecall(s, d)))
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these
@@ -295,8 +316,17 @@ object ScaleBench {
         System.err.println(f"[scale] x$k pass $pass $name: $t%.2f s ($n rows)")
       }
       val qs = best.map { case (q, t) => s"${graft.JsonOut.q(q)}:$t" }.mkString("{", ",", "}")
+      // the recall gate: mean recall@3 per gated config at this curve
+      // point (once — recall is deterministic, min-of-2 is a wall concept)
+      val recalls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      for ((name, fn) <- only.fold(recallFns)(o => recallFns.filter(f => o(f._1)))) {
+        val r = fn(spark, dir).agg(avg(col("recall"))).collect()(0).getDouble(0)
+        recalls(name) = math.rint(r * 1e6) / 1e6
+        System.err.println(f"[scale] x$k recall $name: ${recalls(name)}%.6f")
+      }
+      val rs = recalls.map { case (q, r) => s"${graft.JsonOut.q(q)}:$r" }.mkString("{", ",", "}")
       println(s"""{"metric":"scale_family","k":$k,"dir":${graft.JsonOut.q(dir)},""" +
-        s""""total":${best.values.sum},"result_rows":$rows,"queries":$qs}""")
+        s""""total":${best.values.sum},"result_rows":$rows,"queries":$qs,"recalls":$rs}""")
     }
     spark.stop()
   }

@@ -907,6 +907,58 @@ class EmbeddingSpec extends AnyFunSuite {
       s"capped recall $cm above the full-candidate path $exact — monotonicity broken")
   }
 
+  test("NN-descent: monotone per-vertex improvement over the seed, bounded shape, round dominance") {
+    val dir = "/root/testdata/sf0.001"
+    // the SEED is the registered default graph (tb=128, Hamming-1 probed)
+    val seed = EmbeddingSearch.knnJoinScaled(spark, dir)
+      .select($"vec_id", $"cosine", $"rank")
+      .as[(Long, Double, Long)].collect()
+      .map { case (v, c, r) => (v, r) -> c }.toMap
+    val refined = EmbeddingSearch.knnJoinDescent(spark, dir)
+      .select($"vec_id", $"nbr_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Long)].collect()
+    // shape: <= k rows per vertex, contiguous ranks from 1
+    refined.groupBy(_._1).foreach { case (v, rows) =>
+      val ranks = rows.map(_._4).sorted.toSeq
+      assert(ranks.size <= 3 && ranks == (1L to ranks.size).toSeq,
+        s"vertex $v has malformed ranks $ranks")
+    }
+    // MONOTONE IMPROVEMENT: candidates always include the previous
+    // round's edges and the per-vertex top-k runs under one total order,
+    // so at every (vertex, rank) the refined cosine >= the seed cosine
+    // (NaN ranks first in the kernel's order — treat it as +inf here)
+    def key(c: Double) = if (c.isNaN) Double.PositiveInfinity else c
+    var improved = 0
+    refined.foreach { case (v, _, c, r) =>
+      seed.get((v, r)).foreach { sc =>
+        assert(key(c) >= key(sc) - 1e-12,
+          s"vertex $v rank $r regressed: seed $sc -> refined $c")
+        if (key(c) > key(sc)) improved += 1
+      }
+    }
+    // round dominance: 2 rounds find every edge 1 round does or better —
+    // mean recall (vs brute) must be monotone in rounds
+    def meanRecall(rounds: Int): Double = {
+      val r = EmbeddingSearch.knnJoinDescentRecall(spark, dir, rounds = rounds)
+        .select($"recall").as[Double].collect()
+      r.sum / r.length
+    }
+    val seedRecall = EmbeddingSearch
+      .knnJoinRecall(spark, dir, targetBucket = 128, multiProbe = true)
+      .select($"recall").as[Double].collect()
+    val sr = seedRecall.sum / seedRecall.length
+    val r1 = meanRecall(1); val r2 = meanRecall(2)
+    assert(r1 >= sr - 1e-9 && r2 >= r1 - 1e-9,
+      s"recall must be monotone in descent rounds: seed $sr, r1 $r1, r2 $r2")
+    // the fixture must leave the descent something to find: either the
+    // edges improved, or the seed was already exact everywhere (then
+    // recall saturation is the improvement claim)
+    assert(improved > 0 || sr > 0.999,
+      s"descent changed nothing (seed recall $sr) — expansion broken?")
+    assert(r2 > sr || sr > 0.999,
+      s"2 descent rounds did not improve recall over the seed ($sr -> $r2)")
+  }
+
   test("pq refine: true-cosine reorder of the ADC shortlist, k per query") {
     val dir = "/root/testdata/sf0.001"
     val k = 5; val shortlist = 10; val nQ = 3

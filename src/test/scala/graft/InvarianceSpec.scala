@@ -16,9 +16,27 @@ import graft.sources.Tables
   * nondeterministic result on a real cluster, where partition counts change
   * with every scale-up).
   */
-class InvarianceSpec extends AnyFunSuite {
+class InvarianceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
+
+  // index-building cases run at BOTH partitionings, each on a fresh temp
+  // dir — track every dir created and delete them after the suite, or
+  // each run leaks index pairs under /tmp (r11 ADVICE)
+  private val tempRoots = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def tempDir(prefix: String): String = synchronized {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempRoots += p
+    p
+  }
+  override def afterAll(): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    tempRoots.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, true)
+    }
+    super.afterAll()
+  }
 
   // kmeans runs FRESH training (not the persisted-index entry) so the
   // invariance of the training shuffles themselves is what's under test
@@ -33,13 +51,13 @@ class InvarianceSpec extends AnyFunSuite {
     // dir per run, so the build is genuinely re-exercised)
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val idx = java.nio.file.Files.createTempDirectory("graft_inv_idx").toString
+      val idx = tempDir("graft_inv_idx")
       Dedup.buildDedupIndex(docs.where(col("doc_id") < 40L), idx)
       Dedup.dedupAgainst(idx, docs.where(col("doc_id") >= 40L), tau = 0.7)
     }),
     "embed_dedup_incremental" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val idx = java.nio.file.Files.createTempDirectory("graft_inv_vecidx").toString
+      val idx = tempDir("graft_inv_vecidx")
       EmbeddingSearch.buildVecDedupIndex(emb.where(col("vec_id") < 40L), idx)
       EmbeddingSearch.vecDedupAgainst(idx, emb.where(col("vec_id") >= 40L), tau = 0.4)
     }),
@@ -138,7 +156,7 @@ class InvarianceSpec extends AnyFunSuite {
     // probe ring must both be partition-stable; fresh index dirs so the
     // builds themselves run at BOTH partitionings
     "text_hybrid_batch_fresh" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_inv_hyb").toString
+      val root = tempDir("graft_inv_hyb")
       TextAnalysis.buildBm25Index(Tables.documents(s, d), s"$root/bm")
       EmbeddingSearch.buildIvfIndex(Tables.embeddings(s, d)
         .select(col("vec_id"),
@@ -148,7 +166,11 @@ class InvarianceSpec extends AnyFunSuite {
         s"$root/bm", s"$root/ivf", nprobe = 2)
     }),
     "embed_knn_join_h2" ->
-      ((s, d) => EmbeddingSearch.knnJoinScaled(s, d, probeHamming = 2)))
+      ((s, d) => EmbeddingSearch.knnJoinScaled(s, d, probeHamming = 2)),
+    // round-12: the NN-descent rounds (window caps + distinct unions +
+    // self-join + re-score) must pick identical edges at any layout
+    "embed_knn_join_nnd" ->
+      ((s, d) => EmbeddingSearch.knnJoinDescent(s, d)))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

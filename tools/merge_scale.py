@@ -32,6 +32,8 @@ with open(log) as f:
         r = json.loads(m.group(0))
         base = merged.setdefault(r["k"], r)
         base["queries"].update(r["queries"])
+        if r.get("recalls"):
+            base.setdefault("recalls", {}).update(r["recalls"])
         base["dir"] = r["dir"]
         base["total"] = round(sum(base["queries"].values()), 6)
         # result_rows from partial runs aren't comparable; keep the
