@@ -918,6 +918,16 @@ object SparkEntry {
     // existing hyperplane bands; exact dot re-rank of band-mates
     "embed_knn_mips_alsh" -> ((s, dir) => EmbeddingSearch.mipsTopKAlsh(s, dir)),
     "embed_mips_recall" -> ((s, dir) => EmbeddingSearch.mipsRecall(s, dir)),
+    // ALSH under the corpus-adaptive occupancy rule (lshRowsPerBand, the
+    // r6/r7 pattern): the fixed 4×4 layout's candidates grow LINEARLY
+    // with the corpus at fixed query load (O(corpus) per query at 100 TB
+    // — the r11 verdict's weak entry #2); the sized bands hold expected
+    // occupancy ~targetBucket instead. Oracle derives the same width
+    // from count(*); the fixed row above stays as the measured contrast
+    "embed_knn_mips_scaled" -> ((s, dir) => EmbeddingSearch.mipsTopKAlshScaled(s, dir)),
+    // recall of the sized ALSH path vs exact MIPS — the rule's recall
+    // cost, measured beside the fixed layout's embed_mips_recall
+    "embed_mips_scaled_recall" -> ((s, dir) => EmbeddingSearch.mipsRecallScaled(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
     "embed_lsh_recall" -> ((s, dir) => EmbeddingSearch.lshRecall(s, dir)),
     "embed_pq_recall" -> ((s, dir) => EmbeddingSearch.pqRecall(s, dir)),
@@ -982,6 +992,19 @@ object SparkEntry {
     // recall trade stays measured (see embed_knn_join_recall)
     "embed_knn_join_capped" -> ((s, dir) =>
       EmbeddingSearch.knnJoinScaled(s, dir, targetBucket = 32, candidateCap = 64)),
+    // IVF-CELL kNN graph — the CORPUS-SCALE recommendation for the
+    // neighbor graph (r12): the √N-cell quantizer partitions the data
+    // adaptively where wide sign-LSH bands hash moderate-angle neighbors
+    // apart; per-vector candidates ≈ nprobe·√N (sublinear), and measured
+    // recall@3 at x16 is 0.993 at LOWER wall than the banded default's
+    // 0.387 (SCALING.md r12). Banded entries stay registered: they are
+    // the linear-total-work family and the near-dup (high-cosine) tool
+    "embed_knn_join_cells" -> ((s, dir) => EmbeddingSearch.knnJoinCells(s, dir)),
+    // recall@3 of the cell graph on the 100-probe set — the crossover
+    // evidence (0.653 at x1 rising to 0.993 at x16 as cells tighten,
+    // while the banded default falls 0.883 -> 0.387)
+    "embed_knn_join_cells_recall" -> ((s, dir) =>
+      EmbeddingSearch.knnJoinCellsRecall(s, dir)),
     // NN-DESCENT refinement of the probed default (Dong et al. WWW'11):
     // 2 rounds of capped neighbor-of-neighbor expansion + exact-cosine
     // re-rank over the seeded graph — per-round fan-out <= (2k)² per
@@ -1051,6 +1074,16 @@ object SparkEntry {
       EmbeddingSearch.kmeansTopKPersisted(s, dir,
         kmeansIndexDirFor(dir, 8, 2, samplePct = Some(40)),
         nClusters = 8, iters = 2, samplePct = 40)),
+    // CORPUS-ADAPTIVE cell count (k = ⌈√N⌉, clamped): the probed serve's
+    // scan fraction (nprobe/k) SHRINKS as the corpus grows instead of
+    // being pinned at nprobe/8 — the r11 verdict's missing sizing rule,
+    // the lshRowsPerBand discipline applied to the quantizer; the oracle
+    // derives the same k from count(*). The fixed-k entries above stay
+    // as the measured contrast
+    "embed_knn_kmeans_sized" -> ((s, dir) => EmbeddingSearch.kmeansTopKSized(s, dir)),
+    // recall of the sized serve vs exact — the rule's honest cost (more
+    // cells at fixed nprobe probe a smaller corpus fraction)
+    "embed_kmeans_sized_recall" -> ((s, dir) => EmbeddingSearch.kmeansRecallSized(s, dir)),
     // cluster-balanced corpus sampling: cap every semantic cluster at its
     // q most central members — served from the SAME persisted quantizer as
     // embed_knn_kmeans (same kmeansIndexDirFor derivation at the same
@@ -1408,15 +1441,18 @@ object SparkEntry {
        |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
        |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin
 
-  /** NN-descent replay: the probed-default seed graph (the embed_knn_join
-    * oracle's CTEs) followed by `rounds` UNROLLED refinement rounds, each
-    * mirroring the Spark loop exactly — reverse edges capped at k=3 per
-    * target (row_number over the same (cosine desc, id asc) order), the
+  /** NN-descent replay: the probed-default seed graph at the INTERNAL
+    * width kBuild (the embed_knn_join oracle's CTEs with top-kBuild)
+    * followed by `rounds` UNROLLED refinement rounds, each mirroring the
+    * Spark loop exactly — reverse edges capped at kBuild per target
+    * (row_number over the same (cosine desc, id asc) order), the
     * undirected union, the neighbors-of-neighbors self-join ∪ current
     * edges (UNION dedups, mirroring distinct()), exact-cosine re-score,
-    * per-vertex top-3. Ends at CTE `gd$rounds`(vec_id, nbr_id, cosine).
+    * per-vertex top-kBuild. Ends at CTE `gd$rounds`(vec_id, nbr_id,
+    * cosine) of ≤ kBuild rows per vertex; the entry's final SELECT
+    * truncates to the answer k.
     */
-  private def knnDescentCtes(rounds: Int): String = {
+  private def knnDescentCtes(rounds: Int, kBuild: Int = 10): String = {
     val seed =
       s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |${vecBandCtesScaledTb(128)},
@@ -1430,13 +1466,13 @@ object SparkEntry {
          |gd0 AS (SELECT vec_id, nbr_id, cosine FROM (
          |  SELECT *, row_number() OVER
          |    (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rnk FROM sd0)
-         |  WHERE rnk <= 3)""".stripMargin
+         |  WHERE rnk <= $kBuild)""".stripMargin
     val refine = (1 to rounds).map { i =>
       val p = i - 1
       s"""rv$i AS (SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM (
          |  SELECT vec_id, nbr_id, row_number() OVER
          |    (PARTITION BY nbr_id ORDER BY cosine DESC, vec_id ASC) AS rr FROM gd$p)
-         |  WHERE rr <= 3),
+         |  WHERE rr <= $kBuild),
          |ud$i AS (SELECT vec_id, nbr_id FROM gd$p UNION SELECT vec_id, nbr_id FROM rv$i),
          |cd$i AS (SELECT a.vec_id AS vec_id, b.nbr_id AS nbr_id
          |         FROM ud$i a JOIN ud$i b ON a.nbr_id = b.vec_id AND a.vec_id <> b.nbr_id
@@ -1448,7 +1484,7 @@ object SparkEntry {
          |gd$i AS (SELECT vec_id, nbr_id, cosine FROM (
          |  SELECT *, row_number() OVER
          |    (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rnk FROM sd$i)
-         |  WHERE rnk <= 3)""".stripMargin
+         |  WHERE rnk <= $kBuild)""".stripMargin
     }
     (seed +: refine).mkString(",\n")
   }
@@ -1717,6 +1753,47 @@ object SparkEntry {
        |qb AS (SELECT vec_id AS query_id, v AS qv, unnest(list_transform(generate_series(0, 3), b ->
        |  b::VARCHAR || ':' || array_to_string(list_transform(
        |    list_slice(sig, b*4+1, b*4+4), x -> x::VARCHAR), ','))) AS band FROM qsig),
+       |cand AS (SELECT DISTINCT qb.query_id, c.vec_id, c.v, qb.qv
+       |         FROM bands c JOIN qb USING (band) WHERE c.vec_id <> qb.query_id),
+       |s AS (SELECT query_id, vec_id, round(${dotSql("v", "qv")}, 6) AS ip FROM cand),
+       |r AS (SELECT *, (row_number() OVER
+       |      (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, ip, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** [[mipsAlshSql]] under the CORPUS-ADAPTIVE width: the same
+    * shift-and-compare rpb derivation as [[vecBandCtesScaledTb]] (tb=32),
+    * then 8 bands of rpb bits over an 8·rpb-plane signature — index side
+    * over the augmented va (65 dims), query side over v directly (the
+    * augmented 0 contributes nothing). Everything else is the fixed
+    * oracle verbatim.
+    */
+  private val mipsAlshScaledSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |cntv AS (SELECT count(*)::BIGINT AS n FROM e),
+       |prm AS (SELECT coalesce((SELECT min(r)::INT
+       |  FROM (SELECT unnest(generate_series(4, 16)) AS r) t, cntv
+       |  WHERE (32::BIGINT << r) >= cntv.n), 16) AS rpb),
+       |m AS (SELECT max(${dotSql("v", "v")}) AS m2 FROM e),
+       |a AS (SELECT vec_id, v, list_append(v,
+       |  sqrt(greatest(m2 - ${dotSql("v", "v")}, 0.0))) AS va FROM e CROSS JOIN m),
+       |sig AS (SELECT vec_id, v, list_transform(generate_series(0, 8*prm.rpb - 1), p ->
+       |  CASE WHEN list_reduce(list_transform(generate_series(1, len(va)),
+       |    d -> va[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
+       |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
+       |  THEN 1 ELSE 0 END) AS sig FROM a, prm),
+       |bands AS (SELECT vec_id, v, unnest(list_transform(generate_series(0, 7), b ->
+       |  b::VARCHAR || ':' || array_to_string(list_transform(
+       |    list_slice(sig, b*rpb+1, b*rpb+rpb), x -> x::VARCHAR), ','))) AS band
+       |  FROM sig, prm),
+       |qsig AS (SELECT vec_id, v, list_transform(generate_series(0, 8*prm.rpb - 1), p ->
+       |  CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
+       |    d -> v[d] * (CASE WHEN (p*2654435761 + d*40503) % 65537 % 2 = 1
+       |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) > 0.0
+       |  THEN 1 ELSE 0 END) AS sig FROM e, prm WHERE vec_id < 10),
+       |qb AS (SELECT vec_id AS query_id, v AS qv, unnest(list_transform(generate_series(0, 7), b ->
+       |  b::VARCHAR || ':' || array_to_string(list_transform(
+       |    list_slice(sig, b*rpb+1, b*rpb+rpb), x -> x::VARCHAR), ','))) AS band
+       |  FROM qsig, prm),
        |cand AS (SELECT DISTINCT qb.query_id, c.vec_id, c.v, qb.qv
        |         FROM bands c JOIN qb USING (band) WHERE c.vec_id <> qb.query_id),
        |s AS (SELECT query_id, vec_id, round(${dotSql("v", "qv")}, 6) AS ip FROM cand),
@@ -2110,6 +2187,53 @@ object SparkEntry {
   private def kmeansKnnSql(samplePct: Option[Int],
       trainWhere: Option[String] = None): String = {
     s"""WITH ${kmTrainedAssignCtes(samplePct, trainWhere)},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |pd AS (SELECT q.query_id, q.qv, c.cl,
+       |  round(${cosineSql("q.qv", "c.cv")}, 6) AS csim FROM q, c2 c),
+       |pr AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS rn FROM pd),
+       |probe AS (SELECT query_id, qv, cl FROM pr WHERE rn <= 2),
+       |s AS (SELECT probe.query_id, af.vec_id,
+       |  round(${cosineSql("af.v", "probe.qv")}, 6) AS cosine
+       |  FROM probe JOIN af ON af.cl = probe.cl
+       |  WHERE af.vec_id <> probe.query_id),
+       |r AS (SELECT *, (row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  /** [[kmeansKnnSql]] under the CORPUS-ADAPTIVE cell count: k = ⌈√N⌉
+    * clamped to [8, 65536], derived from count(*) exactly as
+    * `EmbeddingSearch.ivfCellCount` (IEEE sqrt — correctly rounded in
+    * both engines, exact on perfect squares); seeds = the first k
+    * vectors by vec_id (row_number ≤ k, mirroring the k-row
+    * TakeOrdered). Same two Lloyd rounds, same probe/re-rank tail.
+    */
+  /** The sized-quantizer TRAINING prefix (e → cntv → kk → c0 seeds → two
+    * Lloyd rounds to `c2`) — shared by the sized kNN serve oracle and
+    * the IVF-cell graph oracle, which both rank against the same trained
+    * centroids.
+    */
+  private val kmSizedTrainCtes: String = {
+    val seeds =
+      """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |cntv AS (SELECT count(*)::BIGINT AS n FROM e),
+        |kk AS (SELECT least(greatest(CAST(ceil(sqrt(n::DOUBLE)) AS BIGINT), 8), 65536) AS k
+        |       FROM cntv),
+        |c0 AS (SELECT vec_id::INT AS cl, v AS cv FROM (
+        |  SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM e), kk
+        |  WHERE rn <= kk.k)""".stripMargin
+    s"""$seeds,
+       |a1 AS (${kmAssignCte("e", "c0")}),
+       |${kmUpdateCtes(1, "a1", "c0")},
+       |a2 AS (${kmAssignCte("e", "c1")}),
+       |${kmUpdateCtes(2, "a2", "c1")}""".stripMargin
+  }
+
+  private val kmeansKnnSizedSql: String = {
+    s"""WITH $kmSizedTrainCtes,
+       |af AS (${kmAssignCte("e", "c2")}),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
        |pd AS (SELECT q.query_id, q.qv, c.cl,
        |  round(${cosineSql("q.qv", "c.cv")}, 6) AS csim FROM q, c2 c),
@@ -3516,6 +3640,17 @@ object SparkEntry {
     "embed_knn_brute" -> bruteKnnSql,
     "embed_knn_mips" -> mipsBruteSql,
     "embed_knn_mips_alsh" -> mipsAlshSql,
+    // the occupancy-sized ALSH banding — width derived from count(*)
+    "embed_knn_mips_scaled" -> mipsAlshScaledSql,
+    // recall of the sized ALSH path vs the exact inner-product top-k
+    "embed_mips_scaled_recall" ->
+      s"""WITH br AS (SELECT query_id, vec_id FROM ($mipsBruteSql)),
+         |ap AS (SELECT query_id, vec_id FROM ($mipsAlshScaledSql))
+         |SELECT br.query_id, count(*) AS n_exact,
+         |  count(ap.vec_id) AS n_hit,
+         |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
     // recall@k of ALSH MIPS vs the exact inner-product top-k — both
     // pipelines nested verbatim; left join so missed neighbors count
     "embed_mips_recall" ->
@@ -3674,17 +3809,73 @@ object SparkEntry {
     // (reverse-cap, undirected union, neighbor-of-neighbor self-join,
     // exact re-score, per-vertex top-3) — the full trajectory replayed
     "embed_knn_join_nnd" ->
-      s"""WITH ${knnDescentCtes(2)}
-         |SELECT vec_id, nbr_id, cosine, (row_number() OVER
+      s"""WITH ${knnDescentCtes(2)},
+         |fin AS (SELECT vec_id, nbr_id, cosine, (row_number() OVER
          |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank
-         |FROM gd2""".stripMargin,
+         |  FROM gd2)
+         |SELECT vec_id, nbr_id, cosine, rank FROM fin WHERE rank <= 3""".stripMargin,
     // refined-graph recall vs the exact graph on the 100-probe set — the
     // approx side is the FULL descent trajectory (the graph build is
     // global; probes filter at the end), the exact side the probe-set
     // brute force
     "embed_knn_join_nnd_recall" ->
       s"""WITH ${knnDescentCtes(2)},
-         |ap AS (SELECT vec_id AS a_id, nbr_id AS a_nbr FROM gd2 WHERE vec_id < 100),
+         |ap AS (SELECT vec_id AS a_id, nbr_id AS a_nbr FROM (
+         |  SELECT vec_id, nbr_id, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+         |  FROM gd2 WHERE vec_id < 100) WHERE rank <= 3),
+         |exs AS (SELECT p.vec_id AS p_id, e2.vec_id AS e_nbr,
+         |  round(${cosineSql("e2.v", "p.v")}, 6) AS cosine
+         |  FROM e e2, e p WHERE p.vec_id < 100 AND e2.vec_id <> p.vec_id),
+         |ext AS (SELECT p_id, e_nbr FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY p_id ORDER BY cosine DESC, e_nbr ASC) AS rank FROM exs)
+         |  WHERE rank <= 3)
+         |SELECT ext.p_id AS vec_id, count(*)::BIGINT AS n_exact,
+         |  count(ap.a_nbr)::BIGINT AS n_hit,
+         |  round(count(ap.a_nbr)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM ext LEFT JOIN ap ON ext.p_id = ap.a_id AND ext.e_nbr = ap.a_nbr
+         |GROUP BY 1""".stripMargin,
+    // IVF-cell graph: sized-quantizer Lloyd replay, per-vector top-nprobe
+    // cell ranking (round(cosine,6) desc, cl asc), the two-sided
+    // base/probe candidate union the kernel scores, exact re-rank
+    "embed_knn_join_cells" ->
+      s"""WITH $kmSizedTrainCtes,
+         |pc AS (SELECT e.vec_id, e.v, c.cl,
+         |  round(${cosineSql("e.v", "c.cv")}, 6) AS csim FROM e, c2 c),
+         |prc AS (SELECT *, row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY csim DESC, cl ASC) AS rn FROM pc),
+         |pcells AS (SELECT vec_id, cl, rn = 1 AS is_base FROM prc WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |         FROM pcells a JOIN pcells b ON a.cl = b.cl AND a.vec_id <> b.vec_id
+         |         WHERE a.is_base OR b.is_base),
+         |s AS (SELECT cand.vec_id, cand.nbr_id,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
+         |r AS (SELECT *, (row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
+         |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+    // IVF-cell graph recall vs the exact graph on the 100-probe set
+    "embed_knn_join_cells_recall" ->
+      s"""WITH $kmSizedTrainCtes,
+         |pc AS (SELECT e.vec_id, e.v, c.cl,
+         |  round(${cosineSql("e.v", "c.cv")}, 6) AS csim FROM e, c2 c),
+         |prc AS (SELECT *, row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY csim DESC, cl ASC) AS rn FROM pc),
+         |pcells AS (SELECT vec_id, cl, rn = 1 AS is_base FROM prc WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |         FROM pcells a JOIN pcells b ON a.cl = b.cl AND a.vec_id <> b.vec_id
+         |         WHERE a.is_base OR b.is_base),
+         |sc AS (SELECT cand.vec_id, cand.nbr_id,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+         |            JOIN e eb ON cand.nbr_id = eb.vec_id
+         |  WHERE cand.vec_id < 100),
+         |ap AS (SELECT vec_id AS a_id, nbr_id AS a_nbr FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rank FROM sc)
+         |  WHERE rank <= 3),
          |exs AS (SELECT p.vec_id AS p_id, e2.vec_id AS e_nbr,
          |  round(${cosineSql("e2.v", "p.v")}, 6) AS cosine
          |  FROM e e2, e p WHERE p.vec_id < 100 AND e2.vec_id <> p.vec_id),
@@ -3867,6 +4058,16 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM e, sp WHERE vec_id >= sp.split) b
          |LEFT JOIN k USING (vec_id)""".stripMargin,
     "embed_knn_kmeans" -> kmeansKnnSql(samplePct = None),
+    // corpus-adaptive cell count: k from count(*), seeds = first k by id
+    "embed_knn_kmeans_sized" -> kmeansKnnSizedSql,
+    "embed_kmeans_sized_recall" ->
+      s"""WITH br AS (SELECT query_id, vec_id FROM ($bruteKnnSql)),
+         |ap AS (SELECT query_id, vec_id FROM ($kmeansKnnSizedSql))
+         |SELECT br.query_id, count(*) AS n_exact,
+         |  count(ap.vec_id) AS n_hit,
+         |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
     // Lloyd trains on the corpus 4/5 only; af then assigns EVERY vector
     // against those centroids = persisted index ∪ routed batch
     "embed_knn_incremental" -> kmeansKnnSql(samplePct = None,

@@ -202,6 +202,43 @@ object EmbeddingSearch {
       .where(col("rank") <= k)
   }
 
+  /** [[mipsTopKAlsh]] under the CORPUS-ADAPTIVE band sizing — the same
+    * occupancy rule ([[lshRowsPerBand]]: widen bands as the corpus grows
+    * so expected bucket size stays ~targetBucket) the cosine families
+    * adopted in r7, applied to the asymmetric MIPS banding. The fixed
+    * 4×4 layout's candidate set grows LINEARLY with the corpus at fixed
+    * query load (bucket occupancy ∝ N at fixed width — SCALING.md
+    * measured 3.5× wall at x16), so at 100 TB the per-query serve cost
+    * was O(corpus); under the rule the buckets stay ~targetBucket and
+    * candidates stay ~|Q|·bands·targetBucket. One eager `count()` per
+    * call sizes the bands (the [[cosineNearDupPairsScaled]] argument);
+    * the oracle derives the same width from count(*). Augmentation,
+    * signature kernel, banding format, and the exact-dot re-rank are
+    * [[mipsTopKAlsh]] verbatim at the derived width (spec-pinned equal
+    * to the explicit-width call).
+    */
+  def mipsTopKAlshScaled(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10, targetBucket: Int = 32, bands: Int = 8): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val rpb = lshRowsPerBand(n, targetBucket)
+    mipsTopKAlsh(spark, dir, k, nQueries, nPlanes = bands * rpb, bands = bands)
+  }
+
+  /** recall@k of the SCALED ALSH MIPS path against exact [[mipsTopK]] —
+    * [[mipsRecall]]'s shape over the occupancy-sized banding, so the
+    * width rule's recall cost stays measured next to the fixed layout's.
+    */
+  def mipsRecallScaled(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val br = mipsTopK(spark, dir, k, nQueries).select(col("query_id"), col("vec_id"))
+    val ap = mipsTopKAlshScaled(spark, dir, k, nQueries)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    br.join(ap, col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("av")).as("n_hit"),
+        round(count(col("av")).cast("double") / count(lit(1)).cast("double"), 6).as("recall"))
+  }
+
   /** recall@k of the ALSH MIPS path against exact [[mipsTopK]] — the same
     * left-join shape as [[lshRecall]] so missed true neighbors count as
     * misses. Output: (query_id, n_exact, n_hit, recall).
@@ -630,16 +667,31 @@ object EmbeddingSearch {
   private[graft] def knnJoinBucketLocal(spark: SparkSession, dir: String,
       k: Int = 3, nPlanes: Int = 16, bands: Int = 4,
       maxBucket: Int = 1 << 17, multiProbe: Boolean = false,
-      tileOversized: Boolean = false, probeHamming: Int = 1): DataFrame = {
+      tileOversized: Boolean = false, probeHamming: Int = 1): DataFrame =
+    localTopKRanked(
+      localTopKKernel(bandedForKernel(Tables.embeddings(spark, dir), nPlanes,
+          bands, multiProbe, tileOversized, maxBucket, probeHamming),
+        k, maxBucket,
+        "enable tileOversized (the exact tiled escape) or use the " +
+          "explicitly-capped knnJoin variant (measured recall trade)"), k)
+
+  /** The group-local bounded-top-k kernel over ANY grouped 6-tuple frame
+    * (band, vec_id, v, is_base, tile, diag) — shared by the banded LSH
+    * graph ([[knnJoinBucketLocal]]) and the IVF-cell graph
+    * ([[knnJoinCells]]): one pass per group scores every admissible
+    * unordered pair once (≥1 base side; cross-tile only in off-diagonal
+    * tile groups) and keeps each member's local top-k under the ONE
+    * global total order.
+    */
+  private def localTopKKernel(banded: DataFrame, k: Int, maxBucket: Int,
+      escapeHint: String): DataFrame = {
+    val spark = banded.sparkSession
     import spark.implicits._
-    val local = bandedForKernel(Tables.embeddings(spark, dir), nPlanes, bands,
-        multiProbe, tileOversized, maxBucket, probeHamming)
+    banded
       .as[(String, Long, Array[Double], Boolean, Int, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (band, it) =>
-        val (m, norms) = drainBucketWithNorms(band, it, maxBucket,
-          "enable tileOversized (the exact tiled escape) or use the " +
-            "explicitly-capped knnJoin variant (measured recall trade)")
+        val (m, norms) = drainBucketWithNorms(band, it, maxBucket, escapeHint)
         val n = m.length
         // per-member bounded top-k slices in two flat arrays; each
         // unordered pair is scored ONCE (dot and the norm product are
@@ -708,8 +760,12 @@ object EmbeddingSearch {
         out
       }
       .toDF("vec_id", "nbr_id", "cosine")
-    // multi-band duplicates carry identical cosines — one survives; the
-    // global window then ranks the ≤ bands·k per-band winners per vector
+  }
+
+  /** The shared kernel epilogue: multi-group duplicates carry identical
+    * cosines — one survives; the global window then ranks the ≤ groups·k
+    * per-group winners per vector. */
+  private def localTopKRanked(local: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id").asc)
     local.dropDuplicates("vec_id", "nbr_id")
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -743,12 +799,43 @@ object EmbeddingSearch {
     * opt in with probeHamming=2 (registered and hash-gated as
     * embed_knn_join_h2, its recall as embed_knn_join_h2_recall); the r9
     * cheap config stays as embed_knn_join_unprobed. */
+  /** Hamming-2 ring key fan-out per band at width `rpb`: base + 1-bit +
+    * 2-bit flips = 1 + r + r(r−1)/2 — QUADRATIC in the corpus-derived
+    * band width, the measured reason H2 is an opt-in (21× wall at x16).
+    */
+  def h2RingFanOut(rpb: Int): Int = 1 + rpb + rpb * (rpb - 1) / 2
+
+  /** The H2 opt-in's misuse guard (r11 verdict item 6): the ring's cost
+    * constant grows quadratically with the corpus-derived band width, and
+    * SCALING.md documents it — but a doc can be missed at call time. Past
+    * `H2WarnFanOut` keys/band the call warns loudly (the measured 21×-at-
+    * x16 regime, rpb=8 → 37 keys); past `H2MaxFanOut` it refuses — at
+    * rpb ≥ 11 (≥ 67 keys/band, ~10× the Hamming-1 ring the default pays)
+    * the unprobed tail of the shuffle dominates any recall gain and the
+    * scale answer is the NN-descent refinement or Hamming-1.
+    */
+  val H2WarnFanOut = 32
+  val H2MaxFanOut = 64
+  private[graft] def requireH2FanOut(rpb: Int): Unit = {
+    val fan = h2RingFanOut(rpb)
+    require(fan <= H2MaxFanOut,
+      s"probeHamming=2 at the corpus-derived band width rpb=$rpb explodes to " +
+        s"$fan probe keys per band (> $H2MaxFanOut): the ring's shuffle grows " +
+        "quadratically with the width (21x wall measured at x16) — use the " +
+        "NN-descent refinement (knnJoinDescent) or Hamming-1 at this scale")
+    if (fan > H2WarnFanOut)
+      System.err.println(s"[graft] WARN probeHamming=2 at rpb=$rpb fans out to " +
+        s"$fan probe keys per band — quadratic in the corpus-derived width; " +
+        "the scale path is knnJoinDescent (see SCALING.md)")
+  }
+
   def knnJoinScaled(spark: SparkSession, dir: String, k: Int = 3,
       targetBucket: Int = 128, bands: Int = 8, candidateCap: Int = 0,
       multiProbe: Boolean = true, maxBucket: Int = 1 << 17,
       tileOversized: Boolean = false, probeHamming: Int = 1): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val rpb = lshRowsPerBand(n, targetBucket)
+    if (probeHamming >= 2) requireH2FanOut(rpb)
     if (candidateCap > 0)
       // the capped path has no probe support (probing widens candidates,
       // the cap narrows them — the two knobs pull opposite ways)
@@ -790,24 +877,34 @@ object EmbeddingSearch {
     * cosine, rank ≤ k) — [[knnJoin]]'s shape.
     */
   def knnJoinDescent(spark: SparkSession, dir: String, k: Int = 3,
-      rounds: Int = 2, targetBucket: Int = 128, bands: Int = 8,
-      probeHamming: Int = 1): DataFrame = {
+      rounds: Int = 2, kBuild: Int = 10, targetBucket: Int = 128,
+      bands: Int = 8, probeHamming: Int = 1): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    require(kBuild >= k, s"need kBuild >= k, got kBuild=$kBuild < k=$k")
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val wTop = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    var g = knnJoinScaled(spark, dir, k, targetBucket, bands,
+    // the descent runs at an INTERNAL width kBuild > k (Dong et al. §5.3:
+    // exploration needs neighborhoods wider than the answer) — at k=3 the
+    // 2-hop frontier is ≤36 candidates biased toward hub vertices (the
+    // deterministic reverse cap keeps a hub's lowest-id admirers), and
+    // measured recall barely moved (0.583→0.590 at x4); at kBuild=10 the
+    // frontier is ≤400 high-cosine candidates per vertex and the refined
+    // graph recovers the collapsed recall (see SCALING.md r12). The
+    // output truncates to rank ≤ k at the end.
+    var g = knnJoinScaled(spark, dir, kBuild, targetBucket, bands,
         probeHamming = probeHamming)
       .select(col("vec_id"), col("nbr_id"), col("cosine"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      // reverse edges capped at k per TARGET vertex (same total order as
-      // the forward top-k): |undirected neighborhood| ≤ 2k however hubby
-      // a vertex is — the bound that keeps a round's fan-out ≤ (2k)²
+      // reverse edges capped at kBuild per TARGET vertex (same total
+      // order as the forward top-k): |undirected neighborhood| ≤ 2·kBuild
+      // however hubby a vertex is — the bound that keeps a round's
+      // fan-out ≤ (2·kBuild)²
       val rev = g.withColumn("rr", row_number().over(
           Window.partitionBy("nbr_id").orderBy(col("cosine").desc, col("vec_id").asc)))
-        .where(col("rr") <= k)
+        .where(col("rr") <= kBuild)
         .select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))
       val und = g.select(col("vec_id"), col("nbr_id")).union(rev).distinct()
       val cand = und.as("a")
@@ -825,7 +922,7 @@ object EmbeddingSearch {
         .select(col("vec_id"), col("nbr_id"),
           round(cosine(col("va"), col("vb")), 6).as("cosine"))
       val next = scored.withColumn("rnk", row_number().over(wTop))
-        .where(col("rnk") <= k)
+        .where(col("rnk") <= kBuild)
         .select(col("vec_id"), col("nbr_id"), col("cosine"))
         .localCheckpoint()
       // eager checkpoint above has materialized `next`; the previous
@@ -835,6 +932,7 @@ object EmbeddingSearch {
       g = next
     }
     g.withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= k)
   }
 
   /** Recall@k of the NN-descent-refined graph against the exact graph on
@@ -843,9 +941,89 @@ object EmbeddingSearch {
     * refinement (seed recall vs refined recall on the same probes).
     */
   def knnJoinDescentRecall(spark: SparkSession, dir: String, k: Int = 3,
-      nProbes: Int = 100, rounds: Int = 2, targetBucket: Int = 128,
-      bands: Int = 8): DataFrame = {
-    val approx = knnJoinDescent(spark, dir, k, rounds, targetBucket, bands)
+      nProbes: Int = 100, rounds: Int = 2, kBuild: Int = 10,
+      targetBucket: Int = 128, bands: Int = 8): DataFrame = {
+    val approx = knnJoinDescent(spark, dir, k, rounds, kBuild, targetBucket, bands)
+      .where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("a_id"), col("nbr_id").as("a_nbr"))
+    val exTop = bruteForceTopK(spark, dir, k, nQueries = nProbes)
+      .select(col("query_id").as("p_id"), col("vec_id").as("e_nbr"))
+    exTop.join(approx,
+        exTop("p_id") === approx("a_id") && exTop("e_nbr") === approx("a_nbr"), "left")
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("a_nbr")).as("n_hit"))
+      .select(col("p_id").as("vec_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
+  /** The IVF-CELL kNN graph — the moderate-angle scale answer the banded
+    * families cannot give. Sign-LSH recall at bounded per-vector work
+    * DECAYS as the corpus grows: the occupancy rule widens bands with N,
+    * per-band collision probability for a fixed neighbor angle decays
+    * exponentially in the width, and holding recall would need a band
+    * count growing like N^ρ (the classic LSH table bound) — measured at
+    * x16, every affordable banded config tops out near 0.58 recall@3
+    * (SCALING.md r12 frontier) because this corpus's true top-3 sit at
+    * moderate cosines that wide bands hash apart. The IVF route is
+    * data-ADAPTIVE instead of data-oblivious: train the √N-cell
+    * quantizer ([[ivfCellCount]] — the same artifact the serve tier
+    * probes), give every vector its `nprobe` nearest cells (base = its
+    * home/argmax cell, probe = the rest — the multiprobe kernel's
+    * base/probe contract verbatim), and run the SAME group-local top-k
+    * kernel per cell. Candidates per vector ≈ nprobe·N/cells =
+    * nprobe·√N: per-vector work grows SUBLINEARLY (total N^1.5, the
+    * standard IVF graph-build trade — FAISS's shape), cell groups are
+    * bounded by the memory guard, and recall rides the quantizer's data
+    * fit, not hyperplane luck (measured x16 point in SCALING.md r12,
+    * beside the banded default's 0.387). Output: [[knnJoin]]'s shape.
+    */
+  def knnJoinCells(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 2, iters: Int = 2, maxBucket: Int = 1 << 17): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cells = ivfCellCount(emb.count())
+    val cent = trainKmeansIndex(emb, cells, iters)
+    localTopKRanked(
+      localTopKKernel(cellTaggedVectors(emb, cent, nprobe), k, maxBucket,
+        "raise the cell count (ivfCellCount) or lower nprobe"), k)
+  }
+
+  /** Per-vector top-`nprobe` cells as the kernel's 6-tuple frame: rank
+    * ALL trained cells per vector in one HOF pass over the broadcast
+    * centroid array (round(cosine,6) desc, lowest-cl ties — the
+    * kmeansAssign total order), emit the argmax cell tagged base and the
+    * next nprobe−1 tagged probe. The kernel then scores base-base
+    * (co-members of a cell) and base-probe (member × prober) pairs —
+    * every vector's candidate set is the members of its probed cells
+    * plus the probers of its home cell, mirrored exactly by the oracle's
+    * two-sided candidate union.
+    */
+  private def cellTaggedVectors(emb: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame = {
+    val centsArr = broadcast(
+      cent.agg(array_sort(collect_list(struct(col("cl"), col("cv"),
+        sqrt(dot(col("cv"), col("cv"))).as("ncv")))).as("cents")))
+    withNorm(emb).crossJoin(centsArr)
+      .select(col("vec_id"), col("v"),
+        slice(array_sort(transform(col("cents"), c => {
+          val csim = when(col("nv") === 0.0 || c.getField("ncv") === 0.0, lit(0.0))
+            .otherwise(dot(col("v"), c.getField("cv")) / (col("nv") * c.getField("ncv")))
+          // struct sort = lexicographic: (-csim asc, cl asc) ⇔ the
+          // (csim desc, cl asc) probe order every IVF surface uses
+          struct((-round(csim, 6)).as("ncsim"), c.getField("cl").as("cl"))
+        })), 1, nprobe).as("cells"))
+      .select(col("vec_id"), col("v"), posexplode(col("cells")).as(Seq("pos", "c")))
+      .select(concat(lit("c:"), col("c.cl").cast("string")).as("band"),
+        col("vec_id"), col("v"), (col("pos") === 0).as("is_base"),
+        lit(0).as("tile"), lit(true).as("diag"))
+  }
+
+  /** Recall@k of the IVF-cell graph vs the exact graph on the fixed
+    * probe set — [[knnJoinRecall]]'s shape over [[knnJoinCells]]. */
+  def knnJoinCellsRecall(spark: SparkSession, dir: String, k: Int = 3,
+      nProbes: Int = 100, nprobe: Int = 2): DataFrame = {
+    val approx = knnJoinCells(spark, dir, k, nprobe)
       .where(col("vec_id") < nProbes)
       .select(col("vec_id").as("a_id"), col("nbr_id").as("a_nbr"))
     val exTop = bruteForceTopK(spark, dir, k, nQueries = nProbes)
@@ -891,6 +1069,13 @@ object EmbeddingSearch {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     require(probeHamming >= 1 && probeHamming <= 2,
       s"probeHamming in [1,2], got $probeHamming")
+    // probe keys only exist under multiProbe — a caller asking for the
+    // Hamming-2 ring without it would silently get the UNPROBED graph
+    // (the flips column is built but unused), losing recall with no
+    // error; refuse loudly like the degenerate-width case (r11 ADVICE)
+    require(multiProbe || probeHamming == 1,
+      s"probeHamming=$probeHamming has no effect without multiProbe — " +
+        "enable multiProbe, or drop probeHamming to 1")
     val rpb = nPlanes / bands
     val sig = col("sig")
     val tag = (keys: Column, base: Boolean) =>
@@ -909,22 +1094,22 @@ object EmbeddingSearch {
   }
 
   /** The banded frame for a kernel invocation: plain when untiled; under
-    * `tileOversized` the signature pass is materialized once
-    * (localCheckpoint — N rows of (id, vector, signature), 1× corpus, vs
-    * 3× full scans if census and both branches each recomputed it) and
-    * the census + tiling rewrite runs over cheap re-explodes of it.
+    * `tileOversized` the signature pass is materialized once (persist —
+    * N rows of (id, vector, signature), 1× corpus, vs 3× full scans if
+    * census and both branches each recomputed it) and the census + tiling
+    * rewrite runs over cheap re-explodes of it.
     *
-    * Checkpoint lifecycle: the returned frame is LAZY over the checkpoint,
-    * so the blocks can't be released inside this call — instead the most
-    * recent tiled checkpoint is tracked session-wide and freed when the
-    * NEXT tiled frame is built, bounding a long-lived session (ScaleBench
-    * min-of-2 loops, repeated Scratch passes) at ONE pinned corpus-sized
-    * checkpoint instead of one per invocation. Contract: at most one
-    * outstanding tiled frame — building a new one invalidates any
-    * still-unevaluated previous frame's blocks (a localCheckpoint has no
-    * lineage to recompute from). Every in-repo caller evaluates each tiled
-    * frame before building another (Verify/Bench/specs run entries
-    * sequentially).
+    * Cache lifecycle: the returned frame is LAZY over the cached
+    * signature pass, so the blocks can't be released inside this call —
+    * instead the most recent tiled cache is tracked session-wide and
+    * freed when the NEXT tiled frame is built, bounding a long-lived
+    * session (ScaleBench min-of-2 loops, repeated Scratch passes) at ONE
+    * pinned corpus-sized cache instead of one per invocation. The cache
+    * is `persist` (lineage KEPT), not localCheckpoint: a previous tiled
+    * frame re-evaluated after its blocks were freed RECOMPUTES the
+    * deterministic signature pass (slower, correct) instead of dying on
+    * missing checkpoint blocks — the r11 ADVICE hazard of a convention-
+    * enforced evaluate-before-next-build contract.
     */
   private val lastTiledCheckpoint =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
@@ -935,9 +1120,10 @@ object EmbeddingSearch {
     if (!tileOversized)
       bandedVectors(embeddings, nPlanes, bands, multiProbe, probeHamming)
     else {
-      val cp = signedVectors(embeddings, nPlanes).localCheckpoint()
+      val cp = signedVectors(embeddings, nPlanes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val prev = lastTiledCheckpoint.getAndSet(cp)
-      if (prev != null) org.apache.spark.sql.GraftShim.unpersistCheckpoint(prev)
+      if (prev != null) prev.unpersist(false)
       tileOversizedBuckets(
         bandedFromSigned(cp, nPlanes, bands, multiProbe, probeHamming), maxBucket)
     }
@@ -1276,6 +1462,44 @@ object EmbeddingSearch {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     kmeansTopKWithIndex(emb, trainKmeansIndex(emb, nClusters, iters, samplePct), k, nQueries, nprobe)
   }
+
+  /** CORPUS-ADAPTIVE IVF cell count: ⌈√N⌉ clamped to [8, 65536] — the
+    * classic IVF sizing (cells ≈ √N balances the two serve costs: the
+    * |Q|·cells centroid ranking and the nprobe·N/cells probed-cell scan,
+    * both ∝ √N under the rule). A FIXED cell count pins the probed scan
+    * fraction at nprobe/k forever — at a fixture 8 cells means a probed
+    * serve reads nprobe/8 of the corpus however big it grows, the same
+    * class of gap the r6 verdict flagged for fixed LSH widths. Integer-in,
+    * integer-out with IEEE sqrt (correctly rounded in both engines; exact
+    * on perfect squares), so the DuckDB oracle derives the same k from
+    * count(*).
+    */
+  def ivfCellCount(corpusRows: Long): Int = {
+    val k = math.ceil(math.sqrt(math.max(corpusRows, 0L).toDouble)).toLong
+    math.max(8L, math.min(k, 65536L)).toInt
+  }
+
+  /** [[kmeansTopK]] under the corpus-adaptive cell count — the sized
+    * twin that keeps the probed fraction (nprobe/⌈√N⌉) SHRINKING as the
+    * corpus grows instead of pinned at nprobe/8. One eager `count()`
+    * sizes the quantizer (the [[cosineNearDupPairsScaled]] argument);
+    * training, assignment, probe, and re-rank are [[kmeansTopK]]
+    * verbatim at the derived k. Recall trade measured by the sized
+    * recall twin (more cells at fixed nprobe probes a smaller corpus
+    * fraction — the honest cost the rule pays for bounded serves).
+    */
+  def kmeansTopKSized(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cells = ivfCellCount(emb.count())
+    kmeansTopKWithIndex(emb, trainKmeansIndex(emb, cells, iters), k, nQueries, nprobe)
+  }
+
+  /** Recall@k of the sized-quantizer serve vs the exact top-k. */
+  def kmeansRecallSized(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10): DataFrame =
+    recallAgainstBrute(spark, dir, kmeansTopKSized(spark, dir, k, nQueries), k, nQueries)
 
   // Norms hoisted OUT of the k-way argmax: sqrt(v·v) is identical whether
   // computed once per row or once per (row, centroid) pair — same doubles,

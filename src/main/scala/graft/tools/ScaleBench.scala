@@ -153,9 +153,17 @@ object ScaleBench {
     // against the disk-extended union)
     "embed_knn_extend_serve",
     // round 12: NN-descent refinement of the probed kNN-graph default —
-    // the row whose (2k)²-bounded per-round fan-out is the answer to the
+    // the row whose bounded per-round fan-out is the answer to the
     // banded default's recall collapse; its recall is gated below
-    "embed_knn_join_nnd")
+    "embed_knn_join_nnd",
+    // round 12: the occupancy-sized ALSH banding — the row that shows the
+    // fixed layout's linear candidate growth (embed_knn_mips_alsh above)
+    // flattening under the width rule
+    "embed_knn_mips_scaled",
+    // round 12: the IVF-cell kNN graph (√N-cell quantizer, nprobe·√N
+    // candidates/vector) and the √N-sized IVF serve — the two rows whose
+    // cell count GROWS with the corpus; recall gated below
+    "embed_knn_join_cells", "embed_knn_kmeans_sized")
 
   /** RECALL-at-scale gate (r11 verdict stretch item): the kNN-graph
     * family's recall@3 is measured at every curve point and committed
@@ -172,7 +180,10 @@ object ScaleBench {
       .knnJoinRecall(s, d, targetBucket = 128, multiProbe = true)),
     // the NN-descent refinement — must hold recall where the seed's falls
     "embed_knn_join_nnd" -> ((s, d) => graft.operators.EmbeddingSearch
-      .knnJoinDescentRecall(s, d)))
+      .knnJoinDescentRecall(s, d)),
+    // the IVF-cell graph — the corpus-scale recommendation's recall point
+    "embed_knn_join_cells" -> ((s, d) => graft.operators.EmbeddingSearch
+      .knnJoinCellsRecall(s, d)))
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these

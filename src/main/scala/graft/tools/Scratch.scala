@@ -111,6 +111,66 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "nnd") {
+      // NN-descent frontier: what the internal width kBuild and the round
+      // count buy in recall@3 (vs the probed seed) and what they cost in
+      // wall — the measurement behind the registered (kBuild, rounds)
+      import org.apache.spark.sql.functions.{avg, col}
+      for ((kb, rounds) <- Seq((3, 2), (6, 2), (10, 1), (10, 2), (10, 3), (16, 2));
+           pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.EmbeddingSearch
+          .knnJoinDescent(spark, sfDir, kBuild = kb, rounds = rounds).count()
+        val w = (System.nanoTime() - t0) / 1e9
+        val rec = graft.operators.EmbeddingSearch
+          .knnJoinDescentRecall(spark, sfDir, kBuild = kb, rounds = rounds)
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"[nnd] kBuild=$kb%-2d rounds=$rounds pass=$pass wall=$w%6.2f s " +
+          f"rows=$n recall=$rec%.4f")
+      }
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "knnx16") {
+      // the x16 recall frontier across the two scale-safe knobs: bucket
+      // width (targetBucket — work/vector = tb·bands, corpus-independent)
+      // and band count, each ± NN-descent refinement on top
+      import org.apache.spark.sql.functions.{avg, col}
+      import graft.operators.EmbeddingSearch
+      for ((label, tb, bands, nnd) <- Seq(
+          ("tb128-8b", 128, 8, false), ("tb128-8b+nnd", 128, 8, true),
+          ("tb128-16b", 128, 16, false), ("tb128-16b+nnd", 128, 16, true),
+          ("tb512-8b", 512, 8, false), ("tb512-8b+nnd", 512, 8, true),
+          ("tb512-16b", 512, 16, false)); pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val g = if (nnd) EmbeddingSearch.knnJoinDescent(spark, sfDir,
+            targetBucket = tb, bands = bands)
+          else EmbeddingSearch.knnJoinScaled(spark, sfDir,
+            targetBucket = tb, bands = bands)
+        val n = g.count()
+        val w = (System.nanoTime() - t0) / 1e9
+        val rec = (if (nnd) EmbeddingSearch.knnJoinDescentRecall(spark, sfDir,
+            targetBucket = tb, bands = bands)
+          else EmbeddingSearch.knnJoinRecall(spark, sfDir,
+            targetBucket = tb, bands = bands, multiProbe = true))
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"[knnx16] $label%-14s pass=$pass wall=$w%6.2f s rows=$n recall=$rec%.4f")
+      }
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "knncells") {
+      // IVF-cell kNN-graph frontier: recall/wall per nprobe at this SF
+      import org.apache.spark.sql.functions.{avg, col}
+      import graft.operators.EmbeddingSearch
+      for (np <- Seq(1, 2, 4); pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = EmbeddingSearch.knnJoinCells(spark, sfDir, nprobe = np).count()
+        val w = (System.nanoTime() - t0) / 1e9
+        val rec = EmbeddingSearch.knnJoinCellsRecall(spark, sfDir, nprobe = np)
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"[knncells] nprobe=$np pass=$pass wall=$w%6.2f s rows=$n recall=$rec%.4f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "hybridprobe") {
       // recall/wall curve for the probed hybrid serve: what nprobe buys
       // the FUSED ranking (single-query serve wall + 20-query fused-rank

@@ -489,6 +489,16 @@ class EmbeddingSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(expP.nonEmpty, "fixture produced no near-dup pairs — pin is vacuous")
     assert(gotP == expP, "bucket-local pairs kernel diverged from the edge formulation")
+    // the occupancy-sized ALSH MIPS path is the explicit-width call at
+    // the derived width (tb=32, 8 bands) — the same pin the cosine
+    // families carry
+    val expM = EmbeddingSearch.mipsTopKAlsh(spark, dir,
+        nPlanes = 8 * EmbeddingSearch.lshRowsPerBand(n), bands = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val gotM = EmbeddingSearch.mipsTopKAlshScaled(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(gotM == expM, "scaled ALSH diverged from the explicit-width call")
+    assert(gotM.nonEmpty, "scaled ALSH produced no results on the fixture")
   }
 
   /** Probed EDGE formulation — the declarative reference for the
@@ -957,6 +967,42 @@ class EmbeddingSpec extends AnyFunSuite {
       s"descent changed nothing (seed recall $sr) — expansion broken?")
     assert(r2 > sr || sr > 0.999,
       s"2 descent rounds did not improve recall over the seed ($sr -> $r2)")
+  }
+
+  test("H2 misuse guards: no-multiProbe refused, fan-out bound enforced, tiled frames recompute") {
+    val dir = "/root/testdata/sf0.001"
+    // probeHamming=2 without multiProbe used to silently serve the
+    // UNPROBED graph (flips built, unused) — must refuse loudly now
+    val noProbe = intercept[IllegalArgumentException] {
+      EmbeddingSearch.knnJoinScaled(spark, dir, multiProbe = false,
+        probeHamming = 2).count()
+    }
+    assert(noProbe.getMessage.contains("multiProbe"))
+    // the ring fan-out arithmetic and the call-time bound: rpb=8 (the
+    // measured x16 width) passes with a warning, rpb=11+ refuses
+    assert(EmbeddingSearch.h2RingFanOut(8) == 37)
+    assert(EmbeddingSearch.h2RingFanOut(16) == 137)
+    EmbeddingSearch.requireH2FanOut(10) // 56 <= 64: allowed
+    val tooWide = intercept[IllegalArgumentException] {
+      EmbeddingSearch.requireH2FanOut(11) // 67 > 64
+    }
+    assert(tooWide.getMessage.contains("probe keys per band"))
+    // the registered H2 entry still runs under the guard (fixture width
+    // is far below the warn threshold)
+    assert(EmbeddingSearch.knnJoinScaled(spark, dir, probeHamming = 2).count() > 0)
+
+    // tiled frames survive a LATER tiled build: the signature cache is
+    // persist (lineage kept), so re-evaluating the earlier frame after
+    // its blocks were freed recomputes instead of dying on missing
+    // localCheckpoint blocks (r11 ADVICE)
+    val g1 = EmbeddingSearch.knnJoinScaled(spark, dir, targetBucket = 32,
+      multiProbe = false, maxBucket = 24, tileOversized = true)
+    val g2 = EmbeddingSearch.knnJoinScaled(spark, dir, targetBucket = 32,
+      multiProbe = false, maxBucket = 24, tileOversized = true)
+    val rows2 = g2.as[(Long, Long, Double, Long)].collect().toSet
+    val rows1 = g1.as[(Long, Long, Double, Long)].collect().toSet
+    assert(rows1 == rows2 && rows1.nonEmpty,
+      "earlier tiled frame must recompute identically after a later tiled build")
   }
 
   test("pq refine: true-cosine reorder of the ADC shortlist, k per query") {

@@ -170,7 +170,11 @@ class InvarianceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // round-12: the NN-descent rounds (window caps + distinct unions +
     // self-join + re-score) must pick identical edges at any layout
     "embed_knn_join_nnd" ->
-      ((s, d) => EmbeddingSearch.knnJoinDescent(s, d)))
+      ((s, d) => EmbeddingSearch.knnJoinDescent(s, d)),
+    // round-12: the IVF-cell graph (fresh sized training + HOF cell
+    // ranking + the shared kernel) must be partition-stable end-to-end
+    "embed_knn_join_cells" ->
+      ((s, d) => EmbeddingSearch.knnJoinCells(s, d)))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1528,22 +1528,70 @@ class StreamingSpec extends AnyFunSuite {
     def rowsOf(df: org.apache.spark.sql.DataFrame) =
       df.select($"query_id", $"doc_id", $"rrf", $"rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
-    val want = rowsOf(TextAnalysis.hybridServeBatch(queries, s"$root/bm", s"$root/ivf",
+    // a 4th SMALL-VOCABULARY external query: whole corpus documents as
+    // query texts legitimately touch every occupied term bucket, so the
+    // lexical-pruning assertion needs a query whose vocabulary doesn't —
+    // 4 terms → ≤4 bucket dirs (the PlanSpec batch-side fixture's shape)
+    val qEmb = emb.where($"vec_id" === 0L).select($"embedding").head().getSeq[Float](0)
+    val shortQ = (100L, "probability of the hypothesis", qEmb)
+    val allQ = queries.as[(Long, String, Seq[Float])].collect().toSeq :+ shortQ
+    val want = rowsOf(TextAnalysis.hybridServeBatch(
+      allQ.toDF("query_id", "text", "embedding"), s"$root/bm", s"$root/ivf",
       nprobe = 2))
     assert(want.nonEmpty)
     val got = scala.collection.mutable.Set.empty[(Long, Long, Double, Long)]
+    // scan-pruning evidence captured INSIDE foreachBatch: (batchId,
+    // isIvf, partitionsScanned, partitionsTotal) per index scan of the
+    // micro-batch serve plan — the r11 verdict's "does the per-batch
+    // serve reintroduce the corpus-wide scan the batch side eliminated"
+    val scanEvidence =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long, Long)]
+    val bucketsTotal = spark.read.parquet(s"$root/bm/postings")
+      .select($"bucket").distinct().count()
+    val cellsTotal = spark.read.parquet(s"$root/ivf/ivf")
+      .select($"cl").distinct().count()
     val input = MemoryStream[(Long, String, Seq[Float])]
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val q = StreamingOps.hybridAgainstIndexes(
         input.toDF().toDF("query_id", "text", "embedding"),
-        s"$root/bm", s"$root/ivf", nprobe = 2) { (fused, _) =>
-      got ++= rowsOf(fused); ()
+        s"$root/bm", s"$root/ivf", nprobe = 2) { (fused, batchId) =>
+      got ++= rowsOf(fused)
+      fused.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.foreach { s =>
+        val isIvf = s.output.exists(_.name == "v") && s.output.exists(_.name == "cl")
+        val isPostings = s.output.exists(_.name == "tf")
+        if (isIvf || isPostings)
+          scanEvidence += ((batchId, isIvf, s.selectedPartitions.partitionCount.toLong,
+            if (isIvf) cellsTotal else bucketsTotal))
+      }
+      ()
     }.start()
     try {
       input.addData(queries.as[(Long, String, Seq[Float])].collect().toSeq: _*)
       q.processAllAvailable()
-    } finally q.stop()
+      input.addData(shortQ)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
     assert(got.toSet == want,
       "probed streaming tier diverged from the probed batch kernel")
+    // the micro-batch plan must partition-prune BOTH index scans: the
+    // semantic scan to the probed cells on EVERY batch; the lexical scan
+    // to the batch's term buckets — sharp on the small-vocabulary batch
+    // (4 terms → ≤4 of the bucket dirs), vacuous-by-construction on the
+    // whole-document batch whose vocabulary covers all of them
+    val ivfScans = scanEvidence.filter(_._2)
+    val postingScans = scanEvidence.filter(e => !e._2 && e._1 == 1L)
+    assert(ivfScans.nonEmpty && postingScans.nonEmpty,
+      s"could not identify the index scans in the micro-batch plans: $scanEvidence")
+    ivfScans.foreach { case (b, _, n, total) =>
+      assert(n < total, s"batch $b ivf scan read all $total cells — corpus-wide") }
+    postingScans.foreach { case (b, _, n, total) =>
+      assert(n <= 4 && n < total,
+        s"batch $b postings scan read $n of $total buckets — not pruned to query terms") }
   }
 }
 
