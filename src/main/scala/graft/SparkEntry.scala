@@ -128,7 +128,11 @@ object SparkEntry {
     * an unchanged documents file must still invalidate the pair.
     */
   private[graft] def hybridForgetDirFor(dir: String): String =
-    fingerprintedDir(dir, "graft_hybfgt", Seq("documents.parquet", "embeddings.parquet"))
+    // v2: the r12 forget rewrite PRESERVES partition layouts — a cached
+    // pre-r12 pair (flattened by the old forget) would serve rows
+    // identically but measure the un-pruned plan forever; the version
+    // bump retires those dirs
+    fingerprintedDir(dir, "graft_hybfgt_v2", Seq("documents.parquet", "embeddings.parquet"))
 
   /** The ONE derivation of the persisted FULL-corpus IVF index's
     * directory — the vector-store artifact the hybrid serves read
@@ -660,6 +664,11 @@ object SparkEntry {
     // atomic as a unit (the dedup_forget_serve discipline).
     "text_hybrid_forget_serve" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, transform}
+      // pre-v2 cached pairs were flattened by the old forget rewrite —
+      // reclaim them (the keep marker "-" matches no fingerprint)
+      val sfName = new java.io.File(dir).getName
+      Tables.cleanStaleExports(System.getProperty("java.io.tmpdir"),
+        s"graft_hybfgt_${sfName}_", s"graft_hybfgt_${sfName}_-")
       val root = hybridForgetDirFor(dir)
       val marker = new org.apache.hadoop.fs.Path(root, "_FORGOTTEN")
       val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())

@@ -203,8 +203,11 @@ object Tables {
       if (kids != null) kids.foreach(deleteRec)
       f.delete()
     }
+    // multi-file fingerprints join hex blocks with '_' (hybfgt keys on
+    // documents AND embeddings) — the character class must admit them or
+    // those dirs are never reclaimed
     val staleName = ("^" + java.util.regex.Pattern.quote(prefix) +
-      "[0-9a-f]+(\\.ingest\\.parquet)?$").r
+      "[0-9a-f]+(_[0-9a-f]+)*(\\.ingest\\.parquet)?$").r
     val kids = new java.io.File(parent).listFiles()
     if (kids != null) kids
       .filter(f => staleName.matches(f.getName) && !f.getName.startsWith(keepPrefix))
