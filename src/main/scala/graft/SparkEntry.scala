@@ -1015,16 +1015,18 @@ object SparkEntry {
     "embed_knn_join_cells_recall" -> ((s, dir) =>
       EmbeddingSearch.knnJoinCellsRecall(s, dir)),
     // NN-DESCENT refinement of the probed default (Dong et al. WWW'11):
-    // 2 rounds of capped neighbor-of-neighbor expansion + exact-cosine
-    // re-rank over the seeded graph — per-round fan-out <= (2k)² per
-    // vertex, independent of corpus size AND band width, so recall holds
-    // where the banded default's collapses (0.387 -> 0.987 at x16 in
-    // SCALING.md r12) at bounded extra wall. The CORPUS-SCALE
-    // recommendation for the near-dup graph; seed + rounds replayed as
-    // nested CTEs in the oracle
+    // 2 rounds of capped neighbor-of-neighbor expansion at internal
+    // width kBuild=10 + exact-cosine re-rank — per-round fan-out
+    // <= (2·kBuild)² per vertex, independent of corpus size AND band
+    // width. Measured honestly (SCALING.md r12 gated recalls): it
+    // DOMINATES its seed everywhere (0.883 -> 0.923 at x1) but cannot
+    // recover the seed's x16 collapse (0.387 -> 0.437) — expansion
+    // through a bad seed finds little; the corpus-scale graph is
+    // embed_knn_join_cells above. Kept registered as the
+    // seed-refinement tool; seed + rounds replayed as nested CTEs
     "embed_knn_join_nnd" -> ((s, dir) => EmbeddingSearch.knnJoinDescent(s, dir)),
     // recall@k of the refined graph on the 100-probe set — the
-    // measurement that justifies the refinement over the seed
+    // measurement that bounds what the refinement buys over the seed
     "embed_knn_join_nnd_recall" -> ((s, dir) =>
       EmbeddingSearch.knnJoinDescentRecall(s, dir)),
     "embed_knn_ivf" -> ((s, dir) => EmbeddingSearch.ivfTopK(s, dir)),
@@ -2193,10 +2195,15 @@ object SparkEntry {
        |af AS (${kmAssignCte("e", "c2")})""".stripMargin
   }
 
-  private def kmeansKnnSql(samplePct: Option[Int],
-      trainWhere: Option[String] = None): String = {
-    s"""WITH ${kmTrainedAssignCtes(samplePct, trainWhere)},
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+  /** The IVF probe + exact-re-rank serve TAIL (q → pd → pr → probe → s →
+    * r → final top-5) — the ONE copy both the fixed-k and the sized
+    * quantizer oracles rank with; expects CTEs `e`, `c2` (trained
+    * centroids) and `af` (full assignment) from the training prefix. A
+    * forked copy would let the hash-gated pair silently serve different
+    * ranking rules.
+    */
+  private val kmeansServeTailSql: String =
+    s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
        |pd AS (SELECT q.query_id, q.qv, c.cl,
        |  round(${cosineSql("q.qv", "c.cv")}, 6) AS csim FROM q, c2 c),
        |pr AS (SELECT *, row_number() OVER
@@ -2209,6 +2216,11 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  private def kmeansKnnSql(samplePct: Option[Int],
+      trainWhere: Option[String] = None): String = {
+    s"""WITH ${kmTrainedAssignCtes(samplePct, trainWhere)},
+       |$kmeansServeTailSql""".stripMargin
   }
 
   /** [[kmeansKnnSql]] under the CORPUS-ADAPTIVE cell count: k = ⌈√N⌉
@@ -2243,20 +2255,24 @@ object SparkEntry {
   private val kmeansKnnSizedSql: String = {
     s"""WITH $kmSizedTrainCtes,
        |af AS (${kmAssignCte("e", "c2")}),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-       |pd AS (SELECT q.query_id, q.qv, c.cl,
-       |  round(${cosineSql("q.qv", "c.cv")}, 6) AS csim FROM q, c2 c),
-       |pr AS (SELECT *, row_number() OVER
-       |  (PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS rn FROM pd),
-       |probe AS (SELECT query_id, qv, cl FROM pr WHERE rn <= 2),
-       |s AS (SELECT probe.query_id, af.vec_id,
-       |  round(${cosineSql("af.v", "probe.qv")}, 6) AS cosine
-       |  FROM probe JOIN af ON af.cl = probe.cl
-       |  WHERE af.vec_id <> probe.query_id),
-       |r AS (SELECT *, (row_number() OVER
-       |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
-       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+       |$kmeansServeTailSql""".stripMargin
   }
+
+  /** The IVF-cell graph's candidate CTEs (per-vector cell ranking →
+    * top-nprobe memberships with the base/probe tag → the two-sided
+    * candidate union the kernel scores) — the ONE copy the cells entry
+    * and its recall twin both build on; expects `e` and `c2` from
+    * [[kmSizedTrainCtes]].
+    */
+  private val cellsCandCtes: String =
+    s"""pc AS (SELECT e.vec_id, e.v, c.cl,
+       |  round(${cosineSql("e.v", "c.cv")}, 6) AS csim FROM e, c2 c),
+       |prc AS (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY csim DESC, cl ASC) AS rn FROM pc),
+       |pcells AS (SELECT vec_id, cl, rn = 1 AS is_base FROM prc WHERE rn <= 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+       |         FROM pcells a JOIN pcells b ON a.cl = b.cl AND a.vec_id <> b.vec_id
+       |         WHERE a.is_base OR b.is_base)""".stripMargin
 
   /** Product-quantization oracle: per SUBSPACE, the same Lloyd replay as
     * [[kmeansKnnSql]] (seeds, round(cosine,6) argmax assignment,
@@ -3850,14 +3866,7 @@ object SparkEntry {
     // base/probe candidate union the kernel scores, exact re-rank
     "embed_knn_join_cells" ->
       s"""WITH $kmSizedTrainCtes,
-         |pc AS (SELECT e.vec_id, e.v, c.cl,
-         |  round(${cosineSql("e.v", "c.cv")}, 6) AS csim FROM e, c2 c),
-         |prc AS (SELECT *, row_number() OVER
-         |  (PARTITION BY vec_id ORDER BY csim DESC, cl ASC) AS rn FROM pc),
-         |pcells AS (SELECT vec_id, cl, rn = 1 AS is_base FROM prc WHERE rn <= 2),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
-         |         FROM pcells a JOIN pcells b ON a.cl = b.cl AND a.vec_id <> b.vec_id
-         |         WHERE a.is_base OR b.is_base),
+         |$cellsCandCtes,
          |s AS (SELECT cand.vec_id, cand.nbr_id,
          |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
          |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
@@ -3868,14 +3877,7 @@ object SparkEntry {
     // IVF-cell graph recall vs the exact graph on the 100-probe set
     "embed_knn_join_cells_recall" ->
       s"""WITH $kmSizedTrainCtes,
-         |pc AS (SELECT e.vec_id, e.v, c.cl,
-         |  round(${cosineSql("e.v", "c.cv")}, 6) AS csim FROM e, c2 c),
-         |prc AS (SELECT *, row_number() OVER
-         |  (PARTITION BY vec_id ORDER BY csim DESC, cl ASC) AS rn FROM pc),
-         |pcells AS (SELECT vec_id, cl, rn = 1 AS is_base FROM prc WHERE rn <= 2),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
-         |         FROM pcells a JOIN pcells b ON a.cl = b.cl AND a.vec_id <> b.vec_id
-         |         WHERE a.is_base OR b.is_base),
+         |$cellsCandCtes,
          |sc AS (SELECT cand.vec_id, cand.nbr_id,
          |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
          |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id

@@ -414,6 +414,18 @@ object Dedup {
         val writer = filtered.write.mode("overwrite")
         (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
           .parquet(staged.toString)
+        // a forget that removes EVERY row of a partitioned table writes
+        // no part-files at all (partitioned writers skip the empty-file
+        // schema fallback), leaving a directory parquet cannot infer a
+        // schema from — every later serve would crash on read. Rewrite
+        // the empty result FLAT: one schema-bearing empty file, reads as
+        // 0 rows; the partition key becomes a data column of an empty
+        // table, so no pruning is lost (and a later extend reads the dir
+        // as FLAT and prescribes the rebuild that repopulating an
+        // emptied index needs anyway).
+        if (partCols.nonEmpty && !fs.listStatus(staged).exists(e =>
+            e.getPath.getName != "_SUCCESS" && !e.getPath.getName.startsWith(".")))
+          filtered.limit(0).write.mode("overwrite").parquet(staged.toString)
         // MARKER-FIRST delete: recursive delete is not atomic and child
         // order is unspecified, so a crash mid-delete could otherwise
         // leave part-files gone but _SUCCESS behind — a rerun would then

@@ -229,24 +229,23 @@ object EmbeddingSearch {
     * width rule's recall cost stays measured next to the fixed layout's.
     */
   def mipsRecallScaled(spark: SparkSession, dir: String, k: Int = 5,
-      nQueries: Int = 10): DataFrame = {
-    val br = mipsTopK(spark, dir, k, nQueries).select(col("query_id"), col("vec_id"))
-    val ap = mipsTopKAlshScaled(spark, dir, k, nQueries)
-      .select(col("query_id").as("aq"), col("vec_id").as("av"))
-    br.join(ap, col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("n_exact"), count(col("av")).as("n_hit"),
-        round(count(col("av")).cast("double") / count(lit(1)).cast("double"), 6).as("recall"))
-  }
+      nQueries: Int = 10): DataFrame =
+    mipsRecallOf(spark, dir, mipsTopKAlshScaled(spark, dir, k, nQueries), k, nQueries)
 
   /** recall@k of the ALSH MIPS path against exact [[mipsTopK]] — the same
     * left-join shape as [[lshRecall]] so missed true neighbors count as
     * misses. Output: (query_id, n_exact, n_hit, recall).
     */
-  def mipsRecall(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+  def mipsRecall(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame =
+    mipsRecallOf(spark, dir, mipsTopKAlsh(spark, dir, k, nQueries), k, nQueries)
+
+  /** The ONE MIPS recall rollup both ALSH layouts share — forked copies
+    * would let the fixed and sized rows silently measure different rules.
+    */
+  private def mipsRecallOf(spark: SparkSession, dir: String, approxTopK: DataFrame,
+      k: Int, nQueries: Int): DataFrame = {
     val br = mipsTopK(spark, dir, k, nQueries).select(col("query_id"), col("vec_id"))
-    val ap = mipsTopKAlsh(spark, dir, k, nQueries)
-      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    val ap = approxTopK.select(col("query_id").as("aq"), col("vec_id").as("av"))
     br.join(ap, col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_exact"), count(col("av")).as("n_hit"),
@@ -798,7 +797,14 @@ object EmbeddingSearch {
     * dominate the shuffle. Recall-critical consumers on bounded corpora
     * opt in with probeHamming=2 (registered and hash-gated as
     * embed_knn_join_h2, its recall as embed_knn_join_h2_recall); the r9
-    * cheap config stays as embed_knn_join_unprobed. */
+    * cheap config stays as embed_knn_join_unprobed.
+    *
+    * RECALL AT SCALE (r12): no banded config holds moderate-angle
+    * recall as the corpus grows (the measured x16 frontier tops out at
+    * 0.58 — SCALING.md r12); corpus-scale consumers of the neighbor
+    * GRAPH should use [[knnJoinCells]] (0.993 recall@3 at x16 at lower
+    * wall). This banded family remains the linear-total-work tool and
+    * the high-cosine near-dup path. */
   /** Hamming-2 ring key fan-out per band at width `rpb`: base + 1-bit +
     * 2-bit flips = 1 + r + r(r−1)/2 — QUADRATIC in the corpus-derived
     * band width, the measured reason H2 is an opt-in (21× wall at x16).
@@ -833,6 +839,15 @@ object EmbeddingSearch {
       targetBucket: Int = 128, bands: Int = 8, candidateCap: Int = 0,
       multiProbe: Boolean = true, maxBucket: Int = 1 << 17,
       tileOversized: Boolean = false, probeHamming: Int = 1): DataFrame = {
+    // an EXPLICIT wider probe ring alongside the cap is a contradiction
+    // (probing widens candidates, the cap narrows them) and the capped
+    // path has no probe support at all — refuse rather than silently
+    // serve the unprobed capped graph (the bandedFromSigned discipline);
+    // multiProbe=true is the parameter DEFAULT so it cannot be told apart
+    // from an explicit request and is documented as dropped instead
+    require(candidateCap <= 0 || probeHamming == 1,
+      s"candidateCap=$candidateCap has no probe support — probeHamming=" +
+        s"$probeHamming would be silently ignored; drop one of the two knobs")
     val n = Tables.embeddings(spark, dir).count()
     val rpb = lshRowsPerBand(n, targetBucket)
     if (probeHamming >= 2) requireH2FanOut(rpb)
@@ -851,36 +866,64 @@ object EmbeddingSearch {
     * similarity measures"): take [[knnJoinScaled]]'s graph as the SEED,
     * then run `rounds` neighbor-of-neighbor expansions — a neighbor of my
     * neighbor is likely my neighbor — each round scoring every candidate
-    * by exact cosine and keeping the top-k. This is the scale answer to
-    * the banded default's recall cliff: `lshRowsPerBand` holds wall at
-    * x16 by WIDENING bands, which crushes single-flip probe coverage
-    * (recall@3 0.883 at sf0.1 → 0.387 at x16), and the Hamming-2 ring
-    * was rejected because its fan-out grows QUADRATICALLY in the band
-    * width (21× wall at x16). NN-descent's cost rides neither: every
-    * round is a bounded equi-join keyed by vertex — reverse edges are
-    * capped at k per target (row_number over the same (cosine desc, id
-    * asc) total order), so the undirected neighborhood is ≤ 2k and the
-    * candidate fan-out ≤ (2k)² per vertex per round, INDEPENDENT of
-    * corpus size and band width. Each round: cap reverse edges → union
-    * into the undirected edge set → self-join on the shared middle
-    * vertex (neighbors-of-neighbors) ∪ current edges → exact-cosine
-    * re-score → per-vertex top-k. The graph can only improve: candidates
+    * by exact cosine and keeping the top-k. Cost rides neither the band
+    * width (the Hamming-2 ring's quadratic fan-out) nor the corpus size:
+    * every round is a bounded equi-join keyed by vertex — reverse edges
+    * are capped at kBuild per target (row_number over the same (cosine
+    * desc, id asc) total order), so the undirected neighborhood is
+    * ≤ 2·kBuild and the candidate fan-out ≤ (2·kBuild)² per vertex per
+    * round. Each round: cap reverse edges → union into the undirected
+    * edge set → self-join on the shared middle vertex
+    * (neighbors-of-neighbors) ∪ current edges → exact-cosine re-score →
+    * per-vertex top-kBuild. The graph can only improve: candidates
     * always include the previous round's edges, and per-vertex top-k
     * under the one total order is monotone in the candidate set
-    * (spec-pinned). Rounds are UNROLLED lazy plans with a per-round
-    * localCheckpoint (each round reads the previous graph three times —
-    * reverse cap, union base, join sides — and plan growth would
-    * otherwise be exponential in rounds); the oracle replays the same
-    * fixed rounds as nested CTEs. Measured (SCALING.md r12): recall@3
-    * 0.987 at sf0.1 and at x16 — the x16 point the r11 verdict asked for,
-    * at bounded extra wall over the seed. Output: (vec_id, nbr_id,
-    * cosine, rank ≤ k) — [[knnJoin]]'s shape.
+    * (spec-pinned). Rounds are UNROLLED plans, each round materialized
+    * once (cached + counted — each round reads the previous graph three
+    * times, and uncached plan growth would be exponential in rounds)
+    * with the superseded round released; the oracle replays the same
+    * fixed rounds as nested CTEs.
+    *
+    * Measured HONESTLY (SCALING.md r12, the gated recalls column):
+    * recall@3 0.923 at x1 (seed 0.883) but only 0.437 at x16 (seed
+    * 0.387) — on this corpus the true top-3 sit at moderate cosines,
+    * and neighbor-of-neighbor expansion through a 0.39-recall seed
+    * cannot recover them in bounded rounds. The refinement provably
+    * dominates its seed everywhere and is the right tool when the seed
+    * is already good; the CORPUS-SCALE graph answer is [[knnJoinCells]]
+    * (0.993 at x16). Output: (vec_id, nbr_id, cosine, rank ≤ k) —
+    * [[knnJoin]]'s shape.
     */
+  /** The most recent descent invocation's FINAL round cache — the
+    * [[lastTiledCheckpoint]] discipline for the descent's corpus-scale
+    * (N·kBuild-edge) frame: freed when the next descent builds a
+    * genuinely different graph, so a long session (ScaleBench min-of-2,
+    * repeated recall runs) pins ONE final graph, not one per call.
+    * Everything is `persist` (lineage kept), so a stale frame freed
+    * here RECOMPUTES if re-evaluated — never a missing-block crash.
+    */
+  private val lastDescentCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def knnJoinDescent(spark: SparkSession, dir: String, k: Int = 3,
       rounds: Int = 2, kBuild: Int = 10, targetBucket: Int = 128,
       bands: Int = 8, probeHamming: Int = 1): DataFrame = {
-    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    // unrolled-plan depth: each round's LOGICAL plan nests the previous
+    // round's (persist shortcuts execution, not analysis), so unbounded
+    // rounds would explode Catalyst analysis — and the measured recall
+    // curve is flat past 2-3 rounds anyway (SCALING.md r12)
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
     require(kBuild >= k, s"need kBuild >= k, got kBuild=$kBuild < k=$k")
+    // cache + force: each round is materialized exactly once (its plan
+    // is read three times by the next round) with lineage KEPT — a
+    // superseded round's cache is released immediately (recompute-safe),
+    // and consecutive identical builds share entries via the sameResult
+    // guard instead of evicting each other
+    def materialized(df: DataFrame): DataFrame = {
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    }
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val wTop = Window.partitionBy("vec_id")
@@ -890,13 +933,12 @@ object EmbeddingSearch {
     // 2-hop frontier is ≤36 candidates biased toward hub vertices (the
     // deterministic reverse cap keeps a hub's lowest-id admirers), and
     // measured recall barely moved (0.583→0.590 at x4); at kBuild=10 the
-    // frontier is ≤400 high-cosine candidates per vertex and the refined
-    // graph recovers the collapsed recall (see SCALING.md r12). The
-    // output truncates to rank ≤ k at the end.
-    var g = knnJoinScaled(spark, dir, kBuild, targetBucket, bands,
+    // frontier is ≤400 high-cosine candidates per vertex and each round
+    // buys ~10× more (see SCALING.md r12 for what that does and does NOT
+    // recover). The output truncates to rank ≤ k at the end.
+    var g = materialized(knnJoinScaled(spark, dir, kBuild, targetBucket, bands,
         probeHamming = probeHamming)
-      .select(col("vec_id"), col("nbr_id"), col("cosine"))
-      .localCheckpoint()
+      .select(col("vec_id"), col("nbr_id"), col("cosine")))
     for (_ <- 1 to rounds) {
       // reverse edges capped at kBuild per TARGET vertex (same total
       // order as the forward top-k): |undirected neighborhood| ≤ 2·kBuild
@@ -921,30 +963,35 @@ object EmbeddingSearch {
         .join(e.select(col("vec_id").as("nbr_id"), col("v").as("vb")), Seq("nbr_id"))
         .select(col("vec_id"), col("nbr_id"),
           round(cosine(col("va"), col("vb")), 6).as("cosine"))
-      val next = scored.withColumn("rnk", row_number().over(wTop))
+      val next = materialized(scored.withColumn("rnk", row_number().over(wTop))
         .where(col("rnk") <= kBuild)
-        .select(col("vec_id"), col("nbr_id"), col("cosine"))
-        .localCheckpoint()
-      // eager checkpoint above has materialized `next`; the previous
-      // round's blocks are dead — free them so a long descent holds one
-      // graph-sized checkpoint, not `rounds` of them
-      org.apache.spark.sql.GraftShim.unpersistCheckpoint(g)
+        .select(col("vec_id"), col("nbr_id"), col("cosine")))
+      // `next` is materialized; the superseded round's cache is dead —
+      // release it (lineage kept: a re-evaluation would recompute, not
+      // crash) so the descent holds one graph-sized cache, not `rounds`
+      g.unpersist(false)
       g = next
     }
+    // the FINAL round's cache outlives this call (the returned frame is
+    // lazy over it) — session-slot it so the next descent releases it
+    val prev = lastDescentCache.getAndSet(g)
+    if (prev != null &&
+        !prev.queryExecution.analyzed.sameResult(g.queryExecution.analyzed))
+      prev.unpersist(false)
     g.withColumn("rank", row_number().over(wTop).cast("long"))
       .where(col("rank") <= k)
   }
 
-  /** Recall@k of the NN-descent-refined graph against the exact graph on
-    * the fixed probe set — [[knnJoinRecall]]'s shape over
-    * [[knnJoinDescent]]'s output, the measurement that justifies the
-    * refinement (seed recall vs refined recall on the same probes).
+  /** THE probe-set graph-recall rollup — one definition of the rule
+    * (probe filter, brute-force exact side, left join so misses count,
+    * per-probe n_exact/n_hit/round(recall, 6)) shared by every kNN-graph
+    * recall surface ([[knnJoinRecall]], [[knnJoinDescentRecall]],
+    * [[knnJoinCellsRecall]]); a hand-rolled copy would silently fork the
+    * rule on any future edit (tie-break, rounding, n_exact definition).
     */
-  def knnJoinDescentRecall(spark: SparkSession, dir: String, k: Int = 3,
-      nProbes: Int = 100, rounds: Int = 2, kBuild: Int = 10,
-      targetBucket: Int = 128, bands: Int = 8): DataFrame = {
-    val approx = knnJoinDescent(spark, dir, k, rounds, kBuild, targetBucket, bands)
-      .where(col("vec_id") < nProbes)
+  private def graphRecallVsBrute(spark: SparkSession, dir: String,
+      approxGraph: DataFrame, k: Int, nProbes: Int): DataFrame = {
+    val approx = approxGraph.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("a_id"), col("nbr_id").as("a_nbr"))
     val exTop = bruteForceTopK(spark, dir, k, nQueries = nProbes)
       .select(col("query_id").as("p_id"), col("vec_id").as("e_nbr"))
@@ -955,6 +1002,17 @@ object EmbeddingSearch {
       .select(col("p_id").as("vec_id"), col("n_exact"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
   }
+
+  /** Recall@k of the NN-descent-refined graph against the exact graph on
+    * the fixed probe set — the measurement that bounds what the
+    * refinement buys over the seed on the same probes.
+    */
+  def knnJoinDescentRecall(spark: SparkSession, dir: String, k: Int = 3,
+      nProbes: Int = 100, rounds: Int = 2, kBuild: Int = 10,
+      targetBucket: Int = 128, bands: Int = 8): DataFrame =
+    graphRecallVsBrute(spark, dir,
+      knnJoinDescent(spark, dir, k, rounds, kBuild, targetBucket, bands),
+      k, nProbes)
 
   /** The IVF-CELL kNN graph — the moderate-angle scale answer the banded
     * families cannot give. Sign-LSH recall at bounded per-vector work
@@ -1020,21 +1078,10 @@ object EmbeddingSearch {
   }
 
   /** Recall@k of the IVF-cell graph vs the exact graph on the fixed
-    * probe set — [[knnJoinRecall]]'s shape over [[knnJoinCells]]. */
+    * probe set — [[graphRecallVsBrute]] over [[knnJoinCells]]. */
   def knnJoinCellsRecall(spark: SparkSession, dir: String, k: Int = 3,
-      nProbes: Int = 100, nprobe: Int = 2): DataFrame = {
-    val approx = knnJoinCells(spark, dir, k, nprobe)
-      .where(col("vec_id") < nProbes)
-      .select(col("vec_id").as("a_id"), col("nbr_id").as("a_nbr"))
-    val exTop = bruteForceTopK(spark, dir, k, nQueries = nProbes)
-      .select(col("query_id").as("p_id"), col("vec_id").as("e_nbr"))
-    exTop.join(approx,
-        exTop("p_id") === approx("a_id") && exTop("e_nbr") === approx("a_nbr"), "left")
-      .groupBy(col("p_id"))
-      .agg(count(lit(1)).as("n_exact"), count(col("a_nbr")).as("n_hit"))
-      .select(col("p_id").as("vec_id"), col("n_exact"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
-  }
+      nProbes: Int = 100, nprobe: Int = 2): DataFrame =
+    graphRecallVsBrute(spark, dir, knnJoinCells(spark, dir, k, nprobe), k, nProbes)
 
   /** The shared bucket-local-kernel prologue: project to (vec_id, v),
     * explode into band keys tagged base/probe. Both kernels group on the
@@ -1123,7 +1170,14 @@ object EmbeddingSearch {
       val cp = signedVectors(embeddings, nPlanes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val prev = lastTiledCheckpoint.getAndSet(cp)
-      if (prev != null) prev.unpersist(false)
+      // CacheManager keys on the CANONICALIZED plan: two consecutive
+      // IDENTICAL tiled builds share one cache entry, and unpersisting
+      // the previous frame would silently evict the entry the new frame
+      // is about to use (re-adding and removing it forever after) — only
+      // release when the plans genuinely differ
+      if (prev != null &&
+          !prev.queryExecution.analyzed.sameResult(cp.queryExecution.analyzed))
+        prev.unpersist(false)
       tileOversizedBuckets(
         bandedFromSigned(cp, nPlanes, bands, multiProbe, probeHamming), maxBucket)
     }
@@ -1906,23 +1960,11 @@ object EmbeddingSearch {
   def knnJoinRecall(spark: SparkSession, dir: String, k: Int = 3,
       nProbes: Int = 100, targetBucket: Int = 32, bands: Int = 8,
       candidateCap: Int = 0, multiProbe: Boolean = false,
-      probeHamming: Int = 1): DataFrame = {
-    val approx = knnJoinScaled(spark, dir, k, targetBucket, bands, candidateCap,
-        multiProbe = multiProbe, probeHamming = probeHamming)
-      .where(col("vec_id") < nProbes)
-      .select(col("vec_id").as("a_id"), col("nbr_id").as("a_nbr"))
-    // the exact side IS bruteForceTopK on the probe set — one ranking
-    // rule, like every other recall helper here (a second hand-rolled
-    // probe would silently fork the rule on any future edit)
-    val exTop = bruteForceTopK(spark, dir, k, nQueries = nProbes)
-      .select(col("query_id").as("p_id"), col("vec_id").as("e_nbr"))
-    exTop.join(approx,
-        exTop("p_id") === approx("a_id") && exTop("e_nbr") === approx("a_nbr"), "left")
-      .groupBy(col("p_id"))
-      .agg(count(lit(1)).as("n_exact"), count(col("a_nbr")).as("n_hit"))
-      .select(col("p_id").as("vec_id"), col("n_exact"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
-  }
+      probeHamming: Int = 1): DataFrame =
+    graphRecallVsBrute(spark, dir,
+      knnJoinScaled(spark, dir, k, targetBucket, bands, candidateCap,
+        multiProbe = multiProbe, probeHamming = probeHamming),
+      k, nProbes)
 
   /** Recall@k of the multi-probe LSH path vs exact — measured beside
     * [[lshRecall]], this quantifies what Hamming-1 probing buys at fixed
@@ -2292,6 +2334,16 @@ object EmbeddingSearch {
       val hasPartDirs = entries.exists(_.getPath.getName.startsWith(pk))
       val hasDataFiles = entries.exists(e => e.isFile &&
         !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      // wrong-key partition dirs are a mixed-layout hazard too and must
+      // not slip through the empty-table allowance (extendBm25Index
+      // guard discipline)
+      val wrongKeyDirs = entries.filter(e => !e.isFile &&
+        e.getPath.getName.contains("=") && !e.getPath.getName.startsWith(pk))
+      require(wrongKeyDirs.isEmpty,
+        s"IVF table '$t' at $indexPath is partitioned by the wrong key " +
+          s"(${wrongKeyDirs.head.getPath.getName.split("=")(0)}= dirs, " +
+          s"expected $pk) — appending $pk dirs would mix layouts; rebuild " +
+          "with buildIvfIndex before extending")
       require(hasPartDirs || !hasDataFiles,
         s"IVF table '$t' at $indexPath is FLAT (data files without $pk " +
           "partition directories) — appending partitioned files would mix " +

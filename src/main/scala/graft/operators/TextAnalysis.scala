@@ -1451,6 +1451,17 @@ object TextAnalysis {
       val hasPartDirs = entries.exists(_.getPath.getName.startsWith(pk))
       val hasDataFiles = entries.exists(e => e.isFile &&
         !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      // a table partitioned by the WRONG key (some other col=value dirs)
+      // is just as much a mixed-layout hazard as a flat one — and it has
+      // neither data files nor the right dirs, so it must be refused
+      // explicitly, not fall into the empty-table allowance
+      val wrongKeyDirs = entries.filter(e => !e.isFile &&
+        e.getPath.getName.contains("=") && !e.getPath.getName.startsWith(pk))
+      require(wrongKeyDirs.isEmpty,
+        s"BM25 table '$t' at $indexPath is partitioned by the wrong key " +
+          s"(${wrongKeyDirs.head.getPath.getName.split("=")(0)}= dirs, " +
+          s"expected $pk) — appending $pk dirs would mix layouts; rebuild " +
+          "with buildBm25Index before extending")
       require(hasPartDirs || !hasDataFiles,
         s"BM25 table '$t' at $indexPath is FLAT (data files without $pk " +
           "partition directories — a pre-r12 forget rewrote the layout, or " +

@@ -1269,6 +1269,40 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(TextAnalysis.bm25TopDocsWithIndex(spark, emptyIdx, queryDocId = 990001L)
       .collect().isEmpty, "a single-doc index has no other docs to rank")
 
+    // forget-ALL: removing every row of the partitioned tables must
+    // leave a READABLE committed index (an empty partitioned write has
+    // no part-files and would crash schema inference on every later
+    // serve — the kernel rewrites the empty result as one
+    // schema-bearing flat file) and a later extend reads it as FLAT
+    // (rebuild is the honest remedy for repopulating an emptied index)
+    val allIdx = s"$root/all"
+    val threeDocs = docs.select($"doc_id", $"text").where($"doc_id" < 3)
+    TextAnalysis.buildBm25Index(threeDocs, allIdx)
+    Forget.forgetEverywhere(spark, s"$root/manifest_all",
+      threeDocs.select($"doc_id"), Seq(Forget.bm25Target(allIdx)))
+    assert(spark.read.parquet(s"$allIdx/postings").count() == 0,
+      "forget-all must leave a readable empty postings table")
+    assert(TextAnalysis.bm25TopDocsWithIndex(spark, allIdx).collect().isEmpty,
+      "serving an emptied index must return 0 rows, not crash")
+    val emptiedFlat = intercept[IllegalArgumentException] {
+      TextAnalysis.extendBm25Index(allIdx, newDoc)
+    }
+    assert(emptiedFlat.getMessage.contains("FLAT"))
+
+    // wrong-key partition dirs are refused too (not the empty allowance)
+    val wrongIdx = s"$root/wrong"
+    TextAnalysis.buildBm25Index(threeDocs, wrongIdx)
+    val wp = new org.apache.hadoop.fs.Path(wrongIdx, "postings")
+    val wTmp = new org.apache.hadoop.fs.Path(wrongIdx, "postings__w")
+    spark.read.parquet(wp.toString).withColumnRenamed("bucket", "zone")
+      .write.mode("overwrite").partitionBy("zone").parquet(wTmp.toString)
+    fs.delete(wp, true)
+    assert(fs.rename(wTmp, wp))
+    val wrongKey = intercept[IllegalArgumentException] {
+      TextAnalysis.extendBm25Index(wrongIdx, newDoc)
+    }
+    assert(wrongKey.getMessage.contains("wrong key"))
+
     // a crashed EXTEND (_DONE deleted, appends in an unknown state) can
     // only be repaired by rebuild: re-running extend would append the
     // batch postings a second time and silently double tf/df/dl
