@@ -878,11 +878,12 @@ object EmbeddingSearch {
     * per-vertex top-kBuild. The graph can only improve: candidates
     * always include the previous round's edges, and per-vertex top-k
     * under the one total order is monotone in the candidate set
-    * (spec-pinned). Rounds are UNROLLED plans, each round materialized
-    * once (cached + counted — each round reads the previous graph three
-    * times, and uncached plan growth would be exponential in rounds)
-    * with the superseded round released; the oracle replays the same
-    * fixed rounds as nested CTEs.
+    * (spec-pinned). Rounds are UNROLLED plans, each round eagerly
+    * checkpointed (each round reads the previous graph three times, and
+    * unmaterialized plan growth would be exponential in rounds — see
+    * [[lastDescentCheckpoint]] for the measured persist-vs-checkpoint
+    * trade) with the superseded round released; the oracle replays the
+    * same fixed rounds as nested CTEs.
     *
     * Measured HONESTLY (SCALING.md r12, the gated recalls column):
     * recall@3 0.923 at x1 (seed 0.883) but only 0.437 at x16 (seed
@@ -894,36 +895,33 @@ object EmbeddingSearch {
     * (0.993 at x16). Output: (vec_id, nbr_id, cosine, rank ≤ k) —
     * [[knnJoin]]'s shape.
     */
-  /** The most recent descent invocation's FINAL round cache — the
-    * [[lastTiledCheckpoint]] discipline for the descent's corpus-scale
-    * (N·kBuild-edge) frame: freed when the next descent builds a
-    * genuinely different graph, so a long session (ScaleBench min-of-2,
-    * repeated recall runs) pins ONE final graph, not one per call.
-    * Everything is `persist` (lineage kept), so a stale frame freed
-    * here RECOMPUTES if re-evaluated — never a missing-block crash.
+  /** The most recent descent invocation's FINAL round checkpoint — the
+    * session-slot discipline for the descent's corpus-scale
+    * (N·kBuild-edge) frame: freed when the next descent runs, so a long
+    * session (ScaleBench min-of-2, repeated recall runs) pins ONE final
+    * graph, not one per call. localCheckpoint (not persist) is
+    * deliberate and MEASURED: each round's plan must TRUNCATE — with
+    * lineage-keeping persist the nested logical plans triple the wall
+    * (10.7 s vs 3.5 s at sf0.1: Catalyst re-analyzes/canonicalizes the
+    * exponentially-nested tree on every round's action and every cache
+    * lookup). The contract cost: a descent frame from a PREVIOUS
+    * invocation that is re-evaluated after a newer descent ran fails on
+    * released checkpoint blocks instead of recomputing — every in-repo
+    * caller evaluates its frame before the next descent (entries, bench
+    * loops, specs), matching the tiled kernel's pre-r12 contract.
     */
-  private val lastDescentCache =
+  private val lastDescentCheckpoint =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   def knnJoinDescent(spark: SparkSession, dir: String, k: Int = 3,
       rounds: Int = 2, kBuild: Int = 10, targetBucket: Int = 128,
       bands: Int = 8, probeHamming: Int = 1): DataFrame = {
-    // unrolled-plan depth: each round's LOGICAL plan nests the previous
-    // round's (persist shortcuts execution, not analysis), so unbounded
-    // rounds would explode Catalyst analysis — and the measured recall
-    // curve is flat past 2-3 rounds anyway (SCALING.md r12)
     require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
     require(kBuild >= k, s"need kBuild >= k, got kBuild=$kBuild < k=$k")
-    // cache + force: each round is materialized exactly once (its plan
-    // is read three times by the next round) with lineage KEPT — a
-    // superseded round's cache is released immediately (recompute-safe),
-    // and consecutive identical builds share entries via the sameResult
-    // guard instead of evicting each other
-    def materialized(df: DataFrame): DataFrame = {
-      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      c.count()
-      c
-    }
+    // eager localCheckpoint: each round materializes exactly once (its
+    // frame is read three times by the next round) AND truncates the
+    // plan — see the slot doc above for why persist measured 3× slower
+    def materialized(df: DataFrame): DataFrame = df.localCheckpoint()
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val wTop = Window.partitionBy("vec_id")
@@ -966,18 +964,17 @@ object EmbeddingSearch {
       val next = materialized(scored.withColumn("rnk", row_number().over(wTop))
         .where(col("rnk") <= kBuild)
         .select(col("vec_id"), col("nbr_id"), col("cosine")))
-      // `next` is materialized; the superseded round's cache is dead —
-      // release it (lineage kept: a re-evaluation would recompute, not
-      // crash) so the descent holds one graph-sized cache, not `rounds`
-      g.unpersist(false)
+      // `next` is materialized; the superseded round's blocks are dead —
+      // free them so the descent holds one graph-sized checkpoint, not
+      // `rounds` of them
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(g)
       g = next
     }
-    // the FINAL round's cache outlives this call (the returned frame is
-    // lazy over it) — session-slot it so the next descent releases it
-    val prev = lastDescentCache.getAndSet(g)
-    if (prev != null &&
-        !prev.queryExecution.analyzed.sameResult(g.queryExecution.analyzed))
-      prev.unpersist(false)
+    // the FINAL round's checkpoint outlives this call (the returned
+    // frame is lazy over it) — session-slot it so the NEXT descent
+    // releases it instead of pinning one corpus-scale frame per call
+    val prev = lastDescentCheckpoint.getAndSet(g)
+    if (prev != null) org.apache.spark.sql.GraftShim.unpersistCheckpoint(prev)
     g.withColumn("rank", row_number().over(wTop).cast("long"))
       .where(col("rank") <= k)
   }
