@@ -915,7 +915,28 @@ object EmbeddingSearch {
 
   def knnJoinDescent(spark: SparkSession, dir: String, k: Int = 3,
       rounds: Int = 2, kBuild: Int = 10, targetBucket: Int = 128,
-      bands: Int = 8, probeHamming: Int = 1): DataFrame = {
+      bands: Int = 8, probeHamming: Int = 1): DataFrame =
+    // the descent runs at an INTERNAL width kBuild > k (Dong et al. §5.3:
+    // exploration needs neighborhoods wider than the answer) — at k=3 the
+    // 2-hop frontier is ≤36 candidates biased toward hub vertices (the
+    // deterministic reverse cap keeps a hub's lowest-id admirers), and
+    // measured recall barely moved (0.583→0.590 at x4); at kBuild=10 the
+    // frontier is ≤400 high-cosine candidates per vertex and each round
+    // buys ~10× more (see SCALING.md r12 for what that does and does NOT
+    // recover). The output truncates to rank ≤ k at the end.
+    descentRefine(spark, dir,
+      knnJoinScaled(spark, dir, kBuild, targetBucket, bands,
+        probeHamming = probeHamming),
+      k, rounds, kBuild)
+
+  /** The descent LOOP over any seed graph (vec_id, nbr_id, cosine,
+    * top-kBuild per vertex) — shared by the banded-seeded default
+    * ([[knnJoinDescent]]) and any measured composition (e.g. a
+    * cells-graph seed in the Scratch harness); one loop definition so
+    * the refinement rule can never fork across seeds.
+    */
+  private[graft] def descentRefine(spark: SparkSession, dir: String,
+      seed: DataFrame, k: Int, rounds: Int, kBuild: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
     require(kBuild >= k, s"need kBuild >= k, got kBuild=$kBuild < k=$k")
     // eager localCheckpoint: each round materializes exactly once (its
@@ -926,17 +947,7 @@ object EmbeddingSearch {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val wTop = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    // the descent runs at an INTERNAL width kBuild > k (Dong et al. §5.3:
-    // exploration needs neighborhoods wider than the answer) — at k=3 the
-    // 2-hop frontier is ≤36 candidates biased toward hub vertices (the
-    // deterministic reverse cap keeps a hub's lowest-id admirers), and
-    // measured recall barely moved (0.583→0.590 at x4); at kBuild=10 the
-    // frontier is ≤400 high-cosine candidates per vertex and each round
-    // buys ~10× more (see SCALING.md r12 for what that does and does NOT
-    // recover). The output truncates to rank ≤ k at the end.
-    var g = materialized(knnJoinScaled(spark, dir, kBuild, targetBucket, bands,
-        probeHamming = probeHamming)
-      .select(col("vec_id"), col("nbr_id"), col("cosine")))
+    var g = materialized(seed.select(col("vec_id"), col("nbr_id"), col("cosine")))
     for (_ <- 1 to rounds) {
       // reverse edges capped at kBuild per TARGET vertex (same total
       // order as the forward top-k): |undirected neighborhood| ≤ 2·kBuild
@@ -1079,6 +1090,17 @@ object EmbeddingSearch {
   def knnJoinCellsRecall(spark: SparkSession, dir: String, k: Int = 3,
       nProbes: Int = 100, nprobe: Int = 2): DataFrame =
     graphRecallVsBrute(spark, dir, knnJoinCells(spark, dir, k, nprobe), k, nProbes)
+
+  /** Measurement-only recall of the cells+descent COMPOSITION (the
+    * Scratch `cellsnnd` probe) — not a registered entry unless the
+    * curve earns it. */
+  private[graft] def knnJoinCellsDescentRecallProbe(spark: SparkSession,
+      dir: String, k: Int = 3, nProbes: Int = 100, nprobe: Int = 2,
+      rounds: Int = 2, kBuild: Int = 10): DataFrame =
+    graphRecallVsBrute(spark, dir,
+      descentRefine(spark, dir, knnJoinCells(spark, dir, kBuild, nprobe),
+        k, rounds, kBuild),
+      k, nProbes)
 
   /** The shared bucket-local-kernel prologue: project to (vec_id, v),
     * explode into band keys tagged base/probe. Both kernels group on the

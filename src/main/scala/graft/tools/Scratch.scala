@@ -171,6 +171,27 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "cellsnnd") {
+      // composition probe: NN-descent refinement over a CELLS-graph seed
+      // (the cells graph's x1 recall trails the banded default — does the
+      // k²-bounded refinement close that gap at bounded wall?)
+      import org.apache.spark.sql.functions.{avg, col, lit}
+      import graft.operators.EmbeddingSearch
+      for ((np, rounds) <- Seq((2, 1), (2, 2), (4, 1)); pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val refined = EmbeddingSearch.descentRefine(spark, sfDir,
+          EmbeddingSearch.knnJoinCells(spark, sfDir, k = 10, nprobe = np),
+          k = 3, rounds = rounds, kBuild = 10)
+        val n = refined.count()
+        val w = (System.nanoTime() - t0) / 1e9
+        val rec = EmbeddingSearch.knnJoinCellsDescentRecallProbe(spark, sfDir,
+            nprobe = np, rounds = rounds)
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"[cellsnnd] nprobe=$np rounds=$rounds pass=$pass " +
+          f"wall=$w%6.2f s rows=$n recall=$rec%.4f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "hybridprobe") {
       // recall/wall curve for the probed hybrid serve: what nprobe buys
       // the FUSED ranking (single-query serve wall + 20-query fused-rank
