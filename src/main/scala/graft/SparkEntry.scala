@@ -110,6 +110,17 @@ object SparkEntry {
     fingerprintedDir(dir, s"graft_kmidx_c${nClusters}i$iters$sp", Seq("embeddings.parquet"))
   }
 
+  /** The sized family's quantizer dir: [[kmeansIndexDirFor]] at the
+    * corpus-derived ⌈√N⌉ cell count — ONE derivation shared by the
+    * sized kNN serve, the IVF-cell graph, and both recall twins, so the
+    * whole family trains once per dataset (spec-pinned zero extra
+    * trainings). The one eager count() is the adaptive-sizing toll every
+    * `*Scaled` surface pays.
+    */
+  private[graft] def sizedKmeansIndexDirFor(s: SparkSession, dir: String): String =
+    kmeansIndexDirFor(dir,
+      EmbeddingSearch.ivfCellCount(Tables.embeddings(s, dir).count()), 2)
+
   /** The ONE derivation of the persisted BM25 index's directory (the
     * [[kmeansIndexDirFor]] discipline): dataset fingerprint in the name,
     * stale fingerprints reclaimed, every lexical-serve entry routes
@@ -1008,12 +1019,15 @@ object SparkEntry {
     // recall@3 at x16 is 0.993 at LOWER wall than the banded default's
     // 0.387 (SCALING.md r12). Banded entries stay registered: they are
     // the linear-total-work family and the near-dup (high-cosine) tool
-    "embed_knn_join_cells" -> ((s, dir) => EmbeddingSearch.knnJoinCells(s, dir)),
+    "embed_knn_join_cells" -> ((s, dir) =>
+      EmbeddingSearch.knnJoinCellsPersisted(s, dir, sizedKmeansIndexDirFor(s, dir))),
     // recall@3 of the cell graph on the 100-probe set — the crossover
     // evidence (0.653 at x1 rising to 0.993 at x16 as cells tighten,
-    // while the banded default falls 0.883 -> 0.387)
+    // while the banded default falls 0.883 -> 0.387); serves from the
+    // SAME persisted quantizer as the graph entry
     "embed_knn_join_cells_recall" -> ((s, dir) =>
-      EmbeddingSearch.knnJoinCellsRecall(s, dir)),
+      EmbeddingSearch.knnJoinCellsRecallPersisted(s, dir,
+        sizedKmeansIndexDirFor(s, dir))),
     // NN-DESCENT refinement of the probed default (Dong et al. WWW'11):
     // 2 rounds of capped neighbor-of-neighbor expansion at internal
     // width kBuild=10 + exact-cosine re-rank — per-round fan-out
@@ -1091,10 +1105,13 @@ object SparkEntry {
     // the lshRowsPerBand discipline applied to the quantizer; the oracle
     // derives the same k from count(*). The fixed-k entries above stay
     // as the measured contrast
-    "embed_knn_kmeans_sized" -> ((s, dir) => EmbeddingSearch.kmeansTopKSized(s, dir)),
+    "embed_knn_kmeans_sized" -> ((s, dir) =>
+      EmbeddingSearch.kmeansTopKSizedPersisted(s, dir, sizedKmeansIndexDirFor(s, dir))),
     // recall of the sized serve vs exact — the rule's honest cost (more
-    // cells at fixed nprobe probe a smaller corpus fraction)
-    "embed_kmeans_sized_recall" -> ((s, dir) => EmbeddingSearch.kmeansRecallSized(s, dir)),
+    // cells at fixed nprobe probe a smaller corpus fraction); same
+    // persisted quantizer as the serve and the cells graph
+    "embed_kmeans_sized_recall" -> ((s, dir) =>
+      EmbeddingSearch.kmeansRecallSizedPersisted(s, dir, sizedKmeansIndexDirFor(s, dir))),
     // cluster-balanced corpus sampling: cap every semantic cluster at its
     // q most central members — served from the SAME persisted quantizer as
     // embed_knn_kmeans (same kmeansIndexDirFor derivation at the same

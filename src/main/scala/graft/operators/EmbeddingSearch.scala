@@ -1045,11 +1045,34 @@ object EmbeddingSearch {
     */
   def knnJoinCells(spark: SparkSession, dir: String, k: Int = 3,
       nprobe: Int = 2, iters: Int = 2, maxBucket: Int = 1 << 17): DataFrame = {
-    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val cells = ivfCellCount(emb.count())
-    val cent = trainKmeansIndex(emb, cells, iters)
+    knnJoinCellsWith(emb, trainKmeansIndex(emb, ivfCellCount(emb.count()), iters),
+      k, nprobe, maxBucket)
+  }
+
+  /** [[knnJoinCells]] serving from a PERSISTED sized quantizer
+    * (train-or-load via [[ensureKmeansIndex]]) — the train-once/
+    * serve-many shape every trained artifact here ships with; results
+    * are row-identical to fresh training (the saveKmeansIndex parquet
+    * roundtrip contract, spec-asserted), so the oracle is unchanged.
+    * The registered entry shares this quantizer with the sized kNN
+    * serve (same ⌈√N⌉/iters derivation → same index dir → one training
+    * per dataset across all four sized entries, spec-pinned).
+    */
+  def knnJoinCellsPersisted(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 3, nprobe: Int = 2, iters: Int = 2,
+      maxBucket: Int = 1 << 17): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    knnJoinCellsWith(emb,
+      ensureKmeansIndex(spark, dir, indexPath, ivfCellCount(emb.count()), iters),
+      k, nprobe, maxBucket)
+  }
+
+  private def knnJoinCellsWith(emb: DataFrame, cent: DataFrame, k: Int,
+      nprobe: Int, maxBucket: Int): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
     localTopKRanked(
       localTopKKernel(cellTaggedVectors(emb, cent, nprobe), k, maxBucket,
         "raise the cell count (ivfCellCount) or lower nprobe"), k)
@@ -1090,6 +1113,15 @@ object EmbeddingSearch {
   def knnJoinCellsRecall(spark: SparkSession, dir: String, k: Int = 3,
       nProbes: Int = 100, nprobe: Int = 2): DataFrame =
     graphRecallVsBrute(spark, dir, knnJoinCells(spark, dir, k, nprobe), k, nProbes)
+
+  /** [[knnJoinCellsRecall]] over the PERSISTED-quantizer serve — the
+    * registered twin, so the gated recall measures exactly the plan the
+    * cells entry ships. */
+  def knnJoinCellsRecallPersisted(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 3, nProbes: Int = 100,
+      nprobe: Int = 2): DataFrame =
+    graphRecallVsBrute(spark, dir,
+      knnJoinCellsPersisted(spark, dir, indexPath, k, nprobe), k, nProbes)
 
   /** Measurement-only recall of the cells+descent COMPOSITION (the
     * Scratch `cellsnnd` probe) — not a registered entry unless the
@@ -1573,6 +1605,27 @@ object EmbeddingSearch {
   def kmeansRecallSized(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 10): DataFrame =
     recallAgainstBrute(spark, dir, kmeansTopKSized(spark, dir, k, nQueries), k, nQueries)
+
+  /** [[kmeansTopKSized]] from a PERSISTED sized quantizer (train-or-load)
+    * — the train-once/serve-many shape of the registered entry; shares
+    * its index dir with [[knnJoinCellsPersisted]] (same ⌈√N⌉/iters
+    * derivation), so one training serves the whole sized family.
+    */
+  def kmeansTopKSizedPersisted(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    kmeansTopKWithIndex(emb,
+      ensureKmeansIndex(spark, dir, indexPath, ivfCellCount(emb.count()), iters),
+      k, nQueries, nprobe)
+  }
+
+  /** Recall twin of the persisted sized serve. */
+  def kmeansRecallSizedPersisted(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10): DataFrame =
+    recallAgainstBrute(spark, dir,
+      kmeansTopKSizedPersisted(spark, dir, indexPath, k, nQueries), k, nQueries)
 
   // Norms hoisted OUT of the k-way argmax: sqrt(v·v) is identical whether
   // computed once per row or once per (row, centroid) pair — same doubles,

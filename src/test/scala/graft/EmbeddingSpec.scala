@@ -841,6 +841,26 @@ class EmbeddingSpec extends AnyFunSuite {
       "the balance entry must serve from the kNN entry's quantizer, not retrain")
   }
 
+  test("the sized-quantizer family shares ONE persisted training across all four entries") {
+    // embed_knn_kmeans_sized, embed_knn_join_cells and both recall twins
+    // derive the same ceil(sqrt(N))/iters index dir — whichever runs
+    // first trains; the rest must load (zero extra trainings), and the
+    // persisted serve must be row-identical to fresh training
+    val dir = "/root/testdata/sf0.001"
+    val fresh = EmbeddingSearch.knnJoinCells(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(graft.SparkEntry.queries("embed_knn_kmeans_sized")(spark, dir).count() > 0)
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val persisted = graft.SparkEntry.queries("embed_knn_join_cells")(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(persisted == fresh,
+      "persisted-quantizer cells graph diverged from fresh training")
+    for (e <- Seq("embed_knn_join_cells_recall", "embed_kmeans_sized_recall"))
+      assert(graft.SparkEntry.queries(e)(spark, dir).count() > 0)
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "a sized-family entry retrained instead of loading the shared quantizer")
+  }
+
   test("kNN candidate cap: no-op when cap covers occupancy, bounded and ranked when binding") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.sources.Tables.embeddings(spark, dir).count()
