@@ -110,16 +110,18 @@ object SparkEntry {
     fingerprintedDir(dir, s"graft_kmidx_c${nClusters}i$iters$sp", Seq("embeddings.parquet"))
   }
 
-  /** The sized family's quantizer dir: [[kmeansIndexDirFor]] at the
-    * corpus-derived ⌈√N⌉ cell count — ONE derivation shared by the
+  /** The sized family's quantizer dir — ONE derivation shared by the
     * sized kNN serve, the IVF-cell graph, and both recall twins, so the
     * whole family trains once per dataset (spec-pinned zero extra
-    * trainings). The one eager count() is the adaptive-sizing toll every
-    * `*Scaled` surface pays.
+    * trainings). The cell count is deliberately NOT in the name: it
+    * derives deterministically from the fingerprinted data (⌈√N⌉ inside
+    * the persisted fns — one count, one derivation, nothing to drift),
+    * and a dataset regenerated at a different N keeps the same prefix so
+    * the stale fingerprint IS reclaimed (a c<K>-named prefix would
+    * orphan the old K's dir forever).
     */
-  private[graft] def sizedKmeansIndexDirFor(s: SparkSession, dir: String): String =
-    kmeansIndexDirFor(dir,
-      EmbeddingSearch.ivfCellCount(Tables.embeddings(s, dir).count()), 2)
+  private[graft] def sizedKmeansIndexDirFor(dir: String): String =
+    fingerprintedDir(dir, "graft_kmidx_sized_i2", Seq("embeddings.parquet"))
 
   /** The ONE derivation of the persisted BM25 index's directory (the
     * [[kmeansIndexDirFor]] discipline): dataset fingerprint in the name,
@@ -1020,14 +1022,14 @@ object SparkEntry {
     // 0.387 (SCALING.md r12). Banded entries stay registered: they are
     // the linear-total-work family and the near-dup (high-cosine) tool
     "embed_knn_join_cells" -> ((s, dir) =>
-      EmbeddingSearch.knnJoinCellsPersisted(s, dir, sizedKmeansIndexDirFor(s, dir))),
+      EmbeddingSearch.knnJoinCellsPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     // recall@3 of the cell graph on the 100-probe set — the crossover
     // evidence (0.653 at x1 rising to 0.993 at x16 as cells tighten,
     // while the banded default falls 0.883 -> 0.387); serves from the
     // SAME persisted quantizer as the graph entry
     "embed_knn_join_cells_recall" -> ((s, dir) =>
       EmbeddingSearch.knnJoinCellsRecallPersisted(s, dir,
-        sizedKmeansIndexDirFor(s, dir))),
+        sizedKmeansIndexDirFor(dir))),
     // NN-DESCENT refinement of the probed default (Dong et al. WWW'11):
     // 2 rounds of capped neighbor-of-neighbor expansion at internal
     // width kBuild=10 + exact-cosine re-rank — per-round fan-out
@@ -1106,12 +1108,12 @@ object SparkEntry {
     // derives the same k from count(*). The fixed-k entries above stay
     // as the measured contrast
     "embed_knn_kmeans_sized" -> ((s, dir) =>
-      EmbeddingSearch.kmeansTopKSizedPersisted(s, dir, sizedKmeansIndexDirFor(s, dir))),
+      EmbeddingSearch.kmeansTopKSizedPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     // recall of the sized serve vs exact — the rule's honest cost (more
     // cells at fixed nprobe probe a smaller corpus fraction); same
     // persisted quantizer as the serve and the cells graph
     "embed_kmeans_sized_recall" -> ((s, dir) =>
-      EmbeddingSearch.kmeansRecallSizedPersisted(s, dir, sizedKmeansIndexDirFor(s, dir))),
+      EmbeddingSearch.kmeansRecallSizedPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     // cluster-balanced corpus sampling: cap every semantic cluster at its
     // q most central members — served from the SAME persisted quantizer as
     // embed_knn_kmeans (same kmeansIndexDirFor derivation at the same

@@ -908,14 +908,21 @@ object EmbeddingSearch {
     * invocation that is re-evaluated after a newer descent ran fails on
     * released checkpoint blocks instead of recomputing — every in-repo
     * caller evaluates its frame before the next descent (entries, bench
-    * loops, specs), matching the tiled kernel's pre-r12 contract.
+    * loops, specs), matching the tiled kernel's pre-r12 contract. The
+    * same contract forbids COMPOSING two descent results in one plan
+    * (build a, build b, evaluate both: building b frees a's blocks) and
+    * concurrent descents from two threads — evaluate-then-build, always.
     */
   private val lastDescentCheckpoint =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   def knnJoinDescent(spark: SparkSession, dir: String, k: Int = 3,
       rounds: Int = 2, kBuild: Int = 10, targetBucket: Int = 128,
-      bands: Int = 8, probeHamming: Int = 1): DataFrame =
+      bands: Int = 8, probeHamming: Int = 1): DataFrame = {
+    // validate BEFORE the seed's eager band-sizing count() — a bad knob
+    // must fail instantly, not after a corpus scan
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
+    require(kBuild >= k, s"need kBuild >= k, got kBuild=$kBuild < k=$k")
     // the descent runs at an INTERNAL width kBuild > k (Dong et al. §5.3:
     // exploration needs neighborhoods wider than the answer) — at k=3 the
     // 2-hop frontier is ≤36 candidates biased toward hub vertices (the
@@ -928,6 +935,7 @@ object EmbeddingSearch {
       knnJoinScaled(spark, dir, kBuild, targetBucket, bands,
         probeHamming = probeHamming),
       k, rounds, kBuild)
+  }
 
   /** The descent LOOP over any seed graph (vec_id, nbr_id, cosine,
     * top-kBuild per vertex) — shared by the banded-seeded default
@@ -1123,16 +1131,13 @@ object EmbeddingSearch {
     graphRecallVsBrute(spark, dir,
       knnJoinCellsPersisted(spark, dir, indexPath, k, nprobe), k, nProbes)
 
-  /** Measurement-only recall of the cells+descent COMPOSITION (the
-    * Scratch `cellsnnd` probe) — not a registered entry unless the
-    * curve earns it. */
-  private[graft] def knnJoinCellsDescentRecallProbe(spark: SparkSession,
-      dir: String, k: Int = 3, nProbes: Int = 100, nprobe: Int = 2,
-      rounds: Int = 2, kBuild: Int = 10): DataFrame =
-    graphRecallVsBrute(spark, dir,
-      descentRefine(spark, dir, knnJoinCells(spark, dir, kBuild, nprobe),
-        k, rounds, kBuild),
-      k, nProbes)
+  /** Measurement-only recall of an already-built graph frame (the
+    * Scratch `cellsnnd` probe scores the SAME refined graph it just
+    * timed, instead of rebuilding seed + rounds a second time) — not a
+    * registered surface. */
+  private[graft] def graphRecallProbe(spark: SparkSession, dir: String,
+      graph: DataFrame, k: Int = 3, nProbes: Int = 100): DataFrame =
+    graphRecallVsBrute(spark, dir, graph, k, nProbes)
 
   /** The shared bucket-local-kernel prologue: project to (vec_id, v),
     * explode into band keys tagged base/probe. Both kernels group on the

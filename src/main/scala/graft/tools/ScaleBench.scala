@@ -181,9 +181,11 @@ object ScaleBench {
     // the NN-descent refinement — must hold recall where the seed's falls
     "embed_knn_join_nnd" -> ((s, d) => graft.operators.EmbeddingSearch
       .knnJoinDescentRecall(s, d)),
-    // the IVF-cell graph — the corpus-scale recommendation's recall point
-    "embed_knn_join_cells" -> ((s, d) => graft.operators.EmbeddingSearch
-      .knnJoinCellsRecall(s, d)))
+    // the IVF-cell graph — the corpus-scale recommendation's recall
+    // point, measured through the REGISTERED entry (the persisted-
+    // quantizer serve), so the gated number is exactly the shipped plan
+    "embed_knn_join_cells" -> ((s, d) =>
+      graft.SparkEntry.queries("embed_knn_join_cells_recall")(s, d)))
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these

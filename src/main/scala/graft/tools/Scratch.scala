@@ -175,7 +175,7 @@ object Scratch {
       // composition probe: NN-descent refinement over a CELLS-graph seed
       // (the cells graph's x1 recall trails the banded default — does the
       // k²-bounded refinement close that gap at bounded wall?)
-      import org.apache.spark.sql.functions.{avg, col, lit}
+      import org.apache.spark.sql.functions.{avg, col}
       import graft.operators.EmbeddingSearch
       for ((np, rounds) <- Seq((2, 1), (2, 2), (4, 1)); pass <- 1 to 2) {
         val t0 = System.nanoTime()
@@ -184,8 +184,9 @@ object Scratch {
           k = 3, rounds = rounds, kBuild = 10)
         val n = refined.count()
         val w = (System.nanoTime() - t0) / 1e9
-        val rec = EmbeddingSearch.knnJoinCellsDescentRecallProbe(spark, sfDir,
-            nprobe = np, rounds = rounds)
+        // score the SAME frame that was just timed (the descent's final
+        // round is checkpointed, so this re-evaluation is cheap)
+        val rec = EmbeddingSearch.graphRecallProbe(spark, sfDir, refined)
           .agg(avg(col("recall"))).collect()(0).getDouble(0)
         println(f"[cellsnnd] nprobe=$np rounds=$rounds pass=$pass " +
           f"wall=$w%6.2f s rows=$n recall=$rec%.4f")
