@@ -452,6 +452,30 @@ class EmbeddingSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfCellCount: ceil-sqrt exact at perfect squares, clamped, monotone, probed fraction shrinks") {
+    // perfect squares — the IEEE-exactness edge both engines must agree on
+    assert(EmbeddingSearch.ivfCellCount(4096) == 64)
+    assert(EmbeddingSearch.ivfCellCount(4097) == 65)
+    assert(EmbeddingSearch.ivfCellCount(4095) == 64)
+    // clamps
+    assert(EmbeddingSearch.ivfCellCount(0) == 8)
+    assert(EmbeddingSearch.ivfCellCount(1) == 8)
+    assert(EmbeddingSearch.ivfCellCount(64) == 8)
+    assert(EmbeddingSearch.ivfCellCount(Long.MaxValue) == 65536)
+    // monotone, and k² >= n inside the clamp range (cells cover the corpus
+    // at ~sqrt(N) occupancy)
+    val ks = Seq(100L, 500L, 5000L, 32000L, 1000000L).map(EmbeddingSearch.ivfCellCount(_))
+    assert(ks == ks.sorted)
+    Seq(100L, 500L, 5000L, 32000L, 1000000L).foreach { n =>
+      val k = EmbeddingSearch.ivfCellCount(n).toLong
+      assert(k * k >= n, s"k=$k does not cover n=$n at sqrt occupancy")
+    }
+    // the rule's point: the probed fraction nprobe/k SHRINKS with n
+    val fr = Seq(1000L, 100000L, 10000000L)
+      .map(n => 2.0 / EmbeddingSearch.ivfCellCount(n))
+    assert(fr == fr.sortBy(-_), s"probed fraction must shrink: $fr")
+  }
+
   test("scaled near-dup pairs / kNN join equal the explicit-width calls") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.sources.Tables.embeddings(spark, dir).count()

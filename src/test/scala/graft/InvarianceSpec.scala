@@ -174,7 +174,11 @@ class InvarianceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // round-12: the IVF-cell graph (fresh sized training + HOF cell
     // ranking + the shared kernel) must be partition-stable end-to-end
     "embed_knn_join_cells" ->
-      ((s, d) => EmbeddingSearch.knnJoinCells(s, d)))
+      ((s, d) => EmbeddingSearch.knnJoinCells(s, d)),
+    // round-12: the occupancy-sized ALSH (count-derived width + the
+    // augmented banding) must be partition-stable too
+    "embed_knn_mips_scaled" ->
+      ((s, d) => EmbeddingSearch.mipsTopKAlshScaled(s, d, nQueries = 3)))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
