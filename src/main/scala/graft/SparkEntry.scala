@@ -46,7 +46,10 @@ object SparkEntry {
     val keep = base + files.map(f =>
       java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/$f"))).mkString("_")
     val tmp = System.getProperty("java.io.tmpdir")
-    Tables.cleanStaleExports(tmp, base, keep)
+    // block count anchored to files.size: a sibling dataset whose name
+    // extends this one with a hex-only segment parses as MORE blocks and
+    // is left alone (the sf1-vs-sf1_7a hazard)
+    Tables.cleanStaleExports(tmp, base, keep, blocks = files.size)
     s"$tmp/$keep"
   }
 

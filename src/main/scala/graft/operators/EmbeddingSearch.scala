@@ -943,10 +943,29 @@ object EmbeddingSearch {
     * cells-graph seed in the Scratch harness); one loop definition so
     * the refinement rule can never fork across seeds.
     */
+  /** Fail-fast flag for the slot contract above: two CONCURRENT descents
+    * would free each other's checkpoint blocks mid-build and surface as
+    * missing-block failures far from the cause — refuse the second entry
+    * with a clear error instead. (Sequential descents remain fine: the
+    * contract is evaluate-then-build, enforced by every in-repo caller.)
+    */
+  private[graft] val descentInProgress = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private[graft] def descentRefine(spark: SparkSession, dir: String,
       seed: DataFrame, k: Int, rounds: Int, kBuild: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
     require(kBuild >= k, s"need kBuild >= k, got kBuild=$kBuild < k=$k")
+    if (!descentInProgress.compareAndSet(false, true))
+      throw new IllegalStateException(
+        "a NN-descent build is already in progress in this JVM — concurrent " +
+          "descents corrupt each other's single-slot checkpoints (see " +
+          "lastDescentCheckpoint); evaluate the first result, then build")
+    try descentRefineLocked(spark, dir, seed, k, rounds, kBuild)
+    finally descentInProgress.set(false)
+  }
+
+  private def descentRefineLocked(spark: SparkSession, dir: String,
+      seed: DataFrame, k: Int, rounds: Int, kBuild: Int): DataFrame = {
     // eager localCheckpoint: each round materializes exactly once (its
     // frame is read three times by the next round) AND truncates the
     // plan — see the slot doc above for why persist measured 3× slower
@@ -1071,6 +1090,7 @@ object EmbeddingSearch {
   def knnJoinCellsPersisted(spark: SparkSession, dir: String, indexPath: String,
       k: Int = 3, nprobe: Int = 2, iters: Int = 2,
       maxBucket: Int = 1 << 17): DataFrame = {
+    requireSizedIters(iters)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     knnJoinCellsWith(emb,
@@ -1619,12 +1639,27 @@ object EmbeddingSearch {
   def kmeansTopKSizedPersisted(spark: SparkSession, dir: String,
       indexPath: String, k: Int = 5, nQueries: Int = 10, nprobe: Int = 2,
       iters: Int = 2): DataFrame = {
+    requireSizedIters(iters)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     kmeansTopKWithIndex(emb,
       ensureKmeansIndex(spark, dir, indexPath, ivfCellCount(emb.count()), iters),
       k, nQueries, nprobe)
   }
+
+  /** The sized family's shared index dir pins `i2` in its name and
+    * [[ensureKmeansIndex]] serves whatever exists without re-validating
+    * iters — a non-default `iters` through a sized *Persisted entry point
+    * would either silently serve the cached 2-iter quantizer or poison
+    * the shared dir with a non-2-iter training. Refuse loudly instead;
+    * non-default iterations go through [[kmeansTopKSized]] (fresh
+    * training) or an explicitly iters-keyed dir ([[kmeansIndexDirFor]]).
+    */
+  private def requireSizedIters(iters: Int): Unit =
+    require(iters == 2,
+      s"the persisted sized-quantizer family is pinned to iters=2 (the " +
+        s"shared index dir encodes i2); got iters=$iters — use the " +
+        s"non-persisted sized form or an iters-keyed index dir instead")
 
   /** Recall twin of the persisted sized serve. */
   def kmeansRecallSizedPersisted(spark: SparkSession, dir: String,

@@ -133,7 +133,7 @@ object Tables {
     val tbl = s"graft_bkt_${name}_" + java.lang.Long.toHexString(datasetFingerprint(src))
     if (!spark.catalog.tableExists(tbl)) {
       val tmp = System.getProperty("java.io.tmpdir")
-      cleanStaleExports(tmp, s"graft_bkt_${name}_", tbl)
+      cleanStaleExports(tmp, s"graft_bkt_${name}_", tbl, blocks = 1)
       val out = s"$tmp/$tbl"
       if (new java.io.File(out, "_SUCCESS").exists()) {
         val ddl = spark.read.parquet(src).schema.toDDL
@@ -196,8 +196,19 @@ object Tables {
     * another's (`sf1` vs `sf1_extra` → prefix `graft_wtcorpus_sf1_` would
     * otherwise swallow `..._sf1_extra_<fp>`) from having its live fixtures
     * deleted. Local-FS tooling, like the export itself.
+    *
+    * `blocks` anchors the match to EXACTLY that many `_`-joined hex
+    * fingerprint blocks (= the number of source files the prefix keys
+    * on). Without the anchor a dataset whose name extends another's with
+    * a hex-only segment (`sf1` vs `sf1_7a`) has its live dirs matched by
+    * the shorter dataset's prefix — `graft_x_sf1_` + `7a_<fp>` parses as
+    * two blocks — and keepPrefix only protects the caller's own dataset.
+    * `blocks = 0` means "any count ≥ 1": legacy-prefix reclaims
+    * (keepPrefix matches nothing) use it, where every match is stale by
+    * definition, including sibling datasets' dirs under the dead prefix.
     */
-  def cleanStaleExports(parent: String, prefix: String, keepPrefix: String): Unit = {
+  def cleanStaleExports(parent: String, prefix: String, keepPrefix: String,
+      blocks: Int = 0): Unit = {
     def deleteRec(f: java.io.File): Unit = {
       val kids = f.listFiles()
       if (kids != null) kids.foreach(deleteRec)
@@ -206,8 +217,11 @@ object Tables {
     // multi-file fingerprints join hex blocks with '_' (hybfgt keys on
     // documents AND embeddings) — the character class must admit them or
     // those dirs are never reclaimed
+    val blockPat =
+      if (blocks <= 0) "[0-9a-f]+(_[0-9a-f]+)*"
+      else "[0-9a-f]+" + ("(_[0-9a-f]+)" * (blocks - 1))
     val staleName = ("^" + java.util.regex.Pattern.quote(prefix) +
-      "[0-9a-f]+(_[0-9a-f]+)*(\\.ingest\\.parquet)?$").r
+      blockPat + "(\\.ingest\\.parquet)?$").r
     val kids = new java.io.File(parent).listFiles()
     if (kids != null) kids
       .filter(f => staleName.matches(f.getName) && !f.getName.startsWith(keepPrefix))
@@ -238,7 +252,7 @@ object Tables {
   def exportOnce(sourceParquet: String, base: String, write: String => Unit): String = {
     val keep = base + java.lang.Long.toHexString(datasetFingerprint(sourceParquet))
     val tmp = System.getProperty("java.io.tmpdir")
-    cleanStaleExports(tmp, base, keep)
+    cleanStaleExports(tmp, base, keep, blocks = 1)
     val out = s"$tmp/$keep"
     if (!new java.io.File(out, "_SUCCESS").exists()) write(out)
     out

@@ -1265,4 +1265,40 @@ class EmbeddingSpec extends AnyFunSuite {
       assert(cells((q, v)), s"hit ($q,$v) outside the probed cells")
     }
   }
+
+  test("persisted sized entry points refuse non-default iters (shared-dir poisoning guard)") {
+    // the shared sized index dir pins i2 in its name; a 3-iter call must
+    // fail loudly instead of silently serving the 2-iter quantizer or
+    // poisoning the family dir with a non-2-iter training
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_sized_iters").toString
+    intercept[IllegalArgumentException] {
+      EmbeddingSearch.kmeansTopKSizedPersisted(spark, dir, idx, iters = 3)
+    }
+    intercept[IllegalArgumentException] {
+      EmbeddingSearch.knnJoinCellsPersisted(spark, dir, idx, iters = 1)
+    }
+    // the pinned default still passes through
+    assert(EmbeddingSearch.knnJoinCellsPersisted(spark, dir, idx, iters = 2)
+      .count() > 0)
+  }
+
+  test("concurrent NN-descent is refused fail-fast, not corrupted later") {
+    // the single-slot checkpoint contract: a second descent entered while
+    // one is in progress would free the first's blocks mid-build — the
+    // guard turns that into an immediate, attributable error
+    val dir = "/root/testdata/sf0.001"
+    assert(EmbeddingSearch.descentInProgress.compareAndSet(false, true),
+      "descent flag unexpectedly set — another test leaked it")
+    try {
+      val e = intercept[IllegalStateException] {
+        EmbeddingSearch.knnJoinDescent(spark, dir)
+      }
+      assert(e.getMessage.contains("already in progress"))
+    } finally EmbeddingSearch.descentInProgress.set(false)
+    // and the flag is released after a normal run (finally-cleared)
+    assert(EmbeddingSearch.knnJoinDescent(spark, dir).count() > 0)
+    assert(!EmbeddingSearch.descentInProgress.get(),
+      "descent flag must be clear after a completed run")
+  }
 }

@@ -416,4 +416,35 @@ class SourceSinkSpec extends AnyFunSuite {
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/mytable.parquet")
     assert(Tables.table(spark, dir, "mytable").count() == 1)
   }
+
+  test("stale-export reclaim is block-count anchored: sibling hex-named datasets survive") {
+    // dataset `sf1` vs sibling `sf1_7a` (name extends with a HEX-ONLY
+    // segment): the sibling's live dirs parse as prefix + one EXTRA hex
+    // block, so a blocks-anchored reclaim for sf1 must leave them alone —
+    // keepPrefix only protects the caller's own dataset
+    val parent = Files.createTempDirectory("graft_reclaim").toString
+    def mk(name: String): java.io.File = {
+      val f = new java.io.File(parent, name); f.mkdirs(); f
+    }
+    val stale1 = mk("graft_x_sf1_aaaa")           // sf1, superseded fp
+    val live1 = mk("graft_x_sf1_bbbb")            // sf1, current fp
+    val sibling = mk("graft_x_sf1_7a_cccc")       // sf1_7a's LIVE dir
+    val other = mk("graft_x_sf1_notes")           // non-hex suffix: untouched
+    Tables.cleanStaleExports(parent, "graft_x_sf1_", "graft_x_sf1_bbbb", blocks = 1)
+    assert(!stale1.exists(), "superseded fingerprint must be reclaimed")
+    assert(live1.exists() && sibling.exists() && other.exists(),
+      "live, sibling-dataset, and non-hex dirs must survive a 1-block reclaim")
+    // 2-block prefixes (paired-table fingerprints): same anchoring — a
+    // 3-block sibling name survives, the stale 2-block dir is reclaimed
+    val stale2 = mk("graft_y_sf1_aaaa_bbbb")
+    val live2 = mk("graft_y_sf1_cccc_dddd")
+    val sibling2 = mk("graft_y_sf1_7a_aaaa_bbbb")
+    Tables.cleanStaleExports(parent, "graft_y_sf1_", "graft_y_sf1_cccc_dddd",
+      blocks = 2)
+    assert(!stale2.exists() && live2.exists() && sibling2.exists())
+    // blocks = 0 (legacy reclaim, keep marker matches nothing): ANY block
+    // count under the dead prefix is stale, including the sibling's
+    Tables.cleanStaleExports(parent, "graft_y_sf1_", "graft_y_sf1_-")
+    assert(!live2.exists() && !sibling2.exists())
+  }
 }

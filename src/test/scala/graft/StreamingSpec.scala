@@ -1551,6 +1551,10 @@ class StreamingSpec extends AnyFunSuite {
     val cellsTotal = spark.read.parquet(s"$root/ivf/ivf")
       .select($"cl").distinct().count()
     val input = MemoryStream[(Long, String, Seq[Float])]
+    // restore the PRIOR value, not a literal: hardcoding "true" would
+    // silently flip global config for later tests if the session ever
+    // defaults AQE off (the InvarianceSpec.runAt discipline)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val q = StreamingOps.hybridAgainstIndexes(
         input.toDF().toDF("query_id", "text", "embedding"),
@@ -1574,7 +1578,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally {
       q.stop()
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     }
     assert(got.toSet == want,
       "probed streaming tier diverged from the probed batch kernel")
