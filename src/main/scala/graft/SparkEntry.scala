@@ -940,19 +940,22 @@ object SparkEntry {
     "embed_knn_mips" -> ((s, dir) => EmbeddingSearch.mipsTopK(s, dir)),
     // ALSH (asymmetric transform [x;√(M²−|x|²)] / [q;0]) makes inner
     // product — not a metric, not directly LSH-able — indexable by the
-    // existing hyperplane bands; exact dot re-rank of band-mates
-    "embed_knn_mips_alsh" -> ((s, dir) => EmbeddingSearch.mipsTopKAlsh(s, dir)),
-    "embed_mips_recall" -> ((s, dir) => EmbeddingSearch.mipsRecall(s, dir)),
-    // ALSH under the corpus-adaptive occupancy rule (lshRowsPerBand, the
-    // r6/r7 pattern): the fixed 4×4 layout's candidates grow LINEARLY
-    // with the corpus at fixed query load (O(corpus) per query at 100 TB
-    // — the r11 verdict's weak entry #2); the sized bands hold expected
-    // occupancy ~targetBucket instead. Oracle derives the same width
-    // from count(*); the fixed row above stays as the measured contrast
-    "embed_knn_mips_scaled" -> ((s, dir) => EmbeddingSearch.mipsTopKAlshScaled(s, dir)),
-    // recall of the sized ALSH path vs exact MIPS — the rule's recall
-    // cost, measured beside the fixed layout's embed_mips_recall
-    "embed_mips_scaled_recall" -> ((s, dir) => EmbeddingSearch.mipsRecallScaled(s, dir)),
+    // existing hyperplane bands; exact dot re-rank of band-mates.
+    // DEFAULT = the corpus-adaptive occupancy rule (lshRowsPerBand, the
+    // r6/r7 pattern, promoted r13 per the r7 rename discipline): the
+    // fixed 4×4 layout's candidates grow LINEARLY with the corpus at
+    // fixed query load (O(corpus) per query at 100 TB — the r11
+    // verdict's weak entry #2; measured x16/x1 wall 1.35× sized vs 2.0×
+    // fixed). Oracle derives the same width from count(*); the fixed
+    // form keeps the `_fixed` name below as the measured contrast
+    "embed_knn_mips_alsh" -> ((s, dir) => EmbeddingSearch.mipsTopKAlshScaled(s, dir)),
+    // the fixed 4×4 band layout, explicitly named — known-small static
+    // corpora only (the embed_knn_join_fixed discipline)
+    "embed_knn_mips_alsh_fixed" -> ((s, dir) => EmbeddingSearch.mipsTopKAlsh(s, dir)),
+    // recall of the DEFAULT (sized) ALSH path vs exact MIPS — the width
+    // rule's recall cost, measured beside the fixed layout's twin below
+    "embed_mips_recall" -> ((s, dir) => EmbeddingSearch.mipsRecallScaled(s, dir)),
+    "embed_mips_fixed_recall" -> ((s, dir) => EmbeddingSearch.mipsRecall(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
     "embed_lsh_recall" -> ((s, dir) => EmbeddingSearch.lshRecall(s, dir)),
     "embed_pq_recall" -> ((s, dir) => EmbeddingSearch.pqRecall(s, dir)),
@@ -960,19 +963,31 @@ object SparkEntry {
     // multi-probe: Hamming-1 neighbor buckets probed at fixed index layout
     "embed_knn_multiprobe" -> ((s, dir) => EmbeddingSearch.lshTopKMultiProbe(s, dir)),
     "embed_multiprobe_recall" -> ((s, dir) => EmbeddingSearch.multiProbeRecall(s, dir)),
-    // two-sided kNN JOIN (kNN-graph): every vector × its band-mates, no
-    // broadcastable query side — the corpus-vs-corpus shuffle shape.
-    // DEFAULT = corpus-adaptive sizing at targetBucket=128 with Hamming-1
-    // MULTIPROBE (Lv et al. VLDB'07 on the symmetric join: every vector
-    // also visits its single-bit-flip buckets, probe-probe pairs skipped
-    // so candidates are exactly the Hamming<=1 band pairs) — recall@3
-    // 0.883 at sf0.1. The r11 Hamming-2 measurement (SCALING.md) found
-    // the wider ring dominates at sf0.1 (0.970, +18% wall) but its
-    // r²-growing fan-out flips the recall-per-wall crown back to
-    // Hamming-1 by x16 — so the SCALE default stays here and Hamming-2
-    // is the registered opt-in (embed_knn_join_h2); the r9 config stays
-    // as embed_knn_join_unprobed
-    "embed_knn_join" -> ((s, dir) => EmbeddingSearch.knnJoinScaled(s, dir)),
+    // two-sided kNN JOIN (kNN-graph): every vector × its band-mates /
+    // cell-mates, no broadcastable query side — the corpus-vs-corpus
+    // shuffle shape. DEFAULT = DATA-DERIVED method selection (r13, the
+    // r12 verdict's top item): count(*) below the measured ~4k-vector
+    // crossover serves the BANDED Hamming-1-probed graph (linear total
+    // work, wins recall on small corpora — 0.883 at x1), at or past it
+    // the IVF-CELL graph from the shared sized quantizer (recall RISES
+    // with scale — 0.993 at x16 at LOWER wall than banded's 0.387).
+    // Both branches stay registered under explicit names
+    // (embed_knn_join_banded / embed_knn_join_cells) and the oracle
+    // replays the same count-gated branch as a UNION ALL
+    "embed_knn_join" -> ((s, dir) =>
+      EmbeddingSearch.knnJoinAuto(s, dir, sizedKmeansIndexDirFor(dir))),
+    // the BANDED graph under its explicit name: corpus-adaptive sizing at
+    // targetBucket=128 with Hamming-1 MULTIPROBE (Lv et al. VLDB'07 on
+    // the symmetric join: every vector also visits its single-bit-flip
+    // buckets, probe-probe pairs skipped so candidates are exactly the
+    // Hamming<=1 band pairs) — recall@3 0.883 at sf0.1; the pre-r13
+    // default, now the small-corpus branch of the auto entry above. The
+    // r11 Hamming-2 measurement (SCALING.md) found the wider ring
+    // dominates at sf0.1 (0.970, +18% wall) but its r²-growing fan-out
+    // flips the recall-per-wall crown back to Hamming-1 by x16 — so
+    // Hamming-2 is the registered opt-in (embed_knn_join_h2); the r9
+    // config stays as embed_knn_join_unprobed
+    "embed_knn_join_banded" -> ((s, dir) => EmbeddingSearch.knnJoinScaled(s, dir)),
     // the Hamming-2 probe ring — the high-recall OPT-IN for bounded
     // corpora (recall 0.970 at sf0.1; cost constant grows ~r²/2 with the
     // corpus-adaptive band width, the measured reason it is not the
@@ -2291,10 +2306,59 @@ object SparkEntry {
        |  round(${cosineSql("e.v", "c.cv")}, 6) AS csim FROM e, c2 c),
        |prc AS (SELECT *, row_number() OVER
        |  (PARTITION BY vec_id ORDER BY csim DESC, cl ASC) AS rn FROM pc),
-       |pcells AS (SELECT vec_id, cl, rn = 1 AS is_base FROM prc WHERE rn <= 2),
+       |npv AS (SELECT least(greatest(CAST((2 * 360 * kk.k + cntv.n)
+       |  // (2 * cntv.n) AS BIGINT), 2), 16) AS np FROM kk, cntv),
+       |pcells AS (SELECT vec_id, cl, rn = 1 AS is_base FROM prc, npv
+       |  WHERE rn <= npv.np),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
        |         FROM pcells a JOIN pcells b ON a.cl = b.cl AND a.vec_id <> b.vec_id
        |         WHERE a.is_base OR b.is_base)""".stripMargin
+
+  /** The BANDED kNN-graph replay (tb=128 adaptive banding, candidate
+    * b-side widened to the Hamming-1 probe memberships) — the one copy
+    * the `_banded` entry and the auto default's small-corpus branch
+    * share. */
+  private val knnJoinBandedSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |${vecBandCtesScaledTb(128)},
+       |$vecProbeCte,
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+       |         FROM vbands a JOIN vprobe b ON a.band = b.band AND a.vec_id <> b.vec_id),
+       |s AS (SELECT cand.vec_id, cand.nbr_id,
+       |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+       |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+       |            JOIN e eb ON cand.nbr_id = eb.vec_id),
+       |r AS (SELECT *, (row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
+       |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin
+
+  /** The IVF-cell kNN-graph replay (sized Lloyd training, per-vector
+    * top-nprobe cell ranking at the count-derived probe width, two-sided
+    * base/probe candidate union, exact re-rank) — shared by the `_cells`
+    * entry and the auto default's at-scale branch. */
+  private val knnJoinCellsSql: String =
+    s"""WITH $kmSizedTrainCtes,
+       |$cellsCandCtes,
+       |s AS (SELECT cand.vec_id, cand.nbr_id,
+       |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+       |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
+       |            JOIN e eb ON cand.nbr_id = eb.vec_id),
+       |r AS (SELECT *, (row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
+       |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin
+
+  /** The AUTO kNN-graph oracle: the SAME count(*) gate the Spark side
+    * branches on, as a UNION ALL whose two arms replay the banded and
+    * cells pipelines verbatim — exactly one arm is non-empty for any
+    * corpus, so the union IS the selected method's result.
+    */
+  private val knnJoinAutoSql: String =
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings)
+       |SELECT * FROM ($knnJoinBandedSql)
+       |  WHERE (SELECT n FROM nn) < ${graft.operators.EmbeddingSearch.knnGraphCellsCrossover}
+       |UNION ALL
+       |SELECT * FROM ($knnJoinCellsSql)
+       |  WHERE (SELECT n FROM nn) >= ${graft.operators.EmbeddingSearch.knnGraphCellsCrossover}""".stripMargin
 
   /** Product-quantization oracle: per SUBSPACE, the same Lloyd replay as
     * [[kmeansKnnSql]] (seeds, round(cosine,6) argmax assignment,
@@ -3686,11 +3750,14 @@ object SparkEntry {
          |FROM e GROUP BY 1""".stripMargin,
     "embed_knn_brute" -> bruteKnnSql,
     "embed_knn_mips" -> mipsBruteSql,
-    "embed_knn_mips_alsh" -> mipsAlshSql,
-    // the occupancy-sized ALSH banding — width derived from count(*)
-    "embed_knn_mips_scaled" -> mipsAlshScaledSql,
-    // recall of the sized ALSH path vs the exact inner-product top-k
-    "embed_mips_scaled_recall" ->
+    // the DEFAULT: occupancy-sized ALSH banding — width derived from
+    // count(*); the fixed 4×4 layout keeps the `_fixed` name
+    "embed_knn_mips_alsh" -> mipsAlshScaledSql,
+    "embed_knn_mips_alsh_fixed" -> mipsAlshSql,
+    // recall@k of the DEFAULT (sized) ALSH path vs the exact
+    // inner-product top-k — both pipelines nested verbatim; left join so
+    // missed neighbors count
+    "embed_mips_recall" ->
       s"""WITH br AS (SELECT query_id, vec_id FROM ($mipsBruteSql)),
          |ap AS (SELECT query_id, vec_id FROM ($mipsAlshScaledSql))
          |SELECT br.query_id, count(*) AS n_exact,
@@ -3698,9 +3765,8 @@ object SparkEntry {
          |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
          |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
          |GROUP BY 1""".stripMargin,
-    // recall@k of ALSH MIPS vs the exact inner-product top-k — both
-    // pipelines nested verbatim; left join so missed neighbors count
-    "embed_mips_recall" ->
+    // recall of the fixed-layout contrast vs the same exact top-k
+    "embed_mips_fixed_recall" ->
       s"""WITH br AS (SELECT query_id, vec_id FROM ($mipsBruteSql)),
          |ap AS (SELECT query_id, vec_id FROM ($mipsAlshSql))
          |SELECT br.query_id, count(*) AS n_exact,
@@ -3765,21 +3831,13 @@ object SparkEntry {
     // IDENTICAL to the unprobed entry because the escape is exact — the
     // hash gate proves tiling changes the plan, never the rows
     "embed_knn_join_tiled" -> knnJoinUnprobedOracle,
-    // the DEFAULT: tb=128 adaptive banding with the candidate b-side
-    // widened to the Hamming-1 probe memberships
-    "embed_knn_join" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |${vecBandCtesScaledTb(128)},
-         |$vecProbeCte,
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
-         |         FROM vbands a JOIN vprobe b ON a.band = b.band AND a.vec_id <> b.vec_id),
-         |s AS (SELECT cand.vec_id, cand.nbr_id,
-         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
-         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
-         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
-         |r AS (SELECT *, (row_number() OVER
-         |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
-         |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+    // the DEFAULT: the count-gated method branch (banded below the
+    // crossover, IVF-cells past it) — both arms replayed verbatim
+    "embed_knn_join" -> knnJoinAutoSql,
+    // the banded graph under its explicit name: tb=128 adaptive banding
+    // with the candidate b-side widened to the Hamming-1 probe
+    // memberships
+    "embed_knn_join_banded" -> knnJoinBandedSql,
     // the Hamming-2 opt-in: the candidate b-side widened to the
     // Hamming-<=2 probe memberships
     "embed_knn_join_h2" ->
@@ -3884,18 +3942,10 @@ object SparkEntry {
          |FROM ext LEFT JOIN ap ON ext.p_id = ap.a_id AND ext.e_nbr = ap.a_nbr
          |GROUP BY 1""".stripMargin,
     // IVF-cell graph: sized-quantizer Lloyd replay, per-vector top-nprobe
-    // cell ranking (round(cosine,6) desc, cl asc), the two-sided
-    // base/probe candidate union the kernel scores, exact re-rank
-    "embed_knn_join_cells" ->
-      s"""WITH $kmSizedTrainCtes,
-         |$cellsCandCtes,
-         |s AS (SELECT cand.vec_id, cand.nbr_id,
-         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
-         |  FROM cand JOIN e ea ON cand.vec_id = ea.vec_id
-         |            JOIN e eb ON cand.nbr_id = eb.vec_id),
-         |r AS (SELECT *, (row_number() OVER
-         |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
-         |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+    // cell ranking (round(cosine,6) desc, cl asc) at the count-derived
+    // probe width, the two-sided base/probe candidate union the kernel
+    // scores, exact re-rank
+    "embed_knn_join_cells" -> knnJoinCellsSql,
     // IVF-cell graph recall vs the exact graph on the 100-probe set
     "embed_knn_join_cells_recall" ->
       s"""WITH $kmSizedTrainCtes,

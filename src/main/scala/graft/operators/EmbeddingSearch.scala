@@ -1071,12 +1071,38 @@ object EmbeddingSearch {
     * beside the banded default's 0.387). Output: [[knnJoin]]'s shape.
     */
   def knnJoinCells(spark: SparkSession, dir: String, k: Int = 3,
-      nprobe: Int = 2, iters: Int = 2, maxBucket: Int = 1 << 17): DataFrame = {
+      nprobe: Int = 0, iters: Int = 2, maxBucket: Int = 1 << 17): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    knnJoinCellsWith(emb, trainKmeansIndex(emb, ivfCellCount(emb.count()), iters),
-      k, nprobe, maxBucket)
+    val n = emb.count()
+    val cells = ivfCellCount(n)
+    knnJoinCellsWith(emb, trainKmeansIndex(emb, cells, iters),
+      k, if (nprobe > 0) nprobe else cellsNprobeFor(n, cells), maxBucket)
   }
+
+  /** CORPUS-ADAPTIVE probe width for the IVF-cell graph: hold per-vector
+    * candidate volume ≈ nprobe·N/k ≈ [[cellsCandidateTarget]] instead of
+    * pinning nprobe=2 — the r12 default's one weak regime was small
+    * corpora, where ⌈√N⌉ cells are COARSE relative to the label clusters
+    * and 2 probed cells see too few candidates (recall@3 0.653 at x1 =
+    * 2k vectors). Measured at x1 (SCALING.md r13 frontier): recall rises
+    * 0.653 → 0.877 from nprobe 2 → 8 at FLAT wall (2.1–2.4 s — fixed
+    * costs dominate when candidates are this few), while at x16 the rule
+    * reproduces the validated nprobe=2 point exactly (2·N/k ≈ 358
+    * candidates/vector is where 0.993-recall-at-lower-wall was measured),
+    * so the large-corpus cost model is untouched. Integer half-up
+    * (⌊(2·C·k + N)/(2·N)⌋, all positive BIGINTs) so the DuckDB oracle
+    * derives the identical width from count(*) — no FP rounding seam.
+    */
+  def cellsNprobeFor(n: Long, k: Int): Int = {
+    require(n > 0, s"need a non-empty corpus, got n=$n")
+    val np = ((2L * cellsCandidateTarget * k + n) / (2L * n)).toInt
+    math.max(2, math.min(16, np))
+  }
+
+  /** ≈ candidate rows per vector the cells graph aims for: the x16
+    * measurement's operating point (nprobe=2 at N/k ≈ 179 ⇒ 358). */
+  val cellsCandidateTarget: Int = 360
 
   /** [[knnJoinCells]] serving from a PERSISTED sized quantizer
     * (train-or-load via [[ensureKmeansIndex]]) — the train-once/
@@ -1088,14 +1114,16 @@ object EmbeddingSearch {
     * per dataset across all four sized entries, spec-pinned).
     */
   def knnJoinCellsPersisted(spark: SparkSession, dir: String, indexPath: String,
-      k: Int = 3, nprobe: Int = 2, iters: Int = 2,
+      k: Int = 3, nprobe: Int = 0, iters: Int = 2,
       maxBucket: Int = 1 << 17): DataFrame = {
     requireSizedIters(iters)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = emb.count()
+    val cells = ivfCellCount(n)
     knnJoinCellsWith(emb,
-      ensureKmeansIndex(spark, dir, indexPath, ivfCellCount(emb.count()), iters),
-      k, nprobe, maxBucket)
+      ensureKmeansIndex(spark, dir, indexPath, cells, iters),
+      k, if (nprobe > 0) nprobe else cellsNprobeFor(n, cells), maxBucket)
   }
 
   private def knnJoinCellsWith(emb: DataFrame, cent: DataFrame, k: Int,
@@ -1136,10 +1164,50 @@ object EmbeddingSearch {
         lit(0).as("tile"), lit(true).as("diag"))
   }
 
+  /** Measured banded-vs-cells crossover for the kNN graph (SCALING.md
+    * r12/r13): the BANDED graph (linear total work, per-band collision
+    * probability decaying with the occupancy-rule width) wins recall at
+    * x1 = 2k vectors (0.883 vs the cells graph's 0.877 at comparable
+    * wall), while the IVF-CELL graph dominates BOTH axes from x4 = 8k on
+    * (0.91+ vs 0.583, and 0.993 vs 0.387 at x16 at LOWER wall) — sign-LSH
+    * banding at bounded per-vector work cannot hold moderate-angle recall
+    * as N grows. 4096 is the geometric midpoint of the two measured
+    * points, a power of two for legibility; the oracle gates on the same
+    * count(*) threshold.
+    */
+  val knnGraphCellsCrossover: Long = 4096
+
+  /** The DATA-DERIVED kNN-graph default (the r12 verdict's top item):
+    * below [[knnGraphCellsCrossover]] vectors serve the banded
+    * Hamming-1-probed graph ([[knnJoinScaled]]), at or above it the
+    * IVF-cell graph from the shared persisted sized quantizer
+    * ([[knnJoinCellsPersisted]]) — method selection derived from
+    * count(*) exactly like every other adaptive width in SCALING.md's
+    * sizing-rules table, so a 100×-scale user reaching for the obvious
+    * name gets the 0.99-recall plan, not a third of the true edges. The
+    * count is one parquet-metadata aggregate; both branches keep their
+    * explicit names (`embed_knn_join_banded` / `embed_knn_join_cells`)
+    * and the branch is mirrored in the DuckDB oracle as a count-gated
+    * UNION ALL of the two replays.
+    */
+  def knnJoinAuto(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 3): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    if (n < knnGraphCellsCrossover) knnJoinScaled(spark, dir, k)
+    else knnJoinCellsPersisted(spark, dir, indexPath, k)
+  }
+
+  /** Recall@k of the auto default vs the exact graph on the probe set —
+    * the ScaleBench-gated number for the registered `embed_knn_join`,
+    * which must read ≥ max(banded, cells) at every curve point. */
+  def knnJoinAutoRecall(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 3, nProbes: Int = 100): DataFrame =
+    graphRecallVsBrute(spark, dir, knnJoinAuto(spark, dir, indexPath, k), k, nProbes)
+
   /** Recall@k of the IVF-cell graph vs the exact graph on the fixed
     * probe set — [[graphRecallVsBrute]] over [[knnJoinCells]]. */
   def knnJoinCellsRecall(spark: SparkSession, dir: String, k: Int = 3,
-      nProbes: Int = 100, nprobe: Int = 2): DataFrame =
+      nProbes: Int = 100, nprobe: Int = 0): DataFrame =
     graphRecallVsBrute(spark, dir, knnJoinCells(spark, dir, k, nprobe), k, nProbes)
 
   /** [[knnJoinCellsRecall]] over the PERSISTED-quantizer serve — the
@@ -1147,7 +1215,7 @@ object EmbeddingSearch {
     * cells entry ships. */
   def knnJoinCellsRecallPersisted(spark: SparkSession, dir: String,
       indexPath: String, k: Int = 3, nProbes: Int = 100,
-      nprobe: Int = 2): DataFrame =
+      nprobe: Int = 0): DataFrame =
     graphRecallVsBrute(spark, dir,
       knnJoinCellsPersisted(spark, dir, indexPath, k, nprobe), k, nProbes)
 

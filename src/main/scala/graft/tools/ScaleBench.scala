@@ -38,8 +38,10 @@ object ScaleBench {
     "embed_knn_brute", "embed_knn_lsh", "embed_knn_ivf",
     "dedup_embedding_fixed", "embed_label_stats",
     // corpus-adaptive LSH sizing is the DEFAULT-named config since round 7;
-    // the `_fixed` twins above/below measure the occupancy cliff it fixes
-    "dedup_embedding", "embed_knn_join",
+    // the `_fixed` twins above/below measure the occupancy cliff it fixes.
+    // r13: embed_knn_join is the count-gated AUTO branch; the banded
+    // pre-r13 default keeps its own wall row under the explicit name
+    "dedup_embedding", "embed_knn_join", "embed_knn_join_banded",
     // SemDeDup prune: label cells × adaptive bands — the curve checks the
     // cell∩band candidate bound holds as the corpus grows
     "embed_semantic_prune",
@@ -83,10 +85,12 @@ object ScaleBench {
     "multimodal_phash", "multimodal_features", "multimodal_audio",
     "multimodal_video",
     // MIPS family (round 8): the exact scan is the linear control; the
-    // ALSH band join measures augmented-signature bucket occupancy at
-    // fixed (|Q|=10, replica-0) query load — one-sided, so candidate
-    // growth should be linear in corpus size, not quadratic
-    "embed_knn_mips", "embed_knn_mips_alsh",
+    // FIXED-layout ALSH band join measures augmented-signature bucket
+    // occupancy at fixed (|Q|=10, replica-0) query load — its candidates
+    // grow linearly with the corpus, the cliff the sized default removes
+    // (renamed `_fixed` in r13 when the occupancy-sized banding became
+    // the `embed_knn_mips_alsh` default)
+    "embed_knn_mips", "embed_knn_mips_alsh_fixed",
     // trained quality classifier: iters chained (scan + dims+1-key
     // map-combined shuffle) rounds — distributed full-batch GD's measured
     // slope should be linear per round
@@ -156,10 +160,11 @@ object ScaleBench {
     // the row whose bounded per-round fan-out is the answer to the
     // banded default's recall collapse; its recall is gated below
     "embed_knn_join_nnd",
-    // round 12: the occupancy-sized ALSH banding — the row that shows the
-    // fixed layout's linear candidate growth (embed_knn_mips_alsh above)
-    // flattening under the width rule
-    "embed_knn_mips_scaled",
+    // round 12 (r13: promoted to the default name): the occupancy-sized
+    // ALSH banding — the row that shows the fixed layout's linear
+    // candidate growth (embed_knn_mips_alsh_fixed above) flattening
+    // under the width rule
+    "embed_knn_mips_alsh",
     // round 12: the IVF-cell kNN graph (√N-cell quantizer, nprobe·√N
     // candidates/vector) and the √N-sized IVF serve — the two rows whose
     // cell count GROWS with the corpus; recall gated below
@@ -175,8 +180,14 @@ object ScaleBench {
     * N, so the gate itself scales).
     */
   private val recallFns: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    // the registered default (tb=128, Hamming-1 probed) — the seed
+    // the registered DEFAULT (r13: the count-gated auto branch) — its
+    // gated recall must read ≥ max(banded, cells) at every curve point
     "embed_knn_join" -> ((s, d) => graft.operators.EmbeddingSearch
+      .knnJoinAutoRecall(s, d, graft.SparkEntry.sizedKmeansIndexDirFor(d))),
+    // the banded branch under its explicit name (tb=128, Hamming-1
+    // probed) — the pre-r13 default, kept so the curve shows the
+    // collapse the auto branch escapes
+    "embed_knn_join_banded" -> ((s, d) => graft.operators.EmbeddingSearch
       .knnJoinRecall(s, d, targetBucket = 128, multiProbe = true)),
     // the NN-descent refinement — must hold recall where the seed's falls
     "embed_knn_join_nnd" -> ((s, d) => graft.operators.EmbeddingSearch
@@ -185,7 +196,15 @@ object ScaleBench {
     // point, measured through the REGISTERED entry (the persisted-
     // quantizer serve), so the gated number is exactly the shipped plan
     "embed_knn_join_cells" -> ((s, d) =>
-      graft.SparkEntry.queries("embed_knn_join_cells_recall")(s, d)))
+      graft.SparkEntry.queries("embed_knn_join_cells_recall")(s, d)),
+    // r13 (r12 verdict item 3): the two other adaptive-width rules'
+    // recall twins, gated at every curve point — the H2 lesson (a knob
+    // whose constant depends on an adaptive width must be measured where
+    // it binds, not just at fixture scale)
+    "embed_knn_mips_alsh" -> ((s, d) => graft.operators.EmbeddingSearch
+      .mipsRecallScaled(s, d)),
+    "embed_knn_kmeans_sized" -> ((s, d) =>
+      graft.SparkEntry.queries("embed_kmeans_sized_recall")(s, d)))
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these

@@ -161,7 +161,7 @@ object Scratch {
       // IVF-cell kNN-graph frontier: recall/wall per nprobe at this SF
       import org.apache.spark.sql.functions.{avg, col}
       import graft.operators.EmbeddingSearch
-      for (np <- Seq(1, 2, 4); pass <- 1 to 2) {
+      for (np <- Seq(1, 2, 3, 4, 6, 8); pass <- 1 to 2) {
         val t0 = System.nanoTime()
         val n = EmbeddingSearch.knnJoinCells(spark, sfDir, nprobe = np).count()
         val w = (System.nanoTime() - t0) / 1e9

@@ -476,6 +476,31 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(fr == fr.sortBy(-_), s"probed fraction must shrink: $fr")
   }
 
+  test("cellsNprobeFor: integer half-up of target·k/n, clamps, the measured curve points") {
+    import EmbeddingSearch.{cellsNprobeFor, ivfCellCount}
+    // the three measured ScaleBench points (SCALING.md r13 frontier):
+    // x1 = 2k vectors -> 8 (recall 0.877), x4 = 8k -> 4 (0.950),
+    // x16 = 32k -> 2 (the r12-validated 0.993 operating point, unchanged)
+    assert(cellsNprobeFor(2000L, ivfCellCount(2000L)) == 8)
+    assert(cellsNprobeFor(8000L, ivfCellCount(8000L)) == 4)
+    assert(cellsNprobeFor(32000L, ivfCellCount(32000L)) == 2)
+    // clamps: tiny corpora cap at 16 (list_slice truncates past k anyway);
+    // huge corpora floor at 2 (never below the two-sided base/probe pair)
+    assert(cellsNprobeFor(500L, ivfCellCount(500L)) == 16)
+    assert(cellsNprobeFor(100000000L, ivfCellCount(100000000L)) == 2)
+    // half-up seam: 360*k/n = 2.5 exactly at n = 144*k -> rounds UP to 3
+    // in BOTH engines (integer (2*360*k + n) / (2n), no FP involved)
+    assert(cellsNprobeFor(14400L, 100) == 3)
+    // candidate volume np*(n/k) stays ~bounded near the target across
+    // scales inside the clamp band
+    for (n <- Seq(2000L, 8000L, 32000L, 128000L)) {
+      val k = ivfCellCount(n)
+      val vol = cellsNprobeFor(n, k).toDouble * n / k
+      assert(vol >= 180 && vol <= 720,
+        s"candidate volume $vol at n=$n drifted from the ~360 target")
+    }
+  }
+
   test("scaled near-dup pairs / kNN join equal the explicit-width calls") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.sources.Tables.embeddings(spark, dir).count()
@@ -1264,6 +1289,43 @@ class EmbeddingSpec extends AnyFunSuite {
     got.foreach { case (q, v, _) =>
       assert(cells((q, v)), s"hit ($q,$v) outside the probed cells")
     }
+  }
+
+  test("knnJoinAuto branches on count(*): banded below the crossover, cells at/past it") {
+    import org.apache.spark.sql.functions.{col, lit, concat, array_join, transform => htransform}
+    // BELOW the crossover (fixture N=500 < 4096): the auto graph must be
+    // row-identical to the banded default
+    val dir = "/root/testdata/sf0.001"
+    val idxA = java.nio.file.Files.createTempDirectory("graft_auto_lo").toString
+    val lo = EmbeddingSearch.knnJoinAuto(spark, dir, idxA)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val banded = EmbeddingSearch.knnJoinScaled(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(lo == banded, "below the crossover the auto graph must be the banded graph")
+    assert(!new java.io.File(idxA, "_SUCCESS").exists(),
+      "the banded branch must not train a quantizer")
+    // AT/PAST the crossover: replicate the fixture embeddings 9x (the
+    // ScaleBench dim-rotation transform, N=4500 >= 4096) into a temp
+    // dataset dir; the auto graph must be row-identical to the cells graph
+    val big = java.nio.file.Files.createTempDirectory("graft_auto_hi").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("*"), org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.sequence(lit(0), lit(8))).as("rep"))
+      .select((col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
+        concat(
+          org.apache.spark.sql.functions.slice(col("embedding"), col("rep") + 1,
+            org.apache.spark.sql.functions.size(col("embedding")) - col("rep")),
+          org.apache.spark.sql.functions.slice(col("embedding"), lit(1), col("rep")))
+          .as("embedding"),
+        col("label"))
+      .write.parquet(s"$big/embeddings.parquet")
+    val idxB = java.nio.file.Files.createTempDirectory("graft_auto_hi_idx").toString + "/idx"
+    val hi = EmbeddingSearch.knnJoinAuto(spark, big, idxB)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val cells = EmbeddingSearch.knnJoinCellsPersisted(spark, big, idxB)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(hi == cells, "at/past the crossover the auto graph must be the cells graph")
+    assert(hi != banded && hi.nonEmpty)
   }
 
   test("persisted sized entry points refuse non-default iters (shared-dir poisoning guard)") {

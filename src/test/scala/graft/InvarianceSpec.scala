@@ -78,8 +78,9 @@ class InvarianceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       ((s, d) => EmbeddingSearch.kmeansTopK(s, d, k = 5, nQueries = 3, samplePct = 40)),
     // round-5 rank/window additions: band-join edge ranking, interval-join
     // counts, and the integer-PMI TakeOrdered must all be partition-stable
-    // the default-named entry is the corpus-adaptive sizing since round 7
-    "embed_knn_join" -> ((s, d) => EmbeddingSearch.knnJoinScaled(s, d)),
+    // the banded branch of the r13 auto default (corpus-adaptive sizing
+    // since round 7); the cells branch is pinned separately below
+    "embed_knn_join_banded" -> ((s, d) => EmbeddingSearch.knnJoinScaled(s, d)),
     // SemDeDup verdicts: distinct + min aggregates must be partition-stable
     "embed_semantic_prune" -> ((s, d) => EmbeddingSearch.semanticPrune(s, d, tau = 0.35)),
     "events_concurrency" -> ((s, d) => graft.operators.Events.sessionConcurrency(s, d)),
@@ -137,7 +138,7 @@ class InvarianceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // round-8 additions: the ALSH MIPS band join + exact re-rank, and the
     // 3-round distributed GD (decimal-summed gradients, broadcast weight
     // rows) must both be partition-stable
-    "embed_knn_mips_alsh" -> ((s, d) => EmbeddingSearch.mipsTopKAlsh(s, d, nQueries = 3)),
+    "embed_knn_mips_alsh_fixed" -> ((s, d) => EmbeddingSearch.mipsTopKAlsh(s, d, nQueries = 3)),
     "text_quality_classifier" ->
       ((s, d) => TextAnalysis.qualityClassifierWeights(Tables.documents(s, d))),
     // the two-phase global-id assignment: range boundaries move with the
@@ -175,9 +176,10 @@ class InvarianceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // ranking + the shared kernel) must be partition-stable end-to-end
     "embed_knn_join_cells" ->
       ((s, d) => EmbeddingSearch.knnJoinCells(s, d)),
-    // round-12: the occupancy-sized ALSH (count-derived width + the
-    // augmented banding) must be partition-stable too
-    "embed_knn_mips_scaled" ->
+    // round-12 (the r13 default name): the occupancy-sized ALSH
+    // (count-derived width + the augmented banding) must be
+    // partition-stable too
+    "embed_knn_mips_alsh" ->
       ((s, d) => EmbeddingSearch.mipsTopKAlshScaled(s, d, nQueries = 3)))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
