@@ -126,6 +126,14 @@ object SparkEntry {
   private[graft] def sizedKmeansIndexDirFor(dir: String): String =
     fingerprintedDir(dir, "graft_kmidx_sized_i2", Seq("embeddings.parquet"))
 
+  /** The PQ family's shared codebook dir (m=4, ksub=4, iters=2, full
+    * training set) — `embed_knn_pq`, `embed_knn_pq_refine`, and
+    * `embed_pq_recall` all serve from this ONE persisted training (the
+    * [[sizedKmeansIndexDirFor]] discipline applied to the PQ artifact).
+    */
+  private[graft] def pqIndexDirFor(dir: String): String =
+    fingerprintedDir(dir, "graft_pqidx_m4k4i2", Seq("embeddings.parquet"))
+
   /** The ONE derivation of the persisted BM25 index's directory (the
     * [[kmeansIndexDirFor]] discipline): dataset fingerprint in the name,
     * stale fingerprints reclaimed, every lexical-serve entry routes
@@ -958,7 +966,9 @@ object SparkEntry {
     "embed_mips_fixed_recall" -> ((s, dir) => EmbeddingSearch.mipsRecall(s, dir)),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
     "embed_lsh_recall" -> ((s, dir) => EmbeddingSearch.lshRecall(s, dir)),
-    "embed_pq_recall" -> ((s, dir) => EmbeddingSearch.pqRecall(s, dir)),
+    // serves from the SAME persisted codebooks as embed_knn_pq
+    "embed_pq_recall" -> ((s, dir) =>
+      EmbeddingSearch.pqRecallPersisted(s, dir, pqIndexDirFor(dir))),
     "embed_ivfpq_recall" -> ((s, dir) => EmbeddingSearch.ivfPqRecall(s, dir)),
     // multi-probe: Hamming-1 neighbor buckets probed at fixed index layout
     "embed_knn_multiprobe" -> ((s, dir) => EmbeddingSearch.lshTopKMultiProbe(s, dir)),
@@ -1069,20 +1079,30 @@ object SparkEntry {
     // saves it, every later one (any JVM) loads and serves; results are
     // row-identical either way (EmbeddingSpec asserts it)
     // product quantization: codes + LUT scoring; training, encoding, and
-    // the ADC estimate all replayed by the oracle
-    "embed_knn_pq" -> ((s, dir) => EmbeddingSearch.pqTopK(s, dir)),
+    // the ADC estimate all replayed by the oracle. r13: the codebooks
+    // PERSIST (ensurePqIndex, the sizedKmeansIndexDirFor discipline) —
+    // one training per dataset serves pq + refine + recall, closing the
+    // r12 cold-pass cost center (13.4/9.5/7.0 s first-pass trio)
+    "embed_knn_pq" -> ((s, dir) =>
+      EmbeddingSearch.pqTopKPersisted(s, dir, pqIndexDirFor(dir))),
     // IVF-PQ: the composed production index — coarse k-means probe bounds
     // candidates to nprobe cells, PQ ADC bounds bytes per candidate to m
     // codes; both trained quantizers + the composition oracle-replayed
     "embed_knn_ivfpq" -> ((s, dir) => EmbeddingSearch.ivfPqTopK(s, dir)),
     // PQ codebooks trained on the deterministic 40% affine-hash sample
     // (the 100 TB training shape k-means already has); encoding + LUT
-    // serve still cover every vector — oracle replays the sampled rounds
-    "embed_knn_pq_sampled" -> ((s, dir) => EmbeddingSearch.pqTopK(s, dir, samplePct = 40)),
+    // serve still cover every vector — oracle replays the sampled rounds;
+    // own index dir (the sample is part of the trained artifact's key)
+    "embed_knn_pq_sampled" -> ((s, dir) =>
+      EmbeddingSearch.pqTopKPersisted(s, dir,
+        fingerprintedDir(dir, "graft_pqidx_m4k4i2sp40", Seq("embeddings.parquet")),
+        samplePct = 40)),
     // two-stage serve: ADC shortlist (codes only) -> exact cosine re-rank
     // of the |Q|*R survivors — the deployment answer shape; both stages
-    // oracle-replayed (shortlist membership AND true-cosine order)
-    "embed_knn_pq_refine" -> ((s, dir) => EmbeddingSearch.pqTopKRefined(s, dir)),
+    // oracle-replayed (shortlist membership AND true-cosine order);
+    // shares embed_knn_pq's persisted codebooks (zero extra trainings)
+    "embed_knn_pq_refine" -> ((s, dir) =>
+      EmbeddingSearch.pqTopKRefinedPersisted(s, dir, pqIndexDirFor(dir))),
     // scalar int8 quantization: per-dim affine codes (min/max train pass),
     // decoded-vector ADC; quantizer, codes, and scores all oracle-replayed
     "embed_knn_sq8" -> ((s, dir) => EmbeddingSearch.sq8TopK(s, dir)),

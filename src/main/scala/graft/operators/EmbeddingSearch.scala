@@ -1801,6 +1801,12 @@ object EmbeddingSearch {
     // identical to the historical `vec_id < nClusters` seeding
     var cent = train.orderBy(col("vec_id")).limit(nClusters)
       .select(col("vec_id").cast("int").as("cl"), col("v").as("cv"))
+    // only rounds WE checkpointed may be released: the round-0 seed is a
+    // plan over the INPUT, and if the caller handed us a checkpointed
+    // frame (retrainIvfIndex's vecs), unpersistCheckpoint(seed) would
+    // find the caller's LogicalRDD in the seed's lineage and free the
+    // only copy of the training data mid-loop
+    var prevIsOurs = false
     var tRound = System.nanoTime()
     for (_ <- 1 to iters) {
       // one fixed-width aggregation per round (see ivfTopK's centroid note)
@@ -1826,7 +1832,8 @@ object EmbeddingSearch {
       // for the session's lifetime; a long-lived session that wants it back
       // should persist the index ([[saveKmeansIndex]]) and query from the
       // reloaded table instead.
-      org.apache.spark.sql.GraftShim.unpersistCheckpoint(prev)
+      if (prevIsOurs) org.apache.spark.sql.GraftShim.unpersistCheckpoint(prev)
+      prevIsOurs = true
       System.err.println(f"[graft] kmeans round: ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       tRound = System.nanoTime()
     }
@@ -1914,9 +1921,14 @@ object EmbeddingSearch {
     * instead of m passes over m frames. Returns (s, cl, cv), m·ksub rows,
     * eagerly checkpointed per round.
     */
+  /** PQ-codebook trainings this JVM has run — the spec hook for the
+    * train-once discipline (the [[kmeansTrainings]] twin). */
+  private[graft] val pqTrainings = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[operators] def trainPqCodebooks(emb: DataFrame, m: Int, sub: Int,
       ksub: Int, iters: Int, samplePct: Int = 100): DataFrame = {
     require(samplePct >= 1 && samplePct <= 100, s"samplePct in [1,100], got $samplePct")
+    pqTrainings.incrementAndGet()
     // the 100 TB discipline trainKmeansIndex already follows: codebooks
     // converge on the deterministic affine-hash sample — only ENCODING
     // (the caller's one serve pass) touches every vector
@@ -2178,18 +2190,60 @@ object EmbeddingSearch {
   def loadPqIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Load the PQ codebooks at `indexPath`, TRAINING AND PERSISTING them
+    * first if absent — the [[ensureKmeansIndex]] discipline for the PQ
+    * family: every registered PQ entry routes through this one
+    * train-or-load prologue, so a sweep trains the codebooks ONCE and
+    * the serve-only passes pay encoding + LUT, never Lloyd (the r12
+    * verdict's cold-pass cost center: 13.4/9.5/7.0 s first-pass for the
+    * refine/pq/sampled trio vs 1.3–1.8 s steady).
+    */
+  def ensurePqIndex(spark: SparkSession, dir: String, indexPath: String,
+      m: Int = 4, ksub: Int = 4, iters: Int = 2,
+      samplePct: Int = 100): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
+    val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(marker)) {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      savePqIndex(trainPqCodebooks(emb, m, 64 / m, ksub, iters, samplePct), indexPath)
+    }
+    loadPqIndex(spark, indexPath)
+  }
+
   /** Train-or-load wrapper for PQ, mirroring [[kmeansTopKPersisted]]. */
   def pqTopKPersisted(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10, m: Int = 4, ksub: Int = 4,
+      iters: Int = 2, samplePct: Int = 100): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    pqTopKWithCodebooks(emb,
+      ensurePqIndex(spark, dir, indexPath, m, ksub, iters, samplePct),
+      k, nQueries, m, 64 / m)
+  }
+
+  /** [[pqTopKRefined]] serving its ADC shortlist from the PERSISTED
+    * codebooks — shares the `embed_knn_pq` index dir (same m/ksub/iters
+    * derivation), so the two-stage serve adds zero trainings to a sweep.
+    */
+  def pqTopKRefinedPersisted(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10, m: Int = 4,
+      ksub: Int = 4, iters: Int = 2, shortlist: Int = 20): DataFrame =
+    pqRefineWith(spark, dir,
+      ensurePqIndex(spark, dir, indexPath, m, ksub, iters),
+      k, nQueries, m, shortlist)
+
+  /** Recall twin served from the same persisted codebooks. */
+  def pqRecallPersisted(spark: SparkSession, dir: String, indexPath: String,
       k: Int = 5, nQueries: Int = 10, m: Int = 4, ksub: Int = 4,
       iters: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val sub = 64 / m
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")))
-      savePqIndex(trainPqCodebooks(emb, m, sub, ksub, iters), indexPath)
-    pqTopKWithCodebooks(emb, loadPqIndex(spark, indexPath), k, nQueries, m, sub)
+    recallAgainstBrute(spark, dir,
+      pqTopKWithCodebooks(emb,
+        ensurePqIndex(spark, dir, indexPath, m, ksub, iters),
+        k, nQueries, m, 64 / m),
+      k, nQueries)
   }
 
   /** PQ SHORTLIST + EXACT RE-RANK — the standard two-stage ANN serve shape
@@ -2210,9 +2264,17 @@ object EmbeddingSearch {
       shortlist: Int = 20): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val sub = 64 / m
-    val short = pqTopKWithCodebooks(emb,
-        trainPqCodebooks(emb, m, sub, ksub, iters), shortlist, nQueries, m, sub)
+    pqRefineWith(spark, dir, trainPqCodebooks(emb, m, 64 / m, ksub, iters),
+      k, nQueries, m, shortlist)
+  }
+
+  /** The refine serve tail over any codebook source (fresh or loaded) —
+    * one copy so the persisted twin can never drift from the inline one. */
+  private def pqRefineWith(spark: SparkSession, dir: String, cents: DataFrame,
+      k: Int, nQueries: Int, m: Int, shortlist: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val short = pqTopKWithCodebooks(emb, cents, shortlist, nQueries, m, 64 / m)
       .select(col("query_id"), col("vec_id"))
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -2386,8 +2448,81 @@ object EmbeddingSearch {
     // the map is ~2% of the vector table at 64 dims.
     idmapProjection(embV.sparkSession.read.parquet(s"$path/ivf"))
       .write.mode("overwrite").partitionBy("ib").parquet(s"$path/idmap")
+    // record the TRAINING-time corpus size (a metadata-only count of the
+    // just-written table): the staleness rule compares what the sizing
+    // rule would derive NOW vs at training, so an extend-grown index can
+    // report that its corpus has outgrown its quantizer
+    writeTrainRows(fs, path,
+      embV.sparkSession.read.parquet(s"$path/ivf").count())
     Forget.clearStaleForgetState(fs, path, Seq("cent", "ivf", "idmap"))
     fs.create(done, true).close()
+  }
+
+  private val TrainRowsMarker = "_TRAIN_ROWS"
+
+  private def writeTrainRows(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, n: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, TrainRowsMarker), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** (training-time rows, current rows) of the IVF index at `indexPath`,
+    * or None for a pre-marker index (built before the staleness rule
+    * existed — it reports drift after its next build/retrain). Current
+    * rows is a parquet-metadata count; nothing corpus-scale runs.
+    */
+  def ivfIndexDrift(spark: SparkSession, indexPath: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, TrainRowsMarker)
+    val fs = p.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val trained = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      Some((trained, spark.read.parquet(s"$indexPath/ivf").count()))
+    }
+  }
+
+  /** The sized-quantizer STALENESS RULE (r12 verdict item 4): an index
+    * grown by [[extendIvfIndex]] keeps its training-time cell count while
+    * N drifts, silently degrading the probed fraction back toward the
+    * fixed-k behavior [[ivfCellCount]] exists to prevent. Stale ⇔ the
+    * cell count the sizing rule derives from the CURRENT corpus is ≥ 2×
+    * what it derived at training (≈ the corpus quadrupled) — measured by
+    * the rule's own yardstick, so it applies equally to sized and
+    * deliberately fixed-k indexes without false alarms at build scale.
+    * The remedy is [[retrainIvfIndex]]; on a static corpus the remedy is
+    * result-invariant (same derived k, deterministic Lloyd — spec-pinned),
+    * so automating it is safe.
+    */
+  def ivfIndexStale(trainedRows: Long, currentRows: Long): Boolean =
+    ivfCellCount(currentRows) >= 2 * ivfCellCount(trainedRows)
+
+  private def warnIfStale(spark: SparkSession, indexPath: String,
+      surface: String): Unit =
+    ivfIndexDrift(spark, indexPath).foreach { case (t, c) =>
+      if (ivfIndexStale(t, c))
+        System.err.println(s"[graft] WARNING: IVF index at $indexPath is " +
+          s"STALE at $surface — corpus grew $t -> $c rows since training " +
+          s"(sized cell count ${ivfCellCount(t)} -> ${ivfCellCount(c)}); " +
+          "probed fraction has degraded — run retrainIvfIndex")
+    }
+
+  /** Rebuild the IVF index IN PLACE from its own vector table at the
+    * cell count the sizing rule derives from the current corpus — the
+    * staleness remedy. Vectors are checkpointed off the old table before
+    * the overwrite build; ids, vectors, and the idmap all survive, only
+    * the quantizer (and the cell partitioning) changes. On a corpus that
+    * has NOT grown this is a no-op for results: the derived k equals the
+    * trained k and Lloyd training is deterministic (same seeds, same
+    * argmax order), so the rebuilt index serves row-identical.
+    */
+  def retrainIvfIndex(spark: SparkSession, indexPath: String,
+      iters: Int = 2): Unit = {
+    val vecs = spark.read.parquet(s"$indexPath/ivf")
+      .select(col("vec_id"), col("v")).localCheckpoint()
+    try buildIvfIndex(vecs, indexPath, ivfCellCount(vecs.count()), iters)
+    finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(vecs)
   }
 
   /** Id-hash bucket count for the IVF index's `idmap` layout. */
@@ -2541,6 +2676,9 @@ object EmbeddingSearch {
         .write.mode("append").partitionBy("ib").parquet(s"$indexPath/idmap")
     } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
     fs.create(done, true).close()
+    // the staleness rule fires AFTER the append commits (the grown count
+    // is what drifts) — extend stays legal, the warning names the remedy
+    warnIfStale(newVecs.sparkSession, indexPath, "extend")
   }
 
   /** INCREMENTAL kNN served from the PERSISTED extended index — the
@@ -2571,6 +2709,10 @@ object EmbeddingSearch {
       extendIvfIndex(indexPath, emb.where(col("vec_id") >= split))
       fs.create(ready, true).close()
     }
+    // serve-side staleness check (the extend above warns at grow time;
+    // a long-lived index extended by OTHER sessions drifts between
+    // serves too) — one metadata count, no corpus-scale work
+    warnIfStale(spark, indexPath, "serve")
     val cent = loadKmeansIndex(spark, s"$indexPath/cent")
     val inverted = spark.read.parquet(s"$indexPath/ivf")
     val q = inverted.where(col("vec_id") < nQueries)

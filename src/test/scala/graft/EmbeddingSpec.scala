@@ -1291,6 +1291,86 @@ class EmbeddingSpec extends AnyFunSuite {
     }
   }
 
+  test("the PQ family shares ONE persisted training; persisted serve == fresh training") {
+    // embed_knn_pq, embed_knn_pq_refine, and embed_pq_recall all route
+    // through ensurePqIndex at the same derived dir — whichever runs
+    // first trains, the rest must load (zero extra trainings), and the
+    // persisted serve must be row-identical to inline training
+    val dir = "/root/testdata/sf0.001"
+    val fresh = EmbeddingSearch.pqTopK(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(graft.SparkEntry.queries("embed_knn_pq")(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet == fresh,
+      "persisted-codebook PQ serve diverged from fresh training")
+    val before = EmbeddingSearch.pqTrainings.get()
+    val refFresh = EmbeddingSearch.pqTopKRefined(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(EmbeddingSearch.pqTrainings.get() == before + 1,
+      "the inline-refine contrast should train exactly once")
+    assert(graft.SparkEntry.queries("embed_knn_pq_refine")(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet == refFresh,
+      "persisted refine diverged from inline training")
+    assert(graft.SparkEntry.queries("embed_pq_recall")(spark, dir).count() > 0)
+    assert(EmbeddingSearch.pqTrainings.get() == before + 1,
+      "a PQ family entry retrained instead of loading the shared codebooks")
+    // the sampled entry keys its OWN artifact (the sample is part of the
+    // trained model) and must not collide with the full-training dir
+    assert(graft.SparkEntry.queries("embed_knn_pq_sampled")(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet ==
+      EmbeddingSearch.pqTopK(spark, dir, samplePct = 40)
+        .as[(Long, Long, Double, Long)].collect().toSet,
+      "persisted sampled PQ diverged from fresh sampled training")
+  }
+
+  test("IVF staleness rule: extend-grown corpus triggers it; retrain is invariant on a static corpus") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), org.apache.spark.sql.functions.transform(
+        col("embedding"), _.cast("double")).as("v"))
+    val n = emb.count()
+    // (1) trigger: index trained on 1/5 of the corpus (the sized k at
+    // that scale), then grown 5x by extend — the current corpus implies
+    // >= 2x the training-time cell count, so the drift check must fire
+    val grown = java.nio.file.Files.createTempDirectory("graft_ivf_stale").toString
+    EmbeddingSearch.buildIvfIndex(emb.where(col("vec_id") < n / 5), grown,
+      EmbeddingSearch.ivfCellCount(n / 5))
+    val Some((t0, c0)) = EmbeddingSearch.ivfIndexDrift(spark, grown)
+    assert(t0 == n / 5 && c0 == n / 5 && !EmbeddingSearch.ivfIndexStale(t0, c0),
+      "a freshly built index must not read stale")
+    EmbeddingSearch.extendIvfIndex(grown, emb.where(col("vec_id") >= n / 5))
+    val Some((t1, c1)) = EmbeddingSearch.ivfIndexDrift(spark, grown)
+    assert(t1 == n / 5 && c1 == n,
+      "drift must report training-time vs current rows")
+    assert(EmbeddingSearch.ivfIndexStale(t1, c1),
+      s"5x growth (cells ${EmbeddingSearch.ivfCellCount(t1)} -> " +
+        s"${EmbeddingSearch.ivfCellCount(c1)}) must trigger the rule")
+    // the remedy clears it — and the retrained quantizer is the sized one
+    EmbeddingSearch.retrainIvfIndex(spark, grown)
+    val Some((t2, c2)) = EmbeddingSearch.ivfIndexDrift(spark, grown)
+    assert(t2 == n && c2 == n && !EmbeddingSearch.ivfIndexStale(t2, c2))
+    assert(spark.read.parquet(s"$grown/cent").count() ==
+      EmbeddingSearch.ivfCellCount(n))
+    // (2) invariance: on a STATIC corpus the remedy re-derives the same k
+    // and Lloyd is deterministic, so the serve is row-identical pre/post
+    val static0 = java.nio.file.Files.createTempDirectory("graft_ivf_static").toString
+    EmbeddingSearch.buildIvfIndex(emb, static0, EmbeddingSearch.ivfCellCount(n))
+    def serveRows(): Set[(Long, Long, Double, Long)] =
+      EmbeddingSearch.kmeansTopKWithIndex(emb,
+        EmbeddingSearch.loadKmeansIndex(spark, s"$static0/cent"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val pre = serveRows()
+    EmbeddingSearch.retrainIvfIndex(spark, static0)
+    assert(serveRows() == pre,
+      "retrain on a static corpus must be result-invariant")
+    // (3) a pre-marker index (built before the rule) reports None, not a
+    // false alarm
+    val fs = new org.apache.hadoop.fs.Path(grown).getFileSystem(
+      org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(grown, "_TRAIN_ROWS"), false)
+    assert(EmbeddingSearch.ivfIndexDrift(spark, grown).isEmpty)
+  }
+
   test("knnJoinAuto branches on count(*): banded below the crossover, cells at/past it") {
     import org.apache.spark.sql.functions.{col, lit, concat, array_join, transform => htransform}
     // BELOW the crossover (fixture N=500 < 4096): the auto graph must be
