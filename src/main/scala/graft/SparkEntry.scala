@@ -964,6 +964,21 @@ object SparkEntry {
     // rule's recall cost, measured beside the fixed layout's twin below
     "embed_mips_recall" -> ((s, dir) => EmbeddingSearch.mipsRecallScaled(s, dir)),
     "embed_mips_fixed_recall" -> ((s, dir) => EmbeddingSearch.mipsRecall(s, dir)),
+    // IVF MIPS — the SCALE RECOMMENDATION for inner-product retrieval
+    // (r13): cells ranked per query by rounded IP, count-derived probe
+    // width, exact-IP re-rank; serves from the sized family's ONE
+    // persisted quantizer. Measured recall@5 0.94/0.92/0.96 at x1/x4/x16
+    // where the sized ALSH banding reads 0.36/0.10/0.08 and even the
+    // fixed layout only 0.52/0.40/0.36 — banding at any bounded width
+    // hashes the heavy-norm moderate-angle answers apart (the kNN-graph
+    // lesson applied to MIPS), while data-adaptive cells hold recall at
+    // sublinear candidates (BENCH_SCALE recalls + SCALING.md r13)
+    "embed_knn_mips_ivf" -> ((s, dir) =>
+      EmbeddingSearch.mipsTopKIvfPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+    // recall twin of the IVF MIPS serve — the gated evidence for the
+    // recommendation above
+    "embed_mips_ivf_recall" -> ((s, dir) =>
+      EmbeddingSearch.mipsRecallIvfPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
     "embed_lsh_recall" -> ((s, dir) => EmbeddingSearch.lshRecall(s, dir)),
     // serves from the SAME persisted codebooks as embed_knn_pq
@@ -2366,6 +2381,31 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
        |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin
+
+  /** IVF MIPS replay: the sized-quantizer Lloyd prefix, per-query cell
+    * ranking by rounded INNER PRODUCT (not cosine — the MIPS objective
+    * ranks a big-norm cell of the right direction first), the
+    * count-derived probe width (the cells graph's npv formula), and the
+    * exact-IP re-rank of probed cells' members.
+    */
+  private val mipsIvfSql: String =
+    s"""WITH $kmSizedTrainCtes,
+       |af AS (${kmAssignCte("e", "c2")}),
+       |npv AS (SELECT least(greatest(CAST((2 * 360 * kk.k + cntv.n)
+       |  // (2 * cntv.n) AS BIGINT), 2), 16) AS np FROM kk, cntv),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |pd AS (SELECT q.query_id, q.qv, c.cl,
+       |  round(${dotSql("q.qv", "c.cv")}, 6) AS pip FROM q, c2 c),
+       |pr AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY pip DESC, cl ASC) AS rn FROM pd),
+       |probe AS (SELECT query_id, qv, cl FROM pr, npv WHERE rn <= npv.np),
+       |s AS (SELECT probe.query_id, af.vec_id,
+       |  round(${dotSql("af.v", "probe.qv")}, 6) AS ip
+       |  FROM probe JOIN af ON af.cl = probe.cl
+       |  WHERE af.vec_id <> probe.query_id),
+       |r AS (SELECT *, (row_number() OVER
+       |  (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, ip, rank FROM r WHERE rank <= 5""".stripMargin
 
   /** The AUTO kNN-graph oracle: the SAME count(*) gate the Spark side
     * branches on, as a UNION ALL whose two arms replay the banded and
@@ -3780,6 +3820,17 @@ object SparkEntry {
     "embed_mips_recall" ->
       s"""WITH br AS (SELECT query_id, vec_id FROM ($mipsBruteSql)),
          |ap AS (SELECT query_id, vec_id FROM ($mipsAlshScaledSql))
+         |SELECT br.query_id, count(*) AS n_exact,
+         |  count(ap.vec_id) AS n_hit,
+         |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+         |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
+    // IVF MIPS: sized Lloyd replay + IP-ranked cells + exact-IP re-rank
+    "embed_knn_mips_ivf" -> mipsIvfSql,
+    // recall of the IVF MIPS serve vs the exact inner-product top-k
+    "embed_mips_ivf_recall" ->
+      s"""WITH br AS (SELECT query_id, vec_id FROM ($mipsBruteSql)),
+         |ap AS (SELECT query_id, vec_id FROM ($mipsIvfSql))
          |SELECT br.query_id, count(*) AS n_exact,
          |  count(ap.vec_id) AS n_hit,
          |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall

@@ -158,6 +158,75 @@ object EmbeddingSearch {
       .where(col("rank") <= k)
   }
 
+  /** IVF-accelerated MIPS — the DATA-ADAPTIVE scale path for inner-product
+    * retrieval (the FAISS `IndexIVF` + `METRIC_INNER_PRODUCT` shape): rank
+    * the ⌈√N⌉ trained cells per query by rounded INNER PRODUCT (not
+    * cosine — a big-norm cell of the right direction outranks a closer
+    * unit cell, which is the point of MIPS), probe the top `nprobe`, and
+    * exact-IP re-rank the probed cells' members. Candidates per query ≈
+    * nprobe·N/k ≈ nprobe·√N (sublinear), vs the fixed ALSH layout's
+    * O(corpus) bucket occupancy and the occupancy-sized ALSH's measured
+    * recall collapse (0.36 → 0.08 across x1→x16, BENCH_SCALE r13 — the
+    * same structural LSH bound the kNN graph hit: bands wide enough to
+    * bound cost hash the moderate-angle heavy-norm answers apart).
+    * `nprobe = 0` derives the probe width from the corpus
+    * ([[cellsNprobeFor]] — hold candidate volume, shrink the fraction).
+    */
+  def mipsTopKIvf(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10, nprobe: Int = 0): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = emb.count()
+    val cells = ivfCellCount(n)
+    mipsOverInverted(emb, trainKmeansIndex(emb, cells, 2), k, nQueries,
+      if (nprobe > 0) nprobe else cellsNprobeFor(n, cells))
+  }
+
+  /** [[mipsTopKIvf]] from the PERSISTED sized quantizer — the SAME index
+    * dir as the whole sized family (identical ⌈√N⌉/iters derivation), so
+    * a sweep's one training also serves MIPS. */
+  def mipsTopKIvfPersisted(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10, nprobe: Int = 0): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = emb.count()
+    val cells = ivfCellCount(n)
+    mipsOverInverted(emb, ensureKmeansIndex(spark, dir, indexPath, cells, 2),
+      k, nQueries, if (nprobe > 0) nprobe else cellsNprobeFor(n, cells))
+  }
+
+  private def mipsOverInverted(emb: DataFrame, cent: DataFrame, k: Int,
+      nQueries: Int, nprobe: Int): DataFrame = {
+    val inverted = kmeansAssign(withNorm(emb), cent)
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("pip").desc, col("cl").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cl"),
+        round(dot(col("qv"), col("cv")), 6).as("pip"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cl"))
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("vec_id").asc)
+    inverted.join(broadcast(probes), Seq("cl"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv")), 6).as("ip"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Recall twin of the IVF MIPS serve vs exact [[mipsTopK]]. */
+  def mipsRecallIvf(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10): DataFrame =
+    mipsRecallOf(spark, dir, mipsTopKIvf(spark, dir, k, nQueries), k, nQueries)
+
+  /** Recall twin of the PERSISTED IVF MIPS serve. */
+  def mipsRecallIvfPersisted(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10): DataFrame =
+    mipsRecallOf(spark, dir,
+      mipsTopKIvfPersisted(spark, dir, indexPath, k, nQueries), k, nQueries)
+
   /** ALSH-accelerated MIPS (Shrivastava & Li NIPS'14 / Neyshabur & Srebro
     * ICML'15 Simple-LSH): inner product is NOT a metric (it violates the
     * triangle inequality and a vector need not be its own nearest
@@ -238,6 +307,12 @@ object EmbeddingSearch {
     */
   def mipsRecall(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame =
     mipsRecallOf(spark, dir, mipsTopKAlsh(spark, dir, k, nQueries), k, nQueries)
+
+  /** Measurement-only MIPS recall of an already-built approximate frame
+    * (the Scratch `mipsivf` probe) — not a registered surface. */
+  private[graft] def mipsRecallProbe(spark: SparkSession, dir: String,
+      approxTopK: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame =
+    mipsRecallOf(spark, dir, approxTopK, k, nQueries)
 
   /** The ONE MIPS recall rollup both ALSH layouts share — forked copies
     * would let the fixed and sized rows silently measure different rules.
@@ -2717,6 +2792,38 @@ object EmbeddingSearch {
     val inverted = spark.read.parquet(s"$indexPath/ivf")
     val q = inverted.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    knnOverInverted(inverted, q, cent, k, nprobe)
+  }
+
+  /** One micro-batch of the STREAMING kNN serve against a persisted IVF
+    * index (the [[graft.streaming.StreamingOps.knnAgainstIvfIndex]]
+    * kernel — defined here so the streaming tier and any batch caller
+    * share one rule): rank the k-row quantizer per batch vector, keep
+    * `nprobe` cells, then re-rank the probed cells' members by exact
+    * cosine ([[knnOverInverted]] verbatim). The batch's probed cell ids
+    * are collected driver-side FIRST — a list bounded by the quantizer
+    * size (k rows), never the batch or corpus — and pushed into the ivf
+    * read as a literal IN, so the cl= partition dirs prune at PLAN time
+    * (the hybridTopKServed discipline) and per-batch cost is
+    * probed-cells bytes plus the batch scan, never a corpus-wide read.
+    * Pruning is result-invariant: [[knnOverInverted]] only ever joins
+    * probed cells. Output: (query_id, vec_id, cosine, rank ≤ k).
+    */
+  def knnBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
+      k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    val cent = loadKmeansIndex(spark, s"$indexPath/cent")
+    val q = batch.select(col("vec_id").cast("long").as("query_id"),
+      toDouble(col("embedding")).as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cl").asc)
+    val cells = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cl"),
+        round(cosine(col("qv"), col("cv")), 6).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("cl")).distinct().collect().map(_.getInt(0))
+    val inverted = spark.read.parquet(s"$indexPath/ivf")
+      .where(col("cl").isin(cells.map(Integer.valueOf): _*))
     knnOverInverted(inverted, q, cent, k, nprobe)
   }
 

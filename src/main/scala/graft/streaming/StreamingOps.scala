@@ -735,6 +735,31 @@ object StreamingOps {
           batch.sparkSession, indexPath)), batchId)
     }
 
+  /** Streaming kNN serve against the persisted IVF index — the
+    * NEIGHBOR-GRAPH tier of the trained-artifact serve matrix (the r12
+    * verdict's stretch item, next to [[assignAgainstKmeansIndex]]'s
+    * cell-routing tier): each micro-batch of (vec_id, embedding) vectors
+    * gets its top-k exact-cosine neighbors from the probed cells of the
+    * persisted index ([[graft.operators.EmbeddingSearch
+    * .knnBatchAgainstIvfIndex]] — ONE kernel for the batch and streaming
+    * shapes, so the tiers cannot drift). What an online embedding ingest
+    * runs to attach arriving vectors to the corpus kNN graph without
+    * retraining the quantizer or rescanning indexed vectors. foreachBatch
+    * (stream-static join + per-batch rank aggregation); the index
+    * re-loads per batch, so an extended/retrained index takes effect on
+    * the NEXT batch (the classifyAgainstModel contract). Per-batch cost =
+    * the batch scan + the probed cells' partition-pruned bytes — never
+    * the corpus, never stream history; no state store. Sink receives
+    * (query_id, vec_id, cosine, rank).
+    */
+  def knnAgainstIvfIndex(vecs: DataFrame, indexPath: String, k: Int = 3,
+      nprobe: Int = 2)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.EmbeddingSearch.knnBatchAgainstIvfIndex(
+        batch, indexPath, k, nprobe), batchId)
+    }
+
   /** Streaming HYBRID retrieval serve — the online RAG query tier over
     * BOTH persisted retrieval artifacts at once: each micro-batch of
     * (query_id, text, embedding) queries is ranked lexically against the

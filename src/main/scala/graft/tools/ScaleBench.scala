@@ -168,7 +168,11 @@ object ScaleBench {
     // round 12: the IVF-cell kNN graph (√N-cell quantizer, nprobe·√N
     // candidates/vector) and the √N-sized IVF serve — the two rows whose
     // cell count GROWS with the corpus; recall gated below
-    "embed_knn_join_cells", "embed_knn_kmeans_sized")
+    "embed_knn_join_cells", "embed_knn_kmeans_sized",
+    // round 13: IVF MIPS — the scale recommendation for inner-product
+    // retrieval after the recalls gate exposed both ALSH layouts'
+    // collapse (sized 0.36→0.08, fixed 0.52→0.36 across the curve)
+    "embed_knn_mips_ivf")
 
   /** RECALL-at-scale gate (r11 verdict stretch item): the kNN-graph
     * family's recall@3 is measured at every curve point and committed
@@ -204,7 +208,16 @@ object ScaleBench {
     "embed_knn_mips_alsh" -> ((s, d) => graft.operators.EmbeddingSearch
       .mipsRecallScaled(s, d)),
     "embed_knn_kmeans_sized" -> ((s, d) =>
-      graft.SparkEntry.queries("embed_kmeans_sized_recall")(s, d)))
+      graft.SparkEntry.queries("embed_kmeans_sized_recall")(s, d)),
+    // r13: the two MIPS contrasts next to the sized-ALSH row above — the
+    // fixed layout (whose O(corpus) candidates were the reason the width
+    // rule was applied) and the IVF serve (the method that actually
+    // holds MIPS recall at scale); all three gated so the frontier that
+    // justified the recommendation regresses as an artifact diff
+    "embed_knn_mips_alsh_fixed" -> ((s, d) => graft.operators.EmbeddingSearch
+      .mipsRecall(s, d)),
+    "embed_knn_mips_ivf" -> ((s, d) =>
+      graft.SparkEntry.queries("embed_mips_ivf_recall")(s, d)))
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these

@@ -193,6 +193,28 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "mipsivf") {
+      // the MIPS approx-method frontier at this SF: wall + recall@5 of
+      // the IVF serve (adaptive and fixed nprobe) next to the two ALSH
+      // band layouts — the measurement behind the r13 MIPS default
+      import org.apache.spark.sql.functions.{avg, col}
+      import graft.operators.EmbeddingSearch
+      for ((label, fn) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          ("ivf-npauto", () => EmbeddingSearch.mipsTopKIvf(spark, sfDir)),
+          ("ivf-np2", () => EmbeddingSearch.mipsTopKIvf(spark, sfDir, nprobe = 2)),
+          ("alsh-sized", () => EmbeddingSearch.mipsTopKAlshScaled(spark, sfDir)),
+          ("alsh-fixed", () => EmbeddingSearch.mipsTopKAlsh(spark, sfDir)));
+          pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = fn().count()
+        val w = (System.nanoTime() - t0) / 1e9
+        val rec = graft.operators.EmbeddingSearch
+          .mipsRecallProbe(spark, sfDir, fn())
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"[mipsivf] $label%-11s pass=$pass wall=$w%6.2f s rows=$n recall=$rec%.4f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "hybridprobe") {
       // recall/wall curve for the probed hybrid serve: what nprobe buys
       // the FUSED ranking (single-query serve wall + 20-query fused-rank

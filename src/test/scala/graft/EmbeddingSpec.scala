@@ -904,7 +904,8 @@ class EmbeddingSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(persisted == fresh,
       "persisted-quantizer cells graph diverged from fresh training")
-    for (e <- Seq("embed_knn_join_cells_recall", "embed_kmeans_sized_recall"))
+    for (e <- Seq("embed_knn_join_cells_recall", "embed_kmeans_sized_recall",
+        "embed_knn_mips_ivf", "embed_mips_ivf_recall"))
       assert(graft.SparkEntry.queries(e)(spark, dir).count() > 0)
     assert(EmbeddingSearch.kmeansTrainings.get() == before,
       "a sized-family entry retrained instead of loading the shared quantizer")

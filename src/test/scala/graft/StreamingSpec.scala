@@ -1597,6 +1597,80 @@ class StreamingSpec extends AnyFunSuite {
       assert(n <= 4 && n < total,
         s"batch $b postings scan read $n of $total buckets — not pruned to query terms") }
   }
+
+  test("streaming kNN tier vs the persisted SIZED IVF index: batch parity, pruning, restart, zero trainings") {
+    // the neighbor-graph serve tier (r12 verdict stretch): arriving
+    // vectors get their top-k neighbors from the probed cells of the
+    // persisted sized index — per-batch cost is the probed partitions,
+    // never the corpus; restart serves only new batches; no training ever
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EmbeddingSearch
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("v"))
+    val n = emb.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_knn_stream").toString
+    EmbeddingSearch.buildIvfIndex(emb, root, EmbeddingSearch.ivfCellCount(n))
+    val cent = EmbeddingSearch.loadKmeansIndex(spark, s"$root/cent")
+    val cellsTotal = spark.read.parquet(s"$root/ivf")
+      .select($"cl").distinct().count()
+    val want = EmbeddingSearch.kmeansTopKWithIndex(emb, cent, k = 3,
+        nQueries = 10, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(want.nonEmpty)
+    val queryVecs = graft.sources.Tables.embeddings(spark, dir)
+      .where($"vec_id" < 10).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val scans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def sinkWith(tag: String)(fused: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      StreamingSpec.knnRestartRows ++= fused.select($"query_id", $"vec_id", $"cosine", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      fused.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("graft_knn_stream")) =>
+          scans += ((batchId, f.selectedPartitions.partitionCount.toLong, cellsTotal))
+      }
+      ()
+    }
+    StreamingSpec.knnRestartRows.clear()
+    try {
+      // instance 1: first half of the query set
+      val in1 = MemoryStream[(Long, Seq[Float])]
+      val q1 = EmbeddingSearch.synchronized {
+        graft.streaming.StreamingOps.knnAgainstIvfIndex(
+          in1.toDF().toDF("vec_id", "embedding"), root)(sinkWith("q1")).start()
+      }
+      in1.addData(queryVecs.take(5): _*)
+      try q1.processAllAvailable() finally q1.stop()
+      val afterQ1 = StreamingSpec.knnRestartRows.size
+      assert(StreamingSpec.knnRestartRows.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L))
+      // instance 2 (the restart): only the new batch is served
+      val in2 = MemoryStream[(Long, Seq[Float])]
+      val q2 = graft.streaming.StreamingOps.knnAgainstIvfIndex(
+        in2.toDF().toDF("vec_id", "embedding"), root)(sinkWith("q2")).start()
+      in2.addData(queryVecs.drop(5): _*)
+      try q2.processAllAvailable() finally q2.stop()
+      assert(StreamingSpec.knnRestartRows.drop(afterQ1).map(_._1).toSet ==
+        Set(5L, 6L, 7L, 8L, 9L),
+        "restarted instance must serve exactly the new batch")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    // parity: both batches together == the batch serve over the same index
+    assert(StreamingSpec.knnRestartRows.toSet == want,
+      "streamed kNN serve drifted from the batch kernel")
+    // pruning: each micro-batch's ivf scan reads <= nprobe*|batch| of the
+    // cl= partition dirs, never the whole index
+    assert(scans.nonEmpty, "could not identify the ivf scan in the micro-batch plans")
+    scans.foreach { case (b, read, total) =>
+      assert(read <= 10 && read < total,
+        s"batch $b scanned $read of $total cells — not partition-pruned") }
+    // the serve tier never trains
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "the streaming kNN tier trained a quantizer")
+  }
 }
 
 object StreamingSpec {
@@ -1615,4 +1689,5 @@ object StreamingSpec {
   val kmRestartRows = new scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]
   val hybridRestartRows = new scala.collection.mutable
     .ArrayBuffer[(Long, Long, Option[Long], Option[Long], Double, Long)]
+  val knnRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]
 }
