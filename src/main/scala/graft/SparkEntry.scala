@@ -2307,22 +2307,43 @@ object SparkEntry {
     * the IVF-cell graph oracle, which both rank against the same trained
     * centroids.
     */
-  private val kmSizedTrainCtes: String = {
+  /** The sized-quantizer training prefix, optionally GATED at the source
+    * scan: `gate` is a scalar predicate on the corpus (constant per run)
+    * ANDed into the `e` CTE, so a gated-off instance of this pipeline
+    * processes ZERO rows end-to-end instead of paying the full Lloyd
+    * replay for an arm whose output a UNION-ALL branch discards (the
+    * auto-default oracle). `TRUE` yields the plain prefix.
+    */
+  private def kmSizedTrainCtesGatedBy(gate: String): String = {
     val seeds =
-      """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |           FROM embeddings),
-        |cntv AS (SELECT count(*)::BIGINT AS n FROM e),
-        |kk AS (SELECT least(greatest(CAST(ceil(sqrt(n::DOUBLE)) AS BIGINT), 8), 65536) AS k
-        |       FROM cntv),
-        |c0 AS (SELECT vec_id::INT AS cl, v AS cv FROM (
-        |  SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM e), kk
-        |  WHERE rn <= kk.k)""".stripMargin
+      s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings WHERE $gate),
+         |cntv AS (SELECT count(*)::BIGINT AS n FROM e),
+         |kk AS (SELECT least(greatest(CAST(ceil(sqrt(n::DOUBLE)) AS BIGINT), 8), 65536) AS k
+         |       FROM cntv),
+         |c0 AS (SELECT vec_id::INT AS cl, v AS cv FROM (
+         |  SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM e), kk
+         |  WHERE rn <= kk.k)""".stripMargin
     s"""$seeds,
        |a1 AS (${kmAssignCte("e", "c0")}),
        |${kmUpdateCtes(1, "a1", "c0")},
        |a2 AS (${kmAssignCte("e", "c1")}),
        |${kmUpdateCtes(2, "a2", "c1")}""".stripMargin
   }
+
+  private val kmSizedTrainCtes: String = kmSizedTrainCtesGatedBy("TRUE")
+
+  /** The count-derived probe width — ONE copy of the npv formula
+    * (integer half-up of cellsCandidateTarget·k/n, clamped [2,16]),
+    * interpolating the Scala constant so the three consumers (cells
+    * graph, its recall twin, IVF MIPS) can never drift from
+    * `EmbeddingSearch.cellsNprobeFor`. On an empty gated-off corpus
+    * `// 0` is NULL and `rn <= NULL` selects nothing — already-empty
+    * arms stay empty, no error.
+    */
+  private val npvCte: String =
+    s"""npv AS (SELECT least(greatest(CAST((2 * ${graft.operators.EmbeddingSearch.cellsCandidateTarget} * kk.k + cntv.n)
+       |  // (2 * cntv.n) AS BIGINT), 2), 16) AS np FROM kk, cntv)""".stripMargin
 
   private val kmeansKnnSizedSql: String = {
     s"""WITH $kmSizedTrainCtes,
@@ -2341,8 +2362,7 @@ object SparkEntry {
        |  round(${cosineSql("e.v", "c.cv")}, 6) AS csim FROM e, c2 c),
        |prc AS (SELECT *, row_number() OVER
        |  (PARTITION BY vec_id ORDER BY csim DESC, cl ASC) AS rn FROM pc),
-       |npv AS (SELECT least(greatest(CAST((2 * 360 * kk.k + cntv.n)
-       |  // (2 * cntv.n) AS BIGINT), 2), 16) AS np FROM kk, cntv),
+       |$npvCte,
        |pcells AS (SELECT vec_id, cl, rn = 1 AS is_base FROM prc, npv
        |  WHERE rn <= npv.np),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
@@ -2352,9 +2372,11 @@ object SparkEntry {
   /** The BANDED kNN-graph replay (tb=128 adaptive banding, candidate
     * b-side widened to the Hamming-1 probe memberships) — the one copy
     * the `_banded` entry and the auto default's small-corpus branch
-    * share. */
-  private val knnJoinBandedSql: String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    * share. `gate` empties the source scan for a discarded UNION arm
+    * (the kmSizedTrainCtesGatedBy discipline). */
+  private def knnJoinBandedSqlGatedBy(gate: String): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings WHERE $gate),
        |${vecBandCtesScaledTb(128)},
        |$vecProbeCte,
        |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
@@ -2371,8 +2393,8 @@ object SparkEntry {
     * top-nprobe cell ranking at the count-derived probe width, two-sided
     * base/probe candidate union, exact re-rank) — shared by the `_cells`
     * entry and the auto default's at-scale branch. */
-  private val knnJoinCellsSql: String =
-    s"""WITH $kmSizedTrainCtes,
+  private def knnJoinCellsSqlGatedBy(gate: String): String =
+    s"""WITH ${kmSizedTrainCtesGatedBy(gate)},
        |$cellsCandCtes,
        |s AS (SELECT cand.vec_id, cand.nbr_id,
        |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
@@ -2381,6 +2403,9 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC))::BIGINT AS rank FROM s)
        |SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank <= 3""".stripMargin
+
+  private val knnJoinCellsSql: String = knnJoinCellsSqlGatedBy("TRUE")
+  private val knnJoinBandedSql: String = knnJoinBandedSqlGatedBy("TRUE")
 
   /** IVF MIPS replay: the sized-quantizer Lloyd prefix, per-query cell
     * ranking by rounded INNER PRODUCT (not cosine — the MIPS objective
@@ -2391,8 +2416,7 @@ object SparkEntry {
   private val mipsIvfSql: String =
     s"""WITH $kmSizedTrainCtes,
        |af AS (${kmAssignCte("e", "c2")}),
-       |npv AS (SELECT least(greatest(CAST((2 * 360 * kk.k + cntv.n)
-       |  // (2 * cntv.n) AS BIGINT), 2), 16) AS np FROM kk, cntv),
+       |$npvCte,
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
        |pd AS (SELECT q.query_id, q.qv, c.cl,
        |  round(${dotSql("q.qv", "c.cv")}, 6) AS pip FROM q, c2 c),
@@ -2409,16 +2433,20 @@ object SparkEntry {
 
   /** The AUTO kNN-graph oracle: the SAME count(*) gate the Spark side
     * branches on, as a UNION ALL whose two arms replay the banded and
-    * cells pipelines verbatim — exactly one arm is non-empty for any
+    * cells pipelines verbatim. The gate is pushed into each arm's SOURCE
+    * SCAN (the `e` CTE), so the deselected arm's entire pipeline — the
+    * sized Lloyd replay in particular — runs over ZERO rows instead of
+    * being computed and discarded; exactly one arm is non-empty for any
     * corpus, so the union IS the selected method's result.
     */
-  private val knnJoinAutoSql: String =
-    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings)
-       |SELECT * FROM ($knnJoinBandedSql)
-       |  WHERE (SELECT n FROM nn) < ${graft.operators.EmbeddingSearch.knnGraphCellsCrossover}
+  private val knnJoinAutoSql: String = {
+    val xover = graft.operators.EmbeddingSearch.knnGraphCellsCrossover
+    val below = s"(SELECT count(*) FROM embeddings) < $xover"
+    val atOrAbove = s"(SELECT count(*) FROM embeddings) >= $xover"
+    s"""SELECT * FROM (${knnJoinBandedSqlGatedBy(below)})
        |UNION ALL
-       |SELECT * FROM ($knnJoinCellsSql)
-       |  WHERE (SELECT n FROM nn) >= ${graft.operators.EmbeddingSearch.knnGraphCellsCrossover}""".stripMargin
+       |SELECT * FROM (${knnJoinCellsSqlGatedBy(atOrAbove)})""".stripMargin
+  }
 
   /** Product-quantization oracle: per SUBSPACE, the same Lloyd replay as
     * [[kmeansKnnSql]] (seeds, round(cosine,6) argmax assignment,

@@ -2278,10 +2278,31 @@ object EmbeddingSearch {
       samplePct: Int = 100): DataFrame = {
     val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
     val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    if (!fs.exists(marker)) {
+    val paramsPath = new org.apache.hadoop.fs.Path(indexPath, "_PARAMS")
+    val want = s"m=$m,ksub=$ksub,iters=$iters,samplePct=$samplePct"
+    // a committed dir WITHOUT the params marker predates this guard —
+    // training is deterministic and the dir is fingerprint-keyed, so the
+    // self-healing move is a rebuild, not a refusal (a stranded refusal
+    // would red-gate every environment that served the interim build)
+    if (fs.exists(marker) && !fs.exists(paramsPath))
+      fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    if (!fs.exists(marker) || !fs.exists(paramsPath)) {
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       savePqIndex(trainPqCodebooks(emb, m, 64 / m, ksub, iters, samplePct), indexPath)
+      val out = fs.create(paramsPath, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    } else {
+      // shared-dir poisoning guard (the requireSizedIters discipline for
+      // the PQ artifact): codebooks trained at other params would load
+      // silently — a wrong-m request joins away missing subspaces and
+      // serves wrong rows with no error
+      val in = fs.open(paramsPath)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(got == want, s"PQ index at $indexPath was trained with ($got) " +
+        s"but this call requests ($want) — a mismatched load would silently " +
+        "serve wrong rows; use a params-keyed index dir")
     }
     loadPqIndex(spark, indexPath)
   }
@@ -2580,23 +2601,31 @@ object EmbeddingSearch {
         System.err.println(s"[graft] WARNING: IVF index at $indexPath is " +
           s"STALE at $surface — corpus grew $t -> $c rows since training " +
           s"(sized cell count ${ivfCellCount(t)} -> ${ivfCellCount(c)}); " +
-          "probed fraction has degraded — run retrainIvfIndex")
+          "probed fraction has degraded — run retrainIvfIndex (sized by " +
+          "default; pass the original nClusters to keep a deliberately " +
+          "fixed-k, params-in-name layout)")
     }
 
-  /** Rebuild the IVF index IN PLACE from its own vector table at the
-    * cell count the sizing rule derives from the current corpus — the
+  /** Rebuild the IVF index IN PLACE from its own vector table — the
     * staleness remedy. Vectors are checkpointed off the old table before
     * the overwrite build; ids, vectors, and the idmap all survive, only
-    * the quantizer (and the cell partitioning) changes. On a corpus that
-    * has NOT grown this is a no-op for results: the derived k equals the
-    * trained k and Lloyd training is deterministic (same seeds, same
-    * argmax order), so the rebuilt index serves row-identical.
+    * the quantizer (and the cell partitioning) changes. `nClusters = 0`
+    * (the default) retrains at the cell count the sizing rule derives
+    * from the CURRENT corpus; pass the original k explicitly to refresh
+    * a DELIBERATELY fixed-k index whose dir name encodes its params
+    * (`..._c8i2_...`) — a sized retrain into such a dir would make the
+    * name lie about the layout, the poisoning class requireSizedIters
+    * guards. On a corpus that has NOT grown the sized retrain is a
+    * no-op for results: the derived k equals the trained k and Lloyd
+    * training is deterministic (same seeds, same argmax order), so the
+    * rebuilt index serves row-identical (spec-pinned).
     */
   def retrainIvfIndex(spark: SparkSession, indexPath: String,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, nClusters: Int = 0): Unit = {
     val vecs = spark.read.parquet(s"$indexPath/ivf")
       .select(col("vec_id"), col("v")).localCheckpoint()
-    try buildIvfIndex(vecs, indexPath, ivfCellCount(vecs.count()), iters)
+    val k = if (nClusters > 0) nClusters else ivfCellCount(vecs.count())
+    try buildIvfIndex(vecs, indexPath, k, iters)
     finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(vecs)
   }
 
@@ -2812,6 +2841,11 @@ object EmbeddingSearch {
   def knnBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
       k: Int = 3, nprobe: Int = 2): DataFrame = {
     val spark = batch.sparkSession
+    // the streaming tier is the LONGEST-lived serve against this index —
+    // exactly the reader that drifts when other sessions keep extending
+    // it; one metadata count per micro-batch keeps the staleness rule
+    // audible here too
+    warnIfStale(spark, indexPath, "stream-serve")
     val cent = loadKmeansIndex(spark, s"$indexPath/cent")
     val q = batch.select(col("vec_id").cast("long").as("query_id"),
       toDouble(col("embedding")).as("qv"))

@@ -1321,6 +1321,23 @@ class EmbeddingSpec extends AnyFunSuite {
       EmbeddingSearch.pqTopK(spark, dir, samplePct = 40)
         .as[(Long, Long, Double, Long)].collect().toSet,
       "persisted sampled PQ diverged from fresh sampled training")
+    // shared-dir poisoning guard: requesting OTHER params against an
+    // existing dir must refuse loudly — an m=8 request against m=4
+    // codebooks would join away the missing subspaces and serve wrong
+    // rows silently
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_params").toString + "/pq"
+    assert(EmbeddingSearch.ensurePqIndex(spark, dir, idx).count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingSearch.ensurePqIndex(spark, dir, idx, m = 8)
+    }
+    assert(e.getMessage.contains("trained with"))
+    intercept[IllegalArgumentException] {
+      EmbeddingSearch.ensurePqIndex(spark, dir, idx, samplePct = 40)
+    }
+    // matching params still load (no retrain — the marker already exists)
+    val t0 = EmbeddingSearch.pqTrainings.get()
+    assert(EmbeddingSearch.ensurePqIndex(spark, dir, idx).count() > 0)
+    assert(EmbeddingSearch.pqTrainings.get() == t0)
   }
 
   test("IVF staleness rule: extend-grown corpus triggers it; retrain is invariant on a static corpus") {
@@ -1370,6 +1387,14 @@ class EmbeddingSpec extends AnyFunSuite {
       org.apache.spark.sql.GraftShim.sessionHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(grown, "_TRAIN_ROWS"), false)
     assert(EmbeddingSearch.ivfIndexDrift(spark, grown).isEmpty)
+    // (4) a deliberately fixed-k index can be refreshed at ITS k: an
+    // explicit nClusters overrides the sized derivation, so a c8-named
+    // dir never silently becomes a sized layout
+    val fixed = java.nio.file.Files.createTempDirectory("graft_ivf_fixedk").toString
+    EmbeddingSearch.buildIvfIndex(emb, fixed, nClusters = 8)
+    EmbeddingSearch.retrainIvfIndex(spark, fixed, nClusters = 8)
+    assert(spark.read.parquet(s"$fixed/cent").count() == 8,
+      "explicit-k retrain must preserve the fixed cell count")
   }
 
   test("knnJoinAuto branches on count(*): banded below the crossover, cells at/past it") {
