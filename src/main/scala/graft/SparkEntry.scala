@@ -1167,6 +1167,29 @@ object SparkEntry {
     // persisted quantizer as the serve and the cells graph
     "embed_kmeans_sized_recall" -> ((s, dir) =>
       EmbeddingSearch.kmeansRecallSizedPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+    // FILTERED kNN (metadata predicate + vector top-k — FAISS IDSelector /
+    // vector-store filtered search): the scale path under the DEFAULT name.
+    // ONE full-corpus quantizer serves every filter (shared sized index,
+    // zero extra trainings); the inverted file is built over the filter's
+    // survivors only, and the probe width is cellsNprobeFor fed the
+    // FILTERED count — widening by the inverse selectivity so SURVIVING
+    // candidates stay at the target instead of post-filtering into the
+    // classic filtered-ANN recall cliff. The brute twin is the exact
+    // baseline; the recall twin gates the widened width
+    "embed_knn_filtered" -> ((s, dir) =>
+      EmbeddingSearch.filteredTopKIvfPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+    "embed_knn_filtered_brute" -> ((s, dir) => EmbeddingSearch.filteredTopK(s, dir)),
+    "embed_filtered_recall" -> ((s, dir) =>
+      EmbeddingSearch.filteredRecallPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+    // RANGE SEARCH (FAISS range_search): all corpus vectors with cosine ≥ τ
+    // of each probe query — radius twin of top-k. Default name = the
+    // probed-IVF bounded serve (same shared quantizer); brute twin exact;
+    // recall twin measures the probed serve's τ-set coverage
+    "embed_range_search" -> ((s, dir) =>
+      EmbeddingSearch.rangeSearchIvfPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+    "embed_range_search_brute" -> ((s, dir) => EmbeddingSearch.rangeSearch(s, dir)),
+    "embed_range_recall" -> ((s, dir) =>
+      EmbeddingSearch.rangeRecallPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     // cluster-balanced corpus sampling: cap every semantic cluster at its
     // q most central members — served from the SAME persisted quantizer as
     // embed_knn_kmeans (same kmeansIndexDirFor derivation at the same
@@ -2274,20 +2297,36 @@ object SparkEntry {
     * forked copy would let the hash-gated pair silently serve different
     * ranking rules.
     */
-  private val kmeansServeTailSql: String =
+  /** The probe PROLOGUE of that tail (q → pd → pr → probe) on its own —
+    * rank trained cells per query, keep the width `probeCond` allows
+    * (`probeFrom` supplies an extra FROM table when the width is a
+    * count-derived CTE like npv/npf) — so the rank tail and the range
+    * tail share the one probing rule.
+    */
+  private def kmeansProbeCtes(probeCond: String, probeFrom: String = ""): String =
     s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
        |pd AS (SELECT q.query_id, q.qv, c.cl,
        |  round(${cosineSql("q.qv", "c.cv")}, 6) AS csim FROM q, c2 c),
        |pr AS (SELECT *, row_number() OVER
        |  (PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS rn FROM pd),
-       |probe AS (SELECT query_id, qv, cl FROM pr WHERE rn <= 2),
-       |s AS (SELECT probe.query_id, af.vec_id,
-       |  round(${cosineSql("af.v", "probe.qv")}, 6) AS cosine
-       |  FROM probe JOIN af ON af.cl = probe.cl
-       |  WHERE af.vec_id <> probe.query_id),
+       |probe AS (SELECT query_id, qv, cl FROM pr$probeFrom WHERE $probeCond)""".stripMargin
+
+  /** The tail over an arbitrary inverted-file CTE (`afCte`) and probe
+    * width — the filtered entry re-ranks the FILTERED assignment at the
+    * selectivity-widened width through this same single copy.
+    */
+  private def kmeansServeTailOver(afCte: String, probeCond: String,
+      probeFrom: String = ""): String =
+    s"""${kmeansProbeCtes(probeCond, probeFrom)},
+       |s AS (SELECT probe.query_id, $afCte.vec_id,
+       |  round(${cosineSql(s"$afCte.v", "probe.qv")}, 6) AS cosine
+       |  FROM probe JOIN $afCte ON $afCte.cl = probe.cl
+       |  WHERE $afCte.vec_id <> probe.query_id),
        |r AS (SELECT *, (row_number() OVER
        |  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  private val kmeansServeTailSql: String = kmeansServeTailOver("af", "rn <= 2")
 
   private def kmeansKnnSql(samplePct: Option[Int],
       trainWhere: Option[String] = None): String = {
@@ -2341,15 +2380,77 @@ object SparkEntry {
     * `// 0` is NULL and `rn <= NULL` selects nothing — already-empty
     * arms stay empty, no error.
     */
-  private val npvCte: String =
-    s"""npv AS (SELECT least(greatest(CAST((2 * ${graft.operators.EmbeddingSearch.cellsCandidateTarget} * kk.k + cntv.n)
-       |  // (2 * cntv.n) AS BIGINT), 2), 16) AS np FROM kk, cntv)""".stripMargin
+  private def npCteFrom(cntCte: String, cteName: String): String =
+    s"""$cteName AS (SELECT least(greatest(CAST((2 * ${graft.operators.EmbeddingSearch.cellsCandidateTarget} * kk.k + $cntCte.n)
+       |  // (2 * $cntCte.n) AS BIGINT), 2), 16) AS np FROM kk, $cntCte)""".stripMargin
+
+  private val npvCte: String = npCteFrom("cntv", "npv")
 
   private val kmeansKnnSizedSql: String = {
     s"""WITH $kmSizedTrainCtes,
        |af AS (${kmAssignCte("e", "c2")}),
        |$kmeansServeTailSql""".stripMargin
   }
+
+  /** Filtered-kNN exact baseline: the brute replay with the corpus side
+    * restricted to label = 3 (queries stay the full-corpus probe set).
+    */
+  private val filteredKnnBruteSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |s AS (SELECT q.query_id, e.vec_id, round(${cosineSql("e.v", "q.qv")}, 6) AS cosine
+       |      FROM e, q WHERE e.vec_id <> q.query_id AND e.label = 3),
+       |r AS (SELECT *, (row_number() OVER
+       |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** Filtered-kNN IVF replay: the FULL-corpus sized Lloyd prefix (one
+    * quantizer serves every filter), the inverted file over the filter's
+    * survivors only (`fe`/`aff`), and the probe width from the FILTERED
+    * count — the npv formula fed `cntf`, widening by the inverse
+    * selectivity so surviving candidates stay at the target.
+    */
+  private val filteredKnnIvfSql: String =
+    s"""WITH $kmSizedTrainCtes,
+       |fe AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |       FROM embeddings WHERE label = 3),
+       |cntf AS (SELECT count(*)::BIGINT AS n FROM fe),
+       |${npCteFrom("cntf", "npf")},
+       |aff AS (${kmAssignCte("fe", "c2")}),
+       |${kmeansServeTailOver("aff", "rn <= npf.np", ", npf")}""".stripMargin
+
+  /** Range-search exact baseline: every (query, corpus) pair with rounded
+    * cosine ≥ 0.3 — no rank column (result size is data-dependent). */
+  private val rangeBruteSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |s AS (SELECT q.query_id, e.vec_id, round(${cosineSql("e.v", "q.qv")}, 6) AS cosine
+       |      FROM e, q WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, vec_id, cosine FROM s WHERE cosine >= 0.3""".stripMargin
+
+  /** Probed range-search replay: sized Lloyd prefix, full assignment,
+    * count-derived probe width, τ-filter over probed cells' members. */
+  private val rangeIvfSql: String =
+    s"""WITH $kmSizedTrainCtes,
+       |af AS (${kmAssignCte("e", "c2")}),
+       |$npvCte,
+       |${kmeansProbeCtes("rn <= npv.np", ", npv")},
+       |s AS (SELECT probe.query_id, af.vec_id,
+       |  round(${cosineSql("af.v", "probe.qv")}, 6) AS cosine
+       |  FROM probe JOIN af ON af.cl = probe.cl
+       |  WHERE af.vec_id <> probe.query_id)
+       |SELECT query_id, vec_id, cosine FROM s WHERE cosine >= 0.3""".stripMargin
+
+  /** The one recall-join shape every (exact, approx) oracle pair shares. */
+  private def recallSqlOf(exactSql: String, approxSql: String): String =
+    s"""WITH br AS (SELECT query_id, vec_id FROM ($exactSql)),
+       |ap AS (SELECT query_id, vec_id FROM ($approxSql))
+       |SELECT br.query_id, count(*) AS n_exact,
+       |  count(ap.vec_id) AS n_hit,
+       |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+       |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
+       |GROUP BY 1""".stripMargin
 
   /** The IVF-cell graph's candidate CTEs (per-vector cell ranking →
     * top-nprobe memberships with the base/probe tag → the two-sided
@@ -4242,14 +4343,16 @@ object SparkEntry {
     "embed_knn_kmeans" -> kmeansKnnSql(samplePct = None),
     // corpus-adaptive cell count: k from count(*), seeds = first k by id
     "embed_knn_kmeans_sized" -> kmeansKnnSizedSql,
-    "embed_kmeans_sized_recall" ->
-      s"""WITH br AS (SELECT query_id, vec_id FROM ($bruteKnnSql)),
-         |ap AS (SELECT query_id, vec_id FROM ($kmeansKnnSizedSql))
-         |SELECT br.query_id, count(*) AS n_exact,
-         |  count(ap.vec_id) AS n_hit,
-         |  round(count(ap.vec_id)::DOUBLE / count(*)::DOUBLE, 6) AS recall
-         |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
-         |GROUP BY 1""".stripMargin,
+    "embed_kmeans_sized_recall" -> recallSqlOf(bruteKnnSql, kmeansKnnSizedSql),
+    // filtered kNN: full-corpus quantizer, filtered inverted file, probe
+    // width from the FILTERED count (inverse-selectivity widening)
+    "embed_knn_filtered" -> filteredKnnIvfSql,
+    "embed_knn_filtered_brute" -> filteredKnnBruteSql,
+    "embed_filtered_recall" -> recallSqlOf(filteredKnnBruteSql, filteredKnnIvfSql),
+    // range search: probed-IVF τ-set vs the exact τ-set
+    "embed_range_search" -> rangeIvfSql,
+    "embed_range_search_brute" -> rangeBruteSql,
+    "embed_range_recall" -> recallSqlOf(rangeBruteSql, rangeIvfSql),
     // Lloyd trains on the corpus 4/5 only; af then assigns EVERY vector
     // against those centroids = persisted index ∪ routed batch
     "embed_knn_incremental" -> kmeansKnnSql(samplePct = None,

@@ -2402,10 +2402,18 @@ object EmbeddingSearch {
     * against the brute-force exact set (both |Q|·k rows — the join is
     * negligible next to the searches). */
   private def recallAgainstBrute(spark: SparkSession, dir: String,
-      approxTopK: DataFrame, k: Int, nQueries: Int): DataFrame = {
-    val exact = bruteForceTopK(spark, dir, k, nQueries)
-      .select(col("query_id"), col("vec_id"))
-    val approx = approxTopK.select(col("query_id").as("q2"), col("vec_id").as("v2"))
+      approxTopK: DataFrame, k: Int, nQueries: Int): DataFrame =
+    recallOf(bruteForceTopK(spark, dir, k, nQueries), approxTopK)
+
+  /** Per-query recall of `approx` against `exact` — both (query_id,
+    * vec_id, ...) result sets; queries with an empty exact side carry no
+    * row (recall is undefined there). The one recall-join shape every
+    * cosine-side recall twin shares ([[mipsRecallOf]] is the IP-side
+    * sibling with its own exact query).
+    */
+  private def recallOf(exactRes: DataFrame, approxRes: DataFrame): DataFrame = {
+    val exact = exactRes.select(col("query_id"), col("vec_id"))
+    val approx = approxRes.select(col("query_id").as("q2"), col("vec_id").as("v2"))
     exact.join(approx,
         exact("query_id") === approx("q2") && exact("vec_id") === approx("v2"), "left")
       .groupBy(col("query_id"))
@@ -2448,6 +2456,143 @@ object EmbeddingSearch {
       ensureKmeansIndex(spark, dir, indexPath, nClusters, iters, samplePct),
       k, nQueries, nprobe)
   }
+
+  /** FILTERED kNN, exact baseline: cosine top-k restricted to corpus
+    * vectors whose `label` matches the predicate — the metadata-filter +
+    * vector-search op every vector store serves (FAISS `IDSelector`,
+    * the filtered search of Milvus/Qdrant/Vespa; a RAG stack's "top-k
+    * within this tenant/language/source"). The corpus side filters
+    * BEFORE scoring — the predicate is a plain Column so it pushes to
+    * the parquet scan (PushedFilters), and at 100 TB a label-partitioned
+    * or z-ordered layout prunes it at plan time; queries stay the fixed
+    * `vec_id < nQueries` probe set from the FULL corpus (the searcher's
+    * filter constrains results, never the query). Scoring and ranking
+    * are [[bruteForceTopK]] verbatim over the survivors. Output:
+    * (query_id, vec_id, cosine, rank).
+    */
+  def filteredTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10, labelEq: Int = 3): DataFrame = {
+    val embAll = Tables.embeddings(spark, dir)
+    val corpus = embAll.where(col("label") === labelEq)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val queries = broadcast(embAll.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv")))
+    val scored = corpus.crossJoin(queries)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** [[filteredTopK]] served from the PERSISTED sized quantizer — the
+    * scale path. The quantizer is trained on (and shared with) the FULL
+    * corpus — one index serves every filter, the production shape; only
+    * the INVERTED FILE is built over the filter's survivors, so the
+    * probed-cell scan reads matching vectors only.
+    *
+    * The probe width is where filtered ANN earns its keep: probing the
+    * UNFILTERED width under a selective filter is the classic filtered-
+    * search recall cliff (a 10% filter leaves ~36 of the ~360 candidates
+    * the width rule targets — the searcher silently returns far
+    * neighbors). A probed cell holds ~N/cells vectors of which
+    * matches/N survive ⇒ matches/cells survivors per cell, so the width
+    * that holds SURVIVING candidates at [[cellsCandidateTarget]] is
+    * exactly [[cellsNprobeFor]] fed the FILTERED count — one rule, one
+    * oracle copy, widening by the inverse selectivity with the same
+    * integer half-up arithmetic (and its [2,16] clamp: past 16 cells the
+    * filter is so selective that the survivors fit a broadcast — brute
+    * over the filtered scan is the honest plan there). The matches
+    * count is one pushed-predicate metadata-scale aggregate.
+    */
+  def filteredTopKIvfPersisted(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10, labelEq: Int = 3,
+      iters: Int = 2): DataFrame = {
+    requireSizedIters(iters)
+    val embAll = Tables.embeddings(spark, dir)
+    val emb = embAll.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cells = ivfCellCount(emb.count())
+    val cent = ensureKmeansIndex(spark, dir, indexPath, cells, iters)
+    val corpus = embAll.where(col("label") === labelEq)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val matches = corpus.count()
+    require(matches > 0, s"filter label=$labelEq matches no vectors")
+    val inverted = kmeansAssign(withNorm(corpus), cent)
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    knnOverInverted(inverted, q, cent, k, cellsNprobeFor(matches, cells))
+  }
+
+  /** Recall@k of the filtered IVF serve vs the filtered exact baseline —
+    * the number that shows the selectivity-widened probe rule holding
+    * where the unfiltered width would cliff. */
+  def filteredRecallPersisted(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10,
+      labelEq: Int = 3): DataFrame =
+    recallOf(filteredTopK(spark, dir, k, nQueries, labelEq),
+      filteredTopKIvfPersisted(spark, dir, indexPath, k, nQueries, labelEq))
+
+  /** RANGE SEARCH, exact baseline (FAISS `range_search`): ALL corpus
+    * vectors within cosine ≥ τ of each query — the radius twin of top-k
+    * (dedup audits, "everything this similar to the probe", recall-set
+    * construction). Result size is data-dependent, so there is no rank
+    * column; the (query_id, vec_id) set plus the rounded score is fully
+    * deterministic. Exact cost is the |Q|·N broadcast scan — the same
+    * linear control [[bruteForceTopK]] is for top-k.
+    */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double = 0.3,
+      nQueries: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val queries = broadcast(emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    emb.crossJoin(queries)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
+  /** [[rangeSearch]] from the PERSISTED sized quantizer: rank cells per
+    * query, probe the count-derived width, keep probed-cell members with
+    * exact cosine ≥ τ — bounded serve cost (nprobe·N/cells candidates
+    * per query) in place of the |Q|·N scan, the FAISS IVF range_search
+    * shape. Same recall trade as every probed serve (a τ-neighbor in an
+    * unprobed cell is missed), measured by [[rangeRecallPersisted]].
+    */
+  def rangeSearchIvfPersisted(spark: SparkSession, dir: String,
+      indexPath: String, tau: Double = 0.3, nQueries: Int = 10,
+      iters: Int = 2): DataFrame = {
+    requireSizedIters(iters)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = emb.count()
+    val cells = ivfCellCount(n)
+    val cent = ensureKmeansIndex(spark, dir, indexPath, cells, iters)
+    val inverted = kmeansAssign(withNorm(emb), cent)
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cl").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cl"),
+        round(cosine(col("qv"), col("cv")), 6).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= cellsNprobeFor(n, cells))
+      .select(col("query_id"), col("qv"), col("cl"))
+    inverted.join(broadcast(probes), Seq("cl"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
+  /** Per-query recall of the probed range serve vs the exact τ-set
+    * (queries whose exact τ-set is empty carry no row). */
+  def rangeRecallPersisted(spark: SparkSession, dir: String,
+      indexPath: String, tau: Double = 0.3, nQueries: Int = 10): DataFrame =
+    recallOf(rangeSearch(spark, dir, tau, nQueries),
+      rangeSearchIvfPersisted(spark, dir, indexPath, tau, nQueries))
 
   /** CLUSTER-BALANCED corpus sampling: keep each semantic cluster's `q`
     * most CENTRAL members (cosine to the assigned trained centroid desc,

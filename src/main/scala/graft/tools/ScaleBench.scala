@@ -172,7 +172,13 @@ object ScaleBench {
     // round 13: IVF MIPS — the scale recommendation for inner-product
     // retrieval after the recalls gate exposed both ALSH layouts'
     // collapse (sized 0.36→0.08, fixed 0.52→0.36 across the curve)
-    "embed_knn_mips_ivf")
+    "embed_knn_mips_ivf",
+    // round 13: filtered kNN (the selectivity-widened probe width — the
+    // row that shows the filter-fed npv rule holding recall where the
+    // unfiltered width posts ~2 cells against a 10% filter) and the
+    // probed range search (bounded τ-set serve vs the |Q|·N exact scan,
+    // which rides the curve as embed_knn_brute's linear control already)
+    "embed_knn_filtered", "embed_range_search")
 
   /** RECALL-at-scale gate (r11 verdict stretch item): the kNN-graph
     * family's recall@3 is measured at every curve point and committed
@@ -217,7 +223,14 @@ object ScaleBench {
     "embed_knn_mips_alsh_fixed" -> ((s, d) => graft.operators.EmbeddingSearch
       .mipsRecall(s, d)),
     "embed_knn_mips_ivf" -> ((s, d) =>
-      graft.SparkEntry.queries("embed_mips_ivf_recall")(s, d)))
+      graft.SparkEntry.queries("embed_mips_ivf_recall")(s, d)),
+    // r13: filtered kNN and probed range search — both serve through the
+    // count-derived probe width (the filtered one fed the FILTERED count),
+    // so their recall must be measured exactly where the widths bind
+    "embed_knn_filtered" -> ((s, d) =>
+      graft.SparkEntry.queries("embed_filtered_recall")(s, d)),
+    "embed_range_search" -> ((s, d) =>
+      graft.SparkEntry.queries("embed_range_recall")(s, d)))
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these

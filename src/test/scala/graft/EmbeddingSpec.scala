@@ -1469,4 +1469,97 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(!EmbeddingSearch.descentInProgress.get(),
       "descent flag must be clear after a completed run")
   }
+
+  test("filtered kNN: predicate containment, widened probe rule, shared quantizer, recall") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_filt_idx").toString
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    // exact baseline: every result satisfies the predicate, ranks contiguous,
+    // no self-matches, and it equals a from-scratch brute restricted by label
+    val brute = EmbeddingSearch.filteredTopK(spark, dir)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(brute.nonEmpty)
+    assert(brute.forall(r => labels(r._2) == 3), "brute result violated the filter")
+    assert(brute.forall(r => r._1 != r._2), "self-match in filtered brute")
+    brute.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length), s"ranks malformed for query $q")
+      assert(rs.length <= 5)
+    }
+    // IVF serve: predicate containment holds through the probed path; the
+    // first call trains the shared sized quantizer, the second serves
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val ivf = EmbeddingSearch.filteredTopKIvfPersisted(spark, dir, idx)
+      .as[(Long, Long, Double, Long)].collect()
+    val trained = EmbeddingSearch.kmeansTrainings.get() - before
+    assert(trained <= 1, "filtered serve trained more than once")
+    assert(ivf.nonEmpty && ivf.forall(r => labels(r._2) == 3),
+      "IVF result violated the filter")
+    val again = EmbeddingSearch.filteredTopKIvfPersisted(spark, dir, idx)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(EmbeddingSearch.kmeansTrainings.get() == before + trained,
+      "second filtered serve retrained the quantizer")
+    assert(ivf.toSet == again.toSet, "filtered serve is not deterministic")
+    // the widening rule: the probe width is cellsNprobeFor fed the FILTERED
+    // count — at scale it widens by the inverse selectivity where the
+    // unfiltered width would cliff (x16 curve point: 2 -> 13 under a ~10%
+    // filter), and it reduces to the unfiltered rule when nothing filters
+    import EmbeddingSearch.cellsNprobeFor
+    assert(cellsNprobeFor(80000L, 283) == 2, "unfiltered x16 width moved")
+    assert(cellsNprobeFor(8000L, 283) == 13, "filtered x16 width moved")
+    assert(cellsNprobeFor(8000L, 283) > cellsNprobeFor(80000L, 283))
+    // recall twin: well-formed rows, and the widened width keeps fixture
+    // recall high (16 of 23 cells probed here)
+    val rec = EmbeddingSearch.filteredRecallPersisted(spark, dir, idx)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rec.nonEmpty && rec.forall(r => r._3 <= r._2 && r._4 >= 0.0 && r._4 <= 1.0))
+    val avgRecall = rec.map(_._4).sum / rec.length
+    assert(avgRecall >= 0.6, f"filtered fixture recall $avgRecall%.3f below floor")
+  }
+
+  test("range search: exact tau-set matches a driver recompute; probed serve is a sound subset") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_range_idx").toString
+    // driver-side exact recompute of the tau-set
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // NB: iterate the map as a Seq — a for over a Map yielding pairs
+    // builds a Map and silently collapses all of a query's neighbors
+    // into one entry
+    val exp = (for {
+      q <- vecs.keys.toSeq.filter(_ < 10); (v, arr) <- vecs.toSeq if v != q
+      c = cosD(vecs(q), arr) if c >= 0.3
+    } yield (q, v)).toSet
+    val brute = EmbeddingSearch.rangeSearch(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(brute.map(r => (r._1, r._2)).toSet == exp,
+      "exact range search diverged from the driver recompute")
+    assert(exp.nonEmpty, "fixture tau-set is empty — the spec is vacuous")
+    // probed serve: every returned row carries a true >= tau cosine
+    // (exact filter after the probe => precision 1), so it must be a
+    // SUBSET of the exact set; recall is the only trade
+    val probed = EmbeddingSearch.rangeSearchIvfPersisted(spark, dir, idx)
+      .as[(Long, Long, Double)].collect()
+    val probedSet = probed.map(r => (r._1, r._2)).toSet
+    assert(probedSet.subsetOf(exp), "probed range serve returned a sub-tau pair")
+    assert(probed.forall(_._3 >= 0.3))
+    // recall twin well-formed; the 16-of-23-cell fixture probe keeps most
+    val rec = EmbeddingSearch.rangeRecallPersisted(spark, dir, idx)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rec.nonEmpty && rec.forall(r => r._3 <= r._2 && r._4 >= 0.0 && r._4 <= 1.0))
+    // serve-many: second call never retrains (shared quantizer discipline)
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val again = EmbeddingSearch.rangeSearchIvfPersisted(spark, dir, idx)
+      .as[(Long, Long, Double)].collect()
+    assert(EmbeddingSearch.kmeansTrainings.get() == before, "range serve retrained")
+    assert(again.map(r => (r._1, r._2)).toSet == probedSet)
+  }
 }
