@@ -955,7 +955,12 @@ object SparkEntry {
     // fixed query load (O(corpus) per query at 100 TB — the r11
     // verdict's weak entry #2; measured x16/x1 wall 1.35× sized vs 2.0×
     // fixed). Oracle derives the same width from count(*); the fixed
-    // form keeps the `_fixed` name below as the measured contrast
+    // form keeps the `_fixed` name below as the measured contrast.
+    // KNOW THE TRADE: both ALSH layouts' gated recall collapses on this
+    // corpus (sized 0.36→0.08, fixed 0.52→0.36 across x1→x16 — the
+    // BENCH_SCALE recalls map); the measured MIPS recommendation is
+    // embed_knn_mips_ivf (0.94+ at every curve point at bounded
+    // candidates). The ALSH rows stay registered as the banding contrast
     "embed_knn_mips_alsh" -> ((s, dir) => EmbeddingSearch.mipsTopKAlshScaled(s, dir)),
     // the fixed 4×4 band layout, explicitly named — known-small static
     // corpora only (the embed_knn_join_fixed discipline)
@@ -1176,19 +1181,37 @@ object SparkEntry {
     // candidates stay at the target instead of post-filtering into the
     // classic filtered-ANN recall cliff. The brute twin is the exact
     // baseline; the recall twin gates the widened width
+    // DEFAULT = the count-gated auto branch (the knnJoinAuto discipline on
+    // the filter dimension): exact filtered brute when the widened width
+    // would clamp past 16 (selective filter ⇒ survivors broadcast, recall
+    // 1), the widened IVF serve past matches ≈ 22·√N. Oracle = count-gated
+    // UNION ALL of the two replays
     "embed_knn_filtered" -> ((s, dir) =>
+      EmbeddingSearch.filteredTopKAuto(s, dir, sizedKmeansIndexDirFor(dir))),
+    // the selectivity-widened IVF serve under its explicit name — the
+    // at-scale branch, callable below the branch point for measurement
+    "embed_knn_filtered_ivf" -> ((s, dir) =>
       EmbeddingSearch.filteredTopKIvfPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     "embed_knn_filtered_brute" -> ((s, dir) => EmbeddingSearch.filteredTopK(s, dir)),
     "embed_filtered_recall" -> ((s, dir) =>
       EmbeddingSearch.filteredRecallPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     // RANGE SEARCH (FAISS range_search): all corpus vectors with cosine ≥ τ
-    // of each probe query — radius twin of top-k. Default name = the
-    // probed-IVF bounded serve (same shared quantizer); brute twin exact;
-    // recall twin measures the probed serve's τ-set coverage
+    // of each probe query — radius twin of top-k. DEFAULT = the SOUND
+    // triangle-inequality cell pruning (result ≡ the exact τ-set — the
+    // oracle IS the brute replay, so the hash gate proves completeness);
+    // the rank-probed bounded-cost form keeps an explicit `_probed` name
+    // because its recall collapses as the τ-set grows with the corpus
+    // (0.91→0.51 across the curve, gated)
     "embed_range_search" -> ((s, dir) =>
+      EmbeddingSearch.rangeSearchPruned(s, dir, sizedKmeansIndexDirFor(dir))),
+    "embed_range_search_probed" -> ((s, dir) =>
       EmbeddingSearch.rangeSearchIvfPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     "embed_range_search_brute" -> ((s, dir) => EmbeddingSearch.rangeSearch(s, dir)),
+    // completeness invariant of the sound default (reads 1.0 everywhere)
     "embed_range_recall" -> ((s, dir) =>
+      EmbeddingSearch.rangePrunedRecallPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+    // the probed form's measured τ-set coverage (the honest trade row)
+    "embed_range_probed_recall" -> ((s, dir) =>
       EmbeddingSearch.rangeRecallPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     // cluster-balanced corpus sampling: cap every semantic cluster at its
     // q most central members — served from the SAME persisted quantizer as
@@ -2394,10 +2417,12 @@ object SparkEntry {
 
   /** Filtered-kNN exact baseline: the brute replay with the corpus side
     * restricted to label = 3 (queries stay the full-corpus probe set).
+    * `gate` empties the source scan for a discarded UNION arm (the
+    * kmSizedTrainCtesGatedBy discipline).
     */
-  private val filteredKnnBruteSql: String =
+  private def filteredKnnBruteSqlGatedBy(gate: String): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label
-       |           FROM embeddings),
+       |           FROM embeddings WHERE $gate),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
        |s AS (SELECT q.query_id, e.vec_id, round(${cosineSql("e.v", "q.qv")}, 6) AS cosine
        |      FROM e, q WHERE e.vec_id <> q.query_id AND e.label = 3),
@@ -2405,20 +2430,46 @@ object SparkEntry {
        |      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC))::BIGINT AS rank FROM s)
        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
+  private val filteredKnnBruteSql: String = filteredKnnBruteSqlGatedBy("TRUE")
+
   /** Filtered-kNN IVF replay: the FULL-corpus sized Lloyd prefix (one
     * quantizer serves every filter), the inverted file over the filter's
     * survivors only (`fe`/`aff`), and the probe width from the FILTERED
     * count — the npv formula fed `cntf`, widening by the inverse
     * selectivity so surviving candidates stay at the target.
     */
-  private val filteredKnnIvfSql: String =
-    s"""WITH $kmSizedTrainCtes,
+  private def filteredKnnIvfSqlGatedBy(gate: String): String =
+    s"""WITH ${kmSizedTrainCtesGatedBy(gate)},
        |fe AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-       |       FROM embeddings WHERE label = 3),
+       |       FROM embeddings WHERE label = 3 AND $gate),
        |cntf AS (SELECT count(*)::BIGINT AS n FROM fe),
        |${npCteFrom("cntf", "npf")},
        |aff AS (${kmAssignCte("fe", "c2")}),
        |${kmeansServeTailOver("aff", "rn <= npf.np", ", npf")}""".stripMargin
+
+  private val filteredKnnIvfSql: String = filteredKnnIvfSqlGatedBy("TRUE")
+
+  /** The filtered default's BRANCH VARIABLE as scalar SQL — the unclamped
+    * widened width from the same two counts as
+    * `EmbeddingSearch.filteredNpRaw` (full count → cells, filtered
+    * count), pure BIGINT arithmetic so both engines derive the identical
+    * branch. ONE copy interpolated into both arms' gates.
+    */
+  private val filteredNpRawSql: String =
+    s"""(SELECT (2 * ${graft.operators.EmbeddingSearch.cellsCandidateTarget} *
+       |  least(greatest(CAST(ceil(sqrt(fnc.n::DOUBLE)) AS BIGINT), 8), 65536) + fnm.m)
+       |  // (2 * fnm.m)
+       |  FROM (SELECT count(*)::BIGINT AS n FROM embeddings) fnc,
+       |       (SELECT count(*)::BIGINT AS m FROM embeddings WHERE label = 3) fnm)""".stripMargin
+
+  /** The filtered-kNN default: count-gated UNION ALL of the two replays —
+    * exact filtered brute when the widened width would clamp (> 16),
+    * the widened IVF serve otherwise. Each arm's gate is pushed into its
+    * source scans, so the deselected arm processes zero rows. */
+  private val filteredKnnAutoSql: String =
+    s"""SELECT * FROM (${filteredKnnBruteSqlGatedBy(s"$filteredNpRawSql > 16")})
+       |UNION ALL
+       |SELECT * FROM (${filteredKnnIvfSqlGatedBy(s"$filteredNpRawSql <= 16")})""".stripMargin
 
   /** Range-search exact baseline: every (query, corpus) pair with rounded
     * cosine ≥ 0.3 — no rank column (result size is data-dependent). */
@@ -4344,15 +4395,21 @@ object SparkEntry {
     // corpus-adaptive cell count: k from count(*), seeds = first k by id
     "embed_knn_kmeans_sized" -> kmeansKnnSizedSql,
     "embed_kmeans_sized_recall" -> recallSqlOf(bruteKnnSql, kmeansKnnSizedSql),
-    // filtered kNN: full-corpus quantizer, filtered inverted file, probe
-    // width from the FILTERED count (inverse-selectivity widening)
-    "embed_knn_filtered" -> filteredKnnIvfSql,
+    // filtered kNN: the count-gated auto default (brute arm when the
+    // widened width clamps, IVF arm past it — both replays verbatim),
+    // the explicit IVF form, and the exact baseline
+    "embed_knn_filtered" -> filteredKnnAutoSql,
+    "embed_knn_filtered_ivf" -> filteredKnnIvfSql,
     "embed_knn_filtered_brute" -> filteredKnnBruteSql,
-    "embed_filtered_recall" -> recallSqlOf(filteredKnnBruteSql, filteredKnnIvfSql),
-    // range search: probed-IVF τ-set vs the exact τ-set
-    "embed_range_search" -> rangeIvfSql,
+    "embed_filtered_recall" -> recallSqlOf(filteredKnnBruteSql, filteredKnnAutoSql),
+    // range search: the SOUND pruned default equals the exact τ-set — its
+    // oracle IS the brute replay (the hash gate proves completeness);
+    // the rank-probed form keeps its own replay + measured recall
+    "embed_range_search" -> rangeBruteSql,
+    "embed_range_search_probed" -> rangeIvfSql,
     "embed_range_search_brute" -> rangeBruteSql,
-    "embed_range_recall" -> recallSqlOf(rangeBruteSql, rangeIvfSql),
+    "embed_range_recall" -> recallSqlOf(rangeBruteSql, rangeBruteSql),
+    "embed_range_probed_recall" -> recallSqlOf(rangeBruteSql, rangeIvfSql),
     // Lloyd trains on the corpus 4/5 only; af then assigns EVERY vector
     // against those centroids = persisted index ∪ routed batch
     "embed_knn_incremental" -> kmeansKnnSql(samplePct = None,

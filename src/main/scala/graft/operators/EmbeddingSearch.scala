@@ -286,6 +286,17 @@ object EmbeddingSearch {
     * [[mipsTopKAlsh]] verbatim at the derived width (spec-pinned equal
     * to the explicit-width call).
     */
+  /** [[mipsTopKAlsh]] under the corpus-adaptive occupancy width
+    * ([[lshRowsPerBand]]) — bounded candidates per query where the fixed
+    * layout's grow linearly with the corpus. NOTE the measured recall
+    * bound (SCALING.md r13): at ANY affordable banding, sign-LSH over
+    * the augmented vectors loses the heavy-norm moderate-angle MIPS
+    * answers as N grows (gated recall@5 0.36→0.08 across x1→x16; the
+    * fixed layout reads 0.52→0.36 at O(corpus) candidates). Prefer
+    * [[mipsTopKIvfPersisted]] — 0.94+ at every curve point from the
+    * shared sized quantizer; this form is the registered banding
+    * contrast.
+    */
   def mipsTopKAlshScaled(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 10, targetBucket: Int = 32, bands: Int = 8): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
@@ -2505,6 +2516,12 @@ object EmbeddingSearch {
     * filter is so selective that the survivors fit a broadcast — brute
     * over the filtered scan is the honest plan there). The matches
     * count is one pushed-predicate metadata-scale aggregate.
+    *
+    * Like every sized-family serve, the inverted file is a one-scan
+    * assignment per call (pushed filter first, so it reads survivors
+    * only); a standing 100 TB deployment serves the same probe from the
+    * cl=-partitioned persisted IVF layout ([[buildIvfIndex]]) where the
+    * probe is a plan-time partition prune.
     */
   def filteredTopKIvfPersisted(spark: SparkSession, dir: String,
       indexPath: String, k: Int = 5, nQueries: Int = 10, labelEq: Int = 3,
@@ -2524,10 +2541,59 @@ object EmbeddingSearch {
     knnOverInverted(inverted, q, cent, k, cellsNprobeFor(matches, cells))
   }
 
-  /** Recall@k of the filtered IVF serve vs the filtered exact baseline —
-    * the number that shows the selectivity-widened probe rule holding
-    * where the unfiltered width would cliff. */
+  /** The UNCLAMPED selectivity-widened probe width — [[cellsNprobeFor]]'s
+    * integer half-up fed the filtered count, before the [2,16] clamp.
+    * This is the branch variable of [[filteredTopKAuto]]: when it
+    * exceeds the clamp ceiling, the width rule is saying "the filter is
+    * selective enough that holding the candidate target needs most of
+    * the quantizer" — at which point the survivors themselves are
+    * ≲ target·cells/16 rows, a broadcast, and the exact filtered scan
+    * is the honest plan. Pure BIGINT arithmetic, replayed by the oracle.
+    */
+  def filteredNpRaw(n: Long, matches: Long): Long = {
+    require(n > 0 && matches > 0, s"need non-empty corpus/filter, got n=$n matches=$matches")
+    (2L * cellsCandidateTarget * ivfCellCount(n) + matches) / (2L * matches)
+  }
+
+  /** The DATA-DERIVED filtered-kNN default (the [[knnJoinAuto]]
+    * discipline applied to the filter dimension): one pushed-filter
+    * count gates the method — the exact filtered brute when the widened
+    * probe width would clamp (selective filter ⇒ survivors broadcast,
+    * recall 1 at bounded cost), the selectivity-widened IVF serve past
+    * it (matches > ~22.5·√N, where the clamped width still holds the
+    * candidate target). On the ScaleBench corpus a 10% filter crosses
+    * that at N ≈ 51k — just past the x16 point — so the measured curve
+    * reads brute at every point (recall 1.0/1.0/1.0 at 0.6–0.8 s flat;
+    * 10·matches cosines is nothing), while the explicit `_ivf` row
+    * shows the clamp cliff the branch escapes below the crossover
+    * (0.70/0.78/0.88, rising as the quantizer refines). The branch is
+    * mirrored in the oracle as a count-gated UNION ALL; branch
+    * selection spec-pinned on both sides via the trainings counter
+    * (the brute arm never touches the quantizer).
+    */
+  def filteredTopKAuto(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10, labelEq: Int = 3): DataFrame = {
+    val embAll = Tables.embeddings(spark, dir)
+    val n = embAll.count()
+    val matches = embAll.where(col("label") === labelEq).count()
+    require(matches > 0, s"filter label=$labelEq matches no vectors")
+    if (filteredNpRaw(n, matches) > 16) filteredTopK(spark, dir, k, nQueries, labelEq)
+    else filteredTopKIvfPersisted(spark, dir, indexPath, k, nQueries, labelEq)
+  }
+
+  /** Recall@k of the filtered default vs the filtered exact baseline —
+    * 1.0 on the brute branch by construction; past the branch point it
+    * measures the selectivity-widened probe rule. */
   def filteredRecallPersisted(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10,
+      labelEq: Int = 3): DataFrame =
+    recallOf(filteredTopK(spark, dir, k, nQueries, labelEq),
+      filteredTopKAuto(spark, dir, indexPath, k, nQueries, labelEq))
+
+  /** Recall@k of the UNCONDITIONAL widened-IVF serve — the explicit
+    * `_ivf` form's number, measured below the branch point too (where
+    * the clamp binds and the auto default escapes to brute). */
+  def filteredRecallIvfPersisted(spark: SparkSession, dir: String,
       indexPath: String, k: Int = 5, nQueries: Int = 10,
       labelEq: Int = 3): DataFrame =
     recallOf(filteredTopK(spark, dir, k, nQueries, labelEq),
@@ -2559,7 +2625,12 @@ object EmbeddingSearch {
     * exact cosine ≥ τ — bounded serve cost (nprobe·N/cells candidates
     * per query) in place of the |Q|·N scan, the FAISS IVF range_search
     * shape. Same recall trade as every probed serve (a τ-neighbor in an
-    * unprobed cell is missed), measured by [[rangeRecallPersisted]].
+    * unprobed cell is missed), measured by [[rangeRecallPersisted]];
+    * every RETURNED row carries a true exact ≥ τ cosine, so precision
+    * is 1 by construction (spec-pinned subset soundness). The per-call
+    * assignment scan is the sized family's linear term; a standing
+    * deployment probes the cl=-partitioned persisted IVF layout
+    * ([[buildIvfIndex]]) instead.
     */
   def rangeSearchIvfPersisted(spark: SparkSession, dir: String,
       indexPath: String, tau: Double = 0.3, nQueries: Int = 10,
@@ -2587,12 +2658,75 @@ object EmbeddingSearch {
       .where(col("cosine") >= tau)
   }
 
-  /** Per-query recall of the probed range serve vs the exact τ-set
-    * (queries whose exact τ-set is empty carry no row). */
+  /** Per-query recall of the rank-probed range serve vs the exact τ-set
+    * (queries whose exact τ-set is empty carry no row). The measured
+    * story (SCALING.md r13): this recall COLLAPSES with scale
+    * (0.91 → 0.69 → 0.51 across x1/x4/x16) — a τ-set grows ~linearly
+    * with the corpus while rank-probing holds candidates at the fixed
+    * target, so the probed form is the bounded-cost OPT-IN, not the
+    * default; [[rangeSearchPruned]] is the sound default. */
   def rangeRecallPersisted(spark: SparkSession, dir: String,
       indexPath: String, tau: Double = 0.3, nQueries: Int = 10): DataFrame =
     recallOf(rangeSearch(spark, dir, tau, nQueries),
       rangeSearchIvfPersisted(spark, dir, indexPath, tau, nQueries))
+
+  /** SOUND range search from the persisted quantizer — the default: probe
+    * every cell whose angular cap can intersect the query's τ-ball and
+    * NO other, by the spherical triangle inequality. For member v of
+    * cell c, θ(v,c) ≤ r_c (the cell's angular radius); if θ(q,v) ≤ θ_τ
+    * then θ(q,c) ≤ θ(q,v) + θ(v,c) ≤ θ_τ + r_c — so probing every cell
+    * with θ(q,c) ≤ θ_τ + r_c provably sees every τ-neighbor, and the
+    * exact ≥ τ filter on probed members makes the result EQUAL to the
+    * brute τ-set (the oracle is the brute replay verbatim — the hash
+    * gate IS the soundness proof, and the gated recall row reads 1.0 at
+    * every curve point by construction). Per-cell radii come free from
+    * the assignment's own centrality column (min rounded cosine per
+    * cell, one k-row aggregate); a small angular epsilon absorbs the
+    * 6dp rounding of both cosines (acos is steep near 1, so the margin
+    * is generous — over-probing is sound, under-probing is not).
+    *
+    * Cost shape: pruning is DATA-ADAPTIVE — tight clusters at high τ
+    * prune almost everything (the dedup regime); diffuse corpora at
+    * moderate τ legitimately probe most cells, degrading gracefully
+    * toward the exact scan it equals. The rank-probed
+    * [[rangeSearchIvfPersisted]] stays registered as the fixed-budget
+    * contrast whose recall trade is measured, not silent.
+    */
+  def rangeSearchPruned(spark: SparkSession, dir: String,
+      indexPath: String, tau: Double = 0.3, nQueries: Int = 10,
+      iters: Int = 2): DataFrame = {
+    requireSizedIters(iters)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cent = ensureKmeansIndex(spark, dir, indexPath, ivfCellCount(emb.count()), iters)
+    val inverted = kmeansAssign(withNorm(emb), cent)
+    // angular radius per cell from the assignment's winning cosine; the
+    // clamp guards FP spill past ±1 before acos
+    val clamp1 = (c: Column) => least(greatest(c, lit(-1.0)), lit(1.0))
+    val radii = inverted.groupBy(col("cl"))
+      .agg(acos(clamp1(min(col("centrality")))).as("rad"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val thetaTau = math.acos(tau)
+    val eps = 0.01 // rad; covers 6dp cosine rounding through acos' steep edge
+    val probes = q.crossJoin(broadcast(cent.join(radii, Seq("cl"))))
+      .where(acos(clamp1(round(cosine(col("qv"), col("cv")), 6)))
+        <= lit(thetaTau) + col("rad") + lit(eps))
+      .select(col("query_id"), col("qv"), col("cl"))
+    inverted.join(broadcast(probes), Seq("cl"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
+  /** Recall of the SOUND range default vs the exact τ-set — reads 1.0
+    * everywhere (the completeness invariant, gated at every ScaleBench
+    * curve point so an unsound pruning change regresses as a diff). */
+  def rangePrunedRecallPersisted(spark: SparkSession, dir: String,
+      indexPath: String, tau: Double = 0.3, nQueries: Int = 10): DataFrame =
+    recallOf(rangeSearch(spark, dir, tau, nQueries),
+      rangeSearchPruned(spark, dir, indexPath, tau, nQueries))
 
   /** CLUSTER-BALANCED corpus sampling: keep each semantic cluster's `q`
     * most CENTRAL members (cosine to the assigned trained centroid desc,

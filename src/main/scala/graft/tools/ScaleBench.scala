@@ -173,12 +173,14 @@ object ScaleBench {
     // retrieval after the recalls gate exposed both ALSH layouts'
     // collapse (sized 0.36→0.08, fixed 0.52→0.36 across the curve)
     "embed_knn_mips_ivf",
-    // round 13: filtered kNN (the selectivity-widened probe width — the
-    // row that shows the filter-fed npv rule holding recall where the
-    // unfiltered width posts ~2 cells against a 10% filter) and the
-    // probed range search (bounded τ-set serve vs the |Q|·N exact scan,
-    // which rides the curve as embed_knn_brute's linear control already)
-    "embed_knn_filtered", "embed_range_search")
+    // round 13: filtered kNN — the count-gated auto default (brute under
+    // selective filters, widened-IVF past matches ≈ 22·√N) plus the
+    // explicit IVF form so the curve shows the clamp cliff the branch
+    // escapes; range search — the SOUND triangle-pruned default (recall
+    // pinned 1.0 at every point) plus the rank-probed contrast whose
+    // τ-set coverage collapses as answers grow with the corpus
+    "embed_knn_filtered", "embed_knn_filtered_ivf",
+    "embed_range_search", "embed_range_search_probed")
 
   /** RECALL-at-scale gate (r11 verdict stretch item): the kNN-graph
     * family's recall@3 is measured at every curve point and committed
@@ -224,13 +226,19 @@ object ScaleBench {
       .mipsRecall(s, d)),
     "embed_knn_mips_ivf" -> ((s, d) =>
       graft.SparkEntry.queries("embed_mips_ivf_recall")(s, d)),
-    // r13: filtered kNN and probed range search — both serve through the
-    // count-derived probe width (the filtered one fed the FILTERED count),
-    // so their recall must be measured exactly where the widths bind
+    // r13: the filtered default (1.0 on the brute branch; the widened
+    // rule past it), the unconditional IVF form (shows the clamp cliff
+    // the branch escapes), the sound range default (pinned 1.0 — an
+    // unsound pruning change regresses as an artifact diff), and the
+    // rank-probed range contrast (the measured collapse)
     "embed_knn_filtered" -> ((s, d) =>
       graft.SparkEntry.queries("embed_filtered_recall")(s, d)),
+    "embed_knn_filtered_ivf" -> ((s, d) => graft.operators.EmbeddingSearch
+      .filteredRecallIvfPersisted(s, d, graft.SparkEntry.sizedKmeansIndexDirFor(d))),
     "embed_range_search" -> ((s, d) =>
-      graft.SparkEntry.queries("embed_range_recall")(s, d)))
+      graft.SparkEntry.queries("embed_range_recall")(s, d)),
+    "embed_range_search_probed" -> ((s, d) =>
+      graft.SparkEntry.queries("embed_range_probed_recall")(s, d)))
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these

@@ -1510,11 +1510,69 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(cellsNprobeFor(8000L, 283) > cellsNprobeFor(80000L, 283))
     // recall twin: well-formed rows, and the widened width keeps fixture
     // recall high (16 of 23 cells probed here)
-    val rec = EmbeddingSearch.filteredRecallPersisted(spark, dir, idx)
+    val rec = EmbeddingSearch.filteredRecallIvfPersisted(spark, dir, idx)
       .as[(Long, Long, Long, Double)].collect()
     assert(rec.nonEmpty && rec.forall(r => r._3 <= r._2 && r._4 >= 0.0 && r._4 <= 1.0))
     val avgRecall = rec.map(_._4).sum / rec.length
     assert(avgRecall >= 0.6, f"filtered fixture recall $avgRecall%.3f below floor")
+  }
+
+  test("filtered auto default branches on the unclamped widened width, both sides pinned") {
+    import EmbeddingSearch.filteredNpRaw
+    // the branch variable: unclamped half-up of target·cells/matches —
+    // selective filters (small matches) push it past the 16 clamp
+    assert(filteredNpRaw(500L, 43L) == 193L)    // sf0.001 fixture -> brute arm
+    assert(filteredNpRaw(32000L, 3216L) == 20L) // ScaleBench x16: still brute
+    assert(filteredNpRaw(80000L, 8000L) == 13L) // past the ~51k crossover -> IVF arm
+    assert(filteredNpRaw(2000L, 2000L) == 8L)   // the synthetic fixture below
+    // BRUTE side: at sf0.001 the ~9% filter is selective (npRaw 193 > 16),
+    // so the default IS the exact filtered scan, row-identical
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_fauto_idx").toString
+    val beforeBrute = EmbeddingSearch.kmeansTrainings.get()
+    val auto = EmbeddingSearch.filteredTopKAuto(spark, dir, idx)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // the arm pin: the brute arm never touches the quantizer (idx is
+    // fresh — an IVF serve would have had to train into it)
+    assert(EmbeddingSearch.kmeansTrainings.get() == beforeBrute,
+      "selective-filter default trained a quantizer — it took the IVF arm")
+    val brute = EmbeddingSearch.filteredTopK(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(auto == brute, "below the branch point the default must equal the exact scan")
+    // IVF side: a synthetic corpus where the filter keeps everything
+    // (matches = N = 2000 -> npRaw 8 <= 16) must serve the widened-IVF
+    // plan, row-identical to the explicit form
+    val synth = java.nio.file.Files.createTempDirectory("graft_fauto_data").toString
+    val sidx = java.nio.file.Files.createTempDirectory("graft_fauto_sidx").toString
+    spark.range(2000).selectExpr("id AS vec_id",
+      "transform(sequence(1, 8), d -> CAST((id * 37 + d * 101) % 997 - 498 AS FLOAT)) AS embedding",
+      "CAST(7 AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$synth/embeddings.parquet")
+    val beforeIvf = EmbeddingSearch.kmeansTrainings.get()
+    val autoIvf = EmbeddingSearch.filteredTopKAuto(spark, synth, sidx, labelEq = 7)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // the arm pin: the IVF arm trains the fresh sidx quantizer exactly once
+    assert(EmbeddingSearch.kmeansTrainings.get() == beforeIvf + 1,
+      "wide-filter default did not train — it took the brute arm")
+    val explicitIvf = EmbeddingSearch.filteredTopKIvfPersisted(spark, synth, sidx, labelEq = 7)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(autoIvf == explicitIvf, "past the branch point the default must equal the IVF form")
+  }
+
+  test("sound range search equals the exact tau-set; pruned recall pinned at 1.0") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_rsound_idx").toString
+    val exact = EmbeddingSearch.rangeSearch(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val pruned = EmbeddingSearch.rangeSearchPruned(spark, dir, idx)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture tau-set is empty — the soundness pin is vacuous")
+    assert(pruned == exact,
+      "triangle-pruned range serve diverged from the exact tau-set")
+    val rec = EmbeddingSearch.rangePrunedRecallPersisted(spark, dir, idx)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rec.nonEmpty && rec.forall(_._4 == 1.0),
+      "sound range recall must read 1.0 for every query with a nonempty tau-set")
   }
 
   test("range search: exact tau-set matches a driver recompute; probed serve is a sound subset") {
