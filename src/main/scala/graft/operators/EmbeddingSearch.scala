@@ -2526,15 +2526,26 @@ object EmbeddingSearch {
   def filteredTopKIvfPersisted(spark: SparkSession, dir: String,
       indexPath: String, k: Int = 5, nQueries: Int = 10, labelEq: Int = 3,
       iters: Int = 2): DataFrame = {
+    val embAll = Tables.embeddings(spark, dir)
+    filteredTopKIvfCounted(spark, dir, indexPath, embAll.count(),
+      embAll.where(col("label") === labelEq).count(), k, nQueries, labelEq, iters)
+  }
+
+  /** [[filteredTopKIvfPersisted]] with the two counts precomputed — the
+    * auto default already paid them for its branch decision, and a
+    * filtered count at 100 TB is a label-column scan worth not running
+    * twice. */
+  private def filteredTopKIvfCounted(spark: SparkSession, dir: String,
+      indexPath: String, n: Long, matches: Long, k: Int, nQueries: Int,
+      labelEq: Int, iters: Int): DataFrame = {
     requireSizedIters(iters)
+    require(matches > 0, s"filter label=$labelEq matches no vectors")
     val embAll = Tables.embeddings(spark, dir)
     val emb = embAll.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val cells = ivfCellCount(emb.count())
+    val cells = ivfCellCount(n)
     val cent = ensureKmeansIndex(spark, dir, indexPath, cells, iters)
     val corpus = embAll.where(col("label") === labelEq)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val matches = corpus.count()
-    require(matches > 0, s"filter label=$labelEq matches no vectors")
     val inverted = kmeansAssign(withNorm(corpus), cent)
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -2578,7 +2589,8 @@ object EmbeddingSearch {
     val matches = embAll.where(col("label") === labelEq).count()
     require(matches > 0, s"filter label=$labelEq matches no vectors")
     if (filteredNpRaw(n, matches) > 16) filteredTopK(spark, dir, k, nQueries, labelEq)
-    else filteredTopKIvfPersisted(spark, dir, indexPath, k, nQueries, labelEq)
+    else filteredTopKIvfCounted(spark, dir, indexPath, n, matches, k, nQueries,
+      labelEq, iters = 2)
   }
 
   /** Recall@k of the filtered default vs the filtered exact baseline —
