@@ -332,4 +332,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema"))
     assert(!plan.contains("n_chars"), "scan reads unneeded columns")
   }
+
+  test("filtered kNN pushes the label predicate into the parquet scan") {
+    // the filtered default's 100 TB argument starts at the scan: the
+    // label equality must reach the reader (row-group stats pruning; a
+    // label-partitioned layout prunes at plan time), not run as a
+    // post-scan Filter over the full corpus
+    val plan = graft.operators.EmbeddingSearch.filteredTopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"no pushed label filter:\n$plan")
+  }
 }
