@@ -180,7 +180,17 @@ class InvarianceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // (count-derived width + the augmented banding) must be
     // partition-stable too
     "embed_knn_mips_alsh" ->
-      ((s, d) => EmbeddingSearch.mipsTopKAlshScaled(s, d, nQueries = 3)))
+      ((s, d) => EmbeddingSearch.mipsTopKAlshScaled(s, d, nQueries = 3)),
+    // round-13: the sound range serve's novel arithmetic — per-cell radii
+    // (min over a shuffled group) and the acos probe bound — must pick
+    // identical probe sets and τ-rows at any layout; fresh index dir so
+    // the sized training also runs at both partitionings
+    "embed_range_search_pruned" -> ((s, d) =>
+      EmbeddingSearch.rangeSearchPruned(s, d, tempDir("graft_inv_range"))),
+    // round-13: the filtered IVF serve (pushed-filter assignment + the
+    // widened count-derived probe) must be partition-stable end-to-end
+    "embed_knn_filtered_ivf" -> ((s, d) =>
+      EmbeddingSearch.filteredTopKIvfPersisted(s, d, tempDir("graft_inv_filt"))))
 
   private def runAt(parts: Int, fn: (SparkSession, String) => DataFrame): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
