@@ -2482,9 +2482,19 @@ object EmbeddingSearch {
     * (query_id, vec_id, cosine, rank).
     */
   def filteredTopK(spark: SparkSession, dir: String, k: Int = 5,
-      nQueries: Int = 10, labelEq: Int = 3): DataFrame = {
+      nQueries: Int = 10, labelEq: Int = 3): DataFrame =
+    filteredTopKWhere(spark, dir, col("label") === labelEq, k, nQueries)
+
+  /** [[filteredTopK]] over an ARBITRARY corpus predicate — the general
+    * API (composite filters: `label.isin(...) && source === ...`); the
+    * registered entry pins the single-equality form the oracle replays,
+    * but a user's filter is whatever Column they hand in (and pushes to
+    * the scan exactly the same way, PlanSpec-pinned for the equality).
+    */
+  def filteredTopKWhere(spark: SparkSession, dir: String, pred: Column,
+      k: Int = 5, nQueries: Int = 10): DataFrame = {
     val embAll = Tables.embeddings(spark, dir)
-    val corpus = embAll.where(col("label") === labelEq)
+    val corpus = embAll.where(pred)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val queries = broadcast(embAll.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv")))
@@ -2525,26 +2535,34 @@ object EmbeddingSearch {
     */
   def filteredTopKIvfPersisted(spark: SparkSession, dir: String,
       indexPath: String, k: Int = 5, nQueries: Int = 10, labelEq: Int = 3,
+      iters: Int = 2): DataFrame =
+    filteredTopKIvfWhere(spark, dir, indexPath, col("label") === labelEq,
+      k, nQueries, iters)
+
+  /** [[filteredTopKIvfPersisted]] over an arbitrary corpus predicate —
+    * the general API twin of [[filteredTopKWhere]]. */
+  def filteredTopKIvfWhere(spark: SparkSession, dir: String,
+      indexPath: String, pred: Column, k: Int = 5, nQueries: Int = 10,
       iters: Int = 2): DataFrame = {
     val embAll = Tables.embeddings(spark, dir)
     filteredTopKIvfCounted(spark, dir, indexPath, embAll.count(),
-      embAll.where(col("label") === labelEq).count(), k, nQueries, labelEq, iters)
+      embAll.where(pred).count(), pred, k, nQueries, iters)
   }
 
-  /** [[filteredTopKIvfPersisted]] with the two counts precomputed — the
+  /** [[filteredTopKIvfWhere]] with the two counts precomputed — the
     * auto default already paid them for its branch decision, and a
     * filtered count at 100 TB is a label-column scan worth not running
     * twice. */
   private def filteredTopKIvfCounted(spark: SparkSession, dir: String,
-      indexPath: String, n: Long, matches: Long, k: Int, nQueries: Int,
-      labelEq: Int, iters: Int): DataFrame = {
+      indexPath: String, n: Long, matches: Long, pred: Column, k: Int,
+      nQueries: Int, iters: Int): DataFrame = {
     requireSizedIters(iters)
-    require(matches > 0, s"filter label=$labelEq matches no vectors")
+    require(matches > 0, s"filter '$pred' matches no vectors")
     val embAll = Tables.embeddings(spark, dir)
     val emb = embAll.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val cells = ivfCellCount(n)
     val cent = ensureKmeansIndex(spark, dir, indexPath, cells, iters)
-    val corpus = embAll.where(col("label") === labelEq)
+    val corpus = embAll.where(pred)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val inverted = kmeansAssign(withNorm(corpus), cent)
     val q = emb.where(col("vec_id") < nQueries)
@@ -2583,14 +2601,23 @@ object EmbeddingSearch {
     * (the brute arm never touches the quantizer).
     */
   def filteredTopKAuto(spark: SparkSession, dir: String, indexPath: String,
-      k: Int = 5, nQueries: Int = 10, labelEq: Int = 3): DataFrame = {
+      k: Int = 5, nQueries: Int = 10, labelEq: Int = 3): DataFrame =
+    filteredTopKAutoWhere(spark, dir, indexPath, col("label") === labelEq,
+      k, nQueries)
+
+  /** [[filteredTopKAuto]] over an arbitrary corpus predicate — the
+    * general API: the same count-gated branch, any Column filter. */
+  def filteredTopKAutoWhere(spark: SparkSession, dir: String,
+      indexPath: String, pred: Column, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
     val embAll = Tables.embeddings(spark, dir)
     val n = embAll.count()
-    val matches = embAll.where(col("label") === labelEq).count()
-    require(matches > 0, s"filter label=$labelEq matches no vectors")
-    if (filteredNpRaw(n, matches) > 16) filteredTopK(spark, dir, k, nQueries, labelEq)
-    else filteredTopKIvfCounted(spark, dir, indexPath, n, matches, k, nQueries,
-      labelEq, iters = 2)
+    val matches = embAll.where(pred).count()
+    require(matches > 0, s"filter '$pred' matches no vectors")
+    if (filteredNpRaw(n, matches) > 16)
+      filteredTopKWhere(spark, dir, pred, k, nQueries)
+    else filteredTopKIvfCounted(spark, dir, indexPath, n, matches, pred, k,
+      nQueries, iters = 2)
   }
 
   /** Recall@k of the filtered default vs the filtered exact baseline —

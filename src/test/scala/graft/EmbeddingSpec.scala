@@ -1559,6 +1559,34 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(autoIvf == explicitIvf, "past the branch point the default must equal the IVF form")
   }
 
+  test("filtered search takes arbitrary composite predicates through both arms") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_fwhere_idx").toString
+    val pred = (col("label").isin(1, 3, 5) && col("vec_id") % 2 === 0)
+    val keep = graft.sources.Tables.embeddings(spark, dir)
+      .where(pred).select(col("vec_id")).as[Long].collect().toSet
+    assert(keep.nonEmpty && keep.size < 400, "composite predicate is degenerate")
+    // the general exact form honors the composite filter...
+    val brute = EmbeddingSearch.filteredTopKWhere(spark, dir, pred)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(brute.nonEmpty && brute.forall(r => keep(r._2)),
+      "exact result violated the composite filter")
+    // ...and so do the auto default and the explicit IVF serve
+    val auto = EmbeddingSearch.filteredTopKAutoWhere(spark, dir, idx, pred)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(auto.nonEmpty && auto.forall(r => keep(r._2)),
+      "auto result violated the composite filter")
+    val ivf = EmbeddingSearch.filteredTopKIvfWhere(spark, dir, idx, pred)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(ivf.nonEmpty && ivf.forall(r => keep(r._2)),
+      "IVF result violated the composite filter")
+    // and the labelEq forms are exactly the Where forms at the equality
+    assert(EmbeddingSearch.filteredTopK(spark, dir)
+        .as[(Long, Long, Double, Long)].collect().toSet ==
+      EmbeddingSearch.filteredTopKWhere(spark, dir, col("label") === 3)
+        .as[(Long, Long, Double, Long)].collect().toSet)
+  }
+
   test("sound range search equals the exact tau-set; pruned recall pinned at 1.0") {
     val dir = "/root/testdata/sf0.001"
     val idx = java.nio.file.Files.createTempDirectory("graft_rsound_idx").toString
