@@ -1213,6 +1213,13 @@ object SparkEntry {
     // the probed form's measured τ-set coverage (the honest trade row)
     "embed_range_probed_recall" -> ((s, dir) =>
       EmbeddingSearch.rangeRecallPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+    // FILTERED range search (predicate × radius — "every τ-neighbor within
+    // this tenant"): the sound pruned serve over the filter's survivors;
+    // filtered radii only tighten the triangle bound, so the result equals
+    // the exact filtered τ-set and the oracle is the filtered brute replay
+    "embed_range_filtered" -> ((s, dir) =>
+      EmbeddingSearch.rangeSearchPrunedWhere(s, dir, sizedKmeansIndexDirFor(dir),
+        org.apache.spark.sql.functions.col("label") === 3)),
     // cluster-balanced corpus sampling: cap every semantic cluster at its
     // q most central members — served from the SAME persisted quantizer as
     // embed_knn_kmeans (same kmeansIndexDirFor derivation at the same
@@ -2472,13 +2479,18 @@ object SparkEntry {
        |SELECT * FROM (${filteredKnnIvfSqlGatedBy(s"$filteredNpRawSql <= 16")})""".stripMargin
 
   /** Range-search exact baseline: every (query, corpus) pair with rounded
-    * cosine ≥ 0.3 — no rank column (result size is data-dependent). */
-  private val rangeBruteSql: String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    * cosine ≥ 0.3 — no rank column (result size is data-dependent).
+    * `corpusWhere` restricts the corpus side (queries stay full-corpus)
+    * for the filtered-range entry. */
+  private def rangeBruteSqlWhere(corpusWhere: String): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label
+       |           FROM embeddings),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
        |s AS (SELECT q.query_id, e.vec_id, round(${cosineSql("e.v", "q.qv")}, 6) AS cosine
-       |      FROM e, q WHERE e.vec_id <> q.query_id)
+       |      FROM e, q WHERE e.vec_id <> q.query_id AND $corpusWhere)
        |SELECT query_id, vec_id, cosine FROM s WHERE cosine >= 0.3""".stripMargin
+
+  private val rangeBruteSql: String = rangeBruteSqlWhere("TRUE")
 
   /** Probed range-search replay: sized Lloyd prefix, full assignment,
     * count-derived probe width, τ-filter over probed cells' members. */
@@ -4410,6 +4422,9 @@ object SparkEntry {
     "embed_range_search_brute" -> rangeBruteSql,
     "embed_range_recall" -> recallSqlOf(rangeBruteSql, rangeBruteSql),
     "embed_range_probed_recall" -> recallSqlOf(rangeBruteSql, rangeIvfSql),
+    // filtered range: sound pruning over the filter's survivors — the
+    // oracle is the filtered brute replay (completeness under the filter)
+    "embed_range_filtered" -> rangeBruteSqlWhere("e.label = 3"),
     // Lloyd trains on the corpus 4/5 only; af then assigns EVERY vector
     // against those centroids = persisted index ∪ routed batch
     "embed_knn_incremental" -> kmeansKnnSql(samplePct = None,

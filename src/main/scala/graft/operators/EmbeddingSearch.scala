@@ -2647,11 +2647,19 @@ object EmbeddingSearch {
     * linear control [[bruteForceTopK]] is for top-k.
     */
   def rangeSearch(spark: SparkSession, dir: String, tau: Double = 0.3,
-      nQueries: Int = 10): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+      nQueries: Int = 10): DataFrame =
+    rangeSearchWhere(spark, dir, lit(true), tau, nQueries)
+
+  /** [[rangeSearch]] with the corpus side restricted to `pred` — the
+    * filter × radius composition ("every τ-neighbor within this
+    * tenant/source"); `lit(true)` is the unfiltered form. */
+  def rangeSearchWhere(spark: SparkSession, dir: String, pred: Column,
+      tau: Double = 0.3, nQueries: Int = 10): DataFrame = {
+    val embAll = Tables.embeddings(spark, dir)
+    val emb = embAll.where(pred)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val queries = broadcast(emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val queries = broadcast(embAll.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv")))
     emb.crossJoin(queries)
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -2733,19 +2741,37 @@ object EmbeddingSearch {
     */
   def rangeSearchPruned(spark: SparkSession, dir: String,
       indexPath: String, tau: Double = 0.3, nQueries: Int = 10,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    rangeSearchPrunedWhere(spark, dir, indexPath, lit(true), tau, nQueries, iters)
+
+  /** [[rangeSearchPruned]] over a FILTERED corpus — still sound: the
+    * inverted file and the per-cell radii are both built over the
+    * filter's survivors (pushed predicate), so every searched member's
+    * angle is covered by its cell's radius and the triangle bound
+    * probes every cell that can hold a filtered τ-neighbor. Filtered
+    * radii are ≤ the unfiltered ones — the filter can only TIGHTEN the
+    * pruning. The quantizer stays the shared full-corpus training (one
+    * index serves every filter). Result = the exact filtered τ-set.
+    */
+  def rangeSearchPrunedWhere(spark: SparkSession, dir: String,
+      indexPath: String, pred: Column, tau: Double = 0.3,
+      nQueries: Int = 10, iters: Int = 2): DataFrame = {
     requireSizedIters(iters)
-    val emb = Tables.embeddings(spark, dir)
+    val embAll = Tables.embeddings(spark, dir)
+    val emb = embAll.where(pred)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val cent = ensureKmeansIndex(spark, dir, indexPath, ivfCellCount(emb.count()), iters)
+    val cent = ensureKmeansIndex(spark, dir, indexPath,
+      ivfCellCount(embAll.count()), iters)
     val inverted = kmeansAssign(withNorm(emb), cent)
     // angular radius per cell from the assignment's winning cosine; the
     // clamp guards FP spill past ±1 before acos
     val clamp1 = (c: Column) => least(greatest(c, lit(-1.0)), lit(1.0))
     val radii = inverted.groupBy(col("cl"))
       .agg(acos(clamp1(min(col("centrality")))).as("rad"))
-    val q = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // queries come from the FULL corpus — the filter constrains results,
+    // never the probe set (the filteredTopK convention)
+    val q = embAll.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
     val thetaTau = math.acos(tau)
     val eps = 0.01 // rad; covers 6dp cosine rounding through acos' steep edge
     val probes = q.crossJoin(broadcast(cent.join(radii, Seq("cl"))))

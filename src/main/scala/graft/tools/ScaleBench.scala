@@ -180,7 +180,10 @@ object ScaleBench {
     // pinned 1.0 at every point) plus the rank-probed contrast whose
     // τ-set coverage collapses as answers grow with the corpus
     "embed_knn_filtered", "embed_knn_filtered_ivf",
-    "embed_range_search", "embed_range_search_probed")
+    "embed_range_search", "embed_range_search_probed",
+    // the filter × radius composition — sound like the unfiltered default
+    // (structurally recall 1.0), so only its wall rides the curve
+    "embed_range_filtered")
 
   /** RECALL-at-scale gate (r11 verdict stretch item): the kNN-graph
     * family's recall@3 is measured at every curve point and committed

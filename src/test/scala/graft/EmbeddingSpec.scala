@@ -1601,6 +1601,16 @@ class EmbeddingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect()
     assert(rec.nonEmpty && rec.forall(_._4 == 1.0),
       "sound range recall must read 1.0 for every query with a nonempty tau-set")
+    // filtered range: the same soundness under a corpus predicate — the
+    // pruned serve over the filter's survivors equals the exact filtered
+    // tau-set (filtered radii only tighten the bound)
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val fexp = exact.filter(r => labels(r._2) == 3)
+    val fgot = EmbeddingSearch.rangeSearchPrunedWhere(spark, dir, idx,
+        col("label") === 3).as[(Long, Long, Double)].collect().toSet
+    assert(fexp.nonEmpty, "filtered tau-set empty — the filtered pin is vacuous")
+    assert(fgot == fexp, "filtered pruned range diverged from the exact filtered tau-set")
   }
 
   test("range search: exact tau-set matches a driver recompute; probed serve is a sound subset") {
