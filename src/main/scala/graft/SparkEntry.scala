@@ -1220,6 +1220,13 @@ object SparkEntry {
     "embed_range_filtered" -> ((s, dir) =>
       EmbeddingSearch.rangeSearchPrunedWhere(s, dir, sizedKmeansIndexDirFor(dir),
         org.apache.spark.sql.functions.col("label") === 3)),
+    // FILTERED MIPS (predicate × inner product — the last filter × score
+    // cell): the same count-gated branch as embed_knn_filtered with IP
+    // scoring; recall twin reads 1.0 on the brute branch by construction
+    "embed_knn_mips_filtered" -> ((s, dir) =>
+      EmbeddingSearch.mipsTopKFiltered(s, dir, sizedKmeansIndexDirFor(dir))),
+    "embed_mips_filtered_recall" -> ((s, dir) =>
+      EmbeddingSearch.mipsFilteredRecallPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     // cluster-balanced corpus sampling: cap every semantic cluster at its
     // q most central members — served from the SAME persisted quantizer as
     // embed_knn_kmeans (same kmeansIndexDirFor derivation at the same
@@ -2477,6 +2484,49 @@ object SparkEntry {
     s"""SELECT * FROM (${filteredKnnBruteSqlGatedBy(s"$filteredNpRawSql > 16")})
        |UNION ALL
        |SELECT * FROM (${filteredKnnIvfSqlGatedBy(s"$filteredNpRawSql <= 16")})""".stripMargin
+
+  /** Filtered-MIPS exact baseline (the brute IP replay over the filter's
+    * survivors; queries full-corpus), gated like the cosine sibling. */
+  private def filteredMipsBruteSqlGatedBy(gate: String): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label
+       |           FROM embeddings WHERE $gate),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |s AS (SELECT q.query_id, e.vec_id, round(${dotSql("e.v", "q.qv")}, 6) AS ip
+       |      FROM e, q WHERE e.vec_id <> q.query_id AND e.label = 3),
+       |r AS (SELECT *, (row_number() OVER
+       |      (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, ip, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** Filtered-MIPS IVF replay: the full-corpus sized Lloyd prefix, the
+    * filtered inverted file, the FILTERED-count probe width, and the
+    * IP cell ranking + exact-IP re-rank (the mipsIvfSql tail over aff). */
+  private def filteredMipsIvfSqlGatedBy(gate: String): String =
+    s"""WITH ${kmSizedTrainCtesGatedBy(gate)},
+       |fe AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |       FROM embeddings WHERE label = 3 AND $gate),
+       |cntf AS (SELECT count(*)::BIGINT AS n FROM fe),
+       |${npCteFrom("cntf", "npf")},
+       |aff AS (${kmAssignCte("fe", "c2")}),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |pd AS (SELECT q.query_id, q.qv, c.cl,
+       |  round(${dotSql("q.qv", "c.cv")}, 6) AS pip FROM q, c2 c),
+       |pr AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY pip DESC, cl ASC) AS rn FROM pd),
+       |probe AS (SELECT query_id, qv, cl FROM pr, npf WHERE rn <= npf.np),
+       |s AS (SELECT probe.query_id, aff.vec_id,
+       |  round(${dotSql("aff.v", "probe.qv")}, 6) AS ip
+       |  FROM probe JOIN aff ON aff.cl = probe.cl
+       |  WHERE aff.vec_id <> probe.query_id),
+       |r AS (SELECT *, (row_number() OVER
+       |  (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC))::BIGINT AS rank FROM s)
+       |SELECT query_id, vec_id, ip, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** The filtered-MIPS default: the same count-gated UNION ALL shape as
+    * the cosine sibling, with IP scoring in both arms. */
+  private val filteredMipsAutoSql: String =
+    s"""SELECT * FROM (${filteredMipsBruteSqlGatedBy(s"$filteredNpRawSql > 16")})
+       |UNION ALL
+       |SELECT * FROM (${filteredMipsIvfSqlGatedBy(s"$filteredNpRawSql <= 16")})""".stripMargin
 
   /** Range-search exact baseline: every (query, corpus) pair with rounded
     * cosine ≥ 0.3 — no rank column (result size is data-dependent).
@@ -4425,6 +4475,10 @@ object SparkEntry {
     // filtered range: sound pruning over the filter's survivors — the
     // oracle is the filtered brute replay (completeness under the filter)
     "embed_range_filtered" -> rangeBruteSqlWhere("e.label = 3"),
+    // filtered MIPS: the count-gated UNION ALL with IP scoring
+    "embed_knn_mips_filtered" -> filteredMipsAutoSql,
+    "embed_mips_filtered_recall" ->
+      recallSqlOf(filteredMipsBruteSqlGatedBy("TRUE"), filteredMipsAutoSql),
     // Lloyd trains on the corpus 4/5 only; af then assigns EVERY vector
     // against those centroids = persisted index ∪ routed batch
     "embed_knn_incremental" -> kmeansKnnSql(samplePct = None,

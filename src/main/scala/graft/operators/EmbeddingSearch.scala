@@ -196,10 +196,17 @@ object EmbeddingSearch {
   }
 
   private def mipsOverInverted(emb: DataFrame, cent: DataFrame, k: Int,
-      nQueries: Int, nprobe: Int): DataFrame = {
-    val inverted = kmeansAssign(withNorm(emb), cent)
-    val q = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      nQueries: Int, nprobe: Int): DataFrame =
+    mipsServe(kmeansAssign(withNorm(emb), cent),
+      emb.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")),
+      cent, k, nprobe)
+
+  /** The IP probe + exact-IP re-rank half every IVF MIPS serve shares —
+    * the [[knnOverInverted]] sibling with the inner product as both the
+    * cell-ranking and the final score. */
+  private def mipsServe(inverted: DataFrame, q: DataFrame, cent: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(col("pip").desc, col("cl").asc)
     val probes = q.crossJoin(broadcast(cent))
       .select(col("query_id"), col("qv"), col("cl"),
@@ -215,6 +222,63 @@ object EmbeddingSearch {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Exact MIPS restricted to a corpus predicate — the filter × inner-
+    * product cell of the matrix ([[filteredTopKWhere]]'s IP sibling);
+    * queries stay full-corpus. */
+  def mipsTopKWhere(spark: SparkSession, dir: String, pred: Column,
+      k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val embAll = Tables.embeddings(spark, dir)
+    val corpus = embAll.where(pred)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val queries = broadcast(embAll.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv")))
+    val scored = corpus.crossJoin(queries)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv")), 6).as("ip"))
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** FILTERED MIPS under the count-gated branch — [[filteredTopKAuto]]'s
+    * inner-product sibling: exact filtered scan while the widened probe
+    * width would clamp (survivors broadcast), the widened IVF-IP serve
+    * past the crossover. Same shared quantizer, same branch variable
+    * ([[filteredNpRaw]]), arms pinned via the trainings counter. */
+  def mipsTopKFilteredWhere(spark: SparkSession, dir: String,
+      indexPath: String, pred: Column, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val embAll = Tables.embeddings(spark, dir)
+    val n = embAll.count()
+    val matches = embAll.where(pred).count()
+    require(matches > 0, s"filter '$pred' matches no vectors")
+    if (filteredNpRaw(n, matches) > 16) mipsTopKWhere(spark, dir, pred, k, nQueries)
+    else {
+      val cells = ivfCellCount(n)
+      val cent = ensureKmeansIndex(spark, dir, indexPath, cells, 2)
+      val corpus = embAll.where(pred)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val q = embAll.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+      mipsServe(kmeansAssign(withNorm(corpus), cent), q, cent, k,
+        cellsNprobeFor(matches, cells))
+    }
+  }
+
+  /** The registered labelEq form of [[mipsTopKFilteredWhere]]. */
+  def mipsTopKFiltered(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10, labelEq: Int = 3): DataFrame =
+    mipsTopKFilteredWhere(spark, dir, indexPath, col("label") === labelEq, k, nQueries)
+
+  /** Recall@k of the filtered-MIPS default vs the filtered exact scan —
+    * 1.0 on the brute branch by construction. */
+  def mipsFilteredRecallPersisted(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10,
+      labelEq: Int = 3): DataFrame =
+    recallOf(mipsTopKWhere(spark, dir, col("label") === labelEq, k, nQueries),
+      mipsTopKFiltered(spark, dir, indexPath, k, nQueries, labelEq))
 
   /** Recall twin of the IVF MIPS serve vs exact [[mipsTopK]]. */
   def mipsRecallIvf(spark: SparkSession, dir: String, k: Int = 5,

@@ -183,7 +183,10 @@ object ScaleBench {
     "embed_range_search", "embed_range_search_probed",
     // the filter × radius composition — sound like the unfiltered default
     // (structurally recall 1.0), so only its wall rides the curve
-    "embed_range_filtered")
+    "embed_range_filtered",
+    // the filter × inner-product composition — the same count-gated
+    // branch as embed_knn_filtered with IP scoring; recall gated below
+    "embed_knn_mips_filtered")
 
   /** RECALL-at-scale gate (r11 verdict stretch item): the kNN-graph
     * family's recall@3 is measured at every curve point and committed
@@ -241,7 +244,9 @@ object ScaleBench {
     "embed_range_search" -> ((s, d) =>
       graft.SparkEntry.queries("embed_range_recall")(s, d)),
     "embed_range_search_probed" -> ((s, d) =>
-      graft.SparkEntry.queries("embed_range_probed_recall")(s, d)))
+      graft.SparkEntry.queries("embed_range_probed_recall")(s, d)),
+    "embed_knn_mips_filtered" -> ((s, d) =>
+      graft.SparkEntry.queries("embed_mips_filtered_recall")(s, d)))
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these

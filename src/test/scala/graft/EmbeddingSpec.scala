@@ -1587,6 +1587,45 @@ class EmbeddingSpec extends AnyFunSuite {
         .as[(Long, Long, Double, Long)].collect().toSet)
   }
 
+  test("filtered MIPS: branch pins, predicate containment, exact on the brute arm") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_fmips_idx").toString
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    // sf0.001's ~9% filter sits on the brute side (filteredNpRaw 193 > 16):
+    // the default equals the exact filtered IP scan and never trains
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val auto = EmbeddingSearch.mipsTopKFiltered(spark, dir, idx)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "selective-filter MIPS default trained a quantizer — it took the IVF arm")
+    assert(auto.nonEmpty && auto.forall(r => labels(r._2) == 3),
+      "filtered MIPS result violated the filter")
+    val brute = EmbeddingSearch.mipsTopKWhere(spark, dir, col("label") === 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(auto.toSet == brute.toSet,
+      "below the branch point the MIPS default must equal the exact filtered scan")
+    // IVF arm on the all-kept synthetic corpus (the filteredTopKAuto
+    // fixture's shape): trains once, honors the filter
+    val synth = java.nio.file.Files.createTempDirectory("graft_fmips_data").toString
+    val sidx = java.nio.file.Files.createTempDirectory("graft_fmips_sidx").toString
+    spark.range(2000).selectExpr("id AS vec_id",
+      "transform(sequence(1, 8), d -> CAST((id * 53 + d * 71) % 991 - 495 AS FLOAT)) AS embedding",
+      "CAST(7 AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$synth/embeddings.parquet")
+    val b2 = EmbeddingSearch.kmeansTrainings.get()
+    val ivf = EmbeddingSearch.mipsTopKFilteredWhere(spark, synth, sidx, col("label") === 7)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(EmbeddingSearch.kmeansTrainings.get() == b2 + 1,
+      "wide-filter MIPS default did not train — it took the brute arm")
+    assert(ivf.nonEmpty && ivf.forall(_._4 <= 5))
+    // recall twin: 1.0 on the brute branch by construction
+    val rec = EmbeddingSearch.mipsFilteredRecallPersisted(spark, dir, idx)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rec.nonEmpty && rec.forall(_._4 == 1.0),
+      "brute-branch filtered-MIPS recall must read 1.0")
+  }
+
   test("sound range search equals the exact tau-set; pruned recall pinned at 1.0") {
     val dir = "/root/testdata/sf0.001"
     val idx = java.nio.file.Files.createTempDirectory("graft_rsound_idx").toString
