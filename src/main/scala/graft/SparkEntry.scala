@@ -256,6 +256,16 @@ object SparkEntry {
     // fine for a known-small static corpus, carries the measured x16 cliff
     "dedup_embedding_fixed" -> ((s, dir) =>
       EmbeddingSearch.cosineNearDupPairs(s, dir, tau = 0.4)),
+    // SemDeDup (Abbas et al. '23): EXACT within-cell cosine pruning over
+    // the trained partition itself — recall inside a cell is 1 by
+    // construction (contrast dedup_embedding's LSH-candidate mining) and
+    // the keep-earliest verdict is part of the operator. Served from the
+    // sized family's ONE persisted ⌈√N⌉-cell quantizer (E[cluster] ≈ √N
+    // holds the exact pair term at N^1.5; zero extra trainings
+    // spec-pinned); tau 0.35 for the same no-true-near-dups reason as
+    // dedup_embedding above. Oracle replays the sized Lloyd + pair scan.
+    "dedup_semantic" -> ((s, dir) =>
+      EmbeddingSearch.semDedupPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dedupClusters(docs, SimilarityJoin.allPairsJaccard(docs, tau = 0.7))
@@ -2288,7 +2298,7 @@ object SparkEntry {
     * every vector, mirroring the train-on-a-sample/serve-everything split.
     */
   /** One Lloyd-round assignment CTE body shared by the whole-vector k-means
-    * oracles ([[kmeansKnnSql]], [[semDedupSql]]); the PQ oracle keeps its
+    * oracles ([[kmeansKnnSql]], the `dedup_semantic` replay); the PQ oracle keeps its
     * per-subspace variant. */
   private def kmAssignCte(srcCte: String, centCte: String): String =
     s"""SELECT vec_id, v, cl FROM (
@@ -4437,6 +4447,19 @@ object SparkEntry {
          |  FROM cand JOIN e ea ON cand.vec_a = ea.vec_id
          |            JOIN e eb ON cand.vec_b = eb.vec_id)
          |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
+    // SemDeDup: the sized Lloyd replay (the one trained-quantizer
+    // contract), then the EXACT within-cell pair scan and keep-earliest —
+    // a vector is dropped iff some lower-id cell-mate clears tau.
+    "dedup_semantic" ->
+      s"""WITH $kmSizedTrainCtes,
+         |af AS (${kmAssignCte("e", "c2")}),
+         |d AS (SELECT a.vec_id FROM af a JOIN af b
+         |        ON a.cl = b.cl AND b.vec_id < a.vec_id
+         |      WHERE round(${cosineSql("a.v", "b.v")}, 6) >= 0.35
+         |      GROUP BY 1)
+         |SELECT af.vec_id, CAST(af.cl AS INTEGER) AS cluster,
+         |  (d.vec_id IS NULL) AS kept
+         |FROM af LEFT JOIN d ON af.vec_id = d.vec_id""".stripMargin,
     "embed_dedup_incremental" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |$vecBandCtes,

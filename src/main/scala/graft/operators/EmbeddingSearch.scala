@@ -3532,7 +3532,37 @@ object EmbeddingSearch {
       nClusters: Int = 8, iters: Int = 2, samplePct: Int = 100): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val cent = trainKmeansIndex(emb, nClusters, iters, samplePct)
+    semDedupWith(emb, trainKmeansIndex(emb, nClusters, iters, samplePct), tau)
+  }
+
+  /** [[semDedup]] from the PERSISTED sized quantizer — the registered
+    * scale form: cells come from the SAME ⌈√N⌉-cell shared training the
+    * whole sized ANN family serves ([[ensureKmeansIndex]] via the one
+    * family dir — zero extra trainings when any sibling ran first,
+    * spec-pinned), so E[cluster] ≈ √N holds the within-cell exact
+    * all-pairs term at N^1.5 total comparisons instead of the fixed-k
+    * form's N²/k — the occupancy discipline the paper's own pipeline
+    * applies (SemDeDup clusters precisely so the quadratic scan never
+    * sees the whole corpus). The verdict table is row-identical to an
+    * inline sized training ([[semDedup]] handed the same cell count).
+    */
+  def semDedupPersisted(spark: SparkSession, dir: String, indexPath: String,
+      tau: Double = 0.35, iters: Int = 2): DataFrame = {
+    requireSizedIters(iters)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cent = ensureKmeansIndex(spark, dir, indexPath,
+      ivfCellCount(emb.count()), iters)
+    semDedupWith(emb, cent, tau)
+  }
+
+  /** The SemDeDup verdict kernel over an already-trained quantizer: one
+    * assignment pass, the within-cell pair scan, the keep-earliest
+    * policy. ONE copy under both the fixed-k and the persisted sized
+    * entry points so the policy cannot drift between them.
+    */
+  private def semDedupWith(emb: DataFrame, cent: DataFrame,
+      tau: Double): DataFrame = {
     val assigned = kmeansAssign(withNorm(emb), cent)
     val dropped = assigned.select(col("cl"), col("vec_id").as("id_a"), col("v").as("va"))
       .join(assigned.select(col("cl"), col("vec_id").as("id_b"), col("v").as("vb")), Seq("cl"))

@@ -911,6 +911,59 @@ class EmbeddingSpec extends AnyFunSuite {
       "a sized-family entry retrained instead of loading the shared quantizer")
   }
 
+  test("dedup_semantic joins the sized family: shared training, row-identical to inline") {
+    // the registered SemDeDup entry serves from the family's ONE persisted
+    // sized quantizer: after any sibling warms the dir it must add zero
+    // trainings, and its verdict table must equal an inline training at
+    // the same derived cell count (a drifted policy or cell count would
+    // show up as a set diff, not a flake)
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val fresh = EmbeddingSearch.semDedup(spark, dir, tau = 0.35,
+        nClusters = EmbeddingSearch.ivfCellCount(n))
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(graft.SparkEntry.queries("embed_knn_kmeans_sized")(spark, dir).count() > 0)
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val persisted = graft.SparkEntry.queries("dedup_semantic")(spark, dir)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(persisted == fresh,
+      "persisted-quantizer SemDeDup diverged from inline sized training")
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "dedup_semantic retrained instead of loading the shared sized quantizer")
+  }
+
+  test("SemDeDup keep-earliest policy: dropped iff a lower-id cell-mate clears tau") {
+    // the verdict is replayable row by row: recompute every within-cell
+    // pair driver-side with the same sequential-fold dot and HALF_UP
+    // 6dp rounding and check each vector's kept bit against the policy —
+    // and the table must carry exactly one row per corpus vector
+    val dir = "/root/testdata/sf0.001"
+    val tau = 0.35
+    val verdicts = graft.SparkEntry.queries("dedup_semantic")(spark, dir)
+      .as[(Long, Int, Boolean)].collect()
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(verdicts.length == n, "one verdict row per vector")
+    assert(verdicts.map(_._1).distinct.length == verdicts.length)
+    val vec = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cosOf(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = verdicts.groupBy(_._2)
+    for ((_, members) <- byCell; (id, _, kept) <- members) {
+      val hasEarlierDup = members.exists { case (other, _, _) =>
+        other < id && EmbeddingSearch.round6(cosOf(vec(other), vec(id))) >= tau
+      }
+      assert(kept == !hasEarlierDup,
+        s"vector $id kept=$kept but lower-id-dup-exists=$hasEarlierDup")
+    }
+    // both verdicts actually occur on this corpus — the policy is exercised
+    assert(verdicts.exists(_._3) && verdicts.exists(!_._3))
+  }
+
   test("kNN candidate cap: no-op when cap covers occupancy, bounded and ranked when binding") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.sources.Tables.embeddings(spark, dir).count()
