@@ -1895,8 +1895,12 @@ object EmbeddingSearch {
     * broadcast row (array<struct<cl,cv,ncv>>, sorted by cl so collect_list
     * order can't leak into results) and the argmax is per-row HOF
     * arithmetic — max of struct(csim, -cl) == highest csim, lowest cl.
+    * `keep` names extra input columns carried through unchanged (the
+    * metadata a filterable IVF build stores beside each vector) — the
+    * default output shape is untouched.
     */
-  private def kmeansAssign(embN: DataFrame, cent: DataFrame): DataFrame = {
+  private def kmeansAssign(embN: DataFrame, cent: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
     val centsArr = broadcast(
       cent.agg(array_sort(collect_list(struct(col("cl"), col("cv"),
         sqrt(dot(col("cv"), col("cv"))).as("ncv")))).as("cents")))
@@ -1906,11 +1910,11 @@ object EmbeddingSearch {
           .otherwise(dot(col("v"), c.getField("cv")) / (col("nv") * c.getField("ncv")))
         struct(round(csim, 6).as("csim"), (-c.getField("cl")).as("ncl"))
       })))
-      .select(col("vec_id"), col("v"), (-col("best").getField("ncl")).as("cl"),
+      .select(Seq(col("vec_id"), col("v"), (-col("best").getField("ncl")).as("cl"),
         // the winning cosine rides along — callers that need "how central
         // is this vector in its cell" (balance rank, streaming routing)
         // must not recompute it with a second join
-        col("best").getField("csim").as("centrality"))
+        col("best").getField("csim").as("centrality")) ++ keep.map(col): _*)
   }
 
   /** Deterministic spherical k-means TRAINING over (vec_id, v:array<double>):
@@ -2924,9 +2928,19 @@ object EmbeddingSearch {
     * Unlike the bare quantizer, the index carries the corpus's cell
     * ASSIGNMENTS, so growing the searchable set never rescans indexed
     * vectors.
+    *
+    * `meta` names extra `embV` columns stored BESIDE each vector in the
+    * cell files (the payload-column discipline of every production
+    * vector store): a metadata predicate at serve time then pushes into
+    * the probed cl= directories' parquet scan
+    * ([[filteredKnnBatchAgainstIvfIndex]]) instead of forcing the
+    * standing deployment back to a per-call corpus re-assignment. The
+    * columns ride the one assignment pass — no re-join against the
+    * source table — and [[extendIvfIndex]] requires them on every
+    * appended batch, so the stored schema can never fork.
     */
   def buildIvfIndex(embV: DataFrame, path: String,
-      nClusters: Int = 8, iters: Int = 2): Unit = {
+      nClusters: Int = 8, iters: Int = 2, meta: Seq[String] = Nil): Unit = {
     val done = new org.apache.hadoop.fs.Path(path, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     fs.delete(done, false)
@@ -2940,8 +2954,8 @@ object EmbeddingSearch {
     // of p directories at PLAN time, so serve cost is probed-cells bytes,
     // not a full-index scan with a post-hoc filter. The generic forget
     // rewrite preserves this layout, so pruning survives forget passes.
-    kmeansAssign(withNorm(embV), savedCent)
-      .select(col("cl"), col("vec_id"), col("v"))
+    kmeansAssign(withNorm(embV), savedCent, keep = meta)
+      .select(Seq(col("cl"), col("vec_id"), col("v")) ++ meta.map(col): _*)
       .write.mode("overwrite").partitionBy("cl").parquet(s"$path/ivf")
     // the id→cell map, DERIVED from the persisted ivf table (the
     // two-tables-can-never-disagree discipline) and id-hash-bucketed: a
@@ -3176,11 +3190,26 @@ object EmbeddingSearch {
           "partition directories) — appending partitioned files would mix " +
           "layouts; rebuild with buildIvfIndex before extending")
     }
+    // the committed cell files' schema dictates the append's: a build
+    // that stored metadata payload columns must receive them on every
+    // batch (a meta-less append would leave nulls the pushed serve
+    // filter silently drops — schema-fork refusal, loud like the
+    // layout guards above)
+    // (a committed-but-EMPTY table — legal per the guard above — has no
+    // readable schema: no files means no stored meta, Nil)
+    val metaCols = scala.util.Try(
+        newVecs.sparkSession.read.parquet(s"$indexPath/ivf").schema.map(_.name))
+      .getOrElse(Nil).filterNot(Set("cl", "vec_id", "v"))
+    val missing = metaCols.filterNot(newVecs.columns.contains)
+    require(missing.isEmpty,
+      s"IVF index at $indexPath stores metadata columns ${metaCols.mkString(",")} " +
+        s"but the batch lacks ${missing.mkString(",")} — supply them or rebuild " +
+        "without meta")
     fs.delete(done, false)
     val cent = loadKmeansIndex(newVecs.sparkSession, s"$indexPath/cent")
     // both appended tables derive from ONE checkpointed assignment frame
-    val batch = kmeansAssign(withNorm(newVecs), cent)
-      .select(col("cl"), col("vec_id"), col("v"))
+    val batch = kmeansAssign(withNorm(newVecs), cent, keep = metaCols)
+      .select(Seq(col("cl"), col("vec_id"), col("v")) ++ metaCols.map(col): _*)
       .localCheckpoint()
     try {
       batch.write.mode("append").partitionBy("cl").parquet(s"$indexPath/ivf")
@@ -3267,6 +3296,74 @@ object EmbeddingSearch {
     val inverted = spark.read.parquet(s"$indexPath/ivf")
       .where(col("cl").isin(cells.map(Integer.valueOf): _*))
     knnOverInverted(inverted, q, cent, k, nprobe)
+  }
+
+  /** One micro-batch of the FILTERED kNN serve against a persisted
+    * metadata-carrying IVF index ([[buildIvfIndex]] with `meta`) — the
+    * [[knnBatchAgainstIvfIndex]] sibling under a corpus predicate,
+    * carrying the filtered-search discipline to the STANDING-INDEX tier:
+    * the per-call [[filteredTopKIvfWhere]] serve re-assigns the filtered
+    * corpus every call (its documented linear term); here the filter
+    * pushes into the stored cell files instead, so a deployment pays
+    * probed-cells bytes of MATCHING rows per batch and never touches the
+    * source table.
+    *
+    * Branch = the [[filteredTopKAuto]] rule computed from the index's
+    * OWN trained cell count (equal to [[filteredNpRaw]] when the index
+    * was built sized): survivors selective enough to clamp the widened
+    * width ⇒ the exact scan of the filter's survivors (predicate pushed
+    * to every cell file; ≲ target·cells/16 rows — broadcast-scale, the
+    * honest plan); otherwise the selectivity-widened probe
+    * ([[cellsNprobeFor]] fed the MATCH count) with the batch's probed
+    * cell ids collected driver-side (bounded by the k-row quantizer) so
+    * the cl= dirs prune at PLAN time and the predicate prunes rows
+    * WITHIN them at the parquet scan.
+    *
+    * `n`/`matches` < 0 are computed here (one metadata count + one
+    * pushed-predicate count over the index); the streaming tier pays
+    * them once per query lifetime — the index is static between
+    * extends, and a restart reprices the branch (the
+    * classifyAgainstModel contract at plan granularity).
+    * Output: (query_id, vec_id, cosine, rank ≤ k).
+    */
+  def filteredKnnBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
+      pred: Column, k: Int = 5, n: Long = -1L, matches: Long = -1L): DataFrame = {
+    val spark = batch.sparkSession
+    warnIfStale(spark, indexPath, "filtered-serve")
+    val ivf = spark.read.parquet(s"$indexPath/ivf")
+    val m = if (matches >= 0) matches else ivf.where(pred).count()
+    require(m > 0, s"filter '$pred' matches no indexed vectors")
+    val q = batch.select(col("vec_id").cast("long").as("query_id"),
+      toDouble(col("embedding")).as("qv"))
+    val cent = loadKmeansIndex(spark, s"$indexPath/cent")
+    val cells = cent.count().toInt
+    // the unclamped widened width from the index's actual cell count —
+    // the filteredNpRaw arithmetic with the trained k in place of the
+    // count-derived one (identical for a sized-built index)
+    val raw = (2L * cellsCandidateTarget * cells + m) / (2L * m)
+    if (raw > 16) {
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+      ivf.where(pred).select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosine(col("v"), col("qv")), 6).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+    } else {
+      val np = cellsNprobeFor(m, cells)
+      val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cl").asc)
+      val probedCells = q.crossJoin(broadcast(cent))
+        .select(col("query_id"), col("cl"),
+          round(cosine(col("qv"), col("cv")), 6).as("csim"))
+        .withColumn("rn", row_number().over(wProbe))
+        .where(col("rn") <= np)
+        .select(col("cl")).distinct().collect().map(_.getInt(0))
+      val inverted = ivf
+        .where(col("cl").isin(probedCells.map(Integer.valueOf): _*))
+        .where(pred)
+      knnOverInverted(inverted, q, cent, k, np)
+    }
   }
 
   /** Embedding-norm HYGIENE profile per label — the vector-quality check

@@ -760,6 +760,35 @@ object StreamingOps {
         batch, indexPath, k, nprobe), batchId)
     }
 
+  /** Streaming FILTERED kNN serve — [[knnAgainstIvfIndex]] under a corpus
+    * predicate, against a METADATA-CARRYING persisted index
+    * ([[graft.operators.EmbeddingSearch.buildIvfIndex]] with `meta`):
+    * each micro-batch of (vec_id, embedding) queries gets its top-k
+    * exact-cosine neighbors among the indexed vectors that MATCH `pred`
+    * ([[graft.operators.EmbeddingSearch.filteredKnnBatchAgainstIvfIndex]]
+    * — one kernel for the batch and streaming shapes, so the tiers
+    * cannot drift). The filter's branch inputs (index size, pushed-
+    * predicate match count) are priced ONCE here at wiring, not per
+    * batch — the index is static between extends, so per-batch cost
+    * stays at the probed partitions' matching rows plus the batch scan,
+    * never a per-batch corpus count; an extend's new selectivity takes
+    * effect on RESTART (the classifyAgainstModel contract at plan
+    * granularity — the kernel itself re-reads the index per batch, so
+    * appended VECTORS are searched immediately; only the branch/width
+    * pricing waits). Sink receives (query_id, vec_id, cosine, rank).
+    */
+  def filteredKnnAgainstIvfIndex(vecs: DataFrame, indexPath: String,
+      pred: org.apache.spark.sql.Column, k: Int = 5)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val ivf = vecs.sparkSession.read.parquet(s"$indexPath/ivf")
+    val n = ivf.count()
+    val matches = ivf.where(pred).count()
+    vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.EmbeddingSearch.filteredKnnBatchAgainstIvfIndex(
+        batch, indexPath, pred, k, n, matches), batchId)
+    }
+  }
+
   /** Streaming HYBRID retrieval serve — the online RAG query tier over
     * BOTH persisted retrieval artifacts at once: each micro-batch of
     * (query_id, text, embedding) queries is ranked lexically against the

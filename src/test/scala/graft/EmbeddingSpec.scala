@@ -1679,6 +1679,93 @@ class EmbeddingSpec extends AnyFunSuite {
       "brute-branch filtered-MIPS recall must read 1.0")
   }
 
+  test("metadata-carrying IVF index: build/extend store payloads, standing filtered serve on both arms") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_meta_ivf").toString
+    val embL = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")).as("v"),
+        col("label"))
+    val n = embL.count()
+    val split = n * 4 / 5
+    // build over the first 4/5 WITH the label payload, append the rest —
+    // the payload must survive both writers
+    EmbeddingSearch.buildIvfIndex(embL.where(col("vec_id") < split), root,
+      EmbeddingSearch.ivfCellCount(n), meta = Seq("label"))
+    EmbeddingSearch.extendIvfIndex(root, embL.where(col("vec_id") >= split))
+    val stored = spark.read.parquet(s"$root/ivf")
+    assert(stored.columns.contains("label"), "payload column not stored")
+    assert(stored.count() == n)
+    assert(stored.where(col("label").isNull).count() == 0,
+      "extend appended null payloads")
+    // a meta-less append is refused loudly BEFORE any write (schema fork
+    // guard) and the refusal leaves the index committed
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingSearch.extendIvfIndex(root,
+        embL.select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
+    }
+    assert(e.getMessage.contains("label"))
+    // BRUTE arm (sf0.001's ~9% filter clamps the widened width): the
+    // standing-index serve equals the source-table exact filtered scan,
+    // never trains, and the predicate reaches the cell files' scan
+    val queries = graft.sources.Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val servedDf = EmbeddingSearch.filteredKnnBatchAgainstIvfIndex(
+      queries, root, col("label") === 3)
+    val served = servedDf.as[(Long, Long, Double, Long)].collect().toSet
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "the standing-index filtered serve trained a quantizer")
+    val want = EmbeddingSearch.filteredTopKWhere(spark, dir, col("label") === 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(served == want,
+      "standing-index filtered serve diverged from the exact filtered scan")
+    val plan = servedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label predicate did not push into the index scan:\n$plan")
+    // IVF arm (the synthetic all-kept 2000-row corpus: widened width 8 of
+    // 45 cells): row-identical to the per-call re-assignment serve, and
+    // the probed read is PARTITION-PRUNED to the batch's cells
+    val synth = java.nio.file.Files.createTempDirectory("graft_meta_ivf_data").toString
+    val sroot = java.nio.file.Files.createTempDirectory("graft_meta_ivf_idx").toString + "/idx"
+    val sidx2 = java.nio.file.Files.createTempDirectory("graft_meta_ivf_idx2").toString
+    val embS = spark.range(2000).selectExpr("id AS vec_id",
+      "transform(sequence(1, 8), d -> CAST((id * 37 + d * 101) % 997 - 498 AS DOUBLE)) AS v",
+      "CAST(id % 4 AS INT) AS label")
+    // integer-valued coordinates: the float cast is exact, so the parquet
+    // corpus and the in-memory double frame are the same vectors
+    embS.select(col("vec_id"), col("v").cast("array<float>").as("embedding"),
+        col("label"))
+      .write.parquet(s"$synth/embeddings.parquet")
+    EmbeddingSearch.buildIvfIndex(embS, sroot,
+      EmbeddingSearch.ivfCellCount(2000), meta = Seq("label"))
+    val servedIvf = EmbeddingSearch.filteredKnnBatchAgainstIvfIndex(
+      embS.where(col("vec_id") < 10).select(col("vec_id"), col("v").as("embedding")),
+      sroot, col("label") >= 0)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val wantIvf = EmbeddingSearch.filteredTopKIvfWhere(spark, synth, sidx2,
+        col("label") >= 0)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(servedIvf == wantIvf,
+      "standing-index IVF arm diverged from the per-call re-assignment serve")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val two = EmbeddingSearch.filteredKnnBatchAgainstIvfIndex(
+        embS.where(col("vec_id") < 2).select(col("vec_id"), col("v").as("embedding")),
+        sroot, col("label") >= 0)
+      two.collect()
+      val reads = two.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("graft_meta_ivf_idx")) =>
+          f.selectedPartitions.partitionCount
+      }
+      assert(reads.nonEmpty, "could not identify the index scan in the plan")
+      assert(reads.forall(r => r > 0 && r < 45),
+        s"probed read not partition-pruned: read $reads of 45 cells")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("sound range search equals the exact tau-set; pruned recall pinned at 1.0") {
     val dir = "/root/testdata/sf0.001"
     val idx = java.nio.file.Files.createTempDirectory("graft_rsound_idx").toString

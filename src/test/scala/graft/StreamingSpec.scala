@@ -1671,6 +1671,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(EmbeddingSearch.kmeansTrainings.get() == before,
       "the streaming kNN tier trained a quantizer")
   }
+
+  test("streaming FILTERED kNN tier vs the metadata-carrying IVF index: parity, pushed filter, restart, zero trainings") {
+    // the r13 filtered-search surface's standing-index tier: arriving
+    // query vectors get their filtered top-k from the stored cell files
+    // with the predicate pushed into the parquet scan — batch parity
+    // with the exact filtered scan (the sf0.001 filter takes the brute
+    // arm), restart serves only new batches, the serve never trains
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EmbeddingSearch
+    val dir = "/root/testdata/sf0.001"
+    val embL = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("v"),
+        $"label")
+    val n = embL.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_fknn_stream").toString
+    EmbeddingSearch.buildIvfIndex(embL, root, EmbeddingSearch.ivfCellCount(n),
+      meta = Seq("label"))
+    val want = EmbeddingSearch.filteredTopKWhere(spark, dir,
+        org.apache.spark.sql.functions.col("label") === 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(want.nonEmpty)
+    val queryVecs = graft.sources.Tables.embeddings(spark, dir)
+      .where($"vec_id" < 10).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sinkInto(fused: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      StreamingSpec.fknnRestartRows ++= fused
+        .select($"query_id", $"vec_id", $"cosine", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      plans += fused.queryExecution.executedPlan.toString
+      ()
+    }
+    StreamingSpec.fknnRestartRows.clear()
+    val pred = org.apache.spark.sql.functions.col("label") === 3
+    // instance 1: first half of the query set
+    val in1 = MemoryStream[(Long, Seq[Float])]
+    val q1 = graft.streaming.StreamingOps.filteredKnnAgainstIvfIndex(
+      in1.toDF().toDF("vec_id", "embedding"), root, pred)(sinkInto).start()
+    in1.addData(queryVecs.take(5): _*)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterQ1 = StreamingSpec.fknnRestartRows.size
+    assert(StreamingSpec.fknnRestartRows.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    // instance 2 (the restart): only the new batch is served
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = graft.streaming.StreamingOps.filteredKnnAgainstIvfIndex(
+      in2.toDF().toDF("vec_id", "embedding"), root, pred)(sinkInto).start()
+    in2.addData(queryVecs.drop(5): _*)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(StreamingSpec.fknnRestartRows.drop(afterQ1).map(_._1).toSet ==
+      Set(5L, 6L, 7L, 8L, 9L),
+      "restarted instance must serve exactly the new batch")
+    // parity: both batches together == the exact filtered scan, and every
+    // served neighbor satisfies the predicate (it came from pushed rows)
+    assert(StreamingSpec.fknnRestartRows.toSet == want,
+      "streamed filtered serve drifted from the exact filtered scan")
+    // the predicate reached the stored cell files' parquet scan
+    assert(plans.nonEmpty && plans.forall(p =>
+        p.contains("PushedFilters") && p.contains("label")),
+      "label predicate did not push into the index scan in a micro-batch plan")
+    // the serve tier never trains
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "the streaming filtered kNN tier trained a quantizer")
+  }
 }
 
 object StreamingSpec {
@@ -1690,4 +1755,5 @@ object StreamingSpec {
   val hybridRestartRows = new scala.collection.mutable
     .ArrayBuffer[(Long, Long, Option[Long], Option[Long], Double, Long)]
   val knnRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]
+  val fknnRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]
 }
