@@ -45,6 +45,11 @@ object ScaleBench {
     // SemDeDup prune: label cells × adaptive bands — the curve checks the
     // cell∩band candidate bound holds as the corpus grows
     "embed_semantic_prune",
+    // SemDeDup proper (r13): EXACT within-cell pairs over the ⌈√N⌉-cell
+    // sized quantizer — E[cluster] ≈ √N holds the pair term at N^1.5, so
+    // the expected slope at x16 is ~64x pairs on ~16x rows: this row
+    // watches that super-linear-but-bounded term where it binds
+    "dedup_semantic",
     // round-5 additions with candidate machinery or corpus-df joins; the
     // weighted sample rides along as a zero-shuffle linear control
     "embed_knn_join_fixed", "dedup_minhash_accuracy", "dedup_source_matrix",
