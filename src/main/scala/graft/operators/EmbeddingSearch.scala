@@ -2966,6 +2966,18 @@ object EmbeddingSearch {
     // the map is ~2% of the vector table at 64 dims.
     idmapProjection(embV.sparkSession.read.parquet(s"$path/ivf"))
       .write.mode("overwrite").partitionBy("ib").parquet(s"$path/idmap")
+    // per-cell ANGULAR FLOOR (min winning cosine) for the SOUND standing
+    // range serve ([[rangeBatchAgainstIvfIndex]]'s triangle bound) — k
+    // rows, DERIVED from the persisted ivf table + quantizer (the
+    // two-tables-can-never-disagree discipline). [[extendIvfIndex]]
+    // merges appended batches in (a grown cell only widens); a forget
+    // pass only REMOVES vectors, so stored floors stay ≤-conservative
+    // (≥-radius) and the serve stays sound without a rewrite.
+    embV.sparkSession.read.parquet(s"$path/ivf")
+      .join(broadcast(savedCent), Seq("cl"))
+      .select(col("cl"), round(cosine(col("v"), col("cv")), 6).as("c"))
+      .groupBy(col("cl")).agg(min(col("c")).as("mincos"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/radii")
     // record the TRAINING-time corpus size (a metadata-only count of the
     // just-written table): the staleness rule compares what the sizing
     // rule would derive NOW vs at training, so an extend-grown index can
@@ -3208,13 +3220,37 @@ object EmbeddingSearch {
     fs.delete(done, false)
     val cent = loadKmeansIndex(newVecs.sparkSession, s"$indexPath/cent")
     // both appended tables derive from ONE checkpointed assignment frame
+    // (centrality rides along for the radii merge below, dropped from
+    // the written tables)
     val batch = kmeansAssign(withNorm(newVecs), cent, keep = metaCols)
-      .select(Seq(col("cl"), col("vec_id"), col("v")) ++ metaCols.map(col): _*)
       .localCheckpoint()
     try {
-      batch.write.mode("append").partitionBy("cl").parquet(s"$indexPath/ivf")
+      batch.select(Seq(col("cl"), col("vec_id"), col("v")) ++ metaCols.map(col): _*)
+        .write.mode("append").partitionBy("cl").parquet(s"$indexPath/ivf")
       idmapProjection(batch)
         .write.mode("append").partitionBy("ib").parquet(s"$indexPath/idmap")
+      // radii merge: an appended vector can only WIDEN its cell's angular
+      // floor — an unmerged floor would let the sound range serve
+      // under-probe and silently MISS τ-neighbors, the exact unsoundness
+      // class the radii table exists to prevent. k-row arithmetic,
+      // collected driver-side (bounded by the quantizer); pre-radii (v2)
+      // indexes skip — the range serve refuses them with the rebuild
+      // remedy, nothing here can go stale silently.
+      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath, "radii/_SUCCESS"))) {
+        val spark = newVecs.sparkSession
+        val old = spark.read.parquet(s"$indexPath/radii")
+          .collect().map(r => r.getInt(r.fieldIndex("cl")) ->
+            r.getDouble(r.fieldIndex("mincos")))
+        val grown = batch.groupBy(col("cl"))
+          .agg(min(col("centrality")).as("mincos"))
+          .collect().map(r => r.getInt(r.fieldIndex("cl")) ->
+            r.getDouble(r.fieldIndex("mincos")))
+        val merged = (old ++ grown).groupBy(_._1).toSeq
+          .map { case (cl, vs) => (cl, vs.map(_._2).min) }.sortBy(_._1)
+        import spark.implicits._
+        merged.toDF("cl", "mincos").coalesce(1)
+          .write.mode("overwrite").parquet(s"$indexPath/radii")
+      }
     } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
     fs.create(done, true).close()
     // the staleness rule fires AFTER the append commits (the grown count
@@ -3364,6 +3400,96 @@ object EmbeddingSearch {
         .where(pred)
       knnOverInverted(inverted, q, cent, k, np)
     }
+  }
+
+  /** One micro-batch of the MIPS serve against a persisted IVF index —
+    * [[knnBatchAgainstIvfIndex]] with the INNER PRODUCT as both the
+    * cell-ranking and the final score: the `embed_knn_mips_ivf` serve
+    * (the measured scale recommendation for inner-product retrieval)
+    * lifted to the STANDING index, where the registered per-call form
+    * re-assigns the corpus every call. Cells rank per batch query by
+    * rounded IP against the stored quantizer (a big-norm cell of the
+    * right direction must win — cosine ranking would lose it), the
+    * batch's probed cell ids collect driver-side (bounded by the k-row
+    * quantizer) for PLAN-time cl= pruning, and the exact-IP re-rank
+    * runs on probed members only ([[mipsServe]] verbatim — one scoring
+    * rule for the per-call and standing tiers). `nprobe <= 0` derives
+    * the count rule from the index itself ([[cellsNprobeFor]] fed the
+    * stored row count — one parquet-metadata count); the streaming
+    * tier prices it once at wiring. Output: (query_id, vec_id, ip,
+    * rank ≤ k).
+    */
+  def mipsBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
+      k: Int = 5, nprobe: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    warnIfStale(spark, indexPath, "mips-serve")
+    val cent = loadKmeansIndex(spark, s"$indexPath/cent")
+    val cells = cent.count().toInt
+    val np = if (nprobe > 0) nprobe
+      else cellsNprobeFor(spark.read.parquet(s"$indexPath/ivf").count(), cells)
+    val q = batch.select(col("vec_id").cast("long").as("query_id"),
+      toDouble(col("embedding")).as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("pip").desc, col("cl").asc)
+    val probed = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cl"),
+        round(dot(col("qv"), col("cv")), 6).as("pip"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= np)
+      .select(col("cl")).distinct().collect().map(_.getInt(0))
+    val inverted = spark.read.parquet(s"$indexPath/ivf")
+      .where(col("cl").isin(probed.map(Integer.valueOf): _*))
+    mipsServe(inverted, q, cent, k, np)
+  }
+
+  /** One micro-batch of the SOUND range serve against a persisted IVF
+    * index — [[rangeSearchPruned]]'s spherical-triangle pruning lifted
+    * to the STANDING index: the per-cell angular floors come from the
+    * index's `radii` table (written at build, MERGED at every extend —
+    * an appended vector can only widen its cell, and forget only
+    * removes vectors, so the stored floor is always conservative and
+    * the bound stays sound across the index's whole lifecycle). Every
+    * cell whose cap can intersect the query's τ-ball is probed — the
+    * probed ids collect driver-side (k-row bounded) for PLAN-time cl=
+    * pruning — and the exact ≥ τ filter on probed members makes the
+    * result EQUAL the exact τ-set over the indexed corpus. `pred`
+    * restricts results to matching payload rows (metadata-carrying
+    * index): stored floors are unfiltered ⇒ ≥ the filtered ones ⇒
+    * over-probing only — still sound, still exact under the filter.
+    * A pre-radii index is refused with the rebuild remedy (the v1
+    * pre-idmap discipline). Output: (query_id, vec_id, cosine ≥ τ).
+    */
+  def rangeBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
+      tau: Double = 0.3, pred: Column = lit(true)): DataFrame = {
+    val spark = batch.sparkSession
+    warnIfStale(spark, indexPath, "range-serve")
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "radii/_SUCCESS")
+    val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(marker),
+      s"IVF index at $indexPath has no radii table (pre-radii layout) — " +
+        "rebuild with buildIvfIndex to serve sound range search")
+    val cent = loadKmeansIndex(spark, s"$indexPath/cent")
+    val radii = spark.read.parquet(s"$indexPath/radii")
+    val q = batch.select(col("vec_id").cast("long").as("query_id"),
+      toDouble(col("embedding")).as("qv"))
+    val clamp1 = (c: Column) => least(greatest(c, lit(-1.0)), lit(1.0))
+    val thetaTau = math.acos(tau)
+    val eps = 0.01 // rad; covers 6dp cosine rounding through acos' steep edge
+    // cells with no stored members have no radii row (inner join) and are
+    // correctly never probed — nothing there to miss; an extend that
+    // populates one adds its row in the same commit as its vectors
+    val probes = q.crossJoin(broadcast(cent.join(radii, Seq("cl"))))
+      .where(acos(clamp1(round(cosine(col("qv"), col("cv")), 6)))
+        <= lit(thetaTau) + acos(clamp1(col("mincos"))) + lit(eps))
+      .select(col("query_id"), col("qv"), col("cl"))
+    val probedIds = probes.select(col("cl")).distinct().collect().map(_.getInt(0))
+    spark.read.parquet(s"$indexPath/ivf")
+      .where(col("cl").isin(probedIds.map(Integer.valueOf): _*))
+      .where(pred)
+      .join(broadcast(probes), Seq("cl"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+      .where(col("cosine") >= tau)
   }
 
   /** Embedding-norm HYGIENE profile per label — the vector-quality check

@@ -789,6 +789,53 @@ object StreamingOps {
     }
   }
 
+  /** Streaming MIPS serve against a persisted IVF index — the
+    * inner-product twin of [[knnAgainstIvfIndex]] (one kernel,
+    * [[graft.operators.EmbeddingSearch.mipsBatchAgainstIvfIndex]], for
+    * the batch and streaming shapes): each micro-batch of
+    * (vec_id, embedding) queries gets its top-k by EXACT inner product
+    * from the IP-ranked probed cells of the stored index. The
+    * count-derived probe width is priced once at wiring (one
+    * parquet-metadata count — the index is static between extends; a
+    * restart reprices, the classifyAgainstModel contract); per-batch
+    * cost is the probed cl= partitions' bytes plus the batch scan,
+    * never the corpus. Sink receives (query_id, vec_id, ip, rank).
+    */
+  def mipsAgainstIvfIndex(vecs: DataFrame, indexPath: String, k: Int = 5,
+      nprobe: Int = 0)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = vecs.sparkSession
+    val np = if (nprobe > 0) nprobe
+      else graft.operators.EmbeddingSearch.cellsNprobeFor(
+        spark.read.parquet(s"$indexPath/ivf").count(),
+        spark.read.parquet(s"$indexPath/cent").count().toInt)
+    vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.EmbeddingSearch.mipsBatchAgainstIvfIndex(
+        batch, indexPath, k, np), batchId)
+    }
+  }
+
+  /** Streaming SOUND range serve against a persisted IVF index — the
+    * radius twin of [[knnAgainstIvfIndex]] (one kernel,
+    * [[graft.operators.EmbeddingSearch.rangeBatchAgainstIvfIndex]], for
+    * the batch and streaming shapes): each micro-batch of
+    * (vec_id, embedding) queries gets EVERY indexed vector within
+    * cosine ≥ τ, exactly — the triangle bound probes from the index's
+    * extend-merged radii table, so completeness holds across the
+    * index's whole lifecycle without a corpus scan per batch. `pred`
+    * composes the metadata filter (payload-carrying index). Per-batch
+    * cost = the probed cl= partitions' (matching) bytes + the batch
+    * scan. Sink receives (query_id, vec_id, cosine).
+    */
+  def rangeAgainstIvfIndex(vecs: DataFrame, indexPath: String,
+      tau: Double = 0.3,
+      pred: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(true))(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.EmbeddingSearch.rangeBatchAgainstIvfIndex(
+        batch, indexPath, tau, pred), batchId)
+    }
+
   /** Streaming HYBRID retrieval serve — the online RAG query tier over
     * BOTH persisted retrieval artifacts at once: each micro-batch of
     * (query_id, text, embedding) queries is ranked lexically against the

@@ -1766,6 +1766,114 @@ class EmbeddingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("standing-index MIPS serve equals the per-call IVF MIPS serve, zero trainings") {
+    // mipsBatchAgainstIvfIndex reads the stored assignment where the
+    // registered embed_knn_mips_ivf re-assigns per call — same quantizer
+    // contract (sized cells, deterministic Lloyd), same IP probe/re-rank
+    // kernel, so the two must be row-identical; the standing serve never
+    // trains and derives its width from the index's own counts
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_mips_idx").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_mips_percall").toString
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("v"))
+    val n = emb.count()
+    EmbeddingSearch.buildIvfIndex(emb, root, EmbeddingSearch.ivfCellCount(n))
+    val want = EmbeddingSearch.mipsTopKIvfPersisted(spark, dir, idx)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(want.nonEmpty)
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val served = EmbeddingSearch.mipsBatchAgainstIvfIndex(
+      graft.sources.Tables.embeddings(spark, dir)
+        .where(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+      root)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "the standing MIPS serve trained a quantizer")
+    assert(served == want,
+      "standing-index MIPS serve diverged from the per-call IVF MIPS serve")
+  }
+
+  test("standing-index range serve: sound via stored radii, and extend MERGES the angular floor") {
+    // a clustered synthetic corpus: 4 tight direction clusters (dims 2l,
+    // 2l+1 carry the mass), so the triangle bound actually prunes and the
+    // radii arithmetic is analyzable. tau = 0.5 (60 degrees).
+    val root = java.nio.file.Files.createTempDirectory("graft_range_idx").toString
+    val base = spark.range(400).selectExpr("id AS vec_id",
+      """transform(sequence(0, 7), d -> CASE
+        |  WHEN d = CAST((id % 4) * 2 AS INT) THEN 100.0D
+        |  WHEN d = CAST((id % 4) * 2 + 1 AS INT) THEN CAST(id % 13 AS DOUBLE)
+        |  ELSE 0.0D END) AS v""".stripMargin)
+    EmbeddingSearch.buildIvfIndex(base, root, nClusters = 4)
+    assert(new java.io.File(s"$root/radii/_SUCCESS").exists(), "radii table missing")
+    // parity with the exact tau-set over the indexed corpus (the
+    // soundness pin): brute-computed expected set for 10 base queries
+    val queries = base.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("v").as("embedding"))
+    def bruteSet(corpus: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      corpus.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(base.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine"))
+        .where(col("cosine") >= 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    val served = EmbeddingSearch.rangeBatchAgainstIvfIndex(queries, root, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served.nonEmpty && served == bruteSet(base),
+      "standing range serve diverged from the exact tau-set")
+    // the bound PRUNES here: a cluster-0 query's probe must not read all
+    // 4 cells (cross-cluster caps sit ~90deg away, far past 60deg + r)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = EmbeddingSearch.rangeBatchAgainstIvfIndex(
+        base.where(col("vec_id") === 0).select(col("vec_id"), col("v").as("embedding")),
+        root, tau = 0.5)
+      one.collect()
+      val reads = one.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("graft_range_idx")) &&
+              f.selectedPartitions.partitionCount > 0 =>
+          f.selectedPartitions.partitionCount
+      }
+      assert(reads.nonEmpty && reads.forall(_ < 4),
+        s"triangle bound did not prune the cell read: $reads of 4 cells")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    // EXTEND widens cluster 0's floor: appended vectors tilt 31deg off the
+    // cluster axis. The witness query sits 75deg off the axis — its
+    // tau-ball reaches ONLY the tilted vectors (cos 44deg = 0.72 >= 0.5;
+    // the base cluster reads cos 68-75deg < 0.5), and its cell distance
+    // (~72deg) exceeds the OLD bound (60 + ~7 + 0.6deg) while sitting
+    // inside the MERGED one (60 + ~28deg): an unmerged radius would
+    // return the empty set here — this assertion IS the merge pin
+    val tilted = spark.range(20).selectExpr("id + 1000 AS vec_id",
+      """transform(sequence(0, 7), d -> CASE
+        |  WHEN d = 0 THEN 100.0D
+        |  WHEN d = 1 THEN 60.0D + CAST(id % 3 AS DOUBLE)
+        |  ELSE 0.0D END) AS v""".stripMargin)
+    EmbeddingSearch.extendIvfIndex(root, tilted)
+    val witness = spark.range(1).selectExpr("5000 AS vec_id",
+      """transform(sequence(0, 7), d -> CASE
+        |  WHEN d = 0 THEN 25.88D
+        |  WHEN d = 1 THEN 96.59D
+        |  ELSE 0.0D END) AS embedding""".stripMargin)
+    val hits = EmbeddingSearch.rangeBatchAgainstIvfIndex(witness, root, tau = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.nonEmpty, "extend did not merge the radii: the witness " +
+      "query's tau-neighbors (all appended) were missed")
+    assert(hits.map(_._2).toSet == (1000L until 1020L).toSet,
+      s"witness tau-set must be exactly the appended tilted vectors, got ${hits.toSeq.sortBy(_._2)}")
+    // and full-corpus parity still holds post-extend (sound across the
+    // index lifecycle, not just at build)
+    val after = EmbeddingSearch.rangeBatchAgainstIvfIndex(queries, root, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == bruteSet(base.unionByName(tilted)),
+      "post-extend standing range serve diverged from the exact tau-set")
+  }
+
   test("sound range search equals the exact tau-set; pruned recall pinned at 1.0") {
     val dir = "/root/testdata/sf0.001"
     val idx = java.nio.file.Files.createTempDirectory("graft_rsound_idx").toString

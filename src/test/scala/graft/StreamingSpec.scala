@@ -1736,6 +1736,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(EmbeddingSearch.kmeansTrainings.get() == before,
       "the streaming filtered kNN tier trained a quantizer")
   }
+
+  test("streaming MIPS and sound-range tiers vs the persisted IVF index: parity, restart, zero trainings") {
+    // the last two serve-matrix cells for the vector artifact: arriving
+    // queries ranked by EXACT inner product from IP-ranked probed cells,
+    // and the exact tau-set from the triangle-bound probe over the
+    // stored radii — both through the one batch/streaming kernel each
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EmbeddingSearch
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("v"))
+    val n = emb.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_mr_stream").toString
+    EmbeddingSearch.buildIvfIndex(emb, root, EmbeddingSearch.ivfCellCount(n))
+    val queryVecs = graft.sources.Tables.embeddings(spark, dir)
+      .where($"vec_id" < 10).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    // MIPS tier: both halves across a restart == the batch kernel
+    val wantMips = EmbeddingSearch.mipsBatchAgainstIvfIndex(
+        graft.sources.Tables.embeddings(spark, dir)
+          .where($"vec_id" < 10).select($"vec_id", $"embedding"), root)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(wantMips.nonEmpty)
+    StreamingSpec.mipsRestartRows.clear()
+    def mipsSink(fused: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      StreamingSpec.mipsRestartRows ++= fused
+        .select($"query_id", $"vec_id", $"ip", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      ()
+    }
+    val m1 = MemoryStream[(Long, Seq[Float])]
+    val mq1 = graft.streaming.StreamingOps.mipsAgainstIvfIndex(
+      m1.toDF().toDF("vec_id", "embedding"), root)(mipsSink).start()
+    m1.addData(queryVecs.take(5): _*)
+    try mq1.processAllAvailable() finally mq1.stop()
+    val afterM1 = StreamingSpec.mipsRestartRows.size
+    val m2 = MemoryStream[(Long, Seq[Float])]
+    val mq2 = graft.streaming.StreamingOps.mipsAgainstIvfIndex(
+      m2.toDF().toDF("vec_id", "embedding"), root)(mipsSink).start()
+    m2.addData(queryVecs.drop(5): _*)
+    try mq2.processAllAvailable() finally mq2.stop()
+    assert(StreamingSpec.mipsRestartRows.drop(afterM1).map(_._1).toSet ==
+      Set(5L, 6L, 7L, 8L, 9L), "restarted MIPS instance must serve exactly the new batch")
+    assert(StreamingSpec.mipsRestartRows.toSet == wantMips,
+      "streamed MIPS serve drifted from the batch kernel")
+    // RANGE tier: the streamed union equals the exact tau-set the batch
+    // kernel returns (itself spec-pinned equal to brute)
+    val wantRange = EmbeddingSearch.rangeBatchAgainstIvfIndex(
+        graft.sources.Tables.embeddings(spark, dir)
+          .where($"vec_id" < 10).select($"vec_id", $"embedding"), root, tau = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(wantRange.nonEmpty)
+    StreamingSpec.rangeRestartRows.clear()
+    def rangeSink(fused: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      StreamingSpec.rangeRestartRows ++= fused
+        .select($"query_id", $"vec_id", $"cosine")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      ()
+    }
+    val r1 = MemoryStream[(Long, Seq[Float])]
+    val rq1 = graft.streaming.StreamingOps.rangeAgainstIvfIndex(
+      r1.toDF().toDF("vec_id", "embedding"), root, tau = 0.3)(rangeSink).start()
+    r1.addData(queryVecs.take(5): _*)
+    try rq1.processAllAvailable() finally rq1.stop()
+    val r2 = MemoryStream[(Long, Seq[Float])]
+    val rq2 = graft.streaming.StreamingOps.rangeAgainstIvfIndex(
+      r2.toDF().toDF("vec_id", "embedding"), root, tau = 0.3)(rangeSink).start()
+    r2.addData(queryVecs.drop(5): _*)
+    try rq2.processAllAvailable() finally rq2.stop()
+    assert(StreamingSpec.rangeRestartRows.toSet == wantRange,
+      "streamed range serve drifted from the batch kernel")
+    // neither serve tier ever trains
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "a streaming MIPS/range tier trained a quantizer")
+  }
 }
 
 object StreamingSpec {
@@ -1756,4 +1833,6 @@ object StreamingSpec {
     .ArrayBuffer[(Long, Long, Option[Long], Option[Long], Double, Long)]
   val knnRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]
   val fknnRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]
+  val mipsRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]
+  val rangeRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]
 }
