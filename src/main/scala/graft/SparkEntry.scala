@@ -1280,6 +1280,15 @@ object SparkEntry {
       EmbeddingSearch.knnIncrementalExtend(s, dir,
         fingerprintedDir(dir, "graft_ivfext_c8i2", Seq("embeddings.parquet")))
     }),
+    // the radius twin of the extend-serve entry, and the HASH-GATED form
+    // of the radii-merge invariant: build 4/5 (with the per-cell
+    // angular-floor table), disk-append 1/5 (extendIvfIndex merges the
+    // floors), then the SOUND standing range serve — its result equals
+    // the exact tau-set, so the oracle is the brute replay verbatim and
+    // a dropped/wrong radii merge fails the gate as a row diff
+    "embed_range_extend_serve" -> ((s, dir) =>
+      EmbeddingSearch.rangeExtendServe(s, dir,
+        fingerprintedDir(dir, "graft_ivfrng_szi2", Seq("embeddings.parquet")))),
     "embed_dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, dir)
@@ -4493,6 +4502,10 @@ object SparkEntry {
     "embed_range_search" -> rangeBruteSql,
     "embed_range_search_probed" -> rangeIvfSql,
     "embed_range_search_brute" -> rangeBruteSql,
+    // build 4/5 → disk extend 1/5 → SOUND standing serve: the served set
+    // equals the exact tau-set, so the brute replay is the oracle and a
+    // wrong radii merge fails the gate as a row diff
+    "embed_range_extend_serve" -> rangeBruteSql,
     "embed_range_recall" -> recallSqlOf(rangeBruteSql, rangeBruteSql),
     "embed_range_probed_recall" -> recallSqlOf(rangeBruteSql, rangeIvfSql),
     // filtered range: sound pruning over the filter's survivors — the

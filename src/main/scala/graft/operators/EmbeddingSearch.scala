@@ -3297,6 +3297,43 @@ object EmbeddingSearch {
     knnOverInverted(inverted, q, cent, k, nprobe)
   }
 
+  /** SOUND range search served from the DISK-EXTENDED index — the
+    * [[knnIncrementalExtend]] twin for the radius surface, and the
+    * REGISTERED (hash-gated) form of the radii-merge invariant: the
+    * first 4/5 of vec_ids build the index (including its per-cell
+    * angular-floor table), the rest append via [[extendIvfIndex]]
+    * (which MERGES the batch into the stored floors), and the query
+    * set then serves through [[rangeBatchAgainstIvfIndex]]'s triangle
+    * bound. The sound bound makes the served set EQUAL the exact
+    * τ-set over the full corpus, so the ORACLE is the brute replay
+    * verbatim — the hash gate proves the whole build→extend→serve
+    * lifecycle preserves completeness (a dropped or wrong radii merge
+    * fails it as a row diff, not a silent recall dip). `_READY`
+    * commits the build+extend sequence (the [[knnIncrementalExtend]]
+    * crash contract).
+    */
+  def rangeExtendServe(spark: SparkSession, dir: String, indexPath: String,
+      tau: Double = 0.3, nQueries: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = emb.count()
+    val split = n * 4 / 5
+    require(nQueries <= split,
+      s"nQueries=$nQueries exceeds the indexed corpus split ($split rows)")
+    val ready = new org.apache.hadoop.fs.Path(indexPath, "_READY")
+    val fs = ready.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(ready)) {
+      // cells sized for the FINAL corpus (the extend is part of the plan)
+      buildIvfIndex(emb.where(col("vec_id") < split), indexPath, ivfCellCount(n))
+      extendIvfIndex(indexPath, emb.where(col("vec_id") >= split))
+      fs.create(ready, true).close()
+    }
+    rangeBatchAgainstIvfIndex(
+      Tables.embeddings(spark, dir).where(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")),
+      indexPath, tau)
+  }
+
   /** One micro-batch of the STREAMING kNN serve against a persisted IVF
     * index (the [[graft.streaming.StreamingOps.knnAgainstIvfIndex]]
     * kernel — defined here so the streaming tier and any batch caller

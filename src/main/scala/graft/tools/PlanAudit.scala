@@ -75,7 +75,13 @@ object PlanAudit {
         "the k unrolled greedy-round joins that ran to produce it.\n" +
         "embed_knn_join_tiled materializes its signature pass as a\n" +
         "localCheckpoint (the tiled escape's 1×-vs-3× scan trade), so its\n" +
-        "file-scan cell reads 0 — the scan ran eagerly at plan construction.\n\n" +
+        "file-scan cell reads 0 — the scan ran eagerly at plan construction.\n" +
+        "Standing-index serve entries (embed_range_extend_serve) undercount\n" +
+        "too: dynamic partition pruning rewrites their probe subtree into a\n" +
+        "SubqueryBroadcast + ReusedExchange the child-walker doesn't enter,\n" +
+        "so the row shows only the final pruned cell-file join (1 scan, the\n" +
+        "INSET-filtered ivf read); the probe side (queries × k-row\n" +
+        "cent⋈radii broadcast) is reviewable via explain.\n\n" +
         header.mkString("\n") + "\n" + body.mkString("\n") + "\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), doc)
     println(s"[plan-audit] wrote ${rows.size} rows to $outFile")

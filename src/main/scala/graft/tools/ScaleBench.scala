@@ -161,6 +161,11 @@ object ScaleBench {
     // corpus by the _READY marker; min-of-2 measures the probed serve
     // against the disk-extended union)
     "embed_knn_extend_serve",
+    // r13 session 3: the radius twin — build 4/5, disk-extend 1/5 with
+    // the radii merge, SOUND standing serve (result = exact τ-set, so
+    // this row's recall is structurally 1.0 and only its wall rides the
+    // curve; min-of-2 isolates the triangle-probed serve)
+    "embed_range_extend_serve",
     // round 12: NN-descent refinement of the probed kNN-graph default —
     // the row whose bounded per-round fan-out is the answer to the
     // banded default's recall collapse; its recall is gated below

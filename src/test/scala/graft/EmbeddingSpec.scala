@@ -1874,6 +1874,29 @@ class EmbeddingSpec extends AnyFunSuite {
       "post-extend standing range serve diverged from the exact tau-set")
   }
 
+  test("embed_range_extend_serve: builds once (_READY), second call serves with zero trainings") {
+    // the registered lifecycle entry: its hash gate (oracle = brute
+    // replay) proves completeness; this pins the serve-side economics —
+    // the build+extend sequence commits once and every later call is
+    // index-scan-bounded, never a retrain
+    val dir = "/root/testdata/sf0.001"
+    val first = graft.SparkEntry.queries("embed_range_extend_serve")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(first.nonEmpty)
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val second = graft.SparkEntry.queries("embed_range_extend_serve")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "a committed range-extend index retrained on the second serve")
+    assert(second == first, "range extend-serve is not deterministic")
+    // and the served set IS the exact tau-set (the oracle's claim,
+    // asserted here too so the spec fails near the code)
+    val exact = EmbeddingSearch.rangeSearch(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(second == exact,
+      "extend-served range result diverged from the exact tau-set")
+  }
+
   test("sound range search equals the exact tau-set; pruned recall pinned at 1.0") {
     val dir = "/root/testdata/sf0.001"
     val idx = java.nio.file.Files.createTempDirectory("graft_rsound_idx").toString
