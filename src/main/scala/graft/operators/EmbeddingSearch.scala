@@ -3258,6 +3258,60 @@ object EmbeddingSearch {
     warnIfStale(newVecs.sparkSession, indexPath, "extend")
   }
 
+  /** Compact the IVF index's per-record tables IN PLACE — the
+    * small-file maintenance pass an extend-grown index needs: every
+    * [[extendIvfIndex]] appends one file set per touched cl=/ib= dir,
+    * so a daily-batch deployment accumulates hundreds of KB-files per
+    * cell and every probe pays per-file open cost
+    * ([[graft.operators.Maintenance]]'s argument, applied to the index
+    * artifact). Contents are untouched — serves stay row-identical,
+    * the radii floors stay exact, `_TRAIN_ROWS` stays — and the
+    * rewrite PRESERVES the hive partition layouts (the forget-rewrite
+    * discipline), so plan-time pruning survives and extend stays
+    * legal. One shuffle keyed on the partition column per table: each
+    * cl=/ib= dir lands in one task → one size-healthy file per dir.
+    *
+    * Crash contract: requires a COMMITTED index (`_DONE` present — a
+    * crashed extend must not be blessed by recreating the marker after
+    * an as-is rewrite), drops `_DONE` first, recreates it after both
+    * staged swaps; a crash mid-compact reads as uncommitted (extend
+    * refuses, rebuild), never as a half-compacted mix.
+    */
+  def compactIvfIndex(spark: SparkSession, indexPath: String): Unit = {
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(done),
+      s"IVF index at $indexPath is uncommitted (no _DONE) — a crashed " +
+        "extend/compact cannot be blessed by compaction; rebuild with " +
+        "buildIvfIndex")
+    Forget.requireNoCrashedForget(fs, indexPath)
+    fs.delete(done, false)
+    for ((t, pk) <- Seq("ivf" -> "cl", "idmap" -> "ib")) {
+      val live = new org.apache.hadoop.fs.Path(indexPath, t)
+      val entries = fs.listStatus(live)
+      val hasPartDirs = entries.exists(_.getPath.getName.startsWith(s"$pk="))
+      val hasDataFiles = entries.exists(e => e.isFile &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      require(hasPartDirs || !hasDataFiles,
+        s"IVF table '$t' at $indexPath is FLAT (pre-partitioned layout) — " +
+          "rebuild with buildIvfIndex before compacting")
+      if (hasPartDirs) {
+        val staged = new org.apache.hadoop.fs.Path(indexPath, s"${t}__compacting")
+        fs.delete(staged, true)
+        spark.read.parquet(live.toString)
+          .repartition(col(pk))
+          .write.mode("overwrite").partitionBy(pk).parquet(staged.toString)
+        // marker-first delete, then swap (the forget-rewrite discipline:
+        // a half-deleted live dir must never read as committed)
+        fs.delete(new org.apache.hadoop.fs.Path(live, "_SUCCESS"), false)
+        require(fs.delete(live, true),
+          s"could not remove live $t table before the compaction swap")
+        require(fs.rename(staged, live), s"compaction swap of $t failed")
+      } // a committed-but-empty table has nothing to compact
+    }
+    fs.create(done, true).close()
+  }
+
   /** INCREMENTAL kNN served from the PERSISTED extended index — the
     * on-disk twin of [[knnIncremental]]: the first 4/5 of vec_ids build
     * the index ([[buildIvfIndex]]), the rest append as today's batch

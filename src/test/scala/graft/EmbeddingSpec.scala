@@ -1874,6 +1874,69 @@ class EmbeddingSpec extends AnyFunSuite {
       "post-extend standing range serve diverged from the exact tau-set")
   }
 
+  test("compactIvfIndex: per-dir files collapse, layout and payloads survive, serves row-identical, extend stays legal") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_ivf").toString + "/idx"
+    val embL = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("v"),
+        col("label"))
+    val n = embL.count()
+    // build on the first quarter, then three appends — each extend lays
+    // a new file set into the touched cl= dirs (the fragmentation a
+    // daily-batch deployment accumulates)
+    EmbeddingSearch.buildIvfIndex(embL.where(col("vec_id") < n / 4), root,
+      EmbeddingSearch.ivfCellCount(n), meta = Seq("label"))
+    for (q <- 1 to 3)
+      EmbeddingSearch.extendIvfIndex(root,
+        embL.where(col("vec_id") >= n * q / 4 && col("vec_id") < n * (q + 1) / 4))
+    def filesPerDir(table: String): Seq[Int] = {
+      val d = new java.io.File(s"$root/$table")
+      d.listFiles().toSeq.filter(f => f.isDirectory && f.getName.contains("="))
+        .map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
+    }
+    val before = filesPerDir("ivf")
+    assert(before.exists(_ > 1), "fixture did not fragment — the compaction pin is vacuous")
+    val queries = graft.sources.Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val preKnn = EmbeddingSearch.knnBatchAgainstIvfIndex(queries, root)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val preFilt = EmbeddingSearch.filteredKnnBatchAgainstIvfIndex(
+        queries, root, col("label") === 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val preRange = EmbeddingSearch.rangeBatchAgainstIvfIndex(queries, root)
+      .as[(Long, Long, Double)].collect().toSet
+    EmbeddingSearch.compactIvfIndex(spark, root)
+    // one size-healthy file per cl=/ib= dir; the hive layout survives
+    assert(filesPerDir("ivf").nonEmpty && filesPerDir("ivf").forall(_ == 1),
+      s"ivf dirs not compacted to one file: ${filesPerDir("ivf")}")
+    assert(filesPerDir("idmap").nonEmpty && filesPerDir("idmap").forall(_ == 1))
+    // contents untouched: all three standing serves are row-identical
+    assert(EmbeddingSearch.knnBatchAgainstIvfIndex(queries, root)
+      .as[(Long, Long, Double, Long)].collect().toSet == preKnn,
+      "compaction changed the kNN serve")
+    assert(EmbeddingSearch.filteredKnnBatchAgainstIvfIndex(
+        queries, root, col("label") === 3)
+      .as[(Long, Long, Double, Long)].collect().toSet == preFilt,
+      "compaction changed the filtered serve (payload columns lost?)")
+    assert(EmbeddingSearch.rangeBatchAgainstIvfIndex(queries, root)
+      .as[(Long, Long, Double)].collect().toSet == preRange,
+      "compaction changed the range serve (radii disturbed?)")
+    // the compacted index is still a legal extend target
+    EmbeddingSearch.extendIvfIndex(root,
+      embL.where(col("vec_id") < 5)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("v"), col("label")))
+    assert(spark.read.parquet(s"$root/ivf").count() == n + 5)
+    // an uncommitted index (crashed extend shape) is refused loudly
+    val fs = new org.apache.hadoop.fs.Path(root, "_DONE")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_DONE"), false)
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingSearch.compactIvfIndex(spark, root)
+    }
+    assert(e.getMessage.contains("uncommitted"))
+  }
+
   test("embed_range_extend_serve: builds once (_READY), second call serves with zero trainings") {
     // the registered lifecycle entry: its hash gate (oracle = brute
     // replay) proves completeness; this pins the serve-side economics —
