@@ -2649,8 +2649,15 @@ object EmbeddingSearch {
     */
   def filteredNpRaw(n: Long, matches: Long): Long = {
     require(n > 0 && matches > 0, s"need non-empty corpus/filter, got n=$n matches=$matches")
-    (2L * cellsCandidateTarget * ivfCellCount(n) + matches) / (2L * matches)
+    npRawFor(ivfCellCount(n), matches)
   }
+
+  /** The same unclamped width from an EXPLICIT cell count — the one copy
+    * of the arithmetic, shared with the standing-index serve (whose
+    * quantizer k is whatever the index was trained at, equal to
+    * `ivfCellCount(n)` for a sized build). */
+  def npRawFor(cells: Int, matches: Long): Long =
+    (2L * cellsCandidateTarget * cells + matches) / (2L * matches)
 
   /** The DATA-DERIVED filtered-kNN default (the [[knnJoinAuto]]
     * discipline applied to the filter dimension): one pushed-filter
@@ -3446,15 +3453,14 @@ object EmbeddingSearch {
     * the cl= dirs prune at PLAN time and the predicate prunes rows
     * WITHIN them at the parquet scan.
     *
-    * `n`/`matches` < 0 are computed here (one metadata count + one
-    * pushed-predicate count over the index); the streaming tier pays
-    * them once per query lifetime — the index is static between
-    * extends, and a restart reprices the branch (the
-    * classifyAgainstModel contract at plan granularity).
+    * `matches` < 0 is computed here (one pushed-predicate count over
+    * the index); the streaming tier pays it once per query lifetime —
+    * the index is static between extends, and a restart reprices the
+    * branch (the classifyAgainstModel contract at plan granularity).
     * Output: (query_id, vec_id, cosine, rank ≤ k).
     */
   def filteredKnnBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
-      pred: Column, k: Int = 5, n: Long = -1L, matches: Long = -1L): DataFrame = {
+      pred: Column, k: Int = 5, matches: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
     warnIfStale(spark, indexPath, "filtered-serve")
     val ivf = spark.read.parquet(s"$indexPath/ivf")
@@ -3464,10 +3470,9 @@ object EmbeddingSearch {
       toDouble(col("embedding")).as("qv"))
     val cent = loadKmeansIndex(spark, s"$indexPath/cent")
     val cells = cent.count().toInt
-    // the unclamped widened width from the index's actual cell count —
-    // the filteredNpRaw arithmetic with the trained k in place of the
-    // count-derived one (identical for a sized-built index)
-    val raw = (2L * cellsCandidateTarget * cells + m) / (2L * m)
+    // the unclamped widened width from the index's ACTUAL trained cell
+    // count ([[npRawFor]] — equal to filteredNpRaw for a sized build)
+    val raw = npRawFor(cells, m)
     if (raw > 16) {
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
       ivf.where(pred).select(col("vec_id"), col("v"))

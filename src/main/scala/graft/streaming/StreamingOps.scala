@@ -767,8 +767,8 @@ object StreamingOps {
     * exact-cosine neighbors among the indexed vectors that MATCH `pred`
     * ([[graft.operators.EmbeddingSearch.filteredKnnBatchAgainstIvfIndex]]
     * — one kernel for the batch and streaming shapes, so the tiers
-    * cannot drift). The filter's branch inputs (index size, pushed-
-    * predicate match count) are priced ONCE here at wiring, not per
+    * cannot drift). The filter's branch input (the pushed-predicate
+    * match count) is priced ONCE here at wiring, not per
     * batch — the index is static between extends, so per-batch cost
     * stays at the probed partitions' matching rows plus the batch scan,
     * never a per-batch corpus count; an extend's new selectivity takes
@@ -780,12 +780,11 @@ object StreamingOps {
   def filteredKnnAgainstIvfIndex(vecs: DataFrame, indexPath: String,
       pred: org.apache.spark.sql.Column, k: Int = 5)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val ivf = vecs.sparkSession.read.parquet(s"$indexPath/ivf")
-    val n = ivf.count()
-    val matches = ivf.where(pred).count()
+    val matches = vecs.sparkSession.read.parquet(s"$indexPath/ivf")
+      .where(pred).count()
     vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       sink(graft.operators.EmbeddingSearch.filteredKnnBatchAgainstIvfIndex(
-        batch, indexPath, pred, k, n, matches), batchId)
+        batch, indexPath, pred, k, matches), batchId)
     }
   }
 

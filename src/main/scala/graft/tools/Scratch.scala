@@ -32,6 +32,44 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "compactprobe") {
+      // measured benefit of compactIvfIndex: standing-serve wall on a
+      // 16-extend fragmented index vs the compacted rewrite of the SAME
+      // contents (the SCALING.md compaction paragraph's number)
+      import org.apache.spark.sql.functions._
+      val root = java.nio.file.Files.createTempDirectory("graft_compactprobe")
+        .toString + "/idx"
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = emb.count()
+      graft.operators.EmbeddingSearch.buildIvfIndex(
+        emb.where(pmod(col("vec_id"), lit(16)) === 0), root,
+        graft.operators.EmbeddingSearch.ivfCellCount(n))
+      for (q <- 1 to 15)
+        graft.operators.EmbeddingSearch.extendIvfIndex(root,
+          emb.where(pmod(col("vec_id"), lit(16)) === q))
+      def files(): Int = new java.io.File(s"$root/ivf").listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("cl="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+      val queries = graft.sources.Tables.embeddings(spark, sfDir)
+        .where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+      def serve(tag: String): Unit = for (pass <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val rows = graft.operators.EmbeddingSearch
+          .knnBatchAgainstIvfIndex(queries, root).count()
+        println(f"[compactprobe] $tag pass $pass: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+      }
+      println(s"[compactprobe] n=$n files before=${files()}")
+      serve("fragmented")
+      val t0 = System.nanoTime()
+      graft.operators.EmbeddingSearch.compactIvfIndex(spark, root)
+      println(f"[compactprobe] compact pass: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(s"[compactprobe] files after=${files()}")
+      serve("compacted")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "tilecheck") {
       // does the registered embed_knn_join_tiled config genuinely tile at
       // this SF? (the untiled guard must fire at the same maxBucket) —
