@@ -1289,6 +1289,16 @@ object SparkEntry {
     "embed_range_extend_serve" -> ((s, dir) =>
       EmbeddingSearch.rangeExtendServe(s, dir,
         fingerprintedDir(dir, "graft_ivfrng_szi2", Seq("embeddings.parquet")))),
+    // the STANDING filtered serve (metadata payload columns stored in
+    // the index; predicate pushed into the cell files): build-once sized
+    // index with label beside each vector, then the count-gated filtered
+    // top-k from the stored assignment — the oracle is embed_knn_filtered's
+    // count-gated UNION ALL VERBATIM (same full-corpus sized Lloyd, same
+    // branch variable for a sized build), so the hash gate proves the
+    // stored-payload serve is row-identical to the per-call default
+    "embed_filtered_index_serve" -> ((s, dir) =>
+      EmbeddingSearch.filteredIndexServe(s, dir,
+        fingerprintedDir(dir, "graft_ivfmeta_szi2", Seq("embeddings.parquet")))),
     "embed_dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, dir)
@@ -4493,6 +4503,9 @@ object SparkEntry {
     // widened width clamps, IVF arm past it — both replays verbatim),
     // the explicit IVF form, and the exact baseline
     "embed_knn_filtered" -> filteredKnnAutoSql,
+    // the standing-index serve is row-identical to the per-call default:
+    // ONE oracle, shared verbatim (the embed_knn_extend_serve discipline)
+    "embed_filtered_index_serve" -> filteredKnnAutoSql,
     "embed_knn_filtered_ivf" -> filteredKnnIvfSql,
     "embed_knn_filtered_brute" -> filteredKnnBruteSql,
     "embed_filtered_recall" -> recallSqlOf(filteredKnnBruteSql, filteredKnnAutoSql),

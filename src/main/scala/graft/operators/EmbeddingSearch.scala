@@ -2961,8 +2961,16 @@ object EmbeddingSearch {
     // of p directories at PLAN time, so serve cost is probed-cells bytes,
     // not a full-index scan with a post-hoc filter. The generic forget
     // rewrite preserves this layout, so pruning survives forget passes.
+    // cluster the write: one shuffle keyed on the cell id puts each cl=
+    // dir's rows in ONE task → one size-healthy file per dir, instead of
+    // every assignment task leaving a sliver in every dir (measured: a
+    // task-sharded 179-cell build leaves ~5,700 files and the standing
+    // serve pays ~6 s of per-file opens that the clustered layout's
+    // 179 files serve in ~1 s — the compactIvfIndex argument, paid once
+    // at build instead of deferred to maintenance)
     kmeansAssign(withNorm(embV), savedCent, keep = meta)
       .select(Seq(col("cl"), col("vec_id"), col("v")) ++ meta.map(col): _*)
+      .repartition(col("cl"))
       .write.mode("overwrite").partitionBy("cl").parquet(s"$path/ivf")
     // the id→cell map, DERIVED from the persisted ivf table (the
     // two-tables-can-never-disagree discipline) and id-hash-bucketed: a
@@ -2972,6 +2980,7 @@ object EmbeddingSearch {
     // that cell probing cannot prune is a corpus-wide scan. 12 B/row, so
     // the map is ~2% of the vector table at 64 dims.
     idmapProjection(embV.sparkSession.read.parquet(s"$path/ivf"))
+      .repartition(col("ib"))
       .write.mode("overwrite").partitionBy("ib").parquet(s"$path/idmap")
     // per-cell ANGULAR FLOOR (min winning cosine) for the SOUND standing
     // range serve ([[rangeBatchAgainstIvfIndex]]'s triangle bound) — k
@@ -3232,9 +3241,14 @@ object EmbeddingSearch {
     val batch = kmeansAssign(withNorm(newVecs), cent, keep = metaCols)
       .localCheckpoint()
     try {
+      // clustered appends (the buildIvfIndex write discipline): one file
+      // per TOUCHED dir per extend, so fragmentation grows per-extend,
+      // not per-extend×tasks; compactIvfIndex remains the long-run pass
       batch.select(Seq(col("cl"), col("vec_id"), col("v")) ++ metaCols.map(col): _*)
+        .repartition(col("cl"))
         .write.mode("append").partitionBy("cl").parquet(s"$indexPath/ivf")
       idmapProjection(batch)
+        .repartition(col("ib"))
         .write.mode("append").partitionBy("ib").parquet(s"$indexPath/idmap")
       // radii merge: an appended vector can only WIDEN its cell's angular
       // floor — an unmerged floor would let the sound range serve
@@ -3263,6 +3277,35 @@ object EmbeddingSearch {
     // the staleness rule fires AFTER the append commits (the grown count
     // is what drifts) — extend stays legal, the warning names the remedy
     warnIfStale(newVecs.sparkSession, indexPath, "extend")
+  }
+
+  /** The REGISTERED standing filtered serve: build the payload-carrying
+    * index ONCE over the dataset's embeddings (full corpus, sized cell
+    * count, `label` stored beside each vector — [[buildIvfIndex]] with
+    * meta), then serve the count-gated filtered top-k from the stored
+    * cell files ([[filteredKnnBatchAgainstIvfIndex]]). The quantizer
+    * contract is the SAME full-corpus sized Lloyd the `embed_knn_filtered`
+    * oracle replays, and the standing kernel's branch variable equals
+    * [[filteredNpRaw]] for a sized build — so the count-gated UNION-ALL
+    * oracle applies VERBATIM and the hash gate proves the stored-payload
+    * serve is row-identical to the per-call re-assignment default (a
+    * lost/mistyped payload column, a broken pushed filter, or a drifted
+    * branch all fail as row diffs).
+    */
+  def filteredIndexServe(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10, labelEq: Int = 3): DataFrame = {
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    if (!fs.exists(done)) {
+      val embL = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+      buildIvfIndex(embL, indexPath, ivfCellCount(embL.count()),
+        meta = Seq("label"))
+    }
+    filteredKnnBatchAgainstIvfIndex(
+      Tables.embeddings(spark, dir).where(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")),
+      indexPath, col("label") === labelEq, k)
   }
 
   /** Compact the IVF index's per-record tables IN PLACE — the

@@ -166,6 +166,12 @@ object ScaleBench {
     // this row's recall is structurally 1.0 and only its wall rides the
     // curve; min-of-2 isolates the triangle-probed serve)
     "embed_range_extend_serve",
+    // r13 session 3: the standing filtered serve — payload columns in
+    // the index, predicate pushed into the stored cell files; min-of-2
+    // isolates the serve from the one-time payload-index build. Result
+    // is row-identical to embed_knn_filtered (one oracle), so only its
+    // wall rides the curve
+    "embed_filtered_index_serve",
     // round 12: NN-descent refinement of the probed kNN-graph default —
     // the row whose bounded per-round fan-out is the answer to the
     // banded default's recall collapse; its recall is gated below

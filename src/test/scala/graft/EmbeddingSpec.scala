@@ -1937,6 +1937,25 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("uncommitted"))
   }
 
+  test("embed_filtered_index_serve: stored-payload serve equals the per-call default, builds once") {
+    val dir = "/root/testdata/sf0.001"
+    val first = graft.SparkEntry.queries("embed_filtered_index_serve")(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(first.nonEmpty)
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    val second = graft.SparkEntry.queries("embed_filtered_index_serve")(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "a committed payload index retrained on the second serve")
+    assert(second == first)
+    // the stored-payload plan is row-identical to the per-call default
+    // (the one-oracle claim, asserted next to the code too)
+    val default = graft.SparkEntry.queries("embed_knn_filtered")(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(first == default,
+      "standing filtered serve diverged from the per-call count-gated default")
+  }
+
   test("embed_range_extend_serve: builds once (_READY), second call serves with zero trainings") {
     // the registered lifecycle entry: its hash gate (oracle = brute
     // replay) proves completeness; this pins the serve-side economics —
