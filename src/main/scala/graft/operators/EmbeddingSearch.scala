@@ -2985,7 +2985,12 @@ object EmbeddingSearch {
     // per-cell ANGULAR FLOOR (min winning cosine) for the SOUND standing
     // range serve ([[rangeBatchAgainstIvfIndex]]'s triangle bound) — k
     // rows, DERIVED from the persisted ivf table + quantizer (the
-    // two-tables-can-never-disagree discipline). [[extendIvfIndex]]
+    // two-tables-can-never-disagree discipline). This costs one extra
+    // scan of the just-written columnar table; reusing the assignment
+    // frame's `centrality` instead would need a corpus-sized
+    // localCheckpoint to avoid re-running the assignment — the wrong
+    // trade at 100 TB (extend CAN reuse centrality because its batch is
+    // already checkpointed and batch-sized). [[extendIvfIndex]]
     // merges appended batches in (a grown cell only widens); a forget
     // pass only REMOVES vectors, so stored floors stay ≤-conservative
     // (≥-radius) and the serve stays sound without a rewrite.
@@ -3072,10 +3077,18 @@ object EmbeddingSearch {
     */
   def retrainIvfIndex(spark: SparkSession, indexPath: String,
       iters: Int = 2, nClusters: Int = 0): Unit = {
-    val vecs = spark.read.parquet(s"$indexPath/ivf")
-      .select(col("vec_id"), col("v")).localCheckpoint()
+    // stored metadata payload columns SURVIVE the retrain (everything
+    // except the derived cell id rides the checkpoint into the rebuild)
+    // — a (vec_id, v)-only rebuild would silently strip the payloads the
+    // standing filtered serve filters on, and the next extend's
+    // schema-fork guard would then cement the stripped layout
+    val stored = spark.read.parquet(s"$indexPath/ivf")
+    val meta = stored.schema.map(_.name).filterNot(Set("cl", "vec_id", "v"))
+    val vecs = stored
+      .select((Seq(col("vec_id"), col("v")) ++ meta.map(col)): _*)
+      .localCheckpoint()
     val k = if (nClusters > 0) nClusters else ivfCellCount(vecs.count())
-    try buildIvfIndex(vecs, indexPath, k, iters)
+    try buildIvfIndex(vecs, indexPath, k, iters, meta = meta)
     finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(vecs)
   }
 
@@ -3224,10 +3237,23 @@ object EmbeddingSearch {
     // filter silently drops — schema-fork refusal, loud like the
     // layout guards above)
     // (a committed-but-EMPTY table — legal per the guard above — has no
-    // readable schema: no files means no stored meta, Nil)
-    val metaCols = scala.util.Try(
-        newVecs.sparkSession.read.parquet(s"$indexPath/ivf").schema.map(_.name))
-      .getOrElse(Nil).filterNot(Set("cl", "vec_id", "v"))
+    // readable schema: no files means no stored meta, Nil. The emptiness
+    // check is EXPLICIT — a blanket Try around the schema read would
+    // also swallow real read failures and silently disable this guard,
+    // appending a meta-less batch into a payload-carrying index)
+    def hasAnyDataFile(p: org.apache.hadoop.fs.Path): Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = !name.startsWith("_") && !name.startsWith(".")
+      }
+      found
+    }
+    val metaCols =
+      if (!hasAnyDataFile(new org.apache.hadoop.fs.Path(indexPath, "ivf"))) Nil
+      else newVecs.sparkSession.read.parquet(s"$indexPath/ivf")
+        .schema.map(_.name).filterNot(Set("cl", "vec_id", "v"))
     val missing = metaCols.filterNot(newVecs.columns.contains)
     require(missing.isEmpty,
       s"IVF index at $indexPath stores metadata columns ${metaCols.mkString(",")} " +
@@ -3241,19 +3267,14 @@ object EmbeddingSearch {
     val batch = kmeansAssign(withNorm(newVecs), cent, keep = metaCols)
       .localCheckpoint()
     try {
-      // clustered appends (the buildIvfIndex write discipline): one file
-      // per TOUCHED dir per extend, so fragmentation grows per-extend,
-      // not per-extend×tasks; compactIvfIndex remains the long-run pass
-      batch.select(Seq(col("cl"), col("vec_id"), col("v")) ++ metaCols.map(col): _*)
-        .repartition(col("cl"))
-        .write.mode("append").partitionBy("cl").parquet(s"$indexPath/ivf")
-      idmapProjection(batch)
-        .repartition(col("ib"))
-        .write.mode("append").partitionBy("ib").parquet(s"$indexPath/idmap")
-      // radii merge: an appended vector can only WIDEN its cell's angular
-      // floor — an unmerged floor would let the sound range serve
-      // under-probe and silently MISS τ-neighbors, the exact unsoundness
-      // class the radii table exists to prevent. k-row arithmetic,
+      // radii merge FIRST, appends after: an appended vector can only
+      // WIDEN its cell's angular floor, and an unmerged floor would let
+      // the sound range serve under-probe and silently MISS τ-neighbors
+      // — the exact unsoundness class the radii table exists to prevent.
+      // Widening before the rows land is always sound (over-probe only),
+      // so this order closes BOTH the crash window (append committed,
+      // merge lost) and the concurrent-reader window (a streaming range
+      // tier re-reading the index mid-extend). k-row arithmetic,
       // collected driver-side (bounded by the quantizer); pre-radii (v2)
       // indexes skip — the range serve refuses them with the rebuild
       // remedy, nothing here can go stale silently.
@@ -3272,6 +3293,15 @@ object EmbeddingSearch {
         merged.toDF("cl", "mincos").coalesce(1)
           .write.mode("overwrite").parquet(s"$indexPath/radii")
       }
+      // clustered appends (the buildIvfIndex write discipline): one file
+      // per TOUCHED dir per extend, so fragmentation grows per-extend,
+      // not per-extend×tasks; compactIvfIndex remains the long-run pass
+      batch.select(Seq(col("cl"), col("vec_id"), col("v")) ++ metaCols.map(col): _*)
+        .repartition(col("cl"))
+        .write.mode("append").partitionBy("cl").parquet(s"$indexPath/ivf")
+      idmapProjection(batch)
+        .repartition(col("ib"))
+        .write.mode("append").partitionBy("ib").parquet(s"$indexPath/idmap")
     } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
     fs.create(done, true).close()
     // the staleness rule fires AFTER the append commits (the grown count
@@ -3335,16 +3365,28 @@ object EmbeddingSearch {
         "extend/compact cannot be blessed by compaction; rebuild with " +
         "buildIvfIndex")
     Forget.requireNoCrashedForget(fs, indexPath)
-    fs.delete(done, false)
-    for ((t, pk) <- Seq("ivf" -> "cl", "idmap" -> "ib")) {
-      val live = new org.apache.hadoop.fs.Path(indexPath, t)
-      val entries = fs.listStatus(live)
+    // ALL pre-flight refusals run before _DONE drops: discovering a
+    // pre-idmap (v1) layout after mutating would leave a previously
+    // committed index uncommitted with nothing pointing at the cause
+    for (t <- Seq("ivf", "idmap"))
+      require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, s"$t/_SUCCESS")),
+        s"IVF index at $indexPath is missing the committed '$t' table " +
+          "(pre-idmap v1 layout, or a crashed build) — rebuild with " +
+          "buildIvfIndex before compacting")
+    // layout refusals are pre-flight too (same reason as above)
+    val partitioned = for ((t, pk) <- Seq("ivf" -> "cl", "idmap" -> "ib")) yield {
+      val entries = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, t))
       val hasPartDirs = entries.exists(_.getPath.getName.startsWith(s"$pk="))
       val hasDataFiles = entries.exists(e => e.isFile &&
         !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
       require(hasPartDirs || !hasDataFiles,
         s"IVF table '$t' at $indexPath is FLAT (pre-partitioned layout) — " +
           "rebuild with buildIvfIndex before compacting")
+      (t, pk, hasPartDirs)
+    }
+    fs.delete(done, false)
+    for ((t, pk, hasPartDirs) <- partitioned) {
+      val live = new org.apache.hadoop.fs.Path(indexPath, t)
       if (hasPartDirs) {
         val staged = new org.apache.hadoop.fs.Path(indexPath, s"${t}__compacting")
         fs.delete(staged, true)
@@ -3463,16 +3505,30 @@ object EmbeddingSearch {
     val cent = loadKmeansIndex(spark, s"$indexPath/cent")
     val q = batch.select(col("vec_id").cast("long").as("query_id"),
       toDouble(col("embedding")).as("qv"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cl").asc)
-    val cells = q.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("cl"),
-        round(cosine(col("qv"), col("cv")), 6).as("csim"))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= nprobe)
-      .select(col("cl")).distinct().collect().map(_.getInt(0))
+    val cells = probedCellIds(q, cent, nprobe, cosine)
     val inverted = spark.read.parquet(s"$indexPath/ivf")
       .where(col("cl").isin(cells.map(Integer.valueOf): _*))
     knnOverInverted(inverted, q, cent, k, nprobe)
+  }
+
+  /** The batch's probed cell ids, collected driver-side (bounded by the
+    * k-row quantizer) for PLAN-time cl= pruning — ONE copy of the
+    * rank-by-score rule (round(score,6) desc, cl asc, rn ≤ np) shared
+    * by the standing kNN/filtered/MIPS serves, so the pre-collection
+    * can never drift from the serving kernel's own ranking (a drifted
+    * copy would silently exclude cells the kernel ranks, dropping
+    * neighbors instead of failing). `score` is [[cosine]] for the
+    * angular serves and [[dot]] for MIPS.
+    */
+  private def probedCellIds(q: DataFrame, cent: DataFrame, np: Int,
+      score: (Column, Column) => Column): Array[Int] = {
+    val wProbe = Window.partitionBy("query_id").orderBy(col("s").desc, col("cl").asc)
+    q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cl"),
+        round(score(col("qv"), col("cv")), 6).as("s"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= np)
+      .select(col("cl")).distinct().collect().map(_.getInt(0))
   }
 
   /** One micro-batch of the FILTERED kNN serve against a persisted
@@ -3527,13 +3583,7 @@ object EmbeddingSearch {
         .where(col("rank") <= k)
     } else {
       val np = cellsNprobeFor(m, cells)
-      val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cl").asc)
-      val probedCells = q.crossJoin(broadcast(cent))
-        .select(col("query_id"), col("cl"),
-          round(cosine(col("qv"), col("cv")), 6).as("csim"))
-        .withColumn("rn", row_number().over(wProbe))
-        .where(col("rn") <= np)
-        .select(col("cl")).distinct().collect().map(_.getInt(0))
+      val probedCells = probedCellIds(q, cent, np, cosine)
       val inverted = ivf
         .where(col("cl").isin(probedCells.map(Integer.valueOf): _*))
         .where(pred)
@@ -3568,13 +3618,7 @@ object EmbeddingSearch {
       else cellsNprobeFor(spark.read.parquet(s"$indexPath/ivf").count(), cells)
     val q = batch.select(col("vec_id").cast("long").as("query_id"),
       toDouble(col("embedding")).as("qv"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("pip").desc, col("cl").asc)
-    val probed = q.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("cl"),
-        round(dot(col("qv"), col("cv")), 6).as("pip"))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= np)
-      .select(col("cl")).distinct().collect().map(_.getInt(0))
+    val probed = probedCellIds(q, cent, np, dot)
     val inverted = spark.read.parquet(s"$indexPath/ivf")
       .where(col("cl").isin(probed.map(Integer.valueOf): _*))
     mipsServe(inverted, q, cent, k, np)

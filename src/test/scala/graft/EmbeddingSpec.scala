@@ -1723,6 +1723,15 @@ class EmbeddingSpec extends AnyFunSuite {
     val plan = servedDf.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("label"),
       s"label predicate did not push into the index scan:\n$plan")
+    // the staleness REMEDY keeps the payloads: a (vec_id, v)-only retrain
+    // would strip the label column and break every later filtered serve
+    EmbeddingSearch.retrainIvfIndex(spark, root)
+    assert(spark.read.parquet(s"$root/ivf").columns.contains("label"),
+      "retrainIvfIndex stripped the stored payload columns")
+    assert(EmbeddingSearch.filteredKnnBatchAgainstIvfIndex(
+        queries, root, col("label") === 3)
+      .as[(Long, Long, Double, Long)].collect().toSet == want,
+      "filtered serve diverged after the payload-preserving retrain")
     // IVF arm (the synthetic all-kept 2000-row corpus: widened width 8 of
     // 45 cells): row-identical to the per-call re-assignment serve, and
     // the probed read is PARTITION-PRUNED to the batch's cells
