@@ -452,6 +452,26 @@ class EmbeddingSpec extends AnyFunSuite {
     }
   }
 
+  test("npRawFor is THE widened-width arithmetic: filteredNpRaw composes it, cellsNprobeFor is its clamp") {
+    import EmbeddingSearch.{npRawFor, filteredNpRaw, cellsNprobeFor, ivfCellCount}
+    // one copy of the arithmetic: the per-call branch variable is the
+    // composition through the sized cell count, and the serve width is
+    // exactly the [2,16]-clamped raw — if either relationship drifts,
+    // the standing-index serve and the registered default stop agreeing
+    // on the branch/width for the same corpus
+    for ((n, m) <- Seq((500L, 43L), (2000L, 2000L), (32000L, 3216L),
+        (80000L, 8000L), (1000000L, 250L))) {
+      assert(filteredNpRaw(n, m) == npRawFor(ivfCellCount(n), m),
+        s"filteredNpRaw($n,$m) is not the sized-cells composition")
+      assert(cellsNprobeFor(m, ivfCellCount(n)) ==
+        math.min(16L, math.max(2L, npRawFor(ivfCellCount(n), m))).toInt,
+        s"cellsNprobeFor($m,cells($n)) is not the clamped raw width")
+    }
+    // monotone: a more selective filter (smaller m) never narrows the probe
+    val widths = Seq(10000L, 1000L, 100L, 10L).map(npRawFor(283, _))
+    assert(widths == widths.sorted, s"raw width not monotone in selectivity: $widths")
+  }
+
   test("ivfCellCount: ceil-sqrt exact at perfect squares, clamped, monotone, probed fraction shrinks") {
     // perfect squares — the IEEE-exactness edge both engines must agree on
     assert(EmbeddingSearch.ivfCellCount(4096) == 64)
