@@ -126,6 +126,16 @@ object SparkEntry {
   private[graft] def sizedKmeansIndexDirFor(dir: String): String =
     fingerprintedDir(dir, "graft_kmidx_sized_i2", Seq("embeddings.parquet"))
 
+  /** THE standing vector-store artifact's dir (r14): the full-corpus
+    * sized payload-carrying IVF index every registered vector default
+    * serves from ([[graft.operators.EmbeddingSearch.ensureStandingIvfIndex]]
+    * — kNN, filtered, MIPS, and sound range share the one build). Keeps
+    * the r13 filtered-serve prefix, so existing cached indexes keep
+    * serving and the promotion costs zero extra trainings.
+    */
+  private[graft] def standingIvfIndexDirFor(dir: String): String =
+    fingerprintedDir(dir, "graft_ivfmeta_szi2", Seq("embeddings.parquet"))
+
   /** The PQ family's shared codebook dir (m=4, ksub=4, iters=2, full
     * training set) — `embed_knn_pq`, `embed_knn_pq_refine`, and
     * `embed_pq_recall` all serve from this ONE persisted training (the
@@ -642,15 +652,21 @@ object SparkEntry {
     "text_bm25_incremental" -> ((s, dir) =>
       TextAnalysis.bm25Incremental(s, dir, bm25IndexDirFor(dir, suffix = "inc"))),
     // hybrid retrieval served from ARTIFACTS ONLY: persisted postings
-    // (lexical) + the persisted IVF index's vector table (semantic, exact
-    // flat scan — nprobe probing is the recall-trading scale knob, kept
-    // out of the oracle-gated serve); neither base table is touched
+    // (lexical) + the persisted IVF index's vector table (semantic).
+    // r14 (the r13 verdict's item 4): the DEFAULT is the count-gated
+    // auto branch — the exact flat semantic scan below the ~4k-vector
+    // crossover (full recall, broadcast-scale table), the
+    // partition-pruned nprobe=2 tier past it (its fused-rank recall
+    // measured at 0.83–0.93 by text_hybrid_probed_recall), so the
+    // default never reads the vector table corpus-wide at scale. Oracle
+    // = count-gated UNION ALL of the two replays; the probed tier keeps
+    // its explicit entry below
     "text_hybrid_serve" -> ((s, dir) => {
       val bp = bm25IndexDirFor(dir)
       val ip = ivfFullIndexDirFor(dir)
       TextAnalysis.ensureBm25Index(s, dir, bp)
       EmbeddingSearch.ensureIvfIndex(s, dir, ip)
-      TextAnalysis.hybridTopKServed(s, bp, ip)
+      TextAnalysis.hybridTopKServedAuto(s, dir, bp, ip)
     }),
     // the PROBED artifact-only serve — the 100 TB configuration of the RAG
     // query path: the semantic tier partition-prunes the cl-partitioned
@@ -954,8 +970,25 @@ object SparkEntry {
     // — embedding similarity search (SURVEY.md §7.5) —
     "embed_knn_brute" -> ((s, dir) => EmbeddingSearch.bruteForceTopK(s, dir)),
     // MIPS: retrieval by raw inner product (the trained objective of most
-    // embedding models — unnormalized, so norm carries signal cosine drops)
-    "embed_knn_mips" -> ((s, dir) => EmbeddingSearch.mipsTopK(s, dir)),
+    // embedding models — unnormalized, so norm carries signal cosine drops).
+    // DEFAULT = the count-gated auto branch (r14, the r13 verdict's top
+    // item — the embed_knn_join discipline on the MIPS family): the exact
+    // scan below the measured ~4k-vector crossover (recall 1, cheapest
+    // plan at that scale), the STANDING IVF-IP serve at or past it
+    // (recall@5 0.94+ at every curve point where both ALSH band layouts
+    // collapse to 0.36→0.08 / 0.52→0.36). Both arms keep explicit names
+    // (embed_knn_mips_brute / embed_knn_mips_ivf) and the oracle replays
+    // the same count-gated branch as a UNION ALL
+    "embed_knn_mips" -> ((s, dir) =>
+      EmbeddingSearch.mipsTopKAuto(s, dir, standingIvfIndexDirFor(dir))),
+    // the exact inner-product scan under its explicit name — the small-
+    // corpus arm of the auto default and every MIPS recall twin's
+    // ground truth
+    "embed_knn_mips_brute" -> ((s, dir) => EmbeddingSearch.mipsTopK(s, dir)),
+    // gated recall of the registered auto default — 1.0 below the
+    // crossover by construction, the IVF serve's measured number past it
+    "embed_mips_auto_recall" -> ((s, dir) =>
+      EmbeddingSearch.mipsAutoRecall(s, dir, standingIvfIndexDirFor(dir))),
     // ALSH (asymmetric transform [x;√(M²−|x|²)] / [q;0]) makes inner
     // product — not a metric, not directly LSH-able — indexable by the
     // existing hyperplane bands; exact dot re-rank of band-mates.
@@ -988,12 +1021,16 @@ object SparkEntry {
     // hashes the heavy-norm moderate-angle answers apart (the kNN-graph
     // lesson applied to MIPS), while data-adaptive cells hold recall at
     // sublinear candidates (BENCH_SCALE recalls + SCALING.md r13)
+    // r14: the IVF arm serves from the STANDING index's stored cell
+    // files (mipsBatchAgainstIvfIndex — plan-time cl= pruning) instead
+    // of re-assigning the corpus per call; row-identical (deterministic
+    // quantizer + assignments), so the oracle is unchanged
     "embed_knn_mips_ivf" -> ((s, dir) =>
-      EmbeddingSearch.mipsTopKIvfPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+      EmbeddingSearch.mipsStandingServe(s, dir, standingIvfIndexDirFor(dir))),
     // recall twin of the IVF MIPS serve — the gated evidence for the
     // recommendation above
     "embed_mips_ivf_recall" -> ((s, dir) =>
-      EmbeddingSearch.mipsRecallIvfPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+      EmbeddingSearch.mipsRecallStanding(s, dir, standingIvfIndexDirFor(dir))),
     "embed_knn_lsh" -> ((s, dir) => EmbeddingSearch.lshTopK(s, dir)),
     "embed_lsh_recall" -> ((s, dir) => EmbeddingSearch.lshRecall(s, dir)),
     // serves from the SAME persisted codebooks as embed_knn_pq
@@ -1174,14 +1211,27 @@ object SparkEntry {
     // being pinned at nprobe/8 — the r11 verdict's missing sizing rule,
     // the lshRowsPerBand discipline applied to the quantizer; the oracle
     // derives the same k from count(*). The fixed-k entries above stay
-    // as the measured contrast
+    // as the measured contrast.
+    // r14 (the r13 verdict's item 2): the registered default serves from
+    // the STANDING index's stored cl=-partitioned cell files
+    // (knnBatchAgainstIvfIndex — probed dirs prune at PLAN time) instead
+    // of paying the per-call corpus-to-cell assignment shuffle; stored
+    // assignments equal per-call ones (deterministic quantizer), so the
+    // sized oracle applies verbatim and the hash gate proves the
+    // promotion changed the plan, never the rows. The per-call form
+    // keeps its explicit name below
     "embed_knn_kmeans_sized" -> ((s, dir) =>
+      EmbeddingSearch.kmeansSizedStandingServe(s, dir, standingIvfIndexDirFor(dir))),
+    // the per-call re-assignment form under its explicit name — the
+    // pre-r14 default, kept registered (same oracle) so the linear term
+    // it pays stays measured beside the standing plan that removes it
+    "embed_knn_kmeans_sized_percall" -> ((s, dir) =>
       EmbeddingSearch.kmeansTopKSizedPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     // recall of the sized serve vs exact — the rule's honest cost (more
-    // cells at fixed nprobe probe a smaller corpus fraction); same
-    // persisted quantizer as the serve and the cells graph
+    // cells at fixed nprobe probe a smaller corpus fraction); measured
+    // through the REGISTERED standing plan
     "embed_kmeans_sized_recall" -> ((s, dir) =>
-      EmbeddingSearch.kmeansRecallSizedPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+      EmbeddingSearch.kmeansRecallSizedStanding(s, dir, standingIvfIndexDirFor(dir))),
     // FILTERED kNN (metadata predicate + vector top-k — FAISS IDSelector /
     // vector-store filtered search): the scale path under the DEFAULT name.
     // ONE full-corpus quantizer serves every filter (shared sized index,
@@ -1195,8 +1245,18 @@ object SparkEntry {
     // the filter dimension): exact filtered brute when the widened width
     // would clamp past 16 (selective filter ⇒ survivors broadcast, recall
     // 1), the widened IVF serve past matches ≈ 22·√N. Oracle = count-gated
-    // UNION ALL of the two replays
+    // UNION ALL of the two replays.
+    // r14: the default is the STANDING serve (the r13
+    // embed_filtered_index_serve promoted to the family name — payload
+    // columns stored in the index, predicate pushed into the cell files,
+    // same count-gated branch from the index's own trained cell count);
+    // the per-call auto keeps an explicit name below
     "embed_knn_filtered" -> ((s, dir) =>
+      EmbeddingSearch.filteredIndexServe(s, dir, standingIvfIndexDirFor(dir))),
+    // the per-call count-gated auto under its explicit name — the
+    // pre-r14 default (re-assigns the filter's survivors per call); same
+    // UNION-ALL oracle, so standing ≡ per-call row identity stays gated
+    "embed_knn_filtered_percall" -> ((s, dir) =>
       EmbeddingSearch.filteredTopKAuto(s, dir, sizedKmeansIndexDirFor(dir))),
     // the selectivity-widened IVF serve under its explicit name — the
     // at-scale branch, callable below the branch point for measurement
@@ -1211,15 +1271,24 @@ object SparkEntry {
     // oracle IS the brute replay, so the hash gate proves completeness);
     // the rank-probed bounded-cost form keeps an explicit `_probed` name
     // because its recall collapses as the τ-set grows with the corpus
-    // (0.91→0.51 across the curve, gated)
+    // (0.91→0.51 across the curve, gated).
+    // r14: served from the STANDING index's stored radii table
+    // (rangeBatchAgainstIvfIndex) instead of re-assigning the corpus and
+    // re-deriving floors per call; still sound, oracle unchanged
     "embed_range_search" -> ((s, dir) =>
+      EmbeddingSearch.rangeStandingServe(s, dir, standingIvfIndexDirFor(dir))),
+    // the per-call sound pruned form under its explicit name — the
+    // pre-r14 default (assignment + floors re-derived per call); same
+    // brute-replay oracle
+    "embed_range_search_percall" -> ((s, dir) =>
       EmbeddingSearch.rangeSearchPruned(s, dir, sizedKmeansIndexDirFor(dir))),
     "embed_range_search_probed" -> ((s, dir) =>
       EmbeddingSearch.rangeSearchIvfPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
     "embed_range_search_brute" -> ((s, dir) => EmbeddingSearch.rangeSearch(s, dir)),
     // completeness invariant of the sound default (reads 1.0 everywhere)
+    // — measured through the REGISTERED standing plan (r14)
     "embed_range_recall" -> ((s, dir) =>
-      EmbeddingSearch.rangePrunedRecallPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+      EmbeddingSearch.rangeStandingRecall(s, dir, standingIvfIndexDirFor(dir))),
     // the probed form's measured τ-set coverage (the honest trade row)
     "embed_range_probed_recall" -> ((s, dir) =>
       EmbeddingSearch.rangeRecallPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
@@ -1289,16 +1358,10 @@ object SparkEntry {
     "embed_range_extend_serve" -> ((s, dir) =>
       EmbeddingSearch.rangeExtendServe(s, dir,
         fingerprintedDir(dir, "graft_ivfrng_szi2", Seq("embeddings.parquet")))),
-    // the STANDING filtered serve (metadata payload columns stored in
-    // the index; predicate pushed into the cell files): build-once sized
-    // index with label beside each vector, then the count-gated filtered
-    // top-k from the stored assignment — the oracle is embed_knn_filtered's
-    // count-gated UNION ALL VERBATIM (same full-corpus sized Lloyd, same
-    // branch variable for a sized build), so the hash gate proves the
-    // stored-payload serve is row-identical to the per-call default
-    "embed_filtered_index_serve" -> ((s, dir) =>
-      EmbeddingSearch.filteredIndexServe(s, dir,
-        fingerprintedDir(dir, "graft_ivfmeta_szi2", Seq("embeddings.parquet")))),
+    // (r14: the r13 `embed_filtered_index_serve` entry was PROMOTED to
+    // the family default name `embed_knn_filtered` above — the standing
+    // payload-carrying serve is now the registered plan, and the per-call
+    // auto keeps `embed_knn_filtered_percall`.)
     "embed_dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, dir)
@@ -1782,10 +1845,11 @@ object SparkEntry {
     * Training, probing, candidate membership, and the fused ranking are
     * ALL part of the checked contract.
     */
-  private def hybridServeProbedSql(nprobe: Int): String =
-    s"""WITH $bm25CtesSql,
+  private def hybridServeProbedSqlFrom(nprobe: Int, docsRel: String,
+      embRel: String): String =
+    s"""WITH ${bm25CtesSqlFrom(docsRel)},
        |$bm25RankedCtes,
-       |${kmTrainedAssignCtes(None)},
+       |${kmTrainedAssignCtes(None, embRel = embRel)},
        |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |pdq AS (SELECT c.cl, round(${cosineSql("qv.qv", "c.cv")}, 6) AS csim FROM qv, c2 c),
        |probe AS (SELECT cl FROM (SELECT *, row_number() OVER
@@ -1793,6 +1857,26 @@ object SparkEntry {
        |semall AS (SELECT af.vec_id, round(${cosineSql("af.v", "qv.qv")}, 6) AS cosine
        |           FROM af JOIN probe USING (cl), qv WHERE af.vec_id <> 0),
        |$hybridFusionTailSql""".stripMargin
+
+  private def hybridServeProbedSql(nprobe: Int): String =
+    hybridServeProbedSqlFrom(nprobe, "documents", "embeddings")
+
+  /** The AUTO hybrid-serve oracle (the [[knnJoinAutoSql]] discipline on
+    * the RAG serve): the SAME vector-corpus count(*) gate the Spark side
+    * branches on, pushed into BOTH arms' source relations (documents AND
+    * embeddings), so the deselected arm — the Lloyd replay of the probed
+    * tier in particular — runs over ZERO rows. Exactly one arm is
+    * non-empty for any corpus; the union IS the selected tier's result.
+    */
+  private val hybridServeAutoSql: String = {
+    val xover = graft.operators.TextAnalysis.hybridProbeCrossover
+    def gated(rel: String, gate: String) = s"(SELECT * FROM $rel WHERE $gate)"
+    val below = s"(SELECT count(*) FROM embeddings) < $xover"
+    val atOrAbove = s"(SELECT count(*) FROM embeddings) >= $xover"
+    s"""SELECT * FROM (${hybridTopSqlFrom(gated("documents", below), gated("embeddings", below))})
+       |UNION ALL
+       |SELECT * FROM (${hybridServeProbedSqlFrom(2, gated("documents", atOrAbove), gated("embeddings", atOrAbove))})""".stripMargin
+  }
 
   /** MULTI-QUERY hybrid serve oracle — the [[hybridServeBatch]] kernel
     * replayed end-to-end for the first `nQueries` corpus documents as
@@ -1888,15 +1972,20 @@ object SparkEntry {
 
   /** Exact MIPS top-k replay — the brute cosine oracle with the raw dot
     * product as the score (same fold order, so bit-equal before round).
+    * `gate` empties the source scan for a discarded UNION arm (the
+    * kmSizedTrainCtesGatedBy discipline).
     */
-  private val mipsBruteSql: String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+  private def mipsBruteSqlGatedBy(gate: String): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings WHERE $gate),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
        |s AS (SELECT q.query_id, e.vec_id, round(${dotSql("e.v", "q.qv")}, 6) AS ip
        |      FROM e, q WHERE e.vec_id <> q.query_id),
        |r AS (SELECT *, (row_number() OVER
        |      (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC))::BIGINT AS rank FROM s)
        |SELECT query_id, vec_id, ip, rank FROM r WHERE rank <= 5""".stripMargin
+
+  private val mipsBruteSql: String = mipsBruteSqlGatedBy("TRUE")
 
   /** ALSH MIPS replay: M² corpus max-norm aggregate, the asymmetric
     * augmentation [x;√(M²−|x|²)] on the index side (17-dim signature sums;
@@ -2338,7 +2427,8 @@ object SparkEntry {
     * lost-cluster coalesce — the trained-quantizer contract every k-means
     * oracle checks. */
   private def kmTrainedAssignCtes(samplePct: Option[Int],
-      trainWhere: Option[String] = None): String = {
+      trainWhere: Option[String] = None,
+      embRel: String = "embeddings"): String = {
     require(samplePct.isEmpty || trainWhere.isEmpty,
       "sample and explicit train predicate are alternative training sets")
     val train =
@@ -2347,7 +2437,7 @@ object SparkEntry {
       s"smp AS (SELECT * FROM e WHERE (vec_id * 1103515245 + 12345) % 2147483647 % 100 < $p),\n")
       .getOrElse(trainWhere.map(w => s"trn AS (SELECT * FROM e WHERE $w),\n").getOrElse(""))
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-       |           FROM embeddings),
+       |           FROM $embRel),
        |${smpCte}c0 AS (SELECT vec_id::INT AS cl, v AS cv FROM $train ORDER BY vec_id LIMIT 8),
        |a1 AS (${kmAssignCte(train, "c0")}),
        |${kmUpdateCtes(1, "a1", "c0")},
@@ -2656,8 +2746,8 @@ object SparkEntry {
     * count-derived probe width (the cells graph's npv formula), and the
     * exact-IP re-rank of probed cells' members.
     */
-  private val mipsIvfSql: String =
-    s"""WITH $kmSizedTrainCtes,
+  private def mipsIvfSqlGatedBy(gate: String): String =
+    s"""WITH ${kmSizedTrainCtesGatedBy(gate)},
        |af AS (${kmAssignCte("e", "c2")}),
        |$npvCte,
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
@@ -2673,6 +2763,24 @@ object SparkEntry {
        |r AS (SELECT *, (row_number() OVER
        |  (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC))::BIGINT AS rank FROM s)
        |SELECT query_id, vec_id, ip, rank FROM r WHERE rank <= 5""".stripMargin
+
+  private val mipsIvfSql: String = mipsIvfSqlGatedBy("TRUE")
+
+  /** The AUTO MIPS oracle (the [[knnJoinAutoSql]] discipline on the MIPS
+    * family): the SAME count(*) gate the Spark side branches on, pushed
+    * into each arm's source scan so the deselected arm's pipeline — the
+    * sized Lloyd replay in particular — runs over ZERO rows. Exactly one
+    * arm is non-empty for any corpus, so the union IS the selected
+    * method's result.
+    */
+  private val mipsAutoSql: String = {
+    val xover = graft.operators.EmbeddingSearch.mipsCellsCrossover
+    val below = s"(SELECT count(*) FROM embeddings) < $xover"
+    val atOrAbove = s"(SELECT count(*) FROM embeddings) >= $xover"
+    s"""SELECT * FROM (${mipsBruteSqlGatedBy(below)})
+       |UNION ALL
+       |SELECT * FROM (${mipsIvfSqlGatedBy(atOrAbove)})""".stripMargin
+  }
 
   /** The AUTO kNN-graph oracle: the SAME count(*) gate the Spark side
     * branches on, as a UNION ALL whose two arms replay the banded and
@@ -4080,7 +4188,13 @@ object SparkEntry {
          |  round(max(n2), 6) AS max_norm2
          |FROM e GROUP BY 1""".stripMargin,
     "embed_knn_brute" -> bruteKnnSql,
-    "embed_knn_mips" -> mipsBruteSql,
+    // the DEFAULT: the count-gated method branch (exact scan below the
+    // crossover, standing IVF-IP serve past it) — both arms replayed
+    // verbatim, the deselected arm's source scan gated empty
+    "embed_knn_mips" -> mipsAutoSql,
+    "embed_knn_mips_brute" -> mipsBruteSql,
+    // gated recall of the auto default vs the exact scan
+    "embed_mips_auto_recall" -> recallSqlOf(mipsBruteSql, mipsAutoSql),
     // the DEFAULT: occupancy-sized ALSH banding — width derived from
     // count(*); the fixed 4×4 layout keeps the `_fixed` name
     "embed_knn_mips_alsh" -> mipsAlshScaledSql,
@@ -4496,23 +4610,31 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM e, sp WHERE vec_id >= sp.split) b
          |LEFT JOIN k USING (vec_id)""".stripMargin,
     "embed_knn_kmeans" -> kmeansKnnSql(samplePct = None),
-    // corpus-adaptive cell count: k from count(*), seeds = first k by id
+    // corpus-adaptive cell count: k from count(*), seeds = first k by id.
+    // r14: the registered default is the STANDING-index serve — stored
+    // assignments equal per-call ones (deterministic quantizer), so ONE
+    // oracle covers both forms verbatim (the embed_knn_extend_serve
+    // discipline) and the hash gate proves the row identity
     "embed_knn_kmeans_sized" -> kmeansKnnSizedSql,
+    "embed_knn_kmeans_sized_percall" -> kmeansKnnSizedSql,
     "embed_kmeans_sized_recall" -> recallSqlOf(bruteKnnSql, kmeansKnnSizedSql),
     // filtered kNN: the count-gated auto default (brute arm when the
     // widened width clamps, IVF arm past it — both replays verbatim),
-    // the explicit IVF form, and the exact baseline
+    // the explicit IVF form, and the exact baseline. r14: the default is
+    // the standing payload-carrying serve; the per-call auto keeps the
+    // same UNION-ALL oracle (row-identical by construction)
     "embed_knn_filtered" -> filteredKnnAutoSql,
-    // the standing-index serve is row-identical to the per-call default:
-    // ONE oracle, shared verbatim (the embed_knn_extend_serve discipline)
-    "embed_filtered_index_serve" -> filteredKnnAutoSql,
+    "embed_knn_filtered_percall" -> filteredKnnAutoSql,
     "embed_knn_filtered_ivf" -> filteredKnnIvfSql,
     "embed_knn_filtered_brute" -> filteredKnnBruteSql,
     "embed_filtered_recall" -> recallSqlOf(filteredKnnBruteSql, filteredKnnAutoSql),
     // range search: the SOUND pruned default equals the exact τ-set — its
     // oracle IS the brute replay (the hash gate proves completeness);
-    // the rank-probed form keeps its own replay + measured recall
+    // the rank-probed form keeps its own replay + measured recall.
+    // r14: the default serves from the standing radii table — still
+    // sound, same brute-replay oracle for both forms
     "embed_range_search" -> rangeBruteSql,
+    "embed_range_search_percall" -> rangeBruteSql,
     "embed_range_search_probed" -> rangeIvfSql,
     "embed_range_search_brute" -> rangeBruteSql,
     // build 4/5 → disk extend 1/5 → SOUND standing serve: the served set
@@ -5265,10 +5387,11 @@ object SparkEntry {
     // the same IEEE division of the same integers in both engines,
     // summed lexical-then-semantic, one round(6))
     "text_hybrid_topk" -> hybridTopSql,
-    // the artifact-only serve is row-identical: persisted postings replay
-    // the lexical side, the IVF index's vector table holds exactly the
-    // corpus vectors for the exact-cosine semantic side
-    "text_hybrid_serve" -> hybridTopSql,
+    // the artifact-only serve: r14 — the count-gated auto branch (flat
+    // exact tier below the crossover, probed tier past it), both arms
+    // replayed verbatim with the deselected arm's source scans gated
+    // empty
+    "text_hybrid_serve" -> hybridServeAutoSql,
     // the probed serve carries its own oracle: Lloyd training + the
     // query's nprobe=2 probed cells + probed-cell-only cosine, fused
     "text_hybrid_serve_probed" -> hybridServeProbedSql(2),

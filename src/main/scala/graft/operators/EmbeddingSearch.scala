@@ -394,7 +394,10 @@ object EmbeddingSearch {
     */
   private def mipsRecallOf(spark: SparkSession, dir: String, approxTopK: DataFrame,
       k: Int, nQueries: Int): DataFrame = {
-    val br = mipsTopK(spark, dir, k, nQueries).select(col("query_id"), col("vec_id"))
+    // exact side memoized per (dataset, ip, k, nQueries) — the
+    // exactTopKMemo discipline (see recallAgainstBrute)
+    val br = memoizedExactPairs(spark, dir, "ip", k, nQueries)(
+      mipsTopK(spark, dir, k, nQueries))
     val ap = approxTopK.select(col("query_id").as("aq"), col("vec_id").as("av"))
     br.join(ap, col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
       .groupBy("query_id")
@@ -1178,7 +1181,11 @@ object EmbeddingSearch {
       approxGraph: DataFrame, k: Int, nProbes: Int): DataFrame = {
     val approx = approxGraph.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("a_id"), col("nbr_id").as("a_nbr"))
-    val exTop = bruteForceTopK(spark, dir, k, nQueries = nProbes)
+    // exact side memoized per (dataset, cos, k, |P|) — the exactTopKMemo
+    // discipline (see recallAgainstBrute): five graph recall twins share
+    // one probe-set brute pass per session
+    val exTop = memoizedExactPairs(spark, dir, "cos", k, nProbes)(
+      bruteForceTopK(spark, dir, k, nQueries = nProbes))
       .select(col("query_id").as("p_id"), col("vec_id").as("e_nbr"))
     exTop.join(approx,
         exTop("p_id") === approx("a_id") && exTop("e_nbr") === approx("a_nbr"), "left")
@@ -2480,9 +2487,36 @@ object EmbeddingSearch {
   /** The shared recall@k rollup: left-join an approximate searcher's top-k
     * against the brute-force exact set (both |Q|·k rows — the join is
     * negligible next to the searches). */
+  /** One exact ground-truth pass per (dataset, metric, k, nQueries),
+    * memoized for the sweep (r14, the r13 verdict's item 5 — the
+    * bpeModelMemo discipline applied to the recall harness): a bench or
+    * verify pass runs a dozen recall twins against the SAME brute top-k,
+    * and each was re-scanning the corpus for it. The memo holds the
+    * collected (query_id, vec_id) pairs — ≤ nQueries·k rows, result
+    * scale, never data scale — keyed per dir with the embeddings file
+    * fingerprint validating the cached value (a regenerated dataset
+    * REPLACES the entry). Results are bit-identical either way; only
+    * the cost moves.
+    */
+  private val exactTopKMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int), (String, Array[(Long, Long)])]()
+
+  private def memoizedExactPairs(spark: SparkSession, dir: String,
+      metric: String, k: Int, nQueries: Int)(compute: => DataFrame): DataFrame = {
+    val fp = java.lang.Long.toHexString(
+      Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
+    val rows = exactTopKMemo.compute((dir, metric, k, nQueries), (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else (fp, compute.select(col("query_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))))._2
+    import spark.implicits._
+    spark.createDataset(rows.toIndexedSeq).toDF("query_id", "vec_id")
+  }
+
   private def recallAgainstBrute(spark: SparkSession, dir: String,
       approxTopK: DataFrame, k: Int, nQueries: Int): DataFrame =
-    recallOf(bruteForceTopK(spark, dir, k, nQueries), approxTopK)
+    recallOf(memoizedExactPairs(spark, dir, "cos", k, nQueries)(
+      bruteForceTopK(spark, dir, k, nQueries)), approxTopK)
 
   /** Per-query recall of `approx` against `exact` — both (query_id,
     * vec_id, ...) result sets; queries with an empty exact side carry no
@@ -3272,9 +3306,14 @@ object EmbeddingSearch {
       // the sound range serve under-probe and silently MISS τ-neighbors
       // — the exact unsoundness class the radii table exists to prevent.
       // Widening before the rows land is always sound (over-probe only),
-      // so this order closes BOTH the crash window (append committed,
-      // merge lost) and the concurrent-reader window (a streaming range
-      // tier re-reading the index mid-extend). k-row arithmetic,
+      // so this order closes the crash window (append committed, merge
+      // lost). The merged table is STAGED and swapped in with two renames
+      // (write radii__merging, move live aside, move staged live) rather
+      // than mode("overwrite") — an overwrite is delete-then-write, and a
+      // concurrent reader (the streaming range tier) catching the gap
+      // would fail its radii/_SUCCESS require mid-extend (ADVICE r13;
+      // loud, not unsound — but the rename shrinks the gap to two
+      // metadata ops instead of a full parquet write). k-row arithmetic,
       // collected driver-side (bounded by the quantizer); pre-radii (v2)
       // indexes skip — the range serve refuses them with the rebuild
       // remedy, nothing here can go stale silently.
@@ -3290,8 +3329,16 @@ object EmbeddingSearch {
         val merged = (old ++ grown).groupBy(_._1).toSeq
           .map { case (cl, vs) => (cl, vs.map(_._2).min) }.sortBy(_._1)
         import spark.implicits._
+        val live = new org.apache.hadoop.fs.Path(indexPath, "radii")
+        val staged = new org.apache.hadoop.fs.Path(indexPath, "radii__merging")
+        fs.delete(staged, true)
         merged.toDF("cl", "mincos").coalesce(1)
-          .write.mode("overwrite").parquet(s"$indexPath/radii")
+          .write.mode("overwrite").parquet(staged.toString)
+        val retired = new org.apache.hadoop.fs.Path(indexPath, "radii__old")
+        fs.delete(retired, true)
+        require(fs.rename(live, retired), s"radii swap: could not move $live aside")
+        require(fs.rename(staged, live), s"radii swap of $staged failed")
+        fs.delete(retired, true)
       }
       // clustered appends (the buildIvfIndex write discipline): one file
       // per TOUCHED dir per extend, so fragmentation grows per-extend,
@@ -3307,6 +3354,53 @@ object EmbeddingSearch {
     // the staleness rule fires AFTER the append commits (the grown count
     // is what drifts) — extend stays legal, the warning names the remedy
     warnIfStale(newVecs.sparkSession, indexPath, "extend")
+    // AUTO-COMPACTION (r14, the r13 verdict's item 3): every extend
+    // leaves one file set per touched cl=/ib= dir, so an extend-heavy
+    // deployment fragments toward per-file-open-dominated serves (the
+    // measured 27k→2.9k / 11.8→2.8 s r13 numbers) unless an operator
+    // REMEMBERS to call compactIvfIndex. The policy triggers it here,
+    // after the append commits — contents untouched, serves stay
+    // row-identical (the compact contract), the pass is amortized:
+    // threshold T means at most one rewrite per T extends per dir.
+    ensureCompactedIvfIndex(newVecs.sparkSession, indexPath)
+  }
+
+  /** Files-per-dir auto-compaction threshold: at ~1 file set per extend
+    * per touched dir, 16 is ~16 accumulated extends — past the point
+    * where per-file open cost shows in serve wall (measured r13: the
+    * 16-extend standing serve read 11.8 s fragmented vs 2.8 s compact)
+    * and low enough that the amortized rewrite stays a rounding error
+    * per extend. */
+  val IvfCompactFileThreshold: Int = 16
+
+  /** Largest per-partition-dir data-file count of an index table — the
+    * fragmentation measure the auto-compaction policy thresholds on.
+    * Pure filesystem metadata (one listStatus per dir, dirs bounded by
+    * the quantizer / id-bucket count); never reads data.
+    */
+  private[graft] def ivfMaxFilesPerDir(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String, table: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(indexPath, table)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).filter(e => !e.isFile && e.getPath.getName.contains("="))
+      .map(d => fs.listStatus(d.getPath).count(e => e.isFile &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith(".")))
+      .foldLeft(0)(math.max)
+  }
+
+  /** Compact-if-fragmented — the idempotent policy form ([[extendIvfIndex]]
+    * calls it after every committed append; a deployment can also run it
+    * directly as a maintenance pass): rewrite the per-record tables IFF
+    * some cl=/ib= dir has accumulated more than
+    * [[IvfCompactFileThreshold]] files. The census is metadata-only, so
+    * below the threshold the call costs a few listStatus round-trips
+    * and nothing else. */
+  def ensureCompactedIvfIndex(spark: SparkSession, indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    val worst = math.max(ivfMaxFilesPerDir(fs, indexPath, "ivf"),
+      ivfMaxFilesPerDir(fs, indexPath, "idmap"))
+    if (worst > IvfCompactFileThreshold) compactIvfIndex(spark, indexPath)
   }
 
   /** The REGISTERED standing filtered serve: build the payload-carrying
@@ -3324,6 +3418,30 @@ object EmbeddingSearch {
     */
   def filteredIndexServe(spark: SparkSession, dir: String, indexPath: String,
       k: Int = 5, nQueries: Int = 10, labelEq: Int = 3): DataFrame = {
+    ensureStandingIvfIndex(spark, dir, indexPath)
+    filteredKnnBatchAgainstIvfIndex(
+      standingQueryBatch(spark, dir, nQueries),
+      indexPath, col("label") === labelEq, k)
+  }
+
+  /** Build-if-missing of THE standing vector-store artifact (r14, the
+    * r13 verdict's item 2): ONE full-corpus sized payload-carrying IVF
+    * index ([[buildIvfIndex]] — per-cell `cl=` dirs, id-hash `idmap`,
+    * angular-floor `radii`, `label` stored beside each vector) serves
+    * the whole registered default family — kNN, filtered, MIPS, and
+    * sound range all read its cell files through the `*BatchAgainstIvfIndex`
+    * kernels, so the per-call corpus-to-cell assignment shuffle (the
+    * sized family's documented linear term: a 100 TB deployment paying
+    * a corpus scan per query batch) is paid ONCE at build and never at
+    * serve. The quantizer contract is the same full-corpus sized Lloyd
+    * the per-call oracles replay (deterministic training ⇒ identical
+    * centroids ⇒ identical assignments), so every existing oracle
+    * applies VERBATIM and the hash gates prove standing ≡ per-call row
+    * identity. Shares its dir with the r13 filtered serve (same build,
+    * same fingerprint key — zero extra trainings for the promotion).
+    */
+  def ensureStandingIvfIndex(spark: SparkSession, dir: String,
+      indexPath: String): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     if (!fs.exists(done)) {
@@ -3332,11 +3450,132 @@ object EmbeddingSearch {
       buildIvfIndex(embL, indexPath, ivfCellCount(embL.count()),
         meta = Seq("label"))
     }
-    filteredKnnBatchAgainstIvfIndex(
-      Tables.embeddings(spark, dir).where(col("vec_id") < nQueries)
-        .select(col("vec_id"), col("embedding")),
-      indexPath, col("label") === labelEq, k)
   }
+
+  /** The standard probe batch every standing default serves: the fixed
+    * query set (vec_id < nQueries) as a raw (vec_id, embedding) frame —
+    * the `*BatchAgainstIvfIndex` kernels' input shape. The scan carries
+    * a pushed vec_id range filter, so the one per-serve touch of the
+    * source table is nQueries rows, not a corpus read. */
+  private def standingQueryBatch(spark: SparkSession, dir: String,
+      nQueries: Int): DataFrame =
+    Tables.embeddings(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+
+  /** The REGISTERED sized-kNN default (r14): serve the fixed query batch
+    * from the standing index's stored cell files
+    * ([[knnBatchAgainstIvfIndex]] — probed `cl=` dirs prune at PLAN
+    * time) instead of re-assigning the corpus to cells per call
+    * ([[kmeansTopKSizedPersisted]], now the explicit per-call form).
+    * Stored assignments equal the per-call ones (deterministic
+    * [[kmeansAssign]] against the same deterministic quantizer), and
+    * probed-cell pruning is result-invariant, so the serve is
+    * row-identical and the sized oracle applies verbatim — the hash
+    * gate proves the promotion changed the plan, never the rows.
+    */
+  def kmeansSizedStandingServe(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    ensureStandingIvfIndex(spark, dir, indexPath)
+    knnBatchAgainstIvfIndex(standingQueryBatch(spark, dir, nQueries),
+      indexPath, k, nprobe)
+  }
+
+  /** Recall twin of the standing sized-kNN default — measures exactly
+    * the registered plan (row-identical to the per-call twin, so the
+    * gated number is unchanged by the promotion). */
+  def kmeansRecallSizedStanding(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10): DataFrame =
+    recallAgainstBrute(spark, dir,
+      kmeansSizedStandingServe(spark, dir, indexPath, k, nQueries), k, nQueries)
+
+  /** The REGISTERED sound-range default (r14): the triangle-bound serve
+    * from the standing index's stored radii table
+    * ([[rangeBatchAgainstIvfIndex]]) instead of re-assigning the corpus
+    * and re-deriving floors per call ([[rangeSearchPruned]], still the
+    * per-call kernel under the filtered composition). Result = the
+    * exact τ-set (sound by construction), so the oracle stays the brute
+    * replay verbatim.
+    */
+  def rangeStandingServe(spark: SparkSession, dir: String,
+      indexPath: String, tau: Double = 0.3, nQueries: Int = 10): DataFrame = {
+    ensureStandingIvfIndex(spark, dir, indexPath)
+    rangeBatchAgainstIvfIndex(standingQueryBatch(spark, dir, nQueries),
+      indexPath, tau)
+  }
+
+  /** Completeness invariant of the standing range default (reads 1.0
+    * everywhere — the [[rangePrunedRecallPersisted]] gate moved onto
+    * the registered standing plan). */
+  def rangeStandingRecall(spark: SparkSession, dir: String,
+      indexPath: String, tau: Double = 0.3, nQueries: Int = 10): DataFrame =
+    recallOf(rangeSearch(spark, dir, tau, nQueries),
+      rangeStandingServe(spark, dir, indexPath, tau, nQueries))
+
+  /** The MIPS IVF serve from the STANDING index's stored cell files
+    * ([[mipsBatchAgainstIvfIndex]] — IP-ranked probed cells, plan-time
+    * `cl=` pruning, count-derived probe width from the stored row
+    * count) — the at-scale arm of [[mipsTopKAuto]] and the registered
+    * `embed_knn_mips_ivf` form; row-identical to the per-call
+    * [[mipsTopKIvfPersisted]] (same quantizer, same assignments, same
+    * [[mipsServe]] scoring), so the IVF MIPS oracle applies verbatim.
+    */
+  def mipsStandingServe(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    ensureStandingIvfIndex(spark, dir, indexPath)
+    mipsBatchAgainstIvfIndex(standingQueryBatch(spark, dir, nQueries),
+      indexPath, k)
+  }
+
+  /** The measured MIPS brute↔IVF crossover (r14, the r13 verdict's top
+    * item — the [[knnGraphCellsCrossover]] discipline on the MIPS
+    * family): below it the exact scan IS the right plan (N·|Q| dot
+    * products at broadcast-query shape beat quantizer training +
+    * probing on corpora this small, and recall is 1 by definition); at
+    * or past it the IP-ranked probed-cell serve bounds candidates at
+    * nprobe·N/cells ≈ √N-ish per query while holding measured recall@5
+    * at 0.94+ across the whole BENCH_SCALE curve — where both ALSH
+    * band layouts collapse (sized 0.36→0.08, fixed 0.52→0.36) and the
+    * exact scan's per-query cost grows linearly forever. Same 4096 as
+    * the kNN-graph crossover: the regimes are governed by the same
+    * cells-vs-flat geometry and the measured curve points bracket it
+    * the same way (x1 = 2k exact-cheap, x4 = 8k IVF-dominant).
+    */
+  val mipsCellsCrossover: Long = 4096
+
+  /** The DATA-DERIVED MIPS default (r14): count(*) below
+    * [[mipsCellsCrossover]] serves the exact inner-product scan
+    * ([[mipsTopK]] — recall 1, the honest small-corpus plan), at or
+    * past it the standing IVF-IP serve ([[mipsStandingServe]] — the
+    * measured scale recommendation). One parquet-metadata count picks
+    * the branch; both arms keep their explicit names
+    * (`embed_knn_mips_brute` / `embed_knn_mips_ivf`) and the oracle
+    * mirrors the branch as a count-gated UNION ALL of the two replays
+    * (the [[knnJoinAuto]] discipline).
+    */
+  def mipsTopKAuto(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    if (n < mipsCellsCrossover) mipsTopK(spark, dir, k, nQueries)
+    else mipsStandingServe(spark, dir, indexPath, k, nQueries)
+  }
+
+  /** Recall@k of the MIPS auto default vs the exact scan — 1.0 below
+    * the crossover by construction, the IVF serve's measured 0.94+
+    * past it; gated at every BENCH_SCALE curve point so the branch
+    * must read ≥ max(arms) wherever it binds. */
+  def mipsAutoRecall(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10): DataFrame =
+    mipsRecallOf(spark, dir,
+      mipsTopKAuto(spark, dir, indexPath, k, nQueries), k, nQueries)
+
+  /** Recall twin of the STANDING IVF MIPS serve — the registered
+    * `embed_knn_mips_ivf` form's gated evidence (row-identical to the
+    * per-call twin, so the measured number is unchanged). */
+  def mipsRecallStanding(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10): DataFrame =
+    mipsRecallOf(spark, dir,
+      mipsStandingServe(spark, dir, indexPath, k, nQueries), k, nQueries)
 
   /** Compact the IVF index's per-record tables IN PLACE — the
     * small-file maintenance pass an extend-grown index needs: every
@@ -3647,6 +3886,18 @@ object EmbeddingSearch {
     warnIfStale(spark, indexPath, "range-serve")
     val marker = new org.apache.hadoop.fs.Path(indexPath, "radii/_SUCCESS")
     val fs = marker.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    // the index-level commit marker, not just radii/_SUCCESS: a crashed
+    // buildIvfIndex can leave cent/ivf overwritten with the PREVIOUS
+    // build's radii table still bearing _SUCCESS — floors that mismatch
+    // the new assignments, the silent under-probe class this table exists
+    // to prevent, on the one serve whose contract is exactness. Extend and
+    // compact already refuse uncommitted indexes; the serve must too
+    // (ADVICE r13)
+    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_DONE")),
+      s"IVF index at $indexPath is uncommitted (no _DONE) — a crashed " +
+        "build/extend may have left the radii floors mismatching the " +
+        "assignments, which would silently under-probe the sound range " +
+        "serve; rebuild with buildIvfIndex")
     require(fs.exists(marker),
       s"IVF index at $indexPath has no radii table (pre-radii layout) — " +
         "rebuild with buildIvfIndex to serve sound range search")

@@ -1485,6 +1485,95 @@ object TextAnalysis {
         .write.mode("append").partitionBy("db").parquet(s"$indexPath/fwd")
     } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
     fs.create(done, true).close()
+    // AUTO-COMPACTION (r14, the IVF extend discipline applied to the
+    // lexical artifact): each extend leaves one file set per touched
+    // bucket=/db= dir plus a doclens sliver — past the threshold the
+    // policy rewrites in place (contents untouched, serves row-identical)
+    ensureCompactedBm25Index(newDocs.sparkSession, indexPath)
+  }
+
+  /** Compact the BM25 index's tables IN PLACE — the small-file
+    * maintenance pass an extend-grown lexical index needs (the
+    * [[graft.operators.EmbeddingSearch.compactIvfIndex]] contract on
+    * the postings artifact): contents untouched, hive partition layouts
+    * (postings `bucket=`, fwd `db=`) PRESERVED so serve-time pruning and
+    * extend both survive, doclens rewritten to one file. Crash contract
+    * mirrors the IVF pass: requires a COMMITTED index, drops `_DONE`
+    * first, recreates after all staged swaps — a crash mid-compact
+    * reads as uncommitted (extend refuses; rebuild), never a
+    * half-compacted mix.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(done),
+      s"BM25 index at $indexPath is uncommitted (no _DONE) — a crashed " +
+        "extend/compact cannot be blessed by compaction; rebuild with " +
+        "buildBm25Index")
+    Forget.requireNoCrashedForget(fs, indexPath)
+    for (t <- Seq("postings", "doclens", "fwd"))
+      require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, s"$t/_SUCCESS")),
+        s"BM25 index at $indexPath is missing the committed '$t' table — " +
+          "rebuild with buildBm25Index before compacting")
+    // pre-flight layout checks (the compactIvfIndex discipline: refuse
+    // BEFORE mutating, so a committed index never goes uncommitted over
+    // a diagnosable layout problem)
+    val partitioned = for ((t, pk) <- Seq("postings" -> "bucket", "fwd" -> "db")) yield {
+      val entries = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, t))
+      val hasPartDirs = entries.exists(_.getPath.getName.startsWith(s"$pk="))
+      val hasDataFiles = entries.exists(e => e.isFile &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      require(hasPartDirs || !hasDataFiles,
+        s"BM25 table '$t' at $indexPath is FLAT (pre-partitioned layout) — " +
+          "rebuild with buildBm25Index before compacting")
+      (t, pk, hasPartDirs)
+    }
+    fs.delete(done, false)
+    def swap(t: String)(write: org.apache.hadoop.fs.Path => Unit): Unit = {
+      val live = new org.apache.hadoop.fs.Path(indexPath, t)
+      val staged = new org.apache.hadoop.fs.Path(indexPath, s"${t}__compacting")
+      fs.delete(staged, true)
+      write(staged)
+      fs.delete(new org.apache.hadoop.fs.Path(live, "_SUCCESS"), false)
+      require(fs.delete(live, true),
+        s"could not remove live $t table before the compaction swap")
+      require(fs.rename(staged, live), s"compaction swap of $t failed")
+    }
+    for ((t, pk, hasPartDirs) <- partitioned if hasPartDirs)
+      swap(t) { staged =>
+        spark.read.parquet(s"$indexPath/$t")
+          .repartition(col(pk))
+          .write.mode("overwrite").partitionBy(pk).parquet(staged.toString)
+      }
+    swap("doclens") { staged =>
+      spark.read.parquet(s"$indexPath/doclens")
+        .coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    }
+    fs.create(done, true).close()
+  }
+
+  /** Compact-if-fragmented — the idempotent policy form
+    * ([[extendBm25Index]] calls it after every committed append): rewrite
+    * IFF some partition dir (or the flat doclens dir) has accumulated
+    * more than the shared threshold's file count. Metadata-only census
+    * below the threshold. */
+  def ensureCompactedBm25Index(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    def flatFiles(t: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(indexPath, t)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(e => e.isFile &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+    }
+    val worst = Seq(
+      graft.operators.EmbeddingSearch.ivfMaxFilesPerDir(fs, indexPath, "postings"),
+      graft.operators.EmbeddingSearch.ivfMaxFilesPerDir(fs, indexPath, "fwd"),
+      flatFiles("doclens")).max
+    if (worst > graft.operators.EmbeddingSearch.IvfCompactFileThreshold)
+      compactBm25Index(spark, indexPath)
   }
 
   /** Build-if-missing wrapper over [[buildBm25Index]] — one tokenize pass
@@ -1620,6 +1709,36 @@ object TextAnalysis {
     * carries its own oracle (the trained-quantizer Lloyd replay +
     * probed-cell cosine).
     */
+  /** The hybrid serve's flat↔probed crossover (r14, the r13 verdict's
+    * item 4 — the count-gated auto discipline on the RAG serve): below
+    * it the exact flat semantic scan is both full-recall and cheap (the
+    * vector table is broadcast-scale); at or past it the flat scan is
+    * the serve's linear term (a 100 TB deployment reading the whole
+    * vector table per query) and the partition-pruned nprobe tier is
+    * the honest plan, with its fused-rank recall measured
+    * (`text_hybrid_probed_recall`, 0.83–0.93 across the curve). Same
+    * 4096 as the vector family's crossovers — the same cells-vs-flat
+    * geometry governs the semantic tier.
+    */
+  val hybridProbeCrossover: Long = 4096
+
+  /** The DATA-DERIVED hybrid serve default: count(*) of the vector
+    * corpus below [[hybridProbeCrossover]] serves the exact flat
+    * semantic tier (nprobe = 0 — output ≡ [[hybridTopK]]), at or past
+    * it the partition-pruned probed tier (`nprobe`). One
+    * parquet-metadata count picks the branch; the probed tier keeps its
+    * explicit entry (`text_hybrid_serve_probed`) and the oracle mirrors
+    * the branch as a count-gated UNION ALL of the two replays (the
+    * knnJoinAuto discipline).
+    */
+  def hybridTopKServedAuto(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bm25IndexPath: String, ivfIndexPath: String,
+      nprobe: Int = 2): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    hybridTopKServed(spark, bm25IndexPath, ivfIndexPath,
+      nprobe = if (n < hybridProbeCrossover) 0 else nprobe)
+  }
+
   def hybridTopKServed(spark: org.apache.spark.sql.SparkSession,
       bm25IndexPath: String, ivfIndexPath: String, queryId: Long = 0L,
       kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60,
@@ -1882,12 +2001,35 @@ object TextAnalysis {
     * (query_id, n_exact, n_hit, recall), the
     * [[graft.operators.EmbeddingSearch.knnJoinRecall]] shape.
     */
+  /** One exact fused-rank ground-truth pass per (dataset, index pair,
+    * nQueries), memoized for the sweep (r14, the exactTopKMemo
+    * discipline on the hybrid harness): the recall entry's exact arm
+    * re-ran both retrieval stacks end-to-end every invocation — the r13
+    * verdict's #2 steady cost center. The memo holds the collected
+    * (query_id, doc_id) pairs (≤ nQueries·10 rows, result scale), keyed
+    * with BOTH table fingerprints so a regenerated dataset replaces the
+    * entry. Bit-identical results; only the cost moves.
+    */
+  private val hybridExactMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Int), (String, Array[(Long, Long)])]()
+
   def hybridProbedRecall(spark: org.apache.spark.sql.SparkSession, dir: String,
       bm25IndexPath: String, ivfIndexPath: String, nQueries: Int = 20,
       nprobe: Int = 2): DataFrame = {
     val queries = hybridQuerySet(spark, dir, nQueries)
-    val exact = hybridServeBatch(queries, bm25IndexPath, ivfIndexPath)
-      .select(col("query_id"), col("doc_id"))
+    val fp = java.lang.Long.toHexString(
+        Tables.datasetFingerprint(s"$dir/documents.parquet")) + "_" +
+      java.lang.Long.toHexString(
+        Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
+    val exactRows = hybridExactMemo.compute(
+      (dir, bm25IndexPath, ivfIndexPath, nQueries), (_, prev) =>
+        if (prev != null && prev._1 == fp) prev
+        else (fp, hybridServeBatch(queries, bm25IndexPath, ivfIndexPath)
+          .select(col("query_id").cast("long"), col("doc_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))))._2
+    import spark.implicits._
+    val exact = spark.createDataset(exactRows.toIndexedSeq)
+      .toDF("query_id", "doc_id")
     val probed = hybridServeBatch(queries, bm25IndexPath, ivfIndexPath,
         nprobe = nprobe)
       .select(col("query_id"), col("doc_id"), lit(1).as("hit"))

@@ -782,6 +782,13 @@ object StreamingOps {
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val matches = vecs.sparkSession.read.parquet(s"$indexPath/ivf")
       .where(pred).count()
+    // fail the misconfiguration AT WIRING, where it happened: without this,
+    // a zero-match predicate only surfaces as the kernel's require inside
+    // the first micro-batch's foreachBatch, terminating the started
+    // streaming query instead of the wiring call (ADVICE r13)
+    require(matches > 0,
+      s"filter '$pred' matches no vectors in the index at $indexPath — " +
+        "refusing to wire a streaming serve that would fail its first batch")
     vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       sink(graft.operators.EmbeddingSearch.filteredKnnBatchAgainstIvfIndex(
         batch, indexPath, pred, k, matches), batchId)

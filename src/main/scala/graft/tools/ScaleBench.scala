@@ -166,12 +166,13 @@ object ScaleBench {
     // this row's recall is structurally 1.0 and only its wall rides the
     // curve; min-of-2 isolates the triangle-probed serve)
     "embed_range_extend_serve",
-    // r13 session 3: the standing filtered serve — payload columns in
-    // the index, predicate pushed into the stored cell files; min-of-2
-    // isolates the serve from the one-time payload-index build. Result
-    // is row-identical to embed_knn_filtered (one oracle), so only its
-    // wall rides the curve
-    "embed_filtered_index_serve",
+    // r14: the standing payload-carrying serve was PROMOTED to the
+    // family default name (embed_knn_filtered, in the family below);
+    // the per-call forms keep explicit `_percall` names so the linear
+    // per-call assignment term they pay stays ON the curve beside the
+    // standing plans that remove it
+    "embed_knn_filtered_percall", "embed_knn_kmeans_sized_percall",
+    "embed_range_search_percall",
     // round 12: NN-descent refinement of the probed kNN-graph default —
     // the row whose bounded per-round fan-out is the answer to the
     // banded default's recall collapse; its recall is gated below
@@ -248,6 +249,12 @@ object ScaleBench {
       .mipsRecall(s, d)),
     "embed_knn_mips_ivf" -> ((s, d) =>
       graft.SparkEntry.queries("embed_mips_ivf_recall")(s, d)),
+    // r14: the registered MIPS default is the count-gated auto branch —
+    // its gated recall must read ≥ max(brute, ivf) at every curve point
+    // (1.0 below the crossover by construction, the IVF serve's number
+    // past it)
+    "embed_knn_mips" -> ((s, d) =>
+      graft.SparkEntry.queries("embed_mips_auto_recall")(s, d)),
     // r13: the filtered default (1.0 on the brute branch; the widened
     // rule past it), the unconditional IVF form (shows the clamp cliff
     // the branch escapes), the sound range default (pinned 1.0 — an

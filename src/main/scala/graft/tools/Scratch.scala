@@ -70,6 +70,18 @@ object Scratch {
       serve("compacted")
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "rangeplan") {
+      // r14 plan probe: why does the standing range serve's executedPlan
+      // show no embeddings.parquet FileSourceScanExec?
+      import org.apache.spark.sql.functions._
+      val idx = graft.SparkEntry.standingIvfIndexDirFor(sfDir)
+      graft.operators.EmbeddingSearch.ensureStandingIvfIndex(spark, sfDir, idx)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = graft.operators.EmbeddingSearch.rangeStandingServe(spark, sfDir, idx)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "tilecheck") {
       // does the registered embed_knn_join_tiled config genuinely tile at
       // this SF? (the untiled guard must fire at the same maxBucket) —

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.EmbeddingSearch
+import graft.operators.{EmbeddingSearch, Forget}
 
 /** Embedding fixtures (FIXTURES.md §B.6): unit vectors at known angles and
   * the zero-vector guard.
@@ -1966,23 +1966,159 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("uncommitted"))
   }
 
-  test("embed_filtered_index_serve: stored-payload serve equals the per-call default, builds once") {
+  test("auto-compaction: an extend loop stays file-bounded with no manual compact call") {
+    // r14 (the r13 verdict's item 3): extendIvfIndex triggers
+    // ensureCompactedIvfIndex after every committed append, so an
+    // extend-heavy deployment's per-dir file count is bounded by the
+    // threshold + a few post-trigger appends — without any operator
+    // remembering a maintenance pass. Serves stay row-identical across
+    // the triggered rewrites (the compact contract, pinned here through
+    // the loop rather than around one manual call).
+    val root = java.nio.file.Files.createTempDirectory("graft_autocompact").toString + "/idx"
+    val base = spark.range(200).selectExpr("id AS vec_id",
+      """transform(sequence(0, 7), d -> CASE
+        |  WHEN d = CAST((id % 4) * 2 AS INT) THEN 100.0D
+        |  WHEN d = CAST((id % 4) * 2 + 1 AS INT) THEN CAST(id % 13 AS DOUBLE)
+        |  ELSE 0.0D END) AS v""".stripMargin)
+    EmbeddingSearch.buildIvfIndex(base, root, nClusters = 4)
+    val extendsRun = EmbeddingSearch.IvfCompactFileThreshold + 4
+    for (i <- 1 to extendsRun) {
+      val batch = spark.range(4).selectExpr(s"id + ${1000 + i * 10} AS vec_id",
+        """transform(sequence(0, 7), d -> CASE
+          |  WHEN d = CAST((id % 4) * 2 AS INT) THEN 100.0D
+          |  WHEN d = CAST((id % 4) * 2 + 1 AS INT) THEN 7.0D
+          |  ELSE 0.0D END) AS v""".stripMargin)
+      EmbeddingSearch.extendIvfIndex(root, batch)
+    }
+    def maxFiles(table: String): Int =
+      new java.io.File(s"$root/$table").listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.contains("="))
+        .map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
+        .foldLeft(0)(math.max)
+    // the loop ran threshold+4 extends; an unbounded layout would sit at
+    // threshold+5 files per touched dir — the policy must have fired
+    assert(maxFiles("ivf") <= EmbeddingSearch.IvfCompactFileThreshold,
+      s"auto-compaction did not bound the ivf layout: ${maxFiles("ivf")} files/dir")
+    assert(maxFiles("idmap") <= EmbeddingSearch.IvfCompactFileThreshold,
+      s"auto-compaction did not bound the idmap layout: ${maxFiles("idmap")}")
+    // the index is committed and correct after the triggered rewrites:
+    // the standing serve equals the exact top-k over everything indexed
+    assert(new java.io.File(s"$root/_DONE").exists())
+    val all = spark.read.parquet(s"$root/ivf").select(col("vec_id"), col("v"))
+    assert(all.count() == 200 + 4L * extendsRun, "rows lost across auto-compaction")
+    val queries = base.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("v").as("embedding"))
+    val served = EmbeddingSearch.rangeBatchAgainstIvfIndex(queries, root, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = all
+      .crossJoin(broadcast(base.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine"))
+      .where(col("cosine") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == brute,
+      "post-loop standing range serve diverged from the exact tau-set")
+  }
+
+  test("lifecycle: adversarial extend/forget/retrain/compact interleave keeps the sound range serve exact") {
+    // r14 (the r13 verdict's item 6): each maintenance pass has its own
+    // spec; this composes them in an adversarial order — extend widens
+    // floors, forget removes rows mid-life, retrain replaces the
+    // quantizer (and re-derives floors) over the churned corpus, another
+    // extend appends against the NEW quantizer, compact rewrites the
+    // layout — and pins that the sound range serve still equals the
+    // exact tau-set of the surviving corpus at every step that serves.
+    val root = java.nio.file.Files.createTempDirectory("graft_lifecycle").toString + "/idx"
+    val base = spark.range(400).selectExpr("id AS vec_id",
+      """transform(sequence(0, 7), d -> CASE
+        |  WHEN d = CAST((id % 4) * 2 AS INT) THEN 100.0D
+        |  WHEN d = CAST((id % 4) * 2 + 1 AS INT) THEN CAST(id % 13 AS DOUBLE)
+        |  ELSE 0.0D END) AS v""".stripMargin)
+    val tiltedA = spark.range(20).selectExpr("id + 1000 AS vec_id",
+      """transform(sequence(0, 7), d -> CASE
+        |  WHEN d = 0 THEN 100.0D
+        |  WHEN d = 1 THEN 60.0D + CAST(id % 3 AS DOUBLE)
+        |  ELSE 0.0D END) AS v""".stripMargin)
+    val tiltedB = spark.range(10).selectExpr("id + 2000 AS vec_id",
+      """transform(sequence(0, 7), d -> CASE
+        |  WHEN d = 0 THEN 100.0D
+        |  WHEN d = 1 THEN 62.0D
+        |  ELSE 0.0D END) AS v""".stripMargin)
+    val queries = base.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("v").as("embedding"))
+    // the 75-degrees-off witness whose tau-ball reaches ONLY tilted
+    // vectors (the radii-merge pin, now carried through the whole life)
+    val witness = spark.range(1).selectExpr("5000 AS vec_id",
+      """transform(sequence(0, 7), d -> CASE
+        |  WHEN d = 0 THEN 25.88D
+        |  WHEN d = 1 THEN 96.59D
+        |  ELSE 0.0D END) AS embedding""".stripMargin)
+    def bruteSet(corpus: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      corpus.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(base.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine"))
+        .where(col("cosine") >= 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    def servedSet(): Set[(Long, Long, Double)] =
+      EmbeddingSearch.rangeBatchAgainstIvfIndex(queries, root, tau = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    def witnessIds(): Set[Long] =
+      EmbeddingSearch.rangeBatchAgainstIvfIndex(witness, root, tau = 0.5)
+        .as[(Long, Long, Double)].collect().map(_._2).toSet
+    // build -> extend A
+    EmbeddingSearch.buildIvfIndex(base, root, nClusters = 4)
+    EmbeddingSearch.extendIvfIndex(root, tiltedA)
+    assert(witnessIds() == (1000L until 1020L).toSet, "post-extend witness lost")
+    // forget a mid-life slice (base rows only; queries 0..9 survive)
+    val forgetIds = spark.range(400).where(col("id") >= 100 && col("id") % 10 === 3)
+      .select(col("id").as("vec_id"))
+    Forget.forgetEverywhere(spark, s"$root/_MANIFEST", forgetIds,
+      Seq(Forget.ivfTarget(root)))
+    val survivors = base.where(!(col("vec_id") >= 100 && col("vec_id") % 10 === 3))
+    assert(servedSet() == bruteSet(survivors.unionByName(tiltedA)),
+      "post-forget standing range serve diverged from the surviving tau-set")
+    // retrain over the churned corpus (sized: cells re-derived from the
+    // CURRENT rows; radii re-derived from scratch — floors stay exact)
+    EmbeddingSearch.retrainIvfIndex(spark, root)
+    assert(witnessIds() == (1000L until 1020L).toSet, "retrain lost the witness")
+    // extend B against the NEW quantizer, then force a compaction pass
+    EmbeddingSearch.extendIvfIndex(root, tiltedB)
+    EmbeddingSearch.compactIvfIndex(spark, root)
+    val finalCorpus = survivors.unionByName(tiltedA).unionByName(tiltedB)
+    assert(servedSet() == bruteSet(finalCorpus),
+      "end-of-life standing range serve diverged from the exact tau-set")
+    assert(witnessIds() == ((1000L until 1020L) ++ (2000L until 2010L)).toSet,
+      "end-of-life witness must see BOTH tilted batches")
+    // and the index is still a legal extend target after everything
+    EmbeddingSearch.extendIvfIndex(root,
+      spark.range(1).selectExpr("9000 AS vec_id",
+        "transform(sequence(0, 7), d -> 1.0D) AS v"))
+    assert(spark.read.parquet(s"$root/ivf").where(col("vec_id") === 9000).count() == 1)
+  }
+
+  test("embed_knn_filtered (standing default): stored-payload serve equals the per-call form, builds once") {
     val dir = "/root/testdata/sf0.001"
-    val first = graft.SparkEntry.queries("embed_filtered_index_serve")(spark, dir)
+    // r14: the standing payload-carrying serve IS the registered default
+    val first = graft.SparkEntry.queries("embed_knn_filtered")(spark, dir)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(first.nonEmpty)
     val before = EmbeddingSearch.kmeansTrainings.get()
-    val second = graft.SparkEntry.queries("embed_filtered_index_serve")(spark, dir)
+    val second = graft.SparkEntry.queries("embed_knn_filtered")(spark, dir)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(EmbeddingSearch.kmeansTrainings.get() == before,
       "a committed payload index retrained on the second serve")
     assert(second == first)
-    // the stored-payload plan is row-identical to the per-call default
+    // the stored-payload plan is row-identical to the per-call form
     // (the one-oracle claim, asserted next to the code too)
-    val default = graft.SparkEntry.queries("embed_knn_filtered")(spark, dir)
+    val percall = graft.SparkEntry.queries("embed_knn_filtered_percall")(spark, dir)
       .as[(Long, Long, Double, Long)].collect().toSet
-    assert(first == default,
-      "standing filtered serve diverged from the per-call count-gated default")
+    assert(first == percall,
+      "standing filtered serve diverged from the per-call count-gated form")
   }
 
   test("embed_range_extend_serve: builds once (_READY), second call serves with zero trainings") {

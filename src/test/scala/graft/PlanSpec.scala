@@ -343,4 +343,71 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("label"),
       s"no pushed label filter:\n$plan")
   }
+
+  test("standing vector defaults pay zero per-call assignment: query-batch source scans + cl-pruned index reads") {
+    // r14 (the r13 verdict's item 2, plan-asserted): the registered
+    // kNN/range/MIPS defaults serve from the standing index's stored
+    // cl= cell files. The ONLY source-table touches in the served plan
+    // are the query batch (pushed vec_id range — nQueries rows, never
+    // the corpus), and every index read is partition-pruned to the
+    // probed cells. A regression back to per-call assignment would
+    // surface as an unfiltered embeddings scan (the corpus side of
+    // kmeansAssign) or an unpruned ivf read.
+    import org.apache.spark.sql.functions.col
+    val idxDir = graft.SparkEntry.standingIvfIndexDirFor(dir)
+    graft.operators.EmbeddingSearch.ensureStandingIvfIndex(spark, dir, idxDir)
+    val cellsTotal = spark.read.parquet(s"$idxDir/ivf")
+      .select(col("cl")).distinct().count()
+    assert(cellsTotal > 4, "fixture index too coarse for a pruning pin")
+    withStaticPlans {
+      val serves = Seq(
+        "knn" -> graft.operators.EmbeddingSearch
+          .kmeansSizedStandingServe(spark, dir, idxDir),
+        "mips" -> graft.operators.EmbeddingSearch
+          .mipsStandingServe(spark, dir, idxDir),
+        "range" -> graft.operators.EmbeddingSearch
+          .rangeStandingServe(spark, dir, idxDir))
+      for ((name, df) <- serves) {
+        df.collect()
+        // the plan STRING, not node collect: the range serve's query
+        // batch lives inside a dynamic-pruning SubqueryBroadcast (and
+        // the join side is a ReusedExchange), which node traversal
+        // cannot reach — the string renders every subquery's scans
+        val planStr = df.queryExecution.executedPlan.toString
+        val srcLines = planStr.linesIterator
+          .filter(_.contains("embeddings.parquet")).toSeq
+        assert(srcLines.nonEmpty, s"$name: no source scan found (schema drift?)")
+        srcLines.foreach { l =>
+          assert(l.contains("LessThan(vec_id"),
+            s"$name: source-table scan without the query-batch vec_id " +
+              s"range — a per-call corpus read crept back in: $l")
+        }
+        val ivfLines = planStr.linesIterator
+          .filter(l => l.contains(s"${new java.io.File(idxDir).getName}/ivf"))
+          .toSeq
+        assert(ivfLines.nonEmpty, s"$name: no index cell-file scan found")
+        // every index read prunes on the cl partition key at PLAN time
+        // (the probed-cell IN list); how many dirs survive is
+        // data-dependent for the wider probes (MIPS' count-derived
+        // width, range's triangle bound), so the STRICT count pin runs
+        // only where it is structurally guaranteed: kNN probes
+        // nQueries·nprobe = 20 of the 23 fixture cells at most
+        ivfLines.foreach { l =>
+          assert(l.contains("PartitionFilters: [cl"),
+            s"$name: index scan carries no cl partition filter — " +
+              s"the probed-cell pruning is gone: $l")
+        }
+        if (name == "knn") {
+          val scans = df.queryExecution.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.relation.location.rootPaths
+                  .exists(_.toString.contains(s"${new java.io.File(idxDir).getName}/ivf")) =>
+              f.selectedPartitions.partitionCount.toLong
+          }
+          assert(scans.nonEmpty && scans.forall(_ < cellsTotal),
+            s"$name: index read $scans of $cellsTotal cells — not pruned")
+        }
+      }
+    }
+  }
 }
