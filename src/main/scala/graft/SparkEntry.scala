@@ -1301,11 +1301,17 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("label") === 3)),
     // FILTERED MIPS (predicate × inner product — the last filter × score
     // cell): the same count-gated branch as embed_knn_filtered with IP
-    // scoring; recall twin reads 1.0 on the brute branch by construction
+    // scoring; recall twin reads 1.0 on the brute branch by construction.
+    // r14: the default serves STANDING (stored payload columns, pushed
+    // predicate, same branch variable for a sized build — one oracle);
+    // the per-call form keeps an explicit name
     "embed_knn_mips_filtered" -> ((s, dir) =>
+      EmbeddingSearch.mipsFilteredStandingServe(s, dir, standingIvfIndexDirFor(dir))),
+    "embed_knn_mips_filtered_percall" -> ((s, dir) =>
       EmbeddingSearch.mipsTopKFiltered(s, dir, sizedKmeansIndexDirFor(dir))),
+    // measured through the REGISTERED standing plan (r14)
     "embed_mips_filtered_recall" -> ((s, dir) =>
-      EmbeddingSearch.mipsFilteredRecallPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+      EmbeddingSearch.mipsFilteredRecallStanding(s, dir, standingIvfIndexDirFor(dir))),
     // cluster-balanced corpus sampling: cap every semantic cluster at its
     // q most central members — served from the SAME persisted quantizer as
     // embed_knn_kmeans (same kmeansIndexDirFor derivation at the same
@@ -4646,8 +4652,10 @@ object SparkEntry {
     // filtered range: sound pruning over the filter's survivors — the
     // oracle is the filtered brute replay (completeness under the filter)
     "embed_range_filtered" -> rangeBruteSqlWhere("e.label = 3"),
-    // filtered MIPS: the count-gated UNION ALL with IP scoring
+    // filtered MIPS: the count-gated UNION ALL with IP scoring — ONE
+    // oracle for the standing default and the per-call form (r14)
     "embed_knn_mips_filtered" -> filteredMipsAutoSql,
+    "embed_knn_mips_filtered_percall" -> filteredMipsAutoSql,
     "embed_mips_filtered_recall" ->
       recallSqlOf(filteredMipsBruteSqlGatedBy("TRUE"), filteredMipsAutoSql),
     // Lloyd trains on the corpus 4/5 only; af then assigns EVERY vector

@@ -3830,6 +3830,67 @@ object EmbeddingSearch {
     }
   }
 
+  /** One micro-batch of the FILTERED MIPS serve against a persisted
+    * metadata-carrying IVF index — the [[filteredKnnBatchAgainstIvfIndex]]
+    * sibling with INNER-PRODUCT scoring (r14: the last filter × score
+    * cell of the standing matrix): same count-gated branch from the
+    * index's own trained cell count (selective filter ⇒ the exact IP
+    * scan of the pushed predicate's survivors; otherwise the
+    * selectivity-widened IP-ranked probe with plan-time cl= pruning),
+    * so the per-call filtered-MIPS oracle applies verbatim for a sized
+    * build and the hash gate proves standing ≡ per-call row identity.
+    * Output: (query_id, vec_id, ip, rank ≤ k).
+    */
+  def filteredMipsBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
+      pred: Column, k: Int = 5, matches: Long = -1L): DataFrame = {
+    val spark = batch.sparkSession
+    warnIfStale(spark, indexPath, "filtered-mips-serve")
+    val ivf = spark.read.parquet(s"$indexPath/ivf")
+    val m = if (matches >= 0) matches else ivf.where(pred).count()
+    require(m > 0, s"filter '$pred' matches no indexed vectors")
+    val q = batch.select(col("vec_id").cast("long").as("query_id"),
+      toDouble(col("embedding")).as("qv"))
+    val cent = loadKmeansIndex(spark, s"$indexPath/cent")
+    val cells = cent.count().toInt
+    val raw = npRawFor(cells, m)
+    if (raw > 16) {
+      val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("vec_id").asc)
+      ivf.where(pred).select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(dot(col("v"), col("qv")), 6).as("ip"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+    } else {
+      val np = cellsNprobeFor(m, cells)
+      val probed = probedCellIds(q, cent, np, dot)
+      val inverted = ivf
+        .where(col("cl").isin(probed.map(Integer.valueOf): _*))
+        .where(pred)
+      mipsServe(inverted, q, cent, k, np)
+    }
+  }
+
+  /** The REGISTERED standing filtered-MIPS serve (r14): build-once
+    * payload index, then the count-gated filtered IP top-k from the
+    * stored cell files — [[filteredIndexServe]]'s IP sibling. */
+  def mipsFilteredStandingServe(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10,
+      labelEq: Int = 3): DataFrame = {
+    ensureStandingIvfIndex(spark, dir, indexPath)
+    filteredMipsBatchAgainstIvfIndex(standingQueryBatch(spark, dir, nQueries),
+      indexPath, col("label") === labelEq, k)
+  }
+
+  /** Recall twin of the standing filtered-MIPS default — measures the
+    * registered plan (1.0 on the brute branch by construction). */
+  def mipsFilteredRecallStanding(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10,
+      labelEq: Int = 3): DataFrame =
+    recallOf(mipsTopKWhere(spark, dir, col("label") === labelEq, k, nQueries),
+      mipsFilteredStandingServe(spark, dir, indexPath, k, nQueries, labelEq))
+
   /** One micro-batch of the MIPS serve against a persisted IVF index —
     * [[knnBatchAgainstIvfIndex]] with the INNER PRODUCT as both the
     * cell-ranking and the final score: the `embed_knn_mips_ivf` serve

@@ -795,6 +795,29 @@ object StreamingOps {
     }
   }
 
+  /** Streaming FILTERED MIPS serve — the [[filteredKnnAgainstIvfIndex]]
+    * sibling with inner-product scoring (one kernel,
+    * [[graft.operators.EmbeddingSearch.filteredMipsBatchAgainstIvfIndex]],
+    * for the batch and streaming shapes — r14, completing the streaming
+    * standing-serve matrix). Branch input priced once at wiring with the
+    * zero-match refusal AT wiring (the filteredKnnAgainstIvfIndex
+    * contract); per-batch cost = the probed partitions' matching rows +
+    * the batch scan. Sink receives (query_id, vec_id, ip, rank).
+    */
+  def filteredMipsAgainstIvfIndex(vecs: DataFrame, indexPath: String,
+      pred: org.apache.spark.sql.Column, k: Int = 5)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val matches = vecs.sparkSession.read.parquet(s"$indexPath/ivf")
+      .where(pred).count()
+    require(matches > 0,
+      s"filter '$pred' matches no vectors in the index at $indexPath — " +
+        "refusing to wire a streaming serve that would fail its first batch")
+    vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.EmbeddingSearch.filteredMipsBatchAgainstIvfIndex(
+        batch, indexPath, pred, k, matches), batchId)
+    }
+  }
+
   /** Streaming MIPS serve against a persisted IVF index — the
     * inner-product twin of [[knnAgainstIvfIndex]] (one kernel,
     * [[graft.operators.EmbeddingSearch.mipsBatchAgainstIvfIndex]], for

@@ -95,7 +95,10 @@ object ScaleBench {
     // grow linearly with the corpus, the cliff the sized default removes
     // (renamed `_fixed` in r13 when the occupancy-sized banding became
     // the `embed_knn_mips_alsh` default)
-    "embed_knn_mips", "embed_knn_mips_alsh_fixed",
+    // r14: embed_knn_mips is the count-gated AUTO (brute below ~4k,
+    // standing IVF-IP past it); the exact scan keeps its own linear-
+    // control row under the explicit name
+    "embed_knn_mips", "embed_knn_mips_brute", "embed_knn_mips_alsh_fixed",
     // trained quality classifier: iters chained (scan + dims+1-key
     // map-combined shuffle) rounds — distributed full-batch GD's measured
     // slope should be linear per round
@@ -202,8 +205,10 @@ object ScaleBench {
     // (structurally recall 1.0), so only its wall rides the curve
     "embed_range_filtered",
     // the filter × inner-product composition — the same count-gated
-    // branch as embed_knn_filtered with IP scoring; recall gated below
-    "embed_knn_mips_filtered")
+    // branch as embed_knn_filtered with IP scoring; recall gated below.
+    // r14: the default serves STANDING; the per-call form keeps its
+    // linear-term row on the curve
+    "embed_knn_mips_filtered", "embed_knn_mips_filtered_percall")
 
   /** RECALL-at-scale gate (r11 verdict stretch item): the kNN-graph
     * family's recall@3 is measured at every curve point and committed

@@ -2119,6 +2119,13 @@ class EmbeddingSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(first == percall,
       "standing filtered serve diverged from the per-call count-gated form")
+    // the IP sibling (r14): standing filtered MIPS == the per-call form
+    val mipsStanding = graft.SparkEntry.queries("embed_knn_mips_filtered")(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val mipsPercall = graft.SparkEntry.queries("embed_knn_mips_filtered_percall")(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(mipsStanding.nonEmpty && mipsStanding == mipsPercall,
+      "standing filtered MIPS serve diverged from the per-call count-gated form")
   }
 
   test("embed_range_extend_serve: builds once (_READY), second call serves with zero trainings") {

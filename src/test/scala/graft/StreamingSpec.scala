@@ -1737,6 +1737,65 @@ class StreamingSpec extends AnyFunSuite {
       "the streaming filtered kNN tier trained a quantizer")
   }
 
+  test("streaming FILTERED MIPS tier: parity with the per-call arm, restart, wiring-time zero-match refusal") {
+    // r14: the last filter x score cell of the streaming matrix. On this
+    // fixture the count-gated branch takes the exact-scan arm, so parity
+    // is against the exact filtered IP scan; a zero-match predicate must
+    // refuse AT WIRING (the ADVICE r13 contract), not inside batch 1.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EmbeddingSearch
+    val dir = "/root/testdata/sf0.001"
+    val embL = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("v"),
+        $"label")
+    val root = java.nio.file.Files.createTempDirectory("graft_fmips_stream").toString
+    EmbeddingSearch.buildIvfIndex(embL, root,
+      EmbeddingSearch.ivfCellCount(embL.count()), meta = Seq("label"))
+    val pred = org.apache.spark.sql.functions.col("label") === 3
+    val want = EmbeddingSearch.mipsTopKWhere(spark, dir, pred)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(want.nonEmpty)
+    val queryVecs = graft.sources.Tables.embeddings(spark, dir)
+      .where($"vec_id" < 10).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    StreamingSpec.fmipsRestartRows.clear()
+    def sinkInto(fused: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      StreamingSpec.fmipsRestartRows ++= fused
+        .select($"query_id", $"vec_id", $"ip", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      ()
+    }
+    val in1 = MemoryStream[(Long, Seq[Float])]
+    val q1 = graft.streaming.StreamingOps.filteredMipsAgainstIvfIndex(
+      in1.toDF().toDF("vec_id", "embedding"), root, pred)(sinkInto).start()
+    in1.addData(queryVecs.take(5): _*)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterQ1 = StreamingSpec.fmipsRestartRows.size
+    assert(StreamingSpec.fmipsRestartRows.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = graft.streaming.StreamingOps.filteredMipsAgainstIvfIndex(
+      in2.toDF().toDF("vec_id", "embedding"), root, pred)(sinkInto).start()
+    in2.addData(queryVecs.drop(5): _*)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(StreamingSpec.fmipsRestartRows.drop(afterQ1).map(_._1).toSet ==
+      Set(5L, 6L, 7L, 8L, 9L),
+      "restarted instance must serve exactly the new batch")
+    assert(StreamingSpec.fmipsRestartRows.toSet == want,
+      "streamed filtered MIPS serve drifted from the exact filtered scan")
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "the streaming filtered MIPS tier trained a quantizer")
+    // the misconfiguration fails at WIRING, before any stream starts
+    val bad = MemoryStream[(Long, Seq[Float])]
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.filteredMipsAgainstIvfIndex(
+        bad.toDF().toDF("vec_id", "embedding"), root,
+        org.apache.spark.sql.functions.col("label") === 99)(sinkInto)
+    }
+    assert(e.getMessage.contains("matches no vectors"))
+  }
+
   test("streaming MIPS and sound-range tiers vs the persisted IVF index: parity, restart, zero trainings") {
     // the last two serve-matrix cells for the vector artifact: arriving
     // queries ranked by EXACT inner product from IP-ranked probed cells,
@@ -1834,5 +1893,6 @@ object StreamingSpec {
   val knnRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]
   val fknnRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]
   val mipsRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]
+  val fmipsRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]
   val rangeRestartRows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]
 }
