@@ -3064,8 +3064,55 @@ object EmbeddingSearch {
       val in = fs.open(p)
       val trained = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
         finally in.close()
-      Some((trained, spark.read.parquet(s"$indexPath/ivf").count()))
+      Some((trained, storedIvfRows(spark, indexPath)))
     }
+  }
+
+  /** The index's COMMIT-STATE key: the `_DONE` and `ivf/_SUCCESS`
+    * modification times. Every mutation that can change the stored
+    * table (build, extend, compact, forget, retrain) recreates at least
+    * one of the two markers, so a value memoized under this key is
+    * valid exactly while the index is unchanged — which is the whole
+    * life of a standing deployment between maintenance passes.
+    */
+  private def ivfCommitKey(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): (String, Long, Long) = {
+    def mtime(name: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(indexPath, name)
+      if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L
+    }
+    (indexPath, mtime("_DONE"), mtime("ivf/_SUCCESS"))
+  }
+
+  /** Stored-row count of the index's vector table, memoized per commit
+    * state (r14): every standing serve prices its staleness check and
+    * probe width from this count, and re-listing a cl=-partitioned
+    * table's footers per serve was the one non-probed cost left in the
+    * standing tier (~0.3 s/serve at bench scale; at 100 TB the listing
+    * itself is a metadata storm). One count per index mutation instead.
+    */
+  private val ivfRowsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+
+  private[graft] def storedIvfRows(spark: SparkSession, indexPath: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    ivfRowsMemo.computeIfAbsent(ivfCommitKey(fs, indexPath),
+      _ => spark.read.parquet(s"$indexPath/ivf").count())
+  }
+
+  /** Pushed-predicate match count over the stored vector table, memoized
+    * per (commit state, predicate) — the filtered serves' branch input
+    * (the [[storedIvfRows]] argument, per predicate). */
+  private val ivfMatchesMemo =
+    new java.util.concurrent.ConcurrentHashMap[((String, Long, Long), String), Long]()
+
+  private[graft] def storedIvfMatches(spark: SparkSession, indexPath: String,
+      pred: Column): Long = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    ivfMatchesMemo.computeIfAbsent((ivfCommitKey(fs, indexPath), pred.toString),
+      _ => spark.read.parquet(s"$indexPath/ivf").where(pred).count())
   }
 
   /** The sized-quantizer STALENESS RULE (r12 verdict item 4): an index
@@ -3802,7 +3849,7 @@ object EmbeddingSearch {
     val spark = batch.sparkSession
     warnIfStale(spark, indexPath, "filtered-serve")
     val ivf = spark.read.parquet(s"$indexPath/ivf")
-    val m = if (matches >= 0) matches else ivf.where(pred).count()
+    val m = if (matches >= 0) matches else storedIvfMatches(spark, indexPath, pred)
     require(m > 0, s"filter '$pred' matches no indexed vectors")
     val q = batch.select(col("vec_id").cast("long").as("query_id"),
       toDouble(col("embedding")).as("qv"))
@@ -3846,7 +3893,7 @@ object EmbeddingSearch {
     val spark = batch.sparkSession
     warnIfStale(spark, indexPath, "filtered-mips-serve")
     val ivf = spark.read.parquet(s"$indexPath/ivf")
-    val m = if (matches >= 0) matches else ivf.where(pred).count()
+    val m = if (matches >= 0) matches else storedIvfMatches(spark, indexPath, pred)
     require(m > 0, s"filter '$pred' matches no indexed vectors")
     val q = batch.select(col("vec_id").cast("long").as("query_id"),
       toDouble(col("embedding")).as("qv"))
@@ -3915,7 +3962,7 @@ object EmbeddingSearch {
     val cent = loadKmeansIndex(spark, s"$indexPath/cent")
     val cells = cent.count().toInt
     val np = if (nprobe > 0) nprobe
-      else cellsNprobeFor(spark.read.parquet(s"$indexPath/ivf").count(), cells)
+      else cellsNprobeFor(storedIvfRows(spark, indexPath), cells)
     val q = batch.select(col("vec_id").cast("long").as("query_id"),
       toDouble(col("embedding")).as("qv"))
     val probed = probedCellIds(q, cent, np, dot)
