@@ -243,6 +243,80 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "graphserve") {
+      // r14 frontier probe (r13 verdict stretch item 8): HNSW-STYLE QUERY
+      // SERVING — greedy beam search over the navigable kNN graph (the
+      // cells graph at kBuild=10), flattened to Spark rounds (one edge
+      // join + per-query re-rank + beam cut per round), measured against
+      // the standing IVF probe serve (recall@5 + wall). HNSW's serve-side
+      // value is log-hop navigation at high recall; the question is
+      // whether a batch engine keeps any of it once each hop costs a
+      // full shuffle round.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.EmbeddingSearch
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .localCheckpoint()
+      val n = emb.count()
+      // the navigable graph: built once per config sweep (HNSW pays its
+      // build once too); kBuild=10 out-degree, the descent family's width
+      val tg = System.nanoTime()
+      val graph = EmbeddingSearch.knnJoinCells(spark, sfDir, k = 10)
+        .select(col("vec_id"), col("nbr_id")).localCheckpoint()
+      println(f"[graphserve] graph build (k=10 cells): ${(System.nanoTime() - tg) / 1e9}%.2f s, ${graph.count()} edges")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")).localCheckpoint()
+      val wB = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+      def ranked(cand: org.apache.spark.sql.DataFrame, keep: Int) =
+        cand.withColumn("rn", row_number().over(wB)).where(col("rn") <= keep).drop("rn")
+      for ((beam, rounds) <- Seq((16, 2), (16, 3), (32, 3), (32, 6), (64, 8)); pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        // deterministic entry points: 8 affine-hash-sampled vertices
+        val entry = emb.where((col("vec_id") * 1103515245L + 12345L) % 2147483647L % n < 8L)
+        var cand = ranked(q.crossJoin(entry.select(col("vec_id"), col("v")))
+          .select(col("query_id"), col("qv"), col("vec_id"),
+            round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine")),
+          beam).localCheckpoint()
+        for (_ <- 1 to rounds) {
+          val grown = cand.select(col("query_id"), col("qv"), col("vec_id"))
+            .join(graph, "vec_id")
+            .select(col("query_id"), col("qv"), col("nbr_id").as("vec_id"))
+            .distinct()
+            .join(emb, "vec_id")
+            .select(col("query_id"), col("qv"), col("vec_id"),
+              round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine"))
+            .unionByName(cand)
+            .groupBy(col("query_id"), col("vec_id"))
+            .agg(first(col("qv")).as("qv"), max(col("cosine")).as("cosine"))
+          cand = ranked(grown, beam).localCheckpoint()
+        }
+        val served = cand.where(col("vec_id") =!= col("query_id"))
+        val top = ranked(served, 5)
+          .select(col("query_id").as("vec_id"), col("vec_id").as("nbr_id"))
+        val rows = top.count()
+        val w = (System.nanoTime() - t0) / 1e9
+        val rec = EmbeddingSearch.graphRecallProbe(spark, sfDir,
+            top, k = 5, nProbes = 10)
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"[graphserve] beam=$beam rounds=$rounds pass=$pass " +
+          f"wall=$w%6.2f s rows=$rows recall=$rec%.4f")
+      }
+      // the comparison point: the standing IVF probe serve on the same
+      // queries (k=5) — the registered default's plan
+      val idx = graft.SparkEntry.standingIvfIndexDirFor(sfDir)
+      EmbeddingSearch.ensureStandingIvfIndex(spark, sfDir, idx)
+      for (pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val r = EmbeddingSearch.kmeansSizedStandingServe(spark, sfDir, idx).count()
+        val w = (System.nanoTime() - t0) / 1e9
+        val rec = EmbeddingSearch.kmeansRecallSizedStanding(spark, sfDir, idx)
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"[graphserve] IVF standing serve pass=$pass wall=$w%6.2f s rows=$r recall=$rec%.4f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "mipsivf") {
       // the MIPS approx-method frontier at this SF: wall + recall@5 of
       // the IVF serve (adaptive and fixed nprobe) next to the two ALSH
