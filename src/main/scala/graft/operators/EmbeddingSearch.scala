@@ -3090,29 +3090,38 @@ object EmbeddingSearch {
     * table's footers per serve was the one non-probed cost left in the
     * standing tier (~0.3 s/serve at bench scale; at 100 TB the listing
     * itself is a metadata storm). One count per index mutation instead.
+    * The map is keyed by PATH with the commit state validating the
+    * stored value (compute-and-replace — the bpeModelMemo discipline),
+    * so a long-lived deployment that keeps extending holds ONE entry
+    * per index, never one per mutation.
     */
-  private val ivfRowsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+  private val ivfRowsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, ((String, Long, Long), Long)]()
 
   private[graft] def storedIvfRows(spark: SparkSession, indexPath: String): Long = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    ivfRowsMemo.computeIfAbsent(ivfCommitKey(fs, indexPath),
-      _ => spark.read.parquet(s"$indexPath/ivf").count())
+    val key = ivfCommitKey(fs, indexPath)
+    ivfRowsMemo.compute(indexPath, (_, prev) =>
+      if (prev != null && prev._1 == key) prev
+      else (key, spark.read.parquet(s"$indexPath/ivf").count()))._2
   }
 
   /** Pushed-predicate match count over the stored vector table, memoized
-    * per (commit state, predicate) — the filtered serves' branch input
-    * (the [[storedIvfRows]] argument, per predicate). */
-  private val ivfMatchesMemo =
-    new java.util.concurrent.ConcurrentHashMap[((String, Long, Long), String), Long]()
+    * per (index, predicate) with the commit state validating the value —
+    * the filtered serves' branch input (the [[storedIvfRows]] pattern,
+    * per predicate). */
+  private val ivfMatchesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), ((String, Long, Long), Long)]()
 
   private[graft] def storedIvfMatches(spark: SparkSession, indexPath: String,
       pred: Column): Long = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-    ivfMatchesMemo.computeIfAbsent((ivfCommitKey(fs, indexPath), pred.toString),
-      _ => spark.read.parquet(s"$indexPath/ivf").where(pred).count())
+    val key = ivfCommitKey(fs, indexPath)
+    ivfMatchesMemo.compute((indexPath, pred.toString), (_, prev) =>
+      if (prev != null && prev._1 == key) prev
+      else (key, spark.read.parquet(s"$indexPath/ivf").where(pred).count()))._2
   }
 
   /** The sized-quantizer STALENESS RULE (r12 verdict item 4): an index
@@ -3269,7 +3278,8 @@ object EmbeddingSearch {
     * The current forget rewrite preserves the layout, so
     * extend-after-forget is legal.
     */
-  def extendIvfIndex(indexPath: String, newVecs: DataFrame): Unit = {
+  def extendIvfIndex(indexPath: String, newVecs: DataFrame,
+      autoCompact: Boolean = true): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     val committed = Seq("cent", "ivf")
@@ -3357,10 +3367,15 @@ object EmbeddingSearch {
       // lost). The merged table is STAGED and swapped in with two renames
       // (write radii__merging, move live aside, move staged live) rather
       // than mode("overwrite") — an overwrite is delete-then-write, and a
-      // concurrent reader (the streaming range tier) catching the gap
-      // would fail its radii/_SUCCESS require mid-extend (ADVICE r13;
-      // loud, not unsound — but the rename shrinks the gap to two
-      // metadata ops instead of a full parquet write). k-row arithmetic,
+      // reader catching the gap would fail its radii/_SUCCESS require
+      // (ADVICE r13; loud, not unsound — the rename shrinks that gap to
+      // two metadata ops). Note the range serve ALSO requires the
+      // index-level _DONE, which is down for this whole extend — so a
+      // concurrent range reader fails loudly at that earlier, clearer
+      // gate regardless; the staged swap's remaining value is a crash
+      // state that is always analyzable (the radii dir is never
+      // half-written, so recovery never has to distinguish partial
+      // parquet from a clean table). k-row arithmetic,
       // collected driver-side (bounded by the quantizer); pre-radii (v2)
       // indexes skip — the range serve refuses them with the rebuild
       // remedy, nothing here can go stale silently.
@@ -3409,7 +3424,14 @@ object EmbeddingSearch {
     // after the append commits — contents untouched, serves stay
     // row-identical (the compact contract), the pass is amortized:
     // threshold T means at most one rewrite per T extends per dir.
-    ensureCompactedIvfIndex(newVecs.sparkSession, indexPath)
+    // `autoCompact = false` opts out for deployments that schedule the
+    // rewrite in their own quiesce window: the triggered pass drops
+    // _DONE and swaps live dirs like the manual call, so concurrent
+    // serves fail loudly for its duration and a crash INSIDE it leaves
+    // the (already committed) extend's index uncommitted — operators
+    // who cannot tolerate that at extend time run ensureCompactedIvfIndex
+    // themselves when quiet.
+    if (autoCompact) ensureCompactedIvfIndex(newVecs.sparkSession, indexPath)
   }
 
   /** Files-per-dir auto-compaction threshold: at ~1 file set per extend
@@ -3535,6 +3557,15 @@ object EmbeddingSearch {
       indexPath: String, k: Int = 5, nQueries: Int = 10): DataFrame =
     recallAgainstBrute(spark, dir,
       kmeansSizedStandingServe(spark, dir, indexPath, k, nQueries), k, nQueries)
+
+  /** Measurement-only recall of the standing sized serve at an explicit
+    * probe width (the Scratch `np4` frontier probe) — not a registered
+    * surface. */
+  private[graft] def recallOfStandingSized(spark: SparkSession, dir: String,
+      indexPath: String, nprobe: Int, k: Int = 5, nQueries: Int = 10): DataFrame =
+    recallAgainstBrute(spark, dir,
+      kmeansSizedStandingServe(spark, dir, indexPath, k, nQueries, nprobe),
+      k, nQueries)
 
   /** The REGISTERED sound-range default (r14): the triangle-bound serve
     * from the standing index's stored radii table
@@ -3845,9 +3876,23 @@ object EmbeddingSearch {
     * Output: (query_id, vec_id, cosine, rank ≤ k).
     */
   def filteredKnnBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
-      pred: Column, k: Int = 5, matches: Long = -1L): DataFrame = {
+      pred: Column, k: Int = 5, matches: Long = -1L): DataFrame =
+    filteredBatchAgainstIvfIndex(batch, indexPath, pred, k, matches,
+      "filtered-serve", cosine, "cosine", knnOverInverted)
+
+  /** The ONE filtered standing-serve kernel both score families run —
+    * branch computation, zero-match refusal, brute arm, and probed arm
+    * parameterized only by the scoring rule ([[cosine]]/"cosine"/
+    * [[knnOverInverted]] vs [[dot]]/"ip"/[[mipsServe]]). A forked copy
+    * would let a future branch-rule or brute-arm fix silently diverge
+    * the two (the probedCellIds single-copy argument, one level up).
+    */
+  private def filteredBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
+      pred: Column, k: Int, matches: Long, surface: String,
+      score: (Column, Column) => Column, scoreCol: String,
+      serve: (DataFrame, DataFrame, DataFrame, Int, Int) => DataFrame): DataFrame = {
     val spark = batch.sparkSession
-    warnIfStale(spark, indexPath, "filtered-serve")
+    warnIfStale(spark, indexPath, surface)
     val ivf = spark.read.parquet(s"$indexPath/ivf")
     val m = if (matches >= 0) matches else storedIvfMatches(spark, indexPath, pred)
     require(m > 0, s"filter '$pred' matches no indexed vectors")
@@ -3859,21 +3904,21 @@ object EmbeddingSearch {
     // count ([[npRawFor]] — equal to filteredNpRaw for a sized build)
     val raw = npRawFor(cells, m)
     if (raw > 16) {
-      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+      val w = Window.partitionBy("query_id").orderBy(col(scoreCol).desc, col("vec_id").asc)
       ivf.where(pred).select(col("vec_id"), col("v"))
         .crossJoin(broadcast(q))
         .where(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          round(cosine(col("v"), col("qv")), 6).as("cosine"))
+          round(score(col("v"), col("qv")), 6).as(scoreCol))
         .withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= k)
     } else {
       val np = cellsNprobeFor(m, cells)
-      val probedCells = probedCellIds(q, cent, np, cosine)
+      val probedCells = probedCellIds(q, cent, np, score)
       val inverted = ivf
         .where(col("cl").isin(probedCells.map(Integer.valueOf): _*))
         .where(pred)
-      knnOverInverted(inverted, q, cent, k, np)
+      serve(inverted, q, cent, k, np)
     }
   }
 
@@ -3889,35 +3934,9 @@ object EmbeddingSearch {
     * Output: (query_id, vec_id, ip, rank ≤ k).
     */
   def filteredMipsBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
-      pred: Column, k: Int = 5, matches: Long = -1L): DataFrame = {
-    val spark = batch.sparkSession
-    warnIfStale(spark, indexPath, "filtered-mips-serve")
-    val ivf = spark.read.parquet(s"$indexPath/ivf")
-    val m = if (matches >= 0) matches else storedIvfMatches(spark, indexPath, pred)
-    require(m > 0, s"filter '$pred' matches no indexed vectors")
-    val q = batch.select(col("vec_id").cast("long").as("query_id"),
-      toDouble(col("embedding")).as("qv"))
-    val cent = loadKmeansIndex(spark, s"$indexPath/cent")
-    val cells = cent.count().toInt
-    val raw = npRawFor(cells, m)
-    if (raw > 16) {
-      val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("vec_id").asc)
-      ivf.where(pred).select(col("vec_id"), col("v"))
-        .crossJoin(broadcast(q))
-        .where(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          round(dot(col("v"), col("qv")), 6).as("ip"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= k)
-    } else {
-      val np = cellsNprobeFor(m, cells)
-      val probed = probedCellIds(q, cent, np, dot)
-      val inverted = ivf
-        .where(col("cl").isin(probed.map(Integer.valueOf): _*))
-        .where(pred)
-      mipsServe(inverted, q, cent, k, np)
-    }
-  }
+      pred: Column, k: Int = 5, matches: Long = -1L): DataFrame =
+    filteredBatchAgainstIvfIndex(batch, indexPath, pred, k, matches,
+      "filtered-mips-serve", dot, "ip", mipsServe)
 
   /** The REGISTERED standing filtered-MIPS serve (r14): build-once
     * payload index, then the count-gated filtered IP top-k from the
@@ -4000,12 +4019,18 @@ object EmbeddingSearch {
     // the new assignments, the silent under-probe class this table exists
     // to prevent, on the one serve whose contract is exactness. Extend and
     // compact already refuse uncommitted indexes; the serve must too
-    // (ADVICE r13)
+    // (ADVICE r13). KNOWN TRADE: _DONE is also down for the DURATION of
+    // a running extend/compact, so a serve racing a maintenance pass
+    // fails loudly here too — soundness-over-availability is the right
+    // default for the exactness-contract serve (mid-mutation floors may
+    // genuinely lag), and the message names both states so the remedy
+    // is never wrong
     require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_DONE")),
-      s"IVF index at $indexPath is uncommitted (no _DONE) — a crashed " +
-        "build/extend may have left the radii floors mismatching the " +
-        "assignments, which would silently under-probe the sound range " +
-        "serve; rebuild with buildIvfIndex")
+      s"IVF index at $indexPath is uncommitted (no _DONE): either a " +
+        "maintenance pass (extend/compact/forget) is RUNNING — retry when " +
+        "it commits — or one crashed, leaving radii floors that may " +
+        "mismatch the assignments and silently under-probe the sound " +
+        "range serve; if no pass is running, rebuild with buildIvfIndex")
     require(fs.exists(marker),
       s"IVF index at $indexPath has no radii table (pre-radii layout) — " +
         "rebuild with buildIvfIndex to serve sound range search")

@@ -1421,7 +1421,8 @@ object TextAnalysis {
     * slower. The current forget rewrite preserves the layout, so
     * extend-after-forget is legal (spec-pinned).
     */
-  def extendBm25Index(indexPath: String, newDocs: DataFrame): Unit = {
+  def extendBm25Index(indexPath: String, newDocs: DataFrame,
+      autoCompact: Boolean = true): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     val committed = Seq("postings", "doclens", "fwd")
@@ -1488,8 +1489,11 @@ object TextAnalysis {
     // AUTO-COMPACTION (r14, the IVF extend discipline applied to the
     // lexical artifact): each extend leaves one file set per touched
     // bucket=/db= dir plus a doclens sliver — past the threshold the
-    // policy rewrites in place (contents untouched, serves row-identical)
-    ensureCompactedBm25Index(newDocs.sparkSession, indexPath)
+    // policy rewrites in place (contents untouched, serves row-identical).
+    // `autoCompact = false` opts out for operators who schedule the
+    // rewrite in a quiesce window (the extendIvfIndex contract: the
+    // triggered pass drops _DONE and swaps live dirs for its duration)
+    if (autoCompact) ensureCompactedBm25Index(newDocs.sparkSession, indexPath)
   }
 
   /** Compact the BM25 index's tables IN PLACE — the small-file
@@ -2017,10 +2021,21 @@ object TextAnalysis {
       bm25IndexPath: String, ivfIndexPath: String, nQueries: Int = 20,
       nprobe: Int = 2): DataFrame = {
     val queries = hybridQuerySet(spark, dir, nQueries)
+    // the validator covers BOTH what the queries derive from (the two
+    // dataset fingerprints) and what the cached exact arm actually
+    // reads (the two INDEX commit states — an index extended at the
+    // same path without touching the source parquet must invalidate,
+    // or the recall would silently measure pre-extend ground truth)
+    def doneMtime(p: String): Long = {
+      val done = new org.apache.hadoop.fs.Path(p, "_DONE")
+      val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+      if (fs.exists(done)) fs.getFileStatus(done).getModificationTime else -1L
+    }
     val fp = java.lang.Long.toHexString(
         Tables.datasetFingerprint(s"$dir/documents.parquet")) + "_" +
       java.lang.Long.toHexString(
-        Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
+        Tables.datasetFingerprint(s"$dir/embeddings.parquet")) + "_" +
+      doneMtime(bm25IndexPath) + "_" + doneMtime(ivfIndexPath)
     val exactRows = hybridExactMemo.compute(
       (dir, bm25IndexPath, ivfIndexPath, nQueries), (_, prev) =>
         if (prev != null && prev._1 == fp) prev

@@ -171,6 +171,15 @@ object Tables {
   /** Fingerprint of a parquet table's files (names, sizes, mtimes) — keys
     * exported fixture dirs so REGENERATED source data can never be served
     * from a stale export.
+    *
+    * LOCAL-FS SCOPE (by design, like the tmpdir artifact store it keys):
+    * the walk is java.io.File, so a remote path (hdfs://, s3a://) folds
+    * to a constant and a regenerated remote dataset would NOT invalidate
+    * a fingerprint-keyed cache. The whole fingerprinted-artifact layer
+    * (tmpdir index dirs, the in-memory ground-truth memos) shares this
+    * scope — a cluster deployment keys its artifacts off cluster-FS
+    * paths + the index `_DONE` commit state instead (the
+    * storedIvfRows/ivfCommitKey discipline, which IS Hadoop-FS-clean).
     */
   def datasetFingerprint(path: String): Long = {
     def walk(f: java.io.File): Seq[java.io.File] =

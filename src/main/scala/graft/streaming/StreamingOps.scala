@@ -780,19 +780,30 @@ object StreamingOps {
   def filteredKnnAgainstIvfIndex(vecs: DataFrame, indexPath: String,
       pred: org.apache.spark.sql.Column, k: Int = 5)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val matches = vecs.sparkSession.read.parquet(s"$indexPath/ivf")
-      .where(pred).count()
-    // fail the misconfiguration AT WIRING, where it happened: without this,
-    // a zero-match predicate only surfaces as the kernel's require inside
-    // the first micro-batch's foreachBatch, terminating the started
-    // streaming query instead of the wiring call (ADVICE r13)
-    require(matches > 0,
-      s"filter '$pred' matches no vectors in the index at $indexPath — " +
-        "refusing to wire a streaming serve that would fail its first batch")
+    val matches = pricedFilterMatches(vecs, indexPath, pred)
     vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       sink(graft.operators.EmbeddingSearch.filteredKnnBatchAgainstIvfIndex(
         batch, indexPath, pred, k, matches), batchId)
     }
+  }
+
+  /** The ONE wiring-time pricing both filtered streaming tiers share:
+    * the pushed-predicate match count through the commit-state memo
+    * ([[graft.operators.EmbeddingSearch.storedIvfMatches]] — a restart
+    * against an unchanged index pays a map lookup, not a table count),
+    * and the zero-match refusal AT WIRING, where the misconfiguration
+    * happened — without it a bad predicate only surfaces as the
+    * kernel's require inside the first micro-batch's foreachBatch,
+    * terminating the started streaming query (ADVICE r13).
+    */
+  private def pricedFilterMatches(vecs: DataFrame, indexPath: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    val matches = graft.operators.EmbeddingSearch
+      .storedIvfMatches(vecs.sparkSession, indexPath, pred)
+    require(matches > 0,
+      s"filter '$pred' matches no vectors in the index at $indexPath — " +
+        "refusing to wire a streaming serve that would fail its first batch")
+    matches
   }
 
   /** Streaming FILTERED MIPS serve — the [[filteredKnnAgainstIvfIndex]]
@@ -807,11 +818,7 @@ object StreamingOps {
   def filteredMipsAgainstIvfIndex(vecs: DataFrame, indexPath: String,
       pred: org.apache.spark.sql.Column, k: Int = 5)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val matches = vecs.sparkSession.read.parquet(s"$indexPath/ivf")
-      .where(pred).count()
-    require(matches > 0,
-      s"filter '$pred' matches no vectors in the index at $indexPath — " +
-        "refusing to wire a streaming serve that would fail its first batch")
+    val matches = pricedFilterMatches(vecs, indexPath, pred)
     vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       sink(graft.operators.EmbeddingSearch.filteredMipsBatchAgainstIvfIndex(
         batch, indexPath, pred, k, matches), batchId)

@@ -317,6 +317,25 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "np4") {
+      // r14: the sized standing serve's recall-vs-nprobe frontier — the
+      // widening headroom the graphserve comparison cites (is the last
+      // recall gap closable for one extra probed cell per query?)
+      import org.apache.spark.sql.functions.{avg, col}
+      import graft.operators.EmbeddingSearch
+      val idx = graft.SparkEntry.standingIvfIndexDirFor(sfDir)
+      EmbeddingSearch.ensureStandingIvfIndex(spark, sfDir, idx)
+      for (np <- Seq(2, 4, 8); pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = EmbeddingSearch.kmeansSizedStandingServe(spark, sfDir, idx,
+          nprobe = np).count()
+        val w = (System.nanoTime() - t0) / 1e9
+        val rec = EmbeddingSearch.recallOfStandingSized(spark, sfDir, idx, np)
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"[np4] nprobe=$np pass=$pass wall=$w%6.2f s rows=$n recall=$rec%.4f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "mipsivf") {
       // the MIPS approx-method frontier at this SF: wall + recall@5 of
       // the IVF serve (adaptive and fixed nprobe) next to the two ALSH
