@@ -3151,6 +3151,26 @@ object EmbeddingSearch {
           "fixed-k, params-in-name layout)")
     }
 
+  /** Retrain-if-stale — the staleness rule's auto-remedy (r14, the
+    * ensureCompactedIvfIndex discipline applied to the quantizer): one
+    * metadata-priced drift check ([[ivfIndexDrift]] through the
+    * commit-state row memo + a marker-file read), and a sized
+    * [[retrainIvfIndex]] IFF [[ivfIndexStale]] fires — the rule's own
+    * threshold, so a fresh index costs a map lookup and nothing else.
+    * Safe to automate because the sized retrain is result-invariant on
+    * a corpus that has NOT actually outgrown its quantizer
+    * (deterministic Lloyd at the same derived k — spec-pinned) and
+    * because a DELIBERATELY fixed-k index never trips the rule's 2×
+    * yardstick by param choice alone. Like the compaction trigger, the
+    * rewrite drops `_DONE` for its duration — schedule in a quiesce
+    * window if concurrent serves cannot tolerate the loud failure.
+    */
+  def ensureFreshIvfIndex(spark: SparkSession, indexPath: String,
+      iters: Int = 2): Unit =
+    ivfIndexDrift(spark, indexPath).foreach { case (t, c) =>
+      if (ivfIndexStale(t, c)) retrainIvfIndex(spark, indexPath, iters)
+    }
+
   /** Rebuild the IVF index IN PLACE from its own vector table — the
     * staleness remedy. Vectors are checkpointed off the old table before
     * the overwrite build; ids, vectors, and the idmap all survive, only

@@ -1533,6 +1533,15 @@ object TextAnalysis {
           "rebuild with buildBm25Index before compacting")
       (t, pk, hasPartDirs)
     }
+    // a committed-but-EMPTY doclens (only _SUCCESS) has no readable
+    // schema — an unconditional rewrite would fail AFTER _DONE dropped
+    // and the partitioned swaps ran, leaving a committed index
+    // uncommitted over a no-op (the compactIvfIndex empty-table
+    // allowance, checked pre-flight like every other refusal)
+    val doclensHasData = fs
+      .listStatus(new org.apache.hadoop.fs.Path(indexPath, "doclens"))
+      .exists(e => e.isFile && !e.getPath.getName.startsWith("_") &&
+        !e.getPath.getName.startsWith("."))
     fs.delete(done, false)
     def swap(t: String)(write: org.apache.hadoop.fs.Path => Unit): Unit = {
       val live = new org.apache.hadoop.fs.Path(indexPath, t)
@@ -1550,7 +1559,7 @@ object TextAnalysis {
           .repartition(col(pk))
           .write.mode("overwrite").partitionBy(pk).parquet(staged.toString)
       }
-    swap("doclens") { staged =>
+    if (doclensHasData) swap("doclens") { staged =>
       spark.read.parquet(s"$indexPath/doclens")
         .coalesce(1).write.mode("overwrite").parquet(staged.toString)
     }

@@ -2022,6 +2022,55 @@ class EmbeddingSpec extends AnyFunSuite {
       "post-loop standing range serve diverged from the exact tau-set")
   }
 
+  test("ensureFreshIvfIndex: retrains exactly when the staleness rule fires, no-op otherwise") {
+    // r14: the staleness rule's auto-remedy (the auto-compaction
+    // discipline on the quantizer): a 4x-grown index trips the 2x
+    // sized-cell-count yardstick and retrains at the CURRENT corpus's
+    // derived k; a fresh index costs a drift check and nothing else
+    val root = java.nio.file.Files.createTempDirectory("graft_fresh").toString + "/idx"
+    val base = spark.range(100).selectExpr("id AS vec_id",
+      """transform(sequence(0, 7), d -> CASE
+        |  WHEN d = CAST((id % 4) * 2 AS INT) THEN 100.0D
+        |  WHEN d = CAST((id % 4) * 2 + 1 AS INT) THEN CAST(id % 13 AS DOUBLE)
+        |  ELSE 0.0D END) AS v""".stripMargin)
+    // sized build at N=100 -> ceil(sqrt(100)) = 10 cells
+    EmbeddingSearch.buildIvfIndex(base, root, EmbeddingSearch.ivfCellCount(100))
+    val before = EmbeddingSearch.kmeansTrainings.get()
+    // fresh index: the ensure is a metadata-priced no-op
+    EmbeddingSearch.ensureFreshIvfIndex(spark, root)
+    assert(EmbeddingSearch.kmeansTrainings.get() == before,
+      "ensureFreshIvfIndex retrained a fresh index")
+    // grow 5x without retraining: N=500 -> sized k = 23 >= 2*10 -> stale
+    EmbeddingSearch.extendIvfIndex(root,
+      spark.range(400).selectExpr("id + 1000 AS vec_id",
+        """transform(sequence(0, 7), d -> CASE
+          |  WHEN d = CAST((id % 4) * 2 AS INT) THEN 100.0D
+          |  WHEN d = CAST((id % 4) * 2 + 1 AS INT) THEN CAST(id % 11 AS DOUBLE)
+          |  ELSE 0.0D END) AS v""".stripMargin))
+    EmbeddingSearch.ensureFreshIvfIndex(spark, root)
+    assert(EmbeddingSearch.kmeansTrainings.get() > before,
+      "ensureFreshIvfIndex did not retrain a 5x-grown index")
+    val cells = spark.read.parquet(s"$root/cent").count()
+    assert(cells == EmbeddingSearch.ivfCellCount(500),
+      s"retrain did not re-derive the sized cell count: $cells")
+    // and the rebuilt index serves soundly (the range contract survives)
+    val queries = base.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("v").as("embedding"))
+    val served = EmbeddingSearch.rangeBatchAgainstIvfIndex(queries, root, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val all = spark.read.parquet(s"$root/ivf").select(col("vec_id"), col("v"))
+    val brute = all
+      .crossJoin(broadcast(base.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine"))
+      .where(col("cosine") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == brute,
+      "post-auto-retrain range serve diverged from the exact tau-set")
+  }
+
   test("lifecycle: adversarial extend/forget/retrain/compact interleave keeps the sound range serve exact") {
     // r14 (the r13 verdict's item 6): each maintenance pass has its own
     // spec; this composes them in an adversarial order — extend widens

@@ -1314,6 +1314,62 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(halfExtended.getMessage.contains("crashed EXTEND"))
   }
 
+  test("BM25 auto-compaction: an extend loop stays file-bounded, serves row-identical, empty doclens tolerated") {
+    // r14: the IVF auto-compaction discipline on the lexical artifact —
+    // extendBm25Index triggers the in-place rewrite once any bucket=/db=
+    // dir (or flat doclens) crosses the shared threshold; no manual call
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25ac").toString
+    val idx = s"$root/idx"
+    TextAnalysis.buildBm25Index(docs.where($"doc_id" < 20), idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val extendsRun = graft.operators.EmbeddingSearch.IvfCompactFileThreshold + 4
+    for (i <- 1 to extendsRun)
+      TextAnalysis.extendBm25Index(idx,
+        docs.where($"doc_id" >= 20 + (i - 1) * 3 && $"doc_id" < 20 + i * 3))
+    def doclensFiles(): Int = fs
+      .listStatus(new org.apache.hadoop.fs.Path(idx, "doclens"))
+      .count(e => e.isFile && !e.getPath.getName.startsWith("_") &&
+        !e.getPath.getName.startsWith("."))
+    assert(doclensFiles() <= graft.operators.EmbeddingSearch.IvfCompactFileThreshold,
+      s"auto-compaction did not bound doclens: ${doclensFiles()} files")
+    def maxPartFiles(t: String, pk: String): Int = fs
+      .listStatus(new org.apache.hadoop.fs.Path(idx, t)).toSeq
+      .filter(e => !e.isFile && e.getPath.getName.startsWith(s"$pk="))
+      .map(d => fs.listStatus(d.getPath).count(e => e.isFile &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith(".")))
+      .foldLeft(0)(math.max)
+    assert(maxPartFiles("postings", "bucket") <=
+        graft.operators.EmbeddingSearch.IvfCompactFileThreshold,
+      "auto-compaction did not bound the postings layout")
+    // serve parity across the triggered rewrites: the index equals an
+    // in-DAG ranking over exactly what was built + appended
+    val corpus = docs.where($"doc_id" < 20 + extendsRun * 3)
+    val want = TextAnalysis.bm25TopDocs(corpus)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(TextAnalysis.bm25TopDocsWithIndex(spark, idx)
+      .as[(Long, Long, Long, Double)].collect().toSet == want,
+      "post-loop serve diverged from the in-DAG ranking")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx, "_DONE")))
+    // direct compaction of an index whose doclens is committed-but-empty
+    // must be a tolerated no-op on that table, not a crash after _DONE
+    // dropped (the empty-table allowance, pre-flight)
+    val emptyIdx = s"$root/empty"
+    for (t <- Seq("postings", "doclens", "fwd")) {
+      val tp = new org.apache.hadoop.fs.Path(emptyIdx, t)
+      fs.mkdirs(tp)
+      fs.create(new org.apache.hadoop.fs.Path(tp, "_SUCCESS"), true).close()
+    }
+    fs.create(new org.apache.hadoop.fs.Path(emptyIdx, "_DONE"), true).close()
+    TextAnalysis.compactBm25Index(spark, emptyIdx)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(emptyIdx, "_DONE")),
+      "compacting an empty index must recommit, not crash mid-pass")
+  }
+
   test("BM25 incremental: build+extend equals full rebuild and resumes a crash between them") {
     import graft.operators.TextAnalysis
     val dir = "/root/testdata/sf0.001"
