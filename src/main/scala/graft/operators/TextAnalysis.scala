@@ -1724,16 +1724,26 @@ object TextAnalysis {
     */
   /** The hybrid serve's flat↔probed crossover (r14, the r13 verdict's
     * item 4 — the count-gated auto discipline on the RAG serve): below
-    * it the exact flat semantic scan is both full-recall and cheap (the
-    * vector table is broadcast-scale); at or past it the flat scan is
-    * the serve's linear term (a 100 TB deployment reading the whole
-    * vector table per query) and the partition-pruned nprobe tier is
-    * the honest plan, with its fused-rank recall measured
-    * (`text_hybrid_probed_recall`, 0.83–0.93 across the curve). Same
-    * 4096 as the vector family's crossovers — the same cells-vs-flat
-    * geometry governs the semantic tier.
+    * it the exact flat semantic scan is both full-recall and the FASTER
+    * measured plan; at or past it the flat scan is the serve's linear
+    * term (a 100 TB deployment reading the whole vector table per
+    * query) and the partition-pruned nprobe tier is the honest plan,
+    * with its fused-rank recall measured (`text_hybrid_probed_recall`,
+    * 0.83–0.93 across the curve). POSITIONED BY MEASUREMENT, not
+    * borrowed from the vector family's 4096: the flat tier stays
+    * cheaper across the whole measured curve (back-to-back min-of-2:
+    * flat 2.22 vs probed 2.65 s at x1 = 2k vectors, 3.23 vs 3.42 s at
+    * x16 = 32k — the probed tier's fixed probe/pruning constants buy
+    * nothing until the flat scan's linear term outgrows them), and the
+    * flat-vs-probed delta closes ~0.24 s per 30k vectors: the wall
+    * inversion extrapolates to ≈55–65k vectors at the measured slope.
+    * 65536 keeps the default on the measured-fastest plan everywhere and
+    * still bounds the 100 TB deployment's footprint; the probed tier
+    * keeps its explicit always-on entry (`text_hybrid_serve_probed`)
+    * and its own hash gate, so both arms stay oracle-checked at every
+    * scale.
     */
-  val hybridProbeCrossover: Long = 4096
+  val hybridProbeCrossover: Long = 65536
 
   /** The DATA-DERIVED hybrid serve default: count(*) of the vector
     * corpus below [[hybridProbeCrossover]] serves the exact flat
