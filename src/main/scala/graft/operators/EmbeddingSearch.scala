@@ -3627,19 +3627,27 @@ object EmbeddingSearch {
 
   /** The measured MIPS brute↔IVF crossover (r14, the r13 verdict's top
     * item — the [[knnGraphCellsCrossover]] discipline on the MIPS
-    * family): below it the exact scan IS the right plan (N·|Q| dot
-    * products at broadcast-query shape beat quantizer training +
-    * probing on corpora this small, and recall is 1 by definition); at
-    * or past it the IP-ranked probed-cell serve bounds candidates at
+    * family): below it the exact scan IS the right plan on BOTH axes —
+    * recall 1 by definition, and the faster measured wall at every
+    * BENCH_SCALE point (brute 0.39/0.40/0.48 s at x1/x4/x16 vs the
+    * standing IVF serve's ~1.1 s of probe/pruning constants); at or
+    * past it the IP-ranked probed-cell serve bounds candidates at
     * nprobe·N/cells ≈ √N-ish per query while holding measured recall@5
-    * at 0.94+ across the whole BENCH_SCALE curve — where both ALSH
-    * band layouts collapse (sized 0.36→0.08, fixed 0.52→0.36) and the
-    * exact scan's per-query cost grows linearly forever. Same 4096 as
-    * the kNN-graph crossover: the regimes are governed by the same
-    * cells-vs-flat geometry and the measured curve points bracket it
-    * the same way (x1 = 2k exact-cheap, x4 = 8k IVF-dominant).
+    * at 0.94+ — where both ALSH band layouts collapse (sized
+    * 0.36→0.08, fixed 0.52→0.36) and the exact scan's per-query cost
+    * grows linearly forever. POSITIONED BY MEASUREMENT (the
+    * hybridProbeCrossover discipline, NOT the kNN-graph's 4096 — that
+    * crossover was set by a measured RECALL flip the MIPS family does
+    * not have, its brute arm being exact): the brute slope reads
+    * ≈3 µs/vector at the fixed query load, so the wall inversion
+    * against the IVF constants extrapolates to ≈250k vectors; 2^18
+    * keeps the default on the measured-best plan (both axes) at every
+    * curve point, which also makes the auto's gated recall EQUAL
+    * max(arms) everywhere — 1.0 while brute serves, the IVF arm's
+    * 0.94+ past the switch, with that arm hash- and recall-gated
+    * through its explicit entries at every scale.
     */
-  val mipsCellsCrossover: Long = 4096
+  val mipsCellsCrossover: Long = 262144
 
   /** The DATA-DERIVED MIPS default (r14): count(*) below
     * [[mipsCellsCrossover]] serves the exact inner-product scan
