@@ -3154,22 +3154,38 @@ object EmbeddingSearch {
   /** Retrain-if-stale — the staleness rule's auto-remedy (r14, the
     * ensureCompactedIvfIndex discipline applied to the quantizer): one
     * metadata-priced drift check ([[ivfIndexDrift]] through the
-    * commit-state row memo + a marker-file read), and a sized
+    * commit-state row memo + a marker-file read), and a
     * [[retrainIvfIndex]] IFF [[ivfIndexStale]] fires — the rule's own
     * threshold, so a fresh index costs a map lookup and nothing else.
-    * Safe to automate because the sized retrain is result-invariant on
-    * a corpus that has NOT actually outgrown its quantizer
-    * (deterministic Lloyd at the same derived k — spec-pinned) and
-    * because a DELIBERATELY fixed-k index never trips the rule's 2×
-    * yardstick by param choice alone. Like the compaction trigger, the
-    * rewrite drops `_DONE` for its duration — schedule in a quiesce
-    * window if concurrent serves cannot tolerate the loud failure.
+    * Safe to automate because the retrain is result-invariant on a
+    * corpus that has NOT actually outgrown its quantizer
+    * (deterministic Lloyd at the same derived k — spec-pinned).
+    * `nClusters = 0` retrains SIZED; a DELIBERATELY fixed-k
+    * params-in-name index (`..._c8i2_...`) STILL trips the rule's
+    * sized yardstick once the corpus quadruples, so such deployments
+    * MUST pass their original k here — the retrainIvfIndex
+    * name-must-not-lie contract, which an auto-remedy cannot infer
+    * from the path. Refuses an UNCOMMITTED index (no `_DONE`) and a
+    * crashed forget exactly like compact — blessing a crashed extend's
+    * partial table with a retrain would recommit an index silently
+    * missing part of a batch, defeating every downstream serve's
+    * guard. Like the compaction trigger, the rewrite drops `_DONE`
+    * for its duration — schedule in a quiesce window if concurrent
+    * serves cannot tolerate the loud failure.
     */
   def ensureFreshIvfIndex(spark: SparkSession, indexPath: String,
-      iters: Int = 2): Unit =
+      iters: Int = 2, nClusters: Int = 0): Unit = {
+    val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(done),
+      s"IVF index at $indexPath is uncommitted (no _DONE) — a crashed " +
+        "extend/compact cannot be blessed by a retrain (the rebuilt index " +
+        "would silently recommit a partial table); rebuild with buildIvfIndex")
+    Forget.requireNoCrashedForget(fs, indexPath)
     ivfIndexDrift(spark, indexPath).foreach { case (t, c) =>
-      if (ivfIndexStale(t, c)) retrainIvfIndex(spark, indexPath, iters)
+      if (ivfIndexStale(t, c)) retrainIvfIndex(spark, indexPath, iters, nClusters)
     }
+  }
 
   /** Rebuild the IVF index IN PLACE from its own vector table — the
     * staleness remedy. Vectors are checkpointed off the old table before
@@ -3298,6 +3314,16 @@ object EmbeddingSearch {
     * The current forget rewrite preserves the layout, so
     * extend-after-forget is legal.
     */
+  /** THE data-file predicate every index layout/commit/compaction guard
+    * shares (a regular file that is not a `_marker` or `.hidden`) —
+    * single-sourced (r14 review) so a future change to what counts as
+    * data cannot leave the extend guards, the compaction census, and
+    * the empty-table allowances silently disagreeing.
+    */
+  private[operators] def isDataFile(e: org.apache.hadoop.fs.FileStatus): Boolean =
+    e.isFile && !e.getPath.getName.startsWith("_") &&
+      !e.getPath.getName.startsWith(".")
+
   def extendIvfIndex(indexPath: String, newVecs: DataFrame,
       autoCompact: Boolean = true): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
@@ -3325,8 +3351,7 @@ object EmbeddingSearch {
     for ((t, pk) <- Seq("ivf" -> "cl=", "idmap" -> "ib=")) {
       val entries = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, t))
       val hasPartDirs = entries.exists(_.getPath.getName.startsWith(pk))
-      val hasDataFiles = entries.exists(e => e.isFile &&
-        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      val hasDataFiles = entries.exists(isDataFile)
       // wrong-key partition dirs are a mixed-layout hazard too and must
       // not slip through the empty-table allowance (extendBm25Index
       // guard discipline)
@@ -3472,8 +3497,7 @@ object EmbeddingSearch {
     val root = new org.apache.hadoop.fs.Path(indexPath, table)
     if (!fs.exists(root)) 0
     else fs.listStatus(root).filter(e => !e.isFile && e.getPath.getName.contains("="))
-      .map(d => fs.listStatus(d.getPath).count(e => e.isFile &&
-        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith(".")))
+      .map(d => fs.listStatus(d.getPath).count(isDataFile))
       .foldLeft(0)(math.max)
   }
 
@@ -3722,8 +3746,7 @@ object EmbeddingSearch {
     val partitioned = for ((t, pk) <- Seq("ivf" -> "cl", "idmap" -> "ib")) yield {
       val entries = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, t))
       val hasPartDirs = entries.exists(_.getPath.getName.startsWith(s"$pk="))
-      val hasDataFiles = entries.exists(e => e.isFile &&
-        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      val hasDataFiles = entries.exists(isDataFile)
       require(hasPartDirs || !hasDataFiles,
         s"IVF table '$t' at $indexPath is FLAT (pre-partitioned layout) — " +
           "rebuild with buildIvfIndex before compacting")

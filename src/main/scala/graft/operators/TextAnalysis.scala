@@ -1450,8 +1450,7 @@ object TextAnalysis {
     for ((t, pk) <- Seq("postings" -> "bucket=", "fwd" -> "db=")) {
       val entries = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, t))
       val hasPartDirs = entries.exists(_.getPath.getName.startsWith(pk))
-      val hasDataFiles = entries.exists(e => e.isFile &&
-        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      val hasDataFiles = entries.exists(graft.operators.EmbeddingSearch.isDataFile)
       // a table partitioned by the WRONG key (some other col=value dirs)
       // is just as much a mixed-layout hazard as a flat one — and it has
       // neither data files nor the right dirs, so it must be refused
@@ -1526,8 +1525,7 @@ object TextAnalysis {
     val partitioned = for ((t, pk) <- Seq("postings" -> "bucket", "fwd" -> "db")) yield {
       val entries = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath, t))
       val hasPartDirs = entries.exists(_.getPath.getName.startsWith(s"$pk="))
-      val hasDataFiles = entries.exists(e => e.isFile &&
-        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      val hasDataFiles = entries.exists(graft.operators.EmbeddingSearch.isDataFile)
       require(hasPartDirs || !hasDataFiles,
         s"BM25 table '$t' at $indexPath is FLAT (pre-partitioned layout) — " +
           "rebuild with buildBm25Index before compacting")
@@ -1540,8 +1538,7 @@ object TextAnalysis {
     // allowance, checked pre-flight like every other refusal)
     val doclensHasData = fs
       .listStatus(new org.apache.hadoop.fs.Path(indexPath, "doclens"))
-      .exists(e => e.isFile && !e.getPath.getName.startsWith("_") &&
-        !e.getPath.getName.startsWith("."))
+      .exists(graft.operators.EmbeddingSearch.isDataFile)
     fs.delete(done, false)
     def swap(t: String)(write: org.apache.hadoop.fs.Path => Unit): Unit = {
       val live = new org.apache.hadoop.fs.Path(indexPath, t)
@@ -1578,8 +1575,7 @@ object TextAnalysis {
     def flatFiles(t: String): Int = {
       val p = new org.apache.hadoop.fs.Path(indexPath, t)
       if (!fs.exists(p)) 0
-      else fs.listStatus(p).count(e => e.isFile &&
-        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      else fs.listStatus(p).count(graft.operators.EmbeddingSearch.isDataFile)
     }
     val worst = Seq(
       graft.operators.EmbeddingSearch.ivfMaxFilesPerDir(fs, indexPath, "postings"),
