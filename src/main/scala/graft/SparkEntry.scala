@@ -654,9 +654,10 @@ object SparkEntry {
     // hybrid retrieval served from ARTIFACTS ONLY: persisted postings
     // (lexical) + the persisted IVF index's vector table (semantic).
     // r14 (the r13 verdict's item 4): the DEFAULT is the count-gated
-    // auto branch — the exact flat semantic scan below the ~4k-vector
-    // crossover (full recall, broadcast-scale table), the
-    // partition-pruned nprobe=2 tier past it (its fused-rank recall
+    // auto branch — the exact flat semantic scan below the measured
+    // wall inversion (TextAnalysis.hybridProbeCrossover = 65536; full
+    // recall, broadcast-scale table), the partition-pruned nprobe=2
+    // tier past it (its fused-rank recall
     // measured at 0.83–0.93 by text_hybrid_probed_recall), so the
     // default never reads the vector table corpus-wide at scale. Oracle
     // = count-gated UNION ALL of the two replays; the probed tier keeps
@@ -973,8 +974,9 @@ object SparkEntry {
     // embedding models — unnormalized, so norm carries signal cosine drops).
     // DEFAULT = the count-gated auto branch (r14, the r13 verdict's top
     // item — the embed_knn_join discipline on the MIPS family): the exact
-    // scan below the measured ~4k-vector crossover (recall 1, cheapest
-    // plan at that scale), the STANDING IVF-IP serve at or past it
+    // scan below the measured wall inversion (EmbeddingSearch
+    // .mipsCellsCrossover = 2^18 — its own family constant, NOT the
+    // kNN-graph's 4096), the STANDING IVF-IP serve at or past it
     // (recall@5 0.94+ at every curve point where both ALSH band layouts
     // collapse to 0.36→0.08 / 0.52→0.36). Both arms keep explicit names
     // (embed_knn_mips_brute / embed_knn_mips_ivf) and the oracle replays
@@ -1874,7 +1876,9 @@ object SparkEntry {
     * tier in particular — runs over ZERO rows. Exactly one arm is
     * non-empty for any corpus; the union IS the selected tier's result.
     */
-  private val hybridServeAutoSql: String = {
+  // defs, not vals (r15): these re-read the family crossover so a
+  // test-scoped override (GRAFT_XOVER_*) flows into the dumped oracle
+  private def hybridServeAutoSql: String = {
     val xover = graft.operators.TextAnalysis.hybridProbeCrossover
     def gated(rel: String, gate: String) = s"(SELECT * FROM $rel WHERE $gate)"
     val below = s"(SELECT count(*) FROM embeddings) < $xover"
@@ -2779,7 +2783,7 @@ object SparkEntry {
     * arm is non-empty for any corpus, so the union IS the selected
     * method's result.
     */
-  private val mipsAutoSql: String = {
+  private def mipsAutoSql: String = {
     val xover = graft.operators.EmbeddingSearch.mipsCellsCrossover
     val below = s"(SELECT count(*) FROM embeddings) < $xover"
     val atOrAbove = s"(SELECT count(*) FROM embeddings) >= $xover"
@@ -2796,7 +2800,7 @@ object SparkEntry {
     * being computed and discarded; exactly one arm is non-empty for any
     * corpus, so the union IS the selected method's result.
     */
-  private val knnJoinAutoSql: String = {
+  private def knnJoinAutoSql: String = {
     val xover = graft.operators.EmbeddingSearch.knnGraphCellsCrossover
     val below = s"(SELECT count(*) FROM embeddings) < $xover"
     val atOrAbove = s"(SELECT count(*) FROM embeddings) >= $xover"

@@ -248,7 +248,7 @@ object Dedup {
     meta.write(paramsTag(numHashes, bands, k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     meta.close()
     Forget.clearStaleForgetState(fs, path, Seq("exact", "sets", "bands"))
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   /** The persisted index-parameter tag (also encodes the sets/ schema
@@ -441,7 +441,7 @@ object Dedup {
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(indexPath, "_FORGET_IDS"), false)
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   /** Partition columns of a committed parquet table, read off the
@@ -507,7 +507,7 @@ object Dedup {
           minhashFromHashes(col("hs31"), numHashes), bands, numHashes / bands)).as("band"))
         .write.mode("append").parquet(s"$indexPath/bands")
     } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   /** Incremental dedup — the single most common production ingest shape:

@@ -1332,7 +1332,17 @@ object EmbeddingSearch {
     * points, a power of two for legibility; the oracle gates on the same
     * count(*) threshold.
     */
-  val knnGraphCellsCrossover: Long = 4096
+  val KnnGraphCellsCrossoverDefault: Long = 4096
+
+  /** TEST-ONLY override of [[knnGraphCellsCrossover]] — the
+    * [[mipsCellsCrossoverOverride]] discipline (this family's boundary
+    * IS fixture-reachable, but the exact-boundary cases deserve the
+    * same pinning). `GRAFT_XOVER_KNNJOIN` for Verify runs. */
+  @volatile private[graft] var knnGraphCellsCrossoverOverride: Option[Long] =
+    sys.env.get("GRAFT_XOVER_KNNJOIN").map(_.toLong)
+
+  def knnGraphCellsCrossover: Long =
+    knnGraphCellsCrossoverOverride.getOrElse(KnnGraphCellsCrossoverDefault)
 
   /** The DATA-DERIVED kNN-graph default (the r12 verdict's top item):
     * below [[knnGraphCellsCrossover]] vectors serve the banded
@@ -1691,7 +1701,7 @@ object EmbeddingSearch {
     meta.write(s"v1p$nPlanes".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     meta.close()
     Forget.clearStaleForgetState(fs, path, Seq("vecs", "bands"))
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   /** Right-to-be-forgotten for the VECTOR index — embeddings of a
@@ -1740,7 +1750,7 @@ object EmbeddingSearch {
           explode(lshBandKeys(lshSignature(col("v"), nPlanes), 4, nPlanes / 4)).as("band"))
         .write.mode("append").parquet(s"$indexPath/bands")
     } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   private def requireVecIndexParams(fs: org.apache.hadoop.fs.FileSystem,
@@ -2272,7 +2282,7 @@ object EmbeddingSearch {
     if (!fs.exists(done)) {
       saveKmeansIndex(trainKmeansIndex(emb, nClusters, iters), s"$indexPath/coarse")
       savePqIndex(trainPqCodebooks(emb, m, sub, ksub, iters), s"$indexPath/pq")
-      fs.create(done, true).close()
+      Markers.commit(fs, done)
     }
     ivfPqServe(emb, loadKmeansIndex(spark, s"$indexPath/coarse"),
       loadPqIndex(spark, s"$indexPath/pq"), k, nQueries, nprobe, m, sub)
@@ -2505,10 +2515,22 @@ object EmbeddingSearch {
       metric: String, k: Int, nQueries: Int)(compute: => DataFrame): DataFrame = {
     val fp = java.lang.Long.toHexString(
       Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
-    val rows = exactTopKMemo.compute((dir, metric, k, nQueries), (_, prev) =>
-      if (prev != null && prev._1 == fp) prev
-      else (fp, compute.select(col("query_id"), col("vec_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))))._2
+    // the Spark job runs OUTSIDE the map lock (r15, ADVICE r14): a
+    // collect() inside ConcurrentHashMap.compute holds the bin lock for
+    // the job's duration — concurrent recall twins whose keys share a
+    // bin serialize, and a re-entrant access from inside the job's
+    // call path would deadlock. The value is deterministic, so the
+    // worst a lost race costs is one redundant exact pass; the put
+    // still swaps atomically under the fingerprint check.
+    val key = (dir, metric, k, nQueries)
+    val cached = exactTopKMemo.get(key)
+    val rows = if (cached != null && cached._1 == fp) cached._2
+      else {
+        val computed = compute.select(col("query_id"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        exactTopKMemo.put(key, (fp, computed))
+        computed
+      }
     import spark.implicits._
     spark.createDataset(rows.toIndexedSeq).toDF("query_id", "vec_id")
   }
@@ -3040,7 +3062,7 @@ object EmbeddingSearch {
     writeTrainRows(fs, path,
       embV.sparkSession.read.parquet(s"$path/ivf").count())
     Forget.clearStaleForgetState(fs, path, Seq("cent", "ivf", "idmap"))
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   private val TrainRowsMarker = "_TRAIN_ROWS"
@@ -3068,20 +3090,25 @@ object EmbeddingSearch {
     }
   }
 
-  /** The index's COMMIT-STATE key: the `_DONE` and `ivf/_SUCCESS`
-    * modification times. Every mutation that can change the stored
-    * table (build, extend, compact, forget, retrain) recreates at least
-    * one of the two markers, so a value memoized under this key is
-    * valid exactly while the index is unchanged — which is the whole
-    * life of a standing deployment between maintenance passes.
+  /** The index's COMMIT-STATE key: the `_DONE` marker's commit TOKEN
+    * (its contents — unique per commit, [[Markers.token]]; the mtime
+    * only for legacy empty markers) plus the `ivf/_SUCCESS` mtime as
+    * belt-and-braces. Every mutation that can change the stored table
+    * (build, extend, compact, forget, retrain) recreates `_DONE` with a
+    * fresh token, so a value memoized under this key is valid exactly
+    * while the index is unchanged — including on filesystems with
+    * coarse (1 s) timestamp granularity where two mutations can land in
+    * one mtime tick (r15, ADVICE r14).
     */
-  private def ivfCommitKey(fs: org.apache.hadoop.fs.FileSystem,
-      indexPath: String): (String, Long, Long) = {
+  private[graft] def ivfCommitKey(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): (String, String, Long) = {
     def mtime(name: String): Long = {
       val p = new org.apache.hadoop.fs.Path(indexPath, name)
       if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L
     }
-    (indexPath, mtime("_DONE"), mtime("ivf/_SUCCESS"))
+    (indexPath,
+      Markers.token(fs, new org.apache.hadoop.fs.Path(indexPath, "_DONE")),
+      mtime("ivf/_SUCCESS"))
   }
 
   /** Stored-row count of the index's vector table, memoized per commit
@@ -3096,15 +3123,21 @@ object EmbeddingSearch {
     * per index, never one per mutation.
     */
   private val ivfRowsMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, ((String, Long, Long), Long)]()
+    String, ((String, String, Long), Long)]()
 
   private[graft] def storedIvfRows(spark: SparkSession, indexPath: String): Long = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     val key = ivfCommitKey(fs, indexPath)
-    ivfRowsMemo.compute(indexPath, (_, prev) =>
-      if (prev != null && prev._1 == key) prev
-      else (key, spark.read.parquet(s"$indexPath/ivf").count()))._2
+    // count runs OUTSIDE the map lock (the memoizedExactPairs
+    // discipline) — a lost race costs one redundant metadata count
+    val cached = ivfRowsMemo.get(indexPath)
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val n = spark.read.parquet(s"$indexPath/ivf").count()
+      ivfRowsMemo.put(indexPath, (key, n))
+      n
+    }
   }
 
   /** Pushed-predicate match count over the stored vector table, memoized
@@ -3112,16 +3145,21 @@ object EmbeddingSearch {
     * the filtered serves' branch input (the [[storedIvfRows]] pattern,
     * per predicate). */
   private val ivfMatchesMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), ((String, Long, Long), Long)]()
+    (String, String), ((String, String, Long), Long)]()
 
   private[graft] def storedIvfMatches(spark: SparkSession, indexPath: String,
       pred: Column): Long = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     val key = ivfCommitKey(fs, indexPath)
-    ivfMatchesMemo.compute((indexPath, pred.toString), (_, prev) =>
-      if (prev != null && prev._1 == key) prev
-      else (key, spark.read.parquet(s"$indexPath/ivf").where(pred).count()))._2
+    val memoKey = (indexPath, pred.toString)
+    val cached = ivfMatchesMemo.get(memoKey)
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val n = spark.read.parquet(s"$indexPath/ivf").where(pred).count()
+      ivfMatchesMemo.put(memoKey, (key, n))
+      n
+    }
   }
 
   /** The sized-quantizer STALENESS RULE (r12 verdict item 4): an index
@@ -3457,7 +3495,7 @@ object EmbeddingSearch {
         .repartition(col("ib"))
         .write.mode("append").partitionBy("ib").parquet(s"$indexPath/idmap")
     } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
     // the staleness rule fires AFTER the append commits (the grown count
     // is what drifts) — extend stays legal, the warning names the remedy
     warnIfStale(newVecs.sparkSession, indexPath, "extend")
@@ -3671,7 +3709,22 @@ object EmbeddingSearch {
     * 0.94+ past the switch, with that arm hash- and recall-gated
     * through its explicit entries at every scale.
     */
-  val mipsCellsCrossover: Long = 262144
+  val MipsCellsCrossoverDefault: Long = 262144
+
+  /** TEST-ONLY override of [[mipsCellsCrossover]] (r15, ADVICE r14): the
+    * production boundary (2^18 vectors) sits far past every fixture, so
+    * without injection the auto's at-scale branch — and the oracle's
+    * gated-empty far arm — would ship untested. Settable in-process
+    * (specs pin both arms and the exact boundary) or via
+    * `GRAFT_XOVER_MIPS` (a local Verify run hash-gates BOTH arms through
+    * the real DuckDB oracle, whose SQL re-reads this value). Never set
+    * in production.
+    */
+  @volatile private[graft] var mipsCellsCrossoverOverride: Option[Long] =
+    sys.env.get("GRAFT_XOVER_MIPS").map(_.toLong)
+
+  def mipsCellsCrossover: Long =
+    mipsCellsCrossoverOverride.getOrElse(MipsCellsCrossoverDefault)
 
   /** The DATA-DERIVED MIPS default (r14): count(*) below
     * [[mipsCellsCrossover]] serves the exact inner-product scan
@@ -3769,7 +3822,7 @@ object EmbeddingSearch {
         require(fs.rename(staged, live), s"compaction swap of $t failed")
       } // a committed-but-empty table has nothing to compact
     }
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   /** INCREMENTAL kNN served from the PERSISTED extended index — the

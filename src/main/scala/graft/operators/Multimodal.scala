@@ -281,7 +281,7 @@ object Multimodal {
     fs.delete(done, false)
     fps.write.mode("overwrite").parquet(s"$path/$table")
     graft.operators.Forget.clearStaleForgetState(fs, path, Seq(table))
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   private[graft] def fpIndexExistsAt(path: String): Boolean = {
@@ -306,7 +306,7 @@ object Multimodal {
     graft.operators.Forget.requireNoCrashedForget(fs, indexPath)
     fs.delete(done, false)
     fps.write.mode("append").parquet(s"$indexPath/$table")
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   /** Incremental fingerprint dedup vs a PERSISTED index: batch and corpus

@@ -292,7 +292,7 @@ object TextAnalysis {
     val meta = fs.create(new org.apache.hadoop.fs.Path(path, "_PARAMS"), true)
     meta.write(s"blv1lt${lineTokens}df$minDf".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     meta.close()
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   /** Serve [[lineDedup]] from a persisted boilerplate index (param-checked). */
@@ -576,7 +576,7 @@ object TextAnalysis {
     val meta = fs.create(new org.apache.hadoop.fs.Path(path, "_PARAMS"), true)
     meta.write("lmv1bigram".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     meta.close()
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   /** Score documents against a persisted LM index ([[buildLmIndex]]). */
@@ -1381,7 +1381,7 @@ object TextAnalysis {
     fwdProjection(persisted)
       .write.mode("overwrite").partitionBy("db").parquet(s"$path/fwd")
     Forget.clearStaleForgetState(fs, path, Seq("postings", "doclens", "fwd"))
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   /** Doc-id-hash bucket count for the forward index's layout. */
@@ -1484,7 +1484,7 @@ object TextAnalysis {
       fwdProjection(batch)
         .write.mode("append").partitionBy("db").parquet(s"$indexPath/fwd")
     } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
     // AUTO-COMPACTION (r14, the IVF extend discipline applied to the
     // lexical artifact): each extend leaves one file set per touched
     // bucket=/db= dir plus a doclens sliver — past the threshold the
@@ -1560,7 +1560,7 @@ object TextAnalysis {
       spark.read.parquet(s"$indexPath/doclens")
         .coalesce(1).write.mode("overwrite").parquet(staged.toString)
     }
-    fs.create(done, true).close()
+    Markers.commit(fs, done)
   }
 
   /** Compact-if-fragmented — the idempotent policy form
@@ -1739,7 +1739,18 @@ object TextAnalysis {
     * and its own hash gate, so both arms stay oracle-checked at every
     * scale.
     */
-  val hybridProbeCrossover: Long = 65536
+  val HybridProbeCrossoverDefault: Long = 65536
+
+  /** TEST-ONLY override of [[hybridProbeCrossover]] (r15, ADVICE r14 —
+    * the mipsCellsCrossoverOverride discipline): lets specs and a local
+    * Verify run (`GRAFT_XOVER_HYBRID`) exercise the probed at-scale arm
+    * and the exact boundary against the real count-gated oracle, which
+    * re-reads this value. Never set in production. */
+  @volatile private[graft] var hybridProbeCrossoverOverride: Option[Long] =
+    sys.env.get("GRAFT_XOVER_HYBRID").map(_.toLong)
+
+  def hybridProbeCrossover: Long =
+    hybridProbeCrossoverOverride.getOrElse(HybridProbeCrossoverDefault)
 
   /** The DATA-DERIVED hybrid serve default: count(*) of the vector
     * corpus below [[hybridProbeCrossover]] serves the exact flat
@@ -2041,22 +2052,30 @@ object TextAnalysis {
     // reads (the two INDEX commit states — an index extended at the
     // same path without touching the source parquet must invalidate,
     // or the recall would silently measure pre-extend ground truth)
-    def doneMtime(p: String): Long = {
+    def doneToken(p: String): String = {
       val done = new org.apache.hadoop.fs.Path(p, "_DONE")
       val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
-      if (fs.exists(done)) fs.getFileStatus(done).getModificationTime else -1L
+      graft.operators.Markers.token(fs, done)
     }
     val fp = java.lang.Long.toHexString(
         Tables.datasetFingerprint(s"$dir/documents.parquet")) + "_" +
       java.lang.Long.toHexString(
         Tables.datasetFingerprint(s"$dir/embeddings.parquet")) + "_" +
-      doneMtime(bm25IndexPath) + "_" + doneMtime(ivfIndexPath)
-    val exactRows = hybridExactMemo.compute(
-      (dir, bm25IndexPath, ivfIndexPath, nQueries), (_, prev) =>
-        if (prev != null && prev._1 == fp) prev
-        else (fp, hybridServeBatch(queries, bm25IndexPath, ivfIndexPath)
+      doneToken(bm25IndexPath) + "_" + doneToken(ivfIndexPath)
+    // the exact pass runs OUTSIDE the map lock (r15, ADVICE r14 — the
+    // memoizedExactPairs discipline): a collect() inside compute() holds
+    // the bin lock for the whole Spark job; a lost race here costs one
+    // redundant deterministic pass, never a wrong value
+    val memoKey = (dir, bm25IndexPath, ivfIndexPath, nQueries)
+    val cachedExact = hybridExactMemo.get(memoKey)
+    val exactRows = if (cachedExact != null && cachedExact._1 == fp) cachedExact._2
+      else {
+        val computed = hybridServeBatch(queries, bm25IndexPath, ivfIndexPath)
           .select(col("query_id").cast("long"), col("doc_id").cast("long"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))))._2
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        hybridExactMemo.put(memoKey, (fp, computed))
+        computed
+      }
     import spark.implicits._
     val exact = spark.createDataset(exactRows.toIndexedSeq)
       .toDF("query_id", "doc_id")

@@ -168,31 +168,43 @@ object Tables {
     * `_SUCCESS` marker (which the wholetext reader ignores, like any
     * underscore-prefixed file).
     */
-  /** Fingerprint of a parquet table's files (names, sizes, mtimes) — keys
-    * exported fixture dirs so REGENERATED source data can never be served
-    * from a stale export.
+  /** Fingerprint of a parquet table's files (sorted names + sizes) — keys
+    * exported fixture dirs and the in-memory ground-truth memos so
+    * REGENERATED source data can never be served from a stale export.
     *
-    * LOCAL-FS SCOPE (by design, like the tmpdir artifact store it keys):
-    * the walk is java.io.File, so a remote path (hdfs://, s3a://) folds
-    * to a constant and a regenerated remote dataset would NOT invalidate
-    * a fingerprint-keyed cache. The whole fingerprinted-artifact layer
-    * (tmpdir index dirs, the in-memory ground-truth memos) shares this
-    * scope — a cluster deployment keys its artifacts off cluster-FS
-    * paths + the index `_DONE` commit state instead (the
-    * storedIvfRows/ivfCommitKey discipline, which IS Hadoop-FS-clean).
+    * CLUSTER-FS-SAFE (r15, the r14 verdict's item 4): the walk runs
+    * through the Hadoop FileSystem API under the session conf, so a
+    * remote path (hdfs://, s3a://) lists its real files instead of
+    * folding to a constant — a regenerated remote dataset invalidates
+    * its caches like a local one. Modification times are deliberately
+    * EXCLUDED from the fold: a tree copied or rsync'd to another
+    * filesystem (or restored from backup) keeps byte-identical files
+    * with fresh mtimes, and an mtime-keyed fingerprint would discard
+    * every memo and artifact on such a move — the shared-deployment
+    * failure mode this rework removes. Names + sizes still catch any
+    * real regeneration: compressed parquet written from different data
+    * lands at a different byte length (and usually different part-file
+    * names) with near-certainty. MUTABLE-in-place artifacts don't rely
+    * on this at all — index dirs key off the `_DONE` commit TOKEN
+    * ([[graft.operators.Markers]]), which changes on every commit by
+    * construction.
     */
   def datasetFingerprint(path: String): Long = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) {
-        // listFiles returns null (not empty) on an IO/permission error — a
-        // silent NPE here would read as a source bug, not a filesystem one
-        val kids = f.listFiles()
-        if (kids == null) throw new java.io.IOException(
-          s"datasetFingerprint: cannot list directory $f (IO or permission error)")
-        kids.toSeq.sortBy(_.getName).flatMap(walk)
-      } else Seq(f)
-    walk(new java.io.File(path)).foldLeft(17L) { (acc, f) =>
-      ((acc * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(
+      org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    // a missing path folds to the name-only seed (the pre-r15 java.io
+    // behavior): callers fingerprint not-yet-exported dirs during
+    // existence checks, so throwing here would break the probe-then-build
+    // pattern
+    if (!fs.exists(root))
+      return 17L * 31 + root.getName.hashCode
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.sortBy(_.getPath.getName).flatMap(walk)
+      else Seq(st)
+    walk(fs.getFileStatus(root)).foldLeft(17L) { (acc, st) =>
+      (acc * 31 + st.getPath.getName.hashCode) * 31 + st.getLen
     }
   }
 

@@ -95,9 +95,9 @@ object ScaleBench {
     // grow linearly with the corpus, the cliff the sized default removes
     // (renamed `_fixed` in r13 when the occupancy-sized banding became
     // the `embed_knn_mips_alsh` default)
-    // r14: embed_knn_mips is the count-gated AUTO (brute below ~4k,
-    // standing IVF-IP past it); the exact scan keeps its own linear-
-    // control row under the explicit name
+    // r14: embed_knn_mips is the count-gated AUTO (brute below
+    // mipsCellsCrossover = 2^18, standing IVF-IP at or past it); the
+    // exact scan keeps its own linear-control row under the explicit name
     "embed_knn_mips", "embed_knn_mips_brute", "embed_knn_mips_alsh_fixed",
     // trained quality classifier: iters chained (scan + dims+1-key
     // map-combined shuffle) rounds — distributed full-batch GD's measured
