@@ -3162,6 +3162,142 @@ object EmbeddingSearch {
     }
   }
 
+  // ---- the standing serve's per-call constants (r15, the r14 verdict's
+  // item 2): r14 bought the scale-dominant plan by spending fixed
+  // per-call costs — a quantizer parquet read, a probed-cell
+  // pre-collection JOB, a query-batch scan — on every serve. All three
+  // are metadata-scale values (k quantizer rows, nQueries batch rows,
+  // ≤ k probed ids), so they memoize under the same commit-state /
+  // fingerprint keys as the row counts, and the probe-cell RANKING
+  // itself runs driver-side over the cached arrays with the
+  // spec-pinned bit-identical scalar kernels ([[dotSeq]], [[round6]])
+  // — leaving exactly ONE Spark job per standing serve: the pruned
+  // read of the probed cl= dirs. ------------------------------------
+
+  /** Quantizer rows (cl, cv) collected once per index commit state —
+    * k rows, the same bound the probed-id collection already accepted
+    * driver-side. Sorted by cl so the rehydrated LocalRelation is
+    * deterministic. */
+  private val centRowsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, ((String, String, Long), Array[(Int, Array[Double])])]()
+
+  private[graft] def cachedCentRows(spark: SparkSession,
+      indexPath: String): Array[(Int, Array[Double])] = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    val key = ivfCommitKey(fs, indexPath)
+    val cached = centRowsMemo.get(indexPath)
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val rows = spark.read.parquet(s"$indexPath/cent")
+        .select(col("cl").cast("int"), col("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      centRowsMemo.put(indexPath, (key, rows))
+      rows
+    }
+  }
+
+  /** The cached quantizer as a LocalRelation frame — same (cl, cv)
+    * values as [[loadKmeansIndex]] of `indexPath/cent` (parquet
+    * roundtrips doubles bit-exactly, the collect changes nothing), so
+    * every kernel consuming it is row-identical; only the per-call
+    * parquet listing/read disappears. */
+  private def cachedCentDf(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    cachedCentRows(spark, indexPath).toSeq.toDF("cl", "cv")
+  }
+
+  /** Radii rows (cl, mincos) collected once per index commit state —
+    * the sound range serve's k-row floor table. */
+  private val radiiRowsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, ((String, String, Long), Array[(Int, Double)])]()
+
+  private[graft] def cachedRadiiRows(spark: SparkSession,
+      indexPath: String): Array[(Int, Double)] = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    val key = ivfCommitKey(fs, indexPath)
+    val cached = radiiRowsMemo.get(indexPath)
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val rows = spark.read.parquet(s"$indexPath/radii")
+        .select(col("cl").cast("int"), col("mincos").cast("double"))
+        .collect()
+        .map(r => (r.getInt(0), r.getDouble(1)))
+        .sortBy(_._1)
+      radiiRowsMemo.put(indexPath, (key, rows))
+      rows
+    }
+  }
+
+  /** The standing query batch's rows, collected once per dataset
+    * fingerprint — nQueries (vec_id, embedding) rows. The serves that
+    * previously scanned the source parquet (pushed vec_id filter, but
+    * still a listing + a job) rehydrate a LocalRelation instead. */
+  private val batchRowsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (Long, Array[(Long, Array[Float])])]()
+
+  private def standingBatchRows(spark: SparkSession, dir: String,
+      nQueries: Int): Array[(Long, Array[Float])] = {
+    val fp = Tables.datasetFingerprint(s"$dir/embeddings.parquet")
+    val key = (dir, nQueries)
+    val cached = batchRowsMemo.get(key)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      val rows = standingQueryBatch(spark, dir, nQueries)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      batchRowsMemo.put(key, (fp, rows))
+      rows
+    }
+  }
+
+  /** The cached batch as the kernels' (vec_id, embedding) input frame
+    * plus its (query_id, qv) double form for driver-side probe
+    * selection — the float→double element cast is the same widening
+    * conversion Spark's cast runs, so the driver copy is bit-identical
+    * to the in-plan `toDouble`. */
+  private def standingBatchWithLocal(spark: SparkSession, dir: String,
+      nQueries: Int): (DataFrame, Array[(Long, Array[Double])]) = {
+    import spark.implicits._
+    val rows = standingBatchRows(spark, dir, nQueries)
+    (rows.toSeq.toDF("vec_id", "embedding"),
+      rows.map { case (id, v) => (id, v.map(_.toDouble)) })
+  }
+
+  /** [[cosine]]'s scalar twin on plain arrays — the same fold
+    * ([[dotSeq]] ≡ the DotProduct expression), the same norms-then-
+    * divide order, the same zero-vector guard, so driver-side probe
+    * ranking can never diverge from the in-plan window's scores. */
+  private def cosineSeq(a: Array[Double], b: Array[Double]): Double = {
+    val d = dotSeq(a, b)
+    val na = math.sqrt(dotSeq(a, a))
+    val nb = math.sqrt(dotSeq(b, b))
+    if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
+  }
+
+  /** Driver-side probed-cell selection over the CACHED arrays — ONE
+    * copy of the rank-by-score rule (round6(score) desc, cl asc,
+    * rn ≤ np) shared with [[probedCellIds]], evaluated with the
+    * spec-pinned scalar kernels instead of a Spark job. nQueries × k
+    * scores — trivial at any corpus size (k ≈ √N quantizer rows is the
+    * bound the collected-ids design already accepted). */
+  private def probedCellIdsLocal(qRows: Array[(Long, Array[Double])],
+      centRows: Array[(Int, Array[Double])], np: Int,
+      score: (Array[Double], Array[Double]) => Double): Array[Int] = {
+    val ord: Ordering[(Double, Int)] =
+      Ordering.Tuple2(Ordering[Double].reverse, Ordering[Int])
+    qRows.flatMap { case (_, qv) =>
+      centRows.map { case (cl, cv) => (round6(score(qv, cv)), cl) }
+        .sortBy(identity)(ord)
+        .take(np).map(_._2)
+    }.distinct
+  }
+
   /** The sized-quantizer STALENESS RULE (r12 verdict item 4): an index
     * grown by [[extendIvfIndex]] keeps its training-time cell count while
     * N drifts, silently degrading the probed fraction back toward the
@@ -3570,9 +3706,9 @@ object EmbeddingSearch {
   def filteredIndexServe(spark: SparkSession, dir: String, indexPath: String,
       k: Int = 5, nQueries: Int = 10, labelEq: Int = 3): DataFrame = {
     ensureStandingIvfIndex(spark, dir, indexPath)
-    filteredKnnBatchAgainstIvfIndex(
-      standingQueryBatch(spark, dir, nQueries),
-      indexPath, col("label") === labelEq, k)
+    val (batch, qRows) = standingBatchWithLocal(spark, dir, nQueries)
+    filteredKnnBatchAgainstIvfIndex(batch,
+      indexPath, col("label") === labelEq, k, localQ = Some(qRows))
   }
 
   /** Build-if-missing of THE standing vector-store artifact (r14, the
@@ -3628,8 +3764,8 @@ object EmbeddingSearch {
       indexPath: String, k: Int = 5, nQueries: Int = 10,
       nprobe: Int = 2): DataFrame = {
     ensureStandingIvfIndex(spark, dir, indexPath)
-    knnBatchAgainstIvfIndex(standingQueryBatch(spark, dir, nQueries),
-      indexPath, k, nprobe)
+    val (batch, qRows) = standingBatchWithLocal(spark, dir, nQueries)
+    knnBatchAgainstIvfIndex(batch, indexPath, k, nprobe, localQ = Some(qRows))
   }
 
   /** Recall twin of the standing sized-kNN default — measures exactly
@@ -3660,16 +3796,21 @@ object EmbeddingSearch {
   def rangeStandingServe(spark: SparkSession, dir: String,
       indexPath: String, tau: Double = 0.3, nQueries: Int = 10): DataFrame = {
     ensureStandingIvfIndex(spark, dir, indexPath)
-    rangeBatchAgainstIvfIndex(standingQueryBatch(spark, dir, nQueries),
-      indexPath, tau)
+    val (batch, qRows) = standingBatchWithLocal(spark, dir, nQueries)
+    rangeBatchAgainstIvfIndex(batch, indexPath, tau, localQ = Some(qRows))
   }
 
   /** Completeness invariant of the standing range default (reads 1.0
     * everywhere — the [[rangePrunedRecallPersisted]] gate moved onto
-    * the registered standing plan). */
+    * the registered standing plan). The exact τ-set ground truth is
+    * memoized per dataset fingerprint (r15 — the [[memoizedExactPairs]]
+    * discipline on the range family: the exact arm's brute τ-scan was
+    * the one non-memoized ground-truth pass left in the recall
+    * harness); rows are bit-identical, only the repeat cost moves. */
   def rangeStandingRecall(spark: SparkSession, dir: String,
       indexPath: String, tau: Double = 0.3, nQueries: Int = 10): DataFrame =
-    recallOf(rangeSearch(spark, dir, tau, nQueries),
+    recallOf(memoizedExactPairs(spark, dir, s"range_tau$tau", 0, nQueries)(
+      rangeSearch(spark, dir, tau, nQueries)),
       rangeStandingServe(spark, dir, indexPath, tau, nQueries))
 
   /** The MIPS IVF serve from the STANDING index's stored cell files
@@ -3683,8 +3824,8 @@ object EmbeddingSearch {
   def mipsStandingServe(spark: SparkSession, dir: String,
       indexPath: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
     ensureStandingIvfIndex(spark, dir, indexPath)
-    mipsBatchAgainstIvfIndex(standingQueryBatch(spark, dir, nQueries),
-      indexPath, k)
+    val (batch, qRows) = standingBatchWithLocal(spark, dir, nQueries)
+    mipsBatchAgainstIvfIndex(batch, indexPath, k, localQ = Some(qRows))
   }
 
   /** The measured MIPS brute↔IVF crossover (r14, the r13 verdict's top
@@ -3916,17 +4057,26 @@ object EmbeddingSearch {
     * probed cells. Output: (query_id, vec_id, cosine, rank ≤ k).
     */
   def knnBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
-      k: Int = 3, nprobe: Int = 2): DataFrame = {
+      k: Int = 3, nprobe: Int = 2,
+      localQ: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     val spark = batch.sparkSession
     // the streaming tier is the LONGEST-lived serve against this index —
     // exactly the reader that drifts when other sessions keep extending
     // it; one metadata count per micro-batch keeps the staleness rule
     // audible here too
     warnIfStale(spark, indexPath, "stream-serve")
-    val cent = loadKmeansIndex(spark, s"$indexPath/cent")
+    val cent = cachedCentDf(spark, indexPath)
     val q = batch.select(col("vec_id").cast("long").as("query_id"),
       toDouble(col("embedding")).as("qv"))
-    val cells = probedCellIds(q, cent, nprobe, cosine)
+    // `localQ` (the standing serves' cached batch) selects probed cells
+    // driver-side with the bit-identical scalar kernels — no
+    // pre-collection job; an arbitrary batch (streaming tier) keeps the
+    // in-plan collection
+    val cells = localQ match {
+      case Some(qRows) => probedCellIdsLocal(qRows, cachedCentRows(spark, indexPath),
+        nprobe, cosineSeq)
+      case None => probedCellIds(q, cent, nprobe, cosine)
+    }
     val inverted = spark.read.parquet(s"$indexPath/ivf")
       .where(col("cl").isin(cells.map(Integer.valueOf): _*))
     knnOverInverted(inverted, q, cent, k, nprobe)
@@ -3980,9 +4130,10 @@ object EmbeddingSearch {
     * Output: (query_id, vec_id, cosine, rank ≤ k).
     */
   def filteredKnnBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
-      pred: Column, k: Int = 5, matches: Long = -1L): DataFrame =
+      pred: Column, k: Int = 5, matches: Long = -1L,
+      localQ: Option[Array[(Long, Array[Double])]] = None): DataFrame =
     filteredBatchAgainstIvfIndex(batch, indexPath, pred, k, matches,
-      "filtered-serve", cosine, "cosine", knnOverInverted)
+      "filtered-serve", cosine, "cosine", knnOverInverted, cosineSeq, localQ)
 
   /** The ONE filtered standing-serve kernel both score families run —
     * branch computation, zero-match refusal, brute arm, and probed arm
@@ -3994,7 +4145,9 @@ object EmbeddingSearch {
   private def filteredBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
       pred: Column, k: Int, matches: Long, surface: String,
       score: (Column, Column) => Column, scoreCol: String,
-      serve: (DataFrame, DataFrame, DataFrame, Int, Int) => DataFrame): DataFrame = {
+      serve: (DataFrame, DataFrame, DataFrame, Int, Int) => DataFrame,
+      scoreSeq: (Array[Double], Array[Double]) => Double,
+      localQ: Option[Array[(Long, Array[Double])]]): DataFrame = {
     val spark = batch.sparkSession
     warnIfStale(spark, indexPath, surface)
     val ivf = spark.read.parquet(s"$indexPath/ivf")
@@ -4002,8 +4155,9 @@ object EmbeddingSearch {
     require(m > 0, s"filter '$pred' matches no indexed vectors")
     val q = batch.select(col("vec_id").cast("long").as("query_id"),
       toDouble(col("embedding")).as("qv"))
-    val cent = loadKmeansIndex(spark, s"$indexPath/cent")
-    val cells = cent.count().toInt
+    val centRows = cachedCentRows(spark, indexPath)
+    val cent = cachedCentDf(spark, indexPath)
+    val cells = centRows.length
     // the unclamped widened width from the index's ACTUAL trained cell
     // count ([[npRawFor]] — equal to filteredNpRaw for a sized build)
     val raw = npRawFor(cells, m)
@@ -4018,7 +4172,10 @@ object EmbeddingSearch {
         .where(col("rank") <= k)
     } else {
       val np = cellsNprobeFor(m, cells)
-      val probedCells = probedCellIds(q, cent, np, score)
+      val probedCells = localQ match {
+        case Some(qRows) => probedCellIdsLocal(qRows, centRows, np, scoreSeq)
+        case None => probedCellIds(q, cent, np, score)
+      }
       val inverted = ivf
         .where(col("cl").isin(probedCells.map(Integer.valueOf): _*))
         .where(pred)
@@ -4038,9 +4195,10 @@ object EmbeddingSearch {
     * Output: (query_id, vec_id, ip, rank ≤ k).
     */
   def filteredMipsBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
-      pred: Column, k: Int = 5, matches: Long = -1L): DataFrame =
+      pred: Column, k: Int = 5, matches: Long = -1L,
+      localQ: Option[Array[(Long, Array[Double])]] = None): DataFrame =
     filteredBatchAgainstIvfIndex(batch, indexPath, pred, k, matches,
-      "filtered-mips-serve", dot, "ip", mipsServe)
+      "filtered-mips-serve", dot, "ip", mipsServe, dotSeq, localQ)
 
   /** The REGISTERED standing filtered-MIPS serve (r14): build-once
     * payload index, then the count-gated filtered IP top-k from the
@@ -4049,8 +4207,9 @@ object EmbeddingSearch {
       indexPath: String, k: Int = 5, nQueries: Int = 10,
       labelEq: Int = 3): DataFrame = {
     ensureStandingIvfIndex(spark, dir, indexPath)
-    filteredMipsBatchAgainstIvfIndex(standingQueryBatch(spark, dir, nQueries),
-      indexPath, col("label") === labelEq, k)
+    val (batch, qRows) = standingBatchWithLocal(spark, dir, nQueries)
+    filteredMipsBatchAgainstIvfIndex(batch,
+      indexPath, col("label") === labelEq, k, localQ = Some(qRows))
   }
 
   /** Recall twin of the standing filtered-MIPS default — measures the
@@ -4079,16 +4238,23 @@ object EmbeddingSearch {
     * rank ≤ k).
     */
   def mipsBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
-      k: Int = 5, nprobe: Int = 0): DataFrame = {
+      k: Int = 5, nprobe: Int = 0,
+      localQ: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     val spark = batch.sparkSession
     warnIfStale(spark, indexPath, "mips-serve")
-    val cent = loadKmeansIndex(spark, s"$indexPath/cent")
-    val cells = cent.count().toInt
+    val centRows = cachedCentRows(spark, indexPath)
+    val cent = cachedCentDf(spark, indexPath)
+    // cell count from the cached quantizer — the per-call cent.count()
+    // job this replaces was the k-row table's second read per serve
+    val cells = centRows.length
     val np = if (nprobe > 0) nprobe
       else cellsNprobeFor(storedIvfRows(spark, indexPath), cells)
     val q = batch.select(col("vec_id").cast("long").as("query_id"),
       toDouble(col("embedding")).as("qv"))
-    val probed = probedCellIds(q, cent, np, dot)
+    val probed = localQ match {
+      case Some(qRows) => probedCellIdsLocal(qRows, centRows, np, dotSeq)
+      case None => probedCellIds(q, cent, np, dot)
+    }
     val inverted = spark.read.parquet(s"$indexPath/ivf")
       .where(col("cl").isin(probed.map(Integer.valueOf): _*))
     mipsServe(inverted, q, cent, k, np)
@@ -4112,7 +4278,8 @@ object EmbeddingSearch {
     * pre-idmap discipline). Output: (query_id, vec_id, cosine ≥ τ).
     */
   def rangeBatchAgainstIvfIndex(batch: DataFrame, indexPath: String,
-      tau: Double = 0.3, pred: Column = lit(true)): DataFrame = {
+      tau: Double = 0.3, pred: Column = lit(true),
+      localQ: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     val spark = batch.sparkSession
     warnIfStale(spark, indexPath, "range-serve")
     val marker = new org.apache.hadoop.fs.Path(indexPath, "radii/_SUCCESS")
@@ -4138,21 +4305,42 @@ object EmbeddingSearch {
     require(fs.exists(marker),
       s"IVF index at $indexPath has no radii table (pre-radii layout) — " +
         "rebuild with buildIvfIndex to serve sound range search")
-    val cent = loadKmeansIndex(spark, s"$indexPath/cent")
-    val radii = spark.read.parquet(s"$indexPath/radii")
-    val q = batch.select(col("vec_id").cast("long").as("query_id"),
-      toDouble(col("embedding")).as("qv"))
-    val clamp1 = (c: Column) => least(greatest(c, lit(-1.0)), lit(1.0))
     val thetaTau = math.acos(tau)
     val eps = 0.01 // rad; covers 6dp cosine rounding through acos' steep edge
     // cells with no stored members have no radii row (inner join) and are
     // correctly never probed — nothing there to miss; an extend that
-    // populates one adds its row in the same commit as its vectors
-    val probes = q.crossJoin(broadcast(cent.join(radii, Seq("cl"))))
-      .where(acos(clamp1(round(cosine(col("qv"), col("cv")), 6)))
-        <= lit(thetaTau) + acos(clamp1(col("mincos"))) + lit(eps))
-      .select(col("query_id"), col("qv"), col("cl"))
-    val probedIds = probes.select(col("cl")).distinct().collect().map(_.getInt(0))
+    // populates one adds its row in the same commit as its vectors.
+    // `localQ` (the standing serve's cached batch) evaluates the whole
+    // triangle bound DRIVER-side over the cached quantizer + radii
+    // arrays — same round6/acos/clamp arithmetic (java.lang.Math, the
+    // expressions' own evaluators), so the probe SET is identical and
+    // the serve needs no pre-collection job; an arbitrary batch keeps
+    // the in-plan form.
+    val (probes, probedIds): (DataFrame, Array[Int]) = localQ match {
+      case Some(qRows) =>
+        import spark.implicits._
+        val radiiMap = cachedRadiiRows(spark, indexPath).toMap
+        def clamp1s(c: Double): Double = math.min(1.0, math.max(-1.0, c))
+        val pairs = for {
+          (qid, qv) <- qRows.toSeq
+          (cl, cv) <- cachedCentRows(spark, indexPath)
+          mincos <- radiiMap.get(cl)
+          if math.acos(clamp1s(round6(cosineSeq(qv, cv)))) <=
+            thetaTau + math.acos(clamp1s(mincos)) + eps
+        } yield (qid, qv.toSeq, cl)
+        (pairs.toDF("query_id", "qv", "cl"), pairs.map(_._3).distinct.toArray)
+      case None =>
+        val cent = loadKmeansIndex(spark, s"$indexPath/cent")
+        val radii = spark.read.parquet(s"$indexPath/radii")
+        val q = batch.select(col("vec_id").cast("long").as("query_id"),
+          toDouble(col("embedding")).as("qv"))
+        val clamp1 = (c: Column) => least(greatest(c, lit(-1.0)), lit(1.0))
+        val p = q.crossJoin(broadcast(cent.join(radii, Seq("cl"))))
+          .where(acos(clamp1(round(cosine(col("qv"), col("cv")), 6)))
+            <= lit(thetaTau) + acos(clamp1(col("mincos"))) + lit(eps))
+          .select(col("query_id"), col("qv"), col("cl"))
+        (p, p.select(col("cl")).distinct().collect().map(_.getInt(0)))
+    }
     spark.read.parquet(s"$indexPath/ivf")
       .where(col("cl").isin(probedIds.map(Integer.valueOf): _*))
       .where(pred)

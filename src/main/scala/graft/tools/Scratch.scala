@@ -20,6 +20,24 @@ object Scratch {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "standingwall") {
+      // r15 (the r14 verdict's item 2): per-entry wall of the standing
+      // serves whose r14 fixed constants (probe-cell pre-collection job,
+      // quantizer load, batch scan) regressed them vs the r13 per-call
+      // walls — measured cold (pass 1 pays the one-time index build +
+      // memo fills) and warm (the standing deployment's steady state).
+      val idx = graft.SparkEntry.standingIvfIndexDirFor(sfDir)
+      val entries = Seq("embed_knn_kmeans_sized", "embed_range_search",
+        "embed_range_recall", "embed_knn_mips_ivf", "embed_knn_mips_alsh",
+        "embed_knn_filtered", "embed_knn_mips_filtered")
+      graft.operators.EmbeddingSearch.ensureStandingIvfIndex(spark, sfDir, idx)
+      for (pass <- 1 to 3; name <- entries) {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"[standingwall] pass=$pass $name wall=${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "knnprobe") {
       // hypothesis probe for the embed_knn_join x16 slope: does the wall
       // time track the autoBroadcastJoinThreshold (vector-fetch joins
