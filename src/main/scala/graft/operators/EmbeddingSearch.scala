@@ -1394,6 +1394,93 @@ object EmbeddingSearch {
       graph: DataFrame, k: Int = 3, nProbes: Int = 100): DataFrame =
     graphRecallVsBrute(spark, dir, graph, k, nProbes)
 
+  /** GRAPH-NAVIGATED query serving (r15, the r14 verdict's item 3 — the
+    * measured `graphserve` frontier probe promoted to a registered
+    * surface): greedy beam search over the navigable kNN graph,
+    * flattened to Spark rounds — per round, ONE edge join grows each
+    * query's frontier through its current beam's out-edges, an exact
+    * re-rank keeps the best `beam` per query, and the loop repeats
+    * `rounds` times from a deterministic affine-hash-sampled entry set.
+    * This is HNSW's serve idea under batch semantics: each hop is a
+    * shuffle round over |Q|·beam·kBuild candidate rows — NEVER the
+    * corpus — so serve cost is independent of N once the graph exists.
+    *
+    * THE LAST-RECALL-POINTS OPT-IN, priced by measurement (SCALING.md
+    * r14 frontier): at x16 the 6-hop·beam-32 walk is the only measured
+    * route to recall 1.000 (3.05 s) while the standing IVF serve reads
+    * 0.96 at ~1.1 s — the DEFAULT stays IVF; reach for this entry when
+    * the last recall points are worth ~3× the serve wall. The graph is
+    * the cells graph at out-degree `kBuild` from the SHARED persisted
+    * sized quantizer ([[knnJoinCellsPersisted]] — train-once, the
+    * embed_knn_join artifact); at 100 TB the graph is a standing batch
+    * artifact exactly like the IVF index (HNSW pays its build once
+    * too), and each serve round is beam-bounded.
+    *
+    * Fully deterministic (affine-hash entries, round6 scores, vec_id
+    * tie-breaks, fixed rounds), so the DuckDB oracle replays the exact
+    * walk — quantizer training, graph build, entry sampling, and every
+    * beam round — and the hash gate pins the whole composition.
+    * Output: (query_id, vec_id, cosine, rank ≤ k).
+    */
+  def knnGraphServe(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10, kBuild: Int = 10, beam: Int = 32,
+      rounds: Int = 6, entries: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = emb.count()
+    val graph = knnJoinCellsPersisted(spark, dir, indexPath, kBuild)
+      .select(col("vec_id"), col("nbr_id"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // deterministic entry points: `entries` affine-hash-sampled vertices
+    // (the replicaTag discipline — a fixed LCG step, replayed verbatim
+    // in the oracle)
+    val entry = emb.where(
+      (col("vec_id") * 1103515245L + 12345L) % 2147483647L % n < entries.toLong)
+    val wBeam = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    def ranked(cand: DataFrame, keep: Int): DataFrame =
+      cand.withColumn("rn", row_number().over(wBeam))
+        .where(col("rn") <= keep).drop("rn")
+    // each round's frontier is localCheckpointed (eager): the plan would
+    // otherwise nest `rounds` joins deep, and the blocks are |Q|·beam
+    // rows. The replaced round's blocks are released immediately — the
+    // checkpoint-discipline of the NN-descent family.
+    var cand = ranked(q.crossJoin(entry.select(col("vec_id"), col("v")))
+      .select(col("query_id"), col("qv"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cosine")),
+      beam).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val grown = cand.select(col("query_id"), col("qv"), col("vec_id"))
+        .join(graph, "vec_id")
+        .select(col("query_id"), col("qv"), col("nbr_id").as("vec_id"))
+        .distinct()
+        .join(emb, "vec_id")
+        .select(col("query_id"), col("qv"), col("vec_id"),
+          round(cosine(col("v"), col("qv")), 6).as("cosine"))
+        .unionByName(cand)
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(first(col("qv")).as("qv"), max(col("cosine")).as("cosine"))
+      val next = ranked(grown, beam).localCheckpoint()
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(cand)
+      cand = next
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Recall twin of the graph serve — the gated evidence for the
+    * last-recall-points claim (reads 1.000 at every measured point at
+    * the registered 6×32 config). */
+  def knnGraphServeRecall(spark: SparkSession, dir: String,
+      indexPath: String, k: Int = 5, nQueries: Int = 10): DataFrame =
+    recallAgainstBrute(spark, dir,
+      knnGraphServe(spark, dir, indexPath, k, nQueries), k, nQueries)
+
   /** The shared bucket-local-kernel prologue: project to (vec_id, v),
     * explode into band keys tagged base/probe. Both kernels group on the
     * result's `band`. With `multiProbe` each vector ALSO visits its
