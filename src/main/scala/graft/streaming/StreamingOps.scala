@@ -760,6 +760,73 @@ object StreamingOps {
         batch, indexPath, k, nprobe), batchId)
     }
 
+  /** The VECTOR-INDEX ingest loop (r15, the r14 verdict's item 5 —
+    * [[dedupAgainstIndexNear]]'s closed maintenance loop mirrored onto
+    * the IVF artifact, closing the streaming-maintenance asymmetry):
+    * each micro-batch of (vec_id, embedding[, meta…]) rows is FIRST
+    * served against the standing index (top-k exact-cosine neighbors —
+    * the batch kernel verbatim, so the serve tiers cannot drift), the
+    * sink receives the annotations, and with `extendIndex = true` the
+    * batch's vectors are then APPENDED through the full batch-side
+    * maintenance path: [[graft.operators.EmbeddingSearch.extendIvfIndex]]
+    * (radii merge-first staged swap, `_DONE` recommit with a fresh
+    * token, auto-compaction at the >16-files/dir threshold) followed by
+    * the staleness policy
+    * ([[graft.operators.EmbeddingSearch.ensureFreshIvfIndex]] — a
+    * sized retrain fires iff the corpus quadrupled past training, the
+    * same rule batch deployments run). Batch N+1 therefore serves
+    * against corpus + batches 1..N with ALL the batch lifecycle's
+    * invariants intact — one code path, not a streaming fork. Crash
+    * mid-extend leaves `_DONE` down and the next batch's extend refuses
+    * loudly (the crash contract; rebuild remedy in the message) — the
+    * loop never silently double-appends. Sink rows: (query_id, vec_id,
+    * cosine, rank ≤ k).
+    */
+  def knnIngestAgainstIvfIndex(vecs: DataFrame, indexPath: String,
+      k: Int = 3, nprobe: Int = 2, extendIndex: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val b = batch.localCheckpoint()
+      try {
+        sink(graft.operators.EmbeddingSearch.knnBatchAgainstIvfIndex(
+          b, indexPath, k, nprobe), batchId)
+        if (extendIndex) {
+          val others = b.columns.filterNot(Set("vec_id", "embedding")).map(col)
+          graft.operators.EmbeddingSearch.extendIvfIndex(indexPath,
+            b.select(Seq(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("v")) ++ others: _*))
+          graft.operators.EmbeddingSearch.ensureFreshIvfIndex(
+            b.sparkSession, indexPath)
+        }
+      } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)
+    }
+
+  /** The BM25-INDEX ingest loop — [[knnIngestAgainstIvfIndex]]'s lexical
+    * sibling: each micro-batch of (doc_id, text) rows is appended to the
+    * persisted postings artifact through the batch maintenance path
+    * ([[graft.operators.TextAnalysis.extendBm25Index]] — postings/doclens/
+    * fwd appended in one commit, `_DONE` recommitted with a fresh token,
+    * auto-compaction at the >16-files/dir threshold), so the serve tiers
+    * ([[hybridAgainstIndexes]], the BM25 entries) see corpus + batches
+    * 1..N on their next index read. The sink receives the batch
+    * annotated with `n_tokens` — the SAME `\\W+` tokenizer count the
+    * appended doclens row stores, so a sink-side audit can reconcile
+    * what landed in the artifact without reading it back. Crash
+    * mid-extend leaves `_DONE` down; the next batch refuses loudly
+    * (the crash contract — never a silent partial append).
+    */
+  def bm25IngestExtendIndex(docs: DataFrame, indexPath: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val b = batch.localCheckpoint()
+      try {
+        val annotated = b.withColumn("n_tokens",
+          size(graft.functions.TextFunctions.tokenize(col("text"))))
+        sink(annotated, batchId)
+        graft.operators.TextAnalysis.extendBm25Index(indexPath, b)
+      } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)
+    }
+
   /** Streaming FILTERED kNN serve — [[knnAgainstIvfIndex]] under a corpus
     * predicate, against a METADATA-CARRYING persisted index
     * ([[graft.operators.EmbeddingSearch.buildIvfIndex]] with `meta`):

@@ -1872,6 +1872,111 @@ class StreamingSpec extends AnyFunSuite {
     assert(EmbeddingSearch.kmeansTrainings.get() == before,
       "a streaming MIPS/range tier trained a quantizer")
   }
+
+  test("IVF ingest loop: micro-batch extends == one batch extend, compaction fires in-loop, no spurious retrain") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EmbeddingSearch
+    def vec(seed: Int, eps: Float = 0f): Seq[Float] =
+      (0 until 8).map(d => if (d == seed % 8) 1f + eps else 0.01f)
+    val base = (0L to 7L).map(i => (i, vec(i.toInt)))
+    val baseV = base.toDF("vec_id", "embedding")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val rootA = java.nio.file.Files.createTempDirectory("graft_ivfloopA").toString + "/idx"
+    val rootB = java.nio.file.Files.createTempDirectory("graft_ivfloopB").toString + "/idx"
+    EmbeddingSearch.buildIvfIndex(baseV, rootA, nClusters = 8)
+    EmbeddingSearch.buildIvfIndex(baseV, rootB, nClusters = 8)
+    // 18 streamed vectors all near seed 1: ONE cl= dir accumulates a
+    // file per extend, so the >16-files/dir auto-compaction MUST trip
+    // inside the loop (the bounded-files/dir claim, measured not assumed)
+    val streamed = (0 until 18).map(i => (100L + i, vec(1, 0.001f * (i + 1))))
+    val trainingsAfterBuilds = EmbeddingSearch.kmeansTrainings.get()
+    val served = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.knnIngestAgainstIvfIndex(
+        input.toDF().toDF("vec_id", "embedding"), rootA, extendIndex = true) {
+      (res, _) => served ++= res.select($"query_id", $"vec_id", $"cosine", $"rank")
+        .as[(Long, Long, Double, Long)].collect()
+    }.start()
+    try {
+      for (v <- streamed) { input.addData(v); q.processAllAvailable() }
+    } finally q.stop()
+    // one batch-side extend with the same 18 vectors = the reference tree
+    EmbeddingSearch.extendIvfIndex(rootB,
+      streamed.toDF("vec_id", "embedding")
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v")))
+    def ivfRows(root: String): Set[(Long, Int, Seq[Double])] =
+      spark.read.parquet(s"$root/ivf")
+        .select($"vec_id".cast("long"), $"cl".cast("int"), $"v")
+        .as[(Long, Int, Seq[Double])].collect().toSet
+    assert(ivfRows(rootA) == ivfRows(rootB),
+      "micro-batch-extended index drifted from the single-batch extend")
+    def radiiRows(root: String): Set[(Int, Double)] =
+      spark.read.parquet(s"$root/radii").select($"cl".cast("int"), $"mincos")
+        .as[(Int, Double)].collect().toSet
+    assert(radiiRows(rootA) == radiiRows(rootB),
+      "radii floors drifted between the loop and the batch extend")
+    val fs = new org.apache.hadoop.fs.Path(rootA)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(rootA, "_DONE")),
+      "loop left the index uncommitted")
+    // bounded files/dir: 18 appends into one cell would leave 19 files
+    // without the in-loop compaction
+    val worst = fs.listStatus(new org.apache.hadoop.fs.Path(rootA, "ivf"))
+      .filter(e => !e.isFile && e.getPath.getName.startsWith("cl="))
+      .map(d => fs.listStatus(d.getPath).count(e =>
+        e.isFile && !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith(".")))
+      .max
+    assert(worst <= EmbeddingSearch.IvfCompactFileThreshold,
+      s"auto-compaction never fired in the loop: worst cl= dir has $worst files")
+    // the staleness policy ran every batch and correctly did NOT retrain
+    // (26 rows vs 8 trained derives the same sized cell count)
+    assert(EmbeddingSearch.kmeansTrainings.get() == trainingsAfterBuilds,
+      "the ingest loop retrained a non-stale quantizer")
+    // serve parity on the final trees: both indexes serve identical rows
+    val probe = base.take(3).toDF("vec_id", "embedding")
+    def serveRows(root: String): Set[(Long, Long, Double, Long)] =
+      EmbeddingSearch.knnBatchAgainstIvfIndex(probe, root)
+        .select($"query_id", $"vec_id", $"cosine", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(serveRows(rootA) == serveRows(rootB))
+    assert(served.nonEmpty, "the loop's serve half produced no rows")
+  }
+
+  test("BM25 ingest loop: micro-batch extends == one batch extend; n_tokens annotation matches doclens") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val base = Seq((1L, "alpha beta gamma"), (2L, "beta delta"),
+      (3L, "gamma gamma epsilon"))
+    val rootA = java.nio.file.Files.createTempDirectory("graft_bm25loopA").toString + "/idx"
+    val rootB = java.nio.file.Files.createTempDirectory("graft_bm25loopB").toString + "/idx"
+    TextAnalysis.buildBm25Index(base.toDF("doc_id", "text"), rootA)
+    TextAnalysis.buildBm25Index(base.toDF("doc_id", "text"), rootB)
+    val streamed = Seq((10L, "alpha zeta"), (11L, "beta beta eta"),
+      (12L, "theta"), (13L, "gamma iota kappa"))
+    val annotations = new scala.collection.mutable.ArrayBuffer[(Long, Int)]
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.bm25IngestExtendIndex(
+        input.toDF().toDF("doc_id", "text"), rootA) { (ann, _) =>
+      annotations ++= ann.select($"doc_id", $"n_tokens").as[(Long, Int)].collect()
+    }.start()
+    try {
+      input.addData(streamed.take(2): _*); q.processAllAvailable()
+      input.addData(streamed.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    TextAnalysis.extendBm25Index(rootB, streamed.toDF("doc_id", "text"))
+    for (t <- Seq("postings", "doclens", "fwd")) {
+      val a = spark.read.parquet(s"$rootA/$t").collect().map(_.toString).toSet
+      val b = spark.read.parquet(s"$rootB/$t").collect().map(_.toString).toSet
+      assert(a == b, s"BM25 '$t' drifted between the loop and the batch extend")
+    }
+    assert(annotations.toSet ==
+      Set((10L, 2), (11L, 3), (12L, 1), (13L, 3)),
+      s"n_tokens annotation drifted from the tokenizer: $annotations")
+    val fs = new org.apache.hadoop.fs.Path(rootA)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(rootA, "_DONE")),
+      "loop left the BM25 index uncommitted")
+  }
 }
 
 object StreamingSpec {
