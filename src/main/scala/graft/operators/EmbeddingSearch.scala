@@ -3385,6 +3385,34 @@ object EmbeddingSearch {
     }.distinct
   }
 
+  /** Read ONLY the probed `cl=` dirs of the index's vector table (r15 —
+    * measured at the 1M-vector wall probe): `spark.read.parquet(ivf)`
+    * lists EVERY partition dir at plan time before pruning, so a
+    * √N-celled index pays a per-serve listing that grows with the
+    * CELL count — ~1,000 dirs ≈ +0.7 s at 1M vectors locally, and a
+    * genuine metadata storm at 100 TB (65,536 dirs per serve for a
+    * ~20-dir probe). Listing the probed dirs through `basePath` keeps
+    * the partition column and row content identical (the dir name IS
+    * the cl value either way) at probe-set metadata cost. Cells the
+    * quantizer ranks but no vector ever joined have no dir — they hold
+    * nothing to read, so skipping them is result-invariant (the radii
+    * inner-join argument); `where(cl isin probed)` stays on top as the
+    * semantic guard. Falls back to the full-listing read when every
+    * probed dir is absent (schema must still come from somewhere; only
+    * an empty serve reaches this).
+    */
+  private def probedIvfRead(spark: SparkSession, indexPath: String,
+      cells: Array[Int]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    val paths = cells.sorted
+      .map(c => s"$indexPath/ivf/cl=$c")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val df = if (paths.isEmpty) spark.read.parquet(s"$indexPath/ivf")
+      else spark.read.option("basePath", s"$indexPath/ivf").parquet(paths: _*)
+    df.where(col("cl").isin(cells.map(Integer.valueOf): _*))
+  }
+
   /** The sized-quantizer STALENESS RULE (r12 verdict item 4): an index
     * grown by [[extendIvfIndex]] keeps its training-time cell count while
     * N drifts, silently degrading the probed fraction back toward the
@@ -4164,9 +4192,7 @@ object EmbeddingSearch {
         nprobe, cosineSeq)
       case None => probedCellIds(q, cent, nprobe, cosine)
     }
-    val inverted = spark.read.parquet(s"$indexPath/ivf")
-      .where(col("cl").isin(cells.map(Integer.valueOf): _*))
-    knnOverInverted(inverted, q, cent, k, nprobe)
+    knnOverInverted(probedIvfRead(spark, indexPath, cells), q, cent, k, nprobe)
   }
 
   /** The batch's probed cell ids, collected driver-side (bounded by the
@@ -4263,10 +4289,8 @@ object EmbeddingSearch {
         case Some(qRows) => probedCellIdsLocal(qRows, centRows, np, scoreSeq)
         case None => probedCellIds(q, cent, np, score)
       }
-      val inverted = ivf
-        .where(col("cl").isin(probedCells.map(Integer.valueOf): _*))
-        .where(pred)
-      serve(inverted, q, cent, k, np)
+      serve(probedIvfRead(spark, indexPath, probedCells).where(pred),
+        q, cent, k, np)
     }
   }
 
@@ -4342,9 +4366,7 @@ object EmbeddingSearch {
       case Some(qRows) => probedCellIdsLocal(qRows, centRows, np, dotSeq)
       case None => probedCellIds(q, cent, np, dot)
     }
-    val inverted = spark.read.parquet(s"$indexPath/ivf")
-      .where(col("cl").isin(probed.map(Integer.valueOf): _*))
-    mipsServe(inverted, q, cent, k, np)
+    mipsServe(probedIvfRead(spark, indexPath, probed), q, cent, k, np)
   }
 
   /** One micro-batch of the SOUND range serve against a persisted IVF
@@ -4428,8 +4450,7 @@ object EmbeddingSearch {
           .select(col("query_id"), col("qv"), col("cl"))
         (p, p.select(col("cl")).distinct().collect().map(_.getInt(0)))
     }
-    spark.read.parquet(s"$indexPath/ivf")
-      .where(col("cl").isin(probedIds.map(Integer.valueOf): _*))
+    probedIvfRead(spark, indexPath, probedIds)
       .where(pred)
       .join(broadcast(probes), Seq("cl"))
       .where(col("vec_id") =!= col("query_id"))

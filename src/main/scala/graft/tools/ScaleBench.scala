@@ -208,7 +208,11 @@ object ScaleBench {
     // branch as embed_knn_filtered with IP scoring; recall gated below.
     // r14: the default serves STANDING; the per-call form keeps its
     // linear-term row on the curve
-    "embed_knn_mips_filtered", "embed_knn_mips_filtered_percall")
+    "embed_knn_mips_filtered", "embed_knn_mips_filtered_percall",
+    // r15: the graph-navigated high-recall serve (the registered
+    // last-recall-points opt-in) — its wall AND recall ride the curve so
+    // the "recall 1.000 at ~3x the IVF wall" pricing stays measured
+    "embed_knn_graph_serve")
 
   /** RECALL-at-scale gate (r11 verdict stretch item): the kNN-graph
     * family's recall@3 is measured at every curve point and committed
@@ -274,7 +278,10 @@ object ScaleBench {
     "embed_range_search_probed" -> ((s, d) =>
       graft.SparkEntry.queries("embed_range_probed_recall")(s, d)),
     "embed_knn_mips_filtered" -> ((s, d) =>
-      graft.SparkEntry.queries("embed_mips_filtered_recall")(s, d)))
+      graft.SparkEntry.queries("embed_mips_filtered_recall")(s, d)),
+    // r15: the graph serve's recall claim, gated where it binds
+    "embed_knn_graph_serve" -> ((s, d) =>
+      graft.SparkEntry.queries("embed_graph_recall")(s, d)))
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these
@@ -361,18 +368,36 @@ object ScaleBench {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
-    // embeddings: replica i is the original corpus with every vector's dims
-    // cyclically ROTATED by i — a rotation preserves all within-replica
-    // cosines exactly (same ANN/near-dup structure per replica) while
-    // cross-replica cosines decohere; requires k <= dim (64 here)
+    // embeddings: replica i is the original corpus under a fixed
+    // INNER-PRODUCT-PRESERVING transform — every within-replica cosine
+    // and |v| is exact (same ANN/near-dup/MIPS structure per replica)
+    // while cross-replica angles decohere. The transform family, by
+    // rep's cycle through dim-sized blocks (dim 64 here):
+    //   cycle 0 (rep ∈ [0,64)):    rotate dims by rep
+    //   cycle 1 (rep ∈ [64,128)):  rotate, then NEGATE (cos(−a,−b)=cos(a,b);
+    //                              cross-cycle pairs mirror — r15 x128)
+    //   cycle 2 (rep ∈ [128,192)): REVERSE dims, then rotate (reversal is
+    //                              a permutation, so products are exact;
+    //                              reversed-vs-unreversed pairs decohere
+    //                              — r15 x256)
+    //   cycle 3 (rep ∈ [192,256)): reverse, rotate, negate
+    // ⇒ replicas stay pairwise decohered up to k <= 4·dim (256 here).
     if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
+      require(k <= 256, s"embedding replication supports k <= 4*dim = 256, got $k")
+      val dimOf = size(col("embedding"))
+      val rot = pmod(col("rep"), dimOf)
+      val cyc = (col("rep") / dimOf).cast("int")
+      val base0 = when(cyc >= 2, reverse(col("embedding")))
+        .otherwise(col("embedding"))
+      val rotated = concat(
+        slice(base0, rot + 1, dimOf - rot),
+        slice(base0, lit(1), rot))
       spark.read.parquet(s"$src/embeddings.parquet")
         .select(col("*"), explode(sequence(lit(0), lit(k - 1))).as("rep"))
         .select(
           (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
-          concat(
-            slice(col("embedding"), col("rep") + 1, size(col("embedding")) - col("rep")),
-            slice(col("embedding"), lit(1), col("rep"))).as("embedding"),
+          when(pmod(cyc, lit(2)) === 0, rotated)
+            .otherwise(transform(rotated, x => -x)).as("embedding"),
           col("label"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

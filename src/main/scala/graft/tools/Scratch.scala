@@ -20,6 +20,51 @@ object Scratch {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "mipswall") {
+      // r15 (the r14 verdict's item 1): the MIPS brute↔IVF WALL inversion,
+      // measured where it actually lives. The corpus-model replication is
+      // honest to k = 4·dim = 256 (512k vectors — BENCH_SCALE x256); this
+      // probe extends the WALL-ONLY curve to 1M vectors by cycling the
+      // same inner-product-preserving transforms (reps >= 256 repeat
+      // earlier replicas' angle structure verbatim — fine for wall
+      // measurement, recalls not read here).
+      import org.apache.spark.sql.functions._
+      val k = 512
+      val dir = s"/tmp/graft_scale/mipswall_x$k"
+      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
+        val dimOf = size(col("embedding"))
+        val rot = pmod(col("rep"), dimOf)
+        val cyc = (col("rep") / dimOf).cast("int")
+        val base0 = when(pmod(cyc, lit(4)) >= 2, reverse(col("embedding")))
+          .otherwise(col("embedding"))
+        val rotated = concat(slice(base0, rot + 1, dimOf - rot), slice(base0, lit(1), rot))
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("*"), explode(sequence(lit(0), lit(k - 1))).as("rep"))
+          .select((col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
+            when(pmod(cyc, lit(2)) === 0, rotated)
+              .otherwise(transform(rotated, x => -x)).as("embedding"),
+            col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      val n = graft.sources.Tables.embeddings(spark, dir).count()
+      println(s"[mipswall] corpus n=$n")
+      for (pass <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val r = graft.operators.EmbeddingSearch.mipsTopK(spark, dir).count()
+        println(f"[mipswall] pass=$pass brute wall=${(System.nanoTime() - t0) / 1e9}%.2f s rows=$r")
+      }
+      val idx = graft.SparkEntry.standingIvfIndexDirFor(dir)
+      val tb = System.nanoTime()
+      graft.operators.EmbeddingSearch.ensureStandingIvfIndex(spark, dir, idx)
+      println(f"[mipswall] standing index build: ${(System.nanoTime() - tb) / 1e9}%.2f s")
+      for (pass <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val r = graft.operators.EmbeddingSearch.mipsStandingServe(spark, dir, idx).count()
+        println(f"[mipswall] pass=$pass ivf wall=${(System.nanoTime() - t0) / 1e9}%.2f s rows=$r")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "standingwall") {
       // r15 (the r14 verdict's item 2): per-entry wall of the standing
       // serves whose r14 fixed constants (probe-cell pre-collection job,
