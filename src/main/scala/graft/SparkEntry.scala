@@ -974,13 +974,15 @@ object SparkEntry {
     // embedding models — unnormalized, so norm carries signal cosine drops).
     // DEFAULT = the count-gated auto branch (r14, the r13 verdict's top
     // item — the embed_knn_join discipline on the MIPS family): the exact
-    // scan below the measured wall inversion (EmbeddingSearch
-    // .mipsCellsCrossover = 2^18 — its own family constant, NOT the
-    // kNN-graph's 4096), the STANDING IVF-IP serve at or past it
-    // (recall@5 0.94+ at every curve point where both ALSH band layouts
-    // collapse to 0.36→0.08 / 0.52→0.36). Both arms keep explicit names
-    // (embed_knn_mips_brute / embed_knn_mips_ivf) and the oracle replays
-    // the same count-gated branch as a UNION ALL
+    // scan below the MEASURED wall inversion (EmbeddingSearch
+    // .mipsCellsCrossover = 2^16 — r15 measured the far side to 1M
+    // vectors and the constant moved to the measured crossing; its own
+    // family constant, NOT the kNN-graph's 4096), the STANDING IVF-IP
+    // serve at or past it (recall@5 0.98+ measured at 128k/256k/512k,
+    // where both ALSH band layouts collapse to 0.36→0.08 / 0.52→0.36).
+    // Both arms keep explicit names (embed_knn_mips_brute /
+    // embed_knn_mips_ivf) and the oracle replays the same count-gated
+    // branch as a UNION ALL
     "embed_knn_mips" -> ((s, dir) =>
       EmbeddingSearch.mipsTopKAuto(s, dir, standingIvfIndexDirFor(dir))),
     // the exact inner-product scan under its explicit name — the small-

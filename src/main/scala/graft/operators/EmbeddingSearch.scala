@@ -3943,29 +3943,32 @@ object EmbeddingSearch {
     mipsBatchAgainstIvfIndex(batch, indexPath, k, localQ = Some(qRows))
   }
 
-  /** The measured MIPS brute↔IVF crossover (r14, the r13 verdict's top
-    * item — the [[knnGraphCellsCrossover]] discipline on the MIPS
-    * family): below it the exact scan IS the right plan on BOTH axes —
-    * recall 1 by definition, and the faster measured wall at every
-    * BENCH_SCALE point (brute 0.39/0.40/0.48 s at x1/x4/x16 vs the
-    * standing IVF serve's ~1.1 s of probe/pruning constants); at or
-    * past it the IP-ranked probed-cell serve bounds candidates at
-    * nprobe·N/cells ≈ √N-ish per query while holding measured recall@5
-    * at 0.94+ — where both ALSH band layouts collapse (sized
-    * 0.36→0.08, fixed 0.52→0.36) and the exact scan's per-query cost
-    * grows linearly forever. POSITIONED BY MEASUREMENT (the
-    * hybridProbeCrossover discipline, NOT the kNN-graph's 4096 — that
-    * crossover was set by a measured RECALL flip the MIPS family does
-    * not have, its brute arm being exact): the brute slope reads
-    * ≈3 µs/vector at the fixed query load, so the wall inversion
-    * against the IVF constants extrapolates to ≈250k vectors; 2^18
-    * keeps the default on the measured-best plan (both axes) at every
-    * curve point, which also makes the auto's gated recall EQUAL
-    * max(arms) everywhere — 1.0 while brute serves, the IVF arm's
-    * 0.94+ past the switch, with that arm hash- and recall-gated
-    * through its explicit entries at every scale.
+  /** The MEASURED MIPS brute↔IVF wall inversion (r15, the r14 verdict's
+    * top item — the far side is now measured, not extrapolated, and the
+    * constant moved to the measured crossing). r14 positioned 2^18 by
+    * extrapolating a ≈3 µs/vector brute slope against the standing
+    * serve's then ~1.1 s constants; r15 shaved those constants (cached
+    * quantizer/batch, driver-side probe ranking) and removed the
+    * all-dirs partition listing ([[probedIvfRead]] — the serve wall was
+    * GROWING with the cell count through plan-time listing, +0.7 s at
+    * ~1,000 dirs), which moved the real inversion down an order of
+    * magnitude. Measured warm walls (BENCH_SCALE r15, min-of-2,
+    * local[32]; brute / standing IVF):
+    *   2k: 0.46/0.92 · 8k: 0.37/0.44 · 32k: 0.33/0.46 — brute wins
+    *   128k: 0.65/0.55 · 256k: 0.80/0.63 · 512k: 1.22/0.53 ·
+    *   1.02M (wall probe): 1.39/0.73 — the IVF arm wins, widening
+    * (brute's measured line ≈0.42 s + 1.13 µs/vector vs the serve's
+    * flat probe-bounded constants). 2^16 sits in the measured crossing
+    * window: NO measured point on either side serves the slower arm.
+    * POSITIONED AT THIS FAMILY'S OWN WALL INVERSION (the r14 lesson —
+    * not the kNN-graph's recall-flip 4096, and only coincidentally
+    * equal to the hybrid family's 65536): MIPS has no recall flip, its
+    * cheap arm being exact, so the wall is the axis. Gated recall past
+    * the switch: 1.00/0.98/1.00 measured at 128k/256k/512k (the IVF
+    * arm's own hash- and recall-gated number; below the switch the
+    * exact arm holds 1.0 by construction).
     */
-  val MipsCellsCrossoverDefault: Long = 262144
+  val MipsCellsCrossoverDefault: Long = 65536
 
   /** TEST-ONLY override of [[mipsCellsCrossover]] (r15, ADVICE r14): the
     * production boundary (2^18 vectors) sits far past every fixture, so

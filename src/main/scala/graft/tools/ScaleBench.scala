@@ -95,9 +95,10 @@ object ScaleBench {
     // grow linearly with the corpus, the cliff the sized default removes
     // (renamed `_fixed` in r13 when the occupancy-sized banding became
     // the `embed_knn_mips_alsh` default)
-    // r14: embed_knn_mips is the count-gated AUTO (brute below
-    // mipsCellsCrossover = 2^18, standing IVF-IP at or past it); the
-    // exact scan keeps its own linear-control row under the explicit name
+    // r14/r15: embed_knn_mips is the count-gated AUTO (brute below
+    // mipsCellsCrossover = 2^16 — the r15 MEASURED wall inversion,
+    // standing IVF-IP at or past it); the exact scan keeps its own
+    // linear-control row under the explicit name
     "embed_knn_mips", "embed_knn_mips_brute", "embed_knn_mips_alsh_fixed",
     // trained quality classifier: iters chained (scan + dims+1-key
     // map-combined shuffle) rounds — distributed full-batch GD's measured
@@ -258,10 +259,11 @@ object ScaleBench {
       .mipsRecall(s, d)),
     "embed_knn_mips_ivf" -> ((s, d) =>
       graft.SparkEntry.queries("embed_mips_ivf_recall")(s, d)),
-    // r14: the registered MIPS default is the count-gated auto branch —
-    // its gated recall must read ≥ max(brute, ivf) at every curve point
-    // (1.0 below the crossover by construction, the IVF serve's number
-    // past it)
+    // r14/r15: the registered MIPS default is the count-gated auto
+    // branch — its gated recall must EQUAL the selected arm's at every
+    // curve point (1.0 below the crossover by construction, the IVF
+    // serve's own gated 0.98+ past it; the branch is chosen on the WALL
+    // axis, the exact arm having no recall edge where it's also slower)
     "embed_knn_mips" -> ((s, d) =>
       graft.SparkEntry.queries("embed_mips_auto_recall")(s, d)),
     // r13: the filtered default (1.0 on the brute branch; the widened
