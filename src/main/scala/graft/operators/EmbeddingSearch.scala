@@ -1758,6 +1758,22 @@ object EmbeddingSearch {
       .where(col("cosine") >= tau)
   }
 
+  /** Measurement-only candidate-volume probe for the banded near-dup
+    * join (the Scratch `slopeprobe` diagnosis of super-linear scale
+    * rows): Σ per-band C(sz, 2) — the pair volume the band join feeds
+    * the exact verify — as pure arithmetic over bucket counts, no pair
+    * materialization. Not a registered surface. */
+  private[graft] def bandCandidateCountProbe(spark: SparkSession, dir: String,
+      nPlanes: Int, bands: Int): Long = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    emb.select(explode(lshBandKeys(lshSignature(col("v"), nPlanes), bands,
+        nPlanes / bands)).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("c"))
+      .agg(sum((col("c") * (col("c") - lit(1))) / lit(2)).cast("long"))
+      .collect()(0).getLong(0)
+  }
+
   /** The embedding-modality twin of [[Dedup.buildDedupIndex]]: persist a
     * vector corpus's near-dup state as two parquet tables —
     * `vecs/` (vec_id, v: array<double>) and `bands/` (vec_id, band:

@@ -182,14 +182,40 @@ object SimilarityJoin {
     val ex = hsets.select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("t"))
     val dfT = ex.groupBy("t").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "t")
-    val probe = ex.join(Scale.maybeBroadcast(dfT), "t")
+    // EVERY token ranked in the one global (df, t) order (the same
+    // window the prefix filter already paid — the b-side ranks are free
+    // pruning input, not a new shuffle)
+    val ranked = ex.join(Scale.maybeBroadcast(dfT), "t")
       .withColumn("rnk", row_number().over(w))
+    val probe = ranked
       .where(col("rnk") <= col("sz") - floor(lit(tau) * col("sz")) + 1)
-      .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("t"))
-    val index = ex.select(col("doc_id").as("doc_b"), col("t"))
+      .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("t"),
+        col("rnk").as("rnk_a"))
+    val index = ranked.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      col("t"), col("rnk").as("rnk_b"))
+    // SIZE + POSITIONAL pruning per candidate ROW before any array is
+    // fetched (r15, the x64 slope diagnosis — Vernica/PPJoin's filters,
+    // already the allpairs discipline, applied to the containment side):
+    // the token join emits one row per shared prefix token — 25.3M rows
+    // at x64, each previously dragging two shingle-hash ARRAYS through
+    // the prefilter joins once the doc-hash table outgrew the broadcast
+    // threshold (the measured super-linear wall term; candidate volume
+    // itself is linear — 6.33M → 25.3M rows at x16 → x64, exactly 4.0×).
+    // Size: containment ≥ τ needs |B| ≥ τ·|A|. Positional: with both
+    // docs' tokens in ONE global (df, t) order, a row joining at ranks
+    // (rnk_a, rnk_b) bounds the overlap FROM t ONWARD by
+    // min(sz_a−rnk_a, sz_b−rnk_b)+1; at a true pair's FIRST shared
+    // token the before-t overlap is zero, so requiring the bound ≥
+    // τ·|A| keeps that row — every true pair survives via its
+    // first-shared-token row (sound), while non-pairs' rows prune here
+    // instead of at the array prefilter.
     val cand = probe.join(index,
         probe("t") === index("t") && col("doc_a") =!= col("doc_b"))
+      .where(col("sz_b").cast("double") >= lit(tau) * col("sz_a").cast("double"))
+      .where((least(col("sz_a") - col("rnk_a"), col("sz_b") - col("rnk_b")) + 1)
+        .cast("double") >= lit(tau) * col("sz_a").cast("double"))
       .select(col("doc_a"), col("doc_b"))
+      .distinct()
     // hash prefilter: containment on the 62-bit sets bounds true
     // containment from above (collisions only inflate the intersection)
     val hInter = toColumn(IntersectCountSorted(
@@ -199,7 +225,6 @@ object SimilarityJoin {
       .join(Scale.maybeBroadcast(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
       .where(hInter.cast("double") / size(col("ha")).cast("double") >= tau)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
     val inter = size(array_intersect(col("sa"), col("sb")))
     pre
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
@@ -211,6 +236,42 @@ object SimilarityJoin {
       .where(col("c") >= tau)
       .select(col("doc_a"), col("doc_b"), col("inter_len"), col("len_a"),
         round(col("c"), 6).as("containment"))
+  }
+
+  /** Measurement-only candidate-volume probe for [[containmentPairs]]
+    * (the Scratch `slopeprobe` diagnosis): Σ_t prefixCount(t)·df(t) —
+    * the probe⋈index pair volume — as arithmetic over token counts,
+    * no pair materialization. Not a registered surface. */
+  private[graft] def containmentCandidateCountProbe2(docs: DataFrame,
+      tau: Double = 0.8, k: Int = 3): (Long, Long) = {
+    val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+      .where(size(col("sh")) > 0)
+    val hsets = hashSets(sets)
+    val ex = hsets.select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("t"))
+    val dfT = ex.groupBy("t").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "t")
+    val ranked = ex.join(Scale.maybeBroadcast(dfT), "t")
+      .withColumn("rnk", row_number().over(w))
+    val probe = ranked
+      .where(col("rnk") <= col("sz") - floor(lit(tau) * col("sz")) + 1)
+    val rows = probe
+      .groupBy("t").agg(count(lit(1)).as("p"))
+      .join(dfT, "t")
+      .agg(sum(col("p") * col("df")).cast("long"))
+      .collect()(0).getLong(0)
+    // survivors of the size + positional pruning — what actually reaches
+    // the array prefilter in [[containmentPairs]]
+    val dd = probe
+      .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("t"),
+        col("rnk").as("rnk_a"))
+      .join(ranked.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+        col("t"), col("rnk").as("rnk_b")), "t")
+      .where(col("doc_a") =!= col("doc_b"))
+      .where(col("sz_b").cast("double") >= lit(tau) * col("sz_a").cast("double"))
+      .where((least(col("sz_a") - col("rnk_a"), col("sz_b") - col("rnk_b")) + 1)
+        .cast("double") >= lit(tau) * col("sz_a").cast("double"))
+      .select(col("doc_a"), col("doc_b")).distinct().count()
+    (rows, dd)
   }
 
   /** All-pairs EDIT-DISTANCE join (Ed-Join, Xiao/Wang/Lin VLDB'08): unordered

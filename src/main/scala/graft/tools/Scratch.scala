@@ -20,6 +20,29 @@ object Scratch {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "slopeprobe") {
+      // r15 (the r14 verdict's item 6): the two super-linear x16→x64
+      // rows — is the growth CANDIDATE volume (an algorithmic width
+      // problem) or engine overhead at fixed volume (spill/skew)?
+      import org.apache.spark.sql.functions._
+      import graft.operators.EmbeddingSearch
+      for (xdir <- Seq("/tmp/graft_scale/x16", "/tmp/graft_scale/x64")) {
+        // dedup_embedding: band-join candidate pairs at the sized width
+        val emb = graft.sources.Tables.embeddings(spark, xdir)
+        val n = emb.count()
+        val rpb = EmbeddingSearch.lshRowsPerBand(n, 32)
+        val t0 = System.nanoTime()
+        val cands = EmbeddingSearch.bandCandidateCountProbe(spark, xdir, 8 * rpb, 8)
+        println(f"[slopeprobe] $xdir n=$n rpb=$rpb embCandPairs=$cands " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // simjoin_containment: prefix-token candidate pairs (rows vs distinct)
+        val t1 = System.nanoTime()
+        val docs = graft.sources.Tables.documents(spark, xdir)
+        val (cc, dd) = graft.operators.SimilarityJoin.containmentCandidateCountProbe2(docs)
+        println(f"[slopeprobe] $xdir containCandRows=$cc distinctPairs=$dd wall=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "mipswall") {
       // r15 (the r14 verdict's item 1): the MIPS brute↔IVF WALL inversion,
       // measured where it actually lives. The corpus-model replication is
