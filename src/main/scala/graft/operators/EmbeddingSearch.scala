@@ -1359,7 +1359,9 @@ object EmbeddingSearch {
     */
   def knnJoinAuto(spark: SparkSession, dir: String, indexPath: String,
       k: Int = 3): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    // gate count memoized per dataset fingerprint (r15) — the branch
+    // pick costs a map lookup on an unchanged corpus, one count on change
+    val n = Tables.embeddingsCount(spark, dir)
     if (n < knnGraphCellsCrossover) knnJoinScaled(spark, dir, k)
     else knnJoinCellsPersisted(spark, dir, indexPath, k)
   }
@@ -4030,7 +4032,8 @@ object EmbeddingSearch {
     */
   def mipsTopKAuto(spark: SparkSession, dir: String, indexPath: String,
       k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    // gate count memoized per dataset fingerprint (r15)
+    val n = Tables.embeddingsCount(spark, dir)
     if (n < mipsCellsCrossover) mipsTopK(spark, dir, k, nQueries)
     else mipsStandingServe(spark, dir, indexPath, k, nQueries)
   }

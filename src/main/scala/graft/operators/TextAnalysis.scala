@@ -1764,7 +1764,8 @@ object TextAnalysis {
   def hybridTopKServedAuto(spark: org.apache.spark.sql.SparkSession,
       dir: String, bm25IndexPath: String, ivfIndexPath: String,
       nprobe: Int = 2): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    // gate count memoized per dataset fingerprint (r15)
+    val n = Tables.embeddingsCount(spark, dir)
     hybridTopKServed(spark, bm25IndexPath, ivfIndexPath,
       nprobe = if (n < hybridProbeCrossover) 0 else nprobe)
   }

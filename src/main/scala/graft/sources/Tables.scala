@@ -189,6 +189,28 @@ object Tables {
     * ([[graft.operators.Markers]]), which changes on every commit by
     * construction.
     */
+  /** The embeddings table's row count, memoized per dataset fingerprint
+    * (r15): every count-gated auto default (MIPS/hybrid/kNN-join) pays
+    * one metadata count() per call to pick its branch — correct but a
+    * fixed ~0.15 s job on serves that now cost ~0.4 s total. The
+    * fingerprint walk is a listing (cheaper than the count job), and a
+    * regenerated table re-prices the branch exactly like the eval
+    * memos. Compute runs outside the map lock (the memoizedExactPairs
+    * discipline). */
+  private val embCountMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long)]()
+
+  def embeddingsCount(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val fp = datasetFingerprint(s"$dir/embeddings.parquet")
+    val cached = embCountMemo.get(dir)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      val n = embeddings(spark, dir).count()
+      embCountMemo.put(dir, (fp, n))
+      n
+    }
+  }
+
   def datasetFingerprint(path: String): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(
