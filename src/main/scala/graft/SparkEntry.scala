@@ -266,6 +266,16 @@ object SparkEntry {
     // fine for a known-small static corpus, carries the measured x16 cliff
     "dedup_embedding_fixed" -> ((s, dir) =>
       EmbeddingSearch.cosineNearDupPairs(s, dir, tau = 0.4)),
+    // the IVF-CELL candidate arm (r15, the x64 slope diagnosis's remedy:
+    // banded candidates measured 15.5x on 4x data on the clustered
+    // corpus — cluster mass the occupancy rule cannot hold — while the
+    // cells bound is nprobe*N/cells ~ 2sqrt(N)/vector, 45x fewer at
+    // 128k). Explicit arm now; the default flip to a count-gated auto
+    // waits for the measured wall+recall inversion (the knnJoinCells ->
+    // knnJoinAuto sequence)
+    "dedup_embedding_cells" -> ((s, dir) =>
+      EmbeddingSearch.cosineNearDupPairsCells(s, dir, tau = 0.4,
+        sizedKmeansIndexDirFor(dir))),
     // SemDeDup (Abbas et al. '23): EXACT within-cell cosine pruning over
     // the trained partition itself — recall inside a cell is 1 by
     // construction (contrast dedup_embedding's LSH-candidate mining) and
@@ -4649,6 +4659,19 @@ object SparkEntry {
          |  coalesce(d.dup_of, -1) AS dup_of,
          |  CASE WHEN d.dup_of IS NULL THEN 'kept' ELSE 'dropped' END AS status
          |FROM lab l LEFT JOIN d ON l.vec_id = d.vec_id""".stripMargin,
+    // the IVF-cell arm: the sized-Lloyd prefix + the cells graph's
+    // two-sided candidate union (cellsCandCtes verbatim), pairs
+    // normalized a<b, exact cosine >= tau verify
+    "dedup_embedding_cells" ->
+      s"""WITH $kmSizedTrainCtes,
+         |$cellsCandCtes,
+         |pr AS (SELECT DISTINCT least(vec_id, nbr_id) AS vec_a,
+         |  greatest(vec_id, nbr_id) AS vec_b FROM cand),
+         |s AS (SELECT pr.vec_a, pr.vec_b,
+         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+         |  FROM pr JOIN e ea ON pr.vec_a = ea.vec_id
+         |          JOIN e eb ON pr.vec_b = eb.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |$vecBandCtesScaled,

@@ -708,6 +708,36 @@ object EmbeddingSearch {
       maxBucket = maxBucket, tileOversized = tileOversized)
   }
 
+  /** IVF-CELL near-dup pairs (r15, the x64 slope diagnosis's named
+    * remedy — the knnJoinCells discipline applied to the PAIRS
+    * contract): candidates are each vector's probed-cell co-members
+    * (per-vector top-nprobe cells of the shared persisted sized
+    * quantizer, two-sided base/probe union — [[cellTaggedVectors]], the
+    * cells graph's exact frame), scored by the SAME bucket-local pair
+    * kernel as the banded default, exact `cosine ≥ tau` verify. Why:
+    * the occupancy-sized bands hold only the RANDOM collision mass —
+    * on a clustered corpus the banded candidate set measured 15.5× on
+    * 4× data (2.08B pairs at 128k vectors) while the cells bound is
+    * nprobe·N/cells ≈ 2√N per vector (46M at the same point, 45×
+    * fewer). Registered as the explicit `dedup_embedding_cells` arm;
+    * the default flip to a count-gated auto waits for the measured
+    * wall+recall inversion (the knnJoinCells → knnJoinAuto sequence).
+    * Output: (vec_a < vec_b, cosine ≥ tau) — the banded contract.
+    */
+  def cosineNearDupPairsCells(spark: SparkSession, dir: String, tau: Double,
+      indexPath: String, nprobe: Int = 0, iters: Int = 2,
+      maxBucket: Int = 1 << 17): DataFrame = {
+    requireSizedIters(iters)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = Tables.embeddingsCount(spark, dir)
+    val cells = ivfCellCount(n)
+    val cent = ensureKmeansIndex(spark, dir, indexPath, cells, iters)
+    val np = if (nprobe > 0) nprobe else cellsNprobeFor(n, cells)
+    pairsOverKernelFrame(cellTaggedVectors(emb, cent, np), tau, maxBucket,
+      "raise the cell count (ivfCellCount) or lower nprobe")
+  }
+
   /** SemDeDup-style SEMANTIC PRUNE (Abbas et al. '23): drop every vector
     * that has a semantically-near predecessor WITHIN ITS CELL, keep one
     * representative per near-dup group. Cells here are the corpus's label
@@ -1708,15 +1738,25 @@ object EmbeddingSearch {
     */
   def cosineNearDupPairsBucketLocal(embeddings: DataFrame, tau: Double,
       nPlanes: Int = 16, bands: Int = 4, maxBucket: Int = 1 << 17,
-      multiProbe: Boolean = false, tileOversized: Boolean = false): DataFrame = {
-    val spark = embeddings.sparkSession
+      multiProbe: Boolean = false, tileOversized: Boolean = false): DataFrame =
+    pairsOverKernelFrame(
+      bandedForKernel(embeddings, nPlanes, bands, multiProbe, tileOversized, maxBucket),
+      tau, maxBucket,
+      "enable tileOversized (the exact tiled escape) or widen the LSH")
+
+  /** The ONE bucket-local PAIR kernel over any 6-tuple key frame (r15 —
+    * factored so the banded and IVF-cell candidate generators share the
+    * identical scoring/drain/guard path, the knnJoinBucketLocal
+    * discipline applied to the pairs contract). */
+  private def pairsOverKernelFrame(frame: DataFrame, tau: Double,
+      maxBucket: Int, guardHint: String): DataFrame = {
+    val spark = frame.sparkSession
     import spark.implicits._
-    bandedForKernel(embeddings, nPlanes, bands, multiProbe, tileOversized, maxBucket)
+    frame
       .as[(String, Long, Array[Double], Boolean, Int, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (band, it) =>
-        val (m, norms) = drainBucketWithNorms(band, it, maxBucket,
-          "enable tileOversized (the exact tiled escape) or widen the LSH")
+        val (m, norms) = drainBucketWithNorms(band, it, maxBucket, guardHint)
         val n = m.length
         new Iterator[(Long, Long, Double)] {
           private var i = 0

@@ -213,7 +213,11 @@ object ScaleBench {
     // r15: the graph-navigated high-recall serve (the registered
     // last-recall-points opt-in) — its wall AND recall ride the curve so
     // the "recall 1.000 at ~3x the IVF wall" pricing stays measured
-    "embed_knn_graph_serve")
+    "embed_knn_graph_serve",
+    // r15: the IVF-cell near-dup arm beside the banded default — the
+    // measured remedy for the banded candidate blow-up on clustered
+    // corpora (2.08B pairs at x64 vs the cells bound's ~46M)
+    "dedup_embedding_cells")
 
   /** RECALL-at-scale gate (r11 verdict stretch item): the kNN-graph
     * family's recall@3 is measured at every curve point and committed
