@@ -2777,7 +2777,7 @@ object SparkEntry {
   /** The GRAPH-NAVIGATED serve replay (r15): the sized-Lloyd quantizer
     * prefix and the cells-graph candidates verbatim, ranked to the
     * out-degree-`kBuild` navigable graph, then the deterministic walk —
-    * affine-hash entry sampling, `rounds` unrolled beam rounds (expand
+    * the lowest-affine-hash entry set, `rounds` unrolled beam rounds (expand
     * through out-edges, exact re-rank, keep `beam`), self-exclusion,
     * final top-k. Every round is one CTE pair, so the oracle checks the
     * ENTIRE composition: training, graph build, entry set, and each
@@ -2809,9 +2809,9 @@ object SparkEntry {
        |  (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rnk FROM gs)
        |  WHERE rnk <= $kBuild),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQ),
-       |nn AS (SELECT count(*)::BIGINT AS n FROM e),
-       |ent AS (SELECT vec_id, v FROM e, nn
-       |  WHERE ((vec_id * 1103515245 + 12345) % 2147483647) % nn.n < $entries),
+       |ent AS (SELECT vec_id, v FROM e
+       |  ORDER BY (vec_id * 1103515245 + 12345) % 2147483647, vec_id
+       |  LIMIT $entries),
        |b0 AS (SELECT query_id, vec_id, cosine FROM (SELECT *, row_number()
        |  OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
        |  FROM (SELECT q.query_id, ent.vec_id,

@@ -1432,7 +1432,8 @@ object EmbeddingSearch {
     * flattened to Spark rounds — per round, ONE edge join grows each
     * query's frontier through its current beam's out-edges, an exact
     * re-rank keeps the best `beam` per query, and the loop repeats
-    * `rounds` times from a deterministic affine-hash-sampled entry set.
+    * `rounds` times from a deterministic entry set (the `entries`
+    * lowest-affine-hash vertices — exact-size, never empty).
     * This is HNSW's serve idea under batch semantics: each hop is a
     * shuffle round over |Q|·beam·kBuild candidate rows — NEVER the
     * corpus — so serve cost is independent of N once the graph exists.
@@ -1459,7 +1460,6 @@ object EmbeddingSearch {
       rounds: Int = 6, entries: Int = 8): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val n = emb.count()
     // the navigable graph is a STANDING artifact (HNSW pays its build
     // once too): built from the shared persisted quantizer on first
     // serve, then every walk reads the edge table — the serve pays
@@ -1480,11 +1480,18 @@ object EmbeddingSearch {
     val graph = spark.read.parquet(s"$graphDir/edges")
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    // deterministic entry points: `entries` affine-hash-sampled vertices
-    // (the replicaTag discipline — a fixed LCG step, replayed verbatim
-    // in the oracle)
-    val entry = emb.where(
-      (col("vec_id") * 1103515245L + 12345L) % 2147483647L % n < entries.toLong)
+    // deterministic entry points: the `entries` LOWEST-affine-hash
+    // vertices (vec_id tie-break), replayed verbatim in the oracle. A
+    // rank, not a modulus filter (ADVICE r15): the filter form's count
+    // is only ~`entries` in expectation and can select ZERO entry points
+    // on an unlucky corpus — a silently empty serve — while top-k by
+    // hash is exactly `entries` for any nonempty corpus, plans as
+    // TakeOrderedAndProject (per-partition top-k, no global sort), and
+    // needs no corpus count at all (one fewer Spark job per serve).
+    val entry = emb
+      .orderBy(((col("vec_id") * 1103515245L + 12345L) % 2147483647L).asc,
+        col("vec_id").asc)
+      .limit(entries)
     val wBeam = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     def ranked(cand: DataFrame, keep: Int): DataFrame =
@@ -1829,7 +1836,10 @@ object EmbeddingSearch {
     emb.select(explode(lshBandKeys(lshSignature(col("v"), nPlanes), bands,
         nPlanes / bands)).as("band"))
       .groupBy("band").agg(count(lit(1)).as("c"))
-      .agg(sum((col("c") * (col("c") - lit(1))) / lit(2)).cast("long"))
+      // sum over zero rows is NULL — coalesce so an empty corpus probes
+      // to 0 instead of an NPE (ADVICE r15)
+      .agg(coalesce(sum((col("c") * (col("c") - lit(1))) / lit(2)), lit(0L))
+        .cast("long"))
       .collect()(0).getLong(0)
   }
 
@@ -3689,9 +3699,23 @@ object EmbeddingSearch {
       !e.getPath.getName.startsWith(".")
 
   def extendIvfIndex(indexPath: String, newVecs: DataFrame,
-      autoCompact: Boolean = true): Unit = {
+      autoCompact: Boolean = true, idempotenceToken: Option[String] = None): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    // IDEMPOTENCE under at-least-once replay (ADVICE r15): a caller that
+    // supplies a batch token (the streaming ingest loop) gets exactly-once
+    // extend semantics — the token is recorded in the `_BATCH` marker
+    // BETWEEN the data appends and the `_DONE` recommit, so a replay of an
+    // already-applied batch is recognized and skipped instead of silently
+    // double-appending its vec_ids. Token-match with `_DONE` down means
+    // the previous attempt crashed AFTER all appends but BEFORE the final
+    // recommit — the one crash state that is provably complete — so the
+    // replay self-heals by recommitting `_DONE` rather than refusing.
+    val batchMarker = new org.apache.hadoop.fs.Path(indexPath, "_BATCH")
+    if (idempotenceToken.exists(t => Markers.token(fs, batchMarker) == t)) {
+      if (!fs.exists(done)) Markers.commit(fs, done)
+      return
+    }
     val committed = Seq("cent", "ivf")
       .map(t => new org.apache.hadoop.fs.Path(indexPath, s"$t/_SUCCESS"))
     require(committed.forall(fs.exists),
@@ -3821,6 +3845,10 @@ object EmbeddingSearch {
         .repartition(col("ib"))
         .write.mode("append").partitionBy("ib").parquet(s"$indexPath/idmap")
     } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
+    // the _BATCH record lands after every append and before the _DONE
+    // recommit — see the idempotence note at entry for why this ordering
+    // closes the replay window on both sides
+    idempotenceToken.foreach(t => Markers.commitValue(fs, batchMarker, t))
     Markers.commit(fs, done)
     // the staleness rule fires AFTER the append commits (the grown count
     // is what drifts) — extend stays legal, the warning names the remedy

@@ -28,10 +28,36 @@ object Markers {
     * unique token — the one write every build/extend/compact/forget/
     * retrain commit path runs. Overwrites: the marker's job is to
     * CHANGE on every commit.
+    *
+    * The token is written to a sibling temp path and renamed over `p`
+    * (ADVICE r15): `fs.create(p, true)` truncates in place, so a
+    * concurrent [[token]] reader in the create→write window would see a
+    * zero-length marker and take the legacy-mtime branch — briefly
+    * reintroducing the coarse-mtime collision the tokens exist to
+    * remove. `FileContext.rename(OVERWRITE)` is the atomic-overwrite
+    * API on HDFS-compat filesystems, so readers observe either the
+    * previous complete token or the new one — never a truncated,
+    * partial, or absent marker.
     */
-  def commit(fs: FileSystem, p: Path): Unit = {
-    val out = fs.create(p, true)
-    try out.write(freshToken().getBytes("UTF-8")) finally out.close()
+  def commit(fs: FileSystem, p: Path): Unit = commitValue(fs, p, freshToken())
+
+  /** Write a CALLER-supplied token into the marker at `p` with the same
+    * atomic temp+rename publish as [[commit]] — the idempotence-marker
+    * write (`_BATCH`): streaming extend loops record the last-applied
+    * batch token so an at-least-once foreachBatch replay can recognize
+    * an already-committed batch (ADVICE r15). The value must stay out of
+    * [[token]]'s reserved ranges so marker states remain disjoint.
+    */
+  def commitValue(fs: FileSystem, p: Path, value: String): Unit = {
+    require(value.nonEmpty && value != "absent" && !value.startsWith("mtime:"),
+      s"marker value '$value' collides with a reserved token range")
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.${ctr.incrementAndGet()}_${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The marker's commit token: its contents when non-empty (r15+

@@ -257,7 +257,9 @@ object SimilarityJoin {
     val rows = probe
       .groupBy("t").agg(count(lit(1)).as("p"))
       .join(dfT, "t")
-      .agg(sum(col("p") * col("df")).cast("long"))
+      // sum over zero rows is NULL — coalesce so an empty corpus probes
+      // to 0 instead of an NPE (ADVICE r15)
+      .agg(coalesce(sum(col("p") * col("df")), lit(0L)).cast("long"))
       .collect()(0).getLong(0)
     // survivors of the size + positional pruning — what actually reaches
     // the array prefilter in [[containmentPairs]]

@@ -1422,9 +1422,21 @@ object TextAnalysis {
     * extend-after-forget is legal (spec-pinned).
     */
   def extendBm25Index(indexPath: String, newDocs: DataFrame,
-      autoCompact: Boolean = true): Unit = {
+      autoCompact: Boolean = true, idempotenceToken: Option[String] = None): Unit = {
     val done = new org.apache.hadoop.fs.Path(indexPath, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    // idempotence under at-least-once replay (ADVICE r15) — the
+    // extendIvfIndex contract verbatim: a caller-supplied batch token is
+    // recorded in `_BATCH` between the appends and the `_DONE` recommit;
+    // a replayed batch whose token already matches is skipped (with the
+    // self-healing recommit when the crash landed between the two marker
+    // writes) instead of silently doubling its terms' tf/df/dl.
+    val batchMarker = new org.apache.hadoop.fs.Path(indexPath, "_BATCH")
+    if (idempotenceToken.exists(t =>
+        graft.operators.Markers.token(fs, batchMarker) == t)) {
+      if (!fs.exists(done)) graft.operators.Markers.commit(fs, done)
+      return
+    }
     val committed = Seq("postings", "doclens", "fwd")
       .map(t => new org.apache.hadoop.fs.Path(indexPath, s"$t/_SUCCESS"))
     require(committed.forall(fs.exists),
@@ -1484,6 +1496,9 @@ object TextAnalysis {
       fwdProjection(batch)
         .write.mode("append").partitionBy("db").parquet(s"$indexPath/fwd")
     } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
+    // _BATCH lands after every append, before the _DONE recommit (the
+    // extendIvfIndex ordering — closes the replay window on both sides)
+    idempotenceToken.foreach(t => Markers.commitValue(fs, batchMarker, t))
     Markers.commit(fs, done)
     // AUTO-COMPACTION (r14, the IVF extend discipline applied to the
     // lexical artifact): each extend leaves one file set per touched

@@ -188,6 +188,17 @@ object Tables {
     * on this at all — index dirs key off the `_DONE` commit TOKEN
     * ([[graft.operators.Markers]]), which changes on every commit by
     * construction.
+    *
+    * The "near-certainty" is hardened with a cheap CONTENT signal
+    * (ADVICE r15): the last 8 bytes of each file fold into the hash —
+    * for parquet that is the footer-length word + magic, which differs
+    * whenever the metadata (row counts, column stats) differs, so an
+    * in-place regeneration that happens to reproduce identical
+    * part-file names AND byte lengths still invalidates. The tail read
+    * is memoized per (path, len, mtime) so steady-state fingerprints
+    * stay listing-only — mtime keys the MEMO, never the fingerprint: a
+    * copied/restored tree re-reads its tails once, finds the same
+    * bytes, and keeps its fingerprint (pinned in ArtifactKeySpec).
     */
   /** The embeddings table's row count, memoized per dataset fingerprint
     * (r15): every count-gated auto default (MIPS/hybrid/kNN-join) pays
@@ -226,8 +237,33 @@ object Tables {
         fs.listStatus(st.getPath).toSeq.sortBy(_.getPath.getName).flatMap(walk)
       else Seq(st)
     walk(fs.getFileStatus(root)).foldLeft(17L) { (acc, st) =>
-      (acc * 31 + st.getPath.getName.hashCode) * 31 + st.getLen
+      ((acc * 31 + st.getPath.getName.hashCode) * 31 + st.getLen) * 31 +
+        tailSignal(fs, st)
     }
+  }
+
+  /** Per-file content signal for [[datasetFingerprint]]: a hash of the
+    * file's last 8 bytes (parquet: footer-length + magic), memoized per
+    * (path, len, mtime) so repeat fingerprints of an unchanged tree cost
+    * zero reads. Bounded: entries are tiny and keyed by live fixture
+    * files; a long-lived session touches a fixed set of tables.
+    */
+  private val tailSigMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def tailSignal(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long = {
+    if (st.getLen == 0) return 0L
+    val key = s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+    val cached = tailSigMemo.get(key)
+    if (cached != null) return cached.longValue()
+    val n = math.min(8L, st.getLen).toInt
+    val buf = new Array[Byte](n)
+    val in = fs.open(st.getPath)
+    try { in.seek(st.getLen - n); in.readFully(buf) } finally in.close()
+    val sig = buf.foldLeft(1125899906842597L)((h, b) => h * 31 + b)
+    tailSigMemo.put(key, sig)
+    sig
   }
 
   /** Delete fixture dirs under `parent` whose name is `prefix` + a STALE

@@ -778,9 +778,18 @@ object StreamingOps {
     * against corpus + batches 1..N with ALL the batch lifecycle's
     * invariants intact — one code path, not a streaming fork. Crash
     * mid-extend leaves `_DONE` down and the next batch's extend refuses
-    * loudly (the crash contract; rebuild remedy in the message) — the
-    * loop never silently double-appends. Sink rows: (query_id, vec_id,
-    * cosine, rank ≤ k).
+    * loudly (the crash contract; rebuild remedy in the message), and
+    * foreachBatch's at-least-once REPLAY of an already-committed batch
+    * is recognized and skipped via the batch token recorded in the
+    * index's `_BATCH` marker (ADVICE r15 — `extendIvfIndex`'s
+    * `idempotenceToken`; a restart after the extend commits but before
+    * the stream checkpoint advances re-delivers the batch, and without
+    * the token the same vec_ids would silently append twice) — the loop
+    * never silently double-appends under either crash OR replay. The
+    * token is the batchId, so the loop assumes ONE ingest stream per
+    * index — the same single-writer contract concurrent extends already
+    * require (`_DONE` is down for an extend's whole duration). Sink
+    * rows: (query_id, vec_id, cosine, rank ≤ k).
     */
   def knnIngestAgainstIvfIndex(vecs: DataFrame, indexPath: String,
       k: Int = 3, nprobe: Int = 2, extendIndex: Boolean = false)(
@@ -794,7 +803,8 @@ object StreamingOps {
           val others = b.columns.filterNot(Set("vec_id", "embedding")).map(col)
           graft.operators.EmbeddingSearch.extendIvfIndex(indexPath,
             b.select(Seq(col("vec_id"),
-              transform(col("embedding"), x => x.cast("double")).as("v")) ++ others: _*))
+              transform(col("embedding"), x => x.cast("double")).as("v")) ++ others: _*),
+            idempotenceToken = Some(s"batch_$batchId"))
           graft.operators.EmbeddingSearch.ensureFreshIvfIndex(
             b.sparkSession, indexPath)
         }
@@ -813,7 +823,11 @@ object StreamingOps {
     * appended doclens row stores, so a sink-side audit can reconcile
     * what landed in the artifact without reading it back. Crash
     * mid-extend leaves `_DONE` down; the next batch refuses loudly
-    * (the crash contract — never a silent partial append).
+    * (the crash contract — never a silent partial append), and a
+    * foreachBatch REPLAY of an already-committed batch is skipped via
+    * the `_BATCH` batch token (the knnIngestAgainstIvfIndex contract —
+    * at-least-once delivery never doubles a batch's terms' tf/df/dl;
+    * single ingest stream per index assumed, as for any extend).
     */
   def bm25IngestExtendIndex(docs: DataFrame, indexPath: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -823,7 +837,8 @@ object StreamingOps {
         val annotated = b.withColumn("n_tokens",
           size(graft.functions.TextFunctions.tokenize(col("text"))))
         sink(annotated, batchId)
-        graft.operators.TextAnalysis.extendBm25Index(indexPath, b)
+        graft.operators.TextAnalysis.extendBm25Index(indexPath, b,
+          idempotenceToken = Some(s"batch_$batchId"))
       } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)
     }
 

@@ -46,6 +46,40 @@ class ArtifactKeySpec extends AnyFunSuite {
       "regenerated content must invalidate the fingerprint")
   }
 
+  test("datasetFingerprint invalidates on a same-name same-size content rewrite (tail signal)") {
+    // the ADVICE r15 hardening: an in-place regeneration that reproduces
+    // identical part-file names AND byte lengths must still invalidate —
+    // names+sizes alone cannot see it, the tail signal can
+    val root = java.nio.file.Files.createTempDirectory("graft_fptail").toString
+    val f = java.nio.file.Paths.get(root, "part-00000")
+    java.nio.file.Files.write(f, "content-A".getBytes("UTF-8"))
+    val fp0 = Tables.datasetFingerprint(root)
+    java.nio.file.Files.write(f, "content-B".getBytes("UTF-8")) // same length
+    // force a DIFFERENT mtime: the tail memo is (path, len, mtime)-keyed,
+    // and a rewrite landing in the same millisecond tick would hide
+    // behind the memo (real regenerations always move mtime)
+    f.toFile.setLastModified(f.toFile.lastModified() + 5000)
+    assert(Tables.datasetFingerprint(root) != fp0,
+      "same-size in-place regeneration must invalidate via the tail signal")
+  }
+
+  test("commitValue publishes atomically, rejects reserved ranges, and round-trips through token") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    val dir = java.nio.file.Files.createTempDirectory("graft_cv").toString
+    val p = new org.apache.hadoop.fs.Path(dir, "_BATCH")
+    Markers.commitValue(fs, p, "batch_7")
+    assert(Markers.token(fs, p) == "batch_7")
+    Markers.commitValue(fs, p, "batch_8")
+    assert(Markers.token(fs, p) == "batch_8")
+    // no leftover temp files from the staged rename
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .forall(_.getPath.getName == "_BATCH"))
+    // reserved token ranges stay disjoint from caller values
+    for (bad <- Seq("", "absent", "mtime:123"))
+      intercept[IllegalArgumentException](Markers.commitValue(fs, p, bad))
+  }
+
   test("commit tokens change per commit even inside one mtime tick; legacy empty markers fall back to mtime") {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       org.apache.spark.sql.GraftShim.sessionHadoopConf())

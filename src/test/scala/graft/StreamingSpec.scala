@@ -1977,6 +1977,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(rootA, "_DONE")),
       "loop left the BM25 index uncommitted")
   }
+
+  test("extend idempotence tokens: a replayed batch never double-appends; crash between _BATCH and _DONE self-heals") {
+    // ADVICE r15 (medium): foreachBatch is at-least-once — a restart
+    // after the extend commits but before the stream checkpoint advances
+    // REPLAYS the batch. The `idempotenceToken` contract makes the
+    // replayed extend a recognized no-op for both index families, and
+    // the one provably-complete crash state (token recorded, _DONE not
+    // yet recommitted) self-heals instead of refusing.
+    import graft.operators.{EmbeddingSearch, TextAnalysis}
+    def vec(seed: Int): Seq[Float] =
+      (0 until 8).map(d => if (d == seed % 8) 1f else 0.01f)
+    val baseV = (0L to 7L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val root = java.nio.file.Files.createTempDirectory("graft_replay").toString + "/idx"
+    EmbeddingSearch.buildIvfIndex(baseV, root, nClusters = 4)
+    val batch = Seq((100L, vec(2)), (101L, vec(3))).toDF("vec_id", "embedding")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    EmbeddingSearch.extendIvfIndex(root, batch, idempotenceToken = Some("batch_0"))
+    def ivfCount(): Long = spark.read.parquet(s"$root/ivf").count()
+    val after1 = ivfCount()
+    // the foreachBatch replay: same batchId token → skipped, zero new rows
+    EmbeddingSearch.extendIvfIndex(root, batch, idempotenceToken = Some("batch_0"))
+    assert(ivfCount() == after1, "replayed extend double-appended its vec_ids")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    val done = new org.apache.hadoop.fs.Path(root, "_DONE")
+    // crash window: _BATCH recorded, _DONE recommit lost — the replay
+    // must recognize the complete append and just recommit _DONE
+    fs.delete(done, false)
+    EmbeddingSearch.extendIvfIndex(root, batch, idempotenceToken = Some("batch_0"))
+    assert(fs.exists(done), "self-heal recommit of _DONE did not happen")
+    assert(ivfCount() == after1, "self-heal path re-appended the batch")
+    // a NEW batch id extends normally
+    EmbeddingSearch.extendIvfIndex(root,
+      Seq((102L, vec(4))).toDF("vec_id", "embedding")
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v")),
+      idempotenceToken = Some("batch_1"))
+    assert(ivfCount() == after1 + 1)
+    // tokenless callers (batch deployments) keep pre-r16 semantics: the
+    // extend always applies, whatever _BATCH says
+    EmbeddingSearch.extendIvfIndex(root,
+      Seq((103L, vec(5))).toDF("vec_id", "embedding")
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v")))
+    assert(ivfCount() == after1 + 2)
+
+    // the BM25 twin: replay skipped, tf/df/dl never doubled
+    val broot = java.nio.file.Files.createTempDirectory("graft_replayb").toString + "/idx"
+    TextAnalysis.buildBm25Index(
+      Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"), broot)
+    val bbatch = Seq((10L, "alpha zeta zeta")).toDF("doc_id", "text")
+    TextAnalysis.extendBm25Index(broot, bbatch, idempotenceToken = Some("batch_0"))
+    def dl10(): Long = spark.read.parquet(s"$broot/doclens")
+      .where($"doc_id" === 10L).select($"dl".cast("long")).as[Long].collect().sum
+    assert(dl10() == 3L)
+    TextAnalysis.extendBm25Index(broot, bbatch, idempotenceToken = Some("batch_0"))
+    assert(dl10() == 3L, "replayed BM25 extend doubled doc 10's dl")
+    val bdone = new org.apache.hadoop.fs.Path(broot, "_DONE")
+    fs.delete(bdone, false)
+    TextAnalysis.extendBm25Index(broot, bbatch, idempotenceToken = Some("batch_0"))
+    assert(fs.exists(bdone) && dl10() == 3L,
+      "BM25 self-heal path drifted from the IVF contract")
+  }
 }
 
 object StreamingSpec {
