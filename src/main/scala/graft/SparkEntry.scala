@@ -256,11 +256,21 @@ object SparkEntry {
     // tau is data-dependent: the synthetic embeddings carry no true
     // near-dups (max candidate cosine ≈ 0.48), so the entry runs at 0.4 to
     // exercise the full bucket→verify path with non-trivial output.
-    // DEFAULT = the DEPLOYMENT shape: LSH width sized from the corpus count
-    // by the lshRowsPerBand occupancy rule (8 bands × rpb bits, rpb = min r
-    // with 32·2^r ≥ N) — holds candidate volume linear in N instead of the
-    // measured fixed-width x16 cliff (24×); oracle replays the derivation
+    // DEFAULT = the COUNT-GATED auto (r16, the r15 verdict's top item):
+    // the pairs-recall eval measured NO inversion — the cells arm wins
+    // recall at every point (0.91-0.99 vs the banded 0.16-0.35, the
+    // sign-LSH moderate-angle ceiling) and the wall past 32k-128k — so
+    // the measured gate is 0 and the auto serves the cells arm from the
+    // first vector; the oracle is the count-gated UNION ALL of both
+    // arm replays (the knnJoinAuto discipline)
     "dedup_embedding" -> ((s, dir) =>
+      EmbeddingSearch.cosineNearDupPairsAuto(s, dir, tau = 0.4,
+        sizedKmeansIndexDirFor(dir))),
+    // the demoted occupancy-sized BANDED arm (8 bands × rpb bits, rpb =
+    // min r with 32·2^r ≥ N): linear candidate volume, but probe-pair
+    // recall ≤ 0.35 measured at τ=0.4 — kept as an explicit arm for
+    // high-τ corpora where sign bands do hold
+    "dedup_embedding_banded" -> ((s, dir) =>
       EmbeddingSearch.cosineNearDupPairsScaled(s, dir, tau = 0.4)),
     // the fixed 16-value band config, kept as an explicitly-named variant:
     // fine for a known-small static corpus, carries the measured x16 cliff
@@ -270,11 +280,15 @@ object SparkEntry {
     // banded candidates measured 15.5x on 4x data on the clustered
     // corpus — cluster mass the occupancy rule cannot hold — while the
     // cells bound is nprobe*N/cells ~ 2sqrt(N)/vector, 45x fewer at
-    // 128k). Explicit arm now; the default flip to a count-gated auto
-    // waits for the measured wall+recall inversion (the knnJoinCells ->
-    // knnJoinAuto sequence)
+    // 128k). Since r16 also the auto default's selected arm at every N.
     "dedup_embedding_cells" -> ((s, dir) =>
       EmbeddingSearch.cosineNearDupPairsCells(s, dir, tau = 0.4,
+        sizedKmeansIndexDirFor(dir))),
+    // the gated evidence for the default flip: probe-pair recall of the
+    // auto against the exact τ-set on 100 probe vectors (the
+    // embed_*_recall discipline applied to PAIR retrieval)
+    "dedup_embedding_pairs_recall" -> ((s, dir) =>
+      EmbeddingSearch.cosineNearDupPairsAutoRecall(s, dir, tau = 0.4,
         sizedKmeansIndexDirFor(dir))),
     // SemDeDup (Abbas et al. '23): EXACT within-cell cosine pruning over
     // the trained partition itself — recall inside a cell is 1 by
@@ -2774,6 +2788,72 @@ object SparkEntry {
   private val knnJoinCellsSql: String = knnJoinCellsSqlGatedBy("TRUE")
   private val knnJoinBandedSql: String = knnJoinBandedSqlGatedBy("TRUE")
 
+  /** The BANDED near-dup PAIRS replay (occupancy-sized tb=32 banding,
+    * a<b candidate normalization, exact cosine ≥ τ verify) — the one
+    * copy the `_banded` entry and the auto's small-corpus arm share.
+    * `gate` empties the source scan for a discarded UNION arm. */
+  private def dedupEmbBandedSqlGatedBy(gate: String): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings WHERE $gate),
+       |$vecBandCtesScaled,
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM vbands a JOIN vbands b ON a.band = b.band AND a.vec_id < b.vec_id),
+       |s AS (SELECT cand.vec_a, cand.vec_b,
+       |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+       |  FROM cand JOIN e ea ON cand.vec_a = ea.vec_id
+       |            JOIN e eb ON cand.vec_b = eb.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin
+
+  /** The IVF-CELL near-dup PAIRS replay (sized Lloyd prefix + the cells
+    * graph's two-sided candidate union verbatim, pairs normalized a<b,
+    * exact cosine ≥ τ verify) — shared by the `_cells` entry and the
+    * auto default's at-scale arm. */
+  private def dedupEmbCellsSqlGatedBy(gate: String): String =
+    s"""WITH ${kmSizedTrainCtesGatedBy(gate)},
+       |$cellsCandCtes,
+       |pr AS (SELECT DISTINCT least(vec_id, nbr_id) AS vec_a,
+       |  greatest(vec_id, nbr_id) AS vec_b FROM cand),
+       |s AS (SELECT pr.vec_a, pr.vec_b,
+       |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
+       |  FROM pr JOIN e ea ON pr.vec_a = ea.vec_id
+       |          JOIN e eb ON pr.vec_b = eb.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin
+
+  /** The AUTO near-dup PAIRS oracle (r16): the SAME count(*) gate the
+    * Spark side branches on, pushed into each arm's source scan so the
+    * deselected arm's pipeline — the sized Lloyd replay in particular —
+    * runs over ZERO rows. Exactly one arm is non-empty for any corpus,
+    * so the union IS the selected method's result. Reads the LIVE
+    * crossover so a `GRAFT_XOVER_DEDUPEMB` override flows into the
+    * dumped SQL (the hybrid-oracle discipline).
+    */
+  private def dedupEmbAutoSql: String = {
+    val xover = graft.operators.EmbeddingSearch.dedupEmbeddingCellsCrossover
+    val below = s"(SELECT count(*) FROM embeddings) < $xover"
+    val atOrAbove = s"(SELECT count(*) FROM embeddings) >= $xover"
+    s"""SELECT * FROM (${dedupEmbBandedSqlGatedBy(below)})
+       |UNION ALL
+       |SELECT * FROM (${dedupEmbCellsSqlGatedBy(atOrAbove)})""".stripMargin
+  }
+
+  /** Probe-pair recall replay: the exact τ-set on the probe vectors
+    * (|P|·N brute cosines, pairs normalized a<b by construction since
+    * vec_b > vec_a = probe id) left-joined with the arm's replay
+    * restricted to probe-anchored pairs — the recallSqlOf shape on the
+    * PAIRS contract. Probes with an empty exact τ-set carry no row.
+    */
+  private def pairsRecallSqlOf(approxSql: String, tau: Double = 0.4,
+      nProbes: Int = 100): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |p AS (SELECT vec_id AS pa, v AS va FROM e WHERE vec_id < $nProbes),
+       |ex AS (SELECT p.pa AS vec_a, e.vec_id AS vec_b FROM p JOIN e ON e.vec_id > p.pa
+       |       WHERE round(${cosineSql("p.va", "e.v")}, 6) >= $tau),
+       |ap AS (SELECT vec_a, vec_b FROM ($approxSql) WHERE vec_a < $nProbes)
+       |SELECT ex.vec_a AS vec_id, count(*) AS n_exact, count(ap.vec_b) AS n_hit,
+       |  round(count(ap.vec_b)::DOUBLE / count(*)::DOUBLE, 6) AS recall
+       |FROM ex LEFT JOIN ap ON ex.vec_a = ap.vec_a AND ex.vec_b = ap.vec_b
+       |GROUP BY 1""".stripMargin
+
   /** The GRAPH-NAVIGATED serve replay (r15): the sized-Lloyd quantizer
     * prefix and the cells-graph candidates verbatim, ranked to the
     * out-degree-`kBuild` navigable graph, then the deterministic walk —
@@ -4662,26 +4742,17 @@ object SparkEntry {
     // the IVF-cell arm: the sized-Lloyd prefix + the cells graph's
     // two-sided candidate union (cellsCandCtes verbatim), pairs
     // normalized a<b, exact cosine >= tau verify
-    "dedup_embedding_cells" ->
-      s"""WITH $kmSizedTrainCtes,
-         |$cellsCandCtes,
-         |pr AS (SELECT DISTINCT least(vec_id, nbr_id) AS vec_a,
-         |  greatest(vec_id, nbr_id) AS vec_b FROM cand),
-         |s AS (SELECT pr.vec_a, pr.vec_b,
-         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
-         |  FROM pr JOIN e ea ON pr.vec_a = ea.vec_id
-         |          JOIN e eb ON pr.vec_b = eb.vec_id)
-         |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
-    "dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |$vecBandCtesScaled,
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM vbands a JOIN vbands b ON a.band = b.band AND a.vec_id < b.vec_id),
-         |s AS (SELECT cand.vec_a, cand.vec_b,
-         |  round(${cosineSql("ea.v", "eb.v")}, 6) AS cosine
-         |  FROM cand JOIN e ea ON cand.vec_a = ea.vec_id
-         |            JOIN e eb ON cand.vec_b = eb.vec_id)
-         |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
+    "dedup_embedding_cells" -> dedupEmbCellsSqlGatedBy("TRUE"),
+    "dedup_embedding_banded" -> dedupEmbBandedSqlGatedBy("TRUE"),
+    // the AUTO default (r16): the same count(*) gate the Spark side
+    // branches on, pushed into each arm's source CTE (the knnJoinAutoSql
+    // discipline) — the measured gate is 0, so the banded arm's pipeline
+    // runs over ZERO rows and the union IS the cells replay
+    "dedup_embedding" -> dedupEmbAutoSql,
+    // probe-pair recall of the auto vs the exact τ-set: the brute side is
+    // |P|·N exact cosines over the 100 probe vectors, the approx side the
+    // auto union replay restricted to probe-anchored pairs
+    "dedup_embedding_pairs_recall" -> pairsRecallSqlOf(dedupEmbAutoSql),
     // SemDeDup: the sized Lloyd replay (the one trained-quantizer
     // contract), then the EXACT within-cell pair scan and keep-earliest —
     // a vector is dropped iff some lower-id cell-mate clears tau.

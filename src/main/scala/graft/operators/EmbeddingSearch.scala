@@ -700,7 +700,9 @@ object EmbeddingSearch {
       targetBucket: Int = 32, bands: Int = 8, maxBucket: Int = 1 << 17,
       tileOversized: Boolean = false): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val rpb = lshRowsPerBand(emb.count(), targetBucket)
+    // memoized per dataset fingerprint (r16) — the branch-gate discipline:
+    // an unchanged corpus pays a map lookup, not a count job per call
+    val rpb = lshRowsPerBand(Tables.embeddingsCount(spark, dir), targetBucket)
     // bucket-local since r9 (row-identical to cosineNearDupPairsFor,
     // spec-pinned) — the clustered-bucket candidate volume stays
     // arithmetic instead of shuffled vector-carrying edges
@@ -736,6 +738,122 @@ object EmbeddingSearch {
     val np = if (nprobe > 0) nprobe else cellsNprobeFor(n, cells)
     pairsOverKernelFrame(cellTaggedVectors(emb, cent, np), tau, maxBucket,
       "raise the cell count (ivfCellCount) or lower nprobe")
+  }
+
+  /** Measured banded-vs-cells crossover for the near-dup PAIRS default
+    * (r16, the r15 verdict's top item — the knnJoinCells → knnJoinAuto
+    * sequence applied to the one family default that still served a
+    * measured-slower plan). The pairs-recall eval ANSWERED the open
+    * recall question with "no inversion exists": probe-pair recall vs
+    * the exact τ=0.4 set on 100 probe vectors (SCALING.md r16
+    * dedup-pairs table; micro = Σhit/Σexact, warm min-of-2 walls):
+    *
+    *   x1  n=2k:   banded 0.349 @ 1.45 s   cells 0.907 @ 1.25 s
+    *   x4  n=8k:   banded 0.164 @ 0.75 s   cells 0.940 @ 1.17 s
+    *   x16 n=32k:  banded 0.164 @ 2.12 s   cells 0.987 @ 2.61 s
+    *   x64 n=128k: banded 0.172 @ 16.1 s   cells 0.980 @ 14.2 s
+    *
+    * Unlike the kNN-graph family (where banded WINS recall at x1 and
+    * the 4096 gate marks a real flip), the banded arm never wins a
+    * measured point on either axis that matters: sign-LSH at τ=0.4
+    * cannot hold moderate-angle pair recall at ANY occupancy width —
+    * per-plane collision (1−θ/π) ≈ 0.63, so even the rpb=4 floor tops
+    * 8 bands out at ≈ 1−(1−0.63⁴)⁸ ≈ 0.75, decaying as the rule widens
+    * with N — while the cells arm holds ≥ 0.91 everywhere and wins the
+    * wall past 32k–128k. The measured gate position is therefore 0:
+    * the cells arm serves from the first vector. The count-gate
+    * machinery stays (override, UNION-ALL oracle, boundary specs) so
+    * both arms remain hash-gated and the constant can move on
+    * measurement if a corpus family ever shows a real inversion.
+    */
+  val DedupEmbeddingCellsCrossoverDefault: Long = 0
+
+  /** TEST-ONLY override of [[dedupEmbeddingCellsCrossover]] — the
+    * [[mipsCellsCrossoverOverride]] discipline: lets specs and a local
+    * Verify run (`GRAFT_XOVER_DEDUPEMB`) exercise the at-scale arm and
+    * the exact boundary on the small fixture, with the override flowing
+    * into the dumped oracle SQL so the hash gate covers both arms. */
+  @volatile private[graft] var dedupEmbeddingCellsCrossoverOverride: Option[Long] =
+    sys.env.get("GRAFT_XOVER_DEDUPEMB").map(_.toLong)
+
+  def dedupEmbeddingCellsCrossover: Long =
+    dedupEmbeddingCellsCrossoverOverride.getOrElse(DedupEmbeddingCellsCrossoverDefault)
+
+  /** The COUNT-GATED near-dup PAIRS default (r16): below
+    * [[dedupEmbeddingCellsCrossover]] vectors, the occupancy-sized
+    * banded arm ([[cosineNearDupPairsScaled]]); at or above it, the
+    * IVF-cell arm ([[cosineNearDupPairsCells]] — bounded candidates
+    * nprobe·N/cells, and the only arm whose probe-pair recall holds as
+    * the τ-graph densifies). The measured default gate is 0 — the
+    * cells arm everywhere (see [[DedupEmbeddingCellsCrossoverDefault]]
+    * for the no-inversion recall table) — so the banded branch is
+    * test/override surface plus the re-positioning hook. Method
+    * selection from one memoized metadata count, both arms keep their
+    * explicit names (`dedup_embedding_banded` / `dedup_embedding_cells`),
+    * and the branch is mirrored in the DuckDB oracle as a count-gated
+    * UNION ALL of the two replays.
+    */
+  def cosineNearDupPairsAuto(spark: SparkSession, dir: String, tau: Double,
+      indexPath: String): DataFrame = {
+    val n = Tables.embeddingsCount(spark, dir)
+    if (n < dedupEmbeddingCellsCrossover) cosineNearDupPairsScaled(spark, dir, tau)
+    else cosineNearDupPairsCells(spark, dir, tau, indexPath)
+  }
+
+  /** Probe-pair recall of the auto default — the gated evidence that the
+    * selected arm's recall equals the auto's everywhere (the
+    * knnJoinAutoRecall discipline on the pairs contract). */
+  def cosineNearDupPairsAutoRecall(spark: SparkSession, dir: String,
+      tau: Double, indexPath: String, nProbes: Int = 100): DataFrame =
+    nearDupPairsRecall(spark, dir,
+      cosineNearDupPairsAuto(spark, dir, tau, indexPath), tau, nProbes)
+
+  /** Exact probe-pair ground truth for the near-dup PAIRS recall eval
+    * (r16, the r15 verdict's top item): every unordered pair
+    * (vec_a < vec_b, cosine ≥ tau) whose LOWER end is a probe vector
+    * (vec_a < nProbes). Because pairs are normalized a < b, "either end
+    * in the probe set" reduces to this one predicate. Brute cost is
+    * |P|·N exact cosines via a broadcast of the ≤ nProbes probe rows —
+    * the bruteForceTopK discipline applied to the τ-set contract, so
+    * the ground truth stays bounded at any corpus scale.
+    */
+  def nearDupPairsBrute(spark: SparkSession, dir: String, tau: Double,
+      nProbes: Int = 100): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val probes = emb.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"))
+    emb.join(broadcast(probes), col("vec_id") > col("vec_a"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"),
+        round(cosine(col("va"), col("v")), 6).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
+  /** PAIRS recall of a near-dup arm against the exact τ-set on the probe
+    * vectors — the `embed_*_recall` discipline applied to PAIR retrieval
+    * (the r15 verdict's open question for the banded/cells gate: the two
+    * arms find DIFFERENT pair sets, so the wall inversion alone cannot
+    * justify a default flip). Per probe vector with a nonempty exact
+    * τ-set: how many of its true pairs the arm retrieved. The exact side
+    * is memoized per (dataset, tau, |P|) like every other recall twin —
+    * the eval twins share one brute pass per session. Output:
+    * (vec_id, n_exact, n_hit, recall).
+    */
+  def nearDupPairsRecall(spark: SparkSession, dir: String,
+      approxPairs: DataFrame, tau: Double, nProbes: Int = 100): DataFrame = {
+    val exact = memoizedExactPairs(spark, dir, s"pairtau$tau", 0, nProbes)(
+      nearDupPairsBrute(spark, dir, tau, nProbes)
+        .select(col("vec_a").as("query_id"), col("vec_b").as("vec_id")))
+      .select(col("query_id").as("e_a"), col("vec_id").as("e_b"))
+    val approx = approxPairs.where(col("vec_a") < nProbes)
+      .select(col("vec_a").as("a_a"), col("vec_b").as("a_b"))
+    exact.join(approx,
+        exact("e_a") === approx("a_a") && exact("e_b") === approx("a_b"), "left")
+      .groupBy(col("e_a"))
+      .agg(count(lit(1)).as("n_exact"), count(col("a_b")).as("n_hit"))
+      .select(col("e_a").as("vec_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
   }
 
   /** SemDeDup-style SEMANTIC PRUNE (Abbas et al. '23): drop every vector

@@ -214,10 +214,13 @@ object ScaleBench {
     // last-recall-points opt-in) — its wall AND recall ride the curve so
     // the "recall 1.000 at ~3x the IVF wall" pricing stays measured
     "embed_knn_graph_serve",
-    // r15: the IVF-cell near-dup arm beside the banded default — the
+    // r15: the IVF-cell near-dup arm beside the banded arm — the
     // measured remedy for the banded candidate blow-up on clustered
-    // corpora (2.08B pairs at x64 vs the cells bound's ~46M)
-    "dedup_embedding_cells")
+    // corpora (2.08B pairs at x64 vs the cells bound's ~46M). r16:
+    // `dedup_embedding` above is the count-gated AUTO (gate 0 → cells);
+    // the demoted banded arm keeps its own wall row under the explicit
+    // name, the knnJoin discipline
+    "dedup_embedding_cells", "dedup_embedding_banded")
 
   /** RECALL-at-scale gate (r11 verdict stretch item): the kNN-graph
     * family's recall@3 is measured at every curve point and committed
@@ -287,7 +290,21 @@ object ScaleBench {
       graft.SparkEntry.queries("embed_mips_filtered_recall")(s, d)),
     // r15: the graph serve's recall claim, gated where it binds
     "embed_knn_graph_serve" -> ((s, d) =>
-      graft.SparkEntry.queries("embed_graph_recall")(s, d)))
+      graft.SparkEntry.queries("embed_graph_recall")(s, d)),
+    // r16: the near-dup PAIRS recall triple that gated the
+    // dedup_embedding default flip — the auto (= cells at gate 0, must
+    // read ≥ max(arms) at every point) and both arms under their
+    // explicit names, so the no-inversion evidence regresses as an
+    // artifact diff
+    "dedup_embedding" -> ((s, d) =>
+      graft.SparkEntry.queries("dedup_embedding_pairs_recall")(s, d)),
+    "dedup_embedding_banded" -> ((s, d) => graft.operators.EmbeddingSearch
+      .nearDupPairsRecall(s, d, graft.operators.EmbeddingSearch
+        .cosineNearDupPairsScaled(s, d, 0.4), 0.4)),
+    "dedup_embedding_cells" -> ((s, d) => graft.operators.EmbeddingSearch
+      .nearDupPairsRecall(s, d, graft.operators.EmbeddingSearch
+        .cosineNearDupPairsCells(s, d, 0.4,
+          graft.SparkEntry.sizedKmeansIndexDirFor(d)), 0.4)))
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these

@@ -43,6 +43,43 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "deduprecall") {
+      // r16 (the r15 verdict's top item): the banded-vs-cells PAIRS
+      // recall curve that gates the dedup_embedding default flip — per
+      // scale point, each arm's wall AND its probe-pair recall against
+      // the exact τ-set on 100 probe vectors (micro recall =
+      // Σhit/Σexact over probes; the arms find DIFFERENT pair sets, so
+      // the wall inversion alone cannot justify the flip).
+      import org.apache.spark.sql.functions._
+      import graft.operators.EmbeddingSearch
+      val tau = 0.4
+      val src = "/root/testdata/sf0.1"
+      val ks = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
+        else Seq(1, 4, 16, 64)
+      for (k <- ks) {
+        val dir = if (k == 1) src
+          else ScaleBench.scaledDocs(spark, src, k, "/tmp/graft_scale")
+        val n = graft.sources.Tables.embeddingsCount(spark, dir)
+        val idx = graft.SparkEntry.sizedKmeansIndexDirFor(dir)
+        def measure(name: String, pairs: () => org.apache.spark.sql.DataFrame): Unit = {
+          val wall = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            pairs().count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          val rec = EmbeddingSearch.nearDupPairsRecall(spark, dir, pairs(), tau)
+            .agg(sum("n_exact"), sum("n_hit"),
+              round(avg("recall"), 4), count(lit(1))).collect()(0)
+          println(f"[deduprecall] x$k n=$n $name wall=$wall%.2f s " +
+            s"exact=${rec.get(0)} hit=${rec.get(1)} " +
+            f"micro=${rec.getLong(1).toDouble / rec.getLong(0)}%.4f " +
+            s"macroAvg=${rec.get(2)} probesWithPairs=${rec.get(3)}")
+        }
+        measure("banded", () => EmbeddingSearch.cosineNearDupPairsScaled(spark, dir, tau))
+        measure("cells ", () => EmbeddingSearch.cosineNearDupPairsCells(spark, dir, tau, idx))
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "mipswall") {
       // r15 (the r14 verdict's item 1): the MIPS brute↔IVF WALL inversion,
       // measured where it actually lives. The corpus-model replication is

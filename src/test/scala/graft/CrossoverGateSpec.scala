@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{EmbeddingSearch, TextAnalysis}
 
 /** Both arms and the EXACT boundary of every count-gated auto default
-  * (r15, ADVICE r14): the production crossovers (MIPS 2^18, hybrid 65536)
+  * (r15, ADVICE r14): the production crossovers (MIPS 2^16, hybrid 65536)
   * sit far past any fixture, so without injection the at-scale branch —
   * and a boundary off-by-one in either the Spark gate or the oracle's
   * count-gated UNION ALL — would ship untested. The overrides pin the
@@ -60,6 +60,26 @@ class CrossoverGateSpec extends AnyFunSuite {
       assert(rowsOf(TextAnalysis.hybridTopKServedAuto(spark, dir, bp, ip)) == probed,
         "at the boundary the auto must serve the probed tier")
     } finally TextAnalysis.hybridProbeCrossoverOverride = saved
+  }
+
+  test("dedup-pairs auto switches banded->cells exactly at the boundary; default gate 0 serves cells") {
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val idx = SparkEntry.sizedKmeansIndexDirFor(dir)
+    val banded = rowsOf(EmbeddingSearch.cosineNearDupPairsScaled(spark, dir, 0.4))
+    val cells = rowsOf(EmbeddingSearch.cosineNearDupPairsCells(spark, dir, 0.4, idx))
+    val saved = EmbeddingSearch.dedupEmbeddingCellsCrossoverOverride
+    try {
+      EmbeddingSearch.dedupEmbeddingCellsCrossoverOverride = Some(n + 1)
+      assert(rowsOf(EmbeddingSearch.cosineNearDupPairsAuto(spark, dir, 0.4, idx)) == banded,
+        "below the crossover the auto must equal the banded arm verbatim")
+      EmbeddingSearch.dedupEmbeddingCellsCrossoverOverride = Some(n)
+      assert(rowsOf(EmbeddingSearch.cosineNearDupPairsAuto(spark, dir, 0.4, idx)) == cells,
+        "at the boundary (n == crossover) the auto must serve the cells arm")
+      EmbeddingSearch.dedupEmbeddingCellsCrossoverOverride = None
+      assert(EmbeddingSearch.dedupEmbeddingCellsCrossover == 0L &&
+        rowsOf(EmbeddingSearch.cosineNearDupPairsAuto(spark, dir, 0.4, idx)) == cells,
+        "the measured default gate (0 — no inversion exists) must serve cells everywhere")
+    } finally EmbeddingSearch.dedupEmbeddingCellsCrossoverOverride = saved
   }
 
   test("kNN-join auto switches banded->cells exactly at the boundary") {

@@ -2271,4 +2271,33 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(EmbeddingSearch.kmeansTrainings.get() == before, "range serve retrained")
     assert(again.map(r => (r._1, r._2)).toSet == probedSet)
   }
+
+  test("pairs recall: exact ground truth scores itself 1.0, subsets score proportionally, non-probe pairs are ignored") {
+    val dir = "/root/testdata/sf0.001"
+    val tau = 0.4
+    val exact = EmbeddingSearch.nearDupPairsBrute(spark, dir, tau)
+      .as[(Long, Long, Double)].collect()
+    assert(exact.nonEmpty, "fixture probe tau-set is empty — the eval is vacuous")
+    assert(exact.forall(p => p._1 < p._2 && p._1 < 100 && p._3 >= tau))
+    // the exact set fed back as the "arm" must read recall 1.0 everywhere
+    val self = EmbeddingSearch.nearDupPairsRecall(spark, dir,
+        EmbeddingSearch.nearDupPairsBrute(spark, dir, tau)
+          .select($"vec_a", $"vec_b"), tau)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(self.nonEmpty && self.forall(r => r._2 == r._3 && r._4 == 1.0),
+      "self-recall must be exactly 1.0 per probe")
+    assert(self.map(_._2).sum == exact.length,
+      "per-probe n_exact must partition the exact pair set")
+    // dropping one probe's pairs lowers ONLY that probe's recall; adding
+    // a non-probe-anchored pair changes nothing (vec_a >= nProbes is out
+    // of eval scope by the pair-normalization argument)
+    val victim = exact.head._1
+    val censored = exact.filterNot(_._1 == victim).map(p => (p._1, p._2))
+      .toSeq.toDF("vec_a", "vec_b")
+      .union(Seq((100000L, 100001L)).toDF("vec_a", "vec_b"))
+    val part = EmbeddingSearch.nearDupPairsRecall(spark, dir, censored, tau)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(part(victim)._3 == 0L && part(victim)._4 == 0.0)
+    assert(part.values.filter(_._1 != victim).forall(r => r._4 == 1.0))
+  }
 }
