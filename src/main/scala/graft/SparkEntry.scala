@@ -31,10 +31,11 @@ object SparkEntry {
     corpus
   }
 
-  /** THE derivation of a fingerprinted /tmp artifact directory — the
-    * one copy of the naming + stale-reclaim scheme every persisted
-    * index/export entry routes through:
-    * `<tmpdir>/<prefix>_<sf>_<fp(file1)>[_<fp(file2)>…]`, superseded
+  /** THE derivation of a fingerprinted artifact directory under the
+    * configurable store root ([[Tables.artifactRoot]]) — the one copy
+    * of the naming + stale-reclaim scheme every persisted index/export
+    * entry routes through:
+    * `<root>/<prefix>_<sf>_<fp(file1)>[_<fp(file2)>…]`, superseded
     * fingerprints of the same prefix reclaimed. Multiple files because
     * id-aligned twin tables (documents + embeddings) must BOTH
     * invalidate an artifact built over the pair.
@@ -45,12 +46,16 @@ object SparkEntry {
     val base = s"${prefix}_${sfName}_"
     val keep = base + files.map(f =>
       java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/$f"))).mkString("_")
-    val tmp = System.getProperty("java.io.tmpdir")
+    // the configurable artifact-store root (r16 — GRAFT_ARTIFACT_ROOT /
+    // spark.graft.artifactRoot, tmpdir default): every standing artifact
+    // derivation routes through here, so one setting moves the whole
+    // store onto a shared filesystem
+    val root = Tables.artifactRoot
     // block count anchored to files.size: a sibling dataset whose name
     // extends this one with a hex-only segment parses as MORE blocks and
     // is left alone (the sf1-vs-sf1_7a hazard)
-    Tables.cleanStaleExports(tmp, base, keep, blocks = files.size)
-    s"$tmp/$keep"
+    Tables.cleanStaleExports(root, base, keep, blocks = files.size)
+    s"$root/$keep"
   }
 
   /** One BPE training per (dataset, 8 rounds), memoized for the sweep —
@@ -212,7 +217,7 @@ object SparkEntry {
       // to the reader); the v1 wholetext path is equivalence-tested in
       // SourceSinkSpec.
       val ingested = s"$corpus.ingest.parquet"
-      if (!new java.io.File(ingested, "_SUCCESS").exists())
+      if (!Tables.markerExists(ingested, "_SUCCESS"))
         Tables.wholeTextDocumentsV2(s, corpus)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .write.mode("overwrite").parquet(ingested)
@@ -344,9 +349,8 @@ object SparkEntry {
       // format must never be served, so the tag is part of the prefix and
       // legacy-prefix dirs are reclaimed like any stale export
       val idx = fingerprintedDir(dir, "graft_dedupidx_s3h64b16k3", Seq("documents.parquet"))
-      val tmp = System.getProperty("java.io.tmpdir")
       for (legacy <- Seq(s"graft_dedupidx_h64b16k3_${sfName}_", s"graft_dedupidx_s2h64b16k3_${sfName}_"))
-        Tables.cleanStaleExports(tmp, legacy, legacy + "-")
+        Tables.cleanStaleExports(Tables.artifactRoot, legacy, legacy + "-")
       if (!Dedup.dedupIndexExists(s, idx))
         Dedup.buildDedupIndex(docs.where(col("doc_id") < split), idx)
       Dedup.dedupAgainst(idx, docs.where(col("doc_id") >= split), tau = 0.7)
@@ -742,7 +746,7 @@ object SparkEntry {
       // pre-v2 cached pairs were flattened by the old forget rewrite —
       // reclaim them (the keep marker "-" matches no fingerprint)
       val sfName = new java.io.File(dir).getName
-      Tables.cleanStaleExports(System.getProperty("java.io.tmpdir"),
+      Tables.cleanStaleExports(Tables.artifactRoot,
         s"graft_hybfgt_${sfName}_", s"graft_hybfgt_${sfName}_-")
       val root = hybridForgetDirFor(dir)
       val marker = new org.apache.hadoop.fs.Path(root, "_FORGOTTEN")
@@ -1234,7 +1238,7 @@ object SparkEntry {
       // orphans can never be served again; reclaim them too (the keep
       // marker "-" matches no hex name, so every legacy dir is stale)
       val sfName = new java.io.File(dir).getName
-      Tables.cleanStaleExports(System.getProperty("java.io.tmpdir"),
+      Tables.cleanStaleExports(Tables.artifactRoot,
         s"graft_kmidx_${sfName}_", s"graft_kmidx_${sfName}_-")
       EmbeddingSearch.kmeansTopKPersisted(s, dir, kmeansIndexDirFor(dir, 8, 2),
         nClusters = 8, iters = 2)

@@ -1585,8 +1585,16 @@ object EmbeddingSearch {
     // roundtrips the (vec_id, nbr_id) longs exactly and the build is
     // deterministic, so persisted ≡ fresh row-for-row and the oracle's
     // from-scratch replay applies verbatim.
-    val graphDir = s"$indexPath/../graft_knngraph_k${kBuild}_" +
-      java.lang.Long.toHexString(Tables.datasetFingerprint(s"$dir/embeddings.parquet"))
+    // the one fingerprinted-dir derivation (r16): the graph follows the
+    // configurable artifact root and SUPERSEDED fingerprints are
+    // reclaimed like every other standing artifact (pre-r16 the stale
+    // graph of a regenerated corpus was orphaned forever)
+    val graphDir = graft.SparkEntry.fingerprintedDir(dir,
+      s"graft_knngraph_k$kBuild", Seq("embeddings.parquet"))
+    // legacy pre-r16 layout (no dataset name in the dir, placed next to
+    // the quantizer): reclaim — a legacy graph can never be served again
+    Tables.cleanStaleExports(Tables.artifactRoot,
+      s"graft_knngraph_k${kBuild}_", s"graft_knngraph_k${kBuild}_-")
     val done = new org.apache.hadoop.fs.Path(graphDir, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     if (!fs.exists(done)) {

@@ -95,8 +95,11 @@ object Maintenance {
         cust.where(col("c_custkey") % 2 =!= 0)
           .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
           .write.mode("overwrite").parquet(s"$p/batch=1")
-        // the export-once marker only after BOTH batches landed
-        new java.io.File(p, "_SUCCESS").createNewFile()
+        // the export-once marker only after BOTH batches landed (Hadoop
+        // FS — the export dir follows the configurable artifact root)
+        val m = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+        m.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+          .create(m, true).close()
         ()
       })
     spark.read.option("mergeSchema", "true").parquet(evolved)
@@ -189,8 +192,10 @@ object Maintenance {
         spark.read.parquet(s"$dir/customer.parquet")
           .write.mode("overwrite").parquet(p)
         // one garbage member: parquet magic absent, footer unreadable
-        val bad = new java.io.FileOutputStream(
-          new java.io.File(p, "part-corrupt.parquet"))
+        // (Hadoop FS — the export dir follows the configurable root)
+        val badPath = new org.apache.hadoop.fs.Path(p, "part-corrupt.parquet")
+        val bad = badPath.getFileSystem(
+          org.apache.spark.sql.GraftShim.sessionHadoopConf()).create(badPath, true)
         bad.write(Array.tabulate[Byte](4096)(i => (i * 31 + 7).toByte))
         bad.close()
         ()

@@ -16,6 +16,46 @@ import org.apache.spark.sql.functions._
   * adding executors; there is no driver-side enumeration here).
   */
 object Tables {
+  /** THE artifact-store root (r16, the r15 verdict's item 2): every
+    * persisted standing artifact — the IVF/BM25/dedup/phash/PQ indexes,
+    * the navigable graph, the quantizers, the bucketed-table and
+    * roundtrip fixture exports — lives under ONE configurable root
+    * instead of a hard-coded `java.io.tmpdir`. Resolution order:
+    *
+    *   1. `spark.graft.artifactRoot` session conf (per-session choice),
+    *   2. `GRAFT_ARTIFACT_ROOT` env (deployment-wide choice),
+    *   3. `java.io.tmpdir` (the local-mode default — unchanged behavior).
+    *
+    * Any Hadoop-FS URI works (`hdfs://nn/graft`, `s3a://bucket/graft`,
+    * `file:/shared/graft`): the keying is already cluster-safe (`_DONE`
+    * commit tokens, FS-walk fingerprints), and every consumer — dir
+    * derivation, existence probes, stale-export reclaim — goes through
+    * the Hadoop FileSystem API, so the standing-index architecture
+    * deploys on a shared filesystem by setting one value. The root must
+    * be SHARED between driver and executors on a real cluster (executors
+    * read index partitions directly); tmpdir satisfies that only in
+    * local mode, which is why it is the default, not a recommendation.
+    */
+  @volatile private[graft] var artifactRootOverride: Option[String] = None
+
+  def artifactRoot: String =
+    artifactRootOverride
+      .orElse(SparkSession.getActiveSession
+        .flatMap(s => s.conf.getOption("spark.graft.artifactRoot")))
+      .orElse(sys.env.get("GRAFT_ARTIFACT_ROOT"))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
+  private def hadoopFs(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+
+  /** Hadoop-FS existence probe for artifact markers (`_SUCCESS`/`_DONE`)
+    * — the java.io.File probes this replaces were silently
+    * local-FS-only, which pinned the whole artifact store to tmpdir. */
+  private[graft] def markerExists(dir: String, name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    hadoopFs(p).exists(p)
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     assertExpectedSchema(name, df.schema)
@@ -132,10 +172,10 @@ object Tables {
     val src = s"$dir/$name.parquet"
     val tbl = s"graft_bkt_${name}_" + java.lang.Long.toHexString(datasetFingerprint(src))
     if (!spark.catalog.tableExists(tbl)) {
-      val tmp = System.getProperty("java.io.tmpdir")
-      cleanStaleExports(tmp, s"graft_bkt_${name}_", tbl, blocks = 1)
-      val out = s"$tmp/$tbl"
-      if (new java.io.File(out, "_SUCCESS").exists()) {
+      val root = artifactRoot
+      cleanStaleExports(root, s"graft_bkt_${name}_", tbl, blocks = 1)
+      val out = s"$root/$tbl"
+      if (markerExists(out, "_SUCCESS")) {
         val ddl = spark.read.parquet(src).schema.toDDL
         spark.sql(s"CREATE TABLE $tbl ($ddl) USING parquet " +
           s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $numBuckets BUCKETS " +
@@ -285,14 +325,14 @@ object Tables {
     * `blocks = 0` means "any count ≥ 1": legacy-prefix reclaims
     * (keepPrefix matches nothing) use it, where every match is stale by
     * definition, including sibling datasets' dirs under the dead prefix.
+    *
+    * Runs through the Hadoop FileSystem API (r16, the artifactRoot
+    * rework): reclaim honors whatever filesystem the root lives on —
+    * previously java.io.File, which on a remote root would silently
+    * never reclaim anything.
     */
   def cleanStaleExports(parent: String, prefix: String, keepPrefix: String,
       blocks: Int = 0): Unit = {
-    def deleteRec(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(deleteRec)
-      f.delete()
-    }
     // multi-file fingerprints join hex blocks with '_' (hybfgt keys on
     // documents AND embeddings) — the character class must admit them or
     // those dirs are never reclaimed
@@ -301,10 +341,13 @@ object Tables {
       else "[0-9a-f]+" + ("(_[0-9a-f]+)" * (blocks - 1))
     val staleName = ("^" + java.util.regex.Pattern.quote(prefix) +
       blockPat + "(\\.ingest\\.parquet)?$").r
-    val kids = new java.io.File(parent).listFiles()
-    if (kids != null) kids
-      .filter(f => staleName.matches(f.getName) && !f.getName.startsWith(keepPrefix))
-      .foreach(deleteRec)
+    val root = new org.apache.hadoop.fs.Path(parent)
+    val fs = hadoopFs(root)
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(st => staleName.matches(st.getPath.getName) &&
+        !st.getPath.getName.startsWith(keepPrefix))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Export a documents DataFrame as a doc-per-file text corpus, once per
@@ -317,8 +360,7 @@ object Tables {
     * observes anyway, so fixture hashes are unchanged.
     */
   def exportTextCorpus(docs: DataFrame, dir: String): Unit = {
-    val marker = new java.io.File(dir, "_SUCCESS")
-    if (marker.exists()) return
+    if (markerExists(dir, "_SUCCESS")) return
     docs.select(col("doc_id").cast("string").as("doc_id"), col("text"))
       .write.format("graft-text").mode("overwrite").save(dir)
   }
@@ -330,10 +372,10 @@ object Tables {
     */
   def exportOnce(sourceParquet: String, base: String, write: String => Unit): String = {
     val keep = base + java.lang.Long.toHexString(datasetFingerprint(sourceParquet))
-    val tmp = System.getProperty("java.io.tmpdir")
-    cleanStaleExports(tmp, base, keep, blocks = 1)
-    val out = s"$tmp/$keep"
-    if (!new java.io.File(out, "_SUCCESS").exists()) write(out)
+    val root = artifactRoot
+    cleanStaleExports(root, base, keep, blocks = 1)
+    val out = s"$root/$keep"
+    if (!markerExists(out, "_SUCCESS")) write(out)
     out
   }
 

@@ -368,8 +368,11 @@ object StreamingOps {
       try {
         val days = partials.select(col("event_day")).distinct()
           .collect().map(_.getLong(0)).toSeq
-        val exists = new java.io.File(tablePath, "_SUCCESS").exists() ||
-          new java.io.File(tablePath).isDirectory()
+        // Hadoop-FS probe (r16): the sink table may live on any
+        // filesystem, like the artifact store
+        val tp = new org.apache.hadoop.fs.Path(tablePath)
+        val exists = tp.getFileSystem(
+          org.apache.spark.sql.GraftShim.sessionHadoopConf()).exists(tp)
         val merged = if (!exists) partials else
           sp.read.parquet(tablePath)
             .where(col("event_day").isin(days: _*))
