@@ -1598,12 +1598,18 @@ object EmbeddingSearch {
     val done = new org.apache.hadoop.fs.Path(graphDir, "_DONE")
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     if (!fs.exists(done)) {
-      knnJoinCellsPersisted(spark, dir, indexPath, kBuild)
-        .select(col("vec_id"), col("nbr_id"))
-        .write.mode("overwrite").parquet(s"$graphDir/edges")
-      Markers.commit(fs, done)
+      // the full lifecycle artifact (r16): cent/verts/edges/params with
+      // the SHARED persisted sized quantizer injected (zero extra
+      // trainings, spec-pinned); edges are row-identical to the old
+      // edges-only layout, so the oracle's from-scratch replay is
+      // unchanged — and the registered graph is now extendKnnGraph-able
+      // like any deployment graph
+      val n = Tables.embeddingsCount(spark, dir)
+      val cells = ivfCellCount(n)
+      buildKnnGraphFrom(emb, ensureKmeansIndex(spark, dir, indexPath, cells, 2),
+        cellsNprobeFor(n, cells), kBuild, graphDir, n)
     }
-    val graph = spark.read.parquet(s"$graphDir/edges")
+    val graph = knnGraphEdges(spark, graphDir).select(col("vec_id"), col("nbr_id"))
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     // deterministic entry points: the `entries` LOWEST-affine-hash
@@ -1662,6 +1668,278 @@ object EmbeddingSearch {
       indexPath: String, k: Int = 5, nQueries: Int = 10): DataFrame =
     recallAgainstBrute(spark, dir,
       knnGraphServe(spark, dir, indexPath, k, nQueries), k, nQueries)
+
+  // ───── the navigable graph's ARTIFACT LIFECYCLE (r16, the r15
+  // verdict's item 3 — the last standing artifact without one) ─────
+
+  /** Build the navigable kNN graph as a SELF-CONTAINED standing artifact
+    * at `graphPath`:
+    *
+    *   cent/    the frozen quantizer (k rows — a copy, so extends never
+    *            depend on an external index dir that may be retrained
+    *            or reclaimed out from under the graph)
+    *   verts/   cl=-partitioned cell-tagged memberships
+    *            (cl, vec_id, v, is_base) — the state an exact extend
+    *            merge needs (the IVF index's ivf/ table, plus the
+    *            base/probe tag the candidate contract keys on)
+    *   edges/   hc=-partitioned adjacency (vec_id, nbr_id, cosine),
+    *            hc = the SOURCE vertex's home (argmax) cell, so an
+    *            extend rewrites only the home cells of affected
+    *            vertices — bounded by batch reach, never the corpus
+    *   params/  (k_build, nprobe, trained_n, total_n) — the frozen
+    *            candidate widths and the staleness baseline
+    *   _DONE    commit token ([[Markers]]); `_BATCH` idempotence marker
+    *            after streamed extends
+    *
+    * The quantizer and probe width are FROZEN at build (the IVF
+    * discipline): [[extendKnnGraph]] merges exactly under them, so
+    * build(all) ≡ build(prefix) + extend(batch) row-for-row at fixed
+    * (cent, nprobe) — spec-pinned — while a corpus that outgrows its
+    * quantizer gets the staleness warning naming the rebuild remedy
+    * (the graph has no cheaper retrain: edges derive from the
+    * partition, so a new quantizer means a new graph).
+    */
+  def buildKnnGraph(vecs: DataFrame, graphPath: String, kBuild: Int = 10,
+      nClusters: Int = 0, nprobe: Int = 0, iters: Int = 2,
+      maxBucket: Int = 1 << 17): Unit = {
+    val n = vecs.count()
+    val cells = if (nClusters > 0) nClusters else ivfCellCount(n)
+    val np = if (nprobe > 0) nprobe else cellsNprobeFor(n, cells)
+    buildKnnGraphFrom(vecs, trainKmeansIndex(vecs, cells, iters), np,
+      kBuild, graphPath, n, maxBucket)
+  }
+
+  /** [[buildKnnGraph]] with an INJECTED quantizer — the registered serve
+    * routes here with the shared persisted sized quantizer (zero extra
+    * trainings, spec-pinned); the quantizer is copied into `cent/` so
+    * the artifact stays self-contained.
+    */
+  private[graft] def buildKnnGraphFrom(vecs: DataFrame, cent: DataFrame,
+      np: Int, kBuild: Int, graphPath: String, trainedN: Long,
+      maxBucket: Int = 1 << 17): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(graphPath)
+    val fs = root.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    fs.delete(root, true) // a rebuild REPLACES the artifact wholesale
+    val centCk = cent.localCheckpoint()
+    val tagged = taggedWithCl(vecs, centCk, np).localCheckpoint()
+    try {
+      saveKmeansIndex(centCk, s"$graphPath/cent")
+      tagged.repartition(col("cl"))
+        .write.mode("overwrite").partitionBy("cl").parquet(s"$graphPath/verts")
+      val hc = tagged.where(col("is_base")).select(col("vec_id"), col("cl").as("hc"))
+      val edges = localTopKRanked(
+        localTopKKernel(kernelFrameOf(tagged), kBuild, maxBucket,
+          "raise the cell count (ivfCellCount) or lower nprobe"), kBuild)
+        .select(col("vec_id"), col("nbr_id"), col("cosine"))
+      edges.join(hc, "vec_id")
+        .repartition(col("hc"))
+        .write.mode("overwrite").partitionBy("hc").parquet(s"$graphPath/edges")
+      Seq((kBuild, np, trainedN, trainedN))
+        .toDF("k_build", "nprobe", "trained_n", "total_n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$graphPath/params")
+    } finally {
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(tagged)
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(centCk)
+    }
+    Markers.commit(fs, new org.apache.hadoop.fs.Path(graphPath, "_DONE"))
+  }
+
+  /** [[cellTaggedVectors]] with the cell as a PARTITIONABLE int column —
+    * the stored-verts shape; [[kernelFrameOf]] reconstructs the kernel's
+    * 6-tuple band frame from it bit-identically (band = "c:<cl>"). */
+  private def taggedWithCl(vecs: DataFrame, cent: DataFrame, np: Int): DataFrame =
+    cellTaggedVectors(vecs, cent, np)
+      .select(substring(col("band"), 3, Int.MaxValue).cast("int").as("cl"),
+        col("vec_id"), col("v"), col("is_base"))
+
+  private def kernelFrameOf(tagged: DataFrame): DataFrame =
+    tagged.select(concat(lit("c:"), col("cl").cast("string")).as("band"),
+      col("vec_id"), col("v"), col("is_base"),
+      lit(0).as("tile"), lit(true).as("diag"))
+
+  /** EXTEND the navigable graph with a batch of (vec_id, v) vectors —
+    * an EXACT merge under the frozen (quantizer, nprobe):
+    *
+    *  1. the batch is cell-tagged with the stored quantizer (broadcast
+    *     centroids, zero shuffle);
+    *  2. new DIRECTED candidates = pairs sharing a touched cell under
+    *     the kernel's base condition with at least one batch side —
+    *     existing-existing pairs contributed at build time, and
+    *     top-k(stored-top-k ∪ new) = top-k(all candidates), so the
+    *     merge is exact, not approximate;
+    *  3. affected vertices' edge lists are re-ranked and their HOME-cell
+    *     edge partitions rewritten via a staged per-dir swap (the radii
+    *     discipline — never a half-written dir); untouched cells'
+    *     partitions are never read or written;
+    *  4. verts/ appends the batch memberships, params/ grows total_n,
+    *     `_DONE` recommits with a fresh token.
+    *
+    * Work is bounded by the batch's REACH (touched cells' members ≈
+    * nprobe·|B|·N/cells), never the corpus — no full edge rewrite, no
+    * full verts scan. Crash contract: `_DONE` is down for the whole
+    * extend; a crashed extend refuses loudly with the rebuild remedy.
+    * `idempotenceToken` gives foreachBatch-replay idempotence (the
+    * [[extendIvfIndex]] `_BATCH` contract verbatim). Each extend leaves
+    * one file set per touched cl=/hc= dir — extend-heavy deployments
+    * should rebuild periodically (the graph's compaction story; noted,
+    * not hidden). STALENESS: when total_n ≥ 4× trained_n the extend
+    * warns naming the rebuild remedy — the quantizer (and with it the
+    * whole partition-derived edge set) has been outgrown, the
+    * [[warnIfStale]] rule applied to the graph.
+    */
+  def extendKnnGraph(graphPath: String, newVecs: DataFrame,
+      idempotenceToken: Option[String] = None): Unit = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val done = new org.apache.hadoop.fs.Path(graphPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    val batchMarker = new org.apache.hadoop.fs.Path(graphPath, "_BATCH")
+    if (idempotenceToken.exists(t => Markers.token(fs, batchMarker) == t)) {
+      if (!fs.exists(done)) Markers.commit(fs, done)
+      return
+    }
+    val committed = Seq("cent", "verts", "edges", "params")
+      .map(t => new org.apache.hadoop.fs.Path(graphPath, s"$t/_SUCCESS"))
+    require(committed.forall(fs.exists),
+      s"kNN-graph tables at $graphPath are missing or uncommitted (no _SUCCESS) — " +
+        "a crashed BUILD cannot be repaired by extend; run buildKnnGraph")
+    require(fs.exists(done),
+      s"kNN graph at $graphPath is uncommitted (no _DONE) — a crashed EXTEND " +
+        "may already have appended memberships or swapped edge partitions; " +
+        "rebuild with buildKnnGraph")
+    fs.delete(done, false)
+    val cent = loadKmeansIndex(spark, s"$graphPath/cent").localCheckpoint()
+    val prm = spark.read.parquet(s"$graphPath/params").collect()(0)
+    val kBuild = prm.getAs[Int]("k_build")
+    val np = prm.getAs[Int]("nprobe")
+    val trainedN = prm.getAs[Long]("trained_n")
+    val totalN = prm.getAs[Long]("total_n")
+    val taggedB = taggedWithCl(
+      newVecs.select(col("vec_id"), col("v")), cent, np).localCheckpoint()
+    try {
+      // touched cells: ≤ nprobe·|batch|, clamped by the quantizer —
+      // driver-bounded by construction (the probed-cells discipline)
+      val touched = taggedB.select(col("cl")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val stored = spark.read.parquet(s"$graphPath/verts")
+        .where(col("cl").isin(touched.map(Integer.valueOf): _*))
+        .select(col("cl").cast("int").as("cl"), col("vec_id"), col("v"),
+          col("is_base"))
+      val members = stored.withColumn("fb", lit(false))
+        .unionByName(taggedB.withColumn("fb", lit(true)))
+        .localCheckpoint()
+      try {
+        // new directed candidates: the kernel's pair contract (share a
+        // cell, at least one base) restricted to pairs with a batch side
+        val a = members.select(col("cl"), col("vec_id").as("a_id"),
+          col("v").as("a_v"), col("is_base").as("a_b"), col("fb").as("a_fb"))
+        val b = members.select(col("cl"), col("vec_id").as("b_id"),
+          col("v").as("b_v"), col("is_base").as("b_b"), col("fb").as("b_fb"))
+        val scored = a.join(b, Seq("cl"))
+          .where(col("a_id") =!= col("b_id") && (col("a_b") || col("b_b")) &&
+            (col("a_fb") || col("b_fb")))
+          .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
+            col("a_v"), col("b_v"))
+          .dropDuplicates("vec_id", "nbr_id")
+          .select(col("vec_id"), col("nbr_id"),
+            round(cosine(col("a_v"), col("b_v")), 6).as("cosine"))
+          .localCheckpoint()
+        try {
+          // affected sources + their home cells, recomputed from the
+          // frozen quantizer (their vectors already ride the members
+          // frame — no verts lookup beyond the touched partitions)
+          val aff = kmeansAssign(withNorm(
+              scored.select(col("vec_id")).distinct()
+                .join(members.dropDuplicates("vec_id")
+                  .select(col("vec_id"), col("v")), "vec_id")), cent)
+            .select(col("vec_id"), col("cl").as("hc"))
+            .localCheckpoint()
+          try {
+            val touchedHc = aff.select(col("hc")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val live = spark.read.parquet(s"$graphPath/edges")
+              .where(col("hc").isin(touchedHc.map(Integer.valueOf): _*))
+              .select(col("vec_id"), col("nbr_id"), col("cosine"),
+                col("hc").cast("int").as("hc"))
+            // merged lists: stored top-k ∪ new candidates → top-k (exact)
+            val w = Window.partitionBy("vec_id")
+              .orderBy(col("cosine").desc, col("nbr_id").asc)
+            val merged = live.join(aff.select(col("vec_id")), "vec_id")
+              .select(col("vec_id"), col("nbr_id"), col("cosine"))
+              .unionByName(scored)
+              .withColumn("rank", row_number().over(w))
+              .where(col("rank") <= kBuild).drop("rank")
+              .join(aff, "vec_id")
+            val untouchedSrcs = live.join(aff.select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+            val staged = new org.apache.hadoop.fs.Path(graphPath, "edges__merging")
+            fs.delete(staged, true)
+            untouchedSrcs.select(col("vec_id"), col("nbr_id"), col("cosine"), col("hc"))
+              .unionByName(merged.select(col("vec_id"), col("nbr_id"),
+                col("cosine"), col("hc")))
+              .repartition(col("hc"))
+              .write.mode("overwrite").partitionBy("hc").parquet(staged.toString)
+            for (h <- touchedHc) {
+              val liveDir = new org.apache.hadoop.fs.Path(s"$graphPath/edges/hc=$h")
+              val stagedDir = new org.apache.hadoop.fs.Path(s"$staged/hc=$h")
+              val retired = new org.apache.hadoop.fs.Path(s"$graphPath/edges/.hc=$h.old")
+              fs.delete(retired, true)
+              if (fs.exists(liveDir))
+                require(fs.rename(liveDir, retired), s"edge swap: could not move $liveDir aside")
+              if (fs.exists(stagedDir))
+                require(fs.rename(stagedDir, liveDir), s"edge swap of $stagedDir failed")
+              fs.delete(retired, true)
+            }
+            fs.delete(staged, true)
+          } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(aff)
+        } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(scored)
+      } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(members)
+      // batch memberships land AFTER the edge swap: a crash between the
+      // two leaves _DONE down either way (rebuild remedy), and this
+      // order means a half-committed extend can never serve batch
+      // vertices with un-merged edges
+      taggedB.repartition(col("cl"))
+        .write.mode("append").partitionBy("cl").parquet(s"$graphPath/verts")
+      // params: total_n grows; staged 1-row swap (the radii discipline)
+      val newTotal = totalN + newVecs.count()
+      val pStaged = new org.apache.hadoop.fs.Path(graphPath, "params__merging")
+      fs.delete(pStaged, true)
+      Seq((kBuild, np, trainedN, newTotal))
+        .toDF("k_build", "nprobe", "trained_n", "total_n")
+        .coalesce(1).write.mode("overwrite").parquet(pStaged.toString)
+      val pLive = new org.apache.hadoop.fs.Path(graphPath, "params")
+      val pRetired = new org.apache.hadoop.fs.Path(graphPath, "params__old")
+      fs.delete(pRetired, true)
+      require(fs.rename(pLive, pRetired), "params swap: could not move live aside")
+      require(fs.rename(pStaged, pLive), "params swap failed")
+      fs.delete(pRetired, true)
+      if (newTotal >= 4 * trainedN)
+        System.err.println(s"[graft] WARNING: kNN graph at $graphPath is STALE " +
+          s"— corpus grew $trainedN -> $newTotal vectors since training and the " +
+          "frozen quantizer (and the partition-derived edge set with it) has " +
+          "been outgrown; rebuild with buildKnnGraph (the graph has no cheaper " +
+          "retrain)")
+    } finally {
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(taggedB)
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(cent)
+    }
+    idempotenceToken.foreach(t => Markers.commitValue(fs, batchMarker, t))
+    Markers.commit(fs, done)
+  }
+
+  /** The graph artifact's adjacency, as the serve reads it — requires a
+    * committed artifact (the crash contract's loud gate). */
+  def knnGraphEdges(spark: SparkSession, graphPath: String): DataFrame = {
+    val done = new org.apache.hadoop.fs.Path(graphPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(done),
+      s"kNN graph at $graphPath is uncommitted (no _DONE) — a crashed " +
+        "build/extend must be rebuilt with buildKnnGraph")
+    spark.read.parquet(s"$graphPath/edges")
+      .select(col("vec_id"), col("nbr_id"), col("cosine"))
+  }
 
   /** The shared bucket-local-kernel prologue: project to (vec_id, v),
     * explode into band keys tagged base/probe. Both kernels group on the
