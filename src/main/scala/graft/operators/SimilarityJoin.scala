@@ -209,13 +209,31 @@ object SimilarityJoin {
     // τ·|A| keeps that row — every true pair survives via its
     // first-shared-token row (sound), while non-pairs' rows prune here
     // instead of at the array prefilter.
+    // PREFIX-COUNT filter (r16, the r15 verdict's item 4 — PPJoin's
+    // common-prefix-count bound, the residual-constant remedy): a pair's
+    // total overlap is its shared-prefix-token count o_pre plus at most
+    // the |A|−p tokens of A beyond the prefix, so containment ≥ τ forces
+    //   o_pre ≥ ⌈τ·|A|⌉ − (|A| − p) = ⌈τ·|A|⌉ − ⌊τ·|A|⌋ + 1 ∈ {1, 2}.
+    // Whenever τ·|A| is non-integral the bound is 2 — and the mass of
+    // spurious candidates on a real corpus shares exactly ONE rare
+    // prefix token, so they prune HERE, per aggregated candidate row,
+    // before any array is fetched (measured: 11.1M → a fraction at x64).
+    // The groupBy replaces the old distinct() — same shuffle, strictly
+    // more pruning — and the per-row positional bound becomes its max
+    // over the pair's rows (the first-shared-token row is among them, so
+    // every true pair still survives; sound like the row form).
     val cand = probe.join(index,
         probe("t") === index("t") && col("doc_a") =!= col("doc_b"))
       .where(col("sz_b").cast("double") >= lit(tau) * col("sz_a").cast("double"))
-      .where((least(col("sz_a") - col("rnk_a"), col("sz_b") - col("rnk_b")) + 1)
-        .cast("double") >= lit(tau) * col("sz_a").cast("double"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("o_pre"), first(col("sz_a")).as("sz_a"),
+        max(least(col("sz_a") - col("rnk_a"), col("sz_b") - col("rnk_b")) + 1)
+          .as("pos_bound"))
+      .where(col("pos_bound").cast("double") >= lit(tau) * col("sz_a").cast("double"))
+      .where(col("o_pre") >=
+        ceil(lit(tau) * col("sz_a").cast("double")).cast("long")
+          - floor(lit(tau) * col("sz_a").cast("double")).cast("long") + 1L)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
     // hash prefilter: containment on the 62-bit sets bounds true
     // containment from above (collisions only inflate the intersection)
     val hInter = toColumn(IntersectCountSorted(
@@ -261,8 +279,9 @@ object SimilarityJoin {
       // to 0 instead of an NPE (ADVICE r15)
       .agg(coalesce(sum(col("p") * col("df")), lit(0L)).cast("long"))
       .collect()(0).getLong(0)
-    // survivors of the size + positional pruning — what actually reaches
-    // the array prefilter in [[containmentPairs]]
+    // survivors of the size + positional + prefix-count pruning — what
+    // actually reaches the array prefilter in [[containmentPairs]] (r16:
+    // mirrors the shipped groupBy form, o_pre bound included)
     val dd = probe
       .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("t"),
         col("rnk").as("rnk_a"))
@@ -270,9 +289,15 @@ object SimilarityJoin {
         col("t"), col("rnk").as("rnk_b")), "t")
       .where(col("doc_a") =!= col("doc_b"))
       .where(col("sz_b").cast("double") >= lit(tau) * col("sz_a").cast("double"))
-      .where((least(col("sz_a") - col("rnk_a"), col("sz_b") - col("rnk_b")) + 1)
-        .cast("double") >= lit(tau) * col("sz_a").cast("double"))
-      .select(col("doc_a"), col("doc_b")).distinct().count()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("o_pre"), first(col("sz_a")).as("sz_a"),
+        max(least(col("sz_a") - col("rnk_a"), col("sz_b") - col("rnk_b")) + 1)
+          .as("pos_bound"))
+      .where(col("pos_bound").cast("double") >= lit(tau) * col("sz_a").cast("double"))
+      .where(col("o_pre") >=
+        ceil(lit(tau) * col("sz_a").cast("double")).cast("long")
+          - floor(lit(tau) * col("sz_a").cast("double")).cast("long") + 1L)
+      .count()
     (rows, dd)
   }
 
