@@ -80,6 +80,44 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "ivfbuildsplit") {
+      // r16 (the r15 verdict's item 5): the standing-index BUILD curve
+      // with the phase split named — train (iters·n·k) vs assign (n·k)
+      // vs the full build (train + assign + clustered write + idmap +
+      // radii). Both named phases are N^1.5 at the sized k = ⌈√N⌉ —
+      // this probe measures which dominates and what the write adds.
+      // Optional 3rd arg: comma list of xK tags to run (default all 3).
+      import org.apache.spark.sql.functions._
+      import graft.operators.EmbeddingSearch
+      val tags = if (args.length > 2) args(2).split(",").toSet
+        else Set("256k", "512k", "1m")
+      val dirs = Seq(
+        "256k" -> "/tmp/graft_scale/x128",
+        "512k" -> "/tmp/graft_scale/x256",
+        "1m" -> "/tmp/graft_scale/mipswall_x512").filter(d => tags(d._1))
+      for ((tag, dir) <- dirs) {
+        val emb = graft.sources.Tables.embeddings(spark, dir)
+          .select(col("vec_id"), transform(col("embedding"),
+            x => x.cast("double")).as("v"))
+        val n = emb.count()
+        val cells = EmbeddingSearch.ivfCellCount(n)
+        val (tt, ta) = EmbeddingSearch.ivfBuildSplitProbe(emb, cells)
+        val idx = java.nio.file.Files.createTempDirectory("graft_bsp").toString + "/idx"
+        val t2 = System.nanoTime()
+        EmbeddingSearch.buildIvfIndex(emb, idx, cells)
+        val tb = (System.nanoTime() - t2) / 1e9
+        // sampled-training contrast: the 100 TB shape (Lloyd on the
+        // deterministic 10% sample, assignment still full)
+        val (tts, _) = EmbeddingSearch.ivfBuildSplitProbe(emb, cells,
+          samplePct = 10)
+        println(f"[ivfbuildsplit] $tag n=$n cells=$cells train=$tt%.1f s " +
+          f"assign=$ta%.1f s buildTotal=$tb%.1f s trainSampled10=$tts%.1f s")
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          org.apache.spark.sql.GraftShim.sessionHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(idx).getParent, true)
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "mipswall") {
       // r15 (the r14 verdict's item 1): the MIPS brute↔IVF WALL inversion,
       // measured where it actually lives. The corpus-model replication is

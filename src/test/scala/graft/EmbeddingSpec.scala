@@ -2272,6 +2272,35 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(again.map(r => (r._1, r._2)).toSet == probedSet)
   }
 
+  test("sampled-training build (trainSamplePct) serves correctly: exact re-rank, sane recall") {
+    // the r16 build-curve knob: Lloyd on the deterministic 50% sample,
+    // assignment + written tables still cover every vector; the serve's
+    // exact re-rank means only the partition (and with it recall) can
+    // move, never a returned cosine
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_sampled").toString + "/idx"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val n = emb.count()
+    EmbeddingSearch.buildIvfIndex(emb, root,
+      EmbeddingSearch.ivfCellCount(n), trainSamplePct = 50)
+    // every vector is in the index despite the sampled training
+    assert(spark.read.parquet(s"$root/ivf").count() == n)
+    val probe = graft.sources.Tables.embeddings(spark, dir)
+      .where($"vec_id" < 10).select($"vec_id", $"embedding")
+    val served = EmbeddingSearch.knnBatchAgainstIvfIndex(probe, root, k = 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(served.nonEmpty && served.forall(r => r._4 <= 3))
+    // served cosines are exact: each returned (query, vec) pair's cosine
+    // matches the brute value (the exact-re-rank contract)
+    val brute = EmbeddingSearch.bruteForceTopK(spark, dir, k = n.toInt, nQueries = 10)
+      .select($"query_id", $"vec_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(served.forall(r => brute((r._1, r._2)) == r._3),
+      "sampled-training serve returned a non-exact cosine")
+  }
+
   test("pairs recall: exact ground truth scores itself 1.0, subsets score proportionally, non-probe pairs are ignored") {
     val dir = "/root/testdata/sf0.001"
     val tau = 0.4
