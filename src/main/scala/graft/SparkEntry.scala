@@ -295,6 +295,17 @@ object SparkEntry {
     "dedup_embedding_pairs_recall" -> ((s, dir) =>
       EmbeddingSearch.cosineNearDupPairsAutoRecall(s, dir, tau = 0.4,
         sizedKmeansIndexDirFor(dir))),
+    // both arms' recall twins under their explicit names (the
+    // embed_knn_join_banded/_cells discipline): the no-inversion
+    // evidence is itself a hash-gated registered surface, not just a
+    // ScaleBench row
+    "dedup_embedding_banded_recall" -> ((s, dir) =>
+      EmbeddingSearch.nearDupPairsRecall(s, dir,
+        EmbeddingSearch.cosineNearDupPairsScaled(s, dir, tau = 0.4), 0.4)),
+    "dedup_embedding_cells_recall" -> ((s, dir) =>
+      EmbeddingSearch.nearDupPairsRecall(s, dir,
+        EmbeddingSearch.cosineNearDupPairsCells(s, dir, tau = 0.4,
+          sizedKmeansIndexDirFor(dir)), 0.4)),
     // SemDeDup (Abbas et al. '23): EXACT within-cell cosine pruning over
     // the trained partition itself — recall inside a cell is 1 by
     // construction (contrast dedup_embedding's LSH-candidate mining) and
@@ -4757,6 +4768,10 @@ object SparkEntry {
     // |P|·N exact cosines over the 100 probe vectors, the approx side the
     // auto union replay restricted to probe-anchored pairs
     "dedup_embedding_pairs_recall" -> pairsRecallSqlOf(dedupEmbAutoSql),
+    "dedup_embedding_banded_recall" ->
+      pairsRecallSqlOf(dedupEmbBandedSqlGatedBy("TRUE")),
+    "dedup_embedding_cells_recall" ->
+      pairsRecallSqlOf(dedupEmbCellsSqlGatedBy("TRUE")),
     // SemDeDup: the sized Lloyd replay (the one trained-quantizer
     // contract), then the EXACT within-cell pair scan and keep-earliest —
     // a vector is dropped iff some lower-id cell-mate clears tau.

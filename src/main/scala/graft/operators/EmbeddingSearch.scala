@@ -1823,8 +1823,12 @@ object EmbeddingSearch {
       // driver-bounded by construction (the probed-cells discipline)
       val touched = taggedB.select(col("cl")).distinct()
         .collect().map(_.getInt(0)).toSeq
-      val stored = spark.read.parquet(s"$graphPath/verts")
-        .where(col("cl").isin(touched.map(Integer.valueOf): _*))
+      // list ONLY the touched partition dirs (the probedIvfRead / r15
+      // listing-storm discipline): a plain read of the partitioned table
+      // lists every cl= dir at plan time — at 100 TB that is the
+      // quantizer's full cell count per extend, for a batch that touches
+      // a handful
+      val stored = probedPartitionRead(spark, s"$graphPath/verts", "cl", touched)
         .select(col("cl").cast("int").as("cl"), col("vec_id"), col("v"),
           col("is_base"))
       val members = stored.withColumn("fb", lit(false))
@@ -1859,8 +1863,8 @@ object EmbeddingSearch {
           try {
             val touchedHc = aff.select(col("hc")).distinct()
               .collect().map(_.getInt(0)).toSeq
-            val live = spark.read.parquet(s"$graphPath/edges")
-              .where(col("hc").isin(touchedHc.map(Integer.valueOf): _*))
+            val live = probedPartitionRead(spark, s"$graphPath/edges",
+                "hc", touchedHc)
               .select(col("vec_id"), col("nbr_id"), col("cosine"),
                 col("hc").cast("int").as("hc"))
             // merged lists: stored top-k ∪ new candidates → top-k (exact)
@@ -3921,6 +3925,21 @@ object EmbeddingSearch {
     * probed dir is absent (schema must still come from somewhere; only
     * an empty serve reaches this).
     */
+  /** [[probedIvfRead]] generalized to any int-partitioned artifact table
+    * (the graph's verts/edges) — read ONLY the named partition dirs via
+    * `basePath`, so plan-time listing never touches the unprobed ones. */
+  private def probedPartitionRead(spark: SparkSession, tbl: String,
+      key: String, values: Seq[Int]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    val paths = values.sorted
+      .map(v => s"$tbl/$key=$v")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val df = if (paths.isEmpty) spark.read.parquet(tbl)
+      else spark.read.option("basePath", tbl).parquet(paths: _*)
+    df.where(col(key).isin(values.map(Integer.valueOf): _*))
+  }
+
   private def probedIvfRead(spark: SparkSession, indexPath: String,
       cells: Array[Int]): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)

@@ -845,6 +845,39 @@ object StreamingOps {
       } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)
     }
 
+  /** The kNN-GRAPH ingest loop (r16 — [[knnIngestAgainstIvfIndex]]'s
+    * sibling for the navigable-graph artifact, completing the
+    * maintenance matrix for the artifact that gained its lifecycle this
+    * round): each micro-batch of (vec_id, embedding) vectors is
+    * appended through [[graft.operators.EmbeddingSearch.extendKnnGraph]]
+    * — the EXACT merge under the graph's frozen quantizer (affected
+    * vertices' home-cell partitions rewritten via the staged swap,
+    * `_DONE` token recommit, the 4× staleness warning) — so the next
+    * graph walk reaches batches 1..N through merged edges. The sink
+    * receives the batch annotated with each vector's assigned home
+    * cell (`cl`, from the artifact's own stored quantizer — the
+    * assignAgainstKmeansIndex routing tier, so a sink-side audit can
+    * reconcile cell balance without reading the artifact back).
+    * foreachBatch replay is idempotent via the `_BATCH` batch token
+    * (the extendIvfIndex contract); one ingest stream per graph, as
+    * for any extend. Crash mid-extend leaves `_DONE` down and the next
+    * batch refuses loudly with the rebuild remedy.
+    */
+  def knnGraphIngestExtend(vecs: DataFrame, graphPath: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val b = batch.localCheckpoint()
+      try {
+        val asV = b.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        sink(graft.operators.EmbeddingSearch.assignWithIndex(b,
+          graft.operators.EmbeddingSearch.loadKmeansIndex(
+            b.sparkSession, s"$graphPath/cent")), batchId)
+        graft.operators.EmbeddingSearch.extendKnnGraph(graphPath, asV,
+          idempotenceToken = Some(s"batch_$batchId"))
+      } finally org.apache.spark.sql.GraftShim.unpersistCheckpoint(b)
+    }
+
   /** Streaming FILTERED kNN serve — [[knnAgainstIvfIndex]] under a corpus
     * predicate, against a METADATA-CARRYING persisted index
     * ([[graft.operators.EmbeddingSearch.buildIvfIndex]] with `meta`):

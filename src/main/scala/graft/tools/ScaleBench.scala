@@ -298,13 +298,10 @@ object ScaleBench {
     // artifact diff
     "dedup_embedding" -> ((s, d) =>
       graft.SparkEntry.queries("dedup_embedding_pairs_recall")(s, d)),
-    "dedup_embedding_banded" -> ((s, d) => graft.operators.EmbeddingSearch
-      .nearDupPairsRecall(s, d, graft.operators.EmbeddingSearch
-        .cosineNearDupPairsScaled(s, d, 0.4), 0.4)),
-    "dedup_embedding_cells" -> ((s, d) => graft.operators.EmbeddingSearch
-      .nearDupPairsRecall(s, d, graft.operators.EmbeddingSearch
-        .cosineNearDupPairsCells(s, d, 0.4,
-          graft.SparkEntry.sizedKmeansIndexDirFor(d)), 0.4)))
+    "dedup_embedding_banded" -> ((s, d) =>
+      graft.SparkEntry.queries("dedup_embedding_banded_recall")(s, d)),
+    "dedup_embedding_cells" -> ((s, d) =>
+      graft.SparkEntry.queries("dedup_embedding_cells_recall")(s, d)))
 
   /** Scale-only configurations that are NOT registered entries (the
     * registered knobs stay at the oracle-replayable demo scale; these

@@ -1978,6 +1978,45 @@ class StreamingSpec extends AnyFunSuite {
       "loop left the BM25 index uncommitted")
   }
 
+  test("kNN-graph ingest loop: micro-batch extends == one batch extend; sink gets cell routing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EmbeddingSearch
+    def vec(seed: Int, eps: Float = 0f): Seq[Float] =
+      (0 until 8).map(d => if (d == seed % 8) 1f + eps else 0.01f)
+    val base = (0L to 9L).map(i => (i, vec(i.toInt)))
+    val baseV = base.toDF("vec_id", "embedding")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val rootA = java.nio.file.Files.createTempDirectory("graft_gloopA").toString + "/g"
+    val rootB = java.nio.file.Files.createTempDirectory("graft_gloopB").toString + "/g"
+    EmbeddingSearch.buildKnnGraph(baseV, rootA, kBuild = 3, nClusters = 4)
+    EmbeddingSearch.buildKnnGraph(baseV, rootB, kBuild = 3, nClusters = 4)
+    val streamed = (0 until 4).map(i => (100L + i, vec(i % 3, 0.001f * (i + 1))))
+    val routed = new scala.collection.mutable.ArrayBuffer[(Int, Long)]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.knnGraphIngestExtend(
+        input.toDF().toDF("vec_id", "embedding"), rootA) { (res, _) =>
+      routed ++= res.select($"cl", $"vec_id").as[(Int, Long)].collect()
+    }.start()
+    try {
+      input.addData(streamed.take(2): _*); q.processAllAvailable()
+      input.addData(streamed.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    EmbeddingSearch.extendKnnGraph(rootB,
+      streamed.toDF("vec_id", "embedding")
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v")))
+    def edges(root: String): Set[(Long, Long, Double)] =
+      spark.read.parquet(s"$root/edges").select($"vec_id", $"nbr_id", $"cosine")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(edges(rootA) == edges(rootB),
+      "micro-batch graph extends drifted from the one-batch extend")
+    assert(routed.map(_._2).toSet == streamed.map(_._1).toSet,
+      "sink did not receive every streamed vector's cell routing")
+    val fs = new org.apache.hadoop.fs.Path(rootA)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(rootA, "_DONE")),
+      "loop left the graph uncommitted")
+  }
+
   test("extend idempotence tokens: a replayed batch never double-appends; crash between _BATCH and _DONE self-heals") {
     // ADVICE r15 (medium): foreachBatch is at-least-once — a restart
     // after the extend commits but before the stream checkpoint advances
