@@ -1782,15 +1782,18 @@ object EmbeddingSearch {
     * extend; a crashed extend refuses loudly with the rebuild remedy.
     * `idempotenceToken` gives foreachBatch-replay idempotence (the
     * [[extendIvfIndex]] `_BATCH` contract verbatim). Each extend leaves
-    * one file set per touched cl=/hc= dir — extend-heavy deployments
-    * should rebuild periodically (the graph's compaction story; noted,
-    * not hidden). STALENESS: when total_n ≥ 4× trained_n the extend
+    * one file set per touched cl=/hc= dir — past the
+    * [[IvfCompactFileThreshold]] the triggered
+    * [[ensureCompactedKnnGraph]] rewrites in place (contents untouched;
+    * `autoCompact = false` opts out, the IVF contract). STALENESS: when
+    * total_n ≥ 4× trained_n the extend
     * warns naming the rebuild remedy — the quantizer (and with it the
     * whole partition-derived edge set) has been outgrown, the
     * [[warnIfStale]] rule applied to the graph.
     */
   def extendKnnGraph(graphPath: String, newVecs: DataFrame,
-      idempotenceToken: Option[String] = None): Unit = {
+      idempotenceToken: Option[String] = None,
+      autoCompact: Boolean = true): Unit = {
     val spark = newVecs.sparkSession
     import spark.implicits._
     val done = new org.apache.hadoop.fs.Path(graphPath, "_DONE")
@@ -1930,6 +1933,61 @@ object EmbeddingSearch {
       org.apache.spark.sql.GraftShim.unpersistCheckpoint(cent)
     }
     idempotenceToken.foreach(t => Markers.commitValue(fs, batchMarker, t))
+    Markers.commit(fs, done)
+    if (autoCompact) ensureCompactedKnnGraph(spark, graphPath)
+  }
+
+  /** Compact-if-fragmented for the graph artifact — the
+    * [[ensureCompactedIvfIndex]] policy on verts/edges: each extend
+    * leaves one file set per touched cl=/hc= dir, so an extend-heavy
+    * deployment fragments toward per-file-open-dominated reads unless
+    * compacted. Census is metadata-only; below the threshold the call
+    * costs a few listStatus round-trips. [[extendKnnGraph]] triggers it
+    * after every committed extend (`autoCompact = false` opts out for
+    * quiesce-window deployments — the IVF contract).
+    */
+  def ensureCompactedKnnGraph(spark: SparkSession, graphPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(graphPath)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    val worst = math.max(ivfMaxFilesPerDir(fs, graphPath, "verts"),
+      ivfMaxFilesPerDir(fs, graphPath, "edges"))
+    if (worst > IvfCompactFileThreshold) compactKnnGraph(spark, graphPath)
+  }
+
+  /** In-place compaction of the graph's per-record tables — contents
+    * untouched (row-identical reads, spec-pinned), one file per
+    * partition dir after. The [[compactIvfIndex]] discipline verbatim:
+    * pre-flight refusals first, `_DONE` down for the whole rewrite,
+    * staged dir swap, token recommit.
+    */
+  def compactKnnGraph(spark: SparkSession, graphPath: String): Unit = {
+    val done = new org.apache.hadoop.fs.Path(graphPath, "_DONE")
+    val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    require(fs.exists(done),
+      s"kNN graph at $graphPath is uncommitted (no _DONE) — a crashed " +
+        "extend/compact cannot be blessed by compaction; rebuild with " +
+        "buildKnnGraph")
+    for (t <- Seq("verts", "edges"))
+      require(fs.exists(new org.apache.hadoop.fs.Path(graphPath, s"$t/_SUCCESS")),
+        s"kNN graph at $graphPath is missing the committed '$t' table — " +
+          "rebuild with buildKnnGraph before compacting")
+    fs.delete(done, false)
+    for ((t, pk) <- Seq("verts" -> "cl", "edges" -> "hc")) {
+      val live = new org.apache.hadoop.fs.Path(graphPath, t)
+      val hasPartDirs = fs.listStatus(live)
+        .exists(e => !e.isFile && e.getPath.getName.startsWith(s"$pk="))
+      if (hasPartDirs) {
+        val staged = new org.apache.hadoop.fs.Path(graphPath, s"${t}__compacting")
+        fs.delete(staged, true)
+        spark.read.parquet(live.toString)
+          .repartition(col(pk))
+          .write.mode("overwrite").partitionBy(pk).parquet(staged.toString)
+        fs.delete(new org.apache.hadoop.fs.Path(live, "_SUCCESS"), false)
+        require(fs.delete(live, true),
+          s"could not remove live $t table before the compaction swap")
+        require(fs.rename(staged, live), s"compaction swap of $t failed")
+      }
+    }
     Markers.commit(fs, done)
   }
 

@@ -101,4 +101,41 @@ class KnnGraphLifecycleSpec extends AnyFunSuite {
     assert(msg.contains("STALE") && msg.contains("buildKnnGraph"),
       s"no staleness warning naming the rebuild remedy; stderr was: $msg")
   }
+
+  test("auto-compaction bounds files/dir across extends; compaction is row-identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft_glc3").toString + "/g"
+    val base = (0L to 7L).map(i => i -> vec(i.toInt))
+    EmbeddingSearch.buildKnnGraph(vecsDf(base), root, kBuild = 3, nClusters = 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
+    // 18 extends all landing near seed 1: ONE cell's dirs accumulate a
+    // file set per extend, so the >16-files/dir policy MUST trip inside
+    // the extend loop (the IVF ingest discipline, measured not assumed)
+    for (i <- 0 until 18)
+      EmbeddingSearch.extendKnnGraph(root,
+        vecsDf(Seq((100L + i) -> vec(1, 0.002 * (i + 1)))))
+    def worstFiles(t: String, pk: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root, t))
+        .filter(e => !e.isFile && e.getPath.getName.startsWith(s"$pk="))
+        .map(d => fs.listStatus(d.getPath).count(e =>
+          e.isFile && !e.getPath.getName.startsWith("_") &&
+            !e.getPath.getName.startsWith(".")))
+        .foldLeft(0)(math.max)
+    assert(worstFiles("verts", "cl") <= EmbeddingSearch.IvfCompactFileThreshold,
+      s"verts never compacted: worst dir has ${worstFiles("verts", "cl")} files")
+    assert(worstFiles("edges", "hc") <= EmbeddingSearch.IvfCompactFileThreshold,
+      s"edges never compacted: worst dir has ${worstFiles("edges", "hc")} files")
+    // an explicit compaction pass is row-identical on both tables
+    val e0 = edgeRows(root)
+    val v0 = spark.read.parquet(s"$root/verts")
+      .select($"cl".cast("int"), $"vec_id", $"is_base")
+      .as[(Int, Long, Boolean)].collect().toSet
+    EmbeddingSearch.compactKnnGraph(spark, root)
+    assert(edgeRows(root) == e0, "compaction changed the edge set")
+    assert(spark.read.parquet(s"$root/verts")
+      .select($"cl".cast("int"), $"vec_id", $"is_base")
+      .as[(Int, Long, Boolean)].collect().toSet == v0,
+      "compaction changed the membership table")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_DONE")))
+  }
 }
