@@ -231,6 +231,50 @@ object Scratch {
       serve("compacted")
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "graphextend") {
+      // r16: wall the graph EXTEND against the build it avoids, across
+      // corpus scale at a FIXED batch — the SCALING.md reach claim
+      // (extend work ≈ nprobe·|B|·N/cells ≈ nprobe·|B|·√N at the sized
+      // cell count) measured rather than asserted. Per factor:
+      // build(prefix = all but the 1024 lowest vec_ids), then extend
+      // that fixed batch; report both walls, the batch's distinct home
+      // cells vs the quantizer's total, and the merged edge rows.
+      // args: <sfDir> graphextend [outRoot] [factors] [batchSizes]
+      import org.apache.spark.sql.functions._
+      import graft.operators.EmbeddingSearch
+      val out = if (args.length > 2) args(2) else "/tmp/graft_scale"
+      val factors = (if (args.length > 3) args(3) else "4,16,64")
+        .split(",").map(_.trim.toInt)
+      val batchSizes = (if (args.length > 4) args(4) else "64,1024")
+        .split(",").map(_.trim.toInt)
+      for (f <- factors; bs <- batchSizes; pass <- 1 to 2) {
+        val dir = ScaleBench.scaledDocs(spark, sfDir, f, out)
+        val emb = graft.sources.Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val batch = emb.where(col("vec_id") < bs).localCheckpoint()
+        val prefix = emb.where(col("vec_id") >= bs)
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_graphextend_x$f").toString + "/g"
+        val t0 = System.nanoTime()
+        EmbeddingSearch.buildKnnGraph(prefix, root)
+        val wBuild = (System.nanoTime() - t0) / 1e9
+        val cent = EmbeddingSearch.loadKmeansIndex(spark, s"$root/cent")
+        val cells = cent.count()
+        val homes = EmbeddingSearch.assignWithIndex(
+          batch.select(col("vec_id"), col("v").as("embedding")), cent)
+          .select("cl").distinct().count()
+        val t1 = System.nanoTime()
+        EmbeddingSearch.extendKnnGraph(root, batch)
+        val wExtend = (System.nanoTime() - t1) / 1e9
+        val edges = EmbeddingSearch.knnGraphEdges(spark, root).count()
+        println(f"[graphextend] x$f%-3d B=$bs%-5d pass=$pass " +
+          f"build(prefix)=$wBuild%7.2f s extend=$wExtend%6.2f s " +
+          f"homeCells=$homes/$cells edges=$edges")
+        org.apache.spark.sql.GraftShim.unpersistCheckpoint(batch)
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "rangeplan") {
       // r14 plan probe: why does the standing range serve's executedPlan
       // show no embeddings.parquet FileSourceScanExec?
