@@ -275,6 +275,97 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "assigncost") {
+      // r16: isolate the graphextend seed-window sensitivity — the same
+      // brute n·k argmax read ~93 s/round seeded from vec_ids 64..779 vs
+      // ~36 s/round seeded 1024..1739 at 512k. Candidate mechanism:
+      // round(csim, 6) inside the argmax goes through BigDecimal.valueOf
+      // (a Double.toString) per candidate — 716 per row — whose cost is
+      // VALUE-dependent. A/B: assignment wall over both RAW seed windows
+      // and over each window's 2-round TRAINED centroids (means have
+      // long decimal expansions; raw float-cast seeds have short ones),
+      // each with and without the round. Forced through an aggregate
+      // over the assigned cell (the ivfbuildsplit lesson).
+      // args: <sfDir> assigncost [dir]
+      import org.apache.spark.sql.functions._
+      import graft.operators.EmbeddingSearch
+      val dir = if (args.length > 2) args(2) else "/tmp/graft_scale/x256"
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .localCheckpoint()
+      val dotc = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      def centsOf(tag: String): Seq[(String, org.apache.spark.sql.DataFrame)] = tag match {
+        case "raw64" => Seq(("raw64", emb.where(col("vec_id") >= 64 && col("vec_id") < 780)
+          .select((col("vec_id") - 64).cast("int").as("cl"), col("v").as("cv"))))
+        case "raw1024" => Seq(("raw1024", emb.where(col("vec_id") >= 1024 && col("vec_id") < 1740)
+          .select((col("vec_id") - 1024).cast("int").as("cl"), col("v").as("cv"))))
+        case "tr64" => Seq(("tr64", EmbeddingSearch.trainKmeansIndex(
+          emb.where(col("vec_id") >= 64), 716, 2)))
+        case "tr1024" => Seq(("tr1024", EmbeddingSearch.trainKmeansIndex(
+          emb.where(col("vec_id") >= 1024), 716, 2)))
+      }
+      for (tag <- Seq("raw64", "raw1024", "tr64", "tr1024");
+           (label, cent) <- centsOf(tag);
+           rounded <- Seq(true, false); pass <- 1 to 2) {
+        val centsArr = broadcast(cent.agg(array_sort(collect_list(
+          struct(col("cl"), col("cv"),
+            sqrt(dotc(col("cv"), col("cv"))).as("ncv")))).as("cents")))
+        val nv = sqrt(dotc(col("v"), col("v")))
+        val t0 = System.nanoTime()
+        val s = emb.withColumn("nv", nv).crossJoin(centsArr)
+          .withColumn("best", array_max(transform(col("cents"), c => {
+            val csim = dotc(col("v"), c.getField("cv")) /
+              (col("nv") * c.getField("ncv"))
+            struct((if (rounded) round(csim, 6) else csim).as("csim"),
+              (-c.getField("cl")).as("ncl"))
+          })))
+          .select((-col("best").getField("ncl")).as("cl"))
+          .agg(sum(col("cl"))).collect()(0)
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"[assigncost] $label%-8s round=$rounded%-5s pass=$pass " +
+          f"wall=$w%7.2f s sum=${s.getLong(0)}")
+      }
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "scanprobe") {
+      // r16: isolate the graphextend B=64-vs-B=1024 train-round gap to
+      // the INPUT PLAN (every Lloyd round re-scans parquet + cast +
+      // filter; the assigncost probe showed the same argmax is fast from
+      // a checkpoint). Times the bare scan plan at both predicates, plus
+      // the full kmeansAssign-equivalent via assignWithIndex on the same
+      // 716 raw seeds, from plan vs from checkpoint.
+      // args: <sfDir> scanprobe [dir]
+      import org.apache.spark.sql.functions._
+      import graft.operators.EmbeddingSearch
+      val dir = if (args.length > 2) args(2) else "/tmp/graft_scale/x256"
+      def planOf(bs: Int) = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .where(col("vec_id") >= bs)
+      for (bs <- Seq(64, 1024); pass <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val s = planOf(bs).agg(sum(element_at(col("v"), 1))).collect()(0)
+        println(f"[scanprobe] scan bs=$bs%-5d pass=$pass " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%6.2f s sum=${s.getDouble(0)}%.3f")
+      }
+      for (bs <- Seq(64, 1024); ck <- Seq(false, true); pass <- 1 to 2) {
+        val base = if (ck) planOf(bs).localCheckpoint() else planOf(bs)
+        val cent = base.where(col("vec_id") < bs + 716)
+          .select((col("vec_id") - bs).cast("int").as("cl"), col("v").as("cv"))
+          .localCheckpoint()
+        val t0 = System.nanoTime()
+        val s = EmbeddingSearch.assignWithIndex(
+          base.select(col("vec_id"), col("v").as("embedding")), cent)
+          .agg(sum(col("cl"))).collect()(0)
+        println(f"[scanprobe] assign bs=$bs%-5d ckpt=$ck%-5s pass=$pass " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%6.2f s sum=${s.getLong(0)}")
+        if (ck) org.apache.spark.sql.GraftShim.unpersistCheckpoint(base)
+        org.apache.spark.sql.GraftShim.unpersistCheckpoint(cent)
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "rangeplan") {
       // r14 plan probe: why does the standing range serve's executedPlan
       // show no embeddings.parquet FileSourceScanExec?
