@@ -2577,23 +2577,55 @@ object EmbeddingSearch {
     * metadata a filterable IVF build stores beside each vector) — the
     * default output shape is untouched.
     */
+  /** The assignment winner struct(csim, ncl) by (round(cosine, 6) desc,
+    * lowest cl) — the native [[graft.functions.expressions.KmeansBestCell]]
+    * kernel. Selection, tie-break, and the rounded output are
+    * bit-identical to the HOF
+    * `array_max(transform(cents, struct(round(csim,6), -cl)))` it
+    * replaced in r16 (equivalence argument and the measured 36–93 s
+    * interpreted-round wall it removes: the kernel's scaladoc and
+    * SCALING.md "bimodal Lloyd-round cost"); every oracle replays the
+    * same rule unchanged.
+    */
+  private def bestCellOf(v: Column, nv: Column, cents: Column): Column = {
+    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+    toColumn(graft.functions.expressions.KmeansBestCell(
+      toExpression(v), toExpression(nv), toExpression(cents)))
+  }
+
+  /** The k-row centroid/codebook frame prepared ((cl:int, cv, ncv) with
+    * the norm precomputed), collected driver-side, sorted by cl (the old
+    * broadcast form's array_sort determinism), and wrapped as a
+    * [[graft.functions.expressions.CentroidTable]] plan-time constant.
+    * Centroid tables are metadata-scale by construction (k rows — the
+    * same class as the sanctioned centroid/radii collects), so the
+    * collect is a k-row driver roundtrip, and carrying the table inside
+    * the expression both removes the per-row 1-row-broadcast cross join
+    * and makes the kernel's identity-keyed decode cache sound (one
+    * immutable ArrayData per plan — a row-delivered array can arrive in
+    * a REUSED projection buffer, which the ivfpq hash gate caught).
+    */
+  private def centroidTableOf(cent: DataFrame): Column = {
+    import org.apache.spark.sql.GraftShim.toColumn
+    val prepared = cent.select(col("cl").cast("int").as("cl"), col("cv"),
+      sqrt(dot(col("cv"), col("cv"))).as("ncv"))
+    val rows = prepared.queryExecution.executedPlan.executeCollect()
+      .sortBy(_.getInt(0))
+    val dim = if (rows.isEmpty) 0 else rows(0).getArray(1).numElements()
+    toColumn(graft.functions.expressions.CentroidTable(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray[Any]),
+      prepared.schema, rows.length, dim))
+  }
+
   private def kmeansAssign(embN: DataFrame, cent: DataFrame,
-      keep: Seq[String] = Nil): DataFrame = {
-    val centsArr = broadcast(
-      cent.agg(array_sort(collect_list(struct(col("cl"), col("cv"),
-        sqrt(dot(col("cv"), col("cv"))).as("ncv")))).as("cents")))
-    embN.crossJoin(centsArr)
-      .withColumn("best", array_max(transform(col("cents"), c => {
-        val csim = when(col("nv") === 0.0 || c.getField("ncv") === 0.0, lit(0.0))
-          .otherwise(dot(col("v"), c.getField("cv")) / (col("nv") * c.getField("ncv")))
-        struct(round(csim, 6).as("csim"), (-c.getField("cl")).as("ncl"))
-      })))
+      keep: Seq[String] = Nil): DataFrame =
+    embN.withColumn("best",
+        bestCellOf(col("v"), col("nv"), centroidTableOf(cent)))
       .select(Seq(col("vec_id"), col("v"), (-col("best").getField("ncl")).as("cl"),
         // the winning cosine rides along — callers that need "how central
         // is this vector in its cell" (balance rank, streaming routing)
         // must not recompute it with a second join
         col("best").getField("csim").as("centrality")) ++ keep.map(col): _*)
-  }
 
   /** Deterministic spherical k-means TRAINING over (vec_id, v:array<double>):
     * seeds = first `nClusters` vectors by vec_id; exactly `iters` Lloyd
@@ -2735,15 +2767,20 @@ object EmbeddingSearch {
     * alone.
     */
   private def pqAssign(slN: DataFrame, cents: DataFrame): DataFrame = {
-    val centsArr = broadcast(cents.groupBy(col("s"))
-      .agg(array_sort(collect_list(struct(col("cl"), col("cv"),
-        sqrt(dot(col("cv"), col("cv"))).as("ncv")))).as("cents")))
-    slN.join(centsArr, "s")
-      .withColumn("best", array_max(transform(col("cents"), c => {
-        val csim = when(col("nv") === 0.0 || c.getField("ncv") === 0.0, lit(0.0))
-          .otherwise(dot(col("v"), c.getField("cv")) / (col("nv") * c.getField("ncv")))
-        struct(round(csim, 6).as("csim"), (-c.getField("cl")).as("ncl"))
-      })))
+    // one plan-time constant PER SUBSPACE, dispatched by a CASE chain on
+    // s (m <= 16 branches; only the matching branch evaluates) — the
+    // kmeansAssign centroid-constant design applied per codebook, and
+    // the per-s broadcast join it replaces disappears from the plan
+    val ss = cents.select(col("s").cast("int").as("s")).distinct()
+      .queryExecution.executedPlan.executeCollect().map(_.getInt(0)).sorted
+    val branches = ss.map(s => s ->
+      bestCellOf(col("v"), col("nv"),
+        centroidTableOf(cents.where(col("s") === s))))
+    val best = branches.drop(1).foldLeft(
+      when(col("s") === branches.head._1, branches.head._2)) {
+      case (acc, (s, b)) => acc.when(col("s") === s, b)
+    }
+    slN.withColumn("best", best)
       .select(col("s"), col("vec_id"), col("v"), (-col("best").getField("ncl")).as("cl"))
   }
 
