@@ -180,6 +180,105 @@ case class CentroidTable(data: ArrayData, elementType: DataType, k: Int,
   override def toString: String = s"centroid_table(k=$k, dim=$dim)"
 }
 
+/** The per-vector top-`np` probed cells as ONE native kernel —
+  * [[KmeansBestCell]]'s sibling for the IVF tagging/probe rule:
+  * (v, nv, cents) → array<struct<ncsim: -round(cosine,6), cl>> of the
+  * `np` best cells in (ncsim asc, cl asc) order — bit-identical
+  * elements and order to the HOF
+  * `slice(array_sort(transform(cents, struct(-round(csim,6), cl))), 1, np)`
+  * it replaces (the n·k interpreted round + full k·log k struct sort
+  * behind every cell tagging; the oracle replays the same rule).
+  * Eligibility generalizes the argmax bound: only candidates whose RAW
+  * cosine is within 2e-6 of the np-th-largest raw cosine can make the
+  * ROUNDED top-np (a candidate more than the 1e-6 grid step below the
+  * np-th raw max rounds strictly below np rounded values), so `round6`
+  * and the sort run on that sliver only.
+  */
+case class KmeansTopCells(v: Expression, nv: Expression, cents: Expression,
+    np: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def first: Expression = v
+  override def second: Expression = nv
+  override def third: Expression = cents
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ncsim", DoubleType, nullable = false),
+    StructField("cl", IntegerType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(vA: Any, nvA: Any, cA: Any): Any = {
+    val varr = vA.asInstanceOf[ArrayData].toDoubleArray()
+    val dec = KmeansKernel.decode(cA.asInstanceOf[ArrayData])
+    require(dec.k == 0 || varr.length == dec.dim,
+      s"vector dim ${varr.length} != centroid dim ${dec.dim}")
+    val nv = nvA.asInstanceOf[Double]
+    val k = dec.k
+    val csims = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      csims(i) =
+        if (nv == 0.0 || dec.ncv(i) == 0.0) 0.0
+        else {
+          var acc = 0.0
+          var j = 0
+          val base = i * dec.dim
+          while (j < dec.dim) { acc += varr(j) * dec.flat(base + j); j += 1 }
+          acc / (nv * dec.ncv(i))
+        }
+      i += 1
+    }
+    // np-th largest raw cosine via a small insertion-sorted top buffer
+    val nn = math.min(np, k)
+    val top = new Array[Double](nn)
+    java.util.Arrays.fill(top, -2.0)
+    i = 0
+    while (i < k) {
+      val s = csims(i)
+      if (s > top(nn - 1)) {
+        var p = nn - 1
+        while (p > 0 && top(p - 1) < s) { top(p) = top(p - 1); p -= 1 }
+        top(p) = s
+      }
+      i += 1
+    }
+    val thresh = top(nn - 1) - 2e-6
+    var nElig = 0
+    i = 0
+    while (i < k) { if (csims(i) >= thresh) nElig += 1; i += 1 }
+    val ncsim = new Array[Double](nElig)
+    val cl = new Array[Int](nElig)
+    var e = 0
+    i = 0
+    while (i < k) {
+      if (csims(i) >= thresh) {
+        ncsim(e) = -KmeansKernel.round6(csims(i)); cl(e) = dec.cl(i); e += 1
+      }
+      i += 1
+    }
+    // insertion sort of the eligible sliver by (ncsim asc, cl asc) — the
+    // struct-sort lexicographic order; sliver size ≈ np + rounding ties
+    i = 1
+    while (i < nElig) {
+      val sv = ncsim(i); val sc = cl(i)
+      var p = i - 1
+      while (p >= 0 && (ncsim(p) > sv || (ncsim(p) == sv && cl(p) > sc))) {
+        ncsim(p + 1) = ncsim(p); cl(p + 1) = cl(p); p -= 1
+      }
+      ncsim(p + 1) = sv; cl(p + 1) = sc
+      i += 1
+    }
+    val out = new Array[Any](math.min(nn, nElig))
+    i = 0
+    while (i < out.length) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ncsim(i), cl(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): KmeansTopCells =
+    copy(v = f, nv = s, cents = t)
+}
+
 /** The k-means assignment argmax as ONE native kernel:
   * (v: array<double>, nv: double, cents: array<struct<cl,cv,ncv>>) →
   * struct(csim: round(cosine,6) of the winner, ncl: -cl), winner by

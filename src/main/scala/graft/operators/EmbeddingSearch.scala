@@ -1451,18 +1451,20 @@ object EmbeddingSearch {
     */
   private def cellTaggedVectors(emb: DataFrame, cent: DataFrame,
       nprobe: Int): DataFrame = {
-    val centsArr = broadcast(
-      cent.agg(array_sort(collect_list(struct(col("cl"), col("cv"),
-        sqrt(dot(col("cv"), col("cv"))).as("ncv")))).as("cents")))
-    withNorm(emb).crossJoin(centsArr)
+    // the native top-np kernel (r16): elements and order bit-identical
+    // to the HOF slice(array_sort(transform(...)), 1, nprobe) it
+    // replaced — (-round(cosine,6) asc, cl asc), the (csim desc, cl asc)
+    // probe order every IVF surface uses — with the n·k interpreted
+    // round + full struct sort collapsed to a primitive pass (the
+    // KmeansBestCell rationale, SCALING.md r16); centroids ride the
+    // same plan-time constant
+    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+    val centsTbl = centroidTableOf(cent)
+    withNorm(emb)
       .select(col("vec_id"), col("v"),
-        slice(array_sort(transform(col("cents"), c => {
-          val csim = when(col("nv") === 0.0 || c.getField("ncv") === 0.0, lit(0.0))
-            .otherwise(dot(col("v"), c.getField("cv")) / (col("nv") * c.getField("ncv")))
-          // struct sort = lexicographic: (-csim asc, cl asc) ⇔ the
-          // (csim desc, cl asc) probe order every IVF surface uses
-          struct((-round(csim, 6)).as("ncsim"), c.getField("cl").as("cl"))
-        })), 1, nprobe).as("cells"))
+        toColumn(graft.functions.expressions.KmeansTopCells(
+          toExpression(col("v")), toExpression(col("nv")),
+          toExpression(centsTbl), nprobe)).as("cells"))
       .select(col("vec_id"), col("v"), posexplode(col("cells")).as(Seq("pos", "c")))
       .select(concat(lit("c:"), col("c.cl").cast("string")).as("band"),
         col("vec_id"), col("v"), (col("pos") === 0).as("is_base"),

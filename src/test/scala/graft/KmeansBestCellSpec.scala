@@ -85,6 +85,47 @@ class KmeansBestCellSpec extends AnyFunSuite {
     assert(bestVia(nativeArgmax, vecs, cents) == bestVia(hofArgmax, vecs, cents))
   }
 
+  test("KmeansTopCells matches the HOF slice(array_sort(...), 1, np) elements and order") {
+    import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+    val rnd = new scala.util.Random(31)
+    val dim = 6
+    val base = Seq(0.4, -0.1, 0.7, 0.2, -0.5, 0.3)
+    val cents = (0 until 17).map(i => (i, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))) ++
+      // rounding-collision ties and a zero-norm centroid
+      Seq((40, base), (41, base), (42, base.map(_ * (1 + 1e-9))),
+        (43, Seq.fill(dim)(0.0)))
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))) ++
+      Seq((900L, base), (901L, Seq.fill(dim)(0.0)))
+    for (np <- Seq(1, 2, 3, 5, 25)) {
+      def cellsVia(expr: (Column, Column, Column) => Column) = {
+        val centsArr = broadcast(
+          cents.toDF("cl", "cv").agg(array_sort(collect_list(struct(col("cl"),
+            col("cv"), sqrt(aggregate(zip_with(col("cv"), col("cv"), _ * _),
+              lit(0.0), _ + _)).as("ncv")))).as("cents")))
+        vecs.toDF("vec_id", "v")
+          .withColumn("nv", sqrt(aggregate(zip_with(col("v"), col("v"), _ * _),
+            lit(0.0), _ + _)))
+          .crossJoin(centsArr)
+          .withColumn("cells", expr(col("v"), col("nv"), col("cents")))
+          .select(col("vec_id"), posexplode(col("cells")).as(Seq("pos", "c")))
+          .select(col("vec_id"), col("pos"), col("c.ncsim"), col("c.cl"))
+          .orderBy("vec_id", "pos").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3))).toSeq
+      }
+      val hof: (Column, Column, Column) => Column = (v, nv, c) =>
+        slice(array_sort(transform(c, e => {
+          val csim = when(nv === 0.0 || e.getField("ncv") === 0.0, lit(0.0))
+            .otherwise(aggregate(zip_with(v, e.getField("cv"), _ * _),
+              lit(0.0), _ + _) / (nv * e.getField("ncv")))
+          struct((-round(csim, 6)).as("ncsim"), e.getField("cl").as("cl"))
+        })), 1, np)
+      val native: (Column, Column, Column) => Column = (v, nv, c) =>
+        toColumn(graft.functions.expressions.KmeansTopCells(
+          toExpression(v), toExpression(nv), toExpression(c), np))
+      assert(cellsVia(native) == cellsVia(hof), s"np=$np mismatch")
+    }
+  }
+
   test("KmeansBestCell breaks rounding-collision ties by lowest cl, like the HOF argmax") {
     // duplicate centroids (exact ties at every rank) and near-ties that
     // collide only after rounding; zero vector exercises the norm guard
