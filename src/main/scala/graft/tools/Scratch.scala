@@ -872,6 +872,39 @@ object Scratch {
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "phases") {
+      // r16 opt round: where does the FLAT TAIL's time go? Decompose every
+      // query's bench wall into construct (the registry fn itself — artifact
+      // probes, fingerprint walks, any memo jobs), plan (analysis +
+      // optimization + physical planning via executedPlan), and exec (the
+      // count). Two passes like Bench; per-phase MIN reported, so the JIT
+      // noise of pass 1 doesn't misattribute.
+      val sel = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
+      val named = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => sel.isEmpty || sel.contains(n) }
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Double, Double, Double)]
+      for (pass <- 1 to 2; (name, fn) <- named) {
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        df.count()
+        val t3 = System.nanoTime()
+        val (c, p, e) =
+          ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+        val prev = acc.getOrElse(name, (Double.MaxValue, Double.MaxValue, Double.MaxValue))
+        acc(name) = (math.min(prev._1, c), math.min(prev._2, p), math.min(prev._3, e))
+      }
+      var (sc, sp, se) = (0.0, 0.0, 0.0)
+      acc.foreach { case (name, (c, p, e)) =>
+        sc += c; sp += p; se += e
+        println(f"PHASES $name%-36s construct=$c%7.3f plan=$p%7.3f exec=$e%7.3f total=${c + p + e}%7.3f")
+      }
+      println(f"PHASES-SUM n=${acc.size} construct=$sc%8.2f plan=$sp%8.2f exec=$se%8.2f total=${sc + sp + se}%8.2f")
+      spark.stop(); return
+    }
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         val t0 = System.nanoTime()
