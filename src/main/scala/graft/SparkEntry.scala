@@ -103,6 +103,31 @@ object SparkEntry {
     bpeModelRows(s, dir)
       .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toIndexedSeq
 
+  /** One quality-classifier GD training per (dataset, trainer mechanism),
+    * memoized for the entry family — the [[bpeModelMemo]] discipline
+    * applied to the classifier (r16 opt: each of the four registered
+    * entries was re-running the eager 3-round training per call, ~1.1–2.8 s
+    * of construct time each at sf0.1). Training is deterministic (fixed
+    * fold orders, decimal-summed gradients), so the memo changes cost,
+    * never results; the value is the dims+1 weight array — model scale.
+    * The literal and wide trainers memoize SEPARATELY: the wide entry
+    * exists to exercise the table-weight mechanism, so it still trains
+    * through it (once per dataset), spec-pinned bit-identical at 16 dims.
+    */
+  private val classifierModelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, Array[Double])]()
+
+  private def classifierWeightsArrFor(s: SparkSession, dir: String,
+      wide: Boolean): Array[Double] = {
+    val fp = java.lang.Long.toHexString(
+      Tables.datasetFingerprint(s"$dir/documents.parquet"))
+    classifierModelMemo.compute((dir, if (wide) "wide" else "lit"), (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else (fp,
+        if (wide) TextAnalysis.trainClassifierWide(Tables.documents(s, dir), 16, 3, 4.0)
+        else TextAnalysis.trainClassifier(Tables.documents(s, dir), 16, 3, 4.0)))._2
+  }
+
   /** The ONE derivation of a persisted k-means quantizer's directory:
     * training params + dataset fingerprint in the name (an index trained
     * under different params or data can never be served), stale
@@ -148,6 +173,18 @@ object SparkEntry {
     */
   private[graft] def pqIndexDirFor(dir: String): String =
     fingerprintedDir(dir, "graft_pqidx_m4k4i2", Seq("embeddings.parquet"))
+
+  /** The composed IVF-PQ index's directory (coarse quantizer + PQ
+    * codebooks under one `_DONE` token) — r16 opt: `embed_knn_ivfpq` and
+    * `embed_ivfpq_recall` were the last quantizer-backed entries still
+    * re-TRAINING per call (~2.5 s construct each at sf0.1, two coarse +
+    * two PQ trainings per bench pass); they now route through
+    * [[graft.operators.EmbeddingSearch.ivfPqTopKPersisted]], spec-pinned
+    * row-identical to fresh training. Params in the name, stale
+    * fingerprints reclaimed — the [[pqIndexDirFor]] discipline.
+    */
+  private[graft] def ivfPqIndexDirFor(dir: String): String =
+    fingerprintedDir(dir, "graft_ivfpqidx_c8i2m4k4", Seq("embeddings.parquet"))
 
   /** The ONE derivation of the persisted BM25 index's directory (the
     * [[kmeansIndexDirFor]] discipline): dataset fingerprint in the name,
@@ -859,24 +896,29 @@ object SparkEntry {
     // zero — rational sigmoid + fixed fold orders + decimal-summed
     // 6dp gradient contributions make the TRAINING itself bit-replayable
     // by the oracle, not just its outputs
+    // all four classifier entries train through the classifierModelMemo
+    // (one literal + one wide training per dataset — the bpeModelFor
+    // train-once discipline; rows identical to per-entry retraining)
     "text_quality_classifier" -> ((s, dir) =>
-      TextAnalysis.qualityClassifierWeights(Tables.documents(s, dir))),
+      TextAnalysis.classifierWeightsDf(s, classifierWeightsArrFor(s, dir, wide = false))),
     // train-fit confusion matrix of the same model (predicted = z >= 0)
     "text_quality_classifier_eval" -> ((s, dir) =>
-      TextAnalysis.qualityClassifierEval(Tables.documents(s, dir))),
+      TextAnalysis.qualityClassifierEvalWith(Tables.documents(s, dir),
+        classifierWeightsArrFor(s, dir, wide = false))),
     // per-doc serve scores from the trained weights (the filter's output
     // surface; the persisted train-once/serve-many path is spec-pinned
     // row-identical to this fresh-trained form)
     "text_quality_classifier_scores" -> ((s, dir) =>
       TextAnalysis.scoreWithClassifier(Tables.documents(s, dir),
-        TextAnalysis.qualityClassifierWeights(Tables.documents(s, dir)))),
+        TextAnalysis.classifierWeightsDf(s, classifierWeightsArrFor(s, dir, wide = false)))),
     // the WIDE mechanism (table-weight GD + join-based serve — the shape
     // that holds at 100k+ hashed dims, spec-pinned bit-identical to the
     // literal path at 16 and 256 dims) gated at oracle width against the
-    // SAME oracle: the mechanism changes, the rows must not
+    // SAME oracle: the mechanism changes, the rows must not (the memo
+    // keeps the wide TRAINER as the entry's one training per dataset)
     "text_quality_classifier_scores_wide" -> ((s, dir) =>
       TextAnalysis.scoreWithClassifierWide(Tables.documents(s, dir),
-        TextAnalysis.qualityClassifierWeightsWide(Tables.documents(s, dir)))),
+        TextAnalysis.classifierWeightsDf(s, classifierWeightsArrFor(s, dir, wide = true)))),
     // TRAINED BPE tokenizer (Sennrich et al. 2016): 8 merge rounds over the
     // cached vocabulary-sized word-frequency table — integer pair counts +
     // total-order argmax + fixed left-to-right replaces make the merge
@@ -1079,7 +1121,10 @@ object SparkEntry {
     // serves from the SAME persisted codebooks as embed_knn_pq
     "embed_pq_recall" -> ((s, dir) =>
       EmbeddingSearch.pqRecallPersisted(s, dir, pqIndexDirFor(dir))),
-    "embed_ivfpq_recall" -> ((s, dir) => EmbeddingSearch.ivfPqRecall(s, dir)),
+    // r16 opt: the recall twin serves from the SAME persisted composed
+    // index as embed_knn_ivfpq (zero extra trainings)
+    "embed_ivfpq_recall" -> ((s, dir) =>
+      EmbeddingSearch.ivfPqRecallPersisted(s, dir, ivfPqIndexDirFor(dir))),
     // multi-probe: Hamming-1 neighbor buckets probed at fixed index layout
     "embed_knn_multiprobe" -> ((s, dir) => EmbeddingSearch.lshTopKMultiProbe(s, dir)),
     "embed_multiprobe_recall" -> ((s, dir) => EmbeddingSearch.multiProbeRecall(s, dir)),
@@ -1210,7 +1255,11 @@ object SparkEntry {
     // IVF-PQ: the composed production index — coarse k-means probe bounds
     // candidates to nprobe cells, PQ ADC bounds bytes per candidate to m
     // codes; both trained quantizers + the composition oracle-replayed
-    "embed_knn_ivfpq" -> ((s, dir) => EmbeddingSearch.ivfPqTopK(s, dir)),
+    // r16 opt: serves from the persisted composed index (ivfPqIndexDirFor)
+    // — both quantizers train once per dataset instead of per call;
+    // spec-pinned row-identical to fresh training
+    "embed_knn_ivfpq" -> ((s, dir) =>
+      EmbeddingSearch.ivfPqTopKPersisted(s, dir, ivfPqIndexDirFor(dir))),
     // PQ codebooks trained on the deterministic 40% affine-hash sample
     // (the 100 TB training shape k-means already has); encoding + LUT
     // serve still cover every vector — oracle replays the sampled rounds;

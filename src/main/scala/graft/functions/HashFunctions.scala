@@ -69,8 +69,19 @@ object HashFunctions {
   /** LSH band keys: `bands` strings "b:v1_v2_..", each hashing rowsPerBand
     * consecutive signature slots. Docs sharing any key are candidates; with
     * b bands of r rows the candidate probability is 1-(1-J^r)^b.
+    * Native kernel ([[graft.functions.expressions.MinHashBandKeys]],
+    * byte-identical strings, spec-fuzzed vs the HOF form): the interpreted
+    * transform∘concat_ws∘slice chain was the dedup family's measured
+    * per-row hot spot.
     */
   def minhashBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    toCol(graft.functions.expressions.MinHashBandKeys(
+      toExpr(signature), bands, rowsPerBand))
+
+  /** The pre-r16 HOF band-key formulation — kept as the spec's equivalence
+    * oracle for the native kernel (and nothing else). */
+  private[graft] def minhashBandKeysHof(signature: Column, bands: Int,
+      rowsPerBand: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
       b => concat_ws(":", b.cast("string"),

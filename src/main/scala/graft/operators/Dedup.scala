@@ -619,7 +619,14 @@ object Dedup {
         val ck = cached.checkpoint()
         cached.unpersist(false)
         ck
-      } else df.localCheckpoint()
+      } else df.localCheckpoint(eager = false)
+      // LAZY local checkpoint (r16 opt): every round already runs an eager
+      // action right after materializing (the `changed` convergence count),
+      // so the eager form paid TWO jobs per round — one to checkpoint, one
+      // to count. The lazy form folds both into the count job: the round's
+      // blocks cache + its lineage truncates as that job computes it.
+      // Ordering is unchanged — prev-round blocks are only released AFTER
+      // the count has materialized the new round.
     // Both edge directions from ONE pass over pairs (a unionAll of two
     // selects would evaluate the upstream similarity join twice). The EAGER
     // checkpoint materializes the (small) dup-edge set once and truncates

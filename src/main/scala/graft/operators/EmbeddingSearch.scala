@@ -3194,6 +3194,14 @@ object EmbeddingSearch {
   def ivfPqRecall(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame =
     recallAgainstBrute(spark, dir, ivfPqTopK(spark, dir, k, nQueries), k, nQueries)
 
+  /** [[ivfPqRecall]] against the PERSISTED composed index — the recall
+    * twin of the registered serve, sharing its one-training-per-dataset
+    * artifact (r16 opt; rows identical, the serve is deterministic). */
+  def ivfPqRecallPersisted(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nQueries: Int = 10): DataFrame =
+    recallAgainstBrute(spark, dir,
+      ivfPqTopKPersisted(spark, dir, indexPath, k, nQueries), k, nQueries)
+
   /** The shared recall@k rollup: left-join an approximate searcher's top-k
     * against the brute-force exact set (both |Q|·k rows — the join is
     * negligible next to the searches). */

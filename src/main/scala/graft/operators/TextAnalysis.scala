@@ -763,12 +763,19 @@ object TextAnalysis {
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.c").as("c"))
       .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("w"))
     val outW = sym.groupBy("src").agg(sum(col("w")).as("w_out"))
-    val edges = sym.join(outW, "src").localCheckpoint()
+    // LAZY checkpoints (r16 opt): each round references the previous round
+    // exactly once and nothing acts until the caller's own action, so the
+    // lazy form keeps the per-round plans truncated (the checkpoint RDDs
+    // are shared LogicalRDD leaves — plan size stays linear in rounds)
+    // while collapsing the 1 + iters eager materialization JOBS into the
+    // final action. Blocks still cache + lineage still truncates the
+    // first time each round is computed; results are unchanged.
+    val edges = sym.join(outW, "src").localCheckpoint(eager = false)
     val nNodes = outW.agg(count(lit(1)).as("n_nodes"))
     var ranks = outW.select(col("src").as("node"))
       .crossJoin(broadcast(nNodes))
       .select(col("node"), expr("1000000000000 div n_nodes").as("r"), col("n_nodes"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       // r·w runs in DECIMAL(38,0); `div` is TRUNCATING integral division on
       // both engines (DuckDB `//` on positives agrees) — never `/`, whose
@@ -783,7 +790,7 @@ object TextAnalysis {
         .select(col("node"),
           expr("15 * (1000000000000 div n_nodes) div 100 + 85 * in_sum div 100").as("r"),
           col("n_nodes"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     ranks.join(outW.select(col("src").as("node"), col("w_out")), "node")
       .select(col("node").as("token"), col("r").as("rank_e12"), col("w_out"))
@@ -2211,7 +2218,7 @@ object TextAnalysis {
     * reaching embedding-width models; the gradient traffic itself is
     * already O(dims) rows/round regardless.
     */
-  private[operators] def trainClassifier(docs: DataFrame, dims: Int, iters: Int,
+  private[graft] def trainClassifier(docs: DataFrame, dims: Int, iters: Int,
       eta: Double): Array[Double] = {
     require(dims >= 1 && iters >= 1, "dims and iters must be positive")
     classifierTrainings.incrementAndGet()
@@ -2244,11 +2251,18 @@ object TextAnalysis {
     * training discipline and the portability argument).
     */
   def qualityClassifierWeights(docs: DataFrame, dims: Int = 16, iters: Int = 3,
-      eta: Double = 4.0): DataFrame = {
-    val spark = docs.sparkSession
+      eta: Double = 4.0): DataFrame =
+    classifierWeightsDf(docs.sparkSession, trainClassifier(docs, dims, iters, eta))
+
+  /** A trained weight array as the (j, weight) table every serve path
+    * consumes — the one copy of the rows-from-array shape, so a memoized
+    * training (SparkEntry's train-once discipline) builds the identical
+    * frame a fresh training would. */
+  def classifierWeightsDf(spark: org.apache.spark.sql.SparkSession,
+      w: Array[Double]): DataFrame = {
     import spark.implicits._
-    trainClassifier(docs, dims, iters, eta).toIndexedSeq.zipWithIndex
-      .map { case (wt, j) => (j.toLong, wt) }.toDF("j", "weight")
+    w.toIndexedSeq.zipWithIndex.map { case (wt, j) => (j.toLong, wt) }
+      .toDF("j", "weight")
   }
 
   /** Trainings performed (test observability — the persisted-model spec
@@ -2349,7 +2363,7 @@ object TextAnalysis {
     * path — sums identical. The bias gradient (x ≡ 1.0) aggregates from
     * the per-doc d frame directly.
     */
-  private[operators] def trainClassifierWide(docs: DataFrame, dims: Int, iters: Int,
+  private[graft] def trainClassifierWide(docs: DataFrame, dims: Int, iters: Int,
       eta: Double): Array[Double] = {
     require(dims >= 1 && iters >= 1, "dims and iters must be positive")
     val spark = docs.sparkSession
@@ -2390,12 +2404,8 @@ object TextAnalysis {
   /** [[qualityClassifierWeights]] through the wide trainer — the weight
     * table a 100k-dim production filter trains and serves with. */
   def qualityClassifierWeightsWide(docs: DataFrame, dims: Int = 16, iters: Int = 3,
-      eta: Double = 4.0): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    trainClassifierWide(docs, dims, iters, eta).toIndexedSeq.zipWithIndex
-      .map { case (wt, j) => (j.toLong, wt) }.toDF("j", "weight")
-  }
+      eta: Double = 4.0): DataFrame =
+    classifierWeightsDf(docs.sparkSession, trainClassifierWide(docs, dims, iters, eta))
 
   def saveClassifierModel(weights: DataFrame, path: String): Unit =
     weights.coalesce(1).write.mode("overwrite").parquet(path)
@@ -2428,8 +2438,16 @@ object TextAnalysis {
     * the boolean and the counts are under the hash gate.
     */
   def qualityClassifierEval(docs: DataFrame, dims: Int = 16, iters: Int = 3,
-      eta: Double = 4.0): DataFrame = {
-    val wArr = array(trainClassifier(docs, dims, iters, eta).toIndexedSeq.map(lit): _*)
+      eta: Double = 4.0): DataFrame =
+    qualityClassifierEvalWith(docs, trainClassifier(docs, dims, iters, eta), dims)
+
+  /** [[qualityClassifierEval]] against an ALREADY-TRAINED weight array —
+    * the serve half, so a memoized training (SparkEntry) or a persisted
+    * model evaluates without re-running GD. Identical rows: the eval is a
+    * pure function of (docs, weights). */
+  def qualityClassifierEvalWith(docs: DataFrame, w: Array[Double],
+      dims: Int = 16): DataFrame = {
+    val wArr = array(w.toIndexedSeq.map(lit): _*)
     classifierFeatures(docs, dims)
       .withColumn("z", aggregate(sequence(lit(0), lit(dims)), lit(0.0),
         (acc, j) => acc + element_at(wArr, (j + 1).cast("int"))

@@ -56,10 +56,38 @@ object Tables {
     hadoopFs(p).exists(p)
   }
 
+  /** Inferred-schema memo per (nanosAsLong conf, table path), validated by
+    * the dataset fingerprint (r16 opt): every `spark.read.parquet` call
+    * pays a footer-read schema inference (~68 ms measured vs ~6 ms with
+    * the schema supplied), and a bench pass constructs ~940 table frames —
+    * the single largest fixed cost in the flat tail. The memo holds only
+    * the SCHEMA (metadata-scale); each call still builds a fresh
+    * DataFrame/FileIndex over the current files, so nothing about the
+    * data path is cached. A regenerated table re-infers (the fingerprint
+    * folds file names+sizes+footer tails, and a schema change necessarily
+    * changes the footer), and the drift check runs on every re-inference.
+    * nanosAsLong is in the key because it changes what TIMESTAMP(NANOS)
+    * infers AS — two sessions with different settings must not share.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (Long, org.apache.spark.sql.types.StructType)]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    assertExpectedSchema(name, df.schema)
-    df
+    val path = s"$dir/$name.parquet"
+    val nanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .getOrElse("false")
+    val fp = datasetFingerprint(path)
+    val key = (nanos, path)
+    val cached = schemaMemo.get(key)
+    val schema =
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        val s = spark.read.parquet(path).schema
+        assertExpectedSchema(name, s)
+        schemaMemo.put(key, (fp, s))
+        s
+      }
+    spark.read.schema(schema).parquet(path)
   }
 
   /** Expected logical types per fixture column. The accepted SET per column

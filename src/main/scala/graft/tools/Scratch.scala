@@ -10,7 +10,7 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val only = if (args.length > 1) args(1).split(",").toSet else Set.empty[String]
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -18,7 +18,11 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
-      .getOrCreate()
+    // A/B experiment hook: GRAFT_EXTRA_CONF="key=value;key=value" lands in
+    // the session builder — probe-only, the product mains never read it.
+    sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 1 && args(1) == "slopeprobe") {
       // r15 (the r14 verdict's item 6): the two super-linear x16→x64
@@ -870,6 +874,53 @@ object Scratch {
     if (args.length > 1 && args(1).startsWith("explain:")) {
       val name = args(1).stripPrefix("explain:")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "lshsplit") {
+      // r16 opt micro-probe: where does the MinHash-LSH pair pipeline's
+      // exec time go? Cumulative stage cuts, min of 3 counts each.
+      import org.apache.spark.sql.functions._
+      import graft.functions.HashFunctions._
+      import graft.functions.TextFunctions._
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      def bench(what: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        val t = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"LSHSPLIT $what%-26s $t%7.3f s")
+      }
+      val sets = docs.select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+      bench("tokenize only")(docs.select(size(tokenize(col("text"))).as("n")).where(col("n") >= 0))
+      bench("shingleSet")(sets)
+      bench("+hashSet")(sets.select(col("doc_id"), hashSet(col("sh")).as("h")))
+      bench("+minhash64")(sets.select(col("doc_id"),
+        minhashFromHashes(hashSet(col("sh")), 64).as("sig")))
+      bench("+bandkeys+explode")(sets.select(col("doc_id"),
+        explode(minhashBandKeys(minhashFromHashes(hashSet(col("sh")), 64), 16, 4)).as("b")))
+      bench("full lsh pairs")(graft.operators.Dedup.minhashLshPairs(docs, 0.7))
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "tableread") {
+      // r16 opt micro-probe: what does ONE Tables.table() construct cost
+      // (read.parquet schema inference + drift check), vs a schema-supplied
+      // read, vs reusing a memoized frame? 200 reps each, steady state.
+      def bench(what: String)(f: => Unit): Unit = {
+        f; f // warm
+        val t0 = System.nanoTime()
+        (1 to 200).foreach(_ => f)
+        println(f"TABLEREAD $what%-28s ${(System.nanoTime() - t0) / 1e9 / 200 * 1000}%8.3f ms/call")
+      }
+      val p = s"$sfDir/documents.parquet"
+      val schema = spark.read.parquet(p).schema
+      bench("Tables.documents")(graft.sources.Tables.documents(spark, sfDir))
+      bench("read.parquet")(spark.read.parquet(p))
+      bench("read.schema().parquet")(spark.read.schema(schema).parquet(p))
+      bench("fingerprint walk")(graft.sources.Tables.datasetFingerprint(p))
+      bench("queries(text_zipf) construct")(
+        graft.SparkEntry.queries("text_zipf")(spark, sfDir))
+      bench("queries(rel_pivot) construct")(
+        graft.SparkEntry.queries("rel_pivot")(spark, sfDir))
       spark.stop(); return
     }
     if (args.length > 1 && args(1) == "phases") {

@@ -124,4 +124,30 @@ class ArtifactKeySpec extends AnyFunSuite {
       .collect().map(_.toString).toSet
     assert(r1 == r2, "memoized serve drifted across an mtime-only rewrite")
   }
+
+  test("the table-schema memo re-infers on regeneration (schema change included)") {
+    // r16 opt: Tables.table memoizes the INFERRED SCHEMA per fingerprint
+    // (the data path itself is never cached — each call builds a fresh
+    // frame over the current files). A regenerated table must re-infer:
+    // same-schema regeneration serves the new ROWS, and a regeneration
+    // that CHANGES the schema must surface the new columns, not the memo.
+    val root = java.nio.file.Files.createTempDirectory("graft_schmemo").toString
+    val p = s"$root/documents.parquet"
+    spark.range(5).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    val t1 = Tables.table(spark, root, "documents")
+    assert(t1.columns.toSet == Set("doc_id", "text") && t1.count() == 5)
+    // same schema, new rows: the memo serves the schema, the scan the data
+    spark.range(7).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    assert(Tables.table(spark, root, "documents").count() == 7,
+      "schema memo must not pin the file listing — new rows must be read")
+    // schema change: additive column must appear (fingerprint moved)
+    spark.range(3).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text",
+        "'en' AS lang")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    val t3 = Tables.table(spark, root, "documents")
+    assert(t3.columns.toSet == Set("doc_id", "text", "lang"),
+      "regenerated schema must re-infer, not serve the memoized one")
+  }
 }

@@ -76,6 +76,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashBandKeys kernel == HOF band keys, byte-identical (random + short signatures)") {
+    // the r16 native band-key kernel against the HOF formulation it
+    // replaced, which stays in-tree as this spec's oracle
+    // (HashFunctions.minhashBandKeysHof): random signatures at the
+    // registered geometry, plus shorter-than-bands·rpb adversaries where
+    // slices degrade to partial/empty bands
+    import graft.functions.HashFunctions
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val sigs: Seq[Seq[Long]] =
+      Seq.fill(40)(Seq.fill(64)(rnd.nextLong().abs % 2147483647L)) ++
+        Seq(Seq.empty[Long], Seq(7L), Seq.fill(5)(rnd.nextLong().abs),
+          Seq.fill(63)(rnd.nextLong().abs % 2147483647L))
+    for ((bands, rpb) <- Seq((16, 4), (8, 8), (4, 2))) {
+      val df = sigs.toDF("sig").select(
+        HashFunctions.minhashBandKeys(col("sig"), bands, rpb).as("native"),
+        HashFunctions.minhashBandKeysHof(col("sig"), bands, rpb).as("hof"))
+      df.as[(Seq[String], Seq[String])].collect().foreach { case (n, h) =>
+        assert(n == h, s"band keys diverged at bands=$bands rpb=$rpb: $n vs $h")
+      }
+    }
+  }
+
   test("62-bit hash kernels == independent model on random shingle sets") {
     // hashSet62 and IntersectCountSorted are the incremental-dedup index's
     // verification currency — model them independently: two plain-Scala

@@ -701,6 +701,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(served == fresh, "persisted-model serve diverged from fresh scores")
   }
 
+  test("the four classifier entries share one literal + one wide training per dataset") {
+    // r16 opt (the bpeModelFor discipline): each entry was re-running the
+    // eager GD per call. After one warm pass, a second pass over all four
+    // entries must add ZERO trainings, and the memoized rows must equal
+    // the fresh-trained forms (training is deterministic).
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val entries = Seq("text_quality_classifier", "text_quality_classifier_eval",
+      "text_quality_classifier_scores", "text_quality_classifier_scores_wide")
+    for (e <- entries) assert(graft.SparkEntry.queries(e)(spark, dir).count() > 0)
+    val before = TextAnalysis.classifierTrainings.get()
+    for (e <- entries) assert(graft.SparkEntry.queries(e)(spark, dir).count() > 0)
+    assert(TextAnalysis.classifierTrainings.get() == before,
+      "a warmed classifier entry retrained instead of reading the memo")
+    val memoW = graft.SparkEntry.queries("text_quality_classifier")(spark, dir)
+      .as[(Long, Double)].collect().toSet
+    val freshW = TextAnalysis.qualityClassifierWeights(docs)
+      .as[(Long, Double)].collect().toSet
+    assert(memoW == freshW, "memoized literal weights diverged from fresh training")
+    val memoWide = graft.SparkEntry.queries("text_quality_classifier_scores_wide")(spark, dir)
+      .select("doc_id", "score", "predicted").as[(Long, Double, Long)].collect().toSet
+    val freshWide = TextAnalysis
+      .scoreWithClassifierWide(docs, TextAnalysis.qualityClassifierWeightsWide(docs))
+      .select("doc_id", "score", "predicted").as[(Long, Double, Long)].collect().toSet
+    assert(memoWide == freshWide, "memoized wide scores diverged from fresh wide training")
+  }
+
   test("CDC chunking: an edit shifts only chunks before the next anchor") {
     import graft.operators.TextAnalysis
     // content-defined boundaries: prepend tokens to a document and every
