@@ -236,7 +236,7 @@ object Dedup {
         hashSet62(shingleSet(col("text"), k)).as("hs62"))
       .where(size(col("hs31")) > 0)
       .write.mode("overwrite").parquet(s"$path/sets")
-    spark.read.parquet(s"$path/sets")
+    graft.sources.Tables.artifactParquet(spark, s"$path/sets")
       .select(col("doc_id"), explode(minhashBandKeys(
         minhashFromHashes(col("hs31"), numHashes), bands, numHashes / bands)).as("band"))
       .write.mode("overwrite").parquet(s"$path/bands")
@@ -543,9 +543,9 @@ object Dedup {
     val idxFs = new org.apache.hadoop.fs.Path(indexPath, "_PARAMS")
       .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     requireIndexParams(idxFs, indexPath, numHashes, bands, k)
-    val exact = spark.read.parquet(s"$indexPath/exact")
-    val corpusBands = spark.read.parquet(s"$indexPath/bands")
-    val corpusSets = spark.read.parquet(s"$indexPath/sets")
+    val exact = graft.sources.Tables.artifactParquet(spark, s"$indexPath/exact")
+    val corpusBands = graft.sources.Tables.artifactParquet(spark, s"$indexPath/bands")
+    val corpusSets = graft.sources.Tables.artifactParquet(spark, s"$indexPath/sets")
     val batch = newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"),
       hashSet(shingleSet(col("text"), k)).as("hs31"),
       hashSet62(shingleSet(col("text"), k)).as("hs62"))

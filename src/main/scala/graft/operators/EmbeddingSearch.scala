@@ -1631,25 +1631,35 @@ object EmbeddingSearch {
     def ranked(cand: DataFrame, keep: Int): DataFrame =
       cand.withColumn("rn", row_number().over(wBeam))
         .where(col("rn") <= keep).drop("rn")
+    // r16 opt, two round-loop changes (results identical):
+    //  - the frontier carries (query_id, vec_id, cosine) ONLY; the query
+    //    vector re-attaches per round from the broadcast |Q|-row batch
+    //    instead of riding every exchange as a dims-double payload
+    //    (guide §2.3: shuffle keys, re-attach payloads) — the old
+    //    first(qv) aggregate was per-key constant, so rows are unchanged
+    //  - the pre-score .distinct() is gone: duplicate (query, nbr)
+    //    candidates re-score to the SAME rounded cosine and collapse in
+    //    the max() aggregation anyway — one fewer shuffle per round
+    val qB = broadcast(q)
     // each round's frontier is localCheckpointed (eager): the plan would
     // otherwise nest `rounds` joins deep, and the blocks are |Q|·beam
     // rows. The replaced round's blocks are released immediately — the
     // checkpoint-discipline of the NN-descent family.
     var cand = ranked(q.crossJoin(entry.select(col("vec_id"), col("v")))
-      .select(col("query_id"), col("qv"), col("vec_id"),
+      .select(col("query_id"), col("vec_id"),
         round(cosine(col("v"), col("qv")), 6).as("cosine")),
       beam).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val grown = cand.select(col("query_id"), col("qv"), col("vec_id"))
+      val grown = cand.select(col("query_id"), col("vec_id"))
         .join(graph, "vec_id")
-        .select(col("query_id"), col("qv"), col("nbr_id").as("vec_id"))
-        .distinct()
+        .select(col("query_id"), col("nbr_id").as("vec_id"))
         .join(emb, "vec_id")
-        .select(col("query_id"), col("qv"), col("vec_id"),
+        .join(qB, "query_id")
+        .select(col("query_id"), col("vec_id"),
           round(cosine(col("v"), col("qv")), 6).as("cosine"))
         .unionByName(cand)
         .groupBy(col("query_id"), col("vec_id"))
-        .agg(first(col("qv")).as("qv"), max(col("cosine")).as("cosine"))
+        .agg(max(col("cosine")).as("cosine"))
       val next = ranked(grown, beam).localCheckpoint()
       org.apache.spark.sql.GraftShim.unpersistCheckpoint(cand)
       cand = next
@@ -1816,7 +1826,7 @@ object EmbeddingSearch {
         "rebuild with buildKnnGraph")
     fs.delete(done, false)
     val cent = loadKmeansIndex(spark, s"$graphPath/cent").localCheckpoint()
-    val prm = spark.read.parquet(s"$graphPath/params").collect()(0)
+    val prm = graft.sources.Tables.artifactParquet(spark, s"$graphPath/params").collect()(0)
     val kBuild = prm.getAs[Int]("k_build")
     val np = prm.getAs[Int]("nprobe")
     val trainedN = prm.getAs[Long]("trained_n")
@@ -2001,7 +2011,7 @@ object EmbeddingSearch {
     require(fs.exists(done),
       s"kNN graph at $graphPath is uncommitted (no _DONE) — a crashed " +
         "build/extend must be rebuilt with buildKnnGraph")
-    spark.read.parquet(s"$graphPath/edges")
+    graft.sources.Tables.artifactParquet(spark, s"$graphPath/edges")
       .select(col("vec_id"), col("nbr_id"), col("cosine"))
   }
 
@@ -2444,8 +2454,8 @@ object EmbeddingSearch {
     require(fs.exists(done),
       s"vector dedup index at $indexPath is absent or incomplete — run buildVecDedupIndex first")
     requireVecIndexParams(fs, indexPath, nPlanes)
-    val corpusBands = spark.read.parquet(s"$indexPath/bands")
-    val corpusVecs = spark.read.parquet(s"$indexPath/vecs")
+    val corpusBands = graft.sources.Tables.artifactParquet(spark, s"$indexPath/bands")
+    val corpusVecs = graft.sources.Tables.artifactParquet(spark, s"$indexPath/vecs")
     val batch = newVecs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val batchBands = batch
       .select(col("vec_id"), col("v"),
@@ -2715,7 +2725,7 @@ object EmbeddingSearch {
     cent.coalesce(1).write.mode("overwrite").parquet(path)
 
   def loadKmeansIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.sources.Tables.artifactParquet(spark, path)
 
   /** The SERVE path of train-once/serve-many: inverted-file probe + exact
     * re-rank against an already-trained quantizer (cl, cv) — from
@@ -3059,7 +3069,7 @@ object EmbeddingSearch {
     cents.coalesce(1).write.mode("overwrite").parquet(path)
 
   def loadPqIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.sources.Tables.artifactParquet(spark, path)
 
   /** Load the PQ codebooks at `indexPath`, TRAINING AND PERSISTING them
     * first if absent — the [[ensureKmeansIndex]] discipline for the PQ
@@ -4040,8 +4050,8 @@ object EmbeddingSearch {
     val paths = values.sorted
       .map(v => s"$tbl/$key=$v")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    val df = if (paths.isEmpty) spark.read.parquet(tbl)
-      else spark.read.option("basePath", tbl).parquet(paths: _*)
+    val df = if (paths.isEmpty) graft.sources.Tables.artifactParquet(spark, tbl)
+      else graft.sources.Tables.artifactPartitionedParquet(spark, tbl, paths)
     df.where(col(key).isin(values.map(Integer.valueOf): _*))
   }
 
@@ -4052,8 +4062,8 @@ object EmbeddingSearch {
     val paths = cells.sorted
       .map(c => s"$indexPath/ivf/cl=$c")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    val df = if (paths.isEmpty) spark.read.parquet(s"$indexPath/ivf")
-      else spark.read.option("basePath", s"$indexPath/ivf").parquet(paths: _*)
+    val df = if (paths.isEmpty) graft.sources.Tables.artifactParquet(spark, s"$indexPath/ivf")
+      else graft.sources.Tables.artifactPartitionedParquet(spark, s"$indexPath/ivf", paths)
     df.where(col("cl").isin(cells.map(Integer.valueOf): _*))
   }
 
@@ -4219,7 +4229,7 @@ object EmbeddingSearch {
     if (!fs.exists(done))
       buildIvfIndex(emb.where(col("vec_id") < split), indexPath, nClusters, iters)
     val cent = loadKmeansIndex(spark, s"$indexPath/cent")
-    val corpusIvf = spark.read.parquet(s"$indexPath/ivf")
+    val corpusIvf = graft.sources.Tables.artifactParquet(spark, s"$indexPath/ivf")
     val batchIvf = kmeansAssign(withNorm(emb.where(col("vec_id") >= split)), cent)
       .select(col("cl"), col("vec_id"), col("v"))
     val q = corpusIvf.where(col("vec_id") < nQueries)
@@ -4780,7 +4790,7 @@ object EmbeddingSearch {
     // serves too) — one metadata count, no corpus-scale work
     warnIfStale(spark, indexPath, "serve")
     val cent = loadKmeansIndex(spark, s"$indexPath/cent")
-    val inverted = spark.read.parquet(s"$indexPath/ivf")
+    val inverted = graft.sources.Tables.artifactParquet(spark, s"$indexPath/ivf")
     val q = inverted.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     knnOverInverted(inverted, q, cent, k, nprobe)
@@ -4929,7 +4939,7 @@ object EmbeddingSearch {
       localQ: Option[Array[(Long, Array[Double])]]): DataFrame = {
     val spark = batch.sparkSession
     warnIfStale(spark, indexPath, surface)
-    val ivf = spark.read.parquet(s"$indexPath/ivf")
+    val ivf = graft.sources.Tables.artifactParquet(spark, s"$indexPath/ivf")
     val m = if (matches >= 0) matches else storedIvfMatches(spark, indexPath, pred)
     require(m > 0, s"filter '$pred' matches no indexed vectors")
     val q = batch.select(col("vec_id").cast("long").as("query_id"),
@@ -5106,7 +5116,7 @@ object EmbeddingSearch {
         (pairs.toDF("query_id", "qv", "cl"), pairs.map(_._3).distinct.toArray)
       case None =>
         val cent = loadKmeansIndex(spark, s"$indexPath/cent")
-        val radii = spark.read.parquet(s"$indexPath/radii")
+        val radii = graft.sources.Tables.artifactParquet(spark, s"$indexPath/radii")
         val q = batch.select(col("vec_id").cast("long").as("query_id"),
           toDouble(col("embedding")).as("qv"))
         val clamp1 = (c: Column) => least(greatest(c, lit(-1.0)), lit(1.0))

@@ -326,7 +326,7 @@ object Multimodal {
       s"fingerprint index at $indexPath is absent or half-built (_DONE missing) — refusing to serve")
     val chunksOf = (df: DataFrame) => df.select(col("doc_id"), col(fpCol),
       explode(graft.functions.HashFunctions.simhashShardedChunkKeys(col(fpCol))).as("chunk"))
-    val corpus = chunksOf(spark.read.parquet(s"$indexPath/$table"))
+    val corpus = chunksOf(graft.sources.Tables.artifactParquet(spark, s"$indexPath/$table"))
       .select(col("doc_id").as("dup_of"), col(fpCol).as("__c_fp"), col("chunk"))
     chunksOf(Scale.maybeBroadcast(batch))
       .join(corpus, Seq("chunk"))

@@ -310,7 +310,7 @@ object TextAnalysis {
     require(tag == s"blv1lt${lineTokens}df$minDf",
       s"boilerplate index at $indexPath has params $tag — " +
         s"caller wants blv1lt${lineTokens}df$minDf; rebuild or match params")
-    lineDedupAgainst(docs, spark.read.parquet(s"$indexPath/boiler"), lineTokens)
+    lineDedupAgainst(docs, graft.sources.Tables.artifactParquet(spark, s"$indexPath/boiler"), lineTokens)
   }
 
   /** RAG-style document CHUNKING — the retrieval-corpus build step: split
@@ -586,8 +586,9 @@ object TextAnalysis {
       .getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     require(fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_DONE")),
       s"no complete LM index at $indexPath — run buildLmIndex first")
-    lmScoreWith(docs, spark.read.parquet(s"$indexPath/uni"),
-      spark.read.parquet(s"$indexPath/bi"), spark.read.parquet(s"$indexPath/prm"))
+    lmScoreWith(docs, graft.sources.Tables.artifactParquet(spark, s"$indexPath/uni"),
+      graft.sources.Tables.artifactParquet(spark, s"$indexPath/bi"),
+      graft.sources.Tables.artifactParquet(spark, s"$indexPath/prm"))
   }
 
   /** CCNet's head/middle/tail split: rank every document by its
@@ -1375,7 +1376,7 @@ object TextAnalysis {
     // two-tables-can-never-disagree discipline): dl per doc so a
     // bucket-pruned serve still sees candidates' FULL lengths (a pruned
     // postings scan only holds query-term rows), narrow (#docs × 2 cols)
-    val persisted = docs.sparkSession.read.parquet(s"$path/postings")
+    val persisted = graft.sources.Tables.artifactParquet(docs.sparkSession, s"$path/postings")
     persisted
       .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       .write.mode("overwrite").parquet(s"$path/doclens")
@@ -1574,12 +1575,12 @@ object TextAnalysis {
     }
     for ((t, pk, hasPartDirs) <- partitioned if hasPartDirs)
       swap(t) { staged =>
-        spark.read.parquet(s"$indexPath/$t")
+        graft.sources.Tables.artifactParquet(spark, s"$indexPath/$t")
           .repartition(col(pk))
           .write.mode("overwrite").partitionBy(pk).parquet(staged.toString)
       }
     if (doclensHasData) swap("doclens") { staged =>
-      spark.read.parquet(s"$indexPath/doclens")
+      graft.sources.Tables.artifactParquet(spark, s"$indexPath/doclens")
         .coalesce(1).write.mode("overwrite").parquet(staged.toString)
     }
     Markers.commit(fs, done)
@@ -1646,10 +1647,10 @@ object TextAnalysis {
     val fs = done.getFileSystem(org.apache.spark.sql.GraftShim.sessionHadoopConf())
     require(fs.exists(done),
       s"BM25 index at $indexPath is uncommitted (no _DONE) — build/extend first")
-    val lens = spark.read.parquet(s"$indexPath/doclens")
+    val lens = graft.sources.Tables.artifactParquet(spark, s"$indexPath/doclens")
     val stats = broadcast(lens.agg(
       count(lit(1)).as("__n"), sum(col("dl")).as("__len_sum")))
-    val qTerms = Scale.maybeBroadcast(spark.read.parquet(s"$indexPath/fwd")
+    val qTerms = Scale.maybeBroadcast(graft.sources.Tables.artifactParquet(spark, s"$indexPath/fwd")
       .where(col("db") === lit(fwdBucketOf(queryDocId)) &&
         col("doc_id") === queryDocId)
       .select(col("term")).distinct())
@@ -1657,7 +1658,7 @@ object TextAnalysis {
     val buckets = qTerms.select(pmod(portableHash31(col("term")),
         lit(Bm25IndexBuckets)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toIndexedSeq
-    val tfAll = spark.read.parquet(s"$indexPath/postings")
+    val tfAll = graft.sources.Tables.artifactParquet(spark, s"$indexPath/postings")
     val tf = if (buckets.length >= Bm25IndexBuckets) tfAll
       else tfAll.where(col("bucket").isin(buckets: _*))
     bm25ScoreTail(tf, lens, stats, qTerms, queryDocId, k1, b, kTop)
@@ -1796,14 +1797,14 @@ object TextAnalysis {
       bm25IndexPath: String, ivfIndexPath: String, queryId: Long = 0L,
       kEach: Int = 20, kTop: Int = 10, rrfK: Int = 60,
       nprobe: Int = 0): DataFrame = {
-    val vecsAll = spark.read.parquet(s"$ivfIndexPath/ivf")
+    val vecsAll = graft.sources.Tables.artifactParquet(spark, s"$ivfIndexPath/ivf")
     val lex = lexRanks(bm25TopDocsWithIndex(spark, bm25IndexPath, queryId,
       kTop = kEach))
     val sem =
       if (nprobe <= 0) semRanks(vecsAll.select(col("vec_id"), col("v")), queryId, kEach)
       else {
         import graft.functions.TopKByScoreAggregator.topKByScore
-        val cent = spark.read.parquet(s"$ivfIndexPath/cent")
+        val cent = graft.sources.Tables.artifactParquet(spark, s"$ivfIndexPath/cent")
         // the query vector via TWO pruned 1-row lookups (the
         // limit(1)-argmax collect class): the id-hash-bucketed idmap
         // resolves the query's trained cell (one of 64 narrow
@@ -1812,7 +1813,7 @@ object TextAnalysis {
         // 1 idmap bucket + 1 cell + the nprobe probed cells, and NOTHING
         // scans corpus-wide (the forget rewrite preserves both partition
         // layouts, so this pruning survives forget passes)
-        val qClRows = spark.read.parquet(s"$ivfIndexPath/idmap")
+        val qClRows = graft.sources.Tables.artifactParquet(spark, s"$ivfIndexPath/idmap")
           .where(col("ib") === lit(EmbeddingSearch.idmapBucketOf(queryId)) &&
             col("vec_id") === queryId)
           .select(col("cl").cast("int")).take(1)
@@ -1934,7 +1935,7 @@ object TextAnalysis {
     // scan below holds only query-term rows, so corpus stats can't come
     // from it (and a full postings scan per batch is exactly what the
     // layout exists to avoid)
-    val lens = spark.read.parquet(s"$bm25IndexPath/doclens")
+    val lens = graft.sources.Tables.artifactParquet(spark, s"$bm25IndexPath/doclens")
     val stats = broadcast(lens.agg(
       count(lit(1)).as("__n"), sum(col("dl")).as("__len_sum")))
     // batch-derived sides are size-gated broadcasts: a batch is
@@ -1951,7 +1952,7 @@ object TextAnalysis {
     val buckets = qTerms.select(pmod(portableHash31(col("term")),
         lit(Bm25IndexBuckets)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toIndexedSeq
-    val tfAll = spark.read.parquet(s"$bm25IndexPath/postings")
+    val tfAll = graft.sources.Tables.artifactParquet(spark, s"$bm25IndexPath/postings")
     val tf = if (buckets.length >= Bm25IndexBuckets) tfAll
       else tfAll.where(col("bucket").isin(buckets: _*))
     val dfT = tf.join(qTerms.select(col("term")).distinct(), Seq("term"), "left_semi")
@@ -1980,7 +1981,7 @@ object TextAnalysis {
         (col("i") + 1).cast("long").as("lex_rank"))
     val qVecs = Scale.maybeBroadcast(queries.select(col("query_id"),
       transform(col("embedding"), _.cast("double")).as("qv")))
-    val vecsAll = spark.read.parquet(s"$ivfIndexPath/ivf")
+    val vecsAll = graft.sources.Tables.artifactParquet(spark, s"$ivfIndexPath/ivf")
     // nprobe <= 0: exact flat scan (full recall — the oracle-shaped tier).
     // nprobe > 0: each query probes its nprobe nearest trained cells
     // (round(cosine,6) desc, lowest-cl ties — the kmeansAssign
@@ -1992,7 +1993,7 @@ object TextAnalysis {
     val semCands =
       if (nprobe <= 0) vecsAll.select(col("vec_id"), col("v")).crossJoin(qVecs)
       else {
-        val cent = spark.read.parquet(s"$ivfIndexPath/cent")
+        val cent = graft.sources.Tables.artifactParquet(spark, s"$ivfIndexPath/cent")
         val probePairs = qVecs.crossJoin(broadcast(cent))
           .select(col("query_id"), col("cl").cast("long").as("cl_l"),
             round(EmbeddingSearch.cosine(col("qv"), col("cv")), 6).as("csim"))

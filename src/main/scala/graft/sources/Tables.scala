@@ -166,6 +166,53 @@ object Tables {
           "wrong file is at this path.")
     }
 
+  /** Parquet read of a STANDING-ARTIFACT table with the schema memoized
+    * per path (r16 opt). Artifact layouts are versioned by their DIRECTORY
+    * NAME (prefix + params + fingerprint — the fingerprintedDir
+    * discipline), so a given path's schema is fixed for the life of the
+    * session: extends append rows, compaction rewrites files, retrains
+    * replace values, but none of them change columns — a layout change
+    * ships under a NEW prefix by construction. The memo therefore needs
+    * no content validation; it only skips the ~60 ms footer-read schema
+    * inference every serve paid per artifact table. Each call still
+    * builds a fresh DataFrame/FileIndex, so appended partitions and
+    * rewritten files are always visible. NOT for mutable user data —
+    * source tables go through [[table]] (fingerprint-validated).
+    */
+  private val artifactSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def artifactParquet(spark: SparkSession, path: String): DataFrame = {
+    val cached = artifactSchemaMemo.get(path)
+    val schema =
+      if (cached != null) cached
+      else {
+        val s = spark.read.parquet(path).schema
+        artifactSchemaMemo.put(path, s)
+        s
+      }
+    spark.read.schema(schema).parquet(path)
+  }
+
+  /** [[artifactParquet]] for a PARTITION-PRUNED read (explicit `key=v`
+    * subdirectories under `basePath`): the schema — partition column
+    * included, courtesy of basePath — is inferred from the FIRST probed
+    * subset and memoized per base path, so later serves skip both the
+    * footer inference and any full-dir listing (the probedIvfRead
+    * discipline kept; this only removes its per-call inference). */
+  def artifactPartitionedParquet(spark: SparkSession, basePath: String,
+      paths: Seq[String]): DataFrame = {
+    val cached = artifactSchemaMemo.get(basePath)
+    val schema =
+      if (cached != null) cached
+      else {
+        val s = spark.read.option("basePath", basePath).parquet(paths: _*).schema
+        artifactSchemaMemo.put(basePath, s)
+        s
+      }
+    spark.read.schema(schema).option("basePath", basePath).parquet(paths: _*)
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
