@@ -353,23 +353,32 @@ object SparkEntry {
     // dedup_embedding above. Oracle replays the sized Lloyd + pair scan.
     "dedup_semantic" -> ((s, dir) =>
       EmbeddingSearch.semDedupPersisted(s, dir, sizedKmeansIndexDirFor(dir))),
+    // the CC loop consumes the pairs EAGERLY at construction, so the
+    // shingle-set frame the pair pipeline reads 3-5× is shared through a
+    // scope-bounded persist (Dedup.withSharedShingleSets, r17) — one
+    // tokenize+shingle pass instead of several, cache dropped on return
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.dedupClusters(docs, SimilarityJoin.allPairsJaccard(docs, tau = 0.7))
+      Dedup.withSharedShingleSets(docs) { sets =>
+        Dedup.dedupClusters(docs,
+          SimilarityJoin.pairsFromSets(sets, tau = 0.7, hashPrefilter = true)) }
     }),
     // SOFT dedup: every doc kept at training weight 1/|near-dup cluster| —
     // one expected document of loss per duplicate family instead of
     // dropping (the data-constrained-scaling discipline)
     "dedup_soft_weights" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.softDedupWeights(docs, SimilarityJoin.allPairsJaccard(docs, tau = 0.7))
+      Dedup.withSharedShingleSets(docs) { sets =>
+        Dedup.softDedupWeights(docs,
+          SimilarityJoin.pairsFromSets(sets, tau = 0.7, hashPrefilter = true)) }
     }),
     // same clustering over the SUB-QUADRATIC candidate path (MinHash-LSH
     // pairs instead of the exact all-pairs join) — the composition a 100 TB
     // dedup actually runs; oracle replays LSH banding + closure
     "dedup_clusters_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.dedupClusters(docs, Dedup.minhashLshPairs(docs, tau = 0.7))
+      Dedup.withSharedShingleSets(docs) { sets =>
+        Dedup.dedupClusters(docs, Dedup.minhashLshPairsFromSets(sets, tau = 0.7)) }
     }),
     // SimHash-fed clusters: the always-on cheap near-dup tier composed with
     // the same connected-components keeper pass
@@ -381,7 +390,9 @@ object SparkEntry {
     // (curation keeps the full doc, not whichever truncation came first)
     "dedup_clusters_best" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.dedupClustersKeepLongest(docs, Dedup.minhashLshPairs(docs, tau = 0.7))
+      Dedup.withSharedShingleSets(docs) { sets =>
+        Dedup.dedupClustersKeepLongest(docs,
+          Dedup.minhashLshPairsFromSets(sets, tau = 0.7)) }
     }),
     // incremental dedup — new-batch-vs-corpus, the production ingest shape:
     // the first 4/5 of documents play the already-indexed corpus (index
@@ -700,7 +711,8 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val surv = Tables.documents(s, dir)
         .where(TextAnalysis.qualityPredicate(col("text")))
-      Dedup.dedupClusters(surv, Dedup.minhashLshPairs(surv, tau = 0.7))
+      Dedup.withSharedShingleSets(surv) { sets =>
+        Dedup.dedupClusters(surv, Dedup.minhashLshPairsFromSets(sets, tau = 0.7)) }
     }),
     "text_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
@@ -833,8 +845,10 @@ object SparkEntry {
     // bucket, so near-duplicates can never straddle train/test either
     "corpus_split_clustered" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      TextAnalysis.trainValTestSplitClustered(docs,
-        Dedup.dedupClusters(docs, SimilarityJoin.allPairsJaccard(docs, tau = 0.7)))
+      Dedup.withSharedShingleSets(docs) { sets =>
+        TextAnalysis.trainValTestSplitClustered(docs,
+          Dedup.dedupClusters(docs,
+            SimilarityJoin.pairsFromSets(sets, tau = 0.7, hashPrefilter = true))) }
     }),
     // packing's hot-partition fix: per-(source, content-hash-bucket)
     // windows, parallelism scales with nBuckets

@@ -22,11 +22,27 @@ import org.apache.spark.sql.functions.udaf
   * encoder rejects nulls at runtime, where `row_number()` would sort them
   * last and complete) — a caller migrating a window over nullable scores
   * must filter or coalesce them first, explicitly.
+  *
+  * `dedupIds = true` additionally collapses EXACT duplicate (score, id)
+  * rows to one — the `distinct() → window` replacement for candidate
+  * streams whose duplicates re-derive the same deterministic score (the
+  * NN-descent expansion: the same (vertex, candidate) pair reached via
+  * several intermediates always re-scores to the same rounded cosine), so
+  * the upstream distinct's Exchange can be dropped and the collapse rides
+  * the aggregation that was already required. Duplicate-equality is
+  * BITWISE on the score (doubleToRawLongBits) — same-expression
+  * duplicates are bit-identical by determinism; two rows with the same id
+  * but genuinely different scores are NOT merged (callers owning that
+  * invariant get it pinned by their own specs).
   */
-class TopKByScoreAggregator(k: Int)
+class TopKByScoreAggregator(k: Int, dedupIds: Boolean = false)
     extends Aggregator[(Double, Long), TopKByScoreAggregator.Buf, Seq[(Double, Long)]] {
   import TopKByScoreAggregator.Buf
   require(k >= 1, s"topKByScore: k >= 1, got $k")
+
+  private def sameRow(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+    ia == ib && java.lang.Double.doubleToRawLongBits(sa) ==
+      java.lang.Double.doubleToRawLongBits(sb)
 
   // (sa, ia) ranks strictly better than (sb, ib): higher score first,
   // NaN above every numeric, ties by lower id
@@ -46,7 +62,12 @@ class TopKByScoreAggregator(k: Int)
     else {
       var p = n
       while (p > 0 && better(s, id, buf.scores(p - 1), buf.ids(p - 1))) p -= 1
-      if (n == k) {
+      // insertion point p: the scan stopped because `in` is NOT better than
+      // buf(p-1) — under the strict total order that means buf(p-1) is
+      // strictly better OR the same row, so a duplicate can only sit at p-1
+      // (everything at p.. is strictly worse than `in`)
+      if (dedupIds && p > 0 && sameRow(s, id, buf.scores(p - 1), buf.ids(p - 1))) buf
+      else if (n == k) {
         // full buffer: the evicted row is the current worst — shift the
         // tail down IN PLACE (steady state allocates nothing per row)
         var q = n - 1
@@ -76,14 +97,21 @@ class TopKByScoreAggregator(k: Int)
       val ss = new Array[Double](m)
       val is = new Array[Long](m)
       var i = 0; var j = 0; var o = 0
-      while (o < m) {
-        val takeA = j >= b.ids.length || (i < a.ids.length &&
-          better(a.scores(i), a.ids(i), b.scores(j), b.ids(j)))
-        if (takeA) { ss(o) = a.scores(i); is(o) = a.ids(i); i += 1 }
-        else { ss(o) = b.scores(j); is(o) = b.ids(j); j += 1 }
-        o += 1
+      while (o < m && (i < a.ids.length || j < b.ids.length)) {
+        // a duplicated row sits at BOTH heads simultaneously (sorted
+        // inputs, strict order): consume the b copy silently
+        if (dedupIds && i < a.ids.length && j < b.ids.length &&
+            sameRow(a.scores(i), a.ids(i), b.scores(j), b.ids(j))) { j += 1 }
+        else {
+          val takeA = j >= b.ids.length || (i < a.ids.length &&
+            better(a.scores(i), a.ids(i), b.scores(j), b.ids(j)))
+          if (takeA) { ss(o) = a.scores(i); is(o) = a.ids(i); i += 1 }
+          else { ss(o) = b.scores(j); is(o) = b.ids(j); j += 1 }
+          o += 1
+        }
       }
-      Buf(ss, is)
+      if (o == m) Buf(ss, is)
+      else Buf(java.util.Arrays.copyOf(ss, o), java.util.Arrays.copyOf(is, o))
     }
 
   override def finish(buf: Buf): Seq[(Double, Long)] =
@@ -103,4 +131,10 @@ object TopKByScoreAggregator {
     */
   def topKByScore(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKByScoreAggregator(k)).apply(score, id)
+
+  /** Column form with exact-duplicate collapse (see `dedupIds` above):
+    * top k DISTINCT (score, id) rows per group, best first.
+    */
+  def topKByScoreDistinct(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopKByScoreAggregator(k, dedupIds = true)).apply(score, id)
 }

@@ -74,8 +74,16 @@ object BookQuery {
     // OOM an executor; its exchange is SinglePartition — one long crosses
     // the wire, metadata-scale, not a data shuffle
     val nRow = broadcast(docs.agg(count(lit(1)).as("__n")))
+    // ONE corpus pass (r17): `ex` — the reference's own job-1 output, which
+    // it materializes to HDFS between its two MR jobs — feeds BOTH the df
+    // aggregation and the final scoring rollup; without the checkpoint each
+    // action re-ran the scan + shingle + intersect subtree once per
+    // consumer. Lazy (the df broadcast build is the first consumer and
+    // materializes it inside the action); size is the reference's own
+    // intermediate bound O(Σ_D |sh(D) ∩ Q|), spill-safe storage.
     val ex = intersected(docs, queryDocId, k)
       .select(col("doc_id"), col("len"), col("q_len"), explode(col("t")).as("term"))
+      .localCheckpoint(eager = false)
     // df over NON-query docs; the query trivially holds every surviving term
     // (t ⊆ Q), so reference df = df_nq + 1. Reference filter (":105") keeps
     // 2 <= df <= n-1  ⇔  1 <= df_nq <= n-2; the lower bound is implied
@@ -122,6 +130,10 @@ object BookQuery {
       .where(col("len") > 0)
       .select(col("query_id"), col("doc_id"), col("len"), col("q_len"),
         explode(col("t")).as("term"))
+      // same one-corpus-pass sharing as [[referenceScoresFor]] (r17): the
+      // batch df table and the batch scoring rollup read one materialized
+      // job-1 intermediate instead of re-scanning per consumer
+      .localCheckpoint(eager = false)
     val df = ex.groupBy("query_id", "term").agg(count(lit(1)).as("df_nq"))
       .crossJoin(nRow)
       .where(col("df_nq") <= col("__n") - 2)

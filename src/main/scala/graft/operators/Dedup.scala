@@ -81,11 +81,21 @@ object Dedup {
     * (doc_a, doc_b, inter_len, union_len, jaccard).
     */
   def minhashLshPairs(docs: DataFrame, tau: Double,
-      numHashes: Int = 64, bands: Int = 16, k: Int = 3): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3): DataFrame =
+    minhashLshPairsFromSets(
+      docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+        .where(size(col("sh")) > 0), tau, numHashes, bands)
+
+  /** [[minhashLshPairs]] over an already-built (doc_id, sh) shingle-set
+    * frame — the seam the shared-sets compositions use: the banding side
+    * and the verify side of the pair pipeline read `sets` three times, so
+    * a caller that persists it ([[withSharedShingleSets]]) pays ONE
+    * tokenize+shingle pass instead of three.
+    */
+  def minhashLshPairsFromSets(sets: DataFrame, tau: Double,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
-      .where(size(col("sh")) > 0)
     val banded = sets
       .withColumn("sig", minhashFromHashes(hashSet(col("sh")), numHashes))
       .select(col("doc_id"), explode(minhashBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
@@ -94,6 +104,36 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     SimilarityJoin.verifyJaccard(cand, sets, tau)
+  }
+
+  /** Build the (doc_id, sh) shingle-set frame once, MEMORY_AND_DISK-persist
+    * it for the duration of `body`, and unpersist before returning — the
+    * r17 shared-sets discipline for COMPOSITIONS that consume a pair
+    * pipeline EAGERLY (the [[dedupClusters]] family: the CC loop
+    * materializes the pairs into a checkpointed edge list during
+    * construction, so by the time `body` returns nothing references
+    * `sets` and the cache is dead weight, not a leak).
+    *
+    * Why a persist is sound here (guide §5) where the pair entries
+    * themselves stay recompute-over-cache: within ONE composition the
+    * banding side and the verify side read the same shingle frame 3-5
+    * times back to back — that is reuse inside a single job, bounded in
+    * lifetime by this scope, and MEMORY_AND_DISK spills instead of
+    * evicting execution memory. The standalone pair entries return LAZY
+    * frames with no unpersist point, so they keep recomputing (a
+    * session-lifetime cache of corpus-scale shingle arrays is exactly the
+    * trade r16 rejected).
+    *
+    * `body` MUST consume the frame eagerly: the cache is dropped on exit,
+    * so a returned lazy plan may still reference `sets`' lineage (fine —
+    * it recomputes) but gets no sharing.
+    */
+  private[graft] def withSharedShingleSets[T](docs: DataFrame, k: Int = 3)(
+      body: DataFrame => T): T = {
+    val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(sets) finally sets.unpersist(false)
   }
 
   /** MinHash ESTIMATION accuracy over the LSH candidate pairs — the
@@ -711,12 +751,24 @@ object Dedup {
     * (doc_id, cluster, n_tokens, kept).
     */
   def dedupClustersKeepLongest(docs: DataFrame, pairs: DataFrame,
-      maxIters: Int = 10, checkpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 10, checkpointDir: Option[String] = None): DataFrame =
+    dedupClustersKeepLongestSized(docs,
+      docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokenize(col("text"))).cast("long").as("n_tokens")),
+      pairs, maxIters, checkpointDir)
+
+  /** [[dedupClustersKeepLongest]] with the (doc_id, n_tokens) size frame
+    * supplied by the caller — the seam for compositions that already hold
+    * a materialized per-doc token count ([[graft.operators.TextAnalysis
+    * .curatedCorpus]]'s admitted manifest): the keep rule stays ONE window
+    * definition here, whatever the size frame's provenance.
+    */
+  def dedupClustersKeepLongestSized(docs: DataFrame, sized: DataFrame,
+      pairs: DataFrame, maxIters: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clusters = dedupClusters(docs, pairs, maxIters, checkpointDir)
       .select(col("doc_id"), col("keeper").as("cluster"))
-    val sized = docs.select(col("doc_id"),
-      size(graft.functions.TextFunctions.tokenize(col("text"))).cast("long").as("n_tokens"))
     val w = Window.partitionBy("cluster")
       .orderBy(col("n_tokens").desc, col("doc_id").asc)
     clusters.join(sized, "doc_id")

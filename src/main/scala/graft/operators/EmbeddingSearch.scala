@@ -1286,6 +1286,20 @@ object EmbeddingSearch {
         .where(col("rr") <= kBuild)
         .select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))
       val und = g.select(col("vec_id"), col("nbr_id")).union(rev).distinct()
+      // The candidate distinct() + row_number() pair below was A/B'd in
+      // the r17 optimization round against (a) dropping the distinct and
+      // collapsing exact duplicates inside a bounded dedup top-k aggregate
+      // (topKByScoreDistinct — the knnGraphServe shape) and (b) keeping
+      // the distinct but swapping the window for the bounded aggregate.
+      // BOTH lost at the measured dup factor (quiet min-of-2 construct,
+      // sf0.1: 5.8/5.0 s here vs 9.0/8.7 s for (a), 7.2/5.5 s for (b)):
+      // without the distinct every duplicate pays a 64-dim cosine in the
+      // scoring joins (~2× the round's real work — far more than the one
+      // saved pair-keyed Exchange), and the window's WindowGroupLimit
+      // rank-pushdown already prunes each partition to kBuild before the
+      // sort, so the udaf's per-row typed-encoder cost is pure overhead at
+      // the descent's bounded ≤(2·kBuild)² group width. Kept as-is —
+      // OPTIMIZATION_r17.md records the rejection.
       val cand = und.as("a")
         .join(und.as("b"), col("a.nbr_id") === col("b.vec_id") &&
           col("a.vec_id") =!= col("b.nbr_id"))

@@ -713,10 +713,29 @@ object TextAnalysis {
       .crossJoin(evalGrams)
       .where(size(array_intersect(hashSet(shingleSet(col("text"), 5)), col("ev"))) === 0)
       .drop("ev")
-    val kept = graft.operators.Dedup
-      .dedupClustersKeepLongest(decont, graft.operators.Dedup.minhashLshPairs(decont, tau))
+    // The ADMITTED MANIFEST — (doc_id, source, n_tokens) of every doc that
+    // survived quality + decontamination — is materialized ONCE as a
+    // narrow eager checkpoint (r17): the quality regexes and the 5-gram
+    // decontamination intersect are the composition's most expensive
+    // per-doc predicates, and the lazy tail below used to re-evaluate them
+    // on every action (once for the keep-longest size frame, once for the
+    // final source join) on top of the pair pipeline's own reads. Three
+    // bytes-scale columns per admitted doc — metadata-sized at any corpus.
+    val admitted = decont.select(col("doc_id"), col("source"),
+        size(tokenize(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    // the CC loop inside dedupClustersKeepLongestSized consumes the pairs
+    // eagerly at construction — the shared-sets window (r17) spans exactly
+    // that, so the decontaminated corpus is tokenized+shingled once for
+    // the banding AND verify sides instead of three times
+    val kept = graft.operators.Dedup.withSharedShingleSets(decont) { sets =>
+      graft.operators.Dedup.dedupClustersKeepLongestSized(
+        admitted.select(col("doc_id")),
+        admitted.select(col("doc_id"), col("n_tokens")),
+        graft.operators.Dedup.minhashLshPairsFromSets(sets, tau))
+    }
       .where(col("kept"))
-      .join(decont.select(col("doc_id"), col("source")), "doc_id")
+      .join(admitted.select(col("doc_id"), col("source")), "doc_id")
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     kept
@@ -1004,19 +1023,21 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val seeds = decontaminate(docs, k, nEval)
       .where(col("contaminated")).select(col("doc_id"))
-    val pairs = Dedup.minhashLshPairs(docs.where(col("doc_id") >= nEval), tau)
-      .select(col("doc_a"), col("doc_b"))
     // EAGER checkpoint before the loop (same discipline as dedupClusters):
     // the recursive term re-evaluates its plan every hop, so without this
     // the whole LSH pair pipeline — shingle, minhash, band, verify — would
     // re-run maxHops+1 times; checkpointed, each hop joins the (small)
     // materialized edge list. Both directions from one pass over pairs.
-    val edges = pairs
-      .select(explode(array(
-        struct(col("doc_a"), col("doc_b")),
-        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
-      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
-      .localCheckpoint()
+    // The shared-sets window (r17) spans exactly this eager checkpoint, so
+    // the pair pipeline's shingle-frame reads share one persisted pass.
+    val edges = Dedup.withSharedShingleSets(docs.where(col("doc_id") >= nEval)) { sets =>
+      Dedup.minhashLshPairsFromSets(sets, tau)
+        .select(explode(array(
+          struct(col("doc_a"), col("doc_b")),
+          struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+        .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+        .localCheckpoint()
+    }
     seeds.createOrReplaceTempView("graft_spread_seeds")
     edges.createOrReplaceTempView("graft_spread_edges")
     spark.sql(

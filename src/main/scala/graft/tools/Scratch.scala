@@ -901,6 +901,46 @@ object Scratch {
       bench("full lsh pairs")(graft.operators.Dedup.minhashLshPairs(docs, 0.7))
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "hybridsplit") {
+      // r17 opt (VERDICT item 3): where does text_hybrid_topk's wall go,
+      // and which stage anti-scales with cores (8-core beat 32-core 2.3×
+      // in the driver's scaling block)? Cumulative stage cuts, min-of-3,
+      // noop-sink so the computation is timed, not the count shortcut.
+      // Run at another width via GRAFT_EXTRA_CONF="spark.master=local[8];
+      // spark.sql.shuffle.partitions=8".
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions._
+      import graft.operators.{EmbeddingSearch, TextAnalysis}
+      println(s"[hybridsplit] master=${spark.sparkContext.master} " +
+        s"shuffle.partitions=${spark.conf.get("spark.sql.shuffle.partitions")}")
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      def bench(what: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        val t = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"HYBRIDSPLIT $what%-26s $t%7.3f s")
+      }
+      val terms = docs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      bench("tf (tokenize+agg)")(tf)
+      bench("dl per doc")(tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+      bench("bm25 top-20 full")(TextAnalysis.bm25TopDocs(docs))
+      val ev = emb.select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+      val q = broadcast(ev.where(col("vec_id") === 0L).select(col("v").as("qv")))
+      bench("sem cosine scan")(ev.crossJoin(q).where(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine")))
+      bench("sem top-20")(ev.crossJoin(q).where(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          round(EmbeddingSearch.cosine(col("v"), col("qv")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc).limit(20))
+      bench("full hybridTopK")(TextAnalysis.hybridTopK(docs, emb))
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "tableread") {
       // r16 opt micro-probe: what does ONE Tables.table() construct cost
       // (read.parquet schema inference + drift check), vs a schema-supplied

@@ -760,6 +760,42 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(got == exp, "bounded top-k aggregator diverged from the window formulation")
   }
 
+  test("topKByScoreDistinct equals distinct() -> window over a duplicate-heavy stream") {
+    import graft.functions.TopKByScoreAggregator
+    import org.apache.spark.sql.expressions.Window
+    // the NN-descent candidate shape: exact bit-identical duplicate rows
+    // (same id, same score — the deterministic re-score), replicated 1-4×,
+    // plus ties and NaN so the dedup check can't hide behind unique scores
+    val rnd = new scala.util.Random(13)
+    val base = (1 to 400).map { i =>
+      val g = i % 7
+      val score = if (i % 83 == 0) Double.NaN
+        else math.floor(rnd.nextDouble() * 15) / 15.0
+      (g, i.toLong, score)
+    }
+    // SHUFFLE the duplicated stream: adjacent copies + round-robin
+    // repartition would place every copy in a different partition and the
+    // reduce path (same-partition duplicates) would never be exercised —
+    // exactly the path where the insertion-point dedup check lives
+    val rows = rnd.shuffle(base.flatMap(r => Seq.fill(1 + (r._2 % 4).toInt)(r)))
+    val df = rows.toDF("g", "id", "score").repartition(3)
+    def norm(t: (Int, Long, Double, Int)) =
+      (t._1, t._2, if (t._3.isNaN) Double.MaxValue else t._3, t._4)
+    val got = df.groupBy(col("g"))
+      .agg(TopKByScoreAggregator.topKByScoreDistinct(5)(col("score"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("g"), col("t._2").as("id"), col("t._1").as("score"),
+        (col("i") + 1).as("rank"))
+      .as[(Int, Long, Double, Int)].collect().map(norm).toSet
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val exp = df.distinct()
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select(col("g"), col("id"), col("score"), col("rank"))
+      .as[(Int, Long, Double, Int)].collect().map(norm).toSet
+    assert(exp.exists(_._3 == Double.MaxValue), "fixture produced no surviving NaN — pin is vacuous")
+    assert(got == exp, "dedup top-k aggregator diverged from the distinct+window formulation")
+  }
+
   test("cluster balance: persisted serve identical, train-once, per-cluster contract holds") {
     val dir = "/root/testdata/sf0.001"
     val idx = java.nio.file.Files.createTempDirectory("graft_cb_idx").toString
