@@ -121,11 +121,22 @@ object SparkEntry {
       wide: Boolean): Array[Double] = {
     val fp = java.lang.Long.toHexString(
       Tables.datasetFingerprint(s"$dir/documents.parquet"))
-    classifierModelMemo.compute((dir, if (wide) "wide" else "lit"), (_, prev) =>
-      if (prev != null && prev._1 == fp) prev
-      else (fp,
+    // the multi-second eager training runs OUTSIDE the map lock (r17,
+    // ADVICE r16 — the Tables.table get/validate/put pattern): compute()
+    // would hold the bin lock for the training's duration, serializing
+    // concurrent constructions whose keys share a bin. Training is
+    // deterministic, so the worst a lost race costs is one redundant
+    // training; the put still swaps atomically.
+    val key = (dir, if (wide) "wide" else "lit")
+    val cached = classifierModelMemo.get(key)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      val w =
         if (wide) TextAnalysis.trainClassifierWide(Tables.documents(s, dir), 16, 3, 4.0)
-        else TextAnalysis.trainClassifier(Tables.documents(s, dir), 16, 3, 4.0)))._2
+        else TextAnalysis.trainClassifier(Tables.documents(s, dir), 16, 3, 4.0)
+      classifierModelMemo.put(key, (fp, w))
+      w
+    }
   }
 
   /** The ONE derivation of a persisted k-means quantizer's directory:

@@ -266,8 +266,13 @@ object Multimodal {
         col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         graft.functions.HashFunctions.hamming(col(s"a.$fpCol"), col(s"b.$fpCol")).as("hamming"))
-      .distinct()
+      // hamming FILTER before the pair dedup (r17, §2.3 shuffle fewer
+      // bytes): hamming is determined by the pair, so duplicate candidate
+      // rows collapse identically on either side of the filter — but the
+      // distinct's shuffle now carries only survivors (pairs within
+      // maxDist), never the full multi-chunk candidate stream
       .where(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Persist a fingerprint-dedup index: ONE parquet table of

@@ -68,7 +68,19 @@ object SimilarityJoin {
 
   /** Prefix-filtered exact similarity join over (doc_id, sh: array<string>). */
   def pairsFromSets(sets: DataFrame, tau: Double, hashPrefilter: Boolean = false): DataFrame = {
-    val ex = hashSets(sets)
+    // ONE shingle pass (r17): the candidate machinery consumed the shingle
+    // frame from EIGHT independent plan branches (plan-counted on
+    // dedup_ngram_jaccard: ranked window ×2 — probe and index — df table,
+    // explode, hash-prefilter attach ×2, exact-verify attach ×2), each
+    // re-running scan+tokenize+shingle. Lazy local checkpoints materialize
+    // the string sets, their 62-bit hash view, and the ranked frame once;
+    // every branch rereads blocks. Same single-pass discipline as
+    // bm25TopDocs/withSharedShingleSets; sizes are the frames' own bounds
+    // (corpus shingles, 8 B/term hashes, exploded ranked tokens),
+    // spill-safe storage.
+    val setsC = sets.localCheckpoint(eager = false)
+    val hsetsC = hashSets(setsC).localCheckpoint(eager = false)
+    val ex = hsetsC
       .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("t"))
     // Global document frequency per (hashed) term — the ordering key that
     // makes prefixes the RAREST tokens. |vocab| rows of two longs.
@@ -79,6 +91,7 @@ object SimilarityJoin {
     // LENGTHEN a prefix — more candidates, never a lost pair.
     val w = Window.partitionBy("doc_id").orderBy("df", "t")
     val ranked = withDf.withColumn("rnk", row_number().over(w))
+      .localCheckpoint(eager = false) // probe AND index read one window pass
     // Probe prefix p = sz − ⌊τ·sz⌋ + 1 (any pair partner); indexing prefix
     // p = sz − ⌊2τ/(1+τ)·sz⌋ + 1 (partners at least as large — the minimum
     // overlap α ≥ ⌈2τ/(1+τ)·sz⌉ then forces a shared token this early).
@@ -107,7 +120,7 @@ object SimilarityJoin {
     // NOT distinct here: the prefilter is cheaper per row (one merge scan)
     // than a full shuffle-dedup of the candidate stream; dedup happens on the
     // (tiny) survivor set inside verifyJaccard.
-    verifyJaccard(cand, sets, tau, hashPrefilter)
+    verifyJaccard(cand, setsC, tau, hashPrefilter, hsetsIn = Some(hsetsC))
   }
 
   /** Join candidate (doc_a, doc_b) pairs back to their sets and keep exact
@@ -130,9 +143,12 @@ object SimilarityJoin {
     *      exclusively from real shingle strings.
     */
   private[operators] def verifyJaccard(cand: DataFrame, sets: DataFrame, tau: Double,
-      hashPrefilter: Boolean = false): DataFrame = {
+      hashPrefilter: Boolean = false,
+      hsetsIn: Option[DataFrame] = None): DataFrame = {
     val pre = if (!hashPrefilter) cand.distinct() else {
-      val hsets = hashSets(sets)
+      // callers that already materialized the hash view (pairsFromSets'
+      // checkpoints) pass it in; others derive it from `sets` as before
+      val hsets = hsetsIn.getOrElse(hashSets(sets))
       val hInter = toColumn(IntersectCountSorted(
         toExpression(col("ha")), toExpression(col("hb"))))
       val hUni = size(col("ha")).cast("long") + size(col("hb")).cast("long") - hInter
@@ -176,9 +192,13 @@ object SimilarityJoin {
     * containment), doc_a ≠ doc_b, BOTH directions evaluated.
     */
   def containmentPairs(docs: DataFrame, tau: Double, k: Int = 3): DataFrame = {
+    // same ONE-shingle-pass checkpoints as [[pairsFromSets]] (r17): the
+    // probe/index/prefilter/verify branches reread materialized blocks
+    // instead of each re-running scan+tokenize+shingle
     val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
       .where(size(col("sh")) > 0)
-    val hsets = hashSets(sets)
+      .localCheckpoint(eager = false)
+    val hsets = hashSets(sets).localCheckpoint(eager = false)
     val ex = hsets.select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("t"))
     val dfT = ex.groupBy("t").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "t")
@@ -187,6 +207,7 @@ object SimilarityJoin {
     // pruning input, not a new shuffle)
     val ranked = ex.join(Scale.maybeBroadcast(dfT), "t")
       .withColumn("rnk", row_number().over(w))
+      .localCheckpoint(eager = false) // probe AND index read one window pass
     val probe = ranked
       .where(col("rnk") <= col("sz") - floor(lit(tau) * col("sz")) + 1)
       .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("t"),

@@ -791,8 +791,16 @@ object TextAnalysis {
     // final action. Blocks still cache + lineage still truncates the
     // first time each round is computed; results are unchanged.
     val edges = sym.join(outW, "src").localCheckpoint(eager = false)
-    val nNodes = outW.agg(count(lit(1)).as("n_nodes"))
-    var ranks = outW.select(col("src").as("node"))
+    // EVERY other consumer of the node table derives from the CHECKPOINTED
+    // edges (r17): nNodes, the rank seed, and the final w_out join each
+    // re-ran the corpus bigram pipeline (scan + tokenize + two
+    // aggregations) as their own subtree — 4 corpus passes per action
+    // where 1 suffices. (src, w_out) pairs in edges are exactly outW (the
+    // inner join keeps every sym row and w_out is constant per src), so
+    // the node table is one vocabulary-thin distinct over cached blocks.
+    val outWc = edges.select(col("src"), col("w_out")).distinct()
+    val nNodes = outWc.agg(count(lit(1)).as("n_nodes"))
+    var ranks = outWc.select(col("src").as("node"))
       .crossJoin(broadcast(nNodes))
       .select(col("node"), expr("1000000000000 div n_nodes").as("r"), col("n_nodes"))
       .localCheckpoint(eager = false)
@@ -812,7 +820,7 @@ object TextAnalysis {
           col("n_nodes"))
         .localCheckpoint(eager = false)
     }
-    ranks.join(outW.select(col("src").as("node"), col("w_out")), "node")
+    ranks.join(outWc.select(col("src").as("node"), col("w_out")), "node")
       .select(col("node").as("token"), col("r").as("rank_e12"), col("w_out"))
       .orderBy(col("rank_e12").desc, col("token").asc)
       .limit(kTop)
@@ -1020,7 +1028,6 @@ object TextAnalysis {
     */
   def contaminationSpread(docs: DataFrame, tau: Double = 0.7, maxHops: Int = 3,
       k: Int = 5, nEval: Int = 5): DataFrame = {
-    val spark = docs.sparkSession
     val seeds = decontaminate(docs, k, nEval)
       .where(col("contaminated")).select(col("doc_id"))
     // EAGER checkpoint before the loop (same discipline as dedupClusters):
@@ -1038,18 +1045,34 @@ object TextAnalysis {
         .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
         .localCheckpoint()
     }
-    seeds.createOrReplaceTempView("graft_spread_seeds")
-    edges.createOrReplaceTempView("graft_spread_edges")
-    spark.sql(
-      s"""WITH RECURSIVE spread(doc_id, hops) AS (
-         |  SELECT doc_id, 0 FROM graft_spread_seeds
-         |  UNION ALL
-         |  SELECT e.doc_b, s.hops + 1
-         |  FROM spread s JOIN graft_spread_edges e ON e.doc_a = s.doc_id
-         |  WHERE s.hops < $maxHops
-         |)
-         |SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops
-         |FROM spread GROUP BY doc_id""".stripMargin)
+    // BFS FRONTIER iteration (r17, VERDICT item 7) instead of the
+    // historical `WITH RECURSIVE ... UNION ALL` form: the recursive CTE
+    // enumerates every PATH of length ≤ maxHops before the final
+    // min(hops) rollup — inside a near-dup CLIQUE of size k (exactly
+    // where LSH edges concentrate) that is O(k^maxHops) intermediate
+    // rows for the k the BFS frontier carries. Identity: the frontier at
+    // step h is precisely the docs whose minimum hop distance is h (the
+    // anti-join against everything already reached excludes all shorter
+    // paths), so (doc_id, hops) here ≡ the CTE's GROUP BY min(hops) —
+    // the oracle still replays the recursive-CTE form and gates that
+    // equivalence every round. Per-hop checkpoints keep round plans flat
+    // (the dedupClusters loop discipline).
+    var reached = seeds.select(col("doc_id"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = reached
+    for (h <- 1 to maxHops) {
+      val next = frontier.select(col("doc_id").as("doc_a"))
+        .join(edges, "doc_a")
+        .select(col("doc_b").as("doc_id")).distinct()
+        .join(reached.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(h.toLong).as("hops"))
+        .localCheckpoint()
+      // reached stays a flat union of ≤ maxHops+1 checkpoint LEAVES — no
+      // checkpoint of its own needed, the lineage never nests
+      reached = reached.union(next)
+      frontier = next
+    }
+    reached
   }
 
   /** Deterministic source-mixing resample — the data-mixing pass that
@@ -1296,35 +1319,43 @@ object TextAnalysis {
     */
   def bm25TopDocs(docs: DataFrame, queryDocId: Long = 0L, k1: Double = 1.2,
       b: Double = 0.75, kTop: Int = 20): DataFrame = {
-    val terms = docs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
-    bm25FromPostings(terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
-      queryDocId, k1, b, kTop)
-  }
-
-  /** BM25 over an already-materialized POSTINGS frame (doc_id, term, tf)
-    * — the in-DAG plan ([[bm25TopDocs]]): dl/stats/query terms all derive
-    * from the one tf frame (the (doc, term) exchange is the shared
-    * subtree ReuseExchange dedupes), then the shared scoring tail.
-    */
-  private def bm25FromPostings(tf: DataFrame, queryDocId: Long, k1: Double,
-      b: Double, kTop: Int): DataFrame = {
-    val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val stats = broadcast(lens.agg(
-      count(lit(1)).as("__n"), sum(col("dl")).as("__len_sum")))
-    val qTerms = broadcast(tf.where(col("doc_id") === queryDocId)
+    // ONE tokenize pass (r17): the historical plan derived dl/stats/qTerms/
+    // df/perTerm each from its own tokenize+aggregate subtree — the pushed
+    // query-doc filters made the subtrees differ, so ReuseExchange never
+    // deduped them and the corpus was tokenized 4× per action (plan-counted:
+    // 5 parquet scans, 4 with the Generate). Now the postings frame carries
+    // dl map-side (dl ≡ size(tokens), exactly the sum(tf) the lens
+    // aggregation recomputed) and is materialized ONCE as a lazy local
+    // checkpoint every consumer rereads — the textrank/dedupClusters
+    // discipline; size is the postings bound O(Σ_D distinct terms), the
+    // same frame [[buildBm25Index]] persists for the serve path.
+    val tfdl = docs
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    // N and total length from the per-doc frame (first(dl) is constant per
+    // doc_id): same values the historical lens aggregation produced —
+    // docs with ≥1 token, Σ dl ≡ Σ tf
+    val stats = broadcast(tfdl.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__len_sum")))
+    val qTerms = broadcast(tfdl.where(col("doc_id") === queryDocId)
       .select(col("term")).distinct())
-    bm25ScoreTail(tf, lens, stats, qTerms, queryDocId, k1, b, kTop)
+    bm25ScoreTailCarried(tfdl, stats, qTerms, queryDocId, k1, b, kTop)
   }
 
   /** THE single-query BM25 scoring tail — df over the query terms,
     * idf/tscore arithmetic, the term-sorted fixed-order fold, one
     * round(6), TakeOrdered top-k — shared by the in-DAG plan
-    * ([[bm25FromPostings]]: tf/lens/stats/qTerms all derived from one
-    * tokenize) and the PRUNED index serve ([[bm25TopDocsWithIndex]]:
-    * tf bucket-pruned, lens/stats from doclens, qTerms from the fwd
-    * bucket). One definition of the formula means the serve can never
-    * drift from the oracle-gated ranking semantics, whatever the inputs'
-    * provenance.
+    * ([[bm25TopDocs]]: tf/dl/stats/qTerms all derived from one
+    * checkpointed tokenize, dl carried on the postings rows) and the
+    * PRUNED index serve ([[bm25TopDocsWithIndex]]: tf bucket-pruned,
+    * lens/stats from doclens, qTerms from the fwd bucket — dl attaches
+    * via the doclens join because a pruned postings scan cannot see a
+    * candidate's full length). One definition of the formula means the
+    * serve can never drift from the oracle-gated ranking semantics,
+    * whatever the inputs' provenance.
     */
   private def bm25ScoreTail(tf: DataFrame, lens: DataFrame, stats: DataFrame,
       qTerms: DataFrame, queryDocId: Long, k1: Double, b: Double,
@@ -1333,7 +1364,31 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val perTerm = tf.where(col("doc_id") =!= queryDocId)
       .join(Scale.maybeBroadcast(dfT), "term")
-      .join(lens, "doc_id").crossJoin(stats)
+      .join(lens, "doc_id")
+    bm25ScoreFrom(perTerm, stats, k1, b, kTop)
+  }
+
+  /** [[bm25ScoreTail]] when the postings rows ALREADY carry dl
+    * (doc_id, dl, term, tf) — the in-DAG plan, which gets dl for free
+    * from the tokenize (dl ≡ size(tokens)) and so skips the doc-keyed
+    * lens join entirely.
+    */
+  private def bm25ScoreTailCarried(tfdl: DataFrame, stats: DataFrame,
+      qTerms: DataFrame, queryDocId: Long, k1: Double, b: Double,
+      kTop: Int): DataFrame = {
+    val dfT = tfdl.join(qTerms, Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = tfdl.where(col("doc_id") =!= queryDocId)
+      .join(Scale.maybeBroadcast(dfT), "term")
+    bm25ScoreFrom(perTerm, stats, k1, b, kTop)
+  }
+
+  /** The BM25 arithmetic + per-doc rollup over a (doc_id, dl, term, tf,
+    * df) frame — the ONE copy of the formula both tails above feed.
+    */
+  private def bm25ScoreFrom(perTermIn: DataFrame, stats: DataFrame,
+      k1: Double, b: Double, kTop: Int): DataFrame = {
+    val perTerm = perTermIn.crossJoin(stats)
       .withColumn("avgdl",
         col("__len_sum").cast("double") / col("__n").cast("double"))
       .withColumn("idf", log(
@@ -2469,6 +2524,12 @@ object TextAnalysis {
     * pure function of (docs, weights). */
   def qualityClassifierEvalWith(docs: DataFrame, w: Array[Double],
       dims: Int = 16): DataFrame = {
+    // r17 (ADVICE r16): a weight array trained at another width would
+    // element_at past the end — null z values and silently wrong
+    // confusion-matrix rows instead of an error
+    require(w.length == dims + 1,
+      s"weight array has ${w.length} entries but dims=$dims needs ${dims + 1} " +
+        "(dims weights + bias) — the model was trained at a different width")
     val wArr = array(w.toIndexedSeq.map(lit): _*)
     classifierFeatures(docs, dims)
       .withColumn("z", aggregate(sequence(lit(0), lit(dims)), lit(0.0),

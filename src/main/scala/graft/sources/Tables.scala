@@ -74,10 +74,17 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val nanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      .getOrElse("false")
+    // EVERY schema-affecting parquet inference conf in the key (r17,
+    // ADVICE r16): nanosAsLong changes what TIMESTAMP(NANOS) infers as,
+    // int96AsTimestamp/binaryAsString change INT96/BINARY — two sessions
+    // in one JVM differing in any of them must not share an entry
+    val confKey = Seq(
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.parquet.int96AsTimestamp",
+      "spark.sql.parquet.binaryAsString")
+      .map(k => spark.conf.getOption(k).getOrElse("")).mkString(";")
     val fp = datasetFingerprint(path)
-    val key = (nanos, path)
+    val key = (confKey, path)
     val cached = schemaMemo.get(key)
     val schema =
       if (cached != null && cached._1 == fp) cached._2
@@ -172,23 +179,29 @@ object Tables {
     * discipline), so a given path's schema is fixed for the life of the
     * session: extends append rows, compaction rewrites files, retrains
     * replace values, but none of them change columns — a layout change
-    * ships under a NEW prefix by construction. The memo therefore needs
-    * no content validation; it only skips the ~60 ms footer-read schema
-    * inference every serve paid per artifact table. Each call still
+    * ships under a NEW prefix by construction. The memo is nonetheless
+    * VALIDATED against the dataset fingerprint on every call (r17, ADVICE
+    * r16): the naming invariant is not enforced for user-supplied index
+    * paths (buildDedupIndex/buildBm25Index/... take arbitrary dirs), and
+    * an in-place rebuild that changed columns would otherwise silently
+    * read missing columns as nulls. The fingerprint walk costs ~0.24 ms —
+    * noise next to the ~60 ms footer inference it skips. Each call still
     * builds a fresh DataFrame/FileIndex, so appended partitions and
     * rewritten files are always visible. NOT for mutable user data —
-    * source tables go through [[table]] (fingerprint-validated).
+    * source tables go through [[table]] (same validation plus the
+    * expected-schema probe).
     */
   private val artifactSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    String, (Long, org.apache.spark.sql.types.StructType)]()
 
   def artifactParquet(spark: SparkSession, path: String): DataFrame = {
+    val fp = datasetFingerprint(path)
     val cached = artifactSchemaMemo.get(path)
     val schema =
-      if (cached != null) cached
+      if (cached != null && cached._1 == fp) cached._2
       else {
         val s = spark.read.parquet(path).schema
-        artifactSchemaMemo.put(path, s)
+        artifactSchemaMemo.put(path, (fp, s))
         s
       }
     spark.read.schema(schema).parquet(path)
@@ -199,15 +212,28 @@ object Tables {
     * included, courtesy of basePath — is inferred from the FIRST probed
     * subset and memoized per base path, so later serves skip both the
     * footer inference and any full-dir listing (the probedIvfRead
-    * discipline kept; this only removes its per-call inference). */
+    * discipline kept; this only removes its per-call inference).
+    * Validation (r17): fingerprinting the FULL basePath per call would
+    * reintroduce the full-dir listing the probed read exists to avoid, so
+    * this memo validates against the fingerprint of the FIRST PROBED
+    * subdirectory's files only — enough to catch an in-place rebuild
+    * (every rewrite touches all cells' files), without walking unprobed
+    * cells. Both call sites are the fingerprintedDir-versioned IVF
+    * serves, so the name-versioning invariant holds here regardless.
+    */
+  private val partitionedSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (Long, org.apache.spark.sql.types.StructType)]()
+
   def artifactPartitionedParquet(spark: SparkSession, basePath: String,
       paths: Seq[String]): DataFrame = {
-    val cached = artifactSchemaMemo.get(basePath)
+    val key = (basePath, paths.head)
+    val fp = datasetFingerprint(paths.head)
+    val cached = partitionedSchemaMemo.get(key)
     val schema =
-      if (cached != null) cached
+      if (cached != null && cached._1 == fp) cached._2
       else {
         val s = spark.read.option("basePath", basePath).parquet(paths: _*).schema
-        artifactSchemaMemo.put(basePath, s)
+        partitionedSchemaMemo.put(key, (fp, s))
         s
       }
     spark.read.schema(schema).option("basePath", basePath).parquet(paths: _*)
@@ -358,7 +384,10 @@ object Tables {
   }
 
   /** Per-file content signal for [[datasetFingerprint]]: a hash of the
-    * file's last 8 bytes (parquet: footer-length + magic), memoized per
+    * file's last 64 bytes (parquet: the footer-length + magic plus the
+    * tail of the serialized footer metadata itself — r17, ADVICE r16: 8
+    * bytes saw only the footer LENGTH, so a rewrite that reproduced the
+    * length was invisible to the content signal), memoized per
     * (path, len, mtime) so repeat fingerprints of an unchanged tree cost
     * zero reads. Bounded: entries are tiny and keyed by live fixture
     * files; a long-lived session touches a fixed set of tables.
@@ -372,7 +401,7 @@ object Tables {
     val key = s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
     val cached = tailSigMemo.get(key)
     if (cached != null) return cached.longValue()
-    val n = math.min(8L, st.getLen).toInt
+    val n = math.min(64L, st.getLen).toInt
     val buf = new Array[Byte](n)
     val in = fs.open(st.getPath)
     try { in.seek(st.getLen - n); in.readFully(buf) } finally in.close()

@@ -901,6 +901,55 @@ object Scratch {
       bench("full lsh pairs")(graft.operators.Dedup.minhashLshPairs(docs, 0.7))
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "ngramsplit") {
+      // r17 opt: where does dedup_ngram_jaccard (allPairsNgramJaccard at
+      // tau=0.8, n=2) spend — the shingle/hash passes, the df+window
+      // ranking, the prefix self-join, or the two-stage verify? Min-of-3,
+      // cumulative cuts.
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions._
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      def bench(what: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        val t = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"NGRAMSPLIT $what%-26s $t%7.3f s")
+      }
+      val sets = docs.select(col("doc_id"), shingleSet(col("text"), 2).as("sh"))
+        .where(size(col("sh")) > 0)
+      bench("sets (shingle 2-gram)")(sets)
+      bench("full ngram jaccard")(
+        graft.operators.SimilarityJoin.allPairsNgramJaccard(docs, 0.8, 2))
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "spreadsplit") {
+      // r17 opt (VERDICT item 7): where does text_decontaminate_spread's
+      // wall go — the seed scan, the LSH edge pipeline (eager checkpoint
+      // at construct), or the recursive-CTE hops? Min-of-3 each.
+      import org.apache.spark.sql.functions._
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      def bench(what: String)(f: => Unit): Unit = {
+        val t = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"SPREADSPLIT $what%-26s $t%7.3f s")
+      }
+      bench("seeds (decontaminate)")(
+        graft.operators.TextAnalysis.decontaminate(docs, 5, 50)
+          .where(col("contaminated")).select(col("doc_id")).count())
+      bench("edges (LSH pairs ckpt)")(
+        graft.operators.Dedup.withSharedShingleSets(docs.where(col("doc_id") >= 50)) { sets =>
+          graft.operators.Dedup.minhashLshPairsFromSets(sets, 0.7)
+            .select(explode(array(
+              struct(col("doc_a"), col("doc_b")),
+              struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+            .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+            .localCheckpoint().count()
+        })
+      bench("full contaminationSpread")(
+        graft.operators.TextAnalysis.contaminationSpread(docs, nEval = 50).count())
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "hybridsplit") {
       // r17 opt (VERDICT item 3): where does text_hybrid_topk's wall go,
       // and which stage anti-scales with cores (8-core beat 32-core 2.3×
